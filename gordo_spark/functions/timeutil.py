@@ -1,0 +1,36 @@
+"""pandas offset-alias -> Spark duration translation.
+
+The reference validates resolutions/limits as pandas offset aliases like
+``"10T"``, ``"2T"``, ``"48H"`` (gordo/machine/validators.py:54-77,
+gordo/server/properties.py:45-49). Spark wants duration strings
+("10 minutes") or plain seconds. We parse with pandas itself so the accepted
+grammar is exactly the reference's, then convert to seconds.
+
+Only fixed-width offsets (Tick subclasses: weeks and below) are supported —
+calendar offsets ("M", "Y") have no fixed seconds and the reference's
+resample semantics for them are not used in any config we reproduce.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pandas.tseries.offsets import Tick
+
+
+def offset_alias_to_seconds(alias: str) -> float:
+    """``"10T"`` -> 600.0, ``"48H"`` -> 172800.0, ``"30S"`` -> 30.0."""
+    offset = pd.tseries.frequencies.to_offset(alias)
+    if not isinstance(offset, Tick):
+        raise ValueError(
+            f"offset alias {alias!r} is not a fixed-frequency (Tick) offset; "
+            "calendar offsets are unsupported"
+        )
+    return offset.nanos / 1e9
+
+
+def offset_alias_to_interval(alias: str) -> str:
+    """``"10T"`` -> ``"INTERVAL 600 SECOND"`` (Spark SQL interval literal)."""
+    secs = offset_alias_to_seconds(alias)
+    if secs != int(secs):
+        raise ValueError(f"sub-second resolution {alias!r} unsupported")
+    return f"INTERVAL {int(secs)} SECOND"

@@ -1,0 +1,100 @@
+"""J3-J6 — pivot to wide, inner align, X/y projection, tail alignment.
+
+Reference semantics (SURVEY.md §2.3): the dataset layer's output is a *wide*
+matrix — one row per resolution bucket, one column per tag — formed by
+inner-joining all resampled tag series on the bucket timestamp; rows where
+any tag is still missing (beyond the interpolation limit) are dropped
+(gordo/builder/build_model.py:213 consumes it; wide shape visible in
+gordo/machine/model/anomaly/diff.py:341-348).
+
+Implementation notes:
+- pivot with an *explicit* tag list = single shuffle + conditional
+  aggregation; Spark never has to scan to discover pivot values, and the
+  output schema is statically known (required for the config-declared
+  StructType per machine, SURVEY.md §1.3).
+- inner align = dropna over the tag columns, not an N-way join: one pass.
+- tail alignment (J5, LSTM lookback offset) keeps ts keys end-to-end so the
+  align is a plain filter/join on ts, never positional arithmetic
+  (SURVEY.md §7 hard-parts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pivot_wide(
+    df: DataFrame,
+    tags: Sequence[str],
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Long ``(tag, ts, value)`` -> wide ``(ts, <tag1>, <tag2>, ...)``."""
+    return (
+        df.filter(F.col(tag_col).isin(list(tags)))
+        .groupBy(ts_col)
+        .pivot(tag_col, list(tags))
+        .agg(F.first(value_col, ignorenulls=True))
+    )
+
+
+def _q(name: str) -> Column:
+    """Column by exact name — backticked so tag names containing dots or
+    spaces (e.g. ``GRA-TE  -23-0733.PV``) never parse as struct access."""
+    return F.col("`" + name + "`")
+
+
+def inner_align(df: DataFrame, tags: Sequence[str], ts_col: str = "ts") -> DataFrame:
+    """Drop rows where any tag column is null (pandas inner-join semantics
+    across all tag series), sorted by time."""
+    cond = _q(tags[0]).isNotNull()
+    for t in tags[1:]:
+        cond = cond & _q(t).isNotNull()
+    return df.filter(cond).orderBy(ts_col)
+
+
+def split_xy(
+    df: DataFrame,
+    tag_list: Sequence[str],
+    target_tag_list: Sequence[str] | None = None,
+    ts_col: str = "ts",
+) -> tuple[DataFrame, DataFrame]:
+    """J4 — X = tag_list columns, y = target_tag_list (defaults to
+    tag_list), both keyed by ts (two selects over one frame — narrow,
+    no recompute when the parent is cached)."""
+    targets = list(target_tag_list) if target_tag_list else list(tag_list)
+    X = df.select(ts_col, *[_q(t).alias(t) for t in tag_list])
+    y = df.select(ts_col, *[_q(t).alias(t) for t in targets])
+    return X, y
+
+
+def tail_align(
+    model_input: DataFrame,
+    model_output: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """J5 — align input with a (possibly shorter) model output by tail.
+
+    The reference clips ``model_input[-len(output):]`` positionally
+    (gordo/machine/model/utils.py:85-98). We keep ts keys on both sides, so
+    tail alignment is an inner join on ts — identical result when the output
+    is the input minus its first ``offset`` rows, and robust to partitioning.
+    """
+    return model_input.join(model_output, on=ts_col, how="inner")
+
+
+def drop_head(df: DataFrame, offset: int, ts_col: str = "ts") -> DataFrame:
+    """Drop the first ``offset`` rows by time (model offset, M8: a model with
+    lookback L and lookahead k has offset L-1+k). Window rank beats a
+    driver-side collect of timestamps."""
+    if offset <= 0:
+        return df
+    w = Window.orderBy(ts_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > offset)
+        .drop("_rn")
+    )

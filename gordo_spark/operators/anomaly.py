@@ -1,0 +1,169 @@
+"""M6 / A2-A8 / W7 — anomaly column algebra.
+
+Reference semantics (gordo/machine/model/anomaly/diff.py:310-458 and
+gordo/machine/model/utils.py:49-165 in /root/reference; column contract in
+docs/ml/model_output.rst:20-86):
+
+Given aligned ``y`` (targets) and ``model_output`` per timestamp:
+
+- ``tag_anomaly_unscaled__<t>``   = |output_t - y_t|                     (A4)
+- ``total_anomaly_unscaled``      = mean over tags of squared tag error  (A2)
+- scaled variants: same algebra after scaling y and output with the
+  train-time scaler (MinMax by default) — scaler applied to y *after*
+  training (diff.py:166-174)
+- ``smooth_*``: trailing smoothing (smm/sma/ewma), window default 144,
+  first window-1 rows null                                               (W5)
+- ``anomaly_confidence__<t>``     = tag error / tag threshold
+- ``total_anomaly_confidence``    = total error / total threshold
+- ``start`` = bucket ts, ``end`` = start + resolution                    (W7)
+
+Thresholds (A7/A8): TimeSeriesSplit mode = last CV fold's
+``rolling(6).min().max()`` of the validation error (diff.py:229-264 — the
+*last* fold, not an aggregate: SURVEY.md §7 hard-parts); KFold mode = 0.99
+quantile of the smoothed out-of-fold error (diff.py:617-635).
+
+Everything here is one ``select`` of column expressions over the aligned
+frame — no joins, no UDFs; thresholds are broadcast scalars. At 100 TB this
+is a narrow map stage fused by whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from gordo_spark.functions.timeutil import offset_alias_to_interval
+from gordo_spark.operators.smoothing import SMOOTHERS, ewma, rolling_min
+
+
+def scale_minmax(col: Column, mn: float, mx: float) -> Column:
+    """sklearn MinMaxScaler transform as a column expr (bit-parity with
+    train-time stats; feature_range (0,1))."""
+    rng = (mx - mn) if mx != mn else 1.0
+    return (col - F.lit(mn)) / F.lit(rng)
+
+
+def row_mean_square(cols: Sequence[Column]) -> Column:
+    """A2/A3 — per-row mean of squares across tag columns."""
+    total = cols[0] * cols[0]
+    for c in cols[1:]:
+        total = total + c * c
+    return total / F.lit(float(len(cols)))
+
+
+def anomaly_frame(
+    aligned: DataFrame,
+    tags: Sequence[str],
+    resolution: str = "10T",
+    output_prefix: str = "model_output__",
+    scaler_stats: Mapping[str, tuple[float, float]] | None = None,
+    smoothing_method: str = "smm",
+    smoothing_window: int | None = 144,
+    thresholds: Mapping[str, float] | None = None,
+    total_threshold: float | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Compute the full anomaly column block.
+
+    ``aligned`` must carry ``ts``, one ``<tag>`` column per target tag (the
+    y side) and one ``<output_prefix><tag>`` column per tag (the model
+    output side), already tail-aligned (operators.align.tail_align).
+    ``scaler_stats``: per-tag (min, max) from train time; None disables the
+    scaled block. ``thresholds``/``total_threshold``: broadcast scalars from
+    CV; None disables confidences.
+    """
+    cols: list[Column] = [
+        F.col(ts_col).alias("start"),
+        (F.col(ts_col) + F.expr(offset_alias_to_interval(resolution))).alias("end"),
+    ]
+    for t in tags:
+        cols.append(F.col(t).alias(f"model_input__{t}"))
+        cols.append(F.col(f"{output_prefix}{t}").alias(f"model_output__{t}"))
+
+    err_u = {t: F.abs(F.col(f"{output_prefix}{t}") - F.col(t)) for t in tags}
+    for t in tags:
+        cols.append(err_u[t].alias(f"tag_anomaly_unscaled__{t}"))
+    cols.append(row_mean_square([err_u[t] for t in tags]).alias("total_anomaly_unscaled"))
+
+    if scaler_stats is not None:
+        err_s = {
+            t: F.abs(
+                scale_minmax(F.col(f"{output_prefix}{t}"), *scaler_stats[t])
+                - scale_minmax(F.col(t), *scaler_stats[t])
+            )
+            for t in tags
+        }
+        for t in tags:
+            cols.append(err_s[t].alias(f"tag_anomaly_scaled__{t}"))
+        cols.append(row_mean_square([err_s[t] for t in tags]).alias("total_anomaly_scaled"))
+
+    out = aligned.select(*cols)
+
+    if smoothing_window:
+        smooth_cols = [f"tag_anomaly_unscaled__{t}" for t in tags] + ["total_anomaly_unscaled"]
+        if scaler_stats is not None:
+            smooth_cols += [f"tag_anomaly_scaled__{t}" for t in tags] + ["total_anomaly_scaled"]
+        if smoothing_method == "ewma":
+            out = ewma(out, smooth_cols, span=smoothing_window, ts_col="start")
+        else:
+            fn = SMOOTHERS[smoothing_method]
+            w = Window.partitionBy().orderBy("start")
+            out = out.select(
+                *[out[c] for c in out.columns],
+                *[fn(c, smoothing_window, w).alias(f"smooth_{c}") for c in smooth_cols],
+            )
+
+    if thresholds is not None:
+        conf = [
+            (F.col(f"tag_anomaly_scaled__{t}" if scaler_stats else f"tag_anomaly_unscaled__{t}")
+             / F.lit(float(thresholds[t]))).alias(f"anomaly_confidence__{t}")
+            for t in tags
+            if thresholds.get(t)
+        ]
+        extra = list(conf)
+        if total_threshold:
+            extra.append(
+                (F.col("total_anomaly_scaled" if scaler_stats else "total_anomaly_unscaled")
+                 / F.lit(float(total_threshold))).alias("total_anomaly_confidence")
+            )
+        out = out.select(*[out[c] for c in out.columns], *extra)
+    return out
+
+
+def fold_threshold(
+    validation_err: DataFrame,
+    cols: Sequence[str],
+    ts_col: str = "ts",
+    roll: int = 6,
+) -> dict[str, float]:
+    """A8 — per-column ``rolling(6, min_periods=6).min().max()`` over one CV
+    fold's validation error (diff.py:229-254). Returns broadcastable
+    scalars."""
+    w = Window.partitionBy().orderBy(ts_col)
+    rolled = validation_err.select(
+        *[rolling_min(c, roll, w).alias(c) for c in cols]
+    )
+    row = rolled.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
+    return {c: row[c] for c in cols}
+
+
+def quantile_threshold(
+    err: DataFrame, cols: Sequence[str], q: float = 0.99
+) -> dict[str, float]:
+    """A7 — exact q-quantile per column (KFold mode, diff.py:625-635;
+    pandas quantile = linear interpolation = Spark/DuckDB ``percentile``)."""
+    row = err.agg(
+        *[F.expr(f"percentile(`{c}`, {q})").alias(c) for c in cols]
+    ).collect()[0]
+    return {c: row[c] for c in cols}
+
+
+def explained_variance(df: DataFrame, y_col: str, yhat_col: str) -> float:
+    """A9/M5 — sklearn explained_variance_score = 1 - Var(y - yhat)/Var(y)
+    (population variance in sklearn; var_pop here for parity)."""
+    row = df.agg(
+        F.var_pop(F.col(y_col) - F.col(yhat_col)).alias("ve"),
+        F.var_pop(F.col(y_col)).alias("vy"),
+    ).collect()[0]
+    return 1.0 - (row["ve"] / row["vy"] if row["vy"] else 0.0)

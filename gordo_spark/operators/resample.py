@@ -1,0 +1,82 @@
+"""J1/A1 — per-tag resample-aggregate onto a fixed time grid.
+
+Reference semantics (gordo-core, via call sites — SURVEY.md §2.3 J1): each
+tag's raw ``(ts, value)`` series is resampled to ``resolution`` (default
+``"10T"``) with ``aggregation_methods`` (default ``"mean"``; a list yields
+one column per aggregation). pandas ``resample`` defaults are
+``closed="left", label="left"`` — i.e. floor-bucketing — which is exactly
+what epoch-floor bucketing gives, so the two agree on bucket boundaries for
+fixed-width offsets.
+
+Scale posture: this is a single hash aggregation keyed on
+``(tag, bucket)`` — Spark does map-side partial aggregation automatically,
+so raw 100 TB input collapses toward #tags x #buckets before the shuffle.
+Filters on ts/tag applied before this reach the parquet scan (predicate
+pushdown). No UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from gordo_spark.functions.timeutil import offset_alias_to_seconds
+
+# pandas aggregation-method names (the config surface) -> Spark builtins.
+_AGG = {
+    "mean": F.avg,
+    "max": F.max,
+    "min": F.min,
+    "sum": F.sum,
+    "count": F.count,
+    "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+}
+
+
+def bucket_ts(ts_col: str, resolution: str) -> Column:
+    """Floor ``ts_col`` onto the ``resolution`` grid (left-closed/left-label,
+    matching pandas resample defaults).
+
+    Uses integer epoch arithmetic rather than ``window()`` so the bucket
+    column is a plain timestamp key (joinable, partitionable) instead of a
+    struct, and so a DuckDB oracle can reproduce it bit-for-bit.
+    """
+    secs = int(offset_alias_to_seconds(resolution))
+    # cast through TIMESTAMP so TIMESTAMP_NTZ inputs (tz-naive parquet) work;
+    # session tz is pinned to UTC so NTZ -> TZ is the identity epoch mapping.
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    return F.timestamp_seconds(F.floor(epoch / secs).cast("long") * secs)
+
+
+def resample_aggregate(
+    df: DataFrame,
+    resolution: str = "10T",
+    aggregation_methods: str | Sequence[str] = "mean",
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Long ``(tag, ts, value)`` -> ``(tag, ts=bucket, <agg>...)``.
+
+    Single aggregation keeps the output column named ``value`` (so downstream
+    pivot/interpolate are agnostic); a list emits ``value_<agg>`` columns,
+    mirroring the reference's one-column-per-(tag, agg) expansion.
+    """
+    methods = [aggregation_methods] if isinstance(aggregation_methods, str) else list(aggregation_methods)
+    unknown = [m for m in methods if m not in _AGG]
+    if unknown:
+        raise ValueError(f"unsupported aggregation_methods: {unknown}")
+    single = len(methods) == 1
+    aggs = [
+        _AGG[m](value_col).alias(value_col if single else f"{value_col}_{m}")
+        for m in methods
+    ]
+    return (
+        df.groupBy(F.col(tag_col), bucket_ts(ts_col, resolution).alias(ts_col))
+        .agg(*aggs)
+    )

@@ -1,0 +1,108 @@
+"""W1-W5 — trailing smoothing windows: smm / sma / ewma.
+
+Reference semantics (gordo/machine/model/anomaly/diff.py:302-308 in
+/root/reference):
+
+- ``smm``  = ``rolling(window, min_periods=window).median()``
+- ``sma``  = ``rolling(window, min_periods=window).mean()``
+- ``ewma`` = ``ewm(span=window).mean()`` (adjust=True, infinite history)
+
+pandas rolling with min_periods=window yields NaN for the first window-1
+rows; Spark trailing windows happily aggregate partial frames, so smm/sma
+mask with a row count over the same frame (SURVEY.md §7 hard-parts).
+
+EWMA is recursive over all history — not expressible as a bounded Spark
+window without precision games — so it runs as an Arrow-batched
+``applyInPandas`` per series key: exact pandas semantics, one partition per
+(machine, tag) series, each bounded (~50k rows/series-year @10min). That is
+the sanctioned slow path: the grouping key is the parallelism unit, matching
+the reference's one-process-per-machine model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def _trailing(w_order: WindowSpec, window: int) -> WindowSpec:
+    return w_order.rowsBetween(-(window - 1), 0)
+
+
+def sma(col: str, window: int, w_order: WindowSpec) -> Column:
+    frame = _trailing(w_order, window)
+    full = F.count(F.col(col)).over(frame) >= window
+    return F.when(full, F.avg(F.col(col)).over(frame))
+
+
+def smm(col: str, window: int, w_order: WindowSpec) -> Column:
+    frame = _trailing(w_order, window)
+    full = F.count(F.col(col)).over(frame) >= window
+    return F.when(full, F.expr(f"percentile(`{col}`, 0.5)").over(frame))
+
+
+def rolling_min(col: str, window: int, w_order: WindowSpec) -> Column:
+    """W4 — trailing rolling min (threshold calc), min_periods=window."""
+    frame = _trailing(w_order, window)
+    full = F.count(F.col(col)).over(frame) >= window
+    return F.when(full, F.min(F.col(col)).over(frame))
+
+
+SMOOTHERS = {"smm": smm, "sma": sma}
+
+
+def smooth(
+    df: DataFrame,
+    cols: Sequence[str],
+    method: str = "smm",
+    window: int = 144,
+    ts_col: str = "ts",
+    machine_col: str | None = None,
+    prefix: str = "smooth_",
+) -> DataFrame:
+    """W5 — apply one smoothing method to N columns in a single select
+    (one window shuffle shared by all columns)."""
+    if method == "ewma":
+        return ewma(df, cols, span=window, ts_col=ts_col, machine_col=machine_col, prefix=prefix)
+    fn = SMOOTHERS[method]
+    w = (Window.partitionBy(machine_col) if machine_col else Window.partitionBy()).orderBy(ts_col)
+    out = df
+    exprs = [out[c] for c in out.columns] + [
+        fn(c, window, w).alias(f"{prefix}{c}") for c in cols
+    ]
+    return out.select(*exprs)
+
+
+def ewma(
+    df: DataFrame,
+    cols: Sequence[str],
+    span: int = 144,
+    ts_col: str = "ts",
+    machine_col: str | None = None,
+    prefix: str = "smooth_",
+) -> DataFrame:
+    """W3 — exact pandas ``ewm(span=span, adjust=True).mean()`` per column,
+    computed per group via Arrow-batched applyInPandas."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    group_cols = [machine_col] if machine_col else []
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"{prefix}{c}", DoubleType()) for c in cols]
+    )
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values(ts_col)
+        for c in cols:
+            pdf[f"{prefix}{c}"] = pdf[c].ewm(span=span, adjust=True).mean()
+        return pdf
+
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(_ewm, schema=schema)
+    # single machine: one logical series — a single group keyed by a literal
+    return (
+        df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda p: _ewm(p.drop(columns="_g")), schema=schema)
+    )

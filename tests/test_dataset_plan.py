@@ -1,0 +1,99 @@
+"""End-to-end TimeSeriesDataset plan vs a pandas reference implementation
+(the reference's layer-4 strategy: config -> get_data parity, SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gordo_spark.operators.filters import InsufficientDataError
+from gordo_spark.plans import TimeSeriesDataset
+from gordo_spark.sources.providers import ParquetDataProvider
+
+TAGS = ["tag-0", "tag-2", "GRA-TE  -23-0733.PV"]
+
+
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory, sensor_pdf):
+    path = str(tmp_path_factory.mktemp("lake") / "sensors.parquet")
+    sensor_pdf.assign(ts=sensor_pdf.ts.astype("datetime64[us]")).to_parquet(path)
+    return path
+
+
+def pandas_get_data(pdf, tags, resolution="10min", limit_buckets=288):
+    series = {}
+    for tag in tags:
+        s = (
+            pdf[pdf.tag == tag]
+            .set_index("ts")["value"]
+            .resample(resolution)
+            .mean()
+        )
+        s = s.interpolate("linear", limit=limit_buckets, limit_area="inside")
+        series[tag] = s
+    wide = pd.concat(series, axis=1).dropna()
+    return wide[list(tags)]
+
+
+def test_get_data_matches_pandas(spark, sensor_pdf, lake):
+    ds = TimeSeriesDataset(
+        tag_list=TAGS,
+        resolution="10T",
+        interpolation_method="linear_interpolation",
+        interpolation_limit="48H",
+        data_provider=ParquetDataProvider(lake),
+    )
+    X, y = ds.get_data(spark)
+    got = X.toPandas().set_index("ts").sort_index()
+    exp = pandas_get_data(sensor_pdf, TAGS)
+    assert list(got.columns) == list(exp.columns)
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got.values, exp.values, rtol=1e-9)
+    # y defaults to tag_list
+    assert y.columns == X.columns
+
+
+def test_get_data_with_row_filter_and_threshold(spark, lake):
+    ds = TimeSeriesDataset(
+        tag_list=TAGS,
+        resolution="10T",
+        row_filter="`tag-0` > 0.2",
+        row_filter_buffer_size=2,
+        n_samples_threshold=10,
+        data_provider=ParquetDataProvider(lake),
+    )
+    X, _ = ds.get_data(spark)
+    pdf = X.toPandas()
+    assert (pdf["tag-0"] > 0.2).all()
+
+    ds_fail = TimeSeriesDataset(
+        tag_list=TAGS,
+        n_samples_threshold=10**9,
+        data_provider=ParquetDataProvider(lake),
+    )
+    with pytest.raises(InsufficientDataError):
+        ds_fail.get_data(spark)
+
+
+def test_get_data_time_range_and_targets(spark, lake):
+    ds = TimeSeriesDataset(
+        tag_list=["tag-0", "tag-2"],
+        target_tag_list=["tag-2"],
+        train_start_date="2019-01-01T00:00:00+00:00",
+        train_end_date="2019-01-01T12:00:00+00:00",
+        data_provider=ParquetDataProvider(lake),
+    )
+    X, y = ds.get_data(spark)
+    assert y.columns == ["ts", "tag-2"]
+    ts = X.toPandas()["ts"]
+    assert ts.max() < pd.Timestamp("2019-01-01 12:00")
+
+
+def test_random_provider(spark):
+    ds = TimeSeriesDataset(
+        tag_list=["a", "b"],
+        resolution="10T",
+        data_provider={"type": "RandomDataProvider", "min_size": 200, "max_size": 300},
+    )
+    X, _ = ds.get_data(spark)
+    assert X.count() > 0
+    assert X.columns == ["ts", "a", "b"]

@@ -1,0 +1,195 @@
+"""Operator unit tests with pandas as the oracle (the reference's layer-2
+test strategy: golden math vs numpy/pandas, SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gordo_spark.operators import (
+    apply_inf_imputer,
+    apply_row_filter,
+    inf_imputer_stats,
+    inner_align,
+    interpolate,
+    pivot_wide,
+    regularize_grid,
+    resample_aggregate,
+    smooth,
+)
+from gordo_spark.operators.align import drop_head, split_xy, tail_align
+from gordo_spark.operators.filters import InsufficientDataError, require_n_samples
+from gordo_spark.operators.smoothing import ewma
+
+TAGS = ["tag-0", "tag-1", "tag-2", "GRA-TE  -23-0733.PV"]
+
+
+def pandas_resample(pdf, resolution="10min", how="mean"):
+    out = {}
+    for tag, g in pdf.groupby("tag"):
+        s = g.set_index("ts")["value"].resample(resolution).agg(how)
+        out[tag] = s
+    return out
+
+
+def test_resample_mean_matches_pandas(spark, sensor_df, sensor_pdf):
+    got = (
+        resample_aggregate(sensor_df, "10T", "mean")
+        .toPandas()
+        .sort_values(["tag", "ts"])
+    )
+    for tag in TAGS:
+        exp = pandas_resample(sensor_pdf, "10min", "mean")[tag].dropna()
+        g = got[got.tag == tag].set_index("ts")["value"]
+        # pandas resample emits empty buckets as NaN; we emit no row — compare on exp's non-null index
+        assert set(g.index) >= set(exp.index)
+        np.testing.assert_allclose(g.reindex(exp.index).values, exp.values, rtol=1e-12)
+
+
+def test_resample_multi_agg(spark, sensor_df):
+    got = resample_aggregate(sensor_df, "1H", ["mean", "max", "min"])
+    assert set(got.columns) == {"tag", "ts", "value_mean", "value_max", "value_min"}
+    row = got.filter("value_max < value_min").count()
+    assert row == 0
+
+
+def test_regularize_and_ffill(spark):
+    pdf = pd.DataFrame(
+        {
+            "tag": "t",
+            "ts": pd.to_datetime(
+                ["2019-01-01 00:00", "2019-01-01 00:10", "2019-01-01 01:00"]
+            ),
+            "value": [1.0, 2.0, 9.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    reg = regularize_grid(df, "10T")
+    assert reg.count() == 7  # 00:00 .. 01:00 every 10 min
+    filled = interpolate(reg, "10T", "ffill", "30T").toPandas().sort_values("ts")
+    # gap 00:10 -> 01:00 is 5 missing buckets; limit 3 rows -> last two stay... actually
+    # ffill fills within trailing 3-row window: 00:20,00:30,00:40 get 2.0; 00:50 falls out
+    assert filled.value.tolist()[:5] == [1.0, 2.0, 2.0, 2.0, 2.0]
+    assert np.isnan(filled.value.tolist()[5])
+    assert filled.value.tolist()[6] == 9.0
+
+
+def test_linear_interpolation_with_limit(spark):
+    pdf = pd.DataFrame(
+        {
+            "tag": "t",
+            "ts": pd.to_datetime(["2019-01-01 00:00", "2019-01-01 00:30", "2019-01-01 02:00"]),
+            "value": [0.0, 3.0, 12.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    reg = regularize_grid(df, "10T")
+    got = (
+        interpolate(reg, "10T", "linear_interpolation", "20T")
+        .toPandas()
+        .sort_values("ts")
+        .set_index("ts")["value"]
+    )
+    # 00:10, 00:20 interpolated (gap = 2 buckets <= limit 2)
+    assert got[pd.Timestamp("2019-01-01 00:10")] == pytest.approx(1.0)
+    assert got[pd.Timestamp("2019-01-01 00:20")] == pytest.approx(2.0)
+    # 00:40..01:50 gap = 8 buckets > limit -> stays null
+    assert np.isnan(got[pd.Timestamp("2019-01-01 01:00")])
+
+
+def test_pivot_align_matches_pandas_inner_join(spark, sensor_df, sensor_pdf):
+    res = resample_aggregate(sensor_df, "10T", "mean")
+    wide = inner_align(pivot_wide(res, TAGS), TAGS).toPandas()
+    # pandas oracle: resample each tag, concat wide, dropna
+    series = pandas_resample(sensor_pdf, "10min", "mean")
+    exp = pd.concat(series, axis=1).dropna()
+    exp = exp[TAGS]
+    got = wide.set_index("ts")[TAGS].sort_index()
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got.values, exp.values, rtol=1e-12)
+
+
+def test_split_xy_and_tail_align(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2019-01-01", periods=10, freq="10min"),
+            "a": np.arange(10.0),
+            "b": np.arange(10.0) * 2,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    X, y = split_xy(df, ["a", "b"], ["b"])
+    assert X.columns == ["ts", "a", "b"]
+    assert y.columns == ["ts", "b"]
+    shorter = drop_head(df.select("ts", "a"), 3).withColumnRenamed("a", "out_a")
+    joined = tail_align(df, shorter)
+    assert joined.count() == 7
+
+
+def test_row_filter_with_buffer(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2019-01-01", periods=20, freq="10min"),
+            "tag-0": [1.0] * 10 + [0.0] + [1.0] * 9,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept = apply_row_filter(df, "`tag-0` > 0.5", buffer_size=2).toPandas()
+    # row 10 rejected, rows 8-12 dropped
+    assert len(kept) == 15
+    dropped = set(range(8, 13))
+    assert {i for i in range(20)} - {
+        int((t - pd.Timestamp("2019-01-01")).total_seconds() // 600)
+        for t in kept["ts"]
+    } == dropped
+
+
+def test_inf_imputer(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, np.inf, -np.inf, np.nan]})
+    df = spark.createDataFrame(pdf)
+    stats = inf_imputer_stats(df, ["a"])
+    assert stats["a"] == (1.0, 2.0)
+    out = apply_inf_imputer(df, stats, "minmax", delta=1.0).toPandas()["a"]
+    assert out.max() == 3.0 and out.min() == 0.0
+    ext = apply_inf_imputer(df, stats, "extremes").toPandas()["a"]
+    assert ext.max() == np.finfo(np.float64).max
+
+
+def test_require_n_samples(spark):
+    df = spark.range(5)
+    require_n_samples(df, 5)
+    with pytest.raises(InsufficientDataError):
+        require_n_samples(df, 6)
+
+
+@pytest.mark.parametrize("method,window", [("sma", 5), ("smm", 5), ("sma", 144)])
+def test_smoothing_matches_pandas_rolling(spark, method, window):
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2019-01-01", periods=400, freq="10min"),
+            "v": rng.random(400),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = smooth(df, ["v"], method=method, window=window).toPandas().sort_values("ts")
+    roll = pdf.set_index("ts")["v"].rolling(window, min_periods=window)
+    exp = roll.mean() if method == "sma" else roll.median()
+    np.testing.assert_allclose(
+        got.set_index("ts")["smooth_v"].values, exp.values, rtol=1e-12
+    )
+
+
+def test_ewma_matches_pandas(spark):
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2019-01-01", periods=300, freq="10min"),
+            "v": rng.random(300),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = ewma(df, ["v"], span=12).toPandas().sort_values("ts")
+    exp = pdf.set_index("ts")["v"].ewm(span=12, adjust=True).mean()
+    np.testing.assert_allclose(
+        got.set_index("ts")["smooth_v"].values, exp.values, rtol=1e-12
+    )
