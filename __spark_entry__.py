@@ -1,38 +1,706 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2 operator IDs to Spark callables; every entry
+has a matching DuckDB ``oracle_sql()`` unless the op is genuinely not
+SQL-expressible (those are marked rows-only below). Column names/aliases are
+kept identical on both sides — the driver sorts columns by name before
+hashing.
+
+All Spark code is DataFrame-first (gordo_spark package); floats that pass
+through aggregation are rounded to 6 decimals on BOTH sides so cross-engine
+summation-order ulps don't flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from gordo_spark.operators import (
+    apply_row_filter,
+    inner_align,
+    interpolate,
+    pivot_wide,
+    regularize_grid,
+    resample_aggregate,
+)
+from gordo_spark.operators.smoothing import ewma
+from gordo_spark.sources.io import read_table
+from gordo_spark.sources.providers import EventsAsSensorProvider
+
+TAGS = ["click", "view", "purchase", "error", "signup"]
+ALIGN_TAGS = ["click", "view", "purchase"]
 
 
+def _events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EventsAsSensorProvider(sf_dir).read(spark, TAGS)
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(F.col(c), 6))
+    return out
+
+
+# ---------------------------------------------------------------- S1 scan
+def q_s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — time-range tag scan: pushdown-able tag/ts predicates."""
+    return _events_long(spark, sf_dir).filter(
+        (F.col("tag").isin(["click", "error"]))
+        & (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00"))
+    )
+
+
+O_S1 = """
+SELECT event_type AS tag, CAST(ts AS TIMESTAMP) AS ts, value
+FROM events
+WHERE event_type IN ('click','error')
+  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 00:00:00'
+"""
+
+
+# ------------------------------------------------------------ J1 resample
+def q_j1_resample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A1 — 10-minute tumbling resample, mean per tag."""
+    df = resample_aggregate(_events_long(spark, sf_dir), "10T", "mean")
+    return _r6(df, "value")
+
+
+O_J1 = """
+SELECT event_type AS tag,
+       CAST(to_timestamp(floor(epoch(ts)/600)*600) AS TIMESTAMP) AS ts,
+       ROUND(avg(value), 6) AS value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_j1_resample_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 variant — list of aggregation_methods -> one column per agg."""
+    df = resample_aggregate(
+        _events_long(spark, sf_dir), "1H", ["mean", "max", "min", "count"]
+    )
+    return _r6(df, "value_mean")
+
+
+O_J1_MULTI = """
+SELECT event_type AS tag,
+       CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+       ROUND(avg(value), 6) AS value_mean,
+       max(value) AS value_max,
+       min(value) AS value_min,
+       count(value) AS value_count
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------- J2 interpolate
+def q_j2_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — regular 1H grid per tag + forward-fill limited to 6 buckets."""
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    reg = regularize_grid(res, "1H")
+    out = interpolate(reg, "1H", "ffill", "6H")
+    return _r6(out, "value")
+
+
+O_J2_FFILL = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         ROUND(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT tag, min(ts) AS t0, max(ts) AS t1 FROM res GROUP BY 1
+),
+grid AS (
+  SELECT tag,
+         CAST(unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS ts
+  FROM spans
+),
+joined AS (
+  SELECT grid.tag, grid.ts, res.value
+  FROM grid LEFT JOIN res ON grid.tag = res.tag AND grid.ts = res.ts
+)
+SELECT tag, ts,
+       COALESCE(value,
+                last_value(value IGNORE NULLS) OVER (
+                  PARTITION BY tag ORDER BY ts
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS value
+FROM joined
+"""
+
+
+# -------------------------------------------------------- J3 pivot align
+def _wide_1h(spark: SparkSession, sf_dir: str, tags=ALIGN_TAGS) -> DataFrame:
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return inner_align(pivot_wide(res, tags), tags)
+
+
+_O_WIDE_1H = """
+WITH res AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(CASE WHEN event_type = 'click' THEN value END) AS click,
+         avg(CASE WHEN event_type = 'view' THEN value END) AS view,
+         avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase
+  FROM events GROUP BY 1
+)
+SELECT * FROM res
+WHERE click IS NOT NULL AND view IS NOT NULL AND purchase IS NOT NULL
+"""
+
+
+def q_j3_pivot_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — wide inner-aligned matrix (pivot + dropna)."""
+    return _r6(_wide_1h(spark, sf_dir), *ALIGN_TAGS)
+
+
+O_J3 = f"""
+SELECT ts, ROUND(click,6) AS click, ROUND(view,6) AS view,
+       ROUND(purchase,6) AS purchase
+FROM ({_O_WIDE_1H})
+"""
+
+
+# ---------------------------------------------------- P3 row_filter+buffer
+def q_p3_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — row_filter DSL + buffer_size over the aligned frame."""
+    wide = _wide_1h(spark, sf_dir)
+    out = apply_row_filter(wide, "`click` > 50 & `view` < 400", buffer_size=2)
+    return _r6(out, *ALIGN_TAGS)
+
+
+O_P3 = f"""
+WITH wide AS ({_O_WIDE_1H}),
+flagged AS (
+  SELECT *, CASE WHEN click > 50 AND view < 400 THEN 0 ELSE 1 END AS bad
+  FROM wide
+),
+buffered AS (
+  SELECT *, max(bad) OVER (ORDER BY ts ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS near_bad
+  FROM flagged
+)
+SELECT ts, ROUND(click,6) AS click, ROUND(view,6) AS view,
+       ROUND(purchase,6) AS purchase
+FROM buffered WHERE near_bad = 0
+"""
+
+
+# ------------------------------------------------------ P4 filter_periods
+def q_p4_iqr_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — IQR-fence outlier-period removal on the long series."""
+    df = _events_long(spark, sf_dir)
+    stats = df.groupBy("tag").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    j = df.join(F.broadcast(stats), "tag")
+    iqr = F.col("q3") - F.col("q1")
+    keep = (F.col("value") >= F.col("q1") - 1.5 * iqr) & (
+        F.col("value") <= F.col("q3") + 1.5 * iqr
+    )
+    return j.filter(keep).select("tag", "ts", "value")
+
+
+O_P4 = """
+WITH stats AS (
+  SELECT event_type AS tag,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_type AS tag, CAST(e.ts AS TIMESTAMP) AS ts, e.value
+FROM events e JOIN stats s ON e.event_type = s.tag
+WHERE e.value >= s.q1 - 1.5*(s.q3 - s.q1)
+  AND e.value <= s.q3 + 1.5*(s.q3 - s.q1)
+"""
+
+
+# --------------------------------------------------------- P7 inf imputer
+def q_p7_inf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — InfImputer minmax strategy (inf synthesized deterministically:
+    error-tag values > 150 become +inf, then are imputed to finite_max+1)."""
+    from gordo_spark.operators import apply_inf_imputer, inf_imputer_stats
+
+    df = _events_long(spark, sf_dir).withColumn(
+        "value",
+        F.when(
+            (F.col("tag") == "error") & (F.col("value") > 150),
+            F.lit(float("inf")),
+        ).otherwise(F.col("value")),
+    )
+    stats = inf_imputer_stats(df, ["value"])
+    return apply_inf_imputer(df, stats, "minmax", delta=1.0)
+
+
+O_P7 = """
+WITH injected AS (
+  SELECT event_type AS tag, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'error' AND value > 150
+              THEN CAST('Infinity' AS DOUBLE) ELSE value END AS value
+  FROM events
+),
+stats AS (
+  SELECT max(value) FILTER (WHERE isfinite(value)) AS mx,
+         min(value) FILTER (WHERE isfinite(value)) AS mn
+  FROM injected
+)
+SELECT tag, ts,
+       CASE WHEN value = CAST('Infinity' AS DOUBLE) THEN (SELECT mx+1 FROM stats)
+            WHEN value = CAST('-Infinity' AS DOUBLE) THEN (SELECT mn-1 FROM stats)
+            ELSE value END AS value
+FROM injected
+"""
+
+
+# -------------------------------------------------------- W1/W2 smoothing
+def q_w2_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — trailing moving average (window 6, min_periods=window) per tag."""
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    from gordo_spark.operators import smooth
+
+    out = smooth(res, ["value"], method="sma", window=6, machine_col="tag")
+    return _r6(out.select("tag", "ts", "smooth_value"), "smooth_value")
+
+
+O_W2 = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT tag, ts,
+       ROUND(CASE WHEN count(value) OVER w >= 6
+             THEN avg(value) OVER w END, 6) AS smooth_value
+FROM res
+WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_w1_smm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — trailing moving median (window 6, min_periods=window) per tag."""
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    from gordo_spark.operators import smooth
+
+    out = smooth(res, ["value"], method="smm", window=6, machine_col="tag")
+    return _r6(out.select("tag", "ts", "smooth_value"), "smooth_value")
+
+
+O_W1 = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT tag, ts,
+       ROUND(CASE WHEN count(value) OVER w >= 6
+             THEN quantile_cont(value, 0.5) OVER w END, 6) AS smooth_value
+FROM res
+WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------------------- W3 ewma
+def q_w3_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — exact pandas ewm(span=12).mean() per tag via applyInPandas.
+    Rows-only check: recursive EWMA over unbounded history is not
+    ANSI-SQL-expressible without overflow games."""
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    out = ewma(res, ["value"], span=12, machine_col="tag")
+    return _r6(out.select("tag", "ts", "smooth_value"), "smooth_value")
+
+
+# ----------------------------------------------------- W6 lookback shift
+def q_w6_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — lookahead target shift (lead 1) per tag."""
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    w = Window.partitionBy("tag").orderBy("ts")
+    return _r6(
+        res.select(
+            "tag", "ts", "value", F.lead("value", 1).over(w).alias("value_lead")
+        ),
+        "value",
+        "value_lead",
+    )
+
+
+O_W6 = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT tag, ts, ROUND(value, 6) AS value,
+       ROUND(lead(value, 1) OVER (PARTITION BY tag ORDER BY ts), 6) AS value_lead
+FROM res
+"""
+
+
+# -------------------------------------------- A7/A8 thresholds
+def q_a8_fold_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — per-tag rolling(6).min().max() threshold (TimeSeriesSplit mode)."""
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    w = Window.partitionBy("tag").orderBy("ts").rowsBetween(-5, 0)
+    rolled = res.select(
+        "tag",
+        F.when(F.count("value").over(w) >= 6, F.min("value").over(w)).alias("rmin"),
+    )
+    return _r6(
+        rolled.groupBy("tag").agg(F.max("rmin").alias("threshold")), "threshold"
+    )
+
+
+O_A8 = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+rolled AS (
+  SELECT tag,
+         CASE WHEN count(value) OVER w >= 6 THEN min(value) OVER w END AS rmin
+  FROM res
+  WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT tag, ROUND(max(rmin), 6) AS threshold FROM rolled GROUP BY tag
+"""
+
+
+def q_a7_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — exact 0.99 quantile per tag (KFold threshold mode)."""
+    df = _events_long(spark, sf_dir)
+    return _r6(
+        df.groupBy("tag").agg(
+            F.expr("percentile(value, 0.99)").alias("threshold_99")
+        ),
+        "threshold_99",
+    )
+
+
+O_A7 = """
+SELECT event_type AS tag,
+       ROUND(quantile_cont(value, 0.99), 6) AS threshold_99
+FROM events GROUP BY 1
+"""
+
+
+# ----------------------------------------------- A9 explained variance
+def q_a9_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/M5 — explained_variance_score of a lag-1 persistence forecast."""
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    w = Window.partitionBy("tag").orderBy("ts")
+    p = res.select(
+        "tag", "value", F.lag("value", 1).over(w).alias("yhat")
+    ).dropna()
+    return _r6(
+        p.groupBy("tag").agg(
+            (1 - F.var_pop(F.col("value") - F.col("yhat")) / F.var_pop("value")).alias(
+                "explained_variance"
+            )
+        ),
+        "explained_variance",
+    )
+
+
+O_A9 = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT tag, value, lag(value, 1) OVER (PARTITION BY tag ORDER BY ts) AS yhat
+  FROM res
+)
+SELECT tag, ROUND(1 - var_pop(value - yhat) / var_pop(value), 6) AS explained_variance
+FROM p WHERE yhat IS NOT NULL AND value IS NOT NULL
+GROUP BY tag
+"""
+
+
+# ----------------------------------------------- M6 anomaly frame (flagship)
+def q_m6_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/A2-A4/W5/W7/J5 — full anomaly column block with a deterministic
+    pseudo-model (trailing sma(6) as model_output), smoothing window 6."""
+    from gordo_spark.operators.anomaly import anomaly_frame
+
+    wide = _wide_1h(spark, sf_dir)
+    w = Window.partitionBy().orderBy("ts")
+    frame = Window.partitionBy().orderBy("ts").rowsBetween(-5, 0)
+    with_out = wide.select(
+        "ts",
+        *[F.col(f"`{t}`").alias(t) for t in ALIGN_TAGS],
+        *[
+            F.when(
+                F.count(f"`{t}`").over(frame) >= 6, F.avg(f"`{t}`").over(frame)
+            ).alias(f"model_output__{t}")
+            for t in ALIGN_TAGS
+        ],
+    ).dropna()
+    out = anomaly_frame(
+        with_out,
+        ALIGN_TAGS,
+        resolution="1H",
+        scaler_stats=None,
+        smoothing_method="smm",
+        smoothing_window=6,
+    )
+    num_cols = [c for c in out.columns if c not in ("start", "end")]
+    return _r6(out, *num_cols)
+
+
+O_M6 = f"""
+WITH wide AS ({_O_WIDE_1H}),
+with_out AS (
+  SELECT ts, click, view, purchase,
+         CASE WHEN count(click) OVER w >= 6 THEN avg(click) OVER w END AS mo_click,
+         CASE WHEN count(view) OVER w >= 6 THEN avg(view) OVER w END AS mo_view,
+         CASE WHEN count(purchase) OVER w >= 6 THEN avg(purchase) OVER w END AS mo_purchase
+  FROM wide
+  WINDOW w AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+),
+aligned AS (
+  SELECT * FROM with_out
+  WHERE mo_click IS NOT NULL AND mo_view IS NOT NULL AND mo_purchase IS NOT NULL
+),
+errs AS (
+  SELECT ts AS start, ts + INTERVAL 3600 SECOND AS "end",
+         click AS model_input__click, view AS model_input__view,
+         purchase AS model_input__purchase,
+         mo_click AS model_output__click, mo_view AS model_output__view,
+         mo_purchase AS model_output__purchase,
+         abs(mo_click - click) AS tag_anomaly_unscaled__click,
+         abs(mo_view - view) AS tag_anomaly_unscaled__view,
+         abs(mo_purchase - purchase) AS tag_anomaly_unscaled__purchase,
+         (abs(mo_click - click)*abs(mo_click - click)
+          + abs(mo_view - view)*abs(mo_view - view)
+          + abs(mo_purchase - purchase)*abs(mo_purchase - purchase)) / 3.0
+           AS total_anomaly_unscaled
+  FROM aligned
+)
+SELECT start, "end",
+       ROUND(model_input__click,6) AS model_input__click,
+       ROUND(model_output__click,6) AS model_output__click,
+       ROUND(model_input__view,6) AS model_input__view,
+       ROUND(model_output__view,6) AS model_output__view,
+       ROUND(model_input__purchase,6) AS model_input__purchase,
+       ROUND(model_output__purchase,6) AS model_output__purchase,
+       ROUND(tag_anomaly_unscaled__click,6) AS tag_anomaly_unscaled__click,
+       ROUND(tag_anomaly_unscaled__view,6) AS tag_anomaly_unscaled__view,
+       ROUND(tag_anomaly_unscaled__purchase,6) AS tag_anomaly_unscaled__purchase,
+       ROUND(total_anomaly_unscaled,6) AS total_anomaly_unscaled,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__click, 0.5) OVER w END, 6)
+         AS smooth_tag_anomaly_unscaled__click,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__view, 0.5) OVER w END, 6)
+         AS smooth_tag_anomaly_unscaled__view,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__purchase, 0.5) OVER w END, 6)
+         AS smooth_tag_anomaly_unscaled__purchase,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(total_anomaly_unscaled, 0.5) OVER w END, 6)
+         AS smooth_total_anomaly_unscaled
+FROM errs
+WINDOW w AS (ORDER BY start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------- TPC-H classics
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family relational coverage — TPC-H Q1 pricing summary."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return _r6(
+        out,
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 6) AS sum_qty,
+       ROUND(sum(l_extendedprice), 6) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       ROUND(avg(l_quantity), 6) AS avg_qty,
+       ROUND(avg(l_extendedprice), 6) AS avg_price,
+       ROUND(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k — TPC-H Q3 shipping priority (broadcast dims)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1995-03-15")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+    return _r6(out, "revenue")
+
+
+O_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy filter+agg — TPC-H Q6 forecast revenue change."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    return _r6(out, "revenue")
+
+
+O_TPCH_Q6 = """
+SELECT ROUND(sum(l_extendedprice * l_discount), 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_o5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — dedup/distinct: distinct users per event type."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+O_O5 = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full anomaly frame on sf0.001."""
+    return q_m6_anomaly(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "s1_scan": q_s1_scan,
+        "j1_resample_mean": q_j1_resample_mean,
+        "j1_resample_multi": q_j1_resample_multi,
+        "j2_ffill": q_j2_ffill,
+        "j3_pivot_align": q_j3_pivot_align,
+        "p3_row_filter": q_p3_row_filter,
+        "p4_iqr_fence": q_p4_iqr_fence,
+        "p7_inf_impute": q_p7_inf_impute,
+        "w1_smm": q_w1_smm,
+        "w2_sma": q_w2_sma,
+        "w3_ewma": q_w3_ewma,
+        "w6_shift": q_w6_shift,
+        "a7_quantile": q_a7_quantile,
+        "a8_fold_threshold": q_a8_fold_threshold,
+        "a9_explained_variance": q_a9_explained_variance,
+        "m6_anomaly": q_m6_anomaly,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "o5_distinct": q_o5_distinct,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "s1_scan": O_S1,
+        "j1_resample_mean": O_J1,
+        "j1_resample_multi": O_J1_MULTI,
+        "j2_ffill": O_J2_FFILL,
+        "j3_pivot_align": O_J3,
+        "p3_row_filter": O_P3,
+        "p4_iqr_fence": O_P4,
+        "p7_inf_impute": O_P7,
+        "w1_smm": O_W1,
+        "w2_sma": O_W2,
+        # w3_ewma: rows-only (recursive EWMA not SQL-expressible)
+        "w6_shift": O_W6,
+        "a7_quantile": O_A7,
+        "a8_fold_threshold": O_A8,
+        "a9_explained_variance": O_A9,
+        "m6_anomaly": O_M6,
+        "tpch_q1": O_TPCH_Q1,
+        "tpch_q3": O_TPCH_Q3,
+        "tpch_q6": O_TPCH_Q6,
+        "o5_distinct": O_O5,
+    }
