@@ -650,6 +650,308 @@ FROM events GROUP BY 1
 """
 
 
+# ----------------------------------------------- training-data extensions
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted-id copy: every text appears exactly twice."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+
+
+_O_DOCS_DUPS = """
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, survivor = min doc_id."""
+    from gordo_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_dups(spark, sf_dir), ["text"])
+
+
+O_DEDUP_EXACT = f"""
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM ({_O_DOCS_DUPS}) GROUP BY text
+"""
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    from gordo_spark.operators.dedup import MINHASH_P, _hash_params
+
+    params = _hash_params(num_hashes)
+    mins = ",\n       ".join(
+        f"min(({a}*sh + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+         )) AS shingle
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh
+  FROM shingled
+)
+SELECT doc_id,
+       {mins}
+FROM hashed GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms, word-3-gram shingles, md5-based hashes)."""
+    from gordo_spark.operators.dedup import minhash_signatures
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=8)
+
+
+O_DEDUP_MINHASH = _minhash_sql(8)
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 perms, 4 bands) over the dup corpus."""
+    from gordo_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs_with_dups(spark, sf_dir), num_hashes=8)
+    return lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+
+
+def _lsh_pairs_sql() -> str:
+    from gordo_spark.operators.dedup import MINHASH_P, _hash_params
+
+    params = _hash_params(8)
+    mins = ",\n       ".join(
+        f"min(({a}*sh + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH corpus AS ({_O_DOCS_DUPS}),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+         )) AS shingle
+  FROM corpus
+),
+hashed AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh
+  FROM shingled
+),
+sigs AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, m0 || '_' || m1 AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, m2 || '_' || m3 FROM sigs
+  UNION ALL SELECT doc_id, 2, m4 || '_' || m5 FROM sigs
+  UNION ALL SELECT doc_id, 3, m6 || '_' || m7 FROM sigs
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
+O_DEDUP_LSH = _lsh_pairs_sql()
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs >= 0.5 over the dup corpus (inverted
+    index join, no cross product)."""
+    from gordo_spark.operators.dedup import shingle_jaccard_pairs
+
+    out = shingle_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
+    return _r6(out, "jaccard")
+
+
+O_DEDUP_JACCARD = f"""
+WITH corpus AS ({_O_DOCS_DUPS}),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+         )) AS shingle
+  FROM corpus
+),
+hashed AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh
+  FROM shingled
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+  FROM hashed l JOIN hashed r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints."""
+    from gordo_spark.operators.dedup import simhash
+
+    return simhash(read_table(spark, sf_dir, "documents"), bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM votes
+"""
+
+
+O_DEDUP_SIMHASH = _simhash_sql(16)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text stats: token counts, avg token length, punctuation ratio."""
+    from gordo_spark.operators.text import text_stats
+
+    out = text_stats(read_table(spark, sf_dir, "documents"))
+    return _r6(out, "avg_token_len", "punct_ratio")
+
+
+O_TEXT_STATS = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len,
+       ROUND((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+             * 1.0 / length(text), 6) AS punct_ratio,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword fraction -> en/unknown."""
+    from gordo_spark.operators.text import lang_id
+
+    out = lang_id(read_table(spark, sf_dir, "documents"))
+    return _r6(out, "stopword_frac")
+
+
+def _langid_sql() -> str:
+    from gordo_spark.operators.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+SELECT doc_id,
+       ROUND(len(list_filter(string_split(text, ' '), t -> list_contains([{sw}], t)))
+             * 1.0 / len(string_split(text, ' ')), 6) AS stopword_frac,
+       CASE WHEN len(list_filter(string_split(text, ' '), t -> list_contains([{sw}], t)))
+                 * 1.0 / len(string_split(text, ' ')) >= 0.08
+            THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM documents
+"""
+
+
+O_TEXT_LANG = _langid_sql()
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint of the first 8 tokens."""
+    from gordo_spark.operators.text import fingerprint
+
+    return fingerprint(read_table(spark, sf_dir, "documents"), n_lead=8)
+
+
+O_TEXT_FP = """
+SELECT doc_id,
+       list_reduce(
+         list_transform(list_slice(string_split(text, ' '), 1, 8),
+                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+         (acc, h) -> (acc * 31 + h) % 2147483647
+       ) AS fingerprint
+FROM documents
+"""
+
+
+def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 vectors (broadcast
+    nested loop; corpus side never shuffles)."""
+    from gordo_spark.operators.similarity import cosine_topk
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(embs, embs.filter(F.col("vec_id") < 10), k=5)
+    return _r6(out, "cosine_sim")
+
+
+O_SIM_BRUTE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, nv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+  FROM v, q WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN top-5 (rows-only: 2048 hyperplane literals
+    are not reasonably SQL-embeddable)."""
+    from gordo_spark.operators.similarity import lsh_ann_topk
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    out = lsh_ann_topk(embs, embs.filter(F.col("vec_id") < 10), k=5, bits=6, tables=4)
+    return _r6(out, "cosine_sim")
+
+
+def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload -> Arrow-batched metadata decode
+    (decode stubbed deterministically; plumbing is real mapInPandas)."""
+    from gordo_spark.operators.multimodal import attach_binary_payload, decode_media_metadata
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_media_metadata(attach_binary_payload(docs))
+
+
+O_MM_METADATA = """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 32 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 + 32 AS INTEGER) AS height
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -678,6 +980,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "o5_distinct": q_o5_distinct,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_bruteforce": q_sim_bruteforce,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "mm_metadata": q_mm_metadata,
     }
 
 
@@ -703,4 +1016,15 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": O_TPCH_Q3,
         "tpch_q6": O_TPCH_Q6,
         "o5_distinct": O_O5,
+        "dedup_exact": O_DEDUP_EXACT,
+        "dedup_minhash": O_DEDUP_MINHASH,
+        "dedup_lsh_pairs": O_DEDUP_LSH,
+        "dedup_jaccard": O_DEDUP_JACCARD,
+        "dedup_simhash": O_DEDUP_SIMHASH,
+        "text_stats": O_TEXT_STATS,
+        "text_lang_id": O_TEXT_LANG,
+        "text_fingerprint": O_TEXT_FP,
+        "sim_bruteforce": O_SIM_BRUTE,
+        # sim_ann_lsh: rows-only (hyperplane literals impractical in SQL)
+        "mm_metadata": O_MM_METADATA,
     }

@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only dedup is driver-side tag-list dedup,
+gordo/utils.py:35-50) — these are the first-class extensions for a 100 TB
+corpus:
+
+- exact_dedup          — hash-groupBy on content, keep canonical doc
+- minhash_signatures   — word-shingle MinHash (k permutations)
+- lsh_candidate_pairs  — banding -> bucket join -> candidate pairs
+- shingle_jaccard_pairs— exact n-gram Jaccard via inverted shingle index
+- simhash              — k-bit SimHash fingerprint
+
+Hashing is md5-based (not Spark's murmur ``hash()``) so results are
+engine-portable (the DuckDB oracle reproduces them bit-for-bit) and stable
+across Spark versions. All arithmetic stays < 2^62 so 64-bit engines agree.
+
+Scale posture: everything is shuffle-on-key DataFrame algebra — shingle
+explode is the only row expansion, and the LSH band join buckets candidates
+so the quadratic verify only touches same-bucket pairs. No driver-side data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# (a, b) parameters for the universal hash family h_i(x) = (a_i*x + b_i) mod P.
+# P = 2^31 - 1 (Mersenne); x < 2^32, a < 2^30 keeps a*x + b < 2^62 (no
+# overflow in any 64-bit engine). Deterministic: a_i, b_i from a fixed LCG.
+MINHASH_P = 2_147_483_647
+
+
+def _hash_params(k: int, seed: int = 12345) -> list[tuple[int, int]]:
+    out, state = [], seed
+    for _ in range(k):
+        state = (state * 1_103_515_245 + 12_345) % (1 << 30)
+        a = state | 1  # odd, < 2^30
+        state = (state * 1_103_515_245 + 12_345) % (1 << 30)
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def md5_long(col) -> "F.Column":
+    """Stable 32-bit content hash: first 8 hex chars of md5 as a long.
+    Portable to any engine with md5()."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(text_col, n: int = 3) -> "F.Column":
+    """Array of word n-gram shingle strings (distinct not applied)."""
+    words = F.split(text_col, " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle_hash) pairs, distinct per doc."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .select(id_col, md5_long(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one hash aggregation keyed on content; survivor = min id.
+    At 100 TB: group on md5(content) (map-side combine collapses dup groups
+    before the shuffle) rather than the raw content bytes."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols])).alias("_k")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("_k")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+        .drop("_k")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, m0..m{k-1}) MinHash signature — one groupBy over the exploded
+    shingle set computes all k permutation-mins at once."""
+    ex = exploded_shingles(df, id_col, text_col, shingle_n)
+    params = _hash_params(num_hashes)
+    aggs = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band-key), emit candidate
+    pairs (a < b). The self-join runs per bucket — the 100 TB-safe shape."""
+    rows_per_band = num_hashes // bands
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"m{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(band_struct).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted index: join docs on shared shingle,
+    count intersections, |A|+|B|-inter as union. Only pairs sharing >= 1
+    shingle are ever materialized (not the full cross product)."""
+    ex = exploded_shingles(df, id_col, text_col, shingle_n)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """k-bit SimHash: per token, take bit_j of the stable hash as +-1 votes;
+    fingerprint bit_j = 1 iff the vote sum > 0. One explode + one groupBy."""
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", md5_long(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines (extension surface).
+
+- text_stats       — token counts, length stats, punctuation ratio
+- quality_score    — composite heuristic quality in [0, 1]
+- lang_id          — stopword-fraction n-gram-free heuristic language ID
+- fingerprint      — polynomial rolling hash of the leading tokens
+
+All pure column algebra (split/transform/aggregate) — whole-stage codegen,
+no UDFs, engine-portable (DuckDB oracle matches bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+EN_STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+    "as", "by", "at", "an", "be", "this", "that", "from", "or", "are",
+]
+
+FP_P = 2_147_483_647  # 2^31-1; acc*31+h stays < 2^62 for h < 2^31
+
+
+def tokens(text_col) -> Column:
+    return F.split(text_col, " ")
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        (
+            (n_chars - F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")))
+            .cast("double")
+            / n_chars
+        ).alias("punct_ratio"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def stopword_fraction(text_col, stopwords: list[str] = EN_STOPWORDS) -> Column:
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw.cast("double") / F.size(toks)
+
+
+def lang_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.08,
+) -> DataFrame:
+    """Stopword-fraction heuristic: fraction of tokens that are English
+    stopwords >= threshold -> 'en', else 'unknown'."""
+    frac = stopword_fraction(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        frac.alias("stopword_frac"),
+        F.when(frac >= threshold, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic: long enough, low punctuation, lexically
+    diverse, some stopwords. Each component clamped to [0,1], averaged."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks).cast("double")
+    len_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    n_chars = F.length(F.col(text_col)).cast("double")
+    punct = (n_chars - F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))) / n_chars
+    punct_score = F.greatest(F.lit(1.0) - punct * 5.0, F.lit(0.0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    sw_score = F.least(stopword_fraction(F.col(text_col)) * 5.0, F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        ((len_score + punct_score + diversity + sw_score) / 4.0).alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_lead: int = 8
+) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over the first n_lead
+    token hashes, mod 2^31-1 (order-sensitive, whitespace-normalized)."""
+    from gordo_spark.operators.dedup import md5_long
+
+    lead = F.slice(tokens(F.col(text_col)), 1, n_lead)
+    hashed = F.transform(lead, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    fp = F.aggregate(
+        hashed, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % F.lit(FP_P)
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,169 @@
+"""Dedup / similarity / text / multimodal operator tests (extension surface)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gordo_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_jaccard_pairs,
+    simhash,
+)
+from gordo_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media_metadata,
+    frame_sample_plan,
+)
+from gordo_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from gordo_spark.operators.text import fingerprint, lang_id, quality_score, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from gordo_spark.sources.io import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    from gordo_spark.sources.io import read_table
+
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_exact_dedup(spark, docs):
+    # duplicate the corpus with shifted ids: every text now appears twice
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    out = exact_dedup(both, ["text"]).toPandas()
+    assert (out["n_dups"] >= 2).all()
+    assert out["doc_id"].max() < 100000  # survivor is always the min id
+
+
+def test_minhash_lsh_finds_duplicates(spark, docs):
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup).limit(0).unionByName(docs.limit(50)).unionByName(
+        dup.filter(F.col("doc_id") < 100050)
+    )
+    sigs = minhash_signatures(both, num_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, bands=4).toPandas()
+    # every exact duplicate pair must be a candidate (identical signatures)
+    expected = {(i, i + 100000) for i in range(50)}
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert expected <= got
+
+
+def test_shingle_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),  # shares shingles 'a b c', 'b c d' of 3 each
+            (3, "z z z z z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = shingle_jaccard_pairs(df, threshold=0.0).toPandas()
+    pair = out[(out.id_a == 1) & (out.id_b == 2)]
+    assert len(pair) == 1
+    assert pair.jaccard.iloc[0] == pytest.approx(2 / 4)  # 2 shared of 4 union
+    assert len(out[(out.id_a == 1) & (out.id_b == 3)]) == 0
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.simhash for r in simhash(df, bits=16).collect()}
+    d12 = bin(out[1] ^ out[2]).count("1")
+    d13 = bin(out[1] ^ out[3]).count("1")
+    assert d12 < d13
+
+
+def test_cosine_topk_exact(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 3)
+    out = cosine_topk(embs, queries, k=5).toPandas()
+    assert set(out.query_id) == {0, 1, 2}
+    assert (out.groupby("query_id").size() == 5).all()
+    assert (out.cosine_sim <= 1.0 + 1e-9).all()
+    # rank 1 has the highest sim per query
+    for q, g in out.groupby("query_id"):
+        assert g.sort_values("rank").cosine_sim.is_monotonic_decreasing
+    # oracle: numpy brute force for query 0
+    pdf = embs.toPandas().set_index("vec_id")
+    v = np.array(pdf.loc[0, "embedding"], dtype=np.float64)
+    sims = {}
+    for vid, row in pdf.iterrows():
+        if vid == 0:
+            continue
+        u = np.array(row["embedding"], dtype=np.float64)
+        sims[vid] = float(v @ u / (np.linalg.norm(v) * np.linalg.norm(u)))
+    top = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = out[out.query_id == 0].sort_values("rank")
+    assert list(got.neighbor_id) == [t[0] for t in top]
+    np.testing.assert_allclose(got.cosine_sim.values, [t[1] for t in top], rtol=1e-9)
+
+
+def test_lsh_ann_recall(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(embs, queries, k=3).toPandas()
+    approx = lsh_ann_topk(embs, queries, k=3, bits=4).toPandas()
+    # LSH with 4 bits: same-bucket neighbors; recall@3 should be nontrivial
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall > 0.2
+    assert (approx.cosine_sim <= 1.0 + 1e-9).all()
+
+
+def test_text_stats_and_quality(spark, docs):
+    stats = text_stats(docs).toPandas()
+    raw = docs.select("doc_id", "n_chars").toPandas()
+    merged = stats.merge(raw, on="doc_id", suffixes=("", "_raw"))
+    assert (merged.n_chars == merged.n_chars_raw).all()
+    assert (stats.n_tokens > 0).all()
+    q = quality_score(docs).toPandas()
+    assert q.quality.between(0, 1).all()
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is in a house"),
+            (2, "xyzzy qwerty asdf zxcv uiop hjkl vbnm qaz wsx edc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "unknown"
+
+
+def test_fingerprint_deterministic_and_prefix_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h zz yy"), (3, "b a c d e f g h i j")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.fingerprint for r in fingerprint(df, n_lead=8).collect()}
+    assert out[1] == out[2]  # same first 8 tokens
+    assert out[1] != out[3]  # order-sensitive
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_binary_payload(docs.limit(20))
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta = decode_media_metadata(media).toPandas()
+    assert len(meta) == 20
+    assert (meta.n_bytes > 0).all()
+    assert (meta.width >= 32).all() and (meta.height >= 32).all()
+    frames = frame_sample_plan(media, every_n=50).toPandas()
+    assert (frames.frame_idx % 50 == 0).all()
+    assert frames.groupby("doc_id").size().min() >= 1
