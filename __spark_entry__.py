@@ -650,6 +650,176 @@ FROM events GROUP BY 1
 """
 
 
+# ----------------------------------------------------------- M1-M5 ML ops
+def q_m1_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — deterministic model fit: OLS purchase~click on the aligned
+    frame (single aggregation; the multi-feature LinearModel uses the same
+    sufficient-statistics shape)."""
+    wide = _wide_1h(spark, sf_dir)
+    return _r6(
+        wide.agg(
+            F.regr_slope(F.col("purchase"), F.col("click")).alias("slope"),
+            F.regr_intercept(F.col("purchase"), F.col("click")).alias("intercept"),
+            F.regr_r2(F.col("purchase"), F.col("click")).alias("r2"),
+        ),
+        "slope",
+        "intercept",
+        "r2",
+    )
+
+
+O_M1 = f"""
+SELECT ROUND(regr_slope(purchase, click), 6) AS slope,
+       ROUND(regr_intercept(purchase, click), 6) AS intercept,
+       ROUND(regr_r2(purchase, click), 6) AS r2
+FROM ({_O_WIDE_1H})
+"""
+
+
+def q_m2_ols_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — predict dispatch: per-row model output from broadcast fit stats."""
+    wide = _wide_1h(spark, sf_dir)
+    fit = wide.agg(
+        F.regr_slope(F.col("purchase"), F.col("click")).alias("slope"),
+        F.regr_intercept(F.col("purchase"), F.col("click")).alias("intercept"),
+    )
+    out = wide.crossJoin(F.broadcast(fit)).select(
+        "ts",
+        F.col("purchase"),
+        (F.col("intercept") + F.col("slope") * F.col("click")).alias("yhat"),
+    )
+    return _r6(out, "purchase", "yhat")
+
+
+O_M2 = f"""
+WITH wide AS ({_O_WIDE_1H}),
+fit AS (
+  SELECT regr_slope(purchase, click) AS slope,
+         regr_intercept(purchase, click) AS intercept
+  FROM wide
+)
+SELECT ts, ROUND(purchase, 6) AS purchase,
+       ROUND(intercept + slope * click, 6) AS yhat
+FROM wide, fit
+"""
+
+
+def q_m3_cv_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/M7 — TimeSeriesSplit fold sizes (sklearn index arithmetic) over
+    the aligned frame."""
+    wide = _wide_1h(spark, sf_dir)
+    n_splits = 3
+    total = wide.agg(F.count(F.lit(1)).alias("n"))
+    folds = spark.range(n_splits).select(F.col("id").cast("int").alias("fold"))
+    return (
+        folds.crossJoin(F.broadcast(total))
+        .select(
+            "fold",
+            (F.col("n") - (F.lit(n_splits) - F.col("fold")) * (F.col("n") / (n_splits + 1)).cast("long")).alias("train_count"),
+            (F.col("n") / (n_splits + 1)).cast("long").alias("test_count"),
+        )
+    )
+
+
+O_M3 = f"""
+WITH n AS (SELECT count(*) AS n FROM ({_O_WIDE_1H}))
+SELECT fold, n - (3 - fold) * (n // 4) AS train_count, n // 4 AS test_count
+FROM (SELECT unnest(generate_series(0, 2)) AS fold), n
+"""
+
+
+def q_m4_kfold_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — KFold OOF threshold: fold = row_number %% 3, per-fold OLS on the
+    out-of-fold rows, OOF error, threshold = 0.99 quantile (diff.py:617-635
+    semantics with the engine-portable fold assignment)."""
+    wide = _wide_1h(spark, sf_dir)
+    w = Window.partitionBy().orderBy("ts")
+    data = wide.withColumn("fold", (F.row_number().over(w) - 1) % 3)
+    folds = spark.range(3).select(F.col("id").cast("int").alias("f"))
+    fits = (
+        data.crossJoin(F.broadcast(folds))
+        .filter(F.col("fold") != F.col("f"))
+        .groupBy("f")
+        .agg(
+            F.regr_slope(F.col("purchase"), F.col("click")).alias("slope"),
+            F.regr_intercept(F.col("purchase"), F.col("click")).alias("intercept"),
+        )
+    )
+    oof = data.join(F.broadcast(fits), data["fold"] == fits["f"]).select(
+        F.abs(
+            F.col("purchase") - (F.col("intercept") + F.col("slope") * F.col("click"))
+        ).alias("err")
+    )
+    return _r6(
+        oof.agg(F.expr("percentile(err, 0.99)").alias("threshold_99")), "threshold_99"
+    )
+
+
+O_M4 = f"""
+WITH wide AS ({_O_WIDE_1H}),
+data AS (
+  SELECT *, (row_number() OVER (ORDER BY ts) - 1) % 3 AS fold FROM wide
+),
+folds AS (SELECT unnest(generate_series(0, 2)) AS f),
+fits AS (
+  SELECT f, regr_slope(purchase, click) AS slope,
+         regr_intercept(purchase, click) AS intercept
+  FROM data, folds WHERE fold != f GROUP BY f
+),
+oof AS (
+  SELECT abs(purchase - (intercept + slope * click)) AS err
+  FROM data JOIN fits ON data.fold = fits.f
+)
+SELECT ROUND(quantile_cont(err, 0.99), 6) AS threshold_99 FROM oof
+"""
+
+
+def q_m5_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — scoring metrics (mse, mae, r2, explained_variance) of the OLS
+    model, per the reference's per-tag metric set."""
+    wide = _wide_1h(spark, sf_dir)
+    fit = wide.agg(
+        F.regr_slope(F.col("purchase"), F.col("click")).alias("slope"),
+        F.regr_intercept(F.col("purchase"), F.col("click")).alias("intercept"),
+    )
+    p = wide.crossJoin(F.broadcast(fit)).select(
+        F.col("purchase").alias("y"),
+        (F.col("intercept") + F.col("slope") * F.col("click")).alias("yhat"),
+    )
+    d = F.col("y") - F.col("yhat")
+    return _r6(
+        p.agg(
+            F.avg(d * d).alias("mse"),
+            F.avg(F.abs(d)).alias("mae"),
+            # r2 = 1 - E[d^2] / Var_pop(y); ev = 1 - Var_pop(d) / Var_pop(y)
+            (1 - F.avg(d * d) / F.var_pop("y")).alias("r2"),
+            (1 - F.var_pop(d) / F.var_pop("y")).alias("explained_variance"),
+        ),
+        "mse",
+        "mae",
+        "r2",
+        "explained_variance",
+    )
+
+
+O_M5 = f"""
+WITH wide AS ({_O_WIDE_1H}),
+fit AS (
+  SELECT regr_slope(purchase, click) AS slope,
+         regr_intercept(purchase, click) AS intercept
+  FROM wide
+),
+p AS (
+  SELECT purchase AS y, intercept + slope * click AS yhat FROM wide, fit
+)
+SELECT ROUND(avg((y - yhat)*(y - yhat)), 6) AS mse,
+       ROUND(avg(abs(y - yhat)), 6) AS mae,
+       ROUND(1 - avg((y - yhat)*(y - yhat)) / var_pop(y), 6) AS r2,
+       ROUND(1 - var_pop(y - yhat) / var_pop(y), 6) AS explained_variance
+FROM p
+"""
+
+
 # ----------------------------------------------- training-data extensions
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ shifted-id copy: every text appears exactly twice."""
@@ -980,6 +1150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "o5_distinct": q_o5_distinct,
+        "m1_ols_fit": q_m1_ols_fit,
+        "m2_ols_predict": q_m2_ols_predict,
+        "m3_cv_splits": q_m3_cv_splits,
+        "m4_kfold_threshold": q_m4_kfold_threshold,
+        "m5_scores": q_m5_scores,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -1016,6 +1191,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": O_TPCH_Q3,
         "tpch_q6": O_TPCH_Q6,
         "o5_distinct": O_O5,
+        "m1_ols_fit": O_M1,
+        "m2_ols_predict": O_M2,
+        "m3_cv_splits": O_M3,
+        "m4_kfold_threshold": O_M4,
+        "m5_scores": O_M5,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,

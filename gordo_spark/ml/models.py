@@ -1,0 +1,197 @@
+"""M1/M2/M5/M6/M8 — deterministic models + the diff-based anomaly detector.
+
+The reference's oracle-friendly base estimator is
+``MultiOutputRegressor(LinearRegression)``
+(tests/gordo/machine/model/anomaly/test_anomaly_detectors.py:44-51 in
+/root/reference); its production models are Keras autoencoders built by a
+registry (gordo/machine/model/factories/*). Here:
+
+- ``LinearModel`` — exact multi-output OLS. The sufficient statistics
+  (X'X, X'y with intercept) are computed as ONE Spark aggregation over the
+  training frame (p = #tags is small, so the Gram matrix is tiny); the
+  (p+1)x(p+1) solve happens on the driver with numpy; predict is a pure
+  column expression. Fully distributed fit, codegen'd predict, zero UDFs.
+- ``DiffBasedAnomalyDetector`` — reference diff.py semantics: fit base
+  estimator, scaler fit on y after training, TimeSeriesSplit CV with
+  thresholds from the LAST fold's rolling(6).min().max() (diff.py:229-264 —
+  deliberately the last fold, not an aggregate), anomaly() emitting the full
+  column block (delegates to operators.anomaly.anomaly_frame).
+- model registry (``register_model``) mirroring the reference's
+  ``register_model_builder`` extension point (gordo/machine/model/register.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from gordo_spark.ml.cv import timeseries_split
+from gordo_spark.ml.scalers import MinMaxScalerExpr
+from gordo_spark.operators.anomaly import anomaly_frame, fold_threshold
+
+_MODEL_REGISTRY: dict[str, type] = {}
+
+
+def register_model(kind: str):
+    def deco(cls):
+        _MODEL_REGISTRY[kind] = cls
+        return cls
+
+    return deco
+
+
+def model_from_definition(d: dict):
+    d = dict(d)
+    kind = d.pop("kind")
+    if kind not in _MODEL_REGISTRY:
+        raise ValueError(f"unknown model kind {kind!r}")
+    return _MODEL_REGISTRY[kind](**d)
+
+
+def _q(c: str) -> Column:
+    return F.col("`" + c + "`")
+
+
+@register_model("LinearModel")
+class LinearModel:
+    """Exact multi-output OLS with intercept; fit = one Spark aggregation."""
+
+    def __init__(self, feature_cols: Sequence[str] | None = None, target_cols: Sequence[str] | None = None):
+        self.feature_cols = list(feature_cols) if feature_cols else None
+        self.target_cols = list(target_cols) if target_cols else None
+        self.coef_: np.ndarray | None = None  # shape (p+1, m), row 0 = intercept
+
+    def fit(self, X: DataFrame, y: DataFrame, ts_col: str = "ts") -> "LinearModel":
+        feats = self.feature_cols or [c for c in X.columns if c != ts_col]
+        targets = self.target_cols or [c for c in y.columns if c != ts_col]
+        self.feature_cols, self.target_cols = feats, targets
+        joined = X.join(y.select(ts_col, *[_q(t).alias(f"_y_{t}") for t in targets]), ts_col)
+        terms = ["1"] + feats
+        aggs = []
+        # upper triangle of X'X (with intercept term "1")
+        for i, a in enumerate(terms):
+            for b in terms[i:]:
+                ca = F.lit(1.0) if a == "1" else _q(a)
+                cb = F.lit(1.0) if b == "1" else _q(b)
+                aggs.append(F.sum(ca * cb).alias(f"_xx_{i}_{terms.index(b, i)}"))
+        for i, a in enumerate(terms):
+            ca = F.lit(1.0) if a == "1" else _q(a)
+            for j, t in enumerate(targets):
+                aggs.append(F.sum(ca * F.col(f"_y_{t}")).alias(f"_xy_{i}_{j}"))
+        row = joined.agg(*aggs).collect()[0]
+        p = len(terms)
+        xtx = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                xtx[i, j] = xtx[j, i] = row[f"_xx_{i}_{j}"]
+        xty = np.array(
+            [[row[f"_xy_{i}_{j}"] for j in range(len(targets))] for i in range(p)]
+        )
+        self.coef_ = np.linalg.solve(xtx, xty)
+        return self
+
+    def predict_exprs(self, prefix: str = "model_output__") -> list[Column]:
+        cols = []
+        for j, t in enumerate(self.target_cols):
+            e = F.lit(float(self.coef_[0, j]))
+            for i, f in enumerate(self.feature_cols):
+                e = e + F.lit(float(self.coef_[i + 1, j])) * _q(f)
+            cols.append(e.alias(f"{prefix}{t}"))
+        return cols
+
+    def predict(self, X: DataFrame, ts_col: str = "ts", prefix: str = "model_output__") -> DataFrame:
+        return X.select(ts_col, *self.predict_exprs(prefix))
+
+    @property
+    def offset(self) -> int:
+        """M8 — row offset between input and output (0: no lookback)."""
+        return 0
+
+
+class DiffBasedAnomalyDetector:
+    """Reference DiffBasedAnomalyDetector on Spark (diff.py:310-458 parity)."""
+
+    def __init__(
+        self,
+        base_estimator: LinearModel | None = None,
+        smoothing_method: str = "smm",
+        window: int = 144,
+        require_thresholds: bool = False,
+    ):
+        self.base = base_estimator or LinearModel()
+        self.smoothing_method = smoothing_method
+        self.window = window
+        self.require_thresholds = require_thresholds
+        self.scaler: MinMaxScalerExpr | None = None
+        self.tag_thresholds_: dict[str, float] | None = None
+        self.total_threshold_: float | None = None
+
+    def fit(self, X: DataFrame, y: DataFrame, ts_col: str = "ts") -> "DiffBasedAnomalyDetector":
+        self.base.fit(X, y, ts_col)
+        # scaler fit on y AFTER training (diff.py:166-174)
+        self.scaler = MinMaxScalerExpr(self.base.target_cols).fit(y)
+        return self
+
+    def cross_validate(
+        self, X: DataFrame, y: DataFrame, n_splits: int = 3, ts_col: str = "ts"
+    ) -> "DiffBasedAnomalyDetector":
+        """Per-fold fit/predict; thresholds from the LAST fold only."""
+        targets = self.base.target_cols or [c for c in y.columns if c != ts_col]
+        wide = X.join(
+            y.select(ts_col, *[_q(t).alias(f"_yt_{t}") for t in targets]), ts_col
+        )
+        last_train, last_test = timeseries_split(wide, n_splits, ts_col)[-1]
+        fold_model = LinearModel(self.base.feature_cols, targets)
+        fold_model.feature_cols = self.base.feature_cols or [
+            c for c in X.columns if c != ts_col
+        ]
+        fold_model.fit(
+            last_train.select(ts_col, *[_q(c).alias(c) for c in fold_model.feature_cols]),
+            last_train.select(ts_col, *[F.col(f"_yt_{t}").alias(t) for t in targets]),
+        )
+        scaler = MinMaxScalerExpr(targets).fit(
+            last_train.select(*[F.col(f"_yt_{t}").alias(t) for t in targets])
+        )
+        pred = last_test.select(ts_col, *fold_model.predict_exprs("p__"), *[F.col(f"_yt_{t}").alias(t) for t in targets])
+        err_cols = []
+        for t in targets:
+            mn, mx = scaler.stats[t]
+            rng = (mx - mn) if mx != mn else 1.0
+            err_cols.append(
+                (F.abs(F.col(f"p__{t}") - _q(t)) / F.lit(rng)).alias(f"err__{t}")
+            )
+        sq = [F.col(f"err__{t}") * F.col(f"err__{t}") for t in targets]
+        total = sq[0]
+        for s in sq[1:]:
+            total = total + s
+        err = pred.select(ts_col, *err_cols).withColumn(
+            "err__total", total / F.lit(float(len(targets)))
+        )
+        th = fold_threshold(err, [f"err__{t}" for t in targets] + ["err__total"], ts_col)
+        self.tag_thresholds_ = {t: th[f"err__{t}"] for t in targets}
+        self.total_threshold_ = th["err__total"]
+        return self
+
+    def anomaly(self, X: DataFrame, y: DataFrame, resolution: str = "10T", ts_col: str = "ts") -> DataFrame:
+        targets = self.base.target_cols
+        aligned = X.join(
+            y.select(ts_col, *[_q(t).alias(f"_yt_{t}") for t in targets]), ts_col
+        ).select(
+            ts_col,
+            *[_q(c).alias(c) for c in self.base.feature_cols],
+            *[F.col(f"_yt_{t}").alias(t) for t in targets if t not in self.base.feature_cols],
+            *self.base.predict_exprs(),
+        )
+        return anomaly_frame(
+            aligned,
+            targets,
+            resolution=resolution,
+            scaler_stats=self.scaler.stats if self.scaler else None,
+            smoothing_method=self.smoothing_method,
+            smoothing_window=self.window,
+            thresholds=self.tag_thresholds_,
+            total_threshold=self.total_threshold_,
+            ts_col=ts_col,
+        )

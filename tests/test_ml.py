@@ -1,0 +1,131 @@
+"""ML layer tests: scalers/CV/OLS vs numpy oracles; anomaly detector e2e."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gordo_spark.ml.cv import kfold_split, split_metadata, timeseries_split
+from gordo_spark.ml.models import DiffBasedAnomalyDetector, LinearModel, model_from_definition
+from gordo_spark.ml.scalers import MinMaxScalerExpr, RobustScalerExpr
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    rng = np.random.default_rng(3)
+    n = 400
+    ts = pd.date_range("2019-01-01", periods=n, freq="10min")
+    a, b = rng.random(n), rng.random(n)
+    t1 = 2.0 * a - 1.5 * b + 0.3 + rng.normal(0, 0.01, n)
+    t2 = -a + 0.5 * b + 1.0 + rng.normal(0, 0.01, n)
+    pdf = pd.DataFrame({"ts": ts, "a": a, "b": b, "t1": t1, "t2": t2})
+    X = spark.createDataFrame(pdf[["ts", "a", "b"]])
+    y = spark.createDataFrame(pdf[["ts", "t1", "t2"]])
+    return X, y, pdf
+
+
+def test_minmax_scaler_matches_sklearn_math(spark, xy):
+    X, _, pdf = xy
+    sc = MinMaxScalerExpr(["a", "b"]).fit(X)
+    out = sc.transform(X).toPandas().sort_values("ts")
+    exp = (pdf["a"] - pdf["a"].min()) / (pdf["a"].max() - pdf["a"].min())
+    np.testing.assert_allclose(out["a"].values, exp.values, rtol=1e-12)
+    assert out["a"].min() == 0.0 and out["a"].max() == 1.0
+
+
+def test_robust_scaler(spark, xy):
+    X, _, pdf = xy
+    sc = RobustScalerExpr(["a"]).fit(X)
+    out = sc.transform(X).toPandas().sort_values("ts")
+    med = np.percentile(pdf["a"], 50)
+    iqr = np.percentile(pdf["a"], 75) - np.percentile(pdf["a"], 25)
+    np.testing.assert_allclose(out["a"].values, (pdf["a"] - med).values / iqr, rtol=1e-9)
+
+
+def test_timeseries_split_matches_sklearn_arithmetic(spark, xy):
+    X, _, _ = xy
+    folds = timeseries_split(X, n_splits=3)
+    n = 400
+    test_size = n // 4  # 100
+    for i, (train, test) in enumerate(folds):
+        assert train.count() == n - (3 - i) * test_size
+        assert test.count() == test_size
+    # folds are contiguous in time: max(train ts) < min(test ts)
+    tr_max = folds[0][0].agg(F.max("ts")).collect()[0][0]
+    te_min = folds[0][1].agg(F.min("ts")).collect()[0][0]
+    assert tr_max < te_min
+
+
+def test_kfold_split_partitions(spark, xy):
+    X, _, _ = xy
+    folds = kfold_split(X, n_splits=5)
+    counts = [t.count() for _, t in folds]
+    assert sum(counts) == 400
+    assert all(c == 80 for c in counts)
+
+
+def test_split_metadata(spark, xy):
+    X, _, _ = xy
+    meta = split_metadata(X, n_splits=3)
+    assert len(meta) == 3
+    assert meta[0]["train_count"] == 100 and meta[-1]["train_count"] == 300
+
+
+def test_linear_model_matches_numpy_ols(spark, xy):
+    X, y, pdf = xy
+    m = LinearModel().fit(X, y)
+    A = np.column_stack([np.ones(len(pdf)), pdf["a"], pdf["b"]])
+    exp, *_ = np.linalg.lstsq(A, pdf[["t1", "t2"]].values, rcond=None)
+    np.testing.assert_allclose(m.coef_, exp, rtol=1e-8)
+    pred = m.predict(X).toPandas().sort_values("ts")
+    np.testing.assert_allclose(
+        pred["model_output__t1"].values, (A @ exp)[:, 0], rtol=1e-8
+    )
+    assert m.offset == 0
+
+
+def test_model_registry():
+    m = model_from_definition({"kind": "LinearModel"})
+    assert isinstance(m, LinearModel)
+    with pytest.raises(ValueError):
+        model_from_definition({"kind": "Nope"})
+
+
+def test_anomaly_detector_end_to_end(spark, xy):
+    X, y, pdf = xy
+    det = DiffBasedAnomalyDetector(smoothing_method="smm", window=6)
+    det.fit(X, y).cross_validate(X, y, n_splits=3)
+    assert det.tag_thresholds_ is not None
+    assert set(det.tag_thresholds_) == {"t1", "t2"}
+    assert det.total_threshold_ > 0
+    out = det.anomaly(X, y, resolution="10T").toPandas().sort_values("start")
+    expected_cols = {
+        "start", "end",
+        "model_input__t1", "model_output__t1",
+        "tag_anomaly_unscaled__t1", "tag_anomaly_scaled__t1",
+        "total_anomaly_unscaled", "total_anomaly_scaled",
+        "smooth_total_anomaly_scaled", "anomaly_confidence__t1",
+        "total_anomaly_confidence",
+    }
+    assert expected_cols <= set(out.columns)
+    # unscaled tag anomaly == |model_output - y| (oracle invariant, FIXTURES F6)
+    A = np.column_stack([np.ones(len(pdf)), pdf["a"], pdf["b"]])
+    coef = det.base.coef_
+    pred_t1 = A @ coef[:, 0]
+    exp_err = np.abs(pred_t1 - pdf["t1"].values)
+    np.testing.assert_allclose(
+        out["tag_anomaly_unscaled__t1"].values, exp_err, rtol=1e-8
+    )
+    # total = mean of squared tag errors
+    np.testing.assert_allclose(
+        out["total_anomaly_unscaled"].values,
+        (out["tag_anomaly_unscaled__t1"] ** 2 + out["tag_anomaly_unscaled__t2"] ** 2) / 2,
+        rtol=1e-12,
+    )
+    # end = start + resolution
+    assert ((out["end"] - out["start"]) == pd.Timedelta("10min")).all()
+    # smoothing: first window-1 rows are NaN (min_periods semantics)
+    assert out["smooth_total_anomaly_scaled"].iloc[:5].isna().all()
+    assert out["smooth_total_anomaly_scaled"].iloc[5:].notna().all()
+    # model trained on clean linear data: confidences well below 1 mostly
+    assert out["total_anomaly_confidence"].median() < 1.0
