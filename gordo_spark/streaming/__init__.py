@@ -1,0 +1,7 @@
+from gordo_spark.streaming.scoring import (
+    stream_resample_wide,
+    stream_anomaly_select,
+    score_stream,
+)
+
+__all__ = ["stream_resample_wide", "stream_anomaly_select", "score_stream"]

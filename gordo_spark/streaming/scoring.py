@@ -1,0 +1,126 @@
+"""§2.10 — online scoring as Structured Streaming.
+
+The reference serves request/response batch scoring only (Flask blueprints);
+the streaming-shaped semantics reproduced here (SURVEY.md §2.10):
+
+- tumbling resample windows (J1) -> ``groupBy(window(ts, resolution))`` with
+  a watermark = interpolation_limit (late data beyond the limit is dropped —
+  exactly the offline gap-fill policy);
+- pivot-align (J3): streaming disallows ``pivot``, so the wide frame is
+  conditional aggregation (one avg per tag inside a single groupBy — same
+  plan Catalyst generates for a static pivot with explicit values);
+- anomaly scoring (M6): a stateless select over aligned rows once the model
+  coefficients and thresholds are broadcast scalars.
+
+State stays bounded by the watermark; each machine's stream is keyed by its
+tag set, so a 1000-machine deployment is one streaming query per machine or
+one multiplexed query keyed by machine id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from gordo_spark.functions.timeutil import offset_alias_to_seconds
+
+
+def stream_resample_wide(
+    stream: DataFrame,
+    tags: Sequence[str],
+    resolution: str = "10T",
+    watermark: str = "48H",
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming J1+J3: watermarked tumbling-window resample, conditional-
+    aggregation pivot, inner align (dropna)."""
+    secs = int(offset_alias_to_seconds(resolution))
+    wm_secs = int(offset_alias_to_seconds(watermark))
+    aggs = [
+        F.avg(F.when(F.col(tag_col) == t, F.col(value_col))).alias(t) for t in tags
+    ]
+    wide = (
+        stream.withWatermark(ts_col, f"{wm_secs} seconds")
+        .groupBy(F.window(ts_col, f"{secs} seconds").alias("w"))
+        .agg(*aggs)
+        .select(F.col("w.start").alias(ts_col), *[F.col(f"`{t}`") for t in tags])
+    )
+    cond = F.col(f"`{tags[0]}`").isNotNull()
+    for t in tags[1:]:
+        cond = cond & F.col(f"`{t}`").isNotNull()
+    return wide.filter(cond)
+
+
+def stream_anomaly_select(
+    wide: DataFrame,
+    coef: Mapping[str, Mapping[str, float]],
+    intercepts: Mapping[str, float],
+    scaler_stats: Mapping[str, tuple[float, float]],
+    thresholds: Mapping[str, float],
+    total_threshold: float,
+    tags: Sequence[str],
+    resolution: str = "10T",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """M6 as a stateless streaming select: model output from broadcast OLS
+    coefficients, scaled errors, confidences. (Smoothing windows need state
+    and run downstream — foreachBatch or applyInPandasWithState.)"""
+    secs = int(offset_alias_to_seconds(resolution))
+
+    def output_expr(t: str) -> Column:
+        e = F.lit(float(intercepts[t]))
+        for f_name, w in coef[t].items():
+            e = e + F.lit(float(w)) * F.col(f"`{f_name}`")
+        return e
+
+    errs = {}
+    cols = [
+        F.col(ts_col).alias("start"),
+        (F.col(ts_col) + F.expr(f"INTERVAL {secs} SECOND")).alias("end"),
+    ]
+    for t in tags:
+        out = output_expr(t)
+        mn, mx = scaler_stats[t]
+        rng = (mx - mn) if mx != mn else 1.0
+        err = F.abs(out - F.col(f"`{t}`")) / F.lit(rng)
+        errs[t] = err
+        cols += [
+            F.col(f"`{t}`").alias(f"model_input__{t}"),
+            out.alias(f"model_output__{t}"),
+            err.alias(f"tag_anomaly_scaled__{t}"),
+            (err / F.lit(float(thresholds[t]))).alias(f"anomaly_confidence__{t}"),
+        ]
+    total = errs[tags[0]] * errs[tags[0]]
+    for t in tags[1:]:
+        total = total + errs[t] * errs[t]
+    total = total / F.lit(float(len(tags)))
+    cols += [
+        total.alias("total_anomaly_scaled"),
+        (total / F.lit(float(total_threshold))).alias("total_anomaly_confidence"),
+    ]
+    return wide.select(*cols)
+
+
+def score_stream(
+    stream: DataFrame,
+    tags: Sequence[str],
+    model_params: dict,
+    resolution: str = "10T",
+    watermark: str = "48H",
+) -> DataFrame:
+    """readStream -> resample/align -> anomaly select, ready for
+    ``writeStream`` (append mode; watermark closes windows)."""
+    wide = stream_resample_wide(stream, tags, resolution, watermark)
+    return stream_anomaly_select(
+        wide,
+        model_params["coef"],
+        model_params["intercepts"],
+        model_params["scaler_stats"],
+        model_params["thresholds"],
+        model_params["total_threshold"],
+        tags,
+        resolution,
+    )

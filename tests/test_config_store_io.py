@@ -1,0 +1,148 @@
+"""Config loader, model store, serving IO round-trips (S4-S8, S11, P1)."""
+
+import pytest
+
+from gordo_spark.config import Machine, load_machines, patch_dict, validate_name
+from gordo_spark.sources.serving_io import (
+    dataframe_from_dict,
+    dataframe_from_parquet_bytes,
+    dataframe_into_parquet_bytes,
+    dataframe_to_dict,
+    verify_columns,
+)
+from gordo_spark.sources.store import DiskRegistry, ModelStore, calculate_cache_key
+
+
+def test_patch_dict_add_replace_only():
+    base = {"a": 1, "nested": {"x": 1, "y": 2}}
+    patch = {"b": 2, "nested": {"y": 3, "z": 4}}
+    out = patch_dict(base, patch)
+    assert out == {"a": 1, "b": 2, "nested": {"x": 1, "y": 3, "z": 4}}
+    assert base == {"a": 1, "nested": {"x": 1, "y": 2}}  # no mutation
+
+
+def test_machine_from_config_with_globals():
+    g = {
+        "dataset": {"resolution": "10T", "interpolation_limit": "48H"},
+        "evaluation": {"n_splits": 3},
+    }
+    m = Machine.from_config(
+        {
+            "name": "machine-1",
+            "dataset": {
+                "tag_list": ["a", "b", "a"],
+                "train_start_date": "2019-01-01T00:00:00+00:00",
+                "train_end_date": "2019-10-01T00:00:00+00:00",
+                "resolution": "2T",
+            },
+        },
+        g,
+    )
+    assert m.dataset["resolution"] == "2T"  # machine overrides global
+    assert m.dataset["interpolation_limit"] == "48H"  # global inherited
+    assert m.dataset["tag_list"] == ["a", "b"]  # dedup preserves order
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        {"name": "Machine_1"},  # uppercase/underscore
+        {"name": "x" * 64},  # too long
+        {
+            "name": "m1",
+            "dataset": {
+                "train_start_date": "2019-01-01T00:00:00",  # naive tz
+                "train_end_date": "2019-02-01T00:00:00+00:00",
+            },
+        },
+        {
+            "name": "m1",
+            "dataset": {
+                "train_start_date": "2019-02-01T00:00:00+00:00",  # start > end
+                "train_end_date": "2019-01-01T00:00:00+00:00",
+            },
+        },
+        {"name": "m1", "dataset": {"resolution": "nonsense"}},
+    ],
+)
+def test_machine_validation_rejects(bad):
+    with pytest.raises(ValueError):
+        Machine.from_config(bad)
+
+
+def test_load_machines_multi():
+    ms = load_machines(
+        {
+            "globals": {"dataset": {"resolution": "10T"}},
+            "machines": [{"name": "m-a", "dataset": {}}, {"name": "m-b", "dataset": {}}],
+        }
+    )
+    assert [m.name for m in ms] == ["m-a", "m-b"]
+    assert all(m.dataset["resolution"] == "10T" for m in ms)
+
+
+def test_model_store_revisions(tmp_path):
+    store = ModelStore(str(tmp_path))
+    store.dump({"w": 1}, "m1", {"meta": True}, revision="1000000000001")
+    store.dump({"w": 2}, "m1", {"meta": True}, revision="1000000000002")
+    model, meta = store.load("m1")
+    assert model == {"w": 2}  # latest revision
+    model, _ = store.load("m1", revision="1000000000001")
+    assert model == {"w": 1}
+    assert store.revisions() == ["1000000000001", "1000000000002"]
+    store.delete_revision("1000000000001")
+    assert store.revisions() == ["1000000000002"]
+
+
+def test_disk_registry_build_cache(tmp_path):
+    reg = DiskRegistry(str(tmp_path))
+    key = calculate_cache_key("m1", {"kind": "LinearModel"}, {"tag_list": ["a"]}, {})
+    assert len(key) == 128  # sha3-512 hex
+    assert reg.get_value(key) is None
+    reg.write_key(key, "/models/rev1/m1")
+    assert reg.get_value(key) == "/models/rev1/m1"
+    # same config -> same key (semantic cache hit)
+    assert calculate_cache_key("m1", {"kind": "LinearModel"}, {"tag_list": ["a"]}, {}) == key
+    # any config change -> different key
+    assert calculate_cache_key("m1", {"kind": "LinearModel"}, {"tag_list": ["b"]}, {}) != key
+    assert reg.delete_key(key) and not reg.delete_key(key)
+
+
+def test_json_roundtrip(spark):
+    data = {
+        "tag-a": {"2019-01-01T01:00:00+00:00": 2.0, "2019-01-01T00:00:00+00:00": 1.0},
+        "tag-b": {"2019-01-01T01:00:00+00:00": 4.0, "2019-01-01T00:00:00+00:00": 3.0},
+    }
+    df = dataframe_from_dict(spark, data)
+    pdf = df.toPandas()
+    assert list(pdf.columns) == ["ts", "tag-a", "tag-b"]
+    assert pdf["tag-a"].tolist() == [1.0, 2.0]  # sorted by parsed index
+    out = dataframe_to_dict(df)
+    assert out["tag-a"]["2019-01-01T00:00:00"] == 1.0
+
+
+def test_positional_json_and_verify_columns(spark):
+    df = dataframe_from_dict(spark, [[1.0, 2.0], [3.0, 4.0]])
+    assert df.columns == ["c0", "c1"]
+    renamed = verify_columns(df, ["tag-x", "tag-y"])
+    assert renamed.columns == ["tag-x", "tag-y"]
+    with pytest.raises(ValueError):
+        verify_columns(df, ["only-one-expected"])
+
+
+def test_parquet_bytes_roundtrip(spark):
+    df = dataframe_from_dict(spark, [[1.0, 2.0], [3.0, 4.0]])
+    blob = dataframe_into_parquet_bytes(df)
+    assert blob[:4] == b"PAR1"
+    back = dataframe_from_parquet_bytes(spark, blob)
+    assert back.toPandas().equals(df.toPandas())
+
+
+def test_multiindex_flatten_to_dict(spark):
+    df = dataframe_from_dict(spark, [[1.0, 0.5]])
+    df = df.withColumnRenamed("c0", "model_output__tag-a").withColumnRenamed(
+        "c1", "tag_anomaly__tag-a"
+    )
+    out = dataframe_to_dict(df)
+    assert out["model_output"]["tag-a"][0] == 1.0
+    assert out["tag_anomaly"]["tag-a"][0] == 0.5
