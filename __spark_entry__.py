@@ -50,11 +50,13 @@ def _r6(df: DataFrame, *cols: str) -> DataFrame:
 
 # ---------------------------------------------------------------- S1 scan
 def q_s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 — time-range tag scan: pushdown-able tag/ts predicates."""
-    return _events_long(spark, sf_dir).filter(
-        (F.col("tag").isin(["click", "error"]))
-        & (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
-        & (F.col("ts") < F.lit("2024-01-12 00:00:00"))
+    """S1 — time-range tag scan; both predicates reach the parquet scan
+    (the ts range is pushed in raw-nanos space by read_table)."""
+    return EventsAsSensorProvider(sf_dir).read(
+        spark,
+        ["click", "error"],
+        train_start_date="2024-01-05 00:00:00",
+        train_end_date="2024-01-12 00:00:00",
     )
 
 

@@ -96,12 +96,21 @@ class EventsAsSensorProvider(DataProvider):
     def read(self, spark, tags, train_start_date=None, train_end_date=None):
         from gordo_spark.sources.io import read_table
 
-        df = read_table(spark, self.sf_dir, "events").select(
+        # ts range is pushed down in raw-nanos space inside read_table (it
+        # would not reach the scan if applied after the ns->us conversion)
+        df = read_table(
+            spark,
+            self.sf_dir,
+            "events",
+            ts_range=(train_start_date, train_end_date)
+            if (train_start_date or train_end_date)
+            else None,
+        ).select(
             F.col("event_type").alias("tag"),
             F.col("ts").cast("timestamp").alias("ts"),
             F.nanvl(F.col("value").cast("double"), F.lit(None).cast("double")).alias("value"),
         )
-        return self._apply_range(df, tags, train_start_date, train_end_date)
+        return self._apply_range(df, tags, None, None)
 
 
 @register_provider("RandomDataProvider")
