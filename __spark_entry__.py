@@ -264,6 +264,162 @@ FROM injected
 """
 
 
+# --------------------------------------------------- J2 linear interpolate
+def q_j2_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — linear interpolation on the regular 1H grid, gap limit 6 buckets
+    (anchored prev/next epoch-weighted; longer gaps stay null)."""
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    reg = regularize_grid(res, "1H")
+    out = interpolate(reg, "1H", "linear_interpolation", "6H")
+    return _r6(out, "value")
+
+
+O_J2_LINEAR = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT tag, min(ts) AS t0, max(ts) AS t1 FROM res GROUP BY 1),
+grid AS (
+  SELECT tag,
+         CAST(unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS ts
+  FROM spans
+),
+joined AS (
+  SELECT grid.tag, grid.ts, res.value
+  FROM grid LEFT JOIN res ON grid.tag = res.tag AND grid.ts = res.ts
+),
+anchored AS (
+  SELECT tag, ts, value,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY tag ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER (
+           PARTITION BY tag ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         first_value(value IGNORE NULLS) OVER (
+           PARTITION BY tag ORDER BY ts
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER (
+           PARTITION BY tag ORDER BY ts
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM joined
+)
+SELECT tag, ts,
+       ROUND(COALESCE(value,
+         CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   AND epoch(nt) - epoch(pt) <= 7*3600
+              THEN pv + (nv - pv) * (epoch(ts) - epoch(pt))
+                             / (epoch(nt) - epoch(pt))
+         END), 6) AS value
+FROM anchored
+"""
+
+
+# ------------------------------------------- P4 median / known periods
+def q_p4_median_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — filter_periods 'median' method on the aligned frame: drop rows
+    where any tag deviates from its trailing 24-row median by > 5 * that
+    tag's global IQR."""
+    from gordo_spark.operators.filters import filter_periods
+
+    wide = _wide_1h(spark, sf_dir)
+    out = filter_periods(
+        wide, ALIGN_TAGS, filter_method="median", window=24, n_iqr=5.0
+    )
+    return _r6(out, *ALIGN_TAGS)
+
+
+O_P4_MEDIAN = f"""
+WITH wide AS ({_O_WIDE_1H}),
+iqrs AS (
+  SELECT quantile_cont(click, 0.75) - quantile_cont(click, 0.25) AS iqr_click,
+         quantile_cont(view, 0.75) - quantile_cont(view, 0.25) AS iqr_view,
+         quantile_cont(purchase, 0.75) - quantile_cont(purchase, 0.25) AS iqr_purchase
+  FROM wide
+),
+meds AS (
+  SELECT ts, click, view, purchase,
+         quantile_cont(click, 0.5) OVER w AS med_click,
+         quantile_cont(view, 0.5) OVER w AS med_view,
+         quantile_cont(purchase, 0.5) OVER w AS med_purchase
+  FROM wide
+  WINDOW w AS (ORDER BY ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT ts, ROUND(click,6) AS click, ROUND(view,6) AS view,
+       ROUND(purchase,6) AS purchase
+FROM meds, iqrs
+WHERE NOT (abs(click - med_click) > 5.0 * iqr_click
+        OR abs(view - med_view) > 5.0 * iqr_view
+        OR abs(purchase - med_purchase) > 5.0 * iqr_purchase)
+"""
+
+
+def q_p4_known_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — known_filter_periods: explicit [start, end] ranges excluded."""
+    from gordo_spark.operators.filters import known_filter_periods
+
+    df = _events_long(spark, sf_dir)
+    out = known_filter_periods(
+        df,
+        [
+            ("2024-01-03 00:00:00", "2024-01-04 23:59:59"),
+            ("2024-01-10 00:00:00", "2024-01-10 11:59:59"),
+        ],
+    )
+    return out
+
+
+O_P4_KNOWN = """
+SELECT event_type AS tag, CAST(ts AS TIMESTAMP) AS ts, value
+FROM events
+WHERE NOT (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03 00:00:00'
+       AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-04 23:59:59')
+  AND NOT (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+       AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-10 11:59:59')
+"""
+
+
+# ----------------------------------------------------- J7 lookback tensorize
+def q_j7_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — sliding-window tensorize (lookback 3, lookahead 1) of the click
+    series; window elements projected to scalar columns so the value hash
+    is array-layout-independent."""
+    from gordo_spark.operators.align import lookback_windows
+
+    wide = _wide_1h(spark, sf_dir)
+    t = lookback_windows(wide, ["click"], lookback=3, lookahead=1)
+    out = t.select(
+        "ts",
+        F.element_at("win_click", 1).alias("click_tm2"),
+        F.element_at("win_click", 2).alias("click_tm1"),
+        F.element_at("win_click", 3).alias("click_t0"),
+        F.col("target_click"),
+    )
+    return _r6(out, "click_tm2", "click_tm1", "click_t0", "target_click")
+
+
+O_J7 = f"""
+WITH wide AS ({_O_WIDE_1H}),
+shifted AS (
+  SELECT ts,
+         lag(click, 2) OVER w AS click_tm2,
+         lag(click, 1) OVER w AS click_tm1,
+         click AS click_t0,
+         lead(click, 1) OVER w AS target_click,
+         row_number() OVER w AS rn,
+         count(*) OVER () AS n
+  FROM wide
+  WINDOW w AS (ORDER BY ts)
+)
+SELECT ts, ROUND(click_tm2,6) AS click_tm2, ROUND(click_tm1,6) AS click_tm1,
+       ROUND(click_t0,6) AS click_t0, ROUND(target_click,6) AS target_click
+FROM shifted WHERE rn >= 3 AND rn < n
+"""
+
+
 # -------------------------------------------------------- W1/W2 smoothing
 def q_w2_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 — trailing moving average (window 6, min_periods=window) per tag."""
@@ -638,6 +794,96 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 """
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join breadth — TPC-H Q5 local-supplier revenue. All four
+    dimension tables broadcast; lineitem (the fact) shuffles once for the
+    orders join, then only map-side work."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    out = (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    return _r6(out, "revenue")
+
+
+O_TPCH_Q5 = """
+SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-agg join — TPC-H Q14 promo revenue share (part broadcast)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"),
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    ).otherwise(F.lit(0.0))
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(promo)
+                / F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("promo_revenue")
+        )
+    )
+    return _r6(out, "promo_revenue")
+
+
+O_TPCH_Q14 = """
+SELECT ROUND(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
 def q_o5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 — dedup/distinct: distinct users per event type."""
     ev = read_table(spark, sf_dir, "events")
@@ -1002,6 +1248,141 @@ SELECT doc_id, {fp} AS simhash FROM votes
 O_DEDUP_SIMHASH = _simhash_sql(16)
 
 
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= 0.45 over the corpus union an
+    exact shifted-id copy (copies pair at cosine 1.0; the top natural pairs
+    land in [0.45, 1))."""
+    from gordo_spark.operators.similarity import cosine_neardup_pairs
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    dup = embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
+    return _r6(cosine_neardup_pairs(dup, threshold=0.45), "cosine_sim")
+
+
+O_DEDUP_EMBED = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS e FROM embeddings
+)
+SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+WHERE sim >= 0.45
+"""
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (8 cells seeded from the first 8 vectors, 2 probes)
+    for the first 10 query vectors."""
+    from gordo_spark.operators.similarity import ivf_topk
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        embs, embs.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_probe=2
+    )
+    return _r6(out, "cosine_sim")
+
+
+O_SIM_IVF = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+assign_scored AS (
+  SELECT v.vec_id AS neighbor_id, v.e AS nv, cents.cell,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.e, cents.ce)
+                    / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cents.ce, cents.ce))) DESC,
+                    cents.cell
+         ) AS r
+  FROM v, cents
+),
+assigned AS (SELECT neighbor_id, nv, cell FROM assign_scored WHERE r = 1),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+probe_scored AS (
+  SELECT q.query_id, q.qv, cents.cell,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.qv, cents.ce)
+                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.ce, cents.ce))) DESC,
+                    cents.cell
+         ) AS r
+  FROM q, cents
+),
+probes AS (SELECT query_id, qv, cell FROM probe_scored WHERE r <= 2),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_dot_product(p.qv, a.nv)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))) AS sim
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE a.neighbor_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace vs BPE-ish regex lexer counts."""
+    from gordo_spark.operators.text import bpe_token_count
+
+    out = bpe_token_count(read_table(spark, sf_dir, "documents"))
+    return _r6(out, "bpe_per_word")
+
+
+O_TEXT_BPE = r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       ROUND(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0
+             / len(string_split(text, ' ')), 6) AS bpe_per_word
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length, punctuation, diversity, stopwords)."""
+    from gordo_spark.operators.text import quality_score
+
+    out = quality_score(read_table(spark, sf_dir, "documents"))
+    return _r6(out, "quality")
+
+
+def _quality_sql() -> str:
+    from gordo_spark.operators.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) * 1.0 AS n_tokens,
+         length(text) * 1.0 AS n_chars,
+         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 AS n_punct,
+         len(list_distinct(string_split(text, ' '))) * 1.0 AS n_uniq,
+         len(list_filter(string_split(text, ' '), t -> list_contains([{sw}], t))) * 1.0 AS n_sw
+  FROM documents
+)
+SELECT doc_id,
+       ROUND((least(n_tokens / 50.0, 1.0)
+              + greatest(1.0 - (n_punct / n_chars) * 5.0, 0.0)
+              + n_uniq / n_tokens
+              + least((n_sw / n_tokens) * 5.0, 1.0)) / 4.0, 6) AS quality
+FROM base
+"""
+
+
+O_TEXT_QUALITY = _quality_sql()
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text stats: token counts, avg token length, punctuation ratio."""
     from gordo_spark.operators.text import text_stats
@@ -1136,9 +1517,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_resample_mean": q_j1_resample_mean,
         "j1_resample_multi": q_j1_resample_multi,
         "j2_ffill": q_j2_ffill,
+        "j2_linear": q_j2_linear,
         "j3_pivot_align": q_j3_pivot_align,
+        "j7_lookback": q_j7_lookback,
         "p3_row_filter": q_p3_row_filter,
         "p4_iqr_fence": q_p4_iqr_fence,
+        "p4_median_period": q_p4_median_period,
+        "p4_known_periods": q_p4_known_periods,
         "p7_inf_impute": q_p7_inf_impute,
         "w1_smm": q_w1_smm,
         "w2_sma": q_w2_sma,
@@ -1150,7 +1535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m6_anomaly": q_m6_anomaly,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
         "o5_distinct": q_o5_distinct,
         "m1_ols_fit": q_m1_ols_fit,
         "m2_ols_predict": q_m2_ols_predict,
@@ -1162,11 +1549,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embed_cosine": q_dedup_embed_cosine,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "text_quality": q_text_quality,
         "sim_bruteforce": q_sim_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf": q_sim_ivf,
         "mm_metadata": q_mm_metadata,
     }
 
@@ -1177,9 +1568,13 @@ def oracle_sql() -> dict[str, str]:
         "j1_resample_mean": O_J1,
         "j1_resample_multi": O_J1_MULTI,
         "j2_ffill": O_J2_FFILL,
+        "j2_linear": O_J2_LINEAR,
         "j3_pivot_align": O_J3,
+        "j7_lookback": O_J7,
         "p3_row_filter": O_P3,
         "p4_iqr_fence": O_P4,
+        "p4_median_period": O_P4_MEDIAN,
+        "p4_known_periods": O_P4_KNOWN,
         "p7_inf_impute": O_P7,
         "w1_smm": O_W1,
         "w2_sma": O_W2,
@@ -1191,7 +1586,9 @@ def oracle_sql() -> dict[str, str]:
         "m6_anomaly": O_M6,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3": O_TPCH_Q3,
+        "tpch_q5": O_TPCH_Q5,
         "tpch_q6": O_TPCH_Q6,
+        "tpch_q14": O_TPCH_Q14,
         "o5_distinct": O_O5,
         "m1_ols_fit": O_M1,
         "m2_ols_predict": O_M2,
@@ -1203,10 +1600,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,
         "dedup_simhash": O_DEDUP_SIMHASH,
+        "dedup_embed_cosine": O_DEDUP_EMBED,
         "text_stats": O_TEXT_STATS,
         "text_lang_id": O_TEXT_LANG,
         "text_fingerprint": O_TEXT_FP,
+        "text_tokens_bpe": O_TEXT_BPE,
+        "text_quality": O_TEXT_QUALITY,
         "sim_bruteforce": O_SIM_BRUTE,
+        "sim_ivf": O_SIM_IVF,
         # sim_ann_lsh: rows-only (hyperplane literals impractical in SQL)
         "mm_metadata": O_MM_METADATA,
     }

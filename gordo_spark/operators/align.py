@@ -86,6 +86,39 @@ def tail_align(
     return model_input.join(model_output, on=ts_col, how="inner")
 
 
+def lookback_windows(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    lookback: int,
+    lookahead: int = 1,
+    ts_col: str = "ts",
+    machine_col: str | None = None,
+) -> DataFrame:
+    """J7 — sliding-window tensorize: per row, an array of the trailing
+    ``lookback`` values per column plus the ``lookahead``-shifted target
+    (the reference's TimeseriesGenerator batch shape,
+    gordo/machine/model/models.py:713-793). Rows whose window is not yet
+    full (first lookback-1) or whose target is past the end are dropped —
+    the same truncation the generator applies.
+
+    collect_list over a rows-frame preserves row order within the frame, so
+    the array index IS the time step; partitioned by machine so each
+    machine's series tensorizes inside its own partition.
+    """
+    part = Window.partitionBy(machine_col) if machine_col else Window.partitionBy()
+    w = part.orderBy(ts_col)
+    frame = w.rowsBetween(-(lookback - 1), 0)
+    out = df.select(
+        *( [machine_col] if machine_col else [] ),
+        ts_col,
+        *[F.collect_list(_q(c)).over(frame).alias(f"win_{c}") for c in value_cols],
+        *[F.lead(_q(c), lookahead).over(w).alias(f"target_{c}") for c in value_cols],
+    )
+    full = F.size(F.col(f"win_{value_cols[0]}")) >= lookback
+    tgt_ok = F.col(f"target_{value_cols[0]}").isNotNull() if lookahead > 0 else F.lit(True)
+    return out.filter(full & tgt_ok)
+
+
 def drop_head(df: DataFrame, offset: int, ts_col: str = "ts") -> DataFrame:
     """Drop the first ``offset`` rows by time (model offset, M8: a model with
     lookback L and lookahead k has offset L-1+k). Window rank beats a

@@ -114,7 +114,13 @@ def filter_periods(
     flagged = flags[0]
     for fl in flags[1:]:
         flagged = flagged | fl
-    return out.filter(~flagged)
+    # window expressions are not allowed directly in a WHERE clause —
+    # materialize the flag as a column, then filter on it
+    return (
+        out.withColumn("_fp_flag", flagged)
+        .filter(~F.col("_fp_flag"))
+        .drop("_fp_flag")
+    )
 
 
 def require_n_samples(df: DataFrame, n_samples_threshold: int) -> DataFrame:

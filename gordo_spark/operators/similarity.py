@@ -93,6 +93,103 @@ def lsh_bucket(vec_col, planes: list[list[float]]) -> Column:
     return out
 
 
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold (exact).
+
+    This exact form is the oracle/correctness path. At 100 TB scale the
+    all-pairs product is replaced by the sign-LSH candidate join
+    (``lsh_ann_topk``'s bucketing) followed by this same exact cosine
+    verify on the candidate set only — identical output for any pair the
+    bucketing recalls; the exact verify makes precision 1.0.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Deterministic engine-portable variant: the coarse quantizer's centroids
+    are the first ``n_cells`` corpus vectors by id (no RNG, so the DuckDB
+    oracle reproduces it exactly). Every corpus vector is assigned to its
+    nearest centroid by cosine; each query probes its ``n_probe`` nearest
+    cells and ranks only vectors in those cells.
+
+    Scale posture: centroids are tiny and broadcast twice (assignment +
+    probe); the corpus never shuffles — at 100 TB the corpus would be
+    *written* partitioned by ``cell`` so a probe is a partition-pruned scan
+    of n_probe/n_cells of the data. A trained k-means quantizer drops in by
+    replacing the ``cents`` frame; the plan shape is unchanged.
+    """
+    cents = F.broadcast(
+        vectors.orderBy(id_col).limit(n_cells).select(
+            F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
+        )
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("_csim"), F.asc("cell")
+    )
+    assigned = (
+        v.crossJoin(cents)
+        .withColumn("_csim", cosine(F.col("nv"), F.col("cv")))
+        .withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select("neighbor_id", "nv", "cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("cell"))
+    probes = (
+        q.crossJoin(cents)
+        .withColumn("_csim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("_r", F.row_number().over(w_probe))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cosine_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -83,6 +83,28 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    lexer (letter runs | digit runs | single punctuation — the coarse
+    pre-tokenization GPT-2-style BPE applies before merges). Pure
+    regexp_extract_all, JVM-side."""
+    ws = F.size(tokens(F.col(text_col)))
+    bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe.cast("double") / ws).alias("bpe_per_word"),
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_lead: int = 8
 ) -> DataFrame:

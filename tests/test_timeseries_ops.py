@@ -193,3 +193,40 @@ def test_ewma_matches_pandas(spark):
     np.testing.assert_allclose(
         got.set_index("ts")["smooth_v"].values, exp.values, rtol=1e-12
     )
+
+
+def test_lookback_windows_tensorize(spark):
+    import pandas as pd
+    from gordo_spark.operators.align import lookback_windows
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=6, freq="1h"),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    out = (
+        lookback_windows(spark.createDataFrame(pdf), ["v"], lookback=3, lookahead=1)
+        .orderBy("ts")
+        .collect()
+    )
+    # windows start once full (row 3) and stop when the target runs out
+    assert len(out) == 3
+    assert out[0].win_v == [1.0, 2.0, 3.0] and out[0].target_v == 4.0
+    assert out[-1].win_v == [3.0, 4.0, 5.0] and out[-1].target_v == 6.0
+
+
+def test_filter_periods_median(spark):
+    import pandas as pd
+    from gordo_spark.operators.filters import filter_periods
+
+    vals = [10.0] * 30
+    vals[15] = 1000.0  # an extreme spike vs a flat series
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-01", periods=30, freq="1h"), "v": vals}
+    )
+    out = filter_periods(
+        spark.createDataFrame(pdf), ["v"], filter_method="median", window=5, n_iqr=5.0
+    ).toPandas()
+    assert 1000.0 not in out.v.values
+    assert len(out) >= 28

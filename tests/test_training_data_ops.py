@@ -167,3 +167,50 @@ def test_multimodal_plumbing(spark, docs):
     frames = frame_sample_plan(media, every_n=50).toPandas()
     assert (frames.frame_idx % 50 == 0).all()
     assert frames.groupby("doc_id").size().min() >= 1
+
+
+def test_cosine_neardup_pairs_finds_copies(spark, embs):
+    from gordo_spark.operators.similarity import cosine_neardup_pairs
+
+    small = embs.filter(F.col("vec_id") < 50)
+    dup = small.unionByName(small.withColumn("vec_id", F.col("vec_id") + 100000))
+    pairs = cosine_neardup_pairs(dup, threshold=0.999).toPandas()
+    # every exact copy pairs with its original at cosine ~1.0
+    copies = pairs[(pairs.id_b - pairs.id_a) == 100000]
+    assert len(copies) == 50
+    assert (copies.cosine_sim > 0.999).all()
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, embs):
+    from gordo_spark.operators.similarity import ivf_topk
+
+    queries = embs.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(embs, queries, k=5).toPandas()
+    approx = ivf_topk(embs, queries, k=5, n_cells=8, n_probe=4).toPandas()
+    # probing half the cells must recover a decent share of true neighbors
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(e & a)
+    assert hits >= 10  # >=40% recall on random data with 4/8 probes
+    # and every reported similarity is a true cosine (exact verify)
+    merged = approx.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"), how="inner"
+    )
+    assert np.allclose(merged.cosine_sim_a, merged.cosine_sim_e)
+
+
+def test_bpe_token_count(spark):
+    from gordo_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "it's a test, isn't it?"), (3, "abc123 x")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bpe_token_count(df).collect()}
+    assert out[1].n_ws_tokens == 2 and out[1].n_bpe_tokens == 2
+    # it ' s a test , isn ' t it ?  -> 11 BPE-ish tokens, 5 ws tokens
+    assert out[2].n_ws_tokens == 5 and out[2].n_bpe_tokens == 11
+    # abc 123 x -> letter run + digit run + letter run
+    assert out[3].n_bpe_tokens == 3
