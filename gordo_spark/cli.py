@@ -1,0 +1,67 @@
+"""CLI parity for the reference's ``gordo build`` entry point
+(gordo/cli/cli.py:70-182 in /root/reference), argparse-based.
+
+Usage:
+    python -m gordo_spark.cli build --config machines.yaml \
+        --output-dir /models --registry-dir /registry
+
+Exit codes mirror the reference's exception map where meaningful:
+InsufficientDataError -> 80 (gordo/cli/cli.py:11,34); other failures -> 1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gordo_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build", help="build models from a machine config")
+    b.add_argument("--config", required=True, help="YAML config path or string")
+    b.add_argument("--output-dir", default=None, help="model store root")
+    b.add_argument("--registry-dir", default=None, help="build-cache registry root")
+    b.add_argument("--machine", default=None, help="build only this machine name")
+    b.add_argument("--max-workers", type=int, default=4)
+    args = p.parse_args(argv)
+
+    from gordo_spark import get_spark
+    from gordo_spark.builder import build_machines
+    from gordo_spark.config import load_yaml_config
+    from gordo_spark.operators.filters import InsufficientDataError
+    from gordo_spark.sources.store import DiskRegistry, ModelStore
+
+    machines = load_yaml_config(args.config)
+    if args.machine:
+        machines = [m for m in machines if m.name == args.machine]
+        if not machines:
+            print(f"no machine named {args.machine!r} in config", file=sys.stderr)
+            return 1
+    store = ModelStore(args.output_dir) if args.output_dir else None
+    registry = DiskRegistry(args.registry_dir) if args.registry_dir else None
+    spark = get_spark("gordo_spark_build")
+    try:
+        results = build_machines(
+            spark, machines, store, registry, max_workers=args.max_workers
+        )
+    except InsufficientDataError as e:
+        print(f"InsufficientDataError: {e}", file=sys.stderr)
+        return 80
+    for name, r in results.items():
+        summary = {
+            "name": name,
+            "cached": r.cached,
+            "path": r.path,
+            "scores": r.metadata.get("build-metadata", {})
+            .get("model", {})
+            .get("cross_validation", {})
+            .get("scores", {}),
+        }
+        print(json.dumps(summary, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

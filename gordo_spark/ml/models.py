@@ -110,6 +110,7 @@ class LinearModel:
         return 0
 
 
+@register_model("DiffBasedAnomalyDetector")
 class DiffBasedAnomalyDetector:
     """Reference DiffBasedAnomalyDetector on Spark (diff.py:310-458 parity)."""
 

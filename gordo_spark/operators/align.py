@@ -47,13 +47,21 @@ def _q(name: str) -> Column:
     return F.col("`" + name + "`")
 
 
-def inner_align(df: DataFrame, tags: Sequence[str], ts_col: str = "ts") -> DataFrame:
+def inner_align(
+    df: DataFrame, tags: Sequence[str], ts_col: str = "ts", sort: bool = False
+) -> DataFrame:
     """Drop rows where any tag column is null (pandas inner-join semantics
-    across all tag series), sorted by time."""
+    across all tag series).
+
+    ``sort=False`` by default: a global ``orderBy`` is a range-partition
+    exchange + full sort that every downstream window op re-does anyway —
+    row order is an *output* property, requested at the sink (``sort=True``)
+    rather than paid on every intermediate."""
     cond = _q(tags[0]).isNotNull()
     for t in tags[1:]:
         cond = cond & _q(t).isNotNull()
-    return df.filter(cond).orderBy(ts_col)
+    out = df.filter(cond)
+    return out.orderBy(ts_col) if sort else out
 
 
 def split_xy(

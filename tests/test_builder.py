@@ -1,0 +1,89 @@
+"""End-to-end builder lifecycle tests (reference gordo build parity,
+SURVEY.md §3.1): config -> data -> CV -> fit -> persist -> cache hit."""
+
+import pytest
+
+from gordo_spark.builder import ModelBuilder, build_machines, dataset_from_dict
+from gordo_spark.config import Machine
+from gordo_spark.sources.store import DiskRegistry, ModelStore
+
+
+@pytest.fixture()
+def machine(sf_dir):
+    return Machine.from_config(
+        {
+            "name": "test-machine",
+            "dataset": {
+                "tag_list": ["click", "view", "purchase"],
+                "resolution": "1H",
+                "interpolation_method": "ffill",
+                "interpolation_limit": "6H",
+                "data_provider": {
+                    "type": "EventsAsSensorProvider",
+                    "sf_dir": sf_dir,
+                },
+            },
+            "model": {"kind": "LinearModel"},
+            "evaluation": {"cv_mode": "full_build", "n_splits": 3},
+        }
+    )
+
+
+def test_dataset_from_dict_ignores_unknown_keys(sf_dir):
+    ds = dataset_from_dict(
+        {
+            "type": "TimeSeriesDataset",
+            "tag_list": [{"name": "click"}, "view"],
+            "resolution": "1H",
+            "asset": "plant-a",
+        }
+    )
+    assert ds.tag_list == ["click", "view"]
+    assert ds.resolution == "1H"
+
+
+def test_build_full_lifecycle_and_cache(spark, machine, tmp_path):
+    store = ModelStore(str(tmp_path / "models"))
+    registry = DiskRegistry(str(tmp_path / "registry"))
+
+    r1 = ModelBuilder(machine, store, registry).build(spark)
+    assert not r1.cached
+    assert r1.path is not None
+    md = r1.metadata["build-metadata"]
+    assert md["dataset"]["row_count"] > 100
+    scores = md["model"]["cross_validation"]["scores"]
+    assert set(scores) == {
+        "mean-squared-error", "mean-absolute-error", "r2-score",
+        "explained-variance-score",
+    }
+    assert len(scores["r2-score"]["raw"]) == 3
+    assert len(md["model"]["cross_validation"]["folds"]) == 3
+    # targets default to tag_list; an OLS on its own inputs is near-perfect
+    assert scores["r2-score"]["mean"] > 0.99
+
+    # second build: registry hit, model loads from the store, no data job
+    r2 = ModelBuilder(machine, store, registry).build(spark)
+    assert r2.cached
+    assert r2.model.coef_ is not None
+
+    # predict parity between built and reloaded model
+    import numpy as np
+
+    assert np.allclose(r1.model.coef_, r2.model.coef_)
+
+
+def test_build_anomaly_model_records_thresholds(spark, machine, tmp_path):
+    machine.model = {"kind": "DiffBasedAnomalyDetector", "window": 6}
+    store = ModelStore(str(tmp_path / "models"))
+    r = ModelBuilder(machine, store).build(spark)
+    th = r.metadata["build-metadata"]["model"]["thresholds"]
+    assert set(th["tags"]) == {"click", "view", "purchase"}
+    assert th["total"] is not None and th["total"] > 0
+
+
+def test_build_machines_concurrent(spark, machine, tmp_path):
+    m2 = Machine.from_config({**machine.to_dict(), "name": "second-machine"})
+    store = ModelStore(str(tmp_path / "models"))
+    results = build_machines(spark, [machine, m2], store, max_workers=2)
+    assert set(results) == {"test-machine", "second-machine"}
+    assert all(not r.cached and r.path for r in results.values())
