@@ -110,11 +110,15 @@ class ModelBuilder:
         store: ModelStore | None = None,
         registry: DiskRegistry | None = None,
         version: str = "0.1",
+        wide_frame: DataFrame | None = None,
     ):
         self.machine = machine
         self.store = store
         self.registry = registry
         self.version = version
+        # a precomputed aligned frame (e.g. from plans.multi's shared-scan
+        # fan-out) — skips this machine's solo scan entirely
+        self.wide_frame = wide_frame
 
     @property
     def cache_key(self) -> str:
@@ -137,7 +141,13 @@ class ModelBuilder:
 
         t0 = time.time()
         dataset = dataset_from_dict(m.dataset)
-        X, y = dataset.get_data(spark)
+        if self.wide_frame is not None:
+            from gordo_spark.operators import require_n_samples, split_xy
+
+            wide = require_n_samples(self.wide_frame, dataset.n_samples_threshold)
+            X, y = split_xy(wide, dataset.tag_list, dataset.target_tag_list)
+        else:
+            X, y = dataset.get_data(spark)
         # folds, metrics, thresholds and the final fit all reuse this frame
         X = X.cache()
         y = y.cache()
@@ -236,15 +246,32 @@ def build_machines(
     store: ModelStore | None = None,
     registry: DiskRegistry | None = None,
     max_workers: int = 4,
+    share_scans: bool = True,
 ) -> dict[str, BuildResult]:
     """Build many machines concurrently against one SparkSession — the
     replacement for the reference's one-K8s-pod-per-machine fan-out
     (gordo/cli/workflow_generator.py): Spark's scheduler interleaves the
-    per-machine jobs; the driver only coordinates."""
+    per-machine jobs; the driver only coordinates.
+
+    ``share_scans=True`` groups machines whose dataset plans share a prefix
+    (provider/resolution/aggregation/interpolation) and runs ONE
+    scan+resample per group instead of one per machine (plans.multi) —
+    at lake scale that is N-machines-1-scan instead of N scans."""
     from concurrent.futures import ThreadPoolExecutor
 
+    wides: dict[str, DataFrame] = {}
+    if share_scans:
+        from gordo_spark.plans.multi import shared_wide_frames
+
+        wides = shared_wide_frames(
+            spark, {m.name: dataset_from_dict(m.dataset) for m in machines}
+        )
+
     def one(machine: Machine) -> tuple[str, BuildResult]:
-        return machine.name, ModelBuilder(machine, store, registry).build(spark)
+        builder = ModelBuilder(
+            machine, store, registry, wide_frame=wides.get(machine.name)
+        )
+        return machine.name, builder.build(spark)
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         return dict(pool.map(one, machines))

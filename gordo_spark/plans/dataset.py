@@ -67,22 +67,37 @@ class TimeSeriesDataset:
             return self.data_provider
         return provider_from_dict(self.data_provider)
 
-    def wide_frame(self, spark: SparkSession) -> DataFrame:
-        """The aligned wide matrix (all tags incl. targets), pre-split."""
-        tags = list(dict.fromkeys(self.tag_list + (self.target_tag_list or [])))
+    @property
+    def all_tags(self) -> list[str]:
+        return list(dict.fromkeys(self.tag_list + (self.target_tag_list or [])))
+
+    def long_resampled(self, spark: SparkSession) -> DataFrame:
+        """Scan -> resample, still long ``(tag, ts, value)``. This is the
+        expensive shared prefix (full scan + the one aggregation shuffle) —
+        multi-machine plans share it across machines (see plans.multi)."""
         raw = self.provider().read(
-            spark, tags, self.train_start_date, self.train_end_date
+            spark, self.all_tags, self.train_start_date, self.train_end_date
         )
-        res = resample_aggregate(
-            raw, self.resolution, self.aggregation_methods
-        )
+        return resample_aggregate(raw, self.resolution, self.aggregation_methods)
+
+    def fill(self, res: DataFrame) -> DataFrame:
+        """Regularize to the dense grid and interpolate bounded gaps. Runs
+        *after* any per-machine range clipping so fills never use anchors a
+        solo scan would not have seen."""
         reg = regularize_grid(res, self.resolution)
-        filled = interpolate(
+        return interpolate(
             reg,
             self.resolution,
             self.interpolation_method,
             self.interpolation_limit,
         )
+
+    def long_filled(self, spark: SparkSession) -> DataFrame:
+        return self.fill(self.long_resampled(spark))
+
+    def finalize_wide(self, filled: DataFrame) -> DataFrame:
+        """The per-machine tail: pivot -> inner align -> period/row filters."""
+        tags = self.all_tags
         wide = inner_align(pivot_wide(filled, tags), tags)
         if self.known_filter_periods:
             wide = known_filter_periods(wide, self.known_filter_periods)
@@ -100,6 +115,10 @@ class TimeSeriesDataset:
                 wide, self.row_filter, self.row_filter_buffer_size
             )
         return wide
+
+    def wide_frame(self, spark: SparkSession) -> DataFrame:
+        """The aligned wide matrix (all tags incl. targets), pre-split."""
+        return self.finalize_wide(self.long_filled(spark))
 
     def get_data(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
         """(X, y) — the reference's dataset.get_data() parity point."""

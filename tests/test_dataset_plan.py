@@ -97,3 +97,34 @@ def test_random_provider(spark):
     X, _ = ds.get_data(spark)
     assert X.count() > 0
     assert X.columns == ["ts", "a", "b"]
+
+
+def test_shared_wide_frames_match_solo_plans(spark, sf_dir):
+    from gordo_spark.plans.multi import shared_wide_frames
+
+    common = dict(
+        resolution="1H",
+        interpolation_method="ffill",
+        interpolation_limit="6H",
+        data_provider={"type": "EventsAsSensorProvider", "sf_dir": sf_dir},
+    )
+    datasets = {
+        "m1": TimeSeriesDataset(tag_list=["click", "view"], **common),
+        "m2": TimeSeriesDataset(
+            tag_list=["view", "purchase"],
+            row_filter="`view` > 0",
+            **common,
+        ),
+        "m3": TimeSeriesDataset(
+            tag_list=["click"],
+            train_start_date="2024-01-02 00:00:00",
+            train_end_date="2024-01-08 00:00:00",
+            **common,
+        ),
+    }
+    shared = shared_wide_frames(spark, datasets)
+    assert set(shared) == {"m1", "m2", "m3"}
+    for name, ds in datasets.items():
+        solo = ds.wide_frame(spark).toPandas().sort_values("ts").reset_index(drop=True)
+        multi = shared[name].toPandas().sort_values("ts").reset_index(drop=True)
+        pd.testing.assert_frame_equal(solo, multi, check_like=True)
