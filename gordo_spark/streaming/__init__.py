@@ -3,5 +3,11 @@ from gordo_spark.streaming.scoring import (
     stream_anomaly_select,
     score_stream,
 )
+from gordo_spark.streaming.stateful import ewma_stream
 
-__all__ = ["stream_resample_wide", "stream_anomaly_select", "score_stream"]
+__all__ = [
+    "stream_resample_wide",
+    "stream_anomaly_select",
+    "score_stream",
+    "ewma_stream",
+]

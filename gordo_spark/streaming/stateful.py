@@ -1,0 +1,91 @@
+"""Stateful streaming smoothing — the W3 EWMA as a keyed streaming operator.
+
+The reference's EWMA (pandas ``ewm(span=w).mean()``,
+gordo/machine/model/anomaly/diff.py:307-308 in /root/reference) is
+recursive over unbounded history, so the streaming form needs per-key state
+(SURVEY.md §2.10). ``applyInPandasWithState`` keyed by (machine/tag) holds
+the two scalars of the adjust=True recurrence:
+
+    num_t = x_t + (1 - alpha) * num_{t-1}
+    den_t = 1  + (1 - alpha) * den_{t-1}
+    ewma_t = num_t / den_t          (alpha = 2 / (span + 1))
+
+which reproduces pandas' weighted form exactly — state is O(1) per key no
+matter how long the stream runs.
+
+Ordering: rows are sorted by ts *within* each micro-batch; cross-batch
+order is the source's responsibility (file/kafka sources with a watermarked
+upstream resample deliver buckets in order once windows close). This is the
+same contract the offline operator places on its partition sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, StructField, StructType, TimestampType, StringType,
+)
+
+
+def ewma_stream(
+    stream: DataFrame,
+    span: int = 144,
+    key_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact streaming EWMA per key; emits (key, ts, value, smooth_value)."""
+    alpha = 2.0 / (span + 1.0)
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("smooth_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("num", DoubleType()), StructField("den", DoubleType())]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        num, den = state.get if state.exists else (0.0, 0.0)
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        smooth = []
+        decay = 1.0 - alpha
+        for x in rows[value_col]:
+            if pd.isna(x):
+                # pandas ignore_na=False: a missing position still decays
+                # the weights (ratio unchanged), no observation added
+                num, den = decay * num, decay * den
+                smooth.append(num / den if den > 0 else float("nan"))
+                continue
+            num = float(x) + decay * num
+            den = 1.0 + decay * den
+            smooth.append(num / den)
+        state.update((num, den))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: rows[ts_col].values,
+                value_col: rows[value_col].values,
+                "smooth_value": smooth,
+            }
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -87,3 +87,47 @@ def test_score_stream_end_to_end(spark, sf_dir, tmp_path, events_schema):
     np.testing.assert_allclose(
         r["anomaly_confidence__view"], err / 0.5, rtol=1e-9
     )
+
+
+def test_ewma_stream_matches_pandas_across_batches(spark, sf_dir, tmp_path, events_schema):
+    """State must carry the recurrence across micro-batches: the streamed
+    EWMA over two sequential files equals pandas ewm over the whole series."""
+    import pandas as pd
+    from gordo_spark.streaming.stateful import ewma_stream
+
+    long = (
+        EventsAsSensorProvider(sf_dir)
+        .read(spark, TAGS)
+        .filter(F.col("tag") == "click")
+    )
+    res = resample_aggregate(long, "1H", "mean")
+    pdf = res.toPandas().sort_values("ts").reset_index(drop=True)
+    # two files = two micro-batches with maxFilesPerTrigger=1, in ts order
+    half = len(pdf) // 2
+    src = f"{tmp_path}/ewma_src"
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(res.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ewma_stream(stream, span=12)
+        .writeStream.format("memory")
+        .queryName("ewma_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("ewma_stream_test")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    exp = pdf["value"].ewm(span=12).mean()
+    np.testing.assert_allclose(got["smooth_value"], exp, rtol=1e-9)
