@@ -21,10 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
+    "tpch_q14",
     "j1_resample_mean",
     "j2_ffill",
+    "j2_linear",
     "j3_pivot_align",
+    "j7_lookback",
     "p3_row_filter",
     "p4_iqr_fence",
     "w1_smm",
@@ -32,6 +36,14 @@ HEADLINE = [
     "m6_anomaly",
     "a9_explained_variance",
     "o5_distinct",
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "text_stats",
+    "text_quality",
+    "sim_bruteforce",
+    "sim_ivf",
+    "mm_metadata",
 ]
 
 
