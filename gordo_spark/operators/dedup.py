@@ -17,6 +17,13 @@ across Spark versions. All arithmetic stays < 2^62 so 64-bit engines agree.
 Scale posture: everything is shuffle-on-key DataFrame algebra — shingle
 explode is the only row expansion, and the LSH band join buckets candidates
 so the quadratic verify only touches same-bucket pairs. No driver-side data.
+
+Shape note (measured, do not "optimize"): computing signatures per-row with
+higher-order functions (md5 inside transform/aggregate lambdas, array_min
+per permutation) looks shuffle-free but runs ~8x SLOWER than this
+explode -> groupBy shape — HOF lambdas are interpreted per element and fall
+out of whole-stage codegen, while the exploded form keeps md5 + the k
+min-aggregations inside codegen with map-side partial aggregation.
 """
 
 from __future__ import annotations
