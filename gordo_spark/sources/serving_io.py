@@ -50,6 +50,9 @@ def dataframe_to_dict(df: DataFrame, ts_col: str = "ts") -> dict:
     if ts_col in pdf.columns:
         pdf = pdf.set_index(ts_col)
         pdf.index = pdf.index.map(lambda t: t.isoformat())
+    for col in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[col]):
+            pdf[col] = pdf[col].map(lambda t: t.isoformat())
     out: dict = {}
     for col in pdf.columns:
         if "__" in col:
