@@ -884,6 +884,219 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided nation-pair volume by ship year — TPC-H Q7 (both nation
+    dims broadcast twice under different roles)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    return _r6(out, "revenue")
+
+
+O_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue top 20 — TPC-H Q10 (join + agg + top-k)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    out = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-10-01"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+    return _r6(out, "revenue", "c_acctbal")
+
+
+O_TPCH_Q10 = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 6) AS c_acctbal, n_name,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution — TPC-H Q13 (left outer join +
+    double aggregation)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+O_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue — TPC-H Q17. The correlated scalar
+    subquery (0.2 * per-part avg quantity) decorrelates into one
+    aggregation joined back — the plan Catalyst itself would produce, made
+    explicit."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    )
+    out = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+    return _r6(out, "avg_yearly")
+
+
+O_TPCH_Q17 = """
+SELECT ROUND(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders — TPC-H Q18 (having-filtered semi-join feeding
+    a join + top-k)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_key"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    out = (
+        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("big_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+    return _r6(out, "o_totalprice", "total_qty")
+
+
+O_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 6) AS o_totalprice,
+       ROUND(sum(l_quantity), 6) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+GROUP BY 1, 2, 3, 4, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 def q_o5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 — dedup/distinct: distinct users per event type."""
     ev = read_table(spark, sf_dir, "events")
@@ -1537,7 +1750,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
         "o5_distinct": q_o5_distinct,
         "m1_ols_fit": q_m1_ols_fit,
         "m2_ols_predict": q_m2_ols_predict,
@@ -1588,7 +1806,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": O_TPCH_Q3,
         "tpch_q5": O_TPCH_Q5,
         "tpch_q6": O_TPCH_Q6,
+        "tpch_q7": O_TPCH_Q7,
+        "tpch_q10": O_TPCH_Q10,
+        "tpch_q13": O_TPCH_Q13,
         "tpch_q14": O_TPCH_Q14,
+        "tpch_q17": O_TPCH_Q17,
+        "tpch_q18": O_TPCH_Q18,
         "o5_distinct": O_O5,
         "m1_ols_fit": O_M1,
         "m2_ols_predict": O_M2,

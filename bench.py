@@ -23,7 +23,12 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q17",
+    "tpch_q18",
     "j1_resample_mean",
     "j2_ffill",
     "j2_linear",
