@@ -234,6 +234,10 @@ class ModelBuilder:
             if self.registry is not None:
                 rev = path.split("/")[-2]
                 self.registry.write_key(key, rev)
+        if (m.runtime or {}).get("reporters"):
+            from gordo_spark.reporters import run_reporters
+
+            run_reporters(spark, m, metadata)
         XY.unpersist()
         X.unpersist()
         y.unpersist()

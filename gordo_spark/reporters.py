@@ -1,0 +1,145 @@
+"""S9/S10 — build reporters: Postgres upsert sink and MLflow metrics sink.
+
+Reference semantics:
+- reporters are listed as class paths in ``runtime.reporters`` and invoked
+  with the built machine (gordo/machine/machine.py:249-269 in
+  /root/reference; base class gordo/reporters/base.py).
+- PostgresReporter upserts one Machine record — name + JSON
+  dataset/model/metadata (gordo/reporters/postgres.py:31-105).
+- MLflowReporter flattens nested build metadata into MLflow metric/param
+  batches, splitting numbers from strings and truncating long values
+  (gordo/reporters/mlflow.py:194-280).
+
+Spark/env shape: the Postgres sink is a one-row ``df.write.jdbc`` (the
+driver holds only the record, never data); MLflow logging is driver-side.
+Both degrade gracefully when the client library/server is absent — the
+shaping logic is pure and tested; the wire call is the last line.
+"""
+
+from __future__ import annotations
+
+import json
+import numbers
+
+from pyspark.sql import SparkSession
+
+_REPORTER_REGISTRY: dict[str, type] = {}
+
+MLFLOW_MAX_PARAM_LEN = 250  # reference truncates long param values
+
+
+def register_reporter(name: str):
+    def deco(cls):
+        _REPORTER_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def reporter_from_dict(d: dict | str) -> "Reporter":
+    if isinstance(d, str):
+        d = {"type": d}
+    d = dict(d)
+    kind = d.pop("type").rsplit(".", 1)[-1]
+    if kind not in _REPORTER_REGISTRY:
+        raise ValueError(f"unknown reporter type {kind!r}")
+    return _REPORTER_REGISTRY[kind](**d)
+
+
+class Reporter:
+    def report(self, spark: SparkSession, machine_name: str, metadata: dict) -> None:
+        raise NotImplementedError
+
+
+def machine_record(machine_name: str, metadata: dict) -> dict:
+    """The one-row upsert record: name + JSON blobs (JSONB columns in the
+    reference's Machine table)."""
+    bm = metadata.get("build-metadata", {})
+    return {
+        "name": machine_name,
+        "dataset": json.dumps(bm.get("dataset", {}), default=str),
+        "model": json.dumps(bm.get("model", {}), default=str),
+        "metadata": json.dumps(metadata, default=str),
+    }
+
+
+@register_reporter("PostgresReporter")
+class PostgresReporter(Reporter):
+    """Upsert the machine record over JDBC. Overwrite-by-key: delete the
+    name's row then append (JDBC has no native upsert across engines)."""
+
+    def __init__(self, url: str, table: str = "machine", properties: dict | None = None):
+        self.url = url
+        self.table = table
+        self.properties = properties or {"driver": "org.postgresql.Driver"}
+
+    def report(self, spark: SparkSession, machine_name: str, metadata: dict) -> None:
+        record = machine_record(machine_name, metadata)
+        df = spark.createDataFrame([record])
+        df.write.mode("append").jdbc(self.url, self.table, properties=self.properties)
+
+
+def flatten_metadata(
+    metadata: dict, prefix: str = "", sep: str = "."
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Nested metadata -> (metrics, params): numeric leaves become metrics,
+    everything else a (truncated) string param — the reference's
+    get_batch_kwargs split (gordo/reporters/mlflow.py:194-280)."""
+    metrics: dict[str, float] = {}
+    params: dict[str, str] = {}
+    for k, v in metadata.items():
+        key = f"{prefix}{sep}{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            m, p = flatten_metadata(v, key, sep)
+            metrics.update(m)
+            params.update(p)
+        elif isinstance(v, bool):
+            params[key] = str(v)
+        elif isinstance(v, numbers.Number):
+            metrics[key] = float(v)
+        elif isinstance(v, (list, tuple)):
+            if v and all(isinstance(x, numbers.Number) for x in v):
+                for i, x in enumerate(v):
+                    metrics[f"{key}{sep}{i}"] = float(x)
+            else:
+                params[key] = json.dumps(v, default=str)[:MLFLOW_MAX_PARAM_LEN]
+        else:
+            params[key] = str(v)[:MLFLOW_MAX_PARAM_LEN]
+    return metrics, params
+
+
+@register_reporter("MLflowReporter")
+class MLflowReporter(Reporter):
+    """Log flattened build metadata to MLflow (driver-side, unchanged from
+    the reference's posture). Requires the mlflow client at runtime."""
+
+    def __init__(self, tracking_uri: str | None = None, experiment: str = "gordo_spark"):
+        self.tracking_uri = tracking_uri
+        self.experiment = experiment
+
+    def report(self, spark: SparkSession, machine_name: str, metadata: dict) -> None:
+        try:
+            import mlflow
+        except ImportError as e:  # pragma: no cover - mlflow not in this env
+            raise RuntimeError("MLflowReporter requires the mlflow package") from e
+        if self.tracking_uri:
+            mlflow.set_tracking_uri(self.tracking_uri)
+        mlflow.set_experiment(self.experiment)
+        metrics, params = flatten_metadata(metadata)
+        with mlflow.start_run(run_name=machine_name):
+            mlflow.log_metrics(metrics)
+            mlflow.log_params(params)
+
+
+def run_reporters(
+    spark: SparkSession, machine, metadata: dict
+) -> list[str]:
+    """Invoke every reporter in ``machine.runtime['reporters']``; returns
+    the list of reporter type names that ran (failures raise — the
+    reference maps them to its exit-code table)."""
+    ran = []
+    for spec in (machine.runtime or {}).get("reporters", []):
+        rep = reporter_from_dict(spec)
+        rep.report(spark, machine.name, metadata)
+        ran.append(type(rep).__name__)
+    return ran
