@@ -1718,6 +1718,23 @@ FROM documents
 """
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: every-10th-frame (doc_id, frame_idx)
+    plan over the fake binary payload (decode is the stubbed step)."""
+    from gordo_spark.operators.multimodal import attach_binary_payload, frame_sample_plan
+
+    docs = read_table(spark, sf_dir, "documents")
+    return frame_sample_plan(attach_binary_payload(docs), every_n=10)
+
+
+O_MM_FRAMES = """
+SELECT doc_id, 10 * unnest(generate_series(0,
+         greatest(CAST(octet_length(encode(text)) // 10 AS INTEGER) - 1, 0)
+       )) AS frame_idx
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -1777,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf": q_sim_ivf,
         "mm_metadata": q_mm_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -1833,4 +1851,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf": O_SIM_IVF,
         # sim_ann_lsh: rows-only (hyperplane literals impractical in SQL)
         "mm_metadata": O_MM_METADATA,
+        "mm_frame_sample": O_MM_FRAMES,
     }
