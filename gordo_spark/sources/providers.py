@@ -123,11 +123,15 @@ class RandomDataProvider(DataProvider):
         self.min_size, self.max_size, self.seed, self.step_seconds = min_size, max_size, seed, step_seconds
 
     def read(self, spark, tags, train_start_date=None, train_end_date=None):
+        import hashlib
+
         start = train_start_date or "2019-01-01T00:00:00+00:00"
         dfs = []
         for i, tag in enumerate(tags):
-            # deterministic per-tag size in [min_size, max_size)
-            n = self.min_size + (hash((self.seed, tag)) % max(1, self.max_size - self.min_size))
+            # deterministic per-tag size in [min_size, max_size); md5, not
+            # builtin hash() — str hashing is salted per process
+            h = int(hashlib.md5(f"{self.seed}:{tag}".encode()).hexdigest()[:8], 16)
+            n = self.min_size + (h % max(1, self.max_size - self.min_size))
             dfs.append(
                 spark.range(n).select(
                     F.lit(tag).alias("tag"),
