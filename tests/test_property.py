@@ -1,0 +1,104 @@
+"""Property-based parity: random series, pandas as the oracle.
+
+The reference repo has no property tests (SURVEY.md §5 "Not used"); we add
+them where semantics are subtle — bucket boundaries and bounded gap-fill —
+since fixed-seed unit tests only pin one shape. Examples are kept small and
+few: every example pays a Spark job.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from gordo_spark.operators import interpolate, regularize_grid, resample_aggregate
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def sparse_series(draw):
+    """Irregular (ts, value) series with gaps and duplicate timestamps."""
+    n = draw(st.integers(min_value=3, max_value=60))
+    offsets = draw(
+        st.lists(st.integers(min_value=0, max_value=5000), min_size=n, max_size=n)
+    )
+    values = draw(
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    ts = [base + pd.Timedelta(seconds=o) for o in offsets]
+    return pd.DataFrame({"tag": "t0", "ts": ts, "value": values})
+
+
+@given(pdf=sparse_series(), res_min=st.sampled_from([1, 5, 10, 60]))
+@settings(**SETTINGS)
+def test_resample_matches_pandas(spark, pdf, res_min):
+    got = (
+        resample_aggregate(spark.createDataFrame(pdf), f"{res_min}T", "mean")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pdf.set_index("ts")["value"]
+        .resample(f"{res_min}min")
+        .mean()
+        .dropna()
+        .rename_axis("ts")
+        .reset_index()
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["value"], exp["value"], rtol=1e-9)
+    assert (got["ts"].values == exp["ts"].values).all()
+
+
+@given(
+    pdf=sparse_series(),
+    limit=st.sampled_from([1, 3, 10]),
+    method=st.sampled_from(["ffill", "linear_interpolation"]),
+)
+@settings(**SETTINGS)
+def test_interpolate_matches_pandas(spark, pdf, limit, method):
+    res = (
+        resample_aggregate(spark.createDataFrame(pdf), "1T", "mean")
+        .toPandas()
+        .sort_values("ts")
+    )
+    sdf = spark.createDataFrame(res)
+    reg = regularize_grid(sdf, "1T")
+    got = (
+        interpolate(reg, "1T", method, f"{limit}T")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    full = res.set_index("ts")["value"].resample("1min").mean()
+    if method == "ffill":
+        # pandas ffill(limit=n) == ours: filled iff prev anchor <= n back
+        exp = full.ffill(limit=limit)
+    else:
+        # ours is all-or-nothing per gap (gordo-core interpolation_limit
+        # semantics): a gap longer than `limit` stays entirely missing —
+        # pandas' limit= fills the first n NaNs of longer gaps instead, so
+        # interpolate unbounded then re-mask the long gaps
+        isna = full.isna()
+        run = (isna != isna.shift()).cumsum()
+        gap_len = isna.groupby(run).transform("sum")
+        interp = full.interpolate(method="index", limit_area="inside")
+        exp = interp.mask(isna & (gap_len > limit))
+    exp = exp.rename_axis("ts").reset_index()
+    assert len(got) == len(exp)
+    mask = exp["value"].notna()
+    assert (got["value"].notna() == mask).all()
+    np.testing.assert_allclose(
+        got.loc[mask, "value"], exp.loc[mask, "value"], rtol=1e-9
+    )
