@@ -678,6 +678,105 @@ WINDOW w AS (ORDER BY start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 """
 
 
+def q_m6_anomaly_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 scaled path (the reference default): MinMax scaler stats fit on
+    the frame (train-time y stats), scaled tag/total anomalies + their
+    smoothing. Projected to the scaled block."""
+    from gordo_spark.operators.anomaly import anomaly_frame
+
+    wide = _wide_1h(spark, sf_dir)
+    frame = Window.partitionBy().orderBy("ts").rowsBetween(-5, 0)
+    with_out = wide.select(
+        "ts",
+        *[F.col(f"`{t}`").alias(t) for t in ALIGN_TAGS],
+        *[
+            F.when(
+                F.count(f"`{t}`").over(frame) >= 6, F.avg(f"`{t}`").over(frame)
+            ).alias(f"model_output__{t}")
+            for t in ALIGN_TAGS
+        ],
+    ).dropna()
+    stats_row = wide.agg(
+        *[F.min(f"`{t}`").alias(f"mn_{t}") for t in ALIGN_TAGS],
+        *[F.max(f"`{t}`").alias(f"mx_{t}") for t in ALIGN_TAGS],
+    ).collect()[0]
+    scaler_stats = {t: (stats_row[f"mn_{t}"], stats_row[f"mx_{t}"]) for t in ALIGN_TAGS}
+    out = anomaly_frame(
+        with_out,
+        ALIGN_TAGS,
+        resolution="1H",
+        scaler_stats=scaler_stats,
+        smoothing_method="smm",
+        smoothing_window=6,
+    )
+    keep = (
+        ["start"]
+        + [f"tag_anomaly_scaled__{t}" for t in ALIGN_TAGS]
+        + ["total_anomaly_scaled"]
+        + [f"smooth_tag_anomaly_scaled__{t}" for t in ALIGN_TAGS]
+        + ["smooth_total_anomaly_scaled"]
+    )
+    out = out.select(*keep)
+    return _r6(out, *[c for c in keep if c != "start"])
+
+
+O_M6_SCALED = f"""
+WITH wide AS ({_O_WIDE_1H}),
+stats AS (
+  SELECT min(click) AS mn_c, max(click) AS mx_c,
+         min(view) AS mn_v, max(view) AS mx_v,
+         min(purchase) AS mn_p, max(purchase) AS mx_p
+  FROM wide
+),
+with_out AS (
+  SELECT ts, click, view, purchase,
+         CASE WHEN count(click) OVER w >= 6 THEN avg(click) OVER w END AS mo_click,
+         CASE WHEN count(view) OVER w >= 6 THEN avg(view) OVER w END AS mo_view,
+         CASE WHEN count(purchase) OVER w >= 6 THEN avg(purchase) OVER w END AS mo_purchase
+  FROM wide
+  WINDOW w AS (ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+),
+aligned AS (
+  SELECT * FROM with_out
+  WHERE mo_click IS NOT NULL AND mo_view IS NOT NULL AND mo_purchase IS NOT NULL
+),
+errs AS (
+  SELECT ts AS start,
+         abs(mo_click - click) / (mx_c - mn_c) AS e_c,
+         abs(mo_view - view) / (mx_v - mn_v) AS e_v,
+         abs(mo_purchase - purchase) / (mx_p - mn_p) AS e_p
+  FROM aligned, stats
+),
+named AS (
+  SELECT start,
+         e_c AS tag_anomaly_scaled__click,
+         e_v AS tag_anomaly_scaled__view,
+         e_p AS tag_anomaly_scaled__purchase,
+         (e_c*e_c + e_v*e_v + e_p*e_p) / 3.0 AS total_anomaly_scaled
+  FROM errs
+)
+SELECT start,
+       ROUND(tag_anomaly_scaled__click, 6) AS tag_anomaly_scaled__click,
+       ROUND(tag_anomaly_scaled__view, 6) AS tag_anomaly_scaled__view,
+       ROUND(tag_anomaly_scaled__purchase, 6) AS tag_anomaly_scaled__purchase,
+       ROUND(total_anomaly_scaled, 6) AS total_anomaly_scaled,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_scaled__click, 0.5) OVER w END, 6)
+         AS smooth_tag_anomaly_scaled__click,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_scaled__view, 0.5) OVER w END, 6)
+         AS smooth_tag_anomaly_scaled__view,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_scaled__purchase, 0.5) OVER w END, 6)
+         AS smooth_tag_anomaly_scaled__purchase,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(total_anomaly_scaled, 0.5) OVER w END, 6)
+         AS smooth_total_anomaly_scaled
+FROM named
+WINDOW w AS (ORDER BY start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------- TPC-H classics
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-family relational coverage — TPC-H Q1 pricing summary."""
@@ -1763,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_fold_threshold": q_a8_fold_threshold,
         "a9_explained_variance": q_a9_explained_variance,
         "m6_anomaly": q_m6_anomaly,
+        "m6_anomaly_scaled": q_m6_anomaly_scaled,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1820,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         "a8_fold_threshold": O_A8,
         "a9_explained_variance": O_A9,
         "m6_anomaly": O_M6,
+        "m6_anomaly_scaled": O_M6_SCALED,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3": O_TPCH_Q3,
         "tpch_q5": O_TPCH_Q5,

@@ -200,7 +200,7 @@ class DiffBasedAnomalyDetector:
 
     def into_definition(self) -> dict:
         return {
-            "kind": "DiffBasedAnomalyDetector",
+            "kind": type(self).__name__,
             "base_estimator": self.base.into_definition(),
             "smoothing_method": self.smoothing_method,
             "window": self.window,
@@ -228,3 +228,105 @@ class DiffBasedAnomalyDetector:
             total_threshold=self.total_threshold_,
             ts_col=ts_col,
         )
+
+
+@register_model("DiffBasedKFCVAnomalyDetector")
+class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
+    """KFold variant (reference diff.py:566-635): out-of-fold predictions
+    assembled over the WHOLE frame, thresholds = ``threshold_percentile``
+    quantile of the smoothed OOF error (per tag and total).
+
+    Engine-portable deviation (documented in ml/cv.py): fold membership is
+    ``row_number % k`` instead of sklearn's seeded Mersenne shuffle — the
+    reference pins ``random_state=0`` for repeatability, not for specific
+    membership, and a SQL oracle cannot reproduce the Mersenne permutation.
+    """
+
+    def __init__(
+        self,
+        base_estimator: LinearModel | None = None,
+        smoothing_method: str = "smm",
+        window: int = 144,
+        threshold_percentile: float = 0.99,
+        n_splits: int = 5,
+        require_thresholds: bool = False,
+    ):
+        super().__init__(base_estimator, smoothing_method, window, require_thresholds)
+        self.threshold_percentile = threshold_percentile
+        self.n_splits = n_splits
+
+    def into_definition(self) -> dict:
+        d = super().into_definition()
+        d["threshold_percentile"] = self.threshold_percentile
+        d["n_splits"] = self.n_splits
+        return d
+
+    def cross_validate(
+        self, X: DataFrame, y: DataFrame, n_splits: int | None = None, ts_col: str = "ts"
+    ) -> "DiffBasedKFCVAnomalyDetector":
+        from pyspark.sql import Window
+
+        from gordo_spark.operators.smoothing import SMOOTHERS
+
+        k = n_splits or self.n_splits
+        feats = self.base.feature_cols or [c for c in X.columns if c != ts_col]
+        targets = self.base.target_cols or [c for c in y.columns if c != ts_col]
+        self.base.feature_cols, self.base.target_cols = feats, targets
+
+        wide = X.join(
+            y.select(ts_col, *[_q(t).alias(f"_yt_{t}") for t in targets]), ts_col
+        )
+        w = Window.partitionBy().orderBy(ts_col)
+        data = wide.withColumn("_fold", (F.row_number().over(w) - 1) % k).cache()
+        scaler = MinMaxScalerExpr(targets).fit(
+            data.select(*[F.col(f"_yt_{t}").alias(t) for t in targets])
+        )
+
+        oof_parts = []
+        for f in range(k):
+            train = data.filter(F.col("_fold") != f)
+            fold_model = LinearModel(feats, targets)
+            fold_model.fit(
+                train.select(ts_col, *[_q(c).alias(c) for c in feats]),
+                train.select(ts_col, *[F.col(f"_yt_{t}").alias(t) for t in targets]),
+            )
+            test = data.filter(F.col("_fold") == f)
+            err_cols = []
+            for t in targets:
+                mn, mx = scaler.stats[t]
+                rng = (mx - mn) if mx != mn else 1.0
+                pred_expr = F.lit(float(fold_model.coef_[0, targets.index(t)]))
+                for i, c in enumerate(feats):
+                    pred_expr = pred_expr + F.lit(
+                        float(fold_model.coef_[i + 1, targets.index(t)])
+                    ) * _q(c)
+                err_cols.append(
+                    (F.abs(pred_expr - F.col(f"_yt_{t}")) / F.lit(rng)).alias(f"err__{t}")
+                )
+            oof_parts.append(test.select(ts_col, *err_cols))
+        oof = oof_parts[0]
+        for p in oof_parts[1:]:
+            oof = oof.unionByName(p)
+        sq = [F.col(f"err__{t}") * F.col(f"err__{t}") for t in targets]
+        total = sq[0]
+        for s in sq[1:]:
+            total = total + s
+        oof = oof.withColumn("err__total", total / F.lit(float(len(targets))))
+
+        # smoothed OOF error -> percentile thresholds (diff.py:617-635)
+        err_names = [f"err__{t}" for t in targets] + ["err__total"]
+        smoother = SMOOTHERS[self.smoothing_method]
+        w_ts = Window.partitionBy().orderBy(ts_col)
+        smoothed = oof.select(
+            *[smoother(c, self.window, w_ts).alias(c) for c in err_names]
+        )
+        row = smoothed.agg(
+            *[
+                F.expr(f"percentile(`{c}`, {self.threshold_percentile})").alias(c)
+                for c in err_names
+            ]
+        ).collect()[0]
+        data.unpersist()
+        self.tag_thresholds_ = {t: row[f"err__{t}"] for t in targets}
+        self.total_threshold_ = row["err__total"]
+        return self

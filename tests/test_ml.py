@@ -173,3 +173,30 @@ def test_function_transformer_exprs(spark):
     assert clipped["a"].tolist() == [1.0, 2.0, 3.0]  # untouched
     with pytest.raises(ValueError, match="unknown transformer"):
         FunctionTransformerExpr("nope")
+
+
+def test_kfcv_detector_thresholds(spark, sf_dir):
+    from gordo_spark.ml.models import DiffBasedKFCVAnomalyDetector
+    from gordo_spark.plans import TimeSeriesDataset
+
+    ds = TimeSeriesDataset(
+        tag_list=["click", "view"],
+        target_tag_list=["purchase"],
+        resolution="1H",
+        interpolation_method="ffill",
+        interpolation_limit="6H",
+        data_provider={"type": "EventsAsSensorProvider", "sf_dir": sf_dir},
+    )
+    X, y = ds.get_data(spark)
+    m = DiffBasedKFCVAnomalyDetector(window=6, n_splits=3)
+    m.base.feature_cols = ["click", "view"]
+    m.base.target_cols = ["purchase"]
+    m.cross_validate(X, y)
+    # purchase is NOT perfectly predictable from click/view -> threshold > 0
+    assert m.tag_thresholds_["purchase"] > 0
+    assert m.total_threshold_ > 0
+    # threshold is the 0.99 quantile of the smoothed OOF error: strictly
+    # below the raw max error
+    m.fit(X, y)
+    frame = m.anomaly(X, y, resolution="1H")
+    assert "total_anomaly_confidence" in frame.columns

@@ -29,7 +29,14 @@ def sparse_series(draw):
     )
     values = draw(
         st.lists(
-            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            # subnormals excluded: pandas and Spark disagree on denormal
+            # interpolation arithmetic (~1e-313) — float noise, not semantics
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_subnormal=False,
+            ),
             min_size=n,
             max_size=n,
         )
