@@ -209,14 +209,28 @@ class DiffBasedAnomalyDetector:
 
     def anomaly(self, X: DataFrame, y: DataFrame, resolution: str = "10T", ts_col: str = "ts") -> DataFrame:
         targets = self.base.target_cols
-        aligned = X.join(
+        xy = X.join(
             y.select(ts_col, *[_q(t).alias(f"_yt_{t}") for t in targets]), ts_col
-        ).select(
-            ts_col,
-            *[_q(c).alias(c) for c in self.base.feature_cols],
-            *[F.col(f"_yt_{t}").alias(t) for t in targets if t not in self.base.feature_cols],
-            *self.base.predict_exprs(),
         )
+        if getattr(self.base, "offset", 0) == 0:
+            # offset-0 fast path: prediction is a pure column expression,
+            # no join needed (J6 — column-block append as one select)
+            aligned = xy.select(
+                ts_col,
+                *[_q(c).alias(c) for c in self.base.feature_cols],
+                *[F.col(f"_yt_{t}").alias(t) for t in targets if t not in self.base.feature_cols],
+                *self.base.predict_exprs(),
+            )
+        else:
+            # lookback models emit len(X) - offset rows keyed by target ts;
+            # tail alignment is an inner join on ts, never positional
+            # arithmetic (J5, gordo/machine/model/utils.py:85-98 semantics)
+            pred = self.base.predict(X, ts_col)
+            aligned = xy.select(
+                ts_col,
+                *[_q(c).alias(c) for c in self.base.feature_cols],
+                *[F.col(f"_yt_{t}").alias(t) for t in targets if t not in self.base.feature_cols],
+            ).join(pred, ts_col)
         return anomaly_frame(
             aligned,
             targets,
@@ -330,3 +344,109 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
         self.tag_thresholds_ = {t: row[f"err__{t}"] for t in targets}
         self.total_threshold_ = row["err__total"]
         return self
+
+
+@register_model("LaggedLinearModel")
+class LaggedLinearModel:
+    """Autoregressive lookback model — the LSTM-shaped flow with exact math.
+
+    The reference's LSTM consumes sliding windows of ``lookback_window``
+    steps and predicts ``lookahead`` steps forward, so its output is
+    ``offset = lookback - 1 + lookahead`` rows shorter than its input
+    (gordo/machine/model/models.py:713-793, offset detection
+    gordo/builder/build_model.py:448-471 in /root/reference). TF is not in
+    this environment; this model reproduces the exact data-flow shape —
+    lagged feature construction, lookahead target shift, shortened output
+    keyed by target timestamp — with a closed-form OLS on the lagged
+    features, so every alignment path (J5/J7/W6/M8) is exercised with a
+    deterministic oracle-able model.
+    """
+
+    def __init__(
+        self,
+        lookback: int = 3,
+        lookahead: int = 1,
+        feature_cols: Sequence[str] | None = None,
+        target_cols: Sequence[str] | None = None,
+    ):
+        if lookback < 1 or lookahead < 0:
+            raise ValueError("lookback >= 1 and lookahead >= 0 required")
+        self.lookback = lookback
+        self.lookahead = lookahead
+        self.feature_cols = list(feature_cols) if feature_cols else None
+        self.target_cols = list(target_cols) if target_cols else None
+        self._ols = LinearModel()
+
+    @property
+    def offset(self) -> int:
+        """M8 — declarative, no length probe needed."""
+        return self.lookback - 1 + self.lookahead
+
+    def into_definition(self) -> dict:
+        return {
+            "kind": "LaggedLinearModel",
+            "lookback": self.lookback,
+            "lookahead": self.lookahead,
+            "feature_cols": self.feature_cols,
+            "target_cols": self.target_cols,
+        }
+
+    def _lag_names(self):
+        return [f"{c}__lag{s}" for c in self.feature_cols for s in range(self.lookback)]
+
+    def _lagged(self, X: DataFrame, ts_col: str) -> DataFrame:
+        """(ts, <c>__lag{0..L-1}...) — rows with a full window only."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy().orderBy(ts_col)
+        out = X.select(
+            ts_col,
+            F.row_number().over(w).alias("_rn"),
+            *[
+                F.lag(_q(c), s).over(w).alias(f"{c}__lag{s}")
+                for c in self.feature_cols
+                for s in range(self.lookback)
+            ],
+        )
+        return out.filter(F.col("_rn") >= self.lookback).drop("_rn")
+
+    def fit(self, X: DataFrame, y: DataFrame, ts_col: str = "ts") -> "LaggedLinearModel":
+        from pyspark.sql import Window
+
+        self.feature_cols = self.feature_cols or [c for c in X.columns if c != ts_col]
+        self.target_cols = self.target_cols or [c for c in y.columns if c != ts_col]
+        w = Window.partitionBy().orderBy(ts_col)
+        lagged = self._lagged(X, ts_col)
+        led = y.select(
+            ts_col,
+            *[
+                F.lead(_q(t), self.lookahead).over(w).alias(f"_led_{t}")
+                for t in self.target_cols
+            ],
+        )
+        frame = lagged.join(led, ts_col).dropna()
+        self._ols = LinearModel(self._lag_names(), self.target_cols)
+        self._ols.fit(
+            frame.select(ts_col, *[F.col(n) for n in self._lag_names()]),
+            frame.select(
+                ts_col, *[F.col(f"_led_{t}").alias(t) for t in self.target_cols]
+            ),
+        )
+        return self
+
+    def predict(
+        self, X: DataFrame, ts_col: str = "ts", prefix: str = "model_output__"
+    ) -> DataFrame:
+        """Output keyed by the TARGET timestamp (= window end + lookahead),
+        so downstream alignment is a plain ts join; emits exactly
+        len(X) - offset rows."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy().orderBy(ts_col)
+        lagged = self._lagged(X, ts_col).withColumn(
+            "_target_ts", F.lead(F.col(ts_col), self.lookahead).over(w)
+        )
+        return (
+            lagged.filter(F.col("_target_ts").isNotNull())
+            .select(F.col("_target_ts").alias(ts_col), *self._ols.predict_exprs(prefix))
+        )
