@@ -1,0 +1,71 @@
+"""Partitioned sensor-lake layout — the 100 TB storage story, concretely.
+
+The reference's providers pull tag series from a remote lake/Influx over a
+time range (gordo-core, via the train_start/train_end call sites —
+SURVEY.md §2.1 S1). At 100 TB the only thing that matters is that a
+machine's query touches just its slice: lay the long-form data out as
+
+    <root>/date=YYYY-MM-DD/part-*.parquet     (hive-style partition column)
+
+so Catalyst turns ``ts`` range predicates into PARTITION pruning (entire
+directories skipped, no footer even opened) and the ``tag isin`` filter
+into parquet row-group pruning within the surviving files. Writes
+repartition by (date, tag) and sort by (tag, ts) within partitions so each
+tag's series is contiguous — min/max row-group stats make tag pruning
+sharp and downstream per-tag windows read nearly-sorted runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_spark.sources.providers import DataProvider, register_provider
+
+
+def write_sensor_lake(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    files_per_date: int = 1,
+) -> None:
+    """Write long-form ``(tag, ts, value)`` as a date-partitioned lake.
+
+    ``files_per_date`` sizes output files (1 locally; on a cluster pick
+    total-bytes-per-date / 128 MB). The (tag, ts) sort within each file
+    gives contiguous per-tag runs -> sharp row-group stats.
+    """
+    (
+        df.withColumn("date", F.to_date("ts"))
+        .repartition(files_per_date, "date")
+        .sortWithinPartitions("date", "tag", "ts")
+        .write.mode(mode)
+        .partitionBy("date")
+        .parquet(path)
+    )
+
+
+@register_provider("SensorLakeProvider")
+class SensorLakeProvider(DataProvider):
+    """Reads a date-partitioned sensor lake with partition pruning.
+
+    The ts range is ALSO applied on the ``date`` partition column (derived
+    bounds) — Spark prunes partitions from the date predicate at planning
+    time, then applies the exact ts bounds to the surviving files.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def read(self, spark: SparkSession, tags, train_start_date=None, train_end_date=None):
+        df = spark.read.parquet(self.path)
+        if train_start_date is not None:
+            df = df.filter(F.col("date") >= F.to_date(F.lit(train_start_date)))
+            df = df.filter(F.col("ts") >= F.lit(train_start_date))
+        if train_end_date is not None:
+            # date is day-granular: keep the end day's partition, exact ts
+            # predicate trims the tail inside it
+            df = df.filter(F.col("date") <= F.to_date(F.lit(train_end_date)))
+            df = df.filter(F.col("ts") < F.lit(train_end_date))
+        if tags:
+            df = df.filter(F.col("tag").isin(list(tags)))
+        return df.select("tag", F.col("ts").cast("timestamp").alias("ts"), "value")
