@@ -53,18 +53,36 @@ def dataset_from_dict(d: dict) -> TimeSeriesDataset:
 
 
 def score_model(
-    model, test: DataFrame, targets: list[str], ts_col: str = "ts"
+    model,
+    test: DataFrame,
+    targets: list[str],
+    ts_col: str = "ts",
+    scale: dict[str, tuple[float, float]] | None = None,
 ) -> dict[str, dict[str, float]]:
     """M5 — mse/mae/r2/explained_variance per target plus the across-target
     mean, in ONE aggregation over the fold's test frame.
 
     ``test`` carries the feature columns plus targets renamed ``_yt_<t>``
     (targets default to the feature tags, so the rename avoids ambiguous
-    column references in the predict expressions)."""
+    column references in the predict expressions). ``scale`` is the
+    ``scoring_scaler`` stats ``{t: (center, spread)}`` applied to y and
+    y_hat before the metrics (reference gordo/builder/build_model.py:
+    377-446 — scaled metrics comparable across tags; r2/ev are affine-
+    invariant, mse/mae scale by 1/spread)."""
+
+    def _s(col, t):
+        if scale is None:
+            return col
+        a, b = scale[t]
+        return (col - F.lit(float(a))) / F.lit(float(b) if b else 1.0)
+
     pred = test.select(
         ts_col,
-        *[F.col(f"_yt_{t}").alias(f"_y_{t}") for t in targets],
-        *model.predict_exprs("_p_"),
+        *[_s(F.col(f"_yt_{t}"), t).alias(f"_y_{t}") for t in targets],
+        *[
+            _s(e, t).alias(f"_p_{t}")
+            for e, t in zip(model.predict_exprs("_p_"), targets)
+        ],
     )
     aggs = []
     for t in targets:
@@ -166,6 +184,7 @@ class ModelBuilder:
         )
         XY = X.join(yren, "ts").cache()
         folds_meta = split_metadata(XY, n_splits)
+        scoring_scaler = evaluation.get("scoring_scaler")
         scores = []
         for train, test in timeseries_split(XY, n_splits):
             fold_model = model_from_definition(m.model)
@@ -176,7 +195,23 @@ class ModelBuilder:
                     "ts", *[F.col(f"_yt_{t}").alias(t) for t in targets]
                 ),
             )
-            scores.append(score_model(base, test, targets))
+            scale = None
+            if scoring_scaler:
+                from gordo_spark.ml.scalers import MinMaxScalerExpr, RobustScalerExpr
+
+                cls = {"minmax": MinMaxScalerExpr, "robust": RobustScalerExpr}[
+                    scoring_scaler
+                ]
+                scale = (
+                    cls(targets)
+                    .fit(
+                        train.select(
+                            *[F.col(f"_yt_{t}").alias(t) for t in targets]
+                        )
+                    )
+                    .stats
+                )
+            scores.append(score_model(base, test, targets, scale=scale))
         if isinstance(model, DiffBasedAnomalyDetector):
             model.base.feature_cols = [c for c in X.columns if c != "ts"]
             model.base.target_cols = targets

@@ -25,6 +25,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--registry-dir", default=None, help="build-cache registry root")
     b.add_argument("--machine", default=None, help="build only this machine name")
     b.add_argument("--max-workers", type=int, default=4)
+    b.add_argument(
+        "--exceptions-reporter-file",
+        default=None,
+        help="write a JSON exception report here on failure "
+        "(reference: gordo/cli/exceptions_reporter.py)",
+    )
     args = p.parse_args(argv)
 
     from gordo_spark import get_spark
@@ -46,9 +52,20 @@ def main(argv: list[str] | None = None) -> int:
         results = build_machines(
             spark, machines, store, registry, max_workers=args.max_workers
         )
-    except InsufficientDataError as e:
-        print(f"InsufficientDataError: {e}", file=sys.stderr)
-        return 80
+    except Exception as e:  # noqa: BLE001 - exit-code map is the contract
+        code = 80 if isinstance(e, InsufficientDataError) else 1
+        if args.exceptions_reporter_file:
+            with open(args.exceptions_reporter_file, "w") as f:
+                json.dump(
+                    {
+                        "type": type(e).__name__,
+                        "message": str(e),
+                        "exit_code": code,
+                    },
+                    f,
+                )
+        print(f"{type(e).__name__}: {e}", file=sys.stderr)
+        return code
     for name, r in results.items():
         summary = {
             "name": name,

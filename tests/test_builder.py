@@ -87,3 +87,47 @@ def test_build_machines_concurrent(spark, machine, tmp_path):
     results = build_machines(spark, [machine, m2], store, max_workers=2)
     assert set(results) == {"test-machine", "second-machine"}
     assert all(not r.cached and r.path for r in results.values())
+
+
+def test_scoring_scaler_scales_mae_not_r2(spark, machine, tmp_path):
+    from gordo_spark.builder import ModelBuilder
+
+    plain = ModelBuilder(machine).build(spark)
+    machine.evaluation = {**machine.evaluation, "scoring_scaler": "robust"}
+    scaled = ModelBuilder(machine).build(spark)
+    s_p = plain.metadata["build-metadata"]["model"]["cross_validation"]["scores"]
+    s_s = scaled.metadata["build-metadata"]["model"]["cross_validation"]["scores"]
+    # r2 / explained variance are affine-invariant; mse/mae change scale
+    assert abs(s_p["r2-score"]["mean"] - s_s["r2-score"]["mean"]) < 1e-9
+    assert s_p["mean-absolute-error"]["mean"] != s_s["mean-absolute-error"]["mean"]
+
+
+def test_cli_exceptions_reporter_file(tmp_path):
+    import json as _json
+    import subprocess, sys, textwrap
+
+    cfg = tmp_path / "m.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            machines:
+              - name: too-small
+                dataset:
+                  tag_list: [click]
+                  resolution: "1H"
+                  n_samples_threshold: 10000000
+                  data_provider:
+                    type: EventsAsSensorProvider
+                    sf_dir: /root/testdata/sf0.001
+            """
+        )
+    )
+    report = tmp_path / "report.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "gordo_spark.cli", "build", "--config", str(cfg),
+         "--exceptions-reporter-file", str(report)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 80, r.stderr[-2000:]
+    rep = _json.loads(report.read_text())
+    assert rep["type"] == "InsufficientDataError" and rep["exit_code"] == 80
