@@ -1789,13 +1789,51 @@ FROM ranked WHERE rank <= 5
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-LSH ANN top-5 (rows-only: 2048 hyperplane literals
-    are not reasonably SQL-embeddable)."""
+    """Multi-table sign-LSH ANN top-5. The 24 hyperplane vectors are
+    deterministic (portable LCG), so the DuckDB oracle embeds the same
+    literals, generated from the same code."""
     from gordo_spark.operators.similarity import lsh_ann_topk
 
     embs = read_table(spark, sf_dir, "embeddings")
     out = lsh_ann_topk(embs, embs.filter(F.col("vec_id") < 10), k=5, bits=6, tables=4)
     return _r6(out, "cosine_sim")
+
+
+def _sim_ann_sql(bits: int = 6, tables: int = 4, dim: int = 64) -> str:
+    from gordo_spark.operators.similarity import hyperplanes
+
+    all_planes = [hyperplanes(dim, bits, seed=7 + 1000 * t) for t in range(tables)]
+    bucket_rows = []
+    for t in range(tables):
+        bits_sql = " + ".join(
+            f"(CASE WHEN list_dot_product(e, {all_planes[t][j]!r}::DOUBLE[]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        )
+        bucket_rows.append(f"SELECT vec_id, e, {t} AS tbl, {bits_sql} AS bkt FROM v")
+    banded = "\nUNION ALL\n".join(bucket_rows)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+banded AS ({banded}),
+q AS (SELECT tbl, bkt, vec_id AS query_id, e AS qv FROM banded WHERE vec_id < 10),
+scored AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id,
+         list_dot_product(q.qv, b.e)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+  FROM banded b JOIN q ON b.tbl = q.tbl AND b.bkt = q.bkt
+  WHERE b.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+O_SIM_ANN = _sim_ann_sql()
 
 
 def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1949,8 +1987,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_bpe": O_TEXT_BPE,
         "text_quality": O_TEXT_QUALITY,
         "sim_bruteforce": O_SIM_BRUTE,
+        "sim_ann_lsh": O_SIM_ANN,
         "sim_ivf": O_SIM_IVF,
-        # sim_ann_lsh: rows-only (hyperplane literals impractical in SQL)
         "mm_metadata": O_MM_METADATA,
         "mm_frame_sample": O_MM_FRAMES,
     }
