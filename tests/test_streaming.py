@@ -131,3 +131,68 @@ def test_ewma_stream_matches_pandas_across_batches(spark, sf_dir, tmp_path, even
     assert len(got) == len(pdf)
     exp = pdf["value"].ewm(span=12).mean()
     np.testing.assert_allclose(got["smooth_value"], exp, rtol=1e-9)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A record older than the watermark arriving in a later micro-batch
+    must not reopen its (already emitted) window — the streaming analogue
+    of the offline interpolation-limit late-data policy."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("tag", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = f"{tmp_path}/late_src"
+    first = pd.DataFrame(
+        {
+            "tag": "click",
+            "ts": pd.date_range("2024-01-01", periods=11, freq="1h"),
+            "value": [1.0] * 11,
+        }
+    )
+    second = pd.DataFrame(
+        {
+            "tag": "click",
+            "ts": pd.date_range("2024-01-02", periods=25, freq="1h"),
+            "value": [1.0] * 25,
+        }
+    )
+    late = pd.DataFrame(
+        {"tag": ["click"], "ts": [pd.Timestamp("2024-01-01 00:30:00")], "value": [100.0]}
+    )
+    import time as _time
+
+    # three files -> three micro-batches in modification-time order; the
+    # watermark computed from `second` (and applied one batch later) is
+    # active when the late record arrives
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(second, schema).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    wide = stream_resample_wide(stream, ["click"], resolution="1H", watermark="2H")
+    q = (
+        wide.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("late_test").toPandas()
+    first = got[got.ts == pd.Timestamp("2024-01-01 00:00:00")]
+    # exactly one emission for the first window, and the 100.0 late record
+    # did not contaminate it
+    assert len(first) == 1
+    assert first["click"].iloc[0] == 1.0
