@@ -143,19 +143,36 @@ class DiffBasedAnomalyDetector:
         smoothing_method: str = "smm",
         window: int = 144,
         require_thresholds: bool = False,
+        scaler: str = "minmax",
     ):
         self.base = base_estimator or LinearModel()
         self.smoothing_method = smoothing_method
         self.window = window
         self.require_thresholds = require_thresholds
-        self.scaler: MinMaxScalerExpr | None = None
+        if scaler not in ("minmax", "robust"):
+            raise ValueError(f"unknown scaler {scaler!r} (minmax|robust)")
+        self.scaler_kind = scaler
+        self.scaler = None
         self.tag_thresholds_: dict[str, float] | None = None
         self.total_threshold_: float | None = None
+
+    def _scaler_cls(self):
+        from gordo_spark.ml.scalers import RobustScalerExpr
+
+        return MinMaxScalerExpr if self.scaler_kind == "minmax" else RobustScalerExpr
+
+    def _spread(self, stat: tuple[float, float]) -> float:
+        """Error-scaling divisor from a stats tuple: max-min for minmax,
+        IQR for robust (1.0 when degenerate)."""
+        a, b = stat
+        if self.scaler_kind == "minmax":
+            return (b - a) if b != a else 1.0
+        return b if b else 1.0
 
     def fit(self, X: DataFrame, y: DataFrame, ts_col: str = "ts") -> "DiffBasedAnomalyDetector":
         self.base.fit(X, y, ts_col)
         # scaler fit on y AFTER training (diff.py:166-174)
-        self.scaler = MinMaxScalerExpr(self.base.target_cols).fit(y)
+        self.scaler = self._scaler_cls()(self.base.target_cols).fit(y)
         return self
 
     def cross_validate(
@@ -175,14 +192,13 @@ class DiffBasedAnomalyDetector:
             last_train.select(ts_col, *[_q(c).alias(c) for c in fold_model.feature_cols]),
             last_train.select(ts_col, *[F.col(f"_yt_{t}").alias(t) for t in targets]),
         )
-        scaler = MinMaxScalerExpr(targets).fit(
+        scaler = self._scaler_cls()(targets).fit(
             last_train.select(*[F.col(f"_yt_{t}").alias(t) for t in targets])
         )
         pred = last_test.select(ts_col, *fold_model.predict_exprs("p__"), *[F.col(f"_yt_{t}").alias(t) for t in targets])
         err_cols = []
         for t in targets:
-            mn, mx = scaler.stats[t]
-            rng = (mx - mn) if mx != mn else 1.0
+            rng = self._spread(scaler.stats[t])
             err_cols.append(
                 (F.abs(F.col(f"p__{t}") - _q(t)) / F.lit(rng)).alias(f"err__{t}")
             )
@@ -198,6 +214,17 @@ class DiffBasedAnomalyDetector:
         self.total_threshold_ = th["err__total"]
         return self
 
+    def _affine_stats(self) -> dict | None:
+        """Scaler stats in the (min, max) shape anomaly_frame consumes:
+        robust (median, IQR) maps to (med, med+IQR) so the divisor is IQR."""
+        if self.scaler is None:
+            return None
+        if self.scaler_kind == "minmax":
+            return self.scaler.stats
+        return {
+            t: (a, a + (b if b else 1.0)) for t, (a, b) in self.scaler.stats.items()
+        }
+
     def into_definition(self) -> dict:
         return {
             "kind": type(self).__name__,
@@ -205,6 +232,7 @@ class DiffBasedAnomalyDetector:
             "smoothing_method": self.smoothing_method,
             "window": self.window,
             "require_thresholds": self.require_thresholds,
+            "scaler": self.scaler_kind,
         }
 
     def anomaly(self, X: DataFrame, y: DataFrame, resolution: str = "10T", ts_col: str = "ts") -> DataFrame:
@@ -235,7 +263,7 @@ class DiffBasedAnomalyDetector:
             aligned,
             targets,
             resolution=resolution,
-            scaler_stats=self.scaler.stats if self.scaler else None,
+            scaler_stats=self._affine_stats(),
             smoothing_method=self.smoothing_method,
             smoothing_window=self.window,
             thresholds=self.tag_thresholds_,
@@ -292,7 +320,7 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
         )
         w = Window.partitionBy().orderBy(ts_col)
         data = wide.withColumn("_fold", (F.row_number().over(w) - 1) % k).cache()
-        scaler = MinMaxScalerExpr(targets).fit(
+        scaler = self._scaler_cls()(targets).fit(
             data.select(*[F.col(f"_yt_{t}").alias(t) for t in targets])
         )
 
@@ -307,8 +335,7 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
             test = data.filter(F.col("_fold") == f)
             err_cols = []
             for t in targets:
-                mn, mx = scaler.stats[t]
-                rng = (mx - mn) if mx != mn else 1.0
+                rng = self._spread(scaler.stats[t])
                 pred_expr = F.lit(float(fold_model.coef_[0, targets.index(t)]))
                 for i, c in enumerate(feats):
                     pred_expr = pred_expr + F.lit(

@@ -71,14 +71,44 @@ class TimeSeriesDataset:
     def all_tags(self) -> list[str]:
         return list(dict.fromkeys(self.tag_list + (self.target_tag_list or [])))
 
+    @property
+    def _agg_list(self) -> list[str]:
+        m = self.aggregation_methods
+        return [m] if isinstance(m, str) else list(m)
+
+    def _expand(self, tags: list[str]) -> list[str]:
+        """Wide-column names: plain tag for a single aggregation, else one
+        ``<tag>__<agg>`` column per (tag, agg) — the reference's MultiIndex
+        (tag, aggregation_method) columns flattened
+        (gordo-core list-aggregation surface, SURVEY.md §2.3 J1)."""
+        aggs = self._agg_list
+        if len(aggs) == 1:
+            return tags
+        return [f"{t}__{a}" for t in tags for a in aggs]
+
     def long_resampled(self, spark: SparkSession) -> DataFrame:
         """Scan -> resample, still long ``(tag, ts, value)``. This is the
         expensive shared prefix (full scan + the one aggregation shuffle) —
-        multi-machine plans share it across machines (see plans.multi)."""
+        multi-machine plans share it across machines (see plans.multi).
+
+        With a list of aggregation_methods the resampled frame is melted
+        back to long with synthetic ``<tag>__<agg>`` tag names, so the rest
+        of the plan (grid/interpolate/pivot) is aggregation-agnostic."""
+        from pyspark.sql import functions as F
+
         raw = self.provider().read(
             spark, self.all_tags, self.train_start_date, self.train_end_date
         )
-        return resample_aggregate(raw, self.resolution, self.aggregation_methods)
+        res = resample_aggregate(raw, self.resolution, self.aggregation_methods)
+        aggs = self._agg_list
+        if len(aggs) == 1:
+            return res
+        pairs = ", ".join(f"'{a}', `value_{a}`" for a in aggs)
+        return res.select(
+            "tag", "ts", F.expr(f"stack({len(aggs)}, {pairs}) AS (agg, value)")
+        ).select(
+            F.concat_ws("__", F.col("tag"), F.col("agg")).alias("tag"), "ts", "value"
+        )
 
     def fill(self, res: DataFrame) -> DataFrame:
         """Regularize to the dense grid and interpolate bounded gaps. Runs
@@ -97,7 +127,7 @@ class TimeSeriesDataset:
 
     def finalize_wide(self, filled: DataFrame) -> DataFrame:
         """The per-machine tail: pivot -> inner align -> period/row filters."""
-        tags = self.all_tags
+        tags = self._expand(self.all_tags)
         wide = inner_align(pivot_wide(filled, tags), tags)
         if self.known_filter_periods:
             wide = known_filter_periods(wide, self.known_filter_periods)
@@ -124,4 +154,8 @@ class TimeSeriesDataset:
         """(X, y) — the reference's dataset.get_data() parity point."""
         wide = self.wide_frame(spark)
         wide = require_n_samples(wide, self.n_samples_threshold)
-        return split_xy(wide, self.tag_list, self.target_tag_list)
+        return split_xy(
+            wide,
+            self._expand(self.tag_list),
+            self._expand(self.target_tag_list) if self.target_tag_list else None,
+        )

@@ -128,3 +128,39 @@ def test_shared_wide_frames_match_solo_plans(spark, sf_dir):
         solo = ds.wide_frame(spark).toPandas().sort_values("ts").reset_index(drop=True)
         multi = shared[name].toPandas().sort_values("ts").reset_index(drop=True)
         pd.testing.assert_frame_equal(solo, multi, check_like=True)
+
+
+def test_multi_aggregation_wide_frame(spark, sf_dir):
+    """aggregation_methods list -> one wide column per (tag, agg), matching
+    pandas resample().agg(list) values."""
+    ds = TimeSeriesDataset(
+        tag_list=["click", "view"],
+        resolution="1H",
+        aggregation_methods=["mean", "max"],
+        interpolation_method="ffill",
+        interpolation_limit="6H",
+        data_provider={"type": "EventsAsSensorProvider", "sf_dir": sf_dir},
+    )
+    X, y = ds.get_data(spark)
+    assert set(X.columns) == {
+        "ts", "click__mean", "click__max", "view__mean", "view__max"
+    }
+    got = X.toPandas().sort_values("ts").reset_index(drop=True)
+
+    from gordo_spark.sources.providers import EventsAsSensorProvider
+
+    long = EventsAsSensorProvider(sf_dir).read(spark, ["click", "view"]).toPandas()
+    exp = (
+        long.set_index("ts")
+        .groupby("tag")["value"]
+        .resample("1h")
+        .agg(["mean", "max"])
+        .dropna()
+    )
+    for tag in ["click", "view"]:
+        e = exp.loc[tag]
+        sub = got.set_index("ts")
+        joined = sub.join(e, how="inner")
+        assert len(joined) > 50
+        np.testing.assert_allclose(joined[f"{tag}__mean"], joined["mean"], rtol=1e-9)
+        np.testing.assert_allclose(joined[f"{tag}__max"], joined["max"], rtol=1e-9)

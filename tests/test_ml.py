@@ -249,3 +249,35 @@ def test_lagged_model_roundtrip_definition():
     assert m.offset == 4
     d = model_into_definition(m)
     assert d["lookback"] == 5 and d["lookahead"] == 0
+
+
+def test_detector_robust_scaler_option(spark, sf_dir):
+    from gordo_spark.ml.models import DiffBasedAnomalyDetector
+    from gordo_spark.plans import TimeSeriesDataset
+
+    ds = TimeSeriesDataset(
+        tag_list=["click", "view"],
+        target_tag_list=["purchase"],
+        resolution="1H",
+        interpolation_method="ffill",
+        interpolation_limit="6H",
+        data_provider={"type": "EventsAsSensorProvider", "sf_dir": sf_dir},
+    )
+    X, y = ds.get_data(spark)
+    det = DiffBasedAnomalyDetector(window=6, scaler="robust")
+    det.base.feature_cols = ["click", "view"]
+    det.base.target_cols = ["purchase"]
+    det.fit(X, y)
+    frame = det.anomaly(X, y, resolution="1H").toPandas().dropna()
+    # scaled error must be |err_unscaled| / IQR with robust stats
+    med, iqr = det.scaler.stats["purchase"]
+    import numpy as np
+
+    np.testing.assert_allclose(
+        frame["tag_anomaly_scaled__purchase"],
+        frame["tag_anomaly_unscaled__purchase"] / iqr,
+        rtol=1e-9,
+    )
+    assert det.into_definition()["scaler"] == "robust"
+    with pytest.raises(ValueError, match="unknown scaler"):
+        DiffBasedAnomalyDetector(scaler="zscore")
