@@ -92,7 +92,8 @@ def shared_wide_frames(
         if cache and len(members) > 1:
             res = res.cache()
         for name, ds in members.items():
-            part = res.filter(F.col("tag").isin(ds.all_tags))
+            # multi-aggregation plans melt to <tag>__<agg> series names
+            part = res.filter(F.col("tag").isin(ds._expand(ds.all_tags)))
             if ds.train_start_date is not None:
                 part = part.filter(F.col("ts") >= F.lit(ds.train_start_date))
             if ds.train_end_date is not None:

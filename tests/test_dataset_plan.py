@@ -164,3 +164,25 @@ def test_multi_aggregation_wide_frame(spark, sf_dir):
         assert len(joined) > 50
         np.testing.assert_allclose(joined[f"{tag}__mean"], joined["mean"], rtol=1e-9)
         np.testing.assert_allclose(joined[f"{tag}__max"], joined["max"], rtol=1e-9)
+
+
+def test_shared_wide_frames_multi_agg(spark, sf_dir):
+    from gordo_spark.plans.multi import shared_wide_frames
+
+    common = dict(
+        resolution="1H",
+        aggregation_methods=["mean", "max"],
+        interpolation_method="ffill",
+        interpolation_limit="6H",
+        data_provider={"type": "EventsAsSensorProvider", "sf_dir": sf_dir},
+    )
+    datasets = {
+        "a": TimeSeriesDataset(tag_list=["click"], **common),
+        "b": TimeSeriesDataset(tag_list=["click", "view"], **common),
+    }
+    shared = shared_wide_frames(spark, datasets)
+    for name, ds in datasets.items():
+        solo = ds.wide_frame(spark).toPandas().sort_values("ts").reset_index(drop=True)
+        multi = shared[name].toPandas().sort_values("ts").reset_index(drop=True)
+        assert len(solo) > 50
+        pd.testing.assert_frame_equal(solo, multi, check_like=True)
