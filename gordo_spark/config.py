@@ -27,6 +27,17 @@ from gordo_spark.functions.timeutil import offset_alias_to_seconds
 _NAME_RE = re.compile(r"^[a-z0-9]([a-z0-9\-]{0,61}[a-z0-9])?$")
 
 
+def _maybe_yaml(v):
+    """Reference configs embed YAML documents as string field values."""
+    if isinstance(v, str) and ("\n" in v or ": " in v):
+        import yaml
+
+        parsed = yaml.safe_load(v)
+        if isinstance(parsed, dict):
+            return parsed
+    return v
+
+
 def patch_dict(base: dict, patch: dict) -> dict:
     """Add-or-replace-only recursive dict union (globals ⊕ machine)."""
     out = dict(base)
@@ -90,12 +101,17 @@ class Machine:
 
     @classmethod
     def from_config(cls, machine_dict: dict, globals_dict: dict | None = None) -> "Machine":
-        g = globals_dict or {}
-        d = dict(machine_dict)
-        d["dataset"] = patch_dict(g.get("dataset", {}), d.get("dataset", {}))
+        g = {k: _maybe_yaml(v) for k, v in (globals_dict or {}).items()}
+        # the reference allows per-machine YAML-in-string fields
+        # (gordo/machine/loader.py:39-116) and a `tags` alias for tag_list
+        d = {k: _maybe_yaml(v) for k, v in machine_dict.items()}
+        d["dataset"] = patch_dict(g.get("dataset", {}), d.get("dataset") or {})
+        ds = d["dataset"]
+        if "tags" in ds and "tag_list" not in ds:
+            ds["tag_list"] = ds.pop("tags")
         d["model"] = d.get("model") or g.get("model") or {"kind": "LinearModel"}
-        d["evaluation"] = patch_dict(g.get("evaluation", {}), d.get("evaluation", {}))
-        d["runtime"] = patch_dict(g.get("runtime", {}), d.get("runtime", {}))
+        d["evaluation"] = patch_dict(g.get("evaluation", {}), d.get("evaluation") or {})
+        d["runtime"] = patch_dict(g.get("runtime", {}), d.get("runtime") or {})
         m = cls(
             name=validate_name(d["name"]),
             dataset=d["dataset"],
@@ -125,7 +141,13 @@ class Machine:
 
 
 def load_machines(config: dict) -> list[Machine]:
-    """Multi-machine config: ``{machines: [...], globals: {...}}``."""
+    """Multi-machine config: ``{machines: [...], globals: {...}}``. Also
+    accepts the reference's Gordo CRD wrapper
+    (``{apiVersion, kind: Gordo, spec: {config: {...}}}``,
+    examples/config.yaml in /root/reference) so existing configs load
+    unchanged."""
+    if "spec" in config and "machines" not in config:
+        config = config.get("spec", {}).get("config", config)
     g = config.get("globals", {})
     return [Machine.from_config(m, g) for m in config.get("machines", [])]
 

@@ -186,3 +186,22 @@ def test_sensor_lake_partition_pruning(spark, sf_dir, tmp_path):
 
     scanned = got.select(F2.input_file_name()).distinct().count()
     assert 0 < scanned <= 4  # 3.5-day range -> at most 4 of the 30 partitions
+
+
+def test_reference_shaped_crd_config_loads(spark, tmp_path):
+    """The reference's Gordo-CRD config shape (YAML-in-string fields, tags
+    alias, globals patching) loads and builds unchanged."""
+    from gordo_spark.builder import build_machines
+    from gordo_spark.config import load_yaml_config
+
+    machines = load_yaml_config("/root/repo/examples/machines.yaml")
+    assert [m.name for m in machines] == ["ct-23-0001", "ct-23-0002"]
+    m1, m2 = machines
+    assert m1.dataset["tag_list"] == ["click", "view"]
+    assert m1.dataset["resolution"] == "1H"  # from string-valued globals
+    assert m2.dataset["resolution"] == "2H"  # per-machine override wins
+    assert m2.model["kind"] == "DiffBasedAnomalyDetector"
+    results = build_machines(spark, machines)
+    assert set(results) == {"ct-23-0001", "ct-23-0002"}
+    th = results["ct-23-0002"].metadata["build-metadata"]["model"]["thresholds"]
+    assert set(th["tags"]) == {"click", "purchase"}
