@@ -1041,6 +1041,75 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share — TPC-H Q8: conditional-sum ratio per year
+    over a six-table join (all dims broadcast)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    part = read_table(spark, sf_dir, "part")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+    )
+    return _r6(out, "mkt_share")
+
+
+O_TPCH_Q8 = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+  AND p_type = 'STANDARD'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item revenue top 20 — TPC-H Q10 (join + agg + top-k)."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -1906,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
@@ -1964,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": O_TPCH_Q5,
         "tpch_q6": O_TPCH_Q6,
         "tpch_q7": O_TPCH_Q7,
+        "tpch_q8": O_TPCH_Q8,
         "tpch_q10": O_TPCH_Q10,
         "tpch_q13": O_TPCH_Q13,
         "tpch_q14": O_TPCH_Q14,

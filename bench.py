@@ -24,6 +24,7 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
+    "tpch_q8",
     "tpch_q10",
     "tpch_q13",
     "tpch_q14",
@@ -39,6 +40,7 @@ HEADLINE = [
     "w1_smm",
     "w3_ewma",
     "m6_anomaly",
+    "m6_anomaly_scaled",
     "a9_explained_variance",
     "o5_distinct",
     "dedup_exact",
