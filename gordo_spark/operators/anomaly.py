@@ -63,25 +63,34 @@ def anomaly_frame(
     thresholds: Mapping[str, float] | None = None,
     total_threshold: float | None = None,
     ts_col: str = "ts",
+    y_prefix: str | None = None,
 ) -> DataFrame:
     """Compute the full anomaly column block.
 
-    ``aligned`` must carry ``ts``, one ``<tag>`` column per target tag (the
-    y side) and one ``<output_prefix><tag>`` column per tag (the model
-    output side), already tail-aligned (operators.align.tail_align).
+    ``aligned`` must carry ``ts``, one ``<tag>`` column per target tag and
+    one ``<output_prefix><tag>`` column per tag (the model output side),
+    already tail-aligned (operators.align.tail_align).
+    ``y_prefix``: when set, the truth side of the error is the
+    ``<y_prefix><tag>`` columns (a caller-supplied y differing from the
+    model-input tags, diff.py:356-359 uses y); default: the ``<tag>``
+    columns serve as both model_input and truth (autoencoder case).
     ``scaler_stats``: per-tag (min, max) from train time; None disables the
     scaled block. ``thresholds``/``total_threshold``: broadcast scalars from
     CV; None disables confidences.
     """
+
+    def ycol(t: str) -> Column:
+        return F.col(f"`{y_prefix}{t}`") if y_prefix else F.col("`" + t + "`")
+
     cols: list[Column] = [
         F.col(ts_col).alias("start"),
         (F.col(ts_col) + F.expr(offset_alias_to_interval(resolution))).alias("end"),
     ]
     for t in tags:
-        cols.append(F.col(t).alias(f"model_input__{t}"))
-        cols.append(F.col(f"{output_prefix}{t}").alias(f"model_output__{t}"))
+        cols.append(F.col("`" + t + "`").alias(f"model_input__{t}"))
+        cols.append(F.col(f"`{output_prefix}{t}`").alias(f"model_output__{t}"))
 
-    err_u = {t: F.abs(F.col(f"{output_prefix}{t}") - F.col(t)) for t in tags}
+    err_u = {t: F.abs(F.col(f"`{output_prefix}{t}`") - ycol(t)) for t in tags}
     for t in tags:
         cols.append(err_u[t].alias(f"tag_anomaly_unscaled__{t}"))
     cols.append(row_mean_square([err_u[t] for t in tags]).alias("total_anomaly_unscaled"))
@@ -89,8 +98,8 @@ def anomaly_frame(
     if scaler_stats is not None:
         err_s = {
             t: F.abs(
-                scale_minmax(F.col(f"{output_prefix}{t}"), *scaler_stats[t])
-                - scale_minmax(F.col(t), *scaler_stats[t])
+                scale_minmax(F.col(f"`{output_prefix}{t}`"), *scaler_stats[t])
+                - scale_minmax(ycol(t), *scaler_stats[t])
             )
             for t in tags
         }
@@ -110,24 +119,44 @@ def anomaly_frame(
             fn = SMOOTHERS[smoothing_method]
             w = Window.partitionBy().orderBy("start")
             out = out.select(
-                *[out[c] for c in out.columns],
+                *[F.col("`" + c + "`") for c in out.columns],
                 *[fn(c, smoothing_window, w).alias(f"smooth_{c}") for c in smooth_cols],
             )
 
     if thresholds is not None:
+        # `is not None`, not truthiness: a legitimately-zero threshold
+        # (exact-fit fold) must still emit its confidence column, or the
+        # output schema would change shape with the data. Zero thresholds
+        # reproduce the reference's float division (inf, NaN for 0/0)
+        # explicitly — ANSI mode would otherwise raise DIVIDE_BY_ZERO.
+        def _conf(err: Column, th: float) -> Column:
+            if th == 0:
+                return F.when(err > 0, F.lit(float("inf"))).when(
+                    err == 0, F.lit(float("nan"))
+                )
+            return err / F.lit(float(th))
+
         conf = [
-            (F.col(f"tag_anomaly_scaled__{t}" if scaler_stats else f"tag_anomaly_unscaled__{t}")
-             / F.lit(float(thresholds[t]))).alias(f"anomaly_confidence__{t}")
+            _conf(
+                F.col(
+                    f"`tag_anomaly_scaled__{t}`"
+                    if scaler_stats
+                    else f"`tag_anomaly_unscaled__{t}`"
+                ),
+                float(thresholds[t]),
+            ).alias(f"anomaly_confidence__{t}")
             for t in tags
-            if thresholds.get(t)
+            if thresholds.get(t) is not None
         ]
         extra = list(conf)
-        if total_threshold:
+        if total_threshold is not None:
             extra.append(
-                (F.col("total_anomaly_scaled" if scaler_stats else "total_anomaly_unscaled")
-                 / F.lit(float(total_threshold))).alias("total_anomaly_confidence")
+                _conf(
+                    F.col("total_anomaly_scaled" if scaler_stats else "total_anomaly_unscaled"),
+                    float(total_threshold),
+                ).alias("total_anomaly_confidence")
             )
-        out = out.select(*[out[c] for c in out.columns], *extra)
+        out = out.select(*[F.col("`" + c + "`") for c in out.columns], *extra)
     return out
 
 
@@ -144,7 +173,9 @@ def fold_threshold(
     rolled = validation_err.select(
         *[rolling_min(c, roll, w).alias(c) for c in cols]
     )
-    row = rolled.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
+    row = rolled.agg(
+        *[F.max(F.col("`" + c + "`")).alias(c) for c in cols]
+    ).collect()[0]
     return {c: row[c] for c in cols}
 
 

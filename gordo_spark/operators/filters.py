@@ -98,19 +98,27 @@ def filter_periods(
     part = Window.partitionBy(machine_col) if machine_col else Window.partitionBy()
     w = part.orderBy(ts_col).rowsBetween(-(window - 1), 0)
     out = df
+    # ONE aggregation job for all columns' quartiles, not one per column
+    quart_aggs = []
+    for c in value_cols:
+        quart_aggs += [
+            F.expr(f"percentile(`{c}`, 0.25)").alias(f"_q1_{c}"),
+            F.expr(f"percentile(`{c}`, 0.75)").alias(f"_q3_{c}"),
+        ]
+    stats = out.agg(*quart_aggs).collect()[0]
     flags = []
-    for i, c in enumerate(value_cols):
-        q1 = F.expr(f"percentile(`{c}`, 0.25)")
-        q3 = F.expr(f"percentile(`{c}`, 0.75)")
-        stats = out.agg(q1.alias("_q1"), q3.alias("_q3")).collect()[0]
-        iqr = stats["_q3"] - stats["_q1"]
+    for c in value_cols:
+        q1v, q3v = stats[f"_q1_{c}"], stats[f"_q3_{c}"]
+        iqr = q3v - q1v
         if filter_method in ("median", "all"):
             med = F.expr(f"percentile(`{c}`, 0.5)").over(w)
-            flags.append(F.abs(F.col(c) - med) > F.lit(n_iqr * iqr))
+            flags.append(F.abs(F.col("`" + c + "`") - med) > F.lit(n_iqr * iqr))
         if filter_method in ("iqr", "all"):
-            lo = stats["_q1"] - n_iqr * iqr
-            hi = stats["_q3"] + n_iqr * iqr
-            flags.append((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)))
+            lo = q1v - n_iqr * iqr
+            hi = q3v + n_iqr * iqr
+            flags.append(
+                (F.col("`" + c + "`") < F.lit(lo)) | (F.col("`" + c + "`") > F.lit(hi))
+            )
     flagged = flags[0]
     for fl in flags[1:]:
         flagged = flagged | fl

@@ -32,21 +32,21 @@ def _trailing(w_order: WindowSpec, window: int) -> WindowSpec:
 
 def sma(col: str, window: int, w_order: WindowSpec) -> Column:
     frame = _trailing(w_order, window)
-    full = F.count(F.col(col)).over(frame) >= window
-    return F.when(full, F.avg(F.col(col)).over(frame))
+    full = F.count(F.col("`" + col + "`")).over(frame) >= window
+    return F.when(full, F.avg(F.col("`" + col + "`")).over(frame))
 
 
 def smm(col: str, window: int, w_order: WindowSpec) -> Column:
     frame = _trailing(w_order, window)
-    full = F.count(F.col(col)).over(frame) >= window
+    full = F.count(F.col("`" + col + "`")).over(frame) >= window
     return F.when(full, F.expr(f"percentile(`{col}`, 0.5)").over(frame))
 
 
 def rolling_min(col: str, window: int, w_order: WindowSpec) -> Column:
     """W4 — trailing rolling min (threshold calc), min_periods=window."""
     frame = _trailing(w_order, window)
-    full = F.count(F.col(col)).over(frame) >= window
-    return F.when(full, F.min(F.col(col)).over(frame))
+    full = F.count(F.col("`" + col + "`")).over(frame) >= window
+    return F.when(full, F.min(F.col("`" + col + "`")).over(frame))
 
 
 SMOOTHERS = {"smm": smm, "sma": sma}

@@ -61,15 +61,41 @@ def shared_wide_frames(
     Only scan -> resample is shared; regularize/interpolate run per machine
     AFTER its range clip, so gap fills never use anchors a solo scan would
     not have seen — per-machine output is bit-identical to the solo plan
-    (oracle-tested). Machines whose range bounds are not grid-aligned may
-    include the partial boundary bucket, same as the solo plan's
-    left-closed bucketing.
+    (oracle-tested). Machines whose range bounds do not sit on the
+    resolution grid fall back to their solo plan (see _grid_aligned), so
+    the bit-parity guarantee holds unconditionally.
     """
+    from gordo_spark.functions.timeutil import offset_alias_to_seconds
+
+    def _grid_aligned(ds: TimeSeriesDataset) -> bool:
+        """Sharing is bit-exact only when the machine's range bounds sit on
+        the resolution grid — a mid-bucket bound makes the solo plan's
+        boundary bucket aggregate a partial window the shared scan cannot
+        reproduce after resampling. Misaligned machines run solo."""
+        import pandas as pd
+
+        secs = int(offset_alias_to_seconds(ds.resolution))
+        for bound in (ds.train_start_date, ds.train_end_date):
+            if bound is None:
+                continue
+            ts = pd.Timestamp(bound)
+            if ts.tzinfo is not None:
+                ts = ts.tz_convert("UTC").tz_localize(None)
+            if int(ts.timestamp()) % secs != 0:
+                return False
+        return True
+
     groups: dict[str, list[str]] = defaultdict(list)
+    solo: list[str] = []
     for name, ds in datasets.items():
-        groups[_plan_key(ds)].append(name)
+        if _grid_aligned(ds):
+            groups[_plan_key(ds)].append(name)
+        else:
+            solo.append(name)
 
     frames: dict[str, DataFrame] = {}
+    for name in solo:
+        frames[name] = datasets[name].wide_frame(spark)
     for names in groups.values():
         members = {n: datasets[n] for n in names}
         all_tags = list(

@@ -65,8 +65,11 @@ def machine_record(machine_name: str, metadata: dict) -> dict:
 
 @register_reporter("PostgresReporter")
 class PostgresReporter(Reporter):
-    """Upsert the machine record over JDBC. Overwrite-by-key: delete the
-    name's row then append (JDBC has no native upsert across engines)."""
+    """Append-log of machine records over JDBC, stamped with build_time —
+    Spark's JDBC writer has no cross-engine upsert, so latest-wins is the
+    read-side contract: ``SELECT DISTINCT ON (name) ... ORDER BY name,
+    build_time DESC`` gives the reference's one-record-per-machine view
+    (its table upserts in-place; ours keeps build history)."""
 
     def __init__(self, url: str, table: str = "machine", properties: dict | None = None):
         self.url = url
@@ -74,7 +77,9 @@ class PostgresReporter(Reporter):
         self.properties = properties or {"driver": "org.postgresql.Driver"}
 
     def report(self, spark: SparkSession, machine_name: str, metadata: dict) -> None:
-        record = machine_record(machine_name, metadata)
+        import time
+
+        record = {**machine_record(machine_name, metadata), "build_time": time.time()}
         df = spark.createDataFrame([record])
         df.write.mode("append").jdbc(self.url, self.table, properties=self.properties)
 

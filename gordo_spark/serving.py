@@ -33,14 +33,23 @@ _N_CACHED_MODELS = 2
 
 
 @lru_cache(maxsize=_N_CACHED_MODELS)
+def _load_cached(store_root: str, name: str, revision: str):
+    return ModelStore(store_root).load(name, revision)
+
+
 def _load(store_root: str, name: str, revision: str | None):
-    model, metadata = ModelStore(store_root).load(name, revision)
-    return model, metadata
+    """Resolve revision=None to the CURRENT latest before the cache lookup —
+    caching on the None key would pin the first-loaded model forever while
+    responses report newer revisions."""
+    rev = revision or ModelStore(store_root).latest_revision()
+    if rev is None:
+        raise FileNotFoundError(f"no revisions in {store_root}")
+    model, metadata = _load_cached(store_root, name, rev)
+    return model, metadata, rev
 
 
 def metadata_response(store_root: str, name: str, revision: str | None = None) -> dict:
-    _, metadata = _load(store_root, name, revision)
-    rev = revision or ModelStore(store_root).latest_revision()
+    _, metadata, rev = _load(store_root, name, revision)
     return {"metadata": metadata, "revision": rev, "name": name}
 
 
@@ -64,11 +73,10 @@ def prediction_response(
     revision: str | None = None,
 ) -> dict:
     """Base prediction: model output keyed by ts."""
-    model, _ = _load(store_root, name, revision)
+    model, _, rev = _load(store_root, name, revision)
     base = getattr(model, "base", model)
     X, _y = _frames(spark, model, payload, need_y=False)
     out = base.predict(X)
-    rev = revision or ModelStore(store_root).latest_revision()
     return {"data": dataframe_to_dict(out), "revision": rev, "name": name}
 
 
@@ -85,7 +93,7 @@ def anomaly_response(
     (gordo/server/blueprints/anomaly.py:17-22,57-62). ``resolution``
     defaults to the trained dataset's resolution from metadata
     (gordo/server/properties.py:45-49)."""
-    model, metadata = _load(store_root, name, revision)
+    model, metadata, rev = _load(store_root, name, revision)
     if resolution is None:
         resolution = (
             metadata.get("build-metadata", {})
@@ -96,5 +104,4 @@ def anomaly_response(
     out = model.anomaly(X, y, resolution=resolution)
     if not all_columns:
         out = out.drop(*[c for c in out.columns if c.startswith("smooth_")])
-    rev = revision or ModelStore(store_root).latest_revision()
     return {"data": dataframe_to_dict(out, ts_col="start"), "revision": rev, "name": name}

@@ -31,6 +31,11 @@ def dataframe_from_dict(spark: SparkSession, data: dict | list, ts_col: str = "t
     dicts; index parsed as ISO datetimes when possible, rows sorted."""
     if isinstance(data, list):
         pdf = pd.DataFrame(data, columns=[f"c{i}" for i in range(len(data[0]))])
+        # positional payloads carry no timestamps: the row position IS the
+        # key (the reference parses such indexes as ints,
+        # gordo/server/utils.py:145-195) — keep it as an integer ts so
+        # downstream joins/predict still have a key column
+        pdf.insert(0, ts_col, range(len(pdf)))
     else:
         pdf = pd.DataFrame.from_dict(data)
         try:
@@ -49,7 +54,10 @@ def dataframe_to_dict(df: DataFrame, ts_col: str = "ts") -> dict:
     pdf = df.toPandas()
     if ts_col in pdf.columns:
         pdf = pdf.set_index(ts_col)
-        pdf.index = pdf.index.map(lambda t: t.isoformat())
+        # positional payloads carry integer row keys, not timestamps
+        pdf.index = pdf.index.map(
+            lambda t: t.isoformat() if hasattr(t, "isoformat") else t
+        )
     for col in pdf.columns:
         if pd.api.types.is_datetime64_any_dtype(pdf[col]):
             pdf[col] = pdf[col].map(lambda t: t.isoformat())

@@ -123,9 +123,11 @@ def test_json_roundtrip(spark):
 
 def test_positional_json_and_verify_columns(spark):
     df = dataframe_from_dict(spark, [[1.0, 2.0], [3.0, 4.0]])
-    assert df.columns == ["c0", "c1"]
+    # positional payloads get a synthetic integer row-position ts key
+    assert df.columns == ["ts", "c0", "c1"]
+    assert df.toPandas()["ts"].tolist() == [0, 1]
     renamed = verify_columns(df, ["tag-x", "tag-y"])
-    assert renamed.columns == ["tag-x", "tag-y"]
+    assert renamed.columns == ["ts", "tag-x", "tag-y"]
     with pytest.raises(ValueError):
         verify_columns(df, ["only-one-expected"])
 

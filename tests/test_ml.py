@@ -281,3 +281,27 @@ def test_detector_robust_scaler_option(spark, sf_dir):
     assert det.into_definition()["scaler"] == "robust"
     with pytest.raises(ValueError, match="unknown scaler"):
         DiffBasedAnomalyDetector(scaler="zscore")
+
+
+def test_dotted_and_spaced_tag_names_end_to_end(spark, sensor_df):
+    """Tags like 'GRA-TE  -23-0733.PV' (dots + spaces, explicitly supported
+    per the reference's tag naming) must flow through fit/CV/anomaly."""
+    from gordo_spark.ml.models import DiffBasedAnomalyDetector
+    from gordo_spark.operators import (
+        inner_align, pivot_wide, regularize_grid, resample_aggregate, interpolate, split_xy,
+    )
+
+    tags = ["tag-0", "GRA-TE  -23-0733.PV"]
+    res = resample_aggregate(sensor_df.filter(F.col("tag").isin(tags)), "10T", "mean")
+    filled = interpolate(regularize_grid(res, "10T"), "10T", "ffill", "1H")
+    wide = inner_align(pivot_wide(filled, tags), tags)
+    X, y = split_xy(wide, tags)
+    det = DiffBasedAnomalyDetector(window=6)
+    det.base.feature_cols = tags
+    det.base.target_cols = tags
+    det.fit(X, y)
+    det.cross_validate(X, y, n_splits=3)
+    out = det.anomaly(X, y, resolution="10T")
+    cols = set(out.columns)
+    assert "tag_anomaly_scaled__GRA-TE  -23-0733.PV" in cols
+    assert out.count() > 100
