@@ -76,14 +76,33 @@ def score_model(
         a, b = scale[t]
         return (col - F.lit(float(a))) / F.lit(float(b) if b else 1.0)
 
-    pred = test.select(
-        ts_col,
-        *[_s(F.col(f"`_yt_{t}`"), t).alias(f"_y_{t}") for t in targets],
-        *[
-            _s(e, t).alias(f"_p_{t}")
-            for e, t in zip(model.predict_exprs("_p_"), targets)
-        ],
-    )
+    yscaled = [_s(F.col(f"`_yt_{t}`"), t).alias(f"_y_{t}") for t in targets]
+    if hasattr(model, "predict_exprs"):
+        pred = test.select(
+            ts_col,
+            *yscaled,
+            *[
+                _s(e, t).alias(f"_p_{t}")
+                for e, t in zip(model.predict_exprs("_p_"), targets)
+            ],
+        )
+    else:
+        # offset/lookback models predict via a ts-keyed frame (shorter than
+        # the input); metrics run over the joined rows
+        raw = model.predict(
+            test.select(
+                ts_col, *[F.col("`" + c + "`").alias(c) for c in model.feature_cols]
+            ),
+            ts_col,
+            "_p_",
+        )
+        pred = test.select(ts_col, *yscaled).join(
+            raw.select(
+                ts_col,
+                *[_s(F.col(f"`_p_{t}`"), t).alias(f"_p_{t}") for t in targets],
+            ),
+            ts_col,
+        )
     aggs = []
     for t in targets:
         d = F.col(f"`_y_{t}`") - F.col(f"`_p_{t}`")
@@ -192,12 +211,7 @@ class ModelBuilder:
         folds_meta = split_metadata(XY, n_splits)
         scoring_scaler = evaluation.get("scoring_scaler")
         scores = []
-        probe = model_from_definition(m.model)
-        # per-fold scoring needs expression-predicting models; offset models
-        # (LaggedLinearModel) predict via ts-keyed frames — their CV scoring
-        # is not wired in this round, so record that instead of crashing
-        can_score = hasattr(getattr(probe, "base", probe), "predict_exprs")
-        for train, test in timeseries_split(XY, n_splits) if can_score else []:
+        for train, test in timeseries_split(XY, n_splits):
             fold_model = model_from_definition(m.model)
             base = getattr(fold_model, "base", fold_model)
             base.fit(
@@ -223,9 +237,7 @@ class ModelBuilder:
                     .stats
                 )
             scores.append(score_model(base, test, targets, scale=scale))
-        if isinstance(model, DiffBasedAnomalyDetector) and hasattr(
-            model.base, "predict_exprs"
-        ):
+        if isinstance(model, DiffBasedAnomalyDetector):
             model.base.feature_cols = [c for c in X.columns if c != "ts"]
             model.base.target_cols = targets
             model.cross_validate(X, y, n_splits=n_splits)

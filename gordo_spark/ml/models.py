@@ -175,46 +175,62 @@ class DiffBasedAnomalyDetector:
         self.scaler = self._scaler_cls()(self.base.target_cols).fit(y)
         return self
 
-    def cross_validate(
-        self, X: DataFrame, y: DataFrame, n_splits: int = 3, ts_col: str = "ts"
-    ) -> "DiffBasedAnomalyDetector":
-        """Per-fold fit/predict; thresholds from the LAST fold only."""
-        if not hasattr(self.base, "predict_exprs"):
-            raise NotImplementedError(
-                "threshold CV refits the base per fold via its prediction "
-                "expressions; offset models (LaggedLinearModel) are not "
-                "wired here — fit/predict/anomaly work without thresholds"
-            )
-        targets = self.base.target_cols or [c for c in y.columns if c != ts_col]
-        wide = X.join(
-            y.select(ts_col, *[_q(t).alias(f"_yt_{t}") for t in targets]), ts_col
-        )
-        last_train, last_test = timeseries_split(wide, n_splits, ts_col)[-1]
-        fold_model = LinearModel(self.base.feature_cols, targets)
-        fold_model.feature_cols = self.base.feature_cols or [
-            c for c in X.columns if c != ts_col
-        ]
+    def _clone_base(self):
+        """Fresh unfitted copy of the base estimator (definition
+        round-trip), so fold fits never mutate the deployed model."""
+        return model_from_definition(self.base.into_definition())
+
+    def _fold_errors(
+        self, train: DataFrame, test: DataFrame, targets, feats, ts_col: str
+    ) -> DataFrame:
+        """Fit a base clone on ``train``, predict ``test``, return the
+        scaled-error frame (ts, err__<t>..., err__total). Predictions come
+        via ``predict`` + ts join — uniform across expression models and
+        offset/lookback models (whose output is shorter and keyed by
+        target ts)."""
+        fold_model = self._clone_base()
+        fold_model.feature_cols = list(feats)
+        fold_model.target_cols = list(targets)
         fold_model.fit(
-            last_train.select(ts_col, *[_q(c).alias(c) for c in fold_model.feature_cols]),
-            last_train.select(ts_col, *[F.col(f"`_yt_{t}`").alias(t) for t in targets]),
+            train.select(ts_col, *[_q(c).alias(c) for c in feats]),
+            train.select(ts_col, *[F.col(f"`_yt_{t}`").alias(t) for t in targets]),
         )
         scaler = self._scaler_cls()(targets).fit(
-            last_train.select(*[F.col(f"`_yt_{t}`").alias(t) for t in targets])
+            train.select(*[F.col(f"`_yt_{t}`").alias(t) for t in targets])
         )
-        pred = last_test.select(ts_col, *fold_model.predict_exprs("p__"), *[F.col(f"`_yt_{t}`").alias(t) for t in targets])
+        pred = fold_model.predict(
+            test.select(ts_col, *[_q(c).alias(c) for c in feats]), ts_col, "p__"
+        )
+        joined = test.select(
+            ts_col, *[F.col(f"`_yt_{t}`") for t in targets]
+        ).join(pred, ts_col)
         err_cols = []
         for t in targets:
             rng = self._spread(scaler.stats[t])
             err_cols.append(
-                (F.abs(F.col(f"`p__{t}`") - _q(t)) / F.lit(rng)).alias(f"err__{t}")
+                (F.abs(F.col(f"`p__{t}`") - F.col(f"`_yt_{t}`")) / F.lit(rng)).alias(
+                    f"err__{t}"
+                )
             )
         sq = [F.col(f"`err__{t}`") * F.col(f"`err__{t}`") for t in targets]
         total = sq[0]
         for s in sq[1:]:
             total = total + s
-        err = pred.select(ts_col, *err_cols).withColumn(
+        return joined.select(ts_col, *err_cols).withColumn(
             "err__total", total / F.lit(float(len(targets)))
         )
+
+    def cross_validate(
+        self, X: DataFrame, y: DataFrame, n_splits: int = 3, ts_col: str = "ts"
+    ) -> "DiffBasedAnomalyDetector":
+        """Per-fold fit/predict; thresholds from the LAST fold only."""
+        targets = self.base.target_cols or [c for c in y.columns if c != ts_col]
+        feats = self.base.feature_cols or [c for c in X.columns if c != ts_col]
+        wide = X.join(
+            y.select(ts_col, *[_q(t).alias(f"_yt_{t}") for t in targets]), ts_col
+        )
+        last_train, last_test = timeseries_split(wide, n_splits, ts_col)[-1]
+        err = self._fold_errors(last_train, last_test, targets, feats, ts_col)
         th = fold_threshold(err, [f"err__{t}" for t in targets] + ["err__total"], ts_col)
         self.tag_thresholds_ = {t: th[f"err__{t}"] for t in targets}
         self.total_threshold_ = th["err__total"]
@@ -336,39 +352,23 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
         )
         w = Window.partitionBy().orderBy(ts_col)
         data = wide.withColumn("_fold", (F.row_number().over(w) - 1) % k).cache()
-        scaler = self._scaler_cls()(targets).fit(
-            data.select(*[F.col(f"`_yt_{t}`").alias(t) for t in targets])
-        )
 
-        oof_parts = []
-        for f in range(k):
-            train = data.filter(F.col("_fold") != f)
-            fold_model = LinearModel(feats, targets)
-            fold_model.fit(
-                train.select(ts_col, *[_q(c).alias(c) for c in feats]),
-                train.select(ts_col, *[F.col(f"`_yt_{t}`").alias(t) for t in targets]),
+        # each fold's errors via the shared predict-join helper (works for
+        # expression models AND offset/lookback models); scaler fit on the
+        # fold's train targets — standard CV hygiene
+        oof_parts = [
+            self._fold_errors(
+                data.filter(F.col("_fold") != f),
+                data.filter(F.col("_fold") == f),
+                targets,
+                feats,
+                ts_col,
             )
-            test = data.filter(F.col("_fold") == f)
-            err_cols = []
-            for t in targets:
-                rng = self._spread(scaler.stats[t])
-                pred_expr = F.lit(float(fold_model.coef_[0, targets.index(t)]))
-                for i, c in enumerate(feats):
-                    pred_expr = pred_expr + F.lit(
-                        float(fold_model.coef_[i + 1, targets.index(t)])
-                    ) * _q(c)
-                err_cols.append(
-                    (F.abs(pred_expr - F.col(f"`_yt_{t}`")) / F.lit(rng)).alias(f"err__{t}")
-                )
-            oof_parts.append(test.select(ts_col, *err_cols))
+            for f in range(k)
+        ]
         oof = oof_parts[0]
         for p in oof_parts[1:]:
             oof = oof.unionByName(p)
-        sq = [F.col(f"`err__{t}`") * F.col(f"`err__{t}`") for t in targets]
-        total = sq[0]
-        for s in sq[1:]:
-            total = total + s
-        oof = oof.withColumn("err__total", total / F.lit(float(len(targets))))
 
         # smoothed OOF error -> percentile thresholds (diff.py:617-635)
         err_names = [f"err__{t}" for t in targets] + ["err__total"]

@@ -131,3 +131,21 @@ def test_cli_exceptions_reporter_file(tmp_path):
     assert r.returncode == 80, r.stderr[-2000:]
     rep = _json.loads(report.read_text())
     assert rep["type"] == "InsufficientDataError" and rep["exit_code"] == 80
+
+
+def test_build_lagged_model_machine(spark, machine, tmp_path):
+    """Offset models flow through fold scoring (predict-join path) and
+    anomaly-threshold CV now."""
+    from gordo_spark.builder import ModelBuilder
+
+    machine.model = {
+        "kind": "DiffBasedAnomalyDetector",
+        "window": 6,
+        "base_estimator": {"kind": "LaggedLinearModel", "lookback": 3, "lookahead": 1},
+    }
+    r = ModelBuilder(machine).build(spark)
+    md = r.metadata["build-metadata"]["model"]
+    assert len(md["cross_validation"]["scores"]["r2-score"]["raw"]) == 3
+    th = md["thresholds"]
+    assert th["total"] is not None and th["total"] >= 0
+    assert r.model.base.offset == 3
