@@ -1265,6 +1265,50 @@ LIMIT 100
 """
 
 
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate revenue — TPC-H Q19 adapted to this schema's
+    part attributes (brand/size bands OR'd with quantity ranges; the
+    reference query's container/shipmode fields are absent)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 40))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    out = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    return _r6(out, "revenue")
+
+
+O_TPCH_Q19 = """
+SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 def q_o5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 — dedup/distinct: distinct users per event type."""
     ev = read_table(spark, sf_dir, "events")
@@ -1981,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         "o5_distinct": q_o5_distinct,
         "m1_ols_fit": q_m1_ols_fit,
         "m2_ols_predict": q_m2_ols_predict,
@@ -2040,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": O_TPCH_Q14,
         "tpch_q17": O_TPCH_Q17,
         "tpch_q18": O_TPCH_Q18,
+        "tpch_q19": O_TPCH_Q19,
         "o5_distinct": O_O5,
         "m1_ols_fit": O_M1,
         "m2_ols_predict": O_M2,

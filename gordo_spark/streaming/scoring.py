@@ -91,16 +91,20 @@ def stream_anomaly_select(
             F.col(f"`{t}`").alias(f"model_input__{t}"),
             out.alias(f"model_output__{t}"),
             err.alias(f"tag_anomaly_scaled__{t}"),
-            (err / F.lit(float(thresholds[t]))).alias(f"anomaly_confidence__{t}"),
         ]
+        if thresholds is not None and thresholds.get(t) is not None:
+            cols.append(
+                (err / F.lit(float(thresholds[t]))).alias(f"anomaly_confidence__{t}")
+            )
     total = errs[tags[0]] * errs[tags[0]]
     for t in tags[1:]:
         total = total + errs[t] * errs[t]
     total = total / F.lit(float(len(tags)))
-    cols += [
-        total.alias("total_anomaly_scaled"),
-        (total / F.lit(float(total_threshold))).alias("total_anomaly_confidence"),
-    ]
+    cols.append(total.alias("total_anomaly_scaled"))
+    if total_threshold is not None:
+        cols.append(
+            (total / F.lit(float(total_threshold))).alias("total_anomaly_confidence")
+        )
     return wide.select(*cols)
 
 
@@ -118,9 +122,9 @@ def score_stream(
         wide,
         model_params["coef"],
         model_params["intercepts"],
-        model_params["scaler_stats"],
-        model_params["thresholds"],
-        model_params["total_threshold"],
+        model_params.get("scaler_stats"),
+        model_params.get("thresholds"),
+        model_params.get("total_threshold"),
         tags,
         resolution,
     )

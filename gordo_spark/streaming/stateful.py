@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, StructField, StructType, TimestampType, StringType,
+    ArrayType, DoubleType, StructField, StructType, TimestampType, StringType,
 )
 
 
@@ -78,6 +78,72 @@ def ewma_stream(
                 "smooth_value": smooth,
             }
         )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ewma_stream_multi(
+    stream: DataFrame,
+    value_cols: Sequence[str],
+    span: int = 144,
+    key_col: str = "machine",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful EWMA over MANY columns at once — the streaming form of the
+    offline anomaly block's ``smooth_*`` columns (W5): one state entry per
+    key holds the (num, den) pair for every smoothed column. Emits the
+    input columns plus ``smooth_<col>`` for each."""
+    alpha = 2.0 / (span + 1.0)
+    decay = 1.0 - alpha
+    cols = list(value_cols)
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            *[StructField(c, DoubleType()) for c in cols],
+            *[StructField(f"smooth_{c}", DoubleType()) for c in cols],
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("num", ArrayType(DoubleType())),
+            StructField("den", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            num, den = [list(a) for a in state.get]
+        else:
+            num, den = [0.0] * len(cols), [0.0] * len(cols)
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        smooth: dict[str, list] = {c: [] for c in cols}
+        for _, row in rows.iterrows():
+            for i, c in enumerate(cols):
+                x = row[c]
+                if pd.isna(x):
+                    num[i], den[i] = decay * num[i], decay * den[i]
+                else:
+                    num[i] = float(x) + decay * num[i]
+                    den[i] = 1.0 + decay * den[i]
+                smooth[c].append(num[i] / den[i] if den[i] > 0 else float("nan"))
+        state.update((num, den))
+        out = {key_col: key[0], ts_col: rows[ts_col].values}
+        for c in cols:
+            out[c] = rows[c].values
+            out[f"smooth_{c}"] = smooth[c]
+        yield pd.DataFrame(out)
 
     return (
         stream.groupBy(key_col)

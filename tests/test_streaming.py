@@ -196,3 +196,66 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # did not contaminate it
     assert len(first) == 1
     assert first["click"].iloc[0] == 1.0
+
+
+def test_streamed_anomaly_scores_with_stateful_smoothing(spark, sf_dir, tmp_path, events_schema):
+    """Full §2.10 composition: watermarked resample -> stateless scoring ->
+    stateful multi-column EWMA smoothing of the anomaly metrics, matching
+    the batch pandas ewm over the emitted rows."""
+    import pandas as pd
+    from gordo_spark.streaming.stateful import ewma_stream_multi
+
+    stream = _stream(spark, sf_dir, tmp_path, events_schema)
+    params = {
+        "coef": {t: {"click": 0.5} for t in TAGS},
+        "intercepts": {t: 1.0 for t in TAGS},
+        "scaler_stats": {t: (0.0, 100.0) for t in TAGS},
+    }
+    # Spark disallows stateful ops after a streaming aggregation in ONE
+    # query — deploy as two chained queries (scores -> sink -> smoother),
+    # exactly the Kafka/Delta-between-stages topology a cluster would use
+    scored = score_stream(stream, TAGS, params, resolution="1H", watermark="2H")
+    mid = f"{tmp_path}/scored_sink"
+    q1 = (
+        scored.select(
+            F.lit("machine-1").alias("machine"),
+            F.col("start").alias("ts"),
+            "total_anomaly_scaled",
+            "tag_anomaly_scaled__view",
+        )
+        .writeStream.format("parquet")
+        .option("path", mid)
+        .option("checkpointLocation", f"{tmp_path}/ckpt1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+
+    scored_schema = spark.read.parquet(mid).schema
+    smoothed = ewma_stream_multi(
+        spark.readStream.schema(scored_schema).parquet(mid),
+        ["total_anomaly_scaled", "tag_anomaly_scaled__view"],
+        span=12,
+    )
+    q = (
+        smoothed.writeStream.format("memory")
+        .queryName("smooth_scores_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("smooth_scores_test")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # sf0.001 events are sparse: few 1H buckets carry all three tags, so
+    # the aligned score stream is short — enough rows to verify the
+    # recurrence, which is what this test pins
+    assert len(got) >= 5
+    for c in ["total_anomaly_scaled", "tag_anomaly_scaled__view"]:
+        exp = got[c].ewm(span=12).mean()
+        np.testing.assert_allclose(got[f"smooth_{c}"], exp, rtol=1e-9)

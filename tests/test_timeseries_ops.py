@@ -230,3 +230,38 @@ def test_filter_periods_median(spark):
     ).toPandas()
     assert 1000.0 not in out.v.values
     assert len(out) >= 28
+
+
+def test_anomaly_frame_ewma_smoothing_matches_pandas(spark):
+    """anomaly_frame(smoothing_method='ewma') must smooth every anomaly
+    column with pandas-exact ewm(span=w).mean()."""
+    import pandas as pd
+    from gordo_spark.operators.anomaly import anomaly_frame
+
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="1h"),
+            "a": np.linspace(0, 10, n),
+            "model_output__a": np.linspace(0, 10, n) + np.sin(np.arange(n)),
+        }
+    )
+    out = (
+        anomaly_frame(
+            spark.createDataFrame(pdf),
+            ["a"],
+            resolution="1H",
+            smoothing_method="ewma",
+            smoothing_window=8,
+        )
+        .toPandas()
+        .sort_values("start")
+        .reset_index(drop=True)
+    )
+    err = (pdf["model_output__a"] - pdf["a"]).abs()
+    np.testing.assert_allclose(
+        out["smooth_tag_anomaly_unscaled__a"], err.ewm(span=8).mean(), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        out["smooth_total_anomaly_unscaled"], (err**2).ewm(span=8).mean(), rtol=1e-9
+    )
