@@ -30,6 +30,7 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q17",
     "tpch_q18",
+    "tpch_q19",
     "j1_resample_mean",
     "j2_ffill",
     "j2_linear",
