@@ -113,7 +113,7 @@ def fingerprint(
     from gordo_spark.operators.dedup import md5_long
 
     lead = F.slice(tokens(F.col(text_col)), 1, n_lead)
-    hashed = F.transform(lead, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    hashed = F.transform(lead, lambda t: md5_long(t))
     fp = F.aggregate(
         hashed, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % F.lit(FP_P)
     )
