@@ -1808,6 +1808,37 @@ FROM base
 O_TEXT_QUALITY = _quality_sql()
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (min-label propagation)
+    over the LSH candidate pairs of the dup corpus — the survivor-selection
+    step; component id = the min doc id to keep."""
+    from gordo_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_docs_with_dups(spark, sf_dir), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return connected_components(pairs)
+
+
+O_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+cc(id, label) AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
+)
+SELECT id, min(label) AS component FROM cc GROUP BY id
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text stats: token counts, avg token length, punctuation ratio."""
     from gordo_spark.operators.text import text_stats
@@ -2038,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed_cosine": q_dedup_embed_cosine,
+        "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
@@ -2098,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": O_DEDUP_JACCARD,
         "dedup_simhash": O_DEDUP_SIMHASH,
         "dedup_embed_cosine": O_DEDUP_EMBED,
+        "dedup_components": O_DEDUP_COMPONENTS,
         "text_stats": O_TEXT_STATS,
         "text_lang_id": O_TEXT_LANG,
         "text_fingerprint": O_TEXT_FP,

@@ -200,3 +200,63 @@ def simhash(
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 10,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: ``(id, component)`` where
+    component = min id reachable through the pair graph — the survivor-
+    selection step after LSH/Jaccard pair generation (keep one doc per
+    component, e.g. the component id itself).
+
+    Min-label propagation: each iteration joins labels across (symmetric)
+    edges and takes the min; near-dup components are tiny (pairs/chains of
+    a few docs), so convergence takes ~diameter iterations — the driver
+    loop stops early when an iteration changes nothing (one cheap count
+    per iteration; the data never leaves the cluster). Frames are cached
+    per iteration and the lineage is truncated by localCheckpoint to keep
+    the plan from growing exponentially at scale.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -214,3 +214,21 @@ def test_bpe_token_count(spark):
     assert out[2].n_ws_tokens == 5 and out[2].n_bpe_tokens == 11
     # abc 123 x -> letter run + digit run + letter run
     assert out[3].n_bpe_tokens == 3
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from gordo_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (a chain), {10,11}, {20,21,22} (a triangle)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.id: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
