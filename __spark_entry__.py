@@ -472,11 +472,38 @@ WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT R
 # ------------------------------------------------------------- W3 ewma
 def q_w3_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 — exact pandas ewm(span=12).mean() per tag via applyInPandas.
-    Rows-only check: recursive EWMA over unbounded history is not
-    ANSI-SQL-expressible without overflow games."""
+    SQL oracle: adjust=True EWMA is num/den with num_t = x_t +
+    (1-a)*num_{t-1}, den_t = 1 + (1-a)*den_{t-1} — a per-tag recursive
+    CTE stepping row_number by 1 (den is a bounded geometric sum, so no
+    overflow; span=12 -> 1-a = 11/13)."""
     res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
     out = ewma(res, ["value"], span=12, machine_col="tag")
     return _r6(out.select("tag", "ts", "smooth_value"), "smooth_value")
+
+
+O_W3_EWMA = """
+WITH RECURSIVE res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT tag, ts, value,
+         row_number() OVER (PARTITION BY tag ORDER BY ts) AS rn
+  FROM res
+),
+rec AS (
+  SELECT tag, ts, rn, value AS num, CAST(1 AS DOUBLE) AS den
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.tag, s.ts, s.rn,
+         s.value + (CAST(11 AS DOUBLE) / 13) * r.num,
+         1 + (CAST(11 AS DOUBLE) / 13) * r.den
+  FROM rec r JOIN seq s ON s.tag = r.tag AND s.rn = r.rn + 1
+)
+SELECT tag, ts, ROUND(num / den, 6) AS smooth_value FROM rec
+"""
 
 
 # ----------------------------------------------------- W6 lookback shift
@@ -2100,6 +2127,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_smm": O_W1,
         "w2_sma": O_W2,
         # w3_ewma: rows-only (recursive EWMA not SQL-expressible)
+        "w3_ewma": O_W3_EWMA,
         "w6_shift": O_W6,
         "a7_quantile": O_A7,
         "a8_fold_threshold": O_A8,
