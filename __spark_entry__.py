@@ -1336,6 +1336,240 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking — TPC-H Q4 adapted: the reference's
+    l_commitdate/l_receiptdate are absent from this schema, so a "late"
+    line is l_shipdate > o_orderdate + 90 days. The EXISTS becomes a
+    left-semi join whose condition references the outer o_orderdate."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    with_late_line = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        with_late_line.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+O_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority split — TPC-H Q12 adapted: l_shipmode/receipt
+    dates are absent, so the split runs over l_returnflag with the
+    shipdate-year window; the conditional counts keep Q12's shape."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+O_TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('R','A')
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier — TPC-H Q15 (revenue view + scalar-subquery max).
+    The quarter revenue agg is computed once; the max is a one-row
+    broadcast joined back (both engines select their own argmax, so FP
+    sum-order differences cannot desynchronize the row choice)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("_mx"))
+    sup = read_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+O_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(total_revenue, 6) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting — TPC-H Q21 adapted ("late" =
+    l_shipdate > o_orderdate + 90 days, no commit/receipt dates in this
+    schema; no nation filter — only 100 suppliers). The EXISTS becomes a
+    left-semi join, the NOT EXISTS a left-anti join whose late-condition
+    reuses the outer order's o_orderdate (same order key, same date)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(late)
+    others = li.select(
+        F.col("l_orderkey").alias("_ok2"),
+        F.col("l_suppkey").alias("_sk2"),
+        F.col("l_shipdate").alias("_sd2"),
+    )
+    waited = (
+        l1.join(
+            others,
+            (F.col("_ok2") == F.col("l_orderkey"))
+            & (F.col("_sk2") != F.col("l_suppkey")),
+            "left_semi",
+        ).join(
+            others,
+            (F.col("_ok2") == F.col("l_orderkey"))
+            & (F.col("_sk2") != F.col("l_suppkey"))
+            & (F.col("_sd2") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_anti",
+        )
+    )
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waited.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+O_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity — TPC-H Q22 adapted: this schema has no
+    c_phone, so "country code" is c_custkey % 10 (odd codes selected),
+    and since every customer here has orders, the anti-join is on URGENT
+    orders (a customer-with-orders density-invariant ~13% hit rate at any
+    sf). Keeps Q22's shape: scalar-subquery average threshold + anti-join
+    on orders."""
+    cust = read_table(spark, sf_dir, "customer")
+    pool = cust.filter((F.col("c_custkey") % 10).isin(1, 3, 5, 7, 9)).select(
+        (F.col("c_custkey") % 10).alias("cntrycode"), "c_acctbal", "c_custkey"
+    )
+    thresh = pool.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        pool.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+O_TPCH_Q22 = """
+WITH pool AS (
+  SELECT c_custkey % 10 AS cntrycode, c_acctbal, c_custkey
+  FROM customer WHERE c_custkey % 10 IN (1,3,5,7,9)
+)
+SELECT cntrycode, count(*) AS numcust, ROUND(sum(c_acctbal), 6) AS totacctbal
+FROM pool
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM pool WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 def q_o5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 — dedup/distinct: distinct users per event type."""
     ev = read_table(spark, sf_dir, "events")
@@ -2074,16 +2308,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m6_anomaly_scaled": q_m6_anomaly_scaled,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
         "tpch_q14": q_tpch_q14,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "o5_distinct": q_o5_distinct,
         "m1_ols_fit": q_m1_ols_fit,
         "m2_ols_predict": q_m2_ols_predict,
@@ -2136,16 +2375,21 @@ def oracle_sql() -> dict[str, str]:
         "m6_anomaly_scaled": O_M6_SCALED,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3": O_TPCH_Q3,
+        "tpch_q4": O_TPCH_Q4,
         "tpch_q5": O_TPCH_Q5,
         "tpch_q6": O_TPCH_Q6,
         "tpch_q7": O_TPCH_Q7,
         "tpch_q8": O_TPCH_Q8,
         "tpch_q10": O_TPCH_Q10,
+        "tpch_q12": O_TPCH_Q12,
         "tpch_q13": O_TPCH_Q13,
+        "tpch_q15": O_TPCH_Q15,
         "tpch_q14": O_TPCH_Q14,
         "tpch_q17": O_TPCH_Q17,
         "tpch_q18": O_TPCH_Q18,
         "tpch_q19": O_TPCH_Q19,
+        "tpch_q21": O_TPCH_Q21,
+        "tpch_q22": O_TPCH_Q22,
         "o5_distinct": O_O5,
         "m1_ols_fit": O_M1,
         "m2_ols_predict": O_M2,
