@@ -1584,6 +1584,86 @@ FROM events GROUP BY 1
 """
 
 
+def q_o6_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — skew-salted join (operators/skew.salted_join): events'
+    event_type has 5 hot keys, the worst shuffle-join shape at scale. The
+    salt extends the shuffle key to (event_type, salt); the result is
+    provably identical to the plain join, which is exactly what the
+    oracle checks."""
+    from gordo_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    joined = salted_join(ev, dim, "event_type", salt=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_O6 = """
+WITH dim AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1)
+SELECT e.event_type, n_events, ROUND(sum(e.value), 6) AS sum_value
+FROM events e JOIN dim USING (event_type)
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+def q_o7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 — bucketed co-located join (sources/bucketed): lineitem and
+    orders written bucketed by order key, then joined with NO Exchange in
+    the plan (asserted in tests/test_scale_layouts.py) — the fact-fact
+    join layout for 100 TB. The oracle is the plain join: bucketing must
+    be invisible in the result."""
+    import os
+
+    from gordo_spark.sources.bucketed import colocated_join, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/gordo_spark_buckets/{tag}"
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    write_bucketed(li, f"gs_li_{tag.replace('.', '_')}", "l_orderkey", buckets=8,
+                   path=f"{base}/lineitem")
+    write_bucketed(orders, f"gs_ord_{tag.replace('.', '_')}", "l_orderkey", buckets=8,
+                   path=f"{base}/orders")
+    j = colocated_join(
+        spark, f"gs_li_{tag.replace('.', '_')}", f"gs_ord_{tag.replace('.', '_')}",
+        "l_orderkey",
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("avg_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+O_O7 = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       ROUND(avg(l_extendedprice * (1 - l_discount)), 6) AS avg_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # ----------------------------------------------------------- M1-M5 ML ops
 def q_m1_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 — deterministic model fit: OLS purchase~click on the aligned
@@ -2324,6 +2404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "o5_distinct": q_o5_distinct,
+        "o6_salted_join": q_o6_salted_join,
+        "o7_bucketed_join": q_o7_bucketed_join,
         "m1_ols_fit": q_m1_ols_fit,
         "m2_ols_predict": q_m2_ols_predict,
         "m3_cv_splits": q_m3_cv_splits,
@@ -2391,6 +2473,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q21": O_TPCH_Q21,
         "tpch_q22": O_TPCH_Q22,
         "o5_distinct": O_O5,
+        "o6_salted_join": O_O6,
+        "o7_bucketed_join": O_O7,
         "m1_ols_fit": O_M1,
         "m2_ols_predict": O_M2,
         "m3_cv_splits": O_M3,

@@ -1,0 +1,52 @@
+"""Skew mitigation — salted joins for hot keys.
+
+A shuffle join hashes rows to reducers by key; one hot key (a tag emitting
+1000x the events of the median, a viral document id) lands an entire
+reducer's worth of data on one task and the stage runs at the speed of
+that straggler. AQE's skew-join split (on by default in
+``gordo_spark.get_spark``) handles this for sort-merge joins at runtime;
+``salted_join`` is the explicit, planner-independent form: replicate the
+small(er) side ``salt`` times and scatter the big side's hot keys across
+``salt`` reducers with a deterministic hash-derived salt column.
+
+Results are identical to a plain join for any ``salt`` >= 1 (every big row
+meets every matching small row exactly once because the small side carries
+ALL salt values per key) — determinism per SURVEY.md §2 M9: the salt is
+xxhash64 of the row's own columns, not RNG.
+
+Scale guidance: salt = ceil(hot-key-rows / target-rows-per-task), capped
+around 64 — the small side is replicated ``salt`` times, so oversalting
+multiplies the other side's shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SALT = "_gs_salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with the shuffle key extended to (key, salt-bucket).
+
+    ``big`` gets one deterministic salt per row; ``small`` is exploded to
+    all ``salt`` values so every (key, salt) bucket can resolve its
+    matches locally. Only inner/left joins make sense here (the hot side
+    must be ``big``); for right/full, swap the arguments.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    hash_cols: list[Column] = [F.col(c) for c in big.columns]
+    big_s = big.withColumn(_SALT, F.pmod(F.xxhash64(*hash_cols), F.lit(salt)))
+    small_s = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = big_s.join(small_s, on=keys + [_SALT], how=how)
+    return out.drop(_SALT)

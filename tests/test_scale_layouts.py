@@ -1,0 +1,103 @@
+"""Bucketed co-located joins and salted skew joins — the layouts that keep
+100 TB fact-fact joins off the shuffle (SURVEY.md §4: join strategy)."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from gordo_spark.operators.skew import salted_join
+from gordo_spark.sources.bucketed import colocated_join, write_bucketed
+from gordo_spark.sources.io import read_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@contextlib.contextmanager
+def _no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    write_bucketed(li, "t_li_b", "l_orderkey", buckets=4, path=str(tmp_path / "li"))
+    write_bucketed(orders, "t_ord_b", "l_orderkey", buckets=4, path=str(tmp_path / "o"))
+    try:
+        with _no_broadcast(spark):
+            j = colocated_join(spark, "t_li_b", "t_ord_b", "l_orderkey")
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            # same rows as the plain (shuffling) join
+            plain = li.join(orders, "l_orderkey").count()
+            assert j.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_bucketed_write_rejects_nothing_silently(spark, sf_dir, tmp_path):
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        li, "t_li_b2", ["l_orderkey"], buckets=2, path=str(tmp_path / "b2"), sort=False
+    )
+    try:
+        got = spark.table("t_li_b2").count()
+        assert got == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b2")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    with _no_broadcast(spark):
+        salted = salted_join(events, dim, "event_type", salt=8)
+        plan = _plan(salted)
+        assert "_gs_salt" in plan  # the shuffle key really is (key, salt)
+        got = (
+            salted.groupBy("event_type")
+            .agg(F.round(F.sum("value"), 4).alias("s"), F.first("n_events").alias("n"))
+            .orderBy("event_type")
+            .collect()
+        )
+        exp = (
+            events.join(dim, "event_type")
+            .groupBy("event_type")
+            .agg(F.round(F.sum("value"), 4).alias("s"), F.first("n_events").alias("n"))
+            .orderBy("event_type")
+            .collect()
+        )
+    assert got == exp
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("zzz", 9.0)], ["k", "v"]
+    )
+    small = spark.createDataFrame([("a", 10), ("b", 20)], ["k", "w"])
+    out = salted_join(big, small, "k", how="left", salt=4).collect()
+    assert len(out) == 4
+    assert {r.w for r in out if r.k == "zzz"} == {None}
+
+
+def test_salted_join_rejects_right_joins(spark):
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="right")
