@@ -2357,6 +2357,71 @@ FROM documents
 """
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling): md5-bucket
+    thresholds — a pure projection, no shuffle, stable under
+    repartitioning, reproduced verbatim by the SQL oracle."""
+    from gordo_spark.operators.sampling import deterministic_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+O_SAMPLE_SPLIT = """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            WHEN b < 10000 THEN 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: rebalance languages (half of
+    'en', a fifth of 'zh'; other strata dropped) — the corpus-curation
+    step, shuffle-free."""
+    from gordo_spark.operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    picked = stratified_sample(
+        docs, "doc_id", {"en": 0.5, "zh": 0.2}, strata_col="lang"
+    )
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+O_SAMPLE_STRATIFIED = """
+WITH b AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, ROUND(avg(n_chars), 6) AS avg_chars
+FROM b
+WHERE (lang = 'en' AND b < 5000) OR (lang = 'zh' AND b < 2000)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -2428,6 +2493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -2497,4 +2564,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf": O_SIM_IVF,
         "mm_metadata": O_MM_METADATA,
         "mm_frame_sample": O_MM_FRAMES,
+        "sample_split": O_SAMPLE_SPLIT,
+        "sample_stratified": O_SAMPLE_STRATIFIED,
     }

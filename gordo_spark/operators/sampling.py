@@ -1,0 +1,90 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+Train/val/test assignment at 100 TB must be (a) reproducible across runs
+and engines, (b) stable under re-partitioning, and (c) shuffle-free.
+``df.randomSplit`` is none of these (seeded per-partition RNG changes
+with partitioning). Hash-bucket assignment is all three: bucket =
+md5(id) mod B is a pure projection — each row's split is a function of
+its own id, so the operation adds NO shuffle, survives any repartition,
+and reproduces bit-for-bit on any engine with md5() (the DuckDB oracles
+run the same expression).
+
+The md5 bucket is uniform within any stratum (language, source, ...), so
+a global threshold already samples proportionally per stratum;
+``stratified_sample`` additionally takes per-stratum fractions for
+up/down-weighting (the "rebalance languages" step of corpus curation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from gordo_spark.operators.dedup import md5_long
+
+
+def hash_bucket(col: Column, buckets: int = 10_000) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from md5(id).
+    md5_long is non-negative (first 8 md5 hex chars), so plain pmod."""
+    return F.pmod(md5_long(col.cast("string")), F.lit(buckets))
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float] | None = None,
+    buckets: int = 10_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` label ('train'/'val'/...) by cumulative hash-bucket
+    thresholds. Fractions must sum to <= 1; any remainder is 'holdout'."""
+    fractions = dict(fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    total = sum(fractions.values())
+    if total > 1 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = hash_bucket(F.col(id_col), buckets)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cond = b < int(round(cum * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr.otherwise("holdout"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float | Mapping[str, float],
+    strata_col: str | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic sample: keep rows whose hash bucket falls under the
+    fraction threshold — globally, or per stratum when ``fraction`` is a
+    {stratum: fraction} mapping (strata absent from the map are dropped)."""
+    b = hash_bucket(F.col(id_col), buckets)
+    if isinstance(fraction, Mapping):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions need strata_col")
+        expr = None
+        for stratum, frac in fraction.items():
+            cond = (F.col(strata_col) == stratum) & (b < int(round(frac * buckets)))
+            expr = cond if expr is None else expr | cond
+        return df.filter(expr)
+    return df.filter(b < int(round(float(fraction) * buckets)))
+
+
+def train_shuffle(
+    df: DataFrame, id_col: str, num_partitions: int, salt: str = "epoch0"
+) -> DataFrame:
+    """Deterministic global "shuffle" for training export: order rows by
+    md5(salt || id) and hash-partition them the same way. One exchange,
+    reproducible for a given salt; vary ``salt`` per epoch to re-shuffle."""
+    key = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("_shuffle_key", key)
+        .repartition(num_partitions, F.col("_shuffle_key"))
+        .sortWithinPartitions("_shuffle_key")
+        .drop("_shuffle_key")
+    )

@@ -232,3 +232,51 @@ def test_connected_components_chains_and_singletons(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_deterministic_split_disjoint_stable(spark, sf_dir):
+    from gordo_spark.operators.sampling import deterministic_split
+    from gordo_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = deterministic_split(docs, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n              # exhaustive
+    assert counts.get("train", 0) > counts.get("val", 0)
+    # stable under repartitioning (the point vs randomSplit)
+    again = deterministic_split(docs.repartition(7), "doc_id")
+    assert again.filter(F.col("split") == "train").count() == counts["train"]
+
+
+def test_deterministic_split_rejects_over_1(spark):
+    from gordo_spark.operators.sampling import deterministic_split
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        deterministic_split(df, "doc_id", {"a": 0.8, "b": 0.4})
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark, sf_dir):
+    from gordo_spark.operators.sampling import stratified_sample
+    from gordo_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    picked = stratified_sample(docs, "doc_id", {"en": 1.0, "zh": 0.0}, strata_col="lang")
+    langs = {r.lang for r in picked.select("lang").distinct().collect()}
+    assert langs == {"en"}  # zh fraction 0 and other strata dropped
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert picked.count() == n_en  # fraction 1.0 keeps every en row
+
+
+def test_train_shuffle_permutes_and_is_reproducible(spark):
+    from gordo_spark.operators.sampling import train_shuffle
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in train_shuffle(df, "doc_id", 4, salt="e1").collect()]
+    b = [r.doc_id for r in train_shuffle(df, "doc_id", 4, salt="e1").collect()]
+    c = [r.doc_id for r in train_shuffle(df, "doc_id", 4, salt="e2").collect()]
+    assert a == b                       # same salt -> same order
+    assert sorted(a) == list(range(500))  # a permutation, nothing lost
+    assert a != c                       # new salt -> new order
