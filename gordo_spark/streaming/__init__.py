@@ -4,10 +4,18 @@ from gordo_spark.streaming.scoring import (
     score_stream,
 )
 from gordo_spark.streaming.stateful import ewma_stream
+from gordo_spark.streaming.dedup import (
+    with_content_key,
+    dedup_ids_within_watermark,
+    dedup_ids_exact,
+)
 
 __all__ = [
     "stream_resample_wide",
     "stream_anomaly_select",
     "score_stream",
     "ewma_stream",
+    "with_content_key",
+    "dedup_ids_within_watermark",
+    "dedup_ids_exact",
 ]

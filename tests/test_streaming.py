@@ -259,3 +259,41 @@ def test_streamed_anomaly_scores_with_stateful_smoothing(spark, sf_dir, tmp_path
     for c in ["total_anomaly_scaled", "tag_anomaly_scaled__view"]:
         exp = got[c].ewm(span=12).mean()
         np.testing.assert_allclose(got[f"smooth_{c}"], exp, rtol=1e-9)
+
+
+def test_stream_dedup_within_watermark_matches_batch_first_wins(
+    spark, sf_dir, tmp_path
+):
+    """Streaming content-key dedup keeps exactly one row per duplicate
+    cluster (batch analogue: distinct on the fingerprint)."""
+    from gordo_spark.sources.io import read_table
+    from gordo_spark.streaming.dedup import (
+        dedup_ids_within_watermark,
+        with_content_key,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # give every doc an event-time and inject exact duplicates arriving later
+    base = docs.withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")))
+    dupes = docs.limit(20).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") + 60)
+    )
+    src = f"{tmp_path}/dedup_src"
+    base.unionByName(dupes).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    deduped = dedup_ids_within_watermark(
+        with_content_key(stream), ["content_key"], watermark="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream_test").toPandas()
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert len(got) == n_distinct
+    assert got.content_key.is_unique
