@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus curation pipeline — the composition the
+individual operators exist for. Run:
+
+    python examples/corpus_pipeline.py [sf_dir] [out_dir]
+
+Stages (each is a contract-tested operator; see SURVEY.md §8):
+
+ 1. exact dedup        — collapse byte-identical documents
+ 2. near-dup removal   — MinHash -> LSH candidate pairs -> connected
+                         components; keep one survivor per cluster
+ 3. quality filter     — text_quality score >= threshold
+ 4. language rebalance — stratified_sample per language
+ 5. split              — deterministic train/val/test labels
+ 6. export             — salted deterministic shuffle, written partitioned
+                         by split
+
+Every stage is shuffle-on-key DataFrame algebra (no driver-side data), so
+the same script is the 100 TB job: only the paths and partition counts
+change.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gordo_spark import get_spark
+from gordo_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from gordo_spark.operators.sampling import (
+    deterministic_split,
+    stratified_sample,
+    train_shuffle,
+)
+from gordo_spark.operators.text import quality_score
+from gordo_spark.sources.io import read_table
+
+
+def curate(spark, sf_dir: str, out_dir: str, num_partitions: int = 8):
+    docs = read_table(spark, sf_dir, "documents")
+
+    # 1. exact dedup: survivors = min doc_id per identical content
+    survivors = exact_dedup(docs, ["text"]).select("doc_id")
+    docs = docs.join(survivors, "doc_id", "left_semi")
+
+    # 2. near-dup clusters; drop everything but each cluster's min id
+    sigs = minhash_signatures(docs, num_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(losers, "doc_id", "left_anti")
+
+    # 3. quality gate (length/punctuation/stopword heuristics)
+    scored = quality_score(docs)
+    docs = docs.join(
+        scored.filter(F.col("quality") >= 0.3).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 4. rebalance: cap dominant languages, keep the rest whole
+    fractions = {"en": 0.8, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    docs = stratified_sample(docs, "doc_id", fractions, strata_col="lang")
+
+    # 5 + 6. split, shuffle deterministically, export partitioned by split
+    final = train_shuffle(
+        deterministic_split(docs, "doc_id"), "doc_id", num_partitions
+    )
+    final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    return final
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gordo_spark_corpus"
+    spark = get_spark("corpus_pipeline")
+    result = curate(spark, sf, out)
+    counts = result.groupBy("split", "lang").count().orderBy("split", "lang")
+    counts.show(50, truncate=False)
+    print(f"exported to {out}")
