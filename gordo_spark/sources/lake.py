@@ -44,6 +44,36 @@ def write_sensor_lake(
     )
 
 
+def compact_sensor_lake(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    files_per_date: int = 1,
+    dates: list[str] | None = None,
+) -> None:
+    """Small-file compaction: rewrite a (slice of a) sensor lake with
+    ``files_per_date`` files per partition, restoring the (tag, ts) sort.
+
+    Streaming/micro-batch ingest leaves thousands of KB-sized files per
+    date; at 100 TB, scan throughput dies on file-open overhead and
+    row-group stats stop pruning. Compaction writes to a NEW root (``dst``)
+    — never in-place, so readers of ``src`` are never broken and the swap
+    is an atomic rename/repoint by the caller. ``dates`` limits the
+    rewrite to recent partitions (incremental compaction); the filter is
+    partition-pruned, so untouched dates are never read.
+    """
+    df = spark.read.parquet(src)
+    if dates is not None:
+        df = df.filter(F.col("date").isin([str(d) for d in dates]))
+    (
+        df.repartition(files_per_date, "date")
+        .sortWithinPartitions("date", "tag", "ts")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(dst)
+    )
+
+
 @register_provider("SensorLakeProvider")
 class SensorLakeProvider(DataProvider):
     """Reads a date-partitioned sensor lake with partition pruning.

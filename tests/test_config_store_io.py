@@ -207,3 +207,49 @@ def test_reference_shaped_crd_config_loads(spark, tmp_path):
     assert set(results) == {"ct-23-0001", "ct-23-0002"}
     th = results["ct-23-0002"].metadata["build-metadata"]["model"]["thresholds"]
     assert set(th["tags"]) == {"click", "purchase"}
+
+
+def test_compact_sensor_lake_reduces_files_same_rows(spark, sf_dir, tmp_path):
+    """Fragmented lake -> compacted copy: fewer files per date, identical
+    rows, source untouched."""
+    import os
+
+    from gordo_spark.sources.lake import compact_sensor_lake
+    from gordo_spark.sources.providers import EventsAsSensorProvider
+
+    from pyspark.sql import functions as F
+
+    long = EventsAsSensorProvider(sf_dir).read(spark, ["click", "view"])
+    src = str(tmp_path / "frag")
+    # fragment: 16 round-robin partitions each write a file into every date
+    (
+        long.withColumn("date", F.to_date("ts"))
+        .repartition(16)
+        .write.partitionBy("date")
+        .parquet(src)
+    )
+    dst = str(tmp_path / "compact")
+    compact_sensor_lake(spark, src, dst, files_per_date=1)
+
+    def files_per_date(root):
+        counts = []
+        for d in os.listdir(root):
+            if d.startswith("date="):
+                counts.append(
+                    len([f for f in os.listdir(os.path.join(root, d))
+                         if f.endswith(".parquet")])
+                )
+        return counts
+
+    assert max(files_per_date(src)) > 1
+    assert max(files_per_date(dst)) == 1
+    assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+    # incremental form: only the named dates are rewritten
+    some_date = sorted(
+        d.split("=")[1] for d in os.listdir(src) if d.startswith("date=")
+    )[0]
+    inc = str(tmp_path / "inc")
+    compact_sensor_lake(spark, src, inc, files_per_date=1, dates=[some_date])
+    assert [d for d in os.listdir(inc) if d.startswith("date=")] == [
+        f"date={some_date}"
+    ]
