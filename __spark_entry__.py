@@ -2357,6 +2357,160 @@ FROM documents
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof): each click event gets the user's
+    latest purchase value at or before it (ties match, pandas
+    merge_asof 'backward' semantics). Spark has no native as-of join;
+    this is the union+window form — one shuffle on the key, no
+    cross-join. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from gordo_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, on=["user_id"])
+    return out.select(
+        "user_id",
+        "ts",
+        "click_value",
+        F.col("purchase_value_right").alias("last_purchase"),
+        F.col("ts_right").alias("purchase_ts"),
+    )
+
+
+O_ASOF = """
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.user_id, c.ts, c.click_value,
+       p.purchase_value AS last_purchase, p.ts AS purchase_ts
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (operators/ranges.interval_join): events vs
+    per-type "busy week" intervals (weeks with above-average volume).
+    Binned equi-join + refine — NOT a nested-loop BETWEEN join."""
+    from gordo_spark.operators.ranges import interval_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    weeks = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("start")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    avg_per_type = weeks.groupBy("event_type").agg(F.avg("cnt").alias("ac"))
+    busy = (
+        weeks.join(F.broadcast(avg_per_type), "event_type")
+        .filter(F.col("cnt") > F.col("ac"))
+        .select(
+            "event_type",
+            "start",
+            (F.col("start") + F.expr("INTERVAL 7 DAYS")).alias("end"),
+        )
+    )
+    joined = interval_join(
+        ev, busy, on=["event_type"], bin_seconds=7 * 86_400
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.countDistinct("start").alias("n_busy_weeks"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_INTERVAL = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+weeks AS (
+  SELECT event_type, date_trunc('week', ts) AS start, count(*) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+busy AS (
+  SELECT w.event_type, w.start, w.start + INTERVAL 7 DAY AS iv_end
+  FROM weeks w
+  JOIN (SELECT event_type, avg(cnt) AS ac FROM weeks GROUP BY 1) a
+    USING (event_type)
+  WHERE w.cnt > a.ac
+)
+SELECT e.event_type,
+       count(DISTINCT b.start) AS n_busy_weeks,
+       count(*) AS n_events,
+       ROUND(avg(e.value), 6) AS avg_value
+FROM ev e JOIN busy b
+  ON e.event_type = b.event_type AND e.ts >= b.start AND e.ts < b.iv_end
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (operators/ranges.sessionize): per-user sessions at
+    a 1h inactivity gap, reported as the session-size distribution.
+    Two window passes over one user_id shuffle; ties in ts are safe (a
+    zero gap can never start a session, so ordering among ties cannot
+    change ids)."""
+    from gordo_spark.operators.ranges import session_stats
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    stats = session_stats(ev, ["user_id"], gap_seconds=3600)
+    return (
+        stats.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
+        )
+        .orderBy("n_events")
+    )
+
+
+O_SESSIONIZE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1
+              ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         epoch(max(ts)) - epoch(min(ts)) AS duration_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT n_events, count(*) AS n_sessions,
+       ROUND(avg(duration_s), 6) AS avg_duration_s
+FROM per
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (operators/sampling): md5-bucket
     thresholds — a pure projection, no shuffle, stable under
@@ -2495,6 +2649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
+        "asof_join": q_asof_join,
+        "events_interval_join": q_events_interval_join,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -2566,4 +2723,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": O_MM_FRAMES,
         "sample_split": O_SAMPLE_SPLIT,
         "sample_stratified": O_SAMPLE_STRATIFIED,
+        "asof_join": O_ASOF,
+        "events_interval_join": O_INTERVAL,
+        "events_sessionize": O_SESSIONIZE,
     }

@@ -49,6 +49,8 @@ HEADLINE = [
     "m6_anomaly_scaled",
     "a9_explained_variance",
     "o5_distinct",
+    "asof_join",
+    "events_sessionize",
     "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_simhash",

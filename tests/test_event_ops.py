@@ -1,0 +1,154 @@
+"""As-of join, interval join, sessionization — event-time operators
+(operators/asof.py, operators/ranges.py) vs pandas/naive oracles."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gordo_spark.operators.asof import asof_join
+from gordo_spark.operators.ranges import interval_join, session_stats, sessionize
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"] * 4 + ["b"] * 2 + ["c"],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 09:00",  # before any right row -> null
+                        "2024-01-01 10:00",  # tie with right -> matches
+                        "2024-01-01 10:45",
+                        "2024-01-01 23:00",  # far -> tolerance can null it
+                        "2024-01-01 10:10",
+                        "2024-01-01 10:20",
+                        "2024-01-01 12:00",  # key with no right rows
+                    ]
+                ),
+                "lval": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00", "2024-01-01 10:30", "2024-01-01 10:15"]
+                ),
+                "rval": [10.0, 20.0, 30.0],
+            }
+        )
+    )
+    return left, right
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    left, right = _asof_frames(spark)
+    got = (
+        asof_join(left, right, on=["k"])
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.toPandas().sort_values("ts"),
+        right.toPandas().sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+        suffixes=("", "_right"),
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["rval_right"].to_numpy(dtype=float), exp["rval"].to_numpy(dtype=float)
+    )
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left, right = _asof_frames(spark)
+    got = (
+        asof_join(left, right, on=["k"], tolerance_seconds=3600)
+        .toPandas()
+        .set_index(["k", "ts"])
+    )
+    # 23:00 is >1h after the last right row (10:30) -> nulled
+    assert np.isnan(got.loc[("a", pd.Timestamp("2024-01-01 23:00"))]["rval_right"])
+    assert got.loc[("a", pd.Timestamp("2024-01-01 10:45"))]["rval_right"] == 20.0
+
+
+def test_interval_join_matches_naive_filter(spark):
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], 300),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 30 * 86400, 300), unit="s"),
+            "v": rng.random(300),
+        }
+    )
+    ivl = pd.DataFrame(
+        {
+            "g": ["x", "x", "y"],
+            "start": pd.to_datetime(
+                ["2024-01-02 00:00", "2024-01-10 12:00", "2024-01-05 00:00"]
+            ),
+            "end": pd.to_datetime(
+                ["2024-01-04 00:00", "2024-01-11 00:00", "2024-01-25 00:00"]
+            ),
+            "label": ["x1", "x2", "y1"],
+        }
+    )
+    got = (
+        interval_join(
+            spark.createDataFrame(pts),
+            spark.createDataFrame(ivl),
+            on=["g"],
+            bin_seconds=86400,
+        )
+        .select("g", "ts", "label")
+        .toPandas()
+    )
+    naive = pts.merge(ivl, on="g")
+    naive = naive[(naive.ts >= naive.start) & (naive.ts < naive.end)][
+        ["g", "ts", "label"]
+    ]
+    key = lambda d: sorted(map(tuple, d.to_numpy().tolist()))
+    assert key(got) == key(naive)
+
+
+def test_sessionize_assigns_gap_separated_ids(spark):
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "u": [1, 1, 1, 1, 2],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 10:00",
+                        "2024-01-01 10:10",  # same session (10 min)
+                        "2024-01-01 11:30",  # new session (80 min gap)
+                        "2024-01-01 11:40",
+                        "2024-01-01 10:00",
+                    ]
+                ),
+            }
+        )
+    )
+    got = {
+        (r.u, str(r.ts)): r.session_id
+        for r in sessionize(ev, ["u"], gap_seconds=1800).collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00")] == 0
+    assert got[(1, "2024-01-01 10:10:00")] == 0
+    assert got[(1, "2024-01-01 11:30:00")] == 1
+    assert got[(1, "2024-01-01 11:40:00")] == 1
+    assert got[(2, "2024-01-01 10:00:00")] == 0
+
+
+def test_session_stats_counts_and_duration(spark, sf_dir):
+    from gordo_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    stats = session_stats(ev, ["user_id"], gap_seconds=3600)
+    total_events = stats.agg(F.sum("n_events")).collect()[0][0]
+    assert total_events == ev.count()  # every event in exactly one session
+    assert stats.filter(F.col("duration_s") < 0).count() == 0
