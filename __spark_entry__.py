@@ -2357,6 +2357,32 @@ FROM documents
 """
 
 
+def q_o8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 — hierarchical rollup (event_type, week) -> subtotals -> grand
+    total in ONE pass (Spark expands grouping sets before the partial
+    aggregation, so it stays a single shuffle, not one job per level)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week"), "value"
+    )
+    return (
+        ev.rollup("event_type", "week")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+O_O8_ROLLUP = """
+SELECT event_type, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+       count(*) AS n_events, ROUND(avg(value), 6) AS avg_value
+FROM events
+GROUP BY ROLLUP (event_type, week)
+ORDER BY event_type, week
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof): each click event gets the user's
     latest purchase value at or before it (ties match, pandas
@@ -2624,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "o5_distinct": q_o5_distinct,
         "o6_salted_join": q_o6_salted_join,
+        "o8_rollup": q_o8_rollup,
         "o7_bucketed_join": q_o7_bucketed_join,
         "m1_ols_fit": q_m1_ols_fit,
         "m2_ols_predict": q_m2_ols_predict,
@@ -2698,6 +2725,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22": O_TPCH_Q22,
         "o5_distinct": O_O5,
         "o6_salted_join": O_O6,
+        "o8_rollup": O_O8_ROLLUP,
         "o7_bucketed_join": O_O7,
         "m1_ols_fit": O_M1,
         "m2_ols_predict": O_M2,
