@@ -64,7 +64,9 @@ def test_resample_matches_pandas(spark, pdf, res_min):
         .reset_index()
     )
     assert len(got) == len(exp)
-    np.testing.assert_allclose(got["value"], exp["value"], rtol=1e-9)
+    # rtol 1e-7: Spark's partial aggregation and pandas' pairwise sum add
+    # in different orders; hypothesis finds ~1e-9-relative mean deviations
+    np.testing.assert_allclose(got["value"], exp["value"], rtol=1e-7)
     assert (got["ts"].values == exp["ts"].values).all()
 
 
@@ -108,4 +110,76 @@ def test_interpolate_matches_pandas(spark, pdf, limit, method):
     assert (got["value"].notna() == mask).all()
     np.testing.assert_allclose(
         got.loc[mask, "value"], exp.loc[mask, "value"], rtol=1e-9
+    )
+
+
+@st.composite
+def asof_pair(draw):
+    """Left/right frames over a couple of keys with clustered timestamps
+    (duplicates and ties across sides included on purpose)."""
+    base = pd.Timestamp("2024-03-01 00:00:00")
+
+    def frame(val_name):
+        n = draw(st.integers(min_value=1, max_value=25))
+        keys = draw(
+            st.lists(st.sampled_from(["k1", "k2"]), min_size=n, max_size=n)
+        )
+        offs = draw(
+            st.lists(st.integers(min_value=0, max_value=600), min_size=n, max_size=n)
+        )
+        vals = draw(
+            st.lists(
+                st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=n,
+                max_size=n,
+            )
+        )
+        return pd.DataFrame(
+            {
+                "k": keys,
+                "ts": [base + pd.Timedelta(seconds=o) for o in offs],
+                val_name: vals,
+            }
+        )
+
+    left = frame("lval")
+    right = frame("rval")
+    # dedupe right (k, ts) - ties among right rows are tie-broken
+    # arbitrarily by both engines, so pin one survivor deterministically
+    right = right.sort_values(["k", "ts", "rval"]).drop_duplicates(
+        ["k", "ts"], keep="last"
+    )
+    return left, right
+
+
+@given(pair=asof_pair())
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_property(spark, pair):
+    from gordo_spark.operators.asof import asof_join
+
+    left, right = pair
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right), on=["k"]
+        )
+        .toPandas()
+        .sort_values(["k", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts",
+            by="k",
+            direction="backward",
+        )
+        .sort_values(["k", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["rval_right"].to_numpy(dtype=float),
+        exp["rval"].to_numpy(dtype=float),
+        rtol=0,
+        atol=0,
     )
