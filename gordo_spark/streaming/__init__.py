@@ -8,6 +8,7 @@ from gordo_spark.streaming.dedup import (
     with_content_key,
     dedup_ids_within_watermark,
     dedup_ids_exact,
+    sessionize_stream,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "with_content_key",
     "dedup_ids_within_watermark",
     "dedup_ids_exact",
+    "sessionize_stream",
 ]

@@ -46,3 +46,37 @@ def dedup_ids_within_watermark(
 def dedup_ids_exact(stream: DataFrame, key_cols: list[str]) -> DataFrame:
     """Unbounded-state exact dedup (finite key spaces / backfills only)."""
     return stream.dropDuplicates(key_cols)
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1_800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: Spark's native ``session_window`` merges
+    events closer than the gap into one growing window per key; a session
+    closes (and emits, in append mode) once the watermark passes its end.
+    Batch analogue: ``operators/ranges.session_stats`` — same gap rule,
+    same (n_events, duration) aggregates, so stream==batch is testable.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            *key_cols, F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.max(F.col(ts_col)).cast("double")
+                - F.min(F.col(ts_col)).cast("double")
+            ).alias("duration_s"),
+        )
+        .select(
+            *key_cols,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "duration_s",
+        )
+    )

@@ -297,3 +297,46 @@ def test_stream_dedup_within_watermark_matches_batch_first_wins(
     n_distinct = docs.select(F.md5("text")).distinct().count()
     assert len(got) == n_distinct
     assert got.content_key.is_unique
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """session_window streaming sessions == batch gap-rule sessions
+    (same keys, same event counts, same durations)."""
+    from gordo_spark.operators.ranges import session_stats
+    from gordo_spark.sources.io import read_table
+    from gordo_spark.streaming.dedup import sessionize_stream
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = f"{tmp_path}/sess_src"
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        sessionize_stream(stream, ["user_id"], gap_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("sess_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("sess_stream_test")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        session_stats(ev, ["user_id"], gap_seconds=3600)
+        .toPandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    # append mode withholds sessions the watermark hasn't closed: compare
+    # on the emitted subset, which must agree exactly with batch
+    assert len(got) >= len(exp) - ev.select("user_id").distinct().count()
+    merged = got.merge(
+        exp, left_on=["user_id", "n_events", "duration_s"],
+        right_on=["user_id", "n_events", "duration_s"], how="left", indicator=True,
+    )
+    assert (merged["_merge"] == "both").all()
