@@ -40,6 +40,25 @@ def pivot_wide(
         .agg(F.first(value_col, ignorenulls=True))
     )
 
+def melt_long(
+    df: "DataFrame",
+    tags: Sequence[str],
+    ts_col: str = "ts",
+    tag_col: str = "tag",
+    value_col: str = "value",
+) -> "DataFrame":
+    """Wide ``(ts, <tag1>, ...)`` -> long ``(tag, ts, value)`` — the exact
+    inverse of :func:`pivot_wide` (nulls dropped, mirroring the pivot's
+    missing cells). Uses the native unpivot (an Expand node: each input row
+    emits one row per tag map-side — no shuffle, no Python)."""
+    out = df.unpivot(
+        ids=[ts_col],
+        values=[f"`{t}`" for t in tags],
+        variableColumnName=tag_col,
+        valueColumnName=value_col,
+    )
+    return out.filter(F.col(value_col).isNotNull()).select(tag_col, ts_col, value_col)
+
 
 def _q(name: str) -> Column:
     """Column by exact name — backticked so tag names containing dots or

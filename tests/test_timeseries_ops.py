@@ -4,6 +4,7 @@ test strategy: golden math vs numpy/pandas, SURVEY.md §5)."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from gordo_spark.operators import (
     apply_inf_imputer,
@@ -265,3 +266,47 @@ def test_anomaly_frame_ewma_smoothing_matches_pandas(spark):
     np.testing.assert_allclose(
         out["smooth_total_anomaly_unscaled"], (err**2).ewm(span=8).mean(), rtol=1e-9
     )
+
+
+def test_melt_long_inverts_pivot_wide(spark, sensor_df):
+    """pivot -> melt roundtrips to the original long frame (dedup'd), for
+    plain and dotted/spaced tag names alike."""
+    from gordo_spark.operators.align import melt_long, pivot_wide
+
+    tags = ["tag-0", "GRA-TE  -23-0733.PV"]
+    # pivot takes first-non-null per (ts, tag): dedupe the oracle the same way
+    base = (
+        sensor_df.filter(F.col("tag").isin(tags))
+        .groupBy("tag", "ts")
+        .agg(F.first("value", ignorenulls=True).alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
+    roundtrip = melt_long(pivot_wide(sensor_df, tags), tags)
+    assert roundtrip.count() == base.count()
+    assert roundtrip.exceptAll(base).count() == 0
+    assert base.exceptAll(roundtrip).count() == 0
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from gordo_spark.operators.sketches import approx_distinct
+    from gordo_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    got = approx_distinct(ev, ["user_id"], rsd=0.02).collect()[0]["n_user_id"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(got - exact) <= max(0.1 * exact, 5)  # 5 sigma of rsd=2%
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    from gordo_spark.operators.sketches import approx_quantiles
+    from gordo_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    qs = approx_quantiles(ev, "value", [0.5], relative_error=0.001).collect()[0][
+        "quantiles"
+    ]
+    exact = ev.approxQuantile("value", [0.5], 0.0)[0]
+    n = ev.count()
+    # rank error <= relative_error * n -> value gap bounded by local density;
+    # on this data the median neighborhood is dense, so 1% value slack is ample
+    assert abs(qs[0] - exact) <= max(abs(exact) * 0.01, 1e-6) or n < 100
