@@ -74,6 +74,58 @@ def compact_sensor_lake(
     )
 
 
+def rollup_sensor_lake(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    resolution: str = "1H",
+    aggregation: str = "mean",
+    incremental: bool = True,
+) -> None:
+    """Continuous-aggregate rollup (hypertable-style): maintain ``dst`` as
+    the ``resolution``-bucketed pre-aggregate of the raw lake ``src``,
+    same date-partitioned layout.
+
+    Most dashboards/training scans at 100 TB read hourly/daily buckets,
+    not raw samples — a maintained rollup makes those reads ~raw/ratio
+    cheaper, and the resample inside every dataset plan can start from the
+    rollup when resolutions align. ``incremental=True`` recomputes only
+    dates >= the newest date already rolled up (the boundary date is
+    redone — it may have been partial) and dynamically overwrites JUST
+    those partitions; older partitions are never read (partition pruning)
+    or rewritten. Aggregations here must be per-bucket-complete (mean/
+    min/max/count/sum over one bucket never spans dates), so incremental
+    == full recompute, which is exactly what the test asserts.
+    """
+    from gordo_spark.operators.resample import resample_aggregate
+
+    df = spark.read.parquet(src)
+    if incremental:
+        try:
+            done = spark.read.parquet(dst).agg(F.max("date")).collect()[0][0]
+        except Exception:
+            done = None
+        if done is not None:
+            df = df.filter(F.col("date") >= F.lit(str(done)))
+    rolled = resample_aggregate(
+        df.select("tag", F.col("ts").cast("timestamp").alias("ts"), "value"),
+        resolution,
+        aggregation,
+    ).withColumn("date", F.to_date("ts"))
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            rolled.repartition(1, "date")
+            .sortWithinPartitions("date", "tag", "ts")
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(dst)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+
 @register_provider("SensorLakeProvider")
 class SensorLakeProvider(DataProvider):
     """Reads a date-partitioned sensor lake with partition pruning.

@@ -253,3 +253,46 @@ def test_compact_sensor_lake_reduces_files_same_rows(spark, sf_dir, tmp_path):
     assert [d for d in os.listdir(inc) if d.startswith("date=")] == [
         f"date={some_date}"
     ]
+
+
+def test_rollup_sensor_lake_incremental_equals_full(spark, sf_dir, tmp_path):
+    """Continuous aggregate: incremental maintenance (new dates only, with
+    boundary-date redo) produces byte-identical results to a full rollup."""
+    from pyspark.sql import functions as F
+
+    from gordo_spark.operators.resample import resample_aggregate
+    from gordo_spark.sources.lake import rollup_sensor_lake, write_sensor_lake
+    from gordo_spark.sources.providers import EventsAsSensorProvider
+
+    long = EventsAsSensorProvider(sf_dir).read(spark, ["click", "view"])
+    cutoff = "2024-01-10 00:00:00"
+    src = str(tmp_path / "lake")
+    # day 1..9 land first; the rest arrives later (late/new data)
+    write_sensor_lake(long.filter(F.col("ts") < cutoff), src)
+
+    dst = str(tmp_path / "rollup")
+    rollup_sensor_lake(spark, src, dst, resolution="1H")
+    n_first = spark.read.parquet(dst).count()
+
+    # new data arrives (append new dates into the lake), incremental re-run
+    write_sensor_lake(long.filter(F.col("ts") >= cutoff), src, mode="append")
+    rollup_sensor_lake(spark, src, dst, resolution="1H")
+
+    got = (
+        spark.read.parquet(dst)
+        .select("tag", "ts", "value")
+        .toPandas()
+        .sort_values(["tag", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        resample_aggregate(long, "1H", "mean")
+        .toPandas()
+        .sort_values(["tag", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > n_first
+    assert len(got) == len(exp)
+    import numpy as np
+
+    np.testing.assert_allclose(got["value"], exp["value"], rtol=1e-12)
