@@ -151,3 +151,34 @@ class SensorLakeProvider(DataProvider):
         if tags:
             df = df.filter(F.col("tag").isin(list(tags)))
         return df.select("tag", F.col("ts").cast("timestamp").alias("ts"), "value")
+
+
+def stream_to_lake(
+    stream,
+    path: str,
+    checkpoint: str,
+    files_per_date: int = 1,
+    trigger: dict | None = None,
+):
+    """Streaming ingest into the date-partitioned lake layout.
+
+    foreachBatch reuses :func:`write_sensor_lake` in append mode, so
+    streamed data lands in exactly the layout every batch reader
+    (SensorLakeProvider, compaction, rollup) expects — partition-pruned
+    date dirs with (tag, ts)-sorted runs. Checkpointing gives
+    exactly-once per micro-batch; run :func:`compact_sensor_lake` on a
+    schedule to fold the per-batch files, and :func:`rollup_sensor_lake`
+    to keep continuous aggregates current.
+    """
+
+    def _write(batch_df, _batch_id):
+        write_sensor_lake(
+            batch_df, path, mode="append", files_per_date=files_per_date
+        )
+
+    writer = stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -340,3 +340,39 @@ def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
         right_on=["user_id", "n_events", "duration_s"], how="left", indicator=True,
     )
     assert (merged["_merge"] == "both").all()
+
+
+def test_stream_to_lake_lands_batch_readable_layout(spark, sf_dir, tmp_path):
+    """Streamed ingest produces the same lake a batch write would: same
+    rows, date-partitioned dirs, readable by SensorLakeProvider."""
+    import os
+
+    from gordo_spark.sources.lake import stream_to_lake
+    from gordo_spark.sources.providers import EventsAsSensorProvider
+
+    long = EventsAsSensorProvider(sf_dir).read(spark, ["click", "view"])
+    src = f"{tmp_path}/raw"
+    long.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(long.schema).parquet(src)
+    q = stream_to_lake(
+        stream,
+        f"{tmp_path}/lake",
+        f"{tmp_path}/ckpt",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    assert any(
+        d.startswith("date=") for d in os.listdir(f"{tmp_path}/lake")
+    )
+    landed = spark.read.parquet(f"{tmp_path}/lake")
+    assert landed.count() == long.count()
+    from gordo_spark.sources.providers import provider_from_dict
+
+    prov = provider_from_dict(
+        {"type": "SensorLakeProvider", "path": f"{tmp_path}/lake"}
+    )
+    assert prov.read(spark, ["click"]).count() == long.filter(
+        "tag = 'click'"
+    ).count()
