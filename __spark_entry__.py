@@ -2357,6 +2357,52 @@ FROM documents
 """
 
 
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (operators/profile): every column's null
+    rate / cardinality / range / mean from a single aggregation (20+
+    parallel aggregates, then stack to long form). exact_distinct=True
+    here so DuckDB reproduces it; the scale path uses HLL++."""
+    from gordo_spark.operators.profile import profile
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = profile(
+        docs, ["doc_id", "lang", "source", "n_chars"], exact_distinct=True
+    )
+    return out.withColumn("mean_numeric", F.round(F.col("mean_numeric"), 6))
+
+
+O_DATA_PROFILE = """
+SELECT 'doc_id' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_repr,
+       CAST(max(doc_id) AS VARCHAR) AS max_repr,
+       ROUND(avg(doc_id), 6) AS mean_numeric
+FROM documents
+UNION ALL
+SELECT 'lang', count(*),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT lang),
+       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR),
+       CAST(NULL AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'source', count(*),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT source),
+       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR),
+       CAST(NULL AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+       ROUND(avg(n_chars), 6)
+FROM documents
+"""
+
+
 def q_o8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8 — hierarchical rollup (event_type, week) -> subtotals -> grand
     total in ONE pass (Spark expands grouping sets before the partial
@@ -2651,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o5_distinct": q_o5_distinct,
         "o6_salted_join": q_o6_salted_join,
         "o8_rollup": q_o8_rollup,
+        "data_profile": q_data_profile,
         "o7_bucketed_join": q_o7_bucketed_join,
         "m1_ols_fit": q_m1_ols_fit,
         "m2_ols_predict": q_m2_ols_predict,
@@ -2726,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         "o5_distinct": O_O5,
         "o6_salted_join": O_O6,
         "o8_rollup": O_O8_ROLLUP,
+        "data_profile": O_DATA_PROFILE,
         "o7_bucketed_join": O_O7,
         "m1_ols_fit": O_M1,
         "m2_ols_predict": O_M2,

@@ -280,3 +280,23 @@ def test_train_shuffle_permutes_and_is_reproducible(spark):
     assert a == b                       # same salt -> same order
     assert sorted(a) == list(range(500))  # a permutation, nothing lost
     assert a != c                       # new salt -> new order
+
+
+def test_profile_single_pass_and_hll_variant(spark, sf_dir):
+    from gordo_spark.operators.profile import profile
+    from gordo_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = {r.column: r for r in profile(docs, exact_distinct=True).collect()}
+    assert set(out) == set(docs.columns)
+    n = docs.count()
+    assert all(r.n_rows == n for r in out.values())
+    assert out["doc_id"].n_distinct == n  # primary key
+    assert out["lang"].mean_numeric is None  # strings have no mean
+    assert float(out["n_chars"].min_repr) <= float(out["n_chars"].max_repr)
+    # HLL variant close to exact
+    approx = {r.column: r for r in profile(docs, exact_distinct=False).collect()}
+    assert abs(approx["doc_id"].n_distinct - n) <= max(0.1 * n, 5)
+    # single pass: exactly one aggregation over one scan (no per-column jobs)
+    plan = profile(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1
