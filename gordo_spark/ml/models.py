@@ -49,13 +49,25 @@ def model_from_definition(d: dict):
     23-66,138-250 in /root/reference)."""
     d = dict(d)
     kind = d.pop("kind")
-    if kind not in _MODEL_REGISTRY:
+    if kind in _MODEL_REGISTRY:
+        cls = _MODEL_REGISTRY[kind]
+    elif "." in kind:
+        # reference parity: any importable module.Class is a valid kind
+        # (gordo/serializer/from_definition.py:138-250 in /root/reference)
+        import importlib
+
+        mod_name, _, cls_name = kind.rpartition(".")
+        try:
+            cls = getattr(importlib.import_module(mod_name), cls_name)
+        except (ImportError, AttributeError) as exc:
+            raise ValueError(f"cannot import model kind {kind!r}: {exc}") from exc
+    else:
         raise ValueError(f"unknown model kind {kind!r}")
     kwargs = {
         k: model_from_definition(v) if isinstance(v, dict) and "kind" in v else v
         for k, v in d.items()
     }
-    return _MODEL_REGISTRY[kind](**kwargs)
+    return cls(**kwargs)
 
 
 def model_into_definition(model) -> dict:

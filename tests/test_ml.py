@@ -305,3 +305,19 @@ def test_dotted_and_spaced_tag_names_end_to_end(spark, sensor_df):
     cols = set(out.columns)
     assert "tag_anomaly_scaled__GRA-TE  -23-0733.PV" in cols
     assert out.count() > 100
+
+
+def test_model_from_definition_import_path_kind():
+    """Reference parity: any importable module.Class works as a kind
+    (from_definition's reflective factory), nested defs included."""
+    from gordo_spark.ml.models import model_from_definition
+
+    m = model_from_definition(
+        {"kind": "gordo_spark.ml.models.LinearModel", "feature_cols": ["a"]}
+    )
+    assert type(m).__name__ == "LinearModel" and m.feature_cols == ["a"]
+
+    with pytest.raises(ValueError, match="cannot import"):
+        model_from_definition({"kind": "no.such.module.Cls"})
+    with pytest.raises(ValueError, match="unknown model kind"):
+        model_from_definition({"kind": "NotRegistered"})
