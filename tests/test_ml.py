@@ -321,3 +321,61 @@ def test_model_from_definition_import_path_kind():
         model_from_definition({"kind": "no.such.module.Cls"})
     with pytest.raises(ValueError, match="unknown model kind"):
         model_from_definition({"kind": "NotRegistered"})
+
+
+class _NumpyOLS:
+    """Minimal sklearn-shaped estimator for the pyfunc plug-in test (the
+    stand-in for a TF/sklearn model arriving via import path)."""
+
+    def fit(self, X, y):
+        import numpy as np
+
+        Xb = np.hstack([np.ones((len(X), 1)), X])
+        self.w = np.linalg.lstsq(Xb, y, rcond=None)[0]
+        return self
+
+    def predict(self, X):
+        import numpy as np
+
+        return np.hstack([np.ones((len(X), 1)), X]) @ self.w
+
+
+def test_python_estimator_model_fits_and_scores_distributed(spark, sf_dir):
+    from gordo_spark.ml.models import LinearModel, model_from_definition
+
+    import tests.test_ml as me  # noqa: F401  (importable path for the kind)
+
+    from gordo_spark.operators import inner_align, pivot_wide, resample_aggregate
+    from gordo_spark.sources.providers import EventsAsSensorProvider
+
+    tags = ["click", "view", "purchase"]
+    long = EventsAsSensorProvider(sf_dir).read(spark, tags)
+    wide = inner_align(pivot_wide(resample_aggregate(long, "1H", "mean"), tags), tags)
+    X, y = wide.select("ts", "click", "view"), wide.select("ts", "purchase")
+    m = model_from_definition(
+        {
+            "kind": "PythonEstimatorModel",
+            "estimator": "tests.test_ml._NumpyOLS",
+        }
+    )
+    m.fit(X, y)
+    got = (
+        m.predict(X)
+        .toPandas()
+        .sort_values("ts")["model_output__purchase"]
+        .to_numpy()
+    )
+    # oracle: the exact distributed OLS on the same data
+    exact = LinearModel().fit(X, y)
+    exp = (
+        exact.predict(X)
+        .toPandas()
+        .sort_values("ts")["model_output__purchase"]
+        .to_numpy()
+    )
+    import numpy as np
+
+    np.testing.assert_allclose(got, exp, rtol=1e-6)
+    # definition round-trip keeps the import path
+    d = m.into_definition()
+    assert d["estimator"] == "tests.test_ml._NumpyOLS"
