@@ -2357,6 +2357,69 @@ FROM documents
 """
 
 
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
+    column JVM-side (get_json_object — no Python, codegen-friendly) and
+    aggregate. The 100 TB shape for log/event payloads: extract-then-agg,
+    never parse-into-driver."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_gt_50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_JSON_EXTRACT = """
+WITH ex AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, ROUND(avg(k), 6) AS avg_k,
+       max(k) AS max_k,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_50
+FROM ex
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_o9_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 — ranked top-k per group: 3 priciest orders per priority via a
+    partitioned row_number window (ties broken by orderkey so both
+    engines pick identical rows)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    )
+
+
+O_O9_TOPK = """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+ORDER BY o_orderpriority, rank
+"""
+
+
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profile (operators/profile): every column's null
     rate / cardinality / range / mean from a single aggregation (20+
@@ -2698,6 +2761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o6_salted_join": q_o6_salted_join,
         "o8_rollup": q_o8_rollup,
         "data_profile": q_data_profile,
+        "events_json_extract": q_events_json_extract,
+        "o9_topk_per_group": q_o9_topk_per_group,
         "o7_bucketed_join": q_o7_bucketed_join,
         "m1_ols_fit": q_m1_ols_fit,
         "m2_ols_predict": q_m2_ols_predict,
@@ -2774,6 +2839,8 @@ def oracle_sql() -> dict[str, str]:
         "o6_salted_join": O_O6,
         "o8_rollup": O_O8_ROLLUP,
         "data_profile": O_DATA_PROFILE,
+        "events_json_extract": O_JSON_EXTRACT,
+        "o9_topk_per_group": O_O9_TOPK,
         "o7_bucketed_join": O_O7,
         "m1_ols_fit": O_M1,
         "m2_ols_predict": O_M2,
