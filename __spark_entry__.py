@@ -1570,6 +1570,305 @@ ORDER BY cntrycode
 """
 
 
+# --------------------------------------------------- derived partsupp
+# The driver's testdata ships no partsupp table; Q2/Q9/Q11/Q16/Q20 need
+# one. It is DERIVED deterministically from part x supplier-count with
+# identical integer arithmetic in Spark and in the DuckDB oracle, so both
+# engines query the exact same synthetic relation (4 suppliers per part).
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").select("p_partkey")
+    ns = (
+        read_table(spark, sf_dir, "supplier")
+        .agg((F.max("s_suppkey") + 1).alias("_n_supp"))
+    )
+    i = F.col("i")
+    pk = F.col("p_partkey")
+    return (
+        part.join(F.broadcast(ns))
+        .select(pk, F.explode(F.array(*[F.lit(x) for x in range(4)])).alias("i"), "_n_supp")
+        .select(
+            pk.alias("ps_partkey"),
+            ((pk * 7 + i * 13) % F.col("_n_supp")).alias("ps_suppkey"),
+            ((pk * 13 + i * 7) % 9999 + 1).alias("ps_availqty"),
+            (((pk * 31 + i * 17) % 10000).cast("double") / 10.0 + 1.0).alias(
+                "ps_supplycost"
+            ),
+        )
+    )
+
+
+_PS_SQL = """
+ns AS (SELECT max(s_suppkey) + 1 AS n FROM supplier),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 7 + t.i * 13) % ns.n AS ps_suppkey,
+         (p_partkey * 13 + t.i * 7) % 9999 + 1 AS ps_availqty,
+         CAST((p_partkey * 31 + t.i * 17) % 10000 AS DOUBLE) / 10.0 + 1.0
+           AS ps_supplycost
+  FROM part, ns, (SELECT unnest([0, 1, 2, 3]) AS i) t
+)
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier — TPC-H Q2 over the derived partsupp: the
+    correlated min-subquery decorrelates into a per-part min joined back;
+    all dimension sides broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_sup = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(
+        F.broadcast(eu_sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = eu_ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("_mc")
+    )
+    return (
+        eu_ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(min_cost.withColumnRenamed("ps_partkey", "_pk")),
+            (F.col("ps_partkey") == F.col("_pk"))
+            & (F.col("ps_supplycost") == F.col("_mc")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+O_TPCH_Q2 = f"""
+WITH {_PS_SQL},
+eu_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+eu_ps AS (
+  SELECT * FROM partsupp JOIN eu_sup ON ps_suppkey = s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+FROM eu_ps JOIN part ON ps_partkey = p_partkey
+WHERE p_size = 15 AND p_type = 'ECONOMY'
+  AND ps_supplycost = (
+    SELECT min(ps_supplycost) FROM eu_ps e2 WHERE e2.ps_partkey = eu_ps.ps_partkey
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit — TPC-H Q9 over the derived partsupp (avg
+    profit per line instead of sum: engine-identical to 1e-6 where a
+    100k-term sum is not). One lineitem shuffle; everything else
+    broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(ps),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg(amount), 6).alias("avg_profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+O_TPCH_Q9 = f"""
+WITH {_PS_SQL}
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       count(*) AS n_lines,
+       ROUND(avg(l_extendedprice * (1 - l_discount)
+                 - ps_supplycost * l_quantity), 6) AS avg_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock — TPC-H Q11: per-part inventory value in one
+    nation, kept where above a fraction of the nation total (scalar
+    subquery threshold; per-part sums are 4 terms, FP-safe)."""
+    ps = _partsupp(spark, sf_dir)
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    in_nation = ps.join(
+        F.broadcast(
+            sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        ),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    )
+    val = F.col("ps_supplycost") * F.col("ps_availqty")
+    per_part = in_nation.groupBy("ps_partkey").agg(F.sum(val).alias("value"))
+    total = in_nation.agg((F.sum(val) * 0.001).alias("_thr"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("ps_partkey", F.round("value", 6).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+O_TPCH_Q11 = f"""
+WITH {_PS_SQL},
+in_nation AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT ps_partkey, ROUND(sum(v), 6) AS value
+FROM in_nation
+GROUP BY ps_partkey
+HAVING sum(v) > (SELECT sum(v) * 0.001 FROM in_nation)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship — TPC-H Q16: brand/type/size supplier
+    counts, excluding "complaint" suppliers (adapted: negative acctbal —
+    this schema has no s_comment). NOT IN becomes a left-anti join."""
+    ps = _partsupp(spark, sf_dir)
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 11, 15, 21, 28)
+    )
+    bad = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+O_TPCH_Q16 = f"""
+WITH {_PS_SQL}
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 11, 15, 21, 28)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential promotion — TPC-H Q20: suppliers in one nation holding
+    excess stock of a part family (availqty > half the 1997 shipped
+    quantity for that part-supp). The correlated agg subquery
+    decorrelates into a per-(part,supp) aggregate left-joined back;
+    quantities are integral doubles, so the comparison is engine-exact."""
+    ps = _partsupp(spark, sf_dir)
+    blue_parts = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk")
+        )
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(blue_parts), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("_pk"))
+            & (F.col("ps_suppkey") == F.col("_sk")),
+            "left",
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.coalesce(F.col("_qty"), F.lit(0.0)))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+O_TPCH_Q20 = f"""
+WITH {_PS_SQL},
+shipped AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  LEFT JOIN shipped ON ps_partkey = pk AND ps_suppkey = sk
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+    AND ps_availqty > 0.5 * coalesce(qty, 0)
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+ORDER BY s_name
+"""
+
+
 def q_o5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 — dedup/distinct: distinct users per event type."""
     ev = read_table(spark, sf_dir, "events")
@@ -2741,20 +3040,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m6_anomaly": q_m6_anomaly,
         "m6_anomaly_scaled": q_m6_anomaly_scaled,
         "tpch_q1": q_tpch_q1,
+        "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q14": q_tpch_q14,
+        "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "o5_distinct": q_o5_distinct,
@@ -2819,6 +3123,11 @@ def oracle_sql() -> dict[str, str]:
         "m6_anomaly": O_M6,
         "m6_anomaly_scaled": O_M6_SCALED,
         "tpch_q1": O_TPCH_Q1,
+        "tpch_q2": O_TPCH_Q2,
+        "tpch_q9": O_TPCH_Q9,
+        "tpch_q11": O_TPCH_Q11,
+        "tpch_q16": O_TPCH_Q16,
+        "tpch_q20": O_TPCH_Q20,
         "tpch_q3": O_TPCH_Q3,
         "tpch_q4": O_TPCH_Q4,
         "tpch_q5": O_TPCH_Q5,
