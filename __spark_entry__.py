@@ -2719,6 +2719,86 @@ ORDER BY o_orderpriority, rank
 """
 
 
+def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning: decile buckets of order value per
+    priority (partitioned ntile window — the discretization step of
+    feature pipelines), then per-bin stats."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
+
+
+O_FEATURE_BINNING = """
+SELECT o_orderpriority, decile, count(*) AS n,
+       ROUND(avg(o_totalprice), 6) AS avg_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_tag_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the aligned tag matrix in ONE
+    aggregation (all pairs as parallel corr() aggregates — the
+    feature-redundancy screen, never a per-pair job)."""
+    wide = _wide_1h(spark, sf_dir)
+    tags = ["click", "view", "purchase"]
+    aggs = []
+    for i, a in enumerate(tags):
+        for b in tags[i + 1:]:
+            aggs.append(
+                F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"corr_{a}_{b}")
+            )
+    return wide.agg(*aggs)
+
+
+def _corr_sql() -> str:
+    from textwrap import dedent
+
+    return dedent("""
+    WITH res AS (
+      SELECT event_type AS tag,
+             CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+             avg(value) AS value
+      FROM events WHERE event_type IN ('click','view','purchase')
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT ts,
+             max(CASE WHEN tag='click' THEN value END) AS click,
+             max(CASE WHEN tag='view' THEN value END) AS view,
+             max(CASE WHEN tag='purchase' THEN value END) AS purchase
+      FROM res GROUP BY ts
+    ),
+    aligned AS (
+      SELECT * FROM wide
+      WHERE click IS NOT NULL AND view IS NOT NULL AND purchase IS NOT NULL
+    )
+    SELECT ROUND(corr(click, view), 6) AS corr_click_view,
+           ROUND(corr(click, purchase), 6) AS corr_click_purchase,
+           ROUND(corr(view, purchase), 6) AS corr_view_purchase
+    FROM aligned
+    """)
+
+
+O_TAG_CORR = _corr_sql()
+
+
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profile (operators/profile): every column's null
     rate / cardinality / range / mean from a single aggregation (20+
@@ -3067,6 +3147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_profile": q_data_profile,
         "events_json_extract": q_events_json_extract,
         "o9_topk_per_group": q_o9_topk_per_group,
+        "feature_binning": q_feature_binning,
+        "tag_correlations": q_tag_correlations,
         "o7_bucketed_join": q_o7_bucketed_join,
         "m1_ols_fit": q_m1_ols_fit,
         "m2_ols_predict": q_m2_ols_predict,
@@ -3150,6 +3232,8 @@ def oracle_sql() -> dict[str, str]:
         "data_profile": O_DATA_PROFILE,
         "events_json_extract": O_JSON_EXTRACT,
         "o9_topk_per_group": O_O9_TOPK,
+        "feature_binning": O_FEATURE_BINNING,
+        "tag_correlations": O_TAG_CORR,
         "o7_bucketed_join": O_O7,
         "m1_ols_fit": O_M1,
         "m2_ols_predict": O_M2,
