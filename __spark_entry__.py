@@ -2719,6 +2719,33 @@ ORDER BY o_orderpriority, rank
 """
 
 
+def q_o10_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 — grouped string aggregation: the distinct users per event
+    type as one sorted comma-joined string (collect_set -> array_sort ->
+    array_join; lexicographic order so both engines serialize
+    identically)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("user_id").cast("string"))), ","
+            ).alias("users")
+        )
+        .orderBy("event_type")
+    )
+
+
+O_O10_STRING_AGG = """
+SELECT event_type,
+       string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+                  ORDER BY CAST(user_id AS VARCHAR)) AS users
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile feature binning: decile buckets of order value per
     priority (partitioned ntile window — the discretization step of
@@ -3149,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o9_topk_per_group": q_o9_topk_per_group,
         "feature_binning": q_feature_binning,
         "tag_correlations": q_tag_correlations,
+        "o10_string_agg": q_o10_string_agg,
         "o7_bucketed_join": q_o7_bucketed_join,
         "m1_ols_fit": q_m1_ols_fit,
         "m2_ols_predict": q_m2_ols_predict,
@@ -3234,6 +3262,7 @@ def oracle_sql() -> dict[str, str]:
         "o9_topk_per_group": O_O9_TOPK,
         "feature_binning": O_FEATURE_BINNING,
         "tag_correlations": O_TAG_CORR,
+        "o10_string_agg": O_O10_STRING_AGG,
         "o7_bucketed_join": O_O7,
         "m1_ols_fit": O_M1,
         "m2_ols_predict": O_M2,
