@@ -195,11 +195,17 @@ class DiffBasedAnomalyDetector:
     def _fold_errors(
         self, train: DataFrame, test: DataFrame, targets, feats, ts_col: str
     ) -> DataFrame:
-        """Fit a base clone on ``train``, predict ``test``, return the
-        scaled-error frame (ts, err__<t>..., err__total). Predictions come
-        via ``predict`` + ts join — uniform across expression models and
-        offset/lookback models (whose output is shorter and keyed by
-        target ts)."""
+        """Fit a base clone on ``train``, predict ``test``, return the error
+        frame (ts, err__<t>..., err__total).
+
+        Reference parity (diff.py:222-233): per-tag errors are the UNSCALED
+        absolute error (``mae = |y_true - y_pred|``, which feeds
+        ``feature_thresholds_``); ``err__total`` is the SCALED mse per
+        timestep (``_scaled_mse_per_timestep``, which feeds
+        ``aggregate_threshold_``), with the scaler fit on the fold's train
+        targets. Predictions come via ``predict`` + ts join — uniform across
+        expression models and offset/lookback models (whose output is
+        shorter and keyed by target ts)."""
         fold_model = self._clone_base()
         fold_model.feature_cols = list(feats)
         fold_model.target_cols = list(targets)
@@ -217,19 +223,18 @@ class DiffBasedAnomalyDetector:
             ts_col, *[F.col(f"`_yt_{t}`") for t in targets]
         ).join(pred, ts_col)
         err_cols = []
+        scaled_sq = []
         for t in targets:
+            abs_err = F.abs(F.col(f"`p__{t}`") - F.col(f"`_yt_{t}`"))
+            err_cols.append(abs_err.alias(f"err__{t}"))
             rng = self._spread(scaler.stats[t])
-            err_cols.append(
-                (F.abs(F.col(f"`p__{t}`") - F.col(f"`_yt_{t}`")) / F.lit(rng)).alias(
-                    f"err__{t}"
-                )
-            )
-        sq = [F.col(f"`err__{t}`") * F.col(f"`err__{t}`") for t in targets]
-        total = sq[0]
-        for s in sq[1:]:
+            s = abs_err / F.lit(rng)
+            scaled_sq.append(s * s)
+        total = scaled_sq[0]
+        for s in scaled_sq[1:]:
             total = total + s
-        return joined.select(ts_col, *err_cols).withColumn(
-            "err__total", total / F.lit(float(len(targets)))
+        return joined.select(
+            ts_col, *err_cols, (total / F.lit(float(len(targets)))).alias("err__total")
         )
 
     def cross_validate(
@@ -310,6 +315,7 @@ class DiffBasedAnomalyDetector:
             total_threshold=self.total_threshold_,
             ts_col=ts_col,
             y_prefix="_y__",
+            feature_tags=self.base.feature_cols,
         )
 
 
@@ -384,11 +390,21 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
 
         # smoothed OOF error -> percentile thresholds (diff.py:617-635)
         err_names = [f"err__{t}" for t in targets] + ["err__total"]
-        smoother = SMOOTHERS[self.smoothing_method]
-        w_ts = Window.partitionBy().orderBy(ts_col)
-        smoothed = oof.select(
-            *[smoother(c, self.window, w_ts).alias(c) for c in err_names]
-        )
+        if self.smoothing_method == "ewma":
+            # diff.py:302-308 — ewma is a valid smoothing_method; it has no
+            # bounded-window SQL form, so route through the applyInPandas
+            # EWMA (same path anomaly_frame takes)
+            from gordo_spark.operators.smoothing import ewma as _ewma
+
+            smoothed = _ewma(oof, err_names, span=self.window, ts_col=ts_col).select(
+                *[F.col(f"`smooth_{c}`").alias(c) for c in err_names]
+            )
+        else:
+            smoother = SMOOTHERS[self.smoothing_method]
+            w_ts = Window.partitionBy().orderBy(ts_col)
+            smoothed = oof.select(
+                *[smoother(c, self.window, w_ts).alias(c) for c in err_names]
+            )
         row = smoothed.agg(
             *[
                 F.expr(f"percentile(`{c}`, {self.threshold_percentile})").alias(c)

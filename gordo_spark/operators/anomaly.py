@@ -13,8 +13,11 @@ Given aligned ``y`` (targets) and ``model_output`` per timestamp:
   training (diff.py:166-174)
 - ``smooth_*``: trailing smoothing (smm/sma/ewma), window default 144,
   first window-1 rows null                                               (W5)
-- ``anomaly_confidence__<t>``     = tag error / tag threshold
-- ``total_anomaly_confidence``    = total error / total threshold
+- ``anomaly_confidence__<t>``     = UNSCALED tag error / tag threshold
+  (diff.py:420 — ``unscaled_abs_diff / feature_thresholds_``; thresholds
+  themselves are rolling-min-max of the UNSCALED fold mae, diff.py:233)
+- ``total_anomaly_confidence``    = SCALED total error / total threshold
+  (diff.py:439 — ``total-anomaly-scaled / aggregate_threshold_``)
 - ``start`` = bucket ts, ``end`` = start + resolution                    (W7)
 
 Thresholds (A7/A8): TimeSeriesSplit mode = last CV fold's
@@ -64,6 +67,7 @@ def anomaly_frame(
     total_threshold: float | None = None,
     ts_col: str = "ts",
     y_prefix: str | None = None,
+    feature_tags: Sequence[str] | None = None,
 ) -> DataFrame:
     """Compute the full anomaly column block.
 
@@ -77,6 +81,10 @@ def anomaly_frame(
     ``scaler_stats``: per-tag (min, max) from train time; None disables the
     scaled block. ``thresholds``/``total_threshold``: broadcast scalars from
     CV; None disables confidences.
+    ``feature_tags``: the X-side tag list for the ``model_input__`` block
+    (the reference's make_base_dataframe emits model-input columns for the
+    feature tags only, gordo/machine/model/utils.py:49-110); default None =
+    ``tags`` (the autoencoder case, where targets == features).
     """
 
     def ycol(t: str) -> Column:
@@ -86,8 +94,10 @@ def anomaly_frame(
         F.col(ts_col).alias("start"),
         (F.col(ts_col) + F.expr(offset_alias_to_interval(resolution))).alias("end"),
     ]
-    for t in tags:
+    input_tags = list(feature_tags) if feature_tags is not None else list(tags)
+    for t in input_tags:
         cols.append(F.col("`" + t + "`").alias(f"model_input__{t}"))
+    for t in tags:
         cols.append(F.col(f"`{output_prefix}{t}`").alias(f"model_output__{t}"))
 
     err_u = {t: F.abs(F.col(f"`{output_prefix}{t}`") - ycol(t)) for t in tags}
@@ -136,13 +146,12 @@ def anomaly_frame(
                 )
             return err / F.lit(float(th))
 
+        # tag confidence is ALWAYS unscaled error / unscaled threshold
+        # (diff.py:420 divides unscaled_abs_diff by feature_thresholds_,
+        # which were computed from the unscaled fold mae at diff.py:233)
         conf = [
             _conf(
-                F.col(
-                    f"`tag_anomaly_scaled__{t}`"
-                    if scaler_stats
-                    else f"`tag_anomaly_unscaled__{t}`"
-                ),
+                F.col(f"`tag_anomaly_unscaled__{t}`"),
                 float(thresholds[t]),
             ).alias(f"anomaly_confidence__{t}")
             for t in tags

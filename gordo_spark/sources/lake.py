@@ -65,6 +65,9 @@ def compact_sensor_lake(
     df = spark.read.parquet(src)
     if dates is not None:
         df = df.filter(F.col("date").isin([str(d) for d in dates]))
+    if "batch" in df.columns:
+        # fold away streaming ingest's per-batch physical level
+        df = df.drop("batch")
     (
         df.repartition(files_per_date, "date")
         .sortWithinPartitions("date", "tag", "ts")
@@ -162,19 +165,35 @@ def stream_to_lake(
 ):
     """Streaming ingest into the date-partitioned lake layout.
 
-    foreachBatch reuses :func:`write_sensor_lake` in append mode, so
-    streamed data lands in exactly the layout every batch reader
+    Streamed data lands in the layout every batch reader
     (SensorLakeProvider, compaction, rollup) expects — partition-pruned
-    date dirs with (tag, ts)-sorted runs. Checkpointing gives
-    exactly-once per micro-batch; run :func:`compact_sensor_lake` on a
-    schedule to fold the per-batch files, and :func:`rollup_sensor_lake`
+    date dirs with (tag, ts)-sorted runs — with one extra physical level,
+    ``batch=<id>``, under each date. The write is IDEMPOTENT per
+    micro-batch: each batch dynamically overwrites exactly its own
+    ``(date, batch)`` partitions, so a batch re-executed after a failure
+    (foreachBatch is otherwise at-least-once) replaces its previous
+    output instead of appending duplicates — exactly-once lake contents.
+    Run :func:`compact_sensor_lake` on a schedule to fold the per-batch
+    files (it drops the ``batch`` level), and :func:`rollup_sensor_lake`
     to keep continuous aggregates current.
     """
 
-    def _write(batch_df, _batch_id):
-        write_sensor_lake(
-            batch_df, path, mode="append", files_per_date=files_per_date
-        )
+    def _write(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("date", F.to_date("ts"))
+                .withColumn("batch", F.lit(batch_id))
+                .repartition(files_per_date, "date")
+                .sortWithinPartitions("date", "tag", "ts")
+                .write.mode("overwrite")
+                .partitionBy("date", "batch")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     writer = stream.writeStream.foreachBatch(_write).option(
         "checkpointLocation", checkpoint

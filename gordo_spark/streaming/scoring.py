@@ -85,7 +85,8 @@ def stream_anomaly_select(
         out = output_expr(t)
         mn, mx = scaler_stats[t]
         rng = (mx - mn) if mx != mn else 1.0
-        err = F.abs(out - F.col(f"`{t}`")) / F.lit(rng)
+        err_u = F.abs(out - F.col(f"`{t}`"))
+        err = err_u / F.lit(rng)
         errs[t] = err
         cols += [
             F.col(f"`{t}`").alias(f"model_input__{t}"),
@@ -93,8 +94,10 @@ def stream_anomaly_select(
             err.alias(f"tag_anomaly_scaled__{t}"),
         ]
         if thresholds is not None and thresholds.get(t) is not None:
+            # batch parity: tag confidence = UNSCALED error / threshold
+            # (diff.py:420 semantics; see operators/anomaly.py)
             cols.append(
-                (err / F.lit(float(thresholds[t]))).alias(f"anomaly_confidence__{t}")
+                (err_u / F.lit(float(thresholds[t]))).alias(f"anomaly_confidence__{t}")
             )
     total = errs[tags[0]] * errs[tags[0]]
     for t in tags[1:]:

@@ -101,7 +101,9 @@ def test_anomaly_detector_end_to_end(spark, xy):
     out = det.anomaly(X, y, resolution="10T").toPandas().sort_values("start")
     expected_cols = {
         "start", "end",
-        "model_input__t1", "model_output__t1",
+        # model_input block = the X/feature tags (reference
+        # make_base_dataframe emits model-input for the X side only)
+        "model_input__a", "model_input__b", "model_output__t1",
         "tag_anomaly_unscaled__t1", "tag_anomaly_scaled__t1",
         "total_anomaly_unscaled", "total_anomaly_scaled",
         "smooth_total_anomaly_scaled", "anomaly_confidence__t1",
@@ -129,6 +131,28 @@ def test_anomaly_detector_end_to_end(spark, xy):
     assert out["smooth_total_anomaly_scaled"].iloc[5:].notna().all()
     # model trained on clean linear data: confidences well below 1 mostly
     assert out["total_anomaly_confidence"].median() < 1.0
+    # reference diff.py:420 parity — tag confidence is the UNSCALED error
+    # over the (unscaled-mae-derived) tag threshold
+    np.testing.assert_allclose(
+        out["anomaly_confidence__t1"].values,
+        out["tag_anomaly_unscaled__t1"].values / det.tag_thresholds_["t1"],
+        rtol=1e-9,
+    )
+
+
+def test_kfcv_accepts_ewma_smoothing(spark, xy):
+    """smoothing_method='ewma' must route through the applyInPandas EWMA,
+    not KeyError on the bounded-window SMOOTHERS dict."""
+    from gordo_spark.ml.models import DiffBasedKFCVAnomalyDetector
+
+    X, y, _ = xy
+    det = DiffBasedKFCVAnomalyDetector(
+        smoothing_method="ewma", window=6, n_splits=3
+    )
+    det.fit(X, y)
+    det.cross_validate(X, y)
+    assert det.tag_thresholds_["t1"] > 0
+    assert det.total_threshold_ > 0
 
 
 def test_model_definition_roundtrip():

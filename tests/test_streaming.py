@@ -82,10 +82,11 @@ def test_score_stream_end_to_end(spark, sf_dir, tmp_path, events_schema):
     assert "total_anomaly_confidence" in got.columns
     # spot-check the stateless math on one row
     r = got.iloc[0]
-    err = abs((1.0 + 0.5 * r["model_input__click"]) - r["model_input__view"]) / 100.0
-    np.testing.assert_allclose(r["tag_anomaly_scaled__view"], err, rtol=1e-9)
+    err_u = abs((1.0 + 0.5 * r["model_input__click"]) - r["model_input__view"])
+    np.testing.assert_allclose(r["tag_anomaly_scaled__view"], err_u / 100.0, rtol=1e-9)
+    # tag confidence divides the UNSCALED error by the threshold (batch parity)
     np.testing.assert_allclose(
-        r["anomaly_confidence__view"], err / 0.5, rtol=1e-9
+        r["anomaly_confidence__view"], err_u / 0.5, rtol=1e-9
     )
 
 
