@@ -4,7 +4,7 @@ test strategy: golden math vs numpy/pandas, SURVEY.md §5)."""
 import numpy as np
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from gordo_spark.operators import (
     apply_inf_imputer,
@@ -310,3 +310,79 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     # rank error <= relative_error * n -> value gap bounded by local density;
     # on this data the median neighborhood is dense, so 1% value slack is ample
     assert abs(qs[0] - exact) <= max(abs(exact) * 0.01, 1e-6) or n < 100
+
+
+def test_multimachine_pipeline_partitions_every_window(spark, sf_dir):
+    """The fleet-scale path: resample/pivot with group_cols + anomaly_frame
+    with machine_col must (a) keep every Window partitioned by machine —
+    zero single-partition windows in the plan — and (b) per machine equal
+    the solo single-machine pipeline bit-for-bit."""
+    import io
+    import contextlib
+    import os
+    import sys
+
+    from gordo_spark.operators.align import inner_align, pivot_wide
+    from gordo_spark.operators.anomaly import anomaly_frame
+    from gordo_spark.operators.resample import resample_aggregate
+    from gordo_spark.sources.io import read_table
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+    )
+    from plan_audit import unpartitioned_windows
+
+    tags = ["click", "view"]
+    ev = read_table(spark, sf_dir, "events")
+    long = ev.filter(F.col("event_type").isin(tags)).select(
+        F.concat(F.lit("m"), (F.col("user_id") % 2).cast("string")).alias("machine"),
+        F.col("event_type").alias("tag"),
+        "ts",
+        "value",
+    )
+
+    def score(wide, machine_col):
+        frame = (
+            Window.partitionBy(machine_col) if machine_col else Window.partitionBy()
+        ).orderBy("ts").rowsBetween(-5, 0)
+        head = ([machine_col] if machine_col else []) + ["ts"]
+        with_out = wide.select(
+            *head,
+            *[F.col(f"`{t}`").alias(t) for t in tags],
+            *[
+                F.when(
+                    F.count(f"`{t}`").over(frame) >= 6, F.avg(f"`{t}`").over(frame)
+                ).alias(f"model_output__{t}")
+                for t in tags
+            ],
+        ).dropna()
+        return anomaly_frame(
+            with_out, tags, resolution="1H", scaler_stats=None,
+            smoothing_method="smm", smoothing_window=6, machine_col=machine_col,
+        )
+
+    res = resample_aggregate(long, "1H", "mean", group_cols=["machine"])
+    wide = inner_align(pivot_wide(res, tags, group_cols=["machine"]), tags)
+    multi = score(wide, "machine")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        multi.explain("formatted")
+    assert unpartitioned_windows(buf.getvalue()) == 0
+
+    solo_long = long.filter(F.col("machine") == "m0").drop("machine")
+    solo_wide = inner_align(pivot_wide(resample_aggregate(solo_long, "1H", "mean"), tags), tags)
+    solo = score(solo_wide, None).toPandas().sort_values("start").reset_index(drop=True)
+    got = (
+        multi.filter(F.col("machine") == "m0")
+        .drop("machine")
+        .toPandas()
+        .sort_values("start")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(solo) > 0
+    for c in solo.columns:
+        if solo[c].dtype.kind == "f":
+            np.testing.assert_allclose(got[c], solo[c], rtol=0, atol=0, equal_nan=True)
+        else:
+            assert (got[c] == solo[c]).all()
