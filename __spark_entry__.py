@@ -804,6 +804,123 @@ WINDOW w AS (ORDER BY start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 """
 
 
+def q_m6_anomaly_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 at fleet granularity — the multi-machine scale path: 3 machines
+    (``user_id % 3``) through resample -> pivot-align -> pseudo-model ->
+    anomaly_frame with EVERY window partitioned by machine. At 1000+
+    machines this is the production shape: N bounded per-machine series =
+    N parallel window partitions, no global single-partition window
+    anywhere in the plan (contrast m6_anomaly, which deliberately runs the
+    single-machine path)."""
+    from gordo_spark.operators.align import inner_align, pivot_wide
+    from gordo_spark.operators.anomaly import anomaly_frame
+    from gordo_spark.operators.resample import resample_aggregate
+
+    ev = read_table(spark, sf_dir, "events")
+    long = ev.filter(F.col("event_type").isin(list(ALIGN_TAGS))).select(
+        F.concat(F.lit("m"), (F.col("user_id") % 3).cast("string")).alias("machine"),
+        F.col("event_type").alias("tag"),
+        "ts",
+        "value",
+    )
+    res = resample_aggregate(long, "1H", "mean", group_cols=["machine"])
+    wide = inner_align(
+        pivot_wide(res, ALIGN_TAGS, group_cols=["machine"]), ALIGN_TAGS
+    )
+    frame = Window.partitionBy("machine").orderBy("ts").rowsBetween(-5, 0)
+    with_out = wide.select(
+        "machine",
+        "ts",
+        *[F.col(f"`{t}`").alias(t) for t in ALIGN_TAGS],
+        *[
+            F.when(
+                F.count(f"`{t}`").over(frame) >= 6, F.avg(f"`{t}`").over(frame)
+            ).alias(f"model_output__{t}")
+            for t in ALIGN_TAGS
+        ],
+    ).dropna()
+    out = anomaly_frame(
+        with_out,
+        ALIGN_TAGS,
+        resolution="1H",
+        scaler_stats=None,
+        smoothing_method="smm",
+        smoothing_window=6,
+        machine_col="machine",
+    )
+    num_cols = [c for c in out.columns if c not in ("machine", "start", "end")]
+    return _r6(out, *num_cols)
+
+
+O_M6_MULTI = """
+WITH res AS (
+  SELECT 'm' || (user_id % 3) AS machine,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(CASE WHEN event_type = 'click' THEN value END) AS click,
+         avg(CASE WHEN event_type = 'view' THEN value END) AS view,
+         avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT * FROM res
+  WHERE click IS NOT NULL AND view IS NOT NULL AND purchase IS NOT NULL
+),
+with_out AS (
+  SELECT machine, ts, click, view, purchase,
+         CASE WHEN count(click) OVER w >= 6 THEN avg(click) OVER w END AS mo_click,
+         CASE WHEN count(view) OVER w >= 6 THEN avg(view) OVER w END AS mo_view,
+         CASE WHEN count(purchase) OVER w >= 6 THEN avg(purchase) OVER w END AS mo_purchase
+  FROM wide
+  WINDOW w AS (PARTITION BY machine ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+),
+aligned AS (
+  SELECT * FROM with_out
+  WHERE mo_click IS NOT NULL AND mo_view IS NOT NULL AND mo_purchase IS NOT NULL
+),
+errs AS (
+  SELECT machine, ts AS start, ts + INTERVAL 3600 SECOND AS "end",
+         click AS model_input__click, view AS model_input__view,
+         purchase AS model_input__purchase,
+         mo_click AS model_output__click, mo_view AS model_output__view,
+         mo_purchase AS model_output__purchase,
+         abs(mo_click - click) AS tag_anomaly_unscaled__click,
+         abs(mo_view - view) AS tag_anomaly_unscaled__view,
+         abs(mo_purchase - purchase) AS tag_anomaly_unscaled__purchase,
+         (abs(mo_click - click)*abs(mo_click - click)
+          + abs(mo_view - view)*abs(mo_view - view)
+          + abs(mo_purchase - purchase)*abs(mo_purchase - purchase)) / 3.0
+           AS total_anomaly_unscaled
+  FROM aligned
+)
+SELECT machine, start, "end",
+       ROUND(model_input__click,6) AS model_input__click,
+       ROUND(model_output__click,6) AS model_output__click,
+       ROUND(model_input__view,6) AS model_input__view,
+       ROUND(model_output__view,6) AS model_output__view,
+       ROUND(model_input__purchase,6) AS model_input__purchase,
+       ROUND(model_output__purchase,6) AS model_output__purchase,
+       ROUND(tag_anomaly_unscaled__click,6) AS tag_anomaly_unscaled__click,
+       ROUND(tag_anomaly_unscaled__view,6) AS tag_anomaly_unscaled__view,
+       ROUND(tag_anomaly_unscaled__purchase,6) AS tag_anomaly_unscaled__purchase,
+       ROUND(total_anomaly_unscaled,6) AS total_anomaly_unscaled,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__click, 0.5) OVER w END, 6)
+         AS smooth_tag_anomaly_unscaled__click,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__view, 0.5) OVER w END, 6)
+         AS smooth_tag_anomaly_unscaled__view,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__purchase, 0.5) OVER w END, 6)
+         AS smooth_tag_anomaly_unscaled__purchase,
+       ROUND(CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(total_anomaly_unscaled, 0.5) OVER w END, 6)
+         AS smooth_total_anomaly_unscaled
+FROM errs
+WINDOW w AS (PARTITION BY machine ORDER BY start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------- TPC-H classics
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-family relational coverage — TPC-H Q1 pricing summary."""
@@ -3146,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_explained_variance": q_a9_explained_variance,
         "m6_anomaly": q_m6_anomaly,
         "m6_anomaly_scaled": q_m6_anomaly_scaled,
+        "m6_anomaly_multi": q_m6_anomaly_multi,
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
@@ -3232,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         "a9_explained_variance": O_A9,
         "m6_anomaly": O_M6,
         "m6_anomaly_scaled": O_M6_SCALED,
+        "m6_anomaly_multi": O_M6_MULTI,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q2": O_TPCH_Q2,
         "tpch_q9": O_TPCH_Q9,

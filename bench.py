@@ -52,6 +52,7 @@ HEADLINE = [
     "w3_ewma",
     "m6_anomaly",
     "m6_anomaly_scaled",
+    "m6_anomaly_multi",
     "a9_explained_variance",
     "o5_distinct",
     "asof_join",

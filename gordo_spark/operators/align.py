@@ -31,11 +31,16 @@ def pivot_wide(
     tag_col: str = "tag",
     ts_col: str = "ts",
     value_col: str = "value",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Long ``(tag, ts, value)`` -> wide ``(ts, <tag1>, <tag2>, ...)``."""
+    """Long ``(tag, ts, value)`` -> wide ``(ts, <tag1>, <tag2>, ...)``.
+
+    ``group_cols``: extra grouping keys (e.g. ``machine``) — the pivot then
+    produces one wide row per (machine, ts), keeping the shuffle keyed and
+    partitioned instead of global."""
     return (
         df.filter(F.col(tag_col).isin(list(tags)))
-        .groupBy(ts_col)
+        .groupBy(*[F.col(g) for g in group_cols], ts_col)
         .pivot(tag_col, list(tags))
         .agg(F.first(value_col, ignorenulls=True))
     )

@@ -68,6 +68,7 @@ def anomaly_frame(
     ts_col: str = "ts",
     y_prefix: str | None = None,
     feature_tags: Sequence[str] | None = None,
+    machine_col: str | None = None,
 ) -> DataFrame:
     """Compute the full anomaly column block.
 
@@ -85,12 +86,19 @@ def anomaly_frame(
     (the reference's make_base_dataframe emits model-input columns for the
     feature tags only, gordo/machine/model/utils.py:49-110); default None =
     ``tags`` (the autoencoder case, where targets == features).
+    ``machine_col``: multi-machine frames — smoothing windows partition by
+    this column (one bounded series per machine) instead of running a
+    global single-partition window; the column is carried through the
+    output. This is the 100 TB path: N machines = N parallel window
+    partitions, never one.
     """
 
     def ycol(t: str) -> Column:
         return F.col(f"`{y_prefix}{t}`") if y_prefix else F.col("`" + t + "`")
 
-    cols: list[Column] = [
+    cols: list[Column] = (
+        [F.col("`" + machine_col + "`")] if machine_col else []
+    ) + [
         F.col(ts_col).alias("start"),
         (F.col(ts_col) + F.expr(offset_alias_to_interval(resolution))).alias("end"),
     ]
@@ -124,10 +132,15 @@ def anomaly_frame(
         if scaler_stats is not None:
             smooth_cols += [f"tag_anomaly_scaled__{t}" for t in tags] + ["total_anomaly_scaled"]
         if smoothing_method == "ewma":
-            out = ewma(out, smooth_cols, span=smoothing_window, ts_col="start")
+            out = ewma(
+                out, smooth_cols, span=smoothing_window, ts_col="start",
+                machine_col=machine_col,
+            )
         else:
             fn = SMOOTHERS[smoothing_method]
-            w = Window.partitionBy().orderBy("start")
+            w = (
+                Window.partitionBy(machine_col) if machine_col else Window.partitionBy()
+            ).orderBy("start")
             out = out.select(
                 *[F.col("`" + c + "`") for c in out.columns],
                 *[fn(c, smoothing_window, w).alias(f"smooth_{c}") for c in smooth_cols],

@@ -60,12 +60,16 @@ def resample_aggregate(
     tag_col: str = "tag",
     ts_col: str = "ts",
     value_col: str = "value",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Long ``(tag, ts, value)`` -> ``(tag, ts=bucket, <agg>...)``.
 
     Single aggregation keeps the output column named ``value`` (so downstream
     pivot/interpolate are agnostic); a list emits ``value_<agg>`` columns,
     mirroring the reference's one-column-per-(tag, agg) expansion.
+    ``group_cols``: extra grouping keys carried through (e.g. a ``machine``
+    column in a multi-machine frame — the aggregation then keys on
+    (machine, tag, bucket), still one partitioned hash agg).
     """
     methods = [aggregation_methods] if isinstance(aggregation_methods, str) else list(aggregation_methods)
     unknown = [m for m in methods if m not in _AGG]
@@ -77,6 +81,10 @@ def resample_aggregate(
         for m in methods
     ]
     return (
-        df.groupBy(F.col(tag_col), bucket_ts(ts_col, resolution).alias(ts_col))
+        df.groupBy(
+            *[F.col(g) for g in group_cols],
+            F.col(tag_col),
+            bucket_ts(ts_col, resolution).alias(ts_col),
+        )
         .agg(*aggs)
     )

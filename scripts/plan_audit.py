@@ -9,9 +9,13 @@ features, flags red flags, and writes PLANS.md. Red flags:
 - BatchEvalPython / PythonUDF in plan — row-at-a-time Python in the hot
   path (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas are the
   sanctioned Arrow-batched forms and are NOT flagged).
-- "No Partition Defined" windows are visible as 'Window' nodes without
-  partition keys — reported as single-series windows (accepted per-machine
-  granularity, see SURVEY.md §4, but surfaced so the count is watched).
+- Window nodes WITHOUT a partition spec ("No Partition Defined" at run
+  time: all rows move to ONE partition) are a RED FLAG unless the query is
+  in SINGLE_SERIES_OK — the explicit allowlist of queries that by contract
+  process ONE machine's bounded frame (~50k rows/year @10min; the
+  multi-machine path is m6_anomaly_multi, whose windows must all be
+  partitioned). An allowlisted query still reports its count; a
+  non-allowlisted query with any unpartitioned window fails the audit.
 
 Usage: python scripts/plan_audit.py [sf_dir] [query ...]
 """
@@ -60,6 +64,46 @@ COUNTED = (
     ("scans", r"Scan parquet"),
 )
 
+# Queries allowed to contain Window nodes with NO partition spec: each one
+# deliberately exercises the single-machine contract (one bounded series,
+# the reference's one-model-per-machine granularity — SURVEY.md §4). Any
+# query not listed here must partition every window (see m6_anomaly_multi).
+SINGLE_SERIES_OK = {
+    # one machine's aligned wide frame (tail-drop / buffer / fold windows)
+    "j7_lookback",
+    "p3_row_filter",
+    "p4_median_period",
+    "m4_kfold_threshold",
+    "m6_anomaly",
+    "m6_anomaly_scaled",
+}
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with no partition spec. A partitioned Window's
+    Arguments line carries THREE top-level bracket groups
+    (`[exprs], [partition keys], [order]`); an unpartitioned one omits the
+    partition list entirely and has only two."""
+    n = 0
+    for block in plan.split("\n\n"):
+        s = block.strip()
+        if not re.match(r"\(\d+\) Window\b", s):
+            continue
+        m = re.search(r"^Arguments: (.*)$", s, re.M)
+        if not m:
+            continue
+        depth = groups = 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            n += 1
+    return n
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()
@@ -92,6 +136,11 @@ def main():
             flags = [f"BNLJ accepted: {ACCEPTED[name]}"]
         else:
             n_red += bool(flags)
+        upw = unpartitioned_windows(plan)
+        counts["global_windows"] = upw
+        if upw and name not in SINGLE_SERIES_OK:
+            flags.append(f"UNPARTITIONED WINDOW x{upw} (not in SINGLE_SERIES_OK)")
+            n_red += 1
         rows.append((name, counts, flags))
 
     lines = [
@@ -105,15 +154,17 @@ def main():
         "visible in pre-execution plans under AQE; the arrowPy / red-flag",
         "columns capture what falls out of codegen into Python.)",
         "",
-        "| query | exchanges | broadcast | SMJ | arrowPy | scans | red flags |",
-        "|---|---|---|---|---|---|---|",
+        "| query | exchanges | broadcast | SMJ | arrowPy | scans | 1-part windows | red flags |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, c, flags in rows:
         flag_s = ", ".join(flags) if flags else "—"
+        gw = c.get("global_windows", 0)
+        gw_s = f"{gw} (single-series OK)" if gw and name in SINGLE_SERIES_OK else str(gw)
         lines.append(
             f"| {name} | {c.get('exchanges', '?')} | {c.get('broadcasts', '?')} "
             f"| {c.get('smj', '?')} | {c.get('arrow_python', '?')} "
-            f"| {c.get('scans', '?')} | {flag_s} |"
+            f"| {c.get('scans', '?')} | {gw_s} | {flag_s} |"
         )
     lines += ["", f"Total: {len(rows)} queries, {n_red} with red flags."]
     out = "\n".join(lines) + "\n"
