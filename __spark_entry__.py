@@ -1746,16 +1746,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu_ps = ps.join(
         F.broadcast(eu_sup), F.col("ps_suppkey") == F.col("s_suppkey")
     )
-    min_cost = eu_ps.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("_mc")
-    )
+    # decorrelated per-part min as a PARTITIONED window over the single
+    # eu_ps derivation (a separate groupBy+join-back would re-derive the
+    # whole eu_ps subtree — part/supplier scanned twice). The part filter
+    # only prunes parts, never a part's supplier rows, so the post-join
+    # window min equals the pre-join per-part min.
+    w_min = Window.partitionBy("ps_partkey")
     return (
         eu_ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(
-            F.broadcast(min_cost.withColumnRenamed("ps_partkey", "_pk")),
-            (F.col("ps_partkey") == F.col("_pk"))
-            & (F.col("ps_supplycost") == F.col("_mc")),
-        )
+        .withColumn("_mc", F.min("ps_supplycost").over(w_min))
+        .filter(F.col("ps_supplycost") == F.col("_mc"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -1854,7 +1854,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         ),
         F.col("ps_suppkey") == F.col("s_suppkey"),
-    )
+    ).cache()  # referenced twice (per-part sums + nation total): one derivation
     val = F.col("ps_supplycost") * F.col("ps_availqty")
     per_part = in_nation.groupBy("ps_partkey").agg(F.sum(val).alias("value"))
     total = in_nation.agg((F.sum(val) * 0.001).alias("_thr"))

@@ -92,15 +92,22 @@ def unpartitioned_windows(plan: str) -> int:
         m = re.search(r"^Arguments: (.*)$", s, re.M)
         if not m:
             continue
-        depth = groups = 0
-        for ch in m.group(1):
+        args = m.group(1)
+        groups, depth, start = [], 0, -1
+        for i, ch in enumerate(args):
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    start = i
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
+                if depth == 0:
+                    groups.append(args[start : i + 1])
+        if len(groups) >= 3:
+            continue  # [exprs], [partition], [order]
+        # two groups: partition-only ([exprs], [keys]) is fine; order-only
+        # ([exprs], [c ASC ...]) is the single-partition case
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[-1]):
             n += 1
     return n
 
