@@ -8,14 +8,23 @@ is ``KFold(n_splits=5, shuffle=True, random_state=0)``
 Spark shape: a fold is a *predicate*, not a materialized slice — each fold's
 train/test DataFrames are lazy filters over one cached aligned frame, so N
 folds share one scan. TimeSeriesSplit reproduces sklearn's exact index
-arithmetic; for the shuffled KFold we use ``row_number % k`` (deterministic,
-engine-portable) instead of an RNG permutation — sklearn's Mersenne shuffle
-is not reproducible in SQL and the reference pins seed=0 only for
-repeatability, not for specific membership.
+arithmetic.
+
+Shuffled KFold membership (default) reproduces sklearn
+``KFold(n_splits, shuffle=True, random_state=seed)`` EXACTLY: sklearn
+shuffles ``arange(n)`` with the seeded Mersenne RNG and deals consecutive
+chunks as test folds — the identical permutation comes from
+``np.random.RandomState(seed).permutation(n)`` on the driver (one machine's
+aligned frame is bounded, ~50k rows/year @10min, so the n-length fold map
+is a broadcast-joinable driver artifact — the same boundary the reference
+crosses by materializing the whole frame in memory). ``membership="modulo"``
+(``row_number % k``) remains as the engine-portable fallback that a SQL
+oracle can reproduce (used by the m4 contract query).
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -45,15 +54,71 @@ def timeseries_split(
     return folds
 
 
-def kfold_split(
-    df: DataFrame, n_splits: int = 5, ts_col: str = "ts"
-) -> list[tuple[DataFrame, DataFrame]]:
-    """Deterministic k-fold: fold = row_number % k (see module docstring)."""
+def sklearn_kfold_membership(
+    n: int, n_splits: int = 5, seed: int = 0
+) -> np.ndarray:
+    """Fold id per row index, bit-equal to sklearn
+    ``KFold(n_splits, shuffle=True, random_state=seed)``
+    (/root/reference/gordo/machine/model/anomaly/diff.py:566-575 pins
+    ``KFold(5, shuffle=True, random_state=0)``): shuffle ``arange(n)`` with
+    the seeded RNG, deal consecutive chunks (first ``n % k`` folds one
+    larger) as test folds."""
+    perm = np.random.RandomState(seed).permutation(n)
+    sizes = np.full(n_splits, n // n_splits, dtype=np.int64)
+    sizes[: n % n_splits] += 1
+    fold_of = np.empty(n, dtype=np.int64)
+    cur = 0
+    for f, size in enumerate(sizes):
+        fold_of[perm[cur : cur + size]] = f
+        cur += size
+    return fold_of
+
+
+def fold_column(
+    df: DataFrame,
+    n_splits: int = 5,
+    ts_col: str = "ts",
+    membership: str = "shuffle",
+    seed: int = 0,
+    col: str = "_fold",
+) -> DataFrame:
+    """Append a fold-membership column.
+
+    ``membership="shuffle"``: sklearn-faithful seeded permutation (driver
+    computes the n-row (rn, fold) map, broadcast-joined in — frames are
+    bounded per machine). ``membership="modulo"``: ``row_number % k``,
+    engine-portable (SQL-oracle-reproducible)."""
     rn = _with_rn(df, ts_col)
+    if membership == "modulo":
+        return rn.withColumn(col, (F.col("_rn") % n_splits)).drop("_rn")
+    if membership != "shuffle":
+        raise ValueError(f"unknown membership {membership!r} (shuffle|modulo)")
+    n = df.count()
+    fold_of = sklearn_kfold_membership(n, n_splits, seed)
+    mapping = df.sparkSession.createDataFrame(
+        [(int(i), int(f)) for i, f in enumerate(fold_of)],
+        schema="_rn bigint, _fold_m int",
+    )
+    return (
+        rn.join(F.broadcast(mapping), "_rn")
+        .withColumn(col, F.col("_fold_m"))
+        .drop("_rn", "_fold_m")
+    )
+
+
+def kfold_split(
+    df: DataFrame,
+    n_splits: int = 5,
+    ts_col: str = "ts",
+    membership: str = "shuffle",
+    seed: int = 0,
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Shuffled k-fold (sklearn-faithful by default; see fold_column)."""
+    withf = fold_column(df, n_splits, ts_col, membership, seed)
     folds = []
     for i in range(n_splits):
-        test = rn.filter(F.col("_rn") % n_splits == i).drop("_rn")
-        train = rn.filter(F.col("_rn") % n_splits != i).drop("_rn")
+        test = withf.filter(F.col("_fold") == i).drop("_fold")
+        train = withf.filter(F.col("_fold") != i).drop("_fold")
         folds.append((train, test))
     return folds
 

@@ -325,10 +325,12 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
     assembled over the WHOLE frame, thresholds = ``threshold_percentile``
     quantile of the smoothed OOF error (per tag and total).
 
-    Engine-portable deviation (documented in ml/cv.py): fold membership is
-    ``row_number % k`` instead of sklearn's seeded Mersenne shuffle — the
-    reference pins ``random_state=0`` for repeatability, not for specific
-    membership, and a SQL oracle cannot reproduce the Mersenne permutation.
+    Fold membership defaults to the sklearn-faithful seeded permutation —
+    bit-equal to the reference's ``KFold(5, shuffle=True, random_state=0)``
+    (diff.py:566-575) via ``ml.cv.fold_column``. Set
+    ``fold_membership="modulo"`` for the engine-portable ``row_number % k``
+    assignment (the form a SQL oracle can reproduce; used by the m4
+    contract query).
     """
 
     def __init__(
@@ -340,17 +342,24 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
         n_splits: int = 5,
         require_thresholds: bool = False,
         scaler: str = "minmax",
+        fold_membership: str = "shuffle",
     ):
         super().__init__(
             base_estimator, smoothing_method, window, require_thresholds, scaler
         )
         self.threshold_percentile = threshold_percentile
         self.n_splits = n_splits
+        if fold_membership not in ("shuffle", "modulo"):
+            raise ValueError(
+                f"unknown fold_membership {fold_membership!r} (shuffle|modulo)"
+            )
+        self.fold_membership = fold_membership
 
     def into_definition(self) -> dict:
         d = super().into_definition()
         d["threshold_percentile"] = self.threshold_percentile
         d["n_splits"] = self.n_splits
+        d["fold_membership"] = self.fold_membership
         return d
 
     def cross_validate(
@@ -365,11 +374,14 @@ class DiffBasedKFCVAnomalyDetector(DiffBasedAnomalyDetector):
         targets = self.base.target_cols or [c for c in y.columns if c != ts_col]
         self.base.feature_cols, self.base.target_cols = feats, targets
 
+        from gordo_spark.ml.cv import fold_column
+
         wide = X.join(
             y.select(ts_col, *[_q(t).alias(f"_yt_{t}") for t in targets]), ts_col
         )
-        w = Window.partitionBy().orderBy(ts_col)
-        data = wide.withColumn("_fold", (F.row_number().over(w) - 1) % k).cache()
+        data = fold_column(
+            wide, k, ts_col, membership=self.fold_membership, seed=0
+        ).cache()
 
         # each fold's errors via the shared predict-join helper (works for
         # expression models AND offset/lookback models); scaler fit on the

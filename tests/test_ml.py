@@ -403,3 +403,55 @@ def test_python_estimator_model_fits_and_scores_distributed(spark, sf_dir):
     # definition round-trip keeps the import path
     d = m.into_definition()
     assert d["estimator"] == "tests.test_ml._NumpyOLS"
+
+
+def test_sklearn_kfold_membership_parity(spark, xy):
+    """fold_column('shuffle') must reproduce sklearn
+    KFold(5, shuffle=True, random_state=0) membership bit-for-bit."""
+    from gordo_spark.ml.cv import fold_column, sklearn_kfold_membership
+
+    n, k = 400, 5
+    fold_of = sklearn_kfold_membership(n, k, seed=0)
+    # chunk-dealt sizes: all folds equal when k | n
+    counts = np.bincount(fold_of, minlength=k)
+    assert counts.tolist() == [80] * 5
+    try:
+        from sklearn.model_selection import KFold
+
+        exp = np.empty(n, dtype=int)
+        for f, (_, test_idx) in enumerate(
+            KFold(n_splits=k, shuffle=True, random_state=0).split(np.zeros((n, 1)))
+        ):
+            exp[test_idx] = f
+        np.testing.assert_array_equal(fold_of, exp)
+    except ImportError:
+        # sklearn absent in this env: pin the permutation prefix instead so
+        # a numpy RNG regression is still caught
+        np.testing.assert_array_equal(
+            np.random.RandomState(0).permutation(10),
+            [2, 8, 4, 9, 1, 6, 7, 3, 0, 5],
+        )
+
+    X, _, _ = xy
+    withf = fold_column(X, k, "ts", membership="shuffle", seed=0)
+    got = withf.toPandas().sort_values("ts")["_fold"].to_numpy()
+    np.testing.assert_array_equal(got, fold_of)
+
+
+def test_kfcv_shuffle_vs_modulo_membership(spark, xy):
+    """Default KFCV membership is the sklearn shuffle; modulo stays as the
+    oracle-portable fallback and yields a different (interleaved) split."""
+    from gordo_spark.ml.models import DiffBasedKFCVAnomalyDetector
+
+    X, y, _ = xy
+    d_shuffle = DiffBasedKFCVAnomalyDetector(window=6, n_splits=3)
+    assert d_shuffle.fold_membership == "shuffle"
+    d_shuffle.fit(X, y).cross_validate(X, y)
+    d_mod = DiffBasedKFCVAnomalyDetector(
+        window=6, n_splits=3, fold_membership="modulo"
+    )
+    d_mod.fit(X, y).cross_validate(X, y)
+    for d in (d_shuffle, d_mod):
+        assert d.total_threshold_ > 0 and d.tag_thresholds_["t1"] > 0
+    # round-trips through the definition
+    assert d_mod.into_definition()["fold_membership"] == "modulo"
