@@ -1,0 +1,402 @@
+"""Autoencoder model factories — the reference's architecture contract in
+pure numpy.
+
+The reference's production models are Keras autoencoders built by
+registered factory functions:
+
+- ``feedforward_model`` / ``feedforward_symmetric`` / ``feedforward_hourglass``
+  (/root/reference/gordo/machine/model/factories/feedforward_autoencoder.py:15-251,
+  dim arithmetic factories/utils.py:7-41, doctests at
+  feedforward_autoencoder.py:223-238)
+- ``lstm_model`` / ``lstm_symmetric`` / ``lstm_hourglass``
+  (factories/lstm_autoencoder.py:17-263 — SAME hourglass dim math)
+- registry ``register_model_builder``
+  (/root/reference/gordo/machine/model/register.py:10-75)
+
+TensorFlow is not available in this environment, so what this module
+reproduces EXACTLY is the architecture contract — layer counts, per-layer
+units (``hourglass_calc_dims``), activation wiring, the
+``type -> kind -> builder`` registry with its ``n_features`` validation —
+plus a deterministic trainable substitute: a seeded full-batch
+gradient-descent numpy MLP with the same layer spec, sklearn-style
+``fit(X, y)`` / ``predict(X)``, so every factory output is a real,
+fit-able estimator that flows through ``PythonEstimatorModel`` /
+``builder.py`` end-to-end. A real Keras model drops in by replacing
+``NumpyAutoEncoder`` with the compiled Sequential — the factory surface,
+registry and downstream plumbing are unchanged.
+
+LSTM variants: the layer spec (units per LSTM layer + Dense out) follows
+the reference bit-for-bit; the trainable substitute flattens the lookback
+window into lagged features (the LaggedLinearModel data flow) rather than
+reproducing LSTM cell math — documented substitution, not parity.
+"""
+
+from __future__ import annotations
+
+import inspect
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+
+# --------------------------------------------------------------- dim math
+def hourglass_calc_dims(
+    compression_factor: float, encoding_layers: int, n_features: int
+) -> tuple[int, ...]:
+    """Encoder layer dims (factories/utils.py:7-41 parity): linear slope
+    from n_features down to ``ceil(compression_factor * n_features)``
+    (clamped to [1, n_features]), banker's-rounded at each step."""
+    if not (1 >= compression_factor >= 0):
+        raise ValueError("compression_factor must be 0 <= compression_factor <= 1")
+    if encoding_layers < 1:
+        raise ValueError("encoding_layers must be >= 1")
+    smallest_layer = max(min(math.ceil(compression_factor * n_features), n_features), 1)
+    diff = n_features - smallest_layer
+    average_slope = diff / encoding_layers
+    return tuple(
+        round(n_features - (i * average_slope)) for i in range(1, encoding_layers + 1)
+    )
+
+
+def check_dim_func_len(prefix: str, dim: tuple, func: tuple) -> None:
+    """factories/utils.py:44-63 parity."""
+    if len(dim) != len(func):
+        raise ValueError(
+            f"The length (i.e. the number of network layers) of {prefix}_dim "
+            f"({len(dim)}) and {prefix}_func ({len(func)}) must be equal. If only "
+            f"{prefix}_dim or {prefix}_func was passed, ensure that its length "
+            f"matches that of the {prefix} parameter not passed."
+        )
+
+
+# ---------------------------------------------------------------- registry
+class register_model_builder:
+    """``type -> kind -> builder`` factory registry
+    (register.py:10-75 parity, including the ``n_features`` arg check)."""
+
+    factories: dict[str, dict[str, object]] = {}
+
+    def __init__(self, type: str):
+        self.type = type
+
+    def __call__(self, model):
+        self._validate_func(model)
+        self.factories.setdefault(self.type, {})[model.__name__] = model
+        return model
+
+    @staticmethod
+    def _validate_func(func) -> None:
+        if "n_features" not in inspect.getfullargspec(func).args:
+            raise ValueError(
+                f"Build function: {func.__name__} does not have "
+                "'n_features' as an argument; it should."
+            )
+
+
+# ----------------------------------------------------------- numpy MLP
+@dataclass
+class Layer:
+    """One layer of the spec; ``units`` mirrors Keras ``Dense.units`` /
+    ``LSTM.units`` so the reference's doctests translate verbatim."""
+
+    units: int
+    activation: str
+    kind: str = "dense"
+
+
+_ACT = {
+    "tanh": (np.tanh, lambda a: 1.0 - a * a),
+    "relu": (lambda z: np.maximum(z, 0.0), lambda a: (a > 0).astype(a.dtype)),
+    "linear": (lambda z: z, lambda a: np.ones_like(a)),
+}
+
+
+class NumpyAutoEncoder:
+    """Deterministic MLP over a layer spec: seeded Glorot-uniform init,
+    full-batch gradient descent on MSE — the trainable stand-in for the
+    compiled Keras Sequential.
+
+    >>> m = feedforward_hourglass(10)
+    >>> len(m.layers)
+    7
+    >>> [m.layers[i].units for i in range(len(m.layers))]
+    [8, 7, 5, 5, 7, 8, 10]
+    """
+
+    def __init__(
+        self,
+        layers: list[Layer],
+        n_features: int,
+        lr: float = 0.05,
+        epochs: int = 200,
+        seed: int = 0,
+    ):
+        self.layers = list(layers)
+        self.n_features = n_features
+        self.lr = lr
+        self.epochs = epochs
+        self.seed = seed
+        self.weights_: list[np.ndarray] | None = None
+        self.biases_: list[np.ndarray] | None = None
+        for lay in self.layers:
+            if lay.activation not in _ACT:
+                raise ValueError(f"unknown activation {lay.activation!r}")
+
+    def _init_params(self):
+        rng = np.random.RandomState(self.seed)
+        dims = [self.n_features] + [lay.units for lay in self.layers]
+        W, b = [], []
+        for i in range(len(self.layers)):
+            fan_in, fan_out = dims[i], dims[i + 1]
+            limit = math.sqrt(6.0 / (fan_in + fan_out))
+            W.append(rng.uniform(-limit, limit, size=(fan_in, fan_out)))
+            b.append(np.zeros(fan_out))
+        return W, b
+
+    def _forward(self, X, W, b):
+        acts = [X]
+        for i, lay in enumerate(self.layers):
+            z = acts[-1] @ W[i] + b[i]
+            acts.append(_ACT[lay.activation][0](z))
+        return acts
+
+    def fit(self, X: np.ndarray, y: np.ndarray | None = None) -> "NumpyAutoEncoder":
+        """MSE full-batch GD; ``y`` defaults to ``X`` (autoencoder)."""
+        X = np.asarray(X, dtype=np.float64)
+        Y = X if y is None else np.asarray(y, dtype=np.float64)
+        if Y.ndim == 1:
+            Y = Y[:, None]
+        W, b = self._init_params()
+        n = len(X)
+        for _ in range(self.epochs):
+            acts = self._forward(X, W, b)
+            delta = (acts[-1] - Y) * _ACT[self.layers[-1].activation][1](acts[-1])
+            for i in range(len(self.layers) - 1, -1, -1):
+                gW = acts[i].T @ delta / n
+                gb = delta.mean(axis=0)
+                if i > 0:
+                    delta = (delta @ W[i].T) * _ACT[self.layers[i - 1].activation][1](
+                        acts[i]
+                    )
+                W[i] -= self.lr * gW
+                b[i] -= self.lr * gb
+        self.weights_, self.biases_ = W, b
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        if self.weights_ is None:
+            raise ValueError("model is not fitted")
+        X = np.asarray(X, dtype=np.float64)
+        return self._forward(X, self.weights_, self.biases_)[-1]
+
+
+# ------------------------------------------------- feedforward factories
+@register_model_builder(type="KerasAutoEncoder")
+def feedforward_model(
+    n_features: int,
+    n_features_out: int | None = None,
+    encoding_dim: tuple[int, ...] = (256, 128, 64),
+    encoding_func: tuple[str, ...] = ("tanh", "tanh", "tanh"),
+    decoding_dim: tuple[int, ...] = (64, 128, 256),
+    decoding_func: tuple[str, ...] = ("tanh", "tanh", "tanh"),
+    out_func: str = "linear",
+    **kwargs,
+) -> NumpyAutoEncoder:
+    """feedforward_autoencoder.py:15-117 parity: encoder stack + decoder
+    stack + output layer (n_features_out, out_func)."""
+    n_features_out = n_features_out or n_features
+    check_dim_func_len("encoding", encoding_dim, encoding_func)
+    check_dim_func_len("decoding", decoding_dim, decoding_func)
+    layers = [
+        Layer(u, a) for u, a in zip(encoding_dim, encoding_func)
+    ] + [Layer(u, a) for u, a in zip(decoding_dim, decoding_func)]
+    layers.append(Layer(n_features_out, out_func))
+    return NumpyAutoEncoder(layers, n_features, **_train_kwargs(kwargs))
+
+
+@register_model_builder(type="KerasAutoEncoder")
+def feedforward_symmetric(
+    n_features: int,
+    n_features_out: int | None = None,
+    dims: tuple[int, ...] = (256, 128, 64),
+    funcs: tuple[str, ...] = ("tanh", "tanh", "tanh"),
+    **kwargs,
+) -> NumpyAutoEncoder:
+    """feedforward_autoencoder.py:120-156 parity: encoder dims mirrored
+    for the decoder."""
+    if len(dims) == 0:
+        raise ValueError("Parameter dims must have len > 0")
+    return feedforward_model(
+        n_features,
+        n_features_out,
+        encoding_dim=tuple(dims),
+        decoding_dim=tuple(dims[::-1]),
+        encoding_func=tuple(funcs),
+        decoding_func=tuple(funcs[::-1]),
+        **kwargs,
+    )
+
+
+@register_model_builder(type="KerasAutoEncoder")
+def feedforward_hourglass(
+    n_features: int,
+    n_features_out: int | None = None,
+    encoding_layers: int = 3,
+    compression_factor: float = 0.5,
+    func: str = "tanh",
+    **kwargs,
+) -> NumpyAutoEncoder:
+    """feedforward_autoencoder.py:159-251 parity — reference doctests:
+
+    >>> model = feedforward_hourglass(10)
+    >>> len(model.layers)
+    7
+    >>> [model.layers[i].units for i in range(len(model.layers))]
+    [8, 7, 5, 5, 7, 8, 10]
+    >>> model = feedforward_hourglass(5)
+    >>> [model.layers[i].units for i in range(len(model.layers))]
+    [4, 4, 3, 3, 4, 4, 5]
+    >>> model = feedforward_hourglass(10, compression_factor=0.2)
+    >>> [model.layers[i].units for i in range(len(model.layers))]
+    [7, 5, 2, 2, 5, 7, 10]
+    >>> model = feedforward_hourglass(10, encoding_layers=1)
+    >>> [model.layers[i].units for i in range(len(model.layers))]
+    [5, 5, 10]
+    """
+    dims = hourglass_calc_dims(compression_factor, encoding_layers, n_features)
+    return feedforward_symmetric(
+        n_features, n_features_out, dims=dims, funcs=tuple([func] * len(dims)), **kwargs
+    )
+
+
+# ------------------------------------------------------- LSTM factories
+@register_model_builder(type="KerasLSTMAutoEncoder")
+@register_model_builder(type="KerasLSTMForecast")
+def lstm_model(
+    n_features: int,
+    n_features_out: int | None = None,
+    lookback_window: int = 1,
+    encoding_dim: tuple[int, ...] = (256, 128, 64),
+    encoding_func: tuple[str, ...] = ("tanh", "tanh", "tanh"),
+    decoding_dim: tuple[int, ...] = (64, 128, 256),
+    decoding_func: tuple[str, ...] = ("tanh", "tanh", "tanh"),
+    out_func: str = "linear",
+    **kwargs,
+) -> NumpyAutoEncoder:
+    """lstm_autoencoder.py:17-103 layer-spec parity (LSTM cells substituted
+    by dense layers over the flattened lookback window — see module note);
+    the model's input is the lookback-flattened feature block, so
+    ``n_features * lookback_window`` inputs feed the first layer."""
+    n_features_out = n_features_out or n_features
+    check_dim_func_len("encoding", encoding_dim, encoding_func)
+    check_dim_func_len("decoding", decoding_dim, decoding_func)
+    layers = [
+        Layer(u, a, kind="lstm") for u, a in zip(encoding_dim, encoding_func)
+    ] + [Layer(u, a, kind="lstm") for u, a in zip(decoding_dim, decoding_func)]
+    layers.append(Layer(n_features_out, out_func))
+    return NumpyAutoEncoder(
+        layers, n_features * lookback_window, **_train_kwargs(kwargs)
+    )
+
+
+@register_model_builder(type="KerasLSTMAutoEncoder")
+@register_model_builder(type="KerasLSTMForecast")
+def lstm_symmetric(
+    n_features: int,
+    n_features_out: int | None = None,
+    lookback_window: int = 1,
+    dims: tuple[int, ...] = (256, 128, 64),
+    funcs: tuple[str, ...] = ("tanh", "tanh", "tanh"),
+    **kwargs,
+) -> NumpyAutoEncoder:
+    """lstm_autoencoder.py:108-176 parity."""
+    if len(dims) == 0:
+        raise ValueError("Parameter dims must have len > 0")
+    return lstm_model(
+        n_features,
+        n_features_out,
+        lookback_window,
+        encoding_dim=tuple(dims),
+        decoding_dim=tuple(dims[::-1]),
+        encoding_func=tuple(funcs),
+        decoding_func=tuple(funcs[::-1]),
+        **kwargs,
+    )
+
+
+@register_model_builder(type="KerasLSTMAutoEncoder")
+@register_model_builder(type="KerasLSTMForecast")
+def lstm_hourglass(
+    n_features: int,
+    n_features_out: int | None = None,
+    lookback_window: int = 1,
+    encoding_layers: int = 3,
+    compression_factor: float = 0.5,
+    func: str = "tanh",
+    **kwargs,
+) -> NumpyAutoEncoder:
+    """lstm_autoencoder.py:179-263 parity — same hourglass dims as the
+    feedforward doctests ([8, 7, 5, 5, 7, 8, 10] for n_features=10)."""
+    dims = hourglass_calc_dims(compression_factor, encoding_layers, n_features)
+    return lstm_symmetric(
+        n_features,
+        n_features_out,
+        lookback_window,
+        dims=dims,
+        funcs=tuple([func] * len(dims)),
+        **kwargs,
+    )
+
+
+def _train_kwargs(kwargs: dict) -> dict:
+    """Split trainer knobs out of the factory kwargs (Keras' optimizer /
+    compile kwargs have no numpy equivalent and are accepted-and-ignored,
+    matching the reference's permissive ``**kwargs``)."""
+    return {
+        k: kwargs[k] for k in ("lr", "epochs", "seed") if k in kwargs
+    }
+
+
+# ------------------------------------- estimator for PythonEstimatorModel
+class AutoEncoderEstimator:
+    """sklearn-style wrapper that builds the registered architecture at fit
+    time from ``X.shape[1]`` — the reference's ``KerasAutoEncoder(kind=...)``
+    shape (gordo/machine/model/models.py: builds via
+    ``register_model_builder.factories[self.__class__.__name__][kind]``).
+
+    Usable directly or through ``PythonEstimatorModel`` with
+    ``estimator="gordo_spark.ml.factories.AutoEncoderEstimator"`` — which is
+    how a machine config declares the autoencoder today, and how a real
+    Keras estimator would plug in.
+    """
+
+    def __init__(self, kind: str = "feedforward_hourglass", type: str = "KerasAutoEncoder", **factory_kwargs):
+        try:
+            self._builder = register_model_builder.factories[type][kind]
+        except KeyError:
+            raise ValueError(
+                f"unknown model builder type={type!r} kind={kind!r}; registered: "
+                f"{ {t: sorted(ks) for t, ks in register_model_builder.factories.items()} }"
+            ) from None
+        self.kind = kind
+        self.type = type
+        self.factory_kwargs = dict(factory_kwargs)
+        self.model_: NumpyAutoEncoder | None = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray | None = None) -> "AutoEncoderEstimator":
+        X = np.asarray(X, dtype=np.float64)
+        n_features_out = None
+        if y is not None:
+            y = np.asarray(y, dtype=np.float64)
+            n_features_out = y.shape[1] if y.ndim > 1 else 1
+        self.model_ = self._builder(
+            X.shape[1], n_features_out=n_features_out, **self.factory_kwargs
+        )
+        self.model_.fit(X, y)
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        if self.model_ is None:
+            raise ValueError("estimator is not fitted")
+        return self.model_.predict(X)

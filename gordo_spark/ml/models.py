@@ -64,7 +64,14 @@ def model_from_definition(d: dict):
     else:
         raise ValueError(f"unknown model kind {kind!r}")
     kwargs = {
-        k: model_from_definition(v) if isinstance(v, dict) and "kind" in v else v
+        k: (
+            model_from_definition(v)
+            # *_kwargs dicts are opaque constructor parameters (e.g.
+            # estimator_kwargs carrying a factory `kind`), never nested
+            # model definitions
+            if isinstance(v, dict) and "kind" in v and not k.endswith("_kwargs")
+            else v
+        )
         for k, v in d.items()
     }
     return cls(**kwargs)
@@ -283,9 +290,12 @@ class DiffBasedAnomalyDetector:
         # — carried as _y__<t> so a y differing from the X-side tag columns
         # is honored; model_input__ stays the X side
         ycols = [F.col(f"`_yt_{t}`").alias(f"_y__{t}") for t in targets]
-        if getattr(self.base, "offset", 0) == 0:
-            # offset-0 fast path: prediction is a pure column expression,
-            # no join needed (J6 — column-block append as one select)
+        if getattr(self.base, "offset", 0) == 0 and hasattr(self.base, "predict_exprs"):
+            # offset-0 expression-model fast path: prediction is a pure
+            # column expression, no join needed (J6 — column-block append as
+            # one select). Models without predict_exprs (PythonEstimatorModel
+            # and friends) take the predict+ts-join path below even at
+            # offset 0.
             aligned = xy.select(
                 ts_col,
                 *[_q(c).alias(c) for c in self.base.feature_cols],

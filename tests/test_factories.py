@@ -1,0 +1,153 @@
+"""Autoencoder factory parity tests — the reference's architecture
+contract (layer counts / units / registry semantics) mirrored in numpy,
+including the reference's own doctest cases
+(feedforward_autoencoder.py:223-238, lstm_autoencoder.py:235-247)."""
+
+import numpy as np
+import pytest
+
+from gordo_spark.ml.factories import (
+    AutoEncoderEstimator,
+    NumpyAutoEncoder,
+    feedforward_hourglass,
+    feedforward_model,
+    feedforward_symmetric,
+    hourglass_calc_dims,
+    lstm_hourglass,
+    register_model_builder,
+)
+
+
+def units(model):
+    return [model.layers[i].units for i in range(len(model.layers))]
+
+
+def test_hourglass_doctest_parity():
+    """The reference's doctests, verbatim."""
+    m = feedforward_hourglass(10)
+    assert len(m.layers) == 7
+    assert units(m) == [8, 7, 5, 5, 7, 8, 10]
+    assert units(feedforward_hourglass(5)) == [4, 4, 3, 3, 4, 4, 5]
+    assert units(feedforward_hourglass(10, compression_factor=0.2)) == [7, 5, 2, 2, 5, 7, 10]
+    assert units(feedforward_hourglass(10, encoding_layers=1)) == [5, 5, 10]
+
+
+def test_lstm_hourglass_doctest_parity():
+    m = lstm_hourglass(10)
+    assert units(m) == [8, 7, 5, 5, 7, 8, 10]
+    assert units(lstm_hourglass(5)) == [4, 4, 3, 3, 4, 4, 5]
+    assert units(lstm_hourglass(10, compression_factor=0.2)) == [7, 5, 2, 2, 5, 7, 10]
+    assert units(lstm_hourglass(10, encoding_layers=1)) == [5, 5, 10]
+    # LSTM input is the flattened lookback block
+    assert lstm_hourglass(10, lookback_window=3).n_features == 30
+
+
+def test_hourglass_dim_math_bounds():
+    assert hourglass_calc_dims(1.0, 3, 10) == (10, 10, 10)
+    # compression 0 clamps the smallest layer to 1 neuron
+    assert hourglass_calc_dims(0.0, 2, 9) == (5, 1)
+    with pytest.raises(ValueError):
+        hourglass_calc_dims(1.5, 3, 10)
+    with pytest.raises(ValueError):
+        hourglass_calc_dims(0.5, 0, 10)
+
+
+def test_symmetric_mirrors_and_output_layer():
+    m = feedforward_symmetric(6, dims=(5, 3), funcs=("tanh", "relu"))
+    assert units(m) == [5, 3, 3, 5, 6]
+    assert [lay.activation for lay in m.layers] == ["tanh", "relu", "relu", "tanh", "linear"]
+    with pytest.raises(ValueError, match="len > 0"):
+        feedforward_symmetric(6, dims=())
+
+
+def test_feedforward_model_dim_func_mismatch():
+    with pytest.raises(ValueError, match="encoding_dim"):
+        feedforward_model(4, encoding_dim=(3, 2), encoding_func=("tanh",))
+
+
+def test_registry_semantics():
+    fac = register_model_builder.factories
+    assert "feedforward_hourglass" in fac["KerasAutoEncoder"]
+    assert "lstm_hourglass" in fac["KerasLSTMAutoEncoder"]
+    assert "lstm_hourglass" in fac["KerasLSTMForecast"]
+    with pytest.raises(ValueError, match="n_features"):
+        register_model_builder(type="X")(lambda m: m)
+
+
+def test_numpy_autoencoder_trains_and_is_deterministic():
+    rng = np.random.default_rng(11)
+    latent = rng.normal(size=(300, 2))
+    X = np.column_stack([latent @ rng.normal(size=(2, 6))])  # rank-2 in R^6
+    m1 = feedforward_hourglass(6, epochs=300, seed=0)
+    m2 = feedforward_hourglass(6, epochs=300, seed=0)
+    m1.fit(X)
+    m2.fit(X)
+    p1, p2 = m1.predict(X), m2.predict(X)
+    np.testing.assert_array_equal(p1, p2)  # pinned seed => bit-identical
+    # training reduced reconstruction error vs the untrained net
+    untrained = NumpyAutoEncoder(m1.layers, 6, epochs=0, seed=0).fit(X)
+    assert np.mean((p1 - X) ** 2) < 0.5 * np.mean((untrained.predict(X) - X) ** 2)
+
+
+def test_autoencoder_estimator_builds_at_fit_time():
+    est = AutoEncoderEstimator(kind="feedforward_hourglass", epochs=50)
+    X = np.random.RandomState(0).rand(100, 5)
+    est.fit(X, X)
+    assert units(est.model_) == [4, 4, 3, 3, 4, 4, 5]
+    assert est.predict(X).shape == (100, 5)
+    with pytest.raises(ValueError, match="unknown model builder"):
+        AutoEncoderEstimator(kind="nope")
+
+
+def test_autoencoder_through_builder_end_to_end(spark, sf_dir, tmp_path):
+    """The reference's production model config — a kind-built autoencoder
+    inside the diff-based detector — flows through ModelBuilder to a full
+    anomaly block with thresholds."""
+    from gordo_spark.builder import ModelBuilder
+    from gordo_spark.config import Machine
+    from gordo_spark.sources.store import DiskRegistry, ModelStore
+
+    machine = Machine.from_config(
+        {
+            "name": "ae-machine",
+            "dataset": {
+                "tag_list": ["click", "view", "purchase"],
+                "resolution": "1H",
+                "interpolation_method": "ffill",
+                "interpolation_limit": "6H",
+                "data_provider": {
+                    "type": "EventsAsSensorProvider",
+                    "sf_dir": sf_dir,
+                },
+            },
+            "model": {
+                "kind": "DiffBasedAnomalyDetector",
+                "window": 6,
+                "base_estimator": {
+                    "kind": "PythonEstimatorModel",
+                    "estimator": "gordo_spark.ml.factories.AutoEncoderEstimator",
+                    "estimator_kwargs": {
+                        "kind": "feedforward_hourglass",
+                        "epochs": 30,
+                        "seed": 0,
+                    },
+                },
+            },
+            "evaluation": {"cv_mode": "full_build", "n_splits": 3},
+        }
+    )
+    store = ModelStore(str(tmp_path / "models"))
+    registry = DiskRegistry(str(tmp_path / "registry"))
+    r = ModelBuilder(machine, store, registry).build(spark)
+    th = r.metadata["build-metadata"]["model"]["thresholds"]
+    assert th["total"] > 0
+    from gordo_spark.builder import dataset_from_dict
+
+    ds = dataset_from_dict(machine.dataset)
+    X, y = ds.get_data(spark)
+    out = r.model.anomaly(X, y, resolution="1H").toPandas()
+    for col in ("total_anomaly_unscaled", "total_anomaly_scaled",
+                "anomaly_confidence__click", "total_anomaly_confidence"):
+        assert col in out.columns
+    assert len(out) > 100
+    assert np.isfinite(out["total_anomaly_unscaled"]).all()
