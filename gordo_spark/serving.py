@@ -54,12 +54,19 @@ def metadata_response(store_root: str, name: str, revision: str | None = None) -
 
 
 def _frames(spark, model, payload, need_y: bool):
+    from pyspark.sql import DataFrame
+
+    def as_frame(v):
+        # parquet request parts arrive as ready DataFrames (S5); JSON
+        # payloads as nested dicts (S4)
+        return v if isinstance(v, DataFrame) else dataframe_from_dict(spark, v)
+
     tags = model.base.feature_cols if hasattr(model, "base") else model.feature_cols
     targets = model.base.target_cols if hasattr(model, "base") else model.target_cols
-    X = verify_columns(dataframe_from_dict(spark, payload["X"]), tags)
+    X = verify_columns(as_frame(payload["X"]), tags)
     y = None
     if "y" in payload and payload["y"] is not None:
-        y = verify_columns(dataframe_from_dict(spark, payload["y"]), targets)
+        y = verify_columns(as_frame(payload["y"]), targets)
     elif need_y:
         raise ValueError("y is required for anomaly scoring")
     return X, y
