@@ -28,12 +28,27 @@ from gordo_spark.plans.dataset import TimeSeriesDataset
 
 def _plan_key(ds: TimeSeriesDataset) -> str:
     """Machines share a plan prefix iff provider + resample + interpolation
-    agree (canonical-JSON key, same spirit as the build cache's sha key)."""
-    provider = (
-        ds.data_provider
-        if isinstance(ds.data_provider, dict)
-        else {"instance": id(ds.data_provider)}
-    )
+    agree (canonical-JSON key, same spirit as the build cache's sha key).
+
+    Provider instances key by VALUE — (type, sorted public attrs) — so two
+    equal-configured instances share one scan; ``id()`` is only the last
+    resort for providers whose state isn't introspectable (where equality
+    can't be established, sharing silently not happening is the safe
+    default)."""
+    if isinstance(ds.data_provider, dict):
+        provider = ds.data_provider
+    else:
+        try:
+            provider = {
+                "instance_type": type(ds.data_provider).__qualname__,
+                "vars": sorted(
+                    (k, str(v))
+                    for k, v in vars(ds.data_provider).items()
+                    if not k.startswith("_")
+                ),
+            }
+        except TypeError:
+            provider = {"instance": id(ds.data_provider)}
     return json.dumps(
         {
             "provider": provider,

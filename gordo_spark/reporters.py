@@ -65,21 +65,82 @@ def machine_record(machine_name: str, metadata: dict) -> dict:
 
 @register_reporter("PostgresReporter")
 class PostgresReporter(Reporter):
-    """Append-log of machine records over JDBC, stamped with build_time —
-    Spark's JDBC writer has no cross-engine upsert, so latest-wins is the
-    read-side contract: ``SELECT DISTINCT ON (name) ... ORDER BY name,
-    build_time DESC`` gives the reference's one-record-per-machine view
-    (its table upserts in-place; ours keeps build history)."""
+    """Machine-record sink with the reference's insert-or-update-by-name
+    semantics (gordo/reporters/postgres.py:62-94: ``Machine.get`` ->
+    ``save`` or ``update WHERE name``; table postgres.py:97-105 with
+    ``name`` unique).
 
-    def __init__(self, url: str, table: str = "machine", properties: dict | None = None):
+    Two write paths:
+
+    - ``connection_factory`` (a DBAPI connection callable, or its
+      ``module.attr`` import path): a TRUE driver-side upsert —
+      ``INSERT ... ON CONFLICT(name) DO UPDATE`` — one record per machine,
+      exactly the reference's in-place semantics. Works against Postgres
+      (paramstyle="format") and any embedded DBAPI engine (sqlite3,
+      paramstyle="qmark" — how the round-trip is tested in this env).
+    - ``url`` (JDBC): append-log stamped with build_time — Spark's JDBC
+      writer has no cross-engine upsert, so latest-wins is the read-side
+      contract: ``SELECT DISTINCT ON (name) ... ORDER BY name, build_time
+      DESC`` gives the one-record-per-machine view (build history kept).
+    """
+
+    _DDL = (
+        "CREATE TABLE IF NOT EXISTS {table} (name TEXT PRIMARY KEY, "
+        "dataset TEXT, model TEXT, metadata TEXT, build_time DOUBLE PRECISION)"
+    )
+    _UPSERT = (
+        "INSERT INTO {table} (name, dataset, model, metadata, build_time) "
+        "VALUES ({ph}, {ph}, {ph}, {ph}, {ph}) "
+        "ON CONFLICT(name) DO UPDATE SET dataset=excluded.dataset, "
+        "model=excluded.model, metadata=excluded.metadata, "
+        "build_time=excluded.build_time"
+    )
+
+    def __init__(
+        self,
+        url: str | None = None,
+        table: str = "machine",
+        properties: dict | None = None,
+        connection_factory=None,
+        paramstyle: str = "qmark",
+    ):
+        if url is None and connection_factory is None:
+            raise ValueError("PostgresReporter needs url (JDBC) or connection_factory")
         self.url = url
         self.table = table
         self.properties = properties or {"driver": "org.postgresql.Driver"}
+        if isinstance(connection_factory, str):
+            import importlib
+
+            mod, _, attr = connection_factory.rpartition(".")
+            connection_factory = getattr(importlib.import_module(mod), attr)
+        self.connection_factory = connection_factory
+        self.paramstyle = paramstyle
 
     def report(self, spark: SparkSession, machine_name: str, metadata: dict) -> None:
         import time
 
         record = {**machine_record(machine_name, metadata), "build_time": time.time()}
+        if self.connection_factory is not None:
+            ph = "?" if self.paramstyle == "qmark" else "%s"
+            con = self.connection_factory()
+            try:
+                cur = con.cursor()
+                cur.execute(self._DDL.format(table=self.table))
+                cur.execute(
+                    self._UPSERT.format(table=self.table, ph=ph),
+                    (
+                        record["name"],
+                        record["dataset"],
+                        record["model"],
+                        record["metadata"],
+                        record["build_time"],
+                    ),
+                )
+                con.commit()
+            finally:
+                con.close()
+            return
         df = spark.createDataFrame([record])
         df.write.mode("append").jdbc(self.url, self.table, properties=self.properties)
 

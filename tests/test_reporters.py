@@ -76,3 +76,49 @@ def test_run_reporters_invokes_each(spark, monkeypatch):
     ran = run_reporters(spark, m, {"k": 1})
     assert ran == ["FakeReporter"]
     assert calls == [("rep-machine", 1)]
+
+
+def test_postgres_reporter_dbapi_upsert_round_trip(spark, tmp_path):
+    """Reference postgres.py:62-94 semantics — insert-or-update by name:
+    reporting the same machine twice leaves ONE row holding the latest
+    blobs (exercised against an embedded DBAPI engine; the same SQL runs
+    on Postgres with paramstyle='format')."""
+    import json
+    import sqlite3
+
+    from gordo_spark.reporters import PostgresReporter
+
+    db = str(tmp_path / "report.db")
+    rep = PostgresReporter(connection_factory=lambda: sqlite3.connect(db))
+    rep.report(spark, "m-1", {"build-metadata": {"model": {"v": 1}}})
+    rep.report(spark, "m-1", {"build-metadata": {"model": {"v": 2}}})
+    rep.report(spark, "m-2", {"build-metadata": {"model": {"v": 9}}})
+
+    con = sqlite3.connect(db)
+    rows = con.execute(
+        "SELECT name, model FROM machine ORDER BY name"
+    ).fetchall()
+    con.close()
+    assert [r[0] for r in rows] == ["m-1", "m-2"]  # upsert: no duplicates
+    assert json.loads(rows[0][1]) == {"v": 2}  # latest blob won
+    with pytest.raises(ValueError, match="url .*or connection_factory"):
+        PostgresReporter()
+
+
+def test_plan_key_value_based_provider_sharing():
+    """plans/multi._plan_key: two equal-valued provider INSTANCES share one
+    plan group; differing config splits them (id() only for opaque ones)."""
+    from gordo_spark.plans.dataset import TimeSeriesDataset
+    from gordo_spark.plans.multi import _plan_key
+    from gordo_spark.sources.providers import EventsAsSensorProvider
+
+    def ds(provider):
+        return TimeSeriesDataset(
+            tag_list=["click"], resolution="1H", data_provider=provider
+        )
+
+    a = _plan_key(ds(EventsAsSensorProvider("/root/testdata/sf0.001")))
+    b = _plan_key(ds(EventsAsSensorProvider("/root/testdata/sf0.001")))
+    c = _plan_key(ds(EventsAsSensorProvider("/root/testdata/sf0.01")))
+    assert a == b
+    assert a != c

@@ -377,3 +377,101 @@ def test_stream_to_lake_lands_batch_readable_layout(spark, sf_dir, tmp_path):
     assert prov.read(spark, ["click"]).count() == long.filter(
         "tag = 'click'"
     ).count()
+
+
+def test_stream_equals_batch_with_late_rows(spark, tmp_path):
+    """Stream==batch contract under late data: a late row INSIDE the
+    watermark is merged into its (not yet emitted) window; a row beyond the
+    watermark is dropped; every closed window then equals the batch
+    resample over exactly the kept rows — the streaming analogue of the
+    offline interpolation-limit policy (reference J2 semantics,
+    tests/gordo/workflow/test_config_elements.py:150-151)."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from gordo_spark.operators.align import inner_align, pivot_wide
+    from gordo_spark.operators.resample import resample_aggregate
+
+    schema = StructType(
+        [
+            StructField("tag", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = f"{tmp_path}/late_eq_src"
+    on_time = pd.DataFrame(
+        {
+            "tag": "click",
+            "ts": pd.date_range("2024-01-01", periods=11, freq="1h"),
+            "value": [1.0] * 11,
+        }
+    )
+    # advances event time so the watermark (applied one batch later) is
+    # 10:00 - 2H = 08:00 when the late rows arrive
+    advance = pd.DataFrame(
+        {
+            "tag": "click",
+            "ts": pd.date_range("2024-01-01 11:00:00", periods=2, freq="1h"),
+            "value": [1.0, 1.0],
+        }
+    )
+    # batch 3 (watermark 08:00): hour-9 row is INSIDE the watermark (its
+    # window is still open -> merged); the hour-0 row is beyond it -> dropped
+    late_kept = pd.DataFrame(
+        {"tag": ["click"], "ts": [pd.Timestamp("2024-01-01 09:30:00")], "value": [3.0]}
+    )
+    late_dropped = pd.DataFrame(
+        {"tag": ["click"], "ts": [pd.Timestamp("2024-01-01 00:30:00")], "value": [100.0]}
+    )
+    closer = pd.DataFrame(
+        {
+            "tag": "click",
+            "ts": pd.date_range("2024-01-02 06:00:00", periods=2, freq="1h"),
+            "value": [1.0, 1.0],
+        }
+    )
+    for i, frame in enumerate(
+        (on_time, advance, pd.concat([late_kept, late_dropped]), closer)
+    ):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(frame, schema).coalesce(1).write.mode(mode).parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    wide = stream_resample_wide(stream, ["click"], resolution="1H", watermark="2H")
+    q = (
+        wide.writeStream.format("memory")
+        .queryName("late_eq_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("late_eq_test").toPandas().sort_values("ts").reset_index(drop=True)
+
+    kept = spark.createDataFrame(
+        pd.concat([on_time, advance, late_kept, closer]), schema
+    )
+    exp_wide = inner_align(pivot_wide(resample_aggregate(kept, "1H", "mean"), ["click"]), ["click"])
+    # only compare windows guaranteed closed at the last processed batch
+    cutoff = pd.Timestamp("2024-01-01 10:00:00")
+    exp = (
+        exp_wide.toPandas()
+        .query("ts < @cutoff")
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    got = got[got.ts < cutoff].reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp)
+    # the merged window reflects BOTH the on-time and the late-kept row
+    assert got.loc[got.ts == pd.Timestamp("2024-01-01 09:00:00"), "click"].iloc[0] == 2.0
+    # the beyond-watermark row never contaminated its window
+    assert got.loc[got.ts == pd.Timestamp("2024-01-01 00:00:00"), "click"].iloc[0] == 1.0
