@@ -31,7 +31,43 @@ def main(argv: list[str] | None = None) -> int:
         help="write a JSON exception report here on failure "
         "(reference: gordo/cli/exceptions_reporter.py)",
     )
+    w = sub.add_parser(
+        "workflow",
+        help="machine config -> staged Spark build-plan YAML "
+        "(reference: gordo workflow generate)",
+    )
+    w.add_argument("--config", required=True, help="YAML config path or string")
+    w.add_argument(
+        "--model-parameter",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="Jinja parameter for templated model configs (repeatable; "
+        "reference gordo/cli/cli.py:187-216)",
+    )
+    w.add_argument("--project-name", default="gordo-spark")
+    w.add_argument("--output", default=None, help="write YAML here (default stdout)")
     args = p.parse_args(argv)
+
+    if args.cmd == "workflow":
+        from gordo_spark.config import load_yaml_config
+        from gordo_spark.workflow import workflow_yaml
+
+        params = {}
+        for kv in args.model_parameter:
+            k, _, v = kv.partition("=")
+            if not k or not _:
+                print(f"bad --model-parameter {kv!r} (want KEY=VALUE)", file=sys.stderr)
+                return 1
+            params[k] = v
+        machines = load_yaml_config(args.config)
+        out = workflow_yaml(machines, params, args.project_name)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(out)
+        else:
+            print(out)
+        return 0
 
     from gordo_spark import get_spark
     from gordo_spark.builder import build_machines

@@ -28,11 +28,16 @@ _NAME_RE = re.compile(r"^[a-z0-9]([a-z0-9\-]{0,61}[a-z0-9])?$")
 
 
 def _maybe_yaml(v):
-    """Reference configs embed YAML documents as string field values."""
+    """Reference configs embed YAML documents as string field values. A
+    string that does NOT parse as YAML stays a string — e.g. a Jinja model
+    template (``{{ param }}``), expanded later by workflow.expand_model."""
     if isinstance(v, str) and ("\n" in v or ": " in v):
         import yaml
 
-        parsed = yaml.safe_load(v)
+        try:
+            parsed = yaml.safe_load(v)
+        except yaml.YAMLError:
+            return v
         if isinstance(parsed, dict):
             return parsed
     return v

@@ -144,3 +144,119 @@ class RandomDataProvider(DataProvider):
         for d in dfs[1:]:
             out = out.unionByName(d)
         return self._apply_range(out, None, train_start_date, train_end_date)
+
+
+@register_provider("InfluxDataProvider")
+class InfluxDataProvider(DataProvider):
+    """S3 — InfluxDB source (reference: gordo-core's InfluxDataProvider,
+    constructed as ``InfluxDataProvider(measurement=..., value_name="Value",
+    uri=...)`` in /root/reference/tests/gordo/client/test_client.py:127-133,
+    379-381; seeded schema tests/utils.py:80-134: one measurement, a ``tag``
+    tag key and a ``Value`` field per sensor).
+
+    No InfluxDB server or client library exists in this environment, so the
+    PURE parts are real and tested — uri parsing
+    (``host:port/user/password/dbname``), per-tag InfluxQL generation, and
+    the points -> long (tag, ts, value) frame assembly — while the wire
+    call goes through an injectable ``client`` (anything with
+    ``.query(influxql) -> points``). Passing a real ``influxdb``
+    client makes this a working provider; without one, ``read`` raises a
+    clear error naming the seam.
+    """
+
+    def __init__(
+        self,
+        measurement: str,
+        value_name: str = "Value",
+        uri: str | None = None,
+        client=None,
+        tag_key: str = "tag",
+    ):
+        self.measurement = measurement
+        self.value_name = value_name
+        self.tag_key = tag_key
+        self.client = client
+        self.host = self.port = self.user = self.password = self.db_name = None
+        if uri:
+            self.host, self.port, self.user, self.password, self.db_name = (
+                self.parse_uri(uri)
+            )
+
+    @staticmethod
+    def parse_uri(uri: str) -> tuple[str, int, str, str, str]:
+        """``host:port/user/password/dbname`` (gordo-core
+        influx_client_from_uri shape)."""
+        hostport, _, rest = uri.partition("/")
+        host, _, port = hostport.partition(":")
+        parts = rest.split("/")
+        if not host or not port or len(parts) != 3:
+            raise ValueError(
+                f"malformed influx uri {uri!r} (want host:port/user/password/dbname)"
+            )
+        user, password, db_name = parts
+        return host, int(port), user, password, db_name
+
+    def influxql(self, tag: str, start=None, end=None) -> str:
+        """Per-tag InfluxQL: one series per sensor, range-pruned server-side
+        (the Influx analogue of parquet predicate pushdown)."""
+        q = (
+            f'SELECT "{self.value_name}" FROM "{self.measurement}" '
+            f"WHERE (\"{self.tag_key}\" = '{tag}')"
+        )
+        if start is not None:
+            q += f" AND time >= '{start}'"
+        if end is not None:
+            q += f" AND time < '{end}'"
+        return q
+
+    def _client(self):
+        if self.client is not None:
+            return self.client
+        try:  # pragma: no cover - influxdb not installed in this env
+            from influxdb import InfluxDBClient
+        except ImportError as exc:
+            raise RuntimeError(
+                "InfluxDataProvider needs the `influxdb` client package or an "
+                "injected `client` (any object with .query(influxql))"
+            ) from exc
+        return InfluxDBClient(  # pragma: no cover
+            self.host, self.port, self.user, self.password, self.db_name
+        )
+
+    def read(self, spark, tags, train_start_date=None, train_end_date=None):
+        import pandas as pd
+
+        client = self._client()
+        frames = []
+        for tag in tags:
+            points = list(
+                client.query(self.influxql(tag, train_start_date, train_end_date))
+            )
+            if not points:
+                continue
+            pdf = pd.DataFrame(points)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "tag": tag,
+                        "ts": pd.to_datetime(pdf["time"], utc=True).dt.tz_localize(None),
+                        "value": pdf[self.value_name].astype(float),
+                    }
+                )
+            )
+        if not frames:
+            from pyspark.sql.types import (
+                DoubleType, StringType, StructField, StructType, TimestampType,
+            )
+
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("tag", StringType()),
+                        StructField("ts", TimestampType()),
+                        StructField("value", DoubleType()),
+                    ]
+                ),
+            )
+        return spark.createDataFrame(pd.concat(frames, ignore_index=True))

@@ -296,3 +296,47 @@ def test_rollup_sensor_lake_incremental_equals_full(spark, sf_dir, tmp_path):
     import numpy as np
 
     np.testing.assert_allclose(got["value"], exp["value"], rtol=1e-12)
+
+
+def test_influx_provider_query_generation_and_read(spark):
+    """S3 seam: uri parsing, per-tag InfluxQL, points -> long-frame
+    assembly — driven through a fake client (no server in this env)."""
+    from gordo_spark.sources.providers import InfluxDataProvider, provider_from_dict
+
+    host, port, user, pw, db = InfluxDataProvider.parse_uri(
+        "localhost:8086/root/secret/testdb"
+    )
+    assert (host, port, user, pw, db) == ("localhost", 8086, "root", "secret", "testdb")
+    with pytest.raises(ValueError, match="malformed influx uri"):
+        InfluxDataProvider.parse_uri("nope")
+
+    class FakeClient:
+        def __init__(self):
+            self.queries = []
+
+        def query(self, q):
+            self.queries.append(q)
+            tag = q.split("= '")[1].split("'")[0]
+            return [
+                {"time": "2024-01-01T00:00:00Z", "Value": 1.5},
+                {"time": "2024-01-01T00:01:00Z", "Value": 2.5},
+            ] if tag == "click" else []
+
+    fake = FakeClient()
+    prov = InfluxDataProvider(measurement="sensors", client=fake)
+    df = prov.read(
+        spark, ["click", "view"], "2024-01-01T00:00:00", "2024-01-02T00:00:00"
+    )
+    got = df.toPandas().sort_values("ts")
+    assert got["value"].tolist() == [1.5, 2.5]
+    assert set(got["tag"]) == {"click"}
+    # range predicates pushed into InfluxQL (the scan-side pruning)
+    assert 'SELECT "Value" FROM "sensors"' in fake.queries[0]
+    assert "time >= '2024-01-01T00:00:00'" in fake.queries[0]
+    assert "time < '2024-01-02T00:00:00'" in fake.queries[1]
+    # registry round-trip
+    p2 = provider_from_dict(
+        {"type": "InfluxDataProvider", "measurement": "sensors",
+         "uri": "h:1/u/p/d"}
+    )
+    assert p2.db_name == "d"
