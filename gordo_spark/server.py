@@ -10,7 +10,12 @@ WSGI container):
 
 - ``GET  /healthcheck``                        -> 200 liveness
 - ``GET  /server-version``                     -> version string
-- ``GET  [/gordo/v<N>/<project>]/<machine>/metadata``
+- ``GET  [/gordo/v<N>/<project>]/models``            (base.py:183-194)
+- ``GET  [/gordo/v<N>/<project>]/revisions``         (base.py:197-210)
+- ``GET  [/gordo/v<N>/<project>]/expected-models``   (base.py:214-220)
+- ``GET  [/gordo/v<N>/<project>]/<machine>/metadata`` (also ``/healthcheck``)
+- ``GET  [/gordo/v<N>/<project>]/<machine>/download-model`` (base.py:164-180)
+- ``DELETE [/gordo/v<N>/<project>]/<machine>/revision/<rev>`` (base.py:116-134)
 - ``POST [/gordo/v<N>/<project>]/<machine>/prediction``
 - ``POST [/gordo/v<N>/<project>]/<machine>/anomaly/prediction``
 
@@ -44,7 +49,12 @@ import traceback
 from urllib.parse import parse_qs
 
 from gordo_spark import __version__ as _version
-from gordo_spark.serving import anomaly_response, metadata_response, prediction_response
+from gordo_spark.serving import (
+    _load as _serving_load,
+    anomaly_response,
+    metadata_response,
+    prediction_response,
+)
 from gordo_spark.sources.serving_io import (
     dataframe_from_parquet_bytes,
     dataframe_into_parquet_bytes,
@@ -63,9 +73,10 @@ def _json_bytes(obj) -> bytes:
 class GordoServer:
     """WSGI callable serving one model store root."""
 
-    def __init__(self, spark, store_root: str):
+    def __init__(self, spark, store_root: str, expected_models: list[str] | None = None):
         self.spark = spark
         self.store_root = store_root
+        self.expected_models = list(expected_models or [])
 
     # ------------------------------------------------------------ plumbing
     def __call__(self, environ, start_response):
@@ -99,19 +110,68 @@ class GordoServer:
         parts = [p for p in path.split("/") if p]
         if not parts:
             return self._json(404, {"error": "not found"})
+
+        store = ModelStore(self.store_root)
+        # project-level routes (base.py:183-220)
+        if len(parts) == 1 and method == "GET":
+            if parts[0] == "models":
+                import os
+
+                rev = store.latest_revision()
+                d = os.path.join(self.store_root, rev) if rev else None
+                models = sorted(os.listdir(d)) if d and os.path.isdir(d) else []
+                return self._json(200, {"models": models})
+            if parts[0] == "revisions":
+                return self._json(
+                    200,
+                    {
+                        "latest": store.latest_revision(),
+                        "available-revisions": store.revisions(),
+                    },
+                )
+            if parts[0] == "expected-models":
+                return self._json(200, {"expected-models": self.expected_models})
+
         machine, route = parts[0], "/".join(parts[1:])
+
+        # DELETE .../revision/<rev> (base.py:116-134)
+        if method == "DELETE" and route.startswith("revision/"):
+            rev = route.split("/", 1)[1]
+            if not revision_re.match(rev):
+                return self._json(
+                    422, {"error": "Revision should only contains numbers."}
+                )
+            if rev == store.latest_revision():
+                return self._json(409, {"error": "Unable to delete current revision."})
+            store.delete_revision(rev)
+            return self._json(200, {"ok": True})
 
         # revision resolution: query arg wins over header (server.py:176-184)
         revision = args.get("revision") or environ.get("HTTP_REVISION")
         if revision is not None and not revision_re.match(revision):
             return self._json(410, {"error": f"Revision '{revision}' is not valid."})
-        if revision is not None and revision not in ModelStore(self.store_root).revisions():
+        if revision is not None and revision not in store.revisions():
             return self._json(410, {"error": f"Revision '{revision}' not found."})
 
         try:
-            if route == "metadata" and method == "GET":
+            if route in ("metadata", "healthcheck") and method == "GET":
+                # /healthcheck also serves metadata (base.py:137-160)
                 resp = metadata_response(self.store_root, machine, revision)
                 return self._stamped(resp, args)
+            if route == "download-model" and method == "GET":
+                # serialized copy of the served model (base.py:164-180)
+                import pickle
+
+                model, _, rev = _serving_load(self.store_root, machine, revision)
+                return (
+                    "200 OK",
+                    [
+                        ("Content-Type", "application/octet-stream"),
+                        ("Content-Disposition", 'attachment; filename="model.pickle"'),
+                        ("revision", str(rev)),
+                    ],
+                    pickle.dumps(model),
+                )
             if route == "prediction" and method == "POST":
                 payload = self._payload(environ)
                 resp = prediction_response(
@@ -224,11 +284,13 @@ def _truthy(v: str | None) -> bool:
     return str(v).lower() in ("1", "true", "yes")
 
 
-def build_app(spark, store_root: str) -> GordoServer:
+def build_app(
+    spark, store_root: str, expected_models: list[str] | None = None
+) -> GordoServer:
     """Reference ``build_app`` shape (server.py:138-222): returns the WSGI
     callable; run it under any WSGI container, e.g.::
 
         from wsgiref.simple_server import make_server
         make_server("0.0.0.0", 5555, build_app(spark, root)).serve_forever()
     """
-    return GordoServer(spark, store_root)
+    return GordoServer(spark, store_root, expected_models)

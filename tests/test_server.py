@@ -216,3 +216,52 @@ def test_runs_under_wsgiref_validator(served):
     app, _, _ = served
     r = call(validator(app), "/healthcheck")
     assert r["status"] == 200
+
+
+def test_project_level_routes(served):
+    """models / revisions / expected-models (base.py:183-220)."""
+    app, rev, _ = served
+    r = call(app, "/gordo/v0/proj/models")
+    assert r["status"] == 200
+    assert json.loads(r["body"])["models"] == ["srv-machine"]
+    r = call(app, "/revisions")
+    body = json.loads(r["body"])
+    assert body["latest"] == rev and rev in body["available-revisions"]
+    r = call(app, "/expected-models")
+    assert json.loads(r["body"])["expected-models"] == []
+
+
+def test_download_model_and_healthcheck_alias(served, spark):
+    import pickle
+
+    app, rev, payload = served
+    r = call(app, "/srv-machine/download-model")
+    assert r["status"] == 200
+    assert r["headers"]["Content-Type"] == "application/octet-stream"
+    assert r["headers"]["revision"] == rev
+    model = pickle.loads(r["body"])
+    assert hasattr(model, "anomaly")  # the served detector round-trips
+    # machine-level healthcheck serves metadata (base.py:137-160)
+    r = call(app, "/srv-machine/healthcheck")
+    assert r["status"] == 200 and json.loads(r["body"])["revision"] == rev
+
+
+def test_delete_revision_contracts(served, spark, tmp_path):
+    """422 non-numeric, 409 current, 200 + gone for an old revision
+    (base.py:116-134)."""
+    from gordo_spark.sources.store import ModelStore
+
+    app, rev, _ = served
+    r = call(app, "/srv-machine/revision/not-numeric", method="DELETE")
+    assert r["status"] == 422
+    assert "only contains numbers" in json.loads(r["body"])["error"]
+    r = call(app, f"/srv-machine/revision/{rev}", method="DELETE")
+    assert r["status"] == 409
+    # plant an older revision, then delete it
+    store = ModelStore(app.store_root)
+    model, _meta = store.load("srv-machine", rev)
+    store.dump(model, "srv-machine", {}, revision="1000000000000")
+    assert "1000000000000" in store.revisions()
+    r = call(app, "/srv-machine/revision/1000000000000", method="DELETE")
+    assert r["status"] == 200 and json.loads(r["body"])["ok"] is True
+    assert "1000000000000" not in store.revisions()
