@@ -189,6 +189,121 @@ def cosine_neardup_pairs(
     )
 
 
+def _first_centroids(vectors: DataFrame, n_cells: int, id_col: str, vec_col: str):
+    """Deterministic coarse quantizer: first ``n_cells`` corpus vectors by
+    id (engine-portable; a trained k-means drops in by replacing these
+    rows). Returns (cell ids, centroid matrix, norms)."""
+    crows = vectors.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
+    cells = np.asarray([r[0] for r in crows], dtype=np.int64)
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in crows])
+    return cells, C, np.sqrt(np.einsum("ij,ij->i", C, C))
+
+
+def _assign_cells(src: DataFrame, cells: np.ndarray, C: np.ndarray, cnorm: np.ndarray) -> DataFrame:
+    """One numpy matmul + argmax per Arrow batch: (neighbor_id, nv, cell)."""
+    a_schema = "neighbor_id long, nv array<double>, cell long"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["nv"].to_numpy())
+            num = V @ C.T
+            den = np.sqrt(np.einsum("ij,ij->i", V, V))[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = num / den
+            best = np.argmax(sims, axis=1)
+            out = pdf[["neighbor_id", "nv"]].copy()
+            out["cell"] = cells[best]
+            yield out
+
+    return src.mapInPandas(assign, schema=a_schema)
+
+
+def ivf_write(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: corpus written PARTITIONED BY cell (so a
+    probe is a partition-pruned scan of n_probe/n_cells of the data — the
+    100 TB read path ``ivf_topk``'s docstring promises), centroids stored
+    alongside for the probe side.
+
+    Layout: ``<path>/index/cell=<c>/...`` + ``<path>/centroids/``.
+    """
+    cells, C, cnorm = _first_centroids(vectors, n_cells, id_col, vec_col)
+    src = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    (
+        _assign_cells(src, cells, C, cnorm)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/index")
+    )
+    vectors.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index: each query's ``n_probe`` nearest
+    cells are computed driver-side from the stored centroids (tiny), and
+    the index scan carries ``cell IN (<probed cells>)`` — a PARTITION
+    FILTER, so only the probed cell directories are ever read. Results are
+    identical to ``ivf_topk`` with the same quantizer."""
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cells = np.asarray([r["cell"] for r in crows], dtype=np.int64)
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in crows])
+    cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = (Q @ C.T) / (qnorm[:, None] * cnorm[None, :])
+    # per query: n_probe best cells, ties toward the lowest cell id (cells
+    # are sorted ascending and lexsort is stable)
+    probe_rows = []
+    for j in range(len(qids)):
+        order = np.lexsort((cells, -sims[j]))[:n_probe]
+        for c in cells[order]:
+            probe_rows.append((int(qids[j]), [float(x) for x in Q[j]], int(c)))
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id long, qv array<double>, cell long"
+    )
+    probed_cells = sorted({r[2] for r in probe_rows})
+
+    idx = spark.read.parquet(f"{path}/index").filter(
+        F.col("cell").isin(probed_cells)  # partition-pruned scan
+    )
+    scored = (
+        idx.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cosine_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -214,33 +329,13 @@ def ivf_topk(
     quantizer drops in by replacing the centroid rows; the plan shape is
     unchanged.
     """
-    crows = vectors.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
-    cells = np.asarray([r[0] for r in crows], dtype=np.int64)
-    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in crows])
-    cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
-
+    cells, C, cnorm = _first_centroids(vectors, n_cells, id_col, vec_col)
     src = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
-    a_schema = "neighbor_id long, nv array<double>, cell long"
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["nv"].to_numpy())
-            num = V @ C.T
-            den = np.sqrt(np.einsum("ij,ij->i", V, V))[:, None] * cnorm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = num / den
-            # ties broken toward the lowest cell id: centroids are ordered by
-            # id, and argmax returns the first maximal index
-            best = np.argmax(sims, axis=1)
-            out = pdf[["neighbor_id", "nv"]].copy()
-            out["cell"] = cells[best]
-            yield out
-
-    assigned = src.mapInPandas(assign, schema=a_schema)
+    # ties broken toward the lowest cell id: centroids are ordered by id,
+    # and argmax returns the first maximal index
+    assigned = _assign_cells(src, cells, C, cnorm)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")

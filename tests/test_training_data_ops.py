@@ -300,3 +300,45 @@ def test_profile_single_pass_and_hll_variant(spark, sf_dir):
     # single pass: exactly one aggregation over one scan (no per-column jobs)
     plan = profile(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Relation") == 1
+
+
+def test_ivf_materialized_index_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """The IVF scale path made concrete: corpus written partitioned by
+    cell, probe scan carries a cell partition filter (only probed
+    directories read), results identical to the in-memory ivf_topk."""
+    import contextlib
+    import io as _io
+
+    from gordo_spark.operators.similarity import ivf_probe, ivf_topk, ivf_write
+    from gordo_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5)
+    idx_path = f"{tmp_path}/ivf"
+    ivf_write(embs, idx_path, n_cells=8)
+
+    probed = ivf_probe(spark, idx_path, queries, k=5, n_probe=2)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain(True)
+    plan = buf.getvalue()
+    # the cell predicate reached the scan as a PARTITION filter
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+    got = probed.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exp = (
+        ivf_topk(embs, queries, k=5, n_cells=8, n_probe=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_id", "neighbor_id", "rank"]].equals(
+        exp[["query_id", "neighbor_id", "rank"]]
+    )
+    np.testing.assert_allclose(got["cosine_sim"], exp["cosine_sim"], atol=1e-12)
+    # the index layout really is one directory per cell
+    import os
+
+    all_cells = [d for d in os.listdir(f"{idx_path}/index") if d.startswith("cell=")]
+    assert len(all_cells) == 8
