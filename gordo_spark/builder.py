@@ -278,6 +278,10 @@ class ModelBuilder:
                     "tag_list": dataset.tag_list,
                     "target_tag_list": dataset.target_tag_list or dataset.tag_list,
                     "resolution": dataset.resolution,
+                    # the declared config, verbatim — lets a client rebuild
+                    # exactly the trained frame (provider, interpolation,
+                    # range) for request-time scoring
+                    "config": dict(m.dataset),
                 },
             },
             "runtime": m.runtime,
