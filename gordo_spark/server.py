@@ -77,9 +77,18 @@ class GordoServer:
         self.spark = spark
         self.store_root = store_root
         self.expected_models = list(expected_models or [])
+        # (method, path-template, status) -> [count, sum_seconds] — the
+        # reference's Counter + Histogram pair with main_labels
+        # (method, path, status_code), prometheus/metrics.py:49-91; the
+        # prometheus_client package is absent here, so exposition is
+        # hand-rendered (the text format is trivial and stable)
+        self._metrics: dict[tuple[str, str, str], list[float]] = {}
 
     # ------------------------------------------------------------ plumbing
     def __call__(self, environ, start_response):
+        import time
+
+        t0 = time.perf_counter()
         try:
             status, headers, body = self._dispatch(environ)
         except Exception:  # blanket 500 like any WSGI server
@@ -89,9 +98,48 @@ class GordoServer:
                 [("Content-Type", "application/json")],
                 _json_bytes({"error": tb.splitlines()[-1]}),
             )
+        self._record(environ, status, time.perf_counter() - t0)
         headers.append(("Content-Length", str(len(body))))
         start_response(status, headers)
         return [body]
+
+    def _record(self, environ, status: str, seconds: float) -> None:
+        path = _PREFIX_RE.sub("", environ.get("PATH_INFO", "/"))
+        parts = [p for p in path.split("/") if p]
+        # low-cardinality path template: machine names collapse to <name>
+        if len(parts) >= 2:
+            tpl = "/<name>/" + "/".join(parts[1:])
+        else:
+            tpl = "/" + "/".join(parts)
+        key = (environ.get("REQUEST_METHOD", "GET"), tpl, status.split()[0])
+        m = self._metrics.setdefault(key, [0, 0.0])
+        m[0] += 1
+        m[1] += seconds
+
+    def _prometheus_text(self) -> bytes:
+        lines = [
+            "# HELP gordo_server_requests_total Total requests by route",
+            "# TYPE gordo_server_requests_total counter",
+        ]
+        def labels(k):
+            return (
+                f'method="{k[0]}",path="{k[1]}",status_code="{k[2]}"'
+            )
+
+        for k, (count, _) in sorted(self._metrics.items()):
+            lines.append(f"gordo_server_requests_total{{{labels(k)}}} {count}")
+        lines += [
+            "# HELP gordo_server_request_duration_seconds Request latency by route",
+            "# TYPE gordo_server_request_duration_seconds summary",
+        ]
+        for k, (count, total) in sorted(self._metrics.items()):
+            lines.append(
+                f"gordo_server_request_duration_seconds_count{{{labels(k)}}} {count}"
+            )
+            lines.append(
+                f"gordo_server_request_duration_seconds_sum{{{labels(k)}}} {total:.6f}"
+            )
+        return ("\n".join(lines) + "\n").encode()
 
     def _dispatch(self, environ):
         path = environ.get("PATH_INFO", "/")
@@ -104,6 +152,12 @@ class GordoServer:
             return self._json(200, {"gordo-server-version": _version})
         if path == "/server-version":
             return self._json(200, {"version": _version})
+        if path == "/prometheus/metrics":
+            return (
+                "200 OK",
+                [("Content-Type", "text/plain; version=0.0.4")],
+                self._prometheus_text(),
+            )
 
         # proxy-path adaptation: strip the optional /gordo/v<N>/<project>
         path = _PREFIX_RE.sub("", path)

@@ -265,3 +265,30 @@ def test_delete_revision_contracts(served, spark, tmp_path):
     r = call(app, "/srv-machine/revision/1000000000000", method="DELETE")
     assert r["status"] == 200 and json.loads(r["body"])["ok"] is True
     assert "1000000000000" not in store.revisions()
+
+
+def test_prometheus_metrics_exposition(served):
+    """Counter + latency summary per (method, path-template, status) in
+    text exposition format (reference prometheus/metrics.py:49-91; the
+    machine name collapses to <name> to bound label cardinality)."""
+    app, _, payload = served
+    call(app, "/srv-machine/metadata")
+    call(app, "/srv-machine/prediction", "POST", payload)
+    call(app, "/srv-machine/metadata?revision=bad-rev")  # 410
+    r = call(app, "/prometheus/metrics")
+    assert r["status"] == 200
+    assert r["headers"]["Content-Type"].startswith("text/plain")
+    text = r["body"].decode()
+    assert "# TYPE gordo_server_requests_total counter" in text
+    assert 'method="GET",path="/<name>/metadata",status_code="200"' in text
+    assert 'method="POST",path="/<name>/prediction",status_code="200"' in text
+    assert 'status_code="410"' in text
+    # latency summary present and positive
+    import re as _re
+
+    m = _re.search(
+        r'gordo_server_request_duration_seconds_sum\{method="POST",'
+        r'path="/<name>/prediction",status_code="200"\} ([0-9.]+)',
+        text,
+    )
+    assert m and float(m.group(1)) > 0
