@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
         help="write a JSON exception report here on failure "
         "(reference: gordo/cli/exceptions_reporter.py)",
     )
+    b.add_argument(
+        "--exceptions-report-level",
+        default="MESSAGE",
+        help="report verbosity: EXIT_CODE|TYPE|MESSAGE|TRACEBACK",
+    )
     w = sub.add_parser(
         "workflow",
         help="machine config -> staged Spark build-plan YAML "
@@ -72,7 +77,6 @@ def main(argv: list[str] | None = None) -> int:
     from gordo_spark import get_spark
     from gordo_spark.builder import build_machines
     from gordo_spark.config import load_yaml_config
-    from gordo_spark.operators.filters import InsufficientDataError
     from gordo_spark.sources.store import DiskRegistry, ModelStore
 
     machines = load_yaml_config(args.config)
@@ -89,17 +93,22 @@ def main(argv: list[str] | None = None) -> int:
             spark, machines, store, registry, max_workers=args.max_workers
         )
     except Exception as e:  # noqa: BLE001 - exit-code map is the contract
-        code = 80 if isinstance(e, InsufficientDataError) else 1
+        from gordo_spark.exceptions_reporter import ReportLevel, default_reporter
+
+        reporter = default_reporter()
+        code = reporter.exception_exit_code(type(e))
         if args.exceptions_reporter_file:
-            with open(args.exceptions_reporter_file, "w") as f:
-                json.dump(
-                    {
-                        "type": type(e).__name__,
-                        "message": str(e),
-                        "exit_code": code,
-                    },
-                    f,
-                )
+            level = ReportLevel.get_by_name(
+                args.exceptions_report_level, ReportLevel.MESSAGE
+            )
+            reporter.safe_report(
+                level,
+                type(e),
+                e,
+                e.__traceback__,
+                args.exceptions_reporter_file,
+                max_message_len=2024,  # k8s termination-message cap
+            )
         print(f"{type(e).__name__}: {e}", file=sys.stderr)
         return code
     for name, r in results.items():

@@ -130,7 +130,9 @@ def test_cli_exceptions_reporter_file(tmp_path):
     )
     assert r.returncode == 80, r.stderr[-2000:]
     rep = _json.loads(report.read_text())
-    assert rep["type"] == "InsufficientDataError" and rep["exit_code"] == 80
+    # MESSAGE level (default): type + trimmed message, no traceback
+    assert rep["type"] == "InsufficientDataError"
+    assert "message" in rep and "traceback" not in rep
 
 
 def test_build_lagged_model_machine(spark, machine, tmp_path):
@@ -149,3 +151,50 @@ def test_build_lagged_model_machine(spark, machine, tmp_path):
     th = md["thresholds"]
     assert th["total"] is not None and th["total"] >= 0
     assert r.model.base.offset == 3
+
+
+def test_exceptions_reporter_semantics():
+    """Reference exceptions_reporter.py parity: subclass-before-base
+    matching, verbosity ladder, trimming keeps the traceback TAIL."""
+    import io as _io
+    import json as _json
+
+    from gordo_spark.exceptions_reporter import (
+        ExceptionsReporter,
+        ReportLevel,
+        default_reporter,
+    )
+    from gordo_spark.operators.filters import InsufficientDataError
+
+    rep = default_reporter()
+    # subclass matches before its base even though Exception is in the table
+    assert rep.exception_exit_code(InsufficientDataError) == 80
+    assert rep.exception_exit_code(ValueError) == 2
+    assert rep.exception_exit_code(KeyError) == 1  # falls to Exception
+    assert rep.exception_exit_code(None) == 0
+
+    def _report(level, max_len=None):
+        try:
+            raise InsufficientDataError("x" * 500)
+        except InsufficientDataError as e:
+            buf = _io.StringIO()
+            rep.report(level, type(e), e, e.__traceback__, buf, max_len)
+            return _json.loads(buf.getvalue())
+
+    assert _report(ReportLevel.EXIT_CODE) == {}
+    assert set(_report(ReportLevel.TYPE)) == {"type"}
+    msg = _report(ReportLevel.MESSAGE, max_len=50)
+    assert msg["message"].endswith("...") and len(msg["message"]) <= 50
+    tb = _report(ReportLevel.TRACEBACK, max_len=600)
+    assert tb["traceback"].startswith("...")  # head trimmed, tail kept
+    assert "InsufficientDataError" in tb["traceback"]
+    # a budget smaller than any single line leaves only the marker
+    assert _report(ReportLevel.TRACEBACK, max_len=10)["traceback"] == "...\n"
+    # non-ascii scrubbed
+    r2 = ExceptionsReporter(((ValueError, 2),))
+    try:
+        raise ValueError("bad é中 value")
+    except ValueError as e:
+        buf = _io.StringIO()
+        r2.report(ReportLevel.MESSAGE, type(e), e, e.__traceback__, buf)
+        assert _json.loads(buf.getvalue())["message"] == "bad ?? value"
