@@ -97,6 +97,7 @@ def generate_workflow(
     machines: list[Machine],
     model_parameters: dict | None = None,
     project_name: str = "gordo-spark",
+    version: str | None = None,
 ) -> dict:
     """Machine configs -> staged build-plan spec (the Argo-YAML analogue).
 
@@ -143,10 +144,20 @@ def generate_workflow(
                 ],
             }
         )
+    spec_version = None
+    if version is not None:
+        from gordo_spark.functions.version import parse_version
+
+        # validates release / latest|stable / pr-N / sha tag shapes
+        # (reference util/version.py — malformed tags fail HERE, not at
+        # deploy time)
+        spec_version = parse_version(version).get_version()
+
     return {
         "apiVersion": "gordo-spark/v1",
         "kind": "BuildPlan",
         "project": project_name,
+        **({"version": spec_version} if spec_version else {}),
         "machines_total": len(expanded),
         "spark_conf": spark_conf_for(len(expanded)),
         "resources": calculate_resources(len(expanded)),

@@ -111,3 +111,27 @@ def test_workflow_cli(sf_dir, tmp_path, capsys):
     assert spec["machines_total"] == 1
     assert spec["stages"][0]["machines"][0]["name"] == "cli-m"
     assert main(["workflow", "--config", cfg, "--model-parameter", "bad"]) == 1
+
+
+def test_version_parsing_reference_parity(sf_dir):
+    """util/version.py parity incl. docstring examples + workflow stamping."""
+    from gordo_spark.functions.version import (
+        GordoPR, GordoRelease, GordoSHA, GordoSpecial, parse_version,
+    )
+
+    assert parse_version("2.3.5") == GordoRelease(2, 3, 5, None)
+    assert parse_version("2.3") == GordoRelease(2, 3, None, None)
+    assert parse_version("2.3").only_major_minor()
+    assert parse_version("2").only_major()
+    assert parse_version("1.2.3rc1") == GordoRelease(1, 2, 3, "rc1")
+    assert isinstance(parse_version("latest"), GordoSpecial)
+    assert parse_version("stable").get_version() == "stable"
+    assert parse_version("pr-42") == GordoPR(42)
+    assert parse_version("abcdef1234") == GordoSHA("abcdef1234")
+    for bad in ("pr-xyz", "not_a_version!", ""):
+        with pytest.raises(ValueError):
+            parse_version(bad)
+    spec = generate_workflow([_machine("vm", sf_dir)], version="1.2.3")
+    assert spec["version"] == "1.2.3"
+    with pytest.raises(ValueError):
+        generate_workflow([_machine("vm", sf_dir)], version="!bad!")
