@@ -292,6 +292,12 @@ class ModelBuilder:
                 "tags": model.tag_thresholds_,
                 "total": model.total_threshold_,
             }
+        if hasattr(model, "get_metadata"):
+            # the reference merges every model's own metadata into the build
+            # record (machine.py:249-269 -> GordoBase.get_metadata)
+            metadata["build-metadata"]["model"]["model-metadata"] = (
+                model.get_metadata()
+            )
 
         if cv_mode != "cross_val_only" and self.store is not None:
             path = self.store.dump(model, m.name, metadata)

@@ -144,6 +144,15 @@ class LinearModel:
         """M8 — row offset between input and output (0: no lookback)."""
         return 0
 
+    def get_metadata(self) -> dict:
+        """GordoBase.get_metadata surface (the reference merges every
+        model's metadata into the build record)."""
+        return {
+            "feature-columns": self.feature_cols,
+            "target-columns": self.target_cols,
+            "fitted": self.coef_ is not None,
+        }
+
     def into_definition(self) -> dict:
         return {
             "kind": "LinearModel",
@@ -259,6 +268,23 @@ class DiffBasedAnomalyDetector:
         self.tag_thresholds_ = {t: th[f"err__{t}"] for t in targets}
         self.total_threshold_ = th["err__total"]
         return self
+
+    def get_metadata(self) -> dict:
+        """diff.py:88-127 parity: thresholds + smoothing config (keys match
+        the reference's dashed names so downstream dashboards port over)."""
+        metadata: dict = {}
+        if self.tag_thresholds_ is not None:
+            metadata["feature-thresholds"] = [
+                self.tag_thresholds_[t] for t in self.base.target_cols or []
+            ]
+        if self.total_threshold_ is not None:
+            metadata["aggregate-threshold"] = self.total_threshold_
+        metadata["window"] = self.window
+        metadata["smoothing-method"] = self.smoothing_method
+        metadata["scaler"] = self.scaler_kind
+        if hasattr(self.base, "get_metadata"):
+            metadata["base-estimator"] = self.base.get_metadata()
+        return metadata
 
     def _affine_stats(self) -> dict | None:
         """Scaler stats in the (min, max) shape anomaly_frame consumes:

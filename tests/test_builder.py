@@ -198,3 +198,15 @@ def test_exceptions_reporter_semantics():
         buf = _io.StringIO()
         r2.report(ReportLevel.MESSAGE, type(e), e, e.__traceback__, buf)
         assert _json.loads(buf.getvalue())["message"] == "bad ?? value"
+
+
+def test_model_metadata_merged_into_build_record(spark, machine, tmp_path):
+    """GordoBase.get_metadata parity: the model's own metadata (dashed
+    reference keys) lands in the build record."""
+    machine.model = {"kind": "DiffBasedAnomalyDetector", "window": 6}
+    r = ModelBuilder(machine, ModelStore(str(tmp_path / "m"))).build(spark)
+    mm = r.metadata["build-metadata"]["model"]["model-metadata"]
+    assert mm["window"] == 6 and mm["smoothing-method"] == "smm"
+    assert len(mm["feature-thresholds"]) == 3
+    assert mm["aggregate-threshold"] > 0
+    assert mm["base-estimator"]["fitted"] is True
