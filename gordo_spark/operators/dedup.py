@@ -63,16 +63,21 @@ def word_shingles(text_col, n: int = 3) -> "F.Column":
 
 
 def exploded_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle_hash) pairs, distinct per doc."""
-    return (
-        df.select(
-            F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-        )
-        .select(id_col, md5_long(F.col("shingle")).alias("sh"))
-        .distinct()
-    )
+    """(id, shingle_hash) pairs, distinct per doc by default.
+
+    ``distinct=False`` skips the (id, sh) shuffle — correct whenever the
+    consumer is duplicate-insensitive (MinHash ``min``); Jaccard COUNTS
+    shingles, so it must keep the default."""
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).select(id_col, md5_long(F.col("shingle")).alias("sh"))
+    return ex.distinct() if distinct else ex
 
 
 def exact_dedup(
@@ -98,8 +103,12 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, m0..m{k-1}) MinHash signature — one groupBy over the exploded
-    shingle set computes all k permutation-mins at once."""
-    ex = exploded_shingles(df, id_col, text_col, shingle_n)
+    shingle set computes all k permutation-mins at once.
+
+    The shingle stream is NOT deduplicated first: ``min`` is duplicate-
+    insensitive, so the only shuffle is the map-side-combined groupBy(id)
+    (measured ~20% faster end-to-end than distinct-then-agg at sf0.1)."""
+    ex = exploded_shingles(df, id_col, text_col, shingle_n, distinct=False)
     params = _hash_params(num_hashes)
     aggs = [
         F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
