@@ -2660,6 +2660,89 @@ FROM documents
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-bigram coverage + duplicate-
+    trigram fraction per document (operators/text.repetition_stats)."""
+    from gordo_spark.operators.text import repetition_stats
+
+    out = repetition_stats(read_table(spark, sf_dir, "documents"))
+    return _r6(out, "top_ngram_frac", "dup_ngram_frac")
+
+
+O_TEXT_REPETITION = """
+WITH g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i+1), ' ')
+         )) AS g
+  FROM documents
+),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_ngram_count FROM c2 GROUP BY 1),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i+2), ' ')
+         )) AS g
+  FROM documents
+),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+dup AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6)
+           AS dup_ngram_frac
+  FROM c3 GROUP BY 1
+),
+n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT n.doc_id, n.n_tokens, top.top_ngram_count,
+       ROUND(top.top_ngram_count * 2.0 / n.n_tokens, 6) AS top_ngram_frac,
+       dup.dup_ngram_frac
+FROM n JOIN top USING (doc_id) JOIN dup USING (doc_id)
+"""
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.pack_sequences):
+    256-token chunks within 8 hash shards, summarized per chunk. The
+    cumulative-sum window is PARTITIONED BY shard — the scale path."""
+    from gordo_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(
+        read_table(spark, sf_dir, "documents"), budget=256, shards=8
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+O_PACK_CHUNKS = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+         ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS ok
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, shard,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ok, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_start
+  FROM t
+)
+SELECT shard,
+       CAST(FLOOR(seq_start / 256.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc
+FROM s
+GROUP BY 1, 2
+"""
+
+
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 10 vectors (broadcast
     nested loop; corpus side never shuffles)."""
@@ -3313,6 +3396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
+        "pack_chunks": q_pack_chunks,
         "sim_bruteforce": q_sim_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf": q_sim_ivf,
@@ -3400,6 +3485,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": O_TEXT_FP,
         "text_tokens_bpe": O_TEXT_BPE,
         "text_quality": O_TEXT_QUALITY,
+        "text_repetition": O_TEXT_REPETITION,
+        "pack_chunks": O_PACK_CHUNKS,
         "sim_bruteforce": O_SIM_BRUTE,
         "sim_ann_lsh": O_SIM_ANN,
         "sim_ivf": O_SIM_IVF,

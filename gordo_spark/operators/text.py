@@ -4,6 +4,7 @@
 - quality_score    — composite heuristic quality in [0, 1]
 - lang_id          — stopword-fraction n-gram-free heuristic language ID
 - fingerprint      — polynomial rolling hash of the leading tokens
+- repetition_stats — Gopher-style top/duplicate n-gram repetition filters
 
 All pure column algebra (split/transform/aggregate) — whole-stage codegen,
 no UDFs, engine-portable (DuckDB oracle matches bit-for-bit).
@@ -80,6 +81,75 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return df.select(
         F.col(id_col),
         ((len_score + punct_score + diversity + sw_score) / 4.0).alias("quality"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021,
+    "Scaling Language Models", table A1 repetition filters) adapted to
+    token n-grams:
+
+    - ``top_ngram_frac``  — fraction of tokens covered by the single most
+      frequent ``top_n``-gram (Gopher: "fraction of characters in most
+      common n-gram"); high values flag boilerplate/spam.
+    - ``dup_ngram_frac``  — fraction of ``dup_n``-gram occurrences whose
+      gram appears more than once (Gopher: "fraction of characters in
+      duplicated n-grams"); high values flag looping/generated text.
+
+    Shape: each metric is one explode -> groupBy(id, gram) -> groupBy(id),
+    both shuffles map-side combined; the two branches join back on the id
+    (shuffle-on-key, no skew: keys are unique doc ids). Pure column
+    algebra, engine-portable — the DuckDB oracle matches bit-for-bit.
+    """
+    from gordo_spark.operators.dedup import word_shingles
+
+    n_tokens = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col),
+                F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+            )
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    top = (
+        gram_counts(top_n)
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_ngram_count"), F.sum("c").alias("_n_top"))
+    )
+    dup = (
+        gram_counts(dup_n)
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c")
+            ).alias("dup_ngram_frac")
+        )
+    )
+    return (
+        n_tokens.join(top, id_col)
+        .join(dup, id_col)
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "top_ngram_count",
+            (F.col("top_ngram_count") * top_n / F.col("n_tokens")).alias(
+                "top_ngram_frac"
+            ),
+            "dup_ngram_frac",
+        )
     )
 
 

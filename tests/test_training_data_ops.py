@@ -342,3 +342,69 @@ def test_ivf_materialized_index_partition_pruned_probe(spark, sf_dir, tmp_path):
 
     all_cells = [d for d in os.listdir(f"{idx_path}/index") if d.startswith("cell=")]
     assert len(all_cells) == 8
+
+
+def test_pack_sequences_chunk_invariants(spark, docs):
+    from gordo_spark.operators.packing import pack_sequences
+
+    out = pack_sequences(docs, budget=256, shards=8).toPandas()
+    assert len(out) == docs.count()  # every doc assigned exactly once
+    assert set(out["shard"].unique()) <= set(range(8))
+    # offsets are within the budget, chunk ids non-negative
+    assert ((out["seq_offset"] >= 0) & (out["seq_offset"] < 256)).all()
+    assert (out["seq_id"] >= 0).all()
+    # within a shard, chunks are densely filled: every chunk except the
+    # last starts exactly where the cumulative stream says it should —
+    # total tokens per shard == max chunk start + tokens of its docs
+    for shard, grp in out.groupby("shard"):
+        total = grp["n_tokens"].sum()
+        spans = grp["seq_id"] * 256 + grp["seq_offset"] + grp["n_tokens"]
+        assert spans.max() == total  # stream is contiguous (no gaps)
+    # deterministic and repartition-stable
+    again = (
+        pack_sequences(docs.repartition(13), budget=256, shards=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(out.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_pack_greedy_bins_respect_budget(spark, docs):
+    from gordo_spark.operators.packing import pack_greedy
+
+    budget = 80  # smaller than some docs -> exercises the overflow path
+    out = pack_greedy(docs, budget=budget, shards=4).toPandas()
+    assert len(out) == docs.count()
+    loads = out.groupby(["shard", "bin_id"])["n_tokens"].agg(["sum", "count"])
+    over = loads[loads["sum"] > budget]
+    # any over-budget bin must be a singleton holding one over-budget doc
+    assert (over["count"] == 1).all()
+    assert (over["sum"] > budget).all()
+    # bin ids are dense per shard
+    for shard, grp in out.groupby("shard"):
+        bins = sorted(grp["bin_id"].unique())
+        assert bins == list(range(len(bins)))
+    # deterministic across repartition
+    again = (
+        pack_greedy(docs.repartition(7), budget=budget, shards=4)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(out.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    from gordo_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),  # one bigram repeated
+        (2, "the quick brown fox jumps over a lazy dog today"),  # all unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["top_ngram_frac"] > 0.9  # "spam spam" covers the doc
+    assert out[1]["dup_ngram_frac"] == 1.0  # every trigram duplicated
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[2]["top_ngram_count"] == 1
