@@ -2743,6 +2743,47 @@ GROUP BY 1, 2
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/dedup.contamination_pairs):
+    every 50th doc plays the benchmark; corpus docs sharing >= 3 distinct
+    trigrams with a benchmark doc are flagged with the leaked fraction."""
+    from gordo_spark.operators.dedup import contamination_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    out = contamination_pairs(corpus, bench, min_shared=3)
+    return _r6(out, "overlap_frac")
+
+
+O_DECONTAMINATE = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i+2), ' ')
+         )) AS shingle
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh
+  FROM sh
+),
+c AS (SELECT * FROM hashed WHERE doc_id % 50 <> 0),
+b AS (SELECT doc_id AS bench_id, sh FROM hashed WHERE doc_id % 50 = 0),
+bsz AS (SELECT bench_id, count(*) AS bench_sz FROM b GROUP BY 1),
+j AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+  FROM c JOIN b USING (sh)
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT j.doc_id, j.bench_id, j.n_shared,
+       ROUND(j.n_shared * 1.0 / bsz.bench_sz, 6) AS overlap_frac
+FROM j JOIN bsz USING (bench_id)
+"""
+
+
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 10 vectors (broadcast
     nested loop; corpus side never shuffles)."""
@@ -3398,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
         "pack_chunks": q_pack_chunks,
+        "decontaminate": q_decontaminate,
         "sim_bruteforce": q_sim_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf": q_sim_ivf,
@@ -3487,6 +3529,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": O_TEXT_QUALITY,
         "text_repetition": O_TEXT_REPETITION,
         "pack_chunks": O_PACK_CHUNKS,
+        "decontaminate": O_DECONTAMINATE,
         "sim_bruteforce": O_SIM_BRUTE,
         "sim_ann_lsh": O_SIM_ANN,
         "sim_ivf": O_SIM_IVF,

@@ -189,6 +189,47 @@ def shingle_jaccard_pairs(
     return out
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Eval-set decontamination: ``(doc_id, bench_id, n_shared,
+    overlap_frac)`` for every corpus document sharing >= ``min_shared``
+    distinct ``shingle_n``-grams with a benchmark document —
+    ``overlap_frac`` = shared / benchmark-doc shingle count (the fraction
+    of the eval doc leaked). Training docs matching a benchmark above a
+    threshold get dropped before export (the GPT-3 appendix-C n-gram
+    decontamination procedure, re-expressed as a shingle-index join).
+
+    Scale posture: the benchmark side is tiny (eval suites are MBs);
+    the join is an inverted-index equi-join on shingle hash — corpus
+    shingles shuffle once, benchmark side broadcasts. Only (corpus doc,
+    bench doc) pairs sharing >= 1 shingle ever materialize.
+    """
+    ex_c = exploded_shingles(corpus, id_col, text_col, shingle_n)
+    ex_b = exploded_shingles(benchmark, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("bench_id"), "sh"
+    )
+    bench_sizes = ex_b.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_sz"))
+    return (
+        ex_c.join(F.broadcast(ex_b), "sh")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .join(F.broadcast(bench_sizes), "bench_id")
+        .select(
+            id_col,
+            "bench_id",
+            "n_shared",
+            (F.col("n_shared") / F.col("bench_sz")).alias("overlap_frac"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

@@ -408,3 +408,19 @@ def test_repetition_stats_flags_looping_text(spark):
     assert out[1]["dup_ngram_frac"] == 1.0  # every trigram duplicated
     assert out[2]["dup_ngram_frac"] == 0.0
     assert out[2]["top_ngram_count"] == 1
+
+
+def test_contamination_pairs_catches_planted_leak(spark, docs):
+    from gordo_spark.operators.dedup import contamination_pairs
+
+    bench = docs.filter(F.col("doc_id") < 5)
+    leak = bench.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(900000)
+    )  # a training doc that IS benchmark doc 0
+    corpus = docs.filter(F.col("doc_id").between(100, 199)).unionByName(leak)
+    out = contamination_pairs(corpus, bench, min_shared=3).toPandas()
+    planted = out[(out.doc_id == 900000) & (out.bench_id == 0)]
+    assert len(planted) == 1
+    assert planted.overlap_frac.iloc[0] == 1.0  # full leak
+    assert (out.overlap_frac <= 1.0).all()
+    assert (out.n_shared >= 3).all()
