@@ -2596,6 +2596,58 @@ SELECT id, min(label) AS component FROM cc GROUP BY id
 """
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: signatures -> LSH pairs -> connected components
+    -> survivor corpus (one doc per duplicate component, everything else
+    untouched). The full pipeline a 100 TB pretraining-dedup job runs."""
+    from gordo_spark.operators.dedup import (
+        connected_components,
+        keep_survivors,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return keep_survivors(docs, connected_components(pairs))
+
+
+O_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+cc(id, label) AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
+),
+comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id)
+SELECT d.* FROM ({_O_DOCS_DUPS}) d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+"""
+
+
+def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: deterministic distributed
+    Lloyd's k-means (6 cells, 3 iters, first-k init) then the same
+    partition-prunable probe path as sim_ivf. Iterative fit — no single
+    SQL oracle exists, so the driver records the rows-only check; the
+    quantizer itself is pinned against a driver-side numpy Lloyd's in
+    tests/test_training_data_ops.py."""
+    from gordo_spark.operators.similarity import ivf_topk_trained, kmeans_fit
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    C = kmeans_fit(embs, k=6, max_iter=3)
+    out = ivf_topk_trained(
+        embs, embs.filter(F.col("vec_id") < 10), C, k=5, n_probe=2
+    )
+    return _r6(out, "cosine_sim")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text stats: token counts, avg token length, punctuation ratio."""
     from gordo_spark.operators.text import text_stats
@@ -3432,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
@@ -3443,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce": q_sim_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf": q_sim_ivf,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "sample_split": q_sample_split,
@@ -3522,6 +3576,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": O_DEDUP_SIMHASH,
         "dedup_embed_cosine": O_DEDUP_EMBED,
         "dedup_components": O_DEDUP_COMPONENTS,
+        "dedup_survivors": O_DEDUP_SURVIVORS,
         "text_stats": O_TEXT_STATS,
         "text_lang_id": O_TEXT_LANG,
         "text_fingerprint": O_TEXT_FP,

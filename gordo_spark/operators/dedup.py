@@ -310,3 +310,23 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def keep_survivors(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor selection, the last step of the dedup pipeline: keep one
+    doc per duplicate component (the component id = min reachable id) plus
+    every doc that was never in a candidate pair.
+
+    The non-survivor list is the *components* frame minus its
+    representatives — proportional to the duplicate count, not the corpus,
+    so it broadcasts: the 100 TB corpus is filtered by a broadcast
+    left-anti join with no shuffle of the docs side.
+    """
+    losers = components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

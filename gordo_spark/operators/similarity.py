@@ -304,6 +304,103 @@ def ivf_probe(
     )
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed Lloyd's k-means over an embedding column —
+    the trained coarse quantizer for ``ivf_topk``/``ivf_write``.
+
+    Init = first ``k`` vectors by id (no RNG; same quantizer on any engine
+    and any partitioning). Each iteration:
+
+    - assignment: one numpy matmul + argmin per Arrow batch against the
+      closure-shipped (k x d) centroid matrix (euclidean; no shuffle of
+      the corpus),
+    - update: per-cluster mean via posexplode(vector) -> groupBy(cluster,
+      dim) avg — codegen + map-side partial agg, the explode+groupBy shape
+      measured faster than HOF array folds (dedup.py note),
+    - the k x d result is collected driver-side (bounded: k*d doubles —
+      the same fit-time scalar boundary as scaler stats in ml/).
+
+    Early-stops when assignments stop changing (a count per iteration).
+    Returns the k x d centroid matrix, rows ordered by cluster id.
+    """
+    src = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    crows = src.orderBy("_id").limit(k).collect()
+    C = np.stack([np.asarray(r["nv"], dtype=np.float64) for r in crows])
+
+    def assign_df(Cm: np.ndarray) -> DataFrame:
+        Csq = np.einsum("ij,ij->i", Cm, Cm)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["nv"].to_numpy())
+                # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 constant per row
+                d2 = Csq[None, :] - 2.0 * (V @ Cm.T)
+                out = pdf[["_id", "nv"]].copy()
+                out["cluster"] = np.argmin(d2, axis=1).astype(np.int64)
+                yield out
+
+        return src.mapInPandas(assign, schema="_id long, nv array<double>, cluster long")
+
+    prev_changed = None
+    for _ in range(max_iter):
+        assigned = assign_df(C).localCheckpoint()  # one materialization/iter
+        means = (
+            assigned.select("cluster", F.posexplode("nv").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        newC = C.copy()  # empty clusters keep their old centroid
+        per_cluster: dict[int, list] = {}
+        for r in means:
+            per_cluster.setdefault(r["cluster"], []).append((r["dim"], r["m"]))
+        for c, dims in per_cluster.items():
+            for d, m in dims:
+                newC[c, d] = m
+        # converged when re-assigning under the new centroids moves nothing
+        changed = assign_df(newC).join(
+            assigned.select("_id", F.col("cluster").alias("_old")), "_id"
+        ).filter(F.col("cluster") != F.col("_old")).count()
+        C = newC
+        if changed == 0 or changed == prev_changed:
+            break
+        prev_changed = changed
+    return C
+
+
+def kmeans_inertia(
+    vectors: DataFrame,
+    C: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of squared distances to the nearest centroid (model quality;
+    one pass, numpy per batch, a single scalar to the driver)."""
+    src = vectors.select(_as_double(F.col(vec_col)).alias("nv"))
+    Csq = np.einsum("ij,ij->i", C, C)
+
+    @pandas_udf("double")
+    def _d2(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        V = np.stack(v.to_numpy())
+        Vsq = np.einsum("ij,ij->i", V, V)
+        d2 = Vsq[:, None] - 2.0 * (V @ C.T) + Csq[None, :]
+        return pd.Series(np.min(d2, axis=1))
+
+    return src.select(F.sum(_d2(F.col("nv"))).alias("s")).collect()[0]["s"]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -345,6 +442,15 @@ def ivf_topk(
             F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
         )
     )
+    return _ivf_search(assigned, q, cents, k, n_probe)
+
+
+def _ivf_search(
+    assigned: DataFrame, q: DataFrame, cents: DataFrame, k: int, n_probe: int
+) -> DataFrame:
+    """Shared IVF probe+rank tail: each query probes its ``n_probe``
+    nearest cells (broadcast centroid frame, ties toward the lowest cell
+    id), ranks only vectors assigned to those cells."""
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("cell"))
     probes = (
         q.crossJoin(cents)
@@ -366,6 +472,38 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_topk_trained(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search with a *trained* coarse quantizer (``kmeans_fit``'s
+    k x d matrix): cells are 0..k-1, assignment is the same one-matmul-
+    per-Arrow-batch map, and the probe/rank tail is identical to
+    ``ivf_topk`` — only the quantizer quality changes, not the plan."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cells = np.arange(len(C), dtype=np.int64)
+    cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
+    src = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    assigned = _assign_cells(src, cells, C, cnorm)
+    cents = F.broadcast(
+        vectors.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in C[i]]) for i in range(len(C))],
+            schema="cell long, cv array<double>",
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    return _ivf_search(assigned, q, cents, k, n_probe)
 
 
 def lsh_ann_topk(

@@ -48,6 +48,8 @@ ACCEPTED = {
     "(query batch is the constant side)",
     "sim_ivf": "vector x centroid assignment; centroid set is k rows, "
     "broadcast (k << corpus)",
+    "sim_ivf_kmeans": "query x trained-centroid probe; centroid set is k "
+    "rows, broadcast (k << corpus)",
     # the derived-partsupp builder attaches a 1-row supplier-count frame
     # (and q11 a 1-row threshold) via broadcast cross join
     "tpch_q2": "1-row supplier-count frame broadcast (derived partsupp)",

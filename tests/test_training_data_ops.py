@@ -3,6 +3,7 @@
 import math
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -424,3 +425,121 @@ def test_contamination_pairs_catches_planted_leak(spark, docs):
     assert planted.overlap_frac.iloc[0] == 1.0  # full leak
     assert (out.overlap_frac <= 1.0).all()
     assert (out.n_shared >= 3).all()
+
+
+def test_kmeans_fit_matches_driver_side_lloyd(spark, sf_dir):
+    """The distributed k-means must equal the same deterministic Lloyd's
+    run entirely in numpy on the collected corpus (init = first-k by id,
+    euclidean argmin with ties to the lowest cluster)."""
+    from gordo_spark.operators.similarity import kmeans_fit, kmeans_inertia
+    from gordo_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    k = 6
+    C = kmeans_fit(embs, k=k, max_iter=4)
+
+    rows = embs.orderBy("vec_id").select("vec_id", "embedding").collect()
+    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    ref = V[:k].copy()
+    for _ in range(4):
+        d2 = np.einsum("ij,ij->i", ref, ref)[None, :] - 2.0 * (V @ ref.T)
+        a = np.argmin(d2, axis=1)
+        new = ref.copy()
+        for c in range(k):
+            if (a == c).any():
+                new[c] = V[a == c].mean(axis=0)
+        if np.array_equal(
+            np.argmin(
+                np.einsum("ij,ij->i", new, new)[None, :] - 2.0 * (V @ new.T), axis=1
+            ),
+            a,
+        ):
+            ref = new
+            break
+        ref = new
+    assert C.shape == (k, V.shape[1])
+    np.testing.assert_allclose(C, ref, rtol=1e-9, atol=1e-9)
+
+    # a trained quantizer is strictly better than its init
+    init_inertia = kmeans_inertia(embs, V[:k])
+    assert kmeans_inertia(embs, C) <= init_inertia
+
+
+def test_ivf_topk_trained_quantizer(spark, sf_dir):
+    """Trained-quantizer IVF: same output contract as ivf_topk, exact
+    cosine on everything it returns, and probing all cells with a perfect
+    quantizer == brute force."""
+    from gordo_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_trained,
+        kmeans_fit,
+    )
+    from gordo_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 4)
+    C = kmeans_fit(embs, k=6, max_iter=3)
+    out = ivf_topk_trained(embs, queries, C, k=5, n_probe=2).toPandas()
+    assert list(out.columns) == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    assert set(out.groupby("query_id")["rank"].apply(list).map(tuple)) == {
+        (1, 2, 3, 4, 5)
+    }
+    # returned sims are the exact cosine (verify against collected vectors)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embs.select("vec_id", "embedding").collect()
+    }
+    for r in out.itertuples():
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(exact - r.cosine_sim) < 1e-9
+
+    # n_probe = n_cells recovers the exact brute-force answer
+    full = (
+        ivf_topk_trained(embs, queries, C, k=5, n_probe=6)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exact = (
+        cosine_topk(embs, queries, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, exact, check_exact=False, rtol=1e-9)
+
+
+def test_keep_survivors_end_to_end(spark, sf_dir):
+    """pairs -> components -> survivors: every duplicated text keeps
+    exactly its min-id copy; docs outside any pair survive untouched."""
+    from gordo_spark.operators.dedup import (
+        connected_components,
+        keep_survivors,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from gordo_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    dup = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    sigs = minhash_signatures(dup, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    comps = connected_components(pairs)
+    kept = keep_survivors(dup, comps)
+
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    pair_rows = pairs.select("id_a", "id_b").collect()
+    in_pairs = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
+    all_ids = {r["doc_id"] for r in dup.select("doc_id").collect()}
+    # every clone pair (i, i+100000) that LSH caught keeps only the min id
+    for r in pair_rows:
+        lo, hi = min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])
+        assert hi not in kept_ids or hi in {c for c in (lo,)}  # hi dropped
+        assert lo in kept_ids or lo in in_pairs  # lo survives unless chained lower
+    # untouched docs all survive
+    assert (all_ids - in_pairs) <= kept_ids
+    # survivors = all - non-representative component members
+    comp_rows = comps.collect()
+    losers = {r["id"] for r in comp_rows if r["id"] != r["component"]}
+    assert kept_ids == all_ids - losers
