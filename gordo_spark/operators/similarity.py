@@ -226,15 +226,30 @@ def ivf_write(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> None:
     """Materialize the IVF index: corpus written PARTITIONED BY cell (so a
     probe is a partition-pruned scan of n_probe/n_cells of the data — the
     100 TB read path ``ivf_topk``'s docstring promises), centroids stored
     alongside for the probe side.
 
+    ``centroids`` (e.g. ``kmeans_fit``'s k x d matrix) replaces the
+    deterministic first-k quantizer when given; cells are then 0..k-1.
     Layout: ``<path>/index/cell=<c>/...`` + ``<path>/centroids/``.
     """
-    cells, C, cnorm = _first_centroids(vectors, n_cells, id_col, vec_col)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        cells = np.arange(len(C), dtype=np.int64)
+        cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
+        cent_df = vectors.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in C[i]]) for i in range(len(C))],
+            schema="cell long, cv array<double>",
+        )
+    else:
+        cells, C, cnorm = _first_centroids(vectors, n_cells, id_col, vec_col)
+        cent_df = vectors.orderBy(id_col).limit(n_cells).select(
+            F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
+        )
     src = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
     )
@@ -244,9 +259,7 @@ def ivf_write(
         .partitionBy("cell")
         .parquet(f"{path}/index")
     )
-    vectors.orderBy(id_col).limit(n_cells).select(
-        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_probe(

@@ -543,3 +543,34 @@ def test_keep_survivors_end_to_end(spark, sf_dir):
     comp_rows = comps.collect()
     losers = {r["id"] for r in comp_rows if r["id"] != r["component"]}
     assert kept_ids == all_ids - losers
+
+
+def test_ivf_write_trained_centroids_probe_parity(spark, sf_dir, tmp_path):
+    """Materialized IVF with a trained quantizer: probe over the written
+    index returns exactly what the in-memory trained search returns."""
+    from gordo_spark.operators.similarity import (
+        ivf_probe,
+        ivf_topk_trained,
+        ivf_write,
+        kmeans_fit,
+    )
+    from gordo_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 4)
+    C = kmeans_fit(embs, k=6, max_iter=3)
+    idx = f"{tmp_path}/ivf_km"
+    ivf_write(embs, idx, centroids=C)
+    got = (
+        ivf_probe(spark, idx, queries, k=5, n_probe=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        ivf_topk_trained(embs, queries, C, k=5, n_probe=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_exact=False, rtol=1e-9)
