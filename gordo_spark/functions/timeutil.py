@@ -34,3 +34,17 @@ def offset_alias_to_interval(alias: str) -> str:
     if secs != int(secs):
         raise ValueError(f"sub-second resolution {alias!r} unsupported")
     return f"INTERVAL {int(secs)} SECOND"
+
+
+def epoch_seconds(col):
+    """Timestamp column -> epoch seconds as double, NTZ-safe.
+
+    ``cast("double")`` is illegal on TIMESTAMP_NTZ in Spark 4; routing
+    through ``cast("timestamp")`` first (a no-op for LTZ columns, a
+    session-zone conversion for NTZ — sessions here pin UTC) makes the
+    conversion valid for TIMESTAMP, TIMESTAMP_NTZ and DATE alike.
+    """
+    from pyspark.sql import Column, functions as F
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.cast("timestamp").cast("double")

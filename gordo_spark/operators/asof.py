@@ -19,6 +19,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from gordo_spark.functions.timeutil import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -80,8 +82,8 @@ def asof_join(
     out = filled.filter(F.col("_is_left") == 1).drop("_is_left")
     if tolerance_seconds is not None:
         in_window = (
-            F.col(ts_col).cast("double")
-            - F.col(f"{ts_col}{suffix}").cast("double")
+            epoch_seconds(ts_col)
+            - epoch_seconds(f"{ts_col}{suffix}")
         ) <= F.lit(float(tolerance_seconds))
         out = out.select(
             *keys,

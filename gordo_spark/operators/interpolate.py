@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from gordo_spark.functions.timeutil import offset_alias_to_seconds
+from gordo_spark.functions.timeutil import epoch_seconds, offset_alias_to_seconds
 
 
 def regularize_grid(
@@ -91,8 +91,8 @@ def interpolate(
         next_t = F.first(F.when(v.isNotNull(), F.col(ts_col)), ignorenulls=True).over(
             w.rowsBetween(1, Window.unboundedFollowing)
         )
-        gap = next_t.cast("double") - prev_t.cast("double")
-        frac = (F.col(ts_col).cast("double") - prev_t.cast("double")) / gap
+        gap = epoch_seconds(next_t) - epoch_seconds(prev_t)
+        frac = (epoch_seconds(ts_col) - epoch_seconds(prev_t)) / gap
         interp = prev_v + (next_v - prev_v) * frac
         ok = prev_v.isNotNull() & next_v.isNotNull()
         if limit_rows is not None:

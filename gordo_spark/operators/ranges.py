@@ -21,6 +21,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from gordo_spark.functions.timeutil import epoch_seconds
+
 
 def interval_join(
     points: DataFrame,
@@ -40,12 +42,12 @@ def interval_join(
         "_bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("double") / b),
-                F.floor(F.col(end_col).cast("double") / b),
+                F.floor(epoch_seconds(start_col) / b),
+                F.floor(epoch_seconds(end_col) / b),
             )
         ),
     )
-    pts = points.withColumn("_bin", F.floor(F.col(point_ts).cast("double") / b))
+    pts = points.withColumn("_bin", F.floor(epoch_seconds(point_ts) / b))
     cond = (
         (F.col(point_ts) >= F.col(start_col))
         & (F.col(point_ts) < F.col(end_col))
@@ -71,7 +73,7 @@ def sessionize(
     is_new = (
         F.when(prev.isNull(), 0)
         .when(
-            F.col(ts_col).cast("double") - prev.cast("double") > gap_seconds, 1
+            epoch_seconds(ts_col) - epoch_seconds(prev) > gap_seconds, 1
         )
         .otherwise(0)
     )
@@ -95,7 +97,7 @@ def session_stats(
     return s.groupBy(*keys, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (
-            F.max(F.col(ts_col)).cast("double")
-            - F.min(F.col(ts_col)).cast("double")
+            epoch_seconds(F.max(F.col(ts_col)))
+            - epoch_seconds(F.min(F.col(ts_col)))
         ).alias("duration_s"),
     )

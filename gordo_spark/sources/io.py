@@ -1,18 +1,26 @@
 """Table IO helpers.
 
 ``read_table`` is the single entry point for reading the lake's parquet
-tables. It transparently handles TIMESTAMP(NANOS) parquet columns, which
-Spark cannot read natively (PARQUET_TYPE_ILLEGAL): with
-``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as epoch-nanos
-long, and we cast it back to a microsecond timestamp (truncation — the same
-thing DuckDB's µs-precision TIMESTAMP does to ns parquet, so oracle
-comparisons agree).
+tables. It transparently normalizes the two non-standard timestamp
+encodings the lake has shipped with:
+
+- TIMESTAMP(NANOS) parquet columns, which Spark cannot read natively
+  (PARQUET_TYPE_ILLEGAL): with ``spark.sql.legacy.parquet.nanosAsLong``
+  the column arrives as epoch-nanos long, and we cast it back to a
+  microsecond timestamp (truncation — the same thing DuckDB's µs-precision
+  TIMESTAMP does to ns parquet, so oracle comparisons agree).
+- TIMESTAMP_NTZ (µs parquet timestamps without isAdjustedToUTC), which
+  Spark 4 infers as TimestampNTZType. NTZ cannot be cast to double and
+  surfaces a different result schema than round-1 data did, so we cast it
+  to the session-zone TIMESTAMP (sessions here pin UTC, so wall-clock
+  values are preserved exactly — the same naive-as-UTC reading DuckDB
+  applies).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 # column names that are timestamps in the lake schemas; if one of these
 # arrives as LongType it was a TIMESTAMP(NANOS) parquet column.
@@ -52,6 +60,22 @@ def read_table(
                 f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
             )
             ts_range = None if f.name == ts_col else ts_range
+        elif f.name in _TS_COLUMNS and isinstance(f.dataType, TimestampNTZType):
+            if ts_range is not None and f.name == ts_col:
+                # compare in NTZ space so the predicate stays a plain
+                # column-vs-literal comparison and reaches the parquet scan
+                # (casting the column first would block pushdown)
+                start, end = ts_range
+                if start is not None:
+                    df = df.filter(
+                        F.col(f.name) >= F.lit(start).cast("timestamp_ntz")
+                    )
+                if end is not None:
+                    df = df.filter(
+                        F.col(f.name) < F.lit(end).cast("timestamp_ntz")
+                    )
+                ts_range = None
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     if ts_range is not None and ts_col in df.columns:
         start, end = ts_range
         if start is not None:

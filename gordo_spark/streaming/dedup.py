@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from gordo_spark.functions.timeutil import epoch_seconds
+
 from gordo_spark.operators.dedup import md5_long
 
 
@@ -69,8 +71,8 @@ def sessionize_stream(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (
-                F.max(F.col(ts_col)).cast("double")
-                - F.min(F.col(ts_col)).cast("double")
+                epoch_seconds(F.max(F.col(ts_col)))
+                - epoch_seconds(F.min(F.col(ts_col)))
             ).alias("duration_s"),
         )
         .select(
