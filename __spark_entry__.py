@@ -2795,6 +2795,123 @@ GROUP BY 1, 2
 """
 
 
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency, top-50 by (tf desc, term asc) —
+    the vocab-training first pass (operators/text.term_stats). One
+    shuffle with map-side combine; the cut is a deterministic total
+    order."""
+    from gordo_spark.operators.text import term_stats
+
+    return term_stats(read_table(spark, sf_dir, "documents"), top_k=50)
+
+
+O_TERM_STATS = """
+SELECT term, tf, n_docs FROM (
+  SELECT token AS term, count(*) AS tf, count(DISTINCT doc_id) AS n_docs
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+)
+ORDER BY tf DESC, term ASC
+LIMIT 50
+"""
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping word-window chunking (operators/text.chunk_text):
+    64-token windows advancing by 48. Shuffle-free — scan -> explode ->
+    project, embarrassingly parallel per document."""
+    from gordo_spark.operators.text import chunk_text
+
+    return chunk_text(
+        read_table(spark, sf_dir, "documents"), chunk_words=64, stride_words=48
+    )
+
+
+O_CHUNK_OVERLAP = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM t
+)
+SELECT doc_id,
+       start // 48 AS chunk_id,
+       len(toks[start + 1 : least(start + 64, len(toks))]) AS n_tokens,
+       array_to_string(toks[start + 1 : least(start + 64, len(toks))], ' ') AS chunk
+FROM s
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.pii_scrub) over documents with
+    synthetic PII injected deterministically from doc_id (the corpus
+    itself is clean, so the injection makes every row exercise all three
+    patterns). regexp_replace/regexp_count are codegen JVM expressions;
+    patterns are RE2-compatible so the oracle replaces identical spans."""
+    from gordo_spark.operators.text import pii_scrub
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or 555-0147 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+    return pii_scrub(injected)
+
+
+O_PII_SCRUB = """
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org or 555-0147 at 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{3}[- ]\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\\b\\d{3}[- ]\\d{4}\\b')) AS n_phone,
+       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4
+FROM injected
+"""
+
+
+def q_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level curation (operators/text.source_quality_filter): keep
+    docs whose source's mean lexical diversity >= the corpus mean. Two
+    small broadcast joins back onto the doc stream — no doc-table
+    shuffle."""
+    from gordo_spark.operators.text import source_quality_filter
+
+    return source_quality_filter(read_table(spark, sf_dir, "documents"))
+
+
+O_SOURCE_QUALITY_FILTER = """
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS div
+  FROM documents
+),
+s AS (SELECT source, avg(div) AS src_div FROM d GROUP BY source),
+c AS (SELECT avg(div) AS corpus_div FROM d)
+SELECT d.doc_id, d.source, ROUND(s.src_div, 6) AS src_div
+FROM d JOIN s USING (source), c
+WHERE s.src_div >= c.corpus_div
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (operators/dedup.contamination_pairs):
     every 50th doc plays the benchmark; corpus docs sharing >= 3 distinct
@@ -3491,6 +3608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": q_text_tokens_bpe,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
+        "term_stats": q_term_stats,
+        "chunk_overlap": q_chunk_overlap,
+        "pii_scrub": q_pii_scrub,
+        "source_quality_filter": q_source_quality_filter,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
         "sim_bruteforce": q_sim_bruteforce,
@@ -3583,6 +3704,10 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_bpe": O_TEXT_BPE,
         "text_quality": O_TEXT_QUALITY,
         "text_repetition": O_TEXT_REPETITION,
+        "term_stats": O_TERM_STATS,
+        "chunk_overlap": O_CHUNK_OVERLAP,
+        "pii_scrub": O_PII_SCRUB,
+        "source_quality_filter": O_SOURCE_QUALITY_FILTER,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,
         "sim_bruteforce": O_SIM_BRUTE,

@@ -62,6 +62,9 @@ HEADLINE = [
     "dedup_simhash",
     "text_stats",
     "text_quality",
+    "term_stats",
+    "chunk_overlap",
+    "pii_scrub",
     "sim_bruteforce",
     "sim_ivf",
     "mm_metadata",

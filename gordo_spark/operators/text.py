@@ -5,6 +5,10 @@
 - lang_id          — stopword-fraction n-gram-free heuristic language ID
 - fingerprint      — polynomial rolling hash of the leading tokens
 - repetition_stats — Gopher-style top/duplicate n-gram repetition filters
+- term_stats       — corpus term/document frequency top-k (vocab pass)
+- chunk_text       — RAG-style overlapping word-window chunking
+- pii_scrub        — email/phone/IPv4 redaction with match counts
+- source_quality_filter — source-level curation vs the corpus mean
 
 All pure column algebra (split/transform/aggregate) — whole-stage codegen,
 no UDFs, engine-portable (DuckDB oracle matches bit-for-bit).
@@ -188,3 +192,133 @@ def fingerprint(
         hashed, F.lit(0).cast("long"), lambda acc, h: (acc * 31 + h) % F.lit(FP_P)
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def term_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-level term statistics: term frequency (total occurrences)
+    and document frequency (docs containing the term) for the ``top_k``
+    most frequent terms — the first pass of any tokenizer/vocab training
+    run over a corpus.
+
+    Scale shape: explode -> groupBy(term) is ONE shuffle with map-side
+    partial aggregation (counts combine before the exchange); the top-k
+    cut is a TakeOrdered on the already-tiny term table. The total order
+    (tf desc, term asc) is deterministic, so the cut is reproducible on
+    any engine.
+    """
+    toks = tokens(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    stats = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+    )
+    return stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(top_k)
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 64,
+    stride_words: int = 48,
+) -> DataFrame:
+    """RAG-style overlapping chunking: split each document into word
+    windows of ``chunk_words`` tokens advancing by ``stride_words``
+    (overlap = chunk - stride). Emits (id, chunk_id, n_tokens, chunk).
+
+    Pure JVM array algebra — split once, explode the start offsets, slice
+    per offset; no Python in the path and no shuffle at all (chunking is
+    embarrassingly parallel per document, so the plan is scan -> project
+    -> explode -> project).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(int(stride_words)))
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(starts).alias("_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_words)
+    return out.select(
+        F.col(id_col),
+        (F.col("_start") / stride_words).cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk"),
+    )
+
+
+# RE2- and java.util.regex-compatible (no lookarounds, no backrefs), so the
+# Spark path and a DuckDB/RE2 oracle replace the exact same spans.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[- ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails, phone-shaped numbers, and IPv4 literals, replacing
+    each with a typed token (``<EMAIL>``/``<PHONE>``/``<IP>``); also
+    reports per-document match counts (pre-scrub).
+
+    regexp_replace/regexp_count are JVM-side whole-stage-codegen
+    expressions; the patterns are RE2-compatible so an external oracle
+    applies the identical spans. Order matters: the email pattern runs
+    before ipv4 (a dotted host would otherwise leave a redacted-email
+    remnant matching the ip pattern) — counts are all taken on the
+    original text.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(p)).alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    scrubbed = t
+    for name, p in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(
+            scrubbed, p, {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}[name]
+        )
+    return df.select(F.col(id_col), scrubbed.alias("text"), *counts)
+
+
+def source_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep documents whose SOURCE's mean lexical diversity (distinct
+    tokens / tokens) is at least the corpus mean — curation at the
+    source/domain level rather than per document, the way web-scale
+    pipelines cut whole low-quality domains.
+
+    Two-pass broadcast shape: per-source means are one small aggregate
+    (|sources| rows) broadcast back onto the doc stream; the corpus mean
+    is a scalar cross-joined in. No large-table shuffle touches the
+    documents themselves.
+    """
+    toks = tokens(F.col(text_col))
+    diversity = (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    ).alias("_div")
+    docs = df.select(F.col(id_col), F.col(source_col), diversity)
+    per_source = docs.groupBy(source_col).agg(F.avg("_div").alias("src_div"))
+    corpus = docs.agg(F.avg("_div").alias("corpus_div"))
+    kept = (
+        docs.join(F.broadcast(per_source), source_col)
+        .crossJoin(F.broadcast(corpus))
+        .filter(F.col("src_div") >= F.col("corpus_div"))
+    )
+    return kept.select(
+        F.col(id_col), F.col(source_col), F.round("src_div", 6).alias("src_div")
+    )

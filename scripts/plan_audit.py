@@ -37,6 +37,7 @@ RED = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 # construction (a 1-row scalar or a fixed tiny set), which Spark can only
 # plan as BNLJ — accepted, with the reason recorded in PLANS.md.
 ACCEPTED = {
+    "source_quality_filter": "1-row corpus-mean frame broadcast to doc stream",
     "tpch_q22": "1-row scalar subquery (avg-acctbal threshold) broadcast",
     "m2_ols_predict": "1-row OLS coefficient frame broadcast to scored rows",
     "m3_cv_splits": "1-row total-count frame broadcast to n_splits rows",

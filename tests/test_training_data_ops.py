@@ -574,3 +574,75 @@ def test_ivf_write_trained_centroids_probe_parity(spark, sf_dir, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_exact=False, rtol=1e-9)
+
+
+def test_term_stats_counts_and_cut(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a b a", "b c", "a  c"],  # double space -> empty token dropped
+            }
+        )
+    )
+    from gordo_spark.operators.text import term_stats
+
+    out = {r["term"]: (r["tf"], r["n_docs"]) for r in term_stats(df, top_k=10).collect()}
+    assert out == {"a": (3, 2), "b": (2, 2), "c": (2, 2)}
+    # deterministic cut: top-2 by (tf desc, term asc) is exactly {a, b}
+    top2 = [r["term"] for r in term_stats(df, top_k=2).collect()]
+    assert top2 == ["a", "b"]
+
+
+def test_chunk_text_overlap_and_tail(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [" ".join(words)]}))
+    from gordo_spark.operators.text import chunk_text
+
+    rows = sorted(
+        chunk_text(df, chunk_words=4, stride_words=3).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts 0,3,6,9 -> chunks [0:4],[3:7],[6:10],[9:10]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+    assert rows[1]["chunk"] == "w3 w4 w5 w6"
+    assert rows[3]["chunk"] == "w9"
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "mail bob.smith+x@corp.example.com call 555-0147 host 10.0.0.7 end",
+                    "nothing sensitive here",
+                ],
+            }
+        )
+    )
+    from gordo_spark.operators.text import pii_scrub
+
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[0]["text"] == "mail <EMAIL> call <PHONE> host <IP> end"
+    assert (rows[0]["n_email"], rows[0]["n_phone"], rows[0]["n_ipv4"]) == (1, 1, 1)
+    assert rows[1]["text"] == "nothing sensitive here"
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_source_quality_filter_keeps_diverse_sources(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "source": ["hi", "hi", "lo", "lo"],
+                # hi-source: all-distinct tokens (div 1.0); lo: one word repeated
+                "text": ["a b c d", "e f g h", "x x x x", "y y y y"],
+            }
+        )
+    )
+    from gordo_spark.operators.text import source_quality_filter
+
+    out = source_quality_filter(df).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1]
+    assert all(r["source"] == "hi" and r["src_div"] == 1.0 for r in out)
