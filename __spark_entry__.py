@@ -2912,6 +2912,65 @@ WHERE s.src_div >= c.corpus_div
 """
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality proxy
+    (operators/text.unigram_logprob_score): per-doc mean negative log-prob
+    under the corpus's own unigram distribution. Two-pass: tiny term table
+    broadcast back onto the exploded token stream."""
+    from gordo_spark.operators.text import unigram_logprob_score
+
+    return unigram_logprob_score(read_table(spark, sf_dir, "documents"))
+
+
+O_LM_QUALITY = """
+WITH t AS (
+  SELECT doc_id, token AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+counts AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+total AS (SELECT sum(tf) AS total FROM counts),
+logp AS (SELECT term, ln(tf * 1.0 / total) AS logp FROM counts, total)
+SELECT doc_id, ROUND(-avg(logp), 6) AS mean_nll
+FROM t JOIN logp USING (term)
+GROUP BY doc_id
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf-idf (operators/text.tfidf_topk):
+    broadcast document-frequency table, row_number window PARTITIONED by
+    doc. Rank order uses the rounded score so ties resolve identically
+    on any engine."""
+    from gordo_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(read_table(spark, sf_dir, "documents"), k=3)
+
+
+O_TFIDF_TOPK = """
+WITH t AS (
+  SELECT doc_id, token AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+docfreq AS (SELECT term, count(DISTINCT doc_id) AS n_docs FROM t GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(n.n * 1.0 / docfreq.n_docs), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (operators/dedup.contamination_pairs):
     every 50th doc plays the benchmark; corpus docs sharing >= 3 distinct
@@ -3612,6 +3671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap": q_chunk_overlap,
         "pii_scrub": q_pii_scrub,
         "source_quality_filter": q_source_quality_filter,
+        "lm_quality": q_lm_quality,
+        "tfidf_topk": q_tfidf_topk,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
         "sim_bruteforce": q_sim_bruteforce,
@@ -3708,6 +3769,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_overlap": O_CHUNK_OVERLAP,
         "pii_scrub": O_PII_SCRUB,
         "source_quality_filter": O_SOURCE_QUALITY_FILTER,
+        "lm_quality": O_LM_QUALITY,
+        "tfidf_topk": O_TFIDF_TOPK,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,
         "sim_bruteforce": O_SIM_BRUTE,

@@ -65,6 +65,8 @@ HEADLINE = [
     "term_stats",
     "chunk_overlap",
     "pii_scrub",
+    "lm_quality",
+    "tfidf_topk",
     "sim_bruteforce",
     "sim_ivf",
     "mm_metadata",

@@ -9,6 +9,8 @@
 - chunk_text       — RAG-style overlapping word-window chunking
 - pii_scrub        — email/phone/IPv4 redaction with match counts
 - source_quality_filter — source-level curation vs the corpus mean
+- unigram_logprob_score — CCNet-style unigram-LM quality proxy
+- tfidf_topk       — per-doc top-k terms by tf-idf
 
 All pure column algebra (split/transform/aggregate) — whole-stage codegen,
 no UDFs, engine-portable (DuckDB oracle matches bit-for-bit).
@@ -321,4 +323,83 @@ def source_quality_filter(
     )
     return kept.select(
         F.col(id_col), F.col(source_col), F.round("src_div", 6).alias("src_div")
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean
+    negative log-probability under the corpus's own unigram distribution
+    (low = typical text, high = out-of-distribution / junk).
+
+    Two-pass shape: pass 1 aggregates corpus term counts (explode ->
+    groupBy, map-side combine; the term table is vocabulary-sized, tiny
+    relative to the corpus); pass 2 broadcast-joins log-probs onto the
+    exploded token stream and averages per document. At 100 TB the only
+    large shuffle is the per-doc re-aggregation, keyed by the id the scan
+    already carries.
+    """
+    toks = tokens(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = counts.agg(F.sum("tf").alias("total"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "term", F.log(F.col("tf") / F.col("total")).alias("logp")
+    )
+    return (
+        exploded.join(F.broadcast(logp), "term")
+        .groupBy(id_col)
+        .agg(F.round(-F.avg("logp"), 6).alias("mean_nll"))
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf (tf * ln(N / df)) with a
+    deterministic (score desc, term asc) tie-break — the classic
+    keyword-extraction pass.
+
+    The document-frequency table is vocabulary-sized and broadcast; the
+    top-k cut is a row_number window PARTITIONED by document, so no
+    global window and no skew beyond a single document's vocabulary.
+    """
+    toks = tokens(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = exploded.groupBy("term").agg(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    n_total = df.select(F.countDistinct(F.col(id_col)).alias("n")).crossJoin(
+        F.broadcast(docfreq)
+    )
+    # rank on the ROUNDED score: mathematically-equal scores (2*ln2 vs
+    # ln4) can differ in the last ulp across engines, which would swap
+    # ranks at a tie; rounding first makes the order engine-portable,
+    # then term asc breaks the (now genuine) ties deterministically
+    scored = tf.join(F.broadcast(n_total), "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * F.log(F.col("n") / F.col("n_docs")), 6).alias(
+            "tfidf"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(id_col), "term", "tfidf", "rank")
     )

@@ -38,6 +38,8 @@ RED = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 # plan as BNLJ — accepted, with the reason recorded in PLANS.md.
 ACCEPTED = {
     "source_quality_filter": "1-row corpus-mean frame broadcast to doc stream",
+    "lm_quality": "1-row corpus-token-total frame broadcast to the vocab table",
+    "tfidf_topk": "1-row corpus-doc-count frame broadcast to the vocab table",
     "tpch_q22": "1-row scalar subquery (avg-acctbal threshold) broadcast",
     "m2_ols_predict": "1-row OLS coefficient frame broadcast to scored rows",
     "m3_cv_splits": "1-row total-count frame broadcast to n_splits rows",

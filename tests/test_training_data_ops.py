@@ -646,3 +646,40 @@ def test_source_quality_filter_keeps_diverse_sources(spark):
     out = source_quality_filter(df).collect()
     assert sorted(r["doc_id"] for r in out) == [0, 1]
     assert all(r["source"] == "hi" and r["src_div"] == 1.0 for r in out)
+
+
+def test_unigram_logprob_score(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a a a", "a b"]})
+    )
+    from gordo_spark.operators.text import unigram_logprob_score
+
+    out = {r["doc_id"]: r["mean_nll"] for r in unigram_logprob_score(df).collect()}
+    # corpus: a x4, b x1 -> p(a)=0.8, p(b)=0.2
+    assert out[0] == pytest.approx(-math.log(0.8), abs=1e-6)
+    assert out[1] == pytest.approx(-(math.log(0.8) + math.log(0.2)) / 2, abs=1e-6)
+
+
+def test_tfidf_topk_scores_and_rank(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["rare common common", "common common common"],
+            }
+        )
+    )
+    from gordo_spark.operators.text import tfidf_topk
+
+    rows = [
+        (r["doc_id"], r["term"], r["tfidf"], r["rank"])
+        for r in tfidf_topk(df, k=2).collect()
+    ]
+    # 'common' in both docs -> idf = ln(2/2) = 0; 'rare' only in doc 0
+    by_doc = {}
+    for d, t, s, rk in rows:
+        by_doc.setdefault(d, []).append((rk, t, s))
+    doc0 = sorted(by_doc[0])
+    assert doc0[0][1] == "rare" and doc0[0][2] == pytest.approx(math.log(2), abs=1e-6)
+    assert doc0[1][1] == "common" and doc0[1][2] == 0.0
+    assert by_doc[1] == [(1, "common", 0.0)]
