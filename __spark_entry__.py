@@ -2971,6 +2971,29 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0-based export ids in (n_chars, doc_id) order — the
+    DataFrame-native zipWithIndex (operators/sampling.with_global_ids):
+    range shuffle + per-partition row_number + broadcast prefix offsets;
+    no global single-partition sort anywhere in the plan."""
+    from gordo_spark.operators.sampling import with_global_ids
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        # unique composite sort key (doc_id disambiguates equal lengths)
+        (F.col("n_chars") * 1_000_000 + F.col("doc_id")).alias("_key"),
+    )
+    return with_global_ids(docs, "_key").select("doc_id", "n_chars", "global_id")
+
+
+O_GLOBAL_IDS = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS global_id
+FROM documents
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (operators/dedup.contamination_pairs):
     every 50th doc plays the benchmark; corpus docs sharing >= 3 distinct
@@ -3673,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_filter": q_source_quality_filter,
         "lm_quality": q_lm_quality,
         "tfidf_topk": q_tfidf_topk,
+        "global_ids": q_global_ids,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
         "sim_bruteforce": q_sim_bruteforce,
@@ -3771,6 +3795,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_filter": O_SOURCE_QUALITY_FILTER,
         "lm_quality": O_LM_QUALITY,
         "tfidf_topk": O_TFIDF_TOPK,
+        "global_ids": O_GLOBAL_IDS,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,
         "sim_bruteforce": O_SIM_BRUTE,

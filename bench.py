@@ -67,6 +67,7 @@ HEADLINE = [
     "pii_scrub",
     "lm_quality",
     "tfidf_topk",
+    "global_ids",
     "sim_bruteforce",
     "sim_ivf",
     "mm_metadata",

@@ -88,3 +88,47 @@ def train_shuffle(
         .sortWithinPartitions("_shuffle_key")
         .drop("_shuffle_key")
     )
+
+
+def with_global_ids(
+    df: DataFrame,
+    order_col: str,
+    id_col: str = "global_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Assign contiguous 0-based global ids in ``order_col`` order — the
+    DataFrame-native zipWithIndex a training-corpus export needs (example
+    indices, shard manifests), WITHOUT a global single-partition sort.
+
+    Scale shape: range-partition on the order column (ranges are
+    non-overlapping and partition index follows range order), take a
+    per-partition local row_number, then add each partition's prefix
+    offset. The offsets frame has exactly one row per partition — its
+    unpartitioned running-sum window is over a bounded, partition-count-
+    sized frame, never the data. Net cost: ONE range shuffle of the data
+    plus a broadcast of the tiny offset table.
+
+    ``order_col`` must be unique per row (equal values that straddle a
+    range boundary would get arbitrary relative order).
+    """
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import Window
+
+    rp = df.repartitionByRange(parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(order_col)
+    local = rp.withColumn("_lid", F.row_number().over(w_local) - 1)
+    # one row per partition; the running sum runs over <= `parts` rows
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_col, (F.col("_off") + F.col("_lid")).cast("long"))
+        .drop("_pid", "_lid", "_off")
+    )

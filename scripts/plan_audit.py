@@ -81,6 +81,9 @@ SINGLE_SERIES_OK = {
     "m4_kfold_threshold",
     "m6_anomaly",
     "m6_anomaly_scaled",
+    # the running-sum window is over the one-row-per-PARTITION offsets
+    # frame (bounded by partition count), never the data itself
+    "global_ids",
 }
 
 

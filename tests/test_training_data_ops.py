@@ -683,3 +683,15 @@ def test_tfidf_topk_scores_and_rank(spark):
     assert doc0[0][1] == "rare" and doc0[0][2] == pytest.approx(math.log(2), abs=1e-6)
     assert doc0[1][1] == "common" and doc0[1][2] == 0.0
     assert by_doc[1] == [(1, "common", 0.0)]
+
+
+def test_with_global_ids_contiguous_and_partition_invariant(spark):
+    from gordo_spark.operators.sampling import with_global_ids
+
+    pdf = pd.DataFrame({"k": np.random.RandomState(7).permutation(1000)})
+    df = spark.createDataFrame(pdf).repartition(13)  # scrambled input layout
+    for parts in (1, 4, 32):
+        out = with_global_ids(df, "k", partitions=parts).toPandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        # id equals rank in k-order regardless of partitioning
+        assert (out["global_id"].to_numpy() == np.arange(1000)).all()
