@@ -2971,6 +2971,69 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup matrix (operators/dedup.source_overlap):
+    verified Jaccard>=0.8 pairs over documents plus a 'mirror' copy of
+    every doc (a planted cross-source contamination), endpoints joined to
+    sources, counted per canonicalized source pair."""
+    from gordo_spark.operators.dedup import shingle_jaccard_pairs, source_overlap
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+            "source", F.lit("mirror")
+        )
+    )
+    pairs = shingle_jaccard_pairs(corpus, threshold=0.8)
+    return source_overlap(pairs, corpus)
+
+
+O_SOURCE_OVERLAP = """
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, 'mirror' AS source, n_chars
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+         )) AS shingle
+  FROM corpus
+),
+hashed AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh
+  FROM shingled
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+  FROM hashed l JOIN hashed r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+),
+srcd AS (
+  SELECT p.id_a, p.id_b, ca.source AS src_a, cb.source AS src_b
+  FROM pairs p
+  JOIN corpus ca ON ca.doc_id = p.id_a
+  JOIN corpus cb ON cb.doc_id = p.id_b
+)
+SELECT least(src_a, src_b) AS source_a,
+       greatest(src_a, src_b) AS source_b,
+       count(*) AS n_pairs
+FROM srcd
+GROUP BY 1, 2
+"""
+
+
 def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous 0-based export ids in (n_chars, doc_id) order — the
     DataFrame-native zipWithIndex (operators/sampling.with_global_ids):
@@ -3696,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_filter": q_source_quality_filter,
         "lm_quality": q_lm_quality,
         "tfidf_topk": q_tfidf_topk,
+        "source_overlap": q_source_overlap,
         "global_ids": q_global_ids,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
@@ -3795,6 +3859,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_filter": O_SOURCE_QUALITY_FILTER,
         "lm_quality": O_LM_QUALITY,
         "tfidf_topk": O_TFIDF_TOPK,
+        "source_overlap": O_SOURCE_OVERLAP,
         "global_ids": O_GLOBAL_IDS,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,

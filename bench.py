@@ -68,6 +68,7 @@ HEADLINE = [
     "lm_quality",
     "tfidf_topk",
     "global_ids",
+    "source_overlap",
     "sim_bruteforce",
     "sim_ivf",
     "mm_metadata",

@@ -330,3 +330,38 @@ def keep_survivors(
         F.col("id").alias(id_col)
     )
     return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def source_overlap(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Near-duplicate counts BETWEEN sources — the dataset-health matrix
+    that tells a corpus curator which mixture components duplicate each
+    other (mirror sites, scrapes of the same origin, eval leakage between
+    shards).
+
+    ``pairs`` is any (id_a, id_b) near-dup pair frame (LSH candidates,
+    verified Jaccard pairs, embedding pairs); endpoints join to their
+    source via the (id -> source) projection — two equi-joins keyed by the
+    id (unskewed: ids are unique), then one count per canonicalized
+    (least, greatest) source pair so the matrix is upper-triangular.
+    """
+    dim = docs.select(F.col(id_col), F.col(source_col))
+    j = pairs.join(
+        dim.select(
+            F.col(id_col).alias("id_a"), F.col(source_col).alias("_src_a")
+        ),
+        "id_a",
+    ).join(
+        dim.select(
+            F.col(id_col).alias("id_b"), F.col(source_col).alias("_src_b")
+        ),
+        "id_b",
+    )
+    return j.groupBy(
+        F.least("_src_a", "_src_b").alias("source_a"),
+        F.greatest("_src_a", "_src_b").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

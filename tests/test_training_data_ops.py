@@ -695,3 +695,25 @@ def test_with_global_ids_contiguous_and_partition_invariant(spark):
         out = out.sort_values("k").reset_index(drop=True)
         # id equals rank in k-order regardless of partitioning
         assert (out["global_id"].to_numpy() == np.arange(1000)).all()
+
+
+def test_source_overlap_matrix(spark):
+    from gordo_spark.operators.dedup import source_overlap
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 2], "id_b": [10, 11, 3]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 10, 11],
+                "source": ["web", "web", "books", "web", "mirror", "mirror"],
+            }
+        )
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in source_overlap(pairs, docs).collect()
+    }
+    # canonicalized (least, greatest): (mirror,web) x2, (books,web) x1
+    assert out == {("mirror", "web"): 2, ("books", "web"): 1}
