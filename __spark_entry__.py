@@ -3034,6 +3034,30 @@ GROUP BY 1, 2
 """
 
 
+def q_sample_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N per-stratum eval-set take (operators/sampling.stratified_take):
+    5 docs per source ranked by (md5(id), id) — deterministic on every
+    run/partitioning/engine, one source-partitioned window."""
+    from gordo_spark.operators.sampling import stratified_take
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_take(docs, ["source"], 5).select("doc_id", "source")
+
+
+O_SAMPLE_TAKE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+"""
+
+
 def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous 0-based export ids in (n_chars, doc_id) order — the
     DataFrame-native zipWithIndex (operators/sampling.with_global_ids):
@@ -3760,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "tfidf_topk": q_tfidf_topk,
         "source_overlap": q_source_overlap,
+        "sample_take": q_sample_take,
         "global_ids": q_global_ids,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
@@ -3860,6 +3885,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality": O_LM_QUALITY,
         "tfidf_topk": O_TFIDF_TOPK,
         "source_overlap": O_SOURCE_OVERLAP,
+        "sample_take": O_SAMPLE_TAKE,
         "global_ids": O_GLOBAL_IDS,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,

@@ -132,3 +132,34 @@ def with_global_ids(
         .withColumn(id_col, (F.col("_off") + F.col("_lid")).cast("long"))
         .drop("_pid", "_lid", "_off")
     )
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-N per-stratum deterministic sample — the eval-set
+    construction primitive. Fraction-based sampling (``stratified_sample``)
+    gives each stratum a binomially-varying count; evaluation sets want
+    exactly ``min(n, |stratum|)`` rows per stratum, identical on every
+    run, partitioning, and engine.
+
+    Rows rank within their stratum by (md5(id), id) — a uniform,
+    reproducible order — and the first ``n`` survive. One window
+    PARTITIONED by the strata (parallel across strata, no global pass);
+    at 100 TB the only skew bound is the largest stratum, and the rank
+    early-outs after n rows per partition under the window's running
+    row_number.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        md5_long(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(n))
+        .drop("_rk")
+    )

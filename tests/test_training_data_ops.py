@@ -717,3 +717,19 @@ def test_source_overlap_matrix(spark):
     }
     # canonicalized (least, greatest): (mirror,web) x2, (books,web) x1
     assert out == {("mirror", "web"): 2, ("books", "web"): 1}
+
+
+def test_stratified_take_exact_counts_and_stability(spark):
+    from gordo_spark.operators.sampling import stratified_take
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(100), "source": ["a"] * 60 + ["b"] * 37 + ["c"] * 3}
+    )
+    df = spark.createDataFrame(pdf)
+    out = stratified_take(df, ["source"], 10).toPandas()
+    counts = out.groupby("source")["doc_id"].count().to_dict()
+    # exactly min(n, |stratum|) per stratum
+    assert counts == {"a": 10, "b": 10, "c": 3}
+    # deterministic: same selection under a different partitioning
+    out2 = stratified_take(df.repartition(17), ["source"], 10).toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
