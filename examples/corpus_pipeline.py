@@ -9,11 +9,12 @@ Stages (each is a contract-tested operator; see SURVEY.md §8):
  1. exact dedup        — collapse byte-identical documents
  2. near-dup removal   — MinHash -> LSH candidate pairs -> connected
                          components; keep one survivor per cluster
- 3. quality filter     — text_quality score >= threshold
- 4. language rebalance — stratified_sample per language
- 5. split              — deterministic train/val/test labels
- 6. export             — salted deterministic shuffle, written partitioned
-                         by split
+ 3. PII scrub          — email/phone/IPv4 redaction before anything ships
+ 4. quality filter     — text_quality score >= threshold
+ 5. language rebalance — stratified_sample per language
+ 6. split              — deterministic train/val/test labels
+ 7. export             — salted deterministic shuffle, contiguous global
+                         example ids, written partitioned by split
 
 Every stage is shuffle-on-key DataFrame algebra (no driver-side data), so
 the same script is the 100 TB job: only the paths and partition counts
@@ -38,8 +39,9 @@ from gordo_spark.operators.sampling import (
     deterministic_split,
     stratified_sample,
     train_shuffle,
+    with_global_ids,
 )
-from gordo_spark.operators.text import quality_score
+from gordo_spark.operators.text import pii_scrub, quality_score
 from gordo_spark.sources.io import read_table
 
 
@@ -59,20 +61,26 @@ def curate(spark, sf_dir: str, out_dir: str, num_partitions: int = 8):
     )
     docs = docs.join(losers, "doc_id", "left_anti")
 
-    # 3. quality gate (length/punctuation/stopword heuristics)
+    # 3. PII scrub: redact before anything leaves the pipeline
+    scrubbed = pii_scrub(docs).select("doc_id", "text")
+    docs = docs.drop("text").join(scrubbed, "doc_id")
+
+    # 4. quality gate (length/punctuation/stopword heuristics)
     scored = quality_score(docs)
     docs = docs.join(
         scored.filter(F.col("quality") >= 0.3).select("doc_id"), "doc_id", "left_semi"
     )
 
-    # 4. rebalance: cap dominant languages, keep the rest whole
+    # 5. rebalance: cap dominant languages, keep the rest whole
     fractions = {"en": 0.8, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
     docs = stratified_sample(docs, "doc_id", fractions, strata_col="lang")
 
-    # 5 + 6. split, shuffle deterministically, export partitioned by split
+    # 6 + 7. split, shuffle deterministically, stamp contiguous example
+    # ids (the shard-manifest key), export partitioned by split
     final = train_shuffle(
         deterministic_split(docs, "doc_id"), "doc_id", num_partitions
     )
+    final = with_global_ids(final, "doc_id", id_col="example_id")
     final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
     return final
 
