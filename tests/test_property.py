@@ -108,8 +108,12 @@ def test_interpolate_matches_pandas(spark, pdf, limit, method):
     assert len(got) == len(exp)
     mask = exp["value"].notna()
     assert (got["value"].notna() == mask).all()
+    # atol floor: interpolating between 0 and a tiny NORMAL double (e.g.
+    # DBL_MIN ~2.2e-308, which allow_subnormal=False still generates)
+    # yields a SUBNORMAL result, where Spark's and pandas' formulas round
+    # differently — absolute noise below 1e-300 is not a semantic mismatch
     np.testing.assert_allclose(
-        got.loc[mask, "value"], exp.loc[mask, "value"], rtol=1e-9
+        got.loc[mask, "value"], exp.loc[mask, "value"], rtol=1e-9, atol=1e-300
     )
 
 
