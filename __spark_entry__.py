@@ -2323,7 +2323,7 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_pairs_sql(corpus_sql: str | None = None) -> str:
     from gordo_spark.operators.dedup import MINHASH_P, _hash_params
 
     params = _hash_params(8)
@@ -2331,7 +2331,7 @@ def _lsh_pairs_sql() -> str:
         f"min(({a}*sh + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(params)
     )
     return f"""
-WITH corpus AS ({_O_DOCS_DUPS}),
+WITH corpus AS ({corpus_sql or _O_DOCS_DUPS}),
 shingled AS (
   SELECT doc_id,
          unnest(list_transform(
@@ -2972,11 +2972,18 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source near-dup matrix (operators/dedup.source_overlap):
-    verified Jaccard>=0.8 pairs over documents plus a 'mirror' copy of
+    """Cross-source near-dup matrix (operators/dedup.source_overlap) over
+    MinHash-LSH candidate pairs on documents plus a 'mirror' copy of
     every doc (a planted cross-source contamination), endpoints joined to
-    sources, counted per canonicalized source pair."""
-    from gordo_spark.operators.dedup import shingle_jaccard_pairs, source_overlap
+    sources, counted per canonicalized source pair. LSH candidates (not
+    exact all-shared-shingle Jaccard) are the 100 TB pair source: the
+    banded bucket join bounds candidate volume where the inverted-index
+    intersection count is quadratic in shingle popularity."""
+    from gordo_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        source_overlap,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     corpus = docs.unionByName(
@@ -2984,52 +2991,27 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.lit("mirror")
         )
     )
-    pairs = shingle_jaccard_pairs(corpus, threshold=0.8)
+    sigs = minhash_signatures(corpus, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
     return source_overlap(pairs, corpus)
 
 
-O_SOURCE_OVERLAP = """
-WITH corpus AS (
-  SELECT * FROM documents
-  UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text, lang, 'mirror' AS source, n_chars
-  FROM documents
-),
-shingled AS (
-  SELECT doc_id,
-         unnest(list_transform(
-           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
-           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
-         )) AS shingle
-  FROM corpus
-),
-hashed AS (
-  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh
-  FROM shingled
-),
-sizes AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY doc_id),
-inter AS (
-  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
-  FROM hashed l JOIN hashed r ON l.sh = r.sh AND l.doc_id < r.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
-),
-srcd AS (
-  SELECT p.id_a, p.id_b, ca.source AS src_a, cb.source AS src_b
-  FROM pairs p
-  JOIN corpus ca ON ca.doc_id = p.id_a
-  JOIN corpus cb ON cb.doc_id = p.id_b
-)
-SELECT least(src_a, src_b) AS source_a,
-       greatest(src_a, src_b) AS source_b,
+_O_DOCS_MIRROR = """
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text, lang, 'mirror' AS source, n_chars
+FROM documents
+"""
+
+O_SOURCE_OVERLAP = f"""
+WITH mirror_corpus AS ({_O_DOCS_MIRROR}),
+pairs AS ({_lsh_pairs_sql(_O_DOCS_MIRROR)})
+SELECT least(ca.source, cb.source) AS source_a,
+       greatest(ca.source, cb.source) AS source_b,
        count(*) AS n_pairs
-FROM srcd
+FROM pairs p
+JOIN mirror_corpus ca ON ca.doc_id = p.id_a
+JOIN mirror_corpus cb ON cb.doc_id = p.id_b
 GROUP BY 1, 2
 """
 
