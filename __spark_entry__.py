@@ -3040,6 +3040,59 @@ WHERE rk <= 5
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, long form
+    (operators/similarity.label_centroids): posexplode -> groupBy(label,
+    pos) avg — map-side combined, no Python in the plan."""
+    from gordo_spark.operators.similarity import label_centroids
+
+    return label_centroids(read_table(spark, sf_dir, "embeddings"))
+
+
+O_LABEL_CENTROIDS = """
+SELECT label, pos, ROUND(avg(val), 6) AS mean FROM (
+  SELECT label,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
+def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label intra-class cohesion
+    (operators/similarity.label_cohesion): mean cosine of each vector to
+    its label centroid; |labels| x dim centroid table broadcast, cosine
+    via the shared Arrow-batched numpy kernel."""
+    from gordo_spark.operators.similarity import label_cohesion
+
+    return label_cohesion(read_table(spark, sf_dir, "embeddings"))
+
+
+O_LABEL_COHESION = """
+WITH v AS (
+  SELECT vec_id, label,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+  FROM embeddings
+),
+c AS (SELECT label, pos, avg(val) AS m FROM v GROUP BY label, pos),
+dots AS (
+  SELECT v.vec_id, v.label,
+         sum(v.val * c.m) AS dot,
+         sum(v.val * v.val) AS nv,
+         sum(c.m * c.m) AS nc
+  FROM v JOIN c ON v.label = c.label AND v.pos = c.pos
+  GROUP BY v.vec_id, v.label
+)
+SELECT label, count(*) AS n,
+       ROUND(avg(dot / (sqrt(nv) * sqrt(nc))), 6) AS mean_cosine
+FROM dots
+GROUP BY label
+"""
+
+
 def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous 0-based export ids in (n_chars, doc_id) order — the
     DataFrame-native zipWithIndex (operators/sampling.with_global_ids):
@@ -3767,6 +3820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "source_overlap": q_source_overlap,
         "sample_take": q_sample_take,
+        "label_centroids": q_label_centroids,
+        "label_cohesion": q_label_cohesion,
         "global_ids": q_global_ids,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
@@ -3868,6 +3923,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": O_TFIDF_TOPK,
         "source_overlap": O_SOURCE_OVERLAP,
         "sample_take": O_SAMPLE_TAKE,
+        "label_centroids": O_LABEL_CENTROIDS,
+        "label_cohesion": O_LABEL_COHESION,
         "global_ids": O_GLOBAL_IDS,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,

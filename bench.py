@@ -69,6 +69,7 @@ HEADLINE = [
     "tfidf_topk",
     "global_ids",
     "source_overlap",
+    "label_cohesion",
     "sim_bruteforce",
     "sim_ivf",
     "mm_metadata",

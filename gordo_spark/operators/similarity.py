@@ -585,3 +585,67 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector in long form (label, pos, mean) — the
+    classification-dataset health primitive (class prototypes for drift
+    checks, nearest-centroid baselines, cohesion below).
+
+    posexplode -> groupBy(label, pos) avg is pure JVM column algebra with
+    map-side partial aggregation: at 100 TB each partition pre-reduces to
+    |labels| x dim cells before the one exchange. No Python, no UDF.
+    """
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mean"))
+    )
+
+
+def label_cohesion(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label intra-class cohesion: mean cosine similarity of each
+    vector to its label centroid (low cohesion = mislabeled or
+    heterogeneous class). The centroid table is |labels| x dim — computed
+    once, broadcast back; the cosine kernel is the Arrow-batched numpy
+    path shared with the ANN operators.
+
+    The centroid is NOT rounded here (rounding is presentation, the
+    cohesion math uses full precision); only the final per-label mean is.
+    """
+    cents = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select(
+            "label", F.transform("_pm", lambda s: s["m"]).alias("centroid")
+        )
+    )
+    joined = df.select(
+        F.col(label_col).alias("label"), _as_double(F.col(vec_col)).alias("v")
+    ).join(F.broadcast(cents), "label")
+    sim = cosine(F.col("v"), F.col("centroid"))
+    return (
+        joined.select("label", sim.alias("_cos"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_cos"), 6).alias("mean_cosine"),
+        )
+    )

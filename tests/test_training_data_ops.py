@@ -733,3 +733,25 @@ def test_stratified_take_exact_counts_and_stability(spark):
     # deterministic: same selection under a different partitioning
     out2 = stratified_take(df.repartition(17), ["source"], 10).toPandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_label_centroids_and_cohesion(spark):
+    from gordo_spark.operators.similarity import label_centroids, label_cohesion
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "label": [0, 0, 1, 1],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [2.0, 2.0], [4.0, 4.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cents = {
+        (r["label"], r["pos"]): r["mean"] for r in label_centroids(df).collect()
+    }
+    assert cents == {(0, 0): 0.5, (0, 1): 0.5, (1, 0): 3.0, (1, 1): 3.0}
+    coh = {r["label"]: (r["n"], r["mean_cosine"]) for r in label_cohesion(df).collect()}
+    # label 1: both vectors parallel to centroid -> cosine 1.0
+    assert coh[1] == (2, 1.0)
+    # label 0: each unit vector at 45 deg to (0.5, 0.5) -> cos = 1/sqrt(2)
+    assert coh[0][0] == 2 and coh[0][1] == pytest.approx(0.707107, abs=1e-6)
