@@ -475,3 +475,52 @@ def test_stream_equals_batch_with_late_rows(spark, tmp_path):
     assert got.loc[got.ts == pd.Timestamp("2024-01-01 09:00:00"), "click"].iloc[0] == 2.0
     # the beyond-watermark row never contaminated its window
     assert got.loc[got.ts == pd.Timestamp("2024-01-01 00:00:00"), "click"].iloc[0] == 1.0
+
+
+def test_stream_text_curation_matches_batch(spark, tmp_path):
+    """quality_score + pii_scrub are stateless column algebra, so the SAME
+    operator calls run unchanged on a file stream — the streaming ingest
+    path of the corpus pipeline. Stream output must equal the batch run
+    row-for-row."""
+    import pandas as pd
+
+    from gordo_spark.operators.text import pii_scrub
+
+    src = str(tmp_path / "docs_in")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                f"the data row {i} mail u{i}@ex.example.com and filler words here"
+                for i in range(40)
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    curated = pii_scrub(stream)
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("text_curation_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("text_curation_stream")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pii_scrub(spark.read.parquet(src))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["n_email"] == 1).all()
+    assert got["text"].str.contains("<EMAIL>").all()
