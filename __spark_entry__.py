@@ -3093,6 +3093,64 @@ GROUP BY label
 """
 
 
+def q_length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum stages by exact length percentile
+    (operators/text.length_curriculum): one exact-percentile row
+    broadcast onto the doc stream, boundaries rounded 6dp so bucket
+    edges are engine-portable."""
+    from gordo_spark.operators.text import length_curriculum
+
+    return length_curriculum(read_table(spark, sf_dir, "documents"), n_stages=4)
+
+
+O_LENGTH_CURRICULUM = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+b AS (
+  SELECT ROUND(quantile_cont(n_tokens, 0.25), 6) AS b0,
+         ROUND(quantile_cont(n_tokens, 0.50), 6) AS b1,
+         ROUND(quantile_cont(n_tokens, 0.75), 6) AS b2
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       (CASE WHEN n_tokens > b0 THEN 1 ELSE 0 END
+        + CASE WHEN n_tokens > b1 THEN 1 ELSE 0 END
+        + CASE WHEN n_tokens > b2 THEN 1 ELSE 0 END) AS stage
+FROM t, b
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (operators/text.vocab_coverage): corpus
+    token fraction covered by the top-k terms — the tokenizer-sizing
+    curve. Running sums window over the vocabulary-sized term table,
+    never the corpus."""
+    from gordo_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(read_table(spark, sf_dir, "documents"))
+
+
+O_VOCAB_COVERAGE = """
+WITH counts AS (
+  SELECT token AS term, count(*) AS tf
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY tf DESC, term ASC) AS k,
+         sum(tf) OVER (ORDER BY tf DESC, term ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           * 1.0 / sum(tf) OVER () AS cum_frac
+  FROM counts
+)
+SELECT k, ROUND(cum_frac, 6) AS coverage
+FROM ranked
+WHERE k IN (1, 10, 100, 1000, 10000)
+"""
+
+
 def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous 0-based export ids in (n_chars, doc_id) order — the
     DataFrame-native zipWithIndex (operators/sampling.with_global_ids):
@@ -3822,6 +3880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_take": q_sample_take,
         "label_centroids": q_label_centroids,
         "label_cohesion": q_label_cohesion,
+        "length_curriculum": q_length_curriculum,
+        "vocab_coverage": q_vocab_coverage,
         "global_ids": q_global_ids,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
@@ -3925,6 +3985,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_take": O_SAMPLE_TAKE,
         "label_centroids": O_LABEL_CENTROIDS,
         "label_cohesion": O_LABEL_COHESION,
+        "length_curriculum": O_LENGTH_CURRICULUM,
+        "vocab_coverage": O_VOCAB_COVERAGE,
         "global_ids": O_GLOBAL_IDS,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,

@@ -11,6 +11,8 @@
 - source_quality_filter — source-level curation vs the corpus mean
 - unigram_logprob_score — CCNet-style unigram-LM quality proxy
 - tfidf_topk       — per-doc top-k terms by tf-idf
+- length_curriculum — curriculum stages by exact length percentile
+- vocab_coverage   — top-k vocabulary coverage curve (tokenizer sizing)
 
 All pure column algebra (split/transform/aggregate) — whole-stage codegen,
 no UDFs, engine-portable (DuckDB oracle matches bit-for-bit).
@@ -402,4 +404,87 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col(id_col), "term", "tfidf", "rank")
+    )
+
+
+def length_curriculum(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_stages: int = 4,
+) -> DataFrame:
+    """Curriculum bucketing by document length: assign each doc a stage
+    0..n_stages-1 by exact token-count percentile (stage 0 = shortest
+    quartile for n_stages=4) — the ordering signal length-curriculum
+    training schedules consume.
+
+    The boundary vector is ONE exact-percentile aggregate row (Spark's
+    ``percentile`` and SQL ``quantile_cont`` share the interpolation
+    formula) broadcast onto the doc stream; boundaries are rounded to 6dp
+    before comparison so the bucket edges are engine-portable. No
+    doc-table shuffle.
+    """
+    n_tok = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    ps = [i / n_stages for i in range(1, n_stages)]
+    bounds = n_tok.agg(
+        *[
+            F.round(F.expr(f"percentile(n_tokens, {p})"), 6).alias(f"_b{i}")
+            for i, p in enumerate(ps)
+        ]
+    )
+    stage = F.lit(0)
+    for i in range(len(ps)):
+        stage = stage + F.when(
+            F.col("n_tokens") > F.col(f"_b{i}"), 1
+        ).otherwise(0)
+    return (
+        n_tok.crossJoin(F.broadcast(bounds))
+        .select(F.col(id_col), "n_tokens", stage.cast("int").alias("stage"))
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ks: Sequence[int] = (1, 10, 100, 1000, 10000),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size k, the
+    fraction of all corpus tokens covered by the k most frequent terms —
+    the tokenizer-sizing curve (where it flattens, bigger vocabs stop
+    paying).
+
+    The running sum windows over the VOCABULARY-sized term-frequency
+    table (already aggregated, map-side combined), never the corpus; the
+    (tf desc, term asc) order makes the curve deterministic on any
+    engine.
+    """
+    toks = tokens(F.col(text_col))
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), F.col("term").asc()))
+        .alias("rank"),
+        (F.sum("tf").over(w) / F.sum("tf").over(w_all)).alias("cum_frac"),
+    )
+    klist = sorted(set(int(k) for k in ks))
+    return (
+        ranked.filter(F.col("rank").isin(klist))
+        .select("rank", F.round("cum_frac", 6).alias("coverage"))
+        .withColumnRenamed("rank", "k")
     )

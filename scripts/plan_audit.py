@@ -39,6 +39,7 @@ RED = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 ACCEPTED = {
     "source_quality_filter": "1-row corpus-mean frame broadcast to doc stream",
     "lm_quality": "1-row corpus-token-total frame broadcast to the vocab table",
+    "length_curriculum": "1-row exact-percentile bounds frame broadcast to the doc stream",
     "tfidf_topk": "1-row corpus-doc-count frame broadcast to the vocab table",
     "tpch_q22": "1-row scalar subquery (avg-acctbal threshold) broadcast",
     "m2_ols_predict": "1-row OLS coefficient frame broadcast to scored rows",
@@ -84,6 +85,9 @@ SINGLE_SERIES_OK = {
     # the running-sum window is over the one-row-per-PARTITION offsets
     # frame (bounded by partition count), never the data itself
     "global_ids",
+    # running sums over the VOCABULARY-sized term table (already
+    # aggregated, map-side combined), never the corpus
+    "vocab_coverage",
 }
 
 

@@ -755,3 +755,24 @@ def test_label_centroids_and_cohesion(spark):
     assert coh[1] == (2, 1.0)
     # label 0: each unit vector at 45 deg to (0.5, 0.5) -> cos = 1/sqrt(2)
     assert coh[0][0] == 2 and coh[0][1] == pytest.approx(0.707107, abs=1e-6)
+
+
+def test_length_curriculum_stages(spark):
+    from gordo_spark.operators.text import length_curriculum
+
+    texts = [" ".join(["w"] * n) for n in [1, 2, 3, 4, 5, 6, 7, 8]]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(8), "text": texts}))
+    out = {r["doc_id"]: r["stage"] for r in length_curriculum(df, n_stages=4).collect()}
+    # boundaries at 25/50/75th percentiles of 1..8 = 2.75, 4.5, 6.25
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+
+def test_vocab_coverage_curve(spark):
+    from gordo_spark.operators.text import vocab_coverage
+
+    # corpus: a x6, b x3, c x1 -> top-1 covers .6, top-2 covers .9, all = 1.0
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a a a b b c", "a a a b"]})
+    )
+    out = {r["k"]: r["coverage"] for r in vocab_coverage(df, ks=[1, 2, 3]).collect()}
+    assert out == {1: 0.6, 2: 0.9, 3: 1.0}
