@@ -3151,6 +3151,36 @@ WHERE k IN (1, 10, 100, 1000, 10000)
 """
 
 
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm z-score outlier flags
+    (operators/similarity.embedding_norm_outliers): the cheap detector
+    for embedding-pipeline bugs; norms JVM-side, label stats broadcast."""
+    from gordo_spark.operators.similarity import embedding_norm_outliers
+
+    return embedding_norm_outliers(read_table(spark, sf_dir, "embeddings"))
+
+
+O_EMBEDDING_NORMS = """
+WITH v AS (
+  SELECT vec_id, label,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label, sqrt(sum(val * val)) AS norm
+  FROM v GROUP BY vec_id, label
+),
+stats AS (
+  SELECT label, avg(norm) AS mu, stddev(norm) AS sd FROM norms GROUP BY label
+)
+SELECT n.vec_id, n.label,
+       ROUND(n.norm, 6) AS norm,
+       ROUND((n.norm - s.mu) / s.sd, 3) AS z,
+       abs((n.norm - s.mu) / s.sd) > 3.0 AS is_outlier
+FROM norms n JOIN stats s USING (label)
+"""
+
+
 def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous 0-based export ids in (n_chars, doc_id) order — the
     DataFrame-native zipWithIndex (operators/sampling.with_global_ids):
@@ -3882,6 +3912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_cohesion": q_label_cohesion,
         "length_curriculum": q_length_curriculum,
         "vocab_coverage": q_vocab_coverage,
+        "embedding_norms": q_embedding_norms,
         "global_ids": q_global_ids,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
@@ -3987,6 +4018,7 @@ def oracle_sql() -> dict[str, str]:
         "label_cohesion": O_LABEL_COHESION,
         "length_curriculum": O_LENGTH_CURRICULUM,
         "vocab_coverage": O_VOCAB_COVERAGE,
+        "embedding_norms": O_EMBEDDING_NORMS,
         "global_ids": O_GLOBAL_IDS,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,

@@ -649,3 +649,48 @@ def label_cohesion(
             F.round(F.avg("_cos"), 6).alias("mean_cosine"),
         )
     )
+
+
+def embedding_norm_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Flag vectors whose L2 norm is a z-score outlier within their label
+    — the cheap detector for embedding-pipeline bugs (zeroed rows,
+    double-normalized batches, wrong-scale mixes land far from their
+    class's norm distribution).
+
+    Norms via posexplode + groupBy(id) sum-of-squares (JVM, map-side
+    combined — deliberately not a per-element HOF lambda); label
+    mean/std is a |labels|-row aggregate broadcast back. z uses the
+    sample std (stddev_samp), matching SQL STDDEV, and is rounded to 3dp:
+    mean/std summation order differs across engines by last-ulp amounts,
+    and at 6dp a few of thousands of z values straddle a rounding
+    boundary (observed 7/2000); 3dp leaves a 1000x margin.
+    """
+    sq = (
+        df.select(
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+        )
+        .groupBy(id_col, "label")
+        .agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"))
+    )
+    stats = sq.groupBy("label").agg(
+        F.avg("norm").alias("_mu"), F.stddev_samp("norm").alias("_sd")
+    )
+    z = (F.col("norm") - F.col("_mu")) / F.col("_sd")
+    return (
+        sq.join(F.broadcast(stats), "label")
+        .select(
+            F.col(id_col),
+            "label",
+            F.round("norm", 6).alias("norm"),
+            F.round(z, 3).alias("z"),
+            (F.abs(z) > z_threshold).alias("is_outlier"),
+        )
+    )

@@ -776,3 +776,19 @@ def test_vocab_coverage_curve(spark):
     )
     out = {r["k"]: r["coverage"] for r in vocab_coverage(df, ks=[1, 2, 3]).collect()}
     assert out == {1: 0.6, 2: 0.9, 3: 1.0}
+
+
+def test_embedding_norm_outliers_flags_scaled_vector(spark):
+    from gordo_spark.operators.similarity import embedding_norm_outliers
+
+    rng = np.random.RandomState(3)
+    vecs = [list(v) for v in rng.normal(0, 1, (30, 8))]
+    vecs.append(list(100.0 * np.ones(8)))  # planted wrong-scale vector
+    pdf = pd.DataFrame(
+        {"vec_id": range(31), "label": [0] * 31, "embedding": vecs}
+    )
+    out = embedding_norm_outliers(spark.createDataFrame(pdf)).toPandas()
+    flagged = set(out[out["is_outlier"]]["vec_id"])
+    assert flagged == {30}
+    norm30 = out[out["vec_id"] == 30]["norm"].iloc[0]
+    assert norm30 == pytest.approx(100.0 * np.sqrt(8), abs=1e-4)
