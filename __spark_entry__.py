@@ -3181,6 +3181,101 @@ FROM norms n JOIN stats s USING (label)
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup canonicalization (operators/text.normalize_text):
+    lowercase, strip non-alphanumerics, collapse whitespace — shown with
+    the post-normalize token count."""
+    from gordo_spark.operators.text import normalize_text, tokens
+
+    out = normalize_text(read_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "text", F.size(tokens(F.col("text"))).alias("n_tokens_norm")
+    )
+
+
+O_NORMALIZE_TEXT = """
+SELECT doc_id, text,
+       len(string_split(text, ' ')) AS n_tokens_norm
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS text
+  FROM documents
+)
+"""
+
+
+def q_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality proxy (operators/text.bigram_logprob_score):
+    mean -log p(w_i | w_{i-1}) under the corpus's own bigram
+    distribution — catches shuffled-word junk the unigram score calls
+    fluent. Vocab-sized ratio table broadcast onto the bigram stream."""
+    from gordo_spark.operators.text import bigram_logprob_score
+
+    return bigram_logprob_score(read_table(spark, sf_dir, "documents"))
+
+
+O_LM_QUALITY_BIGRAM = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+         )) AS g
+  FROM documents
+),
+bg AS (SELECT g, count(*) AS c2 FROM g GROUP BY g),
+hist AS (SELECT split_part(g, ' ', 1) AS h, count(*) AS c1 FROM g GROUP BY h),
+logp AS (
+  SELECT bg.g, ln(c2 * 1.0 / c1) AS logp
+  FROM bg JOIN hist ON split_part(bg.g, ' ', 1) = hist.h
+)
+SELECT doc_id, ROUND(-avg(logp), 6) AS mean_nll2
+FROM g JOIN logp USING (g)
+GROUP BY doc_id
+"""
+
+
+def q_source_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source raw vs dedup-effective token budgets
+    (operators/dedup.source_effective_tokens) over the mirror corpus:
+    the planted 'mirror' source dedups away entirely (unique_ratio 0),
+    real sources keep their survivors."""
+    from gordo_spark.operators.dedup import source_effective_tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+            "source", F.lit("mirror")
+        )
+    )
+    return source_effective_tokens(corpus)
+
+
+O_SOURCE_TOKENS = f"""
+WITH corpus AS ({_O_DOCS_MIRROR}),
+base AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS nt, text FROM corpus
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text),
+kept AS (SELECT b.* FROM base b JOIN surv USING (doc_id)),
+raw AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM base GROUP BY source
+),
+eff AS (
+  SELECT source, count(*) AS n_docs_unique,
+         CAST(sum(nt) AS BIGINT) AS n_tokens_unique
+  FROM kept GROUP BY source
+)
+SELECT raw.source, n_docs, n_tokens,
+       COALESCE(n_docs_unique, 0) AS n_docs_unique,
+       COALESCE(n_tokens_unique, 0) AS n_tokens_unique,
+       ROUND(COALESCE(n_tokens_unique, 0) * 1.0 / n_tokens, 6) AS unique_ratio
+FROM raw LEFT JOIN eff USING (source)
+"""
+
+
 def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous 0-based export ids in (n_chars, doc_id) order — the
     DataFrame-native zipWithIndex (operators/sampling.with_global_ids):
@@ -3913,6 +4008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_curriculum": q_length_curriculum,
         "vocab_coverage": q_vocab_coverage,
         "embedding_norms": q_embedding_norms,
+        "normalize_text": q_normalize_text,
+        "lm_quality_bigram": q_lm_quality_bigram,
+        "source_tokens": q_source_tokens,
         "global_ids": q_global_ids,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
@@ -4019,6 +4117,9 @@ def oracle_sql() -> dict[str, str]:
         "length_curriculum": O_LENGTH_CURRICULUM,
         "vocab_coverage": O_VOCAB_COVERAGE,
         "embedding_norms": O_EMBEDDING_NORMS,
+        "normalize_text": O_NORMALIZE_TEXT,
+        "lm_quality_bigram": O_LM_QUALITY_BIGRAM,
+        "source_tokens": O_SOURCE_TOKENS,
         "global_ids": O_GLOBAL_IDS,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,

@@ -365,3 +365,53 @@ def source_overlap(
         F.least("_src_a", "_src_b").alias("source_a"),
         F.greatest("_src_a", "_src_b").alias("source_b"),
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def source_effective_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token budgeting before and after exact dedup — the
+    numbers a mixture plan is written against: raw token counts
+    overstate a source's contribution when its content duplicates
+    (within itself or other sources); the effective count keeps only
+    each duplicate group's survivor (min id), attributed to the
+    survivor's own source.
+
+    One hash-groupBy over the corpus (the exact-dedup pass) and one
+    per-source aggregate — both map-side combined; no joins against the
+    corpus beyond the survivor semi-join.
+    """
+    from gordo_spark.operators.text import tokens
+
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens(F.col(text_col))).alias("_nt"),
+        F.col(text_col),
+    )
+    survivors = base.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    kept = base.join(survivors.select(id_col), id_col, "left_semi")
+    raw = base.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+    )
+    eff = kept.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs_unique"),
+        F.sum("_nt").alias("n_tokens_unique"),
+    )
+    return (
+        raw.join(eff, source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_docs_unique", F.lit(0)).alias("n_docs_unique"),
+            F.coalesce("n_tokens_unique", F.lit(0)).alias("n_tokens_unique"),
+            F.round(
+                F.coalesce("n_tokens_unique", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("unique_ratio"),
+        )
+    )

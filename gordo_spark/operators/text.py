@@ -13,6 +13,8 @@
 - tfidf_topk       — per-doc top-k terms by tf-idf
 - length_curriculum — curriculum stages by exact length percentile
 - vocab_coverage   — top-k vocabulary coverage curve (tokenizer sizing)
+- normalize_text   — pre-dedup canonicalization (lower/strip/collapse)
+- bigram_logprob_score — bigram-LM conditional quality proxy
 
 All pure column algebra (split/transform/aggregate) — whole-stage codegen,
 no UDFs, engine-portable (DuckDB oracle matches bit-for-bit).
@@ -487,4 +489,56 @@ def vocab_coverage(
         ranked.filter(F.col("rank").isin(klist))
         .select("rank", F.round("cum_frac", 6).alias("coverage"))
         .withColumnRenamed("rank", "k")
+    )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonicalization before dedup/fingerprinting: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim. Pure
+    codegen expressions; identical regex semantics in any RE2/Java
+    engine, so canonical forms (and therefore downstream dedup keys)
+    are engine-portable."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    t = F.trim(t)
+    return df.withColumn(text_col, t)
+
+
+def bigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-LM quality proxy: per-document mean negative conditional
+    log-probability -log p(w_i | w_{i-1}) with p = count(w_{i-1} w_i) /
+    count-as-history(w_{i-1}) — one realism step past the unigram score
+    (catches shuffled-word junk the unigram model scores as fluent).
+
+    Two vocabulary-sized aggregates (bigram counts, history counts), the
+    ratio table broadcast back onto the exploded bigram stream; only the
+    per-doc re-aggregation shuffles at corpus scale. The history count is
+    over bigram OCCURRENCES (tokens 1..n-1), so probabilities per history
+    sum to exactly 1.
+    """
+    from gordo_spark.operators.dedup import word_shingles
+
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), 2)).alias("g")
+    )
+    bg = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    hist = (
+        grams.select(F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    logp = bg.withColumn(
+        "h", F.split_part(F.col("g"), F.lit(" "), F.lit(1))
+    ).join(F.broadcast(hist), "h").select(
+        "g", F.log(F.col("c2") / F.col("c1")).alias("logp")
+    )
+    return (
+        grams.join(F.broadcast(logp), "g")
+        .groupBy(id_col)
+        .agg(F.round(-F.avg("logp"), 6).alias("mean_nll2"))
     )

@@ -792,3 +792,43 @@ def test_embedding_norm_outliers_flags_scaled_vector(spark):
     assert flagged == {30}
     norm30 = out[out["vec_id"] == 30]["norm"].iloc[0]
     assert norm30 == pytest.approx(100.0 * np.sqrt(8), abs=1e-4)
+
+
+def test_normalize_text_canonical_form(spark):
+    from gordo_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["  Hello,   WORLD!! x9  "]})
+    )
+    out = normalize_text(df).collect()[0]["text"]
+    assert out == "hello world x9"
+
+
+def test_bigram_logprob_score(spark):
+    from gordo_spark.operators.text import bigram_logprob_score
+
+    # corpus bigrams: "a b" x2, "a c" x1, history 'a' count 3
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b", "a b", "a c"]})
+    )
+    out = {r["doc_id"]: r["mean_nll2"] for r in bigram_logprob_score(df).collect()}
+    assert out[0] == pytest.approx(-math.log(2 / 3), abs=1e-6)
+    assert out[2] == pytest.approx(-math.log(1 / 3), abs=1e-6)
+
+
+def test_source_effective_tokens_mirror_collapses(spark):
+    from gordo_spark.operators.dedup import source_effective_tokens
+
+    base = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 10, 11],
+            "source": ["web", "web", "mirror", "mirror"],
+            "text": ["a b c", "d e", "a b c", "d e"],  # mirror = exact copies
+        }
+    )
+    out = {
+        r["source"]: (r["n_tokens"], r["n_tokens_unique"], r["unique_ratio"])
+        for r in source_effective_tokens(spark.createDataFrame(base)).collect()
+    }
+    assert out["web"] == (5, 5, 1.0)
+    assert out["mirror"] == (5, 0, 0.0)
