@@ -3276,6 +3276,50 @@ FROM raw LEFT JOIN eff USING (source)
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/dedup.corpus_diff) between documents and
+    a deterministically mutated next release: every doc_id % 10 == 0 is
+    edited, ids >= max-50 are dropped, and 20 new ids appended — the diff
+    must report exactly those changed/removed/added sets."""
+    from gordo_spark.operators.dedup import corpus_diff
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    # fixed id cut (not sf-derived) so Spark and oracle agree at any sf
+    new = (
+        edited.filter(F.col("doc_id") < F.lit(450))
+        .unionByName(
+            docs.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 900000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, new)
+
+
+O_CORPUS_DIFF = """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id < 450
+  UNION ALL
+  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id < 20
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new USING (doc_id)
+WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old.text <> new.text
+"""
+
+
 def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous 0-based export ids in (n_chars, doc_id) order — the
     DataFrame-native zipWithIndex (operators/sampling.with_global_ids):
@@ -4011,6 +4055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "lm_quality_bigram": q_lm_quality_bigram,
         "source_tokens": q_source_tokens,
+        "corpus_diff": q_corpus_diff,
         "global_ids": q_global_ids,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
@@ -4120,6 +4165,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": O_NORMALIZE_TEXT,
         "lm_quality_bigram": O_LM_QUALITY_BIGRAM,
         "source_tokens": O_SOURCE_TOKENS,
+        "corpus_diff": O_CORPUS_DIFF,
         "global_ids": O_GLOBAL_IDS,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,

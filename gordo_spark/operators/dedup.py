@@ -415,3 +415,37 @@ def source_effective_tokens(
             ).alias("unique_ratio"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the data-versioning
+    primitive behind iterative dataset releases: which documents were
+    added, removed, or changed (by content hash) since the last cut.
+
+    One full-outer equi-join on the document id (unique keys, no skew)
+    over md5 content fingerprints computed at the scan — no text moves
+    through the join, only (id, hash). Returns (id, status) for the
+    non-identical rows plus per-status counts downstream aggregations
+    can consume.
+    """
+    oh = old.select(
+        F.col(id_col), md5_long(F.col(text_col)).alias("_h_old")
+    )
+    nh = new.select(
+        F.col(id_col), md5_long(F.col(text_col)).alias("_h_new")
+    )
+    j = oh.join(nh, id_col, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), status.alias("status")).filter(
+        F.col("status") != "unchanged"
+    )

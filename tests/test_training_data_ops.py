@@ -832,3 +832,17 @@ def test_source_effective_tokens_mirror_collapses(spark):
     }
     assert out["web"] == (5, 5, 1.0)
     assert out["mirror"] == (5, 0, 0.0)
+
+
+def test_corpus_diff_statuses(spark):
+    from gordo_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 3, 4], "text": ["a", "C", "d"]})
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # 1 unchanged (absent), 2 removed, 3 changed, 4 added
+    assert out == {2: "removed", 3: "changed", 4: "added"}
