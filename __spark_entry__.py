@@ -3320,6 +3320,41 @@ WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old.text <> new.text
 """
 
 
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-span fractions (operators/dedup.
+    repeated_ngram_stats, Lee et al. 2022 signal) over the mirror-dup
+    corpus: every mirrored doc's 10-grams repeat, so planted copies sit
+    at repeated_frac 1.0 while organic repetition floats the base."""
+    from gordo_spark.operators.dedup import repeated_ngram_stats
+
+    return repeated_ngram_stats(_docs_with_dups(spark, sf_dir), n=10)
+
+
+O_REPEATED_NGRAMS = f"""
+WITH corpus AS ({_O_DOCS_DUPS}),
+g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 9, 1)),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 9), ' ')
+           )) AS gram
+    FROM corpus
+  )
+),
+c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY gh)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       ROUND(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS repeated_frac
+FROM g JOIN c USING (gh)
+GROUP BY doc_id
+"""
+
+
 def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous 0-based export ids in (n_chars, doc_id) order — the
     DataFrame-native zipWithIndex (operators/sampling.with_global_ids):
@@ -4056,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_bigram": q_lm_quality_bigram,
         "source_tokens": q_source_tokens,
         "corpus_diff": q_corpus_diff,
+        "repeated_ngrams": q_repeated_ngrams,
         "global_ids": q_global_ids,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
@@ -4166,6 +4202,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality_bigram": O_LM_QUALITY_BIGRAM,
         "source_tokens": O_SOURCE_TOKENS,
         "corpus_diff": O_CORPUS_DIFF,
+        "repeated_ngrams": O_REPEATED_NGRAMS,
         "global_ids": O_GLOBAL_IDS,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,

@@ -449,3 +449,40 @@ def corpus_diff(
     return j.select(F.col(id_col), status.alias("status")).filter(
         F.col("status") != "unchanged"
     )
+
+
+def repeated_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """Per-document repeated-span statistics a la Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): for
+    each document, the fraction of its word n-grams that occur more than
+    once in the ENTIRE corpus — high fractions mark boilerplate and
+    cross-document copying that document-level dedup misses.
+
+    Shape: one explode to (id, gram-hash), one corpus-wide
+    groupBy(gram) count (map-side combined — the gram table is bounded
+    by corpus token count, and hashing keeps rows narrow), broadcast-free
+    shuffle join back on the gram hash, then the per-doc aggregate.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
+    ).select(F.col(id_col), md5_long(F.col("_g")).alias("gh"))
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        grams.join(counts, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("n_repeated"),
+            F.round(
+                F.sum(F.when(F.col("_c") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("repeated_frac"),
+        )
+    )

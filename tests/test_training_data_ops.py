@@ -846,3 +846,28 @@ def test_corpus_diff_statuses(spark):
     out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     # 1 unchanged (absent), 2 removed, 3 changed, 4 added
     assert out == {2: "removed", 3: "changed", 4: "added"}
+
+
+def test_repeated_ngram_stats(spark):
+    from gordo_spark.operators.dedup import repeated_ngram_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "a b c d",      # shares "a b" trigram window? n=2 grams below
+                    "a b x y",
+                    "p q r s",      # nothing shared
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_repeated"], r["repeated_frac"])
+        for r in repeated_ngram_stats(df, n=2).collect()
+    }
+    # 2-grams: doc0 {a b, b c, c d}, doc1 {a b, b x, x y}, doc2 all unique
+    assert out[0] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
+    assert out[1] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
+    assert out[2] == (3, 0, 0.0)
