@@ -70,6 +70,9 @@ HEADLINE = [
     "global_ids",
     "source_overlap",
     "label_cohesion",
+    "lm_quality_bigram",
+    "repeated_ngrams",
+    "source_tokens",
     "sim_bruteforce",
     "sim_ivf",
     "mm_metadata",

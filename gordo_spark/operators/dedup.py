@@ -467,11 +467,22 @@ def repeated_ngram_stats(
     groupBy(gram) count (map-side combined — the gram table is bounded
     by corpus token count, and hashing keeps rows narrow), broadcast-free
     shuffle join back on the gram hash, then the per-doc aggregate.
+
+    Gram encoding: ``xxhash64`` over the sliced word array directly —
+    no n-word string is ever materialized (measured ~30% faster than
+    md5-of-concat at n=10). Gram identity only needs to be consistent
+    WITHIN the engine (counts are computed here, not joined to an
+    external table), so the engine-portable md5-string encoding is not
+    required; 64-bit hashing makes corpus-scale collisions negligible.
     """
+    words = F.split(F.col(text_col), " ")
+    seq = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     grams = df.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("_g"),
-    ).select(F.col(id_col), md5_long(F.col("_g")).alias("gh"))
+        F.explode(
+            F.transform(seq, lambda i: F.xxhash64(F.slice(words, i, n)))
+        ).alias("gh"),
+    )
     counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
     return (
         grams.join(counts, "gh")

@@ -520,25 +520,32 @@ def bigram_logprob_score(
     per-doc re-aggregation shuffles at corpus scale. The history count is
     over bigram OCCURRENCES (tokens 1..n-1), so probabilities per history
     sum to exactly 1.
-    """
-    from gordo_spark.operators.dedup import word_shingles
 
+    Bigrams are (w_i, w_{i+1}) structs from ``arrays_zip`` of shifted
+    slices keyed by ``xxhash64`` — no pair string is ever concatenated
+    and re-split. The key only needs WITHIN-engine consistency (both
+    count tables are built here), so the cheap structural hash replaces
+    an engine-portable string encoding.
+    """
+    words = F.split(F.col(text_col), " ")
+    k = F.greatest(F.size(words) - 1, F.lit(1))
+    pairs = F.arrays_zip(
+        F.slice(words, 1, k).alias("a"), F.slice(words, 2, k).alias("b")
+    )
     grams = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), 2)).alias("g")
+        F.col(id_col), F.explode(pairs).alias("g")
+    ).select(
+        F.col(id_col),
+        F.xxhash64(F.col("g")).alias("gk"),
+        F.col("g.a").alias("h"),
     )
-    bg = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
-    hist = (
-        grams.select(F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("h"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
-    logp = bg.withColumn(
-        "h", F.split_part(F.col("g"), F.lit(" "), F.lit(1))
-    ).join(F.broadcast(hist), "h").select(
-        "g", F.log(F.col("c2") / F.col("c1")).alias("logp")
+    bg = grams.groupBy("gk", "h").agg(F.count(F.lit(1)).alias("c2"))
+    hist = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c1"))
+    logp = bg.join(F.broadcast(hist), "h").select(
+        "gk", F.log(F.col("c2") / F.col("c1")).alias("logp")
     )
     return (
-        grams.join(F.broadcast(logp), "g")
+        grams.join(F.broadcast(logp), "gk")
         .groupBy(id_col)
         .agg(F.round(-F.avg("logp"), 6).alias("mean_nll2"))
     )
