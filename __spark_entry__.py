@@ -1592,7 +1592,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("_ok2"),
         F.col("l_suppkey").alias("_sk2"),
         F.col("l_shipdate").alias("_sd2"),
-    )
+    ).cache()  # probed twice (semi + anti): scan lineitem once, not thrice
     waited = (
         l1.join(
             others,
@@ -2513,6 +2513,33 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned ANN over the MATERIALIZED IVF index
+    (operators/similarity.ivf_write / ivf_probe): the corpus is written
+    PARTITIONED BY cell with centroids alongside, then each query's probe
+    carries ``cell IN (...)`` which lands as a PartitionFilter — only the
+    probed cell directories are ever read. Same quantizer and parameters
+    as sim_ivf, so results (and the oracle) are identical; the index is
+    written once per sf and reused (immutable testdata)."""
+    import os
+    import tempfile
+
+    from gordo_spark.operators.similarity import ivf_probe, ivf_write
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"gordo_spark_ivf_{tag}")
+    marker = os.path.join(path, "_done")
+    if not os.path.exists(marker):
+        ivf_write(embs, path, n_cells=8)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    out = ivf_probe(
+        spark, path, embs.filter(F.col("vec_id") < 10), k=5, n_probe=2
+    )
+    return _r6(out, "cosine_sim")
+
+
 def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace vs BPE-ish regex lexer counts."""
     from gordo_spark.operators.text import bpe_token_count
@@ -2848,7 +2875,11 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic PII injected deterministically from doc_id (the corpus
     itself is clean, so the injection makes every row exercise all three
     patterns). regexp_replace/regexp_count are codegen JVM expressions;
-    patterns are RE2-compatible so the oracle replaces identical spans."""
+    patterns are RE2-compatible so the oracle replaces identical spans.
+    Phones are injected in three shapes — bare 7-digit, parenthesized
+    10-digit, dotted 10-digit — exercising the longest-first alternation
+    (a 7-digit-only pattern would leave dangling '555-' remnants on the
+    10-digit forms)."""
     from gordo_spark.operators.text import pii_scrub
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2858,18 +2889,28 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
             F.lit(" contact u"),
             F.col("doc_id").cast("string"),
-            F.lit("@mail.example.org or 555-0147 at 10.0.0."),
+            F.lit(
+                "@mail.example.org or 555-0147 or (555) 123-4567"
+                " or 555.123.4567 at 10.0.0."
+            ),
             (F.col("doc_id") % 256).cast("string"),
         ),
     )
     return pii_scrub(injected)
 
 
-O_PII_SCRUB = """
+_O_PHONE_RE = (
+    "(\\+1[-. ])?\\(\\d{3}\\)[-. ]?\\d{3}[-. ]\\d{4}\\b"
+    "|(\\+1[-. ])?\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+    "|\\b\\d{3}[- ]\\d{4}\\b"
+)
+
+O_PII_SCRUB = f"""
 WITH injected AS (
   SELECT doc_id,
          text || ' contact u' || CAST(doc_id AS VARCHAR)
-              || '@mail.example.org or 555-0147 at 10.0.0.'
+              || '@mail.example.org or 555-0147 or (555) 123-4567'
+              || ' or 555.123.4567 at 10.0.0.'
               || CAST(doc_id % 256 AS VARCHAR) AS text
   FROM documents
 )
@@ -2877,12 +2918,12 @@ SELECT doc_id,
        regexp_replace(
          regexp_replace(
            regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\\b\\d{3}[- ]\\d{4}\\b', '<PHONE>', 'g'),
-         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text,
-       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-       len(regexp_extract_all(text, '\\b\\d{3}[- ]\\d{4}\\b')) AS n_phone,
-       len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '{_O_PHONE_RE}', '<PHONE>', 'g'),
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS text,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+       len(regexp_extract_all(text, '{_O_PHONE_RE}')) AS n_phone,
+       len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4
 FROM injected
 """
 
@@ -2915,24 +2956,49 @@ WHERE s.src_div >= c.corpus_div
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality proxy
     (operators/text.unigram_logprob_score): per-doc mean negative log-prob
-    under the corpus's own unigram distribution. Two-pass: tiny term table
-    broadcast back onto the exploded token stream."""
+    under the corpus's own PRUNED unigram distribution — vocab cut at
+    min_df=2 / top-65536, all out-of-vocab tokens scored at one smoothed
+    floor so the broadcast table is hard-bounded at corpus scale. A
+    singleton token ('uq<doc_id>') is appended to every doc so the
+    contract exercises BOTH the in-vocab and the OOV branch (each
+    injected token has corpus frequency 1 < min_df)."""
     from gordo_spark.operators.text import unigram_logprob_score
 
-    return unigram_logprob_score(read_table(spark, sf_dir, "documents"))
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" uq"), F.col("doc_id").cast("string")),
+    )
+    return unigram_logprob_score(docs)
 
 
 O_LM_QUALITY = """
 WITH t AS (
   SELECT doc_id, token AS term
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text || ' uq' || CAST(doc_id AS VARCHAR), ' '))
+             AS token
+    FROM documents
+  )
   WHERE token <> ''
 ),
 counts AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
 total AS (SELECT sum(tf) AS total FROM counts),
-logp AS (SELECT term, ln(tf * 1.0 / total) AS logp FROM counts, total)
-SELECT doc_id, ROUND(-avg(logp), 6) AS mean_nll
-FROM t JOIN logp USING (term)
+vocab AS (
+  SELECT term, tf FROM (
+    SELECT term, tf,
+           row_number() OVER (ORDER BY tf DESC, term ASC) AS r
+    FROM counts WHERE tf >= 2
+  ) WHERE r <= 65536
+),
+vsum AS (SELECT COALESCE(sum(tf), 0) AS vs FROM vocab),
+oov AS (
+  SELECT ln(greatest(total - vs, 1) * 1.0 / total) AS oov_logp
+  FROM total, vsum
+),
+logp AS (SELECT term, ln(tf * 1.0 / total) AS logp FROM vocab, total)
+SELECT doc_id, ROUND(-avg(COALESCE(logp.logp, oov.oov_logp)), 6) AS mean_nll
+FROM t LEFT JOIN logp USING (term), oov
 GROUP BY doc_id
 """
 
@@ -3209,7 +3275,9 @@ def q_lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality proxy (operators/text.bigram_logprob_score):
     mean -log p(w_i | w_{i-1}) under the corpus's own bigram
     distribution — catches shuffled-word junk the unigram score calls
-    fluent. Vocab-sized ratio table broadcast onto the bigram stream."""
+    fluent. The distinct-bigram ratio table is corpus-proportional, so
+    both count joins are UNHINTED shuffle equi-joins (AQE broadcasts
+    when genuinely small); docs under two words emit no row."""
     from gordo_spark.operators.text import bigram_logprob_score
 
     return bigram_logprob_score(read_table(spark, sf_dir, "documents"))
@@ -3219,7 +3287,7 @@ O_LM_QUALITY_BIGRAM = """
 WITH g AS (
   SELECT doc_id,
          unnest(list_transform(
-           generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           generate_series(1, len(string_split(text, ' ')) - 1),
            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
          )) AS g
   FROM documents
@@ -3352,6 +3420,166 @@ SELECT doc_id,
          AS repeated_frac
 FROM g JOIN c USING (gh)
 GROUP BY doc_id
+"""
+
+
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard estimates for LSH candidate pairs
+    (operators/dedup.minhash_jaccard_estimate, Broder 1997): the verify
+    step between banding and exact Jaccard that never re-reads text —
+    two id-keyed joins of (id, 8 longs) rows. Planted clones (identical
+    signatures) must land at est_jaccard 1.0."""
+    from gordo_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_docs_with_dups(spark, sf_dir), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return minhash_jaccard_estimate(sigs, pairs, num_hashes=8)
+
+
+def _minhash_est_sql() -> str:
+    from gordo_spark.operators.dedup import MINHASH_P, _hash_params
+
+    params = _hash_params(8)
+    mins = ",\n       ".join(
+        f"min(({a}*sh + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    eq = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(8))
+    return f"""
+WITH corpus AS ({_O_DOCS_DUPS}),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+         )) AS shingle
+  FROM corpus
+),
+hashed AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh
+  FROM shingled
+),
+sigs AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, m0 || '_' || m1 AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, m2 || '_' || m3 FROM sigs
+  UNION ALL SELECT doc_id, 2, m4 || '_' || m5 FROM sigs
+  UNION ALL SELECT doc_id, 3, m6 || '_' || m7 FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT p.id_a, p.id_b, ROUND(({eq}) / 8.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sigs a ON a.doc_id = p.id_a
+JOIN sigs b ON b.doc_id = p.id_b
+"""
+
+
+O_MINHASH_EST = _minhash_est_sql()
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-seen n-gram fractions (operators/dedup.ngram_novelty)
+    over the mirror-dup corpus: every mirrored copy's grams first appear
+    in the original, so clones sit at novel_frac 0 while originals carry
+    the organic novelty curve. Same hot/tail split join as
+    repeated_ngrams (the shared grams ARE the skewed keys)."""
+    from gordo_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_docs_with_dups(spark, sf_dir), n=5)
+
+
+O_NGRAM_NOVELTY = f"""
+WITH corpus AS ({_O_DOCS_DUPS}),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+         )) AS gram
+  FROM corpus
+),
+s AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novel_frac
+FROM g JOIN s USING (gram)
+GROUP BY doc_id
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution Shannon entropy
+    (operators/text.token_entropy) — the one-number junk detector; pure
+    two-level aggregation, no joins."""
+    from gordo_spark.operators.text import token_entropy
+
+    return token_entropy(read_table(spark, sf_dir, "documents"))
+
+
+O_TOKEN_ENTROPY = """
+WITH t AS (
+  SELECT doc_id, token AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       ROUND(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM tf GROUP BY doc_id
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram (operators/text.doc_length_histogram,
+    bin width 32) — the packing/truncation-budget profile; one corpus
+    scan, 1-row total broadcast onto the histogram-sized table."""
+    from gordo_spark.operators.text import doc_length_histogram
+
+    return doc_length_histogram(read_table(spark, sf_dir, "documents"))
+
+
+O_LENGTH_HISTOGRAM = """
+WITH n AS (SELECT len(string_split(text, ' ')) AS nt FROM documents),
+hist AS (
+  SELECT CAST(floor(nt / 32) * 32 AS BIGINT) AS bin_start,
+         count(*) AS n_docs
+  FROM n GROUP BY 1
+),
+total AS (SELECT sum(n_docs) AS t FROM hist)
+SELECT bin_start, n_docs, ROUND(n_docs * 1.0 / t, 6) AS frac
+FROM hist, total
+"""
+
+
+def q_source_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language mixture per source (operators/text.source_langmix):
+    (source, lang) doc counts + within-source fractions — one groupBy,
+    fraction via a source-PARTITIONED window over the aggregate."""
+    from gordo_spark.operators.text import source_langmix
+
+    return source_langmix(read_table(spark, sf_dir, "documents"))
+
+
+O_SOURCE_LANGMIX = """
+WITH c AS (
+  SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs,
+       ROUND(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source), 6) AS frac
+FROM c
 """
 
 
@@ -4000,112 +4228,127 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so ANY prefix is family-representative: the first 50 entries
+    # interleave timeseries, TPC-H, dedup, text/LM-quality, similarity,
+    # multimodal, and event-time operators (external correctness harnesses
+    # that sample a prefix of this registry then cover every family).
     return {
+        # --- 1-50: one of everything, interleaved ---
         "s1_scan": q_s1_scan,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "tpch_q1": q_tpch_q1,
         "j1_resample_mean": q_j1_resample_mean,
+        "dedup_minhash": q_dedup_minhash,
+        "lm_quality": q_lm_quality,
+        "tpch_q3": q_tpch_q3,
+        "j2_linear": q_j2_linear,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "text_quality": q_text_quality,
+        "tpch_q6": q_tpch_q6,
+        "j3_pivot_align": q_j3_pivot_align,
+        "dedup_jaccard": q_dedup_jaccard,
+        "term_stats": q_term_stats,
+        "tpch_q9": q_tpch_q9,
+        "p3_row_filter": q_p3_row_filter,
+        "dedup_simhash": q_dedup_simhash,
+        "tfidf_topk": q_tfidf_topk,
+        "tpch_q18": q_tpch_q18,
+        "p4_iqr_fence": q_p4_iqr_fence,
+        "dedup_embed_cosine": q_dedup_embed_cosine,
+        "pii_scrub": q_pii_scrub,
+        "tpch_q21": q_tpch_q21,
+        "w1_smm": q_w1_smm,
+        "dedup_components": q_dedup_components,
+        "lm_quality_bigram": q_lm_quality_bigram,
+        "sim_bruteforce": q_sim_bruteforce,
+        "w3_ewma": q_w3_ewma,
+        "dedup_survivors": q_dedup_survivors,
+        "normalize_text": q_normalize_text,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "m6_anomaly": q_m6_anomaly,
+        "decontaminate": q_decontaminate,
+        "text_lang_id": q_text_lang_id,
+        "sim_ivf": q_sim_ivf,
+        "m6_anomaly_multi": q_m6_anomaly_multi,
+        "source_overlap": q_source_overlap,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_ivf_probe": q_sim_ivf_probe,
+        "m4_kfold_threshold": q_m4_kfold_threshold,
+        "source_tokens": q_source_tokens,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "mm_metadata": q_mm_metadata,
+        "asof_join": q_asof_join,
+        "corpus_diff": q_corpus_diff,
+        "text_repetition": q_text_repetition,
+        "mm_frame_sample": q_mm_frame_sample,
+        "events_sessionize": q_events_sessionize,
+        "repeated_ngrams": q_repeated_ngrams,
+        # --- 51+: the rest of the LLM-pipeline family ---
+        "minhash_est": q_minhash_est,
+        "ngram_novelty": q_ngram_novelty,
+        "token_entropy": q_token_entropy,
+        "length_histogram": q_length_histogram,
+        "source_langmix": q_source_langmix,
+        "chunk_overlap": q_chunk_overlap,
+        "pack_chunks": q_pack_chunks,
+        "global_ids": q_global_ids,
+        "sample_split": q_sample_split,
+        "sample_take": q_sample_take,
+        "sample_stratified": q_sample_stratified,
+        "source_quality_filter": q_source_quality_filter,
+        "vocab_coverage": q_vocab_coverage,
+        "length_curriculum": q_length_curriculum,
+        "label_centroids": q_label_centroids,
+        "label_cohesion": q_label_cohesion,
+        "embedding_norms": q_embedding_norms,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
+        "events_interval_join": q_events_interval_join,
+        # --- remaining timeseries / ML contracts ---
         "j1_resample_multi": q_j1_resample_multi,
         "j2_ffill": q_j2_ffill,
-        "j2_linear": q_j2_linear,
-        "j3_pivot_align": q_j3_pivot_align,
         "j7_lookback": q_j7_lookback,
-        "p3_row_filter": q_p3_row_filter,
-        "p4_iqr_fence": q_p4_iqr_fence,
         "p4_median_period": q_p4_median_period,
         "p4_known_periods": q_p4_known_periods,
         "p7_inf_impute": q_p7_inf_impute,
-        "w1_smm": q_w1_smm,
         "w2_sma": q_w2_sma,
-        "w3_ewma": q_w3_ewma,
         "w6_shift": q_w6_shift,
         "a7_quantile": q_a7_quantile,
         "a8_fold_threshold": q_a8_fold_threshold,
         "a9_explained_variance": q_a9_explained_variance,
-        "m6_anomaly": q_m6_anomaly,
         "m6_anomaly_scaled": q_m6_anomaly_scaled,
-        "m6_anomaly_multi": q_m6_anomaly_multi,
-        "tpch_q1": q_tpch_q1,
+        "m1_ols_fit": q_m1_ols_fit,
+        "m2_ols_predict": q_m2_ols_predict,
+        "m3_cv_splits": q_m3_cv_splits,
+        "m5_scores": q_m5_scores,
+        # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
-        "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
         "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
         "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        # --- relational extensions / profiling ---
         "o5_distinct": q_o5_distinct,
         "o6_salted_join": q_o6_salted_join,
+        "o7_bucketed_join": q_o7_bucketed_join,
         "o8_rollup": q_o8_rollup,
+        "o9_topk_per_group": q_o9_topk_per_group,
+        "o10_string_agg": q_o10_string_agg,
         "data_profile": q_data_profile,
         "events_json_extract": q_events_json_extract,
-        "o9_topk_per_group": q_o9_topk_per_group,
         "feature_binning": q_feature_binning,
         "tag_correlations": q_tag_correlations,
-        "o10_string_agg": q_o10_string_agg,
-        "o7_bucketed_join": q_o7_bucketed_join,
-        "m1_ols_fit": q_m1_ols_fit,
-        "m2_ols_predict": q_m2_ols_predict,
-        "m3_cv_splits": q_m3_cv_splits,
-        "m4_kfold_threshold": q_m4_kfold_threshold,
-        "m5_scores": q_m5_scores,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embed_cosine": q_dedup_embed_cosine,
-        "dedup_components": q_dedup_components,
-        "dedup_survivors": q_dedup_survivors,
-        "text_stats": q_text_stats,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_tokens_bpe": q_text_tokens_bpe,
-        "text_quality": q_text_quality,
-        "text_repetition": q_text_repetition,
-        "term_stats": q_term_stats,
-        "chunk_overlap": q_chunk_overlap,
-        "pii_scrub": q_pii_scrub,
-        "source_quality_filter": q_source_quality_filter,
-        "lm_quality": q_lm_quality,
-        "tfidf_topk": q_tfidf_topk,
-        "source_overlap": q_source_overlap,
-        "sample_take": q_sample_take,
-        "label_centroids": q_label_centroids,
-        "label_cohesion": q_label_cohesion,
-        "length_curriculum": q_length_curriculum,
-        "vocab_coverage": q_vocab_coverage,
-        "embedding_norms": q_embedding_norms,
-        "normalize_text": q_normalize_text,
-        "lm_quality_bigram": q_lm_quality_bigram,
-        "source_tokens": q_source_tokens,
-        "corpus_diff": q_corpus_diff,
-        "repeated_ngrams": q_repeated_ngrams,
-        "global_ids": q_global_ids,
-        "pack_chunks": q_pack_chunks,
-        "decontaminate": q_decontaminate,
-        "sim_bruteforce": q_sim_bruteforce,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ivf": q_sim_ivf,
-        "sim_ivf_kmeans": q_sim_ivf_kmeans,
-        "mm_metadata": q_mm_metadata,
-        "mm_frame_sample": q_mm_frame_sample,
-        "sample_split": q_sample_split,
-        "sample_stratified": q_sample_stratified,
-        "asof_join": q_asof_join,
-        "events_interval_join": q_events_interval_join,
-        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -4203,12 +4446,20 @@ def oracle_sql() -> dict[str, str]:
         "source_tokens": O_SOURCE_TOKENS,
         "corpus_diff": O_CORPUS_DIFF,
         "repeated_ngrams": O_REPEATED_NGRAMS,
+        "minhash_est": O_MINHASH_EST,
+        "ngram_novelty": O_NGRAM_NOVELTY,
+        "token_entropy": O_TOKEN_ENTROPY,
+        "length_histogram": O_LENGTH_HISTOGRAM,
+        "source_langmix": O_SOURCE_LANGMIX,
         "global_ids": O_GLOBAL_IDS,
         "pack_chunks": O_PACK_CHUNKS,
         "decontaminate": O_DECONTAMINATE,
         "sim_bruteforce": O_SIM_BRUTE,
         "sim_ann_lsh": O_SIM_ANN,
         "sim_ivf": O_SIM_IVF,
+        # same quantizer/params as sim_ivf, so the probe over the
+        # materialized partition-pruned index must match the same oracle
+        "sim_ivf_probe": O_SIM_IVF,
         "mm_metadata": O_MM_METADATA,
         "mm_frame_sample": O_MM_FRAMES,
         "sample_split": O_SAMPLE_SPLIT,

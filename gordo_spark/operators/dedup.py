@@ -156,6 +156,47 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    signatures: DataFrame,
+    pairs: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signature-based Jaccard estimate for candidate pairs — the cheap
+    verify step between LSH banding and exact shingle Jaccard: the
+    fraction of agreeing MinHash components is an unbiased estimator of
+    the true Jaccard (Broder 1997), so candidates can be thresholded
+    WITHOUT re-reading any document text.
+
+    Scale shape: two id-keyed equi-joins of the pair endpoints onto the
+    signature table (unique ids — no skew); only (id, k longs) rows move.
+    The k equality tests are one projection. Exact Jaccard re-reads and
+    re-shingles the corpus; this reads k*8 bytes per doc.
+    """
+    a = pairs.join(
+        signatures.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"m{i}").alias(f"_a{i}") for i in range(num_hashes)],
+        ),
+        "id_a",
+    )
+    ab = a.join(
+        signatures.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"m{i}").alias(f"_b{i}") for i in range(num_hashes)],
+        ),
+        "id_b",
+    )
+    agree = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(num_hashes)
+    )
+    return ab.select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    )
+
+
 def shingle_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -322,14 +363,16 @@ def keep_survivors(
     every doc that was never in a candidate pair.
 
     The non-survivor list is the *components* frame minus its
-    representatives — proportional to the duplicate count, not the corpus,
-    so it broadcasts: the 100 TB corpus is filtered by a broadcast
-    left-anti join with no shuffle of the docs side.
+    representatives — proportional to the DUPLICATE count, which at web
+    scale runs 30-80% of documents (Lee et al. 2022), i.e. it is
+    corpus-proportional and must NOT be broadcast. The anti-join is left
+    unhinted: a sort-merge/shuffled-hash anti at scale, and AQE still
+    broadcasts it when the duplicate set is genuinely small.
     """
     losers = components.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
 
 
 def source_overlap(
@@ -382,7 +425,10 @@ def source_effective_tokens(
 
     One hash-groupBy over the corpus (the exact-dedup pass) and one
     per-source aggregate — both map-side combined; no joins against the
-    corpus beyond the survivor semi-join.
+    corpus beyond the survivor semi-join. The dedup groupBy keys on
+    ``md5(text)`` — never the raw text — so only a 32-byte key crosses
+    the exchange instead of full document bytes (collision-safe at md5
+    width; same rationale as ``exact_dedup``).
     """
     from gordo_spark.operators.text import tokens
 
@@ -390,9 +436,9 @@ def source_effective_tokens(
         F.col(id_col),
         F.col(source_col),
         F.size(tokens(F.col(text_col))).alias("_nt"),
-        F.col(text_col),
+        F.md5(F.col(text_col)).alias("_tk"),
     )
-    survivors = base.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    survivors = base.groupBy("_tk").agg(F.min(id_col).alias(id_col))
     kept = base.join(survivors.select(id_col), id_col, "left_semi")
     raw = base.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -428,17 +474,16 @@ def corpus_diff(
     added, removed, or changed (by content hash) since the last cut.
 
     One full-outer equi-join on the document id (unique keys, no skew)
-    over md5 content fingerprints computed at the scan — no text moves
-    through the join, only (id, hash). Returns (id, status) for the
-    non-identical rows plus per-status counts downstream aggregations
-    can consume.
+    over FULL md5 content fingerprints computed at the scan — no text
+    moves through the join, only (id, 32-byte hash). The full digest
+    (not a truncated long) matters for a versioning primitive: a 32-bit
+    fingerprint collides birthday-fast at billion-doc scale and would
+    silently report a changed document as unchanged. Returns (id,
+    status) for the non-identical rows plus per-status counts downstream
+    aggregations can consume.
     """
-    oh = old.select(
-        F.col(id_col), md5_long(F.col(text_col)).alias("_h_old")
-    )
-    nh = new.select(
-        F.col(id_col), md5_long(F.col(text_col)).alias("_h_new")
-    )
+    oh = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h_old"))
+    nh = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h_new"))
     j = oh.join(nh, id_col, "full_outer")
     status = (
         F.when(F.col("_h_old").isNull(), F.lit("added"))
@@ -456,6 +501,7 @@ def repeated_ngram_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 10,
+    hot_k: int = 1024,
 ) -> DataFrame:
     """Per-document repeated-span statistics a la Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better"): for
@@ -465,8 +511,19 @@ def repeated_ngram_stats(
 
     Shape: one explode to (id, gram-hash), one corpus-wide
     groupBy(gram) count (map-side combined — the gram table is bounded
-    by corpus token count, and hashing keeps rows narrow), broadcast-free
-    shuffle join back on the gram hash, then the per-doc aggregate.
+    by corpus token count, and hashing keeps rows narrow), then the
+    count join back on the gram hash, then the per-doc aggregate.
+
+    Skew: the join-back key is power-law BY CONSTRUCTION — boilerplate
+    grams shared by millions of documents are exactly what this operator
+    exists to find, and a plain shuffle join lands each hot gram's every
+    occurrence in one task. Standard power-law split: the ``hot_k`` most
+    frequent grams (deterministic ``(count desc, gh asc)`` cut — a
+    TakeOrdered over the aggregated gram table, hard-bounded rows) are
+    BROADCAST and joined map-side; only the long tail goes through the
+    shuffle join, whose per-key multiplicity is below the hot cutoff.
+    The two branches union before the final per-doc aggregate, which is
+    keyed by unique doc ids (no skew).
 
     Gram encoding: ``xxhash64`` over the sliced word array directly —
     no n-word string is ever materialized (measured ~30% faster than
@@ -484,9 +541,9 @@ def repeated_ngram_stats(
         ).alias("gh"),
     )
     counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
+    joined = _hot_split_join(grams, counts, hot_k)
     return (
-        grams.join(counts, "gh")
-        .groupBy(id_col)
+        joined.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("n_repeated"),
@@ -496,4 +553,65 @@ def repeated_ngram_stats(
                 6,
             ).alias("repeated_frac"),
         )
+    )
+
+
+def _hot_split_join(grams: DataFrame, stats: DataFrame, hot_k: int) -> DataFrame:
+    """Power-law-safe join of per-gram ``stats`` back onto the exploded
+    ``grams`` stream: the ``hot_k`` most frequent grams (by the ``_c``
+    count column, deterministic ``(_c desc, gh asc)`` cut) broadcast and
+    join map-side; the tail goes through the shuffle join whose per-key
+    multiplicity is bounded by the hot cutoff. Both branches union —
+    result identical to a plain ``grams.join(stats, "gh")``."""
+    hot = stats.orderBy(F.col("_c").desc(), F.col("gh").asc()).limit(int(hot_k))
+    tail = stats.join(F.broadcast(hot.select("gh")), "gh", "left_anti")
+    return grams.join(F.broadcast(hot), "gh").unionByName(
+        grams.join(F.broadcast(hot.select("gh")), "gh", "left_anti").join(
+            tail, "gh"
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    hot_k: int = 1024,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's word
+    n-gram occurrences whose first corpus appearance (min doc id over the
+    gram's occurrences) is this document — the complement of the
+    repeated-span signal, and the ordering-aware one: in an id-ordered
+    release, late documents made of earlier documents' grams score near 0
+    (derivative/boilerplate), genuinely new content scores near 1. The
+    curve over id order is the marginal-novelty diagnostic a data
+    curator reads before deciding whether another crawl snapshot is
+    worth adding.
+
+    Same shape and the same power-law skew posture as
+    ``repeated_ngram_stats``: one explode, one map-side-combined
+    groupBy(gram) computing (count, min id), then the hot/tail split join
+    back (the hot grams are by definition the most shared — exactly the
+    keys that would straggle a plain shuffle join).
+    """
+    words = F.split(F.col(text_col), " ")
+    seq = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(seq, lambda i: F.xxhash64(F.slice(words, i, n)))
+        ).alias("gh"),
+    )
+    stats = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_c"), F.min(id_col).alias("_first")
+    )
+    joined = _hot_split_join(grams, stats, hot_k)
+    novel = F.sum(
+        F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.alias("n_novel"),
+        F.round(novel / F.count(F.lit(1)), 6).alias("novel_frac"),
     )

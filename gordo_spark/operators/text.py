@@ -22,6 +22,8 @@ no UDFs, engine-portable (DuckDB oracle matches bit-for-bit).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 EN_STOPWORDS = [
@@ -263,9 +265,18 @@ def chunk_text(
 
 # RE2- and java.util.regex-compatible (no lookarounds, no backrefs), so the
 # Spark path and a DuckDB/RE2 oracle replace the exact same spans.
+# Phone alternatives are ordered longest-first (both engines use
+# leftmost-FIRST alternation): optional +1 prefix, then parenthesized or
+# plain 10-digit forms with -/./space separators, then the bare 7-digit
+# local form — so "555-123-4567" redacts whole instead of leaving a
+# dangling "555-" from a 7-digit partial match.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\b\d{3}[- ]\d{4}\b",
+    "phone": (
+        r"(\+1[-. ])?\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b"
+        r"|(\+1[-. ])?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+        r"|\b\d{3}[- ]\d{4}\b"
+    ),
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 
@@ -331,17 +342,31 @@ def source_quality_filter(
 
 
 def unigram_logprob_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_vocab: int = 65536,
 ) -> DataFrame:
     """CCNet-style language-model quality proxy: per-document mean
     negative log-probability under the corpus's own unigram distribution
     (low = typical text, high = out-of-distribution / junk).
 
+    The vocabulary is PRUNED before it is broadcast — CCNet practice and
+    the 100 TB bound: terms with corpus frequency < ``min_df`` are cut,
+    then the surviving vocab is capped at the ``max_vocab`` most frequent
+    terms (deterministic ``(tf desc, term asc)`` cut). All out-of-vocab
+    tokens score against one smoothed floor, ``ln(max(oov_mass, 1) /
+    total)`` where ``oov_mass`` is the total frequency of pruned terms —
+    so the broadcast table is hard-bounded at ``max_vocab`` rows no
+    matter how large the corpus grows (an unpruned web-scale vocab is
+    near-linear in corpus size and would not broadcast).
+
     Two-pass shape: pass 1 aggregates corpus term counts (explode ->
-    groupBy, map-side combine; the term table is vocabulary-sized, tiny
-    relative to the corpus); pass 2 broadcast-joins log-probs onto the
-    exploded token stream and averages per document. At 100 TB the only
-    large shuffle is the per-doc re-aggregation, keyed by the id the scan
+    groupBy, map-side combine); pass 2 LEFT-broadcast-joins the pruned
+    log-prob table onto the exploded token stream (misses coalesce to the
+    OOV floor) and averages per document. At 100 TB the only large
+    shuffle is the per-doc re-aggregation, keyed by the id the scan
     already carries.
     """
     toks = tokens(F.col(text_col))
@@ -350,13 +375,31 @@ def unigram_logprob_score(
     )
     counts = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     total = counts.agg(F.sum("tf").alias("total"))
-    logp = counts.crossJoin(F.broadcast(total)).select(
+    # deterministic vocab cut: tf >= min_df, top max_vocab by (tf desc,
+    # term asc) — TakeOrdered over the already-aggregated term table
+    vocab = (
+        counts.filter(F.col("tf") >= min_df)
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(int(max_vocab))
+    )
+    vsum = vocab.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("vs"))
+    oov = total.crossJoin(F.broadcast(vsum)).select(
+        F.log(
+            F.greatest(F.col("total") - F.col("vs"), F.lit(1)) / F.col("total")
+        ).alias("oov_logp")
+    )
+    logp = vocab.crossJoin(F.broadcast(total)).select(
         "term", F.log(F.col("tf") / F.col("total")).alias("logp")
     )
     return (
-        exploded.join(F.broadcast(logp), "term")
+        exploded.join(F.broadcast(logp), "term", "left")
+        .crossJoin(F.broadcast(oov))
         .groupBy(id_col)
-        .agg(F.round(-F.avg("logp"), 6).alias("mean_nll"))
+        .agg(
+            F.round(
+                -F.avg(F.coalesce(F.col("logp"), F.col("oov_logp"))), 6
+            ).alias("mean_nll")
+        )
     )
 
 
@@ -492,6 +535,92 @@ def vocab_coverage(
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution,
+    ``H = -sum_t p_t ln p_t`` with ``p_t = tf_t / n_tokens`` — the
+    cheapest single-number junk detector: near 0 for looped/repeated
+    text, ``ln(n)`` for all-distinct tokens. Computed via the
+    numerically-identical rearrangement ``H = ln(n) - sum(tf ln tf)/n``
+    so both engines evaluate the same expression tree.
+
+    Two map-side-combined aggregations (id,term) -> (id); no joins, no
+    broadcast, nothing driver-side — the per-doc term table never exceeds
+    the document's own vocabulary.
+    """
+    toks = tokens(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return tf.groupBy(id_col).agg(
+        n.alias("n_tokens"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("entropy"),
+    )
+
+
+def doc_length_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bin_width: int = 32,
+) -> DataFrame:
+    """Corpus length histogram: documents bucketed by token count into
+    fixed-width bins — the length-distribution profile read before
+    choosing packing budgets, curriculum edges, or truncation limits.
+
+    One aggregation over the corpus (map-side combined into at most
+    max_len/bin_width groups); the 1-row total-count frame broadcasts
+    back onto the HISTOGRAM-sized table for the fraction column — the
+    corpus is scanned exactly once.
+    """
+    n_tok = df.select(F.size(tokens(F.col(text_col))).alias("_nt"))
+    hist = n_tok.groupBy(
+        (F.floor(F.col("_nt") / bin_width) * bin_width)
+        .cast("long")
+        .alias("bin_start")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = hist.agg(F.sum("n_docs").alias("_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "bin_start",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("frac"),
+    )
+
+
+def source_langmix(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Language mixture per source: document counts and within-source
+    fractions for every (source, language) pair — the table a corpus
+    mixture plan is balanced against (and the cheap detector for a
+    mislabeled crawl: a 'wiki-en' source at 40% non-en is a pipeline
+    bug, not a corpus fact).
+
+    One groupBy over the corpus; the fraction is a window over the
+    |sources| x |langs| aggregate PARTITIONED by source — no second
+    corpus scan and no unpartitioned window.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col, lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy(source_col)
+    return counts.select(
+        source_col,
+        lang_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("frac"),
+    )
+
+
 def normalize_text(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -515,11 +644,18 @@ def bigram_logprob_score(
     count-as-history(w_{i-1}) — one realism step past the unigram score
     (catches shuffled-word junk the unigram model scores as fluent).
 
-    Two vocabulary-sized aggregates (bigram counts, history counts), the
-    ratio table broadcast back onto the exploded bigram stream; only the
-    per-doc re-aggregation shuffles at corpus scale. The history count is
+    Scale posture: the DISTINCT-BIGRAM table is near-linear in corpus
+    size (billions of rows at 100 TB), so neither the ratio table nor the
+    history table carries a broadcast hint — both joins are plain shuffle
+    equi-joins on the gram/history key (AQE still broadcasts them when
+    they are genuinely small). Only vocabulary-bounded tables broadcast
+    in this module (see ``unigram_logprob_score``). The history count is
     over bigram OCCURRENCES (tokens 1..n-1), so probabilities per history
     sum to exactly 1.
+
+    Documents with fewer than two words emit no bigram (and therefore no
+    output row) — a degenerate single-word "bigram" would otherwise
+    pollute its history's count corpus-wide.
 
     Bigrams are (w_i, w_{i+1}) structs from ``arrays_zip`` of shifted
     slices keyed by ``xxhash64`` — no pair string is ever concatenated
@@ -528,7 +664,8 @@ def bigram_logprob_score(
     an engine-portable string encoding.
     """
     words = F.split(F.col(text_col), " ")
-    k = F.greatest(F.size(words) - 1, F.lit(1))
+    # size-1 bigrams; size<2 -> empty slice -> doc drops out of the stream
+    k = F.size(words) - 1
     pairs = F.arrays_zip(
         F.slice(words, 1, k).alias("a"), F.slice(words, 2, k).alias("b")
     )
@@ -541,11 +678,11 @@ def bigram_logprob_score(
     )
     bg = grams.groupBy("gk", "h").agg(F.count(F.lit(1)).alias("c2"))
     hist = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c1"))
-    logp = bg.join(F.broadcast(hist), "h").select(
+    logp = bg.join(hist, "h").select(
         "gk", F.log(F.col("c2") / F.col("c1")).alias("logp")
     )
     return (
-        grams.join(F.broadcast(logp), "gk")
+        grams.join(logp, "gk")
         .groupBy(id_col)
         .agg(F.round(-F.avg("logp"), 6).alias("mean_nll2"))
     )

@@ -81,7 +81,10 @@ class PostgresReporter(Reporter):
     - ``url`` (JDBC): append-log stamped with build_time — Spark's JDBC
       writer has no cross-engine upsert, so latest-wins is the read-side
       contract: ``SELECT DISTINCT ON (name) ... ORDER BY name, build_time
-      DESC`` gives the one-record-per-machine view (build history kept).
+      DESC`` (or a row_number window) gives the one-record-per-machine
+      view (build history kept). Round-trip tested against the EMBEDDED
+      Derby engine on Spark's classpath (tests/test_reporters.py) — the
+      same write path serves Postgres with the pg driver jar.
     """
 
     _DDL = (

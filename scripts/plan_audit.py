@@ -16,6 +16,19 @@ features, flags red flags, and writes PLANS.md. Red flags:
   multi-machine path is m6_anomaly_multi, whose windows must all be
   partitioned). An allowlisted query still reports its count; a
   non-allowlisted query with any unpartitioned window fails the audit.
+- BroadcastExchange whose build side derives from an UNAGGREGATED scan of
+  a corpus-scale table (documents/embeddings/events/lineitem/orders) — a
+  frame that grows with the data and will not fit executor memory at
+  100 TB. The path from the broadcast down to the scan must contain an
+  Aggregate / Limit / TakeOrdered node (something that bounds cardinality),
+  or the (query, table) pair must be allowlisted in BOUNDED_BROADCAST_OK
+  with the reason the frame is bounded by construction (e.g. a fixed-id
+  query batch, an eval-suite benchmark side). This rule is evaluated on a
+  SECOND plan generated with spark.sql.autoBroadcastJoinThreshold=-1, so
+  only EXPLICIT broadcast() hints remain as BroadcastExchange nodes —
+  cost-based broadcasts the planner picks at small sf (and would not pick
+  at 100 TB, where stats say otherwise) are the optimizer doing its job
+  and are not flagged.
 
 Usage: python scripts/plan_audit.py [sf_dir] [query ...]
 """
@@ -40,6 +53,7 @@ ACCEPTED = {
     "source_quality_filter": "1-row corpus-mean frame broadcast to doc stream",
     "lm_quality": "1-row corpus-token-total frame broadcast to the vocab table",
     "length_curriculum": "1-row exact-percentile bounds frame broadcast to the doc stream",
+    "length_histogram": "1-row total-doc-count frame broadcast to the histogram-sized table",
     "tfidf_topk": "1-row corpus-doc-count frame broadcast to the vocab table",
     "tpch_q22": "1-row scalar subquery (avg-acctbal threshold) broadcast",
     "m2_ols_predict": "1-row OLS coefficient frame broadcast to scored rows",
@@ -89,6 +103,76 @@ SINGLE_SERIES_OK = {
     # aggregated, map-side combined), never the corpus
     "vocab_coverage",
 }
+
+
+# Tables that stand in for the corpus-scale facts: anything broadcast off
+# one of these must be provably bounded (aggregate/limit on the path) or
+# allowlisted below with its bounding argument.
+CORPUS_TABLES = ("documents", "embeddings", "events", "lineitem", "orders")
+
+# Nodes on the broadcast->scan path that bound the broadcast's cardinality
+# regardless of corpus size.
+BOUNDING = ("Aggregate", "Limit", "TakeOrdered", "Deduplicate")
+
+# (query, table) pairs whose broadcast build side is bounded by
+# construction even though the plan shows no aggregate/limit — each with
+# the reason. Anything else broadcasting a corpus scan fails the audit.
+BOUNDED_BROADCAST_OK = {
+    ("sim_bruteforce", "embeddings"): "query batch fixed by id filter (vec_id < 10) — the constant side of ANN",
+    ("sim_ivf", "embeddings"): "query batch fixed by id filter (vec_id < 10)",
+    ("sim_ivf_probe", "embeddings"): "query batch fixed by id filter (vec_id < 10)",
+    ("sim_ivf_kmeans", "embeddings"): "query batch fixed by id filter (vec_id < 10)",
+    ("sim_ann_lsh", "embeddings"): "query batch fixed by id filter (vec_id < 10)",
+    ("dedup_embed_cosine", "embeddings"): "documented all-pairs oracle baseline on a bounded candidate set",
+    ("label_cohesion", "embeddings"): "per-label centroid table (|labels| rows) — aggregated upstream",
+    ("decontaminate", "documents"): "benchmark side: eval suites are MBs by construction (GPT-3 app. C)",
+}
+
+
+def unbounded_broadcasts(plan: str, query: str) -> list[str]:
+    """Find BroadcastExchange nodes whose subtree reaches a corpus-table
+    scan with no cardinality-bounding node on the path. Parses the
+    formatted-plan tree (depth = indent//3) + the node-detail blocks
+    (node id -> Location) to resolve which parquet each scan reads."""
+    tree_m = re.search(r"== Physical Plan ==\n(.*?)\n\n", plan, re.S)
+    if not tree_m:
+        return []
+    # node id -> detail block (for scan Location lookup)
+    details = dict(re.findall(r"^\((\d+)\) ([^\n]*(?:\n(?!\().*)*)", plan, re.M))
+    flags = []
+    stack = []  # [(depth, name, id)]
+    for line in tree_m.group(1).splitlines():
+        m = re.match(r"^([:+\- ]*)\*?\s*(\S[^(]*)\((\d+)\)", line)
+        if not m:
+            continue
+        prefix, name, nid = m.group(1), m.group(2).strip(), m.group(3)
+        depth = len(prefix) // 3
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        stack.append((depth, name, nid))
+        if not name.startswith("Scan parquet"):
+            continue
+        detail = details.get(nid, "")
+        table = next(
+            (t for t in CORPUS_TABLES if f"{t}.parquet" in detail), None
+        )
+        if table is None:
+            continue
+        # nearest BroadcastExchange ancestor, and the path below it
+        for i in range(len(stack) - 2, -1, -1):
+            aname = stack[i][1]
+            if any(b in aname for b in BOUNDING):
+                break  # bounded before reaching any broadcast
+            if "BroadcastExchange" in aname:
+                path = [s[1] for s in stack[i + 1 : -1]]
+                if not any(b in p for b in BOUNDING for p in path):
+                    if (query, table) in BOUNDED_BROADCAST_OK:
+                        break
+                    flags.append(
+                        f"UNBOUNDED BROADCAST of {table} scan (node {nid})"
+                    )
+                break
+    return flags
 
 
 def unpartitioned_windows(plan: str) -> int:
@@ -145,6 +229,15 @@ def main():
             continue
         try:
             plan = plan_of(fn(spark, sf_dir))
+            # hint-only replan: with auto-broadcast off, any surviving
+            # BroadcastExchange comes from an explicit broadcast() hint.
+            # The query is REBUILT under the changed conf — a DataFrame
+            # memoizes its queryExecution, so replanning needs a fresh one.
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                hint_plan = plan_of(fn(spark, sf_dir))
+            finally:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         except Exception as exc:  # pragma: no cover - audit robustness
             rows.append((name, {}, [f"PLAN ERROR: {exc}"]))
             n_red += 1
@@ -159,6 +252,10 @@ def main():
         counts["global_windows"] = upw
         if upw and name not in SINGLE_SERIES_OK:
             flags.append(f"UNPARTITIONED WINDOW x{upw} (not in SINGLE_SERIES_OK)")
+            n_red += 1
+        ubb = unbounded_broadcasts(hint_plan, name)
+        if ubb:
+            flags.extend(ubb)
             n_red += 1
         rows.append((name, counts, flags))
 

@@ -1,0 +1,83 @@
+"""Regression guard for scripts/plan_audit.py's scale rules.
+
+The audit is the repo's 100 TB conscience: it must FIRE on a hinted
+broadcast whose build side is an unaggregated corpus scan (the round-2
+scale-killers' shape) and must NOT fire when the build side is bounded by
+an aggregate, a limit, or a cost-based (unhinted) broadcast the planner
+picked because the data is genuinely small.
+"""
+
+import contextlib
+import importlib.util
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+_PA_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts",
+    "plan_audit.py",
+)
+_spec = importlib.util.spec_from_file_location("plan_audit", _PA_PATH)
+plan_audit = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(plan_audit)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_fires_on_hinted_broadcast_of_unaggregated_corpus_scan(docs):
+    # the keep_survivors round-2 shape: broadcast(filter+project of corpus)
+    losers = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("k")
+    )
+    bad = docs.join(F.broadcast(losers), docs.doc_id == F.col("k"), "left_anti")
+    flags = plan_audit.unbounded_broadcasts(_plan(bad), "not_allowlisted")
+    assert flags and "documents" in flags[0]
+
+
+def test_quiet_when_aggregate_bounds_the_broadcast(docs):
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n"))
+    ok = docs.join(F.broadcast(per_source), "source")
+    assert plan_audit.unbounded_broadcasts(_plan(ok), "not_allowlisted") == []
+
+
+def test_quiet_when_limit_bounds_the_broadcast(docs):
+    top = docs.orderBy("doc_id").limit(5).select("doc_id")
+    ok = docs.join(F.broadcast(top), "doc_id")
+    assert plan_audit.unbounded_broadcasts(_plan(ok), "not_allowlisted") == []
+
+
+def test_allowlist_suppresses_named_pair(docs):
+    q = docs.filter(F.col("doc_id") < 10).select(F.col("doc_id").alias("k"))
+    bad = docs.join(F.broadcast(q), docs.doc_id == F.col("k"))
+    assert plan_audit.unbounded_broadcasts(_plan(bad), "nope") != []
+    # the same shape under an allowlisted (query, table) pair is accepted
+    key = ("sim_bruteforce", "documents")
+    plan_audit.BOUNDED_BROADCAST_OK[key] = "test: bounded by id filter"
+    try:
+        assert (
+            plan_audit.unbounded_broadcasts(_plan(bad), "sim_bruteforce") == []
+        )
+    finally:
+        plan_audit.BOUNDED_BROADCAST_OK.pop(key)
+
+
+def test_dim_table_broadcasts_never_flag(spark):
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    ok = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    assert plan_audit.unbounded_broadcasts(_plan(ok), "x") == []

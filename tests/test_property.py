@@ -65,8 +65,13 @@ def test_resample_matches_pandas(spark, pdf, res_min):
     )
     assert len(got) == len(exp)
     # rtol 1e-7: Spark's partial aggregation and pandas' pairwise sum add
-    # in different orders; hypothesis finds ~1e-9-relative mean deviations
-    np.testing.assert_allclose(got["value"], exp["value"], rtol=1e-7)
+    # in different orders; hypothesis finds ~1e-9-relative mean deviations.
+    # atol covers catastrophic cancellation (e.g. mean of {-1e6, 999999,
+    # 0.99999} ~ -3e-6): ulp-order summation noise is ABSOLUTE in the
+    # addend magnitude, so a near-zero mean of large inputs legitimately
+    # differs by ~1e-11 between engines while rtol alone would reject it.
+    atol = 1e-9 * max(1.0, float(np.abs(pdf["value"]).max()))
+    np.testing.assert_allclose(got["value"], exp["value"], rtol=1e-7, atol=atol)
     assert (got["ts"].values == exp["ts"].values).all()
 
 

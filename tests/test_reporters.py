@@ -122,3 +122,37 @@ def test_plan_key_value_based_provider_sharing():
     c = _plan_key(ds(EventsAsSensorProvider("/root/testdata/sf0.01")))
     assert a == b
     assert a != c
+
+
+def test_postgres_reporter_jdbc_append_log_round_trip(spark, tmp_path):
+    """The Spark-native JDBC branch, round-tripped against the EMBEDDED
+    Derby engine on Spark's own classpath (no external server in env):
+    two reports of the same machine append two stamped rows, and the
+    documented latest-wins read view yields one record per machine with
+    the newest model."""
+    from pyspark.sql import Window, functions as F
+
+    from gordo_spark.reporters import PostgresReporter
+
+    url = f"jdbc:derby:{tmp_path}/machdb;create=true"
+    rep = PostgresReporter(
+        url=url,
+        table="machine",
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    rep.report(spark, "pump-1", {"model": {"kind": "v1"}})
+    rep.report(spark, "pump-1", {"model": {"kind": "v2"}})
+    rep.report(spark, "pump-2", {"model": {"kind": "v1"}})
+
+    log = spark.read.jdbc(url, "machine", properties=rep.properties)
+    assert log.count() == 3  # append-log keeps build history
+
+    w = Window.partitionBy("name").orderBy(F.desc("build_time"))
+    latest = (
+        log.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    rows = {r["name"]: json.loads(r["metadata"]) for r in latest.collect()}
+    assert set(rows) == {"pump-1", "pump-2"}
+    assert rows["pump-1"]["model"]["kind"] == "v2"  # latest wins

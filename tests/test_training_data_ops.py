@@ -871,3 +871,246 @@ def test_repeated_ngram_stats(spark):
     assert out[0] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
     assert out[1] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
     assert out[2] == (3, 0, 0.0)
+
+
+def test_repeated_ngram_hot_split_handles_boilerplate(spark):
+    """Planted 50%-boilerplate corpus: the hot-gram broadcast branch must
+    absorb the skewed key (every boilerplate doc shares ONE 2-gram) so the
+    shuffle join only carries tail grams, and the split must be
+    result-identical to the unsplit semantics."""
+    from gordo_spark.operators.dedup import repeated_ngram_stats
+
+    n = 40
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:  # 50% of docs end with the same boilerplate 2-gram
+            rows.append((i, f"u{i} v{i} subscribe now"))
+        else:
+            rows.append((i, f"a{i} b{i} c{i} d{i}"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_repeated"])
+        for r in repeated_ngram_stats(df, n=2, hot_k=4).collect()
+    }
+    # boilerplate docs: grams {u_i v_i, v_i subscribe, subscribe now} —
+    # only "subscribe now" repeats corpus-wide (20x); others unique
+    for i in range(0, n, 2):
+        assert out[i] == (3, 1)
+    for i in range(1, n, 2):
+        assert out[i] == (3, 0)
+
+    # with hot_k=4 the (count desc) cut must contain the 20x boilerplate
+    # gram, so the tail shuffle join never sees the hot key; the plan keeps
+    # BOTH paths: a broadcast hash join (hot) and the tail join branches
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        repeated_ngram_stats(df, n=2, hot_k=4).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan  # hot branch is map-side
+    assert "Union" in plan  # two-path join re-united before the doc agg
+
+    # hot_k=0 degenerates to the pure shuffle path — same results
+    out0 = {
+        r["doc_id"]: (r["n_grams"], r["n_repeated"])
+        for r in repeated_ngram_stats(df, n=2, hot_k=0).collect()
+    }
+    assert out0 == out
+
+
+def test_unigram_vocab_pruning_and_oov_floor(spark):
+    """min_df prunes singletons into one smoothed OOV bucket; max_vocab
+    hard-caps the broadcast table with a deterministic (tf desc, term asc)
+    cut."""
+    from gordo_spark.operators.text import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                # corpus: a x4, b x3, rare1 x1, rare2 x1  (total 9)
+                "text": ["a a b rare1", "a a b rare2", "b"],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["mean_nll"]
+        for r in unigram_logprob_score(df, min_df=2).collect()
+    }
+    # vocab {a: 4/9, b: 3/9}; OOV mass = 2/9 shared by rare1+rare2
+    la, lb, loov = math.log(4 / 9), math.log(3 / 9), math.log(2 / 9)
+    assert out[0] == pytest.approx(round(-(2 * la + lb + loov) / 4, 6), abs=1e-6)
+    assert out[2] == pytest.approx(round(-lb, 6), abs=1e-6)
+
+    # max_vocab=1 keeps only 'a' (tf desc); b joins rare* in the OOV mass
+    out1 = {
+        r["doc_id"]: r["mean_nll"]
+        for r in unigram_logprob_score(df, min_df=2, max_vocab=1).collect()
+    }
+    loov1 = math.log(5 / 9)  # b(3) + rare(2)
+    assert out1[2] == pytest.approx(round(-loov1, 6), abs=1e-6)
+    assert out1[0] == pytest.approx(round(-(2 * la + 2 * loov1) / 4, 6), abs=1e-6)
+
+
+def test_pii_scrub_ten_digit_phone_forms(spark):
+    """10-digit phones redact WHOLE (no dangling '555-' remnant from a
+    7-digit partial match): parenthesized, dashed, dotted, +1-prefixed."""
+    from gordo_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    "call (555) 123-4567 now",
+                    "call 555-123-4567 now",
+                    "call 555.123.4567 now",
+                    "call +1 555-123-4567 now",
+                    "local 555-0147 still works",
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    for i in range(5):
+        assert rows[i]["n_phone"] == 1, rows[i]["text"]
+        assert "<PHONE>" in rows[i]["text"]
+        assert "555" not in rows[i]["text"], rows[i]["text"]  # no remnant
+
+
+def test_bigram_short_docs_emit_no_row(spark):
+    """Docs under two words contribute no bigram and no output row — a
+    degenerate (word, NULL) pair would inflate its history count
+    corpus-wide."""
+    from gordo_spark.operators.text import bigram_logprob_score
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b", "solo", ""]})
+    )
+    out = {r["doc_id"]: r["mean_nll2"] for r in bigram_logprob_score(df).collect()}
+    assert set(out) == {0}
+    # p(b|a) = 1/1 -> mean_nll2 = 0 exactly (no NULL-pair pollution)
+    assert out[0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_minhash_jaccard_estimate_matches_component_agreement(spark):
+    """Clones agree on every signature component (est 1.0); the estimate
+    equals the hand-computed agreement fraction for any pair."""
+    from gordo_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy dog",  # clone
+                    "completely different words in every position here now",
+                ],
+            }
+        )
+    )
+    sigs = minhash_signatures(df, num_hashes=8)
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 0], "id_b": [1, 2]})
+    )
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_jaccard_estimate(sigs, pairs, num_hashes=8).collect()
+    }
+    assert est[(0, 1)] == 1.0  # identical docs -> identical signatures
+    # hand-compute agreement for the (0, 2) pair from the signatures
+    s = {r["doc_id"]: [r[f"m{i}"] for i in range(8)] for r in sigs.collect()}
+    agree = sum(a == b for a, b in zip(s[0], s[2])) / 8
+    assert est[(0, 2)] == pytest.approx(round(agree, 6), abs=1e-9)
+
+
+def test_ngram_novelty_orders_by_first_appearance(spark):
+    from gordo_spark.operators.dedup import ngram_novelty
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "a b c d",    # all 2-grams first seen here
+                    "a b c d",    # exact copy -> nothing novel
+                    "a b x y",    # "a b" seen in doc 0; "b x","x y" novel
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novel_frac"])
+        for r in ngram_novelty(df, n=2, hot_k=2).collect()
+    }
+    assert out[0] == (3, 3, 1.0)
+    assert out[1] == (3, 0, 0.0)
+    assert out[2] == (3, 2, pytest.approx(round(2 / 3, 6), abs=1e-9))
+
+
+def test_token_entropy_extremes(spark):
+    from gordo_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["x x x x", "a b c d"]}
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["entropy"])
+        for r in token_entropy(df).collect()
+    }
+    assert out[0] == (4, 0.0)  # single repeated token -> zero entropy
+    assert out[1] == (4, pytest.approx(round(math.log(4), 6), abs=1e-9))
+
+
+def test_doc_length_histogram_bins_and_fractions(spark):
+    from gordo_spark.operators.text import doc_length_histogram
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["a b", "c d e", "f " * 33, "g " * 40],
+            }
+        )
+    )
+    rows = {
+        r["bin_start"]: (r["n_docs"], r["frac"])
+        for r in doc_length_histogram(df, bin_width=32).collect()
+    }
+    # "f " * 33 -> split gives 34 tokens (trailing ""? no: split on " " of
+    # "f f ... f " ends with empty string token) — size() counts it; both
+    # 33/34-token docs land in bin 32 either way, short docs in bin 0
+    assert rows[0][0] == 2
+    assert sum(n for n, _ in rows.values()) == 4
+    assert sum(f for _, f in rows.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_source_langmix_fractions(spark):
+    from gordo_spark.operators.text import source_langmix
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(5),
+                "source": ["web", "web", "web", "wiki", "wiki"],
+                "lang": ["en", "en", "de", "en", "en"],
+                "text": ["x"] * 5,
+            }
+        )
+    )
+    out = {
+        (r["source"], r["lang"]): (r["n_docs"], r["frac"])
+        for r in source_langmix(df).collect()
+    }
+    assert out[("web", "en")] == (2, pytest.approx(round(2 / 3, 6)))
+    assert out[("web", "de")] == (1, pytest.approx(round(1 / 3, 6)))
+    assert out[("wiki", "en")] == (2, 1.0)
