@@ -75,7 +75,13 @@ HEADLINE = [
     "source_tokens",
     "sim_bruteforce",
     "sim_ivf",
+    "sim_ivf_probe",
     "mm_metadata",
+    "minhash_est",
+    "ngram_novelty",
+    "token_entropy",
+    "length_histogram",
+    "source_langmix",
 ]
 
 

@@ -502,6 +502,8 @@ def repeated_ngram_stats(
     text_col: str = "text",
     n: int = 10,
     hot_k: int = 1024,
+    hot_min: int = 100_000,
+    probe_fraction: float = 0.01,
 ) -> DataFrame:
     """Per-document repeated-span statistics a la Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better"): for
@@ -517,13 +519,15 @@ def repeated_ngram_stats(
     Skew: the join-back key is power-law BY CONSTRUCTION — boilerplate
     grams shared by millions of documents are exactly what this operator
     exists to find, and a plain shuffle join lands each hot gram's every
-    occurrence in one task. Standard power-law split: the ``hot_k`` most
-    frequent grams (deterministic ``(count desc, gh asc)`` cut — a
-    TakeOrdered over the aggregated gram table, hard-bounded rows) are
-    BROADCAST and joined map-side; only the long tail goes through the
-    shuffle join, whose per-key multiplicity is below the hot cutoff.
-    The two branches union before the final per-doc aggregate, which is
-    keyed by unique doc ids (no skew).
+    occurrence in one task. Standard power-law split via
+    ``_hot_split_join``, engaged ADAPTIVELY: a sampled probe estimates
+    the top gram counts, and only grams reaching ``hot_min`` corpus
+    occurrences take the broadcast map-side branch (at most ``hot_k``
+    keys); the tail goes through the shuffle join whose per-key
+    multiplicity stays below the cutoff. A skew-free corpus (or small sf)
+    degrades to the plain shuffle join plus one cheap probe job. The
+    branches union before the final per-doc aggregate, which is keyed by
+    unique doc ids (no skew).
 
     Gram encoding: ``xxhash64`` over the sliced word array directly —
     no n-word string is ever materialized (measured ~30% faster than
@@ -532,16 +536,12 @@ def repeated_ngram_stats(
     external table), so the engine-portable md5-string encoding is not
     required; 64-bit hashing makes corpus-scale collisions negligible.
     """
-    words = F.split(F.col(text_col), " ")
-    seq = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(seq, lambda i: F.xxhash64(F.slice(words, i, n)))
-        ).alias("gh"),
-    )
+    grams = _gram_stream(df, id_col, text_col, n)
     counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
-    joined = _hot_split_join(grams, counts, hot_k)
+    joined = _hot_split_join(
+        grams, counts, hot_k, hot_min, probe_fraction,
+        probe_src=_gram_probe(df, id_col, text_col, n, probe_fraction),
+    )
     return (
         joined.groupBy(id_col)
         .agg(
@@ -556,18 +556,82 @@ def repeated_ngram_stats(
     )
 
 
-def _hot_split_join(grams: DataFrame, stats: DataFrame, hot_k: int) -> DataFrame:
+def _gram_stream(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, xxhash64-of-n-word-slice) stream — one explode, no string
+    materialization (see repeated_ngram_stats's gram-encoding note)."""
+    words = F.split(F.col(text_col), " ")
+    seq = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(seq, lambda i: F.xxhash64(F.slice(words, i, n)))
+        ).alias("gh"),
+    )
+
+
+def _gram_probe(
+    df: DataFrame, id_col: str, text_col: str, n: int, probe_fraction: float
+) -> DataFrame | None:
+    """Gram stream of a PRE-explode document sample: the skew probe scans
+    ``probe_fraction`` of the corpus instead of sampling after the full
+    explode (which would still pay the whole scan)."""
+    if probe_fraction >= 1.0:
+        return None
+    return _gram_stream(df.sample(probe_fraction, seed=0), id_col, text_col, n)
+
+
+def _hot_split_join(
+    grams: DataFrame,
+    stats: DataFrame,
+    hot_k: int,
+    hot_min: int = 100_000,
+    probe_fraction: float = 0.01,
+    probe_src: DataFrame | None = None,
+) -> DataFrame:
     """Power-law-safe join of per-gram ``stats`` back onto the exploded
-    ``grams`` stream: the ``hot_k`` most frequent grams (by the ``_c``
-    count column, deterministic ``(_c desc, gh asc)`` cut) broadcast and
-    join map-side; the tail goes through the shuffle join whose per-key
-    multiplicity is bounded by the hot cutoff. Both branches union —
-    result identical to a plain ``grams.join(stats, "gh")``."""
-    hot = stats.orderBy(F.col("_c").desc(), F.col("gh").asc()).limit(int(hot_k))
-    tail = stats.join(F.broadcast(hot.select("gh")), "gh", "left_anti")
-    return grams.join(F.broadcast(hot), "gh").unionByName(
-        grams.join(F.broadcast(hot.select("gh")), "gh", "left_anti").join(
-            tail, "gh"
+    ``grams`` stream, ADAPTIVE: a cheap sampled probe (one job over
+    ``probe_fraction`` of the stream) estimates the top gram frequencies;
+    only if some gram's estimated corpus count reaches ``hot_min`` does
+    the two-path split engage — the (at most ``hot_k``) hot keys join
+    map-side against a broadcast of their (filtered, pushed-below-the-agg)
+    stats rows, the tail goes through the shuffle join whose per-key
+    multiplicity stays below the hot cutoff, and the branches union.
+    Otherwise the join is the plain shuffle equi-join: at small scale (or
+    a genuinely boilerplate-free corpus) the split's extra scans are pure
+    overhead, and AQE's skew-join already smooths moderate imbalance.
+
+    The probe is the same fit-time-scalar boundary as thresholds and
+    centroids elsewhere: a bounded (<= hot_k) key list crosses the
+    driver, never data. The probe only picks the PLAN, never the values —
+    any sampling outcome yields an identical result, so the output is
+    deterministic regardless of the sample.
+    """
+    if hot_k <= 0:
+        return grams.join(stats, "gh")
+    # probe_src: pass the gram stream of a PRE-explode document sample so
+    # the probe scans probe_fraction of the corpus, not all of it
+    est = (
+        (probe_src if probe_src is not None else grams)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_pc"))
+        .orderBy(F.col("_pc").desc(), F.col("gh").asc())
+        .limit(int(hot_k))
+        .collect()
+    )
+    cutoff = max(hot_min * min(probe_fraction, 1.0), 1.0)
+    hot_keys = [r["gh"] for r in est if r["_pc"] >= cutoff]
+    if not hot_keys:
+        return grams.join(stats, "gh")
+    in_hot = F.col("gh").isin(hot_keys)
+    # stats.filter on the GROUPING key pushes below the aggregate: the hot
+    # branch's build side aggregates only hot-key rows (map-side combined)
+    return (
+        grams.filter(in_hot)
+        .join(F.broadcast(stats.filter(in_hot)), "gh")
+        .unionByName(
+            grams.filter(~in_hot).join(stats.filter(~in_hot), "gh")
         )
     )
 
@@ -578,6 +642,8 @@ def ngram_novelty(
     text_col: str = "text",
     n: int = 5,
     hot_k: int = 1024,
+    hot_min: int = 100_000,
+    probe_fraction: float = 0.01,
 ) -> DataFrame:
     """Per-document n-gram NOVELTY: the fraction of a document's word
     n-gram occurrences whose first corpus appearance (min doc id over the
@@ -595,18 +661,14 @@ def ngram_novelty(
     back (the hot grams are by definition the most shared — exactly the
     keys that would straggle a plain shuffle join).
     """
-    words = F.split(F.col(text_col), " ")
-    seq = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(seq, lambda i: F.xxhash64(F.slice(words, i, n)))
-        ).alias("gh"),
-    )
+    grams = _gram_stream(df, id_col, text_col, n)
     stats = grams.groupBy("gh").agg(
         F.count(F.lit(1)).alias("_c"), F.min(id_col).alias("_first")
     )
-    joined = _hot_split_join(grams, stats, hot_k)
+    joined = _hot_split_join(
+        grams, stats, hot_k, hot_min, probe_fraction,
+        probe_src=_gram_probe(df, id_col, text_col, n, probe_fraction),
+    )
     novel = F.sum(
         F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
     )

@@ -889,9 +889,10 @@ def test_repeated_ngram_hot_split_handles_boilerplate(spark):
             rows.append((i, f"a{i} b{i} c{i} d{i}"))
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
 
+    kw = dict(n=2, hot_k=4, hot_min=10, probe_fraction=1.0)
     out = {
         r["doc_id"]: (r["n_grams"], r["n_repeated"])
-        for r in repeated_ngram_stats(df, n=2, hot_k=4).collect()
+        for r in repeated_ngram_stats(df, **kw).collect()
     }
     # boilerplate docs: grams {u_i v_i, v_i subscribe, subscribe now} —
     # only "subscribe now" repeats corpus-wide (20x); others unique
@@ -908,7 +909,7 @@ def test_repeated_ngram_hot_split_handles_boilerplate(spark):
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        repeated_ngram_stats(df, n=2, hot_k=4).explain("formatted")
+        repeated_ngram_stats(df, **kw).explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan  # hot branch is map-side
     assert "Union" in plan  # two-path join re-united before the doc agg
@@ -919,6 +920,15 @@ def test_repeated_ngram_hot_split_handles_boilerplate(spark):
         for r in repeated_ngram_stats(df, n=2, hot_k=0).collect()
     }
     assert out0 == out
+
+    # a skew-free corpus (no gram reaches hot_min) adaptively degrades to
+    # the plain shuffle join: no union, no broadcast branch — identical
+    # results with none of the split's extra scans
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        repeated_ngram_stats(df, n=2, hot_k=4, hot_min=1000,
+                             probe_fraction=1.0).explain("formatted")
+    assert "Union" not in buf.getvalue()
 
 
 def test_unigram_vocab_pruning_and_oov_floor(spark):
