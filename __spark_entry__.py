@@ -2530,10 +2530,15 @@ def q_sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"gordo_spark_ivf_{tag}")
     marker = os.path.join(path, "_done")
-    if not os.path.exists(marker):
+    version = "ivf-v1 cells=8"  # bump if ivf_write's layout changes
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != version
+    if stale:
         ivf_write(embs, path, n_cells=8)
         with open(marker, "w") as fh:
-            fh.write("ok\n")
+            fh.write(version + "\n")
     out = ivf_probe(
         spark, path, embs.filter(F.col("vec_id") < 10), k=5, n_probe=2
     )
@@ -4156,6 +4161,74 @@ ORDER BY 1
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup -> click -> purchase funnel
+    (operators/ranges.funnel_steps): per step, users who completed the
+    chain in order (greedy earliest-match), with conversion vs step 1.
+    Chained user-keyed joins; 1-row base-count broadcast."""
+    from gordo_spark.operators.ranges import funnel_steps
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["signup", "click", "purchase"])
+
+
+O_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+c AS (
+  SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+),
+b AS (SELECT n_users AS base FROM c WHERE step = 1)
+SELECT step, event_type, n_users,
+       ROUND(n_users * 1.0 / base, 6) AS conversion
+FROM c, b
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (operators/ranges.retention_cohorts):
+    users grouped by first-activity week; per (cohort, week_offset) the
+    active count and retention ratio. One distinct shuffle; cohort-size
+    join keyed by the bounded calendar-week dimension."""
+    from gordo_spark.operators.ranges import retention_cohorts
+
+    return retention_cohorts(read_table(spark, sf_dir, "events"))
+
+
+O_EVENTS_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS week
+  FROM events
+),
+c AS (SELECT u, min(week) AS cohort_week FROM uw GROUP BY u),
+a AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+         count(*) AS n_users
+  FROM uw JOIN c USING (u)
+  GROUP BY 1, 2
+),
+s AS (SELECT cohort_week, n_users AS sz FROM a WHERE week_offset = 0)
+SELECT a.cohort_week, a.week_offset, a.n_users,
+       ROUND(a.n_users * 1.0 / s.sz, 6) AS retention
+FROM a JOIN s USING (cohort_week)
+"""
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (operators/sampling): md5-bucket
     thresholds — a pure projection, no shuffle, stable under
@@ -4304,6 +4377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "events_interval_join": q_events_interval_join,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         # --- remaining timeseries / ML contracts ---
         "j1_resample_multi": q_j1_resample_multi,
         "j2_ffill": q_j2_ffill,
@@ -4467,4 +4542,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": O_ASOF,
         "events_interval_join": O_INTERVAL,
         "events_sessionize": O_SESSIONIZE,
+        "events_funnel": O_EVENTS_FUNNEL,
+        "events_retention": O_EVENTS_RETENTION,
     }

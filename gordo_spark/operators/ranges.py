@@ -101,3 +101,106 @@ def session_stats(
             - epoch_seconds(F.min(F.col(ts_col)))
         ).alias("duration_s"),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each step i, the number of users who
+    performed ``steps[0] -> ... -> steps[i]`` IN ORDER — each step
+    matched at its EARLIEST time strictly after the user's previous
+    step's match (the standard product-analytics funnel; greedy
+    first-match is optimal for reachability: matching any later
+    occurrence can only shrink the remaining window). Output one row per
+    step: (step, event_type, n_users, conversion), conversion relative
+    to step 1.
+
+    Scale shape: step i is one filtered scan (the type predicate pushes
+    to the source) joined to the previous step's (user, ts) frame — a
+    user-keyed equi-join (unique users, no skew) followed by a map-side-
+    combined min. k steps = k chained joins; the per-step frames carry
+    two columns. The final conversion join is a 1-row scalar broadcast.
+    """
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    per_step = []
+    prev = None
+    for i, s in enumerate(steps):
+        ev = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                ev.join(prev, "_u")
+                .filter(F.col("_ts") > F.col("_pt"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        prev = cur.select("_u", F.col("_t").alias("_pt"))
+        per_step.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = per_step[0]
+    for f in per_step[1:]:
+        out = out.unionByName(f)
+    base = per_step[0].select(F.col("n_users").alias("_base"))
+    return out.crossJoin(F.broadcast(base)).select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(F.col("n_users") / F.col("_base"), 6).alias("conversion"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week
+    (their cohort); for every (cohort_week, week_offset) the number of
+    cohort users active that week and the retention ratio vs the cohort
+    size — the curve behind every retention dashboard.
+
+    Scale shape: one distinct over (user, week) — the only corpus-sized
+    shuffle, map-side combined; the cohort assignment is a user-keyed
+    min + join (unique keys); the cohort-size join back is keyed by
+    calendar week, a GENUINELY bounded dimension (weeks since epoch), so
+    its broadcast is safe at any corpus size.
+    """
+    # week kept as TIMESTAMP (midnight Monday): engine-portable through
+    # Arrow/pandas, unlike DATE which pandas round-trips as object
+    wk = F.date_trunc("week", F.col(ts_col))
+    user_weeks = events.select(
+        F.col(user_col).alias("_u"), wk.alias("week")
+    ).distinct()
+    cohorts = user_weeks.groupBy("_u").agg(F.min("week").alias("cohort_week"))
+    active = (
+        user_weeks.join(cohorts, "_u")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = active.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("_size")
+    )
+    return active.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") / F.col("_size"), 6).alias("retention"),
+    )

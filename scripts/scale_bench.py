@@ -131,10 +131,84 @@ def bucket_experiment(spark):
     return {"t_plain_smj_s": round(t_plain, 3), "t_bucketed_s": round(t_bucketed, 3)}
 
 
+def hot_split_experiment(spark):
+    """Planted-boilerplate corpus: documents x20 (shifted ids), half with
+    a shared 24-token boilerplate suffix — every fully-inside 10-gram of
+    the suffix occurs in HALF the corpus, the power-law key
+    repeated_ngram_stats joins on. Measures wall-clock (plain vs adaptive
+    split) and the cluster-relevant number: max/median rows per shuffle
+    partition of the join input with and without the hot keys removed."""
+    import statistics
+
+    from gordo_spark.operators.dedup import _gram_stream, repeated_ngram_stats
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    wide = docs
+    for i in range(1, 20):
+        wide = wide.unionByName(
+            docs.select(
+                (F.col("doc_id") + 100_000 * i).alias("doc_id"), "text"
+            )
+        )
+    boiler = " ".join(f"bp{i}" for i in range(24))
+    skewed = wide.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" " + boiler)),
+        ).otherwise(F.col("text")),
+    )
+    kw = dict(n=10, hot_min=10_000)  # boilerplate grams ~ |corpus|/2 >> hot_min
+    t_plain = timed(
+        "plain",
+        lambda: repeated_ngram_stats(skewed, hot_k=0, **kw)
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+    t_split = timed(
+        "split",
+        lambda: repeated_ngram_stats(skewed, **kw)
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+
+    grams = _gram_stream(skewed, "doc_id", "text", 10)
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
+    hot_keys = [r["gh"] for r in counts.filter(F.col("_c") >= 10_000).collect()]
+
+    def balance(df, nparts=2048):
+        # 2048 partitions = cluster-realistic shuffle width. The ratio
+        # scales with partition count (hot-key volume is fixed, median
+        # partition shrinks), so measuring at local[32]'s 32 partitions
+        # would understate the straggler by ~64x.
+        rows = (
+            df.repartition(nparts, "gh")
+            .select(F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .count()
+            .collect()
+        )
+        cnts = sorted(r["count"] for r in rows)
+        return round(cnts[-1] / statistics.median(cnts), 2)
+
+    return {
+        "n_hot_keys": len(hot_keys),
+        "t_plain_s": round(t_plain, 3),
+        "t_split_s": round(t_split, 3),
+        "plain_max_over_median": balance(grams),
+        "tail_max_over_median": balance(
+            grams.filter(~F.col("gh").isin(hot_keys))
+        ),
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
     bucket = bucket_experiment(spark)
+    hot = hot_split_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -160,6 +234,28 @@ def main():
         "",
         "Bucketed excludes the one-time layout write: the layout is paid",
         "once and amortized over every subsequent join on that key.",
+        "",
+        "## Hot-gram split (repeated_ngram_stats, 100k docs, 50% boilerplate)",
+        "",
+        f"- {hot['n_hot_keys']} grams above the hot cutoff (each in ~half "
+        "the corpus)",
+        f"- plain shuffle count-join: {hot['t_plain_s']} s; gram-key "
+        "shuffle max/median partition rows AT CLUSTER WIDTH (2048 "
+        f"partitions) = {hot['plain_max_over_median']}x",
+        f"- adaptive hot/tail split: {hot['t_split_s']} s; TAIL shuffle "
+        f"max/median partition rows = {hot['tail_max_over_median']}x",
+        "",
+        "The balance ratio is the cluster number: at a 2048-wide shuffle,",
+        "plain lands each boilerplate gram's whole volume in one task (the",
+        "straggler whose finish time IS the stage's); the split's broadcast",
+        "branch absorbs those keys so the shuffle only carries the balanced",
+        "tail. Local wall-clock runs the OTHER way (the split's extra scan",
+        "costs more than 32 local threads lose to a straggler) — which is",
+        "exactly why the split is ADAPTIVE: the sampled probe engages it",
+        "only when some key's volume crosses hot_min, the point where one",
+        "task's input stops fitting the task-size envelope; below that the",
+        "operator stays on the plain join (and AQE's skew-split smooths",
+        "partition-level imbalance).",
         "",
     ]
     out = "\n".join(lines)

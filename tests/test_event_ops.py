@@ -3,6 +3,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from gordo_spark.operators.asof import asof_join
@@ -152,3 +153,61 @@ def test_session_stats_counts_and_duration(spark, sf_dir):
     total_events = stats.agg(F.sum("n_events")).collect()[0][0]
     assert total_events == ev.count()  # every event in exactly one session
     assert stats.filter(F.col("duration_s") < 0).count() == 0
+
+
+def test_funnel_steps_orders_and_counts(spark):
+    from gordo_spark.operators.ranges import funnel_steps
+
+    rows = [
+        # u1 completes a -> b -> c in order
+        (1, "2024-01-01 00:00", "a"),
+        (1, "2024-01-01 01:00", "b"),
+        (1, "2024-01-01 02:00", "c"),
+        # u2 does b BEFORE a, then never again: stalls at step 1
+        (2, "2024-01-01 00:30", "b"),
+        (2, "2024-01-01 01:00", "a"),
+        # u3 does a then c (skips b): stalls at step 1
+        (3, "2024-01-01 00:00", "a"),
+        (3, "2024-01-01 03:00", "c"),
+        # u4 never does a: not in the funnel at all
+        (4, "2024-01-01 00:00", "b"),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["step"]: (r["event_type"], r["n_users"], r["conversion"])
+        for r in funnel_steps(ev, ["a", "b", "c"]).collect()
+    }
+    assert out[1] == ("a", 3, 1.0)
+    assert out[2] == ("b", 1, pytest.approx(round(1 / 3, 6)))
+    assert out[3] == ("c", 1, pytest.approx(round(1 / 3, 6)))
+
+
+def test_retention_cohorts_weekly(spark):
+    from gordo_spark.operators.ranges import retention_cohorts
+
+    rows = [
+        # cohort week of 2024-01-01 (Mon): u1 active wk0 and wk1, u2 wk0 only
+        (1, "2024-01-02 10:00"),
+        (1, "2024-01-09 10:00"),
+        (2, "2024-01-03 10:00"),
+        # cohort week of 2024-01-08: u3 active wk0 and wk2
+        (3, "2024-01-10 10:00"),
+        (3, "2024-01-22 10:00"),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"])
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (str(r["cohort_week"].date()), r["week_offset"]): (
+            r["n_users"],
+            r["retention"],
+        )
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1.0)
+    assert out[("2024-01-08", 2)] == (1, 1.0)
+    assert ("2024-01-08", 1) not in out
