@@ -469,6 +469,69 @@ WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT R
 """
 
 
+def q_p9_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series winsorization (operators/filters.winsorize): clamp each
+    tag's values to its exact [5th, 95th] percentiles — robust cleaning
+    that keeps the time axis intact (vs filter_periods' span removal).
+    One |tags|-row bounds aggregate broadcast back; no data shuffle."""
+    from gordo_spark.operators.filters import winsorize
+
+    return winsorize(_events_long(spark, sf_dir), lower=0.05, upper=0.95)
+
+
+O_P9_WINSORIZE = """
+WITH res AS (
+  SELECT event_type AS tag, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events
+  WHERE event_type IN ('click','view','purchase','error','signup')
+),
+b AS (
+  SELECT tag,
+         ROUND(quantile_cont(value, 0.05), 6) AS lo,
+         ROUND(quantile_cont(value, 0.95), 6) AS hi
+  FROM res GROUP BY tag
+)
+SELECT res.tag, res.ts,
+       ROUND(least(greatest(value, lo), hi), 6) AS value,
+       CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS was_clipped
+FROM res JOIN b USING (tag)
+"""
+
+
+def q_w9_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing rolling z-score spike detector
+    (operators/smoothing.rolling_zscore): per-tag 24-bucket window
+    mean/std over the resampled series, |z| > 2 flags — every window
+    PARTITIONED by tag (fleet shape)."""
+    from gordo_spark.operators.smoothing import rolling_zscore
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return _r6(rolling_zscore(res, window=24, threshold=2.0), "value")
+
+
+O_W9_ZSCORE = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT tag, ts, value,
+         count(value) OVER w AS n,
+         ROUND(avg(value) OVER w, 6) AS m,
+         ROUND(stddev_samp(value) OVER w, 6) AS s
+  FROM res
+  WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT tag, ts, ROUND(value, 6) AS value,
+       CASE WHEN n >= 24 AND s > 0 THEN ROUND((value - m) / s, 6) END AS zscore,
+       CASE WHEN n >= 24 AND s > 0 AND abs(ROUND((value - m) / s, 6)) > 2
+            THEN 1 ELSE 0 END AS is_outlier
+FROM stats
+"""
+
+
 # ------------------------------------------------------------- W3 ewma
 def q_w3_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 — exact pandas ewm(span=12).mean() per tag via applyInPandas.
@@ -4388,6 +4451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_inf_impute": q_p7_inf_impute,
         "w2_sma": q_w2_sma,
         "w6_shift": q_w6_shift,
+        "p9_winsorize": q_p9_winsorize,
+        "w9_rolling_zscore": q_w9_rolling_zscore,
         "a7_quantile": q_a7_quantile,
         "a8_fold_threshold": q_a8_fold_threshold,
         "a9_explained_variance": q_a9_explained_variance,
@@ -4446,6 +4511,8 @@ def oracle_sql() -> dict[str, str]:
         # w3_ewma: rows-only (recursive EWMA not SQL-expressible)
         "w3_ewma": O_W3_EWMA,
         "w6_shift": O_W6,
+        "p9_winsorize": O_P9_WINSORIZE,
+        "w9_rolling_zscore": O_W9_ZSCORE,
         "a7_quantile": O_A7,
         "a8_fold_threshold": O_A8,
         "a9_explained_variance": O_A9,

@@ -82,6 +82,10 @@ HEADLINE = [
     "token_entropy",
     "length_histogram",
     "source_langmix",
+    "events_funnel",
+    "events_retention",
+    "p9_winsorize",
+    "w9_rolling_zscore",
 ]
 
 

@@ -141,3 +141,37 @@ def require_n_samples(df: DataFrame, n_samples_threshold: int) -> DataFrame:
                 f"{n} rows after filtering < n_samples_threshold={n_samples_threshold}"
             )
     return df
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    lower: float = 0.05,
+    upper: float = 0.95,
+    machine_col: str = "tag",
+) -> DataFrame:
+    """Per-series winsorization: clamp values to the series' exact
+    [lower, upper] percentiles — the robust-cleaning alternative to
+    dropping outlier rows (keeps the time axis intact for resampling,
+    unlike filter_periods which removes whole spans).
+
+    Train-time-stats shape (same boundary as the inf imputer, A6): one
+    exact-percentile aggregate per series — a |series|-rows frame —
+    broadcast back onto the stream; the data itself never shuffles.
+    Bounds are rounded to 6dp before the clamp so the clip boundary is
+    engine-portable.
+    """
+    v = F.col("`" + value_col + "`")
+    bounds = df.groupBy(machine_col).agg(
+        F.round(F.expr(f"percentile(`{value_col}`, {float(lower)})"), 6).alias("_lo"),
+        F.round(F.expr(f"percentile(`{value_col}`, {float(upper)})"), 6).alias("_hi"),
+    )
+    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return df.join(F.broadcast(bounds), machine_col).select(
+        machine_col,
+        "ts",
+        F.round(clamped, 6).alias(value_col),
+        F.when((v < F.col("_lo")) | (v > F.col("_hi")), 1)
+        .otherwise(0)
+        .alias("was_clipped"),
+    )

@@ -106,3 +106,41 @@ def ewma(
         .groupBy("_g")
         .applyInPandas(lambda p: _ewm(p.drop(columns="_g")), schema=schema)
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    window: int = 24,
+    threshold: float = 2.0,
+    ts_col: str = "ts",
+    machine_col: str = "tag",
+) -> DataFrame:
+    """Trailing rolling z-score per series: ``z = (x - mean_w) / std_w``
+    over the previous ``window`` samples (min_periods=window, sample
+    std), with an outlier flag at ``|z| > threshold`` — the classic
+    online spike detector a sensor-cleaning pass runs before resampling
+    feeds a model.
+
+    One window pass PARTITIONED by the series key (the fleet shape —
+    never a global window); z and the flag come from the same frame, so
+    no second shuffle. First ``window-1`` rows and zero-variance frames
+    yield NULL z / flag 0, matching pandas ``rolling(min_periods=w)``.
+    Mean/std are rounded to 6dp before the ratio so the boundary is
+    engine-portable (summation-order ulps would otherwise leak into z).
+    """
+    frame = _trailing(
+        Window.partitionBy(machine_col).orderBy(ts_col), window
+    )
+    v = F.col("`" + value_col + "`")
+    full = F.count(v).over(frame) >= window
+    mean = F.round(F.avg(v).over(frame), 6)
+    std = F.round(F.stddev_samp(v).over(frame), 6)
+    z = F.when(full & (std > 0), F.round((v - mean) / std, 6))
+    return df.select(
+        machine_col,
+        ts_col,
+        value_col,
+        z.alias("zscore"),
+        F.when(F.abs(z) > threshold, 1).otherwise(0).alias("is_outlier"),
+    )

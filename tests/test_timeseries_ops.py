@@ -386,3 +386,62 @@ def test_multimachine_pipeline_partitions_every_window(spark, sf_dir):
             np.testing.assert_allclose(got[c], solo[c], rtol=0, atol=0, equal_nan=True)
         else:
             assert (got[c] == solo[c]).all()
+
+
+def test_winsorize_clamps_to_series_percentiles(spark):
+    import pandas as pd
+
+    from gordo_spark.operators.filters import winsorize
+
+    pdf = pd.DataFrame(
+        {
+            "tag": ["a"] * 11,
+            "ts": pd.date_range("2024-01-01", periods=11, freq="1h"),
+            "value": [float(i) for i in range(10)] + [1000.0],
+        }
+    )
+    out = winsorize(
+        spark.createDataFrame(pdf), lower=0.1, upper=0.9, machine_col="tag"
+    ).toPandas()
+    # exact percentiles of 0..9,1000: p10 = 1.0, p90 = 10*0.9 -> interp
+    import numpy as np
+
+    lo = np.percentile(pdf["value"], 10)
+    hi = np.percentile(pdf["value"], 90)
+    assert out["value"].max() == round(hi, 6)
+    assert out["value"].min() == round(lo, 6)
+    assert out["was_clipped"].sum() == int((pdf["value"] < lo).sum() + (pdf["value"] > hi).sum())
+
+
+def test_rolling_zscore_flags_spike_and_masks_warmup(spark):
+    import numpy as np
+    import pandas as pd
+
+    from gordo_spark.operators.smoothing import rolling_zscore
+
+    vals = [1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 50.0]
+    pdf = pd.DataFrame(
+        {
+            "tag": ["a"] * 10,
+            "ts": pd.date_range("2024-01-01", periods=10, freq="1h"),
+            "value": vals,
+        }
+    )
+    # threshold 1.2: a spike inside ITS OWN trailing window inflates the
+    # window std, capping z near sqrt(w-1)/~1.5 for w=4 — 2.0 would never
+    # fire on a single spike at this window size
+    out = (
+        rolling_zscore(spark.createDataFrame(pdf), window=4, threshold=1.2)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # first window-1 rows: no z, no flag
+    assert out.loc[:2, "zscore"].isna().all()
+    assert (out.loc[:2, "is_outlier"] == 0).all()
+    # the spike's window [1,2,1,50]: z = (50-mean)/std, pandas parity
+    w = pd.Series(vals).rolling(4, min_periods=4)
+    m, s = round(w.mean().iloc[-1], 6), round(w.std().iloc[-1], 6)
+    assert out.loc[9, "zscore"] == pytest.approx(round((50.0 - m) / s, 6), abs=1e-9)
+    assert out.loc[9, "is_outlier"] == 1
+    assert (out.loc[3:8, "is_outlier"] == 0).all()
