@@ -1,0 +1,134 @@
+"""Source-partitioned corpus lake with incremental releases.
+
+The documents-side analogue of the sensor lake (sources/lake.py): a
+training corpus laid out as
+
+    <root>/source=<name>/part-*.parquet     (hive-style partition column)
+
+so mixture-plan reads (``source IN (...)``) become PARTITION pruning and
+per-source curation jobs touch only their directories.
+
+``incremental_release`` is the data-versioning story at 100 TB: a new
+corpus snapshot usually changes a FEW sources (one crawl refreshed, one
+licensed set re-delivered) while the rest of the lake is byte-identical.
+Diffing by content hash (operators/dedup.corpus_diff — only (id, md5)
+crosses the join) finds the touched sources; Spark's DYNAMIC partition
+overwrite then rewrites exactly those ``source=`` directories from the
+snapshot — unchanged sources are never read, never written, and keep
+their files (and their downstream caches) intact. Sources dropped
+entirely from the snapshot are removed explicitly (dynamic overwrite
+only replaces partitions it writes rows into).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gordo_spark.operators.dedup import corpus_diff
+
+
+def write_corpus_lake(
+    df: DataFrame,
+    path: str,
+    source_col: str = "source",
+    files_per_source: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write documents as a source-partitioned lake; rows sorted by doc id
+    within files so id-range row-group stats stay sharp."""
+    (
+        df.repartition(files_per_source, source_col)
+        .sortWithinPartitions(source_col, "doc_id")
+        .write.mode(mode)
+        .partitionBy(source_col)
+        .parquet(path)
+    )
+
+
+def read_corpus_lake(
+    spark: SparkSession,
+    path: str,
+    sources: list[str] | None = None,
+    source_col: str = "source",
+) -> DataFrame:
+    """Partition-pruned corpus read: with ``sources`` given, only those
+    ``source=`` directories are listed/scanned."""
+    df = spark.read.parquet(path)
+    if sources is not None:
+        df = df.filter(F.col(source_col).isin(list(sources)))
+    return df
+
+
+def incremental_release(
+    spark: SparkSession,
+    path: str,
+    snapshot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    files_per_source: int = 1,
+) -> dict[str, int]:
+    """Bring the lake to ``snapshot`` rewriting ONLY the touched
+    ``source=`` partitions; returns the release summary.
+
+    Shape: the content diff moves only (id, md5) through a full-outer
+    join; touched sources come from one id-keyed join of the diff onto
+    the two (id, source) projections; the write is a dynamic partition
+    overwrite of exactly the touched sources' rows. An untouched source
+    costs zero read and zero write.
+    """
+    current = read_corpus_lake(spark, path, source_col=source_col)
+    diff = corpus_diff(current, snapshot, id_col=id_col, text_col=text_col)
+
+    src_of = (
+        snapshot.select(id_col, source_col)
+        .unionByName(current.select(id_col, source_col))
+        .distinct()
+    )
+    touched = [
+        r[0]
+        for r in diff.join(src_of, id_col)
+        .select(source_col)
+        .distinct()
+        .collect()
+    ]
+    counts = {r["status"]: r["n"] for r in diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()}
+
+    new_sources = {r[0] for r in snapshot.select(source_col).distinct().collect()}
+    old_sources = {r[0] for r in current.select(source_col).distinct().collect()}
+    dropped = sorted((old_sources - new_sources) & set(touched))
+    rewrite = sorted(set(touched) - set(dropped))
+
+    if rewrite:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            write_corpus_lake(
+                snapshot.filter(F.col(source_col).isin(rewrite)),
+                path,
+                source_col=source_col,
+                files_per_source=files_per_source,
+                mode="overwrite",
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for s in dropped:
+        # dynamic overwrite cannot delete a partition it writes no rows to;
+        # local-path removal stands in for the catalog DROP PARTITION a
+        # cluster deployment would issue
+        d = os.path.join(path, f"{source_col}={s}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    return {
+        "added": counts.get("added", 0),
+        "removed": counts.get("removed", 0),
+        "changed": counts.get("changed", 0),
+        "sources_rewritten": len(rewrite),
+        "sources_dropped": len(dropped),
+    }

@@ -192,3 +192,99 @@ def test_asof_join_matches_pandas_property(spark, pair):
         rtol=0,
         atol=0,
     )
+
+
+@st.composite
+def random_corpus(draw):
+    """Small random documents: token sequences over a tiny alphabet so
+    repetition/sharing happens often."""
+    n = draw(st.integers(min_value=2, max_value=12))
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(min_value=1, max_value=12))
+        toks = draw(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d", "e"]),
+                min_size=k,
+                max_size=k,
+            )
+        )
+        docs.append((i, " ".join(toks)))
+    return pd.DataFrame(docs, columns=["doc_id", "text"])
+
+
+@given(pdf=random_corpus())
+@settings(**SETTINGS)
+def test_hot_split_join_equals_plain_join(spark, pdf):
+    """The adaptive hot/tail split must be result-identical to the plain
+    shuffle join on ANY corpus, whatever the probe decides."""
+    from gordo_spark.operators.dedup import repeated_ngram_stats
+
+    df = spark.createDataFrame(pdf)
+    plain = {
+        r["doc_id"]: (r["n_grams"], r["n_repeated"], r["repeated_frac"])
+        for r in repeated_ngram_stats(df, n=2, hot_k=0).collect()
+    }
+    split = {
+        r["doc_id"]: (r["n_grams"], r["n_repeated"], r["repeated_frac"])
+        for r in repeated_ngram_stats(
+            df, n=2, hot_k=8, hot_min=2, probe_fraction=1.0
+        ).collect()
+    }
+    assert split == plain
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_winsorize_matches_numpy_percentiles(spark, values):
+    """Winsorize == numpy: same linear-interpolation percentile formula
+    (np.percentile / quantile_cont / Spark percentile), values clamped to
+    the 6dp-rounded bounds, untouched rows bit-identical. (Idempotence
+    does NOT hold for percentile winsorization — percentiles of clipped
+    data can move strictly inward — so the property is oracle parity.)"""
+    from gordo_spark.operators.filters import winsorize
+
+    docs = pd.DataFrame(
+        {
+            "tag": "t0",
+            "ts": pd.date_range("2024-01-01", periods=len(values), freq="1h"),
+            "value": values,
+        }
+    )
+    out = (
+        winsorize(spark.createDataFrame(docs), lower=0.1, upper=0.9)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    lo = round(float(np.percentile(values, 10)), 6)
+    hi = round(float(np.percentile(values, 90)), 6)
+    exp = np.round(np.clip(values, lo, hi), 6)
+    np.testing.assert_allclose(out["value"], exp, rtol=0, atol=1e-9)
+    exp_clipped = [(1 if (v < lo or v > hi) else 0) for v in values]
+    assert out["was_clipped"].tolist() == exp_clipped
+
+
+@given(pdf=random_corpus())
+@settings(**SETTINGS)
+def test_token_entropy_bounds(spark, pdf):
+    """0 <= H <= ln(n_tokens), with H == 0 iff the doc repeats one token."""
+    import math
+
+    from gordo_spark.operators.text import token_entropy
+
+    rows = token_entropy(spark.createDataFrame(pdf)).collect()
+    assert len(rows) == len(pdf)
+    for r in rows:
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_tokens"]) + 1e-9
+        uniq = len(set(pdf.loc[pdf.doc_id == r["doc_id"], "text"].iloc[0].split()))
+        if uniq == 1:
+            assert r["entropy"] == 0.0
+        if r["entropy"] == 0.0:
+            assert uniq == 1

@@ -101,3 +101,80 @@ def test_salted_join_rejects_right_joins(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="right")
+
+
+def test_corpus_lake_incremental_release(spark, tmp_path):
+    """Release 2 changes one source, adds one, drops one: exactly those
+    partitions are rewritten/removed; the untouched source's files are
+    byte-identical (same mtimes); the lake ends equal to the snapshot."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gordo_spark.sources.corpus_lake import (
+        incremental_release,
+        read_corpus_lake,
+        write_corpus_lake,
+    )
+
+    path = str(tmp_path / "corpus")
+    r1 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4, 5],
+                "text": ["a0", "a1", "b0", "b1", "c0", "c1"],
+                "source": ["a", "a", "b", "b", "c", "c"],
+            }
+        )
+    )
+    write_corpus_lake(r1, path)
+    stable_dir = os.path.join(path, "source=a")
+    before = {
+        f: os.path.getmtime(os.path.join(stable_dir, f))
+        for f in os.listdir(stable_dir)
+        if f.endswith(".parquet")
+    }
+    time.sleep(1.1)  # mtime resolution guard
+
+    # release 2: b0 edited, c dropped entirely, d added, a untouched
+    r2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 6],
+                "text": ["a0", "a1", "b0-v2", "b1", "d0"],
+                "source": ["a", "a", "b", "b", "d"],
+            }
+        )
+    )
+    summary = incremental_release(spark, path, r2)
+    assert summary == {
+        "added": 1,      # doc 6
+        "removed": 2,    # docs 4, 5
+        "changed": 1,    # doc 2
+        "sources_rewritten": 2,  # b (changed) + d (added)
+        "sources_dropped": 1,    # c
+    }
+
+    # lake == snapshot
+    got = sorted(
+        (r["doc_id"], r["text"], r["source"])
+        for r in read_corpus_lake(spark, path).collect()
+    )
+    exp = sorted(
+        (r["doc_id"], r["text"], r["source"]) for r in r2.collect()
+    )
+    assert got == exp
+
+    # untouched source=a files untouched (no read amplification on write)
+    after = {
+        f: os.path.getmtime(os.path.join(stable_dir, f))
+        for f in os.listdir(stable_dir)
+        if f.endswith(".parquet")
+    }
+    assert after == before
+    assert not os.path.isdir(os.path.join(path, "source=c"))
+
+    # partition pruning on the mixture read
+    assert read_corpus_lake(spark, path, sources=["b"]).count() == 2
