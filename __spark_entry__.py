@@ -2340,6 +2340,46 @@ FROM ({_O_DOCS_DUPS}) GROUP BY text
 """
 
 
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (RefinedWeb practice) over the dup
+    corpus, segmenting separator-free text into 12-word blocks; the
+    shifted-id copy loses every paragraph and drops out entirely
+    (operators/dedup.paragraph_dedup — paragraph text never crosses a
+    shuffle; see docstring)."""
+    from gordo_spark.operators.dedup import paragraph_dedup, word_blocks
+
+    return paragraph_dedup(
+        _docs_with_dups(spark, sf_dir), word_blocks(F.col("text"), 12)
+    )
+
+
+O_DEDUP_PARAGRAPH = f"""
+WITH docs AS ({_O_DOCS_DUPS}),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+paras AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(cast(ceil(len(words)/12.0) AS int), 1))) AS pos,
+         words
+  FROM w
+),
+p2 AS (
+  SELECT doc_id, pos,
+         array_to_string(words[pos*12+1 : pos*12+12], ' ') AS para
+  FROM paras
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM p2
+),
+np AS (SELECT doc_id, count(*) AS n FROM p2 GROUP BY doc_id)
+SELECT k.doc_id, any_value(np.n) AS n_paras, count(*) AS n_kept,
+       string_agg(k.para, ' ' ORDER BY k.pos) AS text_clean
+FROM (SELECT * FROM ranked WHERE rn = 1) k JOIN np USING (doc_id)
+GROUP BY k.doc_id
+"""
+
+
 def _minhash_sql(num_hashes: int = 8) -> str:
     from gordo_spark.operators.dedup import MINHASH_P, _hash_params
 
@@ -4421,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "repeated_ngrams": q_repeated_ngrams,
         # --- 51+: the rest of the LLM-pipeline family ---
+        "dedup_paragraph": q_dedup_paragraph,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -4557,6 +4598,7 @@ def oracle_sql() -> dict[str, str]:
         "m4_kfold_threshold": O_M4,
         "m5_scores": O_M5,
         "dedup_exact": O_DEDUP_EXACT,
+        "dedup_paragraph": O_DEDUP_PARAGRAPH,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

@@ -80,6 +80,77 @@ def exploded_shingles(
     return ex.distinct() if distinct else ex
 
 
+def word_blocks(text_col, k: int = 12) -> "F.Column":
+    """Array of consecutive k-word blocks — a pseudo-paragraph segmenter
+    for corpora without layout separators. Empty text yields one empty
+    block (``split('', ' ')`` is ``['']`` in both Spark and DuckDB, so
+    the oracle mirrors the edge for free)."""
+    words = F.split(text_col, " ")
+    nblocks = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(k))).cast("int"), F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), nblocks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, k)),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    paras,
+    id_col: str = "doc_id",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Paragraph-level exact dedup (RefinedWeb / Falcon practice,
+    Penedo et al. 2023 §4.2): remove every occurrence of a paragraph
+    except its first corpus appearance, then reassemble each document
+    from its surviving paragraphs in original order. Catches the
+    boilerplate (headers, navigation, license blocks) that document-level
+    dedup structurally cannot — the reference has no sub-document dedup
+    at all (its only dedup is driver-side tag-list dedup,
+    gordo/utils.py:35-50).
+
+    ``paras`` is a Column producing ``array<string>`` of paragraphs
+    (``F.split(col, sep)`` for real layout text, ``word_blocks`` for
+    separator-free corpora). Survivor of a paragraph hash is the global
+    min ``(doc_id, pos)`` occurrence. Documents whose every paragraph is
+    a repeat drop out of the result entirely.
+
+    Scale shape — paragraph TEXT never crosses a shuffle:
+    1. explode to narrow ``(id, pos, md5(para))`` rows only;
+    2. groupBy(hash) -> min struct(id, pos)  (map-side combined);
+    3. hash-keyed join back on the narrow stream -> surviving (id, pos);
+    4. collapse survivors to a per-doc sorted position array (narrow);
+    5. ONE id-keyed equi-join onto the original table, re-deriving the
+       paragraph array row-locally and projecting the kept positions.
+    Unique ids on both sides of the final join — no skew; everything
+    else moves <40-byte rows.
+    """
+    src = df.select(F.col(id_col), paras.alias("_paras"))
+    narrow = src.select(
+        id_col, F.posexplode(F.transform("_paras", F.md5)).alias("pos", "ph")
+    )
+    first = narrow.groupBy("ph").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "_f"
+        )
+    )
+    kept = (
+        narrow.join(first, "ph")
+        .filter((F.col("_f.i") == F.col(id_col)) & (F.col("_f.p") == F.col("pos")))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_keep"))
+    )
+    return src.join(kept, id_col).select(
+        id_col,
+        F.size("_paras").alias("n_paras"),
+        F.size("_keep").alias("n_kept"),
+        F.concat_ws(
+            " ", F.transform("_keep", lambda p: F.element_at("_paras", p + 1))
+        ).alias(out_col),
+    )
+
+
 def exact_dedup(
     df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:

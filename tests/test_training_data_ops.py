@@ -1124,3 +1124,39 @@ def test_source_langmix_fractions(spark):
     assert out[("web", "en")] == (2, pytest.approx(round(2 / 3, 6)))
     assert out[("web", "de")] == (1, pytest.approx(round(1 / 3, 6)))
     assert out[("wiki", "en")] == (2, 1.0)
+
+
+def test_paragraph_dedup_planted(spark):
+    from gordo_spark.operators.dedup import paragraph_dedup
+
+    # doc 0 owns paragraphs A,B; doc 1 repeats B (dropped) around its own C;
+    # doc 2 is entirely repeats and must vanish from the result
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "paras": [["A", "B"], ["B", "C", "B"], ["A", "B"]],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+        for r in paragraph_dedup(df, F.col("paras"), out_col="text_clean").collect()
+    }
+    assert out[0] == (2, 2, "A B")
+    assert out[1] == (3, 1, "C")  # both B occurrences lose to doc 0's
+    assert 2 not in out
+
+
+def test_word_blocks_segmenter(spark):
+    from gordo_spark.operators.dedup import word_blocks
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d e", ""]})
+    )
+    rows = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", word_blocks(F.col("text"), 2).alias("b")).collect()
+    }
+    assert rows[0] == ["a b", "c d", "e"]
+    assert rows[1] == [""]  # empty text -> one empty block, never an empty array
