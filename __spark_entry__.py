@@ -2380,6 +2380,37 @@ GROUP BY k.doc_id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    log p_target/p_raw per document, target = the English slice
+    (operators/importance.dsir_logweights; ratio table hard-bounded at
+    4096 buckets, so its broadcast is corpus-size-independent)."""
+    from gordo_spark.operators.importance import dsir_logweights
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_logweights(docs, F.col("lang") == "en")
+
+
+O_DSIR_WEIGHTS = """
+WITH w AS (SELECT doc_id, lang = 'en' AS tgt, string_split(text,' ') AS ws FROM documents),
+uni AS (SELECT doc_id, tgt, unnest(ws) AS f FROM w),
+bi AS (SELECT doc_id, tgt,
+              unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS f
+       FROM w WHERE len(ws) >= 2),
+feats AS (
+  SELECT doc_id, tgt, ('0x' || substr(md5(f),1,8))::BIGINT % 4096 AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+raw AS (SELECT b, count(*) AS cr, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        FROM feats GROUP BY b),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM raw),
+ratio AS (SELECT b, ln((ct + 1.0)/(tt + 4096.0)) - ln((cr + 1.0)/(tr + 4096.0)) AS lr
+          FROM raw, tot)
+SELECT f.doc_id, count(*) AS n_feats, round(sum(lr), 6) AS log_weight
+FROM feats f JOIN ratio USING (b) GROUP BY f.doc_id
+"""
+
+
 def _minhash_sql(num_hashes: int = 8) -> str:
     from gordo_spark.operators.dedup import MINHASH_P, _hash_params
 
@@ -4462,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_ngrams": q_repeated_ngrams,
         # --- 51+: the rest of the LLM-pipeline family ---
         "dedup_paragraph": q_dedup_paragraph,
+        "dsir_weights": q_dsir_weights,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -4599,6 +4631,7 @@ def oracle_sql() -> dict[str, str]:
         "m5_scores": O_M5,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_paragraph": O_DEDUP_PARAGRAPH,
+        "dsir_weights": O_DSIR_WEIGHTS,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

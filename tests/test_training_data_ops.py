@@ -1160,3 +1160,36 @@ def test_word_blocks_segmenter(spark):
     }
     assert rows[0] == ["a b", "c d", "e"]
     assert rows[1] == [""]  # empty text -> one empty block, never an empty array
+
+
+def test_dsir_logweights_separates_target(spark):
+    from gordo_spark.operators.importance import dsir_logweights
+
+    # target docs share a distinctive vocabulary; raw docs don't
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": [
+                    "alpha beta alpha beta gamma",
+                    "beta alpha gamma alpha beta",
+                    "gamma alpha beta beta alpha",
+                    "xray yankee zulu xray zulu",
+                    "zulu xray yankee yankee zulu",
+                    "alpha beta gamma xray zulu",  # mixed -> middling
+                ],
+                "grp": ["t", "t", "t", "r", "r", "r"],
+            }
+        )
+    )
+    out = (
+        dsir_logweights(df, F.col("grp") == "t", buckets=512)
+        .toPandas()
+        .set_index("doc_id")["log_weight"]
+    )
+    target_min = out[[0, 1, 2]].min()
+    assert target_min > out[5] > max(out[3], out[4])
+    # single-word doc: one unigram feature, no padded bigram
+    one = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["solo"], "g": [True]}))
+    n = dsir_logweights(one, F.col("g"), buckets=64).collect()[0]["n_feats"]
+    assert n == 1
