@@ -2411,6 +2411,48 @@ FROM feats f JOIN ratio USING (b) GROUP BY f.doc_id
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (alpha=0.7, 60% token budget):
+    per-source keep rate from n_s^alpha weights, deterministic md5-bucket
+    sampling, per-source achieved counts
+    (operators/sampling.mixture_weights / mixture_sample)."""
+    from gordo_spark.operators.sampling import mixture_sample, mixture_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    rates = mixture_weights(docs, "source", alpha=0.7, budget_frac=0.6)
+    got = (
+        mixture_sample(docs, "source", "doc_id", rates=rates)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return rates.join(got, "source", "left").select(
+        "source",
+        "n_docs",
+        F.round("rate", 6).alias("rate"),
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
+
+
+O_MIXTURE_SAMPLE = """
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS n, sum(pow(n_docs, 0.7)) AS z FROM counts),
+rates AS (
+  SELECT source, n_docs,
+         least(1.0, 0.6 * n * pow(n_docs, 0.7) / z / n_docs) AS rate
+  FROM counts, tot
+),
+sampled AS (
+  SELECT d.source
+  FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(cast(d.doc_id AS varchar)), 1, 8))::BIGINT % 10000
+        < cast(floor(r.rate * 10000) AS int)
+)
+SELECT r.source, r.n_docs, round(r.rate, 6) AS rate,
+       (SELECT count(*) FROM sampled s WHERE s.source = r.source) AS n_sampled
+FROM rates r
+"""
+
+
 def _minhash_sql(num_hashes: int = 8) -> str:
     from gordo_spark.operators.dedup import MINHASH_P, _hash_params
 
@@ -4494,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 51+: the rest of the LLM-pipeline family ---
         "dedup_paragraph": q_dedup_paragraph,
         "dsir_weights": q_dsir_weights,
+        "mixture_sample": q_mixture_sample,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -4632,6 +4675,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_paragraph": O_DEDUP_PARAGRAPH,
         "dsir_weights": O_DSIR_WEIGHTS,
+        "mixture_sample": O_MIXTURE_SAMPLE,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

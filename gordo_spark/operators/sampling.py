@@ -163,3 +163,63 @@ def stratified_take(
         .filter(F.col("_rk") <= int(n))
         .drop("_rk")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.7,
+    budget_frac: float = 0.6,
+) -> DataFrame:
+    """Temperature-scaled mixture plan over strata (sources, languages):
+    stratum weight w_s = n_s^alpha / sum_t n_t^alpha — the alpha-scaling
+    used to flatten source/language imbalance in multilingual and
+    multi-corpus LLM training (alpha=1 keeps natural proportions,
+    alpha=0 is uniform; 0.7 is the mBERT/XLM-R convention). The keep
+    rate solves E[kept_s] = budget_frac * N * w_s, capped at 1 (a
+    stratum cannot be sampled above its size; the cap spends the
+    residual budget nowhere, keeping rates independent and
+    deterministic).
+
+    Returns (stratum, n_docs, weight, rate) — strata-cardinality rows,
+    one tiny aggregation; legitimately broadcastable downstream.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("_n"),
+        F.sum(F.pow("n_docs", F.lit(float(alpha)))).alias("_z"),
+    )
+    w = F.pow("n_docs", F.lit(float(alpha))) / F.col("_z")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        "n_docs",
+        w.alias("weight"),
+        F.least(
+            F.lit(1.0), F.lit(float(budget_frac)) * F.col("_n") * w / F.col("n_docs")
+        ).alias("rate"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    budget_frac: float = 0.6,
+    buckets: int = 10_000,
+    rates: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic temperature-mixture sample: keep a row iff its hash
+    bucket falls under its stratum's ``mixture_weights`` rate. Pure
+    row-local predicate after one broadcast join of the strata-sized
+    rate table — no shuffle of the corpus, stable under repartitioning,
+    engine-portable (md5 bucket; the DuckDB oracle runs the same
+    expression)."""
+    if rates is None:
+        rates = mixture_weights(df, strata_col, alpha, budget_frac)
+    b = hash_bucket(F.col(id_col), buckets)
+    return (
+        df.join(F.broadcast(rates.select(strata_col, "rate")), strata_col)
+        .filter(b < F.floor(F.col("rate") * buckets).cast("int"))
+        .drop("rate")
+    )

@@ -1193,3 +1193,28 @@ def test_dsir_logweights_separates_target(spark):
     one = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["solo"], "g": [True]}))
     n = dsir_logweights(one, F.col("g"), buckets=64).collect()[0]["n_feats"]
     assert n == 1
+
+
+def test_mixture_weights_flatten(spark):
+    from gordo_spark.operators.sampling import mixture_sample, mixture_weights
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(110),
+                "source": ["big"] * 100 + ["small"] * 10,
+            }
+        )
+    )
+    w = {r["source"]: r for r in mixture_weights(df, "source", alpha=0.5).collect()}
+    # alpha<1 up-weights the small stratum relative to natural proportions
+    assert w["small"]["weight"] > 10 / 110
+    assert w["big"]["weight"] < 100 / 110
+    assert abs(w["small"]["weight"] + w["big"]["weight"] - 1.0) < 1e-9
+    # rate solves the expected budget, capped at 1
+    assert 0 < w["big"]["rate"] <= 1.0 and 0 < w["small"]["rate"] <= 1.0
+    out = mixture_sample(df, "source", "doc_id", alpha=0.5)
+    # deterministic: same sample twice
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b and len(a) > 0
