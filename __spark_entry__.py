@@ -3184,6 +3184,58 @@ GROUP BY doc_id
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail per-language LM-score terciles
+    (operators/text.perplexity_buckets over unigram_logprob_score).
+    Exact ntile(3) semantics with (score, doc_id) tie-break, computed via
+    ranking.distributed_ntile — histogram + bounded windows, no
+    per-language global sort; the oracle runs DuckDB's real ntile()."""
+    from gordo_spark.operators.text import perplexity_buckets, unigram_logprob_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return perplexity_buckets(scored)
+
+
+O_PERPLEXITY_BUCKETS = """
+WITH t AS (
+  SELECT doc_id, token AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+counts AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+total AS (SELECT sum(tf) AS total FROM counts),
+vocab AS (
+  SELECT term, tf FROM (
+    SELECT term, tf,
+           row_number() OVER (ORDER BY tf DESC, term ASC) AS r
+    FROM counts WHERE tf >= 2
+  ) WHERE r <= 65536
+),
+vsum AS (SELECT COALESCE(sum(tf), 0) AS vs FROM vocab),
+oov AS (
+  SELECT ln(greatest(total - vs, 1) * 1.0 / total) AS oov_logp
+  FROM total, vsum
+),
+logp AS (SELECT term, ln(tf * 1.0 / total) AS logp FROM vocab, total),
+scored AS (
+  SELECT doc_id, ROUND(-avg(COALESCE(logp.logp, oov.oov_logp)), 6) AS mean_nll
+  FROM t LEFT JOIN logp USING (term), oov
+  GROUP BY doc_id
+),
+tiled AS (
+  SELECT s.doc_id, d.lang, s.mean_nll,
+         ntile(3) OVER (PARTITION BY d.lang ORDER BY s.mean_nll, s.doc_id) AS tl
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, mean_nll,
+       CASE tl WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM tiled
+"""
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 terms by tf-idf (operators/text.tfidf_topk):
     broadcast document-frequency table, row_number window PARTITIONED by
@@ -4537,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": q_dedup_paragraph,
         "dsir_weights": q_dsir_weights,
         "mixture_sample": q_mixture_sample,
+        "perplexity_buckets": q_perplexity_buckets,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -4676,6 +4729,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraph": O_DEDUP_PARAGRAPH,
         "dsir_weights": O_DSIR_WEIGHTS,
         "mixture_sample": O_MIXTURE_SAMPLE,
+        "perplexity_buckets": O_PERPLEXITY_BUCKETS,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

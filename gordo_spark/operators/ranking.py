@@ -1,0 +1,67 @@
+"""Exact distributed ranking primitives.
+
+``F.ntile(k).over(Window.partitionBy(lang))`` is the textbook way to
+bucket documents per language — and a 100 TB scale-killer: a window
+partition is ONE task, so each language's entire document set is sorted
+on a single executor. ``distributed_ntile`` reproduces SQL ``ntile``
+semantics bit-for-bit (the DuckDB oracle runs the real ``ntile()``)
+while every window it uses is bounded by DATA cardinality, not corpus
+cardinality:
+
+1. histogram: groupBy(partition, value) count — map-side combined; rows
+   are DISTINCT values per partition (scores rounded to 1e-6 give a
+   hard ~1e7 ceiling regardless of corpus size);
+2. cumulative counts + partition totals: windows over the HISTOGRAM,
+   so the per-task row count is the distinct-value count;
+3. tie ranks: row_number partitioned by (partition, value) — a window
+   over one tie group, bounded by the duplicate count of a single
+   value;
+4. bucket from global rank r = before(value) + tie_rank with the SQL
+   ntile size rule (first n mod k buckets get floor(n/k)+1 rows),
+   computed row-locally.
+
+This is the aggregate-to-histogram trick exact distributed medians use,
+generalized to ntile with deterministic (value, id) tie-breaking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def distributed_ntile(
+    df: DataFrame,
+    k: int,
+    order_col: str,
+    part_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    out_col: str = "tile",
+) -> DataFrame:
+    """Append ``out_col`` = ``ntile(k) OVER (PARTITION BY part_cols
+    ORDER BY order_col, id_col)`` — exact SQL semantics, no
+    corpus-sized window partition anywhere (see module docstring).
+    ``(part_cols, order_col, id_col)`` must uniquely identify rows for
+    the tie-break to be deterministic."""
+    pcols = list(part_cols)
+    hist = df.groupBy(*pcols, order_col).agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.partitionBy(*pcols).orderBy(order_col)
+    wtot = (
+        Window.partitionBy(*pcols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    hist = hist.select(
+        *pcols,
+        order_col,
+        (F.sum("_c").over(wcum) - F.col("_c")).alias("_before"),
+        F.sum("_c").over(wtot).alias("_n"),
+    )
+    wtie = Window.partitionBy(*pcols, order_col).orderBy(id_col)
+    joined = df.join(hist, pcols + [order_col])
+    r = F.col("_before") + F.row_number().over(wtie)
+    q = F.floor(F.col("_n") / k)
+    m = F.col("_n") % k
+    bucket = F.when(
+        r <= m * (q + 1), F.ceil(r / (q + 1))
+    ).otherwise(m + F.ceil((r - m * (q + 1)) / F.greatest(q, F.lit(1))))
+    return joined.select(*df.columns, bucket.cast("int").alias(out_col))

@@ -686,3 +686,36 @@ def bigram_logprob_score(
         .groupBy(id_col)
         .agg(F.round(-F.avg("logp"), 6).alias("mean_nll2"))
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    score_col: str = "mean_nll",
+    id_col: str = "doc_id",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020 §4.3): split each language's documents into equal head /
+    middle / tail thirds by language-model score (low = most typical).
+    Downstream curation trains on head+middle or reweights by bucket.
+
+    ``scored`` carries one row per document with its LM score (e.g.
+    ``unigram_logprob_score`` output joined back to the language
+    column). Bucketing is EXACT ntile semantics with (score, id)
+    tie-breaking, via ``ranking.distributed_ntile`` — no per-language
+    global sort, so a 100 TB single-language corpus still buckets in
+    bounded tasks (the naive ``ntile().over(partitionBy(lang))`` puts
+    each language on one executor)."""
+    from gordo_spark.operators.ranking import distributed_ntile
+
+    tiled = distributed_ntile(
+        scored, len(labels), score_col, (lang_col,), id_col, "_tile"
+    )
+    names = F.array(*[F.lit(l) for l in labels])
+    return tiled.select(
+        id_col,
+        lang_col,
+        F.col(score_col),
+        F.element_at(names, F.col("_tile")).alias("bucket"),
+    )

@@ -1218,3 +1218,46 @@ def test_mixture_weights_flatten(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in out.collect())
     assert a == b and len(a) > 0
+
+
+def test_distributed_ntile_matches_sql_ntile(spark):
+    from gordo_spark.operators.ranking import distributed_ntile
+
+    # ties at bucket boundaries + a partition smaller than k
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(13),
+                "g": ["a"] * 11 + ["b"] * 2,
+                "v": [1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 9.0, 9.0],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r["tile"]
+        for r in distributed_ntile(df, 3, "v", ("g",), "doc_id").collect()
+    }
+    df.createOrReplaceTempView("nt")
+    exp = {
+        r["doc_id"]: r["tile"]
+        for r in spark.sql(
+            "SELECT doc_id, ntile(3) OVER (PARTITION BY g ORDER BY v, doc_id) AS tile FROM nt"
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_perplexity_buckets_thirds(spark):
+    from gordo_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(9),
+                "lang": ["en"] * 9,
+                "mean_nll": [float(i) for i in range(9)],
+            }
+        )
+    )
+    out = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(df).collect()}
+    assert [out[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
