@@ -2634,6 +2634,51 @@ WHERE sim >= 0.45
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semdedup): 8-cell coarse
+    quantizer, within-cell cosine >= 0.9 to an earlier id marks a
+    semantic duplicate. Corpus = embeddings union a shifted-id copy, so
+    every copy (cosine exactly 1.0 to its original, same cell) must be
+    pruned; the oracle states the keep rule as one within-cell
+    self-join EXISTS."""
+    from gordo_spark.operators.similarity import semdedup
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    dup = embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
+    return semdedup(dup, threshold=0.9, n_cells=8)
+
+
+O_SEMDEDUP = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+assign_scored AS (
+  SELECT v.vec_id AS neighbor_id, v.e AS nv, cents.cell,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.e, cents.ce)
+                    / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cents.ce, cents.ce))) DESC,
+                    cents.cell
+         ) AS r
+  FROM v, cents
+),
+assigned AS (SELECT neighbor_id, nv, cell FROM assign_scored WHERE r = 1),
+dups AS (
+  SELECT b.neighbor_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+   AND list_dot_product(a.nv, b.nv)
+         / (sqrt(list_dot_product(a.nv, a.nv)) * sqrt(list_dot_product(b.nv, b.nv))) >= 0.9
+  GROUP BY b.neighbor_id
+)
+SELECT a.neighbor_id AS vec_id, a.cell, d.neighbor_id IS NULL AS keep
+FROM assigned a LEFT JOIN dups d ON a.neighbor_id = d.neighbor_id
+"""
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (8 cells seeded from the first 8 vectors, 2 probes)
     for the first 10 query vectors."""
@@ -4590,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "mixture_sample": q_mixture_sample,
         "perplexity_buckets": q_perplexity_buckets,
+        "semdedup": q_semdedup,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -4730,6 +4776,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": O_DSIR_WEIGHTS,
         "mixture_sample": O_MIXTURE_SAMPLE,
         "perplexity_buckets": O_PERPLEXITY_BUCKETS,
+        "semdedup": O_SEMDEDUP,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

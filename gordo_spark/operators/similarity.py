@@ -694,3 +694,69 @@ def embedding_norm_outliers(
             (F.abs(z) > z_threshold).alias("is_outlier"),
         )
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings with a coarse quantizer and removing, WITHIN
+    each cluster, every vector whose cosine similarity to an earlier-id
+    vector in the same cluster reaches ``threshold``. Clustering makes
+    the quadratic check local: the cross-cluster pair space — the
+    overwhelming majority at corpus scale — is never materialized
+    (the paper prunes 50% of LAION with k=50,000 clusters this way).
+
+    Keep rule: ascending-id scan; a vector is a duplicate iff ANY
+    earlier same-cluster vector is >= ``threshold`` similar (no
+    chaining through already-removed vectors — the rule is a pure
+    pairwise EXISTS, deterministic and engine-portable; the DuckDB
+    oracle states it as one self-join).
+
+    Scale shape: assignment is the IVF map (one matmul + argmax per
+    Arrow batch, centroid matrix in the task closure); the per-cluster
+    check is one applyInPandas with an m x m similarity matmul, bounded
+    by the cluster size the quantizer's k controls — choose
+    k ~ N/20_000 so cells stay O(10^4) rows. Returns every input id
+    with (cell, keep); survivors = keep, prune list = NOT keep.
+    """
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        cells = np.arange(len(C), dtype=np.int64)
+        cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
+    else:
+        cells, C, cnorm = _first_centroids(vectors, n_cells, id_col, vec_col)
+    src = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    assigned = _assign_cells(src, cells, C, cnorm)
+    t = float(threshold)
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id")
+        V = np.stack(pdf["nv"].to_numpy())
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            N = V / norms[:, None]
+        N = np.nan_to_num(N)
+        S = N @ N.T
+        # max similarity to any STRICTLY EARLIER row (lower triangle)
+        earlier = np.where(np.tri(len(V), k=-1, dtype=bool), S, -np.inf).max(
+            axis=1, initial=-np.inf
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["neighbor_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "keep": earlier < t,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cell, schema="vec_id long, cell long, keep boolean"
+    )

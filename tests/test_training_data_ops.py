@@ -1261,3 +1261,18 @@ def test_perplexity_buckets_thirds(spark):
     )
     out = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(df).collect()}
     assert [out[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
+def test_semdedup_prunes_copies(spark, embs):
+    from gordo_spark.operators.similarity import semdedup
+
+    dup = embs.unionByName(embs.withColumn("vec_id", F.col("vec_id") + 100000))
+    out = semdedup(dup, threshold=0.9, n_cells=8).toPandas().set_index("vec_id")
+    # every exact copy has an earlier identical twin in its cell -> pruned
+    copies = out.loc[out.index >= 100000]
+    assert not copies["keep"].any()
+    # the copy shares its original's cell (identical vector, same argmax)
+    orig = out.loc[out.index < 100000]
+    assert (copies["cell"].to_numpy() == orig.loc[copies.index - 100000, "cell"].to_numpy()).all()
+    # originals are mostly kept (natural near-dups at >=0.9 are rare)
+    assert orig["keep"].mean() > 0.5
