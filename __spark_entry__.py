@@ -2679,6 +2679,32 @@ FROM assigned a LEFT JOIN dups d ON a.neighbor_id = d.neighbor_id
 """
 
 
+def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (ml/logreg.LogisticModel): distributed
+    IRLS over cheap text features (n_chars, word count, distinct-word
+    ratio) with label = English slice, then a row-local sigmoid score.
+    Iterative fit -> no single-SQL oracle (rows-only contract, like
+    sim_ivf_kmeans); the fit itself is pinned against a pure-numpy IRLS
+    at 1e-8 in pytest."""
+    from gordo_spark.ml.logreg import LogisticModel
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 100.0).alias("f_chars"),
+        (F.size(words) / 100.0).alias("f_words"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("f_uniq"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    model = LogisticModel(["f_chars", "f_words", "f_uniq"], "label").fit(feats)
+    return model.score(feats).select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        (F.col("score") >= 0.5).alias("pred"),
+    )
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (8 cells seeded from the first 8 vectors, 2 probes)
     for the first 10 query vectors."""
@@ -4636,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "perplexity_buckets": q_perplexity_buckets,
         "semdedup": q_semdedup,
+        "quality_logreg": q_quality_logreg,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,

@@ -455,3 +455,25 @@ def test_kfcv_shuffle_vs_modulo_membership(spark, xy):
         assert d.total_threshold_ > 0 and d.tag_thresholds_["t1"] > 0
     # round-trips through the definition
     assert d_mod.into_definition()["fold_membership"] == "modulo"
+
+
+def test_logreg_distributed_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from gordo_spark.ml.logreg import LogisticModel, numpy_irls
+
+    # deterministic separable-ish data (fixed seed, driver-side)
+    rng = np.random.RandomState(0)
+    X = rng.randn(400, 3)
+    y = (X @ np.array([1.5, -2.0, 0.5]) + 0.3 + 0.5 * rng.randn(400) > 0).astype(int)
+    pdf = pd.DataFrame(X, columns=["a", "b", "c"])
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf).repartition(7)  # exercise partial aggs
+    m = LogisticModel(["a", "b", "c"], "label", iters=8).fit(df)
+    ref = numpy_irls(X, y, iters=8)
+    assert np.allclose(m.coef_, ref, atol=1e-8)
+    # scoring is a row-local sigmoid of the fitted projection
+    scored = m.score(df).toPandas()
+    p = 1.0 / (1.0 + np.exp(-(ref[0] + scored[["a", "b", "c"]].to_numpy() @ ref[1:])))
+    assert np.allclose(scored["score"].to_numpy(), p, atol=1e-8)
