@@ -46,18 +46,30 @@ def hashed_ngram_features(
     degenerate grams — same edge rule as ``text.bigram_logprob_score``).
     """
     words = F.split(F.col(text_col), " ")
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col),
-        *[F.col(c) for c in carry_cols],
-        F.explode(F.concat(words, bigrams)).alias("_f"),
-    ).select(
+    carry = [F.col(c) for c in carry_cols]
+    uni = df.select(F.col(id_col), *carry, F.explode(words).alias("_f"))
+    # row-wise codegen shape (see dedup.exploded_slices); the size==2
+    # filter drops the single-word doc's degenerate 1-word "bigram"
+    bi = (
+        df.select(F.col(id_col), *carry, words.alias("_w"))
+        .select(
+            id_col,
+            *carry_cols,
+            "_w",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("_w") - 1, F.lit(1)))
+            ).alias("_i"),
+        )
+        .select(
+            F.col(id_col),
+            *carry,
+            F.slice(F.col("_w"), F.col("_i"), 2).alias("_s"),
+        )
+        .filter(F.size("_s") == 2)
+        .select(F.col(id_col), *carry, F.concat_ws(" ", F.col("_s")).alias("_f"))
+    )
+    feats = uni.unionByName(bi)
+    return feats.select(
         id_col,
         *carry_cols,
         (md5_long(F.col("_f")) % F.lit(buckets)).alias("_b"),

@@ -119,7 +119,7 @@ def repetition_stats(
     (shuffle-on-key, no skew: keys are unique doc ids). Pure column
     algebra, engine-portable — the DuckDB oracle matches bit-for-bit.
     """
-    from gordo_spark.operators.dedup import word_shingles
+    from gordo_spark.operators.dedup import exploded_slices
 
     n_tokens = df.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
@@ -127,10 +127,8 @@ def repetition_stats(
 
     def gram_counts(n: int) -> DataFrame:
         return (
-            df.select(
-                F.col(id_col),
-                F.explode(word_shingles(F.col(text_col), n)).alias("g"),
-            )
+            exploded_slices(df, id_col, text_col, n)
+            .select(F.col(id_col), F.concat_ws(" ", F.col("_s")).alias("g"))
             .groupBy(id_col, "g")
             .agg(F.count(F.lit(1)).alias("c"))
         )
