@@ -3255,6 +3255,48 @@ GROUP BY doc_id
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher table-A1 document quality rules (operators/text.gopher_rules):
+    per-rule boolean panel + conjunctive keep verdict, pure row-local
+    column algebra (free rider on the scan at 100 TB)."""
+    from gordo_spark.operators.text import gopher_rules
+
+    return gopher_rules(read_table(spark, sf_dir, "documents"))
+
+
+O_GOPHER_RULES = """
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws)::DOUBLE AS n_words,
+         length(replace(text, ' ', ''))::DOUBLE / len(ws) AS mean_wl,
+         ((len(string_split(text, '#')) - 1)
+          + (len(string_split(text, '...')) - 1))::DOUBLE AS n_sym,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+           / len(ws) AS alpha_frac,
+         len(list_filter(ws, x -> list_contains(
+           ['the','a','of','and','to','in','is','on','for','with',
+            'as','by','at','an','be','this','that','from','or','are'], x)))
+           AS n_sw
+  FROM w
+)
+SELECT doc_id,
+       n_words >= 50 AND n_words <= 100000 AS ok_words,
+       mean_wl >= 3.0 AND mean_wl <= 10.0 AS ok_word_len,
+       n_sym / n_words <= 0.1 AS ok_symbols,
+       alpha_frac >= 0.8 AS ok_alpha,
+       n_sw >= 2 AS ok_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+         AND (n_sym / n_words <= 0.1)
+         AND (alpha_frac >= 0.8)
+         AND (n_sw >= 2) AS keep
+FROM m
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail per-language LM-score terciles
     (operators/text.perplexity_buckets over unigram_logprob_score).
@@ -4663,6 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "semdedup": q_semdedup,
         "quality_logreg": q_quality_logreg,
+        "gopher_rules": q_gopher_rules,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -4804,6 +4847,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": O_MIXTURE_SAMPLE,
         "perplexity_buckets": O_PERPLEXITY_BUCKETS,
         "semdedup": O_SEMDEDUP,
+        "gopher_rules": O_GOPHER_RULES,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

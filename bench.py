@@ -86,6 +86,12 @@ HEADLINE = [
     "events_retention",
     "p9_winsorize",
     "w9_rolling_zscore",
+    "dedup_paragraph",
+    "dsir_weights",
+    "mixture_sample",
+    "perplexity_buckets",
+    "semdedup",
+    "quality_logreg",
 ]
 
 

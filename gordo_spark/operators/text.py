@@ -717,3 +717,66 @@ def perplexity_buckets(
         F.col(score_col),
         F.element_at(names, F.col("_tile")).alias("bucket"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021, table A1)
+    as a per-rule boolean panel plus the conjunctive verdict — the
+    standard pre-filter stack ahead of dedup in web-corpus curation
+    (reused by MassiveText, RefinedWeb, Dolma):
+
+    - ``ok_words``     word count in [min_words, max_words]
+    - ``ok_word_len``  mean word length in [min_mean_word_len, max_..]
+    - ``ok_symbols``   symbol-to-word ratio (#, ellipsis) <= max
+    - ``ok_alpha``     >= min_alpha_frac of words contain a letter
+    - ``ok_stopwords`` >= min_stopwords stop words present
+    - ``keep``         all of the above
+
+    Pure row-local column algebra — no UDF, no shuffle, survives any
+    partitioning; at 100 TB this is a free rider on the first scan.
+    The oracle states every rule in ANSI SQL.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks).cast("double")
+    mean_wl = (
+        F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
+        / n_words
+    )
+    n_sym = (
+        F.size(F.split(F.col(text_col), "#", -1))
+        - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1))
+        - 1
+    ).cast("double")
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double")
+        / n_words
+    )
+    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_word_len = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_symbols = (n_sym / n_words) <= max_symbol_ratio
+    ok_alpha = alpha_frac >= min_alpha_frac
+    ok_stop = n_sw >= min_stopwords
+    return df.select(
+        F.col(id_col),
+        ok_words.alias("ok_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_word_len & ok_symbols & ok_alpha & ok_stop).alias("keep"),
+    )

@@ -1276,3 +1276,27 @@ def test_semdedup_prunes_copies(spark, embs):
     assert (copies["cell"].to_numpy() == orig.loc[copies.index - 100000, "cell"].to_numpy()).all()
     # originals are mostly kept (natural near-dups at >=0.9 are rare)
     assert orig["keep"].mean() > 0.5
+
+
+def test_gopher_rules_panel(spark):
+    from gordo_spark.operators.text import gopher_rules
+
+    long_good = " ".join(["the", "data", "table", "scan"] * 20)  # 80 words
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    long_good,                              # passes everything
+                    "too short but the a of",               # fails min_words
+                    " ".join(["####"] * 60),                # symbols + no alpha + no stopwords
+                    " ".join(["the", "a"] + ["x"] * 78),    # mean word len < 3
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["ok_words"] and not out[1]["keep"]
+    assert not out[2]["ok_symbols"] and not out[2]["ok_alpha"] and not out[2]["ok_stopwords"]
+    assert out[3]["ok_words"] and not out[3]["ok_word_len"] and not out[3]["keep"]
