@@ -71,6 +71,12 @@ ACCEPTED = {
     "rows, broadcast (k << corpus)",
     # the derived-partsupp builder attaches a 1-row supplier-count frame
     # (and q11 a 1-row threshold) via broadcast cross join
+    "dsir_weights": "1-row feature-total frame broadcast to the "
+    "bucket-bounded (4096-row) ratio table",
+    "mixture_sample": "1-row corpus-total frame broadcast to the "
+    "strata-sized count table",
+    "perplexity_buckets": "1-row corpus-token-total + OOV-floor frames "
+    "broadcast (the lm_quality scalars, reused upstream of the tiling)",
     "tpch_q2": "1-row supplier-count frame broadcast (derived partsupp)",
     "tpch_q9": "1-row supplier-count frame broadcast (derived partsupp)",
     "tpch_q11": "1-row supplier-count + 1-row threshold broadcasts",
