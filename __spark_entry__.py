@@ -2679,6 +2679,87 @@ FROM assigned a LEFT JOIN dups d ON a.neighbor_id = d.neighbor_id
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tuning harness (operators/similarity.recall_at_k): recall@5 of
+    the 8-cell/2-probe IVF search against exact brute-force top-5 for the
+    first 10 query vectors — the metric that picks n_probe before an
+    index layout is committed."""
+    from gordo_spark.operators.similarity import cosine_topk, ivf_topk, recall_at_k
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(embs, q, k=5, n_cells=8, n_probe=2)
+    exact = cosine_topk(embs, q, k=5)
+    return recall_at_k(approx, exact, k=5)
+
+
+O_ANN_RECALL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+assign_scored AS (
+  SELECT v.vec_id AS neighbor_id, v.e AS nv, cents.cell,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.e, cents.ce)
+                    / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cents.ce, cents.ce))) DESC,
+                    cents.cell
+         ) AS r
+  FROM v, cents
+),
+assigned AS (SELECT neighbor_id, nv, cell FROM assign_scored WHERE r = 1),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+probe_scored AS (
+  SELECT q.query_id, q.qv, cents.cell,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(q.qv, cents.ce)
+                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.ce, cents.ce))) DESC,
+                    cents.cell
+         ) AS r
+  FROM q, cents
+),
+probes AS (SELECT query_id, qv, cell FROM probe_scored WHERE r <= 2),
+ivf_scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_dot_product(p.qv, a.nv)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.nv, a.nv))) AS sim
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE a.neighbor_id != p.query_id
+),
+ivf_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= 5
+),
+brute_scored AS (
+  SELECT q.query_id, v2.vec_id AS neighbor_id,
+         list_dot_product(q.qv, v2.e)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v2.e, v2.e))) AS sim
+  FROM v v2, q WHERE v2.vec_id != q.query_id
+),
+brute_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM brute_scored
+  ) WHERE rank <= 5
+),
+hits AS (
+  SELECT b.query_id, count(*) AS n_hit
+  FROM brute_top b JOIN ivf_top i
+    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM brute_top) q
+LEFT JOIN hits h USING (query_id)
+"""
+
+
 def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (ml/logreg.LogisticModel): distributed
     IRLS over cheap text features (n_chars, word count, distinct-word
@@ -4706,6 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "quality_logreg": q_quality_logreg,
         "gopher_rules": q_gopher_rules,
+        "ann_recall": q_ann_recall,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -4848,6 +4930,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": O_PERPLEXITY_BUCKETS,
         "semdedup": O_SEMDEDUP,
         "gopher_rules": O_GOPHER_RULES,
+        "ann_recall": O_ANN_RECALL,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

@@ -760,3 +760,35 @@ def semdedup(
     return assigned.groupBy("cell").applyInPandas(
         dedup_cell, schema="vec_id long, cell long, keep boolean"
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """ANN quality harness: per-query recall@k of an approximate top-k
+    result against the exact top-k — the metric that tunes n_probe /
+    bands / cells before committing an index layout (recall-QPS
+    tradeoff, Johnson et al. 2017). One equi-join on (query, neighbor)
+    plus a per-query count; both inputs are top-k lists, so everything
+    here is eval-sized (k x |queries|), never corpus-sized. Queries
+    whose approximate list missed entirely still appear with recall 0
+    (left join from the exact side's query set)."""
+    a = approx.select(query_col, neighbor_col)
+    e = exact.select(query_col, neighbor_col)
+    hits = (
+        a.join(e, [query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = e.select(query_col).distinct()
+    return base.join(hits, query_col, "left").select(
+        query_col,
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6).alias(
+            "recall"
+        ),
+    )

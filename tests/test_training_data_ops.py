@@ -1300,3 +1300,18 @@ def test_gopher_rules_panel(spark):
     assert not out[1]["ok_words"] and not out[1]["keep"]
     assert not out[2]["ok_symbols"] and not out[2]["ok_alpha"] and not out[2]["ok_stopwords"]
     assert out[3]["ok_words"] and not out[3]["ok_word_len"] and not out[3]["keep"]
+
+
+def test_recall_at_k(spark):
+    from gordo_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0] * 3 + [1] * 3, "neighbor_id": [10, 11, 12, 20, 21, 22]})
+    )
+    approx = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0] * 3 + [2] * 1, "neighbor_id": [10, 11, 99, 5]})
+    )
+    out = {r["query_id"]: (r["n_hit"], r["recall"]) for r in recall_at_k(approx, exact, k=3).collect()}
+    assert out[0] == (2, pytest.approx(round(2 / 3, 6)))
+    assert out[1] == (0, 0.0)  # query with zero approx hits still reported
+    assert 2 not in out  # approx-only queries don't appear (no exact truth)
