@@ -2760,6 +2760,27 @@ LEFT JOIN hits h USING (query_id)
 """
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA whitening prep (operators/similarity.pca_fit /
+    pca_transform): one sufficient-stats pass (per-batch n, sum v,
+    sum vv^T), driver-side eigh with a fixed sign convention, Arrow-batch
+    projection onto the top-4 components. Iterative linear algebra -> no
+    single-SQL oracle (rows-only contract; pca_fit is pinned against
+    full-matrix numpy PCA in pytest)."""
+    from gordo_spark.operators.similarity import pca_fit, pca_transform
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    mean, comps, ratios = pca_fit(embs, k=4)
+    out = pca_transform(embs, mean, comps)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pca", i + 1), 4).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
+    )
+
+
 def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (ml/logreg.LogisticModel): distributed
     IRLS over cheap text features (n_chars, word count, distinct-word
@@ -4788,6 +4809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logreg": q_quality_logreg,
         "gopher_rules": q_gopher_rules,
         "ann_recall": q_ann_recall,
+        "embedding_pca": q_embedding_pca,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,

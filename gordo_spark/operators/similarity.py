@@ -792,3 +792,92 @@ def recall_at_k(
             "recall"
         ),
     )
+
+
+def pca_fit(
+    vectors: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA of an embedding column via ONE pass of covariance
+    sufficient statistics: each Arrow batch contributes (n, sum v,
+    sum v v^T); the driver reduces the per-batch partials (d + d^2
+    floats each — model-sized, never data) and eigendecomposes the d x d
+    covariance. The embedding-space normalization step ahead of
+    ANN / SemDeDup (whitening decorrelates dimensions so cosine
+    thresholds mean the same thing in every direction).
+
+    Same driver/executor boundary as ``LinearModel``'s OLS stats
+    (ml/models.py:93): the collect is #batches rows of d^2 doubles,
+    independent of corpus size.
+
+    Sign convention: each component is flipped so its max-|.| entry is
+    positive — removes the eigenvector sign ambiguity so results are
+    reproducible across runs and libraries.
+
+    Returns (mean d, components k x d — rows are PCs by descending
+    variance, explained_variance_ratio k).
+    """
+
+    def partial(batches):
+        n, s, ss = 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            n += len(V)
+            s = V.sum(axis=0) if s is None else s + V.sum(axis=0)
+            g = V.T @ V
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    rows = (
+        vectors.select(_as_double(F.col(vec_col)).alias("v"))
+        .mapInPandas(partial, schema="n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty vector table")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    d = len(s)
+    ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    ratios = np.maximum(evals[order], 0) / np.maximum(evals, 0).sum()
+    return mean, comps, ratios
+
+
+def pca_transform(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten_scale: np.ndarray | None = None,
+) -> DataFrame:
+    """Project the embedding column onto fitted components — one matmul
+    per Arrow batch, the (k x d) component matrix rides in the task
+    closure. ``whiten_scale`` (e.g. 1/sqrt(eigenvalues)) rescales the
+    projected axes to unit variance."""
+    M = np.asarray(mean, dtype=np.float64)
+    C = np.asarray(components, dtype=np.float64)
+    W = None if whiten_scale is None else np.asarray(whiten_scale, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy())
+        P = (V - M) @ C.T
+        if W is not None:
+            P = P * W
+        return pd.Series(list(P))
+
+    return df.withColumn(out_col, _proj(_as_double(F.col(vec_col))))

@@ -1315,3 +1315,31 @@ def test_recall_at_k(spark):
     assert out[0] == (2, pytest.approx(round(2 / 3, 6)))
     assert out[1] == (0, 0.0)  # query with zero approx hits still reported
     assert 2 not in out  # approx-only queries don't appear (no exact truth)
+
+
+def test_pca_matches_numpy(spark):
+    from gordo_spark.operators.similarity import pca_fit, pca_transform
+
+    rng = np.random.RandomState(3)
+    # anisotropic cloud: variance concentrated in two known directions
+    base = rng.randn(300, 2) * np.array([5.0, 2.0])
+    mix = rng.randn(2, 6)
+    X = base @ mix + 0.01 * rng.randn(300, 6)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": [r.tolist() for r in X]})
+    ).repartition(5)
+    mean, comps, ratios = pca_fit(df, k=3)
+    # numpy reference
+    Xc = X - X.mean(axis=0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc / len(X))
+    order = np.argsort(evals)[::-1][:3]
+    ref = evecs[:, order].T
+    ref = ref * np.sign(ref[np.arange(3), np.abs(ref).argmax(axis=1)])[:, None]
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-8)
+    assert np.allclose(comps, ref, atol=1e-6)
+    assert ratios[0] > ratios[1] > ratios[2]
+    assert ratios[0] + ratios[1] > 0.99  # two planted directions dominate
+    # projection parity
+    out = pca_transform(df, mean, comps).orderBy("vec_id").toPandas()
+    P = np.stack(out["pca"].to_numpy())
+    assert np.allclose(P, (X - X.mean(axis=0)) @ ref.T, atol=1e-6)
