@@ -6,15 +6,20 @@ individual operators exist for. Run:
 
 Stages (each is a contract-tested operator; see SURVEY.md §8):
 
+ 0. rule filter        — Gopher table-A1 panel (word count / word length /
+                         symbols / alpha / stopwords), row-local
  1. exact dedup        — collapse byte-identical documents
+ 1b. paragraph dedup   — RefinedWeb sub-document dedup: strip every
+                         paragraph's non-first corpus occurrence
  2. near-dup removal   — MinHash -> LSH candidate pairs -> connected
                          components; keep one survivor per cluster
  3. PII scrub          — email/phone/IPv4 redaction before anything ships
  4. quality filter     — text_quality score >= threshold
- 5. language rebalance — stratified_sample per language
- 6. split              — deterministic train/val/test labels
- 7. export             — salted deterministic shuffle, contiguous global
-                         example ids, written partitioned by split
+ 5. language rebalance — temperature mixture (n^alpha flattening) per lang
+ 6. DSIR annotation    — hashed-ngram importance weight vs the English
+                         slice, for downstream weighted sampling
+ 7. split + export     — deterministic labels, salted shuffle, contiguous
+                         global example ids, written partitioned by split
 
 Every stage is shuffle-on-key DataFrame algebra (no driver-side data), so
 the same script is the 100 TB job: only the paths and partition counts
@@ -34,23 +39,37 @@ from gordo_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    paragraph_dedup,
+    word_blocks,
 )
+from gordo_spark.operators.importance import dsir_logweights
 from gordo_spark.operators.sampling import (
     deterministic_split,
-    stratified_sample,
+    mixture_sample,
     train_shuffle,
     with_global_ids,
 )
-from gordo_spark.operators.text import pii_scrub, quality_score
+from gordo_spark.operators.text import gopher_rules, pii_scrub, quality_score
 from gordo_spark.sources.io import read_table
 
 
 def curate(spark, sf_dir: str, out_dir: str, num_partitions: int = 8):
     docs = read_table(spark, sf_dir, "documents")
 
+    # 0. Gopher rule panel (thresholds sized for the toy corpus)
+    rules = gopher_rules(docs, min_words=10, min_stopwords=1)
+    docs = docs.join(rules.filter("keep").select("doc_id"), "doc_id", "left_semi")
+
     # 1. exact dedup: survivors = min doc_id per identical content
     survivors = exact_dedup(docs, ["text"]).select("doc_id")
     docs = docs.join(survivors, "doc_id", "left_semi")
+
+    # 1b. paragraph-level dedup: strip repeated 12-word blocks, rebuild
+    # docs from what survives (drops docs that were ALL boilerplate)
+    cleaned = paragraph_dedup(docs, word_blocks(F.col("text"), 12))
+    docs = docs.drop("text").join(
+        cleaned.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+    )
 
     # 2. near-dup clusters; drop everything but each cluster's min id
     sigs = minhash_signatures(docs, num_hashes=16)
@@ -71,11 +90,18 @@ def curate(spark, sf_dir: str, out_dir: str, num_partitions: int = 8):
         scored.filter(F.col("quality") >= 0.3).select("doc_id"), "doc_id", "left_semi"
     )
 
-    # 5. rebalance: cap dominant languages, keep the rest whole
-    fractions = {"en": 0.8, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
-    docs = stratified_sample(docs, "doc_id", fractions, strata_col="lang")
+    # 5. rebalance: n^0.7 temperature mixture flattens language imbalance
+    # (deterministic md5-bucket keep rates, zero corpus shuffle)
+    docs = mixture_sample(docs, "lang", "doc_id", alpha=0.7, budget_frac=0.9)
 
-    # 6 + 7. split, shuffle deterministically, stamp contiguous example
+    # 6. DSIR importance weight vs the English slice — exported so the
+    # training sampler can resample toward the target distribution
+    weights = dsir_logweights(docs, F.col("lang") == "en").select(
+        "doc_id", "log_weight"
+    )
+    docs = docs.join(weights, "doc_id")
+
+    # 7. split, shuffle deterministically, stamp contiguous example
     # ids (the shard-manifest key), export partitioned by split
     final = train_shuffle(
         deterministic_split(docs, "doc_id"), "doc_id", num_partitions
