@@ -2411,6 +2411,51 @@ FROM feats f JOIN ratio USING (b) GROUP BY f.doc_id
 """
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators/dedup.
+    winnow_fingerprints — Schleimer et al. SIGMOD 2003 / MOSS): 5-gram
+    hashes, window 4, min-per-window with rightmost tie-break; the
+    substring-level copy-detection index."""
+    from gordo_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        read_table(spark, sf_dir, "documents"), k=5, w=4
+    )
+
+
+O_WINNOW_FP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i,
+         ws
+  FROM w
+),
+g2 AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8))::BIGINT AS h
+  FROM g
+),
+packed AS (
+  SELECT doc_id, pos,
+         h * 4194304 + (4194303 - least(pos, 4194303)) AS p
+  FROM g2
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(p) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS s
+  FROM packed
+)
+SELECT doc_id,
+       4194303 - (s % 4194304) AS pos,
+       s // 4194304 AS fp
+FROM sel
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (alpha=0.7, 60% token budget):
     per-source keep rate from n_s^alpha weights, deterministic md5-bucket
@@ -4810,6 +4855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "ann_recall": q_ann_recall,
         "embedding_pca": q_embedding_pca,
+        "winnow_fp": q_winnow_fp,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -4953,6 +4999,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": O_SEMDEDUP,
         "gopher_rules": O_GOPHER_RULES,
         "ann_recall": O_ANN_RECALL,
+        "winnow_fp": O_WINNOW_FP,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

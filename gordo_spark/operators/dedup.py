@@ -771,3 +771,73 @@ def ngram_novelty(
         novel.alias("n_novel"),
         F.round(novel / F.count(F.lit(1)), 6).alias("novel_frac"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    w-gram window over the hash sequence, keep each window's minimum
+    (rightmost on ties). Guarantees any shared run of >= w+k-1 words
+    between two documents shares at least one selected fingerprint while
+    storing only ~2/(w+1) of the grams — the index behind
+    substring-level (not document-level) copy detection at corpus scale.
+
+    Trailing windows are clipped at the document end (both engines clip
+    window frames identically); the extra end-of-document selections only
+    ADD fingerprints, never lose the guarantee.
+
+    Shape: one explode to (id, pos, gram-hash); one sliding min window
+    PARTITIONED by doc (bounded by document length, never corpus);
+    distinct on the selected (id, pos) pairs. Tie-breaking packs
+    (hash, rightmost-pos) into one BIGINT — md5_long < 2^32 and pos is
+    clamped at 2^22-1, so the packed key stays < 2^54 (64-bit safe,
+    engine-portable).
+    """
+    from pyspark.sql import Window
+
+    POS_CAP = 4_194_303  # 2^22 - 1
+    # same row-wise codegen shape as exploded_slices, keeping the position
+    words = F.split(F.col(text_col), " ")
+    ex = (
+        df.select(F.col(id_col), words.alias("_w"))
+        .select(
+            id_col,
+            "_w",
+            F.posexplode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_w") - (k - 1), F.lit(1))
+                )
+            ).alias("pos", "_i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            md5_long(
+                F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), k))
+            ).alias("h"),
+        )
+    )
+    packed = F.col("h") * (POS_CAP + 1) + (
+        POS_CAP - F.least(F.col("pos"), F.lit(POS_CAP))
+    )
+    wspec = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = ex.select(
+        F.col(id_col), F.min(packed).over(wspec).alias("_sel")
+    ).distinct()
+    return sel.select(
+        id_col,
+        (F.lit(POS_CAP) - F.pmod(F.col("_sel"), F.lit(POS_CAP + 1))).alias(
+            "pos"
+        ),
+        # integral `div`, NOT floor(a / b): `/` on longs is DOUBLE division
+        # and the packed key exceeds 2^53, where doubles drop low bits
+        F.expr(f"_sel div {POS_CAP + 1}").alias("fp"),
+    )

