@@ -524,3 +524,41 @@ def test_stream_text_curation_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
     assert (got["n_email"] == 1).all()
     assert got["text"].str.contains("<EMAIL>").all()
+
+
+def test_stream_gopher_gate_matches_batch(spark, tmp_path):
+    """gopher_rules is row-local column algebra — the ingest-time quality
+    gate runs UNCHANGED on a file stream; stream verdicts equal batch."""
+    import pandas as pd
+
+    from gordo_spark.operators.text import gopher_rules
+
+    src = str(tmp_path / "gopher_in")
+    texts = [
+        ("the data " * 30).strip()
+        if i % 3 == 0
+        else (("#### " * 40).strip() if i % 3 == 1 else "short the a")
+        for i in range(30)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(30), "text": texts})
+    spark.createDataFrame(pdf).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        gopher_rules(stream, min_words=10, min_stopwords=1)
+        .writeStream.format("memory")
+        .queryName("gopher_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("gopher_stream").toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = (
+        gopher_rules(spark.read.parquet(src), min_words=10, min_stopwords=1)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["keep"].any() and not got["keep"].all()
