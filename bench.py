@@ -92,6 +92,10 @@ HEADLINE = [
     "perplexity_buckets",
     "semdedup",
     "quality_logreg",
+    "gopher_rules",
+    "ann_recall",
+    "embedding_pca",
+    "winnow_fp",
 ]
 
 

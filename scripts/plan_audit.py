@@ -65,6 +65,8 @@ ACCEPTED = {
     "candidate set (LSH/IVF are the scale paths)",
     "sim_bruteforce": "defined computation: corpus x broadcast query batch "
     "(query batch is the constant side)",
+    "ann_recall": "exact-truth side is the sim_bruteforce corpus x "
+    "broadcast query batch (eval harness; both inputs top-k-sized after)",
     "sim_ivf": "vector x centroid assignment; centroid set is k rows, "
     "broadcast (k << corpus)",
     "sim_ivf_kmeans": "query x trained-centroid probe; centroid set is k "
