@@ -55,6 +55,14 @@ class LogisticModel:
     def fit(self, df: DataFrame) -> "LogisticModel":
         d = len(self.feature_cols) + 1
         w = np.zeros(d)
+        # project to the d+1 numeric columns and persist: every IRLS
+        # iteration re-aggregates the SAME narrow frame, so at any scale
+        # the right plan is one materialization + iters re-reads, not
+        # iters re-scans of the source (columns pruned before caching)
+        df = df.select(
+            *[F.col(c).cast("double").alias(c) for c in self.feature_cols],
+            F.col(self.label_col).cast("double").alias(self.label_col),
+        ).persist()
         terms = [F.lit(1.0)] + [
             F.col(c).cast("double") for c in self.feature_cols
         ]
@@ -77,6 +85,7 @@ class LogisticModel:
                     H[i, j] = H[j, i] = row[f"_h_{i}_{j}"]
             g = np.array([row[f"_g_{i}"] for i in range(d)]) - self.l2 * w
             w = w + np.linalg.solve(H + self.l2 * np.eye(d), g)
+        df.unpersist()
         self.coef_ = w
         return self
 
