@@ -288,3 +288,81 @@ def test_token_entropy_bounds(spark, pdf):
             assert r["entropy"] == 0.0
         if r["entropy"] == 0.0:
             assert uniq == 1
+
+
+@st.composite
+def tiled_frame(draw):
+    """Random (group, value) rows with heavy ties to stress ntile edges."""
+    n = draw(st.integers(min_value=1, max_value=80))
+    groups = draw(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=n, max_size=n)
+    )
+    # tiny value domain -> many ties, including whole-partition ties
+    vals = draw(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=n, max_size=n)
+    )
+    return pd.DataFrame(
+        {"doc_id": range(n), "g": groups, "v": [float(x) for x in vals]}
+    )
+
+
+@given(pdf=tiled_frame(), k=st.sampled_from([2, 3, 5]))
+@settings(**SETTINGS)
+def test_distributed_ntile_property(spark, pdf, k):
+    """distributed_ntile == native ntile() for any data, any k — including
+    partitions smaller than k and all-tied partitions."""
+    from gordo_spark.operators.ranking import distributed_ntile
+
+    df = spark.createDataFrame(pdf).repartition(4)
+    got = {
+        r["doc_id"]: r["tile"]
+        for r in distributed_ntile(df, k, "v", ("g",), "doc_id").collect()
+    }
+    df.createOrReplaceTempView("ntile_prop")
+    exp = {
+        r["doc_id"]: r["tile"]
+        for r in spark.sql(
+            f"SELECT doc_id, ntile({k}) OVER (PARTITION BY g ORDER BY v, doc_id) AS tile FROM ntile_prop"
+        ).collect()
+    }
+    assert got == exp
+
+
+@st.composite
+def para_docs(draw):
+    """Documents assembled from a small paragraph vocabulary (guaranteed
+    cross-document repeats)."""
+    n = draw(st.integers(min_value=1, max_value=12))
+    vocab = ["p one", "p two", "p three", "p four"]
+    docs = [
+        draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=5))
+        for _ in range(n)
+    ]
+    return pd.DataFrame({"doc_id": range(n), "paras": docs})
+
+
+@given(pdf=para_docs())
+@settings(**SETTINGS)
+def test_paragraph_dedup_idempotent_and_complete(spark, pdf):
+    """After one pass every paragraph value survives exactly once
+    corpus-wide; a second pass removes nothing (idempotence)."""
+    from pyspark.sql import functions as F
+
+    from gordo_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(pdf)
+    out = paragraph_dedup(df, F.col("paras"), out_col="text")
+    got = out.toPandas()
+    # completeness: each distinct paragraph appears exactly once across docs
+    all_paras = [p for row in got["text"] for p in row.split(" p ")]
+    kept_total = int(got["n_kept"].sum())
+    distinct_input = len({p for row in pdf["paras"] for p in row})
+    assert kept_total == distinct_input
+    # idempotence: re-running on the survivors changes nothing
+    again = paragraph_dedup(
+        out.select("doc_id", F.split("text", "#NEVER#").alias("paras")),
+        F.col("paras"),
+        out_col="text",
+    ).toPandas()
+    assert sorted(again["doc_id"]) == sorted(got["doc_id"])
+    assert (again["n_kept"] == again["n_paras"]).all()
