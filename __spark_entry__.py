@@ -2456,6 +2456,56 @@ FROM sel
 """
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step (operators/dedup.winnow_copy_pairs): document
+    pairs sharing >= 3 winnowed fingerprints over the dup corpus —
+    substring-level copy candidates; every shifted-id copy must pair
+    with its original. max_df=60 is the stop-fingerprint cut that caps
+    the inverted-index fan-out."""
+    from gordo_spark.operators.dedup import winnow_copy_pairs
+
+    return winnow_copy_pairs(
+        _docs_with_dups(spark, sf_dir), k=5, w=4, min_shared=3, max_df=60
+    )
+
+
+O_WINNOW_PAIRS = f"""
+WITH docs AS ({_O_DOCS_DUPS}),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(ws) - 4, 1))) AS i,
+         ws
+  FROM w
+),
+g2 AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8))::BIGINT AS h
+  FROM g
+),
+packed AS (
+  SELECT doc_id, pos,
+         h * 4194304 + (4194303 - least(pos, 4194303)) AS p
+  FROM g2
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(p) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS s
+  FROM packed
+),
+fps AS (SELECT DISTINCT doc_id, s // 4194304 AS fp FROM sel),
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 60),
+pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared
+FROM pruned l JOIN pruned r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (alpha=0.7, 60% token budget):
     per-source keep rate from n_s^alpha weights, deterministic md5-bucket
@@ -4856,6 +4906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "embedding_pca": q_embedding_pca,
         "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -5000,6 +5051,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": O_GOPHER_RULES,
         "ann_recall": O_ANN_RECALL,
         "winnow_fp": O_WINNOW_FP,
+        "winnow_pairs": O_WINNOW_PAIRS,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

@@ -841,3 +841,60 @@ def winnow_fingerprints(
         # and the packed key exceeds 2^53, where doubles drop low bits
         F.expr(f"_sel div {POS_CAP + 1}").alias("fp"),
     )
+
+
+def winnow_copy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Substring-copy candidate pairs from the winnowed index — the MOSS
+    match step (Schleimer et al. 2003 §4): documents sharing >=
+    ``min_shared`` selected fingerprints, with the shared count as the
+    copy-extent signal. Complements document-level MinHash/LSH: two
+    documents that share one long passage but differ elsewhere have low
+    Jaccard yet high shared-fingerprint count.
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents before pairing — MOSS's own "ignore matches appearing in
+    many documents" rule, and the scale bound: it caps the inverted
+    index's per-key pair fan-out at max_df^2/2, so no boilerplate
+    fingerprint can explode the self-join (the same reasoning as
+    ``repeated_ngram_stats``'s hot-gram split, solved here by the
+    algorithm's own stop-fingerprint cut).
+
+    Shape: winnow -> distinct (id, fp) -> doc-frequency filter (one
+    map-side-combined groupBy on fp) -> fp-keyed self-join of the
+    PRUNED postings -> pair count. Only same-fingerprint pairs ever
+    materialize.
+    """
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    pruned = fps.join(keep, "fp")
+    l, r = pruned.alias("l"), pruned.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -807,7 +807,12 @@ def pca_fit(
 
     Same driver/executor boundary as ``LinearModel``'s OLS stats
     (ml/models.py:93): the collect is #batches rows of d^2 doubles,
-    independent of corpus size.
+    independent of corpus size. The d^2 term bounds applicability: at
+    d=64 a partial is 33 KB, at d=1024 it is 8 MB — fine; at d >= ~4096
+    (134 MB per partial) move to a randomized range sketch (one pass of
+    Y = A @ Omega with a d x (k+p) test matrix, Halko et al. 2011) —
+    the plan shape (per-batch matmul partials, driver-side small
+    factorization) is unchanged.
 
     Sign convention: each component is flipped so its max-|.| entry is
     positive — removes the eigenvector sign ambiguity so results are

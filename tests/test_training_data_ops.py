@@ -1370,3 +1370,27 @@ def test_winnowing_guarantee(spark):
     # selection is sparse: far fewer fingerprints than grams
     n_grams_doc0 = len(df.collect()[0]["text"].split()) - 4
     assert len(out[out.doc_id == 0]) < n_grams_doc0
+
+
+def test_winnow_copy_pairs_finds_shared_passage(spark):
+    from gordo_spark.operators.dedup import winnow_copy_pairs
+
+    passage = " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "intro words here " + passage,
+                    passage + " totally different tail content follows now",
+                    "unrelated document with its own completely private words",
+                ],
+            }
+        )
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_copy_pairs(df, min_shared=2, max_df=10).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2  # long shared passage
+    assert all(2 not in p for p in pairs)  # private doc pairs with nobody
