@@ -2506,6 +2506,72 @@ HAVING count(*) >= 3
 """
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screen decontamination (operators/dedup.decontaminate_bloom):
+    every 50th doc plays the benchmark, filter size 2^16 bits x 4 md5-LCG
+    hashes; per corpus doc the might-be-benchmark shingle fraction. Fully
+    deterministic — the oracle computes the identical bit set, so even
+    the (reproducible) false positives hash-match."""
+    from gordo_spark.operators.dedup import decontaminate_bloom
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate_bloom(corpus, bench, bits=1 << 16, k_hashes=4)
+
+
+def _bloom_sql(bits: int, k_hashes: int) -> str:
+    from gordo_spark.operators.dedup import MINHASH_P, _hash_params
+
+    params = _hash_params(k_hashes, seed=777)
+    pos = ", ".join(f"({a} * sh + {b}) % {MINHASH_P} % {bits}" for a, b in params)
+    return f"""
+WITH shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+         )) AS shingle
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh
+  FROM shingled
+),
+posed AS (
+  SELECT doc_id, sh, list_distinct([{pos}]) AS parr FROM hashed
+),
+bench_bits AS (
+  SELECT DISTINCT unnest(parr) AS bit FROM posed WHERE doc_id % 50 = 0
+),
+corpus AS (
+  SELECT doc_id, sh, any_value(parr) AS parr, count(*) AS c
+  FROM posed WHERE doc_id % 50 <> 0 GROUP BY doc_id, sh
+),
+probed AS (
+  SELECT doc_id, sh, c, len(parr) AS np, unnest(parr) AS bit FROM corpus
+),
+flagged AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_flagged FROM (
+    SELECT p.doc_id, p.sh, any_value(p.c) AS c, any_value(p.np) AS np,
+           count(*) AS hits
+    FROM probed p JOIN bench_bits b USING (bit)
+    GROUP BY p.doc_id, p.sh
+    HAVING count(*) = any_value(p.np)
+  ) GROUP BY doc_id
+),
+totals AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams FROM corpus GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(f.n_flagged, 0) AS n_flagged,
+       ROUND(COALESCE(f.n_flagged, 0) * 1.0 / t.n_grams, 6) AS flagged_frac
+FROM totals t LEFT JOIN flagged f USING (doc_id)
+"""
+
+
+O_DECONTAMINATE_BLOOM = _bloom_sql(1 << 16, 4)
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (alpha=0.7, 60% token budget):
     per-source keep rate from n_s^alpha weights, deterministic md5-bucket
@@ -4907,6 +4973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -5052,6 +5119,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": O_ANN_RECALL,
         "winnow_fp": O_WINNOW_FP,
         "winnow_pairs": O_WINNOW_PAIRS,
+        "decontaminate_bloom": O_DECONTAMINATE_BLOOM,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

@@ -96,6 +96,7 @@ HEADLINE = [
     "ann_recall",
     "embedding_pca",
     "winnow_fp",
+    "winnow_pairs",
 ]
 
 

@@ -898,3 +898,84 @@ def winnow_copy_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter decontamination screen — the memory-bounded scale
+    path beside ``contamination_pairs``: instead of broadcasting every
+    benchmark shingle hash (set size grows with the eval suite), build a
+    Bloom filter of FIXED size ``bits`` and flag each corpus document's
+    fraction of might-be-benchmark shingles. Use as the cheap first
+    pass; route flagged docs through ``contamination_pairs`` for exact
+    pair attribution.
+
+    The filter is fully deterministic (md5 shingle hashes through the
+    same LCG-derived universal hash family as MinHash, seed 777), so its
+    false positives are REPRODUCIBLE — the DuckDB oracle computes the
+    identical bit set and identical flags, false positives included.
+    Expected FPR ~ (1 - e^{-k n / m})^k; at defaults, <0.4% for 100k
+    benchmark shingles.
+
+    Shape: the bit set is ONE map-side-combined distinct over the
+    benchmark's k x shingles positions, hard-bounded at ``bits`` rows
+    (broadcast-legitimate by construction); corpus shingles collapse to
+    per-(doc, shingle) counts, each distinct shingle probes its DISTINCT
+    position set (two of the k hashes may collide — membership demands
+    every distinct position present, not a raw hit count), and flagged
+    occurrence counts roll up per document.
+    """
+    params = _hash_params(k_hashes, seed=777)
+
+    def positions(hcol):
+        return F.array_distinct(
+            F.array(
+                *[
+                    (F.lit(a) * hcol + F.lit(b)) % MINHASH_P % F.lit(bits)
+                    for a, b in params
+                ]
+            )
+        )
+
+    bench_bits = (
+        exploded_shingles(benchmark, id_col, text_col, shingle_n)
+        .select(F.explode(positions(F.col("sh"))).alias("bit"))
+        .distinct()
+    )
+    grams = (
+        exploded_shingles(corpus, id_col, text_col, shingle_n, distinct=False)
+        .groupBy(id_col, "sh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_np", F.size(positions(F.col("sh"))))
+    )
+    probed = grams.select(
+        id_col, "sh", "_c", "_np", F.explode(positions(F.col("sh"))).alias("bit")
+    )
+    flagged = (
+        probed.join(F.broadcast(bench_bits), "bit")
+        .groupBy(id_col, "sh")
+        .agg(
+            F.count(F.lit(1)).alias("_hits"),
+            F.first("_c").alias("_c"),
+            F.first("_np").alias("_np"),
+        )
+        .filter(F.col("_hits") == F.col("_np"))
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("n_flagged"))
+    )
+    totals = grams.groupBy(id_col).agg(F.sum("_c").alias("n_grams"))
+    return totals.join(flagged, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+        F.round(
+            F.coalesce("n_flagged", F.lit(0)) / F.col("n_grams"), 6
+        ).alias("flagged_frac"),
+    )

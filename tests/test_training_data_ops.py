@@ -1394,3 +1394,29 @@ def test_winnow_copy_pairs_finds_shared_passage(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2  # long shared passage
     assert all(2 not in p for p in pairs)  # private doc pairs with nobody
+
+
+def test_decontaminate_bloom_no_false_negatives(spark):
+    from gordo_spark.operators.dedup import decontaminate_bloom
+
+    bench_text = " ".join(f"b{i}" for i in range(30))
+    df_bench = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [bench_text]}))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    bench_text,  # verbatim leak: every shingle must flag
+                    " ".join(f"c{i}" for i in range(30)),  # clean
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_flagged"], r["flagged_frac"])
+        for r in decontaminate_bloom(corpus, df_bench, bits=1 << 16).collect()
+    }
+    # Bloom filters never miss: the verbatim copy flags at 1.0
+    assert out[1][0] == out[1][1] and out[1][2] == 1.0
+    # FPR at this load (~28 shingles in 65536 bits) is ~0 for the clean doc
+    assert out[2][1] == 0
