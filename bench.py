@@ -97,6 +97,7 @@ HEADLINE = [
     "embedding_pca",
     "winnow_fp",
     "winnow_pairs",
+    "decontaminate_bloom",
 ]
 
 
