@@ -2572,6 +2572,72 @@ FROM totals t LEFT JOIN flagged f USING (doc_id)
 O_DECONTAMINATE_BLOOM = _bloom_sql(1 << 16, 4)
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-integrity manifest per source shard (operators/sampling.
+    shard_manifest): row/byte counts, id range, order-insensitive
+    md5-sum checksum — what a 100 TB export publishes next to the data
+    so consumers can verify with one aggregation."""
+    from gordo_spark.operators.sampling import shard_manifest
+
+    return shard_manifest(
+        read_table(spark, sf_dir, "documents"), "source", "doc_id"
+    )
+
+
+O_SHARD_MANIFEST = """
+SELECT source,
+       count(*) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       CAST(sum(('0x' || substr(md5(cast(doc_id AS varchar) || chr(31) || text), 1, 8))::BIGINT) AS BIGINT) AS checksum
+FROM documents GROUP BY source
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-landed incremental dedup (operators/dedup.
+    incremental_dedup): the new batch = an all-duplicate shifted copy
+    (every row must drop: content already landed) union a 'v2' edit
+    included TWICE (one survivor each, n_dups=2). Only md5 keys cross
+    either exchange; the anti-join is unhinted (landed side is
+    corpus-sized)."""
+    from gordo_spark.operators.dedup import incremental_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    v2 = docs.withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    new = (
+        docs.withColumn("doc_id", F.col("doc_id") + 100000)
+        .unionByName(v2.withColumn("doc_id", F.col("doc_id") + 200000))
+        .unionByName(v2.withColumn("doc_id", F.col("doc_id") + 300000))
+    )
+    out = incremental_dedup(new, docs, ["text"])
+    return out.select("doc_id", "source", "n_dups")
+
+
+O_DEDUP_INCREMENTAL = """
+WITH newb AS (
+  SELECT doc_id + 100000 AS doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' v2' AS text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || ' v2' AS text, source FROM documents
+),
+surv AS (
+  SELECT md5(text) AS k, min(doc_id) AS doc_id, count(*) AS n_dups
+  FROM newb GROUP BY 1
+),
+fresh AS (
+  SELECT s.doc_id, s.n_dups
+  FROM surv s LEFT JOIN (SELECT DISTINCT md5(text) AS k FROM documents) seen
+    ON s.k = seen.k
+  WHERE seen.k IS NULL
+)
+SELECT f.doc_id, n.source, f.n_dups
+FROM fresh f JOIN newb n USING (doc_id)
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (alpha=0.7, 60% token budget):
     per-source keep rate from n_s^alpha weights, deterministic md5-bucket
@@ -4974,6 +5040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "shard_manifest": q_shard_manifest,
+        "dedup_incremental": q_dedup_incremental,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -5120,6 +5188,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fp": O_WINNOW_FP,
         "winnow_pairs": O_WINNOW_PAIRS,
         "decontaminate_bloom": O_DECONTAMINATE_BLOOM,
+        "shard_manifest": O_SHARD_MANIFEST,
+        "dedup_incremental": O_DEDUP_INCREMENTAL,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

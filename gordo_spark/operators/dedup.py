@@ -979,3 +979,36 @@ def decontaminate_bloom(
             F.coalesce("n_flagged", F.lit(0)) / F.col("n_grams"), 6
         ).alias("flagged_frac"),
     )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    existing: DataFrame,
+    content_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time batch dedup against the landed corpus: from ``new``,
+    keep one canonical row (min id) per content hash that does NOT
+    already exist in ``existing`` — the batch analogue of the streaming
+    ``dropDuplicatesWithinWatermark`` path, for backfills and crawl
+    snapshot merges where the landed side is too old for stream state.
+
+    Only 32-byte md5 keys cross either exchange: the within-batch
+    survivor pass is ``exact_dedup``'s groupBy on md5(content), and the
+    against-corpus pass is an UNHINTED left-anti join on the hash (the
+    landed side is corpus-sized — never broadcast; same reasoning as
+    ``keep_survivors``). Returns the surviving rows of ``new`` with
+    their within-batch duplicate counts.
+    """
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    new_k = new.withColumn("_k", key)
+    batch_survivors = (
+        new_k.select("_k", F.col(id_col))
+        .groupBy("_k")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+    )
+    seen = existing.select(key.alias("_k")).distinct()
+    fresh = batch_survivors.join(seen, "_k", "left_anti")
+    return new_k.join(
+        fresh.select(id_col, "n_dups"), id_col
+    ).drop("_k")

@@ -223,3 +223,32 @@ def mixture_sample(
         .filter(b < F.floor(F.col("rate") * buckets).cast("int"))
         .drop("rate")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Export-integrity manifest: one row per shard with row count, byte
+    count, id range, and an ORDER-INSENSITIVE content checksum (sum of
+    md5-derived 32-bit row hashes — commutative, so any read order or
+    partitioning reproduces it; sums stay < 2^62 up to ~10^9 rows/shard).
+    The manifest is what a 100 TB export job publishes next to the data:
+    a consumer re-derives it with one aggregation and diffs — any
+    dropped, duplicated, or corrupted row moves count or checksum.
+    One map-side-combined groupBy on the shard key; nothing else moves.
+    """
+    from gordo_spark.operators.dedup import md5_long
+
+    row_hash = md5_long(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.col(text_col))
+    )
+    return df.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length(text_col)).alias("n_bytes"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+        F.sum(row_hash).alias("checksum"),
+    )

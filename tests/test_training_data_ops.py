@@ -1420,3 +1420,52 @@ def test_decontaminate_bloom_no_false_negatives(spark):
     assert out[1][0] == out[1][1] and out[1][2] == 1.0
     # FPR at this load (~28 shingles in 65536 bits) is ~0 for the clean doc
     assert out[2][1] == 0
+
+
+def test_shard_manifest_detects_corruption(spark):
+    from gordo_spark.operators.sampling import shard_manifest
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "shard": ["a", "a", "a", "b", "b", "b"],
+                "text": [f"text {i}" for i in range(6)],
+            }
+        )
+    )
+    base = {r["shard"]: r.asDict() for r in shard_manifest(df, "shard", "doc_id").collect()}
+    # same rows reshuffled -> identical manifest (order-insensitive checksum)
+    re = {
+        r["shard"]: r.asDict()
+        for r in shard_manifest(df.repartition(5), "shard", "doc_id").collect()
+    }
+    assert base == re
+    # one flipped byte moves the checksum but not the counts
+    df2 = df.withColumn(
+        "text", F.when(F.col("doc_id") == 0, F.lit("text X")).otherwise(F.col("text"))
+    )
+    mut = {r["shard"]: r.asDict() for r in shard_manifest(df2, "shard", "doc_id").collect()}
+    assert mut["a"]["n_rows"] == base["a"]["n_rows"]
+    assert mut["a"]["checksum"] != base["a"]["checksum"]
+    assert mut["b"] == base["b"]
+
+
+def test_incremental_dedup(spark):
+    from gordo_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["old one", "old two"]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": ["old one", "brand new", "brand new", "also new"],
+            }
+        )
+    )
+    out = {r["doc_id"]: r["n_dups"] for r in incremental_dedup(new, existing, ["text"]).collect()}
+    assert 10 not in out          # already landed -> dropped
+    assert out[11] == 2 and 12 not in out  # within-batch dup collapses to min id
+    assert out[13] == 1
