@@ -3626,6 +3626,54 @@ FROM m
 """
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle profile language ID (operators/text.
+    char_ngram_lang_profiles + char_ngram_lang_id): top-200 char-trigram
+    profiles per labeled language, then per-doc argmax profile overlap
+    (ties -> lexicographically first language). The |langs| x 200
+    profile table is broadcast-bounded by construction."""
+    from gordo_spark.operators.text import (
+        char_ngram_lang_id,
+        char_ngram_lang_profiles,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    profiles = char_ngram_lang_profiles(docs, top_k=200)
+    return char_ngram_lang_id(docs, profiles)
+
+
+O_LANG_ID_NGRAM = """
+WITH ex AS (
+  SELECT lang, substring(text, i, 3) AS g
+  FROM (SELECT lang, text,
+               unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
+        FROM documents)
+),
+counts AS (SELECT lang, g, count(*) AS tf FROM ex GROUP BY 1, 2),
+prof AS (
+  SELECT lang, g FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang ORDER BY tf DESC, g ASC) AS r
+    FROM counts
+  ) WHERE r <= 200
+),
+docg AS (
+  SELECT DISTINCT doc_id, substring(text, i, 3) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
+        FROM documents)
+),
+scored AS (
+  SELECT d.doc_id, p.lang, count(*) AS overlap
+  FROM docg d JOIN prof p USING (g) GROUP BY 1, 2
+),
+mx AS (SELECT doc_id, max(overlap) AS overlap FROM scored GROUP BY 1)
+SELECT s.doc_id, min(s.lang) AS lang_pred, s.overlap
+FROM scored s JOIN mx USING (doc_id, overlap)
+GROUP BY s.doc_id, s.overlap
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail per-language LM-score terciles
     (operators/text.perplexity_buckets over unigram_logprob_score).
@@ -5042,6 +5090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "shard_manifest": q_shard_manifest,
         "dedup_incremental": q_dedup_incremental,
+        "lang_id_ngram": q_lang_id_ngram,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -5190,6 +5239,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": O_DECONTAMINATE_BLOOM,
         "shard_manifest": O_SHARD_MANIFEST,
         "dedup_incremental": O_DEDUP_INCREMENTAL,
+        "lang_id_ngram": O_LANG_ID_NGRAM,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

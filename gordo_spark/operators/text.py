@@ -780,3 +780,97 @@ def gopher_rules(
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_word_len & ok_symbols & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+def char_ngram_lang_profiles(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 200,
+) -> DataFrame:
+    """Per-language character n-gram profiles (Cavnar & Trenkle 1994):
+    the ``top_k`` most frequent char n-grams per language from a labeled
+    corpus — the training half of profile-based language ID.
+
+    Shape: explode char n-grams row-wise (substring per exploded start
+    index — codegen, no HOF), one (lang, gram) count with map-side
+    combine, then a top-k window over the AGGREGATED profile table
+    (partition rows = distinct grams per language, data-bounded by the
+    character-n-gram space, never corpus-bounded).
+    """
+    t = F.col(text_col)
+    ex = (
+        df.select(F.col(lang_col), t.alias("_t"))
+        .select(
+            lang_col,
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("_t") - (n - 1), F.lit(1)),
+                )
+            ).alias("_i"),
+        )
+        .select(F.col(lang_col), F.substring(F.col("_t"), F.col("_i"), n).alias("g"))
+    )
+    counts = ex.groupBy(lang_col, "g").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("tf").desc(), F.col("g").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(lang_col, "g", "rank")
+    )
+
+
+def char_ngram_lang_id(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Profile-overlap language ID (the classification half of Cavnar &
+    Trenkle): score each document against each language profile by the
+    number of its DISTINCT char n-grams found in that profile; predict
+    the argmax (ties to the lexicographically first language — stated,
+    so any engine reproduces it).
+
+    The profile table is |langs| x top_k rows — broadcast-legitimate by
+    construction; documents never shuffle (distinct grams per doc, one
+    broadcast join, one per-doc aggregate keyed by unique ids).
+    """
+    t = F.col(text_col)
+    ex = (
+        df.select(F.col(id_col), t.alias("_t"))
+        .select(
+            id_col,
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("_t") - (n - 1), F.lit(1)),
+                )
+            ).alias("_i"),
+        )
+        .select(F.col(id_col), F.substring(F.col("_t"), F.col("_i"), n).alias("g"))
+        .distinct()
+    )
+    lang_col = [c for c in profiles.columns if c not in ("g", "rank")][0]
+    scored = (
+        ex.join(F.broadcast(profiles), "g")
+        .groupBy(id_col, lang_col)
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    # portable argmax: min lang among rows achieving the max overlap
+    mx = scored.groupBy(id_col).agg(F.max("overlap").alias("overlap"))
+    return (
+        scored.join(mx, [id_col, "overlap"])
+        .groupBy(id_col, "overlap")
+        .agg(F.min(lang_col).alias("lang_pred"))
+        .select(id_col, "lang_pred", "overlap")
+    )

@@ -1469,3 +1469,29 @@ def test_incremental_dedup(spark):
     assert 10 not in out          # already landed -> dropped
     assert out[11] == 2 and 12 not in out  # within-batch dup collapses to min id
     assert out[13] == 1
+
+
+def test_char_ngram_lang_id_separable(spark):
+    from gordo_spark.operators.text import char_ngram_lang_id, char_ngram_lang_profiles
+
+    # two "languages" with disjoint character inventories
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "lang": ["aa", "aa", "aa", "zz", "zz", "zz"],
+                "text": [
+                    "abc abd abe abf",
+                    "abd abc abg abh",
+                    "abe abf abc abd",
+                    "xyz xyw xyv xyu",
+                    "xyw xyz xyt xys",
+                    "xyv xyu xyz xyw",
+                ],
+            }
+        )
+    )
+    profiles = char_ngram_lang_profiles(df, top_k=50)
+    out = {r["doc_id"]: r["lang_pred"] for r in char_ngram_lang_id(df, profiles).collect()}
+    assert all(out[i] == "aa" for i in range(3))
+    assert all(out[i] == "zz" for i in range(3, 6))
