@@ -98,6 +98,9 @@ HEADLINE = [
     "winnow_fp",
     "winnow_pairs",
     "decontaminate_bloom",
+    "shard_manifest",
+    "dedup_incremental",
+    "lang_id_ngram",
 ]
 
 
