@@ -3726,6 +3726,27 @@ FROM tiled
 """
 
 
+def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation decision (operators/curation.
+    curation_verdict): Gopher rules AND not-CCNet-perplexity-tail AND
+    repetition below threshold — the conjunction real pipelines ship on,
+    stated once over the three contract-tested signal branches. The
+    oracle composes the three existing oracle subqueries verbatim."""
+    from gordo_spark.operators.curation import curation_verdict
+
+    return curation_verdict(read_table(spark, sf_dir, "documents"))
+
+
+def _curation_sql() -> str:
+    return f"""
+SELECT g.doc_id, g.keep AS keep_rules, p.bucket, r.dup_ngram_frac,
+       (g.keep AND p.bucket <> 'tail' AND r.dup_ngram_frac <= 0.3) AS keep
+FROM ({O_GOPHER_RULES}) g
+JOIN ({O_PERPLEXITY_BUCKETS}) p USING (doc_id)
+JOIN ({O_TEXT_REPETITION}) r USING (doc_id)
+"""
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 terms by tf-idf (operators/text.tfidf_topk):
     broadcast document-frequency table, row_number window PARTITIONED by
@@ -5091,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "dedup_incremental": q_dedup_incremental,
         "lang_id_ngram": q_lang_id_ngram,
+        "curation_verdict": q_curation_verdict,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -5240,6 +5262,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": O_SHARD_MANIFEST,
         "dedup_incremental": O_DEDUP_INCREMENTAL,
         "lang_id_ngram": O_LANG_ID_NGRAM,
+        "curation_verdict": _curation_sql(),
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

@@ -1495,3 +1495,24 @@ def test_char_ngram_lang_id_separable(spark):
     out = {r["doc_id"]: r["lang_pred"] for r in char_ngram_lang_id(df, profiles).collect()}
     assert all(out[i] == "aa" for i in range(3))
     assert all(out[i] == "zz" for i in range(3, 6))
+
+
+def test_curation_verdict_conjunction(spark):
+    from gordo_spark.operators.curation import curation_verdict
+
+    good = " ".join(["the", "data", "table", "scan", "row", "merge"] * 15)
+    repetitive = " ".join(["the", "data", "loop"] * 30)  # rules pass, dup high
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "lang": ["en"] * 3,
+                "text": [good, repetitive, "too short the a"],
+            }
+        )
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation_verdict(df, max_dup_frac=0.3).collect()}
+    assert not out[1]["keep"] and out[1]["keep_rules"]  # killed by repetition alone
+    assert not out[2]["keep_rules"] and not out[2]["keep"]  # killed by rules
+    # the clean doc survives unless it landed in the perplexity tail
+    assert out[0]["keep"] == (out[0]["bucket"] != "tail" and out[0]["dup_ngram_frac"] <= 0.3)
