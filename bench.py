@@ -101,6 +101,7 @@ HEADLINE = [
     "shard_manifest",
     "dedup_incremental",
     "lang_id_ngram",
+    "curation_verdict",
 ]
 
 
