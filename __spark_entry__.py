@@ -3008,6 +3008,38 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives): top-3
+    most-similar DIFFERENT-label vectors for the first 10 queries —
+    per-label corpus complement keeps the batch-local partial top-k
+    exact."""
+    from gordo_spark.operators.similarity import hard_negatives
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(embs, k=3, queries=embs.filter(F.col("vec_id") < 10))
+    return _r6(out, "cosine_sim")
+
+
+O_HARD_NEGATIVES = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS ql, e AS qv FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_dot_product(q.qv, v.e)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.e, v.e))) AS sim
+  FROM v, q
+  WHERE v.vec_id != q.query_id AND v.label <> q.ql
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (ml/logreg.LogisticModel): distributed
     IRLS over cheap text features (n_chars, word count, distinct-word
@@ -5113,6 +5145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "lang_id_ngram": q_lang_id_ngram,
         "curation_verdict": q_curation_verdict,
+        "hard_negatives": q_hard_negatives,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -5263,6 +5296,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": O_DEDUP_INCREMENTAL,
         "lang_id_ngram": O_LANG_ID_NGRAM,
         "curation_verdict": _curation_sql(),
+        "hard_negatives": O_HARD_NEGATIVES,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

@@ -886,3 +886,80 @@ def pca_transform(
         return pd.Series(list(P))
 
     return df.withColumn(out_col, _proj(_as_double(F.col(vec_col))))
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for metric/contrastive training: each
+    query's top-k most-similar vectors with a DIFFERENT label — the
+    negatives that actually move an embedding model (easy negatives
+    contribute ~zero gradient; cf. in-batch vs mined negatives in DPR,
+    Karpukhin et al. 2020).
+
+    Same single-pass shape as ``cosine_topk`` — the query matrix AND its
+    label vector ship in the task closure, the corpus batch carries its
+    label column, and the per-batch partial top-k masks same-label rows
+    BEFORE selecting (a label-blind partial top-k would be inexact: a
+    batch's best different-label rows could be displaced by same-label
+    ones). One matmul per Arrow batch, bounded shuffle, one job — not a
+    per-label loop.
+    """
+    q = queries if queries is not None else vectors
+    qrows = q.select(id_col, vec_col, label_col).collect()
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qlab = np.asarray([r[2] for r in qrows])
+    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+
+    src = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_nl"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    )
+    schema = "query_id long, neighbor_id long, cosine_sim double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            nlab = pdf["_nl"].to_numpy()
+            V = np.stack(pdf["nv"].to_numpy())
+            num = V @ Q.T
+            den = np.sqrt(np.einsum("ij,ij->i", V, V))[:, None] * qnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = num / den
+            frames = []
+            for j in range(len(qids)):
+                mask = (ids != qids[j]) & (nlab != qlab[j])
+                cid, csim = ids[mask], sims[mask, j]
+                if len(cid) == 0:
+                    continue
+                order = np.lexsort((cid, -csim))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": cid[order],
+                            "cosine_sim": csim[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = src.mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1516,3 +1516,14 @@ def test_curation_verdict_conjunction(spark):
     assert not out[2]["keep_rules"] and not out[2]["keep"]  # killed by rules
     # the clean doc survives unless it landed in the perplexity tail
     assert out[0]["keep"] == (out[0]["bucket"] != "tail" and out[0]["dup_ngram_frac"] <= 0.3)
+
+
+def test_hard_negatives_excludes_same_label(spark, embs):
+    from gordo_spark.operators.similarity import hard_negatives
+
+    q = embs.filter(F.col("vec_id") < 5)
+    out = hard_negatives(embs, k=3, queries=q).toPandas()
+    labels = {r["vec_id"]: r["label"] for r in embs.select("vec_id", "label").collect()}
+    for _, row in out.iterrows():
+        assert labels[row["query_id"]] != labels[row["neighbor_id"]]
+    assert set(out.groupby("query_id").size()) == {3}
