@@ -3236,6 +3236,31 @@ SELECT id, min(label) AS component FROM cc GROUP BY id
 """
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size histogram (operators/dedup.
+    component_size_histogram) over the dup corpus's connected components
+    — every text appears exactly twice, so the dominant cluster size is
+    2 (plus natural near-dup clusters merging further)."""
+    from gordo_spark.operators.dedup import (
+        component_size_histogram,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_docs_with_dups(spark, sf_dir), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return component_size_histogram(connected_components(pairs))
+
+
+O_DEDUP_CLUSTER_SIZES = f"""
+SELECT cluster_size, count(*) AS n_clusters FROM (
+  SELECT component, count(*) AS cluster_size
+  FROM ({O_DEDUP_COMPONENTS}) GROUP BY component
+) GROUP BY cluster_size
+"""
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: signatures -> LSH pairs -> connected components
     -> survivor corpus (one doc per duplicate component, everything else
@@ -5146,6 +5171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": q_lang_id_ngram,
         "curation_verdict": q_curation_verdict,
         "hard_negatives": q_hard_negatives,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -5297,6 +5323,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_ngram": O_LANG_ID_NGRAM,
         "curation_verdict": _curation_sql(),
         "hard_negatives": O_HARD_NEGATIVES,
+        "dedup_cluster_sizes": O_DEDUP_CLUSTER_SIZES,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

@@ -1012,3 +1012,18 @@ def incremental_dedup(
     return new_k.join(
         fresh.select(id_col, "n_dups"), id_col
     ).drop("_k")
+
+
+def component_size_histogram(components: DataFrame) -> DataFrame:
+    """Near-dup cluster size distribution over ``connected_components``
+    output — the post-dedup health metric a curator reads (cluster sizes
+    follow a power law on web corpora, Lee et al. 2022; a fat head means
+    templated boilerplate, a missing tail means the LSH recall is off).
+    Two map-side-combined aggregations over (id, component) rows; the
+    histogram is at most |distinct sizes| rows."""
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

@@ -1527,3 +1527,15 @@ def test_hard_negatives_excludes_same_label(spark, embs):
     for _, row in out.iterrows():
         assert labels[row["query_id"]] != labels[row["neighbor_id"]]
     assert set(out.groupby("query_id").size()) == {3}
+
+
+def test_component_size_histogram(spark):
+    from gordo_spark.operators.dedup import component_size_histogram
+
+    comp = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1, 2, 3, 4, 5, 6, 7], "component": [1, 1, 1, 4, 4, 6, 7]}
+        )
+    )
+    out = {r["cluster_size"]: r["n_clusters"] for r in component_size_histogram(comp).collect()}
+    assert out == {3: 1, 2: 1, 1: 2}
