@@ -204,11 +204,77 @@ def hot_split_experiment(spark):
     }
 
 
+def paragraph_experiment(spark):
+    """Narrow vs naive paragraph dedup on a 10x corpus: the shipped
+    operator moves only (id, pos, md5) through every exchange and
+    re-derives paragraph text row-locally at the end; the naive plan
+    window-ranks over md5(para) CARRYING the text and re-collects it
+    through a second shuffle. Wall-clock both; also report the analytic
+    bytes-through-exchange ratio (text bytes vs ~48 B/narrow row) —
+    at 100 TB the exchange is the bill."""
+    from pyspark.sql import Window
+
+    from gordo_spark.operators.dedup import paragraph_dedup, word_blocks
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    wide = docs
+    for i in range(1, 10):
+        wide = wide.unionByName(
+            docs.select((F.col("doc_id") + 100_000 * i).alias("doc_id"), "text")
+        )
+    # 48-word blocks ~ real paragraph sizes (hundreds of bytes); the
+    # narrow row is a constant ~48 B, so the bytes ratio scales with
+    # paragraph length — 12-word toy blocks would understate it ~5x
+    paras = word_blocks(F.col("text"), 48)
+
+    t_narrow = timed(
+        "narrow",
+        lambda: paragraph_dedup(wide, paras)
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+
+    def naive():
+        ex = wide.select(
+            F.col("doc_id"), F.posexplode(paras).alias("pos", "para")
+        ).withColumn("ph", F.md5("para"))
+        w = Window.partitionBy("ph").orderBy("doc_id", "pos")
+        kept = ex.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        out = kept.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+            ).alias("text_clean"),
+        )
+        out.write.mode("overwrite").format("noop").save()
+
+    t_naive = timed("naive", naive)
+
+    stats = wide.select(
+        F.posexplode(paras).alias("pos", "para")
+    ).agg(
+        F.sum(F.length("para")).alias("text_bytes"),
+        F.count(F.lit(1)).alias("n_paras"),
+    ).collect()[0]
+    return {
+        "t_narrow_s": round(t_narrow, 3),
+        "t_naive_s": round(t_naive, 3),
+        "text_bytes_per_exchange": int(stats["text_bytes"]),
+        "narrow_bytes_per_exchange": int(stats["n_paras"] * 48),
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
     bucket = bucket_experiment(spark)
     hot = hot_split_experiment(spark)
+    para = paragraph_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -256,6 +322,25 @@ def main():
         "task's input stops fitting the task-size envelope; below that the",
         "operator stays on the plain join (and AQE's skew-split smooths",
         "partition-level imbalance).",
+        "",
+        "## Paragraph dedup: narrow vs text-through-shuffle (100k docs)",
+        "",
+        f"- shipped narrow plan ((id, pos, md5) exchanges only): "
+        f"{para['t_narrow_s']} s",
+        f"- naive plan (window over md5 carrying text + collect_list "
+        f"re-shuffle): {para['t_naive_s']} s",
+        f"- bytes offered to a text-carrying exchange: "
+        f"{para['text_bytes_per_exchange']:,} vs narrow "
+        f"{para['narrow_bytes_per_exchange']:,} "
+        f"(~{round(para['text_bytes_per_exchange'] / max(para['narrow_bytes_per_exchange'], 1), 1)}x)",
+        "",
+        "Local wall-clock favors the NAIVE plan (fewer jobs, RAM-speed",
+        "shuffle, tiny corpus) — the narrow design is not a local win and",
+        "is not claimed as one. The bytes column is the cluster number:",
+        "the narrow row is a constant ~48 B while text bytes scale with",
+        "paragraph length, and the naive plan ships the full corpus text",
+        "through TWO exchanges (rank + reassembly). At 100 TB the",
+        "exchange is the bill.",
         "",
     ]
     out = "\n".join(lines)
