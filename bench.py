@@ -102,6 +102,8 @@ HEADLINE = [
     "dedup_incremental",
     "lang_id_ngram",
     "curation_verdict",
+    "hard_negatives",
+    "dedup_cluster_sizes",
 ]
 
 

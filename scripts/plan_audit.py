@@ -79,6 +79,8 @@ ACCEPTED = {
     "strata-sized count table",
     "perplexity_buckets": "1-row corpus-token-total + OOV-floor frames "
     "broadcast (the lm_quality scalars, reused upstream of the tiling)",
+    "curation_verdict": "the lm_quality 1-row scalar frames, inherited "
+    "through the perplexity branch of the composed verdict",
     "tpch_q2": "1-row supplier-count frame broadcast (derived partsupp)",
     "tpch_q9": "1-row supplier-count frame broadcast (derived partsupp)",
     "tpch_q11": "1-row supplier-count + 1-row threshold broadcasts",
