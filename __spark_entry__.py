@@ -3040,6 +3040,21 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges trained on the corpus (operators/bpe.bpe_train
+    — Sennrich 2016): distributed word count once, then vocab-sized
+    merge iterations with a deterministic tie rule. Iterative fit -> no
+    single-SQL oracle (rows-only contract); pinned word-for-word against
+    a pure-Python reference in pytest."""
+    from gordo_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(read_table(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)],
+        schema="rank int, left string, right string, pair_freq long",
+    )
+
+
 def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (ml/logreg.LogisticModel): distributed
     IRLS over cheap text features (n_chars, word count, distinct-word
@@ -5172,6 +5187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_verdict": q_curation_verdict,
         "hard_negatives": q_hard_negatives,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "bpe_merges": q_bpe_merges,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,

@@ -1539,3 +1539,21 @@ def test_component_size_histogram(spark):
     )
     out = {r["cluster_size"]: r["n_clusters"] for r in component_size_histogram(comp).collect()}
     assert out == {3: 1, 2: 1, 1: 2}
+
+
+def test_bpe_train_matches_reference(spark):
+    from gordo_spark.operators.bpe import bpe_train, bpe_train_reference
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low newer wide lowest",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts})).repartition(3)
+    got = bpe_train(df, n_merges=6)
+    ref = bpe_train_reference(texts, n_merges=6)
+    assert got == ref
+    # merges are (str, str, freq) and frequencies are non-increasing only
+    # when ties don't reorder; at least the first merge is the true max
+    assert got[0][2] == max(m[2] for m in got)
