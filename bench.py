@@ -103,7 +103,8 @@ HEADLINE = [
     "lang_id_ngram",
     "curation_verdict",
     "hard_negatives",
-    "dedup_cluster_sizes",
+    # iterative fits (connected components, k-means, BPE) are contract
+    # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]
 
 
