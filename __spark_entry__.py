@@ -3798,6 +3798,45 @@ FROM tiled
 """
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for one lexical query (operators/text.bm25_topk) —
+    the retrieval half of a RAG stack beside the ANN operators. Only
+    query-term postings ever shuffle; final top-k is a TakeOrdered."""
+    from gordo_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        read_table(spark, sf_dir, "documents"), "table scan merge window", k=10
+    )
+
+
+O_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('table', 'scan', 'merge', 'window')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+  FROM dfreq, stats
+),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(idf.idf * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / idf.avgdl))), 6)
+           AS score
+  FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation decision (operators/curation.
     curation_verdict): Gopher rules AND not-CCNet-perplexity-tail AND
@@ -5188,6 +5227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "bpe_merges": q_bpe_merges,
+        "bm25_search": q_bm25_search,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
@@ -5340,6 +5380,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_verdict": _curation_sql(),
         "hard_negatives": O_HARD_NEGATIVES,
         "dedup_cluster_sizes": O_DEDUP_CLUSTER_SIZES,
+        "bm25_search": O_BM25_SEARCH,
         "dedup_minhash": O_DEDUP_MINHASH,
         "dedup_lsh_pairs": O_DEDUP_LSH,
         "dedup_jaccard": O_DEDUP_JACCARD,

@@ -874,3 +874,71 @@ def char_ngram_lang_id(
         .agg(F.min(lang_col).alias("lang_pred"))
         .select(id_col, "lang_pred", "overlap")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval (Robertson-Sparck Jones) for one query over the
+    corpus — the lexical half of a RAG stack beside the embedding ANN
+    operators. Score = sum over query terms of
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with the
+    standard idf = ln(1 + (N - df + .5)/(df + .5)).
+
+    Scale shape: the token stream is FILTERED to query terms before any
+    aggregation (the filter rides the explode projection — only
+    query-term postings ever shuffle); document length and corpus stats
+    are one narrow aggregate each; N/avgdl are 1-row scalar frames. The
+    final top-k is a TakeOrdered, not a global sort. Deterministic
+    tie-break on (score desc, id asc); scores rounded to 6dp so the
+    DuckDB oracle hash-matches.
+    """
+    terms = [t for t in query.split(" ") if t]
+    tarr = F.array(*[F.lit(t) for t in terms])
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    dl = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    matched = toks.filter(F.array_contains(tarr, F.col("term")))
+    tf = matched.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -1557,3 +1557,27 @@ def test_bpe_train_matches_reference(spark):
     # merges are (str, str, freq) and frequencies are non-increasing only
     # when ties don't reorder; at least the first merge is the true max
     assert got[0][2] == max(m[2] for m in got)
+
+
+def test_bm25_ranks_denser_matches_higher(spark):
+    from gordo_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": [
+                    "spark spark spark filler filler",           # dense match
+                    "spark filler filler filler filler",        # sparse match
+                    "filler filler filler filler filler",       # no match
+                    "spark spark " + "pad " * 200,              # long doc penalized
+                ],
+            }
+        )
+    )
+    out = bm25_topk(df, "spark", k=10).toPandas()
+    assert list(out["doc_id"])[:2] == [0, 3] or list(out["doc_id"])[0] == 0
+    assert 2 not in set(out["doc_id"])  # zero-match docs never appear
+    scores = out.set_index("doc_id")["score"]
+    assert scores[0] > scores[1] > 0  # tf monotone
+    assert scores[1] > scores[3] or scores[0] > scores[3]  # length normalization bites
