@@ -103,6 +103,7 @@ HEADLINE = [
     "lang_id_ngram",
     "curation_verdict",
     "hard_negatives",
+    "bm25_search",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

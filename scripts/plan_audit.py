@@ -81,6 +81,8 @@ ACCEPTED = {
     "broadcast (the lm_quality scalars, reused upstream of the tiling)",
     "curation_verdict": "the lm_quality 1-row scalar frames, inherited "
     "through the perplexity branch of the composed verdict",
+    "bm25_search": "1-row corpus-stats (N, avgdl) frame broadcast to "
+    "the query-term df table",
     "tpch_q2": "1-row supplier-count frame broadcast (derived partsupp)",
     "tpch_q9": "1-row supplier-count frame broadcast (derived partsupp)",
     "tpch_q11": "1-row supplier-count + 1-row threshold broadcasts",
