@@ -5170,7 +5170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "tpch_q6": q_tpch_q6,
         "j3_pivot_align": q_j3_pivot_align,
-        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_paragraph": q_dedup_paragraph,
         "term_stats": q_term_stats,
         "tpch_q9": q_tpch_q9,
         "p3_row_filter": q_p3_row_filter,
@@ -5188,31 +5188,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_ewma": q_w3_ewma,
         "dedup_survivors": q_dedup_survivors,
         "normalize_text": q_normalize_text,
-        "sim_ann_lsh": q_sim_ann_lsh,
+        "semdedup": q_semdedup,
         "m6_anomaly": q_m6_anomaly,
         "decontaminate": q_decontaminate,
         "text_lang_id": q_text_lang_id,
         "sim_ivf": q_sim_ivf,
         "m6_anomaly_multi": q_m6_anomaly_multi,
         "source_overlap": q_source_overlap,
-        "text_fingerprint": q_text_fingerprint,
+        "dsir_weights": q_dsir_weights,
         "sim_ivf_probe": q_sim_ivf_probe,
         "m4_kfold_threshold": q_m4_kfold_threshold,
         "source_tokens": q_source_tokens,
-        "text_tokens_bpe": q_text_tokens_bpe,
+        "bm25_search": q_bm25_search,
         "mm_metadata": q_mm_metadata,
         "asof_join": q_asof_join,
-        "corpus_diff": q_corpus_diff,
+        "curation_verdict": q_curation_verdict,
         "text_repetition": q_text_repetition,
-        "mm_frame_sample": q_mm_frame_sample,
+        "perplexity_buckets": q_perplexity_buckets,
         "events_sessionize": q_events_sessionize,
         "repeated_ngrams": q_repeated_ngrams,
         # --- 51+: the rest of the LLM-pipeline family ---
-        "dedup_paragraph": q_dedup_paragraph,
-        "dsir_weights": q_dsir_weights,
+        "dedup_jaccard": q_dedup_jaccard,
+        "text_fingerprint": q_text_fingerprint,
         "mixture_sample": q_mixture_sample,
-        "perplexity_buckets": q_perplexity_buckets,
-        "semdedup": q_semdedup,
+        "mm_frame_sample": q_mm_frame_sample,
+        "sim_ann_lsh": q_sim_ann_lsh,
         "quality_logreg": q_quality_logreg,
         "gopher_rules": q_gopher_rules,
         "ann_recall": q_ann_recall,
@@ -5223,11 +5223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "dedup_incremental": q_dedup_incremental,
         "lang_id_ngram": q_lang_id_ngram,
-        "curation_verdict": q_curation_verdict,
+        "corpus_diff": q_corpus_diff,
         "hard_negatives": q_hard_negatives,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "bpe_merges": q_bpe_merges,
-        "bm25_search": q_bm25_search,
+        "text_tokens_bpe": q_text_tokens_bpe,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
         "token_entropy": q_token_entropy,
