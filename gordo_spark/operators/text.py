@@ -79,20 +79,25 @@ def lang_id(
     )
 
 
+def quality_expr(text_col) -> Column:
+    """Composite heuristic quality in [0, 1] as a bare Column — row-local,
+    so it composes into batch projections and watermarked streams alike."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("double")
+    len_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    n_chars = F.length(text_col).cast("double")
+    punct = (n_chars - F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9 ]", ""))) / n_chars
+    punct_score = F.greatest(F.lit(1.0) - punct * 5.0, F.lit(0.0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    sw_score = F.least(stopword_fraction(text_col) * 5.0, F.lit(1.0))
+    return (len_score + punct_score + diversity + sw_score) / 4.0
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Composite quality heuristic: long enough, low punctuation, lexically
     diverse, some stopwords. Each component clamped to [0,1], averaged."""
-    toks = tokens(F.col(text_col))
-    n_tokens = F.size(toks).cast("double")
-    len_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-    n_chars = F.length(F.col(text_col)).cast("double")
-    punct = (n_chars - F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))) / n_chars
-    punct_score = F.greatest(F.lit(1.0) - punct * 5.0, F.lit(0.0))
-    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    sw_score = F.least(stopword_fraction(F.col(text_col)) * 5.0, F.lit(1.0))
     return df.select(
-        F.col(id_col),
-        ((len_score + punct_score + diversity + sw_score) / 4.0).alias("quality"),
+        F.col(id_col), quality_expr(F.col(text_col)).alias("quality")
     )
 
 
@@ -748,16 +753,45 @@ def gopher_rules(
     partitioning; at 100 TB this is a free rider on the first scan.
     The oracle states every rule in ANSI SQL.
     """
-    toks = tokens(F.col(text_col))
+    exprs = gopher_rule_exprs(
+        F.col(text_col),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_frac=min_alpha_frac,
+        min_stopwords=min_stopwords,
+        stopwords=stopwords,
+    )
+    return df.select(
+        F.col(id_col), *[c.alias(n) for n, c in exprs.items()]
+    )
+
+
+def gopher_rule_exprs(
+    text_col,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: list[str] | None = None,
+) -> dict:
+    """The Gopher rule panel as bare Column expressions (name -> Column)
+    — composable into any projection, batch or streaming (the rules are
+    row-local, so they run unchanged inside a watermarked stream)."""
+    toks = tokens(text_col)
     n_words = F.size(toks).cast("double")
     mean_wl = (
-        F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
-        / n_words
+        F.length(F.regexp_replace(text_col, " ", "")).cast("double") / n_words
     )
     n_sym = (
-        F.size(F.split(F.col(text_col), "#", -1))
+        F.size(F.split(text_col, "#", -1))
         - 1
-        + F.size(F.split(F.col(text_col), r"\.\.\.", -1))
+        + F.size(F.split(text_col, r"\.\.\.", -1))
         - 1
     ).cast("double")
     alpha_frac = (
@@ -771,15 +805,14 @@ def gopher_rules(
     ok_symbols = (n_sym / n_words) <= max_symbol_ratio
     ok_alpha = alpha_frac >= min_alpha_frac
     ok_stop = n_sw >= min_stopwords
-    return df.select(
-        F.col(id_col),
-        ok_words.alias("ok_words"),
-        ok_word_len.alias("ok_word_len"),
-        ok_symbols.alias("ok_symbols"),
-        ok_alpha.alias("ok_alpha"),
-        ok_stop.alias("ok_stopwords"),
-        (ok_words & ok_word_len & ok_symbols & ok_alpha & ok_stop).alias("keep"),
-    )
+    return {
+        "ok_words": ok_words,
+        "ok_word_len": ok_word_len,
+        "ok_symbols": ok_symbols,
+        "ok_alpha": ok_alpha,
+        "ok_stopwords": ok_stop,
+        "keep": ok_words & ok_word_len & ok_symbols & ok_alpha & ok_stop,
+    }
 
 
 def char_ngram_lang_profiles(

@@ -562,3 +562,50 @@ def test_stream_gopher_gate_matches_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, exp)
     assert got["keep"].any() and not got["keep"].all()
+
+
+def test_stream_source_quality_matches_batch(spark, tmp_path):
+    """Windowed per-source quality metrics: the stream's closed windows
+    equal the batch aggregation over the same rows."""
+    import pandas as pd
+
+    from gordo_spark.streaming.quality import stream_source_quality
+
+    src = str(tmp_path / "squality_in")
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=7 * i) for i in range(40)],
+            "source": ["web" if i % 2 == 0 else "wiki" for i in range(40)],
+            "text": [
+                ("the data " * 20).strip() if i % 3 else ("### " * 30).strip()
+                for i in range(40)
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_source_quality(stream, window="1 hour", min_words=10, min_stopwords=1)
+        .writeStream.format("memory")
+        .queryName("squality_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("squality_stream")
+        .selectExpr("win.start AS ws", "source", "n_docs", "mean_quality", "gopher_pass_rate")
+        .toPandas().sort_values(["ws", "source"]).reset_index(drop=True)
+    )
+    exp = (
+        stream_source_quality(
+            spark.read.parquet(src), window="1 hour", min_words=10, min_stopwords=1
+        )
+        .selectExpr("win.start AS ws", "source", "n_docs", "mean_quality", "gopher_pass_rate")
+        .toPandas().sort_values(["ws", "source"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["gopher_pass_rate"] < 1.0).any()  # the ### docs fail the panel
