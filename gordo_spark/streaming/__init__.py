@@ -4,6 +4,7 @@ from gordo_spark.streaming.scoring import (
     score_stream,
 )
 from gordo_spark.streaming.stateful import ewma_stream
+from gordo_spark.streaming.quality import stream_source_quality
 from gordo_spark.streaming.dedup import (
     with_content_key,
     dedup_ids_within_watermark,
@@ -16,6 +17,7 @@ __all__ = [
     "stream_anomaly_select",
     "score_stream",
     "ewma_stream",
+    "stream_source_quality",
     "with_content_key",
     "dedup_ids_within_watermark",
     "dedup_ids_exact",
