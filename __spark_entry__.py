@@ -198,6 +198,42 @@ FROM buffered WHERE near_bad = 0
 
 
 # ------------------------------------------------------ P4 filter_periods
+def q_w10_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift statistic per tag (operators/smoothing.cusum_drift —
+    Page 1954): the recursion computed exactly via the reflection
+    identity as two partitioned windows (cumsum + running min), no
+    recursion, no applyInPandas."""
+    from gordo_spark.operators.smoothing import cusum_drift
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("tag"), "ts", "value"
+    )
+    return cusum_drift(ev, part_cols=("tag",))
+
+
+O_W10_CUSUM = """
+WITH src AS (
+  SELECT event_type AS tag, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+stats AS (
+  SELECT tag, avg(value) AS mu, stddev_pop(value) AS sd FROM src GROUP BY 1
+),
+d AS (
+  SELECT s.tag, s.ts, s.value,
+         SUM((s.value - st.mu) / st.sd - 0.5)
+           OVER (PARTITION BY s.tag ORDER BY s.ts) AS S
+  FROM src s JOIN stats st USING (tag)
+),
+c AS (
+  SELECT tag, ts, value,
+         ROUND(S - LEAST(0.0, MIN(S) OVER (PARTITION BY tag ORDER BY ts)), 6)
+           AS cusum
+  FROM d
+)
+SELECT tag, ts, value, cusum, cusum > 5.0 AS alarm FROM c
+"""
+
+
 def q_p4_iqr_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 — IQR-fence outlier-period removal on the long series."""
     df = _events_long(spark, sf_dir)
@@ -5260,6 +5296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_shift": q_w6_shift,
         "p9_winsorize": q_p9_winsorize,
         "w9_rolling_zscore": q_w9_rolling_zscore,
+        "w10_cusum": q_w10_cusum,
         "a7_quantile": q_a7_quantile,
         "a8_fold_threshold": q_a8_fold_threshold,
         "a9_explained_variance": q_a9_explained_variance,
@@ -5320,6 +5357,7 @@ def oracle_sql() -> dict[str, str]:
         "w6_shift": O_W6,
         "p9_winsorize": O_P9_WINSORIZE,
         "w9_rolling_zscore": O_W9_ZSCORE,
+        "w10_cusum": O_W10_CUSUM,
         "a7_quantile": O_A7,
         "a8_fold_threshold": O_A8,
         "a9_explained_variance": O_A9,

@@ -144,3 +144,53 @@ def rolling_zscore(
         z.alias("zscore"),
         F.when(F.abs(z) > threshold, 1).otherwise(0).alias("is_outlier"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    part_cols: Sequence[str] = ("tag",),
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+) -> DataFrame:
+    """One-sided CUSUM drift detection (Page 1954): the change-point
+    statistic s_t = max(0, s_{t-1} + (x_t - mu)/sigma - k), alarm when
+    s_t > h — catches slow sensor drift that threshold-on-value anomaly
+    scoring (the reference's diff.py family) structurally misses.
+
+    The recursion has the exact REFLECTION identity
+        s_t = S_t - min(0, min_{j<=t} S_j),  S_t = cumsum(d_j),
+    so it computes as two ordinary window functions over one partition
+    spec (cumulative sum + running min) — no recursion, no
+    applyInPandas, pure codegen; the DuckDB oracle states the same two
+    windows. mu/sigma are the series' own mean/stddev_pop (one
+    aggregate, joined back on the bounded series key), the standard
+    self-referenced parameterization when no training window is given.
+    Every window is PARTITIONED by the series key; rounded to 6dp for
+    engine portability.
+    """
+    parts = [F.col(c) for c in part_cols]
+    stats = df.groupBy(*part_cols).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"),
+    )
+    d = (F.col(value_col) - F.col("_mu")) / F.col("_sd") - F.lit(float(slack_k))
+    w = Window.partitionBy(*parts).orderBy(ts_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    joined = df.join(stats, list(part_cols))
+    S = F.sum(d).over(wcum)
+    out = joined.select(
+        *parts,
+        F.col(ts_col),
+        F.col(value_col),
+        S.alias("_S"),
+    ).select(
+        *parts,
+        ts_col,
+        value_col,
+        F.round(
+            F.col("_S") - F.least(F.lit(0.0), F.min("_S").over(wcum)), 6
+        ).alias("cusum"),
+    )
+    return out.withColumn("alarm", F.col("cusum") > float(threshold_h))

@@ -445,3 +445,36 @@ def test_rolling_zscore_flags_spike_and_masks_warmup(spark):
     assert out.loc[9, "zscore"] == pytest.approx(round((50.0 - m) / s, 6), abs=1e-9)
     assert out.loc[9, "is_outlier"] == 1
     assert (out.loc[3:8, "is_outlier"] == 0).all()
+
+
+def test_cusum_reflection_matches_naive_recursion(spark):
+    import numpy as np
+    import pandas as pd
+
+    from gordo_spark.operators.smoothing import cusum_drift
+
+    rng = np.random.RandomState(7)
+    # flat series with a planted mean shift halfway
+    x = np.concatenate([rng.randn(100), rng.randn(100) + 2.0])
+    pdf = pd.DataFrame(
+        {
+            "tag": ["t"] * 200,
+            "ts": pd.date_range("2024-01-01", periods=200, freq="min"),
+            "value": x,
+        }
+    )
+    out = (
+        cusum_drift(spark.createDataFrame(pdf), slack_k=0.5, threshold_h=5.0)
+        .orderBy("ts")
+        .toPandas()
+    )
+    # naive recursion oracle
+    mu, sd = x.mean(), x.std()
+    s, ref = 0.0, []
+    for v in x:
+        s = max(0.0, s + (v - mu) / sd - 0.5)
+        ref.append(s)
+    assert np.allclose(out["cusum"].to_numpy(), np.round(ref, 6), atol=1e-6)
+    # the shift trips the alarm only in the second half
+    assert not out["alarm"][:100].any()
+    assert out["alarm"][120:].all()
