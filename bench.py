@@ -86,6 +86,7 @@ HEADLINE = [
     "events_retention",
     "p9_winsorize",
     "w9_rolling_zscore",
+    "w10_cusum",
     "dedup_paragraph",
     "dsir_weights",
     "mixture_sample",
