@@ -3076,6 +3076,20 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter sketch over the token stream
+    (operators/sketches.heavy_hitters): constant state per partition,
+    mergeable partials, guaranteed-present items above n/(cand+1).
+    Approximate by design -> rows-only contract (like the other
+    sketches); the frequency guarantee is pinned in pytest."""
+    from gordo_spark.operators.sketches import heavy_hitters
+
+    toks = read_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return heavy_hitters(toks, "term", k=20)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges trained on the corpus (operators/bpe.bpe_train
     — Sennrich 2016): distributed word count once, then vocab-sized

@@ -55,3 +55,66 @@ def approx_quantiles(
     if group_by:
         return df.groupBy(*group_by).agg(agg)
     return df.agg(agg)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    candidates: int | None = None,
+) -> DataFrame:
+    """Misra-Gries heavy hitters: the terms that MIGHT exceed n/k of the
+    stream, with guaranteed count bounds — the sublinear path when even
+    the aggregated term table is too wide to groupBy (trillions of
+    distinct tokens at 100 TB; the exact path is ``text.term_stats``).
+
+    Shape: each Arrow batch runs the classic k-counter summary
+    (increment if tracked, insert if room, else decrement all — O(1)
+    amortized per item, ``candidates`` counters of state per
+    PARTITION, constant regardless of rows); the per-partition
+    summaries land as at most partitions x candidates rows, merged by
+    one ordinary groupBy-sum. Merging MG summaries by summation keeps
+    the guarantee: true_count - n/(candidates+1) <= est <= true_count
+    per partition, and the bounds add across partitions (Agarwal et
+    al. 2013 mergeable-summaries result). Every item with true
+    frequency > n/(candidates+1) is guaranteed present.
+
+    Returns the top ``k`` by estimated count (desc, value asc). Tests
+    pin the guarantee against exact counts; approximate != oracle-exact,
+    so (like the other sketches) this is pytest-bounded, not
+    hash-matched.
+    """
+    import pandas as pd
+
+    cand = int(candidates or 4 * k)
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col].astype(str):
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < cand:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"value": list(counters), "est": list(counters.values())}
+            )
+
+    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, schema="value string, est long"
+    )
+    return (
+        partials.groupBy("value")
+        .agg(F.sum("est").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col("value").asc())
+        .limit(int(k))
+    )

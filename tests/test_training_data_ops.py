@@ -1581,3 +1581,27 @@ def test_bm25_ranks_denser_matches_higher(spark):
     scores = out.set_index("doc_id")["score"]
     assert scores[0] > scores[1] > 0  # tf monotone
     assert scores[1] > scores[3] or scores[0] > scores[3]  # length normalization bites
+
+
+def test_heavy_hitters_guarantee(spark):
+    from gordo_spark.operators.sketches import heavy_hitters
+    from gordo_spark.operators.text import tokens
+
+    docs = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, "hot")        # ~50% of the stream
+        .when(F.col("id") % 3 == 0, "warm")        # ~17%
+        .otherwise(F.concat(F.lit("cold"), F.col("id")))  # long tail
+        .alias("term")
+    ).repartition(8)
+    out = heavy_hitters(docs, "term", k=10, candidates=40).toPandas()
+    got = out.set_index("value")["est_count"]
+    exact = {r["term"]: r["n"] for r in docs.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    # every term above n/(candidates+1) must be present
+    n = sum(exact.values())
+    for t, c in exact.items():
+        if c > n / 41:
+            assert t in got.index, t
+    # estimates never exceed true counts and the hot item dominates
+    for t in got.index:
+        assert got[t] <= exact[t]
+    assert got.index[0] == "hot"
