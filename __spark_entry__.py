@@ -5277,6 +5277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "bpe_merges": q_bpe_merges,
+        "heavy_hitters": q_heavy_hitters,
         "text_tokens_bpe": q_text_tokens_bpe,
         "minhash_est": q_minhash_est,
         "ngram_novelty": q_ngram_novelty,
