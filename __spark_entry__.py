@@ -221,12 +221,15 @@ stats AS (
 d AS (
   SELECT s.tag, s.ts, s.value,
          SUM((s.value - st.mu) / st.sd - 0.5)
-           OVER (PARTITION BY s.tag ORDER BY s.ts) AS S
+           OVER (PARTITION BY s.tag ORDER BY s.ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
   FROM src s JOIN stats st USING (tag)
 ),
 c AS (
   SELECT tag, ts, value,
-         ROUND(S - LEAST(0.0, MIN(S) OVER (PARTITION BY tag ORDER BY ts)), 6)
+         ROUND(S - LEAST(0.0, MIN(S)
+                 OVER (PARTITION BY tag ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
            AS cusum
   FROM d
 )
@@ -3017,8 +3020,8 @@ hits AS (
 )
 SELECT q.query_id,
        COALESCE(h.n_hit, 0) AS n_hit,
-       ROUND(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall
-FROM (SELECT DISTINCT query_id FROM brute_top) q
+       ROUND(COALESCE(h.n_hit, 0) / least(5.0, q.n_truth), 6) AS recall
+FROM (SELECT query_id, count(*) AS n_truth FROM brute_top GROUP BY 1) q
 LEFT JOIN hits h USING (query_id)
 """
 
@@ -3686,7 +3689,7 @@ WITH t AS (
   WHERE token <> ''
 ),
 counts AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
-total AS (SELECT sum(tf) AS total FROM counts),
+total AS (SELECT sum(tf) AS total, count(*) AS nt FROM counts),
 vocab AS (
   SELECT term, tf FROM (
     SELECT term, tf,
@@ -3694,9 +3697,10 @@ vocab AS (
     FROM counts WHERE tf >= 2
   ) WHERE r <= 65536
 ),
-vsum AS (SELECT COALESCE(sum(tf), 0) AS vs FROM vocab),
+vsum AS (SELECT COALESCE(sum(tf), 0) AS vs, count(*) AS nv FROM vocab),
 oov AS (
-  SELECT ln(greatest(total - vs, 1) * 1.0 / total) AS oov_logp
+  SELECT ln(greatest(total - vs, 1) * 1.0 / total / greatest(nt - nv, 1))
+    AS oov_logp
   FROM total, vsum
 ),
 logp AS (SELECT term, ln(tf * 1.0 / total) AS logp FROM vocab, total)
@@ -3789,10 +3793,16 @@ scored AS (
   SELECT d.doc_id, p.lang, count(*) AS overlap
   FROM docg d JOIN prof p USING (g) GROUP BY 1, 2
 ),
-mx AS (SELECT doc_id, max(overlap) AS overlap FROM scored GROUP BY 1)
-SELECT s.doc_id, min(s.lang) AS lang_pred, s.overlap
-FROM scored s JOIN mx USING (doc_id, overlap)
-GROUP BY s.doc_id, s.overlap
+mx AS (SELECT doc_id, max(overlap) AS overlap FROM scored GROUP BY 1),
+best AS (
+  SELECT s.doc_id, min(s.lang) AS lang_pred, s.overlap
+  FROM scored s JOIN mx USING (doc_id, overlap)
+  GROUP BY s.doc_id, s.overlap
+)
+SELECT d.doc_id,
+       COALESCE(b.lang_pred, 'unknown') AS lang_pred,
+       COALESCE(b.overlap, 0) AS overlap
+FROM documents d LEFT JOIN best b USING (doc_id)
 """
 
 
@@ -3818,7 +3828,7 @@ WITH t AS (
   WHERE token <> ''
 ),
 counts AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
-total AS (SELECT sum(tf) AS total FROM counts),
+total AS (SELECT sum(tf) AS total, count(*) AS nt FROM counts),
 vocab AS (
   SELECT term, tf FROM (
     SELECT term, tf,
@@ -3826,9 +3836,10 @@ vocab AS (
     FROM counts WHERE tf >= 2
   ) WHERE r <= 65536
 ),
-vsum AS (SELECT COALESCE(sum(tf), 0) AS vs FROM vocab),
+vsum AS (SELECT COALESCE(sum(tf), 0) AS vs, count(*) AS nv FROM vocab),
 oov AS (
-  SELECT ln(greatest(total - vs, 1) * 1.0 / total) AS oov_logp
+  SELECT ln(greatest(total - vs, 1) * 1.0 / total / greatest(nt - nv, 1))
+    AS oov_logp
   FROM total, vsum
 ),
 logp AS (SELECT term, ln(tf * 1.0 / total) AS logp FROM vocab, total),
@@ -3901,10 +3912,11 @@ def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curation_sql() -> str:
     return f"""
 SELECT g.doc_id, g.keep AS keep_rules, p.bucket, r.dup_ngram_frac,
-       (g.keep AND p.bucket <> 'tail' AND r.dup_ngram_frac <= 0.3) AS keep
+       (g.keep AND COALESCE(p.bucket <> 'tail', false)
+              AND COALESCE(r.dup_ngram_frac <= 0.3, false)) AS keep
 FROM ({O_GOPHER_RULES}) g
-JOIN ({O_PERPLEXITY_BUCKETS}) p USING (doc_id)
-JOIN ({O_TEXT_REPETITION}) r USING (doc_id)
+LEFT JOIN ({O_PERPLEXITY_BUCKETS}) p USING (doc_id)
+LEFT JOIN ({O_TEXT_REPETITION}) r USING (doc_id)
 """
 
 

@@ -48,9 +48,12 @@ def curation_verdict(
     pb = perplexity_buckets(scored, lang_col, "mean_nll", id_col).select(
         id_col, "bucket"
     )
+    # LEFT joins from the rule panel (which covers every document):
+    # a doc with no scoreable tokens has no LM row — it must surface as
+    # keep=False with NULL signals, not silently vanish from the verdict
     return (
-        g.join(pb, id_col)
-        .join(rep, id_col)
+        g.join(pb, id_col, "left")
+        .join(rep, id_col, "left")
         .select(
             id_col,
             "keep_rules",
@@ -58,8 +61,10 @@ def curation_verdict(
             "dup_ngram_frac",
             (
                 F.col("keep_rules")
-                & (F.col("bucket") != "tail")
-                & (F.col("dup_ngram_frac") <= max_dup_frac)
+                & F.coalesce(F.col("bucket") != "tail", F.lit(False))
+                & F.coalesce(
+                    F.col("dup_ngram_frac") <= max_dup_frac, F.lit(False)
+                )
             ).alias("keep"),
         )
     )

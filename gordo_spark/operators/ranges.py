@@ -122,8 +122,11 @@ def funnel_steps(
     Scale shape: step i is one filtered scan (the type predicate pushes
     to the source) joined to the previous step's (user, ts) frame — a
     user-keyed equi-join (unique users, no skew) followed by a map-side-
-    combined min. k steps = k chained joins; the per-step frames carry
-    two columns. The final conversion join is a 1-row scalar broadcast.
+    combined min. Each step's two-column frame is PERSISTED: the final
+    union references every step, so without the cache Spark would
+    replay steps 1..i for each branch — k^2/2 filtered scans of the
+    fact table instead of k. The final conversion join is a 1-row
+    scalar broadcast.
     """
     if not steps:
         raise ValueError("funnel_steps needs at least one step")
@@ -142,6 +145,7 @@ def funnel_steps(
                 .groupBy("_u")
                 .agg(F.min("_ts").alias("_t"))
             )
+        cur = cur.persist()
         prev = cur.select("_u", F.col("_t").alias("_pt"))
         per_step.append(
             cur.agg(F.count(F.lit(1)).alias("n_users")).select(

@@ -751,14 +751,14 @@ def semdedup(
         )
         return pd.DataFrame(
             {
-                "vec_id": pdf["neighbor_id"].to_numpy(),
+                id_col: pdf["neighbor_id"].to_numpy(),
                 "cell": pdf["cell"].to_numpy(),
                 "keep": earlier < t,
             }
         )
 
     return assigned.groupBy("cell").applyInPandas(
-        dedup_cell, schema="vec_id long, cell long, keep boolean"
+        dedup_cell, schema=f"{id_col} long, cell long, keep boolean"
     )
 
 
@@ -776,7 +776,10 @@ def recall_at_k(
     plus a per-query count; both inputs are top-k lists, so everything
     here is eval-sized (k x |queries|), never corpus-sized. Queries
     whose approximate list missed entirely still appear with recall 0
-    (left join from the exact side's query set)."""
+    (left join from the exact side's query set). The denominator is the
+    query's ACTUAL truth-list size, min(k, |truth|) — dividing by a
+    fixed k would cap recall below 1.0 whenever the corpus has fewer
+    than k eligible neighbors and misreport a perfect result."""
     a = approx.select(query_col, neighbor_col)
     e = exact.select(query_col, neighbor_col)
     hits = (
@@ -784,13 +787,15 @@ def recall_at_k(
         .groupBy(query_col)
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    base = e.select(query_col).distinct()
+    base = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("_n_truth"))
     return base.join(hits, query_col, "left").select(
         query_col,
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-        F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)), 6).alias(
-            "recall"
-        ),
+        F.round(
+            F.coalesce("n_hit", F.lit(0))
+            / F.least(F.lit(float(k)), F.col("_n_truth")),
+            6,
+        ).alias("recall"),
     )
 
 
@@ -901,6 +906,11 @@ def hard_negatives(
     negatives that actually move an embedding model (easy negatives
     contribute ~zero gradient; cf. in-batch vs mined negatives in DPR,
     Karpukhin et al. 2020).
+
+    Ids must be integral (the kernel carries them as an int64 numpy
+    vector — the whole ANN family's convention), and the output uses
+    the family-standard (query_id, neighbor_id) column names regardless
+    of ``id_col``.
 
     Same single-pass shape as ``cosine_topk`` — the query matrix AND its
     label vector ship in the task closure, the corpus batch carries its

@@ -169,6 +169,12 @@ def cusum_drift(
     self-referenced parameterization when no training window is given.
     Every window is PARTITIONED by the series key; rounded to 6dp for
     engine portability.
+
+    Requires ``(part_cols, ts_col)`` to be UNIQUE: the cumulative frames
+    are ROWS-based (matching an explicit ``ROWS BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW`` in the oracle), and a cumulative sum
+    over tied timestamps has no well-defined order in ANY engine —
+    dedupe or sub-order upstream first.
     """
     parts = [F.col(c) for c in part_cols]
     stats = df.groupBy(*part_cols).agg(

@@ -359,9 +359,13 @@ def unigram_logprob_score(
     the 100 TB bound: terms with corpus frequency < ``min_df`` are cut,
     then the surviving vocab is capped at the ``max_vocab`` most frequent
     terms (deterministic ``(tf desc, term asc)`` cut). All out-of-vocab
-    tokens score against one smoothed floor, ``ln(max(oov_mass, 1) /
-    total)`` where ``oov_mass`` is the total frequency of pruned terms —
-    so the broadcast table is hard-bounded at ``max_vocab`` rows no
+    tokens score against one smoothed PER-TYPE floor,
+    ``ln(max(oov_mass, 1) / total / max(n_pruned_types, 1))`` — the
+    pruned mass spread over the pruned type count, so an OOV token
+    scores like ONE rare word, not like the entire tail at once (a
+    mass-only floor ~ln(0.2) would score all-gibberish documents as
+    MORE probable than clean text, inverting the quality signal).
+    The broadcast table stays hard-bounded at ``max_vocab`` rows no
     matter how large the corpus grows (an unpruned web-scale vocab is
     near-linear in corpus size and would not broadcast).
 
@@ -377,7 +381,9 @@ def unigram_logprob_score(
         F.col("term") != ""
     )
     counts = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = counts.agg(F.sum("tf").alias("total"))
+    total = counts.agg(
+        F.sum("tf").alias("total"), F.count(F.lit(1)).alias("nt")
+    )
     # deterministic vocab cut: tf >= min_df, top max_vocab by (tf desc,
     # term asc) — TakeOrdered over the already-aggregated term table
     vocab = (
@@ -385,10 +391,15 @@ def unigram_logprob_score(
         .orderBy(F.col("tf").desc(), F.col("term").asc())
         .limit(int(max_vocab))
     )
-    vsum = vocab.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("vs"))
+    vsum = vocab.agg(
+        F.coalesce(F.sum("tf"), F.lit(0)).alias("vs"),
+        F.count(F.lit(1)).alias("nv"),
+    )
     oov = total.crossJoin(F.broadcast(vsum)).select(
         F.log(
-            F.greatest(F.col("total") - F.col("vs"), F.lit(1)) / F.col("total")
+            F.greatest(F.col("total") - F.col("vs"), F.lit(1))
+            / F.col("total")
+            / F.greatest(F.col("nt") - F.col("nv"), F.lit(1))
         ).alias("oov_logp")
     )
     logp = vocab.crossJoin(F.broadcast(total)).select(
@@ -901,11 +912,18 @@ def char_ngram_lang_id(
     )
     # portable argmax: min lang among rows achieving the max overlap
     mx = scored.groupBy(id_col).agg(F.max("overlap").alias("overlap"))
-    return (
+    best = (
         scored.join(mx, [id_col, "overlap"])
         .groupBy(id_col, "overlap")
         .agg(F.min(lang_col).alias("lang_pred"))
         .select(id_col, "lang_pred", "overlap")
+    )
+    # docs sharing zero n-grams with every profile (too short,
+    # non-alphabetic scripts) still get a verdict: 'unknown', overlap 0
+    return df.select(F.col(id_col)).join(best, id_col, "left").select(
+        id_col,
+        F.coalesce("lang_pred", F.lit("unknown")).alias("lang_pred"),
+        F.coalesce("overlap", F.lit(0)).alias("overlap"),
     )
 
 

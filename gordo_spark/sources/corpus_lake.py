@@ -81,7 +81,17 @@ def incremental_release(
     costs zero read and zero write.
     """
     current = read_corpus_lake(spark, path, source_col=source_col)
-    diff = corpus_diff(current, snapshot, id_col=id_col, text_col=text_col)
+    # diff on text AND source: a document whose partition moved (or whose
+    # source label changed) with identical text is still a change the
+    # release must land — hashing text alone would mark it 'unchanged'
+    # and silently leave the lake diverged from the snapshot
+    content = F.concat_ws("\x1f", F.col(text_col), F.col(source_col))
+    diff = corpus_diff(
+        current.withColumn("_content", content),
+        snapshot.withColumn("_content", content),
+        id_col=id_col,
+        text_col="_content",
+    )
 
     src_of = (
         snapshot.select(id_col, source_col)

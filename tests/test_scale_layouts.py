@@ -178,3 +178,36 @@ def test_corpus_lake_incremental_release(spark, tmp_path):
 
     # partition pruning on the mixture read
     assert read_corpus_lake(spark, path, sources=["b"]).count() == 2
+
+
+def test_corpus_lake_source_move_is_a_change(spark, tmp_path):
+    """A document whose text is identical but whose SOURCE moved must be
+    landed by the release (regression: a text-only content hash marked it
+    'unchanged' and left the lake diverged)."""
+    import pandas as pd
+
+    from gordo_spark.sources.corpus_lake import (
+        incremental_release,
+        read_corpus_lake,
+        write_corpus_lake,
+    )
+
+    path = str(tmp_path / "corpus_mv")
+    r1 = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["same", "other"], "source": ["a", "a"]}
+        )
+    )
+    write_corpus_lake(r1, path)
+    # doc 0 moves a -> b, text unchanged
+    r2 = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["same", "other"], "source": ["b", "a"]}
+        )
+    )
+    incremental_release(spark, path, r2)
+    got = sorted(
+        (r["doc_id"], r["text"], r["source"])
+        for r in read_corpus_lake(spark, path).collect()
+    )
+    assert got == [(0, "same", "b"), (1, "other", "a")]

@@ -950,17 +950,19 @@ def test_unigram_vocab_pruning_and_oov_floor(spark):
         r["doc_id"]: r["mean_nll"]
         for r in unigram_logprob_score(df, min_df=2).collect()
     }
-    # vocab {a: 4/9, b: 3/9}; OOV mass = 2/9 shared by rare1+rare2
-    la, lb, loov = math.log(4 / 9), math.log(3 / 9), math.log(2 / 9)
+    # vocab {a: 4/9, b: 3/9}; OOV mass 2/9 over 2 pruned types -> each
+    # OOV token scores like ONE rare word: ln((2/9)/2) = ln(1/9)
+    la, lb, loov = math.log(4 / 9), math.log(3 / 9), math.log(2 / 9 / 2)
     assert out[0] == pytest.approx(round(-(2 * la + lb + loov) / 4, 6), abs=1e-6)
     assert out[2] == pytest.approx(round(-lb, 6), abs=1e-6)
 
-    # max_vocab=1 keeps only 'a' (tf desc); b joins rare* in the OOV mass
+    # max_vocab=1 keeps only 'a' (tf desc); b + rare* pool into 3 pruned
+    # types sharing mass 5/9 -> per-type floor ln((5/9)/3)
     out1 = {
         r["doc_id"]: r["mean_nll"]
         for r in unigram_logprob_score(df, min_df=2, max_vocab=1).collect()
     }
-    loov1 = math.log(5 / 9)  # b(3) + rare(2)
+    loov1 = math.log(5 / 9 / 3)
     assert out1[2] == pytest.approx(round(-loov1, 6), abs=1e-6)
     assert out1[0] == pytest.approx(round(-(2 * la + 2 * loov1) / 4, 6), abs=1e-6)
 
@@ -1366,7 +1368,8 @@ def test_winnowing_guarantee(spark):
     out = winnow_fingerprints(df, k=5, w=4).toPandas()
     fps = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
     assert fps[0] & fps[1], "shared run must share a fingerprint"
-    assert not (fps[0] & fps[2] and fps[1] & fps[2]) or True
+    # the disjoint doc shares no fingerprint with either document
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
     # selection is sparse: far fewer fingerprints than grams
     n_grams_doc0 = len(df.collect()[0]["text"].split()) - 4
     assert len(out[out.doc_id == 0]) < n_grams_doc0
@@ -1605,3 +1608,42 @@ def test_heavy_hitters_guarantee(spark):
     for t in got.index:
         assert got[t] <= exact[t]
     assert got.index[0] == "hot"
+
+
+def test_unigram_oov_floor_scores_gibberish_worse(spark):
+    from gordo_spark.operators.text import unigram_logprob_score
+
+    normal = "the data table scan row merge the data table scan"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(12),
+                "text": [normal] * 10
+                + [
+                    "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10",  # all-OOV gibberish
+                    normal,
+                ],
+            }
+        )
+    )
+    out = unigram_logprob_score(df, min_df=2).toPandas().set_index("doc_id")["mean_nll"]
+    # per-type OOV floor: never-seen junk must score WORSE (higher nll)
+    # than typical text — the mass-only floor inverted this
+    assert out[10] > out[0]
+
+
+def test_curation_verdict_covers_tokenless_docs(spark):
+    from gordo_spark.operators.curation import curation_verdict
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "lang": ["en", "en"],
+                "text": ["", "the data row scan " * 15],
+            }
+        )
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation_verdict(df).collect()}
+    # the empty doc gets an explicit keep=False verdict, never vanishes
+    assert 0 in out and out[0]["keep"] is False
