@@ -124,8 +124,20 @@ SINGLE_SERIES_OK = {
 CORPUS_TABLES = ("documents", "embeddings", "events", "lineitem", "orders")
 
 # Nodes on the broadcast->scan path that bound the broadcast's cardinality
-# regardless of corpus size.
-BOUNDING = ("Aggregate", "Limit", "TakeOrdered", "Deduplicate")
+# regardless of corpus size. InMemoryRelation/InMemoryTableScan are cache
+# boundaries: a broadcast above one is the planner's cost-based choice over
+# the cached frame's KNOWN stats (and the audit session's global cache
+# manager can splice a previous query's identical cached subplan into a
+# later plan, renumbering nodes — walking through it misattributes the
+# inner scan to the outer broadcast).
+BOUNDING = (
+    "Aggregate",
+    "Limit",
+    "TakeOrdered",
+    "Deduplicate",
+    "InMemoryRelation",
+    "InMemoryTableScan",
+)
 
 # (query, table) pairs whose broadcast build side is bounded by
 # construction even though the plan shows no aggregate/limit — each with
@@ -177,6 +189,14 @@ def unbounded_broadcasts(plan: str, query: str) -> list[str]:
             if any(b in aname for b in BOUNDING):
                 break  # bounded before reaching any broadcast
             if "BroadcastExchange" in aname:
+                # a broadcast INSIDE an InMemoryRelation subtree is the
+                # cost-based plan frozen into the cache at persist time
+                # (planned under the default threshold), not an explicit
+                # hint — the threshold=-1 pass cannot re-plan a cached
+                # subtree, so judging it as a hint is a false positive
+                above = [s[1] for s in stack[:i]]
+                if any("InMemoryRelation" in p for p in above):
+                    break
                 path = [s[1] for s in stack[i + 1 : -1]]
                 if not any(b in p for b in BOUNDING for p in path):
                     if (query, table) in BOUNDED_BROADCAST_OK:
