@@ -96,12 +96,12 @@ def main(argv: list[str] | None = None) -> int:
         from gordo_spark.exceptions_reporter import ReportLevel, default_reporter
 
         reporter = default_reporter()
-        code = reporter.exception_exit_code(type(e))
+        code = reporter.exit_code_for(type(e))
         if args.exceptions_reporter_file:
-            level = ReportLevel.get_by_name(
+            level = ReportLevel.parse(
                 args.exceptions_report_level, ReportLevel.MESSAGE
             )
-            reporter.safe_report(
+            reporter.write_report_safely(
                 level,
                 type(e),
                 e,

@@ -1,189 +1,193 @@
-"""Exit-code mapping + bounded JSON exception reports for build pods.
+"""Bounded crash reports + per-exception-class exit codes for build jobs.
 
-Reference parity (/root/reference/gordo/cli/exceptions_reporter.py:12-221
-and the exception→exit-code table cli/cli.py:26-38): a build failure is
-reported as a small JSON document written where an orchestrator can read
-it (k8s pod termination messages cap at ~2 KiB, hence the trimming), and
-the process exits with a per-exception-type code so the workflow layer
-can branch on failure class without parsing logs.
+Behavioral contract (observed from the reference CLI surface —
+/root/reference/gordo/cli/cli.py:26-39's exit table and the reporter it
+feeds; the exit-code ladder and 2 KiB budget are the spec, not the code
+shape): when a build dies, an orchestrator needs
 
-Faithful behaviors:
+* a process **exit code** identifying the failure class without log
+  parsing (data-too-small vs bad-config vs missing-file ...), resolved
+  most-specific-type-first so a subclass never inherits its base's code;
+* a small **JSON report** it can surface as the pod termination message.
+  Kubernetes caps termination messages at ~2 KiB, so every field is
+  budgeted: messages are clipped with a trailing ``...``, tracebacks
+  keep their TAIL (the useful end) behind a leading ``...`` line, and
+  non-ASCII characters are flattened to ``?``.
 
-- ``ReportLevel`` EXIT_CODE/TYPE/MESSAGE/TRACEBACK verbosity ladder;
-- exception table sorted so SUBCLASSES match before their bases
-  (sort_exceptions's inheritance-count ordering);
-- message/traceback trimmed to ``max_message_len`` with ``...`` markers,
-  tracebacks keeping the LAST lines (the useful end of a traceback);
-- non-ASCII replaced with ``?`` (termination messages are ASCII-hostile);
-- ``safe_report`` never raises (a reporting failure must not mask the
-  build failure).
+Report writing must never raise — a broken report would mask the build
+failure it describes — so the file-writing entry point swallows and
+prints its own errors.
 """
 
 from __future__ import annotations
 
 import json
 import traceback
-from collections import Counter
-from collections.abc import Iterable
 from enum import Enum
+from typing import IO, Mapping
 
-DEFAULT_EXIT_CODE = 1
+FALLBACK_EXIT_CODE = 1
+_ELLIPSIS = "..."
+_TAIL_MARKER = "...\n"
 
 
-def replace_all_non_ascii_chars(s: str, replacement: str = "?") -> str:
-    return "".join(c if ord(c) < 128 else replacement for c in s)
+def ascii_scrub(text: str) -> str:
+    """Flatten every non-ASCII character to ``?`` (one ``?`` per char)."""
+    return text.encode("ascii", "replace").decode("ascii")
+
+
+def clip_text(text: str, budget: int) -> str:
+    """Clip to ``budget`` chars, marking the cut with a trailing ``...``.
+
+    A budget too small to hold more than the marker itself yields "".
+    """
+    if len(text) <= budget:
+        return text
+    keep = budget - len(_ELLIPSIS)
+    if keep <= len(_ELLIPSIS):
+        return ""
+    return text[:keep] + _ELLIPSIS
+
+
+def clip_tail_lines(lines: list[str], budget: int) -> list[str]:
+    """Keep whole trailing lines within ``budget``, head-marked ``...``.
+
+    Tracebacks are most useful at the end (the raise site), so the cut
+    discards the HEAD.  The marker line's own length counts against the
+    budget.
+    """
+    if sum(len(ln) for ln in lines) <= budget:
+        return lines
+    room = budget - len(_TAIL_MARKER)
+    kept: list[str] = []
+    for line in reversed(lines):
+        if len(line) > room:
+            break
+        kept.append(line)
+        room -= len(line)
+    kept.append(_TAIL_MARKER)
+    kept.reverse()
+    return kept
 
 
 class ReportLevel(Enum):
+    """Report verbosity ladder; each level includes the ones below it
+    except that TRACEBACK replaces the message with the traceback."""
+
     EXIT_CODE = 0
     TYPE = 1
     MESSAGE = 2
     TRACEBACK = 3
 
     @classmethod
-    def get_by_name(cls, name: str, default: "ReportLevel | None" = None):
-        for level in cls:
-            if name == level.name:
-                return level
-        return default
-
-    @classmethod
-    def get_names(cls) -> list[str]:
-        return [level.name for level in cls]
+    def parse(cls, name: str, default: "ReportLevel | None" = None):
+        try:
+            return cls[name]
+        except KeyError:
+            return default
 
 
 class ExceptionsReporter:
+    """Maps exception classes to exit codes and writes budgeted reports.
+
+    ``table`` maps exception types to exit codes.  Lookup walks the
+    thrown type's MRO and takes the first class present in the table, so
+    the most specific registered ancestor always wins regardless of
+    registration order.
+    """
+
     def __init__(
         self,
-        exceptions: Iterable[tuple[type[Exception], int]],
-        default_exit_code: int = DEFAULT_EXIT_CODE,
-        traceback_limit: int | None = None,
+        table: Mapping[type[BaseException], int] | list | tuple,
+        fallback_exit_code: int = FALLBACK_EXIT_CODE,
+        traceback_depth: int | None = None,
     ):
-        self.exceptions_items = self.sort_exceptions(exceptions)
-        self.default_exit_code = default_exit_code
-        self.traceback_limit = traceback_limit
+        self.table: dict[type[BaseException], int] = dict(table)
+        self.fallback_exit_code = fallback_exit_code
+        self.traceback_depth = traceback_depth
 
-    @staticmethod
-    def sort_exceptions(
-        exceptions: Iterable[tuple[type[Exception], int]]
-    ) -> list[tuple[type[Exception], int]]:
-        """Bases that are superclasses of more table entries sort LAST, so
-        lookup hits the most specific matching type first."""
-        exceptions = list(exceptions)
-        inheritance_levels: Counter = Counter()
-        for exc, _ in exceptions:
-            for e, _ in exceptions:
-                if e is not exc and issubclass(exc, e):
-                    inheritance_levels[e] += 1
-
-        def key(v):
-            exc, exit_code = v
-            return (inheritance_levels[exc], exit_code)
-
-        return sorted(exceptions, key=key)
-
-    @staticmethod
-    def trim_message(message: str, max_length: int) -> str:
-        if len(message) > max_length:
-            message = message[: max_length - 3]
-            return "" if len(message) <= 3 else message + "..."
-        return message
-
-    @staticmethod
-    def trim_formatted_traceback(
-        formatted_traceback: list[str], max_length: int
-    ) -> list[str]:
-        if sum(len(line) for line in formatted_traceback) <= max_length:
-            return formatted_traceback
-        length = 4
-        result = []
-        for line in reversed(formatted_traceback):
-            length += len(line)
-            if length > max_length:
-                result.append("...\n")
-                break
-            result.append(line)
-        return list(reversed(result))
-
-    def found_exception_item(self, exc_type: type[BaseException]):
-        for item in self.exceptions_items:
-            if issubclass(exc_type, item[0]):
-                return item
+    def _resolve(self, exc_type: type[BaseException]) -> type[BaseException] | None:
+        for klass in exc_type.__mro__:
+            if klass in self.table:
+                return klass
         return None
 
-    def exception_exit_code(self, exc_type: type[BaseException] | None) -> int:
+    def exit_code_for(self, exc_type: type[BaseException] | None) -> int:
+        """0 for no exception, the table's code for the most specific
+        registered ancestor, else the fallback."""
         if exc_type is None:
             return 0
-        item = self.found_exception_item(exc_type)
-        return item[1] if item is not None else self.default_exit_code
+        match = self._resolve(exc_type)
+        return self.fallback_exit_code if match is None else self.table[match]
 
-    def report(
-        self,
-        level: ReportLevel,
-        exc_type,
-        exc_value,
-        exc_traceback,
-        report_file,
-        max_message_len: int | None = None,
-    ) -> None:
-        report: dict = {}
-        if exc_type is not None and exc_value is not None and exc_traceback is not None:
-            if self.found_exception_item(exc_type) is not None:
-                if level in (
-                    ReportLevel.MESSAGE,
-                    ReportLevel.TYPE,
-                    ReportLevel.TRACEBACK,
-                ):
-                    report["type"] = replace_all_non_ascii_chars(exc_type.__name__)
-                if level == ReportLevel.MESSAGE:
-                    report["message"] = replace_all_non_ascii_chars(str(exc_value))
-                    if max_message_len is not None:
-                        report["message"] = self.trim_message(
-                            report["message"], max_message_len
-                        )
-                elif level == ReportLevel.TRACEBACK:
-                    formatted = traceback.format_exception(
-                        exc_type, exc_value, exc_traceback, limit=self.traceback_limit
-                    )
-                    formatted = [replace_all_non_ascii_chars(v) for v in formatted]
-                    if max_message_len is not None:
-                        formatted = self.trim_formatted_traceback(
-                            formatted, max_message_len
-                        )
-                    report["traceback"] = "".join(formatted)
-        json.dump(report, report_file)
-
-    def safe_report(
-        self,
-        level: ReportLevel,
-        exc_type,
-        exc_value,
-        exc_traceback,
-        report_file_path: str,
-        max_message_len: int | None = None,
-    ) -> None:
-        try:
-            with open(report_file_path, "w") as report_file:
-                self.report(
-                    level, exc_type, exc_value, exc_traceback, report_file,
-                    max_message_len,
+    def _payload(self, level, exc_type, exc_value, exc_tb, budget) -> dict:
+        if exc_type is None or exc_value is None or exc_tb is None:
+            return {}
+        if self._resolve(exc_type) is None:
+            # unregistered exception classes get the bare {} report: the
+            # exit code already says "unknown failure"
+            return {}
+        payload: dict = {}
+        if level is not ReportLevel.EXIT_CODE:
+            payload["type"] = ascii_scrub(exc_type.__name__)
+        if level is ReportLevel.MESSAGE:
+            message = ascii_scrub(str(exc_value))
+            payload["message"] = (
+                message if budget is None else clip_text(message, budget)
+            )
+        if level is ReportLevel.TRACEBACK:
+            lines = [
+                ascii_scrub(ln)
+                for ln in traceback.format_exception(
+                    exc_type, exc_value, exc_tb, limit=self.traceback_depth
                 )
+            ]
+            if budget is not None:
+                lines = clip_tail_lines(lines, budget)
+            payload["traceback"] = "".join(lines)
+        return payload
+
+    def write_report(
+        self,
+        level: ReportLevel,
+        exc_type,
+        exc_value,
+        exc_tb,
+        sink: IO[str],
+        max_message_len: int | None = None,
+    ) -> None:
+        """Serialize the report for ``sys.exc_info()``-style arguments."""
+        json.dump(self._payload(level, exc_type, exc_value, exc_tb, max_message_len), sink)
+
+    def write_report_safely(
+        self,
+        level: ReportLevel,
+        exc_type,
+        exc_value,
+        exc_tb,
+        path: str,
+        max_message_len: int | None = None,
+    ) -> None:
+        """``write_report`` to ``path``; never raises."""
+        try:
+            with open(path, "w") as sink:
+                self.write_report(level, exc_type, exc_value, exc_tb, sink, max_message_len)
         except Exception:  # pragma: no cover - reporting must never mask
             traceback.print_exc()
 
 
 def default_reporter() -> ExceptionsReporter:
-    """The build CLI's exception table (cli/cli.py:26-38 adapted to this
-    package's exception set; codes preserved where the type exists)."""
+    """The build CLI's exit-code table (reference cli/cli.py:26-38,
+    codes kept for the exception classes this package has)."""
     from gordo_spark.operators.filters import InsufficientDataError
 
     return ExceptionsReporter(
-        (
-            (Exception, 1),
-            (ValueError, 2),
-            (PermissionError, 20),
-            (FileNotFoundError, 30),
-            (InsufficientDataError, 80),
-            (ImportError, 85),
-        )
+        {
+            Exception: 1,
+            ValueError: 2,
+            PermissionError: 20,
+            FileNotFoundError: 30,
+            InsufficientDataError: 80,
+            ImportError: 85,
+        }
     )

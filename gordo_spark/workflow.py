@@ -151,7 +151,7 @@ def generate_workflow(
         # validates release / latest|stable / pr-N / sha tag shapes
         # (reference util/version.py — malformed tags fail HERE, not at
         # deploy time)
-        spec_version = parse_version(version).get_version()
+        spec_version = parse_version(version).tag()
 
     return {
         "apiVersion": "gordo-spark/v1",

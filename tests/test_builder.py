@@ -168,17 +168,17 @@ def test_exceptions_reporter_semantics():
 
     rep = default_reporter()
     # subclass matches before its base even though Exception is in the table
-    assert rep.exception_exit_code(InsufficientDataError) == 80
-    assert rep.exception_exit_code(ValueError) == 2
-    assert rep.exception_exit_code(KeyError) == 1  # falls to Exception
-    assert rep.exception_exit_code(None) == 0
+    assert rep.exit_code_for(InsufficientDataError) == 80
+    assert rep.exit_code_for(ValueError) == 2
+    assert rep.exit_code_for(KeyError) == 1  # falls to Exception
+    assert rep.exit_code_for(None) == 0
 
     def _report(level, max_len=None):
         try:
             raise InsufficientDataError("x" * 500)
         except InsufficientDataError as e:
             buf = _io.StringIO()
-            rep.report(level, type(e), e, e.__traceback__, buf, max_len)
+            rep.write_report(level, type(e), e, e.__traceback__, buf, max_len)
             return _json.loads(buf.getvalue())
 
     assert _report(ReportLevel.EXIT_CODE) == {}
@@ -191,13 +191,17 @@ def test_exceptions_reporter_semantics():
     # a budget smaller than any single line leaves only the marker
     assert _report(ReportLevel.TRACEBACK, max_len=10)["traceback"] == "...\n"
     # non-ascii scrubbed
-    r2 = ExceptionsReporter(((ValueError, 2),))
+    r2 = ExceptionsReporter({ValueError: 2})
     try:
         raise ValueError("bad é中 value")
     except ValueError as e:
         buf = _io.StringIO()
-        r2.report(ReportLevel.MESSAGE, type(e), e, e.__traceback__, buf)
+        r2.write_report(ReportLevel.MESSAGE, type(e), e, e.__traceback__, buf)
         assert _json.loads(buf.getvalue())["message"] == "bad ?? value"
+        # an exception class outside the table reports {}
+        buf2 = _io.StringIO()
+        r2.write_report(ReportLevel.TRACEBACK, KeyError, KeyError("k"), e.__traceback__, buf2)
+        assert _json.loads(buf2.getvalue()) == {}
 
 
 def test_model_metadata_merged_into_build_record(spark, machine, tmp_path):

@@ -116,18 +116,25 @@ def test_workflow_cli(sf_dir, tmp_path, capsys):
 def test_version_parsing_reference_parity(sf_dir):
     """util/version.py parity incl. docstring examples + workflow stamping."""
     from gordo_spark.functions.version import (
-        GordoPR, GordoRelease, GordoSHA, GordoSpecial, parse_version,
+        ChannelTag, CommitTag, PullRequestTag, ReleaseTag, parse_version,
     )
 
-    assert parse_version("2.3.5") == GordoRelease(2, 3, 5, None)
-    assert parse_version("2.3") == GordoRelease(2, 3, None, None)
-    assert parse_version("2.3").only_major_minor()
-    assert parse_version("2").only_major()
-    assert parse_version("1.2.3rc1") == GordoRelease(1, 2, 3, "rc1")
-    assert isinstance(parse_version("latest"), GordoSpecial)
-    assert parse_version("stable").get_version() == "stable"
-    assert parse_version("pr-42") == GordoPR(42)
-    assert parse_version("abcdef1234") == GordoSHA("abcdef1234")
+    assert parse_version("2.3.5") == ReleaseTag(2, 3, 5, "")
+    assert parse_version("2.3") == ReleaseTag(2, 3, None, "")
+    assert parse_version("2.3").precision == "minor"
+    assert parse_version("2").precision == "major"
+    assert parse_version("1.2.3rc1") == ReleaseTag(1, 2, 3, "rc1")
+    assert parse_version("1.2.3rc1").precision == "patch"
+    assert parse_version("1.2.3rc1").tag() == "1.2.3rc1"
+    assert isinstance(parse_version("latest"), ChannelTag)
+    assert parse_version("stable").tag() == "stable"
+    assert parse_version("pr-42") == PullRequestTag(42)
+    assert parse_version("abcdef1234") == CommitTag("abcdef1234")
+    # all-digit strings too long for a release major fall through to commit
+    assert parse_version("12345678") == CommitTag("12345678")
+    # a suffix is only legal after a minor component
+    with pytest.raises(ValueError):
+        parse_version("1rc1")
     for bad in ("pr-xyz", "not_a_version!", ""):
         with pytest.raises(ValueError):
             parse_version(bad)
