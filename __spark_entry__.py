@@ -4647,7 +4647,8 @@ def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_spark.operators.multimodal import attach_binary_payload, decode_media_metadata
 
     docs = read_table(spark, sf_dir, "documents")
-    return decode_media_metadata(attach_binary_payload(docs))
+    # mode pinned: the oracle reproduces the deterministic fake formula
+    return decode_media_metadata(attach_binary_payload(docs), mode="fake")
 
 
 O_MM_METADATA = """

@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata (extension surface for training-data pipelines).
 
-The media decode libraries are not available in this environment, so the
-*decode step itself* is stubbed (deterministic fake or NotImplementedError),
-while everything Spark-side is real and tested: binary column schema,
-Arrow-batched mapInPandas plumbing, batch shapes, partition sizing.
+Decoding runs with PIL when it is importable (``mode="pil"``/``"auto"``)
+and falls back to a deterministic fake (``mode="fake"``) when codecs are
+absent — the contract queries pin ``"fake"`` so an engine-independent
+oracle reproduces them. Everything Spark-side is real and tested either
+way: binary column schema, Arrow-batched mapInPandas plumbing, batch
+shapes, partition sizing.
 
 At 100 TB: binary payloads dominate partition size — repartition by byte
 budget (``maxPartitionBytes`` down to 32-64 MB) before decode so one Arrow
@@ -58,30 +60,59 @@ def attach_binary_payload(
     )
 
 
-def decode_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_media_metadata(
+    df: DataFrame, id_col: str = "doc_id", mode: str = "auto"
+) -> DataFrame:
     """Arrow-batched mapInPandas decode -> typed metadata.
 
-    With PIL present this would open each payload; here the decode is a
-    deterministic fake (dimensions derived from byte length) so the
-    plumbing — batch iteration, schema, null handling — is fully exercised.
+    ``mode``:
+
+    - ``"pil"``  — decode the real payload bytes with PIL (width/height
+      from ``Image.open``; undecodable payloads yield null dimensions,
+      never a task failure — one corrupt object must not kill a 100 TB
+      scan);
+    - ``"fake"`` — deterministic dimensions derived from byte length, so
+      the plumbing (batch iteration, schema, null handling) is testable
+      without codecs and an engine-independent oracle can reproduce it;
+    - ``"auto"`` — ``"pil"`` when PIL imports, else ``"fake"``.
     """
+    if mode == "auto":
+        mode = "pil" if HAVE_PIL else "fake"
+    if mode == "pil" and not HAVE_PIL:
+        raise ImportError("mode='pil' requires Pillow, which is not importable")
+    if mode not in ("pil", "fake"):
+        raise ValueError(f"unknown decode mode {mode!r}")
+    use_pil = mode == "pil"
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_PIL:
-                raise NotImplementedError(
-                    "real image decode not wired: PIL found but decode "
-                    "pipeline is stubbed in this environment"
-                )
             n = pdf["payload"].map(len)
+            if use_pil:
+                import io
+
+                from PIL import Image
+
+                def _dims(payload: bytes) -> tuple[int | None, int | None]:
+                    try:
+                        with Image.open(io.BytesIO(payload)) as im:
+                            return im.width, im.height
+                    except Exception:
+                        return None, None
+
+                dims = pdf["payload"].map(_dims)
+                width = dims.map(lambda d: d[0]).astype("Int32")
+                height = dims.map(lambda d: d[1]).astype("Int32")
+            else:
+                # deterministic fake dimensions from the byte length
+                width = (n % 640 + 32).astype("int32")
+                height = (n % 480 + 32).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "media_type": pdf["media_type"],
                     "n_bytes": n,
-                    # deterministic fake dimensions from the byte length
-                    "width": (n % 640 + 32).astype("int32"),
-                    "height": (n % 480 + 32).astype("int32"),
+                    "width": width,
+                    "height": height,
                 }
             )
 

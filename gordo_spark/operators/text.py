@@ -885,38 +885,45 @@ def char_ngram_lang_id(
     so any engine reproduces it).
 
     The profile table is |langs| x top_k rows — broadcast-legitimate by
-    construction; documents never shuffle (distinct grams per doc, one
-    broadcast join, one per-doc aggregate keyed by unique ids).
+    construction. The per-doc DISTINCT gram set is built ROW-LOCALLY
+    (``array_distinct`` over the gram array, then explode) so the plan
+    has no corpus-token-sized exchange: the only rows that ever shuffle
+    are profile-MATCHED distinct postings (<= top_k x |langs| per doc)
+    flowing into the ``groupBy(id, lang)``. A corpus-wide
+    ``(doc, gram).distinct()`` here would be the single largest shuffle
+    in the curation stack at 100 TB — and it is unnecessary, because
+    distinctness is a per-document property.
     """
     t = F.col(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(1))),
+            lambda i: F.col("_t").substr(i, F.lit(n)),
+        )
+    )
     ex = (
         df.select(F.col(id_col), t.alias("_t"))
-        .select(
-            id_col,
-            "_t",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("_t") - (n - 1), F.lit(1)),
-                )
-            ).alias("_i"),
-        )
-        .select(F.col(id_col), F.substring(F.col("_t"), F.col("_i"), n).alias("g"))
-        .distinct()
+        .select(F.col(id_col), F.explode(grams).alias("g"))
     )
     lang_col = [c for c in profiles.columns if c not in ("g", "rank")][0]
+    # grams are distinct per doc and profiles hold one row per (lang, g),
+    # so the join output is already (id, lang, g)-unique: count == overlap
     scored = (
         ex.join(F.broadcast(profiles), "g")
         .groupBy(id_col, lang_col)
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
-    # portable argmax: min lang among rows achieving the max overlap
-    mx = scored.groupBy(id_col).agg(F.max("overlap").alias("overlap"))
-    best = (
-        scored.join(mx, [id_col, "overlap"])
-        .groupBy(id_col, "overlap")
-        .agg(F.min(lang_col).alias("lang_pred"))
-        .select(id_col, "lang_pred", "overlap")
+    # portable argmax (max overlap, ties to the lexicographically first
+    # language) in ONE aggregate: min over (-overlap, lang) struct order.
+    # A max-then-self-join formulation computes the scored frame twice.
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct((-F.col("overlap")).alias("_neg"), F.col(lang_col).alias("_l"))
+        ).alias("_b")
+    ).select(
+        id_col,
+        F.col("_b._l").alias("lang_pred"),
+        (-F.col("_b._neg")).alias("overlap"),
     )
     # docs sharing zero n-grams with every profile (too short,
     # non-alphabetic scripts) still get a verdict: 'unknown', overlap 0

@@ -170,6 +170,45 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.groupby("doc_id").size().min() >= 1
 
 
+def test_multimodal_decode_gate_direction(spark, docs):
+    """mode='pil' decodes real bytes when PIL imports and raises
+    ImportError (not NotImplementedError at task time) when it doesn't;
+    mode='fake' works regardless."""
+    import gordo_spark.operators.multimodal as mm
+
+    media = attach_binary_payload(docs.limit(3))
+    fake = decode_media_metadata(media, mode="fake").toPandas()
+    assert (fake.width == fake.n_bytes % 640 + 32).all()
+    if mm.HAVE_PIL:
+        # payloads are utf-8 text, not decodable images: the PIL path
+        # must survive with null dimensions, never a task failure
+        real = decode_media_metadata(media, mode="pil").toPandas()
+        assert len(real) == 3 and real.width.isna().all()
+    else:
+        with pytest.raises(ImportError):
+            decode_media_metadata(media, mode="pil")
+        # auto == fake without PIL
+        auto = decode_media_metadata(media, mode="auto").toPandas()
+        assert auto.equals(fake)
+    with pytest.raises(ValueError):
+        decode_media_metadata(media, mode="bogus")
+
+
+def test_multimodal_metadata_query_prunes_payload(spark, docs, tmp_path):
+    """The 100 TB claim in the module docstring: a metadata-only query
+    over the media lake must NOT read the binary payload column — the
+    Parquet scan's ReadSchema excludes it."""
+    path = str(tmp_path / "media")
+    attach_binary_payload(docs.limit(50)).write.mode("overwrite").parquet(path)
+    lake = spark.read.parquet(path)
+    q = lake.groupBy("media_type").agg(F.count("doc_id").alias("n_docs"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert all("payload" not in ln for ln in scan_lines), scan_lines
+    assert q.count() >= 1
+
+
 def test_cosine_neardup_pairs_finds_copies(spark, embs):
     from gordo_spark.operators.similarity import cosine_neardup_pairs
 
