@@ -2352,6 +2352,98 @@ FROM p
 """
 
 
+def q_j4_split_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — X/y split projection over the aligned frame: X = tag_list
+    columns, y = target_tag_list (reference
+    tests/gordo/workflow/test_config_elements.py:157-162). The two
+    selects are narrow (no shuffle); rejoined on ts here only to return
+    one contract frame."""
+    from gordo_spark.operators.align import split_xy
+
+    wide = _wide_1h(spark, sf_dir)
+    X, y = split_xy(wide, ["click", "view"], target_tag_list=["purchase"])
+    y = y.select("ts", F.col("purchase").alias("target_purchase"))
+    return _r6(X.join(y, "ts"), "click", "view", "target_purchase")
+
+
+O_J4_SPLIT = f"""
+WITH wide AS ({_O_WIDE_1H})
+SELECT ts, ROUND(click, 6) AS click, ROUND(view, 6) AS view,
+       ROUND(purchase, 6) AS target_purchase
+FROM wide
+"""
+
+
+def q_a5_fold_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-metric fold-score aggregation: fold-mean/std/max/min
+    across CV folds (reference build_model.py:274-289; numpy ``.std()``
+    is POPULATION std). Folds via the engine-portable modulo assignment
+    (as m4); per-fold OLS trained on the out-of-fold rows, scored on the
+    fold's own rows, then one stack + groupBy(metric) aggregate."""
+    wide = _wide_1h(spark, sf_dir)
+    w = Window.partitionBy().orderBy("ts")
+    data = wide.withColumn("fold", (F.row_number().over(w) - 1) % 3)
+    folds = spark.range(3).select(F.col("id").cast("int").alias("f"))
+    fits = (
+        data.crossJoin(F.broadcast(folds))
+        .filter(F.col("fold") != F.col("f"))
+        .groupBy("f")
+        .agg(
+            F.regr_slope(F.col("purchase"), F.col("click")).alias("slope"),
+            F.regr_intercept(F.col("purchase"), F.col("click")).alias("intercept"),
+        )
+    )
+    d = F.col("purchase") - (F.col("intercept") + F.col("slope") * F.col("click"))
+    per_fold = (
+        data.join(F.broadcast(fits), data["fold"] == fits["f"])
+        .groupBy("f")
+        .agg(F.avg(d * d).alias("mse"), F.avg(F.abs(d)).alias("mae"))
+    )
+    return _r6(
+        per_fold.selectExpr("stack(2, 'mse', mse, 'mae', mae) AS (metric, val)")
+        .groupBy("metric")
+        .agg(
+            F.avg("val").alias("fold_mean"),
+            F.stddev_pop("val").alias("fold_std"),
+            F.max("val").alias("fold_max"),
+            F.min("val").alias("fold_min"),
+        ),
+        "fold_mean",
+        "fold_std",
+        "fold_max",
+        "fold_min",
+    )
+
+
+O_A5_FOLDS = f"""
+WITH wide AS ({_O_WIDE_1H}),
+data AS (
+  SELECT *, (row_number() OVER (ORDER BY ts) - 1) % 3 AS fold FROM wide
+),
+folds AS (SELECT unnest(generate_series(0, 2)) AS f),
+fits AS (
+  SELECT f, regr_slope(purchase, click) AS slope,
+         regr_intercept(purchase, click) AS intercept
+  FROM data, folds WHERE fold != f GROUP BY f
+),
+per_fold AS (
+  SELECT data.fold AS f,
+         avg(pow(purchase - (intercept + slope * click), 2)) AS mse,
+         avg(abs(purchase - (intercept + slope * click))) AS mae
+  FROM data JOIN fits ON data.fold = fits.f GROUP BY 1
+),
+stacked AS (
+  SELECT 'mse' AS metric, mse AS val FROM per_fold
+  UNION ALL
+  SELECT 'mae' AS metric, mae AS val FROM per_fold
+)
+SELECT metric, ROUND(avg(val), 6) AS fold_mean,
+       ROUND(stddev_pop(val), 6) AS fold_std,
+       ROUND(max(val), 6) AS fold_max, ROUND(min(val), 6) AS fold_min
+FROM stacked GROUP BY metric
+"""
+
+
 # ----------------------------------------------- training-data extensions
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ shifted-id copy: every text appears exactly twice."""
@@ -2432,7 +2524,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_DSIR_WEIGHTS = """
 WITH w AS (SELECT doc_id, lang = 'en' AS tgt, string_split(text,' ') AS ws FROM documents),
-uni AS (SELECT doc_id, tgt, unnest(ws) AS f FROM w),
+uni AS (SELECT doc_id, tgt, f FROM (SELECT doc_id, tgt, unnest(ws) AS f FROM w) WHERE f != ''),
 bi AS (SELECT doc_id, tgt,
               unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS f
        FROM w WHERE len(ws) >= 2),
@@ -5333,6 +5425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_ols_predict": q_m2_ols_predict,
         "m3_cv_splits": q_m3_cv_splits,
         "m5_scores": q_m5_scores,
+        "j4_split_xy": q_j4_split_xy,
+        "a5_fold_scores": q_a5_fold_scores,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -5429,6 +5523,8 @@ def oracle_sql() -> dict[str, str]:
         "m3_cv_splits": O_M3,
         "m4_kfold_threshold": O_M4,
         "m5_scores": O_M5,
+        "j4_split_xy": O_J4_SPLIT,
+        "a5_fold_scores": O_A5_FOLDS,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_paragraph": O_DEDUP_PARAGRAPH,
         "dsir_weights": O_DSIR_WEIGHTS,

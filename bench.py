@@ -45,7 +45,9 @@ HEADLINE = [
     "j2_ffill",
     "j2_linear",
     "j3_pivot_align",
+    "j4_split_xy",
     "j7_lookback",
+    "a5_fold_scores",
     "p3_row_filter",
     "p4_iqr_fence",
     "w1_smm",
@@ -160,6 +162,21 @@ def main() -> None:
                 "queries": timings,
                 "value_steady": round(sum(steady.values()), 3),
                 "queries_steady": steady,
+                "sf": sf,
+            }
+        )
+    )
+    # compact LAST line: the full per-query line above can exceed the
+    # driver's tail capture (BENCH_r02/r03 recorded parsed=null) — totals
+    # alone always fit, so the machine-readable summary survives
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "value_steady": round(sum(steady.values()), 3),
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

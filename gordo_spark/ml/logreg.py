@@ -59,10 +59,19 @@ class LogisticModel:
         # iteration re-aggregates the SAME narrow frame, so at any scale
         # the right plan is one materialization + iters re-reads, not
         # iters re-scans of the source (columns pruned before caching)
+        # a single null feature/label row would null every F.sum and
+        # surface as an opaque linalg failure — drop them here and fail
+        # loudly if nothing survives
         df = df.select(
             *[F.col(c).cast("double").alias(c) for c in self.feature_cols],
             F.col(self.label_col).cast("double").alias(self.label_col),
-        ).persist()
+        ).na.drop().persist()
+        if df.isEmpty():
+            df.unpersist()
+            raise ValueError(
+                "LogisticModel.fit: no rows with non-null features/label "
+                f"(features={self.feature_cols}, label={self.label_col!r})"
+            )
         terms = [F.lit(1.0)] + [
             F.col(c).cast("double") for c in self.feature_cols
         ]

@@ -122,6 +122,8 @@ def bpe_train(
         current.count()  # materialize so the next iteration reads, not replays
         if prev is not vocab:
             prev.unpersist()
+    if current is not vocab:
+        current.unpersist()  # the last iteration's frame must not leak
     vocab.unpersist()
     return merges
 

@@ -795,9 +795,12 @@ def winnow_fingerprints(
     Shape: one explode to (id, pos, gram-hash); one sliding min window
     PARTITIONED by doc (bounded by document length, never corpus);
     distinct on the selected (id, pos) pairs. Tie-breaking packs
-    (hash, rightmost-pos) into one BIGINT — md5_long < 2^32 and pos is
-    clamped at 2^22-1, so the packed key stays < 2^54 (64-bit safe,
-    engine-portable).
+    (hash, rightmost-pos) into one BIGINT — md5_long < 2^32 and pos <
+    2^22, so the packed key stays < 2^54 (64-bit safe, engine-portable).
+    A document beyond 2^22-1 word grams (~4.19M words) would overflow
+    the packed tie-break key and silently mis-select fingerprints, so it
+    raises instead — split pathological documents (e.g. ``word_blocks``)
+    before winnowing.
     """
     from pyspark.sql import Window
 
@@ -823,9 +826,18 @@ def winnow_fingerprints(
             ).alias("h"),
         )
     )
-    packed = F.col("h") * (POS_CAP + 1) + (
-        POS_CAP - F.least(F.col("pos"), F.lit(POS_CAP))
-    )
+    # fail loudly past the packable position range: a clamp here would
+    # silently degrade fingerprint selection on pathological documents
+    pos_checked = F.when(
+        F.col("pos") > POS_CAP,
+        F.raise_error(
+            F.lit(
+                "winnow_fingerprints: document exceeds 2^22-1 word grams; "
+                "split oversized documents before winnowing"
+            )
+        ).cast("int"),
+    ).otherwise(F.col("pos"))
+    packed = F.col("h") * (POS_CAP + 1) + (POS_CAP - pos_checked)
     wspec = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     )

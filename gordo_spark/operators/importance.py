@@ -47,7 +47,11 @@ def hashed_ngram_features(
     """
     words = F.split(F.col(text_col), " ")
     carry = [F.col(c) for c in carry_cols]
-    uni = df.select(F.col(id_col), *carry, F.explode(words).alias("_f"))
+    # empty tokens (empty text, doubled spaces) are not features: they
+    # would otherwise claim a hash bucket and count toward n_feats
+    uni = df.select(F.col(id_col), *carry, F.explode(words).alias("_f")).filter(
+        F.col("_f") != ""
+    )
     # row-wise codegen shape (see dedup.exploded_slices); the size==2
     # filter drops the single-word doc's degenerate 1-word "bigram"
     bi = (

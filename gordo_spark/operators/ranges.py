@@ -122,16 +122,19 @@ def funnel_steps(
     Scale shape: step i is one filtered scan (the type predicate pushes
     to the source) joined to the previous step's (user, ts) frame — a
     user-keyed equi-join (unique users, no skew) followed by a map-side-
-    combined min. Each step's two-column frame is PERSISTED: the final
-    union references every step, so without the cache Spark would
-    replay steps 1..i for each branch — k^2/2 filtered scans of the
-    fact table instead of k. The final conversion join is a 1-row
-    scalar broadcast.
+    combined min. Each step's two-column frame is PERSISTED while the
+    NEXT step consumes it, then unpersisted — at most one step frame is
+    cached at any moment, and nothing stays cached after return (a
+    leaked cache accumulates blocks for the session lifetime in a
+    long-lived driver). Each step materializes eagerly (its count IS the
+    funnel number), so the returned frame is step-count-sized local
+    data: k rows for a k-step funnel, regardless of corpus size.
     """
     if not steps:
         raise ValueError("funnel_steps needs at least one step")
-    per_step = []
+    counts: list[tuple[int, str, int]] = []
     prev = None
+    cached = []
     for i, s in enumerate(steps):
         ev = events.filter(F.col(type_col) == s).select(
             F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
@@ -146,23 +149,24 @@ def funnel_steps(
                 .agg(F.min("_ts").alias("_t"))
             )
         cur = cur.persist()
+        counts.append((i + 1, s, cur.count()))  # materializes the cache
+        # the previous step's frame was only needed to build (and now
+        # materialize) this one — release it
+        while cached:
+            cached.pop().unpersist()
+        cached.append(cur)
         prev = cur.select("_u", F.col("_t").alias("_pt"))
-        per_step.append(
-            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i + 1).alias("step"),
-                F.lit(s).alias("event_type"),
-                "n_users",
-            )
-        )
-    out = per_step[0]
-    for f in per_step[1:]:
-        out = out.unionByName(f)
-    base = per_step[0].select(F.col("n_users").alias("_base"))
-    return out.crossJoin(F.broadcast(base)).select(
+    while cached:
+        cached.pop().unpersist()
+    base = counts[0][2]
+    out = events.sparkSession.createDataFrame(
+        counts, "step int, event_type string, n_users bigint"
+    )
+    return out.select(
         "step",
         "event_type",
         "n_users",
-        F.round(F.col("n_users") / F.col("_base"), 6).alias("conversion"),
+        F.round(F.col("n_users") / F.lit(base), 6).alias("conversion"),
     )
 
 

@@ -107,6 +107,7 @@ SINGLE_SERIES_OK = {
     "p3_row_filter",
     "p4_median_period",
     "m4_kfold_threshold",
+    "a5_fold_scores",
     "m6_anomaly",
     "m6_anomaly_scaled",
     # the running-sum window is over the one-row-per-PARTITION offsets
