@@ -62,6 +62,83 @@ def read_corpus_lake(
     return df
 
 
+class LakeIntegrityError(RuntimeError):
+    """A lake's contents diverge from its published manifest."""
+
+
+def publish_manifest(
+    spark: SparkSession,
+    path: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Publish the per-source integrity manifest next to the data.
+
+    Written under ``<path>/_manifest`` — the leading underscore keeps it
+    out of every Spark file index, so readers of the lake never see it
+    as data. The manifest is ``operators/sampling.shard_manifest``'s
+    order-insensitive checksum: any dropped, duplicated, or corrupted
+    row moves a count or a checksum, regardless of read order.
+    """
+    from gordo_spark.operators.sampling import shard_manifest
+
+    m = shard_manifest(
+        read_corpus_lake(spark, path, source_col=source_col),
+        source_col,
+        id_col,
+        text_col,
+    )
+    m.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_manifest"))
+
+
+def verify_corpus_lake(
+    spark: SparkSession,
+    path: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df: DataFrame | None = None,
+) -> None:
+    """Re-derive the manifest from the lake and diff it against the
+    published one; raise :class:`LakeIntegrityError` naming every bad
+    shard. The check is one aggregation over the lake plus a
+    |sources|-row comparison — cheap enough to run before every
+    training export. ``df`` overrides the frame to verify (e.g. a
+    schema-pinned read with ``ignoreCorruptFiles`` on, where a corrupt
+    file is DROPPED silently — exactly the loss this catches).
+    """
+    from gordo_spark.operators.sampling import shard_manifest
+
+    expected = {
+        r[source_col]: (r["n_rows"], r["n_bytes"], r["checksum"])
+        for r in spark.read.parquet(os.path.join(path, "_manifest")).collect()
+    }
+    frame = df if df is not None else read_corpus_lake(spark, path, source_col=source_col)
+    actual = {
+        r[source_col]: (r["n_rows"], r["n_bytes"], r["checksum"])
+        for r in shard_manifest(frame, source_col, id_col, text_col).collect()
+    }
+    problems = []
+    for shard, exp in expected.items():
+        got = actual.get(shard)
+        if got is None:
+            problems.append(f"{shard}: missing entirely (expected {exp[0]} rows)")
+        elif got != exp:
+            problems.append(
+                f"{shard}: rows {got[0]}!={exp[0]} or bytes/checksum moved "
+                f"(got {got}, manifest {exp})"
+            )
+    for shard in actual:
+        if shard not in expected:
+            problems.append(f"{shard}: not in manifest (unexpected shard)")
+    if problems:
+        raise LakeIntegrityError(
+            "corpus lake at %s fails manifest verification: %s"
+            % (path, "; ".join(sorted(problems)))
+        )
+
+
 def incremental_release(
     spark: SparkSession,
     path: str,
@@ -134,6 +211,10 @@ def incremental_release(
         d = os.path.join(path, f"{source_col}={s}")
         if os.path.isdir(d):
             shutil.rmtree(d)
+
+    if os.path.isdir(os.path.join(path, "_manifest")):
+        # a published manifest must follow the data it describes
+        publish_manifest(spark, path, source_col, id_col, text_col)
 
     return {
         "added": counts.get("added", 0),

@@ -211,3 +211,166 @@ def test_corpus_lake_source_move_is_a_change(spark, tmp_path):
         for r in read_corpus_lake(spark, path).collect()
     )
     assert got == [(0, "same", "b"), (1, "other", "a")]
+
+
+# --------------------------------------------------------- chaos/robustness
+def _sensor_rows(spark, start="2024-01-01", days=2, per_day=24):
+    import pandas as pd
+
+    ts = pd.date_range(start, periods=days * per_day, freq="1h")
+    pdf = pd.DataFrame(
+        {
+            "tag": ["t1" if i % 2 == 0 else "t2" for i in range(len(ts))],
+            "ts": ts,
+            "value": [float(i % 7) for i in range(len(ts))],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_compaction_crash_between_write_and_swap(spark, tmp_path):
+    """Compaction writes to a NEW root; a crash mid-write must leave the
+    source lake untouched and be detectable (no _SUCCESS marker), and a
+    rerun must converge to a complete, content-identical compacted lake."""
+    import os
+
+    from gordo_spark.sources.lake import compact_sensor_lake, write_sensor_lake
+
+    src = str(tmp_path / "lake_src")
+    dst = str(tmp_path / "lake_dst")
+    write_sensor_lake(_sensor_rows(spark), src)
+    before = (
+        spark.read.parquet(src).toPandas().sort_values(["tag", "ts"]).reset_index(drop=True)
+    )
+
+    compact_sensor_lake(spark, src, dst)
+    # simulate a crash between write and swap: kill the success marker and
+    # one data file of the half-landed destination
+    os.remove(os.path.join(dst, "_SUCCESS"))
+    for root, _dirs, files in os.walk(dst):
+        parts = [f for f in files if f.startswith("part-")]
+        if parts:
+            os.remove(os.path.join(root, parts[0]))
+            break
+
+    # the swap gate: an incomplete compaction is detectable before repoint
+    assert not os.path.exists(os.path.join(dst, "_SUCCESS"))
+    # the source lake is untouched — readers were never at risk
+    after_crash = (
+        spark.read.parquet(src).toPandas().sort_values(["tag", "ts"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after_crash)
+
+    # rerun converges: overwrite replaces the partial output wholesale
+    compact_sensor_lake(spark, src, dst)
+    assert os.path.exists(os.path.join(dst, "_SUCCESS"))
+    got = (
+        spark.read.parquet(dst).toPandas().sort_values(["tag", "ts"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        before[["tag", "ts", "value"]].reset_index(drop=True),
+        got[["tag", "ts", "value"]].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_rollup_boundary_date_reingest(spark, tmp_path):
+    """Raw rows re-ingested INTO the rollup's boundary date (the newest
+    rolled-up partition — e.g. a late backfill landing after the last
+    maintenance run) are picked up by the next incremental run:
+    incremental stays identical to a from-scratch full recompute."""
+    import pandas as pd
+
+    from gordo_spark.sources.lake import rollup_sensor_lake, write_sensor_lake
+
+    src = str(tmp_path / "roll_src")
+    inc = str(tmp_path / "roll_inc")
+    full = str(tmp_path / "roll_full")
+    write_sensor_lake(_sensor_rows(spark, days=2), src)
+    rollup_sensor_lake(spark, src, inc, resolution="6H")
+
+    # boundary-date re-ingest: extra rows land on the NEWEST rolled date
+    late = pd.DataFrame(
+        {
+            "tag": ["t1"] * 3,
+            "ts": pd.to_datetime(
+                ["2024-01-02 01:30:00", "2024-01-02 07:30:00", "2024-01-02 13:30:00"]
+            ),
+            "value": [100.0, 200.0, 300.0],
+        }
+    )
+    (
+        spark.createDataFrame(late)
+        .withColumn("date", F.to_date("ts"))
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(src)
+    )
+
+    rollup_sensor_lake(spark, src, inc, resolution="6H")          # incremental
+    rollup_sensor_lake(spark, src, full, resolution="6H", incremental=False)
+
+    cols = ["tag", "ts", "value"]
+    got = spark.read.parquet(inc).select(cols).toPandas().sort_values(["tag", "ts"]).reset_index(drop=True)
+    exp = spark.read.parquet(full).select(cols).toPandas().sort_values(["tag", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # and the backfilled buckets actually moved
+    assert (got.value > 50).any()
+
+
+def test_corrupt_shard_caught_by_manifest(spark, tmp_path):
+    """Integrity chaos: losing a data file (or a corrupt footer silently
+    dropped by ignoreCorruptFiles) must not pass verification — the
+    published per-source manifest catches the row loss and names the
+    shard."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from gordo_spark.sources.corpus_lake import (
+        LakeIntegrityError,
+        publish_manifest,
+        verify_corpus_lake,
+        write_corpus_lake,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "text": [f"document number {i} with some words" for i in range(60)],
+            "source": ["web" if i % 3 == 0 else ("wiki" if i % 3 == 1 else "books") for i in range(60)],
+        }
+    )
+    path = str(tmp_path / "corpus")
+    # two files per source so losing one is silent at the reader level
+    write_corpus_lake(spark.createDataFrame(pdf), path, files_per_source=2)
+    publish_manifest(spark, path)
+    verify_corpus_lake(spark, path)  # clean lake passes
+
+    schema = spark.read.parquet(path).schema
+    victim = sorted(glob.glob(os.path.join(path, "source=wiki", "part-*.parquet")))[0]
+
+    # chaos 1: corrupt the footer (truncate the tail). With
+    # ignoreCorruptFiles the scan silently DROPS the file — the exact
+    # failure mode a 100 TB export must catch via the manifest.
+    blob = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(blob[: max(8, len(blob) // 2)])
+    old = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        silently_dropped = spark.read.schema(schema).parquet(path)
+        with _pytest.raises(LakeIntegrityError, match="wiki"):
+            verify_corpus_lake(spark, path, df=silently_dropped)
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+
+    # chaos 2: the shard file vanishes entirely — reads succeed, rows are
+    # missing, verification still fails naming the shard
+    os.remove(victim)
+    with _pytest.raises(LakeIntegrityError, match="wiki"):
+        verify_corpus_lake(spark, path)

@@ -609,3 +609,104 @@ def test_stream_source_quality_matches_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, exp)
     assert (got["gopher_pass_rate"] < 1.0).any()  # the ### docs fail the panel
+
+
+def test_stream_neardup_dedup_matches_batch(spark, tmp_path):
+    """Near-dup ingest dedup (MinHash-LSH band buckets as state key,
+    per-window first-wins): stream verdicts over closed windows equal
+    the batch run of the SAME operators, exact copies are dropped inside
+    their window but kept across windows (window-scoped state), and
+    every dropped doc is an LSH candidate pair with an earlier doc."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from gordo_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from gordo_spark.streaming.dedup import (
+        minhash_band_keys,
+        neardup_bucket_membership,
+        neardup_survivors,
+        stream_neardup_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different words about spark shuffles and parquet footers here"
+    third = "sensor telemetry resampling with watermarks keeps late data policies honest"
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # window [00:00, 01:00)
+        (1, base, t0 + pd.Timedelta(minutes=5)),
+        (2, base, t0 + pd.Timedelta(minutes=10)),          # exact dup -> dropped
+        (3, other, t0 + pd.Timedelta(minutes=15)),
+        (4, base.replace("dog", "cat"), t0 + pd.Timedelta(minutes=20)),  # near-dup
+        # window [01:00, 02:00)
+        (10, base, t0 + pd.Timedelta(minutes=65)),         # new window -> kept
+        (11, third, t0 + pd.Timedelta(minutes=70)),
+        (12, third, t0 + pd.Timedelta(minutes=75)),        # exact dup -> dropped
+    ]
+    closer = [(99, "watermark closer row far in the future of every window", t0 + pd.Timedelta(hours=4))]
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    def _py(chunk):
+        return [(i, t, ts.to_pydatetime()) for i, t, ts in chunk]
+
+    src = str(tmp_path / "neardup_src")
+    for i, chunk in enumerate((_py(rows[:4]), _py(rows[4:]), _py(closer))):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(mode).parquet(src)
+        _time.sleep(1.1)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = str(tmp_path / "neardup_out")
+    ckpt = str(tmp_path / "neardup_ckpt")
+    q = stream_neardup_dedup(
+        stream, out, ckpt, window="1 hour", watermark="30 minutes"
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["window_start", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+    batch = spark.createDataFrame(_py(rows + closer), schema)
+    exp_all = neardup_survivors(
+        neardup_bucket_membership(minhash_band_keys(batch), "1 hour")
+    ).toPandas()
+    # the stream only emits windows its final watermark closed
+    exp = (
+        exp_all[exp_all.window_start.isin(got.window_start.unique())]
+        .sort_values(["window_start", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+    verdict = dict(zip(got.doc_id, got.kept))
+    assert verdict[1] is True or verdict[1] == True  # noqa: E712
+    assert not verdict[2]          # exact dup inside its window
+    assert verdict[3]
+    assert verdict[10]             # same text, later window: state is window-scoped
+    assert not verdict[12]
+    assert {1, 2, 3, 4}.issubset(set(got.doc_id)) and {10, 11, 12}.issubset(set(got.doc_id))
+
+    # every dropped doc must be an LSH candidate pair with an EARLIER doc
+    # of its own window (same hash family as the batch operators)
+    dropped = got[~got.kept]
+    assert len(dropped) >= 2
+    for ws, grp in got.groupby("window_start"):
+        w_docs = batch.filter(
+            (F.col("ts") >= pd.Timestamp(ws))
+            & (F.col("ts") < pd.Timestamp(ws) + pd.Timedelta(hours=1))
+        )
+        pairs = lsh_candidate_pairs(minhash_signatures(w_docs)).toPandas()
+        for d in grp[~grp.kept].doc_id:
+            assert ((pairs.id_b == d) & (pairs.id_a < d)).any(), (ws, d)
