@@ -2542,6 +2542,166 @@ FROM feats f JOIN ratio USING (b) GROUP BY f.doc_id
 """
 
 
+def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of the corpus token stream (operators/sketches.
+    count_min_sketch): the full depth x width counter table, exactly
+    reproducible by the oracle because the hash family is deterministic
+    md5+LCG. depth*width longs of mergeable state at any corpus size."""
+    from gordo_spark.operators.sketches import count_min_sketch
+
+    toks = read_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    return count_min_sketch(toks, "w", width=256, depth=4)
+
+
+def _cms_sql(width: int = 256, depth: int = 4, seed: int = 777) -> tuple[str, str]:
+    """(cells CTE body, base expr) replicating count_min_sketch's md5+LCG
+    hash family with the SAME inlined (a, b) constants."""
+    from gordo_spark.operators.dedup import MINHASH_P, _hash_params
+
+    base = "(('0x' || substr(md5(w), 1, 8))::BIGINT)"
+    rows = [
+        f"SELECT {r} AS row, ((({a} * {base}) + {b}) % {MINHASH_P}) % {width} AS bucket, w FROM toks"
+        for r, (a, b) in enumerate(_hash_params(depth, seed=seed))
+    ]
+    return "\nUNION ALL\n".join(rows), base
+
+
+_CMS_CELLS, _ = _cms_sql()
+
+O_CMS_SKETCH = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+cells AS ({_CMS_CELLS})
+SELECT row, bucket, count(*) AS n FROM cells GROUP BY row, bucket
+"""
+
+CMS_QUERY_WORDS = ["join", "hash", "scan", "spark", "zzz_absent"]
+
+
+def q_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point estimates from the Count-Min sketch for a fixed word list
+    (incl. an absent word -> 0): never an undercount, overcount bounded
+    by e*N/width. Query side is |values| x depth rows."""
+    from gordo_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    toks = read_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    sk = count_min_sketch(toks, "w", width=256, depth=4)
+    return cms_estimate(sk, CMS_QUERY_WORDS, width=256, depth=4)
+
+
+_CMS_VALUES = ", ".join(f"'{w}'" for w in CMS_QUERY_WORDS)
+
+O_CMS_EST = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+cells AS ({_CMS_CELLS}),
+sketch AS (SELECT row, bucket, count(*) AS n FROM cells GROUP BY row, bucket),
+q AS (SELECT unnest([{_CMS_VALUES}]) AS w),
+qc AS ({_CMS_CELLS.replace('FROM toks', 'FROM q')})
+SELECT qc.w AS value, min(coalesce(sketch.n, 0)) AS est_count
+FROM qc LEFT JOIN sketch USING (row, bucket)
+GROUP BY qc.w
+"""
+
+
+def q_lm_quality_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM score (Brants et al. 2007;
+    operators/text.trigram_backoff_score): mean -log S(w|u v) with
+    min_count=2 pruning, alpha=0.4 — the distributed-LM quality signal
+    one realism step past the bigram score. All corpus-derived count
+    tables join UNHINTED."""
+    from gordo_spark.operators.text import trigram_backoff_score
+
+    return trigram_backoff_score(read_table(spark, sf_dir, "documents"))
+
+
+O_LM_TRIGRAM = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws FROM w),
+s AS (SELECT doc_id, ws[i] AS w,
+             CASE WHEN i >= 2 THEN ws[i-1] END AS p1,
+             CASE WHEN i >= 3 THEN ws[i-2] END AS p2
+      FROM pos),
+tri AS (SELECT * FROM s WHERE p2 IS NOT NULL),
+bi  AS (SELECT * FROM s WHERE p1 IS NOT NULL),
+c3 AS (SELECT p2, p1, w, count(*) AS c3 FROM tri GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+h2 AS (SELECT p2, p1, count(*) AS n_h2 FROM tri GROUP BY 1, 2),
+c2 AS (SELECT p1, w, count(*) AS c2 FROM bi GROUP BY 1, 2 HAVING count(*) >= 2),
+h1 AS (SELECT p1, count(*) AS n_h1 FROM bi GROUP BY 1),
+c1 AS (SELECT w, count(*) AS c1 FROM s GROUP BY 1),
+n AS (SELECT count(*) AS n_tok FROM s),
+sc AS (
+  SELECT tri.doc_id,
+         ln(coalesce(
+              c3.c3 / h2.n_h2,
+              0.4 * c2.c2 / h1.n_h1,
+              0.4 * 0.4 * c1.c1 / n.n_tok)) AS logs
+  FROM tri
+  LEFT JOIN c3 USING (p2, p1, w)
+  JOIN h2 USING (p2, p1)
+  LEFT JOIN c2 USING (p1, w)
+  JOIN h1 USING (p1)
+  JOIN c1 USING (w)
+  CROSS JOIN n
+)
+SELECT doc_id, round(-avg(logs), 6) AS mean_nll3 FROM sc GROUP BY doc_id
+"""
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (operators/dedup.
+    strip_boilerplate): paragraphs appearing in >= 2 distinct docs are
+    dropped from EVERY doc (no survivor). The planted head-copies'
+    entire content is boilerplate (they come back empty); originals lose
+    their first two 12-word blocks. Paragraph text never shuffles."""
+    from gordo_spark.operators.dedup import strip_boilerplate, word_blocks
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    heads = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 24)).alias("text"),
+    )
+    corpus = docs.unionByName(heads)
+    return strip_boilerplate(corpus, word_blocks(F.col("text"), 12), max_doc_freq=2)
+
+
+O_STRIP_BOILER = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text, ' ')[1:24], ' ') AS text
+  FROM documents
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+paras AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(cast(ceil(len(words)/12.0) AS int), 1))) AS pos,
+         words
+  FROM w
+),
+p2 AS (
+  SELECT doc_id, pos,
+         array_to_string(words[pos*12+1 : pos*12+12], ' ') AS para
+  FROM paras
+),
+freq AS (SELECT md5(para) AS ph, count(DISTINCT doc_id) AS df FROM p2 GROUP BY 1),
+kept AS (
+  SELECT p2.doc_id, p2.pos, p2.para
+  FROM p2 JOIN freq ON md5(p2.para) = freq.ph
+  WHERE freq.df < 2
+),
+np AS (SELECT doc_id, count(*) AS n FROM p2 GROUP BY doc_id)
+SELECT np.doc_id, any_value(np.n) AS n_paras,
+       count(kept.pos) AS n_kept,
+       coalesce(string_agg(kept.para, ' ' ORDER BY kept.pos), '') AS text_clean
+FROM np LEFT JOIN kept USING (doc_id)
+GROUP BY np.doc_id
+"""
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (operators/dedup.
     winnow_fingerprints — Schleimer et al. SIGMOD 2003 / MOSS): 5-gram
@@ -5427,6 +5587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_scores": q_m5_scores,
         "j4_split_xy": q_j4_split_xy,
         "a5_fold_scores": q_a5_fold_scores,
+        "cms_sketch": q_cms_sketch,
+        "cms_estimates": q_cms_estimates,
+        "lm_quality_trigram": q_lm_quality_trigram,
+        "strip_boilerplate": q_strip_boilerplate,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -5525,6 +5689,10 @@ def oracle_sql() -> dict[str, str]:
         "m5_scores": O_M5,
         "j4_split_xy": O_J4_SPLIT,
         "a5_fold_scores": O_A5_FOLDS,
+        "cms_sketch": O_CMS_SKETCH,
+        "cms_estimates": O_CMS_EST,
+        "lm_quality_trigram": O_LM_TRIGRAM,
+        "strip_boilerplate": O_STRIP_BOILER,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_paragraph": O_DEDUP_PARAGRAPH,
         "dsir_weights": O_DSIR_WEIGHTS,

@@ -48,6 +48,10 @@ HEADLINE = [
     "j4_split_xy",
     "j7_lookback",
     "a5_fold_scores",
+    "cms_sketch",
+    "cms_estimates",
+    "lm_quality_trigram",
+    "strip_boilerplate",
     "p3_row_filter",
     "p4_iqr_fence",
     "w1_smm",

@@ -178,6 +178,59 @@ def paragraph_dedup(
     )
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    paras,
+    max_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Frequency-based boilerplate removal (CCNet practice, Wenzek et
+    al. 2020 §3.1): drop EVERY occurrence of a paragraph/line appearing
+    in >= ``max_doc_freq`` distinct documents — nav bars, cookie
+    banners, license footers. Differs from :func:`paragraph_dedup`
+    (first occurrence survives there); boilerplate has no survivor.
+
+    Same scale shape as paragraph_dedup: paragraph TEXT never crosses a
+    shuffle — only (id, pos, md5) tuples move; doc-frequency is one
+    md5-keyed aggregate over per-doc DISTINCT paragraph hashes
+    (``array_distinct`` row-local, so the count is document frequency,
+    not occurrence frequency); the reconstruction is one id-keyed join
+    re-deriving the paragraph array row-locally.
+    """
+    src = df.select(F.col(id_col), paras.alias("_paras"))
+    narrow = src.select(
+        id_col, F.posexplode(F.transform("_paras", F.md5)).alias("pos", "ph")
+    )
+    doc_freq = (
+        src.select(
+            id_col,
+            F.explode(F.array_distinct(F.transform("_paras", F.md5))).alias("ph"),
+        )
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = doc_freq.filter(F.col("df") >= max_doc_freq).select("ph")
+    kept = (
+        narrow.join(boiler, "ph", "left_anti")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_keep"))
+    )
+    # left join: a doc whose every paragraph is boilerplate still gets a
+    # row (empty text) instead of vanishing from the corpus frame
+    return src.join(kept, id_col, "left").select(
+        id_col,
+        F.size("_paras").alias("n_paras"),
+        F.coalesce(F.size("_keep"), F.lit(0)).alias("n_kept"),
+        F.coalesce(
+            F.concat_ws(
+                " ", F.transform("_keep", lambda p: F.element_at("_paras", p + 1))
+            ),
+            F.lit(""),
+        ).alias(out_col),
+    )
+
+
 def exact_dedup(
     df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:

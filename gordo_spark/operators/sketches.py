@@ -6,11 +6,14 @@ constant-size state per partition, merged at the driver — the only viable
 shape when the exact answer would itself be petabyte-scale intermediate
 state. Error is tunable and documented at each call site.
 
-These wrap Spark's built-ins (HyperLogLog++ and the Greenwald-Khanna
-variant behind ``percentile_approx``) rather than reimplementing sketches:
-same semantics, JVM-side, codegen-friendly. No DuckDB-hash contract query
-is possible (approximate != oracle-exact); tests pin the error bounds
-against exact answers instead.
+Distinct/quantile sketches wrap Spark's built-ins (HyperLogLog++ and the
+Greenwald-Khanna variant behind ``percentile_approx``) rather than
+reimplementing them: same semantics, JVM-side, codegen-friendly. Their
+randomized internals admit no DuckDB-hash contract (approximate !=
+oracle-exact); tests pin error bounds against exact answers instead.
+The Count-Min sketch below is the exception: its hash family is a
+DETERMINISTIC md5+LCG construction, so the full counter table (and any
+point estimate) is engine-portable and hash-matched like an exact query.
 """
 
 from __future__ import annotations
@@ -55,6 +58,91 @@ def approx_quantiles(
     if group_by:
         return df.groupBy(*group_by).agg(agg)
     return df.agg(agg)
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 777,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a value stream:
+    a ``depth x width`` counter table where row ``r`` buckets each item
+    by an independent universal hash. Point estimate = min over rows of
+    the item's bucket counts — never an undercount, overcount bounded by
+    e*N/width with probability 1-(1/e)^depth.
+
+    The sketch is the memory-bounded frequency store when even the
+    Misra-Gries candidate set is too restrictive (answers ANY item, not
+    just heavy ones) — depth*width longs of state regardless of corpus
+    size, mergeable by plain cell-wise addition (a groupBy-sum here, so
+    partial aggregation merges partition sketches for free).
+
+    Hashing is the md5+LCG universal family (same construction as
+    ``dedup.decontaminate_bloom``) — DETERMINISTIC and engine-portable,
+    so unlike classical randomized sketches a DuckDB oracle reproduces
+    every cell bit-for-bit and the whole table is hash-matchable.
+    """
+    from gordo_spark.operators.dedup import MINHASH_P, _hash_params, md5_long
+
+    params = _hash_params(depth, seed=seed)
+    base = md5_long(F.col(col).cast("string"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                ((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P) % F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for r, (a, b) in enumerate(params)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    values: list[str],
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 777,
+) -> DataFrame:
+    """Point-estimate counts for ``values`` from a ``count_min_sketch``
+    table (same width/depth/seed). The query side is |values| x depth
+    rows joined against the depth*width-row sketch — bounded on both
+    sides; estimate = min over the item's depth cells (an absent cell is
+    a 0 count: the item never hashed there)."""
+    from gordo_spark.operators.dedup import MINHASH_P, _hash_params, md5_long
+
+    spark = sketch.sparkSession
+    params = _hash_params(depth, seed=seed)
+    q = spark.createDataFrame([(v,) for v in values], "value string")
+    base = md5_long(F.col("value"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                ((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P) % F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for r, (a, b) in enumerate(params)
+        ]
+    )
+    qc = q.select("value", F.explode(cells).alias("c")).select(
+        "value", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        qc.join(sketch, ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
+    )
 
 
 def heavy_hitters(

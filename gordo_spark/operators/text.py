@@ -702,6 +702,97 @@ def bigram_logprob_score(
     )
 
 
+def trigram_backoff_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Stupid-backoff trigram LM quality score (Brants et al., EMNLP
+    2007 — the backoff designed FOR distributed n-gram LMs): per doc the
+    mean -log S(w_i | w_{i-2} w_{i-1}) where
+
+        S(w|u v) = c(u v w)/h(u v)        if c(u v w) >= min_count
+                 = alpha * c(v w)/h(v)    elif c(v w) >= min_count
+                 = alpha^2 * c(w)/N       otherwise
+
+    with h(.) the history-occurrence counts (probabilities per history
+    sum to 1 before pruning). ``min_count`` prunes singleton n-grams —
+    the standard distributed-LM practice that also makes backoff real
+    when scoring the training corpus itself (every observed n-gram
+    trivially has count >= 1).
+
+    Scale posture: ONE token stream (posexplode + 0-based ``F.get`` for
+    the two history words — row-local, no self-join); the trigram/bigram
+    count tables are near-linear in corpus size so every join here is an
+    UNHINTED shuffle equi-join (AQE may broadcast small ones); the
+    unigram table and scalar N are genuinely bounded. Per-doc aggregate
+    keyed on unique ids. n-gram keys are ``xxhash64`` structs —
+    within-engine join keys only, never surfaced (the oracle joins on
+    its own string keys).
+
+    Documents with fewer than three words have no trigram position and
+    emit no row (same edge rule as ``bigram_logprob_score``).
+    """
+    words = F.split(F.col(text_col), " ")
+    stream = (
+        df.select(F.col(id_col), words.alias("_w"))
+        .select(id_col, "_w", F.posexplode("_w").alias("_i", "w"))
+        .select(
+            F.col(id_col),
+            F.col("w"),
+            F.get("_w", F.col("_i") - 1).alias("p1"),
+            F.get("_w", F.col("_i") - 2).alias("p2"),
+        )
+    )
+    k3 = F.xxhash64("p2", "p1", "w")
+    h2 = F.xxhash64("p2", "p1")
+    k2 = F.xxhash64("p1", "w")
+    h1 = F.xxhash64("p1")
+
+    tri_pos = stream.filter(F.col("p2").isNotNull())
+    bi_pos = stream.filter(F.col("p1").isNotNull())
+
+    c3 = (
+        tri_pos.groupBy(k3.alias("k3"))
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .filter(F.col("c3") >= min_count)
+    )
+    hist2 = tri_pos.groupBy(h2.alias("h2")).agg(F.count(F.lit(1)).alias("n_h2"))
+    c2 = (
+        bi_pos.groupBy(k2.alias("k2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    hist1 = bi_pos.groupBy(h1.alias("h1")).agg(F.count(F.lit(1)).alias("n_h1"))
+    c1 = stream.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    n_total = stream.agg(F.count(F.lit(1)).alias("n_tok"))
+
+    scored = (
+        tri_pos.select(F.col(id_col), k3.alias("k3"), h2.alias("h2"), k2.alias("k2"), h1.alias("h1"), "w")
+        .join(c3, "k3", "left")
+        .join(hist2, "h2")
+        .join(c2, "k2", "left")
+        .join(hist1, "h1")
+        .join(c1, "w")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.coalesce(
+                    F.col("c3") / F.col("n_h2"),
+                    F.lit(alpha) * F.col("c2") / F.col("n_h1"),
+                    F.lit(alpha * alpha) * F.col("c1") / F.col("n_tok"),
+                )
+            ).alias("_logs"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(-F.avg("_logs"), 6).alias("mean_nll3")
+    )
+
+
 def perplexity_buckets(
     scored: DataFrame,
     lang_col: str = "lang",

@@ -75,6 +75,9 @@ ACCEPTED = {
     # (and q11 a 1-row threshold) via broadcast cross join
     "dsir_weights": "1-row feature-total frame broadcast to the "
     "bucket-bounded (4096-row) ratio table",
+    "a5_fold_scores": "1-row per-fold OLS fit frames broadcast (3 folds)",
+    "lm_quality_trigram": "1-row corpus-token-total frame broadcast for "
+    "the unigram fallback",
     "mixture_sample": "1-row corpus-total frame broadcast to the "
     "strata-sized count table",
     "perplexity_buckets": "1-row corpus-token-total + OOV-floor frames "

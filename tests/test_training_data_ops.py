@@ -1686,3 +1686,87 @@ def test_curation_verdict_covers_tokenless_docs(spark):
     out = {r["doc_id"]: r.asDict() for r in curation_verdict(df).collect()}
     # the empty doc gets an explicit keep=False verdict, never vanishes
     assert 0 in out and out[0]["keep"] is False
+
+
+def test_count_min_sketch_guarantees(spark, docs):
+    """CMS point estimates never undercount, and overcounts are bounded
+    by collisions (loose bound: est - true <= N/width * depth-safety)."""
+    from gordo_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    n_total = toks.count()
+    sk = count_min_sketch(toks, "w", width=256, depth=4)
+    truth = {r["w"]: r["c"] for r in toks.groupBy("w").agg(F.count("*").alias("c")).collect()}
+    words = sorted(truth)[:10] + ["zzz_never_seen"]
+    est = {r["value"]: r["est_count"] for r in cms_estimate(sk, words, width=256, depth=4).collect()}
+    for w in words:
+        t = truth.get(w, 0)
+        assert est[w] >= t, (w, est[w], t)
+        # classical bound e*N/width holds in expectation per row; min over
+        # 4 independent rows makes a gross violation astronomically unlikely
+        assert est[w] - t <= 3 * n_total / 256 + 1, (w, est[w], t)
+    # the sketch table is exactly mergeable state: depth x width cells max
+    assert sk.count() <= 4 * 256
+
+
+def test_trigram_backoff_score_math(spark):
+    """Hand-computed stupid-backoff values: an attested trigram scores
+    c3/h2; a pruned one backs off to 0.4*c2/h1, then to 0.4^2*c1/N."""
+    import math
+
+    from gordo_spark.operators.text import trigram_backoff_score
+
+    # corpus: "a b c" x2 (trigram 'a b c' count 2 -> kept at min_count=2)
+    # plus "x b c" (trigram count 1 -> pruned; bigram 'b c' count 3 kept)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b c", "a b c", "x b c"]})
+    )
+    out = {r["doc_id"]: r["mean_nll3"] for r in trigram_backoff_score(df).collect()}
+    # doc 0/1: S(c|a b) = c3/h2 = 2/2 = 1 -> nll 0
+    assert out[0] == pytest.approx(0.0, abs=1e-6)
+    # doc 2: trigram 'x b c' pruned -> 0.4 * c2('b c')/h1('b') = 0.4 * 3/3
+    assert out[2] == pytest.approx(-math.log(0.4), abs=1e-6)
+
+    # unigram fallback: a doc whose trigram AND bigram are unique
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2], "text": ["a b c", "a b c", "p q c"]}
+        )
+    )
+    out2 = {r["doc_id"]: r["mean_nll3"] for r in trigram_backoff_score(df2).collect()}
+    # 'p q c': trigram pruned, bigram 'q c' count 1 pruned ->
+    # 0.4^2 * c1('c')/N = 0.16 * 3/9
+    assert out2[2] == pytest.approx(-math.log(0.4 * 0.4 * 3 / 9), abs=1e-6)
+
+
+def test_strip_boilerplate_removes_every_occurrence(spark):
+    from gordo_spark.operators.dedup import strip_boilerplate, word_blocks
+
+    banner = "accept all cookies to continue reading this fine website today ok now"  # 12 words
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    banner + " unique words of document zero only here today now one two three",
+                    banner + " different body for document one with its own twelve words here yes",
+                    "a fully unique document with no boilerplate at all in it today",
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+        for r in strip_boilerplate(df, word_blocks(F.col("text"), 12), 2).collect()
+    }
+    # the banner block is in 2 docs -> removed from BOTH (no survivor)
+    assert banner not in out[0][2] and banner not in out[1][2]
+    assert out[0][1] == out[0][0] - 1 and out[1][1] == out[1][0] - 1
+    assert out[2] == (1, 1, df.collect()[2]["text"]) or out[2][2].startswith("a fully unique")
+    # all-boilerplate doc comes back EMPTY, not missing
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": [banner, banner]})
+    )
+    out2 = {r["doc_id"]: r for r in strip_boilerplate(df2, word_blocks(F.col("text"), 12), 2).collect()}
+    assert len(out2) == 2
+    assert out2[0]["n_kept"] == 0 and out2[0]["text_clean"] == ""
