@@ -2702,6 +2702,37 @@ GROUP BY np.doc_id
 """
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jegou et al. 2011; operators/
+    similarity.pq_train/pq_encode): codebooks trained on a bounded
+    deterministic sample (faiss practice), corpus encoded to m codebook
+    indices per vector — d doubles -> m small ints, the compression that
+    keeps a billion-vector index in RAM. Iterative fit -> rows-only
+    (numpy-parity pinned in pytest); codes surfaced as columns."""
+    from gordo_spark.operators.similarity import pq_encode, pq_train
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    books = pq_train(embs, m=4, k=16, iters=8, sample_n=256)
+    enc = pq_encode(embs, books)
+    return enc.select(
+        "vec_id", *[F.element_at("codes", s + 1).alias(f"c{s}") for s in range(4)]
+    )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (ADC): per-query (m x k) lookup
+    table, each Arrow batch scores its codes with m table lookups per
+    row and emits a partial top-k — no decompression, batches*k*q
+    shuffle bound. Rows-only (trained codebooks); exact numpy-ADC
+    parity pinned in pytest."""
+    from gordo_spark.operators.similarity import pq_adc_topk, pq_encode, pq_train
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 10)
+    books = pq_train(embs, m=4, k=16, iters=8, sample_n=256)
+    return pq_adc_topk(pq_encode(embs, books), queries, books, k=5)
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (operators/dedup.
     winnow_fingerprints — Schleimer et al. SIGMOD 2003 / MOSS): 5-gram
@@ -5589,6 +5620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_fold_scores": q_a5_fold_scores,
         "cms_sketch": q_cms_sketch,
         "cms_estimates": q_cms_estimates,
+        "pq_codes": q_pq_codes,
+        "pq_search": q_pq_search,
         "lm_quality_trigram": q_lm_quality_trigram,
         "strip_boilerplate": q_strip_boilerplate,
         # --- remaining TPC-H shapes ---

@@ -52,6 +52,8 @@ HEADLINE = [
     "cms_estimates",
     "lm_quality_trigram",
     "strip_boilerplate",
+    "pq_codes",
+    "pq_search",
     "p3_row_filter",
     "p4_iqr_fence",
     "w1_smm",

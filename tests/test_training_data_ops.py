@@ -1770,3 +1770,102 @@ def test_strip_boilerplate_removes_every_occurrence(spark):
     out2 = {r["doc_id"]: r for r in strip_boilerplate(df2, word_blocks(F.col("text"), 12), 2).collect()}
     assert len(out2) == 2
     assert out2[0]["n_kept"] == 0 and out2[0]["text_clean"] == ""
+
+
+def test_pq_encode_matches_numpy(spark, embs):
+    """pq_train + pq_encode == a pure-numpy PQ pipeline on the collected
+    data (deterministic sample + init), and distortion shrinks as k
+    grows."""
+    import numpy as np
+
+    from gordo_spark.operators.similarity import (
+        _lloyds_np, pq_distortion, pq_encode, pq_train,
+    )
+
+    small = embs.filter(F.col("vec_id") < 200)
+    books = pq_train(small, m=4, k=8, iters=6, sample_n=128)
+    assert books.shape == (4, 8, 16)
+
+    rows = small.orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    # numpy replica: same sample (first 128 by id), same subspace Lloyd's
+    books_np = np.stack(
+        [_lloyds_np(X[:128, s * 16:(s + 1) * 16], 8, 6) for s in range(4)]
+    )
+    assert np.allclose(books, books_np)
+
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(small, books).collect()}
+    for s in range(4):
+        sub = X[:, s * 16:(s + 1) * 16]
+        d2 = (
+            np.einsum("ij,ij->i", sub, sub)[:, None]
+            - 2.0 * sub @ books[s].T
+            + np.einsum("kd,kd->k", books[s], books[s])[None, :]
+        )
+        want = np.argmin(d2, axis=1)
+        for i, vid in enumerate(ids):
+            assert got[vid][s] == want[i], (vid, s)
+
+    d8 = pq_distortion(small, books)
+    d32 = pq_distortion(small, pq_train(small, m=4, k=32, iters=6, sample_n=128))
+    assert d32 < d8  # bigger codebooks reconstruct better
+
+
+def test_pq_adc_search_parity_and_recall(spark, embs):
+    """Spark ADC top-k == a numpy ADC replica EXACTLY (same LUT math,
+    same tie order), and recall beats the random-candidate baseline by a
+    wide margin (these synthetic embeddings are near-random, so exact
+    top-1-in-top-5 recall is intrinsically ~0.5 for PQ; random would be
+    5/300)."""
+    import numpy as np
+
+    from gordo_spark.operators.similarity import pq_adc_topk, pq_encode, pq_train
+
+    base = embs.filter(F.col("vec_id") < 300)
+    queries = embs.filter(F.col("vec_id") < 5)
+    books = pq_train(base, m=4, k=16, iters=8, sample_n=300)
+    codes = pq_encode(base, books)
+    got = pq_adc_topk(codes, queries, books, k=5).toPandas()
+    assert set(got.groupby("query_id").size()) == {5}
+
+    rows = base.orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    m, kk, dsub = books.shape
+    # numpy ADC replica
+    cm = np.stack(
+        [
+            np.argmin(
+                np.einsum("ij,ij->i", X[:, s*dsub:(s+1)*dsub], X[:, s*dsub:(s+1)*dsub])[:, None]
+                - 2.0 * X[:, s*dsub:(s+1)*dsub] @ books[s].T
+                + np.einsum("kd,kd->k", books[s], books[s])[None, :],
+                axis=1,
+            )
+            for s in range(m)
+        ]
+    ).T
+    hit = 0
+    for q in range(5):
+        qv = X[ids == q][0]
+        lut = np.stack(
+            [
+                qv[s*dsub:(s+1)*dsub] @ qv[s*dsub:(s+1)*dsub]
+                - 2.0 * books[s] @ qv[s*dsub:(s+1)*dsub]
+                + np.einsum("kd,kd->k", books[s], books[s])
+                for s in range(m)
+            ]
+        )
+        dist = lut[np.arange(m)[None, :], cm].sum(axis=1)
+        mask = ids != q
+        order = np.lexsort((ids[mask], dist[mask]))[:5]
+        want_ids = ids[mask][order]
+        want_d = np.round(dist[mask][order], 6)
+        sub = got[got.query_id == q].sort_values("rank")
+        assert list(sub.neighbor_id) == list(want_ids), q
+        assert np.allclose(sub.adc_dist.to_numpy(), want_d, atol=1e-6), q
+
+        d2 = np.einsum("ij,ij->i", X, X) - 2.0 * (X @ qv) + qv @ qv
+        d2[ids == q] = np.inf
+        hit += ids[np.argmin(d2)] in set(sub.neighbor_id)
+    assert hit >= 2  # far above the 5/300 random baseline
