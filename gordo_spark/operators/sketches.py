@@ -83,6 +83,12 @@ def count_min_sketch(
     ``dedup.decontaminate_bloom``) — DETERMINISTIC and engine-portable,
     so unlike classical randomized sketches a DuckDB oracle reproduces
     every cell bit-for-bit and the whole table is hash-matchable.
+
+    Deliberately NOT pre-aggregated by value: a ``groupBy(value)`` first
+    pass would be faster at small cardinality, but the sketch exists for
+    streams whose distinct-value table is itself too wide to hash-agg
+    (trillions of tokens) — the direct cell aggregation keeps per-task
+    state at depth*width counters, never spills, at any cardinality.
     """
     from gordo_spark.operators.dedup import MINHASH_P, _hash_params, md5_long
 

@@ -1,0 +1,75 @@
+"""Streaming sketches — bounded-state frequency observability at ingest.
+
+The windowed Count-Min sketch is the streaming frequency store whose
+state is bounded BY CONSTRUCTION: per open event-time window it holds at
+most ``depth * width`` counters, regardless of ingest rate or value
+cardinality — the property that makes it safe to leave running forever
+on a firehose (token/URL/user-id frequency monitoring, hot-key
+detection feeding the skew-salting path, quota enforcement).
+
+Batch analogue: ``operators/sketches.count_min_sketch`` with the same
+deterministic md5+LCG hash family, so stream==batch is testable per
+closed window (see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_cells(
+    df: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 777,
+) -> DataFrame:
+    """Row-local (ts, row, bucket) cell stream — no shuffle, legal before
+    the stateful stage; identical hashing to the batch sketch."""
+    from gordo_spark.operators.dedup import MINHASH_P, _hash_params, md5_long
+
+    params = _hash_params(depth, seed=seed)
+    base = md5_long(F.col(col).cast("string"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                ((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P) % F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for r, (a, b) in enumerate(params)
+        ]
+    )
+    return df.select(F.col(ts_col), F.explode(cells).alias("c")).select(
+        ts_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+
+
+def stream_count_min(
+    stream: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 777,
+) -> DataFrame:
+    """Per-window Count-Min sketch of a streaming value column: ONE
+    stateful windowed aggregation whose state is open-windows x
+    depth*width cells — bounded no matter the rate or cardinality.
+    Append mode emits each window's finalized counter table once the
+    watermark passes; works verbatim on a batch frame (minus the
+    watermark) for the stream==batch contract."""
+    cells = windowed_cells(stream, col, ts_col, width, depth, seed)
+    if cells.isStreaming:
+        cells = cells.withWatermark(ts_col, watermark)
+    return (
+        cells.groupBy(F.window(F.col(ts_col), window), "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "row", "bucket", "n"
+        )
+    )

@@ -710,3 +710,63 @@ def test_stream_neardup_dedup_matches_batch(spark, tmp_path):
         pairs = lsh_candidate_pairs(minhash_signatures(w_docs)).toPandas()
         for d in grp[~grp.kept].doc_id:
             assert ((pairs.id_b == d) & (pairs.id_a < d)).any(), (ws, d)
+
+
+def test_stream_count_min_matches_batch(spark, tmp_path):
+    """Windowed Count-Min sketch: each closed window's counter table
+    equals the batch sketch over the same rows (deterministic hash
+    family), and state per window is bounded at depth*width cells."""
+    import time as _time
+
+    import pandas as pd
+
+    from gordo_spark.streaming.sketches import stream_count_min
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    def _rows(h, words):
+        return pd.DataFrame(
+            {
+                "ts": [t0 + pd.Timedelta(hours=h, minutes=i) for i in range(len(words))],
+                "w": words,
+            }
+        )
+
+    chunk1 = _rows(0, ["the", "data", "the", "spark", "the", "row"] * 5)
+    chunk2 = _rows(1, ["join", "the", "scan", "scan"] * 4)
+    closer = _rows(5, ["closer"])
+    src = str(tmp_path / "cms_src")
+    for i, c in enumerate((chunk1, chunk2, closer)):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(c).coalesce(1).write.mode(mode).parquet(src)
+        _time.sleep(1.1)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_count_min(stream, "w", window="1 hour", watermark="30 minutes", width=64, depth=4)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("cms_stream")
+        .toPandas()
+        .sort_values(["window_start", "row", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    batch = spark.createDataFrame(pd.concat([chunk1, chunk2, closer]))
+    exp_all = stream_count_min(batch, "w", window="1 hour", width=64, depth=4).toPandas()
+    exp = (
+        exp_all[exp_all.window_start.isin(got.window_start.unique())]
+        .sort_values(["window_start", "row", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # bounded state: each window holds at most depth*width cells
+    assert got.groupby("window_start").size().max() <= 4 * 64
+    # sanity: 'the' dominates hour 0 — its min-cell count >= its true count
+    assert got.n.max() >= 15
