@@ -374,3 +374,49 @@ def test_corrupt_shard_caught_by_manifest(spark, tmp_path):
     os.remove(victim)
     with _pytest.raises(LakeIntegrityError, match="wiki"):
         verify_corpus_lake(spark, path)
+
+
+def test_lake_schema_evolution_new_column(spark, tmp_path):
+    """Ingest evolves: a later batch adds a column (new sensor metadata).
+    mergeSchema reads see the union schema with nulls for old files, and
+    compaction to a new root preserves the evolved schema."""
+    import pandas as pd
+
+    from gordo_spark.sources.lake import compact_sensor_lake, write_sensor_lake
+
+    src = str(tmp_path / "evo_src")
+    write_sensor_lake(_sensor_rows(spark, days=1), src)
+    evolved = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "tag": ["t1", "t2"],
+                "ts": pd.to_datetime(["2024-01-02 00:00:00", "2024-01-02 01:00:00"]),
+                "value": [1.0, 2.0],
+                "quality": [99, 87],  # the new column
+            }
+        )
+    )
+    (
+        evolved.withColumn("date", F.to_date("ts"))
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(src)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(src)
+    assert "quality" in merged.columns
+    got = merged.toPandas()
+    assert got.quality.notna().sum() == 2          # new rows carry it
+    assert got.quality.isna().sum() == got.shape[0] - 2  # old rows null
+
+    dst = str(tmp_path / "evo_dst")
+    # compaction must not silently drop the evolved column
+    df = spark.read.option("mergeSchema", "true").parquet(src)
+    (
+        df.repartition(1, "date")
+        .sortWithinPartitions("date", "tag", "ts")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(dst)
+    )
+    out = spark.read.parquet(dst)
+    assert "quality" in out.columns and out.count() == merged.count()
