@@ -3504,6 +3504,36 @@ def q_sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(out, "cosine_sim")
 
 
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.ivf_pq_write / ivf_pq_probe —
+    the faiss IVFPQ shape): residual-PQ codes written PARTITIONED BY
+    cell, probe = cell PartitionFilter + per-(query, cell) ADC lookup
+    tables — n_probe/n_cells of the directories read, m small ints per
+    vector instead of d doubles. Rows-only (trained quantizer +
+    codebooks); exact numpy-replica parity pinned in pytest."""
+    import os
+    import tempfile
+
+    from gordo_spark.operators.similarity import ivf_pq_probe, ivf_pq_write
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"gordo_spark_ivfpq_{tag}")
+    marker = os.path.join(path, "_done")
+    version = "ivfpq-v1 cells=8 m=4 k=16"  # bump if the layout changes
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != version
+    if stale:
+        ivf_pq_write(embs, path, n_cells=8, m=4, k=16, iters=8, sample_n=4096)
+        with open(marker, "w") as fh:
+            fh.write(version + "\n")
+    return ivf_pq_probe(
+        spark, path, embs.filter(F.col("vec_id") < 10), kq=5, n_probe=2
+    )
+
+
 def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace vs BPE-ish regex lexer counts."""
     from gordo_spark.operators.text import bpe_token_count
@@ -5622,6 +5652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimates": q_cms_estimates,
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
+        "ivf_pq_search": q_ivf_pq_search,
         "lm_quality_trigram": q_lm_quality_trigram,
         "strip_boilerplate": q_strip_boilerplate,
         # --- remaining TPC-H shapes ---

@@ -54,6 +54,7 @@ HEADLINE = [
     "strip_boilerplate",
     "pq_codes",
     "pq_search",
+    "ivf_pq_search",
     "p3_row_filter",
     "p4_iqr_fence",
     "w1_smm",

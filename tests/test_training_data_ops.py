@@ -1869,3 +1869,72 @@ def test_pq_adc_search_parity_and_recall(spark, embs):
         d2[ids == q] = np.inf
         hit += ids[np.argmin(d2)] in set(sub.neighbor_id)
     assert hit >= 2  # far above the 5/300 random baseline
+
+
+def test_ivf_pq_index_pruned_and_numpy_parity(spark, sf_dir, tmp_path):
+    """IVF-PQ: the probe scan carries a cell PartitionFilter, ADC results
+    equal a numpy residual-PQ replica exactly, and recall beats the
+    random baseline (near-random synthetic embeddings cap it ~0.5)."""
+    import contextlib
+    import io as _io
+
+    from gordo_spark.operators.similarity import (
+        _lloyds_np, ivf_pq_probe, ivf_pq_write,
+    )
+    from gordo_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5)
+    path = f"{tmp_path}/ivfpq"
+    n_cells, m, k, iters, sample_n, n_probe = 8, 4, 16, 8, 4096, 3
+    ivf_pq_write(embs, path, n_cells=n_cells, m=m, k=k, iters=iters, sample_n=sample_n)
+
+    probed = ivf_pq_probe(spark, path, queries, kq=5, n_probe=n_probe)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
+    got = probed.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    # ---- numpy replica of the whole index + probe
+    rows = embs.orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    d = X.shape[1]; dsub = d // m
+    C = X[:n_cells].copy()
+    Csq = np.einsum("ij,ij->i", C, C)
+    cell_of = np.argmin(np.einsum("ij,ij->i", X, X)[:, None] - 2.0 * (X @ C.T) + Csq[None, :], axis=1)
+    S = X[:sample_n]
+    R = S - C[cell_of[:sample_n]]
+    books = np.stack([_lloyds_np(R[:, s*dsub:(s+1)*dsub], k, iters) for s in range(m)])
+    Bsq = np.einsum("mkd,mkd->mk", books, books)
+    Rall = X - C[cell_of]
+    codes = np.stack(
+        [np.argmin(Bsq[s][None, :] - 2.0 * (Rall[:, s*dsub:(s+1)*dsub] @ books[s].T), axis=1) for s in range(m)]
+    ).T
+    hit = 0
+    for q in range(5):
+        qv = X[ids == q][0]
+        d2c = np.einsum("ij,ij->i", C, C) - 2.0 * (C @ qv) + qv @ qv
+        probe_cells = np.argsort(d2c, kind="stable")[:n_probe]
+        cand = np.isin(cell_of, probe_cells) & (ids != q)
+        lut = {}
+        for c in probe_cells:
+            qr = qv - C[c]
+            lut[c] = np.stack([qr[s*dsub:(s+1)*dsub] @ qr[s*dsub:(s+1)*dsub]
+                               - 2.0 * books[s] @ qr[s*dsub:(s+1)*dsub] + Bsq[s] for s in range(m)])
+        dist = np.array([
+            lut[cell_of[i]][np.arange(m), codes[i]].sum() for i in np.where(cand)[0]
+        ])
+        cid = ids[cand]
+        order = np.lexsort((cid, dist))[:5]
+        sub = got[got.query_id == q].sort_values("rank")
+        assert list(sub.neighbor_id) == list(cid[order]), q
+        np.testing.assert_allclose(sub.adc_dist, np.round(dist[order], 6), atol=1e-6)
+
+        d2 = np.einsum("ij,ij->i", X, X) - 2.0 * (X @ qv) + qv @ qv
+        d2[ids == q] = np.inf
+        hit += ids[np.argmin(d2)] in set(sub.neighbor_id)
+    assert hit >= 2  # probe fan-out + PQ loss; far above 5/500 random
