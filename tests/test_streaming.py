@@ -770,3 +770,55 @@ def test_stream_count_min_matches_batch(spark, tmp_path):
     assert got.groupby("window_start").size().max() <= 4 * 64
     # sanity: 'the' dominates hour 0 — its min-cell count >= its true count
     assert got.n.max() >= 15
+
+
+def test_stream_to_lake_restart_resumes_without_duplicates(spark, tmp_path):
+    """Restart chaos: stop the ingest stream, land more files, restart
+    with the SAME checkpoint — already-committed batches are not
+    reprocessed and every source row appears in the lake exactly once."""
+    import time as _time
+
+    import pandas as pd
+
+    from gordo_spark.sources.lake import stream_to_lake
+
+    src = str(tmp_path / "restart_src")
+    lake = str(tmp_path / "restart_lake")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def _chunk(day, vals):
+        return pd.DataFrame(
+            {
+                "tag": ["t1"] * len(vals),
+                "ts": pd.to_datetime([f"2024-01-0{day} 0{i}:00:00" for i in range(len(vals))]),
+                "value": vals,
+            }
+        )
+
+    spark.createDataFrame(_chunk(1, [1.0, 2.0, 3.0])).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = stream_to_lake(
+        spark.readStream.schema(schema).parquet(src), lake, ckpt,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(lake).count()
+    assert first == 3
+
+    _time.sleep(1.1)
+    spark.createDataFrame(_chunk(2, [4.0, 5.0])).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = stream_to_lake(
+        spark.readStream.schema(schema).parquet(src), lake, ckpt,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(lake).select("tag", "ts", "value").toPandas()
+    assert len(got) == 5                       # no reprocessing duplicates
+    assert sorted(got.value) == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert got.duplicated(["tag", "ts"]).sum() == 0
