@@ -14,6 +14,10 @@ Stages (each a contract-tested operator):
  4. quality check    — recall@k of the IVF probe vs the exact top-k,
                        the number that tunes n_probe before committing
                        an index layout
+ 5. compressed index — IVF-PQ: residual PQ codes written PARTITIONED BY
+                       cell; a probe reads n_probe/n_cells of the
+                       directories and m ints per vector (ADC, no
+                       decompression); recall measured the same way
 
 The same script is the 100 TB job: the PCA collect is d^2 partials, the
 IVF index would be written PARTITIONED BY cell (sources ivf_write), and
@@ -31,6 +35,8 @@ from pyspark.sql import functions as F
 from gordo_spark import get_spark
 from gordo_spark.operators.similarity import (
     cosine_topk,
+    ivf_pq_probe,
+    ivf_pq_write,
     ivf_topk,
     pca_fit,
     pca_transform,
@@ -64,6 +70,18 @@ def main():
     rec.show()
     mean_rec = rec.agg(F.avg("recall")).collect()[0][0]
     print(f"mean recall@5 = {mean_rec:.3f}")
+
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="ivfpq_")
+    ivf_pq_write(white, idx, n_cells=8, m=4, k=16)
+    pq_hits = ivf_pq_probe(spark, idx, queries, kq=5, n_probe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    print("== IVF-PQ recall@5 vs exact (compressed index) ==")
+    rec_pq = recall_at_k(pq_hits, exact, k=5)
+    mean_pq = rec_pq.agg(F.avg("recall")).collect()[0][0]
+    print(f"mean PQ recall@5 = {mean_pq:.3f} (index stores 4 ints/vector)")
 
 
 if __name__ == "__main__":
