@@ -269,12 +269,86 @@ def paragraph_experiment(spark):
     }
 
 
+def pq_experiment(spark):
+    """IVF-PQ index economics at sf0.1: bytes on disk for the raw vector
+    table vs the residual-PQ code index (the RAM/IO multiplier), probe
+    wall-clock vs exact brute force (index build excluded — amortized),
+    and recall@5 of the compressed probe, measured not asserted."""
+    import glob
+    import shutil
+    import tempfile
+
+    from gordo_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_probe,
+        ivf_pq_write,
+        recall_at_k,
+    )
+
+    embs = read_table(spark, SF_DIR, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 10)
+    root = tempfile.mkdtemp(prefix="scale_pq_")
+    raw_path = os.path.join(root, "raw")
+    idx_path = os.path.join(root, "ivfpq")
+    embs.select("vec_id", "embedding").write.mode("overwrite").parquet(raw_path)
+    ivf_pq_write(embs, idx_path, n_cells=8, m=4, k=16)
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(d, "**", "*"), recursive=True)
+            if os.path.isfile(f)
+        )
+
+    raw_b = dir_bytes(raw_path)
+    idx_b = dir_bytes(os.path.join(idx_path, "index"))
+
+    t_exact = timed(
+        "exact",
+        lambda: cosine_topk(embs, queries, k=5)
+        .write.mode("overwrite").format("noop").save(),
+    )
+    t_pq = timed(
+        "pq",
+        lambda: ivf_pq_probe(spark, idx_path, queries, kq=5, n_probe=2)
+        .write.mode("overwrite").format("noop").save(),
+    )
+    exact = cosine_topk(embs, queries, k=5)
+    recs = {}
+    for np_ in (2, 8):
+        approx = ivf_pq_probe(spark, idx_path, queries, kq=5, n_probe=np_)
+        recs[np_] = float(
+            recall_at_k(approx, exact, k=5).agg(F.avg("recall")).collect()[0][0]
+        )
+    # finer operating point: m=16 (4 dims/subspace) = 4x the code bytes,
+    # still ~16x smaller than raw doubles
+    idx16 = os.path.join(root, "ivfpq16")
+    ivf_pq_write(embs, idx16, n_cells=8, m=16, k=64)
+    fine = ivf_pq_probe(spark, idx16, queries, kq=5, n_probe=8)
+    rec16 = float(
+        recall_at_k(fine, exact, k=5).agg(F.avg("recall")).collect()[0][0]
+    )
+    idx16_b = dir_bytes(os.path.join(idx16, "index"))
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "raw_bytes": raw_b,
+        "index_bytes": idx_b,
+        "t_exact_s": round(t_exact, 3),
+        "t_pq_s": round(t_pq, 3),
+        "recall_np2": round(recs[2], 3),
+        "recall_np8": round(recs[8], 3),
+        "recall_m16": round(rec16, 3),
+        "index16_bytes": idx16_b,
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
     bucket = bucket_experiment(spark)
     hot = hot_split_experiment(spark)
     para = paragraph_experiment(spark)
+    pq = pq_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -341,6 +415,28 @@ def main():
         "paragraph length, and the naive plan ships the full corpus text",
         "through TWO exchanges (rank + reassembly). At 100 TB the",
         "exchange is the bill.",
+        "",
+        "## IVF-PQ index economics (embeddings at sf0.1, m=4 k=16, n_probe=2/8)",
+        "",
+        f"- bytes on disk: raw vectors {pq['raw_bytes']:,} vs PQ code index "
+        f"{pq['index_bytes']:,} "
+        f"(~{round(pq['raw_bytes'] / max(pq['index_bytes'], 1), 1)}x smaller)",
+        f"- probe wall-clock: exact brute force {pq['t_exact_s']} s vs "
+        f"IVF-PQ probe {pq['t_pq_s']} s (build excluded — amortized)",
+        f"- recall@5: {pq['recall_np2']} at n_probe=2, {pq['recall_np8']} "
+        "at n_probe=8 (full scan; the residue below 1.0 is pure PQ",
+        "  quantization loss on these near-random vectors, the gap between",
+        "  the two operating points is cell-miss loss)",
+        f"- accuracy dial: m=16, k=64 ({pq['index16_bytes']:,} bytes, still "
+        f"~{round(pq['raw_bytes'] / max(pq['index16_bytes'], 1), 1)}x smaller) "
+        f"lifts recall@5 to {pq['recall_m16']}",
+        "",
+        "The disk ratio is the cluster number: the probe reads",
+        "n_probe/n_cells of the partition directories AND m small ints per",
+        "vector instead of d doubles — multiplicative reductions that both",
+        "grow with corpus size, while recall is tuned by (m, k, n_probe).",
+        "These near-random synthetic embeddings are PQ's worst case;",
+        "clustered real embeddings sit far higher at the same settings.",
         "",
     ]
     out = "\n".join(lines)
