@@ -366,3 +366,78 @@ def test_paragraph_dedup_idempotent_and_complete(spark, pdf):
     ).toPandas()
     assert sorted(again["doc_id"]) == sorted(got["doc_id"])
     assert (again["n_kept"] == again["n_paras"]).all()
+
+
+@given(
+    major=st.integers(min_value=0, max_value=99999),
+    minor=st.one_of(st.none(), st.integers(min_value=0, max_value=999)),
+    patch=st.one_of(st.none(), st.integers(min_value=0, max_value=999)),
+    suffix=st.sampled_from(["", "rc1", "a2", "+build.7", ".post1"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_version_tag_roundtrip_property(major, minor, patch, suffix):
+    """parse(tag.tag()) == tag for every well-formed release (suffix and
+    patch require a minor; grammar constraints enforced in the builder)."""
+    from gordo_spark.functions.version import ReleaseTag, parse_version
+
+    if minor is None:
+        patch, suffix = None, ""
+    if patch is None and suffix.startswith("."):
+        # "1.2.post1" parses patch-first ("post1" is not digits -> suffix
+        # ".post1" only when no patch slot matched); skip the ambiguous case
+        suffix = ""
+    tag = ReleaseTag(major, minor, patch, suffix)
+    assert parse_version(tag.tag()) == tag
+
+
+@given(text=st.text(max_size=300), budget=st.integers(min_value=0, max_value=310))
+@settings(max_examples=80, deadline=None)
+def test_clip_text_invariants(text, budget):
+    from gordo_spark.exceptions_reporter import clip_text
+
+    out = clip_text(text, budget)
+    assert len(out) <= max(budget, len(text) if len(text) <= budget else 0)
+    if len(text) <= budget:
+        assert out == text
+    else:
+        assert out == "" or (out.endswith("...") and len(out) <= budget)
+
+
+@given(
+    lines=st.lists(st.text(min_size=1, max_size=40).map(lambda s: s + "\n"), max_size=12),
+    budget=st.integers(min_value=0, max_value=500),
+)
+@settings(max_examples=60, deadline=None)
+def test_clip_tail_lines_invariants(lines, budget):
+    """Whole trailing lines only, budget respected, tail preserved."""
+    from gordo_spark.exceptions_reporter import clip_tail_lines
+
+    out = clip_tail_lines(list(lines), budget)
+    total = sum(len(ln) for ln in lines)
+    if total <= budget:
+        assert out == lines
+    else:
+        assert out[0] == "...\n"
+        assert sum(len(ln) for ln in out) <= budget + len("...\n")
+        # what survives is exactly a SUFFIX of the input
+        assert out[1:] == lines[len(lines) - (len(out) - 1):]
+
+
+def test_count_min_sketch_mergeable(spark):
+    """sketch(A ++ B) == cellwise sum of sketch(A) and sketch(B) — the
+    property that lets partition/shard sketches merge by addition."""
+    import pandas as pd
+
+    from gordo_spark.operators.sketches import count_min_sketch
+
+    a = spark.createDataFrame(pd.DataFrame({"w": ["x", "y", "x", "z"] * 10}))
+    b = spark.createDataFrame(pd.DataFrame({"w": ["y", "q", "q"] * 7}))
+    sa = count_min_sketch(a, "w", width=32, depth=3).toPandas()
+    sb = count_min_sketch(b, "w", width=32, depth=3).toPandas()
+    su = count_min_sketch(a.unionAll(b), "w", width=32, depth=3).toPandas()
+    merged = (
+        pd.concat([sa, sb])
+        .groupby(["row", "bucket"], as_index=False)["n"].sum()
+        .sort_values(["row", "bucket"]).reset_index(drop=True)
+    )
+    assert merged.equals(su.sort_values(["row", "bucket"]).reset_index(drop=True))
