@@ -3534,6 +3534,19 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-tokenizer application (operators/bpe.bpe_encode): replay
+    the learned merge list (training order, all-occurrence merges) over
+    the corpus — one Arrow-batched pass, merge-rank table in the task
+    closure, no shuffle. Rows-only (iterative trained artifact);
+    word-for-word parity vs the pure-Python apply pinned in pytest."""
+    from gordo_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    return bpe_encode(docs, merges).select("doc_id", "n_words", "n_tokens")
+
+
 def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace vs BPE-ish regex lexer counts."""
     from gordo_spark.operators.text import bpe_token_count
@@ -5653,6 +5666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_search": q_pq_search,
         "ivf_pq_search": q_ivf_pq_search,
+        "bpe_tokenize": q_bpe_tokenize,
         "lm_quality_trigram": q_lm_quality_trigram,
         "strip_boilerplate": q_strip_boilerplate,
         # --- remaining TPC-H shapes ---

@@ -148,3 +148,99 @@ def bpe_train_reference(texts: list[str], n_merges: int = 8):
         merges.append((a, b, pf))
         vocab = {w: _merge_symbols(s, a, b) for w, s in vocab.items()}
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    end_mark: str = "</w>",
+) -> DataFrame:
+    """Apply a trained merge list (``bpe_train`` output) to encode text —
+    the corpus-sized tokenization pass of the trained tokenizer.
+
+    Returns (id, n_words, n_tokens, tokens array<string>): each word is
+    split to characters (+ end marker) and the merges replay in TRAINING
+    ORDER via a rank table, exactly the Sennrich apply rule — so
+    ``bpe_encode(train_corpus)``'s token stream is consistent with the
+    learned vocabulary.
+
+    Scale shape: the merge-rank dict (vocab-sized, the tokenizer
+    artifact) ships in the task closure like any tokenizer model; the
+    encode is one Arrow-batched mapInPandas pass — no shuffle, no
+    joins. Per word the replay is O(len * applied-merges), the standard
+    BPE apply cost.
+    """
+    import pandas as pd
+
+    rank = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + [end_mark]
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            a, b = syms[best_i], syms[best_i + 1]
+            syms = _merge_symbols(syms, a, b)
+        return syms
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks, n_words = [], []
+            for text in pdf["_t"]:
+                words = [w for w in text.split(" ") if w]
+                out: list[str] = []
+                for w in words:
+                    out.extend(encode_word(w))
+                toks.append(out)
+                n_words.append(len(words))
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "n_words": n_words,
+                    "n_tokens": [len(t) for t in toks],
+                    "tokens": toks,
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .mapInPandas(
+            encode,
+            schema="_id long, n_words int, n_tokens int, tokens array<string>",
+        )
+        .select(F.col("_id").alias(id_col), "n_words", "n_tokens", "tokens")
+    )
+
+
+def bpe_encode_reference(texts: list[str], merges, end_mark: str = "</w>"):
+    """Pure-Python apply (training-order replay) — parity oracle."""
+    rank = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    out = []
+    for t in texts:
+        toks: list[str] = []
+        for w in t.split(" "):
+            if not w:
+                continue
+            syms = list(w) + [end_mark]
+            while len(syms) > 1:
+                cands = [
+                    (rank[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in rank
+                ]
+                if not cands:
+                    break
+                r, i = min(cands)
+                syms = _merge_symbols(syms, syms[i], syms[i + 1])
+            toks.extend(syms)
+        out.append(toks)
+    return out

@@ -14,6 +14,7 @@ rate x watermark x |sources| — never corpus size.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from gordo_spark.operators.text import gopher_rule_exprs, quality_expr
@@ -46,4 +47,96 @@ def stream_source_quality(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("_q"), 6).alias("mean_quality"),
         F.round(F.avg("_keep"), 6).alias("gopher_pass_rate"),
+    )
+
+
+def bloom_bits_py(
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> frozenset:
+    """Collect the benchmark's Bloom bit set (hard-bounded at ``bits``
+    entries — broadcast-legitimate by construction) for the streaming
+    gate. Identical hashing to ``operators/dedup.decontaminate_bloom``."""
+    from gordo_spark.operators.dedup import (
+        MINHASH_P, _hash_params, exploded_shingles,
+    )
+
+    params = _hash_params(k_hashes, seed=777)
+    pos = F.array_distinct(
+        F.array(
+            *[
+                (F.lit(a) * F.col("sh") + F.lit(b)) % MINHASH_P % F.lit(bits)
+                for a, b in params
+            ]
+        )
+    )
+    rows = (
+        exploded_shingles(benchmark, id_col, text_col, shingle_n)
+        .select(F.explode(pos).alias("bit"))
+        .distinct()
+        .collect()
+    )
+    return frozenset(int(r["bit"]) for r in rows)
+
+
+def stream_bloom_gate(
+    stream: DataFrame,
+    bench_bits: frozenset,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Decontamination at the door: append (n_grams, n_flagged,
+    flagged_frac) to every streamed document — a fully ROW-LOCAL Bloom
+    screen (the bit set rides the task closure like any broadcast model),
+    so it runs unchanged on a stream or a batch frame and needs NO
+    state. Matches ``decontaminate_bloom``'s numbers bit-for-bit
+    (same shingles, same md5+LCG family, same all-distinct-positions
+    membership rule) — the batch==stream contract in
+    tests/test_streaming.py."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    from gordo_spark.operators.dedup import MINHASH_P, _hash_params
+
+    params = _hash_params(k_hashes, seed=777)
+
+    @pandas_udf("struct<n_grams: long, n_flagged: long>")
+    def _screen(texts: pd.Series) -> pd.DataFrame:
+        n_grams, n_flagged = [], []
+        for text in texts:
+            words = text.split(" ")
+            k = max(len(words) - shingle_n + 1, 1)
+            shingles = [" ".join(words[i : i + shingle_n]) for i in range(k)]
+            total = len(shingles)
+            flagged = 0
+            cache: dict[str, bool] = {}
+            for s in shingles:
+                hit = cache.get(s)
+                if hit is None:
+                    h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                    hit = all(
+                        (a * h + b) % MINHASH_P % bits in bench_bits
+                        for a, b in params
+                    )
+                    cache[s] = hit
+                flagged += hit
+            n_grams.append(total)
+            n_flagged.append(flagged)
+        return pd.DataFrame({"n_grams": n_grams, "n_flagged": n_flagged})
+
+    screened = stream.withColumn("_s", _screen(F.col(text_col)))
+    return screened.select(
+        *stream.columns,
+        F.col("_s.n_grams").alias("n_grams"),
+        F.col("_s.n_flagged").alias("n_flagged"),
+        F.round(F.col("_s.n_flagged") / F.col("_s.n_grams"), 6).alias(
+            "flagged_frac"
+        ),
     )

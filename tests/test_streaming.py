@@ -822,3 +822,64 @@ def test_stream_to_lake_restart_resumes_without_duplicates(spark, tmp_path):
     assert len(got) == 5                       # no reprocessing duplicates
     assert sorted(got.value) == [1.0, 2.0, 3.0, 4.0, 5.0]
     assert got.duplicated(["tag", "ts"]).sum() == 0
+
+
+def test_stream_bloom_gate_matches_batch_decontaminate(spark, tmp_path):
+    """The Bloom decontamination screen runs row-locally on a file
+    stream; per-doc flagged fractions equal operators/dedup.
+    decontaminate_bloom on the same corpus, planted leak included."""
+    import pandas as pd
+
+    from gordo_spark.operators.dedup import decontaminate_bloom
+    from gordo_spark.streaming.quality import bloom_bits_py, stream_bloom_gate
+
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "the held out benchmark question about spark shuffles",
+                    "another eval item concerning parquet footers entirely",
+                ],
+            }
+        )
+    )
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [
+                # planted leak: contains a full benchmark span
+                "noise words then the held out benchmark question about spark shuffles end",
+                "completely unrelated clean document with its own words here",
+                "parquet footers entirely innocuous mention only partial overlap",
+            ],
+        }
+    )
+    src = str(tmp_path / "bloom_src")
+    spark.createDataFrame(corpus).coalesce(1).write.parquet(src)
+
+    bits = bloom_bits_py(bench, bits=1 << 16)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_bloom_gate(stream, bits, bits=1 << 16)
+        .writeStream.format("memory")
+        .queryName("bloom_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("bloom_stream")
+        .select("doc_id", "n_grams", "n_flagged", "flagged_frac")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = (
+        decontaminate_bloom(spark.createDataFrame(corpus), bench, bits=1 << 16)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    by_id = dict(zip(got.doc_id, got.flagged_frac))
+    assert by_id[10] > 0.3          # the planted leak is flagged
+    assert by_id[11] == 0.0         # clean doc untouched

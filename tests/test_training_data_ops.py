@@ -1938,3 +1938,33 @@ def test_ivf_pq_index_pruned_and_numpy_parity(spark, sf_dir, tmp_path):
         d2[ids == q] = np.inf
         hit += ids[np.argmin(d2)] in set(sub.neighbor_id)
     assert hit >= 2  # probe fan-out + PQ loss; far above 5/500 random
+
+
+def test_bpe_encode_matches_reference_and_training(spark, docs):
+    """bpe_encode == the pure-Python apply on every doc, and replaying
+    the learned merges over the training corpus actually uses them (the
+    top merge's fused symbol appears in the token stream)."""
+    from gordo_spark.operators.bpe import (
+        bpe_encode, bpe_encode_reference, bpe_train,
+    )
+
+    small = docs.limit(60).select("doc_id", "text")
+    merges = bpe_train(small, n_merges=12)
+    assert len(merges) == 12
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], list(r["tokens"]))
+        for r in bpe_encode(small, merges).collect()
+    }
+    rows = small.orderBy("doc_id").collect()
+    exp = bpe_encode_reference([r["text"] for r in rows], merges)
+    for r, e in zip(rows, exp):
+        nw, nt, toks = got[r["doc_id"]]
+        assert toks == e, r["doc_id"]
+        assert nt == len(e)
+        assert nw == len([w for w in r["text"].split(" ") if w])
+    fused = merges[0][0] + merges[0][1]
+    assert any(fused in toks for _, _, toks in got.values())
+    # encoding never splits beyond chars+end-marks: token count bounded
+    for r in rows:
+        nw, nt, _ = got[r["doc_id"]]
+        assert nw <= nt <= len(r["text"].replace(" ", "")) + nw
