@@ -53,9 +53,15 @@ def read_corpus_lake(
     path: str,
     sources: list[str] | None = None,
     source_col: str = "source",
+    verify: bool = False,
 ) -> DataFrame:
     """Partition-pruned corpus read: with ``sources`` given, only those
-    ``source=`` directories are listed/scanned."""
+    ``source=`` directories are listed/scanned. ``verify=True`` checks
+    the whole lake against its published manifest first (one aggregation
+    — see :func:`verify_corpus_lake`) and raises ``LakeIntegrityError``
+    before handing out a frame over corrupted/partial data."""
+    if verify:
+        verify_corpus_lake(spark, path, source_col=source_col)
     df = spark.read.parquet(path)
     if sources is not None:
         df = df.filter(F.col(source_col).isin(list(sources)))

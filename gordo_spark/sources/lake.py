@@ -84,6 +84,7 @@ def rollup_sensor_lake(
     resolution: str = "1H",
     aggregation: str = "mean",
     incremental: bool = True,
+    changed_dates: list[str] | None = None,
 ) -> None:
     """Continuous-aggregate rollup (hypertable-style): maintain ``dst`` as
     the ``resolution``-bucketed pre-aggregate of the raw lake ``src``,
@@ -99,6 +100,12 @@ def rollup_sensor_lake(
     or rewritten. Aggregations here must be per-bucket-complete (mean/
     min/max/count/sum over one bucket never spans dates), so incremental
     == full recompute, which is exactly what the test asserts.
+
+    A BACKFILL that lands raw rows on a date OLDER than the boundary is
+    outside the >= boundary heuristic — the ingest layer knows which
+    dates it touched, so it passes them as ``changed_dates`` and those
+    partitions are recomputed too (still partition-pruned: only listed
+    dates and the boundary tail are ever read).
     """
     from gordo_spark.operators.resample import resample_aggregate
 
@@ -109,7 +116,10 @@ def rollup_sensor_lake(
         except Exception:
             done = None
         if done is not None:
-            df = df.filter(F.col("date") >= F.lit(str(done)))
+            cond = F.col("date") >= F.lit(str(done))
+            if changed_dates:
+                cond = cond | F.col("date").isin([str(d) for d in changed_dates])
+            df = df.filter(cond)
     rolled = resample_aggregate(
         df.select("tag", F.col("ts").cast("timestamp").alias("ts"), "value"),
         resolution,

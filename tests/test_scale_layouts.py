@@ -319,6 +319,29 @@ def test_rollup_boundary_date_reingest(spark, tmp_path):
     # and the backfilled buckets actually moved
     assert (got.value > 50).any()
 
+    # backfill to a date OLDER than the boundary: outside the >= boundary
+    # heuristic, so the ingest layer passes the touched date explicitly
+    old_backfill = pd.DataFrame(
+        {
+            "tag": ["t2"],
+            "ts": pd.to_datetime(["2024-01-01 02:45:00"]),
+            "value": [999.0],
+        }
+    )
+    (
+        spark.createDataFrame(old_backfill)
+        .withColumn("date", F.to_date("ts"))
+        .write.mode("append")
+        .partitionBy("date")
+        .parquet(src)
+    )
+    rollup_sensor_lake(spark, src, inc, resolution="6H", changed_dates=["2024-01-01"])
+    full2 = str(tmp_path / "roll_full2")
+    rollup_sensor_lake(spark, src, full2, resolution="6H", incremental=False)
+    got2 = spark.read.parquet(inc).select(cols).toPandas().sort_values(["tag", "ts"]).reset_index(drop=True)
+    exp2 = spark.read.parquet(full2).select(cols).toPandas().sort_values(["tag", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, exp2)
+
 
 def test_corrupt_shard_caught_by_manifest(spark, tmp_path):
     """Integrity chaos: losing a data file (or a corrupt footer silently
