@@ -212,3 +212,38 @@ def heavy_hitters(
         .orderBy(F.col("est_count").desc(), F.col("value").asc())
         .limit(int(k))
     )
+
+
+def partial_distinct_sketches(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str] = ("date",),
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketch BLOBS (Apache DataSketches via Spark's
+    ``hll_sketch_agg``) — the mergeable-state pattern for incremental
+    distinct counts over a partitioned lake: publish one small binary
+    sketch per (date/source/shard), then answer "uniques over ANY group
+    subset" by unioning blobs — no rescan of the underlying data, ever.
+
+    ``lgk`` trades size for accuracy (2^lgk buckets; 12 -> ~1.6% rsd,
+    ~2.5 KB/blob). A day's sketch never changes once its partition is
+    closed, so the blob table maintains itself with the same dynamic
+    partition-overwrite discipline as the rollup lake.
+    """
+    return df.groupBy(*group_by).agg(
+        F.hll_sketch_agg(F.col(f"`{col}`"), F.lit(int(lgk))).alias("sketch")
+    )
+
+
+def merged_distinct_estimate(
+    sketches: DataFrame,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Union partial sketches (optionally regrouped — e.g. day blobs to
+    month totals) and estimate distinct counts. Input moves only
+    |groups| KB-sized blobs; the union is one ``hll_union_agg``."""
+    agg = F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_distinct")
+    if group_by:
+        return sketches.groupBy(*group_by).agg(agg)
+    return sketches.agg(agg)

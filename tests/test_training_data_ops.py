@@ -1968,3 +1968,31 @@ def test_bpe_encode_matches_reference_and_training(spark, docs):
     for r in rows:
         nw, nt, _ = got[r["doc_id"]]
         assert nw <= nt <= len(r["text"].replace(" ", "")) + nw
+
+
+def test_partial_distinct_sketches_merge_incrementally(spark, docs):
+    """Per-source HLL blobs union to the corpus-wide distinct estimate
+    without rescanning data; adding a NEW source's blob updates the
+    total from the blob table alone — the incremental-uniques lake
+    pattern."""
+    from gordo_spark.operators.sketches import (
+        merged_distinct_estimate, partial_distinct_sketches,
+    )
+
+    toks = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    exact = toks.select("w").distinct().count()
+    blobs = partial_distinct_sketches(toks, "w", group_by=("source",))
+    assert blobs.count() == toks.select("source").distinct().count()
+    est = merged_distinct_estimate(blobs).collect()[0]["n_distinct"]
+    assert abs(est - exact) <= max(0.05 * exact, 3)
+
+    # incremental: a new source arrives; only ITS rows are sketched, the
+    # union runs over blobs only
+    new = spark.createDataFrame(
+        pd.DataFrame({"source": ["fresh"] * 3, "w": ["zzz1", "zzz2", "zzz3"]})
+    )
+    blobs2 = blobs.unionByName(partial_distinct_sketches(new, "w", ("source",)))
+    est2 = merged_distinct_estimate(blobs2).collect()[0]["n_distinct"]
+    exact2 = toks.select("w").unionByName(new.select("w")).distinct().count()
+    assert abs(est2 - exact2) <= max(0.05 * exact2, 3)
+    assert est2 > est  # the three novel tokens moved the estimate
