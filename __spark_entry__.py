@@ -3534,6 +3534,59 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSEQ_QUERY = [0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -1.0, 0.0, 1.0]
+
+
+def q_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-normalized subsequence search (operators/similarity.
+    subsequence_topk — UCR semantics, ED_znorm^2 = 2w(1-r)): top-10
+    sliding windows across the resampled tag fleet most similar to a
+    12-point hill-and-valley pattern, shift/scale-invariant. Pure
+    codegen window algebra (rolling mean/std + w literal-weight lag
+    terms), every window PARTITIONED BY tag, one k-row TakeOrdered."""
+    from gordo_spark.operators.resample import resample_aggregate
+    from gordo_spark.operators.similarity import subsequence_topk
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return subsequence_topk(res, SUBSEQ_QUERY, k=10)
+
+
+def _subseq_sql() -> str:
+    import numpy as np
+
+    q = np.asarray(SUBSEQ_QUERY, dtype=np.float64)
+    qz = (q - q.mean()) / q.std()
+    w = len(q)
+    dot = " + ".join(
+        f"({qz[j]!r}) * lag(value, {w - 1 - j}) OVER (PARTITION BY tag ORDER BY ts)"
+        for j in range(w)
+    )
+    return f"""
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT tag, ts,
+         avg(value) OVER win AS m,
+         stddev_pop(value) OVER win AS s,
+         row_number() OVER (PARTITION BY tag ORDER BY ts) AS rn,
+         {dot} AS dot
+  FROM res
+  WINDOW win AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT tag, ts AS window_end,
+       ROUND(sqrt(greatest(2.0*{w} * (1.0 - dot/({w} * s)), 0.0)), 6) AS znorm_dist
+FROM f WHERE rn >= {w} AND s > 1e-9
+ORDER BY znorm_dist, tag, window_end LIMIT 10
+"""
+
+
+O_SUBSEQ = _subseq_sql()
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-tokenizer application (operators/bpe.bpe_encode): replay
     the learned merge list (training order, all-occurrence merges) over
@@ -5667,6 +5720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search": q_pq_search,
         "ivf_pq_search": q_ivf_pq_search,
         "bpe_tokenize": q_bpe_tokenize,
+        "subsequence_search": q_subsequence_search,
         "lm_quality_trigram": q_lm_quality_trigram,
         "strip_boilerplate": q_strip_boilerplate,
         # --- remaining TPC-H shapes ---
@@ -5771,6 +5825,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimates": O_CMS_EST,
         "lm_quality_trigram": O_LM_TRIGRAM,
         "strip_boilerplate": O_STRIP_BOILER,
+        "subsequence_search": O_SUBSEQ,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_paragraph": O_DEDUP_PARAGRAPH,
         "dsir_weights": O_DSIR_WEIGHTS,

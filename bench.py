@@ -55,6 +55,7 @@ HEADLINE = [
     "pq_codes",
     "pq_search",
     "ivf_pq_search",
+    "subsequence_search",
     "p3_row_filter",
     "p4_iqr_fence",
     "w1_smm",

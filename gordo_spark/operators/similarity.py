@@ -1365,3 +1365,72 @@ def ivf_pq_probe(
         .filter(F.col("rank") <= kq)
         .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
     )
+
+
+def subsequence_topk(
+    df: DataFrame,
+    query: "list[float]",
+    k: int = 10,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_std: float = 1e-9,
+) -> DataFrame:
+    """Z-normalized subsequence search over the sensor fleet (the
+    UCR-suite semantics): find the ``k`` sliding windows — any tag, any
+    offset — most similar to a query pattern, under the z-normalized
+    euclidean distance (shift- AND scale-invariant: a ramp matches a
+    ramp whether it climbs 0..1 or 100..900).
+
+    Uses the identity ED_znorm^2 = 2w(1 - r) with r the Pearson
+    correlation of the window against the (pre-z-normalized) query, so
+    the whole search is pure codegen window algebra: rolling mean +
+    population std over a ROWS frame, and the query dot product as ``w``
+    lag terms with literal weights — no arrays, no UDF, no shuffle
+    beyond the per-tag window sort. Incomplete leading windows and
+    constant windows (std <= ``min_std``; correlation undefined) are
+    excluded. Final top-k is a TakeOrdered on (rounded dist, tag, ts) —
+    a stated total order, engine-stable.
+
+    100 TB shape: every window is PARTITIONED BY tag; the only global
+    operation is the k-row TakeOrdered. Matrix-Profile-style self-joins
+    are deliberately out of scope — this is the query-driven search.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    w = len(q)
+    if w < 2:
+        raise ValueError("query pattern needs >= 2 points")
+    if q.std() == 0:
+        raise ValueError("constant query pattern has no z-normalized form")
+    qz = (q - q.mean()) / q.std()
+
+    wspec = Window.partitionBy(tag_col).orderBy(ts_col).rowsBetween(-(w - 1), 0)
+    ospec = Window.partitionBy(tag_col).orderBy(ts_col)
+    x = F.col(value_col).cast("double")
+    dot = None
+    for j in range(w):
+        term = F.lit(float(qz[j])) * F.lag(x, w - 1 - j).over(ospec)
+        dot = term if dot is None else dot + term
+    feats = df.select(
+        F.col(tag_col),
+        F.col(ts_col),
+        dot.alias("_dot"),
+        F.avg(x).over(wspec).alias("_m"),
+        F.stddev_pop(x).over(wspec).alias("_s"),
+        F.row_number().over(ospec).alias("_rn"),
+    ).filter((F.col("_rn") >= w) & (F.col("_s") > min_std))
+    dist = F.round(
+        F.sqrt(
+            F.greatest(
+                F.lit(2.0 * w) * (F.lit(1.0) - F.col("_dot") / (F.lit(float(w)) * F.col("_s"))),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    out = feats.select(
+        F.col(tag_col),
+        F.col(ts_col).alias("window_end"),
+        dist.alias("znorm_dist"),
+    )
+    return out.orderBy("znorm_dist", tag_col, "window_end").limit(int(k))

@@ -1996,3 +1996,47 @@ def test_partial_distinct_sketches_merge_incrementally(spark, docs):
     exact2 = toks.select("w").unionByName(new.select("w")).distinct().count()
     assert abs(est2 - exact2) <= max(0.05 * exact2, 3)
     assert est2 > est  # the three novel tokens moved the estimate
+
+
+def test_subsequence_topk_finds_planted_pattern(spark):
+    """A scaled+shifted copy of the query pattern is the exact top-1
+    (z-norm distance ~0 — shift/scale invariance), and distances match a
+    numpy z-normalized euclidean replica."""
+    import numpy as np
+
+    from gordo_spark.operators.similarity import subsequence_topk
+
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2024-01-01")
+    q = [0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0]
+    rows = []
+    for tag in ("a", "b"):
+        vals = list(rng.uniform(-1, 1, 60))
+        if tag == "b":
+            # plant 100 + 7*q at offset 20: same shape, new scale/shift
+            for i, v in enumerate(q):
+                vals[20 + i] = 100.0 + 7.0 * v
+        for i, v in enumerate(vals):
+            rows.append((tag, (base + pd.Timedelta(hours=i)).to_pydatetime(), float(v)))
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    got = subsequence_topk(df, q, k=5).toPandas()
+    top = got.iloc[0]
+    assert top.tag == "b"
+    assert top.window_end == base + pd.Timedelta(hours=27)  # window end = offset 20+8-1
+    assert top.znorm_dist == pytest.approx(0.0, abs=1e-6)
+
+    # numpy replica over all windows of tag 'a'
+    qa = np.asarray(q); qz = (qa - qa.mean()) / qa.std()
+    va = np.array([r[2] for r in rows if r[0] == "a"])
+    w = len(q)
+    dists = {}
+    for e in range(w - 1, len(va)):
+        win = va[e - w + 1 : e + 1]
+        s = win.std()
+        if s <= 1e-9:
+            continue
+        z = (win - win.mean()) / s
+        dists[e] = float(np.sqrt(((z - qz) ** 2).sum()))
+    for _, r in got[got.tag == "a"].iterrows():
+        e = int((r.window_end - base) / pd.Timedelta(hours=1))
+        assert r.znorm_dist == pytest.approx(dists[e], abs=1e-5)
