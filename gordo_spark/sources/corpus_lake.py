@@ -229,3 +229,37 @@ def incremental_release(
         "sources_rewritten": len(rewrite),
         "sources_dropped": len(dropped),
     }
+
+
+def write_jsonl_corpus(
+    df: DataFrame,
+    path: str,
+    compression: str = "gzip",
+    files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Export documents as JSON-Lines (the corpus interchange format
+    every LLM-data tool reads): one JSON object per line, compressed
+    shards. ``files`` controls shard count (None keeps the upstream
+    partitioning — at scale, size shards toward 256 MB-compressed)."""
+    out = df.repartition(files) if files else df
+    out.write.mode(mode).option("compression", compression).json(path)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+) -> DataFrame:
+    """Read a JSONL corpus (compressed or plain). Pass ``schema`` (DDL
+    string or StructType) in production — schema inference is an extra
+    full pass over 100 TB and silently widens types on dirty rows;
+    with an explicit schema, corrupt lines land in
+    ``_corrupt_record`` (PERMISSIVE default) instead of failing the
+    scan, so one bad shard cannot kill an export-sized read."""
+    reader = spark.read
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = schema + ", _corrupt_record string"
+        reader = reader.schema(schema)
+    return reader.json(path)
