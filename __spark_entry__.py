@@ -3534,6 +3534,67 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite (operators/quality_checks — the
+    deequ-style ingest/export gate): all row-local checks fold into ONE
+    aggregation over one scan; uniqueness adds one map-side-combined
+    groupBy; referential integrity one anti-join. Summary counts only —
+    a violation LIST is itself a dataset at 100 TB."""
+    from gordo_spark.operators.quality_checks import check_constraints
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    return check_constraints(
+        li,
+        [
+            {"check": "not_null", "col": "l_shipdate"},
+            {"check": "in_range", "col": "l_quantity", "min": 1, "max": 30},
+            {"check": "in_set", "col": "l_returnflag", "values": ["A", "N"]},
+            {"check": "expression", "name": "discount<=0.1",
+             "expr": "l_discount <= 0.1"},
+            {"check": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+            {"check": "foreign_key", "col": "l_orderkey", "ref": orders,
+             "ref_col": "o_orderkey"},
+        ],
+    )
+
+
+O_DATA_QUALITY = """
+WITH rl AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v0,
+         sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 30 THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END) AS v2,
+         sum(CASE WHEN NOT (l_discount <= 0.1) THEN 1 ELSE 0 END) AS v3
+  FROM lineitem
+),
+uq AS (
+  SELECT coalesce(sum(n), 0) AS v4 FROM (
+    SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber
+    HAVING count(*) > 1
+  )
+),
+fk AS (
+  SELECT count(*) AS v5 FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT * FROM (
+  SELECT 0 AS check_id, 'not_null(l_shipdate)' AS check, CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS passed FROM rl
+  UNION ALL
+  SELECT 1, 'in_range(l_quantity,1,30)', CAST(v1 AS BIGINT), v1 = 0 FROM rl
+  UNION ALL
+  SELECT 2, 'in_set(l_returnflag)', CAST(v2 AS BIGINT), v2 = 0 FROM rl
+  UNION ALL
+  SELECT 3, 'discount<=0.1', CAST(v3 AS BIGINT), v3 = 0 FROM rl
+  UNION ALL
+  SELECT 4, 'unique(l_orderkey,l_linenumber)', CAST(v4 AS BIGINT), v4 = 0 FROM uq
+  UNION ALL
+  SELECT 5, 'foreign_key(l_orderkey->o_orderkey)', CAST(v5 AS BIGINT), v5 = 0 FROM fk
+) ORDER BY check_id
+"""
+
+
 SUBSEQ_QUERY = [0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0, -2.0, -1.0, 0.0, 1.0]
 
 
@@ -5721,6 +5782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_search": q_ivf_pq_search,
         "bpe_tokenize": q_bpe_tokenize,
         "subsequence_search": q_subsequence_search,
+        "data_quality": q_data_quality,
         "lm_quality_trigram": q_lm_quality_trigram,
         "strip_boilerplate": q_strip_boilerplate,
         # --- remaining TPC-H shapes ---
@@ -5826,6 +5888,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality_trigram": O_LM_TRIGRAM,
         "strip_boilerplate": O_STRIP_BOILER,
         "subsequence_search": O_SUBSEQ,
+        "data_quality": O_DATA_QUALITY,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_paragraph": O_DEDUP_PARAGRAPH,
         "dsir_weights": O_DSIR_WEIGHTS,

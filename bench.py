@@ -56,6 +56,7 @@ HEADLINE = [
     "pq_search",
     "ivf_pq_search",
     "subsequence_search",
+    "data_quality",
     "p3_row_filter",
     "p4_iqr_fence",
     "w1_smm",

@@ -1,0 +1,130 @@
+"""Declarative data-quality constraints over a DataFrame (deequ-style).
+
+A 100 TB pipeline gates every ingest/export on a constraint suite: null
+checks, ranges, accepted value sets, key uniqueness, referential
+integrity. This module evaluates a suite and returns ONE summary row per
+check — (check, n_rows, n_violations, passed) — never row-level dumps
+(at scale the violation LIST is itself a dataset; counts gate, samples
+debug).
+
+Scale shape: every row-local predicate (not_null / in_range / in_set)
+folds into a SINGLE aggregation pass over one scan — adding a check
+adds a counter, not a job. ``unique`` adds one map-side-combined
+groupBy on its key; ``foreign_key`` adds one left-anti join per
+referenced table (broadcast when the reference is a dim). Beyond the
+reference surface (gordo validates configs, not data) — this is the
+engine-generality extension family.
+
+Check specs (dicts, YAML-friendly):
+
+    {"check": "not_null",    "col": "l_shipdate"}
+    {"check": "in_range",    "col": "l_quantity", "min": 1, "max": 50}
+    {"check": "in_set",      "col": "l_returnflag", "values": ["A","N","R"]}
+    {"check": "unique",      "cols": ["l_orderkey", "l_linenumber"]}
+    {"check": "foreign_key", "col": "l_orderkey", "ref": orders_df,
+     "ref_col": "o_orderkey"}
+    {"check": "expression",  "name": "disc<=price",
+     "expr": "l_discount <= l_extendedprice"}
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _q(c: str):
+    return F.col(f"`{c}`")
+
+
+def check_constraints(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Evaluate a constraint suite; one summary row per check, in suite
+    order (``check_id`` preserves it through any shuffle)."""
+    spark = df.sparkSession
+    row_local: list[tuple[int, str, "F.Column"]] = []
+    extra_frames: list[DataFrame] = []
+
+    def violation_name(i: int, name: str) -> str:
+        return name
+
+    for i, spec in enumerate(checks):
+        kind = spec["check"]
+        if kind == "not_null":
+            name = f"not_null({spec['col']})"
+            row_local.append((i, name, _q(spec["col"]).isNull()))
+        elif kind == "in_range":
+            c = _q(spec["col"])
+            name = f"in_range({spec['col']},{spec['min']},{spec['max']})"
+            bad = c.isNull() | (c < F.lit(spec["min"])) | (c > F.lit(spec["max"]))
+            row_local.append((i, name, bad))
+        elif kind == "in_set":
+            c = _q(spec["col"])
+            name = f"in_set({spec['col']})"
+            row_local.append((i, name, c.isNull() | ~c.isin(list(spec["values"]))))
+        elif kind == "expression":
+            name = spec.get("name", spec["expr"])
+            row_local.append((i, name, ~F.expr(spec["expr"])))
+        elif kind == "unique":
+            cols = list(spec["cols"])
+            name = f"unique({','.join(cols)})"
+            dup_rows = (
+                df.groupBy(*[_q(c) for c in cols])
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n_violations"))
+                .select(
+                    F.lit(i).alias("check_id"),
+                    F.lit(name).alias("check"),
+                    F.col("n_violations").cast("long"),
+                )
+            )
+            extra_frames.append(dup_rows)
+        elif kind == "foreign_key":
+            name = f"foreign_key({spec['col']}->{spec['ref_col']})"
+            ref = spec["ref"].select(_q(spec["ref_col"]).alias(spec["col"])).distinct()
+            orphans = (
+                df.select(_q(spec["col"]).alias(spec["col"]))
+                .filter(_q(spec["col"]).isNotNull())
+                .join(ref, spec["col"], "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_violations"))
+                .select(
+                    F.lit(i).alias("check_id"),
+                    F.lit(name).alias("check"),
+                    F.col("n_violations").cast("long"),
+                )
+            )
+            extra_frames.append(orphans)
+        else:
+            raise ValueError(f"unknown check kind {kind!r}")
+
+    frames = []
+    if row_local:
+        # ALL row-local checks in ONE aggregation over one scan
+        aggs = [F.count(F.lit(1)).alias("_total")] + [
+            F.sum(bad.cast("long")).alias(f"_v{i}") for i, _, bad in row_local
+        ]
+        row = df.agg(*aggs)
+        stacked = row.selectExpr(
+            "_total",
+            "stack({n}, {pairs}) AS (check_id, n_violations)".format(
+                n=len(row_local),
+                pairs=", ".join(f"{i}, coalesce(_v{i}, 0)" for i, _, _ in row_local),
+            ),
+        )
+        names = spark.createDataFrame(
+            [(i, name) for i, name, _ in row_local], "check_id int, check string"
+        )
+        frames.append(
+            stacked.join(F.broadcast(names), "check_id").select(
+                "check_id", "check", F.col("n_violations").cast("long")
+            )
+        )
+    frames.extend(extra_frames)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "check_id",
+        "check",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_id")

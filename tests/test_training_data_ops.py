@@ -2040,3 +2040,55 @@ def test_subsequence_topk_finds_planted_pattern(spark):
     for _, r in got[got.tag == "a"].iterrows():
         e = int((r.window_end - base) / pd.Timedelta(hours=1))
         assert r.znorm_dist == pytest.approx(dists[e], abs=1e-5)
+
+
+def test_check_constraints_plants_and_plan(spark):
+    """Planted violations are counted per check; all row-local checks
+    share ONE aggregation over one scan (adding a check adds a counter,
+    not a job); unknown kinds raise."""
+    from gordo_spark.operators.quality_checks import check_constraints
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 2, 3, 4],
+                "v": [5.0, None, 60.0, 10.0, 20.0],
+                "cat": ["a", "b", "zz", "a", "b"],
+            }
+        )
+    )
+    ref = spark.createDataFrame(pd.DataFrame({"rk": [1, 2, 3]}))
+    out = check_constraints(
+        df,
+        [
+            {"check": "not_null", "col": "v"},
+            {"check": "in_range", "col": "v", "min": 0, "max": 50},
+            {"check": "in_set", "col": "cat", "values": ["a", "b"]},
+            {"check": "unique", "cols": ["k"]},
+            {"check": "foreign_key", "col": "k", "ref": ref, "ref_col": "rk"},
+            {"check": "expression", "name": "v_odd", "expr": "v < 15 OR v IS NULL"},
+        ],
+    ).collect()
+    by = {r["check"]: (r["n_violations"], r["passed"]) for r in out}
+    assert by["not_null(v)"] == (1, False)
+    assert by["in_range(v,0,50)"] == (2, False)      # null + 60
+    assert by["in_set(cat)"] == (1, False)
+    assert by["unique(k)"] == (2, False)             # both rows of k=2
+    assert by["foreign_key(k->rk)"] == (1, False)    # k=4
+    assert by["v_odd"] == (2, False)                 # 60 and 20
+    assert [r["check_id"] for r in out] == [0, 1, 2, 3, 4, 5]
+
+    # row-local checks: ONE scan in the optimized plan
+    rl = check_constraints(
+        df,
+        [
+            {"check": "not_null", "col": "v"},
+            {"check": "in_range", "col": "v", "min": 0, "max": 50},
+            {"check": "in_set", "col": "cat", "values": ["a", "b"]},
+        ],
+    )
+    plan = rl._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+    with pytest.raises(ValueError):
+        check_constraints(df, [{"check": "nope"}])
