@@ -128,3 +128,65 @@ def check_constraints(df: DataFrame, checks: list[dict]) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check_id")
+
+
+def rowlocal_violation_flags(checks: list[dict]) -> dict[str, "F.Column"]:
+    """The row-local subset (not_null / in_range / in_set / expression)
+    as named boolean violation columns — reusable on batch or stream."""
+    flags: dict[str, F.Column] = {}
+    for spec in checks:
+        kind = spec["check"]
+        if kind == "not_null":
+            flags[f"not_null({spec['col']})"] = _q(spec["col"]).isNull()
+        elif kind == "in_range":
+            c = _q(spec["col"])
+            flags[f"in_range({spec['col']},{spec['min']},{spec['max']})"] = (
+                c.isNull() | (c < F.lit(spec["min"])) | (c > F.lit(spec["max"]))
+            )
+        elif kind == "in_set":
+            c = _q(spec["col"])
+            flags[f"in_set({spec['col']})"] = c.isNull() | ~c.isin(
+                list(spec["values"])
+            )
+        elif kind == "expression":
+            flags[spec.get("name", spec["expr"])] = ~F.expr(spec["expr"])
+        else:
+            raise ValueError(
+                f"check kind {kind!r} is not row-local (stream gate takes "
+                "not_null/in_range/in_set/expression only)"
+            )
+    return flags
+
+
+def stream_constraint_counts(
+    stream: DataFrame,
+    checks: list[dict],
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window violation counts for the row-local constraint subset —
+    the ingest-quality dashboard feed: a sudden violation spike on one
+    window is a producer regression caught at the door. One watermarked
+    windowed aggregation; state = open windows x |checks| counters.
+    Works identically on a batch frame (stream==batch contract in
+    tests/test_streaming.py)."""
+    flags = rowlocal_violation_flags(checks)
+    frame = stream
+    if frame.isStreaming:
+        frame = frame.withWatermark(ts_col, watermark)
+    return (
+        frame.groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(bad.cast("long")).alias(name)
+                for name, bad in flags.items()
+            ],
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_rows",
+            *[_q(name) for name in flags],
+        )
+    )

@@ -883,3 +883,50 @@ def test_stream_bloom_gate_matches_batch_decontaminate(spark, tmp_path):
     by_id = dict(zip(got.doc_id, got.flagged_frac))
     assert by_id[10] > 0.3          # the planted leak is flagged
     assert by_id[11] == 0.0         # clean doc untouched
+
+
+def test_stream_constraint_counts_matches_batch(spark, tmp_path):
+    """Windowed constraint-violation counts: closed stream windows equal
+    the batch aggregation, and the planted bad rows are counted."""
+    import pandas as pd
+
+    from gordo_spark.operators.quality_checks import stream_constraint_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0 + pd.Timedelta(minutes=10 * i) for i in range(30)],
+            "value": [None if i % 10 == 0 else float(i) for i in range(30)],
+            "kind": ["good" if i % 7 else "BAD" for i in range(30)],
+        }
+    )
+    src = str(tmp_path / "constraints_src")
+    spark.createDataFrame(pdf).repartition(3).write.parquet(src)
+    checks = [
+        {"check": "not_null", "col": "value"},
+        {"check": "in_set", "col": "kind", "values": ["good"]},
+        {"check": "expression", "name": "v<25", "expr": "value < 25 OR value IS NULL"},
+    ]
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_constraint_counts(stream, checks, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("constraints_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("constraints_stream")
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    exp = (
+        stream_constraint_counts(spark.read.parquet(src), checks, window="1 hour")
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["not_null(value)"].sum() == 3
+    assert got["in_set(kind)"].sum() == 5       # i in {0,7,14,21,28}
+    assert got["v<25"].sum() == 5               # values 25..29
