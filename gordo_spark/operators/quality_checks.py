@@ -39,12 +39,11 @@ def _q(c: str):
 def check_constraints(df: DataFrame, checks: list[dict]) -> DataFrame:
     """Evaluate a constraint suite; one summary row per check, in suite
     order (``check_id`` preserves it through any shuffle)."""
+    if not checks:
+        raise ValueError("check_constraints needs at least one check")
     spark = df.sparkSession
     row_local: list[tuple[int, str, "F.Column"]] = []
     extra_frames: list[DataFrame] = []
-
-    def violation_name(i: int, name: str) -> str:
-        return name
 
     for i, spec in enumerate(checks):
         kind = spec["check"]

@@ -135,29 +135,32 @@ def funnel_steps(
     counts: list[tuple[int, str, int]] = []
     prev = None
     cached = []
-    for i, s in enumerate(steps):
-        ev = events.filter(F.col(type_col) == s).select(
-            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
-        )
-        if prev is None:
-            cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
-        else:
-            cur = (
-                ev.join(prev, "_u")
-                .filter(F.col("_ts") > F.col("_pt"))
-                .groupBy("_u")
-                .agg(F.min("_ts").alias("_t"))
+    try:
+        for i, s in enumerate(steps):
+            ev = events.filter(F.col(type_col) == s).select(
+                F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
             )
-        cur = cur.persist()
-        counts.append((i + 1, s, cur.count()))  # materializes the cache
-        # the previous step's frame was only needed to build (and now
-        # materialize) this one — release it
+            if prev is None:
+                cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
+            else:
+                cur = (
+                    ev.join(prev, "_u")
+                    .filter(F.col("_ts") > F.col("_pt"))
+                    .groupBy("_u")
+                    .agg(F.min("_ts").alias("_t"))
+                )
+            cur = cur.persist()
+            cached.append(cur)
+            counts.append((i + 1, s, cur.count()))  # materializes the cache
+            # the previous step's frame was only needed to build (and now
+            # materialize) this one — release it
+            while len(cached) > 1:
+                cached.pop(0).unpersist()
+            prev = cur.select("_u", F.col("_t").alias("_pt"))
+    finally:
+        # a failed step must not leak cached blocks for the session life
         while cached:
             cached.pop().unpersist()
-        cached.append(cur)
-        prev = cur.select("_u", F.col("_t").alias("_pt"))
-    while cached:
-        cached.pop().unpersist()
     base = counts[0][2]
     out = events.sparkSession.createDataFrame(
         counts, "step int, event_type string, n_users bigint"

@@ -111,6 +111,12 @@ def stream_bloom_gate(
     def _screen(texts: pd.Series) -> pd.DataFrame:
         n_grams, n_flagged = [], []
         for text in texts:
+            if text is None:
+                # a null document must not kill the stream; the batch
+                # path drops such rows pre-shingle, the gate marks them
+                n_grams.append(0)
+                n_flagged.append(0)
+                continue
             words = text.split(" ")
             k = max(len(words) - shingle_n + 1, 1)
             shingles = [" ".join(words[i : i + shingle_n]) for i in range(k)]
@@ -136,7 +142,11 @@ def stream_bloom_gate(
         *stream.columns,
         F.col("_s.n_grams").alias("n_grams"),
         F.col("_s.n_flagged").alias("n_flagged"),
-        F.round(F.col("_s.n_flagged") / F.col("_s.n_grams"), 6).alias(
-            "flagged_frac"
-        ),
+        F.round(
+            F.when(
+                F.col("_s.n_grams") > 0,
+                F.col("_s.n_flagged") / F.col("_s.n_grams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("flagged_frac"),
     )
