@@ -1028,6 +1028,11 @@ def pq_train(
     d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    if len(X) < k:
+        raise ValueError(
+            f"PQ needs >= k training vectors per codebook (got {len(X)} < {k}); "
+            "raise sample_n or shrink k"
+        )
     dsub = d // m
     return np.stack(
         [_lloyds_np(X[:, s * dsub : (s + 1) * dsub], k, iters) for s in range(m)]
@@ -1223,6 +1228,11 @@ def ivf_pq_write(
         .collect()
     )
     X = np.stack([np.asarray(r["nv"], dtype=np.float64) for r in sample])
+    if len(X) < k:
+        raise ValueError(
+            f"IVF-PQ needs >= k training vectors per codebook (got {len(X)} < {k}); "
+            "raise sample_n or shrink k"
+        )
     cell_of = np.argmin(
         np.einsum("ij,ij->i", X, X)[:, None] - 2.0 * (X @ C.T) + Csq[None, :], axis=1
     )

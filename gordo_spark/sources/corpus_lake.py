@@ -261,5 +261,10 @@ def read_jsonl_corpus(
     if schema is not None:
         if isinstance(schema, str):
             schema = schema + ", _corrupt_record string"
+        else:
+            from pyspark.sql.types import StringType
+
+            if "_corrupt_record" not in schema.fieldNames():
+                schema = schema.add("_corrupt_record", StringType())
         reader = reader.schema(schema)
     return reader.json(path)
