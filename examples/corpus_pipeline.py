@@ -49,12 +49,31 @@ from gordo_spark.operators.sampling import (
     train_shuffle,
     with_global_ids,
 )
+from gordo_spark.operators.quality_checks import check_constraints
+from gordo_spark.operators.sampling import shard_manifest
 from gordo_spark.operators.text import gopher_rules, pii_scrub, quality_score
+from gordo_spark.sources.corpus_lake import write_jsonl_corpus
 from gordo_spark.sources.io import read_table
 
 
 def curate(spark, sf_dir: str, out_dir: str, num_partitions: int = 8):
     docs = read_table(spark, sf_dir, "documents")
+
+    # -1. constraint gate: refuse to curate malformed input (one
+    # aggregation; a failed suite at 100 TB is a producer bug, not a
+    # cleaning job)
+    suite = check_constraints(
+        docs,
+        [
+            {"check": "not_null", "col": "text"},
+            {"check": "not_null", "col": "doc_id"},
+            {"check": "unique", "cols": ["doc_id"]},
+            {"check": "in_range", "col": "n_chars", "min": 0, "max": 10_000_000},
+        ],
+    ).collect()
+    failed = [r["check"] for r in suite if not r["passed"]]
+    if failed:
+        raise ValueError(f"input corpus fails constraint suite: {failed}")
 
     # 0. Gopher rule panel (thresholds sized for the toy corpus)
     rules = gopher_rules(docs, min_words=10, min_stopwords=1)
@@ -108,6 +127,16 @@ def curate(spark, sf_dir: str, out_dir: str, num_partitions: int = 8):
     )
     final = with_global_ids(final, "doc_id", id_col="example_id")
     final.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    # 8. publish integrity manifests + a JSONL mirror: the consumer
+    # re-derives the order-insensitive checksums and diffs before training
+    shard_manifest(
+        spark.read.parquet(out_dir), "split", "example_id"
+    ).coalesce(1).write.mode("overwrite").parquet(out_dir + "_manifest")
+    write_jsonl_corpus(
+        spark.read.parquet(out_dir).select("example_id", "split", "lang", "text"),
+        out_dir + "_jsonl",
+        files=num_partitions,
+    )
     return final
 
 
