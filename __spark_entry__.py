@@ -3534,6 +3534,55 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_o11_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period analytics (the dashboard lag shape Spark gives
+    for free): monthly revenue per nation with month-over-month growth —
+    two broadcast dim joins, one (nation, month) aggregate, one
+    lag window PARTITIONED by nation (bounded by months per nation)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "n_name",
+        "month",
+        "revenue",
+        F.round(
+            F.when(prev != 0, (F.col("revenue") - prev) / prev), 6
+        ).alias("mom_growth"),
+    )
+
+
+O_O11_GROWTH = """
+WITH monthly AS (
+  SELECT n_name,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         ROUND(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, month, revenue,
+       ROUND(
+         CASE WHEN lag(revenue) OVER w != 0
+              THEN (revenue - lag(revenue) OVER w) / lag(revenue) OVER w
+         END, 6) AS mom_growth
+FROM monthly
+WINDOW w AS (PARTITION BY n_name ORDER BY month)
+"""
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint suite (operators/quality_checks — the
     deequ-style ingest/export gate): all row-local checks fold into ONE
@@ -5783,6 +5832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "subsequence_search": q_subsequence_search,
         "data_quality": q_data_quality,
+        "o11_period_growth": q_o11_period_growth,
         "lm_quality_trigram": q_lm_quality_trigram,
         "strip_boilerplate": q_strip_boilerplate,
         # --- remaining TPC-H shapes ---
@@ -5889,6 +5939,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": O_STRIP_BOILER,
         "subsequence_search": O_SUBSEQ,
         "data_quality": O_DATA_QUALITY,
+        "o11_period_growth": O_O11_GROWTH,
         "dedup_exact": O_DEDUP_EXACT,
         "dedup_paragraph": O_DEDUP_PARAGRAPH,
         "dsir_weights": O_DSIR_WEIGHTS,

@@ -57,6 +57,7 @@ HEADLINE = [
     "ivf_pq_search",
     "subsequence_search",
     "data_quality",
+    "o11_period_growth",
     "p3_row_filter",
     "p4_iqr_fence",
     "w1_smm",
