@@ -321,8 +321,11 @@ def main():
         )
     lines += ["", f"Total: {len(rows)} queries, {n_red} with red flags."]
     out = "\n".join(lines) + "\n"
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
-        fh.write(out)
+    if not only:
+        # a filtered run is a spot check — only the FULL audit may
+        # replace the committed PLANS.md
+        with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
+            fh.write(out)
     print(out)
     sys.exit(1 if n_red else 0)
 
