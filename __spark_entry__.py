@@ -1076,7 +1076,9 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg + top-k — TPC-H Q3 shipping priority (broadcast dims)."""
+    """Join + agg + top-k — TPC-H Q3 shipping priority. nation/region-class
+    frames only would be hinted here; customer is sf-proportional so the
+    join is unhinted and AQE decides broadcast vs shuffle by size."""
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
@@ -1087,7 +1089,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -1140,9 +1142,10 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join breadth — TPC-H Q5 local-supplier revenue. All four
-    dimension tables broadcast; lineitem (the fact) shuffles once for the
-    orders join, then only map-side work."""
+    """Multi-join breadth — TPC-H Q5 local-supplier revenue. nation and
+    region (bounded dims) are hinted broadcast; customer and supplier are
+    sf-proportional, left unhinted for AQE to size at runtime; lineitem
+    (the fact) shuffles once for the orders join."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
@@ -1157,9 +1160,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -1194,7 +1197,9 @@ GROUP BY n_name
 
 
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional-agg join — TPC-H Q14 promo revenue share (part broadcast)."""
+    """Conditional-agg join — TPC-H Q14 promo revenue share. The part
+    join is unhinted: part grows with scale factor, so the planner (AQE /
+    autoBroadcastJoinThreshold) picks broadcast only while it fits."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     promo = F.when(
@@ -1206,7 +1211,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-09-01"))
             & (F.col("l_shipdate") < F.lit("1995-10-01"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 100.0
@@ -1230,8 +1235,9 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 
 
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sided nation-pair volume by ship year — TPC-H Q7 (both nation
-    dims broadcast twice under different roles)."""
+    """Two-sided nation-pair volume by ship year — TPC-H Q7: both nation
+    dims hinted broadcast under different roles; customer/supplier joins
+    unhinted (sf-proportional — AQE sizes them)."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
@@ -1252,8 +1258,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -1289,7 +1295,8 @@ GROUP BY 1, 2, 3
 
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """National market share — TPC-H Q8: conditional-sum ratio per year
-    over a six-table join (all dims broadcast)."""
+    over a six-table join. Only the bounded dims (nation x2, region) are
+    hinted; part/customer/supplier grow with sf and stay unhinted."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
@@ -1306,7 +1313,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     out = (
         li.join(
-            F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+            part.filter(F.col("p_type") == "STANDARD"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -1316,13 +1323,13 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(
             F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
             F.col("n1_region") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -1371,7 +1378,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -1447,10 +1454,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         li.join(
-            F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+            part.filter(F.col("p_brand") == "Brand#1"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("ap_key"))
+        .join(per_part, F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
@@ -1481,9 +1488,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 250)
     )
     out = (
-        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("big_key"))
+        li.join(big, F.col("l_orderkey") == F.col("big_key"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
         )
@@ -1535,7 +1542,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -1648,7 +1655,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = read_table(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(sup, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1711,7 +1718,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waited.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        waited.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1832,7 +1839,8 @@ partsupp AS (
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost supplier — TPC-H Q2 over the derived partsupp: the
     correlated min-subquery decorrelates into a per-part min joined back;
-    all dimension sides broadcast."""
+    nation/region hinted broadcast, the sf-proportional eu_sup/part sides
+    unhinted (AQE broadcasts them only while they fit)."""
     ps = _partsupp(spark, sf_dir)
     part = read_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
@@ -1846,7 +1854,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eu_ps = ps.join(
-        F.broadcast(eu_sup), F.col("ps_suppkey") == F.col("s_suppkey")
+        eu_sup, F.col("ps_suppkey") == F.col("s_suppkey")
     )
     # decorrelated per-part min as a PARTITIONED window over the single
     # eu_ps derivation (a separate groupBy+join-back would re-derive the
@@ -1855,7 +1863,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window min equals the pre-join per-part min.
     w_min = Window.partitionBy("ps_partkey")
     return (
-        eu_ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        eu_ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
         .withColumn("_mc", F.min("ps_supplycost").over(w_min))
         .filter(F.col("ps_supplycost") == F.col("_mc"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
@@ -1889,8 +1897,8 @@ LIMIT 100
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-type profit — TPC-H Q9 over the derived partsupp (avg
     profit per line instead of sum: engine-identical to 1e-6 where a
-    100k-term sum is not). One lineitem shuffle; everything else
-    broadcast."""
+    100k-term sum is not). One lineitem shuffle; nation hinted broadcast,
+    the sf-proportional part/partsupp/supplier joins unhinted."""
     li = read_table(spark, sf_dir, "lineitem")
     ps = _partsupp(spark, sf_dir)
     part = read_table(spark, sf_dir, "part").filter(
@@ -1904,13 +1912,13 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("ps_supplycost") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(ps),
+            ps,
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -1952,9 +1960,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_7"
     )
     in_nation = ps.join(
-        F.broadcast(
-            sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        ),
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")),
         F.col("ps_suppkey") == F.col("s_suppkey"),
     ).cache()  # referenced twice (per-part sums + nation total): one derivation
     val = F.col("ps_supplycost") * F.col("ps_availqty")
@@ -1999,8 +2005,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -2042,7 +2048,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("_qty"))
     )
     excess = (
-        ps.join(F.broadcast(blue_parts), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        ps.join(blue_parts, F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
         .join(
             shipped,
             (F.col("ps_partkey") == F.col("_pk"))
@@ -3537,13 +3543,15 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_o11_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period analytics (the dashboard lag shape Spark gives
     for free): monthly revenue per nation with month-over-month growth —
-    two broadcast dim joins, one (nation, month) aggregate, one
-    lag window PARTITIONED by nation (bounded by months per nation)."""
+    an unhinted customer join (customer is sf-proportional, NOT a dim;
+    the planner broadcasts it only while it fits), one broadcast nation
+    dim join, one (nation, month) aggregate, one lag window PARTITIONED
+    by nation (bounded by months per nation)."""
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
     monthly = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(
             "n_name",
@@ -5567,7 +5575,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered signup -> click -> purchase funnel
     (operators/ranges.funnel_steps): per step, users who completed the
     chain in order (greedy earliest-match), with conversion vs step 1.
-    Chained user-keyed joins; 1-row base-count broadcast."""
+    ONE user-keyed shuffle + row-local cascading mins — a single job."""
     from gordo_spark.operators.ranges import funnel_steps
 
     ev = read_table(spark, sf_dir, "events")

@@ -357,7 +357,10 @@ def shingle_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted index: join docs on shared shingle,
     count intersections, |A|+|B|-inter as union. Only pairs sharing >= 1
-    shingle are ever materialized (not the full cross product)."""
+    shingle are ever materialized (not the full cross product). The size
+    joins are UNHINTED shuffle equi-joins — the per-document size table
+    has one row per doc (corpus-proportional, never broadcastable at
+    scale); AQE broadcasts it while it fits."""
     ex = exploded_shingles(df, id_col, text_col, shingle_n)
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     l, r = ex.alias("l"), ex.alias("r")
@@ -369,8 +372,8 @@ def shingle_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),

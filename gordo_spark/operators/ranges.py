@@ -119,57 +119,77 @@ def funnel_steps(
     step: (step, event_type, n_users, conversion), conversion relative
     to step 1.
 
-    Scale shape: step i is one filtered scan (the type predicate pushes
-    to the source) joined to the previous step's (user, ts) frame — a
-    user-keyed equi-join (unique users, no skew) followed by a map-side-
-    combined min. Each step's two-column frame is PERSISTED while the
-    NEXT step consumes it, then unpersisted — at most one step frame is
-    cached at any moment, and nothing stays cached after return (a
-    leaked cache accumulates blocks for the session lifetime in a
-    long-lived driver). Each step materializes eagerly (its count IS the
-    funnel number), so the returned frame is step-count-sized local
-    data: k rows for a k-step funnel, regardless of corpus size.
+    Scale shape — ONE job, no caching: funnel-type events (the ``isin``
+    predicate pushes to the source) shuffle once on the user key into a
+    per-user event list, then the k-step cascade is k row-local column
+    expressions (step-i time = ``array_min`` of step-i events after the
+    step-i−1 time; a missing step yields NULL, and NULL comparisons
+    propagate so later steps stay NULL — exactly the greedy chain). A
+    final keyless aggregate counts reached users per step and explodes
+    to k rows. The per-user list holds only that user's FUNNEL-TYPE
+    events (two fields each), bounded by individual activity — the same
+    per-entity bound every funnel engine assumes; it is not
+    corpus-proportional. The round-4 formulation instead ran k
+    persist/count/unpersist jobs (one serialized job per step) — correct
+    but k× the job overhead and k−1 extra scans.
     """
     if not steps:
         raise ValueError("funnel_steps needs at least one step")
-    counts: list[tuple[int, str, int]] = []
-    prev = None
-    cached = []
-    try:
-        for i, s in enumerate(steps):
-            ev = events.filter(F.col(type_col) == s).select(
-                F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
-            )
-            if prev is None:
-                cur = ev.groupBy("_u").agg(F.min("_ts").alias("_t"))
-            else:
-                cur = (
-                    ev.join(prev, "_u")
-                    .filter(F.col("_ts") > F.col("_pt"))
-                    .groupBy("_u")
-                    .agg(F.min("_ts").alias("_t"))
-                )
-            cur = cur.persist()
-            cached.append(cur)
-            counts.append((i + 1, s, cur.count()))  # materializes the cache
-            # the previous step's frame was only needed to build (and now
-            # materialize) this one — release it
-            while len(cached) > 1:
-                cached.pop(0).unpersist()
-            prev = cur.select("_u", F.col("_t").alias("_pt"))
-    finally:
-        # a failed step must not leak cached blocks for the session life
-        while cached:
-            cached.pop().unpersist()
-    base = counts[0][2]
-    out = events.sparkSession.createDataFrame(
-        counts, "step int, event_type string, n_users bigint"
+    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("_u"),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(type_col).alias("ty")
+        ).alias("_e"),
     )
-    return out.select(
-        "step",
-        "event_type",
-        "n_users",
-        F.round(F.col("n_users") / F.lit(base), 6).alias("conversion"),
+    # factories, not inline lambdas with default args: PySpark derives a
+    # HOF lambda's arity from its Python signature, so captured values
+    # must close over scope rather than ride as extra parameters
+    def _first_cond(s):
+        return lambda x: x["ty"] == s
+
+    def _chain_cond(s, prev):
+        return lambda x: (x["ty"] == s) & (x["ts"] > prev)
+
+    cur = ev.groupBy("_u").agg(F.collect_list("_e").alias("_evs"))
+    for i, s in enumerate(steps, start=1):
+        if i == 1:
+            cond = _first_cond(s)
+        else:
+            cond = _chain_cond(s, F.col(f"_t{i - 1}"))
+        cur = cur.withColumn(
+            f"_t{i}",
+            F.array_min(
+                F.transform(F.filter(F.col("_evs"), cond), lambda x: x["ts"])
+            ),
+        )
+    row = cur.agg(
+        *[
+            F.count(F.col(f"_t{i}")).alias(f"_n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stepped = row.select(
+        F.col("_n1").alias("_base"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("step"),
+                        F.lit(s).alias("event_type"),
+                        F.col(f"_n{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(steps, start=1)
+                ]
+            )
+        ).alias("_s"),
+    )
+    return stepped.select(
+        "_s.step",
+        "_s.event_type",
+        "_s.n_users",
+        F.round(
+            F.col("_s.n_users") / F.nullif(F.col("_base"), F.lit(0)), 6
+        ).alias("conversion"),
     )
 
 

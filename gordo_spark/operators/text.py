@@ -380,6 +380,25 @@ def unigram_logprob_score(
     exploded = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
         F.col("term") != ""
     )
+    return unigram_logprob_score_from_terms(
+        exploded, id_col, min_df=min_df, max_vocab=max_vocab
+    )
+
+
+def unigram_logprob_score_from_terms(
+    exploded: DataFrame,
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_vocab: int = 65536,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """`unigram_logprob_score` over a pre-built ``(id, term)`` token
+    stream — the shared-scan entry point: callers that already carry a
+    tokenized projection (e.g. `curation.curation_verdict`'s one cached
+    base) feed it here so the corpus is not re-tokenized per branch.
+    ``carry_cols`` are id-functional columns of ``exploded`` (e.g. the
+    document's language) carried through the per-doc aggregation as
+    extra grouping keys — cheaper than a join-back onto the corpus."""
     counts = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     total = counts.agg(
         F.sum("tf").alias("total"), F.count(F.lit(1)).alias("nt")
@@ -408,7 +427,7 @@ def unigram_logprob_score(
     return (
         exploded.join(F.broadcast(logp), "term", "left")
         .crossJoin(F.broadcast(oov))
-        .groupBy(id_col)
+        .groupBy(id_col, *carry_cols)
         .agg(
             F.round(
                 -F.avg(F.coalesce(F.col("logp"), F.col("oov_logp"))), 6

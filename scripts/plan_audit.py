@@ -56,7 +56,6 @@ ACCEPTED = {
     "length_histogram": "1-row total-doc-count frame broadcast to the histogram-sized table",
     "tfidf_topk": "1-row corpus-doc-count frame broadcast to the vocab table",
     "tpch_q22": "1-row scalar subquery (avg-acctbal threshold) broadcast",
-    "events_funnel": "1-row first-step user-count frame broadcast for the conversion ratio",
     "m2_ols_predict": "1-row OLS coefficient frame broadcast to scored rows",
     "m3_cv_splits": "1-row total-count frame broadcast to n_splits rows",
     "m4_kfold_threshold": "1-row per-fold threshold frames broadcast",
@@ -124,8 +123,35 @@ SINGLE_SERIES_OK = {
 
 # Tables that stand in for the corpus-scale facts: anything broadcast off
 # one of these must be provably bounded (aggregate/limit on the path) or
-# allowlisted below with its bounding argument.
-CORPUS_TABLES = ("documents", "embeddings", "events", "lineitem", "orders")
+# allowlisted below with its bounding argument. customer/part/supplier are
+# sf-PROPORTIONAL in TPC-H (customer = 150k x sf) — "dimension-shaped" at
+# sf0.01 but corpus-scale at sf1000, so they are corpus tables here.
+CORPUS_TABLES = (
+    "documents",
+    "embeddings",
+    "events",
+    "lineitem",
+    "orders",
+    "customer",
+    "part",
+    "supplier",
+)
+
+# An Aggregate bounds a broadcast's cardinality only if its output is
+# provably small: keyless (1 row) or keyed on bounded-domain columns
+# (tag, event_type, fold, nation...). An aggregate KEYED ON A PER-ENTITY
+# ID of a corpus table (one group per part/order/customer/doc/vector) has
+# output proportional to the table and bounds nothing — round 4's q17
+# broadcast `per_part` (grouped by l_partkey) exactly this way.
+UNBOUNDED_AGG_KEY_RE = re.compile(
+    r"\b("
+    r"[lop]_orderkey|big_key|"  # one group per order
+    r"[lp]s?_partkey|ap_key|"  # one group per part
+    r"[ls]s?_suppkey|ps_suppkey|supplier_no|"  # one group per supplier
+    r"[co]_custkey|"  # one group per customer
+    r"doc_id|vec_id"  # one group per document / vector
+    r")#"
+)
 
 # Nodes on the broadcast->scan path that bound the broadcast's cardinality
 # regardless of corpus size. InMemoryRelation/InMemoryTableScan are cache
@@ -187,10 +213,24 @@ def unbounded_broadcasts(plan: str, query: str) -> list[str]:
         )
         if table is None:
             continue
+        def _bounds(aname: str, anid: str) -> bool:
+            """True if this node bounds downstream cardinality. An
+            Aggregate keyed on a per-entity corpus id (one group per
+            part/order/...) does NOT bound."""
+            if not any(b in aname for b in BOUNDING):
+                return False
+            if "Aggregate" in aname and "InMemory" not in aname:
+                keys_m = re.search(
+                    r"^Keys \[\d+\]: (\[[^\n]*\])", details.get(anid, ""), re.M
+                )
+                if keys_m and UNBOUNDED_AGG_KEY_RE.search(keys_m.group(1)):
+                    return False
+            return True
+
         # nearest BroadcastExchange ancestor, and the path below it
         for i in range(len(stack) - 2, -1, -1):
             aname = stack[i][1]
-            if any(b in aname for b in BOUNDING):
+            if _bounds(aname, stack[i][2]):
                 break  # bounded before reaching any broadcast
             if "BroadcastExchange" in aname:
                 # a broadcast INSIDE an InMemoryRelation subtree is the
@@ -201,8 +241,9 @@ def unbounded_broadcasts(plan: str, query: str) -> list[str]:
                 above = [s[1] for s in stack[:i]]
                 if any("InMemoryRelation" in p for p in above):
                     break
-                path = [s[1] for s in stack[i + 1 : -1]]
-                if not any(b in p for b in BOUNDING for p in path):
+                if not any(
+                    _bounds(s[1], s[2]) for s in stack[i + 1 : -1]
+                ):
                     if (query, table) in BOUNDED_BROADCAST_OK:
                         break
                     flags.append(

@@ -75,9 +75,46 @@ def test_allowlist_suppresses_named_pair(docs):
         plan_audit.BOUNDED_BROADCAST_OK.pop(key)
 
 
-def test_dim_table_broadcasts_never_flag(spark):
+def test_bounded_dim_table_broadcasts_never_flag(spark):
+    # nation/region are genuinely bounded dims (25 / 5 rows at ANY sf)
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    ok = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+    assert plan_audit.unbounded_broadcasts(_plan(ok), "x") == []
+
+
+def test_fires_on_sf_proportional_table_broadcast(spark):
+    # round-4 finding 1: customer/part/supplier grow linearly with scale
+    # factor — a hinted broadcast of one is an OOM at sf1000
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     sup = spark.read.parquet(f"{sf}/supplier.parquet")
-    ok = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    bad = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    flags = plan_audit.unbounded_broadcasts(_plan(bad), "x")
+    assert flags and "supplier" in flags[0]
+
+
+def test_fires_on_aggregate_keyed_by_corpus_id(spark):
+    # round-4's q17/q18 shape: broadcasting an aggregate whose grouping
+    # key is a per-entity corpus id (one group per order) — the Aggregate
+    # node does NOT bound the build side, so the rule must still fire
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_key"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    bad = li.join(F.broadcast(big), li.l_orderkey == F.col("big_key"))
+    flags = plan_audit.unbounded_broadcasts(_plan(bad), "x")
+    assert flags and "lineitem" in flags[0]
+
+
+def test_keyless_aggregate_still_bounds(spark):
+    # a keyless (1-row) aggregate over a corpus table is always bounded
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    mx = li.agg(F.max("l_quantity").alias("mx"))
+    ok = li.join(F.broadcast(mx), li.l_quantity == F.col("mx"))
     assert plan_audit.unbounded_broadcasts(_plan(ok), "x") == []
