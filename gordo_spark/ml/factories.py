@@ -13,17 +13,20 @@ registered factory functions:
 - registry ``register_model_builder``
   (/root/reference/gordo/machine/model/register.py:10-75)
 
-TensorFlow is not available in this environment, so what this module
-reproduces EXACTLY is the architecture contract — layer counts, per-layer
-units (``hourglass_calc_dims``), activation wiring, the
-``type -> kind -> builder`` registry with its ``n_features`` validation —
-plus a deterministic trainable substitute: a seeded full-batch
-gradient-descent numpy MLP with the same layer spec, sklearn-style
-``fit(X, y)`` / ``predict(X)``, so every factory output is a real,
-fit-able estimator that flows through ``PythonEstimatorModel`` /
-``builder.py`` end-to-end. A real Keras model drops in by replacing
-``NumpyAutoEncoder`` with the compiled Sequential — the factory surface,
-registry and downstream plumbing are unchanged.
+The deep-model backend is IMPORT-GATED (mirror of the multimodal PIL
+pattern): when ``tensorflow`` imports, every feedforward factory builds
+a real compiled Keras ``Sequential`` (``KerasSequentialAdapter``);
+otherwise — as in this environment — the same ``Layer`` spec drives a
+deterministic trainable substitute, a seeded full-batch
+gradient-descent numpy MLP with sklearn-style ``fit(X, y)`` /
+``predict(X)``. Either way the module reproduces the reference's
+architecture contract EXACTLY — layer counts, per-layer units
+(``hourglass_calc_dims``), activation wiring, the
+``type -> kind -> builder`` registry with its ``n_features`` validation
+— and every factory output flows through ``PythonEstimatorModel`` /
+``builder.py`` end-to-end. Tests parameterize over both branches
+(keras skipped where tensorflow is absent), so production parity is a
+pip install, not a rewrite; ``backend="numpy"`` pins the stand-in.
 
 LSTM variants: the layer spec (units per LSTM layer + Dense out) follows
 the reference bit-for-bit; the trainable substitute flattens the lookback
@@ -212,7 +215,7 @@ def feedforward_model(
         Layer(u, a) for u, a in zip(encoding_dim, encoding_func)
     ] + [Layer(u, a) for u, a in zip(decoding_dim, decoding_func)]
     layers.append(Layer(n_features_out, out_func))
-    return NumpyAutoEncoder(layers, n_features, **_train_kwargs(kwargs))
+    return _build_estimator(layers, n_features, **_train_kwargs(kwargs))
 
 
 @register_model_builder(type="KerasAutoEncoder")
@@ -295,7 +298,7 @@ def lstm_model(
         Layer(u, a, kind="lstm") for u, a in zip(encoding_dim, encoding_func)
     ] + [Layer(u, a, kind="lstm") for u, a in zip(decoding_dim, decoding_func)]
     layers.append(Layer(n_features_out, out_func))
-    return NumpyAutoEncoder(
+    return _build_estimator(
         layers, n_features * lookback_window, **_train_kwargs(kwargs)
     )
 
@@ -354,8 +357,105 @@ def _train_kwargs(kwargs: dict) -> dict:
     compile kwargs have no numpy equivalent and are accepted-and-ignored,
     matching the reference's permissive ``**kwargs``)."""
     return {
-        k: kwargs[k] for k in ("lr", "epochs", "seed") if k in kwargs
+        k: kwargs[k] for k in ("lr", "epochs", "seed", "backend") if k in kwargs
     }
+
+
+# ------------------------------------------------- deep-model import gate
+# Mirror of the multimodal PIL pattern (operators/multimodal.py): real
+# TensorFlow/Keras when it imports, the deterministic numpy stand-in
+# otherwise — so production parity is a pip install, not a rewrite. The
+# contract/tests pin backend="numpy"; backend="auto" (the default)
+# upgrades silently when tensorflow is present.
+def tensorflow_available() -> bool:
+    try:
+        import tensorflow  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+class KerasSequentialAdapter:
+    """sklearn-style fit/predict over a compiled ``tf.keras.Sequential``
+    built from the SAME ``Layer`` spec the numpy stand-in uses — the
+    reference's real model path (gordo/machine/model/models.py:37-460
+    compiles the factory's Sequential and fits with MSE). Only
+    constructed when ``tensorflow`` imports."""
+
+    def __init__(
+        self,
+        layers: list[Layer],
+        n_features: int,
+        lr: float = 0.01,
+        epochs: int = 50,
+        seed: int = 0,
+    ):
+        self.layers = list(layers)
+        self.n_features = int(n_features)
+        self.lr, self.epochs, self.seed = float(lr), int(epochs), int(seed)
+        self.model_ = None
+
+    def _build(self):
+        import tensorflow as tf
+
+        if any(l.kind == "lstm" for l in self.layers):
+            raise NotImplementedError(
+                "keras backend currently wires the feedforward (Dense) "
+                "family; the LSTM factories' 3-D (lookback, features) "
+                "input path is only implemented by the numpy stand-in "
+                "(backend='numpy'), which flattens the lookback window"
+            )
+        tf.keras.utils.set_random_seed(self.seed)
+        keras_layers = [tf.keras.layers.Input((self.n_features,))]
+        for l in self.layers:
+            keras_layers.append(
+                tf.keras.layers.Dense(
+                    l.units,
+                    activation=None if l.activation == "linear" else l.activation,
+                )
+            )
+        model = tf.keras.Sequential(keras_layers)
+        model.compile(
+            optimizer=tf.keras.optimizers.Adam(self.lr), loss="mse"
+        )
+        return model
+
+    def fit(self, X, y=None) -> "KerasSequentialAdapter":
+        X = np.asarray(X, dtype=np.float64)
+        target = X if y is None else np.asarray(y, dtype=np.float64)
+        self.model_ = self._build()
+        self.model_.fit(X, target, epochs=self.epochs, verbose=0)
+        return self
+
+    def predict(self, X) -> np.ndarray:
+        if self.model_ is None:
+            raise ValueError("estimator is not fitted")
+        return np.asarray(
+            self.model_.predict(np.asarray(X, dtype=np.float64), verbose=0)
+        )
+
+
+def _build_estimator(
+    layers: list[Layer], n_features: int, backend: str = "auto", **train
+):
+    """Backend dispatch for every factory: ``auto`` = keras when
+    importable else numpy; ``numpy`` / ``keras`` force a branch (keras
+    raises ImportError when tensorflow is absent, so a config that
+    demands the real model fails loudly rather than silently degrading).
+    """
+    if backend == "auto":
+        backend = "keras" if tensorflow_available() else "numpy"
+    if backend == "keras":
+        if not tensorflow_available():
+            raise ImportError(
+                "backend='keras' requires tensorflow; install it or use "
+                "backend='numpy' (the deterministic stand-in)"
+            )
+        return KerasSequentialAdapter(layers, n_features, **train)
+    if backend != "numpy":
+        raise ValueError(f"unknown backend {backend!r} (auto|keras|numpy)")
+    return NumpyAutoEncoder(layers, n_features, **train)
 
 
 # ------------------------------------- estimator for PythonEstimatorModel

@@ -25,6 +25,29 @@ Check specs (dicts, YAML-friendly):
      "ref_col": "o_orderkey"}
     {"check": "expression",  "name": "disc<=price",
      "expr": "l_discount <= l_extendedprice"}
+
+NULL semantics (a deliberate DEVIATION from deequ, which separates
+completeness from range/set compliance — here a suite is a GATE, and a
+gate that passes NULL values through an in_range check has not checked
+them):
+
+    check        NULL in checked col counts as...
+    -----------  ------------------------------------------------------
+    not_null     violation (that is the check)
+    in_range     VIOLATION — a NULL is not known to be in range; add an
+                 explicit not_null check only if you want the two
+                 failure modes counted separately (deequ-style)
+    in_set       VIOLATION — same rationale as in_range
+    expression   violation whenever the expression is not TRUE —
+                 explicitly ``NOT coalesce(expr, FALSE)``, so a
+                 NULL-valued predicate (three-valued logic over nullable
+                 inputs) counts as a violation rather than silently
+                 dropping out of the sum
+    unique       NULL keys group together: >1 NULL-keyed rows = dupes
+                 (SQL GROUP BY treats NULLs as one group)
+    foreign_key  NULL fk is SKIPPED (not an orphan) — referential
+                 integrity is about wrong references, not missing ones;
+                 pair with not_null for mandatory references
 """
 
 from __future__ import annotations
@@ -61,7 +84,12 @@ def check_constraints(df: DataFrame, checks: list[dict]) -> DataFrame:
             row_local.append((i, name, c.isNull() | ~c.isin(list(spec["values"]))))
         elif kind == "expression":
             name = spec.get("name", spec["expr"])
-            row_local.append((i, name, ~F.expr(spec["expr"])))
+            # violation = NOT coalesce(expr, FALSE): a NULL-valued
+            # predicate counts as a violation (gate posture; see module
+            # docstring) instead of silently dropping out of the sum
+            row_local.append(
+                (i, name, ~F.coalesce(F.expr(spec["expr"]), F.lit(False)))
+            )
         elif kind == "unique":
             cols = list(spec["cols"])
             name = f"unique({','.join(cols)})"

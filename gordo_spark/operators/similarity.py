@@ -1199,28 +1199,16 @@ def ivf_pq_write(
     ``<path>/index/cell=<c>/`` (neighbor_id, codes),
     ``<path>/centroids/``, ``<path>/codebooks/``.
 
-    Deterministic end-to-end (first-k init quantizer unless ``centroids``
-    given; codebooks trained on the first ``sample_n`` ids' residuals).
+    Deterministic end-to-end: the coarse quantizer is LLOYD-REFINED on
+    the training sample (faiss IVFPQ trains its quantizer with k-means;
+    un-refined first-n seeds on clustered data give badly skewed cells
+    and recall collapse at small n_probe), init = first n_cells sample
+    rows; codebooks are trained on the sample residuals. Pass
+    ``centroids`` to override the quantizer entirely.
     """
     spark = vectors.sparkSession
-    if centroids is not None:
-        C = np.asarray(centroids, dtype=np.float64)
-    else:
-        rows = (
-            vectors.select(_as_double(F.col(vec_col)).alias("nv"))
-            .orderBy(F.col(id_col))
-            .limit(n_cells)
-            .collect()
-        )
-        C = np.stack([np.asarray(r["nv"], dtype=np.float64) for r in rows])
-    n_cells = len(C)
-    d = C.shape[1]
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
-    Csq = np.einsum("ij,ij->i", C, C)
-
-    # codebooks from the residuals of a bounded deterministic sample
+    # the bounded deterministic sample trains BOTH the coarse quantizer
+    # and the residual codebooks
     sample = (
         vectors.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("nv"))
         .orderBy("_id")
@@ -1233,6 +1221,20 @@ def ivf_pq_write(
             f"IVF-PQ needs >= k training vectors per codebook (got {len(X)} < {k}); "
             "raise sample_n or shrink k"
         )
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        if len(X) < n_cells:
+            raise ValueError(
+                f"IVF-PQ needs >= n_cells training vectors (got {len(X)} < {n_cells})"
+            )
+        C = _lloyds_np(X, n_cells, iters)
+    n_cells = len(C)
+    d = C.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    Csq = np.einsum("ij,ij->i", C, C)
     cell_of = np.argmin(
         np.einsum("ij,ij->i", X, X)[:, None] - 2.0 * (X @ C.T) + Csq[None, :], axis=1
     )

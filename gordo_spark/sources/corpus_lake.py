@@ -262,9 +262,14 @@ def read_jsonl_corpus(
         if isinstance(schema, str):
             schema = schema + ", _corrupt_record string"
         else:
-            from pyspark.sql.types import StringType
+            from pyspark.sql.types import StringType, StructField, StructType
 
             if "_corrupt_record" not in schema.fieldNames():
-                schema = schema.add("_corrupt_record", StringType())
+                # copy before extending: StructType.add mutates in place,
+                # which would silently grow the CALLER's schema object
+                schema = StructType(
+                    schema.fields
+                    + [StructField("_corrupt_record", StringType())]
+                )
         reader = reader.schema(schema)
     return reader.json(path)

@@ -64,6 +64,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the PQ oracles embed numpy-trained codebooks as SQL literals; the
+    # generator must train on the same sf the gate compares at
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from gordo_spark import get_spark
 

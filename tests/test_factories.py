@@ -151,3 +151,59 @@ def test_autoencoder_through_builder_end_to_end(spark, sf_dir, tmp_path):
         assert col in out.columns
     assert len(out) > 100
     assert np.isfinite(out["total_anomaly_unscaled"]).all()
+
+
+@pytest.mark.parametrize(
+    "backend",
+    [
+        "numpy",
+        pytest.param(
+            "keras",
+            marks=pytest.mark.skipif(
+                not __import__(
+                    "gordo_spark.ml.factories", fromlist=["tensorflow_available"]
+                ).tensorflow_available(),
+                reason="tensorflow not installed",
+            ),
+        ),
+    ],
+)
+def test_backend_seam_fit_predict(backend):
+    """The deep-model import gate: the SAME factory call produces a
+    fit/predictable estimator on either branch — production parity is a
+    pip install (tensorflow), not a rewrite. The numpy branch always
+    runs; the keras branch runs wherever tensorflow imports."""
+    from gordo_spark.ml.factories import (
+        KerasSequentialAdapter, NumpyAutoEncoder, feedforward_hourglass,
+    )
+
+    m = feedforward_hourglass(6, epochs=20, seed=0, backend=backend)
+    expected = NumpyAutoEncoder if backend == "numpy" else KerasSequentialAdapter
+    assert isinstance(m, expected)
+    # identical architecture spec on both branches
+    assert [l.units for l in m.layers] == [5, 4, 3, 3, 4, 5, 6]
+    rng = np.random.RandomState(0)
+    X = rng.normal(size=(40, 6))
+    out = m.fit(X).predict(X)
+    assert out.shape == (40, 6)
+    assert np.isfinite(out).all()
+
+
+def test_backend_auto_and_errors():
+    """backend='auto' resolves by tensorflow availability; demanding
+    keras without tensorflow fails loudly; unknown backends raise."""
+    from gordo_spark.ml.factories import (
+        KerasSequentialAdapter, NumpyAutoEncoder, feedforward_hourglass,
+        tensorflow_available,
+    )
+
+    m = feedforward_hourglass(6, backend="auto")
+    expected = (
+        KerasSequentialAdapter if tensorflow_available() else NumpyAutoEncoder
+    )
+    assert isinstance(m, expected)
+    if not tensorflow_available():
+        with pytest.raises(ImportError, match="tensorflow"):
+            feedforward_hourglass(6, backend="keras")
+    with pytest.raises(ValueError, match="unknown backend"):
+        feedforward_hourglass(6, backend="jax")

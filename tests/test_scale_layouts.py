@@ -489,3 +489,18 @@ def test_jsonl_corpus_roundtrip_and_corrupt_line(spark, tmp_path):
     assert df.filter(F.col("doc_id") == 4).count() == 1
     assert df.count() == 5  # 3 original + 1 good new + 1 corrupt-marked
     df.unpersist()
+
+    # a caller-supplied StructType must NOT be mutated as a side effect
+    # (StructType.add mutates in place; the reader copies before extending)
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    caller_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    got2 = read_jsonl_corpus(spark, path, caller_schema)
+    assert "_corrupt_record" in got2.columns
+    assert caller_schema.fieldNames() == ["doc_id", "text", "source"]

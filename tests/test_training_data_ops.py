@@ -1903,7 +1903,7 @@ def test_ivf_pq_index_pruned_and_numpy_parity(spark, sf_dir, tmp_path):
     X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     ids = np.array([r["vec_id"] for r in rows])
     d = X.shape[1]; dsub = d // m
-    C = X[:n_cells].copy()
+    C = _lloyds_np(X[:sample_n], n_cells, iters)  # Lloyd-refined quantizer
     Csq = np.einsum("ij,ij->i", C, C)
     cell_of = np.argmin(np.einsum("ij,ij->i", X, X)[:, None] - 2.0 * (X @ C.T) + Csq[None, :], axis=1)
     S = X[:sample_n]
@@ -2092,3 +2092,42 @@ def test_check_constraints_plants_and_plan(spark):
 
     with pytest.raises(ValueError):
         check_constraints(df, [{"check": "nope"}])
+
+
+def test_check_constraints_null_semantics(spark):
+    """The documented NULL table (module docstring): NULL is a violation
+    for not_null / in_range / in_set / expression (gate posture — a
+    deliberate deviation from deequ's completeness/compliance split),
+    NULL keys group as duplicates for unique, and NULL fks are SKIPPED
+    by foreign_key."""
+    from gordo_spark.operators.quality_checks import check_constraints
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [None, None, 1.0],
+                "v": [None, 5.0, 5.0],
+                "cat": [None, "a", "a"],
+            }
+        )
+    )
+    ref = spark.createDataFrame(pd.DataFrame({"rk": [99.0]}))
+    out = check_constraints(
+        df,
+        [
+            {"check": "not_null", "col": "v"},
+            {"check": "in_range", "col": "v", "min": 0, "max": 50},
+            {"check": "in_set", "col": "cat", "values": ["a"]},
+            # NULL-valued predicate (v > 1 with v NULL) is a violation
+            {"check": "expression", "name": "v_gt1", "expr": "v > 1"},
+            {"check": "unique", "cols": ["k"]},
+            {"check": "foreign_key", "col": "k", "ref": ref, "ref_col": "rk"},
+        ],
+    ).collect()
+    by = {r["check"]: r["n_violations"] for r in out}
+    assert by["not_null(v)"] == 1
+    assert by["in_range(v,0,50)"] == 1          # the NULL row
+    assert by["in_set(cat)"] == 1               # the NULL row
+    assert by["v_gt1"] == 1                     # NULL predicate counted
+    assert by["unique(k)"] == 2                 # two NULL-keyed rows group
+    assert by["foreign_key(k->rk)"] == 1        # k=1 orphan; NULLs skipped
