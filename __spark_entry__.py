@@ -5982,6 +5982,328 @@ ORDER BY lang
 """
 
 
+# ------------------------------------------------- round-5 additions:
+# deterministic APPLY halves of iterative fits (logreg scoring, PCA
+# projection — trained on the bounded deterministic sample, PQ-style,
+# so the oracle embeds bit-identical weights), scalar quantization,
+# corpus collocations, exact-substring dup spans, event transitions,
+# and Holt trend smoothing.
+def q_w11_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 — Holt double-exponential (level+trend) smoothing per tag
+    (operators/smoothing.holt): the trend-aware upgrade of the
+    reference's ewm smoothing (diff.py:302-308). Recursive, so it runs
+    the sanctioned applyInPandas-per-series path like w3_ewma; the
+    oracle states the same recursion as a per-tag recursive CTE. The
+    resampled input is rounded to 6dp on BOTH engines before the
+    recursion so summation-order ulps in avg() cannot compound through
+    the feedback loop."""
+    from gordo_spark.operators.smoothing import holt
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = res.withColumn("value", F.round("value", 6))
+    out = holt(res, "value", alpha=0.2, beta=0.1, machine_col="tag")
+    return _r6(
+        out.select("tag", "ts", "value", "level", "trend", "forecast"),
+        "level",
+        "trend",
+        "forecast",
+    )
+
+
+O_W11_HOLT = """
+WITH RECURSIVE res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         ROUND(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT tag, ts, value,
+         row_number() OVER (PARTITION BY tag ORDER BY ts) AS rn
+  FROM res
+),
+rec AS (
+  SELECT tag, ts, rn, value, value AS l, CAST(0 AS DOUBLE) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.tag, s.ts, s.rn, s.value,
+         0.2 * s.value + (1 - 0.2) * (r.l + r.b),
+         0.1 * ((0.2 * s.value + (1 - 0.2) * (r.l + r.b)) - r.l) + (1 - 0.1) * r.b
+  FROM rec r JOIN seq s ON s.tag = r.tag AND s.rn = r.rn + 1
+)
+SELECT tag, ts, value, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+       ROUND(l + b, 6) AS forecast
+FROM rec
+"""
+
+
+def q_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type Markov transition matrix (operators/ranges.
+    event_transitions): one user-keyed lag window + one aggregation on
+    the (prev, next) pair whose cardinality is #event-types squared —
+    model-sized output regardless of corpus size."""
+    from gordo_spark.operators.ranges import event_transitions
+
+    return event_transitions(read_table(spark, sf_dir, "events"))
+
+
+O_USER_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       ROUND(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+FROM c
+"""
+
+
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI (operators/text.pmi_bigrams, Church &
+    Hanks 1990): one bigram explode + count is the only corpus-sized
+    work; marginals are aggregates OF the count table."""
+    from gordo_spark.operators.text import pmi_bigrams
+
+    return pmi_bigrams(read_table(spark, sf_dir, "documents"), min_count=5, topk=20)
+
+
+O_PMI_COOCCUR = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+pos AS (SELECT w, unnest(range(1, len(w))) AS i FROM t),
+bi AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM pos),
+c AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS nn FROM c),
+l AS (SELECT w1, sum(n) AS c1 FROM c GROUP BY w1),
+r AS (SELECT w2, sum(n) AS c2 FROM c GROUP BY w2),
+scored AS (
+  SELECT c.w1, c.w2, c.n,
+         ROUND(ln((c.n * 1.0 * tot.nn) / (l.c1 * 1.0 * r.c2)), 6) AS pmi
+  FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+  WHERE c.n >= 5
+)
+SELECT w1, w2, n, pmi
+FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+"""
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (operators/dedup.duplicate_spans
+    — Lee et al. 2021 exact-substring dedup, re-expressed as the
+    shuffle-native positional-fingerprint join + gaps-and-islands merge
+    since suffix arrays don't distribute)."""
+    from gordo_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        read_table(spark, sf_dir, "documents"), k=8, min_len=12, max_df=16
+    )
+
+
+O_DUP_SPANS = """
+WITH t AS (
+  SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+),
+pos AS (SELECT doc, w, unnest(range(1, len(w) - 8 + 2)) AS i FROM t),
+g AS (
+  SELECT doc, i - 1 AS pos,
+         md5(array_to_string(w[i:i + 7], ' ')) AS gh
+  FROM pos
+),
+st AS (SELECT gh FROM g GROUP BY gh HAVING count(*) BETWEEN 2 AND 16),
+m AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos - b.pos AS diff,
+         a.pos AS pa, b.pos AS pb
+  FROM g a JOIN st USING (gh) JOIN g b USING (gh)
+  WHERE a.doc < b.doc
+),
+runs AS (
+  SELECT doc_a, doc_b, diff, pa, pb,
+         pa - row_number() OVER (
+           PARTITION BY doc_a, doc_b, diff ORDER BY pa
+         ) AS island
+  FROM m
+)
+SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       count(*) + 7 AS span_tokens
+FROM runs GROUP BY doc_a, doc_b, diff, island
+HAVING count(*) + 7 >= 12
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column (operators/
+    similarity.quantize_embeddings): one min/max aggregation (2d-double
+    fit boundary) + one row-local codegen encode — first 4 codes and
+    the reconstruction MSE per vector."""
+    from gordo_spark.operators.similarity import quantize_embeddings
+
+    out = quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        *[F.element_at("codes", j + 1).alias(f"c{j + 1}") for j in range(4)],
+        F.round("mse", 6).alias("mse"),
+    )
+
+
+def _o_embedding_quantize(levels: int = 255) -> str:
+    import pyarrow.parquet as papq
+
+    d = len(
+        papq.read_table(
+            os.path.join(_oracle_sf_dir(), "embeddings.parquet"),
+            columns=["embedding"],
+        ).column("embedding")[0]
+    )
+    L = f"{float(levels)!r}"
+    code = f"floor((ex.x - st.mn) * {L} / st.sp + 0.5)"
+    cols = ",\n       ".join(
+        f"max(CASE WHEN j = {j + 1} THEN code END)::BIGINT AS c{j + 1}"
+        for j in range(4)
+    )
+    return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pos AS (SELECT vec_id, e, unnest(range(1, {d + 1})) AS j FROM v),
+ex AS (SELECT vec_id, j, e[j] AS x FROM pos),
+st AS (SELECT j, min(x) AS mn, max(x) - min(x) AS sp FROM ex GROUP BY j),
+enc AS (
+  SELECT ex.vec_id, ex.j,
+         CASE WHEN st.sp > 0 THEN {code} ELSE 0 END AS code,
+         CASE WHEN st.sp > 0
+              THEN ({code} * st.sp / {L}) - (ex.x - st.mn)
+              ELSE -(ex.x - st.mn) END AS err
+  FROM ex JOIN st USING (j)
+)
+SELECT vec_id,
+       {cols},
+       ROUND(sum(err * err) / {float(d)!r}, 6) AS mse
+FROM enc GROUP BY vec_id"""
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection with components trained on the bounded
+    deterministic sample (operators/similarity.pca_sample_fit — the
+    pq_train posture): the oracle generator calls the SAME pca_np on
+    the SAME sample, so the embedded components are bit-identical and
+    the corpus-wide projection is plain dot-product arithmetic on both
+    engines. The full-corpus sufficient-stats fit stays the rows-only
+    embedding_pca contract."""
+    from gordo_spark.operators.similarity import pca_sample_fit, pca_transform
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_sample_fit(embs, k=4, sample_n=256)
+    out = pca_transform(embs, mean, comps)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pca", j + 1), 6).alias(f"pc{j + 1}")
+            for j in range(4)
+        ],
+    )
+
+
+def _o_pca_project(k: int = 4, sample_n: int = 256) -> str:
+    from gordo_spark.operators.similarity import pca_np
+
+    X = _oracle_embeddings(sample_n)
+    mean, comps, _ = pca_np(X, k)
+    cols = ",\n       ".join(
+        f"ROUND(list_dot_product(e, {_sql_vec(comps[j])}) - "
+        f"{float(np.dot(mean, comps[j]))!r}, 6) AS pc{j + 1}"
+        for j in range(k)
+    )
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)\n"
+        f"SELECT vec_id,\n       {cols}\nFROM v"
+    )
+
+
+def q_logreg_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier APPLY with weights trained on the bounded
+    deterministic sample (first 256 doc_ids, driver-side numpy_irls —
+    the labeled-sample-train / corpus-apply pattern of production
+    quality filters): scoring is one row-local sigmoid over the whole
+    corpus. The oracle generator computes the SAME features in pure
+    Python on the SAME sample and runs the SAME numpy_irls, so the
+    embedded weights are bit-identical; the distributed-IRLS fit stays
+    the rows-only quality_logreg contract."""
+    from gordo_spark.ml.logreg import LogisticModel
+
+    feats = _logreg_features(read_table(spark, sf_dir, "documents"))
+    sample = (
+        feats.orderBy("doc_id")
+        .limit(256)
+        .select("f_chars", "f_words", "f_uniq", "label")
+        .collect()
+    )
+    from gordo_spark.ml.logreg import numpy_irls
+
+    X = np.array([[r["f_chars"], r["f_words"], r["f_uniq"]] for r in sample])
+    y = np.array([float(r["label"]) for r in sample])
+    model = LogisticModel(["f_chars", "f_words", "f_uniq"], "label")
+    model.coef_ = numpy_irls(X, y)
+    return model.score(feats).select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        (F.col("score") >= 0.5).alias("pred"),
+    )
+
+
+def _logreg_features(docs: DataFrame) -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        (F.col("n_chars") / 100.0).alias("f_chars"),
+        (F.size(words) / 100.0).alias("f_words"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("f_uniq"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+
+
+def _o_logreg_apply(sample_n: int = 256) -> str:
+    import pyarrow.parquet as papq
+
+    from gordo_spark.ml.logreg import numpy_irls
+
+    t = papq.read_table(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"),
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+    rows = sorted(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("n_chars").to_pylist(),
+        )
+    )[: int(sample_n)]
+    X, y = [], []
+    for _id, text, lang, n_chars in rows:
+        wds = text.split(" ")
+        X.append([n_chars / 100.0, len(wds) / 100.0, len(set(wds)) / len(wds)])
+        y.append(1.0 if lang == "en" else 0.0)
+    w = numpy_irls(np.array(X), np.array(y))
+    z = (
+        f"{float(w[0])!r} + {float(w[1])!r} * (n_chars / 100.0)"
+        f" + {float(w[2])!r} * (len(string_split(text, ' ')) / 100.0)"
+        f" + {float(w[3])!r} * (len(list_distinct(string_split(text, ' ')))"
+        f" / len(string_split(text, ' ')))"
+    )
+    return f"""SELECT doc_id,
+       ROUND(1 / (1 + exp(-({z}))), 6) AS score,
+       (1 / (1 + exp(-({z})))) >= 0.5 AS pred
+FROM documents"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -6121,6 +6443,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o11_period_growth": q_o11_period_growth,
         "lm_quality_trigram": q_lm_quality_trigram,
         "strip_boilerplate": q_strip_boilerplate,
+        "w11_holt": q_w11_holt,
+        "user_transitions": q_user_transitions,
+        "pmi_cooccur": q_pmi_cooccur,
+        "dup_spans": q_dup_spans,
+        "embedding_quantize": q_embedding_quantize,
+        "pca_project": q_pca_project,
+        "logreg_apply": q_logreg_apply,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -6305,4 +6634,11 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _o_pq_codes(),
         "pq_search": _o_pq_search(),
         "ivf_pq_search": _o_ivf_pq_search(),
+        "w11_holt": O_W11_HOLT,
+        "user_transitions": O_USER_TRANSITIONS,
+        "pmi_cooccur": O_PMI_COOCCUR,
+        "dup_spans": O_DUP_SPANS,
+        "embedding_quantize": _o_embedding_quantize(),
+        "pca_project": _o_pca_project(),
+        "logreg_apply": _o_logreg_apply(),
     }

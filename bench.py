@@ -117,6 +117,13 @@ HEADLINE = [
     "curation_verdict",
     "hard_negatives",
     "bm25_search",
+    "w11_holt",
+    "user_transitions",
+    "pmi_cooccur",
+    "dup_spans",
+    "embedding_quantize",
+    "pca_project",
+    "logreg_apply",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -28,7 +28,7 @@ min-aggregations inside codegen with map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # (a, b) parameters for the universal hash family h_i(x) = (a_i*x + b_i) mod P.
 # P = 2^31 - 1 (Mersenne); x < 2^32, a < 2^30 keeps a*x + b < 2^62 (no
@@ -1094,4 +1094,80 @@ def component_size_histogram(components: DataFrame) -> DataFrame:
     )
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_len: int = 12,
+    max_df: int = 16,
+) -> DataFrame:
+    """Exact duplicate-substring spans across documents (the
+    exact-substring dedup of Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): every maximal cross-document
+    run of >= ``min_len`` identical consecutive tokens, located by
+    start position in both documents. The paper builds a single-node
+    suffix array; suffix arrays do not distribute, so this is the
+    shuffle-native equivalent — positional k-token fingerprints,
+    equi-joined, then merged into maximal spans with a
+    gaps-and-islands window (two matches are in one span iff their
+    position DIFFERENCE ``pa - pb`` is constant and their ``pa`` are
+    consecutive), which finds exactly the runs the suffix array would.
+
+    Scale: the fingerprint stream is one row per token (same volume as
+    every shingle pass here); the occurrence filter is a WINDOW count
+    over the gram key — one gh shuffle, which the self-join's two
+    identical sides then reuse — and ``max_df`` drops ubiquitous grams
+    BEFORE the self-join, so per-key fan-out is bounded at
+    ``max_df**2`` (the winnowing posture — boilerplate that common is
+    paragraph_dedup's job, not span dedup's); the island window and
+    the span aggregation share one ``(doc_a, doc_b, diff)`` shuffle.
+    Only ``(doc, pos, md5)`` rows ever shuffle — text never leaves its
+    scan. Positions are 0-based token offsets; spans of length
+    ``run + k - 1`` tokens.
+    """
+    words = F.split(F.col(text_col), " ")
+    docs = df.select(F.col(id_col).alias("doc"), words.alias("w")).filter(
+        F.size("w") >= k
+    )
+    grams = docs.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, k))),
+            )
+        ).alias("pos", "gh"),
+    )
+    # occurrence filter as a WINDOW over the gram key, not a count-table
+    # join-back: one gh shuffle derives the gram stream once, and the
+    # self-join below joins two IDENTICAL gh-partitioned subplans, which
+    # the exchange-reuse rule collapses into one shuffle — vs the
+    # aggregate+join formulation that re-derives the gram stream (and
+    # re-reads the corpus) once per use.
+    c = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    kept = (
+        grams.withColumn("_c", c)
+        .filter((F.col("_c") >= 2) & (F.col("_c") <= max_df))
+        .drop("_c")
+    )
+    a = kept.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "gh")
+    b = kept.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "gh")
+    matches = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diff"), "pa", "pb")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+    runs = matches.withColumn("island", F.col("pa") - F.row_number().over(w))
+    spans = runs.groupBy("doc_a", "doc_b", "diff", "island").agg(
+        F.min("pa").alias("start_a"),
+        F.min("pb").alias("start_b"),
+        (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_tokens"),
+    )
+    return spans.filter(F.col("span_tokens") >= min_len).select(
+        "doc_a", "doc_b", "start_a", "start_b", "span_tokens"
     )

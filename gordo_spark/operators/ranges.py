@@ -235,3 +235,42 @@ def retention_cohorts(
         "n_users",
         F.round(F.col("n_users") / F.col("_size"), 6).alias("retention"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    for each ordered pair of consecutive events of one user, count
+    ``(prev_type, event_type)`` and normalize per source state — the
+    behavioral-analytics companion of :func:`funnel_steps` (which checks
+    ONE prescribed path; this measures ALL observed paths).
+
+    One user-keyed window shuffle (lag over ``ts, order_col`` — the tie
+    key makes the sequence deterministic under same-timestamp events),
+    then one aggregation on the (prev, curr) pair whose cardinality is
+    bounded by #event-types squared — the output is a model-sized
+    matrix regardless of corpus size, and the per-source normalizer
+    rides the same result via a window over the tiny aggregate (no
+    second scan). Scale: the only data-sized exchange is the per-user
+    lag, identical to sessionize's.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+    )

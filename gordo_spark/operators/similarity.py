@@ -1446,3 +1446,105 @@ def subsequence_topk(
         dist.alias("znorm_dist"),
     )
     return out.orderBy("znorm_dist", tag_col, "window_end").limit(int(k))
+
+
+def pca_np(X: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Single-node PCA with EXACTLY :func:`pca_fit`'s conventions
+    (moment-form covariance, ascending eigh reordered descending,
+    max-|.|-positive sign flip): the shared fit both the sample-trained
+    projection operator and its SQL-oracle generator call, so the
+    components they embed are bit-identical (the pq_train /
+    ``_lloyds_np`` pattern)."""
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    mean = X.sum(axis=0) / n
+    cov = X.T @ X / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    ratios = np.maximum(evals[order], 0) / np.maximum(evals, 0).sum()
+    return mean, comps, ratios
+
+
+def pca_sample_fit(
+    vectors: DataFrame,
+    k: int = 4,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """PCA trained on a BOUNDED DETERMINISTIC SAMPLE (first ``sample_n``
+    ids, driver-side numpy) — the codebook-training posture of
+    :func:`pq_train` applied to the projection basis: component quality
+    saturates at a few thousand training points no matter the corpus
+    size, so the fit boundary ships ``sample_n * d`` doubles once and
+    the corpus-sized work stays in :func:`pca_transform`. The
+    full-corpus sufficient-stats fit (:func:`pca_fit`) remains the
+    exact-variance path; this is the oracle-checkable apply path
+    (iterative fit rows-only, deterministic apply SQL-matched)."""
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("nv"))
+        .orderBy("_id")
+        .limit(int(sample_n))
+        .collect()
+    )
+    X = np.stack([np.asarray(r["nv"], dtype=np.float64) for r in rows])
+    return pca_np(X, k)
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar (per-dimension min-max) quantization of an embedding
+    column to ``levels+1`` integer codes plus the per-vector
+    reconstruction MSE — the 4x-compression baseline every
+    vector-store ships alongside PQ (d float32 -> d uint8): code_j =
+    floor((x_j - min_j) * levels / span_j + 0.5), reconstruction
+    ``min_j + code_j * span_j / levels``.
+
+    Two passes, both corpus-shaped: ONE map-side-combined aggregation
+    for the d (min, max) pairs — a fit-time boundary of 2d doubles to
+    the driver, like centroids — then one row-local codegen encode with
+    the bounds as array literals in the task closure: no join, no
+    shuffle, no Python. Zero-span dimensions encode to 0. The encode
+    arithmetic is stated in one fixed operation order so the SQL oracle
+    reproduces it bit-for-bit.
+    """
+    L = float(levels)
+    e = _as_double(F.col(vec_col))
+    ex = vectors.select(F.posexplode(e).alias("j", "x"))
+    stats = sorted(
+        ex.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect(),
+        key=lambda r: r["j"],
+    )
+    mn = [float(r["mn"]) for r in stats]
+    sp = [float(r["mx"]) - float(r["mn"]) for r in stats]
+    d = len(mn)
+    MN = F.array(*[F.lit(v) for v in mn])
+    SP = F.array(*[F.lit(v) for v in sp])
+    centered = F.zip_with(e, MN, lambda x, m: x - m)
+    codes = F.zip_with(
+        centered,
+        SP,
+        lambda c, s: F.when(s > 0, F.floor(c * F.lit(L) / s + F.lit(0.5))).otherwise(
+            F.lit(0)
+        ),
+    )
+    errs = F.zip_with(
+        F.zip_with(codes.cast("array<double>"), SP, lambda q, s: q * s / F.lit(L)),
+        centered,
+        lambda r, c: r - c,
+    )
+    mse = (
+        F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x * x) / F.lit(float(d))
+    )
+    return vectors.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        mse.alias("mse"),
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
 
 
@@ -200,3 +201,62 @@ def cusum_drift(
         ).alias("cusum"),
     )
     return out.withColumn("alarm", F.col("cusum") > float(threshold_h))
+
+
+def holt(
+    df: DataFrame,
+    value_col: str = "value",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    ts_col: str = "ts",
+    machine_col: str | None = None,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per series — the
+    trend-aware upgrade of the reference's ewm smoothing
+    (diff.py:302-308): level ``l_t = a*x_t + (1-a)*(l_{t-1}+b_{t-1})``,
+    trend ``b_t = B*(l_t-l_{t-1}) + (1-B)*b_{t-1}`` (Holt 1957), with
+    ``l_1 = x_1, b_1 = 0``. Appends the smoothed level, the trend, and
+    the one-step-ahead forecast ``l_t + b_t`` — the residual
+    ``x_{t+1} - forecast_t`` is the drift-robust anomaly signal a plain
+    EWMA residual is not.
+
+    Recursive over all history, so it runs on the sanctioned slow path:
+    Arrow-batched ``applyInPandas``, ONE group per series key, identical
+    to :func:`ewma` (the grouping key is the parallelism unit — fleet
+    scaling comes from many series, never from splitting one). The SQL
+    oracle states the same recursion as a per-series recursive CTE.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    a, b = float(alpha), float(beta)
+    group_cols = [machine_col] if machine_col else []
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+
+    def _holt(pdf):
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype=float)
+        lev = np.empty(len(x))
+        tr = np.empty(len(x))
+        if len(x):
+            lev[0], tr[0] = x[0], 0.0
+            for i in range(1, len(x)):
+                lev[i] = a * x[i] + (1.0 - a) * (lev[i - 1] + tr[i - 1])
+                tr[i] = b * (lev[i] - lev[i - 1]) + (1.0 - b) * tr[i - 1]
+        pdf["level"], pdf["trend"] = lev, tr
+        pdf["forecast"] = lev + tr
+        return pdf
+
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(_holt, schema=schema)
+    return (
+        df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda p: _holt(p.drop(columns="_g")), schema=schema)
+    )

@@ -1111,3 +1111,74 @@ def bm25_topk(
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over the
+    corpus bigram stream (Church & Hanks 1990): ``pmi(a, b) =
+    ln(c(a,b) * N / (c1(a) * c2(b)))`` with c1/c2 the first-/second-slot
+    marginals of the SAME contingency table — the phrase detector a
+    tokenizer-vocabulary or quality pass runs before merging multiword
+    units.
+
+    Scan discipline (the curation_verdict lesson): the corpus is read
+    ONCE into the map-side-combined bigram count table, which is
+    persisted — Spark's exchange reuse does not unify separately-built
+    aggregate branches, so the uncached formulation re-reads the corpus
+    once per marginal. Both marginals are WINDOW sums over the cached
+    table (vocab-bounded, never corpus-sized) and the grand total is a
+    1-row aggregate of the same cache, broadcast by construction. The
+    ``min_count`` filter prunes AFTER the marginals (they must count
+    every pair) but before the ln. Counts are exact integers, so the
+    only float is the final ln, rounded to 6dp; ties break lexically,
+    output is ``topk`` rows via TakeOrdered. The cached table is
+    LRU-evicted once downstream jobs finish.
+    """
+    words = tokens(F.col(text_col))
+    bi = (
+        df.select(words.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).persist()
+    from pyspark.sql import Window
+
+    annotated = counts.withColumn(
+        "c1", F.sum("n").over(Window.partitionBy("w1"))
+    ).withColumn("c2", F.sum("n").over(Window.partitionBy("w2")))
+    total = counts.agg(F.sum("n").alias("nn"))
+    scored = (
+        annotated.filter(F.col("n") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") * F.col("nn").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(int(topk))

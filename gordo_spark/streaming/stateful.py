@@ -155,3 +155,82 @@ def ewma_stream_multi(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def holt_stream(
+    stream: DataFrame,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    key_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming Holt double-exponential smoothing — the stateful form
+    of ``operators.smoothing.holt`` (level + trend + one-step
+    forecast): per-key state is the two scalars (l, b) of the
+    recurrence
+
+        l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}      (l_1=x_1, b_1=0)
+
+    so state is O(1) per key for an unbounded stream, exactly like
+    :func:`ewma_stream`, with the same within-batch-sort /
+    in-order-source ordering contract. stream==batch parity is pinned
+    in tests/test_streaming.py."""
+    a, b = float(alpha), float(beta)
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("l", DoubleType()), StructField("b", DoubleType())]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lev, tr = state.get
+            started = True
+        else:
+            lev, tr, started = 0.0, 0.0, False
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        levels, trends = [], []
+        for x in rows[value_col]:
+            x = float(x)
+            if not started:
+                lev, tr, started = x, 0.0, True
+            else:
+                prev = lev
+                lev = a * x + (1.0 - a) * (lev + tr)
+                tr = b * (lev - prev) + (1.0 - b) * tr
+            levels.append(lev)
+            trends.append(tr)
+        state.update((lev, tr))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: rows[ts_col].values,
+                value_col: rows[value_col].values,
+                "level": levels,
+                "trend": trends,
+                "forecast": [l + t for l, t in zip(levels, trends)],
+            }
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -56,6 +56,8 @@ ACCEPTED = {
     "length_histogram": "1-row total-doc-count frame broadcast to the histogram-sized table",
     "tfidf_topk": "1-row corpus-doc-count frame broadcast to the vocab table",
     "tpch_q22": "1-row scalar subquery (avg-acctbal threshold) broadcast",
+    "pmi_cooccur": "1-row corpus-bigram-total frame broadcast to the "
+    "min_count-pruned pair table",
     "m2_ols_predict": "1-row OLS coefficient frame broadcast to scored rows",
     "m3_cv_splits": "1-row total-count frame broadcast to n_splits rows",
     "m4_kfold_threshold": "1-row per-fold threshold frames broadcast",

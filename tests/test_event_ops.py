@@ -211,3 +211,45 @@ def test_retention_cohorts_weekly(spark):
     assert out[("2024-01-08", 0)] == (1, 1.0)
     assert out[("2024-01-08", 2)] == (1, 1.0)
     assert ("2024-01-08", 1) not in out
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from gordo_spark.operators.ranges import event_transitions
+
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    rows = [
+        # user 1: view -> click -> view   user 2: view -> view
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "view"),
+        (4, t0, 2, "view"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["prob"])
+        for r in event_transitions(ev).collect()
+    }
+    assert out[("view", "click")] == (1, 0.5)
+    assert out[("view", "view")] == (1, 0.5)
+    assert out[("click", "view")] == (1, 1.0)
+    assert len(out) == 3
+
+
+def test_event_transitions_tie_breaks_on_event_id(spark):
+    from gordo_spark.operators.ranges import event_transitions
+
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    # same timestamp: event_id orders the pair deterministically
+    ev = spark.createDataFrame(
+        [(1, t0, 1, "a"), (2, t0, 1, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = event_transitions(ev).collect()
+    assert len(out) == 1 and (out[0]["prev_type"], out[0]["next_type"]) == ("a", "b")

@@ -930,3 +930,55 @@ def test_stream_constraint_counts_matches_batch(spark, tmp_path):
     assert got["not_null(value)"].sum() == 3
     assert got["in_set(kind)"].sum() == 5       # i in {0,7,14,21,28}
     assert got["v<25"].sum() == 5               # values 25..29
+
+
+def test_holt_stream_matches_batch_across_batches(spark, sf_dir, tmp_path, events_schema):
+    """Streaming Holt state (l, b) must carry across micro-batches: the
+    streamed level/trend/forecast over two sequential files equals the
+    batch operator over the whole series."""
+    import pandas as pd
+    from gordo_spark.operators.smoothing import holt
+    from gordo_spark.streaming.stateful import holt_stream
+
+    long = (
+        EventsAsSensorProvider(sf_dir)
+        .read(spark, TAGS)
+        .filter(F.col("tag") == "click")
+    )
+    res = resample_aggregate(long, "1H", "mean")
+    pdf = res.toPandas().sort_values("ts").reset_index(drop=True)
+    half = len(pdf) // 2
+    src = f"{tmp_path}/holt_src"
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(res.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        holt_stream(stream, alpha=0.3, beta=0.2)
+        .writeStream.format("memory")
+        .queryName("holt_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("holt_stream_test")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    exp = (
+        holt(spark.createDataFrame(pdf), "value", alpha=0.3, beta=0.2, machine_col="tag")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["level"], exp["level"], rtol=1e-9)
+    np.testing.assert_allclose(got["trend"], exp["trend"], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got["forecast"], exp["forecast"], rtol=1e-9)

@@ -478,3 +478,33 @@ def test_cusum_reflection_matches_naive_recursion(spark):
     # the shift trips the alarm only in the second half
     assert not out["alarm"][:100].any()
     assert out["alarm"][120:].all()
+
+
+def test_holt_matches_naive_recursion(spark):
+    from gordo_spark.operators.smoothing import holt
+
+    rng = np.random.default_rng(7)
+    frames = []
+    for tag in ["a", "b"]:
+        ts = pd.date_range("2020-01-01", periods=200, freq="1h")
+        frames.append(
+            pd.DataFrame({"tag": tag, "ts": ts, "value": rng.random(200) * 10})
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    out = (
+        holt(spark.createDataFrame(pdf), "value", alpha=0.3, beta=0.2, machine_col="tag")
+        .orderBy("tag", "ts")
+        .toPandas()
+    )
+    for tag, g in pdf.groupby("tag"):
+        x = g.sort_values("ts")["value"].to_numpy()
+        l = np.empty_like(x)
+        b = np.empty_like(x)
+        l[0], b[0] = x[0], 0.0
+        for i in range(1, len(x)):
+            l[i] = 0.3 * x[i] + 0.7 * (l[i - 1] + b[i - 1])
+            b[i] = 0.2 * (l[i] - l[i - 1]) + 0.8 * b[i - 1]
+        got = out[out.tag == tag]
+        assert np.allclose(got["level"], l, atol=1e-9)
+        assert np.allclose(got["trend"], b, atol=1e-9)
+        assert np.allclose(got["forecast"], l + b, atol=1e-9)

@@ -2131,3 +2131,128 @@ def test_check_constraints_null_semantics(spark):
     assert by["v_gt1"] == 1                     # NULL predicate counted
     assert by["unique(k)"] == 2                 # two NULL-keyed rows group
     assert by["foreign_key(k->rk)"] == 1        # k=1 orphan; NULLs skipped
+
+
+def test_duplicate_spans_finds_planted_run(spark):
+    from gordo_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(15))  # 15-token duplicated run
+    boiler = " ".join(f"b{i % 8}" for i in range(8))  # ubiquitous 8-gram
+    rows = [
+        (1, "x0 x1 x2 " + shared + " x3 x4"),
+        (2, "y0 " + shared + " y1 y2 y3 y4 y5"),
+        (3, "unique tokens only here nothing shared at all " + boiler),
+    ] + [(10 + i, boiler + f" filler{i} pad pad2 pad3 pad4 pad5 pad6 pad7") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, k=8, min_len=12, max_df=16).collect()
+    # the planted run: doc 1 pos 3, doc 2 pos 1, 15 tokens
+    planted = [r for r in out if r["doc_a"] == 1 and r["doc_b"] == 2]
+    assert len(planted) == 1
+    r = planted[0]
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (3, 1, 15)
+    # the boilerplate 8-gram appears in 21 docs (> max_df occurrences) -> dropped
+    assert not any(r["doc_a"] >= 3 or r["doc_b"] >= 3 for r in out)
+
+
+def test_duplicate_spans_merges_islands_not_gaps(spark):
+    from gordo_spark.operators.dedup import duplicate_spans
+
+    run = " ".join(f"t{i}" for i in range(12))
+    # same 12-token run twice in doc 2, separated by noise: two spans
+    df = spark.createDataFrame(
+        [(1, run + " gapA gapB"), (2, run + " zz " + run)],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(df, k=8, min_len=12, max_df=16).collect()
+    spans = sorted((r["start_a"], r["start_b"], r["span_tokens"]) for r in out)
+    assert spans == [(0, 0, 12), (0, 13, 12)]
+
+
+def test_pmi_bigrams_math(spark):
+    from gordo_spark.operators.text import pmi_bigrams
+
+    # 6x "a b" + 5x "c d": N=11, pmi(a,b)=ln(6*11/(6*6)), pmi(c,d)=ln(5*11/(5*5))
+    rows = [(i, "a b") for i in range(6)] + [(10 + i, "c d") for i in range(5)]
+    out = pmi_bigrams(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_count=5,
+        topk=20,
+    ).collect()
+    got = {(r["w1"], r["w2"]): (r["n"], r["pmi"]) for r in out}
+    assert got[("a", "b")][0] == 6
+    assert got[("a", "b")][1] == pytest.approx(math.log(11 / 6), abs=1e-6)
+    assert got[("c", "d")][1] == pytest.approx(math.log(11 / 5), abs=1e-6)
+    # ordering: highest pmi first
+    assert out[0]["w1"] == "c"
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from gordo_spark.operators.similarity import quantize_embeddings
+
+    # dim0 spans [0, 255] on-grid -> exact codes, zero error
+    # dim1 constant -> span 0 -> code 0, zero error
+    rows = [(i, [float(i * 51), 7.0]) for i in range(6)]
+    out = quantize_embeddings(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ).collect()
+    for r in sorted(out, key=lambda r: r["vec_id"]):
+        assert r["codes"][0] == r["vec_id"] * 51
+        assert r["codes"][1] == 0
+        assert r["mse"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_quantize_embeddings_bounds_and_mse(spark, embs):
+    from gordo_spark.operators.similarity import quantize_embeddings
+
+    rows = quantize_embeddings(embs).collect()
+    assert all(0 <= c <= 255 for r in rows for c in r["codes"])
+    # quantization error bounded by (span/255/2)^2 per dim
+    V = np.array(
+        [r["embedding"] for r in embs.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    span = V.max(axis=0) - V.min(axis=0)
+    bound = float(np.mean((span / 255.0 / 2.0) ** 2)) * 1.0000001
+    assert all(r["mse"] <= bound for r in rows)
+
+
+def test_pca_sample_fit_matches_numpy(spark, embs):
+    from gordo_spark.operators.similarity import pca_np, pca_sample_fit, pca_transform
+
+    mean, comps, ratios = pca_sample_fit(embs, k=4, sample_n=128)
+    rows = embs.orderBy("vec_id").limit(128).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m2, c2, r2 = pca_np(X, 4)
+    assert np.array_equal(mean, m2) and np.array_equal(comps, c2)
+    # projection parity vs numpy on the full table
+    out = pca_transform(embs, mean, comps).orderBy("vec_id").collect()
+    V = np.array(
+        [r["embedding"] for r in embs.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    P = (V - mean) @ comps.T
+    got = np.array([r["pca"] for r in out])
+    assert np.allclose(got, P, atol=1e-9)
+
+
+def test_logreg_sample_apply_parity(spark, docs):
+    """Sample-trained weights + distributed sigmoid == numpy end-to-end."""
+    import __spark_entry__ as entry
+
+    feats = entry._logreg_features(docs)
+    sample = (
+        feats.orderBy("doc_id").limit(64).select("f_chars", "f_words", "f_uniq", "label").collect()
+    )
+    from gordo_spark.ml.logreg import LogisticModel, numpy_irls
+
+    X = np.array([[r["f_chars"], r["f_words"], r["f_uniq"]] for r in sample])
+    y = np.array([float(r["label"]) for r in sample])
+    w = numpy_irls(X, y)
+    model = LogisticModel(["f_chars", "f_words", "f_uniq"], "label")
+    model.coef_ = w
+    got = {
+        r["doc_id"]: r["score"]
+        for r in model.score(feats).select("doc_id", "score").collect()
+    }
+    pdf = feats.toPandas().sort_values("doc_id")
+    Z = w[0] + pdf[["f_chars", "f_words", "f_uniq"]].to_numpy() @ w[1:]
+    want = 1.0 / (1.0 + np.exp(-Z))
+    assert np.allclose([got[i] for i in pdf["doc_id"]], want, atol=1e-12)
