@@ -1522,6 +1522,8 @@ def quantize_embeddings(
         ex.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect(),
         key=lambda r: r["j"],
     )
+    if not stats:
+        raise ValueError("empty vector table")
     mn = [float(r["mn"]) for r in stats]
     sp = [float(r["mx"]) - float(r["mn"]) for r in stats]
     d = len(mn)

@@ -218,7 +218,10 @@ def holt(
     ``l_1 = x_1, b_1 = 0``. Appends the smoothed level, the trend, and
     the one-step-ahead forecast ``l_t + b_t`` — the residual
     ``x_{t+1} - forecast_t`` is the drift-robust anomaly signal a plain
-    EWMA residual is not.
+    EWMA residual is not. NaN observations COAST: they emit NaN and
+    leave the (l, b) state untouched, so one bad bucket cannot poison
+    the rest of the series (naive substitution would propagate NaN
+    through the recursion forever).
 
     Recursive over all history, so it runs on the sanctioned slow path:
     Arrow-batched ``applyInPandas``, ONE group per series key, identical
@@ -242,13 +245,23 @@ def holt(
     def _holt(pdf):
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
         x = pdf[value_col].to_numpy(dtype=float)
-        lev = np.empty(len(x))
-        tr = np.empty(len(x))
-        if len(x):
-            lev[0], tr[0] = x[0], 0.0
-            for i in range(1, len(x)):
-                lev[i] = a * x[i] + (1.0 - a) * (lev[i - 1] + tr[i - 1])
-                tr[i] = b * (lev[i] - lev[i - 1]) + (1.0 - b) * tr[i - 1]
+        lev = np.full(len(x), np.nan)
+        tr = np.full(len(x), np.nan)
+        # NaN observations emit NaN and leave the (l, b) state untouched
+        # (state coasts — the next real sample resumes the recursion),
+        # so one bad bucket cannot poison the rest of the series the way
+        # naive NaN propagation would
+        l_s, b_s, started = 0.0, 0.0, False
+        for i in range(len(x)):
+            if np.isnan(x[i]):
+                continue
+            if not started:
+                l_s, b_s, started = x[i], 0.0, True
+            else:
+                prev = l_s
+                l_s = a * x[i] + (1.0 - a) * (l_s + b_s)
+                b_s = b * (l_s - prev) + (1.0 - b) * b_s
+            lev[i], tr[i] = l_s, b_s
         pdf["level"], pdf["trend"] = lev, tr
         pdf["forecast"] = lev + tr
         return pdf

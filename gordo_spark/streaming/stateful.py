@@ -203,6 +203,11 @@ def holt_stream(
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
         levels, trends = [], []
         for x in rows[value_col]:
+            # NaN coasts: emit NaN, state untouched (batch-operator parity)
+            if pd.isna(x):
+                levels.append(float("nan"))
+                trends.append(float("nan"))
+                continue
             x = float(x)
             if not started:
                 lev, tr, started = x, 0.0, True
@@ -212,7 +217,10 @@ def holt_stream(
                 tr = b * (lev - prev) + (1.0 - b) * tr
             levels.append(lev)
             trends.append(tr)
-        state.update((lev, tr))
+        if started:
+            # an all-NaN first batch must NOT seed state with the 0.0
+            # placeholders — leave state absent until a real sample lands
+            state.update((lev, tr))
         yield pd.DataFrame(
             {
                 key_col: key[0],
@@ -226,6 +234,68 @@ def holt_stream(
 
     return (
         stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def transitions_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming form of ``operators.ranges.event_transitions``'s pair
+    stream: per-user state is ONE string (the last event type), so each
+    arriving event emits its (prev_type, next_type) pair and replaces
+    the state — O(1) per key for an unbounded stream. Rows are ordered
+    by (ts, order_col) within each micro-batch (the tie key makes
+    same-timestamp events deterministic, matching the batch window);
+    cross-batch order is the source's responsibility, as for
+    :func:`ewma_stream`. Downstream aggregation to the transition
+    matrix is an ordinary streaming groupBy or the batch operator over
+    the landed pair stream — stream==batch parity is pinned in
+    tests/test_streaming.py."""
+    out_schema = StructType(
+        [
+            StructField(user_col, stream.schema[user_col].dataType),
+            StructField(ts_col, TimestampType()),
+            StructField("prev_type", StringType()),
+            StructField("next_type", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_type", StringType())])
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (last,) = state.get if state.exists else (None,)
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, order_col])
+        prevs, nexts, tss = [], [], []
+        for ts, t in zip(rows[ts_col], rows[type_col]):
+            if last is not None:
+                prevs.append(last)
+                nexts.append(t)
+                tss.append(ts)
+            last = t
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                user_col: key[0],
+                ts_col: pd.Series(tss, dtype="datetime64[ns]"),
+                "prev_type": pd.Series(prevs, dtype="object"),
+                "next_type": pd.Series(nexts, dtype="object"),
+            }
+        )
+
+    return (
+        stream.groupBy(user_col)
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,

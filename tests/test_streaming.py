@@ -982,3 +982,53 @@ def test_holt_stream_matches_batch_across_batches(spark, sf_dir, tmp_path, event
     np.testing.assert_allclose(got["level"], exp["level"], rtol=1e-9)
     np.testing.assert_allclose(got["trend"], exp["trend"], rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(got["forecast"], exp["forecast"], rtol=1e-9)
+
+
+def test_transitions_stream_matches_batch_across_batches(spark, sf_dir, tmp_path):
+    """Per-user last-event state must carry across micro-batches: the
+    streamed (prev, next) pair counts over two sequential files equal
+    the batch event_transitions over the whole table."""
+    import pandas as pd
+    from gordo_spark.operators.ranges import event_transitions
+    from gordo_spark.streaming.stateful import transitions_stream
+
+    from gordo_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    half = len(pdf) // 2
+    src = f"{tmp_path}/trans_src"
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        transitions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("transitions_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("transitions_stream_test")
+        .groupBy("prev_type", "next_type")
+        .count()
+        .toPandas()
+        .set_index(["prev_type", "next_type"])["count"]
+        .sort_index()
+    )
+    want = (
+        event_transitions(ev)
+        .toPandas()
+        .set_index(["prev_type", "next_type"])["n"]
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(got, want, check_names=False)

@@ -508,3 +508,28 @@ def test_holt_matches_naive_recursion(spark):
         assert np.allclose(got["level"], l, atol=1e-9)
         assert np.allclose(got["trend"], b, atol=1e-9)
         assert np.allclose(got["forecast"], l + b, atol=1e-9)
+
+
+def test_holt_nan_coasts_without_poisoning_state(spark):
+    from gordo_spark.operators.smoothing import holt
+
+    ts = pd.date_range("2020-01-01", periods=6, freq="1h")
+    vals = [1.0, np.nan, 2.0, np.nan, np.nan, 3.0]
+    pdf = pd.DataFrame({"tag": "a", "ts": ts, "value": vals})
+    out = (
+        holt(spark.createDataFrame(pdf), "value", alpha=0.5, beta=0.5, machine_col="tag")
+        .orderBy("ts")
+        .toPandas()
+    )
+    # NaN rows emit NaN, and the recursion continues as if they were absent
+    assert np.isnan(out["level"][1]) and np.isnan(out["forecast"][4])
+    clean = [1.0, 2.0, 3.0]
+    l, b = clean[0], 0.0
+    expect = [(l, b)]
+    for x in clean[1:]:
+        prev = l
+        l = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l - prev) + 0.5 * b
+        expect.append((l, b))
+    got = out.dropna(subset=["level"])[["level", "trend"]].to_numpy()
+    assert np.allclose(got, expect, atol=1e-12)
