@@ -3983,17 +3983,106 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-tokenizer application (operators/bpe.bpe_encode): replay
     the learned merge list (training order, all-occurrence merges) over
     the corpus — one Arrow-batched pass, merge-rank table in the task
-    closure (per-distinct-word memoized), no shuffle. Rows-only
-    (iterative trained artifact); word-for-word parity vs the
-    pure-Python apply pinned in pytest. The trained merge list is the
-    memoized tokenizer artifact (shared with q_bpe_merges): the round-4
-    4.6 s gate time was the 8-iteration TRAINING run twice per gate —
-    the encode itself measures 0.4 s."""
+    closure (per-distinct-word memoized), no shuffle. SQL-MATCHED:
+    the oracle (`_o_bpe_tokenize`) trains the same merge list with the
+    pure-Python reference and replays the apply rule as a recursive CTE
+    over the distinct-word set (iterative TRAINING stays rows-only in
+    q_bpe_merges; word-for-word apply parity additionally pinned in
+    pytest). The trained merge list is the memoized tokenizer artifact
+    (shared with q_bpe_merges): the round-4 4.6 s gate time was the
+    8-iteration TRAINING run twice per gate — the encode itself
+    measures 0.4 s."""
     from gordo_spark.operators.bpe import bpe_encode
 
     docs = read_table(spark, sf_dir, "documents")
     merges = _trained_bpe_merges(spark, sf_dir, n_merges=8)
     return bpe_encode(docs, merges).select("doc_id", "n_words", "n_tokens")
+
+
+def _o_bpe_tokenize(n_merges: int = 8) -> str:
+    """SQL oracle for the trained-tokenizer APPLY (house rule: iterative
+    FIT stays rows-only, deterministic apply gets an oracle — the PQ /
+    pca_project / logreg_apply pattern, applied to BPE). The generator
+    trains the merge list with the pure-Python reference (pytest pins it
+    word-for-word against the distributed bpe_train), embeds the pair
+    ranks as a CASE table, and replays the Sennrich apply rule as a
+    recursive CTE over the DISTINCT-word set: each step merges the
+    LEFTMOST occurrence of the lowest-rank adjacent pair. Single-merge
+    steps are equivalent to the operator's all-occurrence batch merges
+    because a trained list always ranks a pair containing a merged
+    symbol AFTER the merge that created the symbol, so the best rank
+    cannot improve mid-batch. Per-doc counts then join the word stream
+    back to the per-word token counts."""
+    import pyarrow.parquet as papq
+
+    from gordo_spark.operators.bpe import bpe_train_reference
+
+    t = papq.read_table(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"), columns=["text"]
+    )
+    texts = [x for x in t.column("text").to_pylist() if x is not None]
+    merges = bpe_train_reference(texts, n_merges=n_merges)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rank_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN syms[i] = {q(a)} AND syms[i+1] = {q(b)} THEN {r}"
+            for r, (a, b, _) in enumerate(merges)
+        )
+        + " ELSE 999999 END"
+    )
+    return f"""WITH RECURSIVE
+w AS (
+  SELECT DISTINCT word FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word != ''
+),
+rec AS (
+  SELECT word, list_append(string_split(word, ''), '</w>') AS syms
+  FROM w
+  UNION ALL
+  SELECT word,
+         list_slice(syms, 1, pos - 1)
+           || [syms[pos] || syms[pos + 1]]
+           || list_slice(syms, pos + 2, len(syms))
+  FROM (
+    SELECT word, syms,
+           list_position(pr, list_min(pr)) AS pos, list_min(pr) AS mr
+    FROM (
+      SELECT word, syms,
+             list_transform(range(1, len(syms)), i -> {rank_case}) AS pr
+      FROM rec
+    )
+  ) WHERE mr < 999999
+),
+done AS (
+  SELECT word, len(syms) AS tc
+  FROM (
+    SELECT word, syms,
+           list_transform(range(1, len(syms)), i -> {rank_case}) AS pr
+    FROM rec
+  )
+  WHERE len(syms) <= 1 OR list_min(pr) = 999999
+),
+dw AS (
+  SELECT doc_id, ws[i] AS word
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  )
+  WHERE ws[i] != ''
+),
+agg AS (
+  SELECT dw.doc_id, count(*) AS n_words, sum(done.tc) AS n_tokens
+  FROM dw JOIN done USING (word) GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_words, 0)::INT AS n_words,
+       coalesce(agg.n_tokens, 0)::INT AS n_tokens
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
 
 
 def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6641,4 +6730,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _o_embedding_quantize(),
         "pca_project": _o_pca_project(),
         "logreg_apply": _o_logreg_apply(),
+        "bpe_tokenize": _o_bpe_tokenize(),
     }

@@ -273,3 +273,71 @@ def read_jsonl_corpus(
                 )
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_csv_corpus(
+    df: DataFrame,
+    path: str,
+    compression: str = "gzip",
+    files: int | None = None,
+    mode: str = "overwrite",
+    sep: str = ",",
+) -> None:
+    """Export documents as headered CSV shards — the interchange format
+    spreadsheet-era annotation pipelines and many labeling vendors still
+    speak. Embedded separators/quotes/newlines are quoted+escaped per
+    RFC 4180 (quote-all stays off: it doubles numeric-heavy exports) —
+    but note a quoted embedded NEWLINE makes the record span lines, and
+    reading that back needs ``read_csv_corpus(multiline=True)`` (see
+    its tradeoff note); normalize newlines out of text upstream if the
+    read side must stay splittable. ``files`` sizes the shard count
+    exactly like ``write_jsonl_corpus``."""
+    out = df.repartition(files) if files else df
+    (
+        out.write.mode(mode)
+        .option("compression", compression)
+        .option("header", True)
+        .option("sep", sep)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema,
+    sep: str = ",",
+    multiline: bool = False,
+) -> DataFrame:
+    """Read a CSV corpus with the same corrupt-row containment contract
+    as :func:`read_jsonl_corpus`: ``schema`` is REQUIRED (inference is
+    an extra full pass at 100 TB and silently widens types on dirty
+    rows), malformed rows land in ``_corrupt_record`` (PERMISSIVE)
+    instead of failing the scan, and a caller-supplied StructType is
+    copied before extension.
+
+    ``multiline`` defaults to OFF because multiLine=true removes intra-
+    file split points (one task per file — a serialized scan unless the
+    corpus is sharded small); leave it off for newline-free corpora,
+    turn it on only when documents carry quoted embedded newlines
+    (which otherwise parse as spurious/corrupt line-fragment rows)."""
+    if isinstance(schema, str):
+        schema = schema + ", _corrupt_record string"
+    else:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = StructType(
+                schema.fields + [StructField("_corrupt_record", StringType())]
+            )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", sep)
+        .option("escape", '"')
+        .option("multiLine", bool(multiline))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )

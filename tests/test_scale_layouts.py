@@ -504,3 +504,70 @@ def test_jsonl_corpus_roundtrip_and_corrupt_line(spark, tmp_path):
     got2 = read_jsonl_corpus(spark, path, caller_schema)
     assert "_corrupt_record" in got2.columns
     assert caller_schema.fieldNames() == ["doc_id", "text", "source"]
+
+
+def test_csv_corpus_roundtrip_corrupt_row_and_multiline(spark, tmp_path):
+    """CSV export round-trips quotes/separators through gzip shards; a
+    malformed row surfaces in _corrupt_record; embedded newlines need
+    multiline=True (documented one-task-per-file tradeoff)."""
+    import gzip
+    import os
+
+    import pandas as pd
+
+    from gordo_spark.sources.corpus_lake import (
+        read_csv_corpus, write_csv_corpus,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha words", 'has, comma and "quotes"', "plain é"],
+            "source": ["web", "wiki", "web"],
+        }
+    )
+    path = str(tmp_path / "corpus_csv")
+    write_csv_corpus(spark.createDataFrame(pdf), path, files=2)
+    parts = [f for f in os.listdir(path) if f.endswith(".csv.gz")]
+    assert len(parts) == 2
+    got = (
+        read_csv_corpus(spark, path, "doc_id long, text string, source string")
+        .select("doc_id", "text", "source")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, pdf)
+
+    # a row with the wrong arity lands in _corrupt_record, not a crash
+    with gzip.open(os.path.join(path, "part-corrupt.csv.gz"), "wt") as fh:
+        fh.write("doc_id,text,source\n")
+        fh.write('4,fine,web\n')
+        fh.write('not-a-long,only-two\n')
+    df = read_csv_corpus(
+        spark, path, "doc_id long, text string, source string"
+    ).cache()
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert df.filter(F.col("doc_id") == 4).count() == 1
+    df.unpersist()
+
+    # embedded newline: lost at multiline=False (fragment rows), exact
+    # round-trip at multiline=True
+    nl = pd.DataFrame({"doc_id": [9], "text": ["line one\nline two"], "source": ["web"]})
+    path2 = str(tmp_path / "corpus_csv_nl")
+    write_csv_corpus(spark.createDataFrame(nl), path2, files=1)
+    got2 = (
+        read_csv_corpus(
+            spark, path2, "doc_id long, text string, source string", multiline=True
+        )
+        .select("doc_id", "text", "source")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got2, nl)
+
+    # caller StructType not mutated
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    caller_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    read_csv_corpus(spark, path, caller_schema)
+    assert "_corrupt_record" not in caller_schema.fieldNames()
