@@ -6198,8 +6198,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_DUP_SPANS = """
-WITH t AS (
+_DUP_SPANS_CTES = """t AS (
   SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents
   WHERE len(string_split(text, ' ')) >= 8
 ),
@@ -6222,12 +6221,54 @@ runs AS (
            PARTITION BY doc_a, doc_b, diff ORDER BY pa
          ) AS island
   FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         count(*) + 7 AS span_tokens
+  FROM runs GROUP BY doc_a, doc_b, diff, island
+  HAVING count(*) + 7 >= 12
+)"""
+
+O_DUP_SPANS = (
+    "WITH "
+    + _DUP_SPANS_CTES
+    + "\nSELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans"
 )
-SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
-       count(*) + 7 AS span_tokens
-FROM runs GROUP BY doc_a, doc_b, diff, island
-HAVING count(*) + 7 >= 12
-"""
+
+O_DUP_STRIP = (
+    "WITH "
+    + _DUP_SPANS_CTES
+    + """,
+cutpos AS (
+  SELECT doc_b AS doc_id, unnest(range(start_b, start_b + span_tokens)) AS p
+  FROM spans
+),
+cut AS (SELECT doc_id, list(DISTINCT p) AS cut FROM cutpos GROUP BY doc_id),
+src AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+SELECT src.doc_id,
+       CASE WHEN cut.cut IS NULL THEN src.text
+            ELSE coalesce(array_to_string(
+              list_transform(
+                list_filter(range(0, len(ws)), i -> NOT list_contains(cut.cut, i)),
+                i -> ws[i + 1]
+              ), ' '), '')
+       END AS text_clean,
+       coalesce(len(cut.cut), 0)::INT AS n_removed
+FROM src LEFT JOIN cut USING (doc_id)"""
+)
+
+
+def q_dup_spans_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step of exact-substring dedup (operators/dedup.
+    strip_duplicate_spans — Lee et al. 2021: remove one copy of every
+    duplicated span, from the younger document): span rows explode to
+    bounded cut-marks, ONE position-set per affected doc, and the text
+    rebuild is row-local — document text never shuffles."""
+    from gordo_spark.operators.dedup import duplicate_spans, strip_duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, k=8, min_len=12, max_df=16)
+    return strip_duplicate_spans(docs, spans)
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6393,6 +6434,71 @@ def _o_logreg_apply(sample_n: int = 256) -> str:
 FROM documents"""
 
 
+def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vocabulary maintenance (operators/text.
+    merge_term_stats): the landed corpus's full term-stats table
+    absorbs a doc-disjoint delta batch via one delta-sized aggregation
+    + one vocab-keyed full-outer join — and the result must equal a
+    FULL RECOMPUTE over the union, which is exactly what the oracle
+    does (the incremental==full law, the rollup_sensor_lake pattern
+    applied to vocab tables). Top-50 cut for the contract surface."""
+    from gordo_spark.operators.text import merge_term_stats, term_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    landed = term_stats(docs.filter(F.col("doc_id") < 400), top_k=None)
+    delta = term_stats(docs.filter(F.col("doc_id") >= 400), top_k=None)
+    merged = merge_term_stats(landed, delta)
+    return merged.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(50)
+
+
+# the oracle IS the full recompute — identical to O_TERM_STATS
+O_VOCAB_INCREMENTAL = O_TERM_STATS
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick doc embeddings (operators/text.feature_hash_embed,
+    Weinberger 2009): training-free featurizer — md5 slot/sign signed
+    counts, L2-normalized, one row-local codegen pass, no fit, no
+    vocab, no shuffle. First 4 of 8 dims shown (the norm uses all 8)."""
+    from gordo_spark.operators.text import feature_hash_embed
+
+    out = feature_hash_embed(read_table(spark, sf_dir, "documents"), dim=8)
+    return _r6(
+        out.select("doc_id", "h0", "h1", "h2", "h3"), "h0", "h1", "h2", "h3"
+    )
+
+
+def _o_feature_hash(dim: int = 8) -> str:
+    case = lambda j: (  # noqa: E731 - local SQL fragment builder
+        f"sum(CASE WHEN slot = {j} AND pos THEN 1"
+        f" WHEN slot = {j} THEN -1 ELSE 0 END)::DOUBLE"
+    )
+    norm = " + ".join(f"h{j} * h{j}" for j in range(dim))
+    cols = ",\n       ".join(
+        f"ROUND(CASE WHEN sqrt({norm}) > 0 THEN h{j} / sqrt({norm})"
+        f" ELSE 0.0 END, 6) AS h{j}"
+        for j in range(4)
+    )
+    slots = ",\n    ".join(f"{case(j)} AS h{j}" for j in range(dim))
+    return f"""WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT % {dim} AS slot,
+         ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0 AS pos
+  FROM tk
+),
+v AS (
+  SELECT doc_id,
+    {slots}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       {cols}
+FROM v"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -6539,6 +6645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pca_project": q_pca_project,
         "logreg_apply": q_logreg_apply,
+        "feature_hash": q_feature_hash,
+        "vocab_incremental": q_vocab_incremental,
+        "dup_spans_strip": q_dup_spans_strip,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -6731,4 +6840,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_project": _o_pca_project(),
         "logreg_apply": _o_logreg_apply(),
         "bpe_tokenize": _o_bpe_tokenize(),
+        "feature_hash": _o_feature_hash(),
+        "vocab_incremental": O_VOCAB_INCREMENTAL,
+        "dup_spans_strip": O_DUP_STRIP,
     }

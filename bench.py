@@ -124,6 +124,9 @@ HEADLINE = [
     "embedding_quantize",
     "pca_project",
     "logreg_apply",
+    "feature_hash",
+    "vocab_incremental",
+    "dup_spans_strip",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -1171,3 +1171,53 @@ def duplicate_spans(
     return spans.filter(F.col("span_tokens") >= min_len).select(
         "doc_a", "doc_b", "start_a", "start_b", "span_tokens"
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CUT step of exact-substring dedup (Lee et al. 2021 remove
+    one copy of every duplicated span): given :func:`duplicate_spans`
+    output, remove the span tokens from the YOUNGER document of each
+    pair (``doc_b`` — the larger id, matching the earlier-id-survives
+    rule used everywhere else here) and reassemble its text.
+
+    Scale shape: span rows explode to (doc, position) cut-marks —
+    volume = duplicated tokens, not corpus tokens — which aggregate to
+    ONE position-set array per affected doc; the corpus then LEFT-joins
+    that bounded cut table and rebuilds text ROW-LOCALLY (filter token
+    indices against the cut set, concat) — document text never
+    shuffles, the only data-sized exchange is the cut-table join on the
+    unique doc id. Overlapping spans union their positions
+    (collect_set). Untouched docs pass through byte-identical with
+    ``n_removed = 0``.
+    """
+    cut = (
+        spans.select(
+            F.col("doc_b").alias(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span_tokens") - 1,
+                )
+            ).alias("_pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_pos").alias("_cut"))
+    )
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    kept = F.filter(idx, lambda i: ~F.array_contains(F.col("_cut"), i))
+    kept_tokens = F.transform(kept, lambda i: F.element_at(toks, i + 1))
+    return df.join(cut, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("_cut").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept_tokens))
+        .alias("text_clean"),
+        F.when(F.col("_cut").isNull(), F.lit(0))
+        .otherwise(F.size("_cut"))
+        .alias("n_removed"),
+    )

@@ -209,7 +209,7 @@ def term_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    top_k: int = 50,
+    top_k: int | None = 50,
 ) -> DataFrame:
     """Corpus-level term statistics: term frequency (total occurrences)
     and document frequency (docs containing the term) for the ``top_k``
@@ -230,7 +230,34 @@ def term_stats(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct(F.col(id_col)).alias("n_docs"),
     )
+    if top_k is None:
+        return stats
     return stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(top_k)
+
+
+def merge_term_stats(landed: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental vocabulary maintenance: fold a new batch's term
+    statistics (``term_stats(top_k=None)`` over JUST the delta) into the
+    landed full-vocab table — tf and n_docs are additive over
+    doc-DISJOINT batches (the backfill/snapshot-merge contract, same as
+    ``incremental_dedup``), so maintaining the vocabulary of a growing
+    100 TB corpus costs one delta-sized aggregation plus one vocab-keyed
+    full-outer join, never a recompute of the landed corpus. The
+    incremental==full-recompute law is the ``vocab_incremental``
+    contract query's oracle."""
+    l = landed.select(
+        "term", F.col("tf").alias("_tf_l"), F.col("n_docs").alias("_nd_l")
+    )
+    d = delta.select(
+        "term", F.col("tf").alias("_tf_d"), F.col("n_docs").alias("_nd_d")
+    )
+    return l.join(d, "term", "full_outer").select(
+        "term",
+        (F.coalesce("_tf_l", F.lit(0)) + F.coalesce("_tf_d", F.lit(0))).alias("tf"),
+        (F.coalesce("_nd_l", F.lit(0)) + F.coalesce("_nd_d", F.lit(0))).alias(
+            "n_docs"
+        ),
+    )
 
 
 def chunk_text(
@@ -1182,3 +1209,53 @@ def pmi_bigrams(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(int(topk))
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 8,
+) -> DataFrame:
+    """Hashing-trick document embeddings (Weinberger et al., ICML 2009
+    — feature hashing): every token hashes to a slot in a ``dim``-wide
+    vector with a second hash bit choosing +/-1, the doc vector is the
+    signed count per slot, L2-normalized — the deterministic,
+    training-free featurizer that feeds clustering / dedup / logreg
+    when no learned embedding exists. Unlike a vocabulary featurizer
+    there is NO fit step and NO vocab table: the "model" is the hash
+    function, so the operator is one row-local codegen pass (2*dim
+    filtered counts over the token array per row), shuffle-free and
+    engine-portable (md5 slot/sign arithmetic restated verbatim in the
+    SQL oracle). Zero vectors (empty docs, full sign cancellation)
+    normalize to zero, not NULL.
+    """
+    toks = tokens(F.col(text_col))
+
+    def slot(t) -> Column:
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
+
+    def positive(t) -> Column:
+        return F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("long") % 2 == 0
+
+    comps = [
+        (
+            F.size(F.filter(toks, lambda t: (slot(t) == j) & positive(t)))
+            - F.size(F.filter(toks, lambda t: (slot(t) == j) & ~positive(t)))
+        ).cast("double")
+        for j in range(int(dim))
+    ]
+    out = df.select(F.col(id_col), *[c.alias(f"_h{j}") for j, c in enumerate(comps)])
+    norm_sq = F.col("_h0") * F.col("_h0")
+    for j in range(1, int(dim)):
+        norm_sq = norm_sq + F.col(f"_h{j}") * F.col(f"_h{j}")
+    norm = F.sqrt(norm_sq)
+    return out.select(
+        F.col(id_col),
+        *[
+            F.when(norm > 0, F.col(f"_h{j}") / norm)
+            .otherwise(F.lit(0.0))
+            .alias(f"h{j}")
+            for j in range(int(dim))
+        ],
+    )

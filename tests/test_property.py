@@ -441,3 +441,39 @@ def test_count_min_sketch_mergeable(spark):
         .sort_values(["row", "bucket"]).reset_index(drop=True)
     )
     assert merged.equals(su.sort_values(["row", "bucket"]).reset_index(drop=True))
+
+
+@st.composite
+def corpus_with_planted_run(draw):
+    """Docs of unique filler tokens plus one shared run planted into two
+    of them at random offsets — the span detector must find exactly it."""
+    run_len = draw(st.integers(min_value=12, max_value=24))
+    off_a = draw(st.integers(min_value=0, max_value=6))
+    off_b = draw(st.integers(min_value=0, max_value=6))
+    tail_a = draw(st.integers(min_value=1, max_value=5))
+    tail_b = draw(st.integers(min_value=1, max_value=5))
+    run = [f"r{i}" for i in range(run_len)]
+    doc_a = [f"a{i}" for i in range(off_a)] + run + [f"x{i}" for i in range(tail_a)]
+    doc_b = [f"b{i}" for i in range(off_b)] + run + [f"y{i}" for i in range(tail_b)]
+    noise = [f"n{i} " * 9 for i in range(draw(st.integers(0, 3)))]
+    return (off_a, off_b, run_len, " ".join(doc_a), " ".join(doc_b), noise)
+
+
+@given(case=corpus_with_planted_run())
+@settings(**SETTINGS)
+def test_duplicate_spans_property_finds_planted_run(spark, case):
+    from gordo_spark.operators.dedup import duplicate_spans
+
+    off_a, off_b, run_len, a, b, noise = case
+    rows = [(1, a), (2, b)] + [(10 + i, t) for i, t in enumerate(noise)]
+    out = duplicate_spans(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        k=8,
+        min_len=12,
+        max_df=16,
+    ).collect()
+    # exactly one span, exactly the planted run
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (off_a, off_b, run_len)

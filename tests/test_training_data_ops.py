@@ -2256,3 +2256,87 @@ def test_logreg_sample_apply_parity(spark, docs):
     Z = w[0] + pdf[["f_chars", "f_words", "f_uniq"]].to_numpy() @ w[1:]
     want = 1.0 / (1.0 + np.exp(-Z))
     assert np.allclose([got[i] for i in pdf["doc_id"]], want, atol=1e-12)
+
+
+def test_feature_hash_embed_matches_hand_hash(spark):
+    import hashlib
+
+    from gordo_spark.operators.text import feature_hash_embed
+
+    rows = [(1, "alpha beta alpha"), (2, "")]
+    out = {
+        r["doc_id"]: r
+        for r in feature_hash_embed(
+            spark.createDataFrame(rows, "doc_id long, text string"), dim=8
+        ).collect()
+    }
+
+    def hand(text):
+        v = [0.0] * 8
+        for t in text.split(" "):
+            h = hashlib.md5(t.encode()).hexdigest()
+            slot = int(h[:8], 16) % 8
+            sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+            v[slot] += sign
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n if n > 0 else 0.0 for x in v]
+
+    for doc_id, text in rows:
+        want = hand(text)
+        got = [out[doc_id][f"h{j}"] for j in range(8)]
+        assert got == pytest.approx(want, abs=1e-12)
+    # unit norm for the non-degenerate doc
+    assert sum(out[1][f"h{j}"] ** 2 for j in range(8)) == pytest.approx(1.0)
+
+
+def test_merge_term_stats_equals_full_recompute(spark, docs):
+    from gordo_spark.operators.text import merge_term_stats, term_stats
+
+    landed = term_stats(docs.filter(F.col("doc_id") % 3 != 0), top_k=None)
+    delta = term_stats(docs.filter(F.col("doc_id") % 3 == 0), top_k=None)
+    merged = (
+        merge_term_stats(landed, delta)
+        .toPandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    full = (
+        term_stats(docs, top_k=None)
+        .toPandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(merged, full)
+
+
+def test_strip_duplicate_spans_cuts_younger_doc_only(spark):
+    from gordo_spark.operators.dedup import duplicate_spans, strip_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, "a0 a1 " + shared + " a2"),
+            (2, "b0 " + shared + " b1 b2"),
+            (3, "untouched doc stays byte identical"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(df, k=8, min_len=12, max_df=16)
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(df, spans).collect()}
+    # older doc (1) keeps its text; younger doc (2) loses the span
+    assert out[1]["text_clean"] == "a0 a1 " + shared + " a2"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "b0 b1 b2"
+    assert out[2]["n_removed"] == 12
+    assert out[3]["text_clean"] == "untouched doc stays byte identical"
+
+
+def test_strip_duplicate_spans_full_strip_yields_empty(spark):
+    from gordo_spark.operators.dedup import duplicate_spans, strip_duplicate_spans
+
+    run = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame([(1, run), (2, run)], "doc_id long, text string")
+    spans = duplicate_spans(df, k=8, min_len=12, max_df=16)
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(df, spans).collect()}
+    assert out[1]["text_clean"] == run and out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "" and out[2]["n_removed"] == 12
