@@ -5680,6 +5680,73 @@ def q_tag_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.agg(*aggs)
 
 
+def q_tag_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs SPEARMAN rank correlation of the aligned tag matrix —
+    the monotone-relationship screen Pearson misses on nonlinear
+    sensor couplings. Ranks are exact global row_numbers over
+    (value, ts) computed WITHOUT a corpus-sized window
+    (operators/ranking.global_rank — histogram cumulative counts +
+    tie-group row_numbers); the tie rule is stated (ties broken by ts)
+    so the rank, and hence the coefficient, is engine-portable.
+    Listwise alignment (rows where every tag is present), then one
+    aggregation of parallel corr() over the rank columns."""
+    from gordo_spark.operators.ranking import global_rank
+
+    wide = _wide_1h(spark, sf_dir)
+    tags = ["click", "view", "purchase"]
+    ranked = wide.na.drop(subset=tags)
+    for t in tags:
+        ranked = global_rank(ranked, t, "ts", out_col=f"_r_{t}")
+    aggs = []
+    for i, a in enumerate(tags):
+        for b in tags[i + 1:]:
+            aggs.append(
+                F.round(F.corr(f"_r_{a}", f"_r_{b}"), 6).alias(
+                    f"spearman_{a}_{b}"
+                )
+            )
+    return ranked.agg(*aggs)
+
+
+def _spearman_sql() -> str:
+    from textwrap import dedent
+
+    return dedent("""
+    WITH res AS (
+      SELECT event_type AS tag,
+             CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+             avg(value) AS value
+      FROM events WHERE event_type IN ('click','view','purchase')
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT ts,
+             max(CASE WHEN tag='click' THEN value END) AS click,
+             max(CASE WHEN tag='view' THEN value END) AS view,
+             max(CASE WHEN tag='purchase' THEN value END) AS purchase
+      FROM res GROUP BY ts
+    ),
+    aligned AS (
+      SELECT * FROM wide
+      WHERE click IS NOT NULL AND view IS NOT NULL AND purchase IS NOT NULL
+    ),
+    ranked AS (
+      SELECT ts,
+             row_number() OVER (ORDER BY click, ts) AS r_click,
+             row_number() OVER (ORDER BY view, ts) AS r_view,
+             row_number() OVER (ORDER BY purchase, ts) AS r_purchase
+      FROM aligned
+    )
+    SELECT ROUND(corr(r_click, r_view), 6) AS spearman_click_view,
+           ROUND(corr(r_click, r_purchase), 6) AS spearman_click_purchase,
+           ROUND(corr(r_view, r_purchase), 6) AS spearman_view_purchase
+    FROM ranked
+    """)
+
+
+O_TAG_SPEARMAN = _spearman_sql()
+
+
 def _corr_sql() -> str:
     from textwrap import dedent
 
@@ -5825,6 +5892,124 @@ SELECT c.user_id, c.ts, c.click_value,
 FROM clicks c ASOF LEFT JOIN purch p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 """
+
+
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    """Unique-keyed click/purchase sides for the direction contracts
+    (left grouped too, so the oracle's candidate join-back is
+    unambiguous)."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("click_value"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return clicks, purchases
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof direction='forward'): each
+    click gets the user's NEXT purchase at or after it within 7 days —
+    same union+window machinery over the reverse time order, still one
+    key shuffle. Oracle: manual min-over-candidates (DuckDB's native
+    ASOF is backward-only)."""
+    from gordo_spark.operators.asof import asof_join
+
+    clicks, purchases = _asof_sides(spark, sf_dir)
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        direction="forward",
+        tolerance_seconds=7 * 86400,
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "click_value",
+        F.col("purchase_value_right").alias("next_purchase"),
+        F.col("ts_right").alias("purchase_ts"),
+    )
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (direction='nearest', equidistant ties go
+    BACKWARD — stated where pandas leaves it unspecified): both
+    directional windows evaluate over ONE key exchange, per-row pick by
+    time distance."""
+    from gordo_spark.operators.asof import asof_join
+
+    clicks, purchases = _asof_sides(spark, sf_dir)
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        direction="nearest",
+        tolerance_seconds=7 * 86400,
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "click_value",
+        F.col("purchase_value_right").alias("near_purchase"),
+        F.col("ts_right").alias("purchase_ts"),
+    )
+
+
+_ASOF_SIDES_SQL = """
+clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, min(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+purch AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)"""
+
+O_ASOF_FORWARD = (
+    "WITH "
+    + _ASOF_SIDES_SQL
+    + """,
+cand AS (
+  SELECT c.user_id, c.ts, p.purchase_value, p.ts AS pts,
+         row_number() OVER (
+           PARTITION BY c.user_id, c.ts ORDER BY p.ts ASC
+         ) AS rn
+  FROM clicks c JOIN purch p
+    ON c.user_id = p.user_id AND p.ts >= c.ts
+   AND epoch(p.ts) - epoch(c.ts) <= 7 * 86400
+)
+SELECT c.user_id, c.ts, c.click_value,
+       k.purchase_value AS next_purchase, k.pts AS purchase_ts
+FROM clicks c
+LEFT JOIN (SELECT * FROM cand WHERE rn = 1) k USING (user_id, ts)"""
+)
+
+O_ASOF_NEAREST = (
+    "WITH "
+    + _ASOF_SIDES_SQL
+    + """,
+cand AS (
+  SELECT c.user_id, c.ts, p.purchase_value, p.ts AS pts,
+         row_number() OVER (
+           PARTITION BY c.user_id, c.ts
+           ORDER BY abs(epoch(p.ts) - epoch(c.ts)) ASC,
+                    CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END ASC
+         ) AS rn
+  FROM clicks c JOIN purch p
+    ON c.user_id = p.user_id
+   AND abs(epoch(p.ts) - epoch(c.ts)) <= 7 * 86400
+)
+SELECT c.user_id, c.ts, c.click_value,
+       k.purchase_value AS near_purchase, k.pts AS purchase_ts
+FROM clicks c
+LEFT JOIN (SELECT * FROM cand WHERE rn = 1) k USING (user_id, ts)"""
+)
 
 
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6455,6 +6640,83 @@ def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_VOCAB_INCREMENTAL = O_TERM_STATS
 
 
+def q_w12_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 — modified z-score outliers (operators/smoothing.mad_zscore,
+    Iglewicz & Hoaglin 1993): median/MAD have a 50% breakdown point, so
+    the flag holds where spike-inflated mean/std under-flag; two exact
+    median aggregations per tag, joined back on the bounded series
+    key."""
+    from gordo_spark.operators.smoothing import mad_zscore
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return _r6(mad_zscore(res, threshold=3.5), "value")
+
+
+O_W12_MAD = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+med AS (SELECT tag, ROUND(median(value), 6) AS med FROM res GROUP BY tag),
+mad AS (
+  SELECT res.tag, ROUND(median(abs(res.value - med.med)), 6) AS mad
+  FROM res JOIN med USING (tag) GROUP BY res.tag
+)
+SELECT r.tag, r.ts, ROUND(r.value, 6) AS value,
+       CASE WHEN mad.mad > 0
+            THEN ROUND(0.6745 * (r.value - med.med) / mad.mad, 6) END AS mad_z,
+       CASE WHEN mad.mad > 0
+             AND abs(ROUND(0.6745 * (r.value - med.med) / mad.mad, 6)) > 3.5
+            THEN 1 ELSE 0 END AS is_outlier
+FROM res r JOIN med USING (tag) JOIN mad USING (tag)
+"""
+
+
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-load concurrency curve (operators/ranges.concurrency_curve):
+    active sessions per hour bucket via the bin-explode shape — the
+    sweep-line running sum would need a GLOBAL time-ordered window
+    (single partition at any scale), so the curve is a bucket-keyed
+    count instead; fan-out bounded by session duration / bucket."""
+    from gordo_spark.operators.ranges import concurrency_curve
+
+    ev = read_table(spark, sf_dir, "events")
+    return concurrency_curve(ev, ["user_id"], gap_seconds=3600)
+
+
+O_CONCURRENCY = """
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1
+              ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+),
+spans AS (
+  SELECT user_id, session_id,
+         floor(epoch(min(ts)) / 3600) AS b0,
+         floor(epoch(max(ts)) / 3600) AS b1
+  FROM sess GROUP BY 1, 2
+),
+buckets AS (
+  SELECT unnest(range(CAST(b0 AS BIGINT), CAST(b1 AS BIGINT) + 1)) AS b
+  FROM spans
+)
+SELECT CAST(to_timestamp(b * 3600) AS TIMESTAMP) AS bucket_ts,
+       count(*) AS n_active
+FROM buckets GROUP BY 1
+"""
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick doc embeddings (operators/text.feature_hash_embed,
     Weinberger 2009): training-free featurizer — md5 slot/sign signed
@@ -6648,6 +6910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "vocab_incremental": q_vocab_incremental,
         "dup_spans_strip": q_dup_spans_strip,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
+        "concurrency": q_concurrency,
+        "w12_mad": q_w12_mad,
+        "tag_spearman": q_tag_spearman,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -6843,4 +7110,9 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": _o_feature_hash(),
         "vocab_incremental": O_VOCAB_INCREMENTAL,
         "dup_spans_strip": O_DUP_STRIP,
+        "asof_forward": O_ASOF_FORWARD,
+        "asof_nearest": O_ASOF_NEAREST,
+        "concurrency": O_CONCURRENCY,
+        "w12_mad": O_W12_MAD,
+        "tag_spearman": O_TAG_SPEARMAN,
     }

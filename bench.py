@@ -127,6 +127,11 @@ HEADLINE = [
     "feature_hash",
     "vocab_incremental",
     "dup_spans_strip",
+    "asof_forward",
+    "asof_nearest",
+    "concurrency",
+    "w12_mad",
+    "tag_spearman",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

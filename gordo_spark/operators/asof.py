@@ -8,9 +8,11 @@ most recent right-side values forward, then keep only left rows. One
 shuffle on the key; no per-row Python; skew follows the key distribution
 (salt upstream via operators/skew if a key is hot).
 
-Semantics match ``pandas.merge_asof(direction="backward")``: ties on ts
-match (right row AT the left timestamp wins), and ``tolerance`` nulls out
-matches older than the window.
+Semantics match ``pandas.merge_asof`` with all three directions
+(``backward`` default, ``forward``, ``nearest`` — ties on ts match, the
+right row AT the left timestamp wins; ``nearest`` breaks equidistant
+ties backward, stated where pandas leaves it unspecified), and
+``tolerance`` nulls out matches beyond the window in either direction.
 """
 
 from __future__ import annotations
@@ -30,14 +32,31 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``ts_col`` <= left's ``ts_col`` within the same ``on`` key group.
+    """For each left row, attach the matching right row within the same
+    ``on`` key group — ``direction`` selects which one (the pandas
+    ``merge_asof`` direction set):
+
+    - ``backward`` (default): greatest right ``ts_col`` <= left's;
+    - ``forward``: smallest right ``ts_col`` >= left's (the next
+      scheduled event — "time until next maintenance window");
+    - ``nearest``: whichever of the two is closer in time, ties going
+      BACKWARD (stated — pandas leaves the tie unspecified).
+
+    ``forward`` is the backward machinery over the reverse time order:
+    the same union+window shape with the window ordered ``ts DESC``, so
+    it stays one shuffle on the key. ``nearest`` evaluates both windows
+    over the one exchange (two sorts, same partitioning) and picks
+    per-row by distance. ``tolerance_seconds`` bounds the match's
+    absolute time distance in every direction.
 
     ``value_cols`` default to every right column except keys and ts. The
     matched right timestamp is exposed as ``{ts_col}{suffix}`` (null when
-    nothing precedes / outside tolerance).
+    nothing matches / outside tolerance).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     keys = list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*keys, ts_col)]
@@ -62,34 +81,65 @@ def asof_join(
         F.col(ts_col).alias(f"{ts_col}{suffix}"),
     )
     # right rows sort BEFORE left rows at equal ts -> ties match
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col), F.col("_is_left"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = [F.last(v, ignorenulls=True).over(w).alias(v) for v in vals]
-    carried_ts = F.last(f"{ts_col}{suffix}", ignorenulls=True).over(w).alias(
-        f"{ts_col}{suffix}"
-    )
-    filled = l_marked.unionByName(r_marked).select(
-        *keys,
-        ts_col,
-        "_is_left",
-        *[c for c in left.columns if c not in (*keys, ts_col)],
-        *carried,
-        carried_ts,
-    )
+    def window_over(descending: bool):
+        order = F.col(ts_col).desc() if descending else F.col(ts_col).asc()
+        return (
+            Window.partitionBy(*keys)
+            .orderBy(order, F.col("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+    rts = f"{ts_col}{suffix}"
+    unioned = l_marked.unionByName(r_marked)
+    left_extra = [c for c in left.columns if c not in (*keys, ts_col)]
+    if direction in ("backward", "forward"):
+        w = window_over(direction == "forward")
+        filled = unioned.select(
+            *keys,
+            ts_col,
+            "_is_left",
+            *left_extra,
+            *[F.last(v, ignorenulls=True).over(w).alias(v) for v in vals],
+            F.last(rts, ignorenulls=True).over(w).alias(rts),
+        )
+    else:  # nearest: both passes over the one key exchange
+        wb, wf = window_over(False), window_over(True)
+        both = unioned.select(
+            *keys,
+            ts_col,
+            "_is_left",
+            *left_extra,
+            *[F.last(v, ignorenulls=True).over(wb).alias(f"_b_{v}") for v in vals],
+            F.last(rts, ignorenulls=True).over(wb).alias("_b_ts"),
+            *[F.last(v, ignorenulls=True).over(wf).alias(f"_f_{v}") for v in vals],
+            F.last(rts, ignorenulls=True).over(wf).alias("_f_ts"),
+        )
+        db = epoch_seconds(ts_col) - epoch_seconds("_b_ts")
+        df_ = epoch_seconds("_f_ts") - epoch_seconds(ts_col)
+        use_b = F.col("_b_ts").isNotNull() & (
+            F.col("_f_ts").isNull() | (db <= df_)
+        )
+        filled = both.select(
+            *keys,
+            ts_col,
+            "_is_left",
+            *left_extra,
+            *[
+                F.when(use_b, F.col(f"_b_{v}")).otherwise(F.col(f"_f_{v}")).alias(v)
+                for v in vals
+            ],
+            F.when(use_b, F.col("_b_ts")).otherwise(F.col("_f_ts")).alias(rts),
+        )
     out = filled.filter(F.col("_is_left") == 1).drop("_is_left")
     if tolerance_seconds is not None:
-        in_window = (
-            epoch_seconds(ts_col)
-            - epoch_seconds(f"{ts_col}{suffix}")
+        in_window = F.abs(
+            epoch_seconds(ts_col) - epoch_seconds(rts)
         ) <= F.lit(float(tolerance_seconds))
         out = out.select(
             *keys,
             ts_col,
-            *[c for c in left.columns if c not in (*keys, ts_col)],
+            *left_extra,
             *[F.when(in_window, F.col(v)).alias(v) for v in vals],
-            F.when(in_window, F.col(f"{ts_col}{suffix}")).alias(f"{ts_col}{suffix}"),
+            F.when(in_window, F.col(rts)).alias(rts),
         )
     return out

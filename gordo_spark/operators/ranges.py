@@ -274,3 +274,44 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
     )
+
+
+def concurrency_curve(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1_800,
+    bucket_seconds: int = 3_600,
+) -> DataFrame:
+    """Peak-load curve: how many sessions are ACTIVE in each time bucket
+    — the capacity-planning aggregate behind "peak concurrent users".
+    Sessions come from :func:`sessionize` (gap rule), each session's
+    [first event, last event] span explodes to the buckets it overlaps,
+    and one map-side-combined count per bucket is the curve.
+
+    Scale: the sweep-line formulation (running sum of +1/-1 deltas)
+    needs a GLOBAL time-ordered window — a single-partition scan at any
+    scale — so this is deliberately the bin-explode shape instead: the
+    fan-out per session is bounded by session duration / bucket (the
+    gap rule bounds sessions), and the only shuffles are the session
+    window's key exchange and the bucket-keyed count. Output is
+    (bucket_ts, n_active) with n_active = sessions overlapping the
+    bucket.
+    """
+    keys = list(key_cols)
+    s = sessionize(events, keys, ts_col, gap_seconds)
+    spans = s.groupBy(*keys, "session_id").agg(
+        F.min(ts_col).alias("_s0"), F.max(ts_col).alias("_s1")
+    )
+    b = F.lit(int(bucket_seconds))
+    b0 = F.floor(epoch_seconds("_s0") / b)
+    b1 = F.floor(epoch_seconds("_s1") / b)
+    return (
+        spans.select(F.explode(F.sequence(b0, b1)).alias("_bucket"))
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.timestamp_seconds(F.col("_bucket") * b).alias("bucket_ts"),
+            "n_active",
+        )
+    )

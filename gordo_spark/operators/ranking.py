@@ -65,3 +65,39 @@ def distributed_ntile(
         r <= m * (q + 1), F.ceil(r / (q + 1))
     ).otherwise(m + F.ceil((r - m * (q + 1)) / F.greatest(q, F.lit(1))))
     return joined.select(*df.columns, bucket.cast("int").alias(out_col))
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    part_cols: tuple[str, ...] = (),
+    out_col: str = "rank",
+) -> DataFrame:
+    """Append the exact global ``row_number() OVER (PARTITION BY
+    part_cols ORDER BY order_col, id_col)`` WITHOUT a corpus-sized
+    window partition — the distributed_ntile machinery (histogram
+    cumulative counts + tie-group row_numbers, module docstring) minus
+    the bucket arithmetic: r = rows-before(value) + tie_rank. Every
+    window is bounded by value cardinality or tie-group size, never by
+    data volume — which makes EMPTY ``part_cols`` appropriate only for
+    frames whose value cardinality is itself bounded (resampled
+    calendar grids, vocab tables): for a corpus-sized CONTINUOUS
+    column, distinct values ~ rows and the unpartitioned histogram
+    window becomes the bottleneck — pass ``part_cols`` (or range-bucket
+    upstream) there. ``(part_cols, order_col, id_col)`` must uniquely
+    identify rows."""
+    pcols = list(part_cols)
+    hist = df.groupBy(*pcols, order_col).agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.partitionBy(*pcols).orderBy(order_col)
+    hist = hist.select(
+        *pcols,
+        order_col,
+        (F.sum("_c").over(wcum) - F.col("_c")).alias("_before"),
+    )
+    wtie = Window.partitionBy(*pcols, order_col).orderBy(id_col)
+    joined = df.join(hist, pcols + [order_col])
+    return joined.select(
+        *df.columns,
+        (F.col("_before") + F.row_number().over(wtie)).alias(out_col),
+    )

@@ -273,3 +273,60 @@ def holt(
         .groupBy("_g")
         .applyInPandas(lambda p: _holt(p.drop(columns="_g")), schema=schema)
     )
+
+
+def mad_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    machine_col: str = "tag",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier detection via the modified z-score (Iglewicz &
+    Hoaglin 1993): ``z = 0.6745 * (x - median) / MAD`` with MAD the
+    median absolute deviation — the robust companion of
+    :func:`rolling_zscore`: mean/std themselves move when spikes hit,
+    so the classic z under-flags exactly the events it exists to catch;
+    median/MAD have a 50% breakdown point. The canonical |z| > 3.5 cut.
+
+    Both medians are WINDOW aggregates over the same PARTITION BY
+    series-key spec (whole-partition frame, no ordering) in two stacked
+    selects — one key shuffle total, no join-backs, no input re-scans
+    (the aggregate+join formulation re-derives the input once per
+    statistic; Spark does not unify separately-built aggregation
+    branches). The fleet shape: every window partitioned by the series
+    key, like rolling_zscore. Zero-MAD series (constant, or >50% one
+    value) yield NULL z / flag 0, like rolling_zscore's zero-variance
+    rule. Median and MAD are rounded to 6dp before the ratio so
+    interpolation ulps cannot leak into the flag boundary.
+    """
+    w = Window.partitionBy(machine_col)
+    v = F.col("`" + value_col + "`")
+    with_med = df.select(
+        machine_col,
+        ts_col,
+        value_col,
+        F.round(F.expr(f"percentile(`{value_col}`, 0.5)").over(w), 6).alias(
+            "_med"
+        ),
+    )
+    with_mad = with_med.select(
+        machine_col,
+        ts_col,
+        value_col,
+        "_med",
+        F.round(
+            F.expr("percentile(abs(`" + value_col + "` - _med), 0.5)").over(w), 6
+        ).alias("_mad"),
+    )
+    z = F.when(
+        F.col("_mad") > 0,
+        F.round(F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"), 6),
+    )
+    return with_mad.select(
+        machine_col,
+        ts_col,
+        value_col,
+        z.alias("mad_z"),
+        F.when(F.abs(z) > threshold, 1).otherwise(0).alias("is_outlier"),
+    )

@@ -117,6 +117,11 @@ SINGLE_SERIES_OK = {
     # the running-sum window is over the one-row-per-PARTITION offsets
     # frame (bounded by partition count), never the data itself
     "global_ids",
+    # rank windows over the HOURLY-RESAMPLED aligned tag matrix — the
+    # calendar grid bounds its cardinality (#hours in range), not the
+    # raw event volume; corpus-sized spearman would need part_cols
+    # range-bucketing (operators/ranking.global_rank docstring)
+    "tag_spearman",
     # running sums over the VOCABULARY-sized term table (already
     # aggregated, map-side combined), never the corpus
     "vocab_coverage",

@@ -253,3 +253,77 @@ def test_event_transitions_tie_breaks_on_event_id(spark):
     )
     out = event_transitions(ev).collect()
     assert len(out) == 1 and (out[0]["prev_type"], out[0]["next_type"]) == ("a", "b")
+
+
+def test_asof_join_forward_and_nearest_match_pandas(spark):
+    from gordo_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    lts = np.sort(rng.choice(100_000, size=60, replace=False))
+    rts = np.sort(rng.choice(100_000, size=40, replace=False))
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {"k": "a", "ts": [base + pd.Timedelta(seconds=int(s)) for s in lts]}
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": "a",
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rts],
+            "rv": rng.random(40),
+        }
+    )
+    for direction in ("forward", "nearest"):
+        got = (
+            asof_join(
+                spark.createDataFrame(lpdf),
+                spark.createDataFrame(rpdf),
+                on=["k"],
+                direction=direction,
+                tolerance_seconds=5000,
+            )
+            .orderBy("ts")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            lpdf,
+            rpdf,
+            on="ts",
+            by="k",
+            direction=direction,
+            tolerance=pd.Timedelta(seconds=5000),
+        )
+        pd.testing.assert_series_equal(
+            got["rv_right"], want["rv"], check_names=False
+        )
+
+
+def test_concurrency_curve_counts_overlapping_sessions(spark):
+    from gordo_spark.operators.ranges import concurrency_curve
+
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1, 0, 0)
+    rows = [
+        # user 1: one session spanning 00:10 - 02:30 (events 50 min apart)
+        (1, t0 + dt.timedelta(minutes=10), 1, "a"),
+        (2, t0 + dt.timedelta(minutes=60), 1, "a"),
+        (3, t0 + dt.timedelta(minutes=150), 1, "a"),
+        # user 2: session at 01:05 only
+        (4, t0 + dt.timedelta(minutes=65), 2, "a"),
+        # user 2 again much later: new session at 10:00
+        (5, t0 + dt.timedelta(hours=10), 2, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["bucket_ts"].hour: r["n_active"]
+        for r in concurrency_curve(
+            ev, ["user_id"], gap_seconds=3600, bucket_seconds=3600
+        ).collect()
+    }
+    assert out[0] == 1          # hour 0: user 1 only
+    assert out[1] == 2          # hour 1: user 1 + user 2
+    assert out[2] == 1          # hour 2: user 1 tail
+    assert out[10] == 1         # hour 10: user 2's second session
+    assert 3 not in out

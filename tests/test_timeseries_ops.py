@@ -533,3 +533,56 @@ def test_holt_nan_coasts_without_poisoning_state(spark):
         expect.append((l, b))
     got = out.dropna(subset=["level"])[["level", "trend"]].to_numpy()
     assert np.allclose(got, expect, atol=1e-12)
+
+
+def test_mad_zscore_flags_spike_robustly(spark):
+    from gordo_spark.operators.smoothing import mad_zscore
+
+    ts = pd.date_range("2020-01-01", periods=101, freq="1h")
+    vals = np.ones(101)
+    vals[50] = 100.0  # one huge spike
+    pdf = pd.DataFrame({"tag": "a", "ts": ts, "value": vals})
+    # constant series (MAD == 0) must yield NULL z / flag 0
+    pdf2 = pd.DataFrame({"tag": "b", "ts": ts, "value": np.ones(101) * 7})
+    out = (
+        mad_zscore(spark.createDataFrame(pd.concat([pdf, pdf2])))
+        .orderBy("tag", "ts")
+        .toPandas()
+    )
+    a = out[out.tag == "a"].reset_index(drop=True)
+    # median 1, MAD 0 for tag a?? 100 of 101 values are 1.0 -> MAD = 0
+    assert a["mad_z"].isna().all()
+    # now a noisy series where the spike is flaggable
+    rng = np.random.default_rng(3)
+    noisy = rng.normal(0, 1, 101)
+    noisy[50] = 50.0
+    pdf3 = pd.DataFrame({"tag": "c", "ts": ts, "value": noisy})
+    out3 = mad_zscore(spark.createDataFrame(pdf3)).orderBy("ts").toPandas()
+    assert out3["is_outlier"][50] == 1
+    assert out3["is_outlier"].sum() <= 5  # robust: few false flags
+    b = out[out.tag == "b"].reset_index(drop=True)
+    assert b["mad_z"].isna().all() and (b["is_outlier"] == 0).all()
+
+
+def test_spearman_ranks_match_pandas(spark):
+    from gordo_spark.operators.ranking import global_rank
+
+    rng = np.random.default_rng(5)
+    n = 200
+    x = rng.random(n)
+    y = x ** 3 + rng.random(n) * 0.01  # monotone-ish, tie-free
+    ts = pd.date_range("2020-01-01", periods=n, freq="1min")
+    pdf = pd.DataFrame({"ts": ts, "x": x, "y": y})
+    ranked = global_rank(
+        global_rank(spark.createDataFrame(pdf), "x", "ts", out_col="rx"),
+        "y",
+        "ts",
+        out_col="ry",
+    )
+    got = ranked.agg(F.corr("rx", "ry")).collect()[0][0]
+    want = pdf[["x", "y"]].corr(method="spearman").iloc[0, 1]
+    assert got == pytest.approx(want, abs=1e-9)
+    # ranks themselves are the exact 1..n order statistics
+    rx = ranked.orderBy("ts").toPandas()["rx"]
+    assert sorted(rx) == list(range(1, n + 1))
+    assert (rx.to_numpy() == pdf["x"].rank(method="first").to_numpy()).all()
