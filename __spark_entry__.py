@@ -6761,6 +6761,278 @@ SELECT doc_id,
 FROM v"""
 
 
+def q_w13_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 — per-tag sample autocorrelation at lags 1/2/3/24 over the
+    hourly grid (operators/tsa.acf): one ordered window pass builds all
+    lag columns, ONE aggregation computes all four correlations, stack()
+    unpivots — per-tag cost is a single sort regardless of lag count."""
+    from gordo_spark.operators.tsa import acf
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return acf(res, [1, 2, 3, 24])
+
+
+O_W13_ACF = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT tag, value,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3,
+         lag(value, 24) OVER w AS l24
+  FROM res WINDOW w AS (PARTITION BY tag ORDER BY ts)
+),
+wide AS (
+  SELECT tag,
+         ROUND(corr(value, l1), 6) AS a1,
+         ROUND(corr(value, l2), 6) AS a2,
+         ROUND(corr(value, l3), 6) AS a3,
+         ROUND(corr(value, l24), 6) AS a24
+  FROM lagged GROUP BY tag
+)
+SELECT tag, 1 AS lag, a1 AS acf FROM wide
+UNION ALL SELECT tag, 2 AS lag, a2 AS acf FROM wide
+UNION ALL SELECT tag, 3 AS lag, a3 AS acf FROM wide
+UNION ALL SELECT tag, 24 AS lag, a24 AS acf FROM wide
+"""
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best mean-shift split per tag (operators/tsa.
+    mean_shift_changepoint — binary-segmentation step 1): prefix sums
+    give every candidate split's two means in O(n) per tag; argmax is
+    one max(struct) aggregation, earliest-ts tie-break."""
+    from gordo_spark.operators.tsa import mean_shift_changepoint
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return mean_shift_changepoint(res)
+
+
+O_CHANGEPOINT = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT tag, ts, value,
+         row_number() OVER w AS i,
+         sum(value) OVER (PARTITION BY tag ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS cs,
+         count(*) OVER (PARTITION BY tag) AS n,
+         sum(value) OVER (PARTITION BY tag) AS tot
+  FROM res WINDOW w AS (PARTITION BY tag ORDER BY ts)
+),
+sc AS (
+  SELECT tag, ts,
+         ROUND(sqrt(i * (n - i) / n) * abs(cs / i - (tot - cs) / (n - i)), 6)
+           AS score,
+         ROUND(cs / i, 6) AS ml,
+         ROUND((tot - cs) / (n - i), 6) AS mr
+  FROM d WHERE i >= 2 AND i <= n - 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tag
+                               ORDER BY score DESC, ts ASC) AS rn
+  FROM sc
+)
+SELECT tag, ts AS split_ts, score AS shift_score,
+       ml AS mean_before, mr AS mean_after
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_w14_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 — hour-of-day seasonal profile per tag (operators/tsa.
+    seasonal_profile): two bounded-key hash aggs + one tag-keyed join;
+    seasonal_z standardizes bucket means against the tag's own
+    mean/std."""
+    from gordo_spark.operators.tsa import seasonal_profile
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return seasonal_profile(res)
+
+
+O_W14_SEASONAL = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+prof AS (
+  SELECT tag, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+         count(*) AS n, avg(value) AS hm
+  FROM res GROUP BY 1, 2
+),
+ov AS (
+  SELECT tag, avg(value) AS tm, stddev_samp(value) AS tsd
+  FROM res GROUP BY tag
+)
+SELECT p.tag, p.hod, p.n, ROUND(p.hm, 6) AS hod_mean,
+       CASE WHEN o.tsd > 0 THEN ROUND((p.hm - o.tm) / o.tsd, 6) END
+         AS seasonal_z
+FROM prof p JOIN ov o USING (tag)
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift per tag between the first and
+    second half of the observed range (operators/tsa.psi_drift): pure
+    hash aggregation — a 1-row midpoint scalar, reference-half min/max
+    per tag, one (tag, bin) count, one per-tag sum. No ordered windows,
+    so the whole thing is map-side-combinable at any scale."""
+    from gordo_spark.operators.tsa import psi_drift
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return psi_drift(res, bins=10)
+
+
+O_PSI_DRIFT = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid FROM res),
+d AS (
+  SELECT tag, value, epoch(ts) < (SELECT mid FROM span) AS is_ref FROM res
+),
+ref AS (
+  SELECT tag, min(value) AS lo, max(value) AS hi FROM d WHERE is_ref
+  GROUP BY tag
+),
+b AS (
+  SELECT d.tag, d.is_ref,
+         CASE WHEN (ref.hi - ref.lo) / 10 > 0
+              THEN least(9, greatest(0, CAST(floor(
+                     (d.value - ref.lo) / ((ref.hi - ref.lo) / 10))
+                   AS BIGINT)))
+              ELSE 0 END AS bin
+  FROM d JOIN ref USING (tag)
+),
+cnt AS (
+  SELECT tag, bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
+  FROM b GROUP BY 1, 2
+),
+tot AS (
+  SELECT tag, CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur
+  FROM cnt GROUP BY tag
+),
+term AS (
+  SELECT cnt.tag, tot.n_ref, tot.n_cur,
+         (greatest(nc / tot.n_cur, 1e-6) - greatest(nr / tot.n_ref, 1e-6))
+         * ln(greatest(nc / tot.n_cur, 1e-6) / greatest(nr / tot.n_ref, 1e-6))
+           AS term
+  FROM cnt JOIN tot USING (tag)
+)
+SELECT tag, ROUND(sum(term), 6) AS psi, n_ref, n_cur
+FROM term GROUP BY tag, n_ref, n_cur
+"""
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket part affinity over orders (operators/affinity.
+    pair_counts): one shuffle builds per-order sorted item arrays, pairs
+    generate ROW-LOCALLY (k(k-1)/2 fan-out, k = lines per order — no
+    self-join), the marginal join is UNHINTED (part is sf-proportional),
+    and only the 1-row group-total scalar is force-broadcast. Top 15 by
+    (n_both desc, part_a, part_b) — fully deterministic tie-break."""
+    from gordo_spark.operators.affinity import pair_counts
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = pair_counts(li, "l_orderkey", "l_partkey")
+    return (
+        out.select(
+            F.col("item_a").alias("part_a"),
+            F.col("item_b").alias("part_b"),
+            "n_both",
+            "lift",
+        )
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+        .limit(15)
+    )
+
+
+O_BASKET_PAIRS = """
+WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+pairs AS (
+  SELECT l.item AS part_a, r.item AS part_b, count(*) AS n_both
+  FROM g l JOIN g r ON l.g = r.g AND l.item < r.item
+  GROUP BY 1, 2
+),
+marg AS (SELECT item, count(*) AS n_item FROM g GROUP BY item),
+tot AS (SELECT count(DISTINCT g) AS n_groups FROM g)
+SELECT p.part_a, p.part_b, p.n_both,
+       ROUND(p.n_both * tot.n_groups / (ma.n_item * mb.n_item), 6) AS lift
+FROM pairs p
+JOIN marg ma ON ma.item = p.part_a
+JOIN marg mb ON mb.item = p.part_b
+CROSS JOIN tot
+ORDER BY p.n_both DESC, p.part_a, p.part_b
+LIMIT 15
+"""
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths across user streams (operators/
+    ranges.top_paths — depth-3 generalization of user_transitions): one
+    user-keyed lead window (ts, event_id tie key), one count on the
+    #types^3-bounded path key."""
+    from gordo_spark.operators.ranges import top_paths
+
+    ev = read_table(spark, sf_dir, "events")
+    return top_paths(ev, depth=3)
+
+
+O_EVENT_PATHS = """
+WITH s AS (
+  SELECT event_type AS e0,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT concat_ws('>', e0, e1, e2) AS path, count(*) AS n
+FROM s WHERE e2 IS NOT NULL GROUP BY path
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language (operators/text.zipf_slope_by_lang):
+    rank window over the AGGREGATED vocab table (Heaps'-law bounded,
+    same posture as the LM-quality ops), regression as one
+    regr_slope/regr_r2 aggregation — no driver math."""
+    from gordo_spark.operators.text import zipf_slope_by_lang
+
+    return zipf_slope_by_lang(read_table(spark, sf_dir, "documents"))
+
+
+O_ZIPF_SLOPE = """
+WITH tk AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (SELECT lang, t, count(*) AS f FROM tk WHERE t <> '' GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, f,
+         row_number() OVER (PARTITION BY lang ORDER BY f DESC, t ASC) AS r
+  FROM tf
+)
+SELECT lang, ROUND(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+       ROUND(regr_r2(ln(f), ln(r)), 6) AS r2,
+       count(*) AS n_terms
+FROM ranked GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -6915,6 +7187,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency": q_concurrency,
         "w12_mad": q_w12_mad,
         "tag_spearman": q_tag_spearman,
+        "w13_acf": q_w13_acf,
+        "changepoint": q_changepoint,
+        "w14_seasonal": q_w14_seasonal,
+        "psi_drift": q_psi_drift,
+        "basket_pairs": q_basket_pairs,
+        "event_paths": q_event_paths,
+        "zipf_slope": q_zipf_slope,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -7115,4 +7394,11 @@ def oracle_sql() -> dict[str, str]:
         "concurrency": O_CONCURRENCY,
         "w12_mad": O_W12_MAD,
         "tag_spearman": O_TAG_SPEARMAN,
+        "w13_acf": O_W13_ACF,
+        "changepoint": O_CHANGEPOINT,
+        "w14_seasonal": O_W14_SEASONAL,
+        "psi_drift": O_PSI_DRIFT,
+        "basket_pairs": O_BASKET_PAIRS,
+        "event_paths": O_EVENT_PATHS,
+        "zipf_slope": O_ZIPF_SLOPE,
     }

@@ -132,6 +132,13 @@ HEADLINE = [
     "concurrency",
     "w12_mad",
     "tag_spearman",
+    "w13_acf",
+    "changepoint",
+    "w14_seasonal",
+    "psi_drift",
+    "basket_pairs",
+    "event_paths",
+    "zipf_slope",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -315,3 +315,39 @@ def concurrency_curve(
             "n_active",
         )
     )
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    depth: int = 3,
+    sep: str = ">",
+) -> DataFrame:
+    """Most-travelled event-type k-grams across per-user streams — the
+    depth-k generalization of :func:`event_transitions` (depth=2): for
+    every window of ``depth`` consecutive events of one user, count the
+    joined ``path`` string. Output ``(path, n)``.
+
+    One user-keyed window shuffle (lead over ``ts, order_col`` — the
+    tie key makes same-timestamp sequences deterministic) materializes
+    all depth-1 lookaheads in a single pass, then one map-side-combined
+    count on the path key, whose cardinality is bounded by
+    #event-types^depth — model-sized output regardless of corpus size.
+    """
+    if depth < 2:
+        raise ValueError("depth must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, depth)
+    ]
+    d = events.select(
+        F.concat_ws(sep, *steps).alias("path"), steps[-1].alias("_last")
+    )
+    return (
+        d.filter(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 EN_STOPWORDS = [
     "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
@@ -1271,4 +1271,37 @@ def feature_hash_embed(
             .alias(f"h{j}")
             for j in range(d)
         ],
+    )
+
+
+def zipf_slope_by_lang(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope of log(term frequency) on
+    log(frequency rank) over the whitespace-token vocabulary — natural
+    text lands near -1; a corpus slice that doesn't is boilerplate,
+    spam, or mis-tagged language (the same diagnostic intuition as
+    Gopher's repetition rules, at corpus rather than document grain).
+    Output ``(lang, zipf_slope, r2, n_terms)``.
+
+    Plan: one tokenize + (lang, term) count (map-side combined), then a
+    rank window over the AGGREGATED vocabulary table — per-lang vocab
+    is sublinear in corpus size (Heaps' law), the standard vocab-scale
+    posture used by the LM-quality operators; ties rank by term so the
+    fit is deterministic. The regression itself is one ``regr_slope``/
+    ``regr_r2`` aggregation — no driver-side math.
+    """
+    tok = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    tf = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.col("f").desc(), F.col("t").asc())
+    ranked = tf.withColumn("r", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n_terms"),
     )

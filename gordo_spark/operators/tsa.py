@@ -1,0 +1,242 @@
+"""Time-series analytics over long ``(tag, ts, value)`` frames.
+
+The reference's time-series pipeline stops at smoothing and anomaly
+scoring (``gordo/machine/model/transformer_funcs/general.py``,
+``gordo/machine/model/anomaly/diff.py``); the fleet diagnostics here —
+autocorrelation, single change-point scan, seasonal profiling, and
+population-stability drift — are the natural next queries an operator
+runs on the same resampled frames, so they are first-class operators.
+
+Scale posture: everything is window/aggregate algebra — no Python rows,
+no driver-side collects. Per-tag ordered windows follow the same
+bounded-series-key posture as the ``w*`` smoothing family (one sensor's
+regularized history fits a partition; tags are the parallelism unit);
+all other shuffles key on ``(tag)`` or ``(tag, bucket)`` which are
+bounded, and the only broadcasts are 1-row scalar aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["acf", "mean_shift_changepoint", "seasonal_profile", "psi_drift"]
+
+
+def acf(
+    df: DataFrame,
+    lags: Sequence[int],
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sample autocorrelation per tag at each requested lag.
+
+    Pairwise-complete Pearson variant: ``corr(x_t, x_{t-k})`` over the
+    rows where both sides exist (the estimator DB engines agree on
+    bit-for-bit, unlike the classical biased ACF which divides by the
+    lag-0 variance). Output: ``(tag, lag, acf)``.
+
+    One ordered window pass materializes ALL lag columns, one
+    aggregation computes all K correlations map-side, and a
+    ``stack()`` unpivots — so the cost is a single per-tag sort plus
+    one exchange on the bounded tag key regardless of K.
+    """
+    if not lags or any(k <= 0 for k in lags):
+        raise ValueError("lags must be positive ints")
+    w = Window.partitionBy(tag_col).orderBy(ts_col)
+    out = df
+    for k in lags:
+        out = out.withColumn(f"_lag{k}", F.lag(value_col, k).over(w))
+    aggs = [
+        F.round(F.corr(value_col, f"_lag{k}"), 6).alias(f"acf{k}") for k in lags
+    ]
+    wide = out.groupBy(tag_col).agg(*aggs)
+    pairs = ", ".join(f"{k}, acf{k}" for k in lags)
+    return wide.select(
+        tag_col, F.expr(f"stack({len(lags)}, {pairs}) AS (lag, acf)")
+    )
+
+
+def mean_shift_changepoint(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_seg: int = 2,
+) -> DataFrame:
+    """Single best mean-shift split per tag (the first step of binary
+    segmentation; CUSUM-style scan statistic).
+
+    At each ordered position ``i`` of a tag's n-point series the split
+    score is ``sqrt(i*(n-i)/n) * |mean(left) - mean(right)|`` — the
+    two-sample z numerator, so a level shift anywhere in the series
+    maximizes it at the true break. Returns one row per tag:
+    ``(tag, split_ts, shift_score, mean_before, mean_after)`` where
+    ``split_ts`` is the LAST point of the left segment (earliest ts on
+    tied scores).
+
+    Prefix sums via one cumulative window give every candidate split's
+    two means without re-scanning (O(n) per tag, not O(n^2)); the
+    argmax is one ``max(struct)`` aggregation — no join back, no
+    second sort.
+    """
+    w = Window.partitionBy(tag_col).orderBy(ts_col)
+    wall = Window.partitionBy(tag_col)
+    i = F.row_number().over(w)
+    d = (
+        df.withColumn("_i", i)
+        .withColumn(
+            "_cs", F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("_n", F.count(value_col).over(wall))
+        .withColumn("_tot", F.sum(value_col).over(wall))
+    )
+    ci, cn = F.col("_i"), F.col("_n")
+    m_left = F.col("_cs") / ci
+    m_right = (F.col("_tot") - F.col("_cs")) / (cn - ci)
+    score = F.sqrt(ci * (cn - ci) / cn) * F.abs(m_left - m_right)
+    scored = d.filter((ci >= min_seg) & (ci <= cn - min_seg)).select(
+        tag_col,
+        F.col(ts_col).alias("_ts"),
+        F.round(score, 6).alias("_score"),
+        F.round(m_left, 6).alias("_ml"),
+        F.round(m_right, 6).alias("_mr"),
+    )
+    # max(struct) picks highest score, then EARLIEST ts (negated epoch).
+    best = scored.groupBy(tag_col).agg(
+        F.max(
+            F.struct(
+                F.col("_score").alias("s"),
+                (-F.col("_ts").cast("timestamp").cast("long")).alias("negts"),
+                F.col("_ml").alias("ml"),
+                F.col("_mr").alias("mr"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        tag_col,
+        F.timestamp_seconds(-F.col("b.negts")).alias("split_ts"),
+        F.col("b.s").alias("shift_score"),
+        F.col("b.ml").alias("mean_before"),
+        F.col("b.mr").alias("mean_after"),
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonal profile per tag.
+
+    Output ``(tag, hod, n, hod_mean, seasonal_z)`` where ``seasonal_z``
+    standardizes the bucket mean against the tag's overall mean/std —
+    the quick "is this sensor diurnal?" readout an operator checks
+    before trusting a fixed anomaly threshold.
+
+    Two partial-aggregated groupBys on bounded keys (``(tag, hod)`` and
+    ``(tag)``) plus one join on the bounded tag key; AQE broadcasts the
+    per-tag stats side on its own.
+    """
+    prof = df.groupBy(F.col(tag_col), F.hour(ts_col).alias("hod")).agg(
+        F.count("*").alias("n"), F.avg(value_col).alias("_hm")
+    )
+    overall = df.groupBy(tag_col).agg(
+        F.avg(value_col).alias("_tm"), F.stddev_samp(value_col).alias("_tsd")
+    )
+    return prof.join(overall, tag_col).select(
+        tag_col,
+        "hod",
+        "n",
+        F.round("_hm", 6).alias("hod_mean"),
+        F.round(
+            F.when(F.col("_tsd") > 0, (F.col("_hm") - F.col("_tm")) / F.col("_tsd")),
+            6,
+        ).alias("seasonal_z"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per tag between the first and second
+    half of the observed time range.
+
+    The reference half is ``ts < midpoint(min_ts, max_ts)``; its
+    per-tag min/max define ``bins`` fixed-width buckets (current-half
+    values outside the reference range clamp into the edge buckets —
+    exactly the drift signal PSI exists to catch). Per-bucket
+    proportions are floored at ``eps`` before the log ratio, the
+    standard PSI convention for empty buckets (so the proportions can
+    sum to slightly more than 1; documented, deterministic).
+    Output: ``(tag, psi, n_ref, n_cur)``. Rule of thumb: psi < 0.1
+    stable, 0.1-0.25 moderate drift, > 0.25 action.
+
+    Plan: one 1-row scalar aggregate (broadcast — genuinely bounded),
+    one per-tag min/max aggregate joined back on the bounded tag key,
+    then a single ``(tag, bin)`` count and a per-tag sum. No ordered
+    windows at all, so this scales as pure hash aggregation.
+    """
+    span = df.agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    ).select(
+        (
+            (
+                F.col("_t0").cast("timestamp").cast("long")
+                + F.col("_t1").cast("timestamp").cast("long")
+            )
+            / 2
+        ).alias("_mid")
+    )
+    d = df.crossJoin(F.broadcast(span)).withColumn(
+        "_is_ref", F.col(ts_col).cast("timestamp").cast("long") < F.col("_mid")
+    )
+    ref = (
+        d.filter("_is_ref")
+        .groupBy(tag_col)
+        .agg(F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
+    )
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    binned = d.join(ref, tag_col).withColumn(
+        "_bin",
+        F.when(width > 0,
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col(value_col) - F.col("_lo")) / width),
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    cnt = binned.groupBy(tag_col, "_bin").agg(
+        F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).alias("_nr"),
+        F.sum(F.when(~F.col("_is_ref"), 1).otherwise(0)).alias("_nc"),
+    )
+    # Per-tag totals ride the bins-sized aggregate via a window instead of
+    # a groupBy+join-back — a join would re-derive cnt's whole lineage a
+    # second time (the scan-multiplication trap), a window on the already-
+    # aggregated frame costs one tiny sort.
+    wtag = Window.partitionBy(tag_col)
+    cnt = cnt.withColumn("_totr", F.sum("_nr").over(wtag)).withColumn(
+        "_totc", F.sum("_nc").over(wtag)
+    )
+    p = F.greatest(F.col("_nr") / F.col("_totr"), F.lit(eps))
+    q = F.greatest(F.col("_nc") / F.col("_totc"), F.lit(eps))
+    term = cnt.select(
+        tag_col,
+        F.col("_totr").alias("n_ref"),
+        F.col("_totc").alias("n_cur"),
+        ((q - p) * F.log(q / p)).alias("_term"),
+    )
+    return term.groupBy(tag_col, "n_ref", "n_cur").agg(
+        F.round(F.sum("_term"), 6).alias("psi")
+    ).select(tag_col, "psi", "n_ref", "n_cur")

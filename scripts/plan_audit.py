@@ -92,6 +92,9 @@ ACCEPTED = {
     "tpch_q11": "1-row supplier-count + 1-row threshold broadcasts",
     "tpch_q16": "1-row supplier-count frame broadcast (derived partsupp)",
     "tpch_q20": "1-row supplier-count frame broadcast (derived partsupp)",
+    "psi_drift": "1-row time-range-midpoint scalar broadcast to the series",
+    "basket_pairs": "1-row distinct-order-count scalar broadcast to the "
+    "pair table",
 }
 COUNTED = (
     ("exchanges", r"\bExchange\b"),
