@@ -7033,6 +7033,122 @@ FROM ranked GROUP BY lang
 """
 
 
+def q_grid_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-outage detection (operators/tsa.grid_gaps): missing-bucket
+    runs in the hourly grid — one per-tag lag window, row-local filter,
+    no joins. Localizes WHERE data went missing where the reference's
+    n_samples_threshold gate only rejects the whole series."""
+    from gordo_spark.operators.tsa import grid_gaps
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return grid_gaps(res, 3600)
+
+
+O_GRID_GAPS = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT tag, ts, lag(ts) OVER (PARTITION BY tag ORDER BY ts) AS prev
+  FROM res
+),
+g AS (
+  SELECT tag, prev, ts,
+         CAST((epoch(ts) - epoch(prev)) / 3600 - 1 AS BIGINT) AS n_missing
+  FROM lagged WHERE prev IS NOT NULL
+)
+SELECT tag,
+       CAST(to_timestamp(epoch(prev) + 3600) AS TIMESTAMP) AS gap_start,
+       CAST(to_timestamp(epoch(ts) - 3600) AS TIMESTAMP) AS gap_end,
+       n_missing
+FROM g WHERE n_missing > 0
+"""
+
+
+def q_tag_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between tag pairs at lags -2..2 hours
+    (operators/tsa.cross_correlation): deliberately join-based — the
+    long frame joins a lag-exploded copy of itself ON THE TIME KEY (one
+    ts-partitioned shuffle that scales out) instead of lead() over a
+    pivoted wide frame (a single-partition global sort); output is one
+    #tags^2 * #lags bounded aggregate."""
+    from gordo_spark.operators.tsa import cross_correlation
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return cross_correlation(res, [-2, -1, 0, 1, 2], 3600)
+
+
+O_TAG_CROSSCORR = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+l AS (SELECT tag AS tag_a, epoch(ts) AS t, value AS va FROM res),
+r AS (SELECT tag AS tag_b, epoch(ts) AS tb, value AS vb FROM res),
+x AS (
+  SELECT l.tag_a, r.tag_b, k.lag, l.va, r.vb
+  FROM l
+  CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) k
+  JOIN r ON r.tb - k.lag * 3600 = l.t AND l.tag_a < r.tag_b
+)
+SELECT tag_a, tag_b, lag, ROUND(corr(va, vb), 6) AS xcorr,
+       count(*) AS n_pairs
+FROM x GROUP BY 1, 2, 3
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/ranking.rfm_segments):
+    quartile thresholds from ONE exact-percentile 1-row aggregate
+    (broadcast) + row-local comparisons — no global ntile sort over the
+    sf-proportional customer table."""
+    from gordo_spark.operators.ranking import rfm_segments
+
+    return rfm_segments(read_table(spark, sf_dir, "orders"))
+
+
+O_RFM_SEGMENTS = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(epoch(o_orderdate) AS BIGINT) AS dt_epoch, o_totalprice
+  FROM orders
+),
+agg AS (
+  SELECT o_custkey, max(dt_epoch) AS rec, count(*) AS frequency,
+         ROUND(sum(o_totalprice), 6) AS monetary
+  FROM per GROUP BY 1
+),
+thr AS (
+  SELECT quantile_cont(rec, 0.25) AS r25, quantile_cont(rec, 0.5) AS r50,
+         quantile_cont(rec, 0.75) AS r75,
+         quantile_cont(frequency, 0.25) AS f25,
+         quantile_cont(frequency, 0.5) AS f50,
+         quantile_cont(frequency, 0.75) AS f75,
+         quantile_cont(monetary, 0.25) AS m25,
+         quantile_cont(monetary, 0.5) AS m50,
+         quantile_cont(monetary, 0.75) AS m75
+  FROM agg
+),
+sc AS (
+  SELECT o_custkey,
+         1 + (rec > r25)::INT + (rec > r50)::INT + (rec > r75)::INT
+           AS r_score,
+         1 + (frequency > f25)::INT + (frequency > f50)::INT
+           + (frequency > f75)::INT AS f_score,
+         1 + (monetary > m25)::INT + (monetary > m50)::INT
+           + (monetary > m75)::INT AS m_score
+  FROM agg CROSS JOIN thr
+)
+SELECT o_custkey, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm
+FROM sc
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -7194,6 +7310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pairs": q_basket_pairs,
         "event_paths": q_event_paths,
         "zipf_slope": q_zipf_slope,
+        "grid_gaps": q_grid_gaps,
+        "tag_crosscorr": q_tag_crosscorr,
+        "rfm_segments": q_rfm_segments,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -7401,4 +7520,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_pairs": O_BASKET_PAIRS,
         "event_paths": O_EVENT_PATHS,
         "zipf_slope": O_ZIPF_SLOPE,
+        "grid_gaps": O_GRID_GAPS,
+        "tag_crosscorr": O_TAG_CROSSCORR,
+        "rfm_segments": O_RFM_SEGMENTS,
     }

@@ -139,6 +139,9 @@ HEADLINE = [
     "basket_pairs",
     "event_paths",
     "zipf_slope",
+    "grid_gaps",
+    "tag_crosscorr",
+    "rfm_segments",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -101,3 +101,61 @@ def global_rank(
         *df.columns,
         (F.col("_before") + F.row_number().over(wtie)).alias(out_col),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    quartile scores 1-4 per axis and a combined ``rfm`` code
+    (``r*100 + f*10 + m`` — 444 = best on all three).
+
+    Deliberately NOT the textbook global-ntile formulation: ntile needs
+    a single-partition total sort of the customer table, which is
+    sf-proportional. Instead the three quartile THRESHOLDS come from
+    one exact-percentile aggregation (a 1-row frame, broadcast — the
+    length_curriculum pattern) and every customer scores by three
+    comparisons — pure hash-agg + row-local math at any scale. Recency
+    uses the last-order epoch directly (monotonic in recency, so
+    quartile scores are identical to days-since-last-order scoring
+    without needing a second "now" scalar). Monetary sums are rounded
+    to 6dp BEFORE thresholding so score boundaries are reproducible
+    across engines.
+    """
+    per = orders.groupBy(cust_col).agg(
+        F.max(F.col(ts_col).cast("timestamp").cast("long")).alias("_rec"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(amount_col), 6).alias("monetary"),
+    )
+    thr = per.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"{c}_q{int(p * 100)}")
+            for c in ("_rec", "frequency", "monetary")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def _score(c: str):
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c}_q25")).cast("int")
+            + (F.col(c) > F.col(f"{c}_q50")).cast("int")
+            + (F.col(c) > F.col(f"{c}_q75")).cast("int")
+        )
+
+    return (
+        per.crossJoin(F.broadcast(thr))
+        .select(
+            cust_col,
+            _score("_rec").alias("r_score"),
+            _score("frequency").alias("f_score"),
+            _score("monetary").alias("m_score"),
+        )
+        .withColumn(
+            "rfm",
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+        )
+    )

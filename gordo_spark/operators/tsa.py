@@ -21,7 +21,14 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["acf", "mean_shift_changepoint", "seasonal_profile", "psi_drift"]
+__all__ = [
+    "acf",
+    "cross_correlation",
+    "grid_gaps",
+    "mean_shift_changepoint",
+    "psi_drift",
+    "seasonal_profile",
+]
 
 
 def acf(
@@ -240,3 +247,86 @@ def psi_drift(
     return term.groupBy(tag_col, "n_ref", "n_cur").agg(
         F.round(F.sum("_term"), 6).alias("psi")
     ).select(tag_col, "psi", "n_ref", "n_cur")
+
+
+def grid_gaps(
+    df: DataFrame,
+    resolution_seconds: int,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sensor-outage detection: contiguous missing-bucket runs per tag
+    in a resampled grid (which materializes only OBSERVED buckets, so a
+    gap is any step between consecutive rows larger than the grid
+    resolution). Output ``(tag, gap_start, gap_end, n_missing)`` — the
+    first/last missing bucket and how many buckets the outage spans.
+
+    One per-tag lag window (bounded series-key posture) and a row-local
+    filter; no joins, no second exchange. The reference's
+    ``n_samples_threshold`` gate (gordo builder) rejects a WHOLE series
+    for sparsity; this localizes WHERE the data went missing.
+    """
+    res = int(resolution_seconds)
+    w = Window.partitionBy(tag_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    step = F.col(ts_col).cast("timestamp").cast("long") - prev.cast(
+        "timestamp"
+    ).cast("long")
+    d = df.select(
+        F.col(tag_col),
+        F.col(ts_col),
+        prev.alias("_prev"),
+        ((step / res) - 1).cast("long").alias("n_missing"),
+    )
+    return d.filter(F.col("n_missing") > 0).select(
+        tag_col,
+        F.timestamp_seconds(
+            F.col("_prev").cast("timestamp").cast("long") + res
+        ).alias("gap_start"),
+        F.timestamp_seconds(
+            F.col(ts_col).cast("timestamp").cast("long") - res
+        ).alias("gap_end"),
+        "n_missing",
+    )
+
+
+def cross_correlation(
+    df: DataFrame,
+    lags: Sequence[int],
+    resolution_seconds: int,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Lead-lag cross-correlation between every tag pair at each lag:
+    ``corr(x_a(t), x_b(t + k*resolution))`` — positive peak at k>0 means
+    tag_a LEADS tag_b by k buckets, the process-engineering question
+    behind cause/effect screening on a sensor fleet.
+
+    Deliberately NOT a global-window formulation (a wide pivoted frame
+    with lead() needs a single-partition sort): the long frame joins to
+    a lag-exploded copy of itself ON THE TIME KEY — one shuffle
+    partitioned by ts, which scales out with the grid — then ONE
+    aggregation on the (tag_a, tag_b, lag) key, bounded by
+    #tags^2 * #lags. Pairs are canonicalized (tag_a < tag_b); negative
+    lags cover the other direction.
+    """
+    res = int(resolution_seconds)
+    lag_arr = F.array(*[F.lit(int(k)) for k in lags])
+    left = df.select(
+        F.col(tag_col).alias("tag_a"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("_t"),
+        F.col(value_col).alias("_va"),
+    )
+    right = df.select(
+        F.col(tag_col).alias("tag_b"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("_tb"),
+        F.col(value_col).alias("_vb"),
+    ).withColumn("lag", F.explode(lag_arr))
+    # b's sample at (t + k*res) pairs with a's sample at t
+    right = right.withColumn("_t", F.col("_tb") - F.col("lag") * res)
+    joined = left.join(right, "_t").filter(F.col("tag_a") < F.col("tag_b"))
+    return joined.groupBy("tag_a", "tag_b", "lag").agg(
+        F.round(F.corr("_va", "_vb"), 6).alias("xcorr"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

@@ -95,6 +95,8 @@ ACCEPTED = {
     "psi_drift": "1-row time-range-midpoint scalar broadcast to the series",
     "basket_pairs": "1-row distinct-order-count scalar broadcast to the "
     "pair table",
+    "rfm_segments": "1-row exact-percentile threshold frame broadcast to "
+    "the per-customer aggregate",
 }
 COUNTED = (
     ("exchanges", r"\bExchange\b"),

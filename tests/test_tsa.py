@@ -97,3 +97,58 @@ def test_pair_counts_lift(spark):
     assert out[("x", "y")]["lift"] == pytest.approx(round(8 / 9, 6))
     assert out[("x", "z")]["n_both"] == 1
     assert out[("x", "z")]["lift"] == pytest.approx(round(4 / 3, 6))
+
+
+def test_grid_gaps_localizes_outage(spark):
+    from gordo_spark.operators.tsa import grid_gaps
+
+    # hours 0..9 present, 10..12 missing, 13..15 present
+    hours = list(range(10)) + [13, 14, 15]
+    rows = [("a", T0 + dt.timedelta(hours=h), 1.0) for h in hours]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    out = grid_gaps(df, 3600).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["gap_start"] == T0 + dt.timedelta(hours=10)
+    assert g["gap_end"] == T0 + dt.timedelta(hours=12)
+    assert g["n_missing"] == 3
+
+
+def test_cross_correlation_detects_known_lead(spark):
+    from gordo_spark.operators.tsa import cross_correlation
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(80)
+    rows = []
+    for i in range(80):
+        ts = T0 + dt.timedelta(hours=i)
+        rows.append(("a", ts, float(x[i])))
+        rows.append(("b", ts, float(x[i - 2]) if i >= 2 else float(rng.randn())))
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    out = {
+        r["lag"]: r["xcorr"]
+        for r in cross_correlation(df, [-2, 0, 2], 3600).collect()
+    }
+    # b(t) = a(t-2): a at t pairs with b at t+2 -> peak at lag +2
+    assert out[2] > 0.95
+    assert abs(out[0]) < 0.5 and abs(out[-2]) < 0.5
+
+
+def test_rfm_segments_scores(spark):
+    from gordo_spark.operators.ranking import rfm_segments
+
+    # 8 customers with strictly increasing recency/frequency/monetary
+    rows = []
+    for c in range(8):
+        for k in range(c + 1):  # frequency = c+1
+            rows.append((c, T0 + dt.timedelta(days=c * 10 + k), 100.0 * (c + 1)))
+    df = spark.createDataFrame(
+        rows, "o_custkey int, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r["o_custkey"]: r for r in rfm_segments(df).collect()}
+    # strictly increasing on every axis: best customer scores 444, worst 111
+    assert out[7]["rfm"] == 444
+    assert out[0]["rfm"] == 111
+    # quartile scores are monotone in the underlying metric
+    fs = [out[c]["f_score"] for c in range(8)]
+    assert fs == sorted(fs)
