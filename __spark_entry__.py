@@ -7149,6 +7149,77 @@ FROM sc
 """
 
 
+def q_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort revenue-retention matrix over orders: cohort = month of a
+    customer's FIRST order, cell = (cohort, months_since) with distinct
+    customers + revenue. The cohort label rides a custkey-partitioned
+    window min (bounded per-key — no join back to a first-order table,
+    which would re-derive the scan), then one hash agg on the
+    months x months bounded key."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    m = F.date_trunc("month", F.col("o_orderdate"))
+    d = o.select(
+        "o_custkey",
+        "o_totalprice",
+        m.alias("_m"),
+        F.min(m).over(w).alias("cohort"),
+    )
+    return (
+        d.withColumn(
+            "months_since",
+            F.months_between(F.col("_m"), F.col("cohort")).cast("int"),
+        )
+        .groupBy("cohort", "months_since")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+    )
+
+
+O_ORDER_COHORTS = """
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m, o_totalprice
+  FROM orders
+),
+f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+j AS (
+  SELECT o.o_custkey, f.cohort,
+         CAST(datediff('month', f.cohort, o.m) AS INT) AS months_since,
+         o.o_totalprice
+  FROM o JOIN f USING (o_custkey)
+)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort, months_since,
+       count(DISTINCT o_custkey) AS n_customers,
+       ROUND(sum(o_totalprice), 6) AS revenue
+FROM j GROUP BY 1, 2
+"""
+
+
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap over the event stream:
+    one map-side-combined hash agg on a 7x24 bounded key — the load-
+    pattern readout behind capacity planning (concurrency gives the
+    session curve; this gives the calendar shape)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+O_EVENTS_HEATMAP = """
+SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+       count(*) AS n,
+       ROUND(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -7313,6 +7384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_gaps": q_grid_gaps,
         "tag_crosscorr": q_tag_crosscorr,
         "rfm_segments": q_rfm_segments,
+        "order_cohorts": q_order_cohorts,
+        "events_heatmap": q_events_heatmap,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -7523,4 +7596,6 @@ def oracle_sql() -> dict[str, str]:
         "grid_gaps": O_GRID_GAPS,
         "tag_crosscorr": O_TAG_CROSSCORR,
         "rfm_segments": O_RFM_SEGMENTS,
+        "order_cohorts": O_ORDER_COHORTS,
+        "events_heatmap": O_EVENTS_HEATMAP,
     }

@@ -142,6 +142,8 @@ HEADLINE = [
     "grid_gaps",
     "tag_crosscorr",
     "rfm_segments",
+    "order_cohorts",
+    "events_heatmap",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]
