@@ -6763,29 +6763,35 @@ FROM v"""
 
 def q_w13_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W13 — per-tag sample autocorrelation at lags 1/2/3/24 over the
-    hourly grid (operators/tsa.acf): one ordered window pass builds all
-    lag columns, ONE aggregation computes all four correlations, stack()
+    hourly grid (operators/tsa.acf): TIME-keyed lags (a RANGE frame
+    pinned at exactly k hours back, so grid gaps yield null partners
+    instead of mispaired rows); one ordered window pass builds all lag
+    columns, ONE aggregation computes all four correlations, stack()
     unpivots — per-tag cost is a single sort regardless of lag count."""
     from gordo_spark.operators.tsa import acf
 
     res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    return acf(res, [1, 2, 3, 24])
+    return acf(res, [1, 2, 3, 24], 3600)
 
 
 O_W13_ACF = """
 WITH res AS (
   SELECT event_type AS tag,
-         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         floor(epoch(ts)/3600)*3600 AS t,
          avg(value) AS value
   FROM events GROUP BY 1, 2
 ),
 lagged AS (
   SELECT tag, value,
-         lag(value, 1) OVER w AS l1,
-         lag(value, 2) OVER w AS l2,
-         lag(value, 3) OVER w AS l3,
-         lag(value, 24) OVER w AS l24
-  FROM res WINDOW w AS (PARTITION BY tag ORDER BY ts)
+         last_value(value) OVER (PARTITION BY tag ORDER BY t
+           RANGE BETWEEN 3600 PRECEDING AND 3600 PRECEDING) AS l1,
+         last_value(value) OVER (PARTITION BY tag ORDER BY t
+           RANGE BETWEEN 7200 PRECEDING AND 7200 PRECEDING) AS l2,
+         last_value(value) OVER (PARTITION BY tag ORDER BY t
+           RANGE BETWEEN 10800 PRECEDING AND 10800 PRECEDING) AS l3,
+         last_value(value) OVER (PARTITION BY tag ORDER BY t
+           RANGE BETWEEN 86400 PRECEDING AND 86400 PRECEDING) AS l24
+  FROM res
 ),
 wide AS (
   SELECT tag,
@@ -6827,7 +6833,8 @@ d AS (
                           ROWS UNBOUNDED PRECEDING) AS cs,
          count(*) OVER (PARTITION BY tag) AS n,
          sum(value) OVER (PARTITION BY tag) AS tot
-  FROM res WINDOW w AS (PARTITION BY tag ORDER BY ts)
+  FROM res WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY tag ORDER BY ts)
 ),
 sc AS (
   SELECT tag, ts,
@@ -6916,7 +6923,7 @@ b AS (
                      (d.value - ref.lo) / ((ref.hi - ref.lo) / 10))
                    AS BIGINT)))
               ELSE 0 END AS bin
-  FROM d JOIN ref USING (tag)
+  FROM d LEFT JOIN ref USING (tag)
 ),
 cnt AS (
   SELECT tag, bin,
@@ -6930,8 +6937,10 @@ tot AS (
 ),
 term AS (
   SELECT cnt.tag, tot.n_ref, tot.n_cur,
-         (greatest(nc / tot.n_cur, 1e-6) - greatest(nr / tot.n_ref, 1e-6))
-         * ln(greatest(nc / tot.n_cur, 1e-6) / greatest(nr / tot.n_ref, 1e-6))
+         (greatest(CASE WHEN tot.n_cur > 0 THEN nc / tot.n_cur ELSE 0 END, 1e-6)
+          - greatest(CASE WHEN tot.n_ref > 0 THEN nr / tot.n_ref ELSE 0 END, 1e-6))
+         * ln(greatest(CASE WHEN tot.n_cur > 0 THEN nc / tot.n_cur ELSE 0 END, 1e-6)
+              / greatest(CASE WHEN tot.n_ref > 0 THEN nr / tot.n_ref ELSE 0 END, 1e-6))
            AS term
   FROM cnt JOIN tot USING (tag)
 )
@@ -7056,7 +7065,8 @@ lagged AS (
 ),
 g AS (
   SELECT tag, prev, ts,
-         CAST((epoch(ts) - epoch(prev)) / 3600 - 1 AS BIGINT) AS n_missing
+         (CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev) AS BIGINT)) // 3600 - 1
+           AS n_missing
   FROM lagged WHERE prev IS NOT NULL
 )
 SELECT tag,

@@ -119,9 +119,12 @@ def rfm_segments(
     one exact-percentile aggregation (a 1-row frame, broadcast — the
     length_curriculum pattern) and every customer scores by three
     comparisons — pure hash-agg + row-local math at any scale. Recency
-    uses the last-order epoch directly (monotonic in recency, so
-    quartile scores are identical to days-since-last-order scoring
-    without needing a second "now" scalar). Monetary sums are rounded
+    uses the last-order epoch directly: days-since-last-order is a
+    DECREASING transform of that epoch, so the epoch convention here
+    (larger epoch = more recent = score 4) is equivalent to
+    days-since scoring only after flipping the comparison direction —
+    which is exactly what the ``>`` comparisons below encode, and it
+    avoids needing a second "now" scalar. Monetary sums are rounded
     to 6dp BEFORE thresholding so score boundaries are reproducible
     across engines.
     """

@@ -34,28 +34,42 @@ __all__ = [
 def acf(
     df: DataFrame,
     lags: Sequence[int],
+    resolution_seconds: int,
     tag_col: str = "tag",
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
     """Sample autocorrelation per tag at each requested lag.
 
-    Pairwise-complete Pearson variant: ``corr(x_t, x_{t-k})`` over the
-    rows where both sides exist (the estimator DB engines agree on
-    bit-for-bit, unlike the classical biased ACF which divides by the
-    lag-0 variance). Output: ``(tag, lag, acf)``.
+    Pairwise-complete Pearson variant: ``corr(x_t, x_{t - k*res})``
+    over the rows where both sides exist (the estimator DB engines
+    agree on bit-for-bit, unlike the classical biased ACF which
+    divides by the lag-0 variance). Output: ``(tag, lag, acf)``.
 
-    One ordered window pass materializes ALL lag columns, one
-    aggregation computes all K correlations map-side, and a
-    ``stack()`` unpivots — so the cost is a single per-tag sort plus
-    one exchange on the bounded tag key regardless of K.
+    Lag ``k`` is TIME-keyed, not row-positional: each lag column is a
+    RANGE window frame pinned at exactly ``k * resolution_seconds``
+    before the current row, so on a gappy grid a missing bucket yields
+    a null partner (excluded by ``corr``) instead of silently pairing
+    with whatever row happens to sit k positions back — the same
+    time-keyed convention as :func:`cross_correlation`.
+
+    One ordered window pass materializes ALL lag columns (the K RANGE
+    frames share a single per-tag sort), one aggregation computes all
+    K correlations map-side, and a ``stack()`` unpivots — so the cost
+    is a single per-tag sort plus one exchange on the bounded tag key
+    regardless of K.
     """
     if not lags or any(k <= 0 for k in lags):
         raise ValueError("lags must be positive ints")
-    w = Window.partitionBy(tag_col).orderBy(ts_col)
-    out = df
+    res = int(resolution_seconds)
+    out = df.withColumn("_t", F.col(ts_col).cast("timestamp").cast("long"))
     for k in lags:
-        out = out.withColumn(f"_lag{k}", F.lag(value_col, k).over(w))
+        w = (
+            Window.partitionBy(tag_col)
+            .orderBy("_t")
+            .rangeBetween(-k * res, -k * res)
+        )
+        out = out.withColumn(f"_lag{k}", F.last(value_col).over(w))
     aggs = [
         F.round(F.corr(value_col, f"_lag{k}"), 6).alias(f"acf{k}") for k in lags
     ]
@@ -87,8 +101,11 @@ def mean_shift_changepoint(
     Prefix sums via one cumulative window give every candidate split's
     two means without re-scanning (O(n) per tag, not O(n^2)); the
     argmax is one ``max(struct)`` aggregation — no join back, no
-    second sort.
+    second sort. Null values are dropped at entry so the positional
+    index ``_i`` and the null-skipping ``count/sum`` aggregates stay
+    consistent on raw (un-resampled) frames.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(tag_col).orderBy(ts_col)
     wall = Window.partitionBy(tag_col)
     i = F.row_number().over(w)
@@ -184,6 +201,13 @@ def psi_drift(
     proportions are floored at ``eps`` before the log ratio, the
     standard PSI convention for empty buckets (so the proportions can
     sum to slightly more than 1; documented, deterministic).
+    A tag with NO reference-half rows (it appears only in the current
+    half — the most extreme drift possible) is kept via a left join:
+    all its rows collapse into bucket 0, its reference proportion
+    floors to ``eps``, and it emits ``n_ref = 0`` with the maximal
+    single-bucket PSI ``(1 - eps) * ln(1/eps)`` (~13.8 at the default
+    eps) — an explicit max-drift sentinel rather than a silently
+    missing row.
     Output: ``(tag, psi, n_ref, n_cur)``. Rule of thumb: psi < 0.1
     stable, 0.1-0.25 moderate drift, > 0.25 action.
 
@@ -212,7 +236,7 @@ def psi_drift(
         .agg(F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
     )
     width = (F.col("_hi") - F.col("_lo")) / bins
-    binned = d.join(ref, tag_col).withColumn(
+    binned = d.join(ref, tag_col, "left").withColumn(
         "_bin",
         F.when(width > 0,
             F.least(
@@ -236,8 +260,16 @@ def psi_drift(
     cnt = cnt.withColumn("_totr", F.sum("_nr").over(wtag)).withColumn(
         "_totc", F.sum("_nc").over(wtag)
     )
-    p = F.greatest(F.col("_nr") / F.col("_totr"), F.lit(eps))
-    q = F.greatest(F.col("_nc") / F.col("_totc"), F.lit(eps))
+    # 0/0 (a half with no rows at all for the tag) is pinned to 0 before
+    # the eps floor so engines that differ on div-by-zero agree.
+    p = F.greatest(
+        F.when(F.col("_totr") > 0, F.col("_nr") / F.col("_totr")).otherwise(0.0),
+        F.lit(eps),
+    )
+    q = F.greatest(
+        F.when(F.col("_totc") > 0, F.col("_nc") / F.col("_totc")).otherwise(0.0),
+        F.lit(eps),
+    )
     term = cnt.select(
         tag_col,
         F.col("_totr").alias("n_ref"),
@@ -265,18 +297,24 @@ def grid_gaps(
     filter; no joins, no second exchange. The reference's
     ``n_samples_threshold`` gate (gordo builder) rejects a WHOLE series
     for sparsity; this localizes WHERE the data went missing.
+
+    ``n_missing`` uses pure integer floor-division on epoch seconds
+    (``step div res - 1``), never a double divide + cast — so off-grid
+    timestamps (e.g. a step of 2.5 buckets) floor identically in every
+    engine instead of depending on truncation-vs-round-half-even.
     """
     res = int(resolution_seconds)
     w = Window.partitionBy(tag_col).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
-    step = F.col(ts_col).cast("timestamp").cast("long") - prev.cast(
-        "timestamp"
-    ).cast("long")
+    t_long = F.col(ts_col).cast("timestamp").cast("long")
+    p_long = prev.cast("timestamp").cast("long")
     d = df.select(
         F.col(tag_col),
         F.col(ts_col),
         prev.alias("_prev"),
-        ((step / res) - 1).cast("long").alias("n_missing"),
+        (t_long - p_long).alias("_step"),
+    ).withColumn(
+        "n_missing", F.expr(f"(_step div {res}) - 1").cast("long")
     )
     return d.filter(F.col("n_missing") > 0).select(
         tag_col,

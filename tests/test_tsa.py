@@ -29,7 +29,7 @@ def test_acf_matches_pandas_pairwise_corr(spark):
     x = np.cumsum(rng.randn(60))  # random walk: strong lag-1 autocorr
     out = {
         r["lag"]: r["acf"]
-        for r in acf(_series(spark, x), [1, 5]).collect()
+        for r in acf(_series(spark, x), [1, 5], 3600).collect()
     }
     s = pd.Series(x)
     for k in (1, 5):
@@ -40,7 +40,28 @@ def test_acf_matches_pandas_pairwise_corr(spark):
 
 def test_acf_rejects_bad_lags(spark):
     with pytest.raises(ValueError):
-        acf(_series(spark, [1, 2]), [0])
+        acf(_series(spark, [1, 2]), [0], 3600)
+
+
+def test_acf_is_time_keyed_on_gappy_grid(spark):
+    # hours 0..5 and 8..13: row-positional lag-1 would pair hour 8 with
+    # hour 5 (3 hours apart); time-keyed ACF must skip that pair.
+    hours = list(range(6)) + list(range(8, 14))
+    x = np.random.RandomState(11).randn(12)
+    rows = [("a", T0 + dt.timedelta(hours=h), float(v)) for h, v in zip(hours, x)]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    got = acf(df, [1], 3600).collect()[0]["acf"]
+    # expected: pairs only where both t and t-1h exist (10 pairs)
+    pairs = [
+        (x[i], x[j])
+        for i, hi in enumerate(hours)
+        for j, hj in enumerate(hours)
+        if hj == hi - 1
+    ]
+    a = np.array([p[0] for p in pairs])
+    b = np.array([p[1] for p in pairs])
+    exp = np.corrcoef(a, b)[0, 1]
+    assert got == pytest.approx(round(exp, 6), abs=1e-6)
 
 
 def test_changepoint_finds_level_shift(spark):
@@ -84,6 +105,53 @@ def test_psi_drift_zero_when_stable_and_large_on_shift(spark):
     assert out["a"]["psi"] == pytest.approx(0.0, abs=1e-6)
     assert out["b"]["psi"] > 0.25
     assert out["a"]["n_ref"] == out["a"]["n_cur"] == 20
+
+
+def test_psi_drift_keeps_tag_absent_from_reference_half(spark):
+    # tag 'a' spans the whole range; tag 'c' exists ONLY in the second
+    # half -> must still emit a row: n_ref=0 and the max-drift sentinel
+    # (1 - eps) * ln(1/eps) instead of silently disappearing.
+    base = _series(spark, [float(v) for v in range(40)], "a")
+    late = [
+        ("c", T0 + dt.timedelta(hours=30 + i), float(i)) for i in range(5)
+    ]
+    df = base.union(
+        spark.createDataFrame(late, "tag string, ts timestamp, value double")
+    )
+    out = {r["tag"]: r for r in psi_drift(df, bins=10).collect()}
+    assert "c" in out
+    assert out["c"]["n_ref"] == 0 and out["c"]["n_cur"] == 5
+    eps = 1e-6
+    assert out["c"]["psi"] == pytest.approx(
+        round((1 - eps) * np.log(1 / eps), 6), abs=1e-6
+    )
+    assert out["c"]["psi"] > 0.25  # reads as "action" on the PSI scale
+
+
+def test_changepoint_ignores_null_values(spark):
+    # nulls interleaved with a clean level shift must not skew the split
+    vals = [0.0] * 10 + [None] * 3 + [5.0] * 10
+    rows = [
+        ("a", T0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    row = mean_shift_changepoint(df).collect()[0]
+    assert row["split_ts"] == T0 + dt.timedelta(hours=9)  # last 0.0
+    assert row["mean_before"] == pytest.approx(0.0)
+    assert row["mean_after"] == pytest.approx(5.0)
+
+
+def test_grid_gaps_off_grid_step_floors(spark):
+    # step of 2.5 buckets (9000 s on a 3600 s grid) -> floor(2.5)-1 = 1
+    rows = [
+        ("a", T0, 1.0),
+        ("a", T0 + dt.timedelta(seconds=9000), 1.0),
+    ]
+    from gordo_spark.operators.tsa import grid_gaps
+
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    out = grid_gaps(df, 3600).collect()
+    assert len(out) == 1 and out[0]["n_missing"] == 1
 
 
 def test_pair_counts_lift(spark):
