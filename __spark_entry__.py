@@ -7230,6 +7230,377 @@ FROM events GROUP BY 1, 2
 """
 
 
+
+
+def q_w15_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 — time-weighted average per tag per day over the RAW
+    irregular event stream (operators/tsa.time_weighted_avg): trapezoid
+    integration between consecutive samples so sparse-but-steady
+    sensors aren't out-voted by chatty ones. One per-tag ordered window
+    + one (tag, day) hash agg — no joins."""
+    from gordo_spark.operators.tsa import time_weighted_avg
+
+    return time_weighted_avg(_events_long(spark, sf_dir), 86400)
+
+
+O_W15_TWA = """
+WITH e AS (
+  SELECT event_type AS tag, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+  FROM events
+),
+d AS (
+  SELECT tag, t, value, t // 86400 AS bkt,
+         lag(t) OVER w AS pt, lag(value) OVER w AS pv
+  FROM e WINDOW w AS (PARTITION BY tag ORDER BY t, value)
+),
+seg AS (
+  SELECT tag, bkt, value,
+         CASE WHEN pt IS NOT NULL AND pt // 86400 = bkt
+              THEN t - pt ELSE 0 END AS dt,
+         CASE WHEN pt IS NOT NULL AND pt // 86400 = bkt
+              THEN (value + pv) / 2.0 * (t - pt) ELSE 0.0 END AS area
+  FROM d
+)
+SELECT tag, CAST(to_timestamp(bkt * 86400) AS TIMESTAMP) AS bucket_ts,
+       ROUND(CASE WHEN sum(dt) > 0 THEN sum(area) / sum(dt)
+                  ELSE avg(value) END, 6) AS twa,
+       count(*) AS n_samples
+FROM seg GROUP BY tag, bkt
+"""
+
+
+def q_w16_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16 — Prometheus-style counter increase()/rate() per tag per 6h
+    bucket with reset handling (operators/tsa.counter_rate): lag window
+    partitions on (tag, bucket) — FINER than the tag key, so one hot
+    counter still splits across executors bucket-by-bucket."""
+    from gordo_spark.operators.tsa import counter_rate
+
+    return counter_rate(_events_long(spark, sf_dir), 21600)
+
+
+O_W16_COUNTER_RATE = """
+WITH e AS (
+  SELECT event_type AS tag, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+  FROM events
+),
+d AS (
+  SELECT tag, t, value, t // 21600 AS bkt,
+         lag(value) OVER (PARTITION BY tag, t // 21600
+                          ORDER BY t, value) AS pv
+  FROM e
+),
+inc AS (
+  SELECT tag, bkt,
+         CASE WHEN pv IS NULL THEN 0.0
+              WHEN value >= pv THEN value - pv
+              ELSE value END AS inc,
+         CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END AS r
+  FROM d
+),
+agg AS (
+  SELECT tag, bkt, ROUND(sum(inc), 6) AS increase, sum(r) AS n_resets
+  FROM inc GROUP BY 1, 2
+)
+SELECT tag, CAST(to_timestamp(bkt * 21600) AS TIMESTAMP) AS bucket_ts,
+       increase, ROUND(increase / 21600, 6) AS rate_per_sec,
+       CAST(n_resets AS BIGINT) AS n_resets
+FROM agg
+"""
+
+
+def q_j1_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/OHLC — candlestick downsample per tag per day
+    (operators/downsample.resample_ohlc): open/close via lexicographic
+    min/max(struct(ts, value)) — deterministic tie-break, one hash agg
+    on the bounded (tag, day) key, no window, no sort."""
+    from gordo_spark.operators.downsample import resample_ohlc
+
+    return resample_ohlc(_events_long(spark, sf_dir), 86400)
+
+
+O_J1_RESAMPLE_OHLC = """
+WITH e AS (
+  SELECT event_type AS tag, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+  FROM events
+),
+d AS (
+  SELECT tag, t, value, t // 86400 AS bkt,
+         row_number() OVER (PARTITION BY tag, t // 86400
+                            ORDER BY t ASC, value ASC) AS rn_o,
+         row_number() OVER (PARTITION BY tag, t // 86400
+                            ORDER BY t DESC, value DESC) AS rn_c
+  FROM e
+)
+SELECT tag, CAST(to_timestamp(bkt * 86400) AS TIMESTAMP) AS bucket_ts,
+       max(CASE WHEN rn_o = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_c = 1 THEN value END) AS close,
+       count(*) AS n
+FROM d GROUP BY tag, bkt
+"""
+
+
+def q_w17_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 — largest-triangle-three-buckets downsample of each tag's
+    hourly series to 50 points (operators/downsample.lttb,
+    parallel-anchor variant: bucket-mean anchors remove classical
+    LTTB's sequential dependency so buckets score independently)."""
+    from gordo_spark.operators.downsample import lttb
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return lttb(res, 50)
+
+
+O_W17_LTTB = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT tag, ts, value, CAST(epoch(ts) AS BIGINT) AS t,
+         row_number() OVER (PARTITION BY tag ORDER BY ts) - 1 AS i,
+         count(*) OVER (PARTITION BY tag) AS cnt
+  FROM res
+),
+b AS (
+  SELECT *, CASE WHEN cnt <= 50 THEN i
+                 WHEN i = 0 THEN 0
+                 WHEN i = cnt - 1 THEN 49
+                 ELSE 1 + ((i - 1) * 48) // (cnt - 2) END AS bucket
+  FROM d
+),
+keep_all AS (
+  SELECT tag, ts, value, CAST(bucket AS BIGINT) AS bucket
+  FROM b WHERE cnt <= 50
+),
+mid AS (SELECT * FROM b WHERE cnt > 50),
+anch AS (
+  SELECT tag, bucket, ROUND(avg(t), 6) AS ax, ROUND(avg(value), 6) AS ay
+  FROM mid GROUP BY 1, 2
+),
+anch2 AS (
+  SELECT tag, bucket,
+         lag(ax) OVER w AS xl, lag(ay) OVER w AS yl,
+         lead(ax) OVER w AS xr, lead(ay) OVER w AS yr
+  FROM anch WINDOW w AS (PARTITION BY tag ORDER BY bucket)
+),
+scored AS (
+  SELECT m.tag, m.bucket, m.ts, m.t, m.value,
+         ROUND(abs((a.xl - a.xr) * (m.value - a.yl)
+                   - (a.xl - m.t) * (a.yr - a.yl)), 6) AS area
+  FROM mid m JOIN anch2 a ON m.tag = a.tag AND m.bucket = a.bucket
+),
+ranked AS (
+  SELECT tag, bucket, ts, value,
+         row_number() OVER (PARTITION BY tag, bucket
+                            ORDER BY coalesce(area, 0) DESC, ts ASC) AS rn
+  FROM scored
+)
+SELECT tag, ts, value, CAST(bucket AS BIGINT) AS bucket
+FROM ranked WHERE rn = 1
+UNION ALL SELECT tag, ts, value, bucket FROM keep_all
+"""
+
+
+def q_w18_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18 — per-tag OLS trend (operators/tsa.trend): regr_slope /
+    regr_intercept / regr_r2 sufficient-statistic aggregates — one
+    map-side-combinable hash agg, no window, no sort, no join."""
+    from gordo_spark.operators.tsa import trend
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return trend(res)
+
+
+O_W18_TREND = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+x AS (SELECT tag, value, epoch(ts) / 3600.0 AS h FROM res)
+SELECT tag,
+       ROUND(regr_slope(value, h), 6) AS slope_per_hour,
+       ROUND(regr_intercept(value, h), 6) AS intercept,
+       ROUND(regr_r2(value, h), 6) AS r2,
+       count(value) AS n
+FROM x GROUP BY tag
+"""
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals per priority class
+    (operators/profile.benford): string-extracted first significant
+    digit (float log10 is engine-dependent at powers of ten), densified
+    to all 9 digits per group, per-group chi-square against
+    log10(1 + 1/d). One bounded-key hash agg + a 9x explode."""
+    from gordo_spark.operators.profile import benford
+
+    orders = read_table(spark, sf_dir, "orders")
+    return benford(orders, "o_totalprice", ["o_orderpriority"])
+
+
+O_BENFORD_PRICES = """
+WITH pos AS (
+  SELECT o_orderpriority,
+         CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+cnt AS (
+  SELECT o_orderpriority, digit, count(*) AS n FROM pos GROUP BY 1, 2
+),
+tot AS (
+  SELECT o_orderpriority, sum(n) AS total FROM cnt GROUP BY 1
+),
+dense AS (
+  SELECT t.o_orderpriority, t.total, g.digit
+  FROM tot t CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) g
+),
+full_t AS (
+  SELECT d.o_orderpriority, d.digit, coalesce(c.n, 0) AS n, d.total,
+         log10(1 + 1.0 / d.digit) AS exp_p
+  FROM dense d LEFT JOIN cnt c
+    ON d.o_orderpriority = c.o_orderpriority AND d.digit = c.digit
+)
+SELECT o_orderpriority, CAST(digit AS INT) AS digit, n,
+       ROUND(n / total, 6) AS obs_p,
+       ROUND(exp_p, 6) AS exp_p,
+       ROUND(sum(pow(n - total * exp_p, 2) / (total * exp_p))
+               OVER (PARTITION BY o_orderpriority), 6) AS chi2
+FROM full_t
+"""
+
+
+def q_er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over customer names
+    (operators/linkage.blocked_pairs): blocking on (nation, segment)
+    bounds the pairwise space, JVM-side levenshtein filters in-block
+    pairs row-locally — sum-of-|block|^2 cost, never |N|^2."""
+    from gordo_spark.operators.linkage import blocked_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    return blocked_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"], max_dist=1
+    )
+
+
+O_ER_BLOCKED_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (operators/graph):
+    edges = part pairs sharing >= 2 orders (support filter BEFORE any
+    self-join bounds the fan-out), triangles via canonical a<b<c
+    orientation — each triangle joined exactly once; global clustering
+    = 3*tri/wedges."""
+    from gordo_spark.operators.graph import co_occurrence_edges, triangle_stats
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return triangle_stats(edges)
+
+
+O_TRIANGLE_COUNT = """
+WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+cnt AS (
+  SELECT a.p AS a, b.p AS b, count(*) AS n
+  FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM cnt WHERE n >= 2),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e ab JOIN e bc ON ab.b = bc.a
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) GROUP BY v
+),
+stats AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges,
+         CAST(sum(d) / 2 AS BIGINT) AS n_edges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       ROUND(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges END, 6)
+         AS global_clustering
+FROM stats, tri
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-HLL distinct parts per return flag
+    (operators/sketches.hll_det_*): the CMS trick applied to HLL — a
+    fixed md5 hash makes even the approximate answer oracle-exact
+    (register table = 256 rows/group of mergeable state; harmonic sum
+    in EXACT bigint fixed-point so the estimate is order-independent).
+    """
+    from gordo_spark.operators.sketches import hll_det_estimate, hll_det_registers
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), F.col("l_partkey").alias("v")
+    )
+    regs = hll_det_registers(li, "v", ["flag"])
+    return hll_det_estimate(regs, ["flag"])
+
+
+O_HLL_DISTINCT = """
+WITH d AS (
+  SELECT l_returnflag AS flag, md5(CAST(l_partkey AS VARCHAR)) AS h
+  FROM lineitem
+),
+r AS (
+  SELECT flag,
+         ('0x' || substr(h, 1, 2))::INT AS idx,
+         ltrim(substr(h, 3, 13), '0') AS s
+  FROM d
+),
+rho AS (
+  SELECT flag, idx,
+         CASE WHEN length(s) = 0 THEN 53
+              ELSE (13 - length(s)) * 4
+                   + CASE WHEN substr(s,1,1) = '1' THEN 3
+                          WHEN substr(s,1,1) IN ('2','3') THEN 2
+                          WHEN substr(s,1,1) IN ('4','5','6','7') THEN 1
+                          ELSE 0 END + 1 END AS rho
+  FROM r
+),
+reg AS (SELECT flag, idx, max(rho) AS m FROM rho GROUP BY 1, 2),
+agg AS (
+  SELECT flag, sum((1::BIGINT << (53 - m))::BIGINT)::BIGINT AS sp,
+         count(*) AS np
+  FROM reg GROUP BY flag
+),
+e AS (
+  SELECT flag,
+         (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * 9007199254740992.0
+           / (sp + (256 - np) * 9007199254740992) AS raw,
+         256 - np AS v
+  FROM agg
+)
+SELECT flag, ROUND(CASE WHEN raw <= 2.5 * 256 AND v > 0
+                        THEN 256.0 * ln(256.0 / v) ELSE raw END, 4)
+         AS hll_distinct
+FROM e
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -7394,6 +7765,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_gaps": q_grid_gaps,
         "tag_crosscorr": q_tag_crosscorr,
         "rfm_segments": q_rfm_segments,
+        "w15_twa": q_w15_twa,
+        "w16_counter_rate": q_w16_counter_rate,
+        "j1_resample_ohlc": q_j1_resample_ohlc,
+        "w17_lttb": q_w17_lttb,
+        "w18_trend": q_w18_trend,
+        "benford_prices": q_benford_prices,
+        "er_blocked_pairs": q_er_blocked_pairs,
+        "triangle_count": q_triangle_count,
+        "hll_distinct": q_hll_distinct,
         "order_cohorts": q_order_cohorts,
         "events_heatmap": q_events_heatmap,
         # --- remaining TPC-H shapes ---
@@ -7606,6 +7986,15 @@ def oracle_sql() -> dict[str, str]:
         "grid_gaps": O_GRID_GAPS,
         "tag_crosscorr": O_TAG_CROSSCORR,
         "rfm_segments": O_RFM_SEGMENTS,
+        "w15_twa": O_W15_TWA,
+        "w16_counter_rate": O_W16_COUNTER_RATE,
+        "j1_resample_ohlc": O_J1_RESAMPLE_OHLC,
+        "w17_lttb": O_W17_LTTB,
+        "w18_trend": O_W18_TREND,
+        "benford_prices": O_BENFORD_PRICES,
+        "er_blocked_pairs": O_ER_BLOCKED_PAIRS,
+        "triangle_count": O_TRIANGLE_COUNT,
+        "hll_distinct": O_HLL_DISTINCT,
         "order_cohorts": O_ORDER_COHORTS,
         "events_heatmap": O_EVENTS_HEATMAP,
     }

@@ -144,6 +144,15 @@ HEADLINE = [
     "rfm_segments",
     "order_cohorts",
     "events_heatmap",
+    "w15_twa",
+    "w16_counter_rate",
+    "j1_resample_ohlc",
+    "w17_lttb",
+    "w18_trend",
+    "benford_prices",
+    "er_blocked_pairs",
+    "triangle_count",
+    "hll_distinct",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -1,0 +1,65 @@
+"""Entity resolution / record linkage primitives.
+
+The reference normalizes tag identities against build metadata
+(``gordo/utils.py:15-50`` ``normalize_sensor_tags``, and the server's
+tag-name reconciliation in ``gordo/server/properties.py:62-104``) — an
+EXACT-match linkage. At corpus scale the same problem reappears fuzzy:
+the same real-world entity spelled slightly differently across sources.
+The standard shape is blocking + in-block pairwise comparison, which is
+what :func:`blocked_pairs` implements.
+
+Scale posture: the naive pairwise space is |N|^2 — never materialized.
+Blocking keys bound every comparison group (choose keys so the largest
+block fits comfortably in a task; skewed blocks can be salted upstream),
+the in-block self-join is an equi-join Catalyst shuffles on the block
+key, and the ``id_a < id_b`` canonicalization halves the candidate set
+before the edit-distance filter runs row-locally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["blocked_pairs"]
+
+
+def blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: Sequence[str],
+    max_dist: int = 1,
+) -> DataFrame:
+    """Candidate duplicate-entity pairs: records sharing every blocking
+    key whose names are within ``max_dist`` Levenshtein edits.
+
+    Output ``(id_a, id_b, name_a, name_b, dist)`` with ``id_a < id_b``
+    (each unordered pair once). Identical-name pairs are included
+    (``dist = 0``) — exact duplicates are linkage's first-class catch.
+
+    Levenshtein runs JVM-side (builtin ``levenshtein`` expression, no
+    Python), and ONLY on in-block pairs: cost is sum over blocks of
+    ``|block|^2``, not ``|N|^2`` — the blocking keys are the knob that
+    keeps that sum linear-ish at 100 TB.
+    """
+    bcols = list(block_cols)
+    a = df.select(
+        *[F.col(c) for c in bcols],
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+    )
+    b = df.select(
+        *[F.col(c) for c in bcols],
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+    )
+    pairs = a.join(b, bcols).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= int(max_dist))

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType
 
 
@@ -63,4 +63,58 @@ def profile(
     return one_row.selectExpr(
         f"stack({len(cols)}, {', '.join(stack_args)}) AS "
         "(column, n_rows, n_nulls, n_distinct, min_repr, max_repr, mean_numeric)"
+    )
+
+
+def benford(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit — the classic
+    fabricated-numbers screen for financial/measurement columns (the
+    natural next check after :func:`profile` says a column "looks"
+    numeric). For each group: observed share of first digits 1-9 vs the
+    Benford expectation ``log10(1 + 1/d)`` and the group's chi-square
+    statistic (8 dof; > 20.09 rejects conformance at p=0.01).
+
+    The first significant digit comes from the DECIMAL STRING (first
+    char in [1-9] of the value's text form), never ``floor(v /
+    10^floor(log10 v))`` — float log10 at exact powers of ten is
+    engine-dependent, string extraction is not. Non-positive values are
+    excluded (Benford is defined on positive magnitudes).
+
+    Output one row per ``(group, digit)`` — digits a group never
+    produced still appear with ``n = 0`` (they contribute to chi-square
+    too, which per-group densification via a 9-element explode makes
+    exact). Plan: one hash aggregation on the bounded
+    ``(group, digit)`` key, a 9x explode of the per-group totals, one
+    bounded-key left join — no windows over the raw table, no sort.
+    """
+    gcols = list(group_cols)
+    digit = F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
+    pos = df.filter(F.col(value_col) > 0).withColumn(
+        "digit", digit.cast("int")
+    )
+    cnt = pos.groupBy(*gcols, "digit").agg(F.count(F.lit(1)).alias("n"))
+    totals = cnt.groupBy(*gcols).agg(F.sum("n").alias("_total"))
+    dense = totals.withColumn(
+        "digit", F.explode(F.sequence(F.lit(1), F.lit(9)))
+    )
+    full = dense.join(cnt, gcols + ["digit"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
+    exp_p = F.log10(1 + 1 / F.col("digit"))
+    full = full.withColumn(
+        "_chi_term",
+        F.pow(F.col("n") - F.col("_total") * exp_p, 2) / (F.col("_total") * exp_p),
+    )
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    return full.select(
+        *gcols,
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("_total"), 6).alias("obs_p"),
+        F.round(exp_p, 6).alias("exp_p"),
+        F.round(F.sum("_chi_term").over(wg), 6).alias("chi2"),
     )

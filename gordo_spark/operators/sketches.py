@@ -247,3 +247,80 @@ def merged_distinct_estimate(
     if group_by:
         return sketches.groupBy(*group_by).agg(agg)
     return sketches.agg(agg)
+
+
+# 2^53 — the fixed-point scale for the deterministic-HLL harmonic sum.
+_HLL_SCALE = 9007199254740992
+
+
+def hll_det_registers(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic HyperLogLog registers (Flajolet et al. 2007) over
+    an md5 hash — the CMS trick applied to distinct counting: classical
+    HLL is randomized, but with a FIXED, engine-portable hash the whole
+    register table (and the estimate) reproduces bit-for-bit in any
+    engine with ``md5()``, so even the "approximate" answer is
+    oracle-exact. m = 256 registers (lgk 8, ~6.5% rsd).
+
+    Register index = first 2 md5 hex chars; rho = leading-zero count of
+    the next 13 hex chars (52 bits) + 1, computed by STRING algebra
+    (``ltrim(s, '0')`` + a 16-way CASE on the first surviving char) —
+    never float ``log2``, which rounds differently near powers of two.
+    Output: one row per ``(group, idx)`` with ``m = max(rho)`` — a
+    plain hash aggregation, map-side combinable, 256 rows of state per
+    group no matter the cardinality.
+    """
+    h = F.md5(F.col(col).cast("string"))
+    idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    stripped = F.expr(
+        f"trim(LEADING '0' FROM substring(md5(cast(`{col}` as string)), 3, 13))"
+    )
+    first = F.substring(stripped, 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(F.length(stripped) == 0, F.lit(53)).otherwise(
+        (F.lit(13) - F.length(stripped)) * 4 + extra + 1
+    )
+    gcols = list(group_by)
+    d = df.select(*gcols, idx.alias("idx"), rho.alias("rho"))
+    return d.groupBy(*gcols, "idx").agg(F.max("rho").alias("m"))
+
+
+def hll_det_estimate(
+    registers: DataFrame,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Distinct-count estimate from :func:`hll_det_registers` output.
+
+    The harmonic sum is EXACT INTEGER arithmetic: each register
+    contributes ``2^(53 - m)`` (a bigint — m <= 53), absent registers
+    contribute ``2^53``, so the sum S is order-independent and
+    engine-identical; the raw estimate is then one double division
+    ``alpha * m^2 * 2^53 / S``. Small-range (linear counting) branch:
+    when E <= 2.5m and empty registers exist, ``E = m * ln(m / V)``
+    (rounded to 4dp — ``ln`` may differ in the last ulp across libms).
+    Output: ``(group..., hll_distinct)``.
+    """
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    gcols = list(group_by)
+    agg = registers.groupBy(*gcols).agg(
+        F.sum(F.expr("shiftleft(1L, 53 - m)")).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    s_total = F.col("_s_present") + (F.lit(m) - F.col("_n_present")) * F.lit(
+        _HLL_SCALE
+    )
+    raw = F.lit(alpha * m * m * float(_HLL_SCALE)) / s_total
+    v = F.lit(m) - F.col("_n_present")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(*gcols, F.round(est, 4).alias("hll_distinct"))

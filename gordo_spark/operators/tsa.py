@@ -23,11 +23,14 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "acf",
+    "counter_rate",
     "cross_correlation",
     "grid_gaps",
     "mean_shift_changepoint",
     "psi_drift",
     "seasonal_profile",
+    "time_weighted_avg",
+    "trend",
 ]
 
 
@@ -367,4 +370,138 @@ def cross_correlation(
     return joined.groupBy("tag_a", "tag_b", "lag").agg(
         F.round(F.corr("_va", "_vb"), 6).alias("xcorr"),
         F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    bucket_seconds: int,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average per tag per bucket — the irregular-sampling
+    analogue of plain ``avg`` (TimescaleDB's ``time_weight('Linear')``,
+    InfluxDB's ``integral``/elapsed): each consecutive-sample segment
+    contributes trapezoid area ``(v + v_prev)/2 * dt`` so a sensor that
+    reports rarely while steady is not out-voted by one that chatters.
+
+    Segment attribution is WITHIN-bucket: only segments whose both
+    endpoints fall in the same bucket integrate (cross-boundary segments
+    are dropped rather than split — deterministic and one-pass; buckets
+    with no intra-bucket segment, e.g. a single sample, fall back to the
+    plain mean of their samples). Output
+    ``(tag, bucket_ts, twa, n_samples)``.
+
+    One per-tag ordered window (bounded series key) computes every
+    segment; one ``(tag, bucket)`` hash aggregation closes it — no
+    joins, no second exchange, partial-aggregable at any scale.
+    """
+    b = int(bucket_seconds)
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    d = df.select(
+        F.col(tag_col), F.col(value_col), t.alias("_t")
+    ).withColumn("_bkt", F.expr(f"_t div {b}"))
+    wseg = Window.partitionBy(tag_col).orderBy("_t", value_col)
+    d = (
+        d.withColumn("_pt", F.lag("_t").over(wseg))
+        .withColumn("_pv", F.lag(value_col).over(wseg))
+        .withColumn(
+            "_same", F.expr(f"_pt is not null and (_pt div {b}) = _bkt")
+        )
+    )
+    dt = F.when(F.col("_same"), F.col("_t") - F.col("_pt")).otherwise(F.lit(0))
+    area = F.when(
+        F.col("_same"),
+        (F.col(value_col) + F.col("_pv")) / 2.0 * (F.col("_t") - F.col("_pt")),
+    ).otherwise(F.lit(0.0))
+    agg = d.groupBy(tag_col, "_bkt").agg(
+        F.sum(dt).alias("_dt"),
+        F.sum(area).alias("_area"),
+        F.avg(value_col).alias("_mean"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    return agg.select(
+        tag_col,
+        F.timestamp_seconds(F.col("_bkt") * b).alias("bucket_ts"),
+        F.round(
+            F.when(F.col("_dt") > 0, F.col("_area") / F.col("_dt")).otherwise(
+                F.col("_mean")
+            ),
+            6,
+        ).alias("twa"),
+        "n_samples",
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    bucket_seconds: int,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Monotonic-counter increase/rate per tag per bucket with reset
+    handling (Prometheus ``increase()``/``rate()`` semantics): each
+    consecutive-sample delta contributes ``v - v_prev`` when the counter
+    advanced and ``v`` after a reset (the counter restarted from ~0, so
+    the post-reset reading IS the increase since the reset). The first
+    sample of each bucket contributes nothing — deltas never straddle
+    buckets because the lag window partitions on ``(tag, bucket)``.
+
+    Output ``(tag, bucket_ts, increase, rate_per_sec, n_resets)``.
+    One ordered window on ``(tag, bucket)`` — a FINER key than the
+    per-tag series windows elsewhere in this module, so even a single
+    unbounded counter splits across executors bucket-by-bucket — plus
+    one hash aggregation on the same key: no joins, no skew pile-up.
+    """
+    b = int(bucket_seconds)
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    d = df.select(
+        F.col(tag_col), F.col(value_col), t.alias("_t")
+    ).withColumn("_bkt", F.expr(f"_t div {b}"))
+    w = Window.partitionBy(tag_col, "_bkt").orderBy("_t", value_col)
+    d = d.withColumn("_pv", F.lag(value_col).over(w))
+    inc = F.when(F.col("_pv").isNull(), F.lit(0.0)).when(
+        F.col(value_col) >= F.col("_pv"), F.col(value_col) - F.col("_pv")
+    ).otherwise(F.col(value_col))
+    reset = (
+        F.col("_pv").isNotNull() & (F.col(value_col) < F.col("_pv"))
+    ).cast("long")
+    agg = d.groupBy(tag_col, "_bkt").agg(
+        F.round(F.sum(inc), 6).alias("increase"),
+        F.sum(reset).alias("n_resets"),
+    )
+    return agg.select(
+        tag_col,
+        F.timestamp_seconds(F.col("_bkt") * b).alias("bucket_ts"),
+        "increase",
+        F.round(F.col("increase") / b, 6).alias("rate_per_sec"),
+        "n_resets",
+    )
+
+
+def trend(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-tag linear trend: OLS slope of value against time-in-hours,
+    plus intercept, R^2 and sample count — the "is this sensor drifting
+    and how fast" fleet screen that precedes any changepoint hunt.
+
+    Output ``(tag, slope_per_hour, intercept, r2, n)``; slope units are
+    value-per-hour (epoch seconds / 3600, so the number is readable).
+
+    Pure ``regr_*`` aggregates — single hash aggregation on the bounded
+    tag key, map-side combinable, no window, no sort, no join; the same
+    one-pass sufficient-statistics shape as ``tag_correlations``.
+    """
+    x = F.col(ts_col).cast("timestamp").cast("long") / F.lit(3600.0)
+    return df.groupBy(tag_col).agg(
+        F.round(F.regr_slope(F.col(value_col), x), 6).alias("slope_per_hour"),
+        F.round(F.regr_intercept(F.col(value_col), x), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col(value_col), x), 6).alias("r2"),
+        F.count(value_col).alias("n"),
     )

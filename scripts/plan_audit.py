@@ -59,6 +59,8 @@ ACCEPTED = {
     "pmi_cooccur": "1-row corpus-bigram-total frame broadcast to the "
     "min_count-pruned pair table",
     "m2_ols_predict": "1-row OLS coefficient frame broadcast to scored rows",
+    "triangle_count": "1-row triangle-total frame broadcast to the 1-row "
+    "degree-stats frame (two scalars crossed)",
     "m3_cv_splits": "1-row total-count frame broadcast to n_splits rows",
     "m4_kfold_threshold": "1-row per-fold threshold frames broadcast",
     "m5_scores": "1-row fitted-stats frame broadcast",

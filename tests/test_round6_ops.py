@@ -1,0 +1,288 @@
+"""Numpy/pure-python-pinned checks for the round-6 operator batch:
+downsample (OHLC, LTTB), tsa (TWA, counter rate, trend), profile
+(Benford), linkage (blocked pairs), graph (triangles), sketches
+(deterministic HLL)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _series(spark, points, tag="a"):
+    rows = [(tag, T0 + dt.timedelta(seconds=s), float(v)) for s, v in points]
+    return spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+
+
+# ------------------------------------------------------------------ TWA
+
+
+def test_time_weighted_avg_trapezoid(spark):
+    from gordo_spark.operators.tsa import time_weighted_avg
+
+    # one bucket (1h): samples at t=0 (v=0), t=600 (v=10), t=1800 (v=10)
+    # segments: (0+10)/2*600 = 3000 ; (10+10)/2*1200 = 12000 -> twa = 15000/1800
+    df = _series(spark, [(0, 0.0), (600, 10.0), (1800, 10.0)])
+    row = time_weighted_avg(df, 3600).collect()[0]
+    assert row["twa"] == pytest.approx(round(15000 / 1800, 6))
+    assert row["n_samples"] == 3
+
+
+def test_time_weighted_avg_single_sample_falls_back_to_mean(spark):
+    from gordo_spark.operators.tsa import time_weighted_avg
+
+    # second bucket has ONE sample -> no intra-bucket segment -> plain mean
+    df = _series(spark, [(0, 1.0), (100, 3.0), (4000, 7.0)])
+    out = {r["bucket_ts"]: r["twa"] for r in time_weighted_avg(df, 3600).collect()}
+    assert out[T0 + dt.timedelta(seconds=3600)] == 7.0
+    assert out[T0] == pytest.approx(2.0)  # (1+3)/2 * 100 / 100
+
+
+# --------------------------------------------------------- counter rate
+
+
+def test_counter_rate_with_reset(spark):
+    from gordo_spark.operators.tsa import counter_rate
+
+    # monotone 0->5->12, reset to 2, then 9: increase = 5+7+2+7 = 21
+    df = _series(spark, [(0, 0.0), (10, 5.0), (20, 12.0), (30, 2.0), (40, 9.0)])
+    row = counter_rate(df, 3600).collect()[0]
+    assert row["increase"] == pytest.approx(21.0)
+    assert row["n_resets"] == 1
+    assert row["rate_per_sec"] == pytest.approx(round(21.0 / 3600, 6))
+
+
+def test_counter_rate_no_cross_bucket_delta(spark):
+    from gordo_spark.operators.tsa import counter_rate
+
+    # one sample per bucket -> no deltas at all, increase 0 everywhere
+    df = _series(spark, [(0, 100.0), (3600, 200.0), (7200, 300.0)])
+    rows = counter_rate(df, 3600).collect()
+    assert all(r["increase"] == 0.0 for r in rows)
+
+
+# ----------------------------------------------------------------- trend
+
+
+def test_trend_matches_numpy_polyfit(spark):
+    from gordo_spark.operators.tsa import trend
+
+    rng = np.random.RandomState(5)
+    hours = np.arange(100)
+    y = 0.7 * hours + 3.0 + rng.randn(100) * 0.1
+    df = _series(spark, [(int(h) * 3600, float(v)) for h, v in zip(hours, y)])
+    row = trend(df).collect()[0]
+    x_hours = np.array(
+        [(T0 + dt.timedelta(hours=int(h))).timestamp() / 3600 for h in hours]
+    )
+    slope, intercept = np.polyfit(x_hours, y, 1)
+    assert row["slope_per_hour"] == pytest.approx(round(slope, 6), abs=1e-5)
+    assert row["intercept"] == pytest.approx(round(intercept, 6), rel=1e-4)
+    assert row["r2"] > 0.999
+    assert row["n"] == 100
+
+
+# ------------------------------------------------------------------ OHLC
+
+
+def test_resample_ohlc(spark):
+    from gordo_spark.operators.downsample import resample_ohlc
+
+    df = _series(spark, [(0, 5.0), (10, 9.0), (20, 1.0), (30, 7.0)])
+    row = resample_ohlc(df, 3600).collect()[0]
+    assert (row["open"], row["high"], row["low"], row["close"], row["n"]) == (
+        5.0,
+        9.0,
+        1.0,
+        7.0,
+        4,
+    )
+
+
+def test_resample_ohlc_tie_breaks_to_smaller_value(spark):
+    from gordo_spark.operators.downsample import resample_ohlc
+
+    # two samples at the SAME ts: open/close resolve to the smaller value
+    df = _series(spark, [(0, 8.0), (0, 3.0)])
+    row = resample_ohlc(df, 3600).collect()[0]
+    assert row["open"] == 3.0 and row["close"] == 8.0
+
+
+# ------------------------------------------------------------------ LTTB
+
+
+def _lttb_ref(ts, vs, nb):
+    """Pure-python parallel-anchor LTTB mirroring the operator's spec."""
+    cnt = len(ts)
+    if cnt <= nb:
+        return list(range(cnt))
+    bucket = {}
+    for i in range(cnt):
+        if i == 0:
+            b = 0
+        elif i == cnt - 1:
+            b = nb - 1
+        else:
+            b = 1 + ((i - 1) * (nb - 2)) // (cnt - 2)
+        bucket.setdefault(b, []).append(i)
+    anchors = {
+        b: (round(float(np.mean([ts[i] for i in idx])), 6),
+            round(float(np.mean([vs[i] for i in idx])), 6))
+        for b, idx in bucket.items()
+    }
+    keep = []
+    bs = sorted(bucket)
+    for j, b in enumerate(bs):
+        idx = bucket[b]
+        xl, yl = anchors[bs[j - 1]] if j > 0 else (None, None)
+        xr, yr = anchors[bs[j + 1]] if j < len(bs) - 1 else (None, None)
+        if xl is None or xr is None:
+            keep.append(idx[0])
+            continue
+        best, best_key = None, None
+        for i in idx:
+            area = round(abs((xl - xr) * (vs[i] - yl) - (xl - ts[i]) * (yr - yl)), 6)
+            key = (area, -ts[i])
+            if best_key is None or key > best_key:
+                best, best_key = i, key
+        keep.append(best)
+    return keep
+
+
+def test_lttb_matches_reference_impl(spark):
+    from gordo_spark.operators.downsample import lttb
+
+    rng = np.random.RandomState(9)
+    n = 200
+    vs = np.cumsum(rng.randn(n))
+    ts = [i * 3600 for i in range(n)]
+    df = _series(spark, list(zip(ts, vs)))
+    out = lttb(df, 20).orderBy("bucket").collect()
+    exp_idx = _lttb_ref([t + T0.timestamp() for t in ts], list(vs), 20)
+    assert len(out) == 20
+    got = [(r["ts"], r["value"]) for r in out]
+    exp = [(T0 + dt.timedelta(seconds=ts[i]), float(vs[i])) for i in exp_idx]
+    assert got == exp
+
+
+def test_lttb_pass_through_small_series(spark):
+    from gordo_spark.operators.downsample import lttb
+
+    df = _series(spark, [(i * 60, float(i)) for i in range(5)])
+    out = lttb(df, 10).orderBy("bucket").collect()
+    assert len(out) == 5
+    assert [r["value"] for r in out] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_lttb_keeps_endpoints(spark):
+    from gordo_spark.operators.downsample import lttb
+
+    df = _series(spark, [(i * 60, float(i % 7)) for i in range(100)])
+    out = {r["bucket"]: r for r in lttb(df, 10).collect()}
+    assert out[0]["value"] == 0.0 and out[0]["ts"] == T0
+    assert out[9]["ts"] == T0 + dt.timedelta(seconds=99 * 60)
+
+
+# --------------------------------------------------------------- Benford
+
+
+def test_benford_digits(spark):
+    from gordo_spark.operators.profile import benford
+
+    # 30 ones, 10 twos, 5 nines; zeros/negatives excluded
+    vals = [1.5] * 30 + [25.0] * 10 + [900.0] * 5 + [0.0, -3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["digit"]: r for r in benford(df, "v").collect()}
+    assert len(out) == 9  # densified: all digits present
+    assert out[1]["n"] == 30 and out[2]["n"] == 10 and out[9]["n"] == 5
+    assert out[3]["n"] == 0
+    assert out[1]["obs_p"] == pytest.approx(round(30 / 45, 6))
+    assert out[1]["exp_p"] == pytest.approx(round(math.log10(2), 6))
+    # chi-square: same value on every row, matches the by-hand sum
+    total = 45
+    chi = sum(
+        (out[d]["n"] - total * math.log10(1 + 1 / d)) ** 2
+        / (total * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    assert out[5]["chi2"] == pytest.approx(round(chi, 6), abs=1e-4)
+
+
+# --------------------------------------------------------------- linkage
+
+
+def test_blocked_pairs(spark):
+    from gordo_spark.operators.linkage import blocked_pairs
+
+    rows = [
+        (1, "smith", "NY"),
+        (2, "smyth", "NY"),   # dist 1, same block
+        (3, "smith", "CA"),   # same name, different block -> excluded
+        (4, "smith", "NY"),   # exact dup of 1 in-block -> dist 0
+        (5, "jones", "NY"),   # too far from smith
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, state string")
+    out = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           blocked_pairs(df, "id", "name", ["state"], max_dist=1).collect()}
+    assert out == {(1, 2): 1, (1, 4): 0, (2, 4): 1}
+
+
+# ----------------------------------------------------------------- graph
+
+
+def test_triangle_stats_known_graph(spark):
+    from gordo_spark.operators.graph import triangle_stats
+
+    # triangle 1-2-3 plus pendant edge 3-4: 1 triangle, 5 wedges
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a int, b int"
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 4
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 5  # deg 2,2,3,1 -> 1+1+3+0
+    assert row["global_clustering"] == pytest.approx(0.6)
+
+
+def test_co_occurrence_edges_support_filter(spark):
+    from gordo_spark.operators.graph import co_occurrence_edges
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")]
+    df = spark.createDataFrame(rows, "g int, item string")
+    out = co_occurrence_edges(df, "g", "item", min_support=2).collect()
+    assert [(r["a"], r["b"], r["n_groups"]) for r in out] == [("x", "y", 2)]
+
+
+# ------------------------------------------------------------------- HLL
+
+
+def test_hll_det_accuracy_and_merge(spark):
+    from gordo_spark.operators.sketches import hll_det_estimate, hll_det_registers
+
+    df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    regs = hll_det_registers(df, "v")
+    est = hll_det_estimate(regs).collect()[0]["hll_distinct"]
+    # 256 registers -> ~6.5% rsd; 3 sigma bound
+    assert abs(est - 5000) / 5000 < 0.2
+    # determinism: same input -> bit-identical estimate
+    est2 = hll_det_estimate(hll_det_registers(df, "v")).collect()[0]["hll_distinct"]
+    assert est == est2
+    # duplicates don't move the estimate (distinct semantics)
+    df2 = df.unionAll(df)
+    est3 = hll_det_estimate(hll_det_registers(df2, "v")).collect()[0]["hll_distinct"]
+    assert est3 == est
+
+
+def test_hll_det_small_range_linear_counting(spark):
+    from gordo_spark.operators.sketches import hll_det_estimate, hll_det_registers
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    est = hll_det_estimate(hll_det_registers(df, "v")).collect()[0]["hll_distinct"]
+    assert abs(est - 10) <= 1  # linear counting is near-exact here
