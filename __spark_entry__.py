@@ -7601,6 +7601,239 @@ FROM e
 """
 
 
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution of purchases to click/view/signup
+    channels (operators/ranges.attribution): both credits from ONE
+    user-keyed ordered window pass (first/last ignoreNulls over the
+    strictly preceding frame, (ts, event_id) total order), then two
+    bounded channel aggregations — no event-stream self-join."""
+    from gordo_spark.operators.ranges import attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return attribution(ev, "purchase", ["click", "view", "signup"])
+
+
+O_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CASE WHEN event_type IN ('click', 'view', 'signup')
+              THEN event_type END AS touch
+  FROM events
+),
+d AS (
+  SELECT user_id, event_type,
+         first_value(touch IGNORE NULLS) OVER w AS ft,
+         last_value(touch IGNORE NULLS) OVER w AS lt
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (SELECT coalesce(ft, 'none') AS ft, coalesce(lt, 'none') AS lt
+         FROM d WHERE event_type = 'purchase'),
+f AS (SELECT ft AS touch, count(*) AS n_first_touch FROM conv GROUP BY 1),
+l AS (SELECT lt AS touch, count(*) AS n_last_touch FROM conv GROUP BY 1)
+SELECT coalesce(f.touch, l.touch) AS touch,
+       coalesce(n_first_touch, 0) AS n_first_touch,
+       coalesce(n_last_touch, 0) AS n_last_touch
+FROM f FULL OUTER JOIN l ON f.touch = l.touch
+"""
+
+
+def q_w19_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 — Hampel despike filter over the hourly grid
+    (operators/smoothing.hampel): rolling +/-5-row median + window MAD
+    via row-local sorted-array algebra (MAD's deviations depend on the
+    current row's median, so it CANNOT be a precomputed column); one
+    per-tag ordered window, no joins. Emits only the flagged rows."""
+    from gordo_spark.operators.smoothing import hampel
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return hampel(res, k=5, n_sigmas=3.0).filter(F.col("is_outlier"))
+
+
+O_W19_HAMPEL = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT tag, ts, value,
+         list_sort(list(value) OVER (PARTITION BY tag ORDER BY ts
+                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS arr
+  FROM res
+),
+m AS (
+  SELECT tag, ts, value, arr,
+         (arr[(len(arr) - 1) // 2 + 1]
+          + arr[len(arr) // 2 + 1]) / 2 AS med
+  FROM d
+),
+v AS (
+  SELECT tag, ts, value, med,
+         list_sort(list_transform(arr, x -> abs(x - med))) AS dev
+  FROM m
+),
+s AS (
+  SELECT tag, ts, value, med,
+         (dev[(len(dev) - 1) // 2 + 1]
+          + dev[len(dev) // 2 + 1]) / 2 AS mad
+  FROM v
+)
+SELECT tag, ts, value, ROUND(med, 6) AS med,
+       TRUE AS is_outlier, ROUND(med, 6) AS filtered
+FROM s WHERE abs(value - med) > 3.0 * 1.4826 * mad
+"""
+
+
+def q_w20_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W20 — local-maximum peak detection, +/-3-row dominance window
+    (operators/smoothing.peaks): two bounded frames on one per-tag
+    ordered window pass; emits peaks with the margin over the stronger
+    side."""
+    from gordo_spark.operators.smoothing import peaks
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return peaks(res, k=3)
+
+
+O_W20_PEAKS = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT tag, ts, value,
+         max(value) OVER (PARTITION BY tag ORDER BY ts
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lm,
+         max(value) OVER (PARTITION BY tag ORDER BY ts
+                          ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS rm
+  FROM res
+)
+SELECT tag, ts, value, lm AS left_max, rm AS right_max,
+       ROUND(CASE WHEN lm IS NOT NULL OR rm IS NOT NULL
+                  THEN value - greatest(coalesce(lm, rm), coalesce(rm, lm))
+             END, 6) AS margin
+FROM d
+WHERE (lm IS NULL OR value > lm) AND (rm IS NULL OR value > rm)
+"""
+
+
+def q_w21_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W21 — SAX symbolization to a 16-letter word, 4-letter alphabet
+    (operators/downsample.sax): z-norm + equal-count PAA by integer
+    bucketing + Gaussian-breakpoint binning; per-tag stats ride the
+    same partition as window aggregates (no join), one (tag, segment)
+    hash agg, one ordered collect per tag."""
+    from gordo_spark.operators.downsample import sax
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return sax(res, word_len=16, alphabet=4)
+
+
+O_W21_SAX = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT tag, value,
+         row_number() OVER (PARTITION BY tag ORDER BY ts) - 1 AS i,
+         count(*) OVER (PARTITION BY tag) AS n,
+         avg(value) OVER (PARTITION BY tag) AS mu,
+         stddev_samp(value) OVER (PARTITION BY tag) AS sd
+  FROM res
+),
+z AS (
+  SELECT tag, n, (i * 16) // n AS seg,
+         CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END AS z
+  FROM d
+),
+seg AS (
+  SELECT tag, seg, max(n) AS n, ROUND(avg(z), 6) AS pm
+  FROM z GROUP BY 1, 2
+),
+lett AS (
+  SELECT tag, seg, n,
+         CASE WHEN pm <= -0.6745 THEN 'a'
+              WHEN pm <= 0.0 THEN 'b'
+              WHEN pm <= 0.6745 THEN 'c'
+              ELSE 'd' END AS letter
+  FROM seg
+)
+SELECT tag, string_agg(letter, '' ORDER BY seg) AS sax_word,
+       max(n) AS n_points
+FROM lett GROUP BY tag
+"""
+
+
+def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE/upsert of a customer-updates frame into the current
+    snapshot (sources/lake.merge_upsert — Delta-style MERGE INTO as one
+    full-outer join with null-safe comparison). Updates derive
+    deterministically from the same table: every custkey divisible by 3
+    arrives with a shifted balance (update), keys congruent 1 mod 3
+    arrive rekeyed past the current range (insert), the rest of the
+    snapshot passes through (unchanged)."""
+    from gordo_spark.sources.lake import merge_upsert
+
+    cust = read_table(spark, sf_dir, "customer")
+    current = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+    upd = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    ins = cust.filter(F.col("c_custkey") % 3 == 1).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    updates = upd.unionByName(ins)
+    return merge_upsert(
+        current, updates, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    )
+
+
+O_LAKE_MERGE = """
+WITH cur AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+),
+upd AS (
+  SELECT c_custkey, ROUND(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 3 = 1
+),
+j AS (
+  SELECT coalesce(c.c_custkey, u.c_custkey) AS c_custkey,
+         c.c_custkey IS NOT NULL AS has_c,
+         u.c_custkey IS NOT NULL AS has_u,
+         c.c_acctbal AS ca, c.c_mktsegment AS cm,
+         u.c_acctbal AS ua, u.c_mktsegment AS um
+  FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey
+)
+SELECT c_custkey,
+       CASE WHEN has_u THEN ua ELSE ca END AS c_acctbal,
+       CASE WHEN has_u THEN um ELSE cm END AS c_mktsegment,
+       CASE WHEN NOT has_c THEN 'insert'
+            WHEN NOT has_u THEN 'unchanged'
+            WHEN ca IS DISTINCT FROM ua OR cm IS DISTINCT FROM um
+              THEN 'update'
+            ELSE 'unchanged' END AS action
+FROM j
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -7774,6 +8007,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocked_pairs": q_er_blocked_pairs,
         "triangle_count": q_triangle_count,
         "hll_distinct": q_hll_distinct,
+        "attribution": q_attribution,
+        "w19_hampel": q_w19_hampel,
+        "w20_peaks": q_w20_peaks,
+        "w21_sax": q_w21_sax,
+        "lake_merge": q_lake_merge,
         "order_cohorts": q_order_cohorts,
         "events_heatmap": q_events_heatmap,
         # --- remaining TPC-H shapes ---
@@ -7995,6 +8233,11 @@ def oracle_sql() -> dict[str, str]:
         "er_blocked_pairs": O_ER_BLOCKED_PAIRS,
         "triangle_count": O_TRIANGLE_COUNT,
         "hll_distinct": O_HLL_DISTINCT,
+        "attribution": O_ATTRIBUTION,
+        "w19_hampel": O_W19_HAMPEL,
+        "w20_peaks": O_W20_PEAKS,
+        "w21_sax": O_W21_SAX,
+        "lake_merge": O_LAKE_MERGE,
         "order_cohorts": O_ORDER_COHORTS,
         "events_heatmap": O_EVENTS_HEATMAP,
     }

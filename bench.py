@@ -153,6 +153,11 @@ HEADLINE = [
     "er_blocked_pairs",
     "triangle_count",
     "hll_distinct",
+    "attribution",
+    "w19_hampel",
+    "w20_peaks",
+    "w21_sax",
+    "lake_merge",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

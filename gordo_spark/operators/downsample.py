@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["lttb", "resample_ohlc"]
+__all__ = ["lttb", "resample_ohlc", "sax"]
 
 
 def resample_ohlc(
@@ -163,3 +163,84 @@ def lttb(
         F.col("bucket").cast("long").alias("bucket"),
     )
     return picked.unionByName(keep_all)
+
+
+# Gaussian breakpoints for SAX alphabets 3-6 (Lin et al. 2003, table 3).
+_SAX_BREAKPOINTS = {
+    3: (-0.43, 0.43),
+    4: (-0.6745, 0.0, 0.6745),
+    5: (-0.84, -0.25, 0.25, 0.84),
+    6: (-0.97, -0.43, 0.0, 0.43, 0.97),
+}
+
+
+def sax(
+    df: DataFrame,
+    word_len: int = 16,
+    alphabet: int = 4,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """SAX symbolization (Symbolic Aggregate approXimation, Lin et al.
+    2003): z-normalize each tag's series, reduce it to ``word_len``
+    equal-count PAA segments, and bin each segment mean into an
+    ``alphabet``-letter symbol via the standard Gaussian breakpoints —
+    the shape signature behind whole-series clustering / motif lookup
+    ("which sensors traced the same curve this week?").
+
+    Output one row per tag: ``(tag, sax_word, n_points)``; a word like
+    ``'aabdd...'`` reads left-to-right in time, 'a' lowest band.
+
+    Segment assignment is INTEGER arithmetic (``(i * word_len) div
+    n``, same engine-portable bucketing as :func:`lttb`); segment
+    means round to 6dp before binning so the letter boundaries are
+    reproducible. Plan: one per-tag ordered window ranks points, the
+    per-tag mean/std ride the SAME partition key as window aggregates
+    (no join), one ``(tag, segment)`` hash agg, and one ordered
+    ``collect_list`` -> ``array_join`` per tag — everything keys on
+    the bounded tag/segment space.
+    """
+    wl = int(word_len)
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {sorted(_SAX_BREAKPOINTS)}")
+    bps = _SAX_BREAKPOINTS[alphabet]
+    w = Window.partitionBy(tag_col).orderBy(ts_col)
+    wall = Window.partitionBy(tag_col)
+    d = (
+        df.select(F.col(tag_col), F.col(ts_col), F.col(value_col))
+        .withColumn("_i", F.row_number().over(w) - 1)
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_mu", F.avg(value_col).over(wall))
+        .withColumn("_sd", F.stddev_samp(value_col).over(wall))
+    )
+    z = F.when(F.col("_sd") > 0, (F.col(value_col) - F.col("_mu")) / F.col("_sd")).otherwise(
+        F.lit(0.0)
+    )
+    d = d.withColumn("_z", z).withColumn(
+        "_seg", F.expr(f"(_i * {wl}) div _n")
+    )
+    seg = d.groupBy(tag_col, "_seg", "_n").agg(
+        F.round(F.avg("_z"), 6).alias("_pm")
+    )
+    letter = F.lit(chr(ord("a") + len(bps)))
+    for j in range(len(bps) - 1, -1, -1):
+        letter = F.when(F.col("_pm") <= bps[j], F.lit(chr(ord("a") + j))).otherwise(
+            letter
+        )
+    seg = seg.withColumn("_letter", letter)
+    return (
+        seg.groupBy(tag_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_seg"), F.col("_letter")))
+                    ),
+                    lambda s: s["_letter"],
+                ),
+                "",
+            ).alias("sax_word"),
+            F.max("_n").alias("n_points"),
+        )
+    )

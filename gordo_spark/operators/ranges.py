@@ -351,3 +351,60 @@ def top_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch marketing attribution: every
+    ``conversion_type`` event is credited to the FIRST and to the LAST
+    preceding ``touch_types`` event of the same user (the two classic
+    single-touch models). Conversions with no preceding touch credit
+    ``'none'``. Output one row per touch channel (plus ``'none'``):
+    ``(touch, n_first_touch, n_last_touch)``.
+
+    One user-keyed shuffle: both credits come from a single ordered
+    window pass (``first/last(touch, ignoreNulls)`` over the strictly
+    preceding frame, totally ordered by ``(ts, event_id)`` so same-ts
+    rows break ties identically in any engine), then one bounded
+    hash aggregation per model, combined by a full outer join on the
+    channel key — no self-join of the event stream, no as-of pass per
+    conversion.
+    """
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    touch = F.when(
+        F.col(type_col).isin(*[str(x) for x in touch_types]), F.col(type_col)
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(t.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = events.select(
+        F.col(user_col),
+        F.col(type_col),
+        F.first(touch, ignorenulls=True).over(w).alias("_ft"),
+        F.last(touch, ignorenulls=True).over(w).alias("_lt"),
+    ).filter(F.col(type_col) == conversion_type)
+    first_c = (
+        d.groupBy(F.coalesce("_ft", F.lit("none")).alias("touch"))
+        .agg(F.count(F.lit(1)).alias("n_first_touch"))
+    )
+    last_c = (
+        d.groupBy(F.coalesce("_lt", F.lit("none")).alias("touch"))
+        .agg(F.count(F.lit(1)).alias("n_last_touch"))
+    )
+    return (
+        first_c.join(last_c, "touch", "full")
+        .select(
+            "touch",
+            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+        )
+    )

@@ -330,3 +330,110 @@ def mad_zscore(
         z.alias("mad_z"),
         F.when(F.abs(z) > threshold, 1).otherwise(0).alias("is_outlier"),
     )
+
+
+def hampel(
+    df: DataFrame,
+    k: int = 5,
+    n_sigmas: float = 3.0,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hampel filter: rolling-median outlier detection + repair. For
+    each point, the window is the ±``k`` surrounding rows; the point is
+    an outlier when ``|v - med| > n_sigmas * 1.4826 * MAD`` (MAD = the
+    median absolute deviation FROM THAT WINDOW'S median — the rolling
+    counterpart of the global ``mad_zscore``, robust where a spike
+    would drag a rolling mean). ``filtered`` repairs outliers to the
+    window median, the classic despike step before model training.
+
+    The window median and MAD both come from ONE ``collect_list`` frame
+    per row turned into row-local sorted-array algebra (windows are
+    2k+1 <= a few dozen elements — array math, not a second windowed
+    aggregate, because MAD's deviations depend on the current row's
+    median and so cannot be a precomputed column). One per-tag ordered
+    window pass; no joins.
+
+    Output: ``(tag, ts, value, med, is_outlier, filtered)``.
+    """
+    kk = int(k)
+    w = (
+        Window.partitionBy(tag_col)
+        .orderBy(ts_col)
+        .rowsBetween(-kk, kk)
+    )
+    arr = F.array_sort(F.collect_list(value_col).over(w))
+    # exact median of a sorted array (even length averages the middle two)
+    med_expr = (
+        "(_arr[cast((size(_arr) - 1) / 2 as int)]"
+        " + _arr[cast(size(_arr) / 2 as int)]) / 2"
+    )
+    d = df.withColumn("_arr", arr).withColumn("_med", F.expr(med_expr))
+    dev = F.expr(
+        "array_sort(transform(_arr, x -> abs(x - _med)))"
+    )
+    d = d.withColumn("_dev", dev).withColumn(
+        "_mad",
+        F.expr(
+            "(_dev[cast((size(_dev) - 1) / 2 as int)]"
+            " + _dev[cast(size(_dev) / 2 as int)]) / 2"
+        ),
+    )
+    thresh = F.lit(float(n_sigmas)) * 1.4826 * F.col("_mad")
+    is_out = F.abs(F.col(value_col) - F.col("_med")) > thresh
+    return d.select(
+        tag_col,
+        ts_col,
+        value_col,
+        F.round("_med", 6).alias("med"),
+        is_out.alias("is_outlier"),
+        F.round(
+            F.when(is_out, F.col("_med")).otherwise(F.col(value_col)), 6
+        ).alias("filtered"),
+    )
+
+
+def peaks(
+    df: DataFrame,
+    k: int = 3,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Local-maximum peak detection: points strictly greater than every
+    neighbor within ±``k`` rows (the discrete "dominance window" form —
+    scipy's ``argrelmax`` with order=k). Emits only the peaks, with the
+    margin over the stronger side. Output:
+    ``(tag, ts, value, left_max, right_max, margin)``.
+
+    Two bounded frames over ONE per-tag ordered window pass (max of the
+    k rows before / after); edge rows with an empty side count as peaks
+    when they dominate the side that exists (null side-max). No joins.
+    """
+    kk = int(k)
+    wb = Window.partitionBy(tag_col).orderBy(ts_col)
+    lmax = F.max(value_col).over(wb.rowsBetween(-kk, -1))
+    rmax = F.max(value_col).over(wb.rowsBetween(1, kk))
+    d = df.withColumn("_lm", lmax).withColumn("_rm", rmax)
+    is_peak = (
+        F.col("_lm").isNull() | (F.col(value_col) > F.col("_lm"))
+    ) & (F.col("_rm").isNull() | (F.col(value_col) > F.col("_rm")))
+    return d.filter(is_peak).select(
+        tag_col,
+        ts_col,
+        value_col,
+        F.col("_lm").alias("left_max"),
+        F.col("_rm").alias("right_max"),
+        F.round(
+            F.when(
+                F.col("_lm").isNotNull() | F.col("_rm").isNotNull(),
+                F.col(value_col)
+                - F.greatest(
+                    F.coalesce("_lm", F.col("_rm")),
+                    F.coalesce("_rm", F.col("_lm")),
+                ),
+            ),
+            6,
+        ).alias("margin"),
+    )

@@ -211,3 +211,56 @@ def stream_to_lake(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def merge_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Batch MERGE (upsert) of an updates frame into a current snapshot
+    — the Delta-style ``MERGE INTO`` resolved as one full-outer join,
+    for plain-parquet lakes that rebuild snapshots instead of mutating
+    files (the same snapshot discipline as ``compact_sensor_lake``:
+    write new, swap pointer).
+
+    Row disposition: ``insert`` (key only in updates), ``update`` (key
+    in both and any ``compare_cols`` value differs, null-safely),
+    ``unchanged`` (key in both, all equal); keys only in ``current``
+    pass through unchanged (this is upsert, not sync — no deletes).
+    Updated/inserted rows take the updates side's values. Output:
+    ``keys + compare_cols + action``.
+
+    One shuffle per side on the merge key; the comparison is row-local
+    null-safe equality (``<=>``). At 100 TB both sides should be
+    bucketed/partitioned on the key so the join co-locates.
+    """
+    u = updates.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_u_{c}") for c in compare_cols],
+        F.lit(True).alias("_has_u"),
+    )
+    c = current.select(
+        *[F.col(k) for k in keys],
+        *[F.col(x).alias(f"_c_{x}") for x in compare_cols],
+        F.lit(True).alias("_has_c"),
+    )
+    j = c.join(u, keys, "full")
+    differs = None
+    for col in compare_cols:
+        d = ~F.col(f"_c_{col}").eqNullSafe(F.col(f"_u_{col}"))
+        differs = d if differs is None else (differs | d)
+    action = (
+        F.when(F.col("_has_c").isNull(), F.lit("insert"))
+        .when(F.col("_has_u").isNull(), F.lit("unchanged"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    merged = [
+        F.when(
+            F.col("_has_u").isNotNull(), F.col(f"_u_{col}")
+        ).otherwise(F.col(f"_c_{col}")).alias(col)
+        for col in compare_cols
+    ]
+    return j.select(*keys, *merged, action.alias("action"))

@@ -286,3 +286,129 @@ def test_hll_det_small_range_linear_counting(spark):
     df = spark.range(10).select(F.col("id").cast("string").alias("v"))
     est = hll_det_estimate(hll_det_registers(df, "v")).collect()[0]["hll_distinct"]
     assert abs(est - 10) <= 1  # linear counting is near-exact here
+
+
+# ----------------------------------------------------------- attribution
+
+
+def test_attribution_first_and_last_touch(spark):
+    from gordo_spark.operators.ranges import attribution
+
+    rows = [
+        # user 1: click -> view -> purchase  (first=click, last=view)
+        (1, 1, 0, "click"), (2, 1, 10, "view"), (3, 1, 20, "purchase"),
+        # user 2: purchase with no preceding touch -> 'none'
+        (4, 2, 0, "purchase"),
+        # user 2 again: signup then purchase (first=signup, last=signup)
+        (5, 2, 10, "signup"), (6, 2, 20, "purchase"),
+        # error events are not touches
+        (7, 1, 15, "error"),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, T0 + dt.timedelta(seconds=s), t, 1.0) for e, u, s, t in rows],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    out = {r["touch"]: r for r in
+           attribution(df, "purchase", ["click", "view", "signup"]).collect()}
+    assert out["click"]["n_first_touch"] == 1 and out["click"]["n_last_touch"] == 0
+    assert out["view"]["n_first_touch"] == 0 and out["view"]["n_last_touch"] == 1
+    assert out["signup"]["n_first_touch"] == 1 and out["signup"]["n_last_touch"] == 1
+    assert out["none"]["n_first_touch"] == 1 and out["none"]["n_last_touch"] == 1
+
+
+# ----------------------------------------------------------------- hampel
+
+
+def test_hampel_flags_and_repairs_spike(spark):
+    from gordo_spark.operators.smoothing import hampel
+
+    vals = [10.0] * 10 + [100.0] + [10.0] * 10  # lone spike at index 10
+    df = _series(spark, [(i * 3600, v) for i, v in enumerate(vals)])
+    out = hampel(df, k=5, n_sigmas=3.0).collect()
+    flagged = [r for r in out if r["is_outlier"]]
+    assert len(flagged) == 1
+    assert flagged[0]["value"] == 100.0
+    assert flagged[0]["filtered"] == 10.0  # repaired to window median
+    # every clean point passes through untouched
+    assert all(r["filtered"] == r["value"] for r in out if not r["is_outlier"])
+
+
+def test_hampel_even_window_median(spark):
+    from gordo_spark.operators.smoothing import hampel
+
+    # 4 points, k=5 -> whole-series windows of size 4 (even): median
+    # averages the middle two
+    df = _series(spark, [(i * 60, v) for i, v in enumerate([1.0, 2.0, 3.0, 10.0])])
+    out = {r["value"]: r["med"] for r in hampel(df, k=5).collect()}
+    assert out[1.0] == pytest.approx(2.5)
+
+
+# ------------------------------------------------------------------ peaks
+
+
+def test_peaks_detects_dominant_local_maxima(spark):
+    from gordo_spark.operators.smoothing import peaks
+
+    vals = [0, 1, 5, 1, 0, 2, 8, 2, 0, 3]
+    df = _series(spark, [(i * 3600, float(v)) for i, v in enumerate(vals)])
+    out = peaks(df, k=2).orderBy("ts").collect()
+    got = [r["value"] for r in out]
+    # 5 dominates +/-2; 8 dominates +/-2; trailing 3 dominates its left 2
+    assert got == [5.0, 8.0, 3.0]
+    assert out[1]["margin"] == pytest.approx(6.0)  # 8 - max(2,2)
+
+
+# -------------------------------------------------------------------- SAX
+
+
+def test_sax_word_shape_and_letters(spark):
+    from gordo_spark.operators.downsample import sax
+
+    # ramp: low half then high half -> word starts 'a', ends 'd'
+    df = _series(spark, [(i * 3600, float(i)) for i in range(64)])
+    row = sax(df, word_len=8, alphabet=4).collect()[0]
+    assert len(row["sax_word"]) == 8
+    assert row["sax_word"][0] == "a" and row["sax_word"][-1] == "d"
+    assert row["n_points"] == 64
+    # monotone input -> non-decreasing letters
+    assert list(row["sax_word"]) == sorted(row["sax_word"])
+
+
+def test_sax_constant_series_is_all_mid(spark):
+    from gordo_spark.operators.downsample import sax
+
+    df = _series(spark, [(i * 3600, 7.0) for i in range(32)])
+    row = sax(df, word_len=4, alphabet=4).collect()[0]
+    assert row["sax_word"] == "bbbb"  # z=0 -> first band with pm <= 0.0
+
+
+def test_sax_rejects_unknown_alphabet(spark):
+    from gordo_spark.operators.downsample import sax
+
+    with pytest.raises(ValueError):
+        sax(_series(spark, [(0, 1.0)]), alphabet=7)
+
+
+# ------------------------------------------------------------ merge_upsert
+
+
+def test_merge_upsert_actions(spark):
+    from gordo_spark.sources.lake import merge_upsert
+
+    cur = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C")],
+        "k int, bal double, seg string",
+    )
+    upd = spark.createDataFrame(
+        [(2, 25.0, "B"),      # changed value  -> update
+         (3, None, "C"),      # null == null (null-safe) -> unchanged
+         (9, 90.0, "Z")],     # new key -> insert
+        "k int, bal double, seg string",
+    )
+    out = {r["k"]: r for r in
+           merge_upsert(cur, upd, ["k"], ["bal", "seg"]).collect()}
+    assert len(out) == 4
+    assert out[1]["action"] == "unchanged" and out[1]["bal"] == 10.0
+    assert out[2]["action"] == "update" and out[2]["bal"] == 25.0
+    assert out[3]["action"] == "unchanged"
+    assert out[9]["action"] == "insert" and out[9]["bal"] == 90.0
