@@ -369,13 +369,14 @@ def attribution(
     ``'none'``. Output one row per touch channel (plus ``'none'``):
     ``(touch, n_first_touch, n_last_touch)``.
 
-    One user-keyed shuffle: both credits come from a single ordered
-    window pass (``first/last(touch, ignoreNulls)`` over the strictly
-    preceding frame, totally ordered by ``(ts, event_id)`` so same-ts
-    rows break ties identically in any engine), then one bounded
-    hash aggregation per model, combined by a full outer join on the
-    channel key — no self-join of the event stream, no as-of pass per
-    conversion.
+    One user-keyed shuffle and ONE scan: both credits come from a
+    single ordered window pass (``first/last(touch, ignoreNulls)`` over
+    the strictly preceding frame, totally ordered by ``(ts, event_id)``
+    so same-ts rows break ties identically in any engine); each
+    conversion then explodes to its two (model, channel) credit rows so
+    a SINGLE bounded hash aggregation produces both columns — a
+    per-model aggregate pair would re-derive the window lineage twice
+    (the scan-multiplication trap).
     """
     t = F.col(ts_col).cast("timestamp").cast("long")
     touch = F.when(
@@ -392,19 +393,25 @@ def attribution(
         F.first(touch, ignorenulls=True).over(w).alias("_ft"),
         F.last(touch, ignorenulls=True).over(w).alias("_lt"),
     ).filter(F.col(type_col) == conversion_type)
-    first_c = (
-        d.groupBy(F.coalesce("_ft", F.lit("none")).alias("touch"))
-        .agg(F.count(F.lit(1)).alias("n_first_touch"))
+    credits = d.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("m"),
+                    F.coalesce("_ft", F.lit("none")).alias("touch"),
+                ),
+                F.struct(
+                    F.lit("last").alias("m"),
+                    F.coalesce("_lt", F.lit("none")).alias("touch"),
+                ),
+            )
+        ).alias("p")
     )
-    last_c = (
-        d.groupBy(F.coalesce("_lt", F.lit("none")).alias("touch"))
-        .agg(F.count(F.lit(1)).alias("n_last_touch"))
-    )
-    return (
-        first_c.join(last_c, "touch", "full")
-        .select(
-            "touch",
-            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
-            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
-        )
+    return credits.groupBy(F.col("p.touch").alias("touch")).agg(
+        F.sum(F.when(F.col("p.m") == "first", 1).otherwise(0)).alias(
+            "n_first_touch"
+        ),
+        F.sum(F.when(F.col("p.m") == "last", 1).otherwise(0)).alias(
+            "n_last_touch"
+        ),
     )

@@ -131,3 +131,48 @@ def score_stream(
         tags,
         resolution,
     )
+
+
+def ohlc_stream(
+    stream: DataFrame,
+    bucket_seconds: int,
+    watermark: str = "1H",
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming OHLC candles — the live counterpart of
+    ``operators/downsample.resample_ohlc`` with IDENTICAL semantics
+    (lexicographic ``min/max(struct(ts, value))`` open/close, so a
+    closed window's candle equals the batch operator's row
+    bit-for-bit). OHLC is pure algebraic aggregation — min/max/count
+    merge associatively across micro-batches — so this is a plain
+    watermarked tumbling-window agg: state per open (tag, window) is
+    five scalars, no custom stateful processor needed.
+    """
+    from gordo_spark.functions.timeutil import offset_alias_to_seconds
+
+    b = int(bucket_seconds)
+    wm = int(offset_alias_to_seconds(watermark))
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    d = stream.withWatermark(ts_col, f"{wm} seconds").select(
+        F.col(tag_col), F.col(ts_col), F.col(value_col), t.alias("_t")
+    )
+    agg = d.groupBy(
+        F.window(ts_col, f"{b} seconds").alias("w"), F.col(tag_col)
+    ).agg(
+        F.min(F.struct(F.col("_t"), F.col(value_col).alias("v"))).alias("_o"),
+        F.max(F.col(value_col)).alias("high"),
+        F.min(F.col(value_col)).alias("low"),
+        F.max(F.struct(F.col("_t"), F.col(value_col).alias("v"))).alias("_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        tag_col,
+        F.col("w.start").alias("bucket_ts"),
+        F.col("_o.v").alias("open"),
+        "high",
+        "low",
+        F.col("_c.v").alias("close"),
+        "n",
+    )

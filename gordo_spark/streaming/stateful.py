@@ -27,7 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType, DoubleType, StructField, StructType, TimestampType, StringType,
+    ArrayType, BooleanType, DoubleType, LongType, StructField, StructType,
+    TimestampType, StringType,
 )
 
 
@@ -303,4 +304,79 @@ def transitions_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def counter_rate_stream(
+    stream: DataFrame,
+    bucket_seconds: int,
+    key_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming per-sample counter increments with reset handling —
+    the stateful half of ``operators/tsa.counter_rate``. Emits one row
+    per sample ``(key, bucket_ts, inc, is_reset)``; summing ``inc`` per
+    (key, bucket) reproduces the batch operator's ``increase`` exactly,
+    INCLUDING deltas whose two samples arrive in different micro-batches
+    (the part a stateless windowed agg cannot compute: an increment is
+    order-dependent, not algebraic).
+
+    State per key is two scalars ``(last_t, last_v)`` — O(1) regardless
+    of rate, the same posture as ``ewma_stream``. Matching the batch
+    semantics, a delta only counts when both samples fall in the SAME
+    bucket (the first sample of a bucket contributes 0), and in-batch
+    rows sort by ``(t, value)`` — the batch operator's total order.
+    """
+    b = int(bucket_seconds)
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("bucket_ts", TimestampType()),
+            StructField("inc", DoubleType()),
+            StructField("is_reset", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_t", LongType()), StructField("last_v", DoubleType())]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_t, last_v = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs))
+        rows["_t"] = (rows[ts_col].astype("int64") // 1_000_000_000).astype("int64")
+        rows = rows.sort_values(["_t", value_col])
+        incs, resets, buckets = [], [], []
+        for t, v in zip(rows["_t"], rows[value_col]):
+            v = float(v)
+            same_bucket = last_t is not None and (last_t // b) == (t // b)
+            if same_bucket and v >= last_v:
+                incs.append(v - last_v)
+                resets.append(False)
+            elif same_bucket:
+                incs.append(v)
+                resets.append(True)
+            else:
+                incs.append(0.0)
+                resets.append(False)
+            buckets.append(pd.Timestamp((t // b) * b, unit="s"))
+            last_t, last_v = int(t), v
+        state.update((last_t, last_v))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "bucket_ts": buckets,
+                "inc": incs,
+                "is_reset": resets,
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

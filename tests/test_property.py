@@ -282,7 +282,10 @@ def test_token_entropy_bounds(spark, pdf):
     rows = token_entropy(spark.createDataFrame(pdf)).collect()
     assert len(rows) == len(pdf)
     for r in rows:
-        assert -1e-9 <= r["entropy"] <= math.log(r["n_tokens"]) + 1e-9
+        # entropy is rounded to 6dp by the operator, so the upper bound
+        # needs a half-quantum slack (ln(5)=1.6094379... rounds UP to
+        # 1.609438, legitimately above the unrounded bound)
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_tokens"]) + 5e-7
         uniq = len(set(pdf.loc[pdf.doc_id == r["doc_id"], "text"].iloc[0].split()))
         if uniq == 1:
             assert r["entropy"] == 0.0

@@ -1032,3 +1032,115 @@ def test_transitions_stream_matches_batch_across_batches(spark, sf_dir, tmp_path
         .sort_index()
     )
     pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_counter_rate_stream_matches_batch_across_batches(spark, sf_dir, tmp_path):
+    """Per-key (last_t, last_v) state must carry across micro-batches:
+    summing the streamed per-sample increments per (tag, bucket) equals
+    the batch counter_rate over the whole series — including the delta
+    whose two samples arrive in different micro-batches."""
+    import pandas as pd
+    from gordo_spark.operators.tsa import counter_rate
+    from gordo_spark.streaming.stateful import counter_rate_stream
+
+    long = EventsAsSensorProvider(sf_dir).read(spark, TAGS)
+    pdf = long.toPandas().sort_values(["tag", "ts"]).reset_index(drop=True)
+    half = len(pdf) // 2
+    src = f"{tmp_path}/cr_src"
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(long.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        counter_rate_stream(stream, 21600)
+        .writeStream.format("memory")
+        .queryName("cr_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("cr_stream_test")
+        .groupBy("tag", "bucket_ts")
+        .agg(
+            F.round(F.sum("inc"), 6).alias("increase"),
+            F.sum(F.col("is_reset").cast("long")).alias("n_resets"),
+        )
+        .toPandas()
+        .sort_values(["tag", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        counter_rate(long, 21600)
+        .select("tag", "bucket_ts", "increase", "n_resets")
+        .toPandas()
+        .sort_values(["tag", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["increase"], exp["increase"], rtol=1e-9)
+    assert (got["n_resets"].values == exp["n_resets"].values).all()
+
+
+def test_ohlc_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Closed OHLC windows equal the batch resample_ohlc candles
+    bit-for-bit (same lexicographic struct min/max tie-break)."""
+    import time as _time
+
+    import pandas as pd
+    from gordo_spark.operators.downsample import resample_ohlc
+    from gordo_spark.streaming.scoring import ohlc_stream
+
+    long = EventsAsSensorProvider(sf_dir).read(spark, TAGS)
+    pdf = long.toPandas().sort_values("ts").reset_index(drop=True)
+    half = len(pdf) // 2
+    # closer row far in the future so every real window passes the watermark
+    closer = pd.DataFrame(
+        {
+            "tag": ["click"],
+            "ts": [pdf["ts"].max() + pd.Timedelta(days=30)],
+            "value": [0.0],
+        }
+    )
+    src = f"{tmp_path}/ohlc_src"
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(closer).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(long.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ohlc_stream(stream, 86400, watermark="1H")
+        .writeStream.format("memory")
+        .queryName("ohlc_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("ohlc_stream_test")
+        .toPandas()
+        .sort_values(["tag", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        resample_ohlc(long, 86400)
+        .toPandas()
+        .sort_values(["tag", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    # every batch candle except (possibly) the last open window per tag
+    # must appear in the stream output, value-identical
+    merged = got.merge(exp, on=["tag", "bucket_ts"], suffixes=("_s", "_b"))
+    assert len(merged) >= len(exp) - len(TAGS)
+    for c in ("open", "high", "low", "close", "n"):
+        np.testing.assert_allclose(merged[f"{c}_s"], merged[f"{c}_b"], rtol=0)
