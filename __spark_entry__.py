@@ -7834,6 +7834,168 @@ FROM j
 """
 
 
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement — 20
+    docs per source weighted by length (operators/sampling.
+    weighted_sample): the uniform draw is md5(id)-deterministic (pure
+    projection — repartition-stable, engine-portable, no seeded RNG),
+    so even the "random" sample hash-matches the oracle; one
+    top-k-per-group window on the bounded source key."""
+    from gordo_spark.operators.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", 20, group_by=["source"])
+
+
+O_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT *,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 1.0) / 4294967296.0) / n_chars AS key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY key ASC, doc_id ASC) AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(sample_rank AS INT) AS sample_rank,
+       ROUND(key, 6) AS sample_key
+FROM ranked WHERE sample_rank <= 20
+"""
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> purchase time-to-convert percentiles
+    (operators/ranges.conversion_lag): conditional-min firsts on one
+    user key, one exact-percentile 1-row aggregate — no windows."""
+    from gordo_spark.operators.ranges import conversion_lag
+
+    ev = read_table(spark, sf_dir, "events")
+    return conversion_lag(ev, "signup", "purchase")
+
+
+O_CONVERSION_LAG = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN t END) AS t0
+  FROM e GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, per.t0, min(e.t) AS t1
+  FROM e JOIN per USING (user_id)
+  WHERE e.event_type = 'purchase' AND per.t0 IS NOT NULL AND e.t >= per.t0
+  GROUP BY e.user_id, per.t0
+),
+lags AS (SELECT t1 - t0 AS lag FROM conv),
+started AS (
+  SELECT count(DISTINCT user_id) AS n_started FROM e
+  WHERE event_type = 'signup'
+)
+SELECT (SELECT count(*) FROM lags) AS n_converted,
+       (SELECT n_started FROM started) AS n_started,
+       (SELECT ROUND(quantile_cont(lag, 0.25), 6) FROM lags) AS p25_s,
+       (SELECT ROUND(quantile_cont(lag, 0.5), 6) FROM lags) AS p50_s,
+       (SELECT ROUND(quantile_cont(lag, 0.75), 6) FROM lags) AS p75_s,
+       (SELECT ROUND(quantile_cont(lag, 0.9), 6) FROM lags) AS p90_s,
+       (SELECT ROUND(avg(lag), 6) FROM lags) AS mean_s
+"""
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter evaluation (operators/dedup.lsh_eval): recall and
+    precision of the 8-perm/4-band MinHash-LSH candidates against exact
+    shingle-Jaccard >= 0.5 truth on the planted-dup corpus — the dedup
+    analogue of ann_recall, run before committing LSH parameters to a
+    full-corpus pass. Both branches reuse the production operators
+    verbatim; the metric join touches only pair-keyed bounded frames."""
+    from gordo_spark.operators.dedup import lsh_eval
+
+    return lsh_eval(
+        _docs_with_dups(spark, sf_dir),
+        num_hashes=8, bands=4, threshold=0.5,
+    )
+
+
+def _lsh_recall_sql() -> str:
+    from gordo_spark.operators.dedup import MINHASH_P, _hash_params
+
+    params = _hash_params(8)
+    mins = ",\n       ".join(
+        f"min(({a}*sh + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH corpus AS ({_O_DOCS_DUPS}),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+         )) AS shingle
+  FROM corpus
+),
+hashed AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh
+  FROM shingled
+),
+sigs AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, m0 || '_' || m1 AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, m2 || '_' || m3 FROM sigs
+  UNION ALL SELECT doc_id, 2, m4 || '_' || m5 FROM sigs
+  UNION ALL SELECT doc_id, 3, m6 || '_' || m7 FROM sigs
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+  FROM hashed l JOIN hashed r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+),
+j AS (
+  SELECT coalesce(c.a, t.a) AS a,
+         c.a IS NOT NULL AS is_c, t.a IS NOT NULL AS is_t
+  FROM cand c FULL OUTER JOIN truth t ON c.a = t.a AND c.b = t.b
+)
+SELECT CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(CASE WHEN sum(CASE WHEN is_t THEN 1 ELSE 0 END) > 0
+                  THEN sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) * 1.0
+                       / sum(CASE WHEN is_t THEN 1 ELSE 0 END) END, 6)
+         AS recall,
+       ROUND(CASE WHEN sum(CASE WHEN is_c THEN 1 ELSE 0 END) > 0
+                  THEN sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) * 1.0
+                       / sum(CASE WHEN is_c THEN 1 ELSE 0 END) END, 6)
+         AS precision
+FROM j
+"""
+
+
+O_LSH_RECALL = _lsh_recall_sql()
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -8012,6 +8174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w20_peaks": q_w20_peaks,
         "w21_sax": q_w21_sax,
         "lake_merge": q_lake_merge,
+        "weighted_sample": q_weighted_sample,
+        "conversion_lag": q_conversion_lag,
+        "lsh_recall": q_lsh_recall,
         "order_cohorts": q_order_cohorts,
         "events_heatmap": q_events_heatmap,
         # --- remaining TPC-H shapes ---
@@ -8238,6 +8403,9 @@ def oracle_sql() -> dict[str, str]:
         "w20_peaks": O_W20_PEAKS,
         "w21_sax": O_W21_SAX,
         "lake_merge": O_LAKE_MERGE,
+        "weighted_sample": O_WEIGHTED_SAMPLE,
+        "conversion_lag": O_CONVERSION_LAG,
+        "lsh_recall": O_LSH_RECALL,
         "order_cohorts": O_ORDER_COHORTS,
         "events_heatmap": O_EVENTS_HEATMAP,
     }

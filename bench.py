@@ -158,6 +158,9 @@ HEADLINE = [
     "w20_peaks",
     "w21_sax",
     "lake_merge",
+    "weighted_sample",
+    "conversion_lag",
+    "lsh_recall",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -1221,3 +1221,65 @@ def strip_duplicate_spans(
         .otherwise(F.size("_cut"))
         .alias("n_removed"),
     )
+
+
+def lsh_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH parameter evaluation: recall/precision of the MinHash-LSH
+    candidate pairs against EXACT shingle-Jaccard truth at
+    ``threshold`` — the harness that answers "are 8 perms x 4 bands
+    enough for this corpus?" before committing to a petabyte dedup run
+    (the dedup analogue of ``ann_recall``). One summary row:
+    ``(n_truth, n_candidates, n_hit, recall, precision)``.
+
+    Both sides reuse the operators under test verbatim
+    (:func:`minhash_signatures` -> :func:`lsh_candidate_pairs`, and
+    :func:`shingle_jaccard_pairs`); candidates and truth are both
+    pair-keyed bounded frames by the time they meet in one full-outer
+    join — corpus-sized data never crosses between the branches.
+    """
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
+                              num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(
+        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands
+    ).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+        F.lit(True).alias("_c"),
+    )
+    truth = shingle_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, threshold=threshold,
+    ).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+        F.lit(True).alias("_t"),
+    )
+    j = cand.join(truth, ["a", "b"], "full")
+    return j.agg(
+        F.sum(F.when(F.col("_t").isNotNull(), 1).otherwise(0)).alias("n_truth"),
+        F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0)).alias(
+            "n_candidates"
+        ),
+        F.sum(
+            F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1).otherwise(0)
+        ).alias("n_hit"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")), 6
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.col("n_candidates") > 0, F.col("n_hit") / F.col("n_candidates")
+            ),
+            6,
+        ).alias("precision"),
+    )

@@ -415,3 +415,62 @@ def attribution(
             "n_last_touch"
         ),
     )
+
+
+def conversion_lag(
+    events: DataFrame,
+    from_type: str,
+    to_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: for each user, the lag from their
+    FIRST ``from_type`` event to their first ``to_type`` event at or
+    after it; one summary row of exact percentiles
+    ``(n_converted, n_started, p25_s, p50_s, p75_s, p90_s, mean_s)``.
+
+    One user-keyed hash aggregation computes both firsts with
+    conditional ``min``s (the "first purchase after first signup" is a
+    second conditional aggregation over the same key — still one
+    shuffle via two chained aggs on the SAME key, which AQE plans
+    without a second exchange), then a 1-row exact-percentile
+    aggregate. No windows, no joins.
+    """
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    per = events.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == from_type, t)).alias("_t0"),
+    )
+    after = (
+        events.select(F.col(user_col), F.col(type_col), t.alias("_t"))
+        .join(per, user_col)
+        .filter(
+            (F.col(type_col) == to_type)
+            & F.col("_t0").isNotNull()
+            & (F.col("_t") >= F.col("_t0"))
+        )
+        .groupBy(user_col, "_t0")
+        .agg(F.min("_t").alias("_t1"))
+    )
+    lags = after.select((F.col("_t1") - F.col("_t0")).alias("_lag"))
+    # n_started derives from the per-user aggregate already built — a
+    # third scan of the event stream would be the scan-multiplication
+    # trap for a single scalar
+    started = per.agg(F.count("_t0").alias("n_started"))
+    summary = lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(_lag, 0.25)").alias("p25_s"),
+        F.expr("percentile(_lag, 0.5)").alias("p50_s"),
+        F.expr("percentile(_lag, 0.75)").alias("p75_s"),
+        F.expr("percentile(_lag, 0.9)").alias("p90_s"),
+        F.round(F.avg("_lag"), 6).alias("mean_s"),
+    )
+    return summary.crossJoin(F.broadcast(started)).select(
+        "n_converted",
+        "n_started",
+        F.round("p25_s", 6).alias("p25_s"),
+        F.round("p50_s", 6).alias("p50_s"),
+        F.round("p75_s", 6).alias("p75_s"),
+        F.round("p90_s", 6).alias("p90_s"),
+        "mean_s",
+    )

@@ -252,3 +252,46 @@ def shard_manifest(
         F.max(id_col).alias("max_id"),
         F.sum(row_hash).alias("checksum"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows (per group):
+    Efraimidis & Spirakis 2006 — give each row the key
+    ``u^(1/w)`` (equivalently, minimize the exponential draw
+    ``-ln(u)/w``) and keep the top ``k``; inclusion probabilities then
+    match sequential weighted draws without replacement exactly.
+
+    The uniform draw is DETERMINISTIC: ``u = (md5_long(id) + 1) / 2^32``
+    — a pure projection of the row's own id (same engine-portable,
+    repartition-stable construction as ``deterministic_split``), so the
+    sample reproduces bit-for-bit on any engine with ``md5()`` and
+    never needs a seeded RNG whose stream depends on partitioning.
+
+    One top-k-per-group window over the bounded group key (or a global
+    TakeOrdered-shaped cut when ungrouped). Rows with non-positive or
+    null weights are excluded (E-S requires w > 0). Output: the sampled
+    rows + ``sample_key`` (rounded 6dp) + ``sample_rank``.
+    """
+    u = (md5_long(F.col(id_col).cast("string")) + 1.0) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col(weight_col)
+    gcols = list(group_by)
+    d = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_key", key)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(k))
+        .withColumn("sample_key", F.round("_key", 6))
+        .drop("_key")
+    )

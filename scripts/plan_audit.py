@@ -62,6 +62,8 @@ ACCEPTED = {
     "triangle_count": "1-row triangle-total frame broadcast to the 1-row "
     "degree-stats frame (two scalars crossed)",
     "m3_cv_splits": "1-row total-count frame broadcast to n_splits rows",
+    "conversion_lag": "1-row started-count frame broadcast to the 1-row "
+    "percentile summary (two scalars crossed)",
     "m4_kfold_threshold": "1-row per-fold threshold frames broadcast",
     "m5_scores": "1-row fitted-stats frame broadcast",
     "dedup_embed_cosine": "documented all-pairs baseline on a bounded "

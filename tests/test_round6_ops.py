@@ -412,3 +412,101 @@ def test_merge_upsert_actions(spark):
     assert out[2]["action"] == "update" and out[2]["bal"] == 25.0
     assert out[3]["action"] == "unchanged"
     assert out[9]["action"] == "insert" and out[9]["bal"] == 90.0
+
+
+# -------------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_matches_reference_and_favors_weight(spark):
+    import hashlib
+
+    from gordo_spark.operators.sampling import weighted_sample
+
+    # 100 rows: ids 0..89 weight 1, ids 90..99 weight 100
+    rows = [(i, 100.0 if i >= 90 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, "w", 10, group_by=[]).collect()
+    assert len(out) == 10
+    # reference: same md5 construction in pure python
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 4294967296.0
+        return -math.log(u) / w
+
+    exp = sorted(rows, key=lambda r: (key(*r), r[0]))[:10]
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in exp)
+    # heavy-weight rows dominate the sample (E-S inclusion property)
+    heavy = sum(1 for r in out if r["doc_id"] >= 90)
+    assert heavy >= 7
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from gordo_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], "doc_id long, w double"
+    )
+    out = weighted_sample(df, "w", 10).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_weighted_sample_is_repartition_stable(spark):
+    from gordo_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(200)], "doc_id long, w double"
+    )
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "w", 15).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "w", 15).collect()
+    )
+    assert a == b
+
+
+# --------------------------------------------------------- conversion lag
+
+
+def test_conversion_lag_percentiles(spark):
+    from gordo_spark.operators.ranges import conversion_lag
+
+    rows = []
+    # users 1-4: signup at t=0, purchase at 100/200/300/400s
+    for u, lag in [(1, 100), (2, 200), (3, 300), (4, 400)]:
+        rows.append((u * 10, u, T0, "signup"))
+        rows.append((u * 10 + 1, u, T0 + dt.timedelta(seconds=lag), "purchase"))
+    # user 5 signs up, never converts; user 6 purchases BEFORE signup only
+    rows.append((50, 5, T0, "signup"))
+    rows.append((60, 6, T0 + dt.timedelta(seconds=50), "purchase"))
+    rows.append((61, 6, T0 + dt.timedelta(seconds=100), "signup"))
+    df = spark.createDataFrame(
+        [(e, u, ts, t, 1.0) for e, u, ts, t in rows],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    row = conversion_lag(df, "signup", "purchase").collect()[0]
+    assert row["n_converted"] == 4
+    assert row["n_started"] == 6
+    assert row["p50_s"] == pytest.approx(250.0)  # interpolated median
+    assert row["mean_s"] == pytest.approx(250.0)
+    assert row["p90_s"] == pytest.approx(np.percentile([100, 200, 300, 400], 90))
+
+
+# ------------------------------------------------------------- LSH recall
+
+
+def test_lsh_eval_perfect_on_exact_duplicates(spark):
+    from gordo_spark.operators.dedup import lsh_eval
+
+    # 30 docs, each duplicated verbatim: every true pair shares ALL
+    # minhashes -> every band collides -> recall 1.0
+    texts = [
+        " ".join(f"w{i}_{j}" for j in range(30)) for i in range(30)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(i + 1000, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = lsh_eval(df, num_hashes=8, bands=4, threshold=0.5).collect()[0]
+    assert row["n_truth"] == 30
+    assert row["n_hit"] == 30
+    assert row["recall"] == 1.0
+    assert row["precision"] == pytest.approx(30 / row["n_candidates"])
