@@ -7996,6 +7996,86 @@ FROM j
 O_LSH_RECALL = _lsh_recall_sql()
 
 
+
+
+def q_w22_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W22 — rolling 7-day correlation between the click and view
+    series (operators/tsa.rolling_corr): conditional-agg align onto the
+    hourly grid (bounded), then corr as a windowed aggregate over the
+    trailing 168-bucket frame — the time-varying coupling a whole-range
+    corr averages away. Single-series window posture (calendar-grid
+    bounded, see SINGLE_SERIES_OK)."""
+    from gordo_spark.operators.tsa import rolling_corr
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return rolling_corr(res, "click", "view", window_rows=168)
+
+
+O_W22_ROLLING_CORR = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+),
+wide AS (
+  SELECT ts,
+         avg(CASE WHEN tag = 'click' THEN value END) AS a,
+         avg(CASE WHEN tag = 'view' THEN value END) AS b
+  FROM res GROUP BY ts
+)
+SELECT ts,
+       ROUND(corr(a, b) OVER w, 6) AS corr_ab,
+       CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL
+                     THEN 1 ELSE 0 END) OVER w AS BIGINT) AS n_pairs
+FROM wide
+WINDOW w AS (ORDER BY ts ROWS BETWEEN 167 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_w23_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W23 — Dickey-Fuller stationarity screen per tag
+    (operators/tsa.adf_screen): one lag window builds (dv, v_prev),
+    ONE regr_* sufficient-statistics aggregation yields gamma AND its
+    t-stat (SE from Syy/Sxx — no residual pass); unit-root sensors
+    flagged before level thresholds are trusted."""
+    from gordo_spark.operators.tsa import adf_screen
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return adf_screen(res)
+
+
+O_W23_ADF = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT tag,
+         value - lag(value) OVER w AS dv,
+         lag(value) OVER w AS x
+  FROM res WINDOW w AS (PARTITION BY tag ORDER BY ts)
+),
+agg AS (
+  SELECT tag, regr_slope(dv, x) AS g, regr_sxx(dv, x) AS sxx,
+         regr_syy(dv, x) AS syy, CAST(regr_count(dv, x) AS BIGINT) AS n
+  FROM d WHERE x IS NOT NULL GROUP BY tag
+),
+t AS (
+  SELECT tag, g, n,
+         CASE WHEN sqrt(greatest(syy - g * g * sxx, 0.0) / (n - 2) / sxx) > 0
+              THEN g / sqrt(greatest(syy - g * g * sxx, 0.0) / (n - 2) / sxx)
+         END AS t_stat
+  FROM agg
+)
+SELECT tag, ROUND(g, 6) AS gamma, ROUND(t_stat, 6) AS t_stat, n,
+       t_stat < -2.86 AS stationary
+FROM t
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -8177,6 +8257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "conversion_lag": q_conversion_lag,
         "lsh_recall": q_lsh_recall,
+        "w22_rolling_corr": q_w22_rolling_corr,
+        "w23_adf": q_w23_adf,
         "order_cohorts": q_order_cohorts,
         "events_heatmap": q_events_heatmap,
         # --- remaining TPC-H shapes ---
@@ -8406,6 +8488,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": O_WEIGHTED_SAMPLE,
         "conversion_lag": O_CONVERSION_LAG,
         "lsh_recall": O_LSH_RECALL,
+        "w22_rolling_corr": O_W22_ROLLING_CORR,
+        "w23_adf": O_W23_ADF,
         "order_cohorts": O_ORDER_COHORTS,
         "events_heatmap": O_EVENTS_HEATMAP,
     }

@@ -161,6 +161,8 @@ HEADLINE = [
     "weighted_sample",
     "conversion_lag",
     "lsh_recall",
+    "w22_rolling_corr",
+    "w23_adf",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -23,11 +23,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "acf",
+    "adf_screen",
     "counter_rate",
     "cross_correlation",
     "grid_gaps",
     "mean_shift_changepoint",
     "psi_drift",
+    "rolling_corr",
     "seasonal_profile",
     "time_weighted_avg",
     "trend",
@@ -504,4 +506,98 @@ def trend(
         F.round(F.regr_intercept(F.col(value_col), x), 6).alias("intercept"),
         F.round(F.regr_r2(F.col(value_col), x), 6).alias("r2"),
         F.count(value_col).alias("n"),
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    tag_a: str,
+    tag_b: str,
+    window_rows: int = 168,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling Pearson correlation between TWO tags over a trailing
+    ``window_rows``-bucket frame — the time-varying coupling readout
+    ("when did these two sensors decouple?") that a single whole-range
+    ``corr`` (see ``tag_correlations``) averages away.
+
+    The two series align by conditional aggregation onto the shared
+    grid (one bounded groupBy on the bucket timestamp — the J3 pivot
+    shape), then ``corr`` runs as a windowed aggregate over the trailing
+    frame. The aligned frame is ONE series on the calendar grid
+    (#buckets in range, never raw-event-proportional), so the
+    unpartitioned ordered window is the same bounded single-series
+    posture as the ``m6``/``j7`` family. Rows with fewer than 2
+    complete pairs in frame emit null. Output:
+    ``(ts, corr_ab, n_pairs)``.
+    """
+    a = F.avg(F.when(F.col(tag_col) == tag_a, F.col(value_col)))
+    b = F.avg(F.when(F.col(tag_col) == tag_b, F.col(value_col)))
+    wide = (
+        df.filter(F.col(tag_col).isin(tag_a, tag_b))
+        .groupBy(ts_col)
+        .agg(a.alias("_a"), b.alias("_b"))
+    )
+    w = (
+        Window.orderBy(ts_col)
+        .rowsBetween(-(int(window_rows) - 1), 0)
+    )
+    pair_ok = F.when(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1
+    ).otherwise(0)
+    return wide.select(
+        F.col(ts_col),
+        F.round(F.corr("_a", "_b").over(w), 6).alias("corr_ab"),
+        F.sum(pair_ok).over(w).alias("n_pairs"),
+    )
+
+
+def adf_screen(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    critical: float = -2.86,
+) -> DataFrame:
+    """Stationarity screen per tag: the Dickey-Fuller (lag-0, with
+    constant) regression ``Δv_t = α + γ·v_{t-1} + ε`` — ``γ`` near 0
+    (t-stat above the critical value) means a unit root / random-walk
+    series, strongly negative means mean-reverting. The go/no-go check
+    before trusting level-based anomaly thresholds on a drifting
+    sensor. ``critical = -2.86`` is the 5% DF constant-only asymptotic
+    value.
+
+    Everything is sufficient-statistics algebra: one per-tag lag window
+    builds ``(Δv, v_{t-1})`` pairs, then ONE hash aggregation computes
+    ``γ = regr_slope``, and the slope's t-stat from the same regr_*
+    family — ``SE² = (SSE/(n-2))/Sxx`` with ``SSE = Syy - γ²·Sxx`` —
+    no second pass, no residual materialization. Output:
+    ``(tag, gamma, t_stat, n, stationary)``.
+    """
+    w = Window.partitionBy(tag_col).orderBy(ts_col)
+    prev = F.lag(value_col).over(w)
+    d = df.select(
+        F.col(tag_col),
+        (F.col(value_col) - prev).alias("_dv"),
+        prev.alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    agg = d.groupBy(tag_col).agg(
+        F.regr_slope("_dv", "_x").alias("_g"),
+        F.regr_sxx("_dv", "_x").alias("_sxx"),
+        F.regr_syy("_dv", "_x").alias("_syy"),
+        F.regr_count("_dv", "_x").alias("n"),
+    )
+    sse = F.col("_syy") - F.col("_g") * F.col("_g") * F.col("_sxx")
+    se = F.sqrt(
+        F.greatest(sse, F.lit(0.0)) / (F.col("n") - 2) / F.col("_sxx")
+    )
+    t = F.when(se > 0, F.col("_g") / se)
+    return agg.select(
+        tag_col,
+        F.round("_g", 6).alias("gamma"),
+        F.round(t, 6).alias("t_stat"),
+        "n",
+        (t < F.lit(float(critical))).alias("stationary"),
     )

@@ -131,6 +131,10 @@ SINGLE_SERIES_OK = {
     # raw event volume; corpus-sized spearman would need part_cols
     # range-bucketing (operators/ranking.global_rank docstring)
     "tag_spearman",
+    # rolling corr over the TWO-tag aligned hourly grid — same
+    # calendar-grid bound as tag_spearman (one series, never
+    # raw-event-proportional)
+    "w22_rolling_corr",
     # running sums over the VOCABULARY-sized term table (already
     # aggregated, map-side combined), never the corpus
     "vocab_coverage",

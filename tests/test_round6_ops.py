@@ -510,3 +510,83 @@ def test_lsh_eval_perfect_on_exact_duplicates(spark):
     assert row["n_hit"] == 30
     assert row["recall"] == 1.0
     assert row["precision"] == pytest.approx(30 / row["n_candidates"])
+
+
+# ------------------------------------------------------------ rolling corr
+
+
+def test_rolling_corr_tracks_regime_change(spark):
+    from gordo_spark.operators.tsa import rolling_corr
+
+    rng = np.random.RandomState(13)
+    x = rng.randn(120)
+    rows = []
+    for i in range(120):
+        ts = T0 + dt.timedelta(hours=i)
+        rows.append(("a", ts, float(x[i])))
+        # b follows a for the first 60 hours, then flips sign
+        rows.append(("b", ts, float(x[i] if i < 60 else -x[i])))
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    out = rolling_corr(df, "a", "b", window_rows=24).orderBy("ts").collect()
+    assert out[59]["corr_ab"] == pytest.approx(1.0, abs=1e-6)
+    assert out[119]["corr_ab"] == pytest.approx(-1.0, abs=1e-6)
+    assert out[0]["corr_ab"] is None  # single pair in frame
+    assert out[30]["n_pairs"] == 24
+
+
+def test_rolling_corr_matches_pandas(spark):
+    from gordo_spark.operators.tsa import rolling_corr
+
+    rng = np.random.RandomState(21)
+    a, b = rng.randn(50), rng.randn(50)
+    rows = []
+    for i in range(50):
+        ts = T0 + dt.timedelta(hours=i)
+        rows.append(("a", ts, float(a[i])))
+        rows.append(("b", ts, float(b[i])))
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    out = rolling_corr(df, "a", "b", window_rows=10).orderBy("ts").collect()
+    import pandas as pd
+
+    exp = pd.Series(a).rolling(10, min_periods=2).corr(pd.Series(b))
+    for i in (9, 25, 49):
+        assert out[i]["corr_ab"] == pytest.approx(round(exp.iloc[i], 6), abs=1e-6)
+
+
+# -------------------------------------------------------------- ADF screen
+
+
+def test_adf_screen_separates_noise_from_random_walk(spark):
+    from gordo_spark.operators.tsa import adf_screen
+
+    rng = np.random.RandomState(17)
+    noise = rng.randn(400)            # stationary: strongly negative t
+    walk = np.cumsum(rng.randn(400))  # unit root: t near 0
+    rows = [("noise", T0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(noise)]
+    rows += [("walk", T0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(walk)]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    out = {r["tag"]: r for r in adf_screen(df).collect()}
+    assert out["noise"]["stationary"] is True
+    assert out["noise"]["t_stat"] < -10
+    assert out["walk"]["stationary"] is False
+    assert out["walk"]["t_stat"] > -2.86
+    assert out["noise"]["n"] == 399
+
+
+def test_adf_t_stat_matches_numpy_ols(spark):
+    from gordo_spark.operators.tsa import adf_screen
+
+    rng = np.random.RandomState(23)
+    v = np.cumsum(rng.randn(200)) * 0.5 + rng.randn(200)
+    rows = [("a", T0 + dt.timedelta(hours=i), float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    row = adf_screen(df).collect()[0]
+    dv, x = np.diff(v), v[:-1]
+    X = np.column_stack([np.ones_like(x), x])
+    beta, res, *_ = np.linalg.lstsq(X, dv, rcond=None)
+    n = len(dv)
+    sse = float(((dv - X @ beta) ** 2).sum())
+    sxx = float(((x - x.mean()) ** 2).sum())
+    se = math.sqrt(sse / (n - 2) / sxx)
+    assert row["gamma"] == pytest.approx(round(beta[1], 6), abs=1e-5)
+    assert row["t_stat"] == pytest.approx(round(beta[1] / se, 6), abs=1e-4)
