@@ -84,8 +84,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
-        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.coalesce(
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long"), F.lit(0)
+        ).alias("n_wedges"),
+        F.coalesce((F.sum("d") / 2).cast("long"), F.lit(0)).alias("n_edges"),
     )
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_nodes",

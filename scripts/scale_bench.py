@@ -342,6 +342,57 @@ def pq_experiment(spark):
     }
 
 
+
+
+def hll_experiment(spark):
+    """Distinct-count paths at 5M rows / 2M distinct: exact
+    countDistinct (shuffles every distinct pair), deterministic md5-HLL
+    (256 register rows per group — the oracle-exact contract sketch),
+    native HLL++ (binary sketch state)."""
+    n, card, groups = 5_000_000, 2_000_000, 16
+    df = spark.range(n).select(
+        (F.col("id") % groups).alias("g"),
+        ((F.col("id") * 2654435761) % card).cast("string").alias("v"),
+    )
+    df.write.mode("overwrite").parquet("/tmp/_hll_bench")
+    df = spark.read.parquet("/tmp/_hll_bench")
+
+    from gordo_spark.operators.sketches import (
+        hll_det_estimate,
+        hll_det_registers,
+    )
+
+    def run_exact():
+        df.groupBy("g").agg(F.countDistinct("v")).collect()
+
+    def run_det():
+        hll_det_estimate(hll_det_registers(df, "v", ["g"]), ["g"]).collect()
+
+    def run_native():
+        df.groupBy("g").agg(F.approx_count_distinct("v", 0.02)).collect()
+
+    t_exact = round(timed("exact", run_exact), 3)
+    t_det = round(timed("det", run_det), 3)
+    t_native = round(timed("native", run_native), 3)
+    exact = {
+        r["g"]: r[1] for r in df.groupBy("g").agg(F.countDistinct("v")).collect()
+    }
+    det = {
+        r["g"]: r["hll_distinct"]
+        for r in hll_det_estimate(hll_det_registers(df, "v", ["g"]), ["g"]).collect()
+    }
+    err = max(abs(det[g] - exact[g]) / exact[g] for g in exact)
+    pairs = df.select("g", "v").distinct().count()
+    return {
+        "t_exact_s": t_exact,
+        "t_det_s": t_det,
+        "t_native_s": t_native,
+        "max_rel_err": round(err, 4),
+        "exact_shuffled_pairs": pairs,
+        "sketch_rows": groups * 256,
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
@@ -349,6 +400,7 @@ def main():
     hot = hot_split_experiment(spark)
     para = paragraph_experiment(spark)
     pq = pq_experiment(spark)
+    hll = hll_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -437,6 +489,23 @@ def main():
         "grow with corpus size, while recall is tuned by (m, k, n_probe).",
         "These near-random synthetic embeddings are PQ's worst case;",
         "clustered real embeddings sit far higher at the same settings.",
+        "",
+        "## Distinct counting at 5M rows / 2M distinct, 16 groups",
+        "",
+        f"- exact countDistinct: {hll['t_exact_s']} s; the expanded",
+        f"  aggregate shuffles every distinct (group, value) pair — ",
+        f"  {hll['exact_shuffled_pairs']:,} rows of intermediate state",
+        f"- deterministic md5-HLL (contract sketch): {hll['t_det_s']} s; ",
+        f"  {hll['sketch_rows']:,} register rows TOTAL (256/group, constant",
+        "  at any cardinality), max relative error "
+        f"{hll['max_rel_err']} (m=256 -> ~6.5% rsd; and bit-identical in",
+        "  any engine with md5 — the estimate itself is oracle-checked)",
+        f"- native HLL++ (rsd 2%): {hll['t_native_s']} s (binary sketch",
+        "  state; the default when oracle-exactness is not required)",
+        "",
+        "The state row counts are the cluster numbers: the exact path's",
+        "intermediate grows with cardinality (petabyte-scale at 100 TB),",
+        "both sketch paths stay constant per group and merge map-side.",
         "",
     ]
     out = "\n".join(lines)
