@@ -8076,6 +8076,49 @@ FROM t
 """
 
 
+
+
+def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist curation screen (operators/text.wordlist_filter):
+    LEET-folded token-exact matching against a literal wordlist
+    (translate('013457@$'->'oieastas') so obfuscated variants hit),
+    keep when match fraction < 2%. One explode -> codegen fold ->
+    IN-list -> map-side-combined groupBy(id); token-exact by design
+    (the Scunthorpe problem rules out substring matching)."""
+    from gordo_spark.operators.text import wordlist_filter
+
+    docs = read_table(spark, sf_dir, "documents")
+    return wordlist_filter(docs, ["slow", "spill", "skew"], max_frac=0.02)
+
+
+O_WORDLIST_FILTER = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN translate(lower(tok), '013457@$', 'oieastas')
+                   IN ('slow', 'spill', 'skew') THEN 1 ELSE 0 END AS f
+  FROM toks WHERE tok <> ''
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(f) AS BIGINT) AS n_flagged
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_flagged, 0) AS n_flagged,
+       ROUND(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                  THEN coalesce(a.n_flagged, 0) * 1.0 / a.n_tokens
+                  ELSE 0.0 END, 6) AS flag_frac,
+       CASE WHEN coalesce(a.n_tokens, 0) > 0
+            THEN coalesce(a.n_flagged, 0) * 1.0 / a.n_tokens
+            ELSE 0.0 END < 0.02 AS keep
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -8259,6 +8302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "w22_rolling_corr": q_w22_rolling_corr,
         "w23_adf": q_w23_adf,
+        "wordlist_filter": q_wordlist_filter,
         "order_cohorts": q_order_cohorts,
         "events_heatmap": q_events_heatmap,
         # --- remaining TPC-H shapes ---
@@ -8490,6 +8534,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall": O_LSH_RECALL,
         "w22_rolling_corr": O_W22_ROLLING_CORR,
         "w23_adf": O_W23_ADF,
+        "wordlist_filter": O_WORDLIST_FILTER,
         "order_cohorts": O_ORDER_COHORTS,
         "events_heatmap": O_EVENTS_HEATMAP,
     }

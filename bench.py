@@ -163,6 +163,7 @@ HEADLINE = [
     "lsh_recall",
     "w22_rolling_corr",
     "w23_adf",
+    "wordlist_filter",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

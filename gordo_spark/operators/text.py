@@ -1305,3 +1305,57 @@ def zipf_slope_by_lang(
         F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+def wordlist_filter(
+    df: DataFrame,
+    wordlist: Sequence[str],
+    max_frac: float = 0.02,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocklist curation with obfuscation folding: count tokens that
+    match ``wordlist`` after a LEET-speak normalization
+    (lowercase + ``translate('013457@$' -> 'oieastas')``, so "b4d",
+    "B@D" and "bad" all hit the same list entry) and keep documents
+    whose match fraction stays under ``max_frac`` — the
+    wordlist-screen step every corpus-curation stack runs beside the
+    model-based quality filters (C4 used exactly this shape).
+
+    Matching is token-exact against the FOLDED token (substring
+    matching has catastrophic false positives — the classic
+    "Scunthorpe problem" — so it is deliberately not offered here).
+    Output: ``(doc_id, n_tokens, n_flagged, flag_frac, keep)``; empty
+    docs keep with 0 counts.
+
+    Plan: explode -> fold (codegen ``translate``) -> ``isin`` against
+    the literal wordlist (a broadcast-free IN-list; the list is a
+    curation artifact of bounded size) -> ONE map-side-combined
+    groupBy(id). No HOFs in the hot path, no second scan.
+    """
+    folded = F.translate(F.lower(F.col("_tok")), "013457@$", "oieastas")
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    flagged = toks.select(
+        id_col, folded.isin(*[str(w) for w in wordlist]).cast("int").alias("_f")
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_f").alias("n_flagged"),
+    )
+    out = df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0, F.col("n_flagged") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_flagged",
+        F.round(frac, 6).alias("flag_frac"),
+        (frac < F.lit(float(max_frac))).alias("keep"),
+    )

@@ -590,3 +590,96 @@ def test_adf_t_stat_matches_numpy_ols(spark):
     se = math.sqrt(sse / (n - 2) / sxx)
     assert row["gamma"] == pytest.approx(round(beta[1], 6), abs=1e-5)
     assert row["t_stat"] == pytest.approx(round(beta[1] / se, 6), abs=1e-4)
+
+
+# --------------------------------------------------------- wordlist filter
+
+
+def test_wordlist_filter_leet_folding(spark):
+    from gordo_spark.operators.text import wordlist_filter
+
+    rows = [
+        (1, "a b4d word and a B@D one"),   # two leet variants of 'bad'
+        (2, "all clean tokens here"),
+        (3, ""),                            # empty doc keeps with 0s
+        (4, "bad bad bad bad"),             # 100% flagged -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           wordlist_filter(df, ["bad"], max_frac=0.5).collect()}
+    assert out[1]["n_flagged"] == 2 and out[1]["keep"] is True
+    assert out[2]["n_flagged"] == 0 and out[2]["keep"] is True
+    assert out[3]["n_tokens"] == 0 and out[3]["keep"] is True
+    assert out[4]["flag_frac"] == 1.0 and out[4]["keep"] is False
+
+
+# ------------------------------------------------------------- webdataset
+
+
+def test_webdataset_round_trip(spark, tmp_path):
+    from gordo_spark.sources.webdataset import read_webdataset, write_webdataset
+
+    rows = [(i, f"doc text {i}", bytes([i % 256, 1, 2])) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, payload binary")
+    path = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        df, path, n_shards=8, payload_col="payload"
+    ).collect()
+    assert sum(r["n_entries"] for r in manifest) == 100
+    assert len(manifest) == 8
+    back = read_webdataset(spark, path, with_payload=True).collect()
+    assert len(back) == 100
+    got = {int(r["doc_id"]): (r["text"], bytes(r["payload"])) for r in back}
+    for i, t, p in rows:
+        assert got[i] == (t, p)
+
+
+def test_webdataset_shards_are_byte_reproducible(spark, tmp_path):
+    import hashlib
+
+    from gordo_spark.sources.webdataset import write_webdataset
+
+    rows = [(i, f"t{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_webdataset(df, p1, n_shards=4)
+    write_webdataset(df.repartition(7), p2, n_shards=4)
+
+    import os as _os
+
+    def digest(root):
+        return {
+            f: hashlib.md5(open(_os.path.join(root, f), "rb").read()).hexdigest()
+            for f in sorted(_os.listdir(root))
+            if f.endswith(".tar")
+        }
+
+    assert digest(p1) == digest(p2)  # repartition-stable, byte-identical
+
+
+# ------------------------------------------------------- sensors pipeline
+
+
+def test_sensors_pipeline_end_to_end(spark, tmp_path, sf_dir):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "sensors_pipeline", "/root/repo/examples/sensors_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "sensors_out")
+    screen = mod.diagnose(spark, sf_dir, out)
+    rows = {r["tag"]: r for r in screen.collect()}
+    assert set(rows) == set(mod.TAGS)
+    for r in rows.values():
+        assert r["n"] > 0 and r["slope_per_hour"] is not None
+        assert r["stationary"] in (True, False)
+    import os as _os
+
+    for name in ("gaps", "twa_daily", "candles", "screen", "seasonal",
+                 "xcorr", "coupling", "lttb", "sax"):
+        assert _os.path.isdir(_os.path.join(out, name))
+    # the dashboard tier reads back per-tag partitions
+    back = spark.read.parquet(_os.path.join(out, "lttb"))
+    assert back.select("tag").distinct().count() == len(mod.TAGS)
