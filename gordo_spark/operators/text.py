@@ -1333,6 +1333,8 @@ def wordlist_filter(
     curation artifact of bounded size) -> ONE map-side-combined
     groupBy(id). No HOFs in the hot path, no second scan.
     """
+    if not wordlist:
+        raise ValueError("wordlist_filter needs a non-empty wordlist")
     folded = F.translate(F.lower(F.col("_tok")), "013457@$", "oieastas")
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_tok")

@@ -63,6 +63,10 @@ def acf(
     K correlations map-side, and a ``stack()`` unpivots — so the cost
     is a single per-tag sort plus one exchange on the bounded tag key
     regardless of K.
+
+    Precondition: one row per (tag, ts) — a resampled grid. Duplicate
+    timestamps would make the pinned RANGE frame hold >1 row and
+    ``last`` pick an unspecified one.
     """
     if not lags or any(k <= 0 for k in lags):
         raise ValueError("lags must be positive ints")

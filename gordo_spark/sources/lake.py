@@ -236,6 +236,8 @@ def merge_upsert(
     null-safe equality (``<=>``). At 100 TB both sides should be
     bucketed/partitioned on the key so the join co-locates.
     """
+    if not keys or not compare_cols:
+        raise ValueError("merge_upsert needs non-empty keys and compare_cols")
     u = updates.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"_u_{c}") for c in compare_cols],
