@@ -341,3 +341,64 @@ def read_csv_corpus(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
     )
+
+
+def forget_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> dict:
+    """Targeted deletion (right-to-be-forgotten) from a
+    source-partitioned corpus lake: remove every row whose ``id_col``
+    appears in ``keys``, rewriting ONLY the partitions that contain a
+    match.
+
+    The deletion protocol at 100 TB cannot be "anti-join the lake and
+    rewrite it" — that reads and rewrites every byte for a handful of
+    keys. Instead: (1) one partition-pruned probe finds which sources
+    actually hold the keys (the join output is key-sized); (2) dynamic
+    partition overwrite rewrites exactly those ``source=`` directories
+    with the anti-joined remainder — untouched sources are never read,
+    never written, and keep their files byte-identical (same discipline
+    as ``incremental_release``). Returns
+    ``{"touched_sources": [...], "n_deleted": int}``.
+
+    The keys frame is broadcast in both joins — a deletion request is
+    operationally bounded (it arrives as a list, not a corpus).
+    """
+    lake = spark.read.parquet(path)
+    k = keys.select(F.col(id_col)).distinct()
+    hits = (
+        lake.join(F.broadcast(k), id_col)
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    touched = sorted(r[source_col] for r in hits)
+    n_deleted = int(sum(r["_n"] for r in hits))
+    if not touched:
+        return {"touched_sources": [], "n_deleted": 0}
+    remainder = (
+        lake.filter(F.col(source_col).isin(touched))
+        .join(F.broadcast(k), id_col, "left_anti")
+    )
+    # Stage-then-swap, never read-and-overwrite the same files: the
+    # remainder's lineage READS the very partitions being replaced, so
+    # it lands in a sibling staging dir first; each touched partition
+    # directory is then swapped by rename (crash before the swap leaves
+    # the lake intact — the compact_sensor_lake discipline).
+    import shutil
+
+    staging = path.rstrip("/") + "._forget_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    remainder.write.mode("overwrite").partitionBy(source_col).parquet(staging)
+    for src in touched:
+        live = os.path.join(path, f"{source_col}={src}")
+        new = os.path.join(staging, f"{source_col}={src}")
+        shutil.rmtree(live, ignore_errors=True)
+        if os.path.isdir(new):  # absent = source fully deleted
+            shutil.move(new, live)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"touched_sources": touched, "n_deleted": n_deleted}

@@ -176,3 +176,59 @@ def ohlc_stream(
         F.col("_c.v").alias("close"),
         "n",
     )
+
+
+def stream_conversion_join(
+    events: DataFrame,
+    touch_type: str,
+    conv_type: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stream-STREAM inner join with event-time bounds — the remaining
+    Structured Streaming join shape beside the windowed aggs and the
+    stateful processors: every ``touch_type`` event joins the same
+    user's ``conv_type`` events landing within ``within`` AFTER it
+    ("did this click convert, live"). Output:
+    ``(user_id, touch_ts, conv_ts, lag_s)``.
+
+    Both sides carry the SAME watermark and the join condition bounds
+    conv_ts on BOTH ends relative to touch_ts — the two requirements
+    that let Spark evict buffered state: a side's row can be dropped
+    once the other side's watermark passes its last possible match, so
+    state stays (rate x within)-bounded instead of unbounded. Batch
+    parity: running the identical join condition on a static frame
+    gives the same pairs (stream==batch tested).
+    """
+    touches = (
+        events.filter(F.col(type_col) == touch_type)
+        .select(
+            F.col(user_col).alias("_tu"), F.col(ts_col).alias("touch_ts")
+        )
+        .withWatermark("touch_ts", watermark)
+    )
+    convs = (
+        events.filter(F.col(type_col) == conv_type)
+        .select(
+            F.col(user_col).alias("_cu"), F.col(ts_col).alias("conv_ts")
+        )
+        .withWatermark("conv_ts", watermark)
+    )
+    cond = (
+        (F.col("_tu") == F.col("_cu"))
+        & (F.col("conv_ts") >= F.col("touch_ts"))
+        & (F.col("conv_ts") <= F.col("touch_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    joined = touches.join(convs, cond, "inner")
+    return joined.select(
+        F.col("_tu").alias(user_col),
+        "touch_ts",
+        "conv_ts",
+        (
+            F.col("conv_ts").cast("timestamp").cast("long")
+            - F.col("touch_ts").cast("timestamp").cast("long")
+        ).alias("lag_s"),
+    )

@@ -393,6 +393,47 @@ def hll_experiment(spark):
     }
 
 
+
+
+def zorder_experiment(spark):
+    """Multi-dim file skipping at sf0.1: lineitem laid out sorted by
+    l_partkey vs z-ordered on (l_partkey, l_suppkey), 64 files each;
+    count the files whose min/max rectangle overlaps a ~2% band on each
+    dimension (what a stats-pruning scan would read)."""
+    from gordo_spark.sources.zorder import file_ranges, write_zordered
+
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain, zpath = "/tmp/_zb_plain", "/tmp/_zb_zord"
+    n_files = 64
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(plain)
+    )
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=n_files)
+    hi_p = li.agg(F.max("l_partkey")).collect()[0][0]
+    hi_s = li.agg(F.max("l_suppkey")).collect()[0][0]
+    bp = (1, max(2, hi_p // 50))
+    bs = (1, max(2, hi_s // 50))
+
+    def overlapping(path, col, lo, hi):
+        fr = file_ranges(spark, path, ["l_partkey", "l_suppkey"])
+        return fr.filter(
+            (F.col(f"min_{col}") <= hi) & (F.col(f"max_{col}") >= lo)
+        ).count()
+
+    return {
+        "n_files": n_files,
+        "plain_partkey": overlapping(plain, "l_partkey", *bp),
+        "plain_suppkey": overlapping(plain, "l_suppkey", *bs),
+        "z_partkey": overlapping(zpath, "l_partkey", *bp),
+        "z_suppkey": overlapping(zpath, "l_suppkey", *bs),
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
@@ -401,6 +442,7 @@ def main():
     para = paragraph_experiment(spark)
     pq = pq_experiment(spark)
     hll = hll_experiment(spark)
+    zo = zorder_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -506,6 +548,21 @@ def main():
         "The state row counts are the cluster numbers: the exact path's",
         "intermediate grows with cardinality (petabyte-scale at 100 TB),",
         "both sketch paths stay constant per group and merge map-side.",
+        "",
+        "## Z-order file skipping (lineitem sf0.1, 64 files, ~2% band per dim)",
+        "",
+        f"- sorted by l_partkey: a partkey band touches "
+        f"{zo['plain_partkey']}/{zo['n_files']} files, but a SUPPKEY band "
+        f"touches {zo['plain_suppkey']}/{zo['n_files']} — the second",
+        "  dimension's stats span the whole domain in every file",
+        f"- z-ordered (partkey, suppkey): partkey band "
+        f"{zo['z_partkey']}/{zo['n_files']} files, suppkey band "
+        f"{zo['z_suppkey']}/{zo['n_files']} — BOTH dimensions prune",
+        "",
+        "The one-column sort wins slightly on its own key and loses the",
+        "entire second dimension; the Morton layout pays one re-layout",
+        "shuffle for rectangle stats on every participating key — at",
+        "100 TB the skipped files are the scan bill.",
         "",
     ]
     out = "\n".join(lines)

@@ -571,3 +571,93 @@ def test_csv_corpus_roundtrip_corrupt_row_and_multiline(spark, tmp_path):
     )
     read_csv_corpus(spark, path, caller_schema)
     assert "_corrupt_record" not in caller_schema.fieldNames()
+
+
+def test_forget_keys_rewrites_only_touched_partitions(spark, tmp_path):
+    """Right-to-be-forgotten: deleting two docs from source 'a' (one of
+    them the ONLY doc of source 'c') rewrites a and removes c; source
+    'b' keeps byte-identical files (same mtimes)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from gordo_spark.sources.corpus_lake import (
+        forget_keys,
+        read_corpus_lake,
+        write_corpus_lake,
+    )
+
+    path = str(tmp_path / "forget")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": ["a0", "a1", "b0", "b1", "c0"],
+                "source": ["a", "a", "b", "b", "c"],
+            }
+        )
+    )
+    write_corpus_lake(df, path)
+    stable = os.path.join(path, "source=b")
+    before = {
+        f: os.path.getmtime(os.path.join(stable, f))
+        for f in os.listdir(stable)
+        if f.endswith(".parquet")
+    }
+    time.sleep(1.1)
+
+    keys = spark.createDataFrame([(1,), (4,), (999,)], "doc_id long")
+    out = forget_keys(spark, path, keys)
+    assert out == {"touched_sources": ["a", "c"], "n_deleted": 2}
+
+    back = read_corpus_lake(spark, path).toPandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == [0, 2, 3]
+    # fully-deleted source directory is gone
+    assert not os.path.exists(os.path.join(path, "source=c"))
+    # untouched partition: same files, same mtimes
+    after = {
+        f: os.path.getmtime(os.path.join(stable, f))
+        for f in os.listdir(stable)
+        if f.endswith(".parquet")
+    }
+    assert after == before
+    # idempotent / no-match path
+    assert forget_keys(spark, path, keys)["n_deleted"] == 0
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path, sf_dir):
+    """Z-ordered lineitem: a selective range on EITHER key overlaps far
+    fewer per-file min/max rectangles than the single-column-sorted
+    layout (which prunes only its sort key); contents identical."""
+    from gordo_spark.sources.zorder import file_ranges, write_zordered
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zord")
+    n_files = 16
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(plain)
+    )
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=n_files)
+
+    hi_s = li.agg(F.max("l_suppkey")).collect()[0][0]
+    lo, hi = 1, max(2, hi_s // 20)  # ~5% band on the NON-sort dimension
+
+    def overlapping(path):
+        fr = file_ranges(spark, path, ["l_partkey", "l_suppkey"])
+        return fr.filter(
+            (F.col("min_l_suppkey") <= hi) & (F.col("max_l_suppkey") >= lo)
+        ).count()
+
+    n_plain, n_z = overlapping(plain), overlapping(zpath)
+    assert n_plain == n_files  # sorted on partkey: suppkey spans every file
+    assert n_z <= n_plain / 2  # z-order: tight rectangles on BOTH dims
+    # the layout is a permutation, not a transformation
+    a = spark.read.parquet(plain).orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").toPandas()
+    b = spark.read.parquet(zpath).orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").toPandas()
+    assert a.equals(b)

@@ -1144,3 +1144,49 @@ def test_ohlc_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(merged) >= len(exp) - len(TAGS)
     for c in ("open", "high", "low", "close", "n"):
         np.testing.assert_allclose(merged[f"{c}_s"], merged[f"{c}_b"], rtol=0)
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream event-time join: the streamed click->purchase
+    pairs (1h bound) equal the identical join on the static frame —
+    including pairs whose two sides arrive in different micro-batches."""
+    import pandas as pd
+    from gordo_spark.sources.io import read_table
+    from gordo_spark.streaming.scoring import stream_conversion_join
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    half = len(pdf) // 2
+    src = f"{tmp_path}/ssj_src"
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_conversion_join(stream, "click", "purchase", within="1 hour")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("ssj_test")
+        .toPandas()
+        .sort_values(["user_id", "touch_ts", "conv_ts"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        stream_conversion_join(ev, "click", "purchase", within="1 hour")
+        .toPandas()
+        .sort_values(["user_id", "touch_ts", "conv_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(exp) > 0
+    assert (got["lag_s"].values == exp["lag_s"].values).all()
+    assert (got["user_id"].values == exp["user_id"].values).all()
