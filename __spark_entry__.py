@@ -8119,6 +8119,67 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values for lineitem on (l_partkey, l_suppkey)
+    (sources/zorder.zorder_value — the clustering key behind the
+    measured SCALE_BENCH file-skipping): one 1-row bounds aggregate
+    (broadcast), then pure shift/mask codegen — bit-identical in any
+    engine, so even the curve itself is oracle-checked. Top 100 by
+    (z, orderkey, partkey, suppkey) keeps the output bounded."""
+    from gordo_spark.sources.zorder import zorder_value
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    d, z = zorder_value(li, ["l_partkey", "l_suppkey"], bits=8)
+    return (
+        d.withColumn("z", z)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "z")
+        .orderBy("z", "l_orderkey", "l_partkey", "l_suppkey")
+        .limit(100)
+    )
+
+
+O_ZORDER_KEYS = """
+WITH b AS (
+  SELECT CAST(min(l_partkey) AS DOUBLE) AS lo_p,
+         CAST(max(l_partkey) AS DOUBLE) AS hi_p,
+         CAST(min(l_suppkey) AS DOUBLE) AS lo_s,
+         CAST(max(l_suppkey) AS DOUBLE) AS hi_s
+  FROM lineitem
+),
+r AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CASE WHEN hi_p - lo_p > 0
+              THEN least(255, CAST(floor((l_partkey - lo_p)
+                                         / (hi_p - lo_p) * 256) AS BIGINT))
+              ELSE 0 END AS rp,
+         CASE WHEN hi_s - lo_s > 0
+              THEN least(255, CAST(floor((l_suppkey - lo_s)
+                                         / (hi_s - lo_s) * 256) AS BIGINT))
+              ELSE 0 END AS rs
+  FROM lineitem, b
+),
+z AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST({zexpr} AS BIGINT) AS z
+  FROM r
+)
+SELECT * FROM z
+ORDER BY z, l_orderkey, l_partkey, l_suppkey LIMIT 100
+"""
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for j in range(8):
+        terms.append(f"(((rp >> {j}) & 1) << {j * 2 + 1})")
+        terms.append(f"(((rs >> {j}) & 1) << {j * 2})")
+    return O_ZORDER_KEYS.replace("{zexpr}", " + ".join(terms))
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -8303,6 +8364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w22_rolling_corr": q_w22_rolling_corr,
         "w23_adf": q_w23_adf,
         "wordlist_filter": q_wordlist_filter,
+        "zorder_keys": q_zorder_keys,
         "order_cohorts": q_order_cohorts,
         "events_heatmap": q_events_heatmap,
         # --- remaining TPC-H shapes ---
@@ -8535,6 +8597,7 @@ def oracle_sql() -> dict[str, str]:
         "w22_rolling_corr": O_W22_ROLLING_CORR,
         "w23_adf": O_W23_ADF,
         "wordlist_filter": O_WORDLIST_FILTER,
+        "zorder_keys": _zorder_sql(),
         "order_cohorts": O_ORDER_COHORTS,
         "events_heatmap": O_EVENTS_HEATMAP,
     }

@@ -164,6 +164,7 @@ HEADLINE = [
     "w22_rolling_corr",
     "w23_adf",
     "wordlist_filter",
+    "zorder_keys",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]
