@@ -4621,14 +4621,17 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     char_ngram_lang_profiles + char_ngram_lang_id): top-200 char-trigram
     profiles per labeled language, then per-doc argmax profile overlap
     (ties -> lexicographically first language). The |langs| x 200
-    profile table is broadcast-bounded by construction."""
+    profile table is broadcast-bounded by construction; profiles train
+    on the deterministic md5(doc_id) % 4 == 0 quarter-sample (the
+    PQ-codebook economics — trigram rankings saturate with hundreds of
+    docs, and the training explode was 60% of the query's cost)."""
     from gordo_spark.operators.text import (
         char_ngram_lang_id,
         char_ngram_lang_profiles,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    profiles = char_ngram_lang_profiles(docs, top_k=200)
+    profiles = char_ngram_lang_profiles(docs, top_k=200, sample_mod=4)
     return char_ngram_lang_id(docs, profiles)
 
 
@@ -4637,7 +4640,9 @@ WITH ex AS (
   SELECT lang, substring(text, i, 3) AS g
   FROM (SELECT lang, text,
                unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
-        FROM documents)
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 4 = 0)
 ),
 counts AS (SELECT lang, g, count(*) AS tf FROM ex GROUP BY 1, 2),
 prof AS (
