@@ -8185,6 +8185,39 @@ def _zorder_sql() -> str:
     return O_ZORDER_KEYS.replace("{zexpr}", " + ".join(terms))
 
 
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 version history from the event change log
+    (sources/lake.scd2_from_changes): each (user, event) becomes a
+    version valid until the user's next event — ONE lead window on the
+    dimension key, (ts, event_id) total order; the audit-trail
+    complement of lake_merge's SCD1 overwrite. Bounded to users 0-9 so
+    the contract output stays small."""
+    from gordo_spark.sources.lake import scd2_from_changes
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 10
+    ).select("user_id", "event_id", "ts", "event_type")
+    return scd2_from_changes(
+        ev, ["user_id"], tiebreak_cols=["event_id"]
+    )
+
+
+O_SCD2_HISTORY = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type FROM events WHERE user_id < 10
+)
+SELECT user_id, event_id, ts, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       CAST(row_number() OVER w AS INT) AS version
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -8370,6 +8403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w23_adf": q_w23_adf,
         "wordlist_filter": q_wordlist_filter,
         "zorder_keys": q_zorder_keys,
+        "scd2_history": q_scd2_history,
         "order_cohorts": q_order_cohorts,
         "events_heatmap": q_events_heatmap,
         # --- remaining TPC-H shapes ---
@@ -8603,6 +8637,7 @@ def oracle_sql() -> dict[str, str]:
         "w23_adf": O_W23_ADF,
         "wordlist_filter": O_WORDLIST_FILTER,
         "zorder_keys": _zorder_sql(),
+        "scd2_history": O_SCD2_HISTORY,
         "order_cohorts": O_ORDER_COHORTS,
         "events_heatmap": O_EVENTS_HEATMAP,
     }

@@ -165,6 +165,7 @@ HEADLINE = [
     "w23_adf",
     "wordlist_filter",
     "zorder_keys",
+    "scd2_history",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

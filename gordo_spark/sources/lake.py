@@ -17,7 +17,7 @@ sharp and downstream per-tag windows read nearly-sorted runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from gordo_spark.sources.providers import DataProvider, register_provider
 
@@ -266,3 +266,35 @@ def merge_upsert(
         for col in compare_cols
     ]
     return j.select(*keys, *merged, action.alias("action"))
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 history from a change log: each
+    change row becomes a VERSION valid from its own timestamp until the
+    key's next change (``valid_to`` null on the current version) — the
+    complement of :func:`merge_upsert` (SCD1 overwrite): MERGE keeps
+    only the latest state, SCD2 keeps the full audit trail a
+    time-travel join (``asof_join`` against ``valid_from``) can query.
+
+    One per-key ordered window (``lead``) — a single shuffle on the
+    dimension key; ``tiebreak_cols`` extend the ordering so same-ts
+    changes version deterministically in any engine. Output:
+    input columns + ``valid_from``, ``valid_to``, ``is_current``,
+    ``version`` (1-based per key).
+    """
+    tb = list(tiebreak_cols or [])
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tb]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    return changes.select(
+        *changes.columns,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).alias("version"),
+    )

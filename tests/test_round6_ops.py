@@ -683,3 +683,37 @@ def test_sensors_pipeline_end_to_end(spark, tmp_path, sf_dir):
     # the dashboard tier reads back per-tag partitions
     back = spark.read.parquet(_os.path.join(out, "lttb"))
     assert back.select("tag").distinct().count() == len(mod.TAGS)
+
+
+# ------------------------------------------------------------ SCD2 history
+
+
+def test_scd2_from_changes(spark):
+    from gordo_spark.sources.lake import scd2_from_changes
+
+    rows = [
+        (1, 10, T0, "bronze"),
+        (1, 11, T0 + dt.timedelta(days=1), "silver"),
+        (1, 12, T0 + dt.timedelta(days=5), "gold"),
+        (2, 20, T0, "bronze"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, tier string"
+    )
+    out = {(r["user_id"], r["version"]): r for r in
+           scd2_from_changes(df, ["user_id"], tiebreak_cols=["event_id"]).collect()}
+    assert out[(1, 1)]["tier"] == "bronze"
+    assert out[(1, 1)]["valid_to"] == T0 + dt.timedelta(days=1)
+    assert out[(1, 1)]["is_current"] is False
+    assert out[(1, 3)]["tier"] == "gold"
+    assert out[(1, 3)]["valid_to"] is None and out[(1, 3)]["is_current"] is True
+    assert out[(2, 1)]["is_current"] is True
+    # time travel: the version valid at day 2 is silver
+    probe = T0 + dt.timedelta(days=2)
+    hist = scd2_from_changes(df, ["user_id"], tiebreak_cols=["event_id"])
+    live = hist.filter(
+        (F.col("user_id") == 1)
+        & (F.col("valid_from") <= probe)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > probe))
+    ).collect()
+    assert len(live) == 1 and live[0]["tier"] == "silver"
