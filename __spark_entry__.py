@@ -8218,6 +8218,36 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+
+
+def q_mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level media dedup over the planted-dup corpus's binary
+    payloads (operators/multimodal.payload_dedup): md5 over RAW bytes,
+    min-id survivor — payload bytes never cross the exchange (only the
+    digest and two longs shuffle); the no-decode first pass of
+    image/audio curation. Every blob appears exactly twice here, so
+    n_copies pins the planted duplication."""
+    from gordo_spark.operators.multimodal import attach_binary_payload, payload_dedup
+
+    docs = _docs_with_dups(spark, sf_dir)
+    return payload_dedup(attach_binary_payload(docs))
+
+
+O_MM_PAYLOAD_DEDUP = f"""
+WITH corpus AS ({_O_DOCS_DUPS}),
+p AS (
+  SELECT doc_id, text, encode(text) AS payload FROM corpus
+)
+-- DuckDB's md5 takes VARCHAR; the payload IS utf-8(text), so md5(text)
+-- hashes the identical bytes Spark's md5(binary) sees
+SELECT md5(text) AS payload_md5,
+       min(doc_id) AS survivor_id,
+       count(*) AS n_copies,
+       CAST(min(octet_length(payload)) AS BIGINT) AS n_bytes
+FROM p GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -8404,6 +8434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordlist_filter": q_wordlist_filter,
         "zorder_keys": q_zorder_keys,
         "scd2_history": q_scd2_history,
+        "mm_payload_dedup": q_mm_payload_dedup,
         "order_cohorts": q_order_cohorts,
         "events_heatmap": q_events_heatmap,
         # --- remaining TPC-H shapes ---
@@ -8638,6 +8669,7 @@ def oracle_sql() -> dict[str, str]:
         "wordlist_filter": O_WORDLIST_FILTER,
         "zorder_keys": _zorder_sql(),
         "scd2_history": O_SCD2_HISTORY,
+        "mm_payload_dedup": O_MM_PAYLOAD_DEDUP,
         "order_cohorts": O_ORDER_COHORTS,
         "events_heatmap": O_EVENTS_HEATMAP,
     }

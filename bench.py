@@ -166,6 +166,7 @@ HEADLINE = [
     "wordlist_filter",
     "zorder_keys",
     "scd2_history",
+    "mm_payload_dedup",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

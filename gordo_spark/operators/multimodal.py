@@ -130,3 +130,31 @@ def frame_sample_plan(
         F.col(id_col),
         F.posexplode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))),
     ).select(F.col(id_col), (F.col("col") * every_n).alias("frame_idx"))
+
+
+def payload_dedup(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Byte-level media dedup — step 1 of every image/audio curation
+    stack (exact duplicate blobs are the bulk of crawl redundancy, and
+    they dedup without any decode): hash the RAW bytes, keep the
+    smallest id per digest. One map-side-combined groupBy on the
+    digest; payload bytes never shuffle (only the 32-char digest and
+    two longs do) — at 100 TB the blobs are the corpus, so keeping them
+    out of the exchange IS the operator. Output:
+    ``(payload_md5, survivor_id, n_copies, n_bytes)``.
+    """
+    h = F.md5(F.col(payload_col))
+    return (
+        df.select(
+            h.alias("payload_md5"),
+            F.col(id_col),
+            F.octet_length(F.col(payload_col)).alias("_nb"),
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("_nb").cast("long").alias("n_bytes"),
+        )
+    )
