@@ -8006,14 +8006,16 @@ O_LSH_RECALL = _lsh_recall_sql()
 def q_w22_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W22 — rolling 7-day correlation between the click and view
     series (operators/tsa.rolling_corr): conditional-agg align onto the
-    hourly grid (bounded), then corr as a windowed aggregate over the
-    trailing 168-bucket frame — the time-varying coupling a whole-range
-    corr averages away. Single-series window posture (calendar-grid
-    bounded, see SINGLE_SERIES_OK)."""
+    hourly grid (bounded), then corr as a windowed aggregate over a
+    trailing 7-day TIME (RANGE) frame — gaps shrink the pair count
+    instead of silently stretching the window (the acf lesson); the
+    time-varying coupling a whole-range corr averages away.
+    Single-series window posture (calendar-grid bounded, see
+    SINGLE_SERIES_OK)."""
     from gordo_spark.operators.tsa import rolling_corr
 
     res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    return rolling_corr(res, "click", "view", window_rows=168)
+    return rolling_corr(res, "click", "view", window_seconds=168 * 3600)
 
 
 O_W22_ROLLING_CORR = """
@@ -8033,21 +8035,23 @@ SELECT ts,
        ROUND(corr(a, b) OVER w, 6) AS corr_ab,
        CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL
                      THEN 1 ELSE 0 END) OVER w AS BIGINT) AS n_pairs
-FROM wide
-WINDOW w AS (ORDER BY ts ROWS BETWEEN 167 PRECEDING AND CURRENT ROW)
+FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM wide)
+WINDOW w AS (ORDER BY t RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
 """
 
 
 def q_w23_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W23 — Dickey-Fuller stationarity screen per tag
-    (operators/tsa.adf_screen): one lag window builds (dv, v_prev),
-    ONE regr_* sufficient-statistics aggregation yields gamma AND its
-    t-stat (SE from Syy/Sxx — no residual pass); unit-root sensors
-    flagged before level thresholds are trusted."""
+    (operators/tsa.adf_screen): a TIME-keyed RANGE frame builds
+    (dv, v_prev) only where the previous hour exists (gap-spanning
+    "deltas" would bias gamma), then ONE regr_* sufficient-statistics
+    aggregation yields gamma AND its t-stat (SE from Syy/Sxx — no
+    residual pass); unit-root sensors flagged before level thresholds
+    are trusted."""
     from gordo_spark.operators.tsa import adf_screen
 
     res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    return adf_screen(res)
+    return adf_screen(res, 3600)
 
 
 O_W23_ADF = """
@@ -8059,9 +8063,11 @@ WITH res AS (
 ),
 d AS (
   SELECT tag,
-         value - lag(value) OVER w AS dv,
-         lag(value) OVER w AS x
-  FROM res WINDOW w AS (PARTITION BY tag ORDER BY ts)
+         value - last_value(value) OVER w AS dv,
+         last_value(value) OVER w AS x
+  FROM (SELECT tag, value, floor(epoch(ts)) AS t FROM res)
+  WINDOW w AS (PARTITION BY tag ORDER BY t
+               RANGE BETWEEN 3600 PRECEDING AND 3600 PRECEDING)
 ),
 agg AS (
   SELECT tag, regr_slope(dv, x) AS g, regr_sxx(dv, x) AS sxx,

@@ -72,7 +72,9 @@ def diagnose(spark, sf_dir: str, out_dir: str):
     screen = (
         trend(repaired)
         .join(
-            adf_screen(repaired).select("tag", "gamma", "t_stat", "stationary"),
+            adf_screen(repaired, 3600).select(
+                "tag", "gamma", "t_stat", "stationary"
+            ),
             "tag",
         )
         .join(
@@ -86,7 +88,7 @@ def diagnose(spark, sf_dir: str, out_dir: str):
 
     # 6. coupling between tags
     xcorr = cross_correlation(repaired, [-2, -1, 0, 1, 2], 3600)
-    coupling = rolling_corr(repaired, "click", "view", window_rows=168)
+    coupling = rolling_corr(repaired, "click", "view", window_seconds=168 * 3600)
 
     # 7. dashboard export: LTTB points + SAX shape words
     points = lttb(repaired, 200)

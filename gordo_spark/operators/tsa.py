@@ -517,22 +517,25 @@ def rolling_corr(
     df: DataFrame,
     tag_a: str,
     tag_b: str,
-    window_rows: int = 168,
+    window_seconds: int = 168 * 3600,
     tag_col: str = "tag",
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
     """Rolling Pearson correlation between TWO tags over a trailing
-    ``window_rows``-bucket frame — the time-varying coupling readout
+    ``window_seconds`` TIME frame — the time-varying coupling readout
     ("when did these two sensors decouple?") that a single whole-range
     ``corr`` (see ``tag_correlations``) averages away.
 
-    The two series align by conditional aggregation onto the shared
-    grid (one bounded groupBy on the bucket timestamp — the J3 pivot
-    shape), then ``corr`` runs as a windowed aggregate over the trailing
-    frame. The aligned frame is ONE series on the calendar grid
-    (#buckets in range, never raw-event-proportional), so the
-    unpartitioned ordered window is the same bounded single-series
+    The frame is a RANGE over epoch seconds, not N trailing rows: on a
+    grid with gaps a row-positional frame silently stretches past the
+    labeled duration (the acf lesson — time-keyed everywhere in this
+    module). The two series align by conditional aggregation onto the
+    shared grid (one bounded groupBy on the bucket timestamp — the J3
+    pivot shape), then ``corr`` runs as a windowed aggregate over the
+    trailing time frame. The aligned frame is ONE series on the
+    calendar grid (#buckets in range, never raw-event-proportional), so
+    the unpartitioned ordered window is the same bounded single-series
     posture as the ``m6``/``j7`` family. Rows with fewer than 2
     complete pairs in frame emit null. Output:
     ``(ts, corr_ab, n_pairs)``.
@@ -543,10 +546,11 @@ def rolling_corr(
         df.filter(F.col(tag_col).isin(tag_a, tag_b))
         .groupBy(ts_col)
         .agg(a.alias("_a"), b.alias("_b"))
+        .withColumn("_t", F.col(ts_col).cast("timestamp").cast("long"))
     )
     w = (
-        Window.orderBy(ts_col)
-        .rowsBetween(-(int(window_rows) - 1), 0)
+        Window.orderBy("_t")
+        .rangeBetween(-(int(window_seconds) - 1), 0)
     )
     pair_ok = F.when(
         F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1
@@ -560,6 +564,7 @@ def rolling_corr(
 
 def adf_screen(
     df: DataFrame,
+    resolution_seconds: int,
     tag_col: str = "tag",
     ts_col: str = "ts",
     value_col: str = "value",
@@ -573,15 +578,23 @@ def adf_screen(
     sensor. ``critical = -2.86`` is the 5% DF constant-only asymptotic
     value.
 
-    Everything is sufficient-statistics algebra: one per-tag lag window
+    ``v_{t-1}`` is TIME-keyed — a RANGE frame pinned exactly one
+    ``resolution_seconds`` back, the module convention — so a grid gap
+    yields no (Δv, v_prev) pair instead of silently differencing
+    across the gap (a gap-spanning "Δv" is a multi-step change and
+    would bias γ toward stationarity).
+
+    Everything is sufficient-statistics algebra: one per-tag window
     builds ``(Δv, v_{t-1})`` pairs, then ONE hash aggregation computes
     ``γ = regr_slope``, and the slope's t-stat from the same regr_*
     family — ``SE² = (SSE/(n-2))/Sxx`` with ``SSE = Syy - γ²·Sxx`` —
     no second pass, no residual materialization. Output:
     ``(tag, gamma, t_stat, n, stationary)``.
     """
-    w = Window.partitionBy(tag_col).orderBy(ts_col)
-    prev = F.lag(value_col).over(w)
+    res = int(resolution_seconds)
+    df = df.withColumn("_t", F.col(ts_col).cast("timestamp").cast("long"))
+    w = Window.partitionBy(tag_col).orderBy("_t").rangeBetween(-res, -res)
+    prev = F.last(value_col).over(w)
     d = df.select(
         F.col(tag_col),
         (F.col(value_col) - prev).alias("_dv"),

@@ -527,7 +527,7 @@ def test_rolling_corr_tracks_regime_change(spark):
         # b follows a for the first 60 hours, then flips sign
         rows.append(("b", ts, float(x[i] if i < 60 else -x[i])))
     df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
-    out = rolling_corr(df, "a", "b", window_rows=24).orderBy("ts").collect()
+    out = rolling_corr(df, "a", "b", window_seconds=24 * 3600).orderBy("ts").collect()
     assert out[59]["corr_ab"] == pytest.approx(1.0, abs=1e-6)
     assert out[119]["corr_ab"] == pytest.approx(-1.0, abs=1e-6)
     assert out[0]["corr_ab"] is None  # single pair in frame
@@ -545,7 +545,7 @@ def test_rolling_corr_matches_pandas(spark):
         rows.append(("a", ts, float(a[i])))
         rows.append(("b", ts, float(b[i])))
     df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
-    out = rolling_corr(df, "a", "b", window_rows=10).orderBy("ts").collect()
+    out = rolling_corr(df, "a", "b", window_seconds=10 * 3600).orderBy("ts").collect()
     import pandas as pd
 
     exp = pd.Series(a).rolling(10, min_periods=2).corr(pd.Series(b))
@@ -565,7 +565,7 @@ def test_adf_screen_separates_noise_from_random_walk(spark):
     rows = [("noise", T0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(noise)]
     rows += [("walk", T0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(walk)]
     df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
-    out = {r["tag"]: r for r in adf_screen(df).collect()}
+    out = {r["tag"]: r for r in adf_screen(df, 3600).collect()}
     assert out["noise"]["stationary"] is True
     assert out["noise"]["t_stat"] < -10
     assert out["walk"]["stationary"] is False
@@ -580,7 +580,7 @@ def test_adf_t_stat_matches_numpy_ols(spark):
     v = np.cumsum(rng.randn(200)) * 0.5 + rng.randn(200)
     rows = [("a", T0 + dt.timedelta(hours=i), float(x)) for i, x in enumerate(v)]
     df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
-    row = adf_screen(df).collect()[0]
+    row = adf_screen(df, 3600).collect()[0]
     dv, x = np.diff(v), v[:-1]
     X = np.column_stack([np.ones_like(x), x])
     beta, res, *_ = np.linalg.lstsq(X, dv, rcond=None)
