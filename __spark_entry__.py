@@ -7437,6 +7437,70 @@ FROM x GROUP BY tag
 """
 
 
+def q_w24_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W24 — Theil-Sen robust trend per tag (operators/tsa.theil_sen):
+    median of all pairwise slopes on the hourly resampled grid — the
+    outlier-immune cross-check for w18's OLS slope (one spike can drag
+    OLS arbitrarily; the pairwise median needs ~29% corruption to
+    move). Quadratic ONLY in the bounded per-tag bucket count, then
+    one exact percentile per tag."""
+    from gordo_spark.operators.tsa import theil_sen
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return theil_sen(res)
+
+
+O_W24_THEIL_SEN = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+x AS (SELECT tag, value AS v, epoch(ts) / 3600.0 AS t FROM res
+      WHERE value IS NOT NULL),
+s AS (
+  SELECT l.tag, (r.v - l.v) / (r.t - l.t) AS s
+  FROM x l JOIN x r ON l.tag = r.tag AND l.t < r.t
+)
+SELECT tag, ROUND(median(s), 6) AS sen_slope_per_hour,
+       count(*) AS n_pairs
+FROM s GROUP BY tag
+"""
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group latency-style percentiles (p50/p90/p99 of event
+    value per event_type) via Spark's EXACT ``percentile`` aggregate —
+    linear-interpolation semantics, same as DuckDB ``quantile_cont``.
+    Exact percentile is a sort-based aggregate that buffers each
+    group's values: right for bounded-cardinality report groups like
+    these; at 100 TB with wide groups the documented swap is
+    ``approx_percentile`` (t-digest-style sketch, mergeable, bounded
+    memory) at the cost of oracle exactness."""
+    ev = read_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy(F.col("event_type"))
+        .agg(
+            F.round(F.get(pct, 0), 6).alias("p50"),
+            F.round(F.get(pct, 1), 6).alias("p90"),
+            F.round(F.get(pct, 2), 6).alias("p99"),
+            F.count("value").alias("n"),
+        )
+    )
+
+
+O_GROUP_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       count(value) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals per priority class
     (operators/profile.benford): string-extracted first significant
@@ -7503,6 +7567,59 @@ FROM customer a JOIN customer b
  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (operators/graph.pagerank):
+    8 fixed power iterations, damping 0.85, on the same support-
+    filtered part co-occurrence edges as the triangle census. Fixed
+    iteration count (not a convergence loop) is what makes an
+    iterative graph algorithm oracle-checkable: the DuckDB side
+    unrolls the identical 8 join+aggregate steps as CTEs. Per
+    iteration: 2 node-keyed shuffles; edge/degree subplans dedupe via
+    ReusedExchange instead of rebuilding 8x."""
+    from gordo_spark.operators.graph import co_occurrence_edges, pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return pagerank(edges, damping=0.85, iterations=8)
+
+
+def _pagerank_sql(iterations: int = 8, damping: float = 0.85) -> str:
+    head = """
+WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+cnt AS (
+  SELECT a.p AS a, b.p AS b, count(*) AS n
+  FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM cnt WHERE n >= 2),
+ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src AS v, count(*) AS d FROM ed GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+pr0 AS (SELECT v, 1.0 / nn.n AS r FROM deg, nn)"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f""",
+pr{k} AS (
+  SELECT deg.v,
+         (1.0 - {damping}) / nn.n
+         + {damping} * coalesce(s.s, 0.0) AS r
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS v, sum(p.r / dg.d) AS s
+    FROM pr{k - 1} p
+    JOIN deg dg ON dg.v = p.v
+    JOIN ed ON ed.src = p.v
+    GROUP BY ed.dst
+  ) s ON s.v = deg.v
+)""")
+    tail = f"""
+SELECT v, ROUND(r, 6) AS rank FROM pr{iterations}
+"""
+    return head + "".join(steps) + tail
+
+
+O_PAGERANK = _pagerank_sql()
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8254,6 +8371,66 @@ FROM p GROUP BY 1
 """
 
 
+def q_mm_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over binary media payloads
+    (operators/multimodal.ahash_64 + ahash_near_dups): Arrow-batched
+    aHash (64 sampled "pixels" -> mean threshold -> packed signed
+    int64; fake decode pinned so the oracle reproduces the exact
+    fingerprints), then 4x16-bit banding with bit_count-verified
+    Hamming <= 3 — pigeonhole-complete, bucket-join only, payload
+    bytes never shuffle. The re-encode-tolerant middle layer between
+    byte-exact mm_payload_dedup and embedding semdedup."""
+    from gordo_spark.operators.multimodal import (
+        ahash_64,
+        ahash_near_dups,
+        attach_binary_payload,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir).filter(F.length("text") > 0)
+    hashes = ahash_64(attach_binary_payload(docs), mode="fake")
+    return ahash_near_dups(hashes, max_hamming=3)
+
+
+O_MM_AHASH_DEDUP = f"""
+WITH corpus AS ({_O_DOCS_DUPS}),
+hx AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM corpus
+),
+px AS (
+  SELECT doc_id,
+         j,
+         ('0x' || substr(h, 2 * ((j * greatest(n - 1, 0)) // 63) + 1, 2))::INT
+           AS pix
+  FROM hx, (SELECT unnest(generate_series(0, 63)) AS j)
+  WHERE n > 0
+),
+pm AS (
+  SELECT doc_id, j, pix, avg(pix) OVER (PARTITION BY doc_id) AS m FROM px
+),
+ah AS (
+  SELECT doc_id,
+         sum(CASE WHEN pix > m AND j < 63 THEN CAST(1 AS BIGINT) << j
+                  ELSE 0 END)
+         + CASE WHEN max(CASE WHEN j = 63 AND pix > m THEN 1 ELSE 0 END) = 1
+                THEN -9223372036854775808 ELSE 0 END AS ahash
+  FROM pm GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, ahash, b.band, (ahash >> (16 * b.band)) & 65535 AS key
+  FROM ah, (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         CAST(bit_count(xor(l.ahash, r.ahash)) AS INT) AS hamming
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -8423,9 +8600,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_resample_ohlc": q_j1_resample_ohlc,
         "w17_lttb": q_w17_lttb,
         "w18_trend": q_w18_trend,
+        "w24_theil_sen": q_w24_theil_sen,
+        "group_quantiles": q_group_quantiles,
         "benford_prices": q_benford_prices,
         "er_blocked_pairs": q_er_blocked_pairs,
         "triangle_count": q_triangle_count,
+        "pagerank": q_pagerank,
+        "mm_ahash_dedup": q_mm_ahash_dedup,
         "hll_distinct": q_hll_distinct,
         "attribution": q_attribution,
         "w19_hampel": q_w19_hampel,
@@ -8658,9 +8839,13 @@ def oracle_sql() -> dict[str, str]:
         "j1_resample_ohlc": O_J1_RESAMPLE_OHLC,
         "w17_lttb": O_W17_LTTB,
         "w18_trend": O_W18_TREND,
+        "w24_theil_sen": O_W24_THEIL_SEN,
+        "group_quantiles": O_GROUP_QUANTILES,
         "benford_prices": O_BENFORD_PRICES,
         "er_blocked_pairs": O_ER_BLOCKED_PAIRS,
         "triangle_count": O_TRIANGLE_COUNT,
+        "pagerank": O_PAGERANK,
+        "mm_ahash_dedup": O_MM_AHASH_DEDUP,
         "hll_distinct": O_HLL_DISTINCT,
         "attribution": O_ATTRIBUTION,
         "w19_hampel": O_W19_HAMPEL,

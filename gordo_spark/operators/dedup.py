@@ -1239,26 +1239,59 @@ def lsh_eval(
     (the dedup analogue of ``ann_recall``). One summary row:
     ``(n_truth, n_candidates, n_hit, recall, precision)``.
 
-    Both sides reuse the operators under test verbatim
-    (:func:`minhash_signatures` -> :func:`lsh_candidate_pairs`, and
-    :func:`shingle_jaccard_pairs`); candidates and truth are both
+    Banding reuses :func:`lsh_candidate_pairs` verbatim; the MinHash
+    mins, the per-doc shingle sizes, and the exact-Jaccard inverted
+    index all derive from ONE distinct ``(id, sh)`` frame — its
+    dedup exchange is byte-identical under every consumer, so Spark's
+    ReusedExchange materializes the shingling once instead of the
+    three corpus scans the naive two-branch composition pays (MinHash
+    ``min`` is duplicate-insensitive, so the distinct set is as
+    correct as the raw stream). Sizes and signature mins fuse into a
+    single hash aggregation on ``id``. Candidates and truth are both
     pair-keyed bounded frames by the time they meet in one full-outer
     join — corpus-sized data never crosses between the branches.
     """
-    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col,
-                              num_hashes=num_hashes)
+    ex = exploded_shingles(df, id_col, text_col, shingle_n, distinct=True)
+    params = _hash_params(num_hashes)
+    sig_sz = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_sz"),
+        *[
+            F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ],
+    )
     cand = lsh_candidate_pairs(
-        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands
+        sig_sz, id_col=id_col, num_hashes=num_hashes, bands=bands
     ).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b"),
         F.lit(True).alias("_c"),
     )
-    truth = shingle_jaccard_pairs(
-        df, id_col=id_col, text_col=text_col,
-        shingle_n=shingle_n, threshold=threshold,
-    ).select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b"),
-        F.lit(True).alias("_t"),
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.sh") == F.col("r.sh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sig_sz.select(id_col, "_sz")
+    truth = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("sz_b")), "id_b")
+        .filter(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= threshold
+        )
+        .select(
+            F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+            F.lit(True).alias("_t"),
+        )
     )
     j = cand.join(truth, ["a", "b"], "full")
     return j.agg(

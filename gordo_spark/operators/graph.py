@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["co_occurrence_edges", "triangle_stats"]
+__all__ = ["co_occurrence_edges", "pagerank", "triangle_stats"]
 
 
 def co_occurrence_edges(
@@ -52,6 +52,68 @@ def co_occurrence_edges(
         .agg(F.count(F.lit(1)).alias("n_groups"))
         .filter(F.col("n_groups") >= int(min_support))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 8,
+) -> DataFrame:
+    """PageRank by fixed-iteration power method over an undirected edge
+    list (columns ``a, b`` with ``a < b``, each edge once) — the item-
+    centrality readout over the co-purchase graph ("which parts anchor
+    the basket network?"). Deterministic: a FIXED iteration count (no
+    convergence test, no driver-side loop decision), so the exact same
+    arithmetic runs on any engine and the result is oracle-checkable.
+
+    Shape per iteration: ranks ``(v, r)`` equi-join the symmetrized
+    direction table on ``src``, contributions ``r/deg`` hash-aggregate
+    on ``dst``, and the node table left-joins the sums back —
+    two shuffles per iteration, all on node keys, nothing quadratic.
+    The symmetrized-edge and degree subplans are byte-identical under
+    every iteration, so Spark's ReusedExchange materializes them once
+    rather than ``iterations`` times (verified in the executed plan).
+    Dangling mass is structurally absent: symmetrizing guarantees every
+    node has out-degree >= 1. Output: ``(v, rank)`` rounded to 6.
+
+    At 100 TB the node/rank frames are item-cardinality (not corpus-
+    cardinality); the win of the fixed-unroll design is that each
+    iteration is one AQE-planned shuffle pair instead of a driver-
+    materialized loop step.
+    """
+    e = edges.select("a", "b")
+    dirs = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    deg = dirs.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    total = deg.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    nodes = deg.crossJoin(F.broadcast(total))
+    ranks = nodes.select("v", "_d", "_n", (1.0 / F.col("_n")).alias("r"))
+    d = float(damping)
+    for _ in range(int(iterations)):
+        contrib = (
+            ranks.select("v", (F.col("r") / F.col("_d")).alias("_c"))
+            .join(dirs, F.col("v") == F.col("src"))
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = nodes.join(contrib, "v", "left").select(
+            "v",
+            "_d",
+            "_n",
+            (
+                (1.0 - d) / F.col("_n")
+                + d * F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select("v", F.round("r", 6).alias("rank"))
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:

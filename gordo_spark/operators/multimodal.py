@@ -132,6 +132,146 @@ def frame_sample_plan(
     ).select(F.col(id_col), (F.col("col") * every_n).alias("frame_idx"))
 
 
+AHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("ahash", LongType())]
+)
+
+
+def ahash_64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    mode: str = "auto",
+) -> DataFrame:
+    """Perceptual average-hash (aHash) fingerprint of a media payload:
+    64 grayscale samples -> mean threshold -> 64-bit fingerprint. The
+    step between byte-exact :func:`payload_dedup` and embedding-level
+    semantic dedup: re-encoded/resized copies of the same image hash
+    to nearby fingerprints, so near-dups reduce to small Hamming
+    distance on a packed integer.
+
+    ``mode="pil"`` decodes real bytes (resize 8x8, convert L);
+    ``mode="fake"`` samples 64 evenly spaced payload bytes as the
+    "pixels" (position ``j -> (j * (n-1)) // 63``) — deterministic, so
+    an engine-independent oracle reproduces the exact fingerprints;
+    ``"auto"`` picks pil when importable. Bit ``j`` is set iff
+    ``pixel_j > mean(pixels)``; bits pack little-j-first into a SIGNED
+    int64 (bit 63 contributes ``-2^63``, the two's-complement value —
+    identical arithmetic on any engine with signed 64-bit ints).
+
+    Scale: one Arrow-batched mapInPandas pass; only ``(id, 8 bytes)``
+    leaves the scan, the payload column never shuffles.
+    """
+    if mode == "auto":
+        mode = "pil" if HAVE_PIL else "fake"
+    if mode == "pil" and not HAVE_PIL:
+        raise ImportError("mode='pil' requires Pillow, which is not importable")
+    if mode not in ("pil", "fake"):
+        raise ValueError(f"unknown decode mode {mode!r}")
+    use_pil = mode == "pil"
+
+    def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def _fake_pixels(payload: bytes) -> "np.ndarray":
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n = arr.size
+            if n == 0:
+                return np.zeros(64, dtype=np.float64)
+            idx = (np.arange(64) * (n - 1)) // 63
+            return arr[idx].astype(np.float64)
+
+        def _pil_pixels(payload: bytes) -> "np.ndarray":
+            import io
+
+            from PIL import Image
+
+            try:
+                with Image.open(io.BytesIO(payload)) as im:
+                    small = im.convert("L").resize((8, 8))
+                    return np.asarray(small, dtype=np.float64).ravel()
+            except Exception:
+                return np.zeros(64, dtype=np.float64)
+
+        pixels = _pil_pixels if use_pil else _fake_pixels
+
+        def _pack(payload: bytes) -> int:
+            pix = pixels(payload)
+            bits = pix > pix.mean()
+            v = 0
+            for j in range(63):
+                if bits[j]:
+                    v += 1 << j
+            if bits[63]:
+                v -= 1 << 63
+            return v
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "ahash": pdf[payload_col].map(_pack).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(_ahash, AHASH_SCHEMA)
+
+
+def ahash_near_dups(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Near-duplicate pairs from 64-bit perceptual hashes: band the
+    fingerprint into 4x16-bit keys, bucket-join band-for-band, verify
+    with ``bit_count(a XOR b) <= max_hamming``. Pigeonhole makes the
+    banding EXACT for ``max_hamming <= 3``: at most 3 differing bits
+    cannot touch all 4 bands, so at least one band matches exactly and
+    every qualifying pair lands in some bucket —
+    same guarantee structure as the MinHash-LSH band join, and the
+    same 100 TB shape (self-join runs per bucket, never all-pairs).
+    Output: ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16 banding guarantees recall only for max_hamming <= 3"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(hash_col), 16 * b)
+                .bitwiseAND(F.lit(65535))
+                .alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = hashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(bands).alias("bk")
+    ).select(id_col, hash_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    ham = F.bit_count(
+        F.col(f"l.{hash_col}").bitwiseXOR(F.col(f"r.{hash_col}"))
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def payload_dedup(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

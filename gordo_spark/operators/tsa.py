@@ -31,6 +31,7 @@ __all__ = [
     "psi_drift",
     "rolling_corr",
     "seasonal_profile",
+    "theil_sen",
     "time_weighted_avg",
     "trend",
 ]
@@ -617,4 +618,50 @@ def adf_screen(
         F.round(t, 6).alias("t_stat"),
         "n",
         (t < F.lit(float(critical))).alias("stationary"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil-Sen robust trend per tag: the MEDIAN of all pairwise slopes
+    ``(v_j - v_i) / (t_j - t_i)`` — up to ~29% outliers cannot move it,
+    where one stuck-sensor spike drags an OLS slope (:func:`trend`)
+    arbitrarily. The robust/L2 slope pair is the standard drift
+    cross-check before acting on a trend alarm.
+
+    Pair generation is a per-tag self-equi-join with ``t_i < t_j`` — by
+    construction quadratic in the PER-TAG point count, which is why
+    this expects the resampled grid (#buckets in range, e.g. 720 for a
+    month of hours → ~260k pair rows per tag), never raw events; the
+    docstring contract matches the o(n log n) literature trick being
+    deliberately skipped in favor of the exact estimator on a bounded
+    grid. One exact ``percentile(0.5)`` per tag finishes it: slopes
+    shuffle once on the tag key. Output:
+    ``(tag, sen_slope_per_hour, n_pairs)``; slope is per hour (epoch
+    seconds / 3600) to match :func:`trend`.
+    """
+    t = F.col(ts_col).cast("timestamp").cast("long") / F.lit(3600.0)
+    pts = df.select(
+        F.col(tag_col),
+        t.alias("_t"),
+        F.col(value_col).alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    l, r = pts.alias("l"), pts.alias("r")
+    slopes = l.join(
+        r,
+        (F.col(f"l.{tag_col}") == F.col(f"r.{tag_col}"))
+        & (F.col("l._t") < F.col("r._t")),
+    ).select(
+        F.col(f"l.{tag_col}").alias(tag_col),
+        ((F.col("r._v") - F.col("l._v")) / (F.col("r._t") - F.col("l._t"))).alias(
+            "_s"
+        ),
+    )
+    return slopes.groupBy(tag_col).agg(
+        F.round(F.percentile("_s", F.lit(0.5)), 6).alias("sen_slope_per_hour"),
+        F.count(F.lit(1)).alias("n_pairs"),
     )

@@ -251,6 +251,41 @@ def test_triangle_stats_known_graph(spark):
     assert row["global_clustering"] == pytest.approx(0.6)
 
 
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from gordo_spark.operators.graph import pagerank
+
+    # triangle 1-2-3 plus pendant edge 3-4 (same graph as the census)
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(edge_list, "a int, b int")
+    got = {r["v"]: r["rank"] for r in pagerank(edges, 0.85, 8).collect()}
+
+    nodes = sorted({v for e in edge_list for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    adj = np.zeros((4, 4))
+    for a, b in edge_list:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(4, 0.25)
+    for _ in range(8):
+        r = 0.15 / 4 + 0.85 * (adj.T @ (r / deg))
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-6)
+    # damping mass conservation: ranks sum to ~1 on a dangling-free graph
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_theil_sen_ignores_one_outlier(spark):
+    from gordo_spark.operators.tsa import theil_sen
+
+    # slope 2.0/hour with one wild spike: OLS would move, Sen must not
+    pts = [(h * 3600, 2.0 * h) for h in range(10)]
+    pts[5] = (5 * 3600, 1000.0)
+    df = _series(spark, pts)
+    row = theil_sen(df).collect()[0]
+    assert row["n_pairs"] == 45
+    assert row["sen_slope_per_hour"] == pytest.approx(2.0, abs=1e-6)
+
+
 def test_co_occurrence_edges_support_filter(spark):
     from gordo_spark.operators.graph import co_occurrence_edges
 

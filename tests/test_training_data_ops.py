@@ -194,6 +194,51 @@ def test_multimodal_decode_gate_direction(spark, docs):
         decode_media_metadata(media, mode="bogus")
 
 
+def test_ahash_matches_numpy_and_banding_is_hamming_complete(spark):
+    from gordo_spark.operators.multimodal import (
+        ahash_64,
+        ahash_near_dups,
+        attach_binary_payload,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base),
+        (2, base),                      # exact copy -> hamming 0
+        (3, base[:-1] + "x"),           # tail tweak -> small hamming
+        (4, "совершенно другой текст " * 8),  # multibyte, different
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashes = {r["doc_id"]: r["ahash"]
+              for r in ahash_64(attach_binary_payload(df), mode="fake").collect()}
+
+    def np_ahash(text: str) -> int:
+        arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        idx = (np.arange(64) * (arr.size - 1)) // 63
+        pix = arr[idx].astype(np.float64)
+        bits = pix > pix.mean()
+        v = sum(1 << j for j in range(63) if bits[j])
+        return v - (1 << 63) if bits[63] else v
+
+    for doc_id, text in rows:
+        assert hashes[doc_id] == np_ahash(text), doc_id
+    assert hashes[1] == hashes[2]
+
+    pairs = ahash_near_dups(
+        ahash_64(attach_binary_payload(df), mode="fake"), max_hamming=3
+    ).toPandas()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples()}
+    # every pair within hamming <= 3 must be found (pigeonhole recall)
+    expect = {
+        (a, b): bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+        for a in hashes for b in hashes if a < b
+    }
+    assert got == {k: v for k, v in expect.items() if v <= 3}
+    with pytest.raises(ValueError):
+        ahash_near_dups(ahash_64(attach_binary_payload(df), mode="fake"),
+                        max_hamming=4)
+
+
 def test_multimodal_metadata_query_prunes_payload(spark, docs, tmp_path):
     """The 100 TB claim in the module docstring: a metadata-only query
     over the media lake must NOT read the binary payload column — the
