@@ -6954,6 +6954,62 @@ FROM term GROUP BY tag, n_ref, n_cur
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample drift per tag, first vs second half
+    (operators/tsa.ks_drift): ties collapse in a map-side (tag, value)
+    count BEFORE any sort, then the max ECDF gap runs as cumulative
+    sums over the per-tag distinct values — the binning-free companion
+    to psi_drift, with the 5%-level rejection bound applied per tag."""
+    from gordo_spark.operators.tsa import ks_drift
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return ks_drift(res)
+
+
+O_KS_DRIFT = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid FROM res),
+d AS (
+  SELECT tag, value AS v, epoch(ts) < (SELECT mid FROM span) AS is_ref
+  FROM res WHERE value IS NOT NULL
+),
+cnt AS (
+  SELECT tag, v,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
+  FROM d GROUP BY 1, 2
+),
+c AS (
+  SELECT tag,
+         sum(nr) OVER (PARTITION BY tag) AS totr,
+         sum(nc) OVER (PARTITION BY tag) AS totc,
+         sum(nr) OVER (PARTITION BY tag ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cumr,
+         sum(nc) OVER (PARTITION BY tag ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM cnt
+),
+agg AS (
+  SELECT tag, CAST(totr AS BIGINT) AS n_ref, CAST(totc AS BIGINT) AS n_cur,
+         ROUND(max(CASE WHEN totr > 0 AND totc > 0
+                        THEN abs(cumr * 1.0 / totr - cumc * 1.0 / totc)
+                   END), 6) AS ks
+  FROM c GROUP BY tag, totr, totc
+)
+SELECT tag, ks, n_ref, n_cur,
+       CASE WHEN ks IS NOT NULL
+            THEN ks > 1.358 * sqrt((n_ref + n_cur) * 1.0
+                                   / (n_ref * CAST(n_cur AS DOUBLE)))
+       END AS drift
+FROM agg
+"""
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket part affinity over orders (operators/affinity.
     pair_counts): one shuffle builds per-order sorted item arrays, pairs
@@ -7620,6 +7676,84 @@ SELECT v, ROUND(r, 6) AS rank FROM pr{iterations}
 
 
 O_PAGERANK = _pagerank_sql()
+
+
+def q_fs_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic match weights for the ER blocking
+    candidates (operators/linkage.fs_scores): per-field u probabilities
+    estimated from the full customer table's value histograms (one
+    scalar aggregation per field, assembled into a broadcast 1-row
+    frame), agreement log2(m/u) / disagreement log2((1-m)/(1-u))
+    weights summed row-locally over (segment, name tail, balance
+    sign). Turns the blocked candidate set into a ranked triage."""
+    from gordo_spark.operators.linkage import blocked_pairs, fs_scores
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring("c_name", -2, 2).alias("_name_tail"),
+        (F.col("c_acctbal") > 0).alias("_bal_pos"),
+    )
+    pairs = blocked_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"], max_dist=1
+    )
+    return fs_scores(
+        pairs, cust, "c_custkey",
+        ["c_mktsegment", "_name_tail", "_bal_pos"], m=0.95,
+    )
+
+
+O_FS_MATCH_SCORES = """
+WITH rec AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         right(c_name, 2) AS exch,
+         c_acctbal > 0 AS balpos
+  FROM customer
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM rec),
+u AS (
+  SELECT
+    (SELECT sum(c * (c - 1.0)) FROM
+       (SELECT count(*) AS c FROM rec WHERE c_mktsegment IS NOT NULL
+        GROUP BY c_mktsegment)) / (n.n * (n.n - 1)) AS u_seg,
+    (SELECT sum(c * (c - 1.0)) FROM
+       (SELECT count(*) AS c FROM rec WHERE exch IS NOT NULL
+        GROUP BY exch)) / (n.n * (n.n - 1)) AS u_exch,
+    (SELECT sum(c * (c - 1.0)) FROM
+       (SELECT count(*) AS c FROM rec WHERE balpos IS NOT NULL
+        GROUP BY balpos)) / (n.n * (n.n - 1)) AS u_bal
+  FROM n
+),
+pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         a.c_mktsegment = b.c_mktsegment
+           AND a.c_mktsegment IS NOT NULL AND b.c_mktsegment IS NOT NULL
+           AS ag_seg,
+         a.exch = b.exch AND a.exch IS NOT NULL AND b.exch IS NOT NULL
+           AS ag_exch,
+         a.balpos = b.balpos AND a.balpos IS NOT NULL AND b.balpos IS NOT NULL
+           AS ag_bal
+  FROM rec a JOIN rec b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+    AND levenshtein(a.c_name, b.c_name) <= 1
+)
+SELECT id_a, id_b,
+       CAST((CASE WHEN ag_seg THEN 1 ELSE 0 END)
+          + (CASE WHEN ag_exch THEN 1 ELSE 0 END)
+          + (CASE WHEN ag_bal THEN 1 ELSE 0 END) AS INT) AS n_agree,
+       ROUND(
+         (CASE WHEN ag_seg THEN ln(0.95 / u.u_seg)
+               ELSE ln(0.05 / (1 - u.u_seg)) END
+        + CASE WHEN ag_exch THEN ln(0.95 / u.u_exch)
+               ELSE ln(0.05 / (1 - u.u_exch)) END
+        + CASE WHEN ag_bal THEN ln(0.95 / u.u_bal)
+               ELSE ln(0.05 / (1 - u.u_bal)) END) / ln(2.0), 6) AS score
+FROM pairs, u
+"""
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8589,6 +8723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "w14_seasonal": q_w14_seasonal,
         "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
         "basket_pairs": q_basket_pairs,
         "event_paths": q_event_paths,
         "zipf_slope": q_zipf_slope,
@@ -8607,6 +8742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "pagerank": q_pagerank,
         "mm_ahash_dedup": q_mm_ahash_dedup,
+        "fs_match_scores": q_fs_match_scores,
         "hll_distinct": q_hll_distinct,
         "attribution": q_attribution,
         "w19_hampel": q_w19_hampel,
@@ -8828,6 +8964,7 @@ def oracle_sql() -> dict[str, str]:
         "changepoint": O_CHANGEPOINT,
         "w14_seasonal": O_W14_SEASONAL,
         "psi_drift": O_PSI_DRIFT,
+        "ks_drift": O_KS_DRIFT,
         "basket_pairs": O_BASKET_PAIRS,
         "event_paths": O_EVENT_PATHS,
         "zipf_slope": O_ZIPF_SLOPE,
@@ -8846,6 +8983,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": O_TRIANGLE_COUNT,
         "pagerank": O_PAGERANK,
         "mm_ahash_dedup": O_MM_AHASH_DEDUP,
+        "fs_match_scores": O_FS_MATCH_SCORES,
         "hll_distinct": O_HLL_DISTINCT,
         "attribution": O_ATTRIBUTION,
         "w19_hampel": O_W19_HAMPEL,

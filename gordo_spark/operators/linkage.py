@@ -22,7 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["blocked_pairs"]
+__all__ = ["blocked_pairs", "fs_scores"]
 
 
 def blocked_pairs(
@@ -75,3 +75,97 @@ def blocked_pairs(
         "name_b",
         F.levenshtein("name_a", "name_b", k).alias("dist"),
     ).filter(F.col("dist") >= 0)
+
+
+def fs_scores(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    field_cols: Sequence[str],
+    m: float = 0.95,
+) -> DataFrame:
+    """Fellegi-Sunter match weights for candidate pairs: per comparison
+    field, agreement contributes ``log2(m / u)`` and disagreement
+    ``log2((1-m) / (1-u))``; the pair's score is the sum — the
+    probabilistic-linkage standard (Fellegi & Sunter 1969) that turns
+    blocking candidates into a ranked match/possible/non-match triage.
+
+    ``u`` (the chance two UNRELATED records agree on the field) is
+    estimated from the data itself: ``sum_v n_v (n_v - 1) / (N (N-1))``
+    over the field's value histogram — one map-side-combinable groupBy
+    per field, each collapsing to a single scalar, assembled into ONE
+    broadcast 1-row frame. ``m`` (agreement chance among true matches)
+    is the caller's prior (labeled data is what refines it; 0.95
+    default). NULL field values count as disagreement on both sides of
+    a pair (u estimation likewise counts NULL as matching nothing).
+
+    Scale shape: two id-keyed equi-joins hang the field vectors on the
+    pair endpoints (unique ids — no skew), the per-field scalars ride
+    a broadcast, scoring is row-local arithmetic. Output: ``(id_a,
+    id_b, n_agree, score)``.
+    """
+    fields = list(field_cols)
+    total = records.agg(F.count(F.lit(1)).alias("_n"))
+    u_frames = []
+    for f in fields:
+        hist = (
+            records.filter(F.col(f).isNotNull())
+            .groupBy(f)
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        u_frames.append(
+            hist.agg(
+                F.sum(F.col("_c") * (F.col("_c") - 1)).alias(f"_pairs_{f}")
+            )
+        )
+    one = total
+    for uf in u_frames:
+        one = one.crossJoin(F.broadcast(uf))
+    u_cols = {
+        f: F.col(f"_pairs_{f}") / (F.col("_n") * (F.col("_n") - F.lit(1.0)))
+        for f in fields
+    }
+    one = one.select(
+        *[u_cols[f].alias(f"_u_{f}") for f in fields]
+    )
+    a = records.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f).alias(f"_a_{f}") for f in fields],
+    )
+    b = records.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f).alias(f"_b_{f}") for f in fields],
+    )
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .crossJoin(F.broadcast(one))
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    agree = {
+        f: F.when(
+            F.col(f"_a_{f}").isNotNull()
+            & F.col(f"_b_{f}").isNotNull()
+            & (F.col(f"_a_{f}") == F.col(f"_b_{f}")),
+            1,
+        ).otherwise(0)
+        for f in fields
+    }
+    mm = F.lit(float(m))
+    score = None
+    for f in fields:
+        u = F.col(f"_u_{f}")
+        w = F.when(
+            agree[f] == 1, log2(mm / u)
+        ).otherwise(log2((F.lit(1.0) - mm) / (F.lit(1.0) - u)))
+        score = w if score is None else score + w
+    n_agree = None
+    for f in fields:
+        n_agree = agree[f] if n_agree is None else n_agree + agree[f]
+    return joined.select(
+        "id_a",
+        "id_b",
+        n_agree.alias("n_agree"),
+        F.round(score, 6).alias("score"),
+    )

@@ -251,6 +251,26 @@ def test_triangle_stats_known_graph(spark):
     assert row["global_clustering"] == pytest.approx(0.6)
 
 
+def test_fs_scores_match_hand_computation(spark):
+    from gordo_spark.operators.linkage import fs_scores
+
+    # 4 records, one candidate pair (1,2): agree on city, disagree on
+    # zip (2's zip is NULL -> disagreement by contract)
+    recs = spark.createDataFrame(
+        [(1, "oslo", "0150"), (2, "oslo", None),
+         (3, "bergen", "5003"), (4, "oslo", "0150")],
+        "rid int, city string, zip string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    row = fs_scores(pairs, recs, "rid", ["city", "zip"], m=0.9).collect()[0]
+    # u_city: oslo triple -> 3*2=6 ordered agreeing pairs / 12 = 0.5
+    # u_zip: "0150" twice -> 2*1=2 / 12 = 1/6 (NULL rows excluded)
+    u_city, u_zip = 6 / 12, 2 / 12
+    expect = math.log2(0.9 / u_city) + math.log2(0.1 / (1 - u_zip))
+    assert row["n_agree"] == 1
+    assert row["score"] == pytest.approx(round(expect, 6), abs=1e-6)
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     from gordo_spark.operators.graph import pagerank
 

@@ -107,6 +107,34 @@ def test_psi_drift_zero_when_stable_and_large_on_shift(spark):
     assert out["a"]["n_ref"] == out["a"]["n_cur"] == 20
 
 
+def test_ks_drift_matches_scipy_formula_and_flags_shift(spark):
+    from gordo_spark.operators.tsa import ks_drift
+
+    # tag 'a': identical halves -> ks == 0; tag 'b': +50 mean jump ->
+    # disjoint supports -> ks == 1 and the 5% bound must fire
+    half = [float(v) for v in range(10)] * 2
+    stable = half + half
+    shifted = [float(v) for v in range(20)] + [float(v + 50) for v in range(20)]
+    df = _series(spark, stable, "a").union(_series(spark, shifted, "b"))
+    out = {r["tag"]: r for r in ks_drift(df).collect()}
+    assert out["a"]["ks"] == pytest.approx(0.0, abs=1e-6)
+    assert out["a"]["drift"] is False
+    assert out["b"]["ks"] == pytest.approx(1.0, abs=1e-6)
+    assert out["b"]["drift"] is True
+
+    # exact statistic vs a pure-numpy two-sample ECDF on a mixed series
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0,
+            5.0, 8.0, 9.0, 7.0, 9.0, 3.0, 2.0, 3.0, 8.0, 4.0]
+    df2 = _series(spark, vals, "m")
+    row = ks_drift(df2).collect()[0]
+    ref, cur = np.array(vals[:10]), np.array(vals[10:])
+    grid = np.unique(vals)
+    ecdf = lambda s, g: (s[:, None] <= g[None, :]).mean(axis=0)  # noqa: E731
+    expect = np.abs(ecdf(ref, grid) - ecdf(cur, grid)).max()
+    assert row["ks"] == pytest.approx(round(float(expect), 6), abs=1e-6)
+    assert row["n_ref"] == 10 and row["n_cur"] == 10
+
+
 def test_psi_drift_keeps_tag_absent_from_reference_half(spark):
     # tag 'a' spans the whole range; tag 'c' exists ONLY in the second
     # half -> must still emit a row: n_ref=0 and the max-drift sentinel
