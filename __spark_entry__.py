@@ -7010,6 +7010,116 @@ FROM agg
 """
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test (operators/experiments.ab_zstat):
+    deterministic md5-bucket assignment (the sampling module's
+    convention — reproducible from the id alone, no assignment table),
+    per-user conversion collapse, pooled-proportion z with a 5%
+    two-sided verdict. Two map-side-combinable exchanges, one row out."""
+    from gordo_spark.operators.experiments import ab_zstat
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_type") == "purchase").alias("converted")
+    )
+    return ab_zstat(ev, "user_id", "converted", salt="exp1")
+
+
+O_AB_TEST = """
+WITH per_unit AS (
+  SELECT user_id,
+         ('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+  FROM events GROUP BY 1, 2
+),
+one AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN variant = 0 THEN s ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(sum(CASE WHEN variant = 1 THEN s ELSE 0 END) AS BIGINT) AS conv_b
+  FROM per_unit
+),
+st AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         conv_a / CAST(n_a AS DOUBLE) AS pa,
+         conv_b / CAST(n_b AS DOUBLE) AS pb,
+         (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pool
+  FROM one
+),
+z AS (
+  SELECT *,
+         CASE WHEN sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b)) > 0
+              THEN (pb - pa) / sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))
+         END AS zv
+  FROM st
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b, ROUND(zv, 6) AS z,
+       abs(zv) > 1.96 AS significant
+FROM z
+"""
+
+
+def q_tag_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the click and view hourly series
+    (operators/tsa.tag_mutual_info): fixed-width 8x8 binning from each
+    tag's own min/max (deterministic — ntile's tie order is engine-
+    dependent), one bounded joint histogram, marginals as window sums
+    over the <= 64-row frame. The nonlinear-coupling readout Pearson
+    correlation misses."""
+    from gordo_spark.operators.tsa import tag_mutual_info
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return tag_mutual_info(res, "click", "view", bins=8)
+
+
+O_TAG_MUTUAL_INFO = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+),
+wide AS (
+  SELECT ts,
+         avg(CASE WHEN tag = 'click' THEN value END) AS a,
+         avg(CASE WHEN tag = 'view' THEN value END) AS b
+  FROM res GROUP BY ts
+),
+w2 AS (SELECT a, b FROM wide WHERE a IS NOT NULL AND b IS NOT NULL),
+bounds AS (
+  SELECT min(a) AS la, max(a) AS ha, min(b) AS lb, max(b) AS hb FROM w2
+),
+binned AS (
+  SELECT
+    CASE WHEN (ha - la) / 8 > 0
+         THEN least(7, greatest(0,
+                CAST(floor((a - la) / ((ha - la) / 8)) AS BIGINT)))
+         ELSE 0 END AS ba,
+    CASE WHEN (hb - lb) / 8 > 0
+         THEN least(7, greatest(0,
+                CAST(floor((b - lb) / ((hb - lb) / 8)) AS BIGINT)))
+         ELSE 0 END AS bb
+  FROM w2, bounds
+),
+cnt AS (SELECT ba, bb, count(*) AS n FROM binned GROUP BY 1, 2),
+m AS (
+  SELECT n,
+         sum(n) OVER () AS tot,
+         sum(n) OVER (PARTITION BY ba) AS na,
+         sum(n) OVER (PARTITION BY bb) AS nb
+  FROM cnt
+)
+SELECT ROUND(sum((n * 1.0 / tot)
+             * ln((n * 1.0 / tot) / ((na * 1.0 / tot) * (nb * 1.0 / tot)))),
+             6) AS mi,
+       CAST(max(tot) AS BIGINT) AS n_pairs,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM m
+"""
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket part affinity over orders (operators/affinity.
     pair_counts): one shuffle builds per-order sorted item arrays, pairs
@@ -8724,6 +8834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_seasonal": q_w14_seasonal,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
+        "ab_test": q_ab_test,
+        "tag_mutual_info": q_tag_mutual_info,
         "basket_pairs": q_basket_pairs,
         "event_paths": q_event_paths,
         "zipf_slope": q_zipf_slope,
@@ -8965,6 +9077,8 @@ def oracle_sql() -> dict[str, str]:
         "w14_seasonal": O_W14_SEASONAL,
         "psi_drift": O_PSI_DRIFT,
         "ks_drift": O_KS_DRIFT,
+        "ab_test": O_AB_TEST,
+        "tag_mutual_info": O_TAG_MUTUAL_INFO,
         "basket_pairs": O_BASKET_PAIRS,
         "event_paths": O_EVENT_PATHS,
         "zipf_slope": O_ZIPF_SLOPE,

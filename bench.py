@@ -163,6 +163,12 @@ HEADLINE = [
     "lsh_recall",
     "w22_rolling_corr",
     "w23_adf",
+    "pagerank",
+    "w24_theil_sen",
+    "ks_drift",
+    "group_quantiles",
+    "fs_match_scores",
+    "mm_ahash_dedup",
     "wordlist_filter",
     "zorder_keys",
     "scd2_history",

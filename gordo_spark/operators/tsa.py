@@ -32,6 +32,7 @@ __all__ = [
     "psi_drift",
     "rolling_corr",
     "seasonal_profile",
+    "tag_mutual_info",
     "theil_sen",
     "time_weighted_avg",
     "trend",
@@ -372,6 +373,85 @@ def ks_drift(
         "n_ref",
         "n_cur",
         F.when(F.col("ks").isNotNull(), F.col("ks") > bound).alias("drift"),
+    )
+
+
+def tag_mutual_info(
+    df: DataFrame,
+    tag_a: str,
+    tag_b: str,
+    bins: int = 8,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mutual information between two tags' aligned series over
+    ``bins`` equal-width bins each: ``MI = sum p(x,y) ln(p(x,y) /
+    (p(x) p(y)))`` in nats — the nonlinear-coupling readout that
+    catches dependencies Pearson correlation (:func:`rolling_corr`,
+    ``tag_correlations``) misses entirely (a quadratic or hysteresis
+    relation can have corr ~ 0 and high MI).
+
+    Binning is FIXED-WIDTH from each tag's own min/max (the psi_drift
+    convention) — deterministic on any engine, unlike ntile whose
+    tie-ordering is engine-dependent. Alignment is the conditional-agg
+    pivot onto the shared grid (one bounded groupBy); bounds are a
+    1-row broadcast; the joint histogram is one ``(bin_a, bin_b)``
+    count (<= bins² rows) and the marginals ride it as window sums
+    over that bounded frame rather than join-backs (the psi_drift
+    scan-multiplication lesson). Output one row:
+    ``(mi, n_pairs, n_cells)``.
+    """
+    a = F.avg(F.when(F.col(tag_col) == tag_a, F.col(value_col)))
+    b = F.avg(F.when(F.col(tag_col) == tag_b, F.col(value_col)))
+    wide = (
+        df.filter(F.col(tag_col).isin(tag_a, tag_b))
+        .groupBy(ts_col)
+        .agg(a.alias("_a"), b.alias("_b"))
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    )
+    bounds = wide.agg(
+        F.min("_a").alias("_la"),
+        F.max("_a").alias("_ha"),
+        F.min("_b").alias("_lb"),
+        F.max("_b").alias("_hb"),
+    )
+    k = int(bins)
+
+    def _bin(v, lo, hi):
+        w = (F.col(hi) - F.col(lo)) / k
+        return F.when(
+            w > 0,
+            F.least(
+                F.lit(k - 1),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col(v) - F.col(lo)) / w),
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    binned = wide.crossJoin(F.broadcast(bounds)).select(
+        _bin("_a", "_la", "_ha").alias("_ba"),
+        _bin("_b", "_lb", "_hb").alias("_bb"),
+    )
+    cnt = binned.groupBy("_ba", "_bb").agg(F.count(F.lit(1)).alias("_n"))
+    wall = Window.partitionBy()
+    wa = Window.partitionBy("_ba")
+    wb = Window.partitionBy("_bb")
+    cnt = (
+        cnt.withColumn("_tot", F.sum("_n").over(wall))
+        .withColumn("_na", F.sum("_n").over(wa))
+        .withColumn("_nb", F.sum("_n").over(wb))
+    )
+    pxy = F.col("_n") / F.col("_tot")
+    term = pxy * F.log(
+        pxy / ((F.col("_na") / F.col("_tot")) * (F.col("_nb") / F.col("_tot")))
+    )
+    return cnt.agg(
+        F.round(F.sum(term), 6).alias("mi"),
+        F.max("_tot").alias("n_pairs"),
+        F.count(F.lit(1)).alias("n_cells"),
     )
 
 

@@ -251,6 +251,61 @@ def test_triangle_stats_known_graph(spark):
     assert row["global_clustering"] == pytest.approx(0.6)
 
 
+def test_ab_zstat_matches_hand_proportion_test(spark):
+    import hashlib
+
+    from gordo_spark.operators.experiments import ab_zstat
+
+    # conversion depends only on user id parity; assignment only on md5
+    rows = [(u, t, u % 3 == 0) for u in range(200) for t in range(2)]
+    df = spark.createDataFrame(rows, "user_id long, k int, converted boolean")
+    row = ab_zstat(df, "user_id", "converted", salt="s").collect()[0]
+
+    def variant(u: int) -> int:
+        return int(hashlib.md5(f"s{u}".encode()).hexdigest()[:8], 16) % 2
+
+    conv = {0: 0, 1: 0}
+    n = {0: 0, 1: 0}
+    for u in range(200):
+        v = variant(u)
+        n[v] += 1
+        conv[v] += u % 3 == 0
+    assert (row["n_a"], row["n_b"]) == (n[0], n[1])
+    assert (row["conv_a"], row["conv_b"]) == (conv[0], conv[1])
+    pa, pb = conv[0] / n[0], conv[1] / n[1]
+    pool = (conv[0] + conv[1]) / (n[0] + n[1])
+    se = math.sqrt(pool * (1 - pool) * (1 / n[0] + 1 / n[1]))
+    assert row["z"] == pytest.approx(round((pb - pa) / se, 6), abs=1e-6)
+    assert row["significant"] == (abs((pb - pa) / se) > 1.96)
+
+
+def test_tag_mutual_info_dependence_extremes(spark):
+    from gordo_spark.operators.tsa import tag_mutual_info
+
+    # y == x: MI equals the bin entropy (here uniform over 8 bins -> ln 8)
+    rows = []
+    for i in range(64):
+        ts = T0 + dt.timedelta(hours=i)
+        rows.append(("a", ts, float(i)))
+        rows.append(("b", ts, float(i)))
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    row = tag_mutual_info(df, "a", "b", bins=8).collect()[0]
+    assert row["n_pairs"] == 64 and row["n_cells"] == 8
+    assert row["mi"] == pytest.approx(round(math.log(8), 6), abs=1e-6)
+
+    # independent checkerboard: b cycles fast, a slow -> joint uniform,
+    # marginals uniform -> MI == 0
+    rows = []
+    for i in range(64):
+        ts = T0 + dt.timedelta(hours=i)
+        rows.append(("a", ts, float(i // 8)))
+        rows.append(("b", ts, float(i % 8)))
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    row = tag_mutual_info(df, "a", "b", bins=8).collect()[0]
+    assert row["mi"] == pytest.approx(0.0, abs=1e-6)
+    assert row["n_cells"] == 64
+
+
 def test_fs_scores_match_hand_computation(spark):
     from gordo_spark.operators.linkage import fs_scores
 
