@@ -134,8 +134,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     aggregations. All shuffles key on edge endpoints; the edge table is
     already support-filtered upstream, which is what bounds the join
     fan-out at scale.
+
+    The edge list is materialized once via eager ``localCheckpoint``
+    (the :func:`pagerank` / connected_components precedent): it feeds
+    FOUR consumers (three join arms + the degree explode), and lazy
+    lineage re-derives the whole upstream edge build per consumer —
+    the audit showed 22 scans for the co-purchase contract before the
+    truncation. Edge tables are item²-bounded by the upstream support
+    filter, so pinning them is the cheap side of the trade.
     """
-    e = edges.select("a", "b")
+    e = edges.select("a", "b").localCheckpoint()
     ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))

@@ -150,3 +150,53 @@ def stream_bloom_gate(
             6,
         ).alias("flagged_frac"),
     )
+
+
+def stream_ab_counts(
+    stream: DataFrame,
+    unit_col: str = "user_id",
+    success_col: str = "converted",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    salt: str = "exp1",
+) -> DataFrame:
+    """Live A/B experiment monitor: per event-time window and md5-assigned
+    variant, event count, success count, and an approximate distinct-unit
+    count — the leading indicator that a rollout is hurting conversions,
+    hours before the batch :func:`~gordo_spark.operators.experiments.
+    ab_zstat` verdict lands.
+
+    Deliberately ONE stateful aggregation: the per-unit dedup collapse
+    the exact z-test needs is the batch job's step (chaining stateful
+    aggs multiplies streaming state and restricts output modes); the
+    stream reports trend counts plus ``approx_count_distinct`` units
+    (HLL — merge-commutative, so stream==batch holds bit-for-bit, pinned
+    in tests). Assignment is the same row-local md5 bucket as the batch
+    operator — the monitor and the verdict can never disagree on who is
+    in which arm. State: windows x 2 variants, watermark-bounded.
+    """
+    from gordo_spark.operators.experiments import ab_assign
+
+    assigned = ab_assign(
+        stream.select(ts_col, unit_col, success_col), unit_col, 2, salt
+    )
+    if assigned.isStreaming:
+        assigned = assigned.withWatermark(ts_col, watermark)
+    return (
+        assigned.groupBy(
+            F.window(F.col(ts_col), window).alias("win"), F.col("variant")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(success_col).cast("int")).alias("n_success"),
+            F.approx_count_distinct(unit_col).alias("approx_units"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "variant",
+            "n_events",
+            "n_success",
+            "approx_units",
+        )
+    )

@@ -101,6 +101,14 @@ ACCEPTED = {
     "pair table",
     "rfm_segments": "1-row exact-percentile threshold frame broadcast to "
     "the per-customer aggregate",
+    "ks_drift": "1-row time-range-midpoint scalar broadcast to the series "
+    "(the psi_drift split convention)",
+    "tag_mutual_info": "1-row min/max bounds frame broadcast to the "
+    "aligned grid (fixed-width binning)",
+    "pagerank": "1-row node-count scalar broadcast to the degree table "
+    "(teleport term)",
+    "fs_match_scores": "1-row record-count + per-field u-probability "
+    "scalar frames broadcast to the pair table",
 }
 COUNTED = (
     ("exchanges", r"\bExchange\b"),

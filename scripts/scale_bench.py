@@ -434,6 +434,70 @@ def zorder_experiment(spark):
     }
 
 
+def iter_lineage_experiment(spark):
+    """Fixed-iteration PageRank (8 rounds) on a synthetic 200k-edge
+    graph: LAZY lineage (every iteration's plan re-derives the whole
+    upstream edge build — the naive composition) vs the shipped
+    operator's localCheckpoint-truncated base frames. The scan count in
+    the lazy plan is the cluster number: it multiplies the most
+    expensive stage by the iteration count."""
+    n_edges, n_nodes = 200_000, 50_000
+    raw = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("x"),
+        ((F.col("id") * 2654435761) % n_nodes).alias("y"),
+    ).filter("x != y").select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    )
+    raw.write.mode("overwrite").parquet("/tmp/_pr_edges")
+    base = spark.read.parquet("/tmp/_pr_edges")
+    # nontrivial edge build, same shape as co_occurrence_edges' output
+    def build_edges():
+        return base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")).drop("n")
+
+    def lazy_pagerank():
+        e = build_edges()
+        dirs = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
+        deg = dirs.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).alias("_d")
+        )
+        total = deg.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        nodes = deg.crossJoin(F.broadcast(total))
+        ranks = nodes.select("v", "_d", "_n", (1.0 / F.col("_n")).alias("r"))
+        for _ in range(8):
+            contrib = (
+                ranks.select("v", (F.col("r") / F.col("_d")).alias("_c"))
+                .join(dirs, F.col("v") == F.col("src"))
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("_c").alias("_s"))
+            )
+            ranks = nodes.join(contrib, "v", "left").select(
+                "v", "_d", "_n",
+                ((1.0 - 0.85) / F.col("_n")
+                 + 0.85 * F.coalesce(F.col("_s"), F.lit(0.0))).alias("r"),
+            )
+        return ranks.select("v", F.round("r", 6).alias("rank"))
+
+    from gordo_spark.operators.graph import pagerank
+
+    lazy_plan = lazy_pagerank()._jdf.queryExecution().executedPlan().toString()
+    t_lazy = round(timed("lazy", lambda: lazy_pagerank().collect()), 3)
+    t_ckpt = round(
+        timed("ckpt", lambda: pagerank(build_edges(), 0.85, 8).collect()), 3
+    )
+    return {
+        "t_lazy_s": t_lazy,
+        "t_ckpt_s": t_ckpt,
+        "lazy_scans": lazy_plan.count("Scan parquet"),
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
@@ -443,6 +507,7 @@ def main():
     pq = pq_experiment(spark)
     hll = hll_experiment(spark)
     zo = zorder_experiment(spark)
+    il = iter_lineage_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -563,6 +628,22 @@ def main():
         "entire second dimension; the Morton layout pays one re-layout",
         "shuffle for rectangle stats on every participating key — at",
         "100 TB the skipped files are the scan bill.",
+        "",
+        "## Iterative lineage: lazy vs localCheckpoint (PageRank, 8 rounds, 200k edges)",
+        "",
+        f"- lazy composition: {il['t_lazy_s']} s; the final plan contains "
+        f"{il['lazy_scans']} parquet scans — every iteration re-derives "
+        "the edge build",
+        f"- shipped operator (edges/degrees localCheckpoint'd once): "
+        f"{il['t_ckpt_s']} s; 1 scan into the checkpoint, iterations then "
+        "touch only node-keyed frames",
+        "",
+        "The scan count is the cluster number: lazy lineage multiplies the",
+        "most expensive upstream stage by the iteration count (at 100 TB",
+        "the edge build IS the job), while truncation pays it once and",
+        "bounds checkpoint storage by the item-cardinality frames. Same",
+        "discipline as connected_components; any fixed-iteration algorithm",
+        "composed of joins inherits it.",
         "",
     ]
     out = "\n".join(lines)

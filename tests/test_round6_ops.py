@@ -795,6 +795,37 @@ def test_sensors_pipeline_end_to_end(spark, tmp_path, sf_dir):
     assert back.select("tag").distinct().count() == len(mod.TAGS)
 
 
+def test_analytics_pipeline_end_to_end(spark, tmp_path, sf_dir):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "analytics_pipeline", "/root/repo/examples/analytics_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "analytics_out")
+    drift = mod.analyze(spark, sf_dir, out)
+    rows = {r["tag"]: r for r in drift.collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["psi"] is not None and r["ks"] is not None
+    import os as _os
+
+    for name in ("sessions", "funnel", "attribution", "ab", "rfm",
+                 "lift", "centrality", "drift"):
+        assert _os.path.isdir(_os.path.join(out, name))
+    ab = spark.read.parquet(_os.path.join(out, "ab")).collect()[0]
+    assert ab["n_a"] + ab["n_b"] > 0
+    # z is null exactly when the pooled proportion is degenerate (0 or 1
+    # — every unit converted at this tiny sf); otherwise it must exist
+    pool = (ab["conv_a"] + ab["conv_b"]) / (ab["n_a"] + ab["n_b"])
+    assert (ab["z"] is not None) == (0 < pool < 1)
+    # pagerank mass conservation on the co-purchase graph
+    pr = spark.read.parquet(_os.path.join(out, "centrality"))
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-3)
+
+
 # ------------------------------------------------------------ SCD2 history
 
 

@@ -1190,3 +1190,48 @@ def test_stream_stream_conversion_join_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(exp) and len(exp) > 0
     assert (got["lag_s"].values == exp["lag_s"].values).all()
     assert (got["user_id"].values == exp["user_id"].values).all()
+
+
+def test_stream_ab_counts_matches_batch(spark, tmp_path):
+    """Windowed A/B monitor: closed stream windows equal the batch
+    aggregation (same md5 assignment, HLL unit count merge-commutative)."""
+    import pandas as pd
+
+    from gordo_spark.streaming.quality import stream_ab_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0 + pd.Timedelta(minutes=7 * i) for i in range(60)],
+            "user_id": [i % 17 for i in range(60)],
+            "converted": [i % 5 == 0 for i in range(60)],
+        }
+    )
+    src = str(tmp_path / "ab_src")
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_ab_counts(stream, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("ab_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("ab_stream")
+        .toPandas()
+        .sort_values(["window_start", "variant"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        stream_ab_counts(spark.read.parquet(src), window="1 hour")
+        .toPandas()
+        .sort_values(["window_start", "variant"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert set(got["variant"]) == {0, 1}
+    assert got["n_success"].sum() == 12
