@@ -7010,6 +7010,62 @@ FROM agg
 """
 
 
+def q_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-vs-lineitem ledger reconciliation
+    (operators/quality_checks.reconcile_totals): per order, the stored
+    o_totalprice vs sum(extendedprice*(1-disc)*(1+tax)) recomputed from
+    line items, classified matched/mismatched/orphan both directions
+    (nothing silently dropped). One child aggregation + one full-outer
+    join + one global aggregate; 1% tolerance."""
+    from gordo_spark.operators.quality_checks import reconcile_totals
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+    return reconcile_totals(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        li,
+        "l_orderkey",
+        "o_totalprice",
+        amount,
+        rel_tol=0.01,
+    )
+
+
+O_RECONCILE_TOTALS = """
+WITH c AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS rec
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_totalprice AS stored, c.rec
+  FROM orders o FULL OUTER JOIN c ON o.o_orderkey = c.l_orderkey
+)
+SELECT
+  CAST(sum(CASE WHEN stored IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_parents,
+  CAST(sum(CASE WHEN stored IS NOT NULL AND rec IS NOT NULL
+                 AND abs(stored - rec) <= 0.01 * abs(stored)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+  CAST(sum(CASE WHEN stored IS NOT NULL AND rec IS NOT NULL
+                 AND abs(stored - rec) > 0.01 * abs(stored)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+  CAST(sum(CASE WHEN stored IS NOT NULL AND rec IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_childless_parents,
+  CAST(sum(CASE WHEN stored IS NULL AND rec IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_child_groups,
+  ROUND(max(CASE WHEN stored IS NOT NULL AND rec IS NOT NULL
+                 THEN abs(stored - rec) / abs(stored) END), 6)
+    AS max_rel_err
+FROM j
+"""
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion A/B z-test (operators/experiments.ab_zstat):
     deterministic md5-bucket assignment (the sampling module's
@@ -8835,6 +8891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "ab_test": q_ab_test,
+        "reconcile_totals": q_reconcile_totals,
         "tag_mutual_info": q_tag_mutual_info,
         "basket_pairs": q_basket_pairs,
         "event_paths": q_event_paths,
@@ -9078,6 +9135,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": O_PSI_DRIFT,
         "ks_drift": O_KS_DRIFT,
         "ab_test": O_AB_TEST,
+        "reconcile_totals": O_RECONCILE_TOTALS,
         "tag_mutual_info": O_TAG_MUTUAL_INFO,
         "basket_pairs": O_BASKET_PAIRS,
         "event_paths": O_EVENT_PATHS,

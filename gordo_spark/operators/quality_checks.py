@@ -157,6 +157,59 @@ def check_constraints(df: DataFrame, checks: list[dict]) -> DataFrame:
     ).orderBy("check_id")
 
 
+def reconcile_totals(
+    parent: DataFrame,
+    child: DataFrame,
+    key: str,
+    parent_amount: str,
+    child_amount,
+    rel_tol: float = 1e-6,
+) -> DataFrame:
+    """Cross-table aggregate reconciliation — the audit
+    :func:`check_constraints` cannot express (its checks are row-local
+    or single-table): per parent key, the STORED total vs the total
+    recomputed from child rows, classified into matched / mismatched /
+    orphan buckets. The first query a warehouse migration runs
+    ("does the fact table still sum to the ledger?").
+
+    ``child_amount`` is a Column expression evaluated per child row
+    (e.g. ``extendedprice * (1 - discount) * (1 + tax)``). A parent is
+    ``matched`` when ``|stored - recomputed| <= rel_tol * |stored|``.
+    Parents with no child rows and child groups with no parent are
+    counted separately (both directions of referential drift), never
+    silently dropped — the psi_drift sentinel discipline applied to
+    reconciliation.
+
+    Plan: one map-side-combinable child aggregation on the key, one
+    full-outer equi-join against the parent projection, one global
+    aggregate — no windows, no skew beyond the key itself. Output one
+    row: ``(n_parents, n_matched, n_mismatched, n_childless_parents,
+    n_orphan_child_groups, max_rel_err)``.
+    """
+    child_sums = child.groupBy(F.col(key)).agg(
+        F.sum(child_amount).alias("_recomputed")
+    )
+    p = parent.select(F.col(key), F.col(parent_amount).alias("_stored"))
+    j = p.join(child_sums, key, "full")
+    has_both = F.col("_stored").isNotNull() & F.col("_recomputed").isNotNull()
+    rel_err = F.abs(F.col("_stored") - F.col("_recomputed")) / F.abs("_stored")
+    matched = has_both & (rel_err <= F.lit(float(rel_tol)))
+    return j.agg(
+        F.sum(F.col("_stored").isNotNull().cast("long")).alias("n_parents"),
+        F.sum(matched.cast("long")).alias("n_matched"),
+        F.sum((has_both & ~matched).cast("long")).alias("n_mismatched"),
+        F.sum(
+            (F.col("_stored").isNotNull() & F.col("_recomputed").isNull())
+            .cast("long")
+        ).alias("n_childless_parents"),
+        F.sum(
+            (F.col("_stored").isNull() & F.col("_recomputed").isNotNull())
+            .cast("long")
+        ).alias("n_orphan_child_groups"),
+        F.round(F.max(F.when(has_both, rel_err)), 6).alias("max_rel_err"),
+    )
+
+
 def rowlocal_violation_flags(checks: list[dict]) -> dict[str, "F.Column"]:
     """The row-local subset (not_null / in_range / in_set / expression)
     as named boolean violation columns — reusable on batch or stream."""

@@ -795,6 +795,27 @@ def test_sensors_pipeline_end_to_end(spark, tmp_path, sf_dir):
     assert back.select("tag").distinct().count() == len(mod.TAGS)
 
 
+def test_reconcile_totals_buckets(spark):
+    from gordo_spark.operators.quality_checks import reconcile_totals
+
+    # parent 1 matches, 2 mismatches, 3 childless; child key 4 orphan
+    parents = spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 50.0)], "k int, total double"
+    )
+    children = spark.createDataFrame(
+        [(1, 60.0), (1, 40.0), (2, 90.0), (4, 7.0)], "k int, amt double"
+    )
+    row = reconcile_totals(
+        parents, children, "k", "total", F.col("amt"), rel_tol=0.01
+    ).collect()[0]
+    assert row["n_parents"] == 3
+    assert row["n_matched"] == 1
+    assert row["n_mismatched"] == 1
+    assert row["n_childless_parents"] == 1
+    assert row["n_orphan_child_groups"] == 1
+    assert row["max_rel_err"] == pytest.approx(0.1, abs=1e-6)
+
+
 def test_analytics_pipeline_end_to_end(spark, tmp_path, sf_dir):
     import importlib.util
 
