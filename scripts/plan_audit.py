@@ -109,6 +109,8 @@ ACCEPTED = {
     "(teleport term)",
     "fs_match_scores": "1-row record-count + per-field u-probability "
     "scalar frames broadcast to the pair table",
+    "zorder_keys": "1-row per-column min/max bounds frame broadcast to "
+    "the scan (the Morton bit-scaling scalars)",
 }
 COUNTED = (
     ("exchanges", r"\bExchange\b"),
