@@ -2710,6 +2710,48 @@ GROUP BY np.doc_id
 """
 
 
+def q_salvage_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local paragraph salvage (operators/text.salvage_paragraphs):
+    keep 12-word blocks with >= 5 words and alphabetic ratio >= 0.6,
+    reassemble the doc — pure higher-order-function projection, ZERO
+    exchanges (the no-shuffle complement of strip_boilerplate's
+    corpus-frequency drop)."""
+    from gordo_spark.operators.dedup import word_blocks
+    from gordo_spark.operators.text import salvage_paragraphs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return salvage_paragraphs(docs, word_blocks(F.col("text"), 12))
+
+
+O_SALVAGE_PARAS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(cast(ceil(len(words)/12.0) AS int), 1)),
+           i -> array_to_string(words[i*12+1 : i*12+12], ' ')
+         ) AS paras
+  FROM w
+),
+k AS (
+  SELECT doc_id, paras,
+         list_filter(paras, q ->
+           len(string_split(q, ' ')) >= 5
+           AND CASE WHEN length(q) > 0
+                    THEN length(regexp_replace(q, '[^A-Za-z ]', '', 'g'))
+                         * 1.0 / length(q) >= 0.6
+                    ELSE FALSE END
+         ) AS kept
+  FROM p
+)
+SELECT doc_id,
+       CAST(len(paras) AS INT) AS n_paras,
+       CAST(len(kept) AS INT) AS n_kept,
+       array_to_string(kept, ' ') AS text_clean
+FROM k
+"""
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (Jegou et al. 2011; operators/
     similarity.pq_train/pq_encode): codebooks trained on a bounded
@@ -6624,6 +6666,60 @@ def _o_logreg_apply(sample_n: int = 256) -> str:
 FROM documents"""
 
 
+def _o_score_calibration(sample_n: int = 256, bins: int = 10) -> str:
+    """Same embedded-IRLS-weights trick as _o_logreg_apply, one level
+    up: bucket the sigmoid scores and compare predicted vs observed."""
+    apply_sql = _o_logreg_apply(sample_n)
+    return f"""
+WITH scored AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+  FROM ({apply_sql}) s JOIN documents d USING (doc_id)
+),
+b AS (
+  SELECT least({bins - 1}, CAST(floor(score * {bins}) AS BIGINT)) AS bin,
+         score, label
+  FROM scored
+),
+g AS (
+  SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+         ROUND(avg(score), 6) AS mean_score,
+         ROUND(avg(label), 6) AS frac_positive
+  FROM b GROUP BY bin
+)
+SELECT bin, n, mean_score, frac_positive,
+       ROUND(mean_score - frac_positive, 6) AS gap
+FROM g
+"""
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration curve (ml/logreg.calibration_bins) over
+    the logreg_apply quality scores: 10 fixed-width probability bins,
+    per-bin predicted-vs-observed rate and gap — the readout that
+    decides whether score >= 0.9 can be TRUSTED as a 90% sampling
+    probability downstream. One row-local sigmoid scan + one hash agg
+    on <= 10 keys. Oracle embeds the identical IRLS weights
+    (_o_logreg_apply's generator, one level up)."""
+    from gordo_spark.ml.logreg import LogisticModel, calibration_bins, numpy_irls
+
+    feats = _logreg_features(read_table(spark, sf_dir, "documents"))
+    sample = (
+        feats.orderBy("doc_id")
+        .limit(256)
+        .select("f_chars", "f_words", "f_uniq", "label")
+        .collect()
+    )
+    X = np.array([[r["f_chars"], r["f_words"], r["f_uniq"]] for r in sample])
+    y = np.array([float(r["label"]) for r in sample])
+    model = LogisticModel(["f_chars", "f_words", "f_uniq"], "label")
+    model.coef_ = numpy_irls(X, y)
+    scored = model.score(feats).select(
+        F.round("score", 6).alias("score"), F.col("label")
+    )
+    return calibration_bins(scored, "score", "label", bins=10)
+
+
 def q_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental vocabulary maintenance (operators/text.
     merge_term_stats): the landed corpus's full term-stats table
@@ -8197,6 +8293,72 @@ FROM lett GROUP BY tag
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style CDC apply (sources/lake.cdc_apply): the orders
+    table plays a change feed against the customer snapshot — latest
+    change per custkey wins via ONE max_by aggregation (no window
+    sort), hard deletes drop the key, untouched keys pass through.
+    Priority maps to op (URGENT -> D, HIGH -> I, rest -> U); value
+    columns tie-break the same-date ordering so the winner is
+    deterministic in any engine. The third leg of the lake-mutation
+    family beside lake_merge (SCD1) and scd2_history (audit trail)."""
+    from gordo_spark.sources.lake import cdc_apply
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    snap = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "D")
+        .when(F.col("o_orderpriority") == "2-HIGH", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("o_totalprice"), 2).alias("c_acctbal"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    return cdc_apply(
+        snap, changes, ["c_custkey"],
+        tiebreak_cols=["c_acctbal", "c_mktsegment"],
+    )
+
+
+O_CDC_APPLY = """
+WITH ch AS (
+  SELECT o_custkey AS k, o_orderdate AS ts,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'D'
+              WHEN o_orderpriority = '2-HIGH' THEN 'I'
+              ELSE 'U' END AS op,
+         ROUND(o_totalprice, 2) AS nb, o_orderpriority AS ns
+  FROM orders
+),
+latest AS (
+  SELECT k, op, nb, ns FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY k ORDER BY ts DESC, nb DESC, ns DESC, op DESC
+    ) AS rn
+    FROM ch
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT coalesce(s.c_custkey, l.k) AS c_custkey,
+         s.c_custkey IS NOT NULL AS has_s,
+         l.k IS NOT NULL AS has_c,
+         s.c_acctbal AS sa, s.c_mktsegment AS sm,
+         l.op, l.nb, l.ns
+  FROM customer s FULL OUTER JOIN latest l ON s.c_custkey = l.k
+)
+SELECT c_custkey,
+       CASE WHEN has_c AND op != 'D' THEN nb ELSE sa END AS c_acctbal,
+       CASE WHEN has_c AND op != 'D' THEN ns ELSE sm END AS c_mktsegment,
+       CASE WHEN NOT has_c THEN 'kept'
+            WHEN NOT has_s THEN 'inserted'
+            ELSE 'updated' END AS action
+FROM j
+WHERE NOT has_c OR op != 'D'
+"""
+
+
 def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE/upsert of a customer-updates frame into the current
     snapshot (sources/lake.merge_upsert — Delta-style MERGE INTO as one
@@ -8870,6 +9032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o11_period_growth": q_o11_period_growth,
         "lm_quality_trigram": q_lm_quality_trigram,
         "strip_boilerplate": q_strip_boilerplate,
+        "salvage_paragraphs": q_salvage_paragraphs,
         "w11_holt": q_w11_holt,
         "user_transitions": q_user_transitions,
         "pmi_cooccur": q_pmi_cooccur,
@@ -8877,6 +9040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pca_project": q_pca_project,
         "logreg_apply": q_logreg_apply,
+        "score_calibration": q_score_calibration,
         "feature_hash": q_feature_hash,
         "vocab_incremental": q_vocab_incremental,
         "dup_spans_strip": q_dup_spans_strip,
@@ -8892,6 +9056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "ab_test": q_ab_test,
         "reconcile_totals": q_reconcile_totals,
+        "cdc_apply": q_cdc_apply,
         "tag_mutual_info": q_tag_mutual_info,
         "basket_pairs": q_basket_pairs,
         "event_paths": q_event_paths,
@@ -9031,6 +9196,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimates": O_CMS_EST,
         "lm_quality_trigram": O_LM_TRIGRAM,
         "strip_boilerplate": O_STRIP_BOILER,
+        "salvage_paragraphs": O_SALVAGE_PARAS,
         "subsequence_search": O_SUBSEQ,
         "data_quality": O_DATA_QUALITY,
         "o11_period_growth": O_O11_GROWTH,
@@ -9120,6 +9286,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _o_embedding_quantize(),
         "pca_project": _o_pca_project(),
         "logreg_apply": _o_logreg_apply(),
+        "score_calibration": _o_score_calibration(),
         "bpe_tokenize": _o_bpe_tokenize(),
         "feature_hash": _o_feature_hash(),
         "vocab_incremental": O_VOCAB_INCREMENTAL,
@@ -9136,6 +9303,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": O_KS_DRIFT,
         "ab_test": O_AB_TEST,
         "reconcile_totals": O_RECONCILE_TOTALS,
+        "cdc_apply": O_CDC_APPLY,
         "tag_mutual_info": O_TAG_MUTUAL_INFO,
         "basket_pairs": O_BASKET_PAIRS,
         "event_paths": O_EVENT_PATHS,

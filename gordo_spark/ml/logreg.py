@@ -119,3 +119,45 @@ def numpy_irls(
         g = Xb.T @ (y - p) - l2 * w
         w = w + np.linalg.solve(H, g)
     return w
+
+
+def calibration_bins(
+    scored: "DataFrame",
+    score_col: str = "score",
+    label_col: str = "label",
+    bins: int = 10,
+):
+    """Reliability-diagram buckets for a probabilistic classifier:
+    equal-width score bins, per-bin count, mean predicted probability,
+    and observed positive rate — the calibration readout that decides
+    whether a quality classifier's 0.9 means 90% (and whether its
+    threshold can be trusted as a sampling probability, the DSIR /
+    curation_verdict use).
+
+    Fixed-width binning (floor(score * bins), top edge clamped), the
+    deterministic convention shared with psi_drift / tag_mutual_info —
+    ntile's tie order is engine-dependent. ONE map-side-combinable hash
+    aggregation on <= ``bins`` keys; at any corpus size this is a scan
+    plus a constant-size exchange. Output: ``(bin, n, mean_score,
+    frac_positive, gap)`` where gap = mean_score - frac_positive (per-
+    bin calibration error; weight by n for ECE).
+    """
+    from pyspark.sql import functions as F
+
+    b = F.least(
+        F.lit(int(bins) - 1), F.floor(F.col(score_col) * int(bins))
+    ).cast("int")
+    out = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(score_col), 6).alias("mean_score"),
+        F.round(F.avg(F.col(label_col).cast("double")), 6).alias(
+            "frac_positive"
+        ),
+    )
+    return out.select(
+        "bin",
+        "n",
+        "mean_score",
+        "frac_positive",
+        F.round(F.col("mean_score") - F.col("frac_positive"), 6).alias("gap"),
+    )

@@ -1377,3 +1377,51 @@ def wordlist_filter(
         F.round(frac, 6).alias("flag_frac"),
         (frac < F.lit(float(max_frac))).alias("keep"),
     )
+
+
+def salvage_paragraphs(
+    df: DataFrame,
+    paras,
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_alpha_ratio: float = 0.6,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Row-local sub-document curation: keep only paragraphs passing
+    LOCAL quality rules (word count, alphabetic-character ratio) and
+    reassemble the document — salvaging the good prose from pages whose
+    doc-LEVEL score would discard them wholesale (nav bars, code dumps,
+    ad blocks around one real article: the C4/CCNet observation that
+    quality is a paragraph property).
+
+    The corpus-statistics complement is
+    :func:`~gordo_spark.operators.dedup.strip_boilerplate` (drops
+    paragraphs by cross-document FREQUENCY, needs a shuffle); this
+    operator is a pure projection — higher-order array functions
+    (``filter``/``transform``) evaluate per row, so it costs ZERO
+    exchanges at any corpus size, the cheapest possible shape.
+
+    ``paras`` is the paragraph-array column (e.g. ``word_blocks`` for
+    corpora without layout separators). A paragraph survives when it
+    has >= ``min_words`` whitespace words AND its alphabetic+space
+    character ratio >= ``min_alpha_ratio``. Output: ``(id, n_paras,
+    n_kept, out_col)`` — same shape as strip_boilerplate, so the two
+    compose/compare directly.
+    """
+
+    def _good(p):
+        words_ok = F.size(F.split(p, " ")) >= int(min_words)
+        alpha = F.length(F.regexp_replace(p, "[^A-Za-z ]", ""))
+        ratio_ok = F.when(
+            F.length(p) > 0,
+            alpha / F.length(p) >= F.lit(float(min_alpha_ratio)),
+        ).otherwise(F.lit(False))
+        return words_ok & ratio_ok
+
+    kept = F.filter(paras, _good)
+    return df.select(
+        F.col(id_col),
+        F.size(paras).alias("n_paras"),
+        F.size(kept).alias("n_kept"),
+        F.concat_ws(" ", kept).alias(out_col),
+    )

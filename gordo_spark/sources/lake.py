@@ -298,3 +298,80 @@ def scd2_from_changes(
         nxt.isNull().alias("is_current"),
         F.row_number().over(w).alias("version"),
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC change log (ops ``I``/``U``/``D``) to a snapshot —
+    the third leg of the lake-mutation family: :func:`merge_upsert` is
+    SCD1 without deletes, :func:`scd2_from_changes` is the full audit
+    trail, and ``cdc_apply`` is what a Debezium-style feed needs:
+    LATEST-WINS per key with hard deletes honored.
+
+    Per key, only the newest change matters for the next snapshot (all
+    earlier ones are superseded), so the change log first collapses to
+    one row per key — ``max_by`` over ``(ts, tiebreaks)``, a single
+    map-side-combinable aggregation, NO window sort. A latest op of
+    ``D`` drops the key (and suppresses any snapshot row); ``I``/``U``
+    take the change row's values; untouched snapshot keys pass through.
+    Unknown op codes fail the job at run time via an ``assert_true``
+    column (a bad feed must kill the task, not silently pass rows
+    through).
+
+    One aggregation on the change log + one full-outer join against the
+    snapshot, both keyed on the CDC key — the co-location shape (bucket
+    both sides on the key at scale and the join is exchange-free).
+    Output: snapshot schema + ``action`` (kept/inserted/updated/
+    deleted is implicit: deleted keys are ABSENT).
+    """
+    if not keys:
+        raise ValueError("cdc_apply needs non-empty keys")
+    tb = list(tiebreak_cols or [])
+    value_cols = [
+        c for c in snapshot.columns if c not in keys
+    ]
+    ok = F.col(op_col).isin("I", "U", "D")
+    # assert_true rides the op expression itself (a standalone checked
+    # column would be pruned as unused and never evaluate): it returns
+    # NULL on success, so the when() passes op through unchanged and a
+    # bad code kills the task with the offending value in the message
+    checked_op = F.when(
+        F.assert_true(
+            ok, F.concat(F.lit("cdc_apply: unknown op "), F.col(op_col))
+        ).isNull(),
+        F.col(op_col),
+    )
+    ordk = F.struct(F.col(ts_col), *[F.col(c) for c in tb], F.col(op_col))
+    latest = changes.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(checked_op.alias(op_col), *[F.col(c) for c in value_cols]),
+            ordk,
+        ).alias("_ch")
+    )
+    marked = snapshot.select(
+        *snapshot.columns, F.lit(True).alias("_s_present")
+    )
+    j = marked.alias("s").join(latest.alias("c"), keys, "full")
+    keep_change = F.col("_ch").isNotNull() & (F.col("_ch.op") != "D")
+    # whole-side selection, NOT coalesce: an update that sets a value
+    # column to NULL must win over the snapshot's old value
+    out_cols = [
+        F.when(keep_change, F.col(f"_ch.{c}"))
+        .otherwise(F.col(f"s.{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    action = (
+        F.when(F.col("_ch").isNull(), F.lit("kept"))
+        .when(F.col("_s_present").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+    )
+    return j.filter(F.col("_ch").isNull() | (F.col("_ch.op") != "D")).select(
+        *[F.col(k) for k in keys], *out_cols, action.alias("action")
+    )

@@ -847,6 +847,38 @@ def test_analytics_pipeline_end_to_end(spark, tmp_path, sf_dir):
     assert total == pytest.approx(1.0, abs=1e-3)
 
 
+def test_cdc_apply_latest_wins_with_deletes(spark):
+    from gordo_spark.sources.lake import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, T0, "U", "a2", 11.0),               # superseded...
+            (1, T0 + dt.timedelta(1), "U", "a3", None),  # ...by null-set update
+            (2, T0, "D", None, None),               # hard delete
+            (4, T0, "I", "d", 40.0),                # brand new key
+            (5, T0, "I", "e", 50.0),                # insert then delete
+            (5, T0 + dt.timedelta(1), "D", None, None),
+        ],
+        "k int, ts timestamp, op string, name string, v double",
+    )
+    out = {r["k"]: r for r in cdc_apply(snap, changes, ["k"]).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1]["action"] == "updated" and out[1]["name"] == "a3"
+    assert out[1]["v"] is None  # null-set update must beat the old value
+    assert out[3]["action"] == "kept" and out[3]["v"] == 30.0
+    assert out[4]["action"] == "inserted" and out[4]["name"] == "d"
+    # unknown op kills the job, never passes rows through
+    bad = spark.createDataFrame(
+        [(9, T0, "X", "z", 1.0)], "k int, ts timestamp, op string, name string, v double"
+    )
+    with pytest.raises(Exception):
+        cdc_apply(snap, bad, ["k"]).collect()
+
+
 # ------------------------------------------------------------ SCD2 history
 
 

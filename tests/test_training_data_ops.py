@@ -239,6 +239,50 @@ def test_ahash_matches_numpy_and_banding_is_hamming_complete(spark):
                         max_hamming=4)
 
 
+def test_salvage_paragraphs_rules_and_zero_shuffle(spark):
+    from gordo_spark.operators.dedup import word_blocks
+    from gordo_spark.operators.text import salvage_paragraphs
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    noisy = "1923 44.5 #$% 0x1f 9999 2020 12 31 00 00 00 17"
+    short = "ok fine"
+    df = spark.createDataFrame(
+        [(1, f"{good} {noisy}"), (2, f"{short}")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in salvage_paragraphs(df, word_blocks(F.col("text"), 12)).collect()
+    }
+    # doc 1: block 0 = good prose (kept), block 1 = digit soup (dropped)
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["text_clean"] == good
+    # doc 2: single 2-word block fails min_words
+    assert out[2]["n_kept"] == 0 and out[2]["text_clean"] == ""
+    # the zero-exchange claim, checked against the plan
+    plan = (
+        salvage_paragraphs(df, word_blocks(F.col("text"), 12))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_calibration_bins_perfect_and_off(spark):
+    from gordo_spark.ml.logreg import calibration_bins
+
+    rows = [(0.05, 0), (0.05, 0), (0.95, 1), (0.95, 1),  # calibrated
+            (0.55, 0), (0.55, 0), (0.55, 0), (0.55, 1)]  # over-confident
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert out[0]["gap"] == pytest.approx(0.05, abs=1e-6)
+    assert out[9]["frac_positive"] == 1.0
+    assert out[5]["n"] == 4
+    assert out[5]["gap"] == pytest.approx(0.55 - 0.25, abs=1e-6)
+    # top edge clamps into the last bin
+    edge = spark.createDataFrame([(1.0, 1)], "score double, label int")
+    assert calibration_bins(edge).collect()[0]["bin"] == 9
+
+
 def test_multimodal_metadata_query_prunes_payload(spark, docs, tmp_path):
     """The 100 TB claim in the module docstring: a metadata-only query
     over the media lake must NOT read the binary payload column — the
