@@ -7162,6 +7162,42 @@ FROM j
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/quality_checks.k_anonymity) over
+    customer quasi-identifiers (nation, segment, balance-thousand):
+    rows whose quasi tuple has < 5 peers are re-identifiable by an
+    external join — the release gate beside pii_scrub (column
+    redaction) and forget_keys (row erasure). One hash agg on the
+    quasi tuple + one bounded summary."""
+    from gordo_spark.operators.quality_checks import k_anonymity
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_k"),
+    )
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment", "bal_k"], k=5)
+
+
+O_K_ANONYMITY = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(n) AS BIGINT) AS min_group_size,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS anonymous
+FROM g
+"""
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion A/B z-test (operators/experiments.ab_zstat):
     deterministic md5-bucket assignment (the sampling module's
@@ -9056,6 +9092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "ab_test": q_ab_test,
         "reconcile_totals": q_reconcile_totals,
+        "k_anonymity": q_k_anonymity,
         "cdc_apply": q_cdc_apply,
         "tag_mutual_info": q_tag_mutual_info,
         "basket_pairs": q_basket_pairs,
@@ -9303,6 +9340,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": O_KS_DRIFT,
         "ab_test": O_AB_TEST,
         "reconcile_totals": O_RECONCILE_TOTALS,
+        "k_anonymity": O_K_ANONYMITY,
         "cdc_apply": O_CDC_APPLY,
         "tag_mutual_info": O_TAG_MUTUAL_INFO,
         "basket_pairs": O_BASKET_PAIRS,

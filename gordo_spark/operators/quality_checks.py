@@ -270,3 +270,45 @@ def stream_constraint_counts(
             *[_q(name) for name in flags],
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every row
+    must share its quasi-identifier tuple with at least ``k-1`` others,
+    or it is re-identifiable by joining those columns against an
+    external dataset (Sweeney 2002). The release gate that belongs
+    beside ``pii_scrub`` (column-level redaction) and ``forget_keys``
+    (row-level erasure): scrubbing direct identifiers is not enough
+    when the quasi-identifier combination is unique.
+
+    NULL quasi-values group together (SQL GROUP BY semantics — a NULL
+    zip code is itself a distinguishing value, stated rather than
+    hidden). One map-side-combinable aggregation on the quasi tuple +
+    one bounded summary aggregate. Output one row: ``(n_rows,
+    n_groups, min_group_size, n_violating_groups, n_rows_at_risk,
+    anonymous)`` — ``anonymous`` iff every group reaches ``k``.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs non-empty quasi_cols")
+    g = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    viol = F.col("_n") < int(k)
+    return g.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_n").alias("min_group_size"),
+        F.sum(viol.cast("long")).alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("_n")).otherwise(0)).alias("n_rows_at_risk"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_group_size",
+        "n_violating_groups",
+        "n_rows_at_risk",
+        (F.col("n_violating_groups") == 0).alias("anonymous"),
+    )

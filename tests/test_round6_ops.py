@@ -847,6 +847,25 @@ def test_analytics_pipeline_end_to_end(spark, tmp_path, sf_dir):
     assert total == pytest.approx(1.0, abs=1e-3)
 
 
+def test_k_anonymity_buckets_and_null_grouping(spark):
+    from gordo_spark.operators.quality_checks import k_anonymity
+
+    # zip A has 3 rows (violates k=3? no — meets), zip B has 1 (violates),
+    # two NULL zips group together (size 2 -> violates k=3)
+    rows = [("A",), ("A",), ("A",), ("B",), (None,), (None,)]
+    df = spark.createDataFrame(rows, "zip string")
+    row = k_anonymity(df, ["zip"], k=3).collect()[0]
+    assert row["n_rows"] == 6 and row["n_groups"] == 3
+    assert row["min_group_size"] == 1
+    assert row["n_violating_groups"] == 2
+    assert row["n_rows_at_risk"] == 3
+    assert row["anonymous"] is False
+    ok = k_anonymity(df, ["zip"], k=1).collect()[0]
+    assert ok["anonymous"] is True
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], k=3)
+
+
 def test_cdc_apply_latest_wins_with_deletes(spark):
     from gordo_spark.sources.lake import cdc_apply
 
