@@ -6358,6 +6358,56 @@ FROM rec
 """
 
 
+def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11b — one-step-ahead Holt backtest per tag
+    (operators/smoothing.holt_backtest): yesterday's forecast scored
+    against today's actual — n/bias/MAE/RMSE/MAPE per series, the
+    evidence behind an (alpha, beta) choice. One lag window over the
+    Holt output + one hash agg; the oracle extends the w11 recursive
+    CTE with the same lag."""
+    from gordo_spark.operators.smoothing import holt_backtest
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = res.withColumn("value", F.round("value", 6))
+    return holt_backtest(res, "value", alpha=0.2, beta=0.1, machine_col="tag")
+
+
+O_HOLT_BACKTEST = """
+WITH RECURSIVE res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         ROUND(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT tag, ts, value,
+         row_number() OVER (PARTITION BY tag ORDER BY ts) AS rn
+  FROM res
+),
+rec AS (
+  SELECT tag, ts, rn, value, value AS l, CAST(0 AS DOUBLE) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.tag, s.ts, s.rn, s.value,
+         0.2 * s.value + (1 - 0.2) * (r.l + r.b),
+         0.1 * ((0.2 * s.value + (1 - 0.2) * (r.l + r.b)) - r.l) + (1 - 0.1) * r.b
+  FROM rec r JOIN seq s ON s.tag = r.tag AND s.rn = r.rn + 1
+),
+f AS (
+  SELECT tag, ts, value,
+         lag(ROUND(l + b, 6)) OVER (PARTITION BY tag ORDER BY ts) AS fp
+  FROM rec
+),
+e AS (SELECT tag, value, value - fp AS err FROM f WHERE fp IS NOT NULL)
+SELECT tag, CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(err), 6) AS bias,
+       ROUND(avg(abs(err)), 6) AS mae,
+       ROUND(sqrt(avg(err * err)), 6) AS rmse,
+       ROUND(avg(CASE WHEN value != 0 THEN abs(err / value) END), 6) AS mape
+FROM e GROUP BY tag
+"""
+
+
 def q_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type Markov transition matrix (operators/ranges.
     event_transitions): one user-keyed lag window + one aggregation on
@@ -9070,6 +9120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "salvage_paragraphs": q_salvage_paragraphs,
         "w11_holt": q_w11_holt,
+        "holt_backtest": q_holt_backtest,
         "user_transitions": q_user_transitions,
         "pmi_cooccur": q_pmi_cooccur,
         "dup_spans": q_dup_spans,
@@ -9317,6 +9368,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_search": _o_pq_search(),
         "ivf_pq_search": _o_ivf_pq_search(),
         "w11_holt": O_W11_HOLT,
+        "holt_backtest": O_HOLT_BACKTEST,
         "user_transitions": O_USER_TRANSITIONS,
         "pmi_cooccur": O_PMI_COOCCUR,
         "dup_spans": O_DUP_SPANS,

@@ -437,3 +437,56 @@ def peaks(
             6,
         ).alias("margin"),
     )
+
+
+def holt_backtest(
+    df: DataFrame,
+    value_col: str = "value",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    ts_col: str = "ts",
+    machine_col: str | None = None,
+) -> DataFrame:
+    """One-step-ahead backtest of :func:`holt`: score yesterday's
+    forecast against today's actual over the whole history — the
+    evidence that earns a smoothing configuration its alerting
+    thresholds (an (alpha, beta) pair is not trusted because it
+    smooths nicely; it is trusted because its one-step errors are
+    small and unbiased).
+
+    Per series: ``err_t = x_t - forecast_{t-1}`` (one lag window over
+    the Holt output, forecast rounded to 6dp first so the metric is
+    engine-exact), then ONE aggregation: ``n`` scored points, ``bias``
+    (mean signed error — a drifting series shows it first), ``mae``,
+    ``rmse``, and ``mape`` (zero actuals excluded from the ratio,
+    stated). Adds nothing to Holt's cost profile beyond the window:
+    the recursion already ran on the sanctioned per-series Arrow path.
+    Output: ``(machine?, n, bias, mae, rmse, mape)``.
+    """
+    h = holt(df, value_col, alpha=alpha, beta=beta, ts_col=ts_col,
+             machine_col=machine_col)
+    keys = [machine_col] if machine_col else []
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    f_prev = F.lag(F.round("forecast", 6)).over(w)
+    err = F.col(value_col) - f_prev
+    scored = h.select(
+        *keys,
+        F.col(value_col),
+        err.alias("_e"),
+    ).filter(F.col("_e").isNotNull())
+    grouped = scored.groupBy(*keys) if keys else scored.groupBy()
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("_e"), 6).alias("bias"),
+        F.round(F.avg(F.abs("_e")), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(F.col("_e") * F.col("_e"))), 6).alias("rmse"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col(value_col) != 0,
+                    F.abs(F.col("_e") / F.col(value_col)),
+                )
+            ),
+            6,
+        ).alias("mape"),
+    )
