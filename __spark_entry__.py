@@ -4954,6 +4954,56 @@ GROUP BY label, pos
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label (operators/similarity.
+    embedding_drift): cosine + L2 between the md5-parity halves'
+    centroids — the vector-space drift screen beside psi/ks (has the
+    CLASS moved in representation space?). Pure posexplode/hash-agg
+    algebra; nothing above |labels| x dim shuffles."""
+    from gordo_spark.operators.similarity import embedding_drift
+
+    return embedding_drift(read_table(spark, sf_dir, "embeddings"))
+
+
+O_EMBEDDING_DRIFT = """
+WITH v AS (
+  SELECT label,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS h,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, h, pos, avg(val) AS c, count(*) AS n
+  FROM v GROUP BY 1, 2, 3
+),
+wide AS (
+  SELECT label, pos,
+         sum(CASE WHEN h = 0 THEN c END) AS a,
+         sum(CASE WHEN h = 1 THEN c END) AS b,
+         max(CASE WHEN h = 0 THEN n END) AS na,
+         max(CASE WHEN h = 1 THEN n END) AS nb
+  FROM cent GROUP BY 1, 2
+),
+agg AS (
+  SELECT label,
+         sum(a * b) AS dot,
+         sqrt(sum(a * a)) AS la,
+         sqrt(sum(b * b)) AS lb,
+         sqrt(sum((a - b) * (a - b))) AS l2,
+         CAST(max(na) AS BIGINT) AS n_ref,
+         CAST(max(nb) AS BIGINT) AS n_cur
+  FROM wide GROUP BY label
+)
+SELECT label,
+       ROUND(CASE WHEN la > 0 AND lb > 0 THEN dot / (la * lb) END, 6)
+         AS cosine,
+       ROUND(l2, 6) AS l2,
+       n_ref, n_cur
+FROM agg
+"""
+
+
 def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label intra-class cohesion
     (operators/similarity.label_cohesion): mean cosine of each vector to
@@ -9080,6 +9130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_curriculum": q_length_curriculum,
         "label_centroids": q_label_centroids,
         "label_cohesion": q_label_cohesion,
+        "embedding_drift": q_embedding_drift,
         "embedding_norms": q_embedding_norms,
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "events_interval_join": q_events_interval_join,
@@ -9329,6 +9380,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_take": O_SAMPLE_TAKE,
         "label_centroids": O_LABEL_CENTROIDS,
         "label_cohesion": O_LABEL_COHESION,
+        "embedding_drift": O_EMBEDDING_DRIFT,
         "length_curriculum": O_LENGTH_CURRICULUM,
         "vocab_coverage": O_VOCAB_COVERAGE,
         "embedding_norms": O_EMBEDDING_NORMS,

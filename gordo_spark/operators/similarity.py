@@ -1550,3 +1550,63 @@ def quantize_embeddings(
         codes.alias("codes"),
         mse.alias("mse"),
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space drift per label between two deterministic halves
+    of the corpus (md5(id) parity — the sampling module's bucket
+    convention): cosine similarity and L2 distance between the halves'
+    per-label centroids, plus both halves' vector counts. The
+    vector-space member of the drift family — psi_drift / ks_drift
+    watch a scalar's distribution, this watches whether a CLASS has
+    moved in representation space (an embedding-model upgrade or a
+    domain shift shows here first, long before scalar metrics drift).
+
+    Pure JVM column algebra: posexplode -> (label, half, pos) avg with
+    map-side partial aggregation (each partition pre-reduces to
+    |labels| x 2 x dim cells), a conditional-agg pivot onto (label,
+    pos), then one |labels|-row reduction for dot/norms. No Python, no
+    UDF, nothing above |labels| x dim ever shuffles. Output:
+    ``(label, cosine, l2, n_ref, n_cur)`` — cosine near 1 = stable.
+    """
+    from gordo_spark.operators.dedup import md5_long
+
+    half = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(2))
+    narrow = df.select(
+        F.col(label_col).alias("label"),
+        half.alias("_h"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    cent = narrow.groupBy("label", "_h", "pos").agg(
+        F.avg("val").alias("_c"), F.count(F.lit(1)).alias("_n")
+    )
+    wide = cent.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("_h") == 0, F.col("_c"))).alias("_a"),
+        F.sum(F.when(F.col("_h") == 1, F.col("_c"))).alias("_b"),
+        F.max(F.when(F.col("_h") == 0, F.col("_n"))).alias("_na"),
+        F.max(F.when(F.col("_h") == 1, F.col("_n"))).alias("_nb"),
+    )
+    agg = wide.groupBy("label").agg(
+        F.sum(F.col("_a") * F.col("_b")).alias("_dot"),
+        F.sqrt(F.sum(F.col("_a") * F.col("_a"))).alias("_la"),
+        F.sqrt(F.sum(F.col("_b") * F.col("_b"))).alias("_lb"),
+        F.sqrt(F.sum((F.col("_a") - F.col("_b")) * (F.col("_a") - F.col("_b")))).alias("_l2"),
+        F.max("_na").alias("n_ref"),
+        F.max("_nb").alias("n_cur"),
+    )
+    cos = F.when(
+        (F.col("_la") > 0) & (F.col("_lb") > 0),
+        F.col("_dot") / (F.col("_la") * F.col("_lb")),
+    )
+    return agg.select(
+        "label",
+        F.round(cos, 6).alias("cosine"),
+        F.round("_l2", 6).alias("l2"),
+        "n_ref",
+        "n_cur",
+    )
