@@ -169,6 +169,15 @@ HEADLINE = [
     "group_quantiles",
     "fs_match_scores",
     "mm_ahash_dedup",
+    "ab_test",
+    "tag_mutual_info",
+    "reconcile_totals",
+    "k_anonymity",
+    "cdc_apply",
+    "salvage_paragraphs",
+    "score_calibration",
+    "holt_backtest",
+    "embedding_drift",
     "wordlist_filter",
     "zorder_keys",
     "scd2_history",
