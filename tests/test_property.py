@@ -480,3 +480,69 @@ def test_duplicate_spans_property_finds_planted_run(spark, case):
     r = out[0]
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert (r["start_a"], r["start_b"], r["span_tokens"]) == (off_a, off_b, run_len)
+
+
+@st.composite
+def cdc_case(draw):
+    """Random snapshot + change log with colliding keys/timestamps."""
+    keys = draw(st.lists(st.integers(0, 9), min_size=0, max_size=6, unique=True))
+    n_ch = draw(st.integers(min_value=0, max_value=20))
+    changes = [
+        (
+            draw(st.integers(0, 9)),                        # key
+            draw(st.integers(0, 5)),                        # ts (collisions!)
+            draw(st.sampled_from(["I", "U", "D"])),         # op
+            draw(st.integers(-100, 100)),                   # value (tiebreak)
+        )
+        for _ in range(n_ch)
+    ]
+    return keys, changes
+
+
+@given(case=cdc_case())
+@settings(**SETTINGS)
+def test_cdc_apply_matches_python_latest_wins(spark, case):
+    """cdc_apply == a dict simulation picking max (ts, value, op) per key:
+    deletes drop, inserts/updates take the winning row's value, untouched
+    snapshot keys survive."""
+    import datetime as dt
+
+    from gordo_spark.sources.lake import cdc_apply
+
+    keys, changes = case
+    T0 = dt.datetime(2024, 1, 1)
+    snap = spark.createDataFrame(
+        [(k, float(k * 10)) for k in keys] or [(None, None)], "k int, v double"
+    ).filter("k IS NOT NULL")
+    ch_rows = [
+        (k, T0 + dt.timedelta(hours=ts), op, float(val))
+        for (k, ts, op, val) in changes
+    ]
+    ch = spark.createDataFrame(
+        ch_rows or [(None, None, None, None)],
+        "k int, ts timestamp, op string, v double",
+    ).filter("k IS NOT NULL")
+    got = {
+        r["k"]: (r["v"], r["action"])
+        for r in cdc_apply(snap, ch, ["k"], tiebreak_cols=["v"]).collect()
+    }
+
+    # pure-python reference: winner = max (ts, v, op) per key
+    latest = {}
+    for k, ts, op, val in changes:
+        cand = (ts, float(val), op)
+        if k not in latest or cand > latest[k]:
+            latest[k] = cand
+    expect = {}
+    for k in keys:
+        if k in latest:
+            ts, val, op = latest[k]
+            if op == "D":
+                continue
+            expect[k] = (val, "updated")
+        else:
+            expect[k] = (float(k * 10), "kept")
+    for k, (ts, val, op) in latest.items():
+        if k not in keys and op != "D":
+            expect[k] = (val, "inserted")
+    assert got == expect
