@@ -8969,6 +8969,48 @@ FROM p GROUP BY 1
 """
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (operators/graph.k_core): 8
+    fixed peel rounds (degree agg + two endpoint semi-joins each) on
+    the same support-filtered edges as the triangle census — the
+    dense-cohesion extraction; oracle unrolls the identical rounds as
+    CTEs (the pagerank trick)."""
+    from gordo_spark.operators.graph import co_occurrence_edges, k_core
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return k_core(edges, k=3, rounds=8)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    head = """
+WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+cnt AS (
+  SELECT a.p AS a, b.p AS b, count(*) AS n
+  FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM cnt WHERE n >= 2),
+a0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f""",
+k{r} AS MATERIALIZED (
+  SELECT src AS v FROM a{r - 1} GROUP BY src HAVING count(*) >= {k}
+),
+a{r} AS MATERIALIZED (
+  SELECT x.src, x.dst FROM a{r - 1} x
+  JOIN k{r} s ON x.src = s.v JOIN k{r} d ON x.dst = d.v
+)""")
+    tail = f"""
+SELECT src AS v, CAST(count(*) AS BIGINT) AS degree
+FROM a{rounds} GROUP BY src
+"""
+    return head + "".join(steps) + tail
+
+
+O_KCORE = _kcore_sql()
+
+
 def q_mm_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs over binary media payloads
     (operators/multimodal.ahash_64 + ahash_near_dups): Arrow-batched
@@ -9214,6 +9256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocked_pairs": q_er_blocked_pairs,
         "triangle_count": q_triangle_count,
         "pagerank": q_pagerank,
+        "kcore": q_kcore,
         "mm_ahash_dedup": q_mm_ahash_dedup,
         "fs_match_scores": q_fs_match_scores,
         "hll_distinct": q_hll_distinct,
@@ -9464,6 +9507,7 @@ def oracle_sql() -> dict[str, str]:
         "er_blocked_pairs": O_ER_BLOCKED_PAIRS,
         "triangle_count": O_TRIANGLE_COUNT,
         "pagerank": O_PAGERANK,
+        "kcore": O_KCORE,
         "mm_ahash_dedup": O_MM_AHASH_DEDUP,
         "fs_match_scores": O_FS_MATCH_SCORES,
         "hll_distinct": O_HLL_DISTINCT,

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["co_occurrence_edges", "pagerank", "triangle_stats"]
+__all__ = ["co_occurrence_edges", "k_core", "pagerank", "triangle_stats"]
 
 
 def co_occurrence_edges(
@@ -175,4 +175,55 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ),
             6,
         ).alias("global_clustering"),
+    )
+
+
+def k_core(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """Fixed-round k-core peeling of an undirected edge list (``a, b``
+    with ``a < b``): repeatedly drop nodes with degree < ``k`` and
+    recompute — the standard "dense cohesive subgraph" extraction
+    (items that co-sell as a CLIQUE-ish cluster survive; pendant/chain
+    structure peels away). Like :func:`pagerank`, the round count is
+    FIXED rather than run-to-fixpoint so the identical arithmetic is
+    oracle-checkable as unrolled CTEs; peeling converges in at most a
+    few rounds on support-filtered co-occurrence graphs (each round
+    strictly shrinks the node set, and the contract pins the 8-round
+    result either way).
+
+    Per round: one degree aggregation + two semi-joins (both edge
+    endpoints must survive) — all keyed on node ids, nothing
+    quadratic. The symmetrized base is localCheckpoint'd once (the
+    module's lineage-truncation discipline); rounds then touch only
+    the shrinking edge frame. Output: ``(v, degree)`` of the surviving
+    subgraph — empty when nothing reaches core ``k``.
+    """
+    e = edges.select("a", "b")
+    dirs = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst").localCheckpoint()
+    alive = dirs
+    for _ in range(int(rounds)):
+        deg = alive.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).alias("_d")
+        )
+        keep = deg.filter(F.col("_d") >= int(k)).select("v")
+        # each round references the previous one THREE times (degree agg
+        # + both endpoint probes): left lazy, the plan fans out 3^rounds
+        # — so every round is materialized (same discipline as
+        # connected_components; the oracle mirrors it with MATERIALIZED
+        # CTEs). The frame strictly shrinks, so pinning it is bounded.
+        alive = (
+            alive.join(keep.withColumnRenamed("v", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        alive.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )

@@ -361,6 +361,19 @@ def test_theil_sen_ignores_one_outlier(spark):
     assert row["sen_slope_per_hour"] == pytest.approx(2.0, abs=1e-6)
 
 
+def test_k_core_peels_pendants(spark):
+    from gordo_spark.operators.graph import k_core
+
+    # triangle 1-2-3 with a pendant chain 3-4, 4-5: 2-core = the
+    # triangle only (peeling 5 exposes 4, which then peels too)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "a int, b int"
+    )
+    core2 = {r["v"]: r["degree"] for r in k_core(edges, k=2, rounds=8).collect()}
+    assert core2 == {1: 2, 2: 2, 3: 2}
+    assert k_core(edges, k=3, rounds=8).count() == 0
+
+
 def test_co_occurrence_edges_support_filter(spark):
     from gordo_spark.operators.graph import co_occurrence_edges
 
