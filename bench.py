@@ -178,6 +178,7 @@ HEADLINE = [
     "score_calibration",
     "holt_backtest",
     "embedding_drift",
+    "kcore",
     "wordlist_filter",
     "zorder_keys",
     "scd2_history",
