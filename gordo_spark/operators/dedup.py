@@ -1248,8 +1248,10 @@ def lsh_eval(
     materialized via eager ``localCheckpoint`` — it feeds THREE
     consumers (banding, and both endpoints of the truth-size join),
     and without truncation each consumer re-runs the full corpus
-    shingling (measured: lazy fusion was 6.0 s vs 2.8 s at sf0.1; the
-    checkpoint restores ~2.4 s). It is doc-count x (k+1) longs — the
+    shingling (the checkpoint removes one of the three corpus
+    shinglings; absolute sf0.1 timings swing 2.8-5.5 s with the shared
+    host's CPU allowance, so the claim here is the scan count, not a
+    wall-clock). It is doc-count x (k+1) longs — the
     bounded shape worth pinning in an eval harness that exists to be
     run on a sample corpus before a full dedup pass. Candidates and
     truth are both pair-keyed bounded frames by the time they meet in

@@ -804,8 +804,8 @@ def theil_sen(
     in favor of the exact estimator on a bounded grid. The pairs run as
     a vectorized numpy outer difference on the sanctioned per-series
     Arrow path (one group per tag — the LTTB/holt pattern; a same-tag
-    self-JOIN materializes every pair as a shuffle row and measured 4.0
-    s vs ~0.4 s at sf0.1 for identical output). Pairs with equal
+    self-JOIN materializes every pair as a shuffle row and measured
+    4.0 s vs 0.9 s for identical output at sf0.1, same host). Pairs with equal
     timestamps are excluded, matching the strict ``t_i < t_j`` join
     semantics; the median (numpy, linear-interpolation == Spark
     ``percentile(0.5)`` == DuckDB ``median``) returns RAW and is
