@@ -1248,10 +1248,12 @@ def lsh_eval(
     materialized via eager ``localCheckpoint`` — it feeds THREE
     consumers (banding, and both endpoints of the truth-size join),
     and without truncation each consumer re-runs the full corpus
-    shingling (the checkpoint removes one of the three corpus
-    shinglings; absolute sf0.1 timings swing 2.8-5.5 s with the shared
-    host's CPU allowance, so the claim here is the scan count, not a
-    wall-clock). It is doc-count x (k+1) longs — the
+    shingling (measured BOTH ways at sf0.1: checkpointing the per-doc
+    frame removes one corpus shingling; checkpointing the raw (id, sh)
+    frame as well goes the other way — it breaks the codegen fusion of
+    scan -> hash -> partial-agg that feeds the distinct exchange, 5.5
+    -> 8.8 s — so exactly the small fused frame is pinned and the wide
+    one is left to the exchange pipeline). It is doc-count x (k+1) longs — the
     bounded shape worth pinning in an eval harness that exists to be
     run on a sample corpus before a full dedup pass. Candidates and
     truth are both pair-keyed bounded frames by the time they meet in
