@@ -4235,6 +4235,57 @@ SELECT cluster_size, count(*) AS n_clusters FROM (
 """
 
 
+def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (operators/dedup.
+    best_survivors): per duplicate component keep the LONGEST member
+    (ties -> min id) — "keep the most complete copy", the curation
+    refinement of dedup_survivors' min-id rule. One max_by aggregation
+    on the component key after the same pairs->components chain."""
+    from gordo_spark.operators.dedup import (
+        best_survivors,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir).withColumn(
+        "_len", F.length("text").cast("long")
+    )
+    sigs = minhash_signatures(docs, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return best_survivors(docs, connected_components(pairs), "_len")
+
+
+O_DEDUP_BEST_SURVIVOR = f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+cc(id, label) AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
+),
+comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+q AS (
+  SELECT comp.component, d.doc_id, CAST(length(d.text) AS BIGINT) AS len
+  FROM ({_O_DOCS_DUPS}) d JOIN comp ON comp.id = d.doc_id
+),
+r AS (
+  SELECT component, doc_id, len,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY len DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS n_members
+  FROM q
+)
+SELECT component, doc_id AS survivor_id, len AS best,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r WHERE rn = 1
+"""
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: signatures -> LSH pairs -> connected components
     -> survivor corpus (one doc per duplicate component, everything else
@@ -7408,6 +7459,72 @@ FROM m
 """
 
 
+def q_seasonal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day quantile envelope per tag (operators/tsa.
+    seasonal_envelope): exact p10/p50/p90 per (tag, hour) — the robust
+    companion to w14's mean/z profile and the band a dashboard shades
+    behind the live trace. One hash agg on the bounded key."""
+    from gordo_spark.operators.tsa import seasonal_envelope
+
+    return seasonal_envelope(_events_long(spark, sf_dir))
+
+
+O_SEASONAL_ENVELOPE = """
+SELECT event_type AS tag, CAST(hour(ts) AS INT) AS hod,
+       count(value) AS n,
+       ROUND(quantile_cont(value, 0.1), 6) AS p10,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift: Pearson chi-square on the event-type x half
+    contingency table (operators/tsa.chisq_drift) — the drift-family
+    member for columns where PSI's bins and KS's ordering don't exist.
+    One (category, half) count + window marginals, one summary row."""
+    from gordo_spark.operators.tsa import chisq_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    return chisq_drift(ev, "event_type")
+
+
+O_CHISQ_DRIFT = """
+WITH span AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid FROM events),
+d AS (
+  SELECT event_type AS c, epoch(ts) < (SELECT mid FROM span) AS is_ref
+  FROM events
+),
+cnt AS (
+  SELECT c,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS nc
+  FROM d GROUP BY c
+),
+m AS (
+  SELECT nr, nc,
+         sum(nr) OVER () AS totr,
+         sum(nc) OVER () AS totc
+  FROM cnt
+),
+t AS (
+  SELECT nr, nc, totr, totc,
+         (nr + nc) * totr * 1.0 / (totr + totc) AS er,
+         (nr + nc) * totc * 1.0 / (totr + totc) AS ec
+  FROM m
+)
+SELECT ROUND(sum(CASE WHEN er > 0 THEN (nr - er) * (nr - er) / er ELSE 0 END
+           + CASE WHEN ec > 0 THEN (nc - ec) * (nc - ec) / ec ELSE 0 END), 6)
+         AS chi2,
+       CAST(count(*) - 1 AS BIGINT) AS dof,
+       CAST(max(totr) AS BIGINT) AS n_ref,
+       CAST(max(totc) AS BIGINT) AS n_cur,
+       CAST(count(*) AS BIGINT) AS n_categories
+FROM t
+"""
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket part affinity over orders (operators/affinity.
     pair_counts): one shuffle builds per-order sorted item arrays, pairs
@@ -9114,6 +9231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce": q_sim_bruteforce,
         "w3_ewma": q_w3_ewma,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_best_survivor": q_dedup_best_survivor,
         "normalize_text": q_normalize_text,
         "semdedup": q_semdedup,
         "m6_anomaly": q_m6_anomaly,
@@ -9234,6 +9352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_seasonal": q_w14_seasonal,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
+        "chisq_drift": q_chisq_drift,
+        "seasonal_envelope": q_seasonal_envelope,
         "ab_test": q_ab_test,
         "reconcile_totals": q_reconcile_totals,
         "k_anonymity": q_k_anonymity,
@@ -9407,6 +9527,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embed_cosine": O_DEDUP_EMBED,
         "dedup_components": O_DEDUP_COMPONENTS,
         "dedup_survivors": O_DEDUP_SURVIVORS,
+        "dedup_best_survivor": O_DEDUP_BEST_SURVIVOR,
         "text_stats": O_TEXT_STATS,
         "text_lang_id": O_TEXT_LANG,
         "text_fingerprint": O_TEXT_FP,
@@ -9485,6 +9606,8 @@ def oracle_sql() -> dict[str, str]:
         "w14_seasonal": O_W14_SEASONAL,
         "psi_drift": O_PSI_DRIFT,
         "ks_drift": O_KS_DRIFT,
+        "chisq_drift": O_CHISQ_DRIFT,
+        "seasonal_envelope": O_SEASONAL_ENVELOPE,
         "ab_test": O_AB_TEST,
         "reconcile_totals": O_RECONCILE_TOTALS,
         "k_anonymity": O_K_ANONYMITY,

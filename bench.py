@@ -179,6 +179,9 @@ HEADLINE = [
     "holt_backtest",
     "embedding_drift",
     "kcore",
+    "seasonal_envelope",
+    "chisq_drift",
+    "dedup_best_survivor",
     "wordlist_filter",
     "zorder_keys",
     "scd2_history",

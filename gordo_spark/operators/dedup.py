@@ -1325,3 +1325,43 @@ def lsh_eval(
             6,
         ).alias("precision"),
     )
+
+
+def best_survivors(
+    docs: DataFrame,
+    components: DataFrame,
+    order_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection per duplicate component: keep
+    the member maximizing ``order_col`` (ties -> smallest id) instead
+    of :func:`keep_survivors`' min-id convention — "keep the most
+    complete copy" (near-dup families produced by truncation/boiler
+    differ in length; min-id keeps whichever crawled first, this keeps
+    the best one). ``order_col`` is any per-doc ranking signal:
+    ``length(text)``, a quality score, a source priority.
+
+    One id-keyed equi-join hangs the signal on the component labels
+    (unique ids — no skew), then ONE ``max(struct)`` aggregation per
+    component — map-side combinable, no window. Output: ``(component,
+    survivor_id, best, n_members)``; docs never in any candidate pair
+    are not components members and are untouched upstream (same
+    contract as keep_survivors).
+    """
+    j = docs.select(F.col(id_col), F.col(order_col).alias("_q")).join(
+        components.select(F.col("id").alias(id_col), "component"), id_col
+    )
+    best = j.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("_q").alias("q"), (-F.col(id_col)).alias("negid")
+            )
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
+        "component",
+        (-F.col("_b.negid")).alias("survivor_id"),
+        F.col("_b.q").alias("best"),
+        "n_members",
+    )

@@ -31,6 +31,8 @@ __all__ = [
     "mean_shift_changepoint",
     "psi_drift",
     "rolling_corr",
+    "chisq_drift",
+    "seasonal_envelope",
     "seasonal_profile",
     "tag_mutual_info",
     "theil_sen",
@@ -854,4 +856,93 @@ def theil_sen(
         tag_col,
         F.round("_sen", 6).alias("sen_slope_per_hour"),
         "n_pairs",
+    )
+
+
+def seasonal_envelope(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day quantile envelope per tag: exact p10/p50/p90 of the
+    value per ``(tag, hour)`` bucket — the robust companion to
+    :func:`seasonal_profile`'s mean/z (one stuck-high day drags a mean
+    profile; the median envelope holds), and the table a dashboard
+    shades behind the live trace ("is now inside the usual band for
+    3am?").
+
+    One hash aggregation on the bounded ``(tag, hod)`` key; exact
+    ``percentile`` buffers per-group values — bounded here by
+    rows-per-(tag,hour-slot), with ``approx_percentile`` as the
+    documented swap for unbounded groups (the group_quantiles
+    convention). Output: ``(tag, hod, n, p10, p50, p90)``.
+    """
+    pct = F.percentile(value_col, F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)))
+    return df.groupBy(F.col(tag_col), F.hour(ts_col).alias("hod")).agg(
+        F.count(value_col).alias("n"),
+        F.round(F.get(pct, 0), 6).alias("p10"),
+        F.round(F.get(pct, 1), 6).alias("p50"),
+        F.round(F.get(pct, 2), 6).alias("p90"),
+    )
+
+
+def chisq_drift(
+    df: DataFrame,
+    cat_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Categorical drift between the first and second half of the
+    observed range (same midpoint convention as :func:`psi_drift` /
+    :func:`ks_drift`): Pearson chi-square over the category x half
+    contingency table — the member of the drift family for columns
+    where PSI's numeric bins and KS's ordering don't exist (event
+    types, sources, labels). Output one row: ``(chi2, dof, n_ref,
+    n_cur, n_categories)`` — compare chi2 against the chi-square
+    critical value at ``dof`` for the drift verdict (the critical
+    lookup is a table, deliberately left to the caller; unlike KS
+    there is no scale-free bound).
+
+    Plan: one 1-row midpoint scalar (broadcast), ONE ``(category,
+    half)`` count aggregation, window marginals over the bounded
+    category frame (the psi_drift join-back avoidance), one summary
+    row. Everything map-side combinable.
+    """
+    span = df.agg(F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")).select(
+        (
+            (
+                F.col("_t0").cast("timestamp").cast("long")
+                + F.col("_t1").cast("timestamp").cast("long")
+            )
+            / 2
+        ).alias("_mid")
+    )
+    d = df.crossJoin(F.broadcast(span)).select(
+        F.col(cat_col).alias("_c"),
+        (F.col(ts_col).cast("timestamp").cast("long") < F.col("_mid")).alias(
+            "_is_ref"
+        ),
+    )
+    cnt = d.groupBy("_c").agg(
+        F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).alias("_nr"),
+        F.sum(F.when(~F.col("_is_ref"), 1).otherwise(0)).alias("_nc"),
+    )
+    wall = Window.partitionBy()
+    cnt = (
+        cnt.withColumn("_totr", F.sum("_nr").over(wall))
+        .withColumn("_totc", F.sum("_nc").over(wall))
+    )
+    tot = F.col("_totr") + F.col("_totc")
+    row_tot = F.col("_nr") + F.col("_nc")
+    e_r = row_tot * F.col("_totr") / tot
+    e_c = row_tot * F.col("_totc") / tot
+    term = F.when(e_r > 0, (F.col("_nr") - e_r) * (F.col("_nr") - e_r) / e_r).otherwise(0.0) + F.when(
+        e_c > 0, (F.col("_nc") - e_c) * (F.col("_nc") - e_c) / e_c
+    ).otherwise(0.0)
+    return cnt.agg(
+        F.round(F.sum(term), 6).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.max("_totr").alias("n_ref"),
+        F.max("_totc").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_categories"),
     )
