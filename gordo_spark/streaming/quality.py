@@ -200,3 +200,126 @@ def stream_ab_counts(
             "approx_units",
         )
     )
+
+
+def psi_reference(
+    df: DataFrame,
+    tag_col: str = "tag",
+    value_col: str = "value",
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Batch-side reference for :func:`stream_psi_monitor`: per tag,
+    the bin bounds (min/max -> fixed-width, the psi_drift convention)
+    and the reference proportion of each bin, pivoted WIDE (one row
+    per tag: ``lo, hi, p0..p{bins-1}``) so the stream can attach it
+    with a single broadcast join. Proportions are eps-floored exactly
+    like ``tsa.psi_drift``.
+    """
+    bounds = df.groupBy(tag_col).agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / bins
+    binned = df.join(bounds, tag_col).select(
+        F.col(tag_col),
+        F.when(
+            width > 0,
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col(value_col) - F.col("lo")) / width),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_bin"),
+    )
+    counts = binned.groupBy(tag_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum((F.col("_bin") == b).cast("long")).alias(f"_c{b}")
+            for b in range(bins)
+        ],
+    )
+    props = counts.select(
+        tag_col,
+        *[
+            F.greatest(F.col(f"_c{b}") / F.col("_n"), F.lit(eps)).alias(f"p{b}")
+            for b in range(bins)
+        ],
+    )
+    return bounds.join(props, tag_col)
+
+
+def stream_psi_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    tag_col: str = "tag",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Live PSI drift monitor: per event-time window and tag, the
+    Population Stability Index of the window's value distribution
+    against a FROZEN batch reference (:func:`psi_reference`) — the
+    streaming member of the drift family (psi/ks/chisq watch batch
+    halves; this watches the live feed against last quarter's shape,
+    raising the alarm within a window of the shift instead of at the
+    next batch audit).
+
+    Deliberately ONE stateful aggregation (the stream_ab_counts
+    discipline): the tiny wide reference broadcasts onto the stream
+    BEFORE aggregation (bin assignment is row-local against the
+    attached lo/hi), the windowed agg folds the ``bins`` conditional
+    counts + total in one pass, and the PSI sum over bins is a
+    row-local expression over the aggregated row — no second stateful
+    step, no post-agg stream join. State: windows x tags x (bins+1)
+    longs, watermark-bounded. Output: ``(window_start, tag, n, psi)``;
+    identical on a batch frame (stream==batch pinned in tests).
+    """
+    width = (F.col("hi") - F.col("lo")) / bins
+    binned = stream.join(F.broadcast(reference), tag_col).select(
+        F.col(ts_col),
+        F.col(tag_col),
+        *[F.col(f"p{b}") for b in range(bins)],
+        F.when(
+            width > 0,
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col(value_col) - F.col("lo")) / width),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_bin"),
+    )
+    if binned.isStreaming:
+        binned = binned.withWatermark(ts_col, watermark)
+    agg = binned.groupBy(
+        F.window(F.col(ts_col), window).alias("win"), F.col(tag_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("_bin") == b).cast("long")).alias(f"_c{b}")
+            for b in range(bins)
+        ],
+        *[F.first(f"p{b}").alias(f"_p{b}") for b in range(bins)],
+    )
+    term = None
+    for b in range(bins):
+        q = F.greatest(F.col(f"_c{b}") / F.col("n"), F.lit(eps))
+        p = F.col(f"_p{b}")
+        t = (q - p) * F.log(q / p)
+        term = t if term is None else term + t
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col(tag_col),
+        "n",
+        F.round(term, 6).alias("psi"),
+    )

@@ -111,6 +111,8 @@ ACCEPTED = {
     "scalar frames broadcast to the pair table",
     "zorder_keys": "1-row per-column min/max bounds frame broadcast to "
     "the scan (the Morton bit-scaling scalars)",
+    "chisq_drift": "1-row time-range-midpoint scalar broadcast to the "
+    "stream (the psi_drift split convention)",
 }
 COUNTED = (
     ("exchanges", r"\bExchange\b"),

@@ -1235,3 +1235,52 @@ def test_stream_ab_counts_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
     assert set(got["variant"]) == {0, 1}
     assert got["n_success"].sum() == 12
+
+
+def test_stream_psi_monitor_matches_batch_and_flags_shift(spark, tmp_path):
+    """Windowed PSI vs a frozen reference: closed stream windows equal
+    the batch aggregation, an in-distribution window scores ~0 and a
+    shifted window scores high."""
+    import pandas as pd
+
+    from gordo_spark.streaming.quality import psi_reference, stream_psi_monitor
+
+    t0 = pd.Timestamp("2024-01-01")
+    ref_pdf = pd.DataFrame(
+        {"tag": ["a"] * 100, "value": [float(i % 20) for i in range(100)]}
+    )
+    reference = psi_reference(spark.createDataFrame(ref_pdf))
+    # hour 0: same distribution; hour 1: +100 level shift
+    live = pd.DataFrame(
+        {
+            "ts": [t0 + pd.Timedelta(minutes=i) for i in range(50)]
+            + [t0 + pd.Timedelta(hours=1, minutes=i) for i in range(50)],
+            "tag": ["a"] * 100,
+            "value": [float(i % 20) for i in range(50)]
+            + [float(i % 20 + 100) for i in range(50)],
+        }
+    )
+    src = str(tmp_path / "psi_src")
+    spark.createDataFrame(live).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_psi_monitor(stream, reference, window="1 hour")
+        .writeStream.format("memory")
+        .queryName("psi_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("psi_stream")
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    exp = (
+        stream_psi_monitor(spark.read.parquet(src), reference, window="1 hour")
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.loc[0, "psi"] < 0.05           # in-distribution hour
+    assert got.loc[1, "psi"] > 1.0            # everything lands in the edge bin
