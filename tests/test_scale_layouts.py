@@ -655,7 +655,12 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path, sf_dir):
         ).count()
 
     n_plain, n_z = overlapping(plain), overlapping(zpath)
-    assert n_plain == n_files  # sorted on partkey: suppkey spans every file
+    # repartitionByRange SAMPLES its boundaries (nondeterministic seed),
+    # so the plain layout may land on fewer than n_files non-empty files:
+    # compare against the files it actually wrote, not the requested count
+    n_plain_files = file_ranges(spark, plain, ["l_partkey", "l_suppkey"]).count()
+    assert n_plain == n_plain_files  # sorted on partkey: suppkey spans ALL files
+    assert n_plain_files >= n_files // 2
     assert n_z <= n_plain / 2  # z-order: tight rectangles on BOTH dims
     # the layout is a permutation, not a transformation
     a = spark.read.parquet(plain).orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").toPandas()
