@@ -12,9 +12,11 @@ Stages (each is a contract-tested operator; see SURVEY.md §8):
  3. outage map    — grid_gaps localizes missing-bucket runs per tag
  4. daily rollups — time-weighted average (irregular-sampling-safe) and
                     OHLC candles straight off the RAW stream
- 5. fleet screen  — per-tag trend slope (regr_*), Dickey-Fuller
-                    stationarity verdict, single best mean-shift
-                    changepoint, hour-of-day seasonality z
+ 5. fleet screen  — per-tag trend slope (regr_*) with Theil-Sen
+                    robust cross-check, Dickey-Fuller stationarity
+                    verdict, KS half-range drift, single best mean-shift
+                    changepoint, hour-of-day seasonality z + p10/p50/p90
+                    envelope
  6. coupling      — lead-lag cross-correlation at ±2h between all tag
                     pairs; rolling 7-day click/view correlation
  7. viz export    — LTTB 200-point downsample + SAX 16-letter shape
@@ -40,9 +42,12 @@ from gordo_spark.operators.tsa import (
     adf_screen,
     cross_correlation,
     grid_gaps,
+    ks_drift,
     mean_shift_changepoint,
     rolling_corr,
+    seasonal_envelope,
     seasonal_profile,
+    theil_sen,
     time_weighted_avg,
     trend,
 )
@@ -83,8 +88,14 @@ def diagnose(spark, sf_dir: str, out_dir: str):
             ),
             "tag",
         )
+        # robust cross-check: OLS slope vs Theil-Sen pairwise median —
+        # a large disagreement means a spike is driving the OLS number
+        .join(theil_sen(repaired), "tag")
+        # distribution drift: binning-free KS between the range halves
+        .join(ks_drift(repaired).select("tag", "ks", "drift"), "tag")
     )
     seasonal = seasonal_profile(repaired)
+    envelope = seasonal_envelope(repaired)
 
     # 6. coupling between tags
     xcorr = cross_correlation(repaired, [-2, -1, 0, 1, 2], 3600)
@@ -100,6 +111,7 @@ def diagnose(spark, sf_dir: str, out_dir: str):
         ("candles", candles, ["tag"]),
         ("screen", screen, None),
         ("seasonal", seasonal, ["tag"]),
+        ("envelope", envelope, ["tag"]),
         ("xcorr", xcorr, None),
         ("coupling", coupling, None),
         ("lttb", points, ["tag"]),

@@ -798,10 +798,12 @@ def test_sensors_pipeline_end_to_end(spark, tmp_path, sf_dir):
     for r in rows.values():
         assert r["n"] > 0 and r["slope_per_hour"] is not None
         assert r["stationary"] in (True, False)
+        assert r["sen_slope_per_hour"] is not None
+        assert r["ks"] is not None
     import os as _os
 
     for name in ("gaps", "twa_daily", "candles", "screen", "seasonal",
-                 "xcorr", "coupling", "lttb", "sax"):
+                 "envelope", "xcorr", "coupling", "lttb", "sax"):
         assert _os.path.isdir(_os.path.join(out, name))
     # the dashboard tier reads back per-tag partitions
     back = spark.read.parquet(_os.path.join(out, "lttb"))
