@@ -232,22 +232,37 @@ def main() -> None:
         timings[name] = min(cold, steady[name])
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value_steady": round(sum(steady.values()), 3),
-                "queries_steady": steady,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_steady": round(sum(steady.values()), 3),
+        "queries_steady": steady,
+        "sf": sf,
+    }
+    # persist the COMPLETE per-query map to a round-stamped file: the
+    # driver's tail capture truncates the stdout line (~80 of 167 queries
+    # survived in BENCH_r06.json), so round-over-round comparison needs a
+    # durable full artifact. Round = 1 + newest driver BENCH_r{N}.json.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 0
+    full_path = os.path.join(here, f"BENCH_local_r{rnd}.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        full_path = None
+    print(json.dumps(full))
     # compact LAST line: the full per-query line above can exceed the
     # driver's tail capture (BENCH_r02/r03 recorded parsed=null) — totals
-    # alone always fit, so the machine-readable summary survives
+    # alone always fit, so the machine-readable summary survives and
+    # points at the full per-query artifact written above
     print(
         json.dumps(
             {
@@ -257,6 +272,7 @@ def main() -> None:
                 "value_steady": round(sum(steady.values()), 3),
                 "n_queries": len(timings),
                 "sf": sf,
+                "full_results_file": full_path,
             }
         )
     )

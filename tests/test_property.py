@@ -113,12 +113,18 @@ def test_interpolate_matches_pandas(spark, pdf, limit, method):
     assert len(got) == len(exp)
     mask = exp["value"].notna()
     assert (got["value"].notna() == mask).all()
-    # atol floor: interpolating between 0 and a tiny NORMAL double (e.g.
-    # DBL_MIN ~2.2e-308, which allow_subnormal=False still generates)
-    # yields a SUBNORMAL result, where Spark's and pandas' formulas round
-    # differently — absolute noise below 1e-300 is not a semantic mismatch
+    # atol model: linear interpolation crossing zero (e.g. -1.9 -> 1.9)
+    # suffers catastrophic cancellation — pandas lands on exactly 0.0,
+    # Spark on ~1 ulp of the INPUT magnitude (2.2e-16 for O(1) anchors).
+    # A pure-relative check is meaningless when the expected value is ~0,
+    # so scale the absolute floor by the data magnitude: cancellation
+    # noise is bounded by eps * max(|anchors|), not by the result's size.
+    scale = max(1.0, float(np.abs(exp.loc[mask, "value"]).max())) if mask.any() else 1.0
     np.testing.assert_allclose(
-        got.loc[mask, "value"], exp.loc[mask, "value"], rtol=1e-9, atol=1e-300
+        got.loc[mask, "value"],
+        exp.loc[mask, "value"],
+        rtol=1e-9,
+        atol=1e-12 * scale,
     )
 
 

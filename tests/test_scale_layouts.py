@@ -632,36 +632,53 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path, sf_dir):
     layout (which prunes only its sort key); contents identical."""
     from gordo_spark.sources.zorder import file_ranges, write_zordered
 
+    # probe dim must have enough distinct values for per-file rectangles
+    # to be meaningful at 16 files: l_partkey has 200 distinct at sf0.001
+    # (l_suppkey has only 10, which starves the rectangles — a 2-value
+    # band there IS 20% of the domain and can never prune 2x at 16 files)
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
     plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zord")
     n_files = 16
     (
-        li.repartitionByRange(n_files, "l_partkey")
-        .sortWithinPartitions("l_partkey")
+        li.repartitionByRange(n_files, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
         .write.mode("overwrite")
         .parquet(plain)
     )
-    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=n_files)
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=n_files)
 
-    hi_s = li.agg(F.max("l_suppkey")).collect()[0][0]
-    lo, hi = 1, max(2, hi_s // 20)  # ~5% band on the NON-sort dimension
+    hi_s = li.agg(F.max("l_partkey")).collect()[0][0]
+    width = max(1, hi_s // 20)  # ~5% bands on the NON-sort dimension
 
-    def overlapping(path):
-        fr = file_ranges(spark, path, ["l_partkey", "l_suppkey"])
+    def overlapping(path, lo, hi):
+        fr = file_ranges(spark, path, ["l_orderkey", "l_partkey"])
         return fr.filter(
-            (F.col("min_l_suppkey") <= hi) & (F.col("max_l_suppkey") >= lo)
+            (F.col("min_l_partkey") <= hi) & (F.col("max_l_partkey") >= lo)
         ).count()
 
-    n_plain, n_z = overlapping(plain), overlapping(zpath)
     # repartitionByRange SAMPLES its boundaries (nondeterministic seed),
-    # so the plain layout may land on fewer than n_files non-empty files:
-    # compare against the files it actually wrote, not the requested count
-    n_plain_files = file_ranges(spark, plain, ["l_partkey", "l_suppkey"]).count()
-    assert n_plain == n_plain_files  # sorted on partkey: suppkey spans ALL files
+    # so BOTH layouts' per-file rectangles carry sampling noise; a single
+    # band at 16 files can land inside it (observed 9 vs 8). Assert the
+    # guarantee the layout actually makes: averaged over several bands at
+    # different positions, the z-layout overlaps at most half the files
+    # the partkey-sorted layout does, and never more on any single band.
+    bands = [
+        (max(1, int(hi_s * f)), max(1, int(hi_s * f)) + width)
+        for f in (0.05, 0.45, 0.85)
+    ]
+    tot_plain = tot_z = 0
+    for lo, hi in bands:
+        n_plain, n_z = overlapping(plain, lo, hi), overlapping(zpath, lo, hi)
+        assert n_z <= n_plain  # z never worse on the non-sort dim
+        tot_plain += n_plain
+        tot_z += n_z
+    n_plain_files = file_ranges(spark, plain, ["l_orderkey", "l_partkey"]).count()
+    # sorted on orderkey: partkey spans ALL files for every band
+    assert tot_plain == 3 * n_plain_files
     assert n_plain_files >= n_files // 2
-    assert n_z <= n_plain / 2  # z-order: tight rectangles on BOTH dims
+    assert tot_z <= tot_plain / 2  # z-order: tight rectangles on BOTH dims
     # the layout is a permutation, not a transformation
     a = spark.read.parquet(plain).orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").toPandas()
     b = spark.read.parquet(zpath).orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").toPandas()
