@@ -7307,7 +7307,10 @@ SELECT
   CAST(sum(CASE WHEN stored IS NULL AND rec IS NOT NULL
             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_child_groups,
   ROUND(max(CASE WHEN stored IS NOT NULL AND rec IS NOT NULL
-                 THEN abs(stored - rec) / abs(stored) END), 6)
+                  AND abs(stored) > 0
+                 THEN abs(stored - rec) / abs(stored)
+                 WHEN stored IS NOT NULL AND rec IS NOT NULL
+                  AND abs(stored - rec) = 0 THEN 0.0 END), 6)
     AS max_rel_err
 FROM j
 """
@@ -7381,8 +7384,8 @@ one AS (
 ),
 st AS (
   SELECT n_a, n_b, conv_a, conv_b,
-         conv_a / CAST(n_a AS DOUBLE) AS pa,
-         conv_b / CAST(n_b AS DOUBLE) AS pb,
+         CASE WHEN n_a > 0 THEN conv_a / CAST(n_a AS DOUBLE) END AS pa,
+         CASE WHEN n_b > 0 THEN conv_b / CAST(n_b AS DOUBLE) END AS pb,
          (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pool
   FROM one
 ),
@@ -7395,7 +7398,7 @@ z AS (
 )
 SELECT n_a, n_b, conv_a, conv_b,
        ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b, ROUND(zv, 6) AS z,
-       abs(zv) > 1.96 AS significant
+       COALESCE(abs(zv) > 1.96, FALSE) AS significant
 FROM z
 """
 

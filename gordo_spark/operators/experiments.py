@@ -66,17 +66,40 @@ def ab_zstat(
     v = per_unit.groupBy("variant").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_s").alias("_c")
     )
+    # per-variant sums coalesce to 0 so a variant with zero units (tiny
+    # or skewed inputs) reports n=0/conv=0, not NULL; the rates and z
+    # stay NULL there (no defined proportion), but the verdict coalesces
+    # to False — callers filtering significant == False must not drop a
+    # degenerate experiment on a NULL sentinel
     one = v.agg(
-        F.sum(F.when(F.col("variant") == 0, F.col("_n"))).alias("n_a"),
-        F.sum(F.when(F.col("variant") == 1, F.col("_n"))).alias("n_b"),
-        F.sum(F.when(F.col("variant") == 0, F.col("_c"))).alias("conv_a"),
-        F.sum(F.when(F.col("variant") == 1, F.col("_c"))).alias("conv_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == 0, F.col("_n"))), F.lit(0)
+        ).alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == 1, F.col("_n"))), F.lit(0)
+        ).alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == 0, F.col("_c"))), F.lit(0)
+        ).alias("conv_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == 1, F.col("_c"))), F.lit(0)
+        ).alias("conv_b"),
     )
-    p_a = F.col("conv_a") / F.col("n_a")
-    p_b = F.col("conv_b") / F.col("n_b")
-    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
-    se = F.sqrt(
-        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    # every division sits behind a CASE branch (ANSI mode: a bare /0
+    # throws, it does not return NULL)
+    p_a = F.when(F.col("n_a") > 0, F.col("conv_a") / F.col("n_a"))
+    p_b = F.when(F.col("n_b") > 0, F.col("conv_b") / F.col("n_b"))
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    pool = F.when(
+        both,
+        (F.col("conv_a") + F.col("conv_b"))
+        / (F.col("n_a") + F.col("n_b")),
+    )
+    se = F.when(
+        both,
+        F.sqrt(
+            pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
     )
     z = F.when(se > 0, (p_b - p_a) / se)
     return one.select(
@@ -87,5 +110,7 @@ def ab_zstat(
         F.round(p_a, 6).alias("p_a"),
         F.round(p_b, 6).alias("p_b"),
         F.round(z, 6).alias("z"),
-        (F.abs(z) > F.lit(float(critical))).alias("significant"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(critical)), F.lit(False)
+        ).alias("significant"),
     )

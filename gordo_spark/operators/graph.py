@@ -101,7 +101,7 @@ def pagerank(
     nodes = deg.crossJoin(F.broadcast(total))
     ranks = nodes.select("v", "_d", "_n", (1.0 / F.col("_n")).alias("r"))
     d = float(damping)
-    for _ in range(int(iterations)):
+    for i in range(int(iterations)):
         contrib = (
             ranks.select("v", (F.col("r") / F.col("_d")).alias("_c"))
             .join(dirs, F.col("v") == F.col("src"))
@@ -117,6 +117,12 @@ def pagerank(
                 + d * F.coalesce(F.col("_s"), F.lit(0.0))
             ).alias("r"),
         )
+        # the carried frame's lineage grows linearly over the unrolled
+        # loop — fine at 8 iterations, Catalyst-quadratic at 50: truncate
+        # every 10th iteration (lazy checkpoint: pays only if a
+        # downstream action runs) so raising `iterations` stays safe
+        if (i + 1) % 10 == 0 and (i + 1) < int(iterations):
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("v", F.round("r", 6).alias("rank"))
 
 
@@ -178,23 +184,35 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
-    """Fixed-round k-core peeling of an undirected edge list (``a, b``
-    with ``a < b``): repeatedly drop nodes with degree < ``k`` and
-    recompute — the standard "dense cohesive subgraph" extraction
-    (items that co-sell as a CLIQUE-ish cluster survive; pendant/chain
-    structure peels away). Like :func:`pagerank`, the round count is
-    FIXED rather than run-to-fixpoint so the identical arithmetic is
-    oracle-checkable as unrolled CTEs; peeling converges in at most a
-    few rounds on support-filtered co-occurrence graphs (each round
-    strictly shrinks the node set, and the contract pins the 8-round
-    result either way).
+def k_core(
+    edges: DataFrame, k: int = 3, rounds: int | None = None
+) -> DataFrame:
+    """K-core peeling of an undirected edge list (``a, b`` with
+    ``a < b``): repeatedly drop nodes with degree < ``k`` and recompute
+    — the standard "dense cohesive subgraph" extraction (items that
+    co-sell as a CLIQUE-ish cluster survive; pendant/chain structure
+    peels away).
 
-    Per round: one degree aggregation + two semi-joins (both edge
-    endpoints must survive) — all keyed on node ids, nothing
-    quadratic. The symmetrized base is localCheckpoint'd once (the
-    module's lineage-truncation discipline); rounds then touch only
-    the shrinking edge frame. Output: ``(v, degree)`` of the surviving
+    ``rounds=None`` (the default) iterates to FIXPOINT with an
+    early-exit count per round (the connected_components pattern): the
+    result is the true k-core — every returned degree is >= k — on any
+    graph, including pendant chains deeper than any fixed round count.
+    Termination is guaranteed because each non-converged round strictly
+    shrinks the edge frame. Passing ``rounds=N`` pins EXACTLY the
+    N-round peel instead, which is what an engine-independent oracle
+    can mirror as unrolled CTEs; on a graph that has not converged by
+    round N the fixed-round output is a remnant, NOT a true k-core
+    (degrees < k can remain) — that mode exists for oracle parity, and
+    the early exit still fires when convergence lands sooner (a
+    converged round is a no-op, so exiting early returns the identical
+    frame the remaining unrolled rounds would).
+
+    Per round: one degree aggregation + two semi-joins (both endpoint
+    probes) — all keyed on node ids, nothing quadratic; plus one count
+    of the already-materialized frame for the convergence check. The
+    symmetrized base is localCheckpoint'd once (the module's
+    lineage-truncation discipline); rounds then touch only the
+    shrinking edge frame. Output: ``(v, degree)`` of the surviving
     subgraph — empty when nothing reaches core ``k``.
     """
     e = edges.select("a", "b")
@@ -207,7 +225,10 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
         ).alias("_e")
     ).select("_e.src", "_e.dst").localCheckpoint()
     alive = dirs
-    for _ in range(int(rounds)):
+    n_alive = alive.count()
+    r = 0
+    while n_alive > 0 and (rounds is None or r < int(rounds)):
+        r += 1
         deg = alive.groupBy(F.col("src").alias("v")).agg(
             F.count(F.lit(1)).alias("_d")
         )
@@ -223,6 +244,10 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint()
         )
+        n_next = alive.count()
+        if n_next == n_alive:
+            break  # fixpoint: every remaining degree >= k
+        n_alive = n_next
     return (
         alive.groupBy(F.col("src").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))

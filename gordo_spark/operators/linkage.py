@@ -92,12 +92,21 @@ def fs_scores(
 
     ``u`` (the chance two UNRELATED records agree on the field) is
     estimated from the data itself: ``sum_v n_v (n_v - 1) / (N (N-1))``
-    over the field's value histogram — one map-side-combinable groupBy
-    per field, each collapsing to a single scalar, assembled into ONE
-    broadcast 1-row frame. ``m`` (agreement chance among true matches)
-    is the caller's prior (labeled data is what refines it; 0.95
-    default). NULL field values count as disagreement on both sides of
-    a pair (u estimation likewise counts NULL as matching nothing).
+    over the field's value histogram — ONE pass over the records table
+    for ALL fields (each row explodes into ``(field, value)`` entries,
+    one hash aggregation builds every histogram at once, a pivot folds
+    the per-field scalars into one broadcast 1-row frame), not one
+    groupBy per field: at 100 TB, F comparison fields must not mean F
+    corpus scans for fit-time scalars. Estimated ``u`` is clamped into
+    ``[1e-9, 1 - 1e-9]`` (standard Fellegi-Sunter practice): an
+    all-unique field gives u = 0 and an all-constant field u = 1,
+    either of which would otherwise send a log weight to NULL and
+    silently null the whole pair score. The clamp never moves a
+    non-degenerate estimate (the smallest nonzero u is 2/(N(N-1))).
+    ``m`` (agreement chance among true matches) is the caller's prior
+    (labeled data is what refines it; 0.95 default). NULL field values
+    count as disagreement on both sides of a pair (u estimation
+    likewise counts NULL as matching nothing).
 
     Scale shape: two id-keyed equi-joins hang the field vectors on the
     pair endpoints (unique ids — no skew), the per-field scalars ride
@@ -105,28 +114,44 @@ def fs_scores(
     id_b, n_agree, score)``.
     """
     fields = list(field_cols)
-    total = records.agg(F.count(F.lit(1)).alias("_n"))
-    u_frames = []
-    for f in fields:
-        hist = (
-            records.filter(F.col(f).isNotNull())
-            .groupBy(f)
-            .agg(F.count(F.lit(1)).alias("_c"))
-        )
-        u_frames.append(
-            hist.agg(
-                F.sum(F.col("_c") * (F.col("_c") - 1)).alias(f"_pairs_{f}")
+    # single pass for every field's u: explode each row into
+    # (field, value-as-string) entries (NULL values kept so the total N
+    # rides the same aggregation), one hash agg -> per-(field, value)
+    # counts, a second tiny agg -> per-field (N, sum n_v(n_v-1)), then
+    # pivot the F scalars into one 1-row broadcast frame
+    entries = records.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("_f"),
+                        F.col(f).cast("string").alias("_v"),
+                    )
+                    for f in fields
+                ]
             )
-        )
-    one = total
-    for uf in u_frames:
-        one = one.crossJoin(F.broadcast(uf))
-    u_cols = {
-        f: F.col(f"_pairs_{f}") / (F.col("_n") * (F.col("_n") - F.lit(1.0)))
-        for f in fields
-    }
-    one = one.select(
-        *[u_cols[f].alias(f"_u_{f}") for f in fields]
+        ).alias("_e")
+    ).select("_e._f", "_e._v")
+    hist = entries.groupBy("_f", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    per_field = hist.groupBy("_f").agg(
+        F.sum("_c").alias("_n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_v").isNotNull(), F.col("_c") * (F.col("_c") - 1)
+                )
+            ),
+            F.lit(0),
+        ).alias("_pairs"),
+    )
+    eps = 1e-9
+    u_raw = F.col("_pairs") / (F.col("_n") * (F.col("_n") - F.lit(1.0)))
+    u_clamped = F.greatest(F.least(u_raw, F.lit(1.0 - eps)), F.lit(eps))
+    one = (
+        per_field.groupBy()
+        .pivot("_f", fields)
+        .agg(F.first(u_clamped))
+        .select(*[F.col(f).alias(f"_u_{f}") for f in fields])
     )
     a = records.select(
         F.col(id_col).alias("id_a"),

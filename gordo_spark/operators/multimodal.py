@@ -132,11 +132,6 @@ def frame_sample_plan(
     ).select(F.col(id_col), (F.col("col") * every_n).alias("frame_idx"))
 
 
-AHASH_SCHEMA = StructType(
-    [StructField("doc_id", LongType()), StructField("ahash", LongType())]
-)
-
-
 def ahash_64(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -209,12 +204,23 @@ def ahash_64(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "ahash": pdf[payload_col].map(_pack).astype("int64"),
                 }
             )
 
-    return df.mapInPandas(_ahash, AHASH_SCHEMA)
+    # output schema carries the INPUT id field's name and type (the
+    # theil_sen precedent): hardcoding ('doc_id', long) would silently
+    # rename a custom id column and break Arrow conversion on non-long
+    # ids
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("ahash", LongType()),
+        ]
+    )
+    return df.mapInPandas(_ahash, out_schema)
 
 
 def ahash_near_dups(

@@ -192,8 +192,18 @@ def reconcile_totals(
     p = parent.select(F.col(key), F.col(parent_amount).alias("_stored"))
     j = p.join(child_sums, key, "full")
     has_both = F.col("_stored").isNotNull() & F.col("_recomputed").isNotNull()
-    rel_err = F.abs(F.col("_stored") - F.col("_recomputed")) / F.abs("_stored")
-    matched = has_both & (rel_err <= F.lit(float(rel_tol)))
+    diff = F.abs(F.col("_stored") - F.col("_recomputed"))
+    # division-free form: |s - r| <= tol * |s| classifies a zero stored
+    # total as matched iff recomputed is also (exactly) zero, where the
+    # ratio form's 0/0 -> NULL would silently drop the parent from BOTH
+    # buckets (Spark division is non-ANSI; buckets must sum to n_parents)
+    matched = has_both & (diff <= F.lit(float(rel_tol)) * F.abs("_stored"))
+    # max_rel_err is reported over parents with a nonzero stored total
+    # (plus exact zero-zero matches as 0.0); a zero-stored mismatch has
+    # no finite relative error — it is counted in n_mismatched instead
+    rel_err = F.when(F.abs("_stored") > 0, diff / F.abs("_stored")).when(
+        has_both & (diff == 0), F.lit(0.0)
+    )
     return j.agg(
         F.sum(F.col("_stored").isNotNull().cast("long")).alias("n_parents"),
         F.sum(matched.cast("long")).alias("n_matched"),

@@ -1,0 +1,162 @@
+"""Round-7 hardening tests: degenerate-input semantics (zero totals,
+one-sided experiments, degenerate u probabilities), k-core fixpoint on
+deep pendant chains, pagerank lineage truncation at high iteration
+counts, and id-schema propagation in the perceptual-hash UDF."""
+
+import math
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_reconcile_totals_zero_stored(spark):
+    """A parent whose stored total is exactly 0 must land in a bucket:
+    matched iff the recomputed total is also 0 (the ratio form's 0/0 ->
+    NULL silently dropped it from both); buckets sum to n_parents."""
+    from gordo_spark.operators.quality_checks import reconcile_totals
+
+    parent = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (3, 100.0)], "k long, total double"
+    )
+    child = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 100.0)], "k long, amt double"
+    )
+    row = reconcile_totals(parent, child, "k", "total", F.col("amt")).collect()[0]
+    assert row["n_parents"] == 3
+    assert row["n_matched"] == 2  # (1: 0==0) and (3: exact)
+    assert row["n_mismatched"] == 1  # (2: stored 0, recomputed 5)
+    assert row["n_matched"] + row["n_mismatched"] == row["n_parents"]
+    assert row["max_rel_err"] == 0.0  # zero-stored mismatch has no finite ratio
+
+
+def test_ab_zstat_one_empty_variant(spark):
+    """With every unit hashed into one variant (single unit), the other
+    side reports n=0/conv=0 (not NULL) and significant is False (not
+    NULL) — callers filtering significant == False keep the row."""
+    from gordo_spark.operators.experiments import ab_zstat
+
+    ev = spark.createDataFrame([("u1", True)], "user_id string, converted boolean")
+    row = ab_zstat(ev, "user_id", "converted", salt="exp1").collect()[0]
+    assert {row["n_a"], row["n_b"]} == {0, 1}
+    assert row["conv_a"] is not None and row["conv_b"] is not None
+    assert row["z"] is None
+    assert row["significant"] is False
+
+
+def test_fs_scores_degenerate_u_clamped(spark):
+    """An all-unique field estimates u=0 and a constant field u=1;
+    clamping keeps both log weights finite so the pair score never
+    nulls out silently."""
+    from gordo_spark.operators.linkage import fs_scores
+
+    recs = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "x"), (4, "d", "x")],
+        "rid long, uniq string, const string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = fs_scores(pairs, recs, "rid", ["uniq", "const"], m=0.9).collect()[0]
+    assert row["n_agree"] == 1  # const agrees, uniq disagrees
+    assert row["score"] is not None and math.isfinite(row["score"])
+    # disagreement on the u~0 field: log2(0.1 / (1 - eps)) ~ log2(0.1)
+    # agreement on the u~1 field: log2(0.9 / (1 - eps)) huge-negative? no:
+    # u clamps to 1-1e-9 -> log2(0.9/(1-1e-9)) ~ log2(0.9)
+    expect = math.log2(0.1 / (1 - 1e-9)) + math.log2(0.9 / (1 - 1e-9))
+    assert row["score"] == pytest.approx(expect, abs=1e-3)
+
+
+def test_fs_scores_single_pass_u_matches_per_field(spark):
+    """The pivoted single-scan u estimation reproduces the hand-computed
+    per-field histogram values (the round-6 test's fixture)."""
+    from gordo_spark.operators.linkage import fs_scores
+
+    recs = spark.createDataFrame(
+        [
+            (1, "oslo", "0150"),
+            (2, "oslo", "0151"),
+            (3, "oslo", "0150"),
+            (4, "bergen", None),
+        ],
+        "rid long, city string, zip string",
+    )
+    pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    row = fs_scores(pairs, recs, "rid", ["city", "zip"], m=0.9).collect()[0]
+    u_city, u_zip = 6 / 12, 2 / 12
+    expect = math.log2(0.9 / u_city) + math.log2(0.9 / u_zip)
+    assert row["n_agree"] == 2
+    assert row["score"] == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+def test_k_core_fixpoint_on_deep_chain(spark):
+    """A pendant chain deeper than any fixed round budget: fixpoint mode
+    (rounds=None) peels it entirely — every returned degree >= k — where
+    an 8-round peel leaves a remnant with degrees < k."""
+    from gordo_spark.operators.graph import k_core
+
+    # 30-node path: 2-core is empty, but peeling removes only the two
+    # endpoints per round -> needs ~15 rounds
+    chain = [(i, i + 1) for i in range(30)]
+    edges = spark.createDataFrame(chain, "a int, b int")
+    assert k_core(edges, k=2).count() == 0  # fixpoint default
+    remnant = k_core(edges, k=2, rounds=8)
+    assert remnant.count() > 0  # documented fixed-round remnant
+    assert remnant.agg(F.min("degree")).collect()[0][0] < 2
+    # fixed-round mode on an ALREADY-converged graph early-exits with
+    # the identical answer (oracle parity preserved)
+    tri = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "a int, b int"
+    )
+    got = {r["v"]: r["degree"] for r in k_core(tri, k=2, rounds=8).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert got == {
+        r["v"]: r["degree"] for r in k_core(tri, k=2).collect()
+    }
+
+
+def test_pagerank_high_iterations_bounded_plan(spark):
+    """iterations=30 must not blow up the unrolled lineage: the every-10
+    localCheckpoint truncates the carried frame, so the final plan stays
+    bounded and the run completes quickly; ranks still sum to 1."""
+    from gordo_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a int, b int"
+    )
+    t0 = time.time()
+    out = pagerank(edges, 0.85, 30)
+    rows = out.collect()
+    assert time.time() - t0 < 60
+    # truncated lineage: the analyzed plan string is bounded (an
+    # un-checkpointed 30-iteration unroll is hundreds of KB)
+    assert len(out._jdf.queryExecution().analyzed().toString()) < 100_000
+    assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+    # converged values match the numpy fixpoint
+    nodes = [1, 2, 3, 4]
+    adj = np.zeros((4, 4))
+    for a, b in [(1, 2), (1, 3), (2, 3), (3, 4)]:
+        adj[a - 1, b - 1] = adj[b - 1, a - 1] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(4, 0.25)
+    for _ in range(30):
+        r = 0.15 / 4 + 0.85 * (adj.T @ (r / deg))
+    got = {row["v"]: row["rank"] for row in rows}
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v - 1], abs=1e-6)
+
+
+def test_ahash_64_custom_id_schema(spark):
+    """A non-default id column keeps its NAME and TYPE in the output
+    (previously hardcoded to ('doc_id', long) -> silent rename + Arrow
+    failure on string ids)."""
+    from gordo_spark.operators.multimodal import ahash_64
+
+    df = spark.createDataFrame(
+        [("img-1", bytearray(range(200))), ("img-2", bytearray(200))],
+        "media_id string, payload binary",
+    )
+    out = ahash_64(df, id_col="media_id", mode="fake")
+    assert out.schema["media_id"].dataType.simpleString() == "string"
+    rows = {r["media_id"]: r["ahash"] for r in out.collect()}
+    assert set(rows) == {"img-1", "img-2"}
+    assert rows["img-2"] == 0  # all-zero payload -> no pixel above mean
