@@ -98,14 +98,20 @@ def curation_verdict(
     # rescoring inside unigram_logprob_score_from_terms; lang rides the
     # explode as a carried grouping key (id-functional), so no join-back
     # onto the corpus is needed. scored is per-doc and consumed twice by
-    # the exact-ntile bucketing (histogram + join-back) — persisted so
-    # the LM rescore shuffle runs once.
+    # the exact-ntile bucketing (histogram + join-back) — materialized
+    # EAGERLY with truncated lineage (localCheckpoint, the lsh_eval
+    # discipline) so the LM rescore shuffle runs exactly once and the
+    # tiling branches read the pinned doc-cardinality frame instead of
+    # replaying the whole vocab-fit subtree per reference. persist()
+    # would also run it once, but keeps the full lineage alive: every
+    # downstream branch carries (and on cache eviction would re-execute)
+    # the complete corpus-scan-to-score plan.
     exploded = base.select(
         F.col(id_col), F.col(lang_col), F.explode(F.col("_toks")).alias("term")
     ).filter(F.col("term") != "")
     scored = unigram_logprob_score_from_terms(
         exploded, id_col, carry_cols=(lang_col,)
-    ).persist()
+    ).localCheckpoint()
     pb = perplexity_buckets(scored, lang_col, "mean_nll", id_col).select(
         id_col, "bucket"
     )
