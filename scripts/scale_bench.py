@@ -498,6 +498,110 @@ def iter_lineage_experiment(spark):
     }
 
 
+def tenx_experiment(spark):
+    """sf0.1 vs a 10x-replicated corpus (sf1-equivalent volume): does
+    the end-to-end dedup pipeline (minhash -> LSH -> label-prop
+    components -> survivors) and fixed-iteration PageRank scale
+    near-linearly, as the docstring envelopes argue?
+
+    Replicated documents are PERTURBED per replica (a 10-letter
+    consonant/vowel rotation via ``translate``) so each replica is a
+    DISTINCT document: duplicate-group count scales 10x while group
+    size stays 2 (the contract fixture's exact-copy union). A verbatim
+    10x copy would grow within-group candidate pairs quadratically and
+    measure a different (and unrealistic) workload.
+
+    PageRank's 10x input replicates lineitem with shifted order keys:
+    the item domain is fixed, so co-occurrence SUPPORT grows and the
+    support-filtered edge set densifies — n_edges is reported alongside
+    wall time because per-iteration cost is edge-volume-bound, not
+    input-row-bound.
+    """
+    from gordo_spark.operators.dedup import (
+        connected_components,
+        keep_survivors,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from gordo_spark.operators.graph import co_occurrence_edges, pagerank
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    alpha = "aeiousnrtl"
+
+    def corpus(mult):
+        reps = []
+        for r in range(mult):
+            rot = alpha[r:] + alpha[:r]
+            reps.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(r * 1_000_000)).alias("doc_id"),
+                    F.translate(F.col("text"), alpha, rot).alias("text"),
+                )
+            )
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        # every text exactly twice — the contract fixture's dup shape
+        return out.unionByName(
+            out.withColumn("doc_id", F.col("doc_id") + 100_000)
+        )
+
+    def dedup_run(mult):
+        d = corpus(mult)
+        sigs = minhash_signatures(d, num_hashes=8)
+        pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+        return keep_survivors(d, connected_components(pairs)).count()
+
+    n1 = dedup_run(1)  # warm (footers, codegen)
+    t_d1 = round(timed("dedup 1x", lambda: dedup_run(1)), 3)
+    t_d10 = round(timed("dedup 10x", lambda: dedup_run(10), n=2), 3)
+    n10 = dedup_run(10)
+
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+
+    def li_mult(mult):
+        parts = [
+            li.select(
+                (F.col("l_orderkey") + F.lit(r * 10_000_000)).alias(
+                    "l_orderkey"
+                ),
+                "l_partkey",
+            )
+            for r in range(mult)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def pr_run(mult):
+        edges = co_occurrence_edges(
+            li_mult(mult), "l_orderkey", "l_partkey", min_support=2
+        )
+        return pagerank(edges, 0.85, 8).count()
+
+    def n_edges(mult):
+        return co_occurrence_edges(
+            li_mult(mult), "l_orderkey", "l_partkey", min_support=2
+        ).count()
+
+    pr_run(1)  # warm
+    t_p1 = round(timed("pagerank 1x", lambda: pr_run(1)), 3)
+    t_p10 = round(timed("pagerank 10x", lambda: pr_run(10), n=2), 3)
+    return {
+        "dedup_docs_1x": n1,
+        "dedup_docs_10x": n10,
+        "t_dedup_1x_s": t_d1,
+        "t_dedup_10x_s": t_d10,
+        "pr_edges_1x": n_edges(1),
+        "pr_edges_10x": n_edges(10),
+        "t_pr_1x_s": t_p1,
+        "t_pr_10x_s": t_p10,
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
@@ -508,6 +612,7 @@ def main():
     hll = hll_experiment(spark)
     zo = zorder_experiment(spark)
     il = iter_lineage_experiment(spark)
+    tx = tenx_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -644,6 +749,28 @@ def main():
         "bounds checkpoint storage by the item-cardinality frames. Same",
         "discipline as connected_components; any fixed-iteration algorithm",
         "composed of joins inherits it.",
+        "",
+        "## 10x scale-up (sf0.1 -> sf1-equivalent volume)",
+        "",
+        "| pipeline | 1x | 10x | wall ratio |",
+        "|---|---|---|---|",
+        f"| dedup survivors (minhash->LSH->components->keep) | "
+        f"{tx['t_dedup_1x_s']} s / {tx['dedup_docs_1x']:,} survivors | "
+        f"{tx['t_dedup_10x_s']} s / {tx['dedup_docs_10x']:,} survivors | "
+        f"{round(tx['t_dedup_10x_s'] / tx['t_dedup_1x_s'], 1)}x |",
+        f"| pagerank 8 iters (co-purchase graph) | "
+        f"{tx['t_pr_1x_s']} s / {tx['pr_edges_1x']:,} edges | "
+        f"{tx['t_pr_10x_s']} s / {tx['pr_edges_10x']:,} edges | "
+        f"{round(tx['t_pr_10x_s'] / tx['t_pr_1x_s'], 1)}x |",
+        "",
+        "Replicated docs are perturbed per replica (translate rotation) so",
+        "dup-group count scales 10x at constant group size — the realistic",
+        "envelope; a verbatim copy would square within-group candidates.",
+        "A dedup wall ratio near 10x on 10x docs validates the LSH",
+        "candidate-volume bound (band buckets stay balanced, no all-pairs",
+        "blowup). PageRank's input keeps the item domain fixed, so support",
+        "DENSIFIES the edge set — compare the wall ratio against the edge",
+        "ratio, not the input ratio: per-iteration cost is edge-bound.",
         "",
     ]
     out = "\n".join(lines)
