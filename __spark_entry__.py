@@ -9191,6 +9191,340 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 """
 
 
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier repurchase curve (operators/survival.km_curve):
+    per customer, time from first to second order (right-censored at
+    the corpus's last order date for one-order customers), then the
+    product-limit survival estimate on the day grid. Subjects collapse
+    map-side; the cumulative product runs exp-sum-of-logs over the
+    bounded duration grid (time-resolution cardinality, never
+    subject-sized)."""
+    from gordo_spark.operators.survival import km_curve
+
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    per = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderdate")).alias("_ds")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("_mx"))
+    subj = per.crossJoin(F.broadcast(mx)).select(
+        (F.size("_ds") >= 2).alias("observed"),
+        F.when(
+            F.size("_ds") >= 2,
+            F.datediff(F.element_at("_ds", 2), F.element_at("_ds", 1)),
+        )
+        .otherwise(F.datediff(F.col("_mx"), F.element_at("_ds", 1)))
+        .alias("duration"),
+    )
+    return km_curve(subj, "duration", "observed")
+
+
+O_SURVIVAL_KM = """
+WITH per AS (
+  SELECT o_custkey,
+         (array_agg(o_orderdate ORDER BY o_orderdate))[1] AS f,
+         (array_agg(o_orderdate ORDER BY o_orderdate))[2] AS s,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(o_orderdate) AS m FROM orders),
+subj AS (
+  SELECT CASE WHEN n >= 2 THEN date_diff('day', f, s)
+              ELSE date_diff('day', f, m) END AS t,
+         n >= 2 AS ev
+  FROM per, mx
+),
+grid AS (
+  SELECT t, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+         sum(CASE WHEN ev THEN 0 ELSE 1 END) AS c,
+         count(*) AS at_t
+  FROM subj GROUP BY t
+),
+risk AS (SELECT *, sum(at_t) OVER (ORDER BY t DESC) AS n_risk FROM grid),
+surv AS (
+  SELECT *,
+         exp(sum(CASE WHEN d > 0
+                      THEN ln(greatest(1 - d / CAST(n_risk AS DOUBLE), 1e-100))
+                      ELSE 0 END) OVER (ORDER BY t)) AS s
+  FROM risk
+)
+SELECT CAST(t AS INT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+       ROUND(s, 6) AS survival
+FROM surv WHERE d > 0 ORDER BY t
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over order baskets
+    (operators/affinity.association_rules): support/confidence/lift
+    per antecedent -> consequent, both directions of each canonical
+    pair (confidence is asymmetric). Same row-local pair fan-out as
+    basket_pairs; min_both prunes before the marginal join. Top 20 by
+    (confidence desc, antecedent, consequent) — deterministic."""
+    from gordo_spark.operators.affinity import association_rules
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = association_rules(li, "l_orderkey", "l_partkey", min_both=3)
+    return out.orderBy(
+        F.col("confidence").desc(), "antecedent", "consequent"
+    ).limit(20)
+
+
+O_ASSOC_RULES = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, count(*) AS n_both
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+directed AS (
+  SELECT pa AS antecedent, pb AS consequent, n_both FROM pair
+  UNION ALL
+  SELECT pb, pa, n_both FROM pair
+),
+marg AS (SELECT l_partkey AS item, count(*) AS n_item FROM b GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem)
+SELECT antecedent, consequent, n_both,
+       ROUND(n_both / CAST(n AS DOUBLE), 6) AS support,
+       ROUND(n_both / CAST(ma.n_item AS DOUBLE), 6) AS confidence,
+       ROUND((n_both / CAST(ma.n_item AS DOUBLE))
+             / (mc.n_item / CAST(n AS DOUBLE)), 6) AS lift
+FROM directed
+JOIN marg ma ON ma.item = antecedent
+JOIN marg mc ON mc.item = consequent
+CROSS JOIN tot
+ORDER BY confidence DESC, antecedent, consequent
+LIMIT 20
+"""
+
+
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report (operators/skew.key_skew_audit): per
+    candidate join key of lineitem, key counts, hottest-key share, and
+    the Herfindahl index whose reciprocal is the effective parallelism
+    a hash shuffle gets. One pass builds every histogram (the
+    fs_scores explode shape); no ordering — max and sum-of-squares
+    replace top-k."""
+    from gordo_spark.operators.skew import key_skew_audit
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return key_skew_audit(li, ["l_partkey", "l_returnflag", "l_suppkey"])
+
+
+O_KEY_SKEW_AUDIT = """
+WITH h AS (
+  SELECT 'l_partkey' AS key, CAST(l_partkey AS VARCHAR) AS v, count(*) AS c
+  FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'l_returnflag', l_returnflag, count(*) FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR), count(*)
+  FROM lineitem GROUP BY 2
+)
+SELECT key, CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       ROUND(max(c) / CAST(sum(c) AS DOUBLE), 6) AS max_key_frac,
+       ROUND(sum(c * c) / (CAST(sum(c) AS DOUBLE) * sum(c)), 6) AS hhi,
+       ROUND((CAST(sum(c) AS DOUBLE) * sum(c)) / sum(c * c), 2)
+         AS effective_keys
+FROM h GROUP BY key ORDER BY key
+"""
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition screen (operators/text.script_mix):
+    per-document Latin/digit/whitespace/other fractions — the pre-
+    language-ID noise filter. Row-local regexp length algebra; the
+    text never leaves the scan."""
+    from gordo_spark.operators.text import script_mix
+
+    return script_mix(read_table(spark, sf_dir, "documents"))
+
+
+O_SCRIPT_MIX = """
+WITH m AS (
+  SELECT doc_id, length(text) AS n,
+         CASE WHEN length(text) > 0 THEN
+           ROUND((length(text)
+                  - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 6) END AS lf,
+         CASE WHEN length(text) > 0 THEN
+           ROUND((length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 6) END AS df,
+         CASE WHEN length(text) > 0 THEN
+           ROUND((length(text)
+                  - length(regexp_replace(text, '[ \t\r\n]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 6) END AS sf
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars, lf AS latin_frac,
+       df AS digit_frac, sf AS space_frac,
+       CASE WHEN n > 0 THEN ROUND(1.0 - lf - df - sf, 6) END AS other_frac
+FROM m
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between two curation judges
+    (operators/quality_checks.cohens_kappa): the Gopher rule verdict
+    vs the composite quality score at 0.5 — do the two filter families
+    agree beyond their base rates? One aggregation, one row."""
+    from gordo_spark.operators.quality_checks import cohens_kappa
+    from gordo_spark.operators.text import gopher_rule_exprs, quality_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        gopher_rule_exprs(F.col("text"))["keep"].alias("judge_a"),
+        (quality_expr(F.col("text")) >= 0.5).alias("judge_b"),
+    )
+    return cohens_kappa(flags, "judge_a", "judge_b")
+
+
+def _kappa_sql() -> str:
+    from gordo_spark.operators.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws)::DOUBLE AS n_words,
+         length(replace(text, ' ', ''))::DOUBLE / len(ws) AS mean_wl,
+         ((len(string_split(text, '#')) - 1)
+          + (len(string_split(text, '...')) - 1))::DOUBLE AS n_sym,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+           / len(ws) AS alpha_frac,
+         len(list_filter(ws, x -> list_contains([{sw}], x))) AS n_sw,
+         length(text)::DOUBLE AS n_chars,
+         (length(text)
+          - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+           AS n_punct,
+         len(list_distinct(ws))::DOUBLE AS n_uniq
+  FROM w
+),
+j AS (
+  SELECT (n_words >= 50 AND n_words <= 100000)
+           AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+           AND (n_sym / n_words <= 0.1)
+           AND (alpha_frac >= 0.8)
+           AND (n_sw >= 2) AS a,
+         (least(n_words / 50.0, 1.0)
+          + greatest(1.0 - (n_punct / n_chars) * 5.0, 0.0)
+          + n_uniq / n_words
+          + least((n_sw / n_words) * 5.0, 1.0)) / 4.0 >= 0.5 AS b
+  FROM m
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+         sum(CASE WHEN a THEN 1 ELSE 0 END) AS a1,
+         sum(CASE WHEN b THEN 1 ELSE 0 END) AS b1
+  FROM j WHERE a IS NOT NULL AND b IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(agree / CAST(n AS DOUBLE), 6) AS p_o,
+       ROUND((a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE))
+             + (1 - a1 / CAST(n AS DOUBLE)) * (1 - b1 / CAST(n AS DOUBLE)),
+             6) AS p_e,
+       ROUND(CASE WHEN (a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE))
+                       + (1 - a1 / CAST(n AS DOUBLE))
+                         * (1 - b1 / CAST(n AS DOUBLE)) < 1.0
+                  THEN (agree / CAST(n AS DOUBLE)
+                        - ((a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE))
+                           + (1 - a1 / CAST(n AS DOUBLE))
+                             * (1 - b1 / CAST(n AS DOUBLE))))
+                       / (1.0 - ((a1 / CAST(n AS DOUBLE))
+                                 * (b1 / CAST(n AS DOUBLE))
+                                 + (1 - a1 / CAST(n AS DOUBLE))
+                                   * (1 - b1 / CAST(n AS DOUBLE))))
+             END, 6) AS kappa
+FROM agg
+"""
+
+
+O_COHENS_KAPPA = _kappa_sql()
+
+
+def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation plan (operators/sampling.mixture_budget):
+    given target mixture weights over sources and a total budget,
+    per-source allocated tokens, implied epochs (> 1 flags
+    repetition), and the no-repeat capped rate. One strata-sized
+    aggregation; weights ride as plan literals."""
+    from gordo_spark.operators.sampling import mixture_budget
+
+    docs = read_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(18)}
+    return mixture_budget(docs, "source", "n_chars", weights, 100_000)
+
+
+def _mixture_budget_sql() -> str:
+    weights = {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(18)}
+    total = sum(weights.values())
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v / total!r}" for k, v in sorted(weights.items())
+    )
+    return f"""
+WITH c AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT *, coalesce(CASE source {cases} END, 0.0) AS tw FROM c
+)
+SELECT source, n_tokens,
+       ROUND(tw, 6) AS target_weight,
+       ROUND(tw * 100000, 1) AS allocated_tokens,
+       ROUND(tw * 100000 / n_tokens, 6) AS epochs,
+       ROUND(least(1.0, tw * 100000 / n_tokens), 6) AS capped_rate
+FROM w ORDER BY source
+"""
+
+
+O_MIXTURE_BUDGET = _mixture_budget_sql()
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/asof.interval_join, bucketed
+    scale path): view events landing inside each user's purchase
+    window [first purchase, last purchase]. The interval side explodes
+    into day buckets and the join runs on the (user, bucket) composite
+    equi-key before the exact range filter — per-key comparison space
+    is time-adjacent rows only, never points x intervals."""
+    from gordo_spark.operators.asof import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+        .filter(F.col("start") < F.col("end"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    return interval_join(
+        views, windows, ["user_id"], bucket_seconds=86_400
+    ).select("user_id", "event_id", "ts", "start", "end")
+
+
+O_INTERVAL_JOIN = """
+WITH win AS (
+  SELECT user_id, min(ts) AS s, max(ts) AS e
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1 HAVING min(ts) < max(ts)
+)
+SELECT v.user_id, v.event_id, v.ts, w.s AS start, w.e AS "end"
+FROM events v JOIN win w ON v.user_id = w.user_id
+WHERE v.event_type = 'view' AND v.ts >= w.s AND v.ts <= w.e
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -9399,6 +9733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_payload_dedup": q_mm_payload_dedup,
         "order_cohorts": q_order_cohorts,
         "events_heatmap": q_events_heatmap,
+        "survival_km": q_survival_km,
+        "assoc_rules": q_assoc_rules,
+        "key_skew_audit": q_key_skew_audit,
+        "script_mix": q_script_mix,
+        "cohens_kappa": q_cohens_kappa,
+        "mixture_budget": q_mixture_budget,
+        "interval_join": q_interval_join,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -9653,4 +9994,11 @@ def oracle_sql() -> dict[str, str]:
         "mm_payload_dedup": O_MM_PAYLOAD_DEDUP,
         "order_cohorts": O_ORDER_COHORTS,
         "events_heatmap": O_EVENTS_HEATMAP,
+        "survival_km": O_SURVIVAL_KM,
+        "assoc_rules": O_ASSOC_RULES,
+        "key_skew_audit": O_KEY_SKEW_AUDIT,
+        "script_mix": O_SCRIPT_MIX,
+        "cohens_kappa": O_COHENS_KAPPA,
+        "mixture_budget": O_MIXTURE_BUDGET,
+        "interval_join": O_INTERVAL_JOIN,
     }

@@ -186,6 +186,13 @@ HEADLINE = [
     "zorder_keys",
     "scd2_history",
     "mm_payload_dedup",
+    "survival_km",
+    "assoc_rules",
+    "key_skew_audit",
+    "script_mix",
+    "cohens_kappa",
+    "mixture_budget",
+    "interval_join",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

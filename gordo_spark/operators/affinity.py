@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pair_counts"]
+__all__ = ["association_rules", "pair_counts"]
 
 
 def pair_counts(
@@ -80,6 +80,97 @@ def pair_counts(
             "n_both",
             F.round(
                 F.col("n_both") * F.col("n_groups") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_both: int = 2,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Directed single-item association rules ``antecedent ->
+    consequent`` with the classic Agrawal-Srikant measures: ``support =
+    n_both / N``, ``confidence = n_both / n_antecedent``, ``lift =
+    confidence / (n_consequent / N)``. Each unordered co-occurrence
+    pair yields BOTH directions (confidence is asymmetric — diapers ->
+    beer and beer -> diapers differ).
+
+    Same scale shape as :func:`pair_counts` (one basket aggregation,
+    row-local pair fan-out bounded by basket size, item-cardinality
+    marginal join, 1-row total broadcast); the directed expansion is a
+    row-local 2-way explode of the canonical pair table, not a second
+    pass. ``min_both`` prunes the pair table BEFORE the marginal join —
+    the support threshold is what bounds rule count at 100 TB.
+    Output ``(antecedent, consequent, n_both, support, confidence,
+    lift)``.
+    """
+    baskets = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("items"))
+    )
+    pair_expr = (
+        "explode(flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), "
+        "y -> struct(x AS item_a, y AS item_b)))))"
+    )
+    both = (
+        baskets.select(F.expr(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.item_a").alias("item_a"),
+            F.col("p.item_b").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= int(min_both))
+    )
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                ),
+            )
+        ).alias("r"),
+        "n_both",
+    ).select("r.antecedent", "r.consequent", "n_both")
+    marg = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_groups"))
+    conf = F.col("n_both") / F.col("_na")
+    return (
+        directed.join(
+            marg.select(
+                F.col("item").alias("antecedent"), F.col("n_item").alias("_na")
+            ),
+            "antecedent",
+        )
+        .join(
+            marg.select(
+                F.col("item").alias("consequent"), F.col("n_item").alias("_nb")
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(conf >= float(min_confidence))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_groups"), 6).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("_nb") / F.col("n_groups")), 6
             ).alias("lift"),
         )
     )

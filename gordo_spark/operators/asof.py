@@ -143,3 +143,64 @@ def asof_join(
             F.when(in_window, F.col(rts)).alias(rts),
         )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Point-in-interval join: every (left point, right interval) pair
+    on the same key with ``start <= ts <= end`` — the validity-window
+    lookup that consumes SCD2 history, maintenance windows, or
+    sessionize output. Inner join; a point inside k overlapping
+    intervals emits k rows.
+
+    Default plan: equi-join on the key with the range predicate as a
+    join filter — correct everywhere, but when one key carries many
+    intervals the per-key comparison space is points x intervals.
+    ``bucket_seconds`` is the scale path (the standard range-join
+    bucketing, what Databricks' range-join hint does under the hood):
+    each interval explodes into the time buckets it covers, points
+    carry their single bucket, and the join runs on the COMPOSITE
+    (key, bucket) equi-key before the exact range filter — fan-out per
+    interval is bounded by interval_length / bucket_seconds (pick the
+    bucket near the median interval length), the comparison space per
+    bucket only pairs time-adjacent rows, and each qualifying pair
+    still matches exactly once (a point lives in exactly one bucket).
+    Both plans are pure equi-joins + row-local filters: no cartesian,
+    no UDF, shuffles keyed by (key[, bucket]).
+    """
+    keys = list(on)
+    ivs = intervals
+    if bucket_seconds is None:
+        j = points.join(ivs, keys).filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        return j
+    b = int(bucket_seconds)
+    pb = points.withColumn(
+        "_b", F.floor(epoch_seconds(F.col(ts_col)) / b).cast("long")
+    )
+    ib = ivs.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(epoch_seconds(F.col(start_col)) / b).cast("long"),
+                F.floor(epoch_seconds(F.col(end_col)) / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, keys + ["_b"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )

@@ -322,3 +322,40 @@ def k_anonymity(
         "n_rows_at_risk",
         (F.col("n_violating_groups") == 0).alias("anonymous"),
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa between two boolean judgments over the same rows —
+    chance-corrected agreement (Cohen 1960), the standard QA readout
+    for "do two curation filters / annotators / model versions agree
+    beyond what their base rates force?". Raw agreement is inflated
+    when both judges say 'keep' 95% of the time; kappa subtracts that.
+
+    ``kappa = (p_o - p_e) / (1 - p_e)`` with ``p_o`` the observed
+    agreement rate and ``p_e = p_a1*p_b1 + p_a0*p_b0`` the chance rate
+    from the marginals. One map-side-combinable aggregation, one row
+    out: ``(n, p_o, p_e, kappa)``; kappa is NULL when ``p_e = 1``
+    (both judges constant — agreement is undefined, not perfect).
+    Rows where either judgment is NULL are excluded from all terms.
+    """
+    a = F.col(col_a).cast("int")
+    b = F.col(col_b).cast("int")
+    both = F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    one = df.agg(
+        F.sum(both.cast("long")).alias("n"),
+        F.sum(F.when(both & (a == b), 1).otherwise(0)).alias("_agree"),
+        F.sum(F.when(both, a)).alias("_a1"),
+        F.sum(F.when(both, b)).alias("_b1"),
+    )
+    n = F.col("n").cast("double")
+    po = F.col("_agree") / n
+    pa1, pb1 = F.col("_a1") / n, F.col("_b1") / n
+    pe = pa1 * pb1 + (1 - pa1) * (1 - pb1)
+    return one.select(
+        "n",
+        F.round(po, 6).alias("p_o"),
+        F.round(pe, 6).alias("p_e"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (1.0 - pe)), 6
+        ).alias("kappa"),
+    )

@@ -295,3 +295,50 @@ def weighted_sample(
         .withColumn("sample_key", F.round("_key", 6))
         .drop("_key")
     )
+
+
+def mixture_budget(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Static token-budget allocation across sources for a training
+    mixture (the planning step ahead of :func:`mixture_sample`): given
+    target mixture ``weights`` (normalized over the strata present) and
+    a total ``budget_tokens``, each stratum is allocated
+    ``w_s * budget`` tokens; ``epochs = allocated / available`` says
+    how many passes over that source the budget implies (> 1 flags
+    oversampling/repetition — the DoReMi/Llama-style data-card
+    number), and ``capped_rate`` is the per-document keep rate if
+    repetition is NOT allowed (min(1, allocated/available)).
+
+    One map-side-combinable aggregation to strata cardinality; the
+    weight table rides as a literal map (caller-fixed plan constants,
+    not data). Strata absent from ``weights`` get weight 0 — reported,
+    not dropped (the psi_drift sentinel discipline: a source the plan
+    forgot must surface, not vanish).
+    """
+    total_w = sum(weights.values())
+    pairs = []
+    for k, v in sorted(weights.items()):
+        pairs.extend([F.lit(k), F.lit(float(v) / total_w)])
+    wmap = F.create_map(*pairs) if pairs else F.create_map()
+    counts = df.groupBy(strata_col).agg(
+        F.sum(token_col).cast("long").alias("n_tokens")
+    )
+    w = F.coalesce(
+        wmap.getItem(F.col(strata_col).cast("string")), F.lit(0.0)
+    )
+    alloc = w * F.lit(float(budget_tokens))
+    return counts.select(
+        strata_col,
+        "n_tokens",
+        F.round(w, 6).alias("target_weight"),
+        F.round(alloc, 1).alias("allocated_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        F.round(
+            F.least(F.lit(1.0), alloc / F.col("n_tokens")), 6
+        ).alias("capped_rate"),
+    ).orderBy(strata_col)

@@ -50,3 +50,56 @@ def salted_join(
     )
     out = big_s.join(small_s, on=keys + [_SALT], how=how)
     return out.drop(_SALT)
+
+
+def key_skew_audit(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Pre-join skew report for candidate shuffle keys — the audit that
+    decides whether a join needs :func:`salted_join` BEFORE the stage
+    straggles: per key column, row/key counts, the hottest key's share,
+    and the Herfindahl concentration index ``HHI = sum((c_k / N)^2)``
+    whose reciprocal is the "effective key count" a hash shuffle
+    actually spreads over (uniform keys -> n_keys; one dominant key ->
+    ~1).
+
+    One pass over the table for ALL audited columns (each row explodes
+    to (key_name, value-as-string) entries, one hash aggregation builds
+    every per-key histogram — the fs_scores u-estimation shape), then a
+    key-name-grained rollup. No ordering anywhere: max and
+    sum-of-squares replace top-k so nothing key-cardinality ever sorts.
+    Output one row per audited column: ``(key, n_rows, n_keys,
+    max_key_rows, max_key_frac, hhi, effective_keys)``.
+    """
+    entries = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_k"),
+                        F.col(c).cast("string").alias("_v"),
+                    )
+                    for c in key_cols
+                ]
+            )
+        ).alias("_e")
+    ).select("_e._k", "_e._v")
+    hist = entries.groupBy("_k", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        hist.groupBy(F.col("_k").alias("key"))
+        .agg(
+            F.sum("_c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("_c").alias("max_key_rows"),
+            F.round(F.max("_c") / F.sum("_c"), 6).alias("max_key_frac"),
+            F.round(
+                F.sum(F.col("_c") * F.col("_c"))
+                / (F.sum("_c") * F.sum("_c")),
+                6,
+            ).alias("hhi"),
+            F.round(
+                (F.sum("_c") * F.sum("_c"))
+                / F.sum(F.col("_c") * F.col("_c")),
+                2,
+            ).alias("effective_keys"),
+        )
+        .orderBy("key")
+    )

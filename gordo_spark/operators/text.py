@@ -1425,3 +1425,38 @@ def salvage_paragraphs(
         F.size(kept).alias("n_kept"),
         F.concat_ws(" ", kept).alias(out_col),
     )
+
+
+def script_mix(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-class composition: fractions of Latin
+    letters, digits, whitespace, and everything else — the cheap
+    script/noise screen that runs before language ID in web-corpus
+    curation (a "Latin" document that is 40% symbols is markup or
+    ascii-art; a near-zero-whitespace one is minified code or a blob).
+
+    Pure row-local column algebra (four regexp_replace length
+    differences — the text never leaves the scan), engine-portable.
+    Output ``(id, n_chars, latin_frac, digit_frac, space_frac,
+    other_frac)``; fractions NULL on empty text (no 0/0), rounded to 6.
+    """
+    n = F.length(F.col(text_col))
+
+    def frac(pattern: str) -> Column:
+        kept = n - F.length(F.regexp_replace(F.col(text_col), pattern, ""))
+        return F.when(n > 0, F.round(kept / n, 6))
+
+    latin = frac("[A-Za-z]")
+    digit = frac("[0-9]")
+    space = frac(r"\s")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        latin.alias("latin_frac"),
+        digit.alias("digit_frac"),
+        space.alias("space_frac"),
+        F.when(
+            n > 0, F.round(1.0 - latin - digit - space, 6)
+        ).alias("other_frac"),
+    )

@@ -99,6 +99,10 @@ ACCEPTED = {
     "psi_drift": "1-row time-range-midpoint scalar broadcast to the series",
     "basket_pairs": "1-row distinct-order-count scalar broadcast to the "
     "pair table",
+    "assoc_rules": "1-row basket-count scalar broadcast to the directed "
+    "rule table (the basket_pairs scalar)",
+    "survival_km": "1-row global-max-orderdate censoring scalar broadcast "
+    "to the per-subject frame",
     "rfm_segments": "1-row exact-percentile threshold frame broadcast to "
     "the per-customer aggregate",
     "ks_drift": "1-row time-range-midpoint scalar broadcast to the series "
@@ -150,6 +154,10 @@ SINGLE_SERIES_OK = {
     # running sums over the VOCABULARY-sized term table (already
     # aggregated, map-side combined), never the corpus
     "vocab_coverage",
+    # Kaplan-Meier risk-set suffix sum + cumulative product run over the
+    # distinct-DURATION grid — time-resolution-bounded (days in range),
+    # never subject-cardinality (subjects collapse map-side first)
+    "survival_km",
 }
 
 

@@ -160,3 +160,158 @@ def test_ahash_64_custom_id_schema(spark):
     rows = {r["media_id"]: r["ahash"] for r in out.collect()}
     assert set(rows) == {"img-1", "img-2"}
     assert rows["img-2"] == 0  # all-zero payload -> no pixel above mean
+
+
+def test_km_curve_matches_hand_computation(spark):
+    """Textbook KM fixture: durations [1,2+,3,3,4+] (+ = censored).
+    t=1: n=5, d=1 -> S=0.8; t=3: n=3, d=2 -> S=0.8*(1/3)=0.266667."""
+    from gordo_spark.operators.survival import km_curve
+
+    subj = spark.createDataFrame(
+        [(1, True), (2, False), (3, True), (3, True), (4, False)],
+        "duration int, observed boolean",
+    )
+    rows = {r["t"]: r for r in km_curve(subj).collect()}
+    assert set(rows) == {1, 3}  # censoring-only times carry no factor
+    assert rows[1]["n_risk"] == 5 and rows[1]["n_events"] == 1
+    assert rows[1]["survival"] == pytest.approx(0.8, abs=1e-6)
+    assert rows[3]["n_risk"] == 3 and rows[3]["n_events"] == 2
+    assert rows[3]["survival"] == pytest.approx(0.8 / 3, abs=1e-6)
+
+
+def test_km_curve_total_failure_time(spark):
+    """d == n at the last time point: survival is exactly 0.0 (Spark's
+    log(0)=NULL must not null the tail)."""
+    from gordo_spark.operators.survival import km_curve
+
+    subj = spark.createDataFrame(
+        [(1, True), (2, True), (2, True)], "duration int, observed boolean"
+    )
+    rows = {r["t"]: r["survival"] for r in km_curve(subj).collect()}
+    assert rows[2] == 0.0
+
+
+def test_association_rules_confidence_asymmetry(spark):
+    """3 baskets: {a,b}, {a,b}, {a}. conf(b->a)=1.0, conf(a->b)=2/3,
+    lift both = (n_both/n_ante)/(n_cons/N)."""
+    from gordo_spark.operators.affinity import association_rules
+
+    rows = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a")],
+        "basket int, item string",
+    )
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(rows, "basket", "item", min_both=1).collect()
+    }
+    assert out[("a", "b")]["confidence"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[("b", "a")]["confidence"] == pytest.approx(1.0, abs=1e-6)
+    assert out[("a", "b")]["support"] == pytest.approx(2 / 3, abs=1e-6)
+    # lift(a->b) = (2/3)/(2/3) = 1 ; lift(b->a) = 1/(3/3) = 1
+    assert out[("a", "b")]["lift"] == pytest.approx(1.0, abs=1e-6)
+    assert out[("b", "a")]["lift"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_key_skew_audit_hand_values(spark):
+    from gordo_spark.operators.skew import key_skew_audit
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("x", 3), ("y", 4)], "k string, u int"
+    )
+    rows = {r["key"]: r for r in key_skew_audit(df, ["k", "u"]).collect()}
+    # k: counts {x:3, y:1} -> hhi = (9+1)/16, eff = 16/10
+    assert rows["k"]["n_keys"] == 2
+    assert rows["k"]["max_key_frac"] == pytest.approx(0.75, abs=1e-6)
+    assert rows["k"]["hhi"] == pytest.approx(10 / 16, abs=1e-6)
+    assert rows["k"]["effective_keys"] == pytest.approx(1.6, abs=1e-2)
+    # u: uniform -> hhi = 1/4, effective = 4
+    assert rows["u"]["hhi"] == pytest.approx(0.25, abs=1e-6)
+    assert rows["u"]["effective_keys"] == pytest.approx(4.0, abs=1e-2)
+
+
+def test_script_mix_fractions(spark):
+    from gordo_spark.operators.text import script_mix
+
+    df = spark.createDataFrame(
+        [(1, "ab12 !"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in script_mix(df).collect()}
+    r1 = rows[1]  # 6 chars: 2 latin, 2 digit, 1 space, 1 other
+    assert r1["latin_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r1["digit_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r1["space_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert r1["other_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert rows[2]["latin_frac"] is None  # empty text: NULL, not 0/0
+
+
+def test_cohens_kappa_hand_value(spark):
+    """2x2 fixture: agree on 45+35 of 100, marginals a1=50, b1=60 ->
+    p_o=0.8, p_e=0.5, kappa=0.6."""
+    from gordo_spark.operators.quality_checks import cohens_kappa
+
+    # a1=50, b1=60: 45 TT, 5 TF, 15 FT, 35 FF
+    rows = [(True, True)] * 45 + [(True, False)] * 5 + [(False, True)] * 15 + [(False, False)] * 35
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 100
+    assert r["p_o"] == pytest.approx(0.80, abs=1e-6)
+    assert r["p_e"] == pytest.approx(0.5 * 0.6 + 0.5 * 0.4, abs=1e-6)
+    assert r["kappa"] == pytest.approx((0.8 - 0.5) / 0.5, abs=1e-6)
+    # degenerate: both judges constant -> kappa NULL, not 1.0
+    const = spark.createDataFrame([(True, True)] * 4, "a boolean, b boolean")
+    assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_mixture_budget_epochs_and_missing_source(spark):
+    from gordo_spark.operators.sampling import mixture_budget
+
+    df = spark.createDataFrame(
+        [("web", 100), ("web", 100), ("code", 50), ("forgotten", 10)],
+        "source string, n_tok long",
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_budget(
+            df, "source", "n_tok", {"web": 3.0, "code": 1.0}, 1000
+        ).collect()
+    }
+    assert out["web"]["target_weight"] == pytest.approx(0.75, abs=1e-6)
+    assert out["web"]["allocated_tokens"] == pytest.approx(750.0, abs=1e-6)
+    assert out["web"]["epochs"] == pytest.approx(750 / 200, abs=1e-6)
+    assert out["web"]["capped_rate"] == 1.0  # no-repeat cap
+    assert out["code"]["epochs"] == pytest.approx(5.0, abs=1e-6)
+    # a source the plan forgot surfaces with weight 0, never vanishes
+    assert out["forgotten"]["target_weight"] == 0.0
+    assert out["forgotten"]["allocated_tokens"] == 0.0
+
+
+def test_interval_join_bucketed_equals_plain(spark):
+    """The bucketed scale path returns exactly the plain equi+range
+    result, including boundary timestamps and bucket-straddling
+    intervals."""
+    import datetime as dt
+
+    from gordo_spark.operators.asof import interval_join
+
+    base = dt.datetime(2024, 3, 1)
+
+    def t(h):
+        return base + dt.timedelta(hours=h)
+
+    points = spark.createDataFrame(
+        [(1, t(0)), (1, t(5)), (1, t(30)), (2, t(5)), (2, t(100))],
+        "k int, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(1, t(0), t(10)), (1, t(4), t(40)), (2, t(50), t(60))],
+        "k int, start timestamp, end timestamp",
+    )
+    plain = interval_join(points, ivs, ["k"]).toPandas()
+    bucketed = interval_join(
+        points, ivs, ["k"], bucket_seconds=7 * 3600
+    ).toPandas()
+    key = ["k", "ts", "start", "end"]
+    a = plain[key].sort_values(key).reset_index(drop=True)
+    b = bucketed[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 4  # (1,t0),(1,t5)x2 intervals? t5 in both, t30 in 2nd
