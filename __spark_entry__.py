@@ -9525,6 +9525,191 @@ WHERE v.event_type = 'view' AND v.ts >= w.s AND v.ts <= w.e
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease proxy (operators/text.readability):
+    vowel-run syllable counting, terminal-punctuation sentences —
+    row-local regexp algebra beside the Gopher rules."""
+    from gordo_spark.operators.text import readability
+
+    return readability(read_table(spark, sf_dir, "documents"))
+
+
+O_READABILITY = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+         AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         AS n_syllables,
+       ROUND(206.835
+             - 1.015 * len(string_split(text, ' '))
+               / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                      AS DOUBLE)
+             - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS flesch
+FROM documents
+"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph
+    (operators/graph.link_prediction): wedge-bounded candidate pairs
+    (one self-join of the symmetrized directions on the middle node),
+    existing edges dropped by anti-join, Jaccard from the degree
+    table. Top 50 by (n_common desc, x, z)."""
+    from gordo_spark.operators.graph import co_occurrence_edges, link_prediction
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return link_prediction(edges, top_k=50)
+
+
+O_LINK_PREDICTION = """
+WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+cnt AS (
+  SELECT a.p AS a, b.p AS b, count(*) AS n
+  FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM cnt WHERE n >= 2),
+dirs AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+wedge AS (
+  SELECT d1.w AS x, d2.w AS z, count(*) AS n_common
+  FROM dirs d1 JOIN dirs d2 ON d1.v = d2.v AND d1.w < d2.w
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.* FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.z)
+),
+deg AS (SELECT v, count(*) AS d FROM dirs GROUP BY 1)
+SELECT c.x, c.z, c.n_common,
+       ROUND(c.n_common / CAST(dx.d + dz.d - c.n_common AS DOUBLE), 6)
+         AS jaccard
+FROM cand c JOIN deg dx ON dx.v = c.x JOIN deg dz ON dz.v = c.z
+ORDER BY c.n_common DESC, c.x, c.z
+LIMIT 50
+"""
+
+
+def q_ingest_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day ingest-volume audit over events
+    (operators/quality_checks.ingest_health): calendar-spine day
+    counts (missing days surface as 0-rows), trailing-7-day median,
+    missing/low/warmup/ok verdicts. The trailing window runs over the
+    calendar grid — bounded by the time span, never event volume."""
+    from gordo_spark.operators.quality_checks import ingest_health
+
+    out = ingest_health(read_table(spark, sf_dir, "events"), "ts")
+    # date -> timestamp for the cross-engine compare (pandas renders
+    # Spark dates as objects, DuckDB dates as datetime64)
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+O_INGEST_HEALTH = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(min(day), max(day),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM days
+),
+grid AS (
+  SELECT s.day, coalesce(d.n_rows, 0) AS n_rows
+  FROM spine s LEFT JOIN days d ON s.day = d.day
+),
+med AS (
+  SELECT day, n_rows,
+         quantile_cont(n_rows, 0.5) OVER (
+           ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+         ) AS m
+  FROM grid
+)
+SELECT CAST(day AS TIMESTAMP) AS day, CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(m, 1) AS trailing_median,
+       CASE WHEN m > 0 THEN ROUND(n_rows / m, 6) END AS ratio,
+       CASE WHEN n_rows = 0 THEN 'missing'
+            WHEN ROUND(m, 1) IS NULL THEN 'warmup'
+            WHEN n_rows < 0.5 * ROUND(m, 1) THEN 'low'
+            ELSE 'ok' END AS status
+FROM med ORDER BY day
+"""
+
+
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration curve (operators/ranking.lorenz_curve):
+    customers bucket by total order value DESCENDING via exact
+    percentile boundaries (one single-pass aggregate + row-local
+    boundary count — no customer-cardinality sort anywhere),
+    cumulative member/value shares per bucket. The 'top 5% of
+    customers carry X% of revenue' readout."""
+    from gordo_spark.operators.ranking import lorenz_curve
+
+    o = read_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    return lorenz_curve(rev, "revenue", "o_custkey", k=20)
+
+
+O_REVENUE_PARETO = f"""
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS v FROM orders GROUP BY 1
+),
+bs AS (
+  SELECT [{", ".join(f"quantile_cont(v, {i / 20})" for i in range(1, 20))}]
+    AS b
+  FROM rev
+),
+tiled AS (
+  SELECT v, 20 - len(list_filter(bs.b, p -> v > p)) AS bucket
+  FROM rev, bs
+),
+per AS (
+  SELECT bucket, count(*) AS n_members, sum(v) AS bv
+  FROM tiled GROUP BY bucket
+)
+SELECT bucket, CAST(n_members AS BIGINT) AS n_members,
+       ROUND(bv, 2) AS bucket_value,
+       ROUND(sum(n_members) OVER (ORDER BY bucket)
+             / CAST(sum(n_members) OVER () AS DOUBLE), 6)
+         AS cum_member_frac,
+       ROUND(sum(bv) OVER (ORDER BY bucket) / sum(bv) OVER (), 6)
+         AS cum_value_frac
+FROM per ORDER BY bucket
+"""
+
+
+def q_emb_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (operators/similarity.
+    truncation_energy): retained L2-norm fraction at prefix dims
+    8/16/32, summarized corpus-wide (mean + p10). Row-local slice +
+    fold lambdas; one dims-sized aggregation."""
+    from gordo_spark.operators.similarity import truncation_energy
+
+    return truncation_energy(
+        read_table(spark, sf_dir, "embeddings"), dims=(8, 16, 32)
+    )
+
+
+O_EMB_TRUNCATION = """
+WITH r AS (
+  SELECT d.dim,
+         sqrt(list_sum(list_transform(embedding[1:d.dim],
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              / list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ratio
+  FROM embeddings
+  CROSS JOIN (SELECT unnest([8, 16, 32]) AS dim) d
+  WHERE list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+)
+SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n_vectors,
+       ROUND(avg(ratio), 6) AS mean_retained,
+       ROUND(quantile_cont(ratio, 0.1), 6) AS p10_retained
+FROM r GROUP BY dim ORDER BY dim
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -9740,6 +9925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "mixture_budget": q_mixture_budget,
         "interval_join": q_interval_join,
+        "readability": q_readability,
+        "link_prediction": q_link_prediction,
+        "ingest_health": q_ingest_health,
+        "revenue_pareto": q_revenue_pareto,
+        "emb_truncation": q_emb_truncation,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -10001,4 +10191,9 @@ def oracle_sql() -> dict[str, str]:
         "cohens_kappa": O_COHENS_KAPPA,
         "mixture_budget": O_MIXTURE_BUDGET,
         "interval_join": O_INTERVAL_JOIN,
+        "readability": O_READABILITY,
+        "link_prediction": O_LINK_PREDICTION,
+        "ingest_health": O_INGEST_HEALTH,
+        "revenue_pareto": O_REVENUE_PARETO,
+        "emb_truncation": O_EMB_TRUNCATION,
     }

@@ -193,6 +193,11 @@ HEADLINE = [
     "cohens_kappa",
     "mixture_budget",
     "interval_join",
+    "readability",
+    "link_prediction",
+    "ingest_health",
+    "revenue_pareto",
+    "emb_truncation",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -20,7 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["co_occurrence_edges", "k_core", "pagerank", "triangle_stats"]
+__all__ = [
+    "co_occurrence_edges",
+    "k_core",
+    "link_prediction",
+    "pagerank",
+    "triangle_stats",
+]
 
 
 def co_occurrence_edges(
@@ -251,4 +257,63 @@ def k_core(
     return (
         alive.groupBy(F.col("src").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def link_prediction(
+    edges: DataFrame, top_k: int = 50
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected edge list
+    (``a, b`` with ``a < b``): for every NON-adjacent node pair with at
+    least one shared neighbor, the common-neighbor count and Jaccard
+    coefficient ``common / (deg_x + deg_z - common)`` — the classic
+    "parts that should co-sell but don't yet" / "entities that are
+    probably the same" candidate generator (Liben-Nowell & Kleinberg
+    2003).
+
+    Shape: candidate pairs come from WEDGES (two-hop paths through a
+    shared neighbor — one self-join of the symmetrized direction table
+    on the middle node), so the pair space is wedge-bounded (sum of
+    deg^2/2), never all-pairs; existing edges drop via one left-anti
+    join; degrees attach from the once-aggregated degree table. All
+    shuffles key on node ids. Top-k by ``(n_common desc, x, z)`` —
+    deterministic. Output ``(x, z, n_common, jaccard)``.
+    """
+    e = edges.select("a", "b").localCheckpoint()
+    dirs = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("v"), F.col("b").alias("w")),
+                F.struct(F.col("b").alias("v"), F.col("a").alias("w")),
+            )
+        ).alias("_e")
+    ).select("_e.v", "_e.w")
+    wedges = (
+        dirs.select(F.col("v"), F.col("w").alias("x"))
+        .join(dirs.select(F.col("v"), F.col("w").alias("z")), "v")
+        .filter(F.col("x") < F.col("z"))
+        .groupBy("x", "z")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"],
+        "left_anti",
+    )
+    deg = dirs.groupBy(F.col("v")).agg(F.count(F.lit(1)).alias("_d"))
+    return (
+        cand.join(deg.select(F.col("v").alias("x"), F.col("_d").alias("_dx")), "x")
+        .join(deg.select(F.col("v").alias("z"), F.col("_d").alias("_dz")), "z")
+        .select(
+            "x",
+            "z",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_dx") + F.col("_dz") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("n_common").desc(), "x", "z")
+        .limit(int(top_k))
     )

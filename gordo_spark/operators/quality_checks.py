@@ -52,7 +52,7 @@ them):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _q(c: str):
@@ -358,4 +358,61 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(
             F.when(pe < 1.0, (po - pe) / (1.0 - pe)), 6
         ).alias("kappa"),
+    )
+
+
+def ingest_health(
+    df: DataFrame,
+    ts_col: str,
+    trailing_days: int = 7,
+    low_factor: float = 0.5,
+) -> DataFrame:
+    """Per-day ingest-volume health over an event-time column — the
+    freshness/completeness audit a pipeline runs on every landed
+    partition: row count per calendar day (MISSING days materialize as
+    0-count rows via a calendar spine, never silently absent), the
+    trailing ``trailing_days`` median, and a status verdict
+    (``missing`` / ``low`` when count < ``low_factor`` * median /
+    ``warmup`` while no trailing history exists / ``ok``).
+
+    Shape: one map-side-combinable day aggregation of the corpus, a
+    1-row min/max bounds scalar, a row-local ``sequence()`` calendar
+    spine left-joined to the counts, and the trailing median as a
+    window over the CALENDAR grid (days in range — bounded by the time
+    span, never event volume). Output ``(day, n_rows, trailing_median,
+    ratio, status)``.
+    """
+    days = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    bounds = days.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day")
+    )
+    grid = spine.join(days, "day", "left").select(
+        "day", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
+    )
+    w = Window.orderBy("day").rowsBetween(-int(trailing_days), -1)
+    med = F.expr("percentile(n_rows, 0.5)").over(w)
+    ratio = F.when(med > 0, F.col("n_rows") / med)
+    return (
+        grid.withColumn("trailing_median", F.round(med, 1))
+        .select(
+            "day",
+            "n_rows",
+            "trailing_median",
+            F.round(ratio, 6).alias("ratio"),
+            F.when(F.col("n_rows") == 0, F.lit("missing"))
+            .when(F.col("trailing_median").isNull(), F.lit("warmup"))
+            .when(
+                F.col("n_rows")
+                < F.lit(float(low_factor)) * F.col("trailing_median"),
+                F.lit("low"),
+            )
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+        .orderBy("day")
     )

@@ -1610,3 +1610,63 @@ def embedding_drift(
         "n_ref",
         "n_cur",
     )
+
+
+def truncation_energy(
+    df: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation audit: for each candidate prefix
+    dimension ``d``, how much of each vector's L2 norm the first ``d``
+    components retain (``|v[:d]| / |v|``) — the measurement that
+    decides whether an index can store truncated embeddings (MRL,
+    Kusupati et al. 2022) or whether this embedding family spreads its
+    energy uniformly (random-ish vectors retain ~sqrt(d/D), trained
+    MRL vectors front-load).
+
+    Row-local higher-order lambdas (slice + aggregate, cast to double
+    first); each row explodes into |dims| (dim, ratio) entries and one
+    map-side-combinable aggregation summarizes per dim. Output
+    ``(dim, n_vectors, mean_retained, p10_retained)``.
+    """
+
+    def sumsq(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+
+    full = sumsq(F.col(vec_col))
+    entries = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(d)).alias("dim"),
+                        F.when(
+                            full > 0,
+                            F.sqrt(
+                                sumsq(F.slice(F.col(vec_col), 1, int(d)))
+                                / full
+                            ),
+                        ).alias("ratio"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.dim", "_e.ratio")
+    return (
+        entries.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("ratio"), 6).alias("mean_retained"),
+            F.round(F.expr("percentile(ratio, 0.1)"), 6).alias(
+                "p10_retained"
+            ),
+        )
+        .orderBy("dim")
+    )

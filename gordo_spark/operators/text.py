@@ -1460,3 +1460,41 @@ def script_mix(
             n > 0, F.round(1.0 - latin - digit - space, 6)
         ).alias("other_frac"),
     )
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease proxy per document — the readability screen
+    curation stacks run beside the Gopher rules (very low scores flag
+    legalese/boilerplate, implausibly high ones flag word salad).
+    Syllables are approximated as vowel-run count (the standard cheap
+    proxy: 'every maximal [aeiouy]+ group is one syllable') and
+    sentences as terminal-punctuation runs, floored at 1.
+
+    ``flesch = 206.835 - 1.015 * words/sentences
+    - 84.6 * syllables/word`` (Flesch 1948). Pure row-local regexp
+    counting — the text never leaves the scan. Output ``(id, n_words,
+    n_sentences, n_syllables, flesch)``, rounded to 6.
+    """
+    words = F.size(tokens(F.col(text_col))).cast("double")
+    sentences = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))
+        ),
+        F.lit(1),
+    ).cast("double")
+    syllables = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[aeiouy]+"), F.lit(0)
+        )
+    ).cast("double")
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.round(
+            206.835 - 1.015 * words / sentences - 84.6 * syllables / words, 6
+        ).alias("flesch"),
+    )

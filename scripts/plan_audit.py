@@ -101,6 +101,8 @@ ACCEPTED = {
     "pair table",
     "assoc_rules": "1-row basket-count scalar broadcast to the directed "
     "rule table (the basket_pairs scalar)",
+    "revenue_pareto": "1-row exact-percentile boundary array broadcast to "
+    "the per-customer aggregate (the rfm_segments shape)",
     "survival_km": "1-row global-max-orderdate censoring scalar broadcast "
     "to the per-subject frame",
     "rfm_segments": "1-row exact-percentile threshold frame broadcast to "
@@ -158,6 +160,14 @@ SINGLE_SERIES_OK = {
     # distinct-DURATION grid — time-resolution-bounded (days in range),
     # never subject-cardinality (subjects collapse map-side first)
     "survival_km",
+    # trailing-median + status windows over the CALENDAR-day spine —
+    # bounded by the time span (days in range), never event volume
+    # (events collapse to day counts map-side first)
+    "ingest_health",
+    # Lorenz cumulative shares over the K-row bucket table (ntile output
+    # of distributed_ntile — the member-cardinality work is histogram-
+    # partitioned inside it; these windows see K rows)
+    "revenue_pareto",
 }
 
 

@@ -315,3 +315,101 @@ def test_interval_join_bucketed_equals_plain(spark):
     b = bucketed[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
     assert len(a) == 4  # (1,t0),(1,t5)x2 intervals? t5 in both, t30 in 2nd
+
+
+def test_readability_hand_values(spark):
+    from gordo_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It purred!")], "doc_id long, text string"
+    )
+    r = readability(df).collect()[0]
+    # words=5, sentences=2, vowel runs: e,a,a,i,u,e = 6
+    assert r["n_words"] == 5
+    assert r["n_sentences"] == 2
+    assert r["n_syllables"] == 6
+    assert r["flesch"] == pytest.approx(
+        206.835 - 1.015 * 5 / 2 - 84.6 * 6 / 5, abs=1e-6
+    )
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """Path 1-2-3 plus 3-4: candidates are the 2-hop pairs (1,3),(2,4);
+    (1,3)? 1-3 not an edge, common neighbor 2. Jaccard 1/(1+2-1)."""
+    from gordo_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a int, b int"
+    )
+    out = {
+        (r["x"], r["z"]): r for r in link_prediction(edges).collect()
+    }
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)]["n_common"] == 1
+    assert out[(1, 3)]["jaccard"] == pytest.approx(1 / 2, abs=1e-6)
+    # an existing edge never appears as a prediction
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a int, b int")
+    assert link_prediction(tri).count() == 0
+
+
+def test_ingest_health_missing_and_low_days(spark):
+    import datetime as dt
+
+    from gordo_spark.operators.quality_checks import ingest_health
+
+    rows = []
+    for d in range(10):
+        if d == 8:
+            continue  # a fully missing day
+        n = 100 if d != 9 else 10  # a low day at the end
+        for i in range(n):
+            rows.append((dt.datetime(2024, 1, 1 + d, 12, 0, i % 60),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["day"].day: r for r in ingest_health(df, "ts").collect()}
+    assert len(out) == 10  # spine materializes the missing day
+    assert out[1]["status"] == "warmup"  # no trailing history yet
+    assert out[9]["status"] == "missing" and out[9]["n_rows"] == 0
+    assert out[10]["status"] == "low" and out[10]["ratio"] == pytest.approx(
+        0.1, abs=1e-6
+    )
+    assert out[5]["status"] == "ok"
+
+
+def test_lorenz_curve_concentration(spark):
+    """8 members, one holding half the value: bucket 1 (heaviest
+    quartile) carries >= its member share; curve is monotone and ends
+    at (1, 1)."""
+    from gordo_spark.operators.ranking import lorenz_curve
+
+    df = spark.createDataFrame(
+        [(1, 700.0), (2, 100.0), (3, 100.0), (4, 100.0),
+         (5, 100.0), (6, 100.0), (7, 100.0), (8, 100.0)],
+        "cid long, v double",
+    )
+    rows = lorenz_curve(df, "v", "cid", k=4).orderBy("bucket").collect()
+    assert rows[-1]["cum_member_frac"] == pytest.approx(1.0, abs=1e-6)
+    assert rows[-1]["cum_value_frac"] == pytest.approx(1.0, abs=1e-6)
+    # the heavy member lands in bucket 1 and dominates its value share
+    assert rows[0]["cum_value_frac"] > rows[0]["cum_member_frac"]
+    fracs = [r["cum_value_frac"] for r in rows]
+    assert fracs == sorted(fracs)
+    assert sum(r["n_members"] for r in rows) == 8
+
+
+def test_truncation_energy_front_loaded_vector(spark):
+    from gordo_spark.operators.similarity import truncation_energy
+
+    # v1: all energy in dim 1 -> retained 1.0 at every prefix
+    # v2: uniform over 4 dims -> retained sqrt(d/4)
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0, 0.0]), (2, [1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in truncation_energy(df, dims=(1, 2)).collect()}
+    assert out[1]["n_vectors"] == 2
+    assert out[1]["mean_retained"] == pytest.approx(
+        (1.0 + 0.5) / 2, abs=1e-6
+    )
+    assert out[2]["mean_retained"] == pytest.approx(
+        (1.0 + (0.5 ** 0.5)) / 2, abs=1e-6
+    )
