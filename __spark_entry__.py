@@ -9710,6 +9710,193 @@ FROM r GROUP BY dim ORDER BY dim
 """
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional postings index
+    (operators/text.build_postings + phrase_search): per-term posting
+    lists equi-join on (id, pos - offset) — adjacency IS the join key;
+    the corpus text is never rescanned at query time."""
+    from gordo_spark.operators.text import build_postings, phrase_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    return phrase_search(build_postings(docs), "table hash")
+
+
+O_PHRASE_SEARCH = """
+WITH p AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(generate_series(1, len(ws))) AS s(i)
+  WHERE ws[i] <> ''
+)
+SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(p0.pos) AS INT) AS first_pos
+FROM p p0 JOIN p p1
+  ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.term = 'hash'
+WHERE p0.term = 'table'
+GROUP BY 1
+"""
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution
+    (operators/ranges.markov_attribution): journey transition
+    probabilities from one user-keyed window pass, absorption via a
+    FIXED 10-step power walk (unrolled identically as oracle CTEs —
+    the pagerank discipline), each channel's credit = normalized drop
+    in conversion probability when transitions into it redirect to
+    null."""
+    from gordo_spark.operators.ranges import markov_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return markov_attribution(
+        ev, "purchase", ["click", "view", "signup"], iterations=10
+    )
+
+
+def _markov_sql(channels=("click", "view", "signup"), iterations: int = 10) -> str:
+    chs = ", ".join(f"'{c}'" for c in channels)
+
+    def walk(prefix: str, ptable: str) -> str:
+        cte = [f"{prefix}0 AS (SELECT 'start' AS s, 1.0 AS m)"]
+        for i in range(1, iterations + 1):
+            cte.append(
+                f"{prefix}{i} AS (SELECT p.dst AS s, sum(v.m * p.pr) AS m "
+                f"FROM {prefix}{i - 1} v JOIN {ptable} p ON p.src = v.s "
+                "GROUP BY 1)"
+            )
+        return ",\n".join(cte)
+
+    removals = []
+    for c in channels:
+        removals.append(
+            f"p_{c} AS (SELECT src, CASE WHEN dst = '{c}' THEN 'null' "
+            "ELSE dst END AS dst, sum(pr) AS pr FROM p GROUP BY 1, 2)"
+        )
+        removals.append(walk(f"w_{c}_", f"p_{c}"))
+    res_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, (SELECT m FROM w_{c}_{iterations} "
+        "WHERE s = 'conv') AS pw"
+        for c in channels
+    )
+    return f"""
+WITH conv AS (
+  SELECT user_id, min(ts) AS cts FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+t AS (
+  SELECT e.user_id, e.ts, e.event_id, e.event_type
+  FROM events e LEFT JOIN conv c ON e.user_id = c.user_id
+  WHERE e.event_type IN ({chs}) AND (c.cts IS NULL OR e.ts < c.cts)
+),
+seq AS (
+  SELECT user_id, event_type AS cur,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM t
+),
+alltrans AS (
+  SELECT coalesce(prev, 'start') AS src, cur AS dst FROM seq
+  UNION ALL
+  SELECT s.cur,
+         CASE WHEN c.user_id IS NOT NULL THEN 'conv' ELSE 'null' END
+  FROM seq s LEFT JOIN conv c ON s.user_id = c.user_id WHERE s.rn = 1
+  UNION ALL
+  SELECT 'start', 'conv' FROM conv c
+  WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.user_id = c.user_id)
+),
+cnt AS (SELECT src, dst, count(*) AS n FROM alltrans GROUP BY 1, 2),
+p AS (
+  SELECT src, dst,
+         n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS pr
+  FROM cnt
+  UNION ALL SELECT 'conv', 'conv', 1.0
+  UNION ALL SELECT 'null', 'null', 1.0
+),
+{walk("b_", "p")},
+{",".join(removals)},
+res AS ({res_rows}),
+base AS (SELECT m AS pb FROM b_{iterations} WHERE s = 'conv'),
+eff AS (SELECT channel, pb, pw, 1 - pw / pb AS e FROM res, base)
+SELECT channel, ROUND(pb, 6) AS p_base, ROUND(pw, 6) AS p_without,
+       ROUND(e, 6) AS removal_effect,
+       ROUND(e / sum(e) OVER (), 6) AS attribution
+FROM eff ORDER BY channel
+"""
+
+
+O_MARKOV_ATTRIBUTION = _markov_sql()
+
+
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-N heavy values
+    (streaming/sketches.stream_windowed_counts + topn_from_counts,
+    batch semantics — the streaming job emits the identical counts at
+    window close, stream==batch in tests): daily tumbling windows,
+    top-3 event types, deterministic (n desc, value) tie-break."""
+    from gordo_spark.streaming.sketches import (
+        stream_windowed_counts,
+        topn_from_counts,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    counts = stream_windowed_counts(ev, "event_type", window="1 day")
+    return topn_from_counts(counts, n=3)
+
+
+O_WINDOW_TOPN = """
+WITH c AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS ws, event_type AS value,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT ws, value, n,
+         row_number() OVER (PARTITION BY ws ORDER BY n DESC, value) AS rank
+  FROM c
+)
+SELECT CAST(ws AS TIMESTAMP) AS window_start,
+       CAST(ws + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+       value, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_m10_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 — L2-regularized fit (ml/models.RidgeModel): the same
+    one-aggregation sufficient-statistics pass as M1's OLS, solving
+    (X'X + alpha R) beta = X'y with the intercept unpenalized; oracle
+    is the closed-form single-feature ridge over the identical
+    aligned frame."""
+    from gordo_spark.ml.models import RidgeModel
+
+    wide = _wide_1h(spark, sf_dir)
+    m = RidgeModel(["click"], ["purchase"], alpha=10.0).fit(
+        wide.select("ts", "click"), wide.select("ts", "purchase")
+    )
+    return spark.createDataFrame(
+        [(round(float(m.coef_[1, 0]), 6), round(float(m.coef_[0, 0]), 6))],
+        "slope double, intercept double",
+    )
+
+
+O_M10_RIDGE = f"""
+WITH wide AS ({_O_WIDE_1H}),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(click) AS sx,
+         sum(click * click) AS sxx, sum(purchase) AS sy,
+         sum(click * purchase) AS sxy
+  FROM wide
+)
+SELECT ROUND((n * sxy - sx * sy) / (n * (sxx + 10.0) - sx * sx), 6)
+         AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * (sxx + 10.0) - sx * sx))
+              * sx) / n, 6) AS intercept
+FROM s
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -9930,6 +10117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_health": q_ingest_health,
         "revenue_pareto": q_revenue_pareto,
         "emb_truncation": q_emb_truncation,
+        "phrase_search": q_phrase_search,
+        "markov_attribution": q_markov_attribution,
+        "window_topn": q_window_topn,
+        "m10_ridge": q_m10_ridge,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -10196,4 +10387,8 @@ def oracle_sql() -> dict[str, str]:
         "ingest_health": O_INGEST_HEALTH,
         "revenue_pareto": O_REVENUE_PARETO,
         "emb_truncation": O_EMB_TRUNCATION,
+        "phrase_search": O_PHRASE_SEARCH,
+        "markov_attribution": O_MARKOV_ATTRIBUTION,
+        "window_topn": O_WINDOW_TOPN,
+        "m10_ridge": O_M10_RIDGE,
     }

@@ -198,6 +198,10 @@ HEADLINE = [
     "ingest_health",
     "revenue_pareto",
     "emb_truncation",
+    "phrase_search",
+    "markov_attribution",
+    "window_topn",
+    "m10_ridge",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -124,8 +124,11 @@ class LinearModel:
         xty = np.array(
             [[row[f"_xy_{i}_{j}"] for j in range(len(targets))] for i in range(p)]
         )
-        self.coef_ = np.linalg.solve(xtx, xty)
+        self.coef_ = self._solve(xtx, xty)
         return self
+
+    def _solve(self, xtx: np.ndarray, xty: np.ndarray) -> np.ndarray:
+        return np.linalg.solve(xtx, xty)
 
     def predict_exprs(self, prefix: str = "model_output__") -> list[Column]:
         cols = []
@@ -158,6 +161,40 @@ class LinearModel:
             "kind": "LinearModel",
             "feature_cols": self.feature_cols,
             "target_cols": self.target_cols,
+        }
+
+
+@register_model("RidgeModel")
+class RidgeModel(LinearModel):
+    """L2-regularized :class:`LinearModel` — identical one-aggregation
+    sufficient-statistics fit, solving ``(X'X + alpha * R) beta = X'y``
+    with ``R`` the identity EXCEPT a zero at the intercept (the
+    standard unpenalized-intercept convention, sklearn's
+    ``Ridge(fit_intercept=True)``). The regularizer touches only the
+    collected (p+1)x(p+1) matrix on the driver — nothing about the
+    distributed pass changes, so ridge costs exactly what OLS costs at
+    any scale and stays deterministic (M9)."""
+
+    def __init__(
+        self,
+        feature_cols: Sequence[str] | None = None,
+        target_cols: Sequence[str] | None = None,
+        alpha: float = 1.0,
+    ):
+        super().__init__(feature_cols, target_cols)
+        self.alpha = float(alpha)
+
+    def _solve(self, xtx: np.ndarray, xty: np.ndarray) -> np.ndarray:
+        reg = np.eye(xtx.shape[0]) * self.alpha
+        reg[0, 0] = 0.0  # never penalize the intercept
+        return np.linalg.solve(xtx + reg, xty)
+
+    def into_definition(self) -> dict:
+        return {
+            "kind": "RidgeModel",
+            "feature_cols": self.feature_cols,
+            "target_cols": self.target_cols,
+            "alpha": self.alpha,
         }
 
 

@@ -1498,3 +1498,50 @@ def readability(
             206.835 - 1.015 * words / sentences - 84.6 * syllables / words, 6
         ).alias("flesch"),
     )
+
+
+def build_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings index ``(term, id, pos)`` — the inverted
+    index that makes :func:`phrase_search` an index JOIN instead of a
+    corpus scan. Built once (one posexplode, the write is the
+    amortized cost — the bucketed-join economics), ideally persisted
+    partitioned/bucketed BY TERM so a query's posting lists land
+    together and the phrase join is shuffle-free."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+
+
+def phrase_search(
+    postings: DataFrame, phrase: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase search over a positional postings index: the k
+    query terms' posting lists equi-join on ``(id, pos - offset)`` —
+    adjacency IS the join key, so only documents containing every term
+    at consecutive positions survive (the classic positional-postings
+    intersection, Manning IR ch. 2).
+
+    Scale shape: each term's list is a selective filter on the index
+    (predicate pushdown to the term-partitioned layout), the k-way
+    join is a chain of equi-joins on (id, pos) — rare terms make tiny
+    build sides AQE broadcasts. The corpus text is never touched.
+    Output ``(id, n_matches, first_pos)`` per matching document.
+    """
+    terms = [t for t in phrase.split(" ") if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    cur = postings.filter(F.col("term") == terms[0]).select(
+        F.col(id_col), F.col("pos")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, [id_col, "pos"])
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("pos").alias("first_pos"),
+    )

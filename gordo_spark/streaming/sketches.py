@@ -73,3 +73,56 @@ def stream_count_min(
             F.col("window.start").alias("window_start"), "row", "bucket", "n"
         )
     )
+
+
+def stream_windowed_counts(
+    stream: DataFrame,
+    col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-window exact value counts — the state that answers "what are
+    this hour's top-N keys?" once a window closes. ONE stateful
+    aggregation keyed (window, value); state is bounded by per-window
+    DISTINCT cardinality (use :func:`stream_count_min` +
+    ``topn_from_counts`` over its estimates when even that is
+    unbounded). Works identically on a batch frame (stream==batch
+    contract in tests). Ranking itself is deliberately NOT in the
+    stream: rank over an open window is a non-monotonic aggregate
+    streaming cannot emit incrementally — the closed-window counts are
+    the streaming product, :func:`topn_from_counts` is the batch-side
+    readout."""
+    frame = stream
+    if frame.isStreaming:
+        frame = frame.withWatermark(ts_col, watermark)
+    return (
+        frame.groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(col).alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "value",
+            "n",
+        )
+    )
+
+
+def topn_from_counts(counts: DataFrame, n: int = 5) -> DataFrame:
+    """Top-N per closed window from :func:`stream_windowed_counts`
+    output (batch-side readout over the sink): rank partitioned by
+    window — bounded by per-window distinct values, deterministic
+    ``(n desc, value)`` tie-break."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(n))
+        .select("window_start", "window_end", "value", "n", "rank")
+    )

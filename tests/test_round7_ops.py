@@ -413,3 +413,118 @@ def test_truncation_energy_front_loaded_vector(spark):
     assert out[2]["mean_retained"] == pytest.approx(
         (1.0 + (0.5 ** 0.5)) / 2, abs=1e-6
     )
+
+
+def test_phrase_search_positions(spark):
+    from gordo_spark.operators.text import build_postings, phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data big"),
+            (2, "data big data"),
+            (3, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_postings(docs)
+    out = {r["doc_id"]: r for r in phrase_search(idx, "big data").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_matches"] == 2 and out[1]["first_pos"] == 0
+    assert out[2]["n_matches"] == 1 and out[2]["first_pos"] == 1
+    # three-term phrase exercises the k-way chain
+    tri = {r["doc_id"]: r for r in phrase_search(idx, "big data big").collect()}
+    assert set(tri) == {1} and tri[1]["n_matches"] == 2
+
+
+def test_markov_attribution_hand_graph(spark):
+    """3 users: click->conv, view->no-conv, conv-with-no-touch.
+    Transition probs from start are 1/3 each; removing click drops
+    p(conv) 2/3 -> 1/3 (effect 0.5), removing view changes nothing."""
+    import datetime as dt
+
+    from gordo_spark.operators.ranges import markov_attribution
+
+    b = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, b, "click"),
+        (2, 1, b.replace(hour=1), "purchase"),
+        (3, 2, b, "view"),
+        (4, 3, b, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_attribution(ev, "purchase", ["click", "view"]).collect()
+    }
+    assert out["click"]["p_base"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["click"]["p_without"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["click"]["removal_effect"] == pytest.approx(0.5, abs=1e-6)
+    assert out["click"]["attribution"] == pytest.approx(1.0, abs=1e-6)
+    assert out["view"]["removal_effect"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_ridge_matches_numpy_closed_form(spark):
+    import numpy as np
+
+    from gordo_spark.ml.models import RidgeModel
+
+    rng = np.random.default_rng(7)
+    n = 200
+    x1, x2 = rng.normal(size=n), rng.normal(size=n)
+    y = 2.0 * x1 - 1.0 * x2 + 0.5 + rng.normal(scale=0.1, size=n)
+    import pandas as pd
+
+    ts = pd.date_range("2024-01-01", periods=n, freq="1min")
+    X = spark.createDataFrame(pd.DataFrame({"ts": ts, "x1": x1, "x2": x2}))
+    Y = spark.createDataFrame(pd.DataFrame({"ts": ts, "y": y}))
+    alpha = 5.0
+    m = RidgeModel(["x1", "x2"], ["y"], alpha=alpha).fit(X, Y)
+    # numpy closed form with unpenalized intercept
+    A = np.column_stack([np.ones(n), x1, x2])
+    reg = np.eye(3) * alpha
+    reg[0, 0] = 0.0
+    beta = np.linalg.solve(A.T @ A + reg, A.T @ y)
+    np.testing.assert_allclose(m.coef_[:, 0], beta, rtol=1e-9)
+    # shrinkage sanity: ridge slope magnitude < OLS slope magnitude
+    from gordo_spark.ml.models import LinearModel
+
+    ols = LinearModel(["x1", "x2"], ["y"]).fit(X, Y)
+    assert abs(m.coef_[1, 0]) < abs(ols.coef_[1, 0])
+
+
+def test_stream_windowed_counts_matches_batch(spark, sf_dir, tmp_path):
+    """stream_windowed_counts over an availableNow file stream emits the
+    identical per-window counts as the same operator on the batch frame;
+    topn_from_counts then ranks the closed windows."""
+    from gordo_spark.sources.io import read_table
+    from gordo_spark.streaming.sketches import (
+        stream_windowed_counts,
+        topn_from_counts,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type")
+    path = f"{tmp_path}/topn_src"
+    ev.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    q = (
+        stream_windowed_counts(stream, "event_type", window="1 day")
+        .writeStream.format("memory")
+        .queryName("topn_counts_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("topn_counts_test")
+    exp = stream_windowed_counts(ev, "event_type", window="1 day")
+    key = ["window_start", "value"]
+    g = got.toPandas().sort_values(key).reset_index(drop=True)
+    x = exp.toPandas().sort_values(key).reset_index(drop=True)
+    assert g[["window_start", "value", "n"]].equals(
+        x[["window_start", "value", "n"]]
+    )
+    top = topn_from_counts(got, n=1).toPandas()
+    assert (top["rank"] == 1).all()
+    assert len(top) == got.toPandas()["window_start"].nunique()
