@@ -9897,6 +9897,89 @@ FROM s
 """
 
 
+def q_w26_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W26 — Holt-Winters additive triple-exponential smoothing per tag
+    (operators/smoothing.holt_winters): level+trend+seasonal with a
+    24-hour season on the hourly grid — the forecast a daily-cycling
+    series needs (holt's residual would flag every morning). Recursive,
+    so it runs the applyInPandas-per-series path like w3/w11; the
+    oracle states the identical recursion as a recursive CTE carrying
+    the 24-slot seasonal vector as a list. Warmup rows (the first
+    season, which only seeds the state) are excluded on both engines;
+    input rounded to 6dp on both so avg() summation ulps cannot
+    compound through the feedback loop."""
+    from gordo_spark.operators.smoothing import holt_winters
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = res.withColumn("value", F.round("value", 6))
+    out = holt_winters(
+        res, period=24, alpha=0.2, beta=0.1, gamma=0.3, machine_col="tag"
+    )
+    # warmup rows come back NULL (pandas NaN -> Arrow null), and Spark's
+    # isnan(NULL) is false — test both
+    return _r6(
+        out.filter(
+            F.col("level").isNotNull() & ~F.isnan("level")
+        ).select(
+            "tag", "ts", "value", "level", "trend", "seasonal", "forecast"
+        ),
+        "level",
+        "trend",
+        "seasonal",
+        "forecast",
+    )
+
+
+def _holt_winters_sql(m: int = 24, a: float = 0.2, b: float = 0.1, g: float = 0.3) -> str:
+    # the recursive step needs l_new/s_old several times; SQL has no
+    # let-binding, so the expressions repeat verbatim (the w11 pattern)
+    l_new = f"{a} * (s2.value - r.s[1]) + {1 - a} * (r.l + r.b)"
+    b_new = f"{b} * (({l_new}) - r.l) + {1 - b} * r.b"
+    s_new = f"{g} * (s2.value - ({l_new})) + {1 - g} * r.s[1]"
+    return f"""
+WITH RECURSIVE res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         ROUND(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT tag, ts, value,
+         row_number() OVER (PARTITION BY tag ORDER BY ts) AS rn
+  FROM res
+),
+init AS (
+  SELECT tag, avg(value) AS l0,
+         list(value - l0 ORDER BY rn) AS s0
+  FROM (SELECT tag, value, rn,
+               avg(value) OVER (PARTITION BY tag) AS l0
+        FROM seq WHERE rn <= {m})
+  GROUP BY tag, l0
+),
+rec AS (
+  SELECT tag, CAST({m} AS BIGINT) AS rn,
+         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS DOUBLE) AS value,
+         l0 AS l, CAST(0 AS DOUBLE) AS b, s0 AS s,
+         CAST(NULL AS DOUBLE) AS sea, CAST(NULL AS DOUBLE) AS fc
+  FROM init
+  UNION ALL
+  SELECT r.tag, s2.rn, s2.ts, s2.value,
+         {l_new},
+         {b_new},
+         list_append(r.s[2:], {s_new}),
+         {s_new},
+         ({l_new}) + ({b_new}) + r.s[2]
+  FROM rec r JOIN seq s2 ON s2.tag = r.tag AND s2.rn = r.rn + 1
+)
+SELECT tag, ts, value, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+       ROUND(sea, 6) AS seasonal, ROUND(fc, 6) AS forecast
+FROM rec WHERE rn > {m}
+"""
+
+
+O_W26_HOLT_WINTERS = _holt_winters_sql()
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10121,6 +10204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_attribution": q_markov_attribution,
         "window_topn": q_window_topn,
         "m10_ridge": q_m10_ridge,
+        "w26_holt_winters": q_w26_holt_winters,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -10391,4 +10475,5 @@ def oracle_sql() -> dict[str, str]:
         "markov_attribution": O_MARKOV_ATTRIBUTION,
         "window_topn": O_WINDOW_TOPN,
         "m10_ridge": O_M10_RIDGE,
+        "w26_holt_winters": O_W26_HOLT_WINTERS,
     }

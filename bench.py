@@ -202,6 +202,7 @@ HEADLINE = [
     "markov_attribution",
     "window_topn",
     "m10_ridge",
+    "w26_holt_winters",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

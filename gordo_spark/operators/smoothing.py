@@ -275,6 +275,98 @@ def holt(
     )
 
 
+def holt_winters(
+    df: DataFrame,
+    period: int,
+    value_col: str = "value",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    ts_col: str = "ts",
+    machine_col: str | None = None,
+) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing per series —
+    the seasonal upgrade of :func:`holt` (Winters 1960): level
+    ``l_t = a*(x_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1})``, trend
+    ``b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}``, seasonal
+    ``s_t = g*(x_t - l_t) + (1-g)*s_{t-m}``, one-step forecast
+    ``l_t + b_t + s_{t+1-m}``. A daily-cycling sensor under a slow
+    drift needs all three terms; holt's residual would flag every
+    morning as an anomaly.
+
+    Initialization (deterministic, stated): the first ``period`` rows
+    seed the state — ``l_m = mean(x_1..x_m)``, ``b_m = 0``,
+    ``s_i = x_i - l_m`` — and emit NULL outputs (no smoothed value
+    exists before one full season); the recursion starts at row
+    ``m+1``. NaN observations coast exactly as in :func:`holt` (state
+    untouched, NaN emitted).
+
+    Same execution posture as holt/ewma: recursive over history, so it
+    runs Arrow-batched ``applyInPandas`` with ONE group per series key
+    (fleet scaling = many series); the oracle states the identical
+    recursion as a recursive CTE carrying the seasonal vector as a
+    list.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    m = int(period)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    a, b, g = float(alpha), float(beta), float(gamma)
+    group_cols = [machine_col] if machine_col else []
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+
+    def _hw(pdf):
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype=float)
+        n = len(x)
+        lev = np.full(n, np.nan)
+        tr = np.full(n, np.nan)
+        sea = np.full(n, np.nan)
+        fc = np.full(n, np.nan)
+        if n > m and not np.isnan(x[:m]).any():
+            l_s = float(np.mean(x[:m]))
+            b_s = 0.0
+            s = list(x[:m] - l_s)  # s[0] is s_{t-m} for the next step
+            for i in range(m, n):
+                if np.isnan(x[i]):
+                    # coast: emit NaN, rotate the seasonal window so
+                    # phase stays aligned with the grid
+                    s.append(s.pop(0))
+                    continue
+                s_old = s.pop(0)
+                prev = l_s
+                l_s = a * (x[i] - s_old) + (1.0 - a) * (l_s + b_s)
+                b_s = b * (l_s - prev) + (1.0 - b) * b_s
+                s_new = g * (x[i] - l_s) + (1.0 - g) * s_old
+                s.append(s_new)
+                lev[i], tr[i], sea[i] = l_s, b_s, s_new
+                fc[i] = l_s + b_s + s[0]
+        pdf["level"], pdf["trend"], pdf["seasonal"], pdf["forecast"] = (
+            lev,
+            tr,
+            sea,
+            fc,
+        )
+        return pdf
+
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(_hw, schema=schema)
+    return (
+        df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda p: _hw(p.drop(columns="_g")), schema=schema)
+    )
+
+
 def mad_zscore(
     df: DataFrame,
     value_col: str = "value",

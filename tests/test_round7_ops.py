@@ -528,3 +528,55 @@ def test_stream_windowed_counts_matches_batch(spark, sf_dir, tmp_path):
     top = topn_from_counts(got, n=1).toPandas()
     assert (top["rank"] == 1).all()
     assert len(top) == got.toPandas()["window_start"].nunique()
+
+
+def test_holt_winters_matches_pure_python(spark):
+    """HW additive on a noiseless seasonal+trend series: pinned against
+    an independent pure-python recursion; forecast tracks the signal."""
+    import datetime as dt
+
+    from gordo_spark.operators.smoothing import holt_winters
+
+    m, n = 4, 40
+    base = dt.datetime(2024, 1, 1)
+    season = [3.0, -1.0, -2.0, 0.0]
+    xs = [0.5 * t + season[t % m] for t in range(n)]
+    rows = [
+        ("a", base + dt.timedelta(hours=t), xs[t]) for t in range(n)
+    ]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    out = (
+        holt_winters(df, period=m, alpha=0.3, beta=0.2, gamma=0.4,
+                     machine_col="tag")
+        .orderBy("ts")
+        .collect()
+    )
+    # independent recursion
+    a, b, g = 0.3, 0.2, 0.4
+    l = sum(xs[:m]) / m
+    bt = 0.0
+    s = [x - l for x in xs[:m]]
+    exp = []
+    for t in range(m, n):
+        s_old = s.pop(0)
+        prev = l
+        l = a * (xs[t] - s_old) + (1 - a) * (l + bt)
+        bt = b * (l - prev) + (1 - b) * bt
+        s_new = g * (xs[t] - l) + (1 - g) * s_old
+        s.append(s_new)
+        exp.append((l, bt, s_new, l + bt + s[0]))
+    got = [r for r in out if r["level"] is not None]
+    assert len(got) == n - m
+    for r, (le, tr, se, fc) in zip(got, exp):
+        assert r["level"] == pytest.approx(le, abs=1e-9)
+        assert r["trend"] == pytest.approx(tr, abs=1e-9)
+        assert r["seasonal"] == pytest.approx(se, abs=1e-9)
+        assert r["forecast"] == pytest.approx(fc, abs=1e-9)
+    # converged forecast ~ the true next value on this noiseless signal
+    last = got[-1]
+    t_next = n  # forecast at row n-1 predicts t = n
+    assert last["forecast"] == pytest.approx(
+        0.5 * t_next + season[t_next % m], abs=0.5
+    )
+    # warmup rows (first season) carry no state
+    assert sum(1 for r in out if r["level"] is None) == m
