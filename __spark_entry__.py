@@ -9980,6 +9980,119 @@ FROM rec WHERE rn > {m}
 O_W26_HOLT_WINTERS = _holt_winters_sql()
 
 
+def q_group_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state per-group quantile sketch
+    (operators/sketches.group_quantile_sketch): 256 fixed-width bins
+    from a 1-row global min/max, per-group histograms map-side
+    combined, interpolated readout at the rank — the scale path
+    group_quantiles' docstring promises, deterministic on any engine
+    (the HLL-det design point applied to quantiles)."""
+    from gordo_spark.operators.sketches import group_quantile_sketch
+
+    ev = read_table(spark, sf_dir, "events")
+    return group_quantile_sketch(
+        ev, "event_type", "value", qs=(0.5, 0.9, 0.99), bins=256
+    )
+
+
+O_GROUP_QUANTILES_SKETCH = """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT event_type AS g, lo, hi,
+         CASE WHEN hi > lo THEN least(255,
+           CAST(floor((value - lo) / (hi - lo) * 256) AS INT))
+         ELSE 0 END AS bin,
+         count(*) AS c
+  FROM events, b GROUP BY 1, 2, 3, 4
+),
+hist AS (
+  SELECT g, lo, hi, bin, c,
+         sum(c) OVER (PARTITION BY g ORDER BY bin) - c AS cum_prev,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM binned
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n, q,
+       ROUND(lo + (hi - lo) / 256
+             * (bin + (ceil(q * n) - cum_prev) / CAST(c AS DOUBLE)), 6)
+         AS estimate
+FROM hist, qs
+WHERE cum_prev < ceil(q * n) AND cum_prev + c >= ceil(q * n)
+ORDER BY event_type, q
+"""
+
+
+def q_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the composite quality score predicting the
+    Gopher verdict (operators/experiments.auc_exact): rank-sum
+    identity with tie correction over the 3dp-rounded score grid —
+    does the cheap score separate what the rule panel keeps?"""
+    from gordo_spark.operators.experiments import auc_exact
+    from gordo_spark.operators.text import gopher_rule_exprs, quality_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_expr(F.col("text")).alias("score"),
+        gopher_rule_exprs(F.col("text"))["keep"].alias("label"),
+    )
+    return auc_exact(scored, "score", "label", precision=3)
+
+
+def _auc_sql() -> str:
+    from gordo_spark.operators.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws)::DOUBLE AS n_words,
+         length(replace(text, ' ', ''))::DOUBLE / len(ws) AS mean_wl,
+         ((len(string_split(text, '#')) - 1)
+          + (len(string_split(text, '...')) - 1))::DOUBLE AS n_sym,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+           / len(ws) AS alpha_frac,
+         len(list_filter(ws, x -> list_contains([{sw}], x))) AS n_sw,
+         length(text)::DOUBLE AS n_chars,
+         (length(text)
+          - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+           AS n_punct,
+         len(list_distinct(ws))::DOUBLE AS n_uniq
+  FROM w
+),
+j AS (
+  SELECT ROUND((least(n_words / 50.0, 1.0)
+          + greatest(1.0 - (n_punct / n_chars) * 5.0, 0.0)
+          + n_uniq / n_words
+          + least((n_sw / n_words) * 5.0, 1.0)) / 4.0, 3) AS s,
+         (n_words >= 50 AND n_words <= 100000)
+           AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+           AND (n_sym / n_words <= 0.1)
+           AND (alpha_frac >= 0.8)
+           AND (n_sw >= 2) AS y
+  FROM m
+),
+hist AS (
+  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS q
+  FROM j WHERE s IS NOT NULL AND y IS NOT NULL GROUP BY s
+),
+cum AS (
+  SELECT s, p, q, sum(q) OVER (ORDER BY s) - q AS negs_below FROM hist
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(q) AS BIGINT) AS n_neg,
+       ROUND(CASE WHEN sum(p) > 0 AND sum(q) > 0 THEN
+         sum(p * (negs_below + q / 2.0)) / (sum(p)::DOUBLE * sum(q))
+       END, 6) AS auc
+FROM cum
+"""
+
+
+O_AUC_QUALITY = _auc_sql()
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10205,6 +10318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "m10_ridge": q_m10_ridge,
         "w26_holt_winters": q_w26_holt_winters,
+        "group_quantiles_sketch": q_group_quantiles_sketch,
+        "auc_quality": q_auc_quality,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -10476,4 +10591,6 @@ def oracle_sql() -> dict[str, str]:
         "window_topn": O_WINDOW_TOPN,
         "m10_ridge": O_M10_RIDGE,
         "w26_holt_winters": O_W26_HOLT_WINTERS,
+        "group_quantiles_sketch": O_GROUP_QUANTILES_SKETCH,
+        "auc_quality": O_AUC_QUALITY,
     }

@@ -203,6 +203,8 @@ HEADLINE = [
     "window_topn",
     "m10_ridge",
     "w26_holt_winters",
+    "group_quantiles_sketch",
+    "auc_quality",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

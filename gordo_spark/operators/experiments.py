@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from gordo_spark.operators.dedup import md5_long
 
-__all__ = ["ab_assign", "ab_zstat"]
+__all__ = ["ab_assign", "ab_zstat", "auc_exact"]
 
 
 def ab_assign(
@@ -113,4 +113,65 @@ def ab_zstat(
         F.coalesce(
             F.abs(z) > F.lit(float(critical)), F.lit(False)
         ).alias("significant"),
+    )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    precision: int = 3,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label via the
+    rank-sum identity with tie correction — the one-number readout for
+    "does the quality score actually separate keep from drop?" that
+    calibration curves (score_calibration) only show piecewise.
+
+    ``AUC = sum_s n_pos(s) * (cum_neg_below(s) + n_neg(s)/2) /
+    (P * N)`` over the DISTINCT-score histogram — ties contribute the
+    standard 1/2. Scores are rounded to ``precision`` decimals FIRST
+    (stated): probability-like scores then live on a
+    <= 10^precision + 1 point grid, which is what bounds the ordered
+    window (the AUC of the rounded score is computed exactly; the
+    rounding is the resolution trade, same discipline as the sketch
+    family). One histogram aggregation + one bounded cumulative
+    window + one global aggregate. Output one row:
+    ``(n_pos, n_neg, auc)``; AUC NULL when either class is empty.
+    """
+    from pyspark.sql import Window
+
+    s = F.round(F.col(score_col).cast("double"), int(precision))
+    lab = F.col(label_col).cast("boolean")
+    hist = (
+        df.filter(s.isNotNull() & lab.isNotNull())
+        .select(s.alias("_s"), lab.alias("_y"))
+        .groupBy("_s")
+        .agg(
+            F.sum(F.col("_y").cast("long")).alias("_p"),
+            F.sum((~F.col("_y")).cast("long")).alias("_q"),
+        )
+    )
+    w = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "_s",
+        "_p",
+        "_q",
+        (F.sum("_q").over(w) - F.col("_q")).alias("_negs_below"),
+    )
+    return cum.agg(
+        F.sum("_p").alias("n_pos"),
+        F.sum("_q").alias("n_neg"),
+        F.round(
+            F.when(
+                (F.sum("_p") > 0) & (F.sum("_q") > 0),
+                F.sum(
+                    F.col("_p")
+                    * (F.col("_negs_below") + F.col("_q") / 2.0)
+                )
+                / (F.sum("_p") * F.sum("_q")),
+            ),
+            6,
+        ).alias("auc"),
     )

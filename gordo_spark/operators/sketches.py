@@ -324,3 +324,101 @@ def hll_det_estimate(
         (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(raw)
     return agg.select(*gcols, F.round(est, 4).alias("hll_distinct"))
+
+
+def group_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 256,
+) -> DataFrame:
+    """Deterministic bounded-state per-group quantiles — the scale path
+    `group_quantiles`' docstring promises: exact ``percentile`` buffers
+    every group value (state grows with group size), the native
+    ``approx_percentile`` t-digest is engine-opaque; this sketch holds
+    exactly ``bins`` counters per group (mergeable, map-side combined),
+    and its estimate is reproducible arithmetic any engine can mirror —
+    the HLL-det design point applied to quantiles.
+
+    Shape: one 1-row global min/max aggregate (broadcast) fixes the bin
+    width; one (group, bin) hash aggregation builds the histograms; the
+    quantile readout interpolates within the first bin whose cumulative
+    count reaches ``rank = ceil(q * n)`` — a window over the <= bins
+    rows per group, never the data. Error is bounded by the bin width
+    (range/bins), the stated trade. Output: ``(group, n, q, estimate)``
+    — one row per (group, quantile).
+    """
+    from pyspark.sql import Window
+
+    g, v = F.col(group_col), F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    b = int(bins)
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            g.alias("_g"),
+            F.col("_lo"),
+            F.col("_hi"),
+            F.when(
+                F.col("_hi") > F.col("_lo"),
+                F.least(
+                    F.lit(b - 1),
+                    F.floor(
+                        (v - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo"))
+                        * b
+                    ).cast("int"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("_bin"),
+        )
+        .groupBy("_g", "_lo", "_hi", "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("_g").orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("_g")
+    hist = binned.select(
+        "_g",
+        "_lo",
+        "_hi",
+        "_bin",
+        "_c",
+        (F.sum("_c").over(w) - F.col("_c")).alias("_cum_prev"),
+        F.sum("_c").over(wtot).alias("_n"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / b
+    # ALL requested quantiles in one pass: each hist row fans out to
+    # |qs| (row, q) candidates row-locally and the rank filter keeps
+    # the one covering bin per (group, q) — a per-q union would re-read
+    # the histogram lineage once per quantile
+    fanned = hist.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    rank = F.ceil(F.col("q") * F.col("_n"))
+    return (
+        fanned.filter(
+            (F.col("_cum_prev") < rank)
+            & (F.col("_cum_prev") + F.col("_c") >= rank)
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").alias("n"),
+            F.col("q"),
+            F.round(
+                F.col("_lo")
+                + width
+                * (
+                    F.col("_bin")
+                    + (rank - F.col("_cum_prev")) / F.col("_c")
+                ),
+                6,
+            ).alias("estimate"),
+        )
+        .orderBy(group_col, "q")
+    )

@@ -103,6 +103,8 @@ ACCEPTED = {
     "rule table (the basket_pairs scalar)",
     "revenue_pareto": "1-row exact-percentile boundary array broadcast to "
     "the per-customer aggregate (the rfm_segments shape)",
+    "group_quantiles_sketch": "1-row global min/max bounds scalar "
+    "broadcast to the event stream (the zorder bounds shape)",
     "survival_km": "1-row global-max-orderdate censoring scalar broadcast "
     "to the per-subject frame",
     "rfm_segments": "1-row exact-percentile threshold frame broadcast to "
@@ -168,6 +170,10 @@ SINGLE_SERIES_OK = {
     # of distributed_ntile — the member-cardinality work is histogram-
     # partitioned inside it; these windows see K rows)
     "revenue_pareto",
+    # AUC's cumulative-negatives window runs over the 3dp-ROUNDED score
+    # histogram — resolution-bounded (<= 10^precision + 1 grid points
+    # for probability-like scores), never row-cardinality
+    "auc_quality",
 }
 
 

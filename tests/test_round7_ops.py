@@ -580,3 +580,55 @@ def test_holt_winters_matches_pure_python(spark):
     )
     # warmup rows (first season) carry no state
     assert sum(1 for r in out if r["level"] is None) == m
+
+
+def test_group_quantile_sketch_error_bound(spark):
+    """Sketch estimates stay within one bin width of the exact
+    percentile, and the sketch's state is bins-bounded per group."""
+    import numpy as np
+
+    from gordo_spark.operators.sketches import group_quantile_sketch
+
+    rng = np.random.default_rng(3)
+    rows = [("a", float(v)) for v in rng.normal(50, 10, 2000)] + [
+        ("b", float(v)) for v in rng.uniform(0, 100, 2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    vals = {g: sorted(v for gg, v in rows if gg == g) for g in ("a", "b")}
+    lo = min(v for _, v in rows)
+    hi = max(v for _, v in rows)
+    bin_w = (hi - lo) / 256
+    out = group_quantile_sketch(df, "g", "v", qs=(0.5, 0.9), bins=256)
+    for r in out.collect():
+        xs = vals[r["g"]]
+        exact = xs[min(len(xs) - 1, int(np.ceil(r["q"] * len(xs))) - 1)]
+        assert abs(r["estimate"] - exact) <= bin_w * 1.5
+        assert r["n"] == 2000
+
+
+def test_auc_exact_known_cases(spark):
+    from gordo_spark.operators.experiments import auc_exact
+
+    # perfect separation -> 1.0 ; all ties -> 0.5 ; one class -> NULL
+    perfect = spark.createDataFrame(
+        [(0.9, True)] * 3 + [(0.1, False)] * 3, "score double, y boolean"
+    )
+    assert auc_exact(perfect, "score", "y").collect()[0]["auc"] == 1.0
+    ties = spark.createDataFrame(
+        [(0.5, True)] * 3 + [(0.5, False)] * 3, "score double, y boolean"
+    )
+    assert ties.count() == 6
+    assert auc_exact(ties, "score", "y").collect()[0]["auc"] == 0.5
+    one_class = spark.createDataFrame(
+        [(0.5, True)] * 3, "score double, y boolean"
+    )
+    assert auc_exact(one_class, "score", "y").collect()[0]["auc"] is None
+    # a hand case vs the pair-counting definition
+    rows = [(0.8, True), (0.6, False), (0.7, True), (0.2, False)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    # pairs: (0.8>0.6),(0.8>0.2),(0.7>0.6),(0.7>0.2) all correct -> 1.0
+    assert auc_exact(df, "score", "y").collect()[0]["auc"] == 1.0
+    rows2 = [(0.3, True), (0.6, False), (0.7, True), (0.2, False)]
+    df2 = spark.createDataFrame(rows2, "score double, y boolean")
+    # correct pairs: (0.3>0.2),(0.7>0.6),(0.7>0.2); wrong: (0.3<0.6) -> 3/4
+    assert auc_exact(df2, "score", "y").collect()[0]["auc"] == 0.75
