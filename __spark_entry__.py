@@ -10093,6 +10093,149 @@ FROM cum
 O_AUC_QUALITY = _auc_sql()
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/quality_checks.l_diversity):
+    k-anonymity's companion — a large quasi group holding ONE market
+    segment still discloses the segment to a quasi-join (homogeneity
+    attack). One quasi-tuple aggregation with count_distinct of the
+    sensitive column + one bounded summary."""
+    from gordo_spark.operators.quality_checks import l_diversity
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_k"),
+        "c_mktsegment",
+    )
+    return l_diversity(cust, ["c_nationkey", "bal_k"], "c_mktsegment", l=3)
+
+
+O_L_DIVERSITY = """
+WITH g AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+         count(*) AS n, count(DISTINCT c_mktsegment) AS d
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(d) AS BIGINT) AS min_distinct_sensitive,
+       CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) = 0 AS diverse
+FROM g
+"""
+
+
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing (operators/experiments.ab_power): per-arm
+    sample size to detect a 5% relative lift on the observed per-user
+    purchase rate at 5%/80% — the planning aggregate that runs before
+    ab_test. One per-unit collapse + one 1-row readout."""
+    from gordo_spark.operators.experiments import ab_power
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_type") == "purchase").alias("converted")
+    )
+    return ab_power(ev, "user_id", "converted", mde_rel=0.05)
+
+
+O_AB_POWER = """
+WITH per AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+  FROM events GROUP BY 1
+),
+one AS (SELECT count(*) AS n_units, avg(s) AS p FROM per)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       ROUND(p, 6) AS baseline_rate,
+       ROUND(p * 0.05, 6) AS mde_abs,
+       CAST(CASE WHEN p > 0 AND p < 1 THEN
+         ceil(2.0 * (1.96 + 0.8416) * (1.96 + 0.8416) * p * (1 - p)
+              / (p * 0.05 * p * 0.05))
+       END AS BIGINT) AS n_per_arm,
+       CAST(CASE WHEN p > 0 AND p < 1 THEN
+         ceil(2.0 * ceil(2.0 * (1.96 + 0.8416) * (1.96 + 0.8416)
+                         * p * (1 - p) / (p * 0.05 * p * 0.05))
+              / n_units)
+       END AS BIGINT) AS runs_needed
+FROM one
+"""
+
+
+def q_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quality-score Brier score
+    (operators/experiments.brier_decomposition): reliability /
+    resolution / uncertainty over 10 fixed-width probability bins —
+    the one-row companion to score_calibration's bucket curve."""
+    from gordo_spark.operators.experiments import brier_decomposition
+    from gordo_spark.operators.text import gopher_rule_exprs, quality_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_expr(F.col("text")).alias("score"),
+        gopher_rule_exprs(F.col("text"))["keep"].alias("label"),
+    )
+    return brier_decomposition(scored, "score", "label", bins=10)
+
+
+def _brier_sql() -> str:
+    from gordo_spark.operators.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws)::DOUBLE AS n_words,
+         length(replace(text, ' ', ''))::DOUBLE / len(ws) AS mean_wl,
+         ((len(string_split(text, '#')) - 1)
+          + (len(string_split(text, '...')) - 1))::DOUBLE AS n_sym,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+           / len(ws) AS alpha_frac,
+         len(list_filter(ws, x -> list_contains([{sw}], x))) AS n_sw,
+         length(text)::DOUBLE AS n_chars,
+         (length(text)
+          - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+           AS n_punct,
+         len(list_distinct(ws))::DOUBLE AS n_uniq
+  FROM w
+),
+j AS (
+  SELECT (least(n_words / 50.0, 1.0)
+          + greatest(1.0 - (n_punct / n_chars) * 5.0, 0.0)
+          + n_uniq / n_words
+          + least((n_sw / n_words) * 5.0, 1.0)) / 4.0 AS s,
+         CASE WHEN (n_words >= 50 AND n_words <= 100000)
+           AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+           AND (n_sym / n_words <= 0.1)
+           AND (alpha_frac >= 0.8)
+           AND (n_sw >= 2) THEN 1 ELSE 0 END AS y
+  FROM m
+),
+binned AS (
+  SELECT least(9, CAST(floor(s * 10) AS INT)) AS bin,
+         count(*) AS n, avg(s) AS sbar, avg(CAST(y AS DOUBLE)) AS ybar,
+         sum((s - y) * (s - y)) AS se
+  FROM j GROUP BY 1
+),
+base AS (SELECT sum(ybar * n) / sum(n) AS b FROM binned)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+       ROUND(sum(se) / sum(n), 6) AS brier,
+       ROUND(sum(n * (sbar - ybar) * (sbar - ybar)) / sum(n), 6)
+         AS reliability,
+       ROUND(sum(n * (ybar - base.b) * (ybar - base.b)) / sum(n), 6)
+         AS resolution,
+       ROUND(max(base.b) * (1 - max(base.b)), 6) AS uncertainty
+FROM binned, base
+"""
+
+
+O_BRIER_CALIBRATION = _brier_sql()
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10320,6 +10463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w26_holt_winters": q_w26_holt_winters,
         "group_quantiles_sketch": q_group_quantiles_sketch,
         "auc_quality": q_auc_quality,
+        "l_diversity": q_l_diversity,
+        "ab_power": q_ab_power,
+        "brier_calibration": q_brier_calibration,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -10593,4 +10739,7 @@ def oracle_sql() -> dict[str, str]:
         "w26_holt_winters": O_W26_HOLT_WINTERS,
         "group_quantiles_sketch": O_GROUP_QUANTILES_SKETCH,
         "auc_quality": O_AUC_QUALITY,
+        "l_diversity": O_L_DIVERSITY,
+        "ab_power": O_AB_POWER,
+        "brier_calibration": O_BRIER_CALIBRATION,
     }

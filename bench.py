@@ -205,6 +205,9 @@ HEADLINE = [
     "w26_holt_winters",
     "group_quantiles_sketch",
     "auc_quality",
+    "l_diversity",
+    "ab_power",
+    "brier_calibration",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from gordo_spark.operators.dedup import md5_long
 
-__all__ = ["ab_assign", "ab_zstat", "auc_exact"]
+__all__ = ["ab_assign", "ab_power", "ab_zstat", "auc_exact", "brier_decomposition"]
 
 
 def ab_assign(
@@ -174,4 +174,126 @@ def auc_exact(
             ),
             6,
         ).alias("auc"),
+    )
+
+
+def ab_power(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    success_col: str = "converted",
+    mde_rel: float = 0.05,
+    alpha_z: float = 1.96,
+    power_z: float = 0.8416,
+) -> DataFrame:
+    """Experiment sizing from the OBSERVED baseline: per-arm sample
+    size for a two-proportion test to detect a relative lift of
+    ``mde_rel`` at the given alpha/power z-quantiles (defaults: 5%
+    two-sided, 80% power) — the planning step that runs BEFORE
+    :func:`ab_zstat`, answering "how long must this experiment run?".
+
+    ``n_per_arm = 2 * (z_a + z_b)^2 * p(1-p) / (p * mde_rel)^2`` with
+    ``p`` the observed per-unit conversion rate (the standard pooled
+    approximation). One per-unit collapse + one 1-row aggregate; the
+    z-quantiles are caller constants (no stats library needed —
+    engine-portable arithmetic). Output one row: ``(n_units,
+    baseline_rate, mde_abs, n_per_arm, runs_needed)`` — ``runs_needed``
+    = ceil(2 * n_per_arm / observed units), how many times the current
+    population must be collected. NULL sizing when the baseline is 0
+    or 1 (no detectable lift exists).
+    """
+    per_unit = events.groupBy(unit_col).agg(
+        F.max(F.col(success_col).cast("int")).alias("_s")
+    )
+    one = per_unit.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.avg("_s").alias("_p"),
+    )
+    p = F.col("_p")
+    delta = p * F.lit(float(mde_rel))
+    z2 = F.lit(float(alpha_z) + float(power_z)) ** 2
+    n_arm = F.when(
+        (p > 0) & (p < 1),
+        F.ceil(2.0 * z2 * p * (1.0 - p) / (delta * delta)),
+    )
+    return one.select(
+        "n_units",
+        F.round(p, 6).alias("baseline_rate"),
+        F.round(delta, 6).alias("mde_abs"),
+        n_arm.cast("long").alias("n_per_arm"),
+        F.when(
+            n_arm.isNotNull(),
+            F.ceil(2.0 * n_arm / F.col("n_units")),
+        ).cast("long").alias("runs_needed"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973):
+    ``brier = reliability - resolution + uncertainty`` over
+    fixed-width probability bins — the one-row companion to the
+    bucket-level ``score_calibration`` curve. Reliability is the
+    calibration error (0 = perfect), resolution is how far bin
+    outcomes stray from the base rate (higher = more informative),
+    uncertainty is the base rate's own variance.
+
+    One (bin) histogram aggregation + one bounded summary; the exact
+    per-row Brier rides the same pass. Output one row: ``(n, brier,
+    reliability, resolution, uncertainty)``, all rounded to 6.
+    """
+    b = int(bins)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    binned = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(
+            F.least(F.lit(b - 1), F.floor(s * b).cast("int")).alias("_bin"),
+            s.alias("_s"),
+            y.alias("_y"),
+        )
+        .groupBy("_bin")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg("_s").alias("_sbar"),
+            F.avg(F.col("_y").cast("double")).alias("_ybar"),
+            F.sum(
+                (F.col("_s") - F.col("_y")) * (F.col("_s") - F.col("_y"))
+            ).alias("_se"),
+        )
+    )
+    base = binned.agg(
+        (F.sum(F.col("_ybar") * F.col("_n")) / F.sum("_n")).alias("_base")
+    )
+    # resolution computed DIRECTLY (sum n_k (ybar_k - base)^2 / N), not
+    # as the identity residual: with fixed-width bins the 3-term Murphy
+    # identity holds only up to within-bin score variance, and deriving
+    # resolution from it would silently absorb that term
+    return binned.crossJoin(F.broadcast(base)).agg(
+        F.sum("_n").alias("n"),
+        F.round(F.sum("_se") / F.sum("_n"), 6).alias("brier"),
+        F.round(
+            F.sum(
+                F.col("_n")
+                * (F.col("_sbar") - F.col("_ybar"))
+                * (F.col("_sbar") - F.col("_ybar"))
+            )
+            / F.sum("_n"),
+            6,
+        ).alias("reliability"),
+        F.round(
+            F.sum(
+                F.col("_n")
+                * (F.col("_ybar") - F.col("_base"))
+                * (F.col("_ybar") - F.col("_base"))
+            )
+            / F.sum("_n"),
+            6,
+        ).alias("resolution"),
+        F.round(
+            F.max(F.col("_base")) * (1.0 - F.max(F.col("_base"))), 6
+        ).alias("uncertainty"),
     )

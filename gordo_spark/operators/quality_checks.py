@@ -416,3 +416,45 @@ def ingest_health(
         )
         .orderBy("day")
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — the companion :func:`k_anonymity` cannot
+    replace (Machanavajjhala et al. 2007): a quasi-identifier group can
+    be large (k-anonymous) yet hold ONE sensitive value, so joining the
+    quasi columns still discloses the attribute (homogeneity attack).
+    Every group must carry at least ``l`` DISTINCT sensitive values.
+
+    One aggregation on the quasi tuple with ``count_distinct`` of the
+    sensitive column (NULL sensitive values do not count toward
+    diversity — an absent attribute discloses nothing and protects
+    nothing), one bounded summary. Output one row: ``(n_rows, n_groups,
+    min_distinct_sensitive, n_violating_groups, n_rows_at_risk,
+    diverse)``.
+    """
+    if not quasi_cols:
+        raise ValueError("l_diversity needs non-empty quasi_cols")
+    g = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(F.col(sensitive_col)).alias("_d"),
+    )
+    viol = F.col("_d") < int(l)
+    return g.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_d").alias("min_distinct_sensitive"),
+        F.sum(viol.cast("long")).alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("_n")).otherwise(0)).alias("n_rows_at_risk"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_distinct_sensitive",
+        "n_violating_groups",
+        "n_rows_at_risk",
+        (F.col("n_violating_groups") == 0).alias("diverse"),
+    )

@@ -105,6 +105,8 @@ ACCEPTED = {
     "the per-customer aggregate (the rfm_segments shape)",
     "group_quantiles_sketch": "1-row global min/max bounds scalar "
     "broadcast to the event stream (the zorder bounds shape)",
+    "brier_calibration": "1-row base-rate scalar broadcast to the "
+    "bins-bounded histogram",
     "survival_km": "1-row global-max-orderdate censoring scalar broadcast "
     "to the per-subject frame",
     "rfm_segments": "1-row exact-percentile threshold frame broadcast to "

@@ -632,3 +632,65 @@ def test_auc_exact_known_cases(spark):
     df2 = spark.createDataFrame(rows2, "score double, y boolean")
     # correct pairs: (0.3>0.2),(0.7>0.6),(0.7>0.2); wrong: (0.3<0.6) -> 3/4
     assert auc_exact(df2, "score", "y").collect()[0]["auc"] == 0.75
+
+
+def test_l_diversity_homogeneous_group(spark):
+    """A k-anonymous group with one sensitive value violates diversity."""
+    from gordo_spark.operators.quality_checks import k_anonymity, l_diversity
+
+    rows = [
+        ("z1", "flu"), ("z1", "flu"), ("z1", "flu"),  # homogeneous
+        ("z2", "flu"), ("z2", "cold"), ("z2", "ok"),
+    ]
+    df = spark.createDataFrame(rows, "zip string, dx string")
+    k = k_anonymity(df, ["zip"], k=3).collect()[0]
+    assert k["anonymous"]  # both groups have 3 members
+    r = l_diversity(df, ["zip"], "dx", l=2).collect()[0]
+    assert not r["diverse"]
+    assert r["n_violating_groups"] == 1
+    assert r["n_rows_at_risk"] == 3
+    assert r["min_distinct_sensitive"] == 1
+
+
+def test_ab_power_hand_formula(spark):
+    import math
+
+    from gordo_spark.operators.experiments import ab_power
+
+    # 100 users, 20 convert -> p=0.2, mde 10% -> delta=0.02
+    rows = [(f"u{i}", i < 20) for i in range(100)]
+    ev = spark.createDataFrame(rows, "user_id string, converted boolean")
+    r = ab_power(ev, "user_id", "converted", mde_rel=0.10).collect()[0]
+    assert r["baseline_rate"] == pytest.approx(0.2, abs=1e-9)
+    z2 = (1.96 + 0.8416) ** 2
+    n_exp = math.ceil(2 * z2 * 0.2 * 0.8 / (0.02 ** 2))
+    assert r["n_per_arm"] == n_exp
+    assert r["runs_needed"] == math.ceil(2 * n_exp / 100)
+    # degenerate baselines size to NULL
+    all_conv = spark.createDataFrame(
+        [("u1", True), ("u2", True)], "user_id string, converted boolean"
+    )
+    assert ab_power(all_conv, "user_id", "converted").collect()[0]["n_per_arm"] is None
+
+
+def test_brier_decomposition_identity_and_limits(spark):
+    """Perfectly calibrated constant predictor: brier = uncertainty,
+    reliability = resolution = 0 (single bin at the base rate)."""
+    from gordo_spark.operators.experiments import brier_decomposition
+
+    rows = [(0.25, i % 4 == 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    r = brier_decomposition(df, "score", "y", bins=10).collect()[0]
+    assert r["n"] == 400
+    assert r["reliability"] == pytest.approx(0.0, abs=1e-9)
+    assert r["resolution"] == pytest.approx(0.0, abs=1e-9)
+    assert r["uncertainty"] == pytest.approx(0.25 * 0.75, abs=1e-9)
+    assert r["brier"] == pytest.approx(0.25 * 0.75, abs=1e-9)
+    # a perfect sharp predictor: brier 0, resolution = uncertainty
+    sharp = spark.createDataFrame(
+        [(0.999, True)] * 100 + [(0.001, False)] * 300,
+        "score double, y boolean",
+    )
+    r2 = brier_decomposition(sharp, "score", "y", bins=10).collect()[0]
+    assert r2["brier"] == pytest.approx(0.001 ** 2 * 0.25 + 0.001 ** 2 * 0.75, abs=1e-5)
+    assert r2["resolution"] == pytest.approx(r2["uncertainty"], abs=1e-5)
