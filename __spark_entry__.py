@@ -10236,6 +10236,76 @@ FROM binned, base
 O_BRIER_CALIBRATION = _brier_sql()
 
 
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine doc pairs (operators/text.
+    sparse_cosine_pairs): inverted-index partial dot products with a
+    max_df prune as the scale bound — the lexical near-template
+    detector beside MinHash (unweighted sets) and semdedup
+    (embeddings). Top 50 by (cosine desc, a, b)."""
+    from gordo_spark.operators.text import sparse_cosine_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(
+        docs, max_df=400, min_cosine=0.2, top_k=50
+    )
+
+
+O_SPARSE_COSINE = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+exf AS (SELECT doc_id, term FROM ex WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM exf GROUP BY 1, 2),
+df_t AS (SELECT term, count(DISTINCT doc_id) AS n_docs FROM exf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id AS id, tf.term,
+         tf.tf * ln(n.n / CAST(d.n_docs AS DOUBLE)) AS w
+  FROM tf JOIN df_t d ON tf.term = d.term, n
+  WHERE d.n_docs <= 400
+),
+nrm AS (SELECT id, sqrt(sum(w * w)) AS nm FROM w GROUP BY 1),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dot / (na.nm * nb.nm), 6) AS cosine
+FROM dots JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b
+WHERE ROUND(dot / (na.nm * nb.nm), 6) >= 0.2
+ORDER BY cosine DESC, id_a, id_b
+LIMIT 50
+"""
+
+
+def q_o12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 — full CUBE over (returnflag, linestatus) with grouping_id:
+    every subtotal combination in ONE pass (grouping sets expand
+    before the partial aggregation — a single shuffle, not 4 jobs);
+    grouping_id disambiguates genuine NULL keys from subtotal rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+O_O12_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       ROUND(sum(l_quantity), 2) AS sum_qty,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10466,6 +10536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "ab_power": q_ab_power,
         "brier_calibration": q_brier_calibration,
+        "sparse_cosine": q_sparse_cosine,
+        "o12_cube": q_o12_cube,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -10742,4 +10814,6 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": O_L_DIVERSITY,
         "ab_power": O_AB_POWER,
         "brier_calibration": O_BRIER_CALIBRATION,
+        "sparse_cosine": O_SPARSE_COSINE,
+        "o12_cube": O_O12_CUBE,
     }

@@ -208,6 +208,8 @@ HEADLINE = [
     "l_diversity",
     "ab_power",
     "brier_calibration",
+    "sparse_cosine",
+    "o12_cube",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

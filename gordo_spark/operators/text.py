@@ -1545,3 +1545,82 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("pos").alias("first_pos"),
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1000,
+    min_cosine: float = 0.3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Document-pair cosine similarity in TF-IDF space via an inverted
+    index join — the SPARSE complement to the embedding-space ANN
+    family (semdedup/cosine_topk): lexical overlap weighted by term
+    rarity, no embedding model required. The fuzzy-duplicate /
+    near-template detector BM25 (query-side) and MinHash (set-based,
+    unweighted) both miss.
+
+    Shape (the winnowing/repeated-ngrams inverted-index discipline):
+    per-(doc, term) TF-IDF weights; terms with document frequency >
+    ``max_df`` are PRUNED before the self-join — a term in every doc
+    contributes ~0 idf but df^2/2 candidate pairs, so the prune is the
+    scale bound (and the pruned mass is near-zero signal by
+    construction). Partial dot products accumulate per pair from the
+    term-keyed join (map-side combinable), norms attach from a per-doc
+    aggregate, ``min_cosine`` thresholds before the final top-k cut
+    (cosine desc, a, b — deterministic). Output ``(id_a, id_b,
+    cosine)``.
+    """
+    toks = tokens(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = exploded.groupBy("term").agg(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    n_total = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    # pinned once (the lsh_eval fused-frame discipline): THREE consumers
+    # (per-doc norms + both arms of the term-keyed self-join) would each
+    # re-derive the tf + docfreq aggregations from the corpus otherwise
+    weights = (
+        tf.join(F.broadcast(docfreq.filter(F.col("n_docs") <= int(max_df))), "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(id_col).alias("_id"),
+            "term",
+            (F.col("tf") * F.log(F.col("n") / F.col("n_docs"))).alias("w"),
+        )
+        .localCheckpoint()
+    )
+    norms = weights.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm")
+    )
+    a = weights.select(
+        F.col("_id").alias("id_a"), "term", F.col("w").alias("_wa")
+    )
+    b = weights.select(
+        F.col("_id").alias("id_b"), "term", F.col("w").alias("_wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("_id").alias("id_a"), F.col("_norm").alias("_na")), "id_a")
+        .join(norms.select(F.col("_id").alias("id_b"), F.col("_norm").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= float(min_cosine))
+        .orderBy(F.col("cosine").desc(), "id_a", "id_b")
+        .limit(int(top_k))
+    )

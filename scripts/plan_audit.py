@@ -107,6 +107,8 @@ ACCEPTED = {
     "broadcast to the event stream (the zorder bounds shape)",
     "brier_calibration": "1-row base-rate scalar broadcast to the "
     "bins-bounded histogram",
+    "sparse_cosine": "1-row corpus-doc-count scalar broadcast to the "
+    "weight table (the tfidf_topk scalar)",
     "survival_km": "1-row global-max-orderdate censoring scalar broadcast "
     "to the per-subject frame",
     "rfm_segments": "1-row exact-percentile threshold frame broadcast to "

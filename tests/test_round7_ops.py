@@ -694,3 +694,50 @@ def test_brier_decomposition_identity_and_limits(spark):
     r2 = brier_decomposition(sharp, "score", "y", bins=10).collect()[0]
     assert r2["brier"] == pytest.approx(0.001 ** 2 * 0.25 + 0.001 ** 2 * 0.75, abs=1e-5)
     assert r2["resolution"] == pytest.approx(r2["uncertainty"], abs=1e-5)
+
+
+def test_sparse_cosine_identical_and_disjoint_docs(spark):
+    from gordo_spark.operators.text import sparse_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),      # identical to 1 -> cosine 1.0
+            (3, "delta epsilon zeta"),    # disjoint from 1/2
+            (4, "alpha beta other"),      # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sparse_cosine_pairs(
+            docs, max_df=10, min_cosine=0.0, top_k=50
+        ).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(1.0, abs=1e-6)
+    assert (1, 3) not in out and (2, 3) not in out  # no shared terms
+    assert 0 < out[(1, 4)] < 1
+    # max_df prune: a term in EVERY doc generates no pairs by itself
+    boiler = spark.createDataFrame(
+        [(i, "common x%d" % i) for i in range(5)], "doc_id long, text string"
+    )
+    assert (
+        sparse_cosine_pairs(boiler, max_df=4, min_cosine=0.0, top_k=50).count()
+        == 0
+    )
+
+
+def test_cube_covers_all_grouping_sets(spark, sf_dir):
+    from gordo_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+        .toPandas()
+    )
+    total = li.count()
+    # grand total row (gid=3) equals the table count; each gid level sums to it
+    assert cube.loc[cube.gid == 3, "n"].iloc[0] == total
+    for gid in (0, 1, 2):
+        assert cube.loc[cube.gid == gid, "n"].sum() == total
