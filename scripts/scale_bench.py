@@ -602,6 +602,53 @@ def tenx_experiment(spark):
     }
 
 
+def sparse_prune_experiment(spark):
+    """sparse_cosine_pairs' max_df prune, measured: the candidate-pair
+    volume of the term-keyed self-join is sum over terms of
+    df*(df-1)/2 — computed ANALYTICALLY from the document-frequency
+    table for the unpruned case (running it would be the quadratic
+    blowup the prune exists to prevent) and compared with the pruned
+    volume the shipped operator actually joins, plus the pruned
+    operator's wall time."""
+    from pyspark.sql import functions as F
+
+    from gordo_spark.operators.text import sparse_cosine_pairs, tokens
+
+    docs = read_table(spark, SF_DIR, "documents")
+    exf = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    df_t = exf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    vol = df_t.agg(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("all_pairs"),
+        F.sum(
+            F.when(
+                F.col("df") <= 400, F.col("df") * (F.col("df") - 1) / 2
+            ).otherwise(F.lit(0))
+        ).alias("pruned_pairs"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum((F.col("df") > 400).cast("long")).alias("n_pruned_terms"),
+    ).collect()[0]
+    t = round(
+        timed(
+            "sparse pruned",
+            lambda: sparse_cosine_pairs(
+                docs, max_df=400, min_cosine=0.2, top_k=50
+            ).collect(),
+        ),
+        3,
+    )
+    return {
+        "all_pairs": int(vol["all_pairs"]),
+        "pruned_pairs": int(vol["pruned_pairs"]),
+        "n_terms": int(vol["n_terms"]),
+        "n_pruned_terms": int(vol["n_pruned_terms"]),
+        "t_pruned_s": t,
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
@@ -613,6 +660,7 @@ def main():
     zo = zorder_experiment(spark)
     il = iter_lineage_experiment(spark)
     tx = tenx_experiment(spark)
+    sp = sparse_prune_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -771,6 +819,20 @@ def main():
         "blowup). PageRank's input keeps the item domain fixed, so support",
         "DENSIFIES the edge set — compare the wall ratio against the edge",
         "ratio, not the input ratio: per-iteration cost is edge-bound.",
+        "",
+        "## Sparse-cosine max_df prune (documents at bench scale)",
+        "",
+        f"- candidate pairs WITHOUT the prune (analytic sum df(df-1)/2): "
+        f"{sp['all_pairs']:,}",
+        f"- candidate pairs the shipped operator joins (max_df=400): "
+        f"{sp['pruned_pairs']:,} "
+        f"({sp['n_pruned_terms']} of {sp['n_terms']} terms pruned)",
+        f"- pruned operator wall time: {sp['t_pruned_s']} s (the unpruned "
+        "join is not run — its volume IS the blowup the prune prevents)",
+        "",
+        "A ubiquitous term contributes ~0 idf signal but df^2/2 candidate",
+        "pairs; at corpus scale the prune is the difference between a",
+        "bounded inverted-index join and an accidental all-pairs product.",
         "",
     ]
     out = "\n".join(lines)

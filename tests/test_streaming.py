@@ -1284,3 +1284,47 @@ def test_stream_psi_monitor_matches_batch_and_flags_shift(spark, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
     assert got.loc[0, "psi"] < 0.05           # in-distribution hour
     assert got.loc[1, "psi"] > 1.0            # everything lands in the edge bin
+
+
+def test_stream_interval_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """interval_join runs unchanged on a STREAM left side (stream-static
+    equi-join + row-local range filter — no stateful operator needed):
+    enriching streaming view events with each user's static purchase
+    window equals the batch result."""
+    from gordo_spark.operators.asof import interval_join
+    from gordo_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+        .filter(F.col("start") < F.col("end"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    path = f"{tmp_path}/iv_src"
+    views.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(views.schema).parquet(path)
+    q = (
+        interval_join(stream, windows, ["user_id"], bucket_seconds=86_400)
+        .select("user_id", "event_id", "ts", "start", "end")
+        .writeStream.format("memory")
+        .queryName("iv_enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = ["user_id", "event_id", "start"]
+    got = spark.table("iv_enrich_test").toPandas().sort_values(key).reset_index(drop=True)
+    exp = (
+        interval_join(views, windows, ["user_id"], bucket_seconds=86_400)
+        .select("user_id", "event_id", "ts", "start", "end")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    assert len(got) > 0
