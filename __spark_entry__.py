@@ -10306,6 +10306,79 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (operators/experiments.ab_cuped):
+    per-user post-period value adjusted by the pre-period covariate
+    (theta = cov/var fit pooled), md5-assigned arms, z on the adjusted
+    means plus the variance_reduction CUPED buys. One per-unit
+    collapse + 1-row fit broadcast + 2-row variant aggregate."""
+    from gordo_spark.operators.experiments import ab_cuped
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return ab_cuped(ev, "user_id", "ts", "value", salt="exp1")
+
+
+O_AB_CUPED = """
+WITH mid AS (
+  SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS m FROM events
+),
+per AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch(ts) < m THEN value ELSE 0 END) AS pre,
+         sum(CASE WHEN epoch(ts) >= m THEN value ELSE 0 END) AS post
+  FROM events, mid GROUP BY 1
+),
+asg AS (
+  SELECT *,
+         ('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS variant
+  FROM per
+),
+fit AS (
+  SELECT covar_pop(pre, post) AS cv, var_pop(pre) AS vp, avg(pre) AS mp
+  FROM asg
+),
+adj AS (
+  SELECT variant, post,
+         CASE WHEN vp > 0 THEN cv / vp ELSE 0 END AS th,
+         post - (CASE WHEN vp > 0 THEN cv / vp ELSE 0 END) * (pre - mp) AS a
+  FROM asg, fit
+),
+v AS (
+  SELECT variant, count(*) AS n, avg(a) AS m, var_pop(a) AS va,
+         var_pop(post) AS vr, max(th) AS th
+  FROM adj GROUP BY 1
+),
+one AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN variant = 0 THEN n END), 0) AS BIGINT) AS n_a,
+    CAST(coalesce(sum(CASE WHEN variant = 1 THEN n END), 0) AS BIGINT) AS n_b,
+    max(CASE WHEN variant = 0 THEN m END) AS ma,
+    max(CASE WHEN variant = 1 THEN m END) AS mb,
+    max(CASE WHEN variant = 0 THEN va END) AS vva,
+    max(CASE WHEN variant = 1 THEN va END) AS vvb,
+    sum(va * n) / sum(n) AS vadj,
+    sum(vr * n) / sum(n) AS vraw,
+    max(th) AS th
+  FROM v
+),
+st AS (
+  SELECT *,
+         CASE WHEN n_a > 0 AND n_b > 0 AND vva >= 0 AND vvb >= 0
+              THEN sqrt(vva / n_a + vvb / n_b) END AS se
+  FROM one
+)
+SELECT n_a, n_b, ROUND(ma, 6) AS mean_adj_a, ROUND(mb, 6) AS mean_adj_b,
+       ROUND(th, 6) AS theta,
+       CASE WHEN vraw > 0 THEN ROUND(1.0 - vadj / vraw, 6) END
+         AS variance_reduction,
+       ROUND(CASE WHEN se > 0 THEN (mb - ma) / se END, 6) AS z,
+       COALESCE(abs(CASE WHEN se > 0 THEN (mb - ma) / se END) > 1.96, FALSE)
+         AS significant
+FROM st
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10538,6 +10611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_calibration": q_brier_calibration,
         "sparse_cosine": q_sparse_cosine,
         "o12_cube": q_o12_cube,
+        "ab_cuped": q_ab_cuped,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -10816,4 +10890,5 @@ def oracle_sql() -> dict[str, str]:
         "brier_calibration": O_BRIER_CALIBRATION,
         "sparse_cosine": O_SPARSE_COSINE,
         "o12_cube": O_O12_CUBE,
+        "ab_cuped": O_AB_CUPED,
     }

@@ -210,6 +210,7 @@ HEADLINE = [
     "brier_calibration",
     "sparse_cosine",
     "o12_cube",
+    "ab_cuped",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -109,6 +109,8 @@ ACCEPTED = {
     "bins-bounded histogram",
     "sparse_cosine": "1-row corpus-doc-count scalar broadcast to the "
     "weight table (the tfidf_topk scalar)",
+    "ab_cuped": "1-row midpoint + 1-row (theta, mean_pre) fit scalars "
+    "broadcast to the per-unit frame (the psi_drift split convention)",
     "survival_km": "1-row global-max-orderdate censoring scalar broadcast "
     "to the per-subject frame",
     "rfm_segments": "1-row exact-percentile threshold frame broadcast to "

@@ -741,3 +741,40 @@ def test_cube_covers_all_grouping_sets(spark, sf_dir):
     assert cube.loc[cube.gid == 3, "n"].iloc[0] == total
     for gid in (0, 1, 2):
         assert cube.loc[cube.gid == gid, "n"].sum() == total
+
+
+def test_ab_cuped_reduces_variance(spark):
+    """Synthetic users whose post metric is mostly their stable personal
+    baseline (pre-period predicts post): CUPED strips the between-user
+    variance and the adjusted z detects the small real lift a raw
+    z-test misses at this sample size."""
+    import datetime as dt
+
+    from gordo_spark.operators.experiments import ab_assign, ab_cuped
+
+    b = dt.datetime(2024, 1, 1)
+    # deterministic per-user baselines; arm B gets +2.0 lift post-period
+    rows = []
+    eid = 0
+    # learn each user's actual md5 arm so the lift is applied to arm 1
+    users = [f"u{i}" for i in range(200)]
+    arms = {
+        r["user_id"]: r["variant"]
+        for r in ab_assign(
+            spark.createDataFrame([(u,) for u in users], "user_id string"),
+            "user_id",
+        ).collect()
+    }
+    for i, u in enumerate(users):
+        base = 10.0 + (i % 50)  # large between-user spread
+        rows.append((eid, u, b, base)); eid += 1  # pre
+        lift = 2.0 if arms[u] == 1 else 0.0
+        rows.append((eid, u, b + dt.timedelta(days=2), base + lift)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    r = ab_cuped(ev, "user_id", "ts", "value", salt="exp1").collect()[0]
+    assert r["variance_reduction"] > 0.95  # baseline explains the post var
+    assert r["mean_adj_b"] - r["mean_adj_a"] == pytest.approx(2.0, abs=0.2)
+    assert r["significant"] is True
+    assert abs(r["theta"] - 1.0) < 0.05  # post ~ pre + lift
