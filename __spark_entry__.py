@@ -10379,6 +10379,52 @@ FROM st
 """
 
 
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based mining between the even- and odd-id embedding
+    halves (operators/similarity.bitext_margin): ratio margin
+    cos(best) / mean(top-4) — the hubness-robust pairing criterion
+    raw cosine thresholds lack; margins >= 1.02 survive."""
+    from gordo_spark.operators.similarity import bitext_margin
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    a = embs.filter(F.col("vec_id") % 2 == 0)
+    b = embs.filter(F.col("vec_id") % 2 == 1)
+    return bitext_margin(b, a, k=4, min_margin=1.02)
+
+
+O_BITEXT_MARGIN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+v AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, nv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(nv, nv))) AS sim
+  FROM q, v
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+),
+denom AS (
+  SELECT query_id, avg(sim) AS av FROM ranked WHERE rank <= 4 GROUP BY 1
+)
+SELECT r.query_id, r.neighbor_id, ROUND(r.sim, 6) AS cosine,
+       ROUND(r.sim / d.av, 6) AS margin
+FROM ranked r JOIN denom d ON d.query_id = r.query_id
+WHERE r.rank = 1 AND ROUND(r.sim / d.av, 6) >= 1.02
+ORDER BY r.query_id
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10612,6 +10658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_cosine": q_sparse_cosine,
         "o12_cube": q_o12_cube,
         "ab_cuped": q_ab_cuped,
+        "bitext_margin": q_bitext_margin,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -10891,4 +10938,5 @@ def oracle_sql() -> dict[str, str]:
         "sparse_cosine": O_SPARSE_COSINE,
         "o12_cube": O_O12_CUBE,
         "ab_cuped": O_AB_CUPED,
+        "bitext_margin": O_BITEXT_MARGIN,
     }

@@ -211,6 +211,7 @@ HEADLINE = [
     "sparse_cosine",
     "o12_cube",
     "ab_cuped",
+    "bitext_margin",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

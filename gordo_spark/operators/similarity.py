@@ -1670,3 +1670,47 @@ def truncation_energy(
         )
         .orderBy("dim")
     )
+
+
+def bitext_margin(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    min_margin: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based candidate mining between two embedding sets — the
+    ratio-margin criterion of Artetxe & Schwenk 2019 (LASER/CCMatrix
+    bitext mining), forward variant: a query's best corpus neighbor
+    counts only when its cosine stands OUT against the query's own
+    top-k neighborhood, ``margin = cos(x, y*) / mean(top-k cos(x, .))``
+    — raw cosine thresholds fail because hub vectors are "close" to
+    everything (the margin denominates the hubness away).
+
+    Built on :func:`cosine_topk` (exact per-batch partial top-k; the
+    query side is the collected small side — at corpus-x-corpus scale
+    feed CANDIDATES from the IVF/LSH path here instead, the documented
+    faiss-mining practice); the margin readout is one query-keyed
+    aggregate over the k rows per query plus a rank-1 join. Output
+    ``(query_id, neighbor_id, cosine, margin)`` for margins >=
+    ``min_margin``, rounded to 6.
+    """
+    topk = cosine_topk(vectors, queries, k=int(k), id_col=id_col, vec_col=vec_col)
+    denom = topk.groupBy("query_id").agg(
+        F.avg("cosine_sim").alias("_avg")
+    )
+    best = topk.filter(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("_cos")
+    )
+    return (
+        best.join(denom, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_cos", 6).alias("cosine"),
+            F.round(F.col("_cos") / F.col("_avg"), 6).alias("margin"),
+        )
+        .filter(F.col("margin") >= float(min_margin))
+        .orderBy("query_id")
+    )

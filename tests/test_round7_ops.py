@@ -778,3 +778,33 @@ def test_ab_cuped_reduces_variance(spark):
     assert r["mean_adj_b"] - r["mean_adj_a"] == pytest.approx(2.0, abs=0.2)
     assert r["significant"] is True
     assert abs(r["theta"] - 1.0) < 0.05  # post ~ pre + lift
+
+
+def test_bitext_margin_prefers_planted_pair(spark):
+    """A planted near-duplicate cross-set pair has margin >> 1; a hub
+    vector equally close to everything has margin ~ 1 and is filtered."""
+    import numpy as np
+
+    from gordo_spark.operators.similarity import bitext_margin
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    # corpus (odd ids): random vectors + a planted target at id 101
+    corpus = [(2 * i + 1, [float(x) for x in rng.normal(size=dim)]) for i in range(20)]
+    target = rng.normal(size=dim)
+    corpus.append((101, [float(x) for x in target]))
+    # queries (even ids): q0 is a noisy copy of the target; q2 is a hub
+    # (tiny vector ~ equally weakly similar to everything)
+    q0 = target + rng.normal(scale=0.01, size=dim)
+    queries = [
+        (0, [float(x) for x in q0]),
+        (2, [float(x) for x in rng.normal(size=dim)]),
+    ]
+    vectors = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+    out = {r["query_id"]: r for r in bitext_margin(vectors, qdf, k=4, min_margin=0.0).collect()}
+    assert out[0]["neighbor_id"] == 101
+    assert out[0]["margin"] > 1.5  # stands out against its neighborhood
+    assert out[0]["cosine"] > 0.99
+    # the random query's best match barely beats its own top-4 average
+    assert out[2]["margin"] < out[0]["margin"]
