@@ -10425,6 +10425,63 @@ ORDER BY r.query_id
 """
 
 
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the md5 arms
+    (operators/experiments.diff_in_diff): per-unit post-minus-pre
+    deltas at the midpoint split, arm-mean difference with
+    unit-clustered SE — nets out both arm baselines and the shared
+    time trend. One per-unit collapse + one 2-row arm aggregate."""
+    from gordo_spark.operators.experiments import diff_in_diff
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return diff_in_diff(ev, "user_id", "ts", "value", salt="exp1")
+
+
+O_DIFF_IN_DIFF = """
+WITH mid AS (
+  SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS m FROM events
+),
+per AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch(ts) >= m THEN value ELSE 0 END)
+           - sum(CASE WHEN epoch(ts) < m THEN value ELSE 0 END) AS d
+  FROM events, mid GROUP BY 1
+),
+asg AS (
+  SELECT *,
+         ('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS variant
+  FROM per
+),
+v AS (
+  SELECT variant, count(*) AS n, avg(d) AS m, var_pop(d) AS vv
+  FROM asg GROUP BY 1
+),
+one AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN variant = 0 THEN n END), 0) AS BIGINT) AS n_a,
+    CAST(coalesce(sum(CASE WHEN variant = 1 THEN n END), 0) AS BIGINT) AS n_b,
+    max(CASE WHEN variant = 0 THEN m END) AS da,
+    max(CASE WHEN variant = 1 THEN m END) AS db,
+    max(CASE WHEN variant = 0 THEN vv END) AS va,
+    max(CASE WHEN variant = 1 THEN vv END) AS vb
+  FROM v
+),
+st AS (
+  SELECT *,
+         CASE WHEN n_a > 0 AND n_b > 0
+              THEN sqrt(va / n_a + vb / n_b) END AS se
+  FROM one
+)
+SELECT n_a, n_b, ROUND(da, 6) AS delta_a, ROUND(db, 6) AS delta_b,
+       ROUND(db - da, 6) AS did, ROUND(se, 6) AS se,
+       ROUND(CASE WHEN se > 0 THEN (db - da) / se END, 6) AS z,
+       COALESCE(abs(CASE WHEN se > 0 THEN (db - da) / se END) > 1.96, FALSE)
+         AS significant
+FROM st
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10659,6 +10716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o12_cube": q_o12_cube,
         "ab_cuped": q_ab_cuped,
         "bitext_margin": q_bitext_margin,
+        "diff_in_diff": q_diff_in_diff,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -10939,4 +10997,5 @@ def oracle_sql() -> dict[str, str]:
         "o12_cube": O_O12_CUBE,
         "ab_cuped": O_AB_CUPED,
         "bitext_margin": O_BITEXT_MARGIN,
+        "diff_in_diff": O_DIFF_IN_DIFF,
     }

@@ -212,6 +212,7 @@ HEADLINE = [
     "o12_cube",
     "ab_cuped",
     "bitext_margin",
+    "diff_in_diff",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

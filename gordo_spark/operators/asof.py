@@ -187,6 +187,11 @@ def interval_join(
     pb = points.withColumn(
         "_b", F.floor(epoch_seconds(F.col(ts_col)) / b).cast("long")
     )
+    # a backwards interval (end < start) matches nothing in the plain
+    # path (the range predicate is unsatisfiable); filtering it here
+    # keeps the bucketed path identical instead of throwing on an
+    # ascending sequence() with start > stop
+    ivs = ivs.filter(F.col(end_col) >= F.col(start_col))
     ib = ivs.withColumn(
         "_b",
         F.explode(

@@ -28,6 +28,7 @@ __all__ = [
     "ab_power",
     "ab_zstat",
     "auc_exact",
+    "diff_in_diff",
     "brier_decomposition",
 ]
 
@@ -413,6 +414,95 @@ def ab_cuped(
             F.when(F.col("_vraw") > 0, 1.0 - F.col("_vadj") / F.col("_vraw")),
             6,
         ).alias("variance_reduction"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > F.lit(float(critical)), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def diff_in_diff(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    salt: str = "exp1",
+    critical: float = 1.96,
+) -> DataFrame:
+    """Difference-in-differences estimate over the md5-assigned arms:
+    ``DiD = (B_post - B_pre) - (A_post - A_pre)`` on per-unit period
+    means — the panel estimator that nets out both the arms' level
+    difference AND the shared time trend (a post-only comparison
+    confounds the launch with seasonality; a pre/post-only comparison
+    confounds it with the arm's baseline). Period split at the
+    observed midpoint (the psi_drift convention).
+
+    Per-unit deltas (``post - pre``) carry the inference: the DiD
+    point estimate is the difference of arm-mean deltas and its SE is
+    the two-sample SE of those deltas, which respects within-unit
+    correlation (unit-level clustering — the standard 2x2 DiD with
+    panel data). One per-unit collapse + one 2-row arm aggregate.
+    Output one row: ``(n_a, n_b, delta_a, delta_b, did, se, z,
+    significant)``; the ab_zstat NULL-sentinel discipline applies.
+    """
+    mid = events.agg(
+        (
+            (epoch_seconds(F.min(ts_col)) + epoch_seconds(F.max(ts_col)))
+            / 2.0
+        ).alias("_mid")
+    )
+    per_unit = (
+        events.crossJoin(F.broadcast(mid))
+        .groupBy(unit_col)
+        .agg(
+            F.sum(
+                F.when(
+                    epoch_seconds(F.col(ts_col)) < F.col("_mid"),
+                    F.col(value_col),
+                ).otherwise(F.lit(0.0))
+            ).alias("_pre"),
+            F.sum(
+                F.when(
+                    epoch_seconds(F.col(ts_col)) >= F.col("_mid"),
+                    F.col(value_col),
+                ).otherwise(F.lit(0.0))
+            ).alias("_post"),
+        )
+    )
+    assigned = ab_assign(per_unit, unit_col, 2, salt).withColumn(
+        "_d", F.col("_post") - F.col("_pre")
+    )
+    v = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_d").alias("_m"),
+        F.var_pop("_d").alias("_v"),
+    )
+    one = v.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == 0, F.col("_n"))), F.lit(0)
+        ).alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == 1, F.col("_n"))), F.lit(0)
+        ).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("_m"))).alias("_da"),
+        F.max(F.when(F.col("variant") == 1, F.col("_m"))).alias("_db"),
+        F.max(F.when(F.col("variant") == 0, F.col("_v"))).alias("_va"),
+        F.max(F.when(F.col("variant") == 1, F.col("_v"))).alias("_vb"),
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    se = F.when(
+        both,
+        F.sqrt(F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")),
+    )
+    did = F.col("_db") - F.col("_da")
+    z = F.when(se > 0, did / se)
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round("_da", 6).alias("delta_a"),
+        F.round("_db", 6).alias("delta_b"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > F.lit(float(critical)), F.lit(False)).alias(
             "significant"

@@ -111,6 +111,8 @@ ACCEPTED = {
     "weight table (the tfidf_topk scalar)",
     "ab_cuped": "1-row midpoint + 1-row (theta, mean_pre) fit scalars "
     "broadcast to the per-unit frame (the psi_drift split convention)",
+    "diff_in_diff": "1-row midpoint scalar broadcast to the event stream "
+    "(the psi_drift split convention)",
     "survival_km": "1-row global-max-orderdate censoring scalar broadcast "
     "to the per-subject frame",
     "rfm_segments": "1-row exact-percentile threshold frame broadcast to "

@@ -808,3 +808,65 @@ def test_bitext_margin_prefers_planted_pair(spark):
     assert out[0]["cosine"] > 0.99
     # the random query's best match barely beats its own top-4 average
     assert out[2]["margin"] < out[0]["margin"]
+
+
+def test_ridge_registry_round_trip():
+    from gordo_spark.ml.models import RidgeModel, model_from_definition
+
+    m = model_from_definition(
+        {"kind": "RidgeModel", "feature_cols": ["x"], "target_cols": ["y"],
+         "alpha": 3.0}
+    )
+    assert isinstance(m, RidgeModel) and m.alpha == 3.0
+    assert m.into_definition()["alpha"] == 3.0
+
+
+def test_interval_join_backwards_interval_matches_nothing(spark):
+    import datetime as dt
+
+    from gordo_spark.operators.asof import interval_join
+
+    b = dt.datetime(2024, 3, 1)
+    points = spark.createDataFrame([(1, b)], "k int, ts timestamp")
+    bad = spark.createDataFrame(
+        [(1, b + dt.timedelta(hours=2), b)], "k int, start timestamp, end timestamp"
+    )
+    assert interval_join(points, bad, ["k"]).count() == 0
+    # bucketed path must agree (and not throw on the descending sequence)
+    assert interval_join(points, bad, ["k"], bucket_seconds=3600).count() == 0
+
+
+def test_diff_in_diff_nets_out_shared_trend(spark):
+    """Both arms share a +5 time trend; arm B additionally gets +2 post.
+    DiD recovers exactly +2; a naive post-only comparison would also
+    absorb the arms' baseline difference."""
+    import datetime as dt
+
+    from gordo_spark.operators.experiments import ab_assign, diff_in_diff
+
+    b = dt.datetime(2024, 1, 1)
+    users = [f"u{i}" for i in range(200)]
+    arms = {
+        r["user_id"]: r["variant"]
+        for r in ab_assign(
+            spark.createDataFrame([(u,) for u in users], "user_id string"),
+            "user_id",
+        ).collect()
+    }
+    rows, eid = [], 0
+    for i, u in enumerate(users):
+        base = 10.0 + (i % 7) + (5.0 if arms[u] == 1 else 0.0)  # arm-level offset
+        rows.append((eid, u, b, base)); eid += 1
+        lift = 2.0 if arms[u] == 1 else 0.0
+        jitter = (i % 5) * 0.01  # within-arm delta variance so se > 0
+        rows.append(
+            (eid, u, b + dt.timedelta(days=2), base + 5.0 + lift + jitter)
+        ); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    r = diff_in_diff(ev, "user_id", "ts", "value", salt="exp1").collect()[0]
+    assert r["delta_a"] == pytest.approx(5.02, abs=0.02)
+    assert r["delta_b"] == pytest.approx(7.02, abs=0.02)
+    assert r["did"] == pytest.approx(2.0, abs=0.05)  # trend+baseline netted out
+    assert r["significant"] is True  # tiny jitter se, huge effect
