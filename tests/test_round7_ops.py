@@ -870,3 +870,26 @@ def test_diff_in_diff_nets_out_shared_trend(spark):
     assert r["delta_b"] == pytest.approx(7.02, abs=0.02)
     assert r["did"] == pytest.approx(2.0, abs=0.05)  # trend+baseline netted out
     assert r["significant"] is True  # tiny jitter se, huge effect
+
+
+def test_curation_qa_report_end_to_end(spark, tmp_path, sf_dir):
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_qa_report", "/root/repo/examples/curation_qa_report.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "cqa_out")
+    mod.main(sf_dir, out)
+    for name in ("kappa", "auc", "brier", "composition", "budget",
+                 "near_templates"):
+        assert _os.path.isdir(_os.path.join(out, name))
+    auc = spark.read.parquet(_os.path.join(out, "auc")).collect()[0]
+    assert auc["n_pos"] + auc["n_neg"] > 0
+    assert auc["auc"] is None or 0.0 <= auc["auc"] <= 1.0
+    brier = spark.read.parquet(_os.path.join(out, "brier")).collect()[0]
+    # Brier bounds: 0 <= brier <= 1; resolution <= uncertainty (Murphy)
+    assert 0.0 <= brier["brier"] <= 1.0
+    assert brier["resolution"] <= brier["uncertainty"] + 1e-9
