@@ -10482,6 +10482,109 @@ FROM st
 """
 
 
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over orders columns
+    (operators/profile.fd_discovery): o_orderkey -> o_custkey holds
+    (orderkey is the key), the reverse and the priority pairs violate
+    — the profiling primitive behind key inference and redundant-
+    column pruning. One exploded pass builds every ordered pair's
+    per-LHS distinct counts (the key_skew_audit shape)."""
+    from gordo_spark.operators.profile import fd_discovery
+
+    o = read_table(spark, sf_dir, "orders")
+    return fd_discovery(o, ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+
+O_FD_DISCOVERY = """
+WITH ex AS (
+  SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+         CAST(o_orderkey AS VARCHAR) AS av, CAST(o_custkey AS VARCHAR) AS bv
+  FROM orders
+  UNION ALL SELECT 'o_orderkey', 'o_orderpriority',
+         CAST(o_orderkey AS VARCHAR), o_orderpriority FROM orders
+  UNION ALL SELECT 'o_custkey', 'o_orderkey',
+         CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_custkey', 'o_orderpriority',
+         CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+  UNION ALL SELECT 'o_orderpriority', 'o_orderkey',
+         o_orderpriority, CAST(o_orderkey AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderpriority', 'o_custkey',
+         o_orderpriority, CAST(o_custkey AS VARCHAR) FROM orders
+),
+per AS (
+  SELECT lhs, rhs, av, count(DISTINCT bv) AS d FROM ex GROUP BY 1, 2, 3
+)
+SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_lhs_values,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_lhs,
+       CAST(sum(d - 1) AS BIGINT) AS excess_rhs,
+       sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM per GROUP BY lhs, rhs ORDER BY lhs, rhs
+"""
+
+
+def q_weighted_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N weighted take (operators/sampling.weighted_take):
+    Efraimidis-Spirakis A-ES keys ln(u)/w from md5-deterministic
+    uniforms, top-25 documents by n_chars weight — probability
+    proportional to weight, WITHOUT replacement, reproducible from
+    ids alone."""
+    from gordo_spark.operators.sampling import weighted_take
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return weighted_take(docs, "doc_id", "n_chars", n=25)
+
+
+O_WEIGHTED_TAKE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ROUND(
+           ln((('0x' || substr(md5('wtake' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 ::BIGINT % 1000000000 + 0.5) / 1000000000.0)
+           / CAST(n_chars AS DOUBLE), 12) AS _es_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, _es_key
+FROM keyed ORDER BY _es_key DESC, doc_id LIMIT 25
+"""
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (operators/text.langid_confusion
+    over char_ngram_lang_id predictions): per (label, pred) cell
+    counts and per-class recall — the eval that closes the loop on
+    the profile-based ID model."""
+    from gordo_spark.operators.text import (
+        char_ngram_lang_id,
+        char_ngram_lang_profiles,
+        langid_confusion,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    profiles = char_ngram_lang_profiles(docs, top_k=200, sample_mod=4)
+    preds = char_ngram_lang_id(docs, profiles)
+    joined = docs.select("doc_id", "lang").join(preds, "doc_id")
+    return langid_confusion(joined, "lang", "lang_pred")
+
+
+O_LANGID_CONFUSION = f"""
+WITH preds AS (
+{O_LANG_ID_NGRAM}
+),
+cells AS (
+  SELECT d.lang AS label, p.lang_pred AS pred, count(*) AS n
+  FROM documents d JOIN preds p USING (doc_id) GROUP BY 1, 2
+)
+SELECT label, pred, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE), 6)
+         AS recall_contrib,
+       label = pred AS correct
+FROM cells ORDER BY label, pred
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10717,6 +10820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_cuped": q_ab_cuped,
         "bitext_margin": q_bitext_margin,
         "diff_in_diff": q_diff_in_diff,
+        "fd_discovery": q_fd_discovery,
+        "weighted_take": q_weighted_take,
+        "langid_confusion": q_langid_confusion,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -10998,4 +11104,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_cuped": O_AB_CUPED,
         "bitext_margin": O_BITEXT_MARGIN,
         "diff_in_diff": O_DIFF_IN_DIFF,
+        "fd_discovery": O_FD_DISCOVERY,
+        "weighted_take": O_WEIGHTED_TAKE,
+        "langid_confusion": O_LANGID_CONFUSION,
     }

@@ -213,6 +213,9 @@ HEADLINE = [
     "ab_cuped",
     "bitext_margin",
     "diff_in_diff",
+    "fd_discovery",
+    "weighted_take",
+    "langid_confusion",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -118,3 +118,63 @@ def benford(
         F.round(exp_p, 6).alias("exp_p"),
         F.round(F.sum("_chi_term").over(wg), 6).alias("chi2"),
     )
+
+
+def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Functional-dependency discovery over a column set (the
+    Metanome/profiling primitive behind "is this column derivable?"):
+    for every ordered pair ``a -> b``, the dependency holds iff every
+    distinct ``a`` value maps to exactly one ``b`` value; the report
+    counts the violating LHS groups and the excess RHS values — the
+    input to normalization, key inference, and redundant-column
+    pruning before a 100 TB export.
+
+    One pass over the table for ALL pairs (each row explodes to the
+    k(k-1) ordered (pair, a_val, b_val) entries — the key_skew_audit
+    shape), one hash aggregation per (pair, a_val) with
+    ``count_distinct(b)``, one pair-grained rollup. NULLs group as
+    values on both sides (SQL GROUP BY semantics, stated). Output one
+    row per ordered pair: ``(lhs, rhs, n_lhs_values,
+    n_violating_lhs, excess_rhs, holds)``.
+    """
+    cs = list(cols)
+    if len(cs) < 2:
+        raise ValueError("fd_discovery needs at least two columns")
+    entries = []
+    for a in cs:
+        for b in cs:
+            if a == b:
+                continue
+            entries.append(
+                F.struct(
+                    F.lit(a).alias("_lhs"),
+                    F.lit(b).alias("_rhs"),
+                    F.col(a).cast("string").alias("_av"),
+                    F.col(b).cast("string").alias("_bv"),
+                )
+            )
+    ex = df.select(F.explode(F.array(*entries)).alias("_e")).select(
+        "_e._lhs", "_e._rhs", "_e._av", "_e._bv"
+    )
+    per_lhs = ex.groupBy("_lhs", "_rhs", "_av").agg(
+        F.countDistinct("_bv").alias("_d")
+    )
+    return (
+        per_lhs.groupBy(
+            F.col("_lhs").alias("lhs"), F.col("_rhs").alias("rhs")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lhs_values"),
+            F.sum((F.col("_d") > 1).cast("long")).alias("n_violating_lhs"),
+            F.sum(F.col("_d") - 1).alias("excess_rhs"),
+        )
+        .select(
+            "lhs",
+            "rhs",
+            "n_lhs_values",
+            "n_violating_lhs",
+            "excess_rhs",
+            (F.col("n_violating_lhs") == 0).alias("holds"),
+        )
+        .orderBy("lhs", "rhs")
+    )

@@ -342,3 +342,41 @@ def mixture_budget(
             F.least(F.lit(1.0), alloc / F.col("n_tokens")), 6
         ).alias("capped_rate"),
     ).orderBy(strata_col)
+
+
+def weighted_take(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wtake",
+) -> DataFrame:
+    """EXACT-N weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme (2006): each row draws a
+    deterministic uniform ``u`` from ``md5(salt || id)`` and the top-N
+    rows by ``ln(u) / w`` win, which is distributionally identical to
+    sequential draws with probability proportional to weight. The
+    exact-count companion to :func:`weighted_sample` (rate-based,
+    with-replacement semantics): "give me exactly 10k docs, quality-
+    weighted" is a take, not a rate.
+
+    Deterministic and engine-portable (md5 arithmetic, no RNG — M9);
+    reproducible from ids alone, independent splits via ``salt``. Rows
+    with NULL or non-positive weight are excluded (a zero-weight item
+    has no probability mass; stated). One row-local key computation +
+    one global top-N (TakeOrdered — no full sort); ties break by id.
+    Output: the winning rows plus their ``_es_key``.
+    """
+    h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    u = (
+        F.pmod(h, F.lit(1_000_000_000)).cast("double") + 0.5
+    ) / 1_000_000_000.0
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("_es_key", F.round(key, 12))
+        .orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+        .limit(int(n))
+    )

@@ -1624,3 +1624,36 @@ def sparse_cosine_pairs(
         .orderBy(F.col("cosine").desc(), "id_a", "id_b")
         .limit(int(top_k))
     )
+
+
+def langid_confusion(
+    df: DataFrame,
+    label_col: str = "lang",
+    pred_col: str = "pred_lang",
+) -> DataFrame:
+    """Confusion matrix + per-class recall for a language-ID (or any
+    categorical classifier) against labels — the eval readout that
+    closes the loop on `char_ngram_lang_id` (an ID model shipped
+    without its confusion matrix is untested on exactly the classes
+    that matter). One hash aggregation on (label, pred); per-label
+    totals ride a partitioned window over the classes-bounded matrix.
+    Output one row per observed (label, pred) cell:
+    ``(label, pred, n, recall_contrib, correct)`` where
+    ``recall_contrib = n / label_total`` (the diagonal cell's value IS
+    the class recall).
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        df.filter(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(F.col(label_col).alias("label"), F.col(pred_col).alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("label")
+    return (
+        cells.withColumn(
+            "recall_contrib", F.round(F.col("n") / F.sum("n").over(w), 6)
+        )
+        .withColumn("correct", F.col("label") == F.col("pred"))
+        .orderBy("label", "pred")
+    )

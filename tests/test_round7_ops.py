@@ -893,3 +893,51 @@ def test_curation_qa_report_end_to_end(spark, tmp_path, sf_dir):
     # Brier bounds: 0 <= brier <= 1; resolution <= uncertainty (Murphy)
     assert 0.0 <= brier["brier"] <= 1.0
     assert brier["resolution"] <= brier["uncertainty"] + 1e-9
+
+
+def test_fd_discovery_holds_and_violates(spark):
+    from gordo_spark.operators.profile import fd_discovery
+
+    rows = [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "b", "z")]
+    df = spark.createDataFrame(rows, "id long, g string, v string")
+    out = {(r["lhs"], r["rhs"]): r for r in fd_discovery(df, ["id", "g", "v"]).collect()}
+    assert out[("id", "g")]["holds"]  # id unique -> everything holds
+    assert out[("id", "v")]["holds"]
+    assert not out[("g", "v")]["holds"]  # b -> {y, z}
+    assert out[("g", "v")]["n_violating_lhs"] == 1
+    assert out[("g", "v")]["excess_rhs"] == 1
+    assert out[("v", "g")]["holds"]  # each v maps to one g
+
+
+def test_weighted_take_exact_n_and_bias(spark):
+    """Exactly n rows come back, deterministic across calls, and heavy
+    weights are strongly over-represented (probability ~ weight)."""
+    from gordo_spark.operators.sampling import weighted_take
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    take = weighted_take(df, "doc_id", "w", n=100)
+    got = [r["doc_id"] for r in take.collect()]
+    assert len(got) == 100
+    assert len(set(got)) == 100  # without replacement
+    heavy = sum(1 for i in got if i < 50)
+    # 50 heavy items at 100x weight: essentially all should be taken
+    assert heavy >= 45
+    # deterministic: second call returns the identical set
+    again = [r["doc_id"] for r in weighted_take(df, "doc_id", "w", n=100).collect()]
+    assert set(got) == set(again)
+    # zero/negative weights are excluded entirely
+    z = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id long, w double")
+    assert [r["doc_id"] for r in weighted_take(z, "doc_id", "w", 10).collect()] == [3]
+
+
+def test_langid_confusion_recall(spark):
+    from gordo_spark.operators.text import langid_confusion
+
+    rows = [("en", "en")] * 8 + [("en", "fr")] * 2 + [("fr", "fr")] * 5
+    df = spark.createDataFrame(rows, "lang string, pred_lang string")
+    out = {(r["label"], r["pred"]): r for r in langid_confusion(df).collect()}
+    assert out[("en", "en")]["recall_contrib"] == pytest.approx(0.8, abs=1e-6)
+    assert out[("en", "fr")]["recall_contrib"] == pytest.approx(0.2, abs=1e-6)
+    assert out[("fr", "fr")]["recall_contrib"] == pytest.approx(1.0, abs=1e-6)
+    assert out[("en", "en")]["correct"] and not out[("en", "fr")]["correct"]
