@@ -304,3 +304,82 @@ def payload_dedup(
             F.min("_nb").cast("long").alias("n_bytes"),
         )
     )
+
+
+def thumbnail(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    mode: str = "auto",
+) -> DataFrame:
+    """Resize plumbing for media payloads: emit a ``width x height``
+    thumbnail per payload — the standard preprocessing step ahead of
+    perceptual hashing / embedding extraction in an image curation
+    stack. ``mode="pil"`` decodes and resizes real bytes (grayscale
+    ``L``, raw pixel bytes out; undecodable payloads yield NULL, never
+    a task failure); ``mode="fake"`` samples ``width*height`` evenly
+    spaced payload bytes as the "pixels" (the ahash_64 fake-decode
+    convention) so the Spark-side plumbing — schema, Arrow batch
+    iteration, output sizes — is real and tested without codecs;
+    ``"auto"`` picks pil when importable.
+
+    Scale: one Arrow-batched mapInPandas pass; the output is a FIXED
+    ``width*height`` bytes per row regardless of input size, so the
+    thumbnail column is the safe thing to shuffle/collect downstream
+    (the raw payload never is). Output: ``(id, thumb binary, out_w,
+    out_h)``.
+    """
+    if mode == "auto":
+        mode = "pil" if HAVE_PIL else "fake"
+    if mode == "pil" and not HAVE_PIL:
+        raise ImportError("mode='pil' requires Pillow, which is not importable")
+    if mode not in ("pil", "fake"):
+        raise ValueError(f"unknown decode mode {mode!r}")
+    use_pil = mode == "pil"
+    w, h = int(width), int(height)
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def _fake(payload: bytes) -> bytes:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n = arr.size
+            if n == 0:
+                return bytes(w * h)
+            idx = (np.arange(w * h) * (n - 1)) // max(w * h - 1, 1)
+            return arr[idx].tobytes()
+
+        def _pil(payload: bytes) -> bytes | None:
+            import io
+
+            from PIL import Image
+
+            try:
+                with Image.open(io.BytesIO(payload)) as im:
+                    return im.convert("L").resize((w, h)).tobytes()
+            except Exception:
+                return None
+
+        fn = _pil if use_pil else _fake
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "thumb": pdf[payload_col].map(fn),
+                    "out_w": np.int32(w),
+                    "out_h": np.int32(h),
+                }
+            )
+
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("thumb", BinaryType()),
+            StructField("out_w", IntegerType()),
+            StructField("out_h", IntegerType()),
+        ]
+    )
+    return df.mapInPandas(_thumb, schema)

@@ -941,3 +941,29 @@ def test_langid_confusion_recall(spark):
     assert out[("en", "fr")]["recall_contrib"] == pytest.approx(0.2, abs=1e-6)
     assert out[("fr", "fr")]["recall_contrib"] == pytest.approx(1.0, abs=1e-6)
     assert out[("en", "en")]["correct"] and not out[("en", "fr")]["correct"]
+
+
+def test_thumbnail_fixed_size_and_determinism(spark):
+    """Fake-mode thumbnails are exactly w*h bytes regardless of input
+    size, deterministic, and the id schema propagates (ahash precedent);
+    empty payloads yield a zero thumbnail, not a failure."""
+    from gordo_spark.operators.multimodal import thumbnail
+
+    df = spark.createDataFrame(
+        [
+            ("m1", bytearray(range(256)) * 4),  # 1 KiB
+            ("m2", bytearray(b"xy")),           # tiny
+            ("m3", bytearray(0)),               # empty
+        ],
+        "media_id string, payload binary",
+    )
+    out = thumbnail(df, width=8, height=4, id_col="media_id", mode="fake")
+    assert out.schema["media_id"].dataType.simpleString() == "string"
+    rows = {r["media_id"]: r for r in out.collect()}
+    for r in rows.values():
+        assert len(r["thumb"]) == 8 * 4
+        assert r["out_w"] == 8 and r["out_h"] == 4
+    assert bytes(rows["m3"]["thumb"]) == bytes(32)
+    again = {r["media_id"]: bytes(r["thumb"]) for r in
+             thumbnail(df, 8, 4, id_col="media_id", mode="fake").collect()}
+    assert {k: bytes(v["thumb"]) for k, v in rows.items()} == again
