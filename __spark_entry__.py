@@ -10585,6 +10585,40 @@ FROM cells ORDER BY label, pred
 """
 
 
+def q_sql_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc SQL entry path (sources/catalog.register_tables): the
+    same lake tables the operators read, queried through spark.sql —
+    a pricing-summary join written as plain SQL, planned by the same
+    Catalyst pipeline (pushdown/pruning/AQE) as the DataFrame API.
+    Proves the second front door gives identical answers."""
+    from gordo_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+        GROUP BY c_mktsegment, o_orderpriority
+        ORDER BY c_mktsegment, o_orderpriority
+        """
+    )
+
+
+O_SQL_ADHOC = """
+SELECT c_mktsegment, o_orderpriority,
+       count(*) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+GROUP BY c_mktsegment, o_orderpriority
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10823,6 +10857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery": q_fd_discovery,
         "weighted_take": q_weighted_take,
         "langid_confusion": q_langid_confusion,
+        "sql_adhoc": q_sql_adhoc,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -11107,4 +11142,5 @@ def oracle_sql() -> dict[str, str]:
         "fd_discovery": O_FD_DISCOVERY,
         "weighted_take": O_WEIGHTED_TAKE,
         "langid_confusion": O_LANGID_CONFUSION,
+        "sql_adhoc": O_SQL_ADHOC,
     }

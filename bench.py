@@ -216,6 +216,7 @@ HEADLINE = [
     "fd_discovery",
     "weighted_take",
     "langid_confusion",
+    "sql_adhoc",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

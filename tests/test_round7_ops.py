@@ -967,3 +967,15 @@ def test_thumbnail_fixed_size_and_determinism(spark):
     again = {r["media_id"]: bytes(r["thumb"]) for r in
              thumbnail(df, 8, 4, id_col="media_id", mode="fake").collect()}
     assert {k: bytes(v["thumb"]) for k, v in rows.items()} == again
+
+
+def test_register_tables_sql_equals_dataframe(spark, sf_dir):
+    from gordo_spark.sources.catalog import register_tables
+    from gordo_spark.sources.io import read_table
+
+    names = register_tables(spark, sf_dir, ("orders",), prefix="t7_")
+    assert names == ["t7_orders"]
+    via_sql = spark.sql("SELECT count(*) AS n FROM t7_orders").collect()[0]["n"]
+    assert via_sql == read_table(spark, sf_dir, "orders").count()
+    # timestamps arrive session-zone normalized, castable to double
+    spark.sql("SELECT CAST(o_orderdate AS DOUBLE) FROM t7_orders LIMIT 1").collect()
