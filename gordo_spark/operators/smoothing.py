@@ -332,24 +332,33 @@ def holt_winters(
         tr = np.full(n, np.nan)
         sea = np.full(n, np.nan)
         fc = np.full(n, np.nan)
-        if n > m and not np.isnan(x[:m]).any():
-            l_s = float(np.mean(x[:m]))
-            b_s = 0.0
-            s = list(x[:m] - l_s)  # s[0] is s_{t-m} for the next step
-            for i in range(m, n):
-                if np.isnan(x[i]):
-                    # coast: emit NaN, rotate the seasonal window so
-                    # phase stays aligned with the grid
-                    s.append(s.pop(0))
-                    continue
-                s_old = s.pop(0)
-                prev = l_s
-                l_s = a * (x[i] - s_old) + (1.0 - a) * (l_s + b_s)
-                b_s = b * (l_s - prev) + (1.0 - b) * b_s
-                s_new = g * (x[i] - l_s) + (1.0 - g) * s_old
-                s.append(s_new)
-                lev[i], tr[i], sea[i] = l_s, b_s, s_new
-                fc[i] = l_s + b_s + s[0]
+        # seed from the first m NON-NaN samples (a NaN inside the first
+        # season extends the warmup, it does not abort the series) —
+        # identical to the streaming form's buffered warmup, and to the
+        # NaN-free case the oracle states
+        l_s, b_s, s, buf = 0.0, 0.0, None, []
+        for i in range(n):
+            if s is None:
+                if not np.isnan(x[i]):
+                    buf.append(float(x[i]))
+                    if len(buf) == m:
+                        l_s = float(np.mean(buf))
+                        b_s = 0.0
+                        s = [v - l_s for v in buf]
+                continue
+            if np.isnan(x[i]):
+                # coast: emit NaN, rotate the seasonal window so phase
+                # stays aligned with the grid
+                s.append(s.pop(0))
+                continue
+            s_old = s.pop(0)
+            prev = l_s
+            l_s = a * (x[i] - s_old) + (1.0 - a) * (l_s + b_s)
+            b_s = b * (l_s - prev) + (1.0 - b) * b_s
+            s_new = g * (x[i] - l_s) + (1.0 - g) * s_old
+            s.append(s_new)
+            lev[i], tr[i], sea[i] = l_s, b_s, s_new
+            fc[i] = l_s + b_s + s[0]
         pdf["level"], pdf["trend"], pdf["seasonal"], pdf["forecast"] = (
             lev,
             tr,

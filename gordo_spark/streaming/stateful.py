@@ -380,3 +380,118 @@ def counter_rate_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def holt_winters_stream(
+    stream: DataFrame,
+    period: int,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    key_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming Holt-Winters additive smoothing — the stateful form of
+    ``operators.smoothing.holt_winters``: per-key state is (level,
+    trend, the ``period``-slot seasonal vector, and the warmup buffer
+    of the first season's samples) — O(period) per key for an
+    unbounded stream, the seasonal extension of :func:`holt_stream`'s
+    O(1) scalars. Initialization, warmup-NULL emission, and NaN
+    coasting (state untouched, seasonal window rotated to keep phase)
+    match the batch operator exactly; stream==batch parity is pinned
+    in tests/test_streaming.py. Same within-batch-sort / in-order-
+    source ordering contract as ewma/holt streams.
+    """
+    m = int(period)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    a, b, g = float(alpha), float(beta), float(gamma)
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+    # state: started flag rides implicitly on the buffer length — once
+    # len(buf) == m the recursion is live and (l, b, s) are meaningful
+    state_schema = StructType(
+        [
+            StructField("l", DoubleType()),
+            StructField("b", DoubleType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("buf", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lev, tr, s, buf = state.get
+            s = list(s) if s is not None else None
+            buf = list(buf) if buf is not None else []
+        else:
+            lev, tr, s, buf = 0.0, 0.0, None, []
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        levels, trends, seas, fcs = [], [], [], []
+        nan = float("nan")
+        for x in rows[value_col]:
+            if s is None:
+                # warmup: buffer the first season (NaN inside the first
+                # season aborts nothing — it just extends the wait,
+                # matching the batch operator's all-or-nothing seed)
+                if pd.isna(x):
+                    levels.append(nan); trends.append(nan)
+                    seas.append(nan); fcs.append(nan)
+                    continue
+                buf.append(float(x))
+                levels.append(nan); trends.append(nan)
+                seas.append(nan); fcs.append(nan)
+                if len(buf) == m:
+                    lev = sum(buf) / m
+                    tr = 0.0
+                    s = [v - lev for v in buf]
+                continue
+            if pd.isna(x):
+                s.append(s.pop(0))  # coast: rotate to keep phase
+                levels.append(nan); trends.append(nan)
+                seas.append(nan); fcs.append(nan)
+                continue
+            x = float(x)
+            s_old = s.pop(0)
+            prev = lev
+            lev = a * (x - s_old) + (1.0 - a) * (lev + tr)
+            tr = b * (lev - prev) + (1.0 - b) * tr
+            s_new = g * (x - lev) + (1.0 - g) * s_old
+            s.append(s_new)
+            levels.append(lev); trends.append(tr)
+            seas.append(s_new); fcs.append(lev + tr + s[0])
+        state.update((lev, tr, s, buf))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: rows[ts_col].values,
+                value_col: rows[value_col].values,
+                "level": levels,
+                "trend": trends,
+                "seasonal": seas,
+                "forecast": fcs,
+            }
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

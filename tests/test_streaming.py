@@ -1328,3 +1328,45 @@ def test_stream_interval_enrich_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got.equals(exp)
     assert len(got) > 0
+
+
+def test_stream_holt_winters_matches_batch(spark, sf_dir, tmp_path):
+    """holt_winters_stream over an availableNow file stream equals the
+    batch operator row-for-row (warmup NULLs, state evolution,
+    seasonal/forecast columns)."""
+    import pandas as pd
+
+    from gordo_spark.operators.smoothing import holt_winters
+    from gordo_spark.streaming.stateful import holt_winters_stream
+
+    res = resample_aggregate(
+        EventsAsSensorProvider(sf_dir).read(spark, TAGS), "1H", "mean"
+    ).withColumn("value", F.round("value", 6))
+    path = f"{tmp_path}/hw_src"
+    res.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(res.schema).parquet(path)
+    q = (
+        holt_winters_stream(stream, period=24, alpha=0.2, beta=0.1, gamma=0.3)
+        .writeStream.format("memory")
+        .queryName("hw_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = ["tag", "ts"]
+    got = spark.table("hw_stream_test").toPandas().sort_values(key).reset_index(drop=True)
+    exp = (
+        holt_winters(res, period=24, alpha=0.2, beta=0.1, gamma=0.3,
+                     machine_col="tag")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    for c in ("level", "trend", "seasonal", "forecast"):
+        a = got[c].to_numpy(dtype=float)
+        b = exp[c].to_numpy(dtype=float)
+        assert (pd.isna(a) == pd.isna(b)).all()
+        mask = ~pd.isna(a)
+        assert np.allclose(a[mask], b[mask], rtol=0, atol=1e-9)
