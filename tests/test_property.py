@@ -552,3 +552,90 @@ def test_cdc_apply_matches_python_latest_wins(spark, case):
         if k not in keys and op != "D":
             expect[k] = (val, "inserted")
     assert got == expect
+
+
+@st.composite
+def censored_subjects(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    durs = draw(st.lists(st.integers(min_value=0, max_value=12), min_size=n, max_size=n))
+    obs = draw(st.lists(st.booleans(), min_size=n, max_size=n))
+    return list(zip(durs, obs))
+
+
+@given(subjects=censored_subjects())
+@settings(**SETTINGS)
+def test_km_curve_matches_pure_python(spark, subjects):
+    """Kaplan-Meier against an independent pure-python product-limit
+    computation on arbitrary censored data (ties, censor-only times,
+    total-failure tails included by construction)."""
+    from gordo_spark.operators.survival import km_curve
+
+    df = spark.createDataFrame(subjects, "duration int, observed boolean")
+    got = {r["t"]: r for r in km_curve(df).collect()}
+    # pure-python KM
+    times = sorted({d for d, o in subjects if o})
+    surv, exp = 1.0, {}
+    for t in times:
+        n_risk = sum(1 for d, _ in subjects if d >= t)
+        d_t = sum(1 for d, o in subjects if d == t and o)
+        c_t = sum(1 for d, o in subjects if d == t and not o)
+        surv *= 1.0 - d_t / n_risk
+        exp[t] = (n_risk, d_t, c_t, surv)
+    assert set(got) == set(exp)
+    for t, (n_risk, d_t, c_t, s) in exp.items():
+        r = got[t]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (n_risk, d_t, c_t)
+        assert r["survival"] == pytest.approx(round(s, 6), abs=2e-6)
+
+
+@st.composite
+def interval_fixture(draw):
+    np_ = draw(st.integers(min_value=1, max_value=20))
+    ni = draw(st.integers(min_value=1, max_value=10))
+    pts = [
+        (draw(st.integers(min_value=1, max_value=3)),
+         draw(st.integers(min_value=0, max_value=500_000)))
+        for _ in range(np_)
+    ]
+    ivs = []
+    for _ in range(ni):
+        k = draw(st.integers(min_value=1, max_value=3))
+        s = draw(st.integers(min_value=0, max_value=500_000))
+        ln = draw(st.integers(min_value=0, max_value=200_000))
+        ivs.append((k, s, s + ln))
+    return pts, ivs
+
+
+@given(fx=interval_fixture(), bucket=st.sampled_from([3600, 86_400]))
+@settings(**SETTINGS)
+def test_interval_join_bucketed_equals_plain(spark, fx, bucket):
+    """The bucketed range-join path returns exactly the plain
+    equi+range result on arbitrary overlapping/straddling/degenerate
+    intervals and any bucket width."""
+    import datetime as dt
+
+    from gordo_spark.operators.asof import interval_join
+
+    pts, ivs = fx
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s)) for k, s in pts],
+        "k int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=e))
+            for k, s, e in ivs
+        ],
+        "k int, start timestamp, end timestamp",
+    )
+    cols = ["k", "ts", "start", "end"]
+    plain = (
+        interval_join(points, intervals, ["k"])
+        .toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    )
+    bucketed = (
+        interval_join(points, intervals, ["k"], bucket_seconds=bucket)
+        .toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    )
+    assert plain.equals(bucketed)
