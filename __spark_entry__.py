@@ -10619,6 +10619,46 @@ ORDER BY c_mktsegment, o_orderpriority
 """
 
 
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold Jaccard similarity join via prefix filtering
+    (operators/dedup.jaccard_threshold_join) over the dup corpus:
+    guaranteed-recall exact companion to MinHash-LSH — candidates come
+    from rare-first prefix posting lists, verified by array_intersect.
+    Oracle is the all-pairs brute force (feasible at oracle scale;
+    the prefix filter is the point at corpus scale)."""
+    from gordo_spark.operators.dedup import jaccard_threshold_join
+
+    return jaccard_threshold_join(
+        _docs_with_dups(spark, sf_dir), threshold=0.9
+    )
+
+
+O_JACCARD_JOIN = f"""
+WITH docs AS ({_O_DOCS_DUPS}),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                                ' ')
+         )) AS toks
+  FROM docs
+),
+tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+           AS union_size
+  FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(inter AS INT) AS inter,
+       CAST(union_size AS INT) AS union_size,
+       ROUND(inter / CAST(union_size AS DOUBLE), 6) AS jaccard
+FROM pairs WHERE inter / CAST(union_size AS DOUBLE) >= 0.9
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10858,6 +10898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_take": q_weighted_take,
         "langid_confusion": q_langid_confusion,
         "sql_adhoc": q_sql_adhoc,
+        "jaccard_join": q_jaccard_join,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -11143,4 +11184,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_take": O_WEIGHTED_TAKE,
         "langid_confusion": O_LANGID_CONFUSION,
         "sql_adhoc": O_SQL_ADHOC,
+        "jaccard_join": O_JACCARD_JOIN,
     }

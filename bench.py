@@ -217,6 +217,7 @@ HEADLINE = [
     "weighted_take",
     "langid_confusion",
     "sql_adhoc",
+    "jaccard_join",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -1365,3 +1365,109 @@ def best_survivors(
         F.col("_b.q").alias("best"),
         "n_members",
     )
+
+
+def jaccard_threshold_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join at a threshold via
+    PREFIX FILTERING (Chaudhuri et al. 2006 / PPJoin) — the exact
+    companion to MinHash-LSH (probabilistic recall): every pair with
+    ``jaccard >= threshold`` is returned, none missed, and the
+    candidate space is bounded WITHOUT hashing.
+
+    The filter: order the vocabulary rare-first (ascending document
+    frequency, token tiebreak); a document of ``n`` distinct tokens
+    indexes only its first ``n - ceil(t*n) + 1`` tokens in that order
+    — two sets with Jaccard >= t MUST share one of these prefix tokens
+    (pigeonhole on the overlap bound), so the inverted-index join runs
+    over rare-token posting lists instead of all tokens (let alone all
+    pairs). Survivors verify exactly via array_intersect on the full
+    distinct-token arrays. Candidate volume is sum over PREFIX tokens
+    of df^2/2 — rare-first ordering makes those the smallest lists
+    (the winnowing/sparse_cosine bound discipline, but with a recall
+    GUARANTEE). Set elements are word ``shingle_n``-grams (the MinHash
+    convention — unigram sets over a small vocabulary make every
+    document "similar"; shingles carry word ORDER into the set).
+    Output ``(id_a, id_b, inter, union_size, jaccard)`` with
+    id_a < id_b, jaccard rounded to 6 (the threshold compares the
+    unrounded value — identical double arithmetic on any engine).
+    """
+    t = float(threshold)
+    if not 0 < t <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    # pinned once (the lsh_eval discipline): THREE consumers (the
+    # inverted index + both verify arms) would each re-derive the
+    # shingle/distinct/sort pipeline from the corpus otherwise
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(
+                F.array_distinct(
+                    word_shingles(F.col(text_col), int(shingle_n))
+                )
+            ).alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)
+        .localCheckpoint()
+    )
+    exploded = toks.select("_id", F.explode("_toks").alias("_tok"))
+    freq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # rare-first global order; rank rides a broadcast (vocab-sized)
+    ranked = exploded.join(F.broadcast(freq), "_tok").select(
+        "_id", "_tok", "_df"
+    )
+    w_doc = Window.partitionBy("_id").orderBy(
+        F.col("_df").asc(), F.col("_tok").asc()
+    )
+    pos = ranked.select(
+        "_id",
+        "_tok",
+        F.row_number().over(w_doc).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+    )
+    prefix = pos.filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
+    ).select("_id", "_tok")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_tok")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")),
+            "id_a",
+        )
+        .join(
+            toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("inter"),
+            F.size("_ta").alias("_la"),
+            F.size("_tb").alias("_lb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("_la") + F.col("_lb") - F.col("inter")).alias(
+                "union_size"
+            ),
+        )
+    )
+    jac = F.col("inter") / F.col("union_size")
+    return verified.filter(jac >= t).select(
+        "id_a", "id_b", "inter", "union_size", F.round(jac, 6).alias("jaccard")
+    )

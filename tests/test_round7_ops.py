@@ -979,3 +979,40 @@ def test_register_tables_sql_equals_dataframe(spark, sf_dir):
     assert via_sql == read_table(spark, sf_dir, "orders").count()
     # timestamps arrive session-zone normalized, castable to double
     spark.sql("SELECT CAST(o_orderdate AS DOUBLE) FROM t7_orders LIMIT 1").collect()
+
+
+def test_jaccard_threshold_join_exact_recall(spark):
+    """Prefix filtering misses NOTHING: against brute force on a corpus
+    with exact dups, near dups, and disjoint docs, the join returns
+    exactly the pairs with shingle-Jaccard >= t."""
+    import itertools
+
+    from gordo_spark.operators.dedup import jaccard_threshold_join
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "the quick brown fox jumps over the lazy dog tonight",  # dup of 1
+        3: "the quick brown fox jumps over the lazy cat tonight",  # near-dup
+        4: "completely different words appear in this other document here",
+        5: "the quick brown fox jumps over the lazy dog today ok",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_threshold_join(df, threshold=t).collect()
+    }
+
+    def shingles(s):
+        w = s.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    exp = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= t:
+            exp[(a, b)] = round(j, 6)
+    assert got == exp
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # exact dup found
+    assert all((4 not in p) for p in got)  # disjoint doc pairs with nobody
