@@ -10659,6 +10659,79 @@ FROM pairs WHERE inter / CAST(union_size AS DOUBLE) >= 0.9
 """
 
 
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment join (operators/dedup.containment_join)
+    over documents plus planted EXCERPTS (first 20 words of every 5th
+    doc): |A∩B|/|A| >= 0.9 finds the excerpt->original pairs symmetric
+    Jaccard misses. Asymmetric prefix filter: only the contained side
+    prunes to its rare-first prefix; the container side indexes all
+    tokens (recall requirement)."""
+    from gordo_spark.operators.dedup import containment_join
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 20)).alias(
+            "text"
+        ),
+    )
+    return containment_join(docs.unionByName(excerpts), threshold=0.9)
+
+
+O_CONTAINMENT_JOIN = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+  FROM documents WHERE doc_id % 5 = 0
+),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                                ' ')
+         )) AS toks
+  FROM corpus
+),
+tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) AS sa
+  FROM tt a JOIN tt b ON a.doc_id <> b.doc_id
+)
+SELECT id_contained, id_container, CAST(inter AS INT) AS inter,
+       CAST(sa AS INT) AS size_contained,
+       ROUND(inter / CAST(sa AS DOUBLE), 6) AS containment
+FROM pairs WHERE inter / CAST(sa AS DOUBLE) >= 0.9
+"""
+
+
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalization (operators/ranking.quantile_transform): every
+    event value mapped to its corpus quantile at 1/100 resolution via
+    exact percentile boundaries — one aggregate + row-local boundary
+    count, no per-row rank, no global sort."""
+    from gordo_spark.operators.ranking import quantile_transform
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    return quantile_transform(ev, "value", k=100)
+
+
+O_QUANTILE_TRANSFORM = f"""
+WITH bs AS (
+  SELECT [{", ".join(f"quantile_cont(value, {i / 100})" for i in range(1, 100))}]
+    AS b
+  FROM events
+)
+SELECT event_id, value,
+       ROUND(len(list_filter(bs.b, p -> value > p)) / 100.0, 6) AS quantile
+FROM events, bs
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10899,6 +10972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "sql_adhoc": q_sql_adhoc,
         "jaccard_join": q_jaccard_join,
+        "containment_join": q_containment_join,
+        "quantile_transform": q_quantile_transform,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -11185,4 +11260,6 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": O_LANGID_CONFUSION,
         "sql_adhoc": O_SQL_ADHOC,
         "jaccard_join": O_JACCARD_JOIN,
+        "containment_join": O_CONTAINMENT_JOIN,
+        "quantile_transform": O_QUANTILE_TRANSFORM,
     }

@@ -218,6 +218,8 @@ HEADLINE = [
     "langid_confusion",
     "sql_adhoc",
     "jaccard_join",
+    "containment_join",
+    "quantile_transform",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

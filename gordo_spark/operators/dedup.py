@@ -1471,3 +1471,91 @@ def jaccard_threshold_join(
     return verified.filter(jac >= t).select(
         "id_a", "id_b", "inter", "union_size", F.round(jac, 6).alias("jaccard")
     )
+
+
+def containment_join(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """DIRECTED containment join: pairs where document A's shingle set
+    is mostly inside B's — ``|A ∩ B| / |A| >= threshold`` — the
+    quote/excerpt/subset-duplication detector symmetric Jaccard misses
+    (a paragraph quoted inside a long article has tiny Jaccard but
+    containment ~1). Standard asymmetric prefix filtering: only the
+    CONTAINED side prunes to its ``|A| - ceil(t*|A|) + 1`` rare-first
+    prefix (pigeonhole on the required overlap ``t*|A|``); the
+    container side must index ALL tokens — a contained set's prefix
+    token can sit anywhere in the container, so a container prefix
+    would lose recall. Exact verify via array_intersect. Output
+    directed ``(id_contained, id_container, inter, size_contained,
+    containment)`` for every ordered pair (both directions of a mutual
+    dup appear).
+    """
+    t = float(threshold)
+    if not 0 < t <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(
+                F.array_distinct(
+                    word_shingles(F.col(text_col), int(shingle_n))
+                )
+            ).alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)
+        .localCheckpoint()
+    )
+    exploded = toks.select("_id", F.explode("_toks").alias("_tok"))
+    freq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = exploded.join(F.broadcast(freq), "_tok")
+    w_doc = Window.partitionBy("_id").orderBy(
+        F.col("_df").asc(), F.col("_tok").asc()
+    )
+    pos = ranked.select(
+        "_id",
+        "_tok",
+        F.row_number().over(w_doc).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+    )
+    prefix = pos.filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
+    ).select(F.col("_id").alias("id_contained"), "_tok")
+    full = exploded.select(F.col("_id").alias("id_container"), "_tok")
+    cand = (
+        prefix.join(full, "_tok")
+        .filter(F.col("id_contained") != F.col("id_container"))
+        .select("id_contained", "id_container")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            toks.select(
+                F.col("_id").alias("id_contained"), F.col("_toks").alias("_ta")
+            ),
+            "id_contained",
+        )
+        .join(
+            toks.select(
+                F.col("_id").alias("id_container"), F.col("_toks").alias("_tb")
+            ),
+            "id_container",
+        )
+        .select(
+            "id_contained",
+            "id_container",
+            F.size(F.array_intersect("_ta", "_tb")).alias("inter"),
+            F.size("_ta").alias("size_contained"),
+        )
+    )
+    c = F.col("inter") / F.col("size_contained")
+    return verified.filter(c >= t).select(
+        "id_contained",
+        "id_container",
+        "inter",
+        "size_contained",
+        F.round(c, 6).alias("containment"),
+    )

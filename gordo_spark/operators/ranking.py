@@ -229,3 +229,38 @@ def lorenz_curve(
             6,
         ).alias("cum_value_frac"),
     ).orderBy("bucket")
+
+
+def quantile_transform(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    out_col: str = "quantile",
+) -> DataFrame:
+    """Rank-normalize a feature onto a uniform [0, 1] grid via exact
+    percentile BOUNDARIES (the :func:`lorenz_curve` machinery): each
+    row's output is the fraction of the k boundaries strictly below
+    its value, i.e. its corpus quantile at resolution 1/k — the
+    monotone transform that makes heavy-tailed scores comparable and
+    threshold rules portable across corpora (a "top 10% quality"
+    rule survives any score-scale change).
+
+    One single-pass percentile aggregate (k-1 scalars, broadcast) +
+    row-local boundary counting — no per-row rank, no global sort, at
+    any scale. Ties at a boundary fall to the lower quantile (v == p
+    is not >). Appends ``out_col`` rounded to 6.
+    """
+    qs = ", ".join(str(i / k) for i in range(1, int(k)))
+    bounds = df.agg(
+        F.expr(
+            f"percentile({value_col}, array({qs}))"
+        ).alias("_qt_bs")
+    )
+    q = F.size(
+        F.filter(F.col("_qt_bs"), lambda p: F.col(value_col) > p)
+    ) / F.lit(float(k))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, F.round(q, 6))
+        .drop("_qt_bs")
+    )

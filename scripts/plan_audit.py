@@ -113,6 +113,8 @@ ACCEPTED = {
     "broadcast to the per-unit frame (the psi_drift split convention)",
     "diff_in_diff": "1-row midpoint scalar broadcast to the event stream "
     "(the psi_drift split convention)",
+    "quantile_transform": "1-row exact-percentile boundary array broadcast "
+    "to the event stream (the revenue_pareto shape)",
     "survival_km": "1-row global-max-orderdate censoring scalar broadcast "
     "to the per-subject frame",
     "rfm_segments": "1-row exact-percentile threshold frame broadcast to "

@@ -1016,3 +1016,44 @@ def test_jaccard_threshold_join_exact_recall(spark):
     assert got == exp
     assert (1, 2) in got and got[(1, 2)] == 1.0  # exact dup found
     assert all((4 not in p) for p in got)  # disjoint doc pairs with nobody
+
+
+def test_containment_join_finds_excerpt(spark):
+    """An excerpt (prefix of a doc) has containment 1.0 in its source
+    but tiny symmetric Jaccard; the directed join finds it one-way."""
+    from gordo_spark.operators.dedup import containment_join
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        (r["id_contained"], r["id_container"]): r
+        for r in containment_join(df, threshold=0.9).collect()
+    }
+    assert (2, 1) in out and out[(2, 1)]["containment"] == 1.0
+    assert (1, 2) not in out  # the long doc is NOT inside its excerpt
+    assert all(3 not in p for p in out)
+
+
+def test_quantile_transform_uniformizes(spark):
+    import numpy as np
+
+    from gordo_spark.operators.ranking import quantile_transform
+
+    rng = np.random.default_rng(5)
+    vals = np.exp(rng.normal(size=2000))  # heavy-tailed lognormal
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    out = quantile_transform(df, "v", k=100).toPandas()
+    q = out["quantile"].to_numpy()
+    assert q.min() >= 0.0 and q.max() <= 1.0
+    # near-uniform: each decile holds ~10% of rows
+    hist, _ = np.histogram(q, bins=10, range=(0, 1))
+    assert (np.abs(hist - 200) < 60).all()
+    # monotone: sorting by value sorts by quantile
+    s = out.sort_values("v")["quantile"].to_numpy()
+    assert (np.diff(s) >= 0).all()
