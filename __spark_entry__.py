@@ -10732,6 +10732,45 @@ FROM events, bs
 """
 
 
+def q_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier generalization
+    (operators/quality_checks.k_generalize): customer balances bucket
+    at the NARROWEST ladder width where every bucket holds >= 25 rows
+    — the enforcement step after k_anonymity's audit. One exploded
+    pass builds every candidate width's histogram; the |ladder|-row
+    min table collects; the chosen width applies row-locally."""
+    from gordo_spark.operators.quality_checks import k_generalize
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    return k_generalize(cust, "c_acctbal", k=25)
+
+
+O_K_GENERALIZE = """
+WITH lad AS (
+  SELECT unnest([1.0, 2.0, 5.0, 10.0, 25.0, 50.0, 100.0, 250.0, 1000.0])
+    AS w
+),
+h AS (
+  SELECT w, floor(c_acctbal / w) AS b, count(*) AS c
+  FROM customer, lad GROUP BY 1, 2
+),
+m AS (SELECT w, min(c) AS mc FROM h GROUP BY 1),
+ch AS (
+  SELECT coalesce(min(w) FILTER (WHERE mc >= 25), (SELECT max(w) FROM m))
+    AS cw
+  FROM m
+),
+ach AS (SELECT mc FROM m, ch WHERE m.w = ch.cw)
+SELECT c_custkey, c_acctbal,
+       floor(c_acctbal / ch.cw) * ch.cw AS bucket_lo,
+       ch.cw AS bucket_width,
+       CAST(ach.mc AS INT) AS achieved_k
+FROM customer, ch, ach
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -10974,6 +11013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join": q_jaccard_join,
         "containment_join": q_containment_join,
         "quantile_transform": q_quantile_transform,
+        "k_generalize": q_k_generalize,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -11262,4 +11302,5 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_join": O_JACCARD_JOIN,
         "containment_join": O_CONTAINMENT_JOIN,
         "quantile_transform": O_QUANTILE_TRANSFORM,
+        "k_generalize": O_K_GENERALIZE,
     }

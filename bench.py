@@ -220,6 +220,7 @@ HEADLINE = [
     "jaccard_join",
     "containment_join",
     "quantile_transform",
+    "k_generalize",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -458,3 +458,58 @@ def l_diversity(
         "n_rows_at_risk",
         (F.col("n_violating_groups") == 0).alias("diverse"),
     )
+
+
+def k_generalize(
+    df: DataFrame,
+    col: str,
+    k: int = 5,
+    ladder: tuple[float, ...] = (1, 2, 5, 10, 25, 50, 100, 250, 1000),
+) -> DataFrame:
+    """Numeric quasi-identifier GENERALIZATION — the enforcement step
+    after :func:`k_anonymity`'s audit: bucket ``col`` at the NARROWEST
+    width from a deterministic ladder such that every bucket holds at
+    least ``k`` rows (coarser than needed destroys utility; finer
+    leaks). Classic single-attribute global recoding (Sweeney's
+    generalization hierarchies with a numeric ladder).
+
+    Every ladder width's bucket histogram is built in ONE exploded
+    pass (each row fans out to |ladder| (width, bucket) entries — the
+    key_skew_audit shape), the per-width min group sizes collect (a
+    |ladder|-row bounded frame), the first qualifying width is chosen
+    on the driver, and the generalization applies row-locally. If no
+    ladder width reaches ``k`` the widest is used — ``achieved_k``
+    reports the truth either way, never silently. NULLs form their own
+    group (the k_anonymity convention). Output: input rows plus
+    ``(bucket_lo, bucket_width)``; bucket_lo = floor(v / w) * w, NULL
+    for NULL values.
+    """
+    widths = sorted(float(w) for w in ladder)
+    v = F.col(col).cast("double")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("_w"),
+                F.floor(v / F.lit(w)).alias("_b"),
+            )
+            for w in widths
+        ]
+    )
+    hist = (
+        df.select(F.explode(entries).alias("_e"))
+        .select("_e._w", "_e._b")
+        .groupBy("_w", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    mins = {
+        r["_w"]: r["_m"]
+        for r in hist.groupBy("_w").agg(F.min("_c").alias("_m")).collect()
+    }
+    chosen = next((w for w in widths if mins.get(w, 0) >= int(k)), widths[-1])
+    achieved = int(mins.get(chosen, 0))
+    return df.select(
+        "*",
+        (F.floor(v / F.lit(chosen)) * F.lit(chosen)).alias("bucket_lo"),
+        F.lit(chosen).alias("bucket_width"),
+        F.lit(achieved).alias("achieved_k"),
+    )

@@ -1057,3 +1057,21 @@ def test_quantile_transform_uniformizes(spark):
     # monotone: sorting by value sorts by quantile
     s = out.sort_values("v")["quantile"].to_numpy()
     assert (np.diff(s) >= 0).all()
+
+
+def test_k_generalize_picks_narrowest_sufficient_width(spark):
+    from gordo_spark.operators.quality_checks import k_generalize
+
+    # values 0..99: width 1 -> singleton buckets (k=10 fails);
+    # width 10 -> 10 buckets of 10 (k=10 holds); widths 2 and 5 give
+    # buckets of 2 and 5 — still too small. Narrowest sufficient = 10.
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    out = k_generalize(df, "v", k=10).toPandas()
+    assert (out["bucket_width"] == 10.0).all()
+    assert out["achieved_k"].iloc[0] == 10
+    assert set(out["bucket_lo"]) == {float(x) for x in range(0, 100, 10)}
+    # unreachable k: widest ladder width used, achieved_k reports truth
+    tiny = spark.createDataFrame([(1, 0.0), (2, 5000.0)], "id long, v double")
+    r = k_generalize(tiny, "v", k=5).toPandas()
+    assert (r["bucket_width"] == 1000.0).all()
+    assert r["achieved_k"].iloc[0] == 1  # honest: k NOT achieved
