@@ -10771,6 +10771,49 @@ FROM customer, ch, ach
 """
 
 
+def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (operators/linkage.blocked_pairs ->
+    operators/dedup.connected_components): fuzzy-match candidate pairs
+    collapse into entity clusters, entity id = min member — the full
+    dedup-by-identity pipeline (blocking bounds the pair space, label
+    propagation with truncated lineage merges transitive matches)."""
+    from gordo_spark.operators.dedup import connected_components
+    from gordo_spark.operators.linkage import blocked_pairs
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    pairs = blocked_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"],
+        max_dist=1,
+    )
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
+O_ER_ENTITIES = """
+WITH RECURSIVE cand AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+    AND levenshtein(a.c_name, b.c_name) <= 1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+cc(id, label) AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src
+)
+SELECT id, min(label) AS component FROM cc GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -11014,6 +11057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join": q_containment_join,
         "quantile_transform": q_quantile_transform,
         "k_generalize": q_k_generalize,
+        "er_entities": q_er_entities,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -11303,4 +11347,5 @@ def oracle_sql() -> dict[str, str]:
         "containment_join": O_CONTAINMENT_JOIN,
         "quantile_transform": O_QUANTILE_TRANSFORM,
         "k_generalize": O_K_GENERALIZE,
+        "er_entities": O_ER_ENTITIES,
     }

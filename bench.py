@@ -221,6 +221,7 @@ HEADLINE = [
     "containment_join",
     "quantile_transform",
     "k_generalize",
+    "er_entities",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]
