@@ -639,3 +639,54 @@ def test_interval_join_bucketed_equals_plain(spark, fx, bucket):
         .toPandas()[cols].sort_values(cols).reset_index(drop=True)
     )
     assert plain.equals(bucketed)
+
+
+@st.composite
+def tiny_corpus(draw):
+    """Random docs over a tiny alphabet so shingle overlap is common —
+    the adversarial regime for a prefix filter (everything similar)."""
+    n = draw(st.integers(min_value=2, max_value=10))
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(min_value=3, max_value=15))
+        words = draw(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]),
+                min_size=k,
+                max_size=k,
+            )
+        )
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@given(docs=tiny_corpus(), t=st.sampled_from([0.5, 0.8, 1.0]))
+@settings(**SETTINGS)
+def test_jaccard_join_exact_recall_property(spark, docs, t):
+    """Prefix filtering NEVER misses: against python brute force over
+    random tiny-alphabet corpora (maximal shingle collisions), the join
+    returns exactly the pairs with shingle-Jaccard >= t at every
+    threshold — including t=1.0 (exact duplicates only)."""
+    from gordo_spark.operators.dedup import jaccard_threshold_join
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_size"])
+        for r in jaccard_threshold_join(df, threshold=t).collect()
+    }
+
+    def shingles(s):
+        w = s.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    exp = {}
+    sh = {i: shingles(s) for i, s in docs}
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= t:
+                exp[(a, b)] = (inter, union)
+    assert got == exp
