@@ -10814,6 +10814,83 @@ SELECT id, min(label) AS component FROM cc GROUP BY id
 """
 
 
+def q_sliced_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language AUC of the quality score predicting the Gopher
+    verdict (operators/experiments.sliced_auc): the slice-finder
+    readout — a healthy global AUC can hide a slice where the score is
+    useless; per-slice rank-sum AUC over the 3dp score grid."""
+    from gordo_spark.operators.experiments import sliced_auc
+    from gordo_spark.operators.text import gopher_rule_exprs, quality_expr
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        quality_expr(F.col("text")).alias("score"),
+        gopher_rule_exprs(F.col("text"))["keep"].alias("label"),
+    )
+    return sliced_auc(scored, "score", "label", "lang", precision=3)
+
+
+def _sliced_auc_sql() -> str:
+    from gordo_spark.operators.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         len(ws)::DOUBLE AS n_words,
+         length(replace(text, ' ', ''))::DOUBLE / len(ws) AS mean_wl,
+         ((len(string_split(text, '#')) - 1)
+          + (len(string_split(text, '...')) - 1))::DOUBLE AS n_sym,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+           / len(ws) AS alpha_frac,
+         len(list_filter(ws, x -> list_contains([{sw}], x))) AS n_sw,
+         length(text)::DOUBLE AS n_chars,
+         (length(text)
+          - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+           AS n_punct,
+         len(list_distinct(ws))::DOUBLE AS n_uniq
+  FROM w
+),
+j AS (
+  SELECT lang,
+         ROUND((least(n_words / 50.0, 1.0)
+          + greatest(1.0 - (n_punct / n_chars) * 5.0, 0.0)
+          + n_uniq / n_words
+          + least((n_sw / n_words) * 5.0, 1.0)) / 4.0, 3) AS s,
+         (n_words >= 50 AND n_words <= 100000)
+           AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+           AND (n_sym / n_words <= 0.1)
+           AND (alpha_frac >= 0.8)
+           AND (n_sw >= 2) AS y
+  FROM m
+),
+hist AS (
+  SELECT lang, s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS q
+  FROM j WHERE s IS NOT NULL AND y IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, p, q,
+         sum(q) OVER (PARTITION BY lang ORDER BY s) - q AS nb
+  FROM hist
+)
+SELECT lang, CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(q) AS BIGINT) AS n_neg,
+       ROUND(CASE WHEN sum(p) > 0 AND sum(q) > 0 THEN
+         sum(p * (nb + q / 2.0)) / (sum(p)::DOUBLE * sum(q))
+       END, 6) AS auc
+FROM cum GROUP BY lang ORDER BY lang
+"""
+
+
+O_SLICED_AUC = _sliced_auc_sql()
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -11058,6 +11135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_transform": q_quantile_transform,
         "k_generalize": q_k_generalize,
         "er_entities": q_er_entities,
+        "sliced_auc": q_sliced_auc,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -11348,4 +11426,5 @@ def oracle_sql() -> dict[str, str]:
         "quantile_transform": O_QUANTILE_TRANSFORM,
         "k_generalize": O_K_GENERALIZE,
         "er_entities": O_ER_ENTITIES,
+        "sliced_auc": O_SLICED_AUC,
     }

@@ -222,6 +222,7 @@ HEADLINE = [
     "quantile_transform",
     "k_generalize",
     "er_entities",
+    "sliced_auc",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -29,6 +29,7 @@ __all__ = [
     "ab_zstat",
     "auc_exact",
     "diff_in_diff",
+    "sliced_auc",
     "brier_decomposition",
 ]
 
@@ -507,4 +508,62 @@ def diff_in_diff(
         F.coalesce(F.abs(z) > F.lit(float(critical)), F.lit(False)).alias(
             "significant"
         ),
+    )
+
+
+def sliced_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    slice_col: str,
+    precision: int = 3,
+) -> DataFrame:
+    """Per-slice ROC-AUC — the slice-finder readout for "where does the
+    classifier stop working?": a score can carry a healthy global AUC
+    while being useless (or inverted) on one language/source/segment,
+    and the global number hides it. Same rank-sum arithmetic as
+    :func:`auc_exact`, partitioned by the slice; the cumulative window
+    is bounded per slice by the precision-rounded score grid. Slices
+    missing a class report NULL auc (undefined, not silently 0.5).
+    Output one row per slice: ``(slice, n_pos, n_neg, auc)``.
+    """
+    from pyspark.sql import Window
+
+    s = F.round(F.col(score_col).cast("double"), int(precision))
+    lab = F.col(label_col).cast("boolean")
+    hist = (
+        df.filter(
+            s.isNotNull() & lab.isNotNull() & F.col(slice_col).isNotNull()
+        )
+        .select(F.col(slice_col).alias("_g"), s.alias("_s"), lab.alias("_y"))
+        .groupBy("_g", "_s")
+        .agg(
+            F.sum(F.col("_y").cast("long")).alias("_p"),
+            F.sum((~F.col("_y")).cast("long")).alias("_q"),
+        )
+    )
+    w = Window.partitionBy("_g").orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "_g",
+        "_p",
+        "_q",
+        (F.sum("_q").over(w) - F.col("_q")).alias("_nb"),
+    )
+    return (
+        cum.groupBy(F.col("_g").alias(slice_col))
+        .agg(
+            F.sum("_p").alias("n_pos"),
+            F.sum("_q").alias("n_neg"),
+            F.round(
+                F.when(
+                    (F.sum("_p") > 0) & (F.sum("_q") > 0),
+                    F.sum(F.col("_p") * (F.col("_nb") + F.col("_q") / 2.0))
+                    / (F.sum("_p") * F.sum("_q")),
+                ),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy(slice_col)
     )

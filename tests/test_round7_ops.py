@@ -1075,3 +1075,23 @@ def test_k_generalize_picks_narrowest_sufficient_width(spark):
     r = k_generalize(tiny, "v", k=5).toPandas()
     assert (r["bucket_width"] == 1000.0).all()
     assert r["achieved_k"].iloc[0] == 1  # honest: k NOT achieved
+
+
+def test_sliced_auc_finds_broken_slice(spark):
+    """A score that separates perfectly on slice A and is INVERTED on
+    slice B: global AUC looks mediocre, per-slice shows 1.0 vs 0.0; a
+    one-class slice reports NULL, not 0.5."""
+    from gordo_spark.operators.experiments import auc_exact, sliced_auc
+
+    rows = (
+        [("A", 0.9, True)] * 5 + [("A", 0.1, False)] * 5
+        + [("B", 0.1, True)] * 5 + [("B", 0.9, False)] * 5
+        + [("C", 0.5, True)] * 3
+    )
+    df = spark.createDataFrame(rows, "slice string, score double, y boolean")
+    out = {r["slice"]: r for r in sliced_auc(df, "score", "y", "slice").collect()}
+    assert out["A"]["auc"] == 1.0
+    assert out["B"]["auc"] == 0.0
+    assert out["C"]["auc"] is None  # one class: undefined, not 0.5
+    g = auc_exact(df, "score", "y").collect()[0]["auc"]
+    assert 0.3 < g < 0.7  # global hides both extremes
