@@ -10228,7 +10228,8 @@ SELECT CAST(sum(n) AS BIGINT) AS n,
          AS reliability,
        ROUND(sum(n * (ybar - base.b) * (ybar - base.b)) / sum(n), 6)
          AS resolution,
-       ROUND(max(base.b) * (1 - max(base.b)), 6) AS uncertainty
+       ROUND(max(base.b) * (1 - max(base.b)), 6) AS uncertainty,
+       ROUND(sum(n * abs(sbar - ybar)) / sum(n), 6) AS ece
 FROM binned, base
 """
 

@@ -252,8 +252,11 @@ def brier_decomposition(
     uncertainty is the base rate's own variance.
 
     One (bin) histogram aggregation + one bounded summary; the exact
-    per-row Brier rides the same pass. Output one row: ``(n, brier,
-    reliability, resolution, uncertainty)``, all rounded to 6.
+    per-row Brier rides the same pass. ``ece`` (expected calibration
+    error, the quoted headline number: ``sum n_k/N * |sbar_k -
+    ybar_k|``) rides the same histogram — reliability is its SQUARED
+    cousin. Output one row: ``(n, brier, reliability, resolution,
+    uncertainty, ece)``, all rounded to 6.
     """
     b = int(bins)
     s = F.col(score_col).cast("double")
@@ -306,6 +309,11 @@ def brier_decomposition(
         F.round(
             F.max(F.col("_base")) * (1.0 - F.max(F.col("_base"))), 6
         ).alias("uncertainty"),
+        F.round(
+            F.sum(F.col("_n") * F.abs(F.col("_sbar") - F.col("_ybar")))
+            / F.sum("_n"),
+            6,
+        ).alias("ece"),
     )
 
 

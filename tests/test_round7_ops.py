@@ -682,6 +682,7 @@ def test_brier_decomposition_identity_and_limits(spark):
     df = spark.createDataFrame(rows, "score double, y boolean")
     r = brier_decomposition(df, "score", "y", bins=10).collect()[0]
     assert r["n"] == 400
+    assert r["ece"] == pytest.approx(0.0, abs=1e-9)  # perfectly calibrated
     assert r["reliability"] == pytest.approx(0.0, abs=1e-9)
     assert r["resolution"] == pytest.approx(0.0, abs=1e-9)
     assert r["uncertainty"] == pytest.approx(0.25 * 0.75, abs=1e-9)
