@@ -126,3 +126,105 @@ def topn_from_counts(counts: DataFrame, n: int = 5) -> DataFrame:
         .filter(F.col("rank") <= int(n))
         .select("window_start", "window_end", "value", "n", "rank")
     )
+
+
+def stream_quantile_cells(
+    stream: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    bins: int = 256,
+) -> DataFrame:
+    """Per-window histogram cells for streaming quantiles — the
+    streaming face of ``operators/sketches.group_quantile_sketch``:
+    state per open window is exactly ``bins`` counters no matter the
+    ingest rate (the Count-Min property applied to quantiles). The
+    value RANGE is a caller-fixed contract (``lo``/``hi`` — e.g. known
+    sensor bounds), not data-derived: a stream has no final min/max,
+    and re-binning on range drift would corrupt open windows;
+    out-of-range values clamp into the edge bins (stated). ONE
+    stateful aggregation keyed (window, bin); quantile readout over
+    closed windows is :func:`quantiles_from_cells` batch-side (same
+    interpolation arithmetic as the batch sketch). Works identically
+    on a batch frame (stream==batch in tests)."""
+    b = int(bins)
+    v = F.col(col).cast("double")
+    cell = F.least(
+        F.lit(b - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * b).cast(
+                "int"
+            ),
+        ),
+    )
+    frame = stream
+    if frame.isStreaming:
+        frame = frame.withWatermark(ts_col, watermark)
+    return (
+        frame.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), cell.alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bin",
+            "n",
+        )
+    )
+
+
+def quantiles_from_cells(
+    cells: DataFrame,
+    lo: float,
+    hi: float,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 256,
+) -> DataFrame:
+    """Per-window quantile estimates from :func:`stream_quantile_cells`
+    output (batch-side readout over the sink): cumulative counts over
+    each window's <= bins cells, interpolated at rank ceil(q*n) — the
+    identical arithmetic as the batch sketch's readout."""
+    from pyspark.sql import Window as W
+
+    b = int(bins)
+    w = W.partitionBy("window_start").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wtot = W.partitionBy("window_start")
+    hist = cells.select(
+        "window_start",
+        "window_end",
+        "bin",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("_cum_prev"),
+        F.sum("n").over(wtot).alias("_tot"),
+    )
+    fanned = hist.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    rank = F.ceil(F.col("q") * F.col("_tot"))
+    width = F.lit(float(hi - lo)) / b
+    return (
+        fanned.filter(
+            (F.col("_cum_prev") < rank)
+            & (F.col("_cum_prev") + F.col("n") >= rank)
+        )
+        .select(
+            "window_start",
+            "window_end",
+            F.col("_tot").alias("n"),
+            "q",
+            F.round(
+                F.lit(float(lo))
+                + width
+                * (F.col("bin") + (rank - F.col("_cum_prev")) / F.col("n")),
+                6,
+            ).alias("estimate"),
+        )
+        .orderBy("window_start", "q")
+    )

@@ -1370,3 +1370,57 @@ def test_stream_holt_winters_matches_batch(spark, sf_dir, tmp_path):
         assert (pd.isna(a) == pd.isna(b)).all()
         mask = ~pd.isna(a)
         assert np.allclose(a[mask], b[mask], rtol=0, atol=1e-9)
+
+
+def test_stream_quantile_cells_matches_batch_and_estimates(spark, sf_dir, tmp_path):
+    """stream_quantile_cells over an availableNow file stream equals the
+    same operator on the batch frame; the per-window quantile readout
+    stays within a bin width of the exact per-window percentile."""
+    from gordo_spark.sources.io import read_table
+    from gordo_spark.streaming.sketches import (
+        quantiles_from_cells,
+        stream_quantile_cells,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("ts", "value")
+    lo, hi = 0.0, 200.0
+    path = f"{tmp_path}/qcells_src"
+    ev.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    q = (
+        stream_quantile_cells(stream, "value", lo, hi, window="1 day")
+        .writeStream.format("memory")
+        .queryName("qcells_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("qcells_test")
+    exp = stream_quantile_cells(ev, "value", lo, hi, window="1 day")
+    key = ["window_start", "bin"]
+    g = got.toPandas().sort_values(key).reset_index(drop=True)
+    x = exp.toPandas().sort_values(key).reset_index(drop=True)
+    assert g[key + ["n"]].equals(x[key + ["n"]])
+    # readout vs the exact RANK-based per-window p50 (the sketch's own
+    # rank = ceil(q*n) convention — interpolating `percentile` differs
+    # by up to an order-stat gap on small windows, unrelated to the
+    # sketch's bin-width error bound)
+    import math
+
+    est = quantiles_from_cells(got, lo, hi, qs=(0.5,)).toPandas()
+    pdf = (
+        ev.select(F.window("ts", "1 day").alias("w"), "value")
+        .select(F.col("w.start").alias("window_start"), "value")
+        .toPandas()
+    )
+    exact = (
+        pdf.groupby("window_start")["value"]
+        .apply(lambda v: sorted(v)[max(math.ceil(0.5 * len(v)) - 1, 0)])
+        .rename("p50")
+        .reset_index()
+    )
+    m = est.merge(exact, on="window_start")
+    assert len(m) == len(exact) > 0
+    bin_w = (hi - lo) / 256
+    assert ((m["estimate"] - m["p50"]).abs() <= bin_w * 1.5).all()
