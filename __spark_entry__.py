@@ -10892,6 +10892,39 @@ FROM cum GROUP BY lang ORDER BY lang
 O_SLICED_AUC = _sliced_auc_sql()
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness (operators/ranges.burstiness):
+    B = (sigma - mu)/(sigma + mu) over event gaps — the temporal
+    bot/automation screen volume metrics can't see (machine timing at
+    human volume). One user-partitioned lag window + one hash agg."""
+    from gordo_spark.operators.ranges import burstiness
+
+    ev = read_table(spark, sf_dir, "events")
+    return burstiness(ev, "user_id", "ts", "event_id", min_events=5)
+
+
+O_BURSTINESS = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap
+  FROM events
+),
+per AS (
+  SELECT user_id, count(*) + 1 AS n_events,
+         avg(gap) AS mu, coalesce(stddev_pop(gap), 0.0) AS sd
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(mu, 6) AS mean_gap_s,
+       CASE WHEN mu > 0 THEN ROUND(sd / mu, 6) END AS cv,
+       CASE WHEN sd + mu > 0 THEN ROUND((sd - mu) / (sd + mu), 6) END
+         AS burstiness
+FROM per WHERE n_events >= 5
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -11137,6 +11170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_generalize": q_k_generalize,
         "er_entities": q_er_entities,
         "sliced_auc": q_sliced_auc,
+        "burstiness": q_burstiness,
         # --- remaining TPC-H shapes ---
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
@@ -11428,4 +11462,5 @@ def oracle_sql() -> dict[str, str]:
         "k_generalize": O_K_GENERALIZE,
         "er_entities": O_ER_ENTITIES,
         "sliced_auc": O_SLICED_AUC,
+        "burstiness": O_BURSTINESS,
     }

@@ -223,6 +223,7 @@ HEADLINE = [
     "k_generalize",
     "er_entities",
     "sliced_auc",
+    "burstiness",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

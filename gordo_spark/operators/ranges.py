@@ -612,3 +612,58 @@ def markov_attribution(
         "channel string, p_base double, p_without double, "
         "removal_effect double, attribution double",
     )
+
+
+def burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_events: int = 5,
+) -> DataFrame:
+    """Per-actor inter-arrival burstiness — the temporal bot/automation
+    screen (Goh & Barabasi 2008): ``B = (sigma - mu) / (sigma + mu)``
+    over the actor's inter-event gaps. Human activity is bursty
+    (B > 0: long silences, dense flurries); schedulers and scripts are
+    periodic (B -> -1: near-constant gaps); Poisson traffic sits near
+    0. The metric the volume-based screens (ingest_health, key skew)
+    cannot see: a bot with HUMAN volume still has machine timing.
+
+    One user-partitioned lag window (bounded by per-actor event count)
+    computes gaps; one map-side-combinable aggregation computes the
+    per-actor moments. Actors with fewer than ``min_events`` events
+    are excluded (a 2-gap sigma is noise, stated). Output per actor:
+    ``(user, n_events, mean_gap_s, cv, burstiness)`` rounded to 6;
+    sigma uses the population convention (engine-portable).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gaps = (
+        events.select(
+            F.col(user_col),
+            (
+                epoch_seconds(F.col(ts_col))
+                - F.lag(epoch_seconds(F.col(ts_col))).over(w)
+            ).alias("_gap"),
+        )
+        .filter(F.col("_gap").isNotNull())
+    )
+    per = gaps.groupBy(user_col).agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.avg("_gap").alias("_mu"),
+        F.coalesce(F.stddev_pop("_gap"), F.lit(0.0)).alias("_sd"),
+    )
+    mu, sd = F.col("_mu"), F.col("_sd")
+    return (
+        per.filter(F.col("n_events") >= int(min_events))
+        .select(
+            user_col,
+            "n_events",
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.round(F.when(mu > 0, sd / mu), 6).alias("cv"),
+            F.round(
+                F.when((sd + mu) > 0, (sd - mu) / (sd + mu)), 6
+            ).alias("burstiness"),
+        )
+    )

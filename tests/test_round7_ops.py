@@ -1096,3 +1096,30 @@ def test_sliced_auc_finds_broken_slice(spark):
     assert out["C"]["auc"] is None  # one class: undefined, not 0.5
     g = auc_exact(df, "score", "y").collect()[0]["auc"]
     assert 0.3 < g < 0.7  # global hides both extremes
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    import datetime as dt
+
+    from gordo_spark.operators.ranges import burstiness
+
+    b = dt.datetime(2024, 1, 1)
+    rows = []
+    # bot: perfectly periodic gaps -> sigma 0 -> B = -1
+    for i in range(10):
+        rows.append((i, "bot", b + dt.timedelta(seconds=60 * i)))
+    # human: bursty (tiny gaps then a long silence) -> B > 0
+    offs = [0, 1, 2, 3, 4, 86400, 86401, 86402, 86403, 86404]
+    for j, o in enumerate(offs):
+        rows.append((100 + j, "human", b + dt.timedelta(seconds=o)))
+    ev = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    out = {r["user_id"]: r for r in burstiness(ev, min_events=5).collect()}
+    assert out["bot"]["burstiness"] == -1.0
+    assert out["bot"]["cv"] == 0.0
+    assert out["human"]["burstiness"] > 0.4  # strongly positive = bursty
+    # actors below min_events are excluded
+    few = spark.createDataFrame(
+        [(1, "x", b), (2, "x", b + dt.timedelta(seconds=9))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    assert burstiness(few, min_events=5).count() == 0
