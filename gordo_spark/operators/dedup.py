@@ -1396,6 +1396,27 @@ def jaccard_threshold_join(
     Output ``(id_a, id_b, inter, union_size, jaccard)`` with
     id_a < id_b, jaccard rounded to 6 (the threshold compares the
     unrounded value — identical double arithmetic on any engine).
+
+    Candidate pruning is the FULL PPJoin stack (Xiao et al., WWW'08):
+    1. prefix filter — pairs must share a rare-first prefix token;
+    2. length filter — ``t*|A| <= |B| <= |A|/t`` (Jaccard >= t forces
+       ``t*max <= overlap <= min``), riding the candidate join free;
+    3. positional filter — a shared token at (1-indexed) positions
+       ``(i, j)`` caps the overlap at ``min(i,j)-1 + min(|A|-i,
+       |B|-j)+1`` (at most min(i,j)-1 common tokens can precede it in
+       the shared global order, at most min of the remainders can
+       follow); pairs where that cap misses the required overlap
+       ``ceil(t/(1+t)*(|A|+|B|))`` drop BEFORE the distinct + verify
+       join. Recall-safe per-row: for a true pair the cap >= the true
+       overlap >= the requirement on EVERY shared token row.
+
+    The document-frequency rank join is deliberately UNHINTED: the
+    shingle vocabulary grows with the corpus (token-keyed aggregate
+    over a corpus scan — nothing bounds it), so a broadcast hint
+    that works at test scale becomes an impossible build at 100 TB.
+    Unhinted, it shuffles on ``_tok`` (the exact partitioning the
+    frequency aggregate just produced — the exchange is reused) and
+    AQE still broadcasts when the vocab is genuinely small.
     """
     t = float(threshold)
     if not 0 < t <= 1:
@@ -1417,10 +1438,9 @@ def jaccard_threshold_join(
     )
     exploded = toks.select("_id", F.explode("_toks").alias("_tok"))
     freq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    # rare-first global order; rank rides a broadcast (vocab-sized)
-    ranked = exploded.join(F.broadcast(freq), "_tok").select(
-        "_id", "_tok", "_df"
-    )
+    # rare-first global order; UNHINTED join (see docstring — the
+    # vocab is corpus-proportional, never a broadcast candidate)
+    ranked = exploded.join(freq, "_tok").select("_id", "_tok", "_df")
     w_doc = Window.partitionBy("_id").orderBy(
         F.col("_df").asc(), F.col("_tok").asc()
     )
@@ -1432,11 +1452,21 @@ def jaccard_threshold_join(
     )
     prefix = pos.filter(
         F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
-    ).select("_id", "_tok")
+    ).select("_id", "_tok", "_pos", "_n")
+    na, nb = F.col("a._n"), F.col("b._n")
+    pa, pb = F.col("a._pos"), F.col("b._pos")
+    # required overlap for J >= t: O/(na+nb-O) >= t  <=>  O >= t(na+nb)/(1+t)
+    need = F.ceil(F.lit(t / (1.0 + t)) * (na + nb))
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "_tok")
         .filter(F.col("a._id") < F.col("b._id"))
+        # length filter: t*|A| <= |B| and t*|B| <= |A|
+        .filter((nb >= F.ceil(F.lit(t) * na)) & (na >= F.ceil(F.lit(t) * nb)))
+        # positional filter: overlap cap at this shared token
+        .filter(
+            F.least(pa, pb) - 1 + F.least(na - pa, nb - pb) + 1 >= need
+        )
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
@@ -1493,6 +1523,15 @@ def containment_join(
     directed ``(id_contained, id_container, inter, size_contained,
     containment)`` for every ordered pair (both directions of a mutual
     dup appear).
+
+    Beyond the prefix filter, candidates also pass the PPJoin length
+    and positional filters specialized to the directed requirement
+    ``O >= ceil(t*|A|)``: the container needs at least that many
+    tokens (``|B| >= ceil(t*|A|)``), and a shared token at positions
+    ``(i, j)`` caps the overlap at ``min(i,j)-1 + min(|A|-i,|B|-j)+1``
+    — both ride the candidate join before the distinct. The
+    document-frequency join is UNHINTED (corpus-proportional shingle
+    vocab — see jaccard_threshold_join; AQE broadcasts iff small).
     """
     t = float(threshold)
     if not 0 < t <= 1:
@@ -1511,7 +1550,7 @@ def containment_join(
     )
     exploded = toks.select("_id", F.explode("_toks").alias("_tok"))
     freq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = exploded.join(F.broadcast(freq), "_tok")
+    ranked = exploded.join(freq, "_tok")
     w_doc = Window.partitionBy("_id").orderBy(
         F.col("_df").asc(), F.col("_tok").asc()
     )
@@ -1523,11 +1562,37 @@ def containment_join(
     )
     prefix = pos.filter(
         F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
-    ).select(F.col("_id").alias("id_contained"), "_tok")
-    full = exploded.select(F.col("_id").alias("id_container"), "_tok")
+    ).select(
+        F.col("_id").alias("id_contained"),
+        "_tok",
+        F.col("_pos").alias("_pa"),
+        F.col("_n").alias("_na"),
+    )
+    # container side indexes ALL tokens (recall requires it) but reuses
+    # the SAME ranked/window subtree as the prefix side, so the _id
+    # shuffle and the _tok frequency join are computed once and the
+    # exchange is reused — positions come free for the positional filter
+    full = pos.select(
+        F.col("_id").alias("id_container"),
+        "_tok",
+        F.col("_pos").alias("_pb"),
+        F.col("_n").alias("_nb"),
+    )
+    need = F.ceil(F.lit(t) * F.col("_na"))
     cand = (
         prefix.join(full, "_tok")
         .filter(F.col("id_contained") != F.col("id_container"))
+        # length filter: the container must hold >= ceil(t*|A|) tokens
+        .filter(F.col("_nb") >= need)
+        # positional filter: overlap cap at this shared token
+        .filter(
+            F.least(F.col("_pa"), F.col("_pb")) - 1
+            + F.least(
+                F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
+            )
+            + 1
+            >= need
+        )
         .select("id_contained", "id_container")
         .distinct()
     )

@@ -473,9 +473,14 @@ def tfidf_topk(
     deterministic (score desc, term asc) tie-break — the classic
     keyword-extraction pass.
 
-    The document-frequency table is vocabulary-sized and broadcast; the
-    top-k cut is a row_number window PARTITIONED by document, so no
-    global window and no skew beyond a single document's vocabulary.
+    The document-frequency table is vocabulary-sized — corpus-
+    proportional under Heaps' law, so its join onto the tf table is
+    deliberately UNHINTED: both sides are term-keyed aggregates, the
+    sort-merge join reuses the term-hash exchange, and AQE broadcasts
+    iff the vocab is genuinely small. Only the 1-row corpus doc-count
+    frame is hint-broadcast. The top-k cut is a row_number window
+    PARTITIONED by document, so no global window and no skew beyond a
+    single document's vocabulary.
     """
     toks = tokens(F.col(text_col))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
@@ -485,14 +490,14 @@ def tfidf_topk(
     docfreq = exploded.groupBy("term").agg(
         F.countDistinct(F.col(id_col)).alias("n_docs")
     )
-    n_total = df.select(F.countDistinct(F.col(id_col)).alias("n")).crossJoin(
-        F.broadcast(docfreq)
+    n_total = docfreq.crossJoin(
+        F.broadcast(df.select(F.countDistinct(F.col(id_col)).alias("n")))
     )
     # rank on the ROUNDED score: mathematically-equal scores (2*ln2 vs
     # ln4) can differ in the last ulp across engines, which would swap
     # ranks at a tie; rounding first makes the order engine-portable,
     # then term asc breaks the (now genuine) ties deterministically
-    scored = tf.join(F.broadcast(n_total), "term").select(
+    scored = tf.join(n_total, "term").select(
         F.col(id_col),
         "term",
         F.round(F.col("tf") * F.log(F.col("n") / F.col("n_docs")), 6).alias(

@@ -208,14 +208,21 @@ CORPUS_TABLES = (
 # (tag, event_type, fold, nation...). An aggregate KEYED ON A PER-ENTITY
 # ID of a corpus table (one group per part/order/customer/doc/vector) has
 # output proportional to the table and bounds nothing — round 4's q17
-# broadcast `per_part` (grouped by l_partkey) exactly this way.
+# broadcast `per_part` (grouped by l_partkey) exactly this way. An
+# aggregate KEYED ON A TOKEN/GRAM/SHINGLE column of a corpus scan is the
+# same trap one level down (round 7's similarity-join vocab broadcasts):
+# the vocabulary grows ~linearly with the corpus (Heaps' law exponent
+# near 1 for shingles), so a term-keyed aggregate bounds nothing either
+# unless a Limit/TakeOrdered (max_vocab) or an allowlisted filter
+# (query-term array, max_df) sits on the path.
 UNBOUNDED_AGG_KEY_RE = re.compile(
     r"\b("
     r"[lop]_orderkey|big_key|"  # one group per order
     r"[lp]s?_partkey|ap_key|"  # one group per part
     r"[ls]s?_suppkey|ps_suppkey|supplier_no|"  # one group per supplier
     r"[co]_custkey|"  # one group per customer
-    r"doc_id|vec_id"  # one group per document / vector
+    r"doc_id|vec_id|"  # one group per document / vector
+    r"_tok|term|gram|sh|gh|word|token|shingle"  # one group per vocab entry
     r")#"
 )
 

@@ -111,6 +111,37 @@ def test_fires_on_aggregate_keyed_by_corpus_id(spark):
     assert flags and "lineitem" in flags[0]
 
 
+def test_fires_on_token_keyed_vocab_broadcast(docs):
+    # round-7's similarity-join shape: broadcasting a shingle/token-
+    # frequency table — an aggregate KEYED ON THE TOKEN, whose output is
+    # the corpus vocabulary (Heaps-law corpus-proportional). The round-7
+    # audit's blind spot: token keys weren't in UNBOUNDED_AGG_KEY_RE, so
+    # the Aggregate counted as bounding. Must fire now.
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("_tok")
+    )
+    freq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    bad = exploded.join(F.broadcast(freq), "_tok")
+    flags = plan_audit.unbounded_broadcasts(_plan(bad), "not_allowlisted")
+    assert flags and "documents" in flags[0]
+
+
+def test_token_keyed_vocab_with_limit_still_bounds(docs):
+    # the lm_quality house precedent: a max_vocab Limit above the token-
+    # keyed aggregate bounds the build side — must stay quiet
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("_tok")
+    )
+    vocab = (
+        exploded.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .orderBy(F.col("_df").desc(), F.col("_tok").asc())
+        .limit(50)
+    )
+    ok = exploded.join(F.broadcast(vocab), "_tok")
+    assert plan_audit.unbounded_broadcasts(_plan(ok), "not_allowlisted") == []
+
+
 def test_keyless_aggregate_still_bounds(spark):
     # a keyless (1-row) aggregate over a corpus table is always bounded
     sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
