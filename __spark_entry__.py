@@ -10543,7 +10543,7 @@ WITH keyed AS (
   SELECT doc_id, n_chars,
          ROUND(
            ln((('0x' || substr(md5('wtake' || CAST(doc_id AS VARCHAR)), 1, 8))
-                 ::BIGINT % 1000000000 + 0.5) / 1000000000.0)
+                 ::BIGINT + 0.5) / 4294967296.0)
            / CAST(n_chars AS DOUBLE), 12) AS _es_key
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
 )

@@ -264,7 +264,15 @@ def brier_decomposition(
     binned = (
         df.filter(s.isNotNull() & y.isNotNull())
         .select(
-            F.least(F.lit(b - 1), F.floor(s * b).cast("int")).alias("_bin"),
+            # two-sided clamp (the stream_quantile_cells convention):
+            # without greatest(0,...) a score below 0 mints a NEGATIVE
+            # bin and silently corrupts the histogram, while scores
+            # above 1 already collapse into bin b-1 — out-of-range
+            # "probabilities" now clamp symmetrically at both edges
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(b - 1), F.floor(s * b).cast("int")),
+            ).alias("_bin"),
             s.alias("_s"),
             y.alias("_y"),
         )

@@ -594,6 +594,18 @@ def markov_attribution(
         return float(v[idx["conv"]])
 
     p_base = walk(None)
+    if p_base == 0.0:
+        # degenerate input: no journey converts within the fixed walk
+        # (no conversions at all, or every converting path longer than
+        # `iterations` steps) — removal effects are undefined, so emit
+        # NULL effect/attribution rows (the total_eff == 0 convention)
+        # instead of a driver-side ZeroDivisionError
+        rows = [(c, 0.0, None, None, None) for c in sorted(touches)]
+        return spark.createDataFrame(
+            rows,
+            "channel string, p_base double, p_without double, "
+            "removal_effect double, attribution double",
+        )
     p_without = {c: walk(c) for c in touches}
     effects = {c: 1.0 - p_without[c] / p_base for c in touches}
     total_eff = sum(effects.values())

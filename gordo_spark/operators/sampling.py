@@ -368,9 +368,11 @@ def weighted_take(
     Output: the winning rows plus their ``_es_key``.
     """
     h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    u = (
-        F.pmod(h, F.lit(1_000_000_000)).cast("double") + 0.5
-    ) / 1_000_000_000.0
+    # u over the FULL 32-bit hash domain: a mod-1e9 residue is NOT
+    # uniform (residues below 2^32 mod 1e9 occur 5 times vs 4 — a ~25%
+    # frequency bias that distorts the A-ES inclusion probabilities);
+    # (h + 0.5) / 2^32 is exactly uniform over the md5_long range
+    u = (h.cast("double") + 0.5) / 4_294_967_296.0
     key = F.log(u) / F.col(weight_col).cast("double")
     return (
         df.filter(

@@ -352,6 +352,11 @@ def group_quantile_sketch(
     from pyspark.sql import Window
 
     g, v = F.col(group_col), F.col(value_col).cast("double")
+    # NULL values carry no rank information: unfiltered they'd form a
+    # NULL _bin group that sorts FIRST in the cumulative window,
+    # inflating _n/_cum_prev and skewing every estimate for groups
+    # containing NULLs (the auc_exact convention: n = real observations)
+    df = df.filter(v.isNotNull())
     bounds = df.agg(
         F.min(v).alias("_lo"), F.max(v).alias("_hi")
     )

@@ -528,6 +528,16 @@ def tenx_experiment(spark):
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
     alpha = "aeiousnrtl"
 
+    # the replica (+r*1_000_000) and duplicate-copy (+100_000) id offsets
+    # assume the corpus id domain fits under them — if it outgrew either,
+    # replicas/dups would silently COLLIDE with real ids, merging distinct
+    # documents and distorting the measured workload. Assert, don't hope.
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    assert max_id is not None and max_id < 100_000, (
+        f"tenx_experiment id offsets assume max(doc_id) < 100_000; "
+        f"got {max_id} — raise the offsets (next power of ten above it)"
+    )
+
     def corpus(mult):
         reps = []
         for r in range(mult):
@@ -559,6 +569,10 @@ def tenx_experiment(spark):
 
     li = read_table(spark, SF_DIR, "lineitem").select(
         "l_orderkey", "l_partkey"
+    )
+    max_ok = li.agg(F.max("l_orderkey")).first()[0]
+    assert max_ok is not None and max_ok < 10_000_000, (
+        f"replica offset assumes max(l_orderkey) < 10_000_000; got {max_ok}"
     )
 
     def li_mult(mult):
