@@ -8203,7 +8203,14 @@ def q_fs_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar aggregation per field, assembled into a broadcast 1-row
     frame), agreement log2(m/u) / disagreement log2((1-m)/(1-u))
     weights summed row-locally over (segment, name tail, balance
-    sign). Turns the blocked candidate set into a ranked triage."""
+    sign). Turns the blocked candidate set into a ranked triage.
+
+    The narrow (id, name, blocks, fields) projection is pinned ONCE
+    (localCheckpoint — the lsh_eval/curation_verdict discipline): FIVE
+    consumers read it (both blocking self-join sides, the u-estimation
+    pass, both pair-endpoint joins), and without the pin each re-scans
+    the customer parquet — fit-time scalars must not cost five corpus
+    scans at 100 TB."""
     from gordo_spark.operators.linkage import blocked_pairs, fs_scores
 
     cust = read_table(spark, sf_dir, "customer").select(
@@ -8213,7 +8220,7 @@ def q_fs_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.substring("c_name", -2, 2).alias("_name_tail"),
         (F.col("c_acctbal") > 0).alias("_bal_pos"),
-    )
+    ).localCheckpoint()
     pairs = blocked_pairs(
         cust, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"], max_dist=1
     )

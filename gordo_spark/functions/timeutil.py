@@ -19,7 +19,15 @@ from pandas.tseries.offsets import Tick
 
 def offset_alias_to_seconds(alias: str) -> float:
     """``"10T"`` -> 600.0, ``"48H"`` -> 172800.0, ``"30S"`` -> 30.0."""
-    offset = pd.tseries.frequencies.to_offset(alias)
+    import warnings
+
+    with warnings.catch_warnings():
+        # the reference's configs use the classic uppercase aliases
+        # ("1H", "10T"); pandas 2.2+ warns a FutureWarning steering to
+        # lowercase while still parsing them — accept the reference
+        # grammar silently (the parse result is identical)
+        warnings.simplefilter("ignore", FutureWarning)
+        offset = pd.tseries.frequencies.to_offset(alias)
     if not isinstance(offset, Tick):
         raise ValueError(
             f"offset alias {alias!r} is not a fixed-frequency (Tick) offset; "

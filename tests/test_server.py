@@ -55,7 +55,14 @@ def call(app, path, method="GET", body=None, content_type="application/json", he
         out["headers"] = dict(hdrs)
 
     chunks = app(environ, start_response)
-    out["body"] = b"".join(chunks)
+    try:
+        out["body"] = b"".join(chunks)
+    finally:
+        # PEP 3333: the server must call close() on the returned
+        # iterable — wsgiref.validate's wrapper warns at GC otherwise
+        close = getattr(chunks, "close", None)
+        if close is not None:
+            close()
     return out
 
 
