@@ -65,6 +65,8 @@ HEADLINE = [
     "m6_anomaly",
     "m6_anomaly_scaled",
     "m6_anomaly_multi",
+    "fleet_fill",
+    "fleet_anomaly",
     "a9_explained_variance",
     "o5_distinct",
     "asof_join",

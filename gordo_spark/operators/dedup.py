@@ -1367,6 +1367,143 @@ def best_survivors(
     )
 
 
+def shingle_token_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Pinned ``(_id, _toks)`` distinct-sorted shingle-set table shared
+    by the exact similarity joins' candidate + verify arms
+    (localCheckpoint — three consumers would otherwise each re-derive
+    the shingle/distinct/sort pipeline from the corpus)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(
+                F.array_distinct(
+                    word_shingles(F.col(text_col), int(shingle_n))
+                )
+            ).alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)
+        .localCheckpoint()
+    )
+
+
+def _ppjoin_positions(toks: DataFrame) -> DataFrame:
+    """Rare-first global token order per document: ``(_id, _tok, _pos,
+    _n)`` with ``_pos`` the token's 1-indexed rank by ascending document
+    frequency (token tiebreak) and ``_n`` the doc's distinct-token count.
+    The document-frequency join is deliberately UNHINTED — the shingle
+    vocabulary is corpus-proportional (Heaps' law), so a broadcast hint
+    that works at test scale is an impossible build at 100 TB; unhinted
+    it shuffles on ``_tok`` (the partitioning the frequency aggregate
+    just produced — the exchange is reused) and AQE still broadcasts
+    when the vocab is genuinely small."""
+    exploded = toks.select("_id", F.explode("_toks").alias("_tok"))
+    freq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = exploded.join(freq, "_tok").select("_id", "_tok", "_df")
+    w_doc = Window.partitionBy("_id").orderBy(
+        F.col("_df").asc(), F.col("_tok").asc()
+    )
+    return ranked.select(
+        "_id",
+        "_tok",
+        F.row_number().over(w_doc).alias("_pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
+    )
+
+
+def jaccard_candidates(
+    toks: DataFrame, threshold: float, filters: str = "ppjoin"
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs for the exact Jaccard join.
+    ``filters="prefix"`` applies the prefix filter alone (the ablation
+    baseline); ``"ppjoin"`` (default) adds the length and positional
+    filters — every mode has EXACT recall, they differ only in how many
+    false candidates reach the verify join (measured in SCALE_BENCH)."""
+    t = float(threshold)
+    pos = _ppjoin_positions(toks)
+    prefix = pos.filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
+    ).select("_id", "_tok", "_pos", "_n")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_tok")
+        .filter(F.col("a._id") < F.col("b._id"))
+    )
+    if filters == "ppjoin":
+        na, nb = F.col("a._n"), F.col("b._n")
+        pa, pb = F.col("a._pos"), F.col("b._pos")
+        # required overlap for J >= t: O/(na+nb-O) >= t <=> O >= t(na+nb)/(1+t)
+        need = F.ceil(F.lit(t / (1.0 + t)) * (na + nb))
+        cand = (
+            # length filter: t*|A| <= |B| and t*|B| <= |A|
+            cand.filter(
+                (nb >= F.ceil(F.lit(t) * na)) & (na >= F.ceil(F.lit(t) * nb))
+            )
+            # positional filter: overlap cap at this shared token
+            .filter(F.least(pa, pb) - 1 + F.least(na - pa, nb - pb) + 1 >= need)
+        )
+    elif filters != "prefix":
+        raise ValueError(f"unknown filters mode {filters!r}")
+    return cand.select(
+        F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+    ).distinct()
+
+
+def containment_candidates(
+    toks: DataFrame, threshold: float, filters: str = "ppjoin"
+) -> DataFrame:
+    """Candidate ``(id_contained, id_container)`` pairs for the directed
+    containment join; same filter-mode contract as jaccard_candidates.
+    Only the contained side prunes to its rare-first prefix; the
+    container indexes ALL tokens (a contained set's prefix token can sit
+    anywhere in the container — a container prefix would lose recall)."""
+    t = float(threshold)
+    pos = _ppjoin_positions(toks)
+    prefix = pos.filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
+    ).select(
+        F.col("_id").alias("id_contained"),
+        "_tok",
+        F.col("_pos").alias("_pa"),
+        F.col("_n").alias("_na"),
+    )
+    # container side reuses the SAME ranked/window subtree as the prefix
+    # side, so the _id shuffle and the _tok frequency join are computed
+    # once (exchange reuse) — positions come free for the positional filter
+    full = pos.select(
+        F.col("_id").alias("id_container"),
+        "_tok",
+        F.col("_pos").alias("_pb"),
+        F.col("_n").alias("_nb"),
+    )
+    cand = prefix.join(full, "_tok").filter(
+        F.col("id_contained") != F.col("id_container")
+    )
+    if filters == "ppjoin":
+        need = F.ceil(F.lit(t) * F.col("_na"))
+        cand = (
+            # length filter: the container must hold >= ceil(t*|A|) tokens
+            cand.filter(F.col("_nb") >= need)
+            # positional filter: overlap cap at this shared token
+            .filter(
+                F.least(F.col("_pa"), F.col("_pb"))
+                - 1
+                + F.least(
+                    F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
+                )
+                + 1
+                >= need
+            )
+        )
+    elif filters != "prefix":
+        raise ValueError(f"unknown filters mode {filters!r}")
+    return cand.select("id_contained", "id_container").distinct()
+
+
 def jaccard_threshold_join(
     df: DataFrame,
     threshold: float = 0.5,
@@ -1424,54 +1561,8 @@ def jaccard_threshold_join(
     # pinned once (the lsh_eval discipline): THREE consumers (the
     # inverted index + both verify arms) would each re-derive the
     # shingle/distinct/sort pipeline from the corpus otherwise
-    toks = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_sort(
-                F.array_distinct(
-                    word_shingles(F.col(text_col), int(shingle_n))
-                )
-            ).alias("_toks"),
-        )
-        .filter(F.size("_toks") > 0)
-        .localCheckpoint()
-    )
-    exploded = toks.select("_id", F.explode("_toks").alias("_tok"))
-    freq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    # rare-first global order; UNHINTED join (see docstring — the
-    # vocab is corpus-proportional, never a broadcast candidate)
-    ranked = exploded.join(freq, "_tok").select("_id", "_tok", "_df")
-    w_doc = Window.partitionBy("_id").orderBy(
-        F.col("_df").asc(), F.col("_tok").asc()
-    )
-    pos = ranked.select(
-        "_id",
-        "_tok",
-        F.row_number().over(w_doc).alias("_pos"),
-        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
-    )
-    prefix = pos.filter(
-        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
-    ).select("_id", "_tok", "_pos", "_n")
-    na, nb = F.col("a._n"), F.col("b._n")
-    pa, pb = F.col("a._pos"), F.col("b._pos")
-    # required overlap for J >= t: O/(na+nb-O) >= t  <=>  O >= t(na+nb)/(1+t)
-    need = F.ceil(F.lit(t / (1.0 + t)) * (na + nb))
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "_tok")
-        .filter(F.col("a._id") < F.col("b._id"))
-        # length filter: t*|A| <= |B| and t*|B| <= |A|
-        .filter((nb >= F.ceil(F.lit(t) * na)) & (na >= F.ceil(F.lit(t) * nb)))
-        # positional filter: overlap cap at this shared token
-        .filter(
-            F.least(pa, pb) - 1 + F.least(na - pa, nb - pb) + 1 >= need
-        )
-        .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-        )
-        .distinct()
-    )
+    toks = shingle_token_table(df, id_col, text_col, shingle_n)
+    cand = jaccard_candidates(toks, t)
     verified = (
         cand.join(
             toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")),
@@ -1536,66 +1627,8 @@ def containment_join(
     t = float(threshold)
     if not 0 < t <= 1:
         raise ValueError("threshold must be in (0, 1]")
-    toks = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_sort(
-                F.array_distinct(
-                    word_shingles(F.col(text_col), int(shingle_n))
-                )
-            ).alias("_toks"),
-        )
-        .filter(F.size("_toks") > 0)
-        .localCheckpoint()
-    )
-    exploded = toks.select("_id", F.explode("_toks").alias("_tok"))
-    freq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = exploded.join(freq, "_tok")
-    w_doc = Window.partitionBy("_id").orderBy(
-        F.col("_df").asc(), F.col("_tok").asc()
-    )
-    pos = ranked.select(
-        "_id",
-        "_tok",
-        F.row_number().over(w_doc).alias("_pos"),
-        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"),
-    )
-    prefix = pos.filter(
-        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1
-    ).select(
-        F.col("_id").alias("id_contained"),
-        "_tok",
-        F.col("_pos").alias("_pa"),
-        F.col("_n").alias("_na"),
-    )
-    # container side indexes ALL tokens (recall requires it) but reuses
-    # the SAME ranked/window subtree as the prefix side, so the _id
-    # shuffle and the _tok frequency join are computed once and the
-    # exchange is reused — positions come free for the positional filter
-    full = pos.select(
-        F.col("_id").alias("id_container"),
-        "_tok",
-        F.col("_pos").alias("_pb"),
-        F.col("_n").alias("_nb"),
-    )
-    need = F.ceil(F.lit(t) * F.col("_na"))
-    cand = (
-        prefix.join(full, "_tok")
-        .filter(F.col("id_contained") != F.col("id_container"))
-        # length filter: the container must hold >= ceil(t*|A|) tokens
-        .filter(F.col("_nb") >= need)
-        # positional filter: overlap cap at this shared token
-        .filter(
-            F.least(F.col("_pa"), F.col("_pb")) - 1
-            + F.least(
-                F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
-            )
-            + 1
-            >= need
-        )
-        .select("id_contained", "id_container")
-        .distinct()
-    )
+    toks = shingle_token_table(df, id_col, text_col, shingle_n)
+    cand = containment_candidates(toks, t)
     verified = (
         cand.join(
             toks.select(

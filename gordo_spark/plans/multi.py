@@ -62,6 +62,27 @@ def _plan_key(ds: TimeSeriesDataset) -> str:
     )
 
 
+def _grid_aligned(ds: TimeSeriesDataset) -> bool:
+    """Sharing is bit-exact only when the machine's range bounds sit on
+    the resolution grid — a mid-bucket bound makes the solo plan's
+    boundary bucket aggregate a partial window the shared scan cannot
+    reproduce after resampling. Misaligned machines run solo."""
+    import pandas as pd
+
+    from gordo_spark.functions.timeutil import offset_alias_to_seconds
+
+    secs = int(offset_alias_to_seconds(ds.resolution))
+    for bound in (ds.train_start_date, ds.train_end_date):
+        if bound is None:
+            continue
+        ts = pd.Timestamp(bound)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        if int(ts.timestamp()) % secs != 0:
+            return False
+    return True
+
+
 def shared_wide_frames(
     spark: SparkSession,
     datasets: dict[str, TimeSeriesDataset],
@@ -80,26 +101,6 @@ def shared_wide_frames(
     resolution grid fall back to their solo plan (see _grid_aligned), so
     the bit-parity guarantee holds unconditionally.
     """
-    from gordo_spark.functions.timeutil import offset_alias_to_seconds
-
-    def _grid_aligned(ds: TimeSeriesDataset) -> bool:
-        """Sharing is bit-exact only when the machine's range bounds sit on
-        the resolution grid — a mid-bucket bound makes the solo plan's
-        boundary bucket aggregate a partial window the shared scan cannot
-        reproduce after resampling. Misaligned machines run solo."""
-        import pandas as pd
-
-        secs = int(offset_alias_to_seconds(ds.resolution))
-        for bound in (ds.train_start_date, ds.train_end_date):
-            if bound is None:
-                continue
-            ts = pd.Timestamp(bound)
-            if ts.tzinfo is not None:
-                ts = ts.tz_convert("UTC").tz_localize(None)
-            if int(ts.timestamp()) % secs != 0:
-                return False
-        return True
-
     groups: dict[str, list[str]] = defaultdict(list)
     solo: list[str] = []
     for name, ds in datasets.items():
@@ -141,3 +142,129 @@ def shared_wide_frames(
                 part = part.filter(F.col("ts") < F.lit(ds.train_end_date))
             frames[name] = ds.finalize_wide(ds.fill(part))
     return frames
+
+
+def fleet_long_frame(
+    spark: SparkSession,
+    datasets: dict[str, TimeSeriesDataset],
+    machine_col: str = "machine",
+) -> DataFrame:
+    """The FLEET-WIDTH multi-machine path: one LONG DataFrame
+    ``(machine, tag, ts, value)`` holding every machine's regularized +
+    interpolated series, with a physical plan whose SIZE IS O(1) IN THE
+    NUMBER OF MACHINES.
+
+    :func:`shared_wide_frames` shares the scan but still fans out one
+    DataFrame per machine — at 3 machines that's fine; at a 200+ fleet
+    the 200-branch plan tree is its own scale problem (compile time,
+    scheduler overhead, one job per machine). Here the machine
+    dimension stays IN the frame: the fleet's configs become a bounded
+    SPEC TABLE (one row per (machine, tag) with the machine's clip
+    range — |machines| x |tags| rows, kilobytes for thousands of
+    machines), the group's ONE shared scan->resample output joins the
+    spec on ``tag`` (Catalyst broadcasts the spec side — genuinely
+    bounded), the range clip is a row-local filter, and
+    regularize/interpolate run partitioned by a composite
+    ``machine\\x00tag`` key — bit-identical per (machine, tag) to the
+    solo plan's per-tag fill (oracle- and parity-tested).
+
+    Per-machine output equals the solo ``ds.long_filled(spark)`` for
+    every grid-aligned machine (misaligned machines fall back to their
+    solo plan and are unioned in, same rule as shared_wide_frames).
+    Requirements: machines in one prefix group agree on provider /
+    resolution / aggregation / interpolation (the _plan_key rule);
+    heterogeneous fleets produce one stacked frame per group, unioned.
+
+    100 TB shape: one corpus scan + one resample shuffle per GROUP
+    (not per machine); the spec join fans each (tag, ts) bucket out to
+    the machines that subscribe to it — total rows = sum over machines
+    of their series length, the output's own size, so no blow-up
+    beyond what the fleet asked for. The composite-key window
+    partitions by (machine, tag): |machines| x |tags| independent
+    partitions — the fleet IS the parallelism.
+    """
+    sep = "\x00"  # never in a tag name; splits the composite key safely
+    groups: dict[str, list[str]] = defaultdict(list)
+    solo: list[str] = []
+    for name, ds in datasets.items():
+        if _grid_aligned(ds):
+            groups[_plan_key(ds)].append(name)
+        else:
+            solo.append(name)
+
+    parts: list[DataFrame] = []
+    for name in solo:
+        ds = datasets[name]
+        parts.append(
+            ds.long_filled(spark).select(
+                F.lit(name).alias(machine_col), "tag", "ts", "value"
+            )
+        )
+    for names in groups.values():
+        members = {n: datasets[n] for n in names}
+        all_tags = list(
+            dict.fromkeys(t for ds in members.values() for t in ds.all_tags)
+        )
+        starts = [ds.train_start_date for ds in members.values()]
+        ends = [ds.train_end_date for ds in members.values()]
+        proto = replace(
+            next(iter(members.values())),
+            tag_list=all_tags,
+            target_tag_list=None,
+            train_start_date=None if any(s is None for s in starts) else min(starts),
+            train_end_date=None if any(e is None for e in ends) else max(ends),
+            row_filter="",
+            known_filter_periods=None,
+            filter_periods=None,
+        )
+        res = proto.long_resampled(spark)
+        # the fleet spec: one row per (machine, expanded tag) with the
+        # machine's clip range — bounded by |machines| x |tags|
+        spec_rows = []
+        for name, ds in members.items():
+            for tag in ds._expand(ds.all_tags):
+                spec_rows.append(
+                    (
+                        name,
+                        tag,
+                        str(ds.train_start_date) if ds.train_start_date else None,
+                        str(ds.train_end_date) if ds.train_end_date else None,
+                    )
+                )
+        spec = spark.createDataFrame(
+            spec_rows, f"{machine_col} string, tag string, _t0 string, _t1 string"
+        ).select(
+            machine_col,
+            "tag",
+            F.col("_t0").cast("timestamp").alias("_t0"),
+            F.col("_t1").cast("timestamp").alias("_t1"),
+        )
+        clipped = (
+            res.join(F.broadcast(spec), "tag")
+            .filter(F.col("_t0").isNull() | (F.col("ts") >= F.col("_t0")))
+            .filter(F.col("_t1").isNull() | (F.col("ts") < F.col("_t1")))
+            .select(machine_col, "tag", "ts", "value")
+        )
+        # composite key: regularize/interpolate are per-tag operators;
+        # machine||sep||tag gives them per-(machine, tag) partitions with
+        # zero operator changes and identical arithmetic to the solo path
+        stacked = clipped.select(
+            F.concat_ws(sep, F.col(machine_col), F.col("tag")).alias("tag"),
+            "ts",
+            "value",
+        )
+        filled = proto.fill(stacked)
+        parts.append(
+            filled.select(
+                F.split_part(F.col("tag"), F.lit(sep), F.lit(1)).alias(
+                    machine_col
+                ),
+                F.split_part(F.col("tag"), F.lit(sep), F.lit(2)).alias("tag"),
+                "ts",
+                "value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -663,6 +663,177 @@ def sparse_prune_experiment(spark):
     }
 
 
+
+def simjoin_experiment(spark):
+    """Exact-similarity family at 1x and 10x volume + PPJoin filter
+    ablation. Two claims under measurement: (1) the rare-first prefix
+    filter bounds candidate volume ~linearly in corpus size (replicas
+    are vocabulary-rotated, so cross-replica candidates ~ 0 — the
+    realistic envelope); (2) the round-8 length+positional filters cut
+    the candidates the verify join must pay for, at identical recall
+    (both modes are EXACT — they differ only in false candidates)."""
+    from gordo_spark.operators.dedup import (
+        connected_components,
+        containment_candidates,
+        containment_join,
+        jaccard_candidates,
+        jaccard_threshold_join,
+        shingle_token_table,
+    )
+    from gordo_spark.operators.linkage import blocked_pairs
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    alpha = "aeiousnrtl"
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    assert max_id is not None and max_id < 1_000_000
+
+    def corpus(mult):
+        reps = []
+        for r in range(mult):
+            rot = alpha[r:] + alpha[:r]
+            reps.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(r * 1_000_000)).alias("doc_id"),
+                    F.translate(F.col("text"), alpha, rot).alias("text"),
+                )
+            )
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        # planted near-dups: first 30 words of every 5th doc (containment
+        # hits) ride along so the 10x workload has real matches to verify
+        return out.unionByName(
+            out.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), 1, 30)
+                ).alias("text"),
+            )
+        )
+
+    def jac_run(mult):
+        return jaccard_threshold_join(corpus(mult), threshold=0.9).count()
+
+    def con_run(mult):
+        return containment_join(corpus(mult), threshold=0.9).count()
+
+    jac_run(1)  # warm
+    t_j1 = round(timed("jaccard 1x", lambda: jac_run(1), n=2), 3)
+    t_j10 = round(timed("jaccard 10x", lambda: jac_run(10), n=1), 3)
+    t_c1 = round(timed("containment 1x", lambda: con_run(1), n=2), 3)
+    t_c10 = round(timed("containment 10x", lambda: con_run(10), n=1), 3)
+
+    # ER at 10x: replicate customers across synthetic nation shards so
+    # block sizes stay constant (the blocking-bound claim) and volume 10x
+    cust = read_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    max_ck = cust.agg(F.max("c_custkey")).first()[0]
+    assert max_ck is not None and max_ck < 10_000_000
+
+    def cust_mult(mult):
+        parts = [
+            cust.select(
+                (F.col("c_custkey") + F.lit(r * 10_000_000)).alias("c_custkey"),
+                "c_name",
+                (F.col("c_nationkey") + F.lit(r * 100)).alias("c_nationkey"),
+                "c_mktsegment",
+            )
+            for r in range(mult)
+        ]
+        out = parts[0]
+        for prt in parts[1:]:
+            out = out.unionByName(prt)
+        return out
+
+    def er_run(mult):
+        pairs = blocked_pairs(
+            cust_mult(mult),
+            "c_custkey",
+            "c_name",
+            ["c_nationkey", "c_mktsegment"],
+            max_dist=1,
+        )
+        return connected_components(pairs.select("id_a", "id_b")).count()
+
+    er_run(1)  # warm
+    t_e1 = round(timed("er 1x", lambda: er_run(1), n=2), 3)
+    t_e10 = round(timed("er 10x", lambda: er_run(10), n=1), 3)
+
+    # filter ablation at 1x workload (with planted containment dups)
+    c1 = corpus(1)
+    toks_j = shingle_token_table(c1)
+    jc_prefix = jaccard_candidates(toks_j, 0.9, filters="prefix").count()
+    jc_full = jaccard_candidates(toks_j, 0.9, filters="ppjoin").count()
+    cc_prefix = containment_candidates(toks_j, 0.9, filters="prefix").count()
+    cc_full = containment_candidates(toks_j, 0.9, filters="ppjoin").count()
+
+    return {
+        "t_jac_1x_s": t_j1,
+        "t_jac_10x_s": t_j10,
+        "t_con_1x_s": t_c1,
+        "t_con_10x_s": t_c10,
+        "t_er_1x_s": t_e1,
+        "t_er_10x_s": t_e10,
+        "jac_cand_prefix": jc_prefix,
+        "jac_cand_ppjoin": jc_full,
+        "con_cand_prefix": cc_prefix,
+        "con_cand_ppjoin": cc_full,
+    }
+
+
+def fleet_experiment(spark):
+    """Fleet-width multi-machine path (plans/multi.fleet_long_frame):
+    the stacked O(1)-size plan vs per-machine solo plans. The cluster
+    claim: fleet cost ~ one shared scan + output-sized work, solo cost
+    ~ one full scan PER MACHINE — the reference's pod-per-machine
+    architecture re-reads the lake N times."""
+    from itertools import combinations
+
+    from gordo_spark.plans import TimeSeriesDataset, fleet_long_frame
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    combos = [list(c) for c in combinations(types, 3)]
+
+    def fleet(n):
+        out = {}
+        for i in range(n):
+            d0 = 1 + (i // len(combos)) % 20
+            out[f"m{i:03d}"] = TimeSeriesDataset(
+                tag_list=combos[i % len(combos)],
+                train_start_date=f"2024-01-{d0:02d} 00:00:00",
+                train_end_date=f"2024-01-{d0 + 8:02d} 00:00:00",
+                resolution="1H",
+                interpolation_method="ffill",
+                interpolation_limit="6H",
+                data_provider={
+                    "type": "EventsAsSensorProvider",
+                    "sf_dir": SF_DIR,
+                },
+            )
+        return out
+
+    def run_fleet(n):
+        fleet_long_frame(spark, fleet(n)).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def run_solo(n):
+        for ds in fleet(n).values():
+            ds.long_filled(spark).write.mode("overwrite").format("noop").save()
+
+    run_fleet(20)  # warm
+    t_f20 = round(timed("fleet 20", lambda: run_fleet(20), n=2), 3)
+    t_f200 = round(timed("fleet 200", lambda: run_fleet(200), n=2), 3)
+    t_s20 = round(timed("solo 20", lambda: run_solo(20), n=2), 3)
+    return {
+        "t_fleet_20_s": t_f20,
+        "t_fleet_200_s": t_f200,
+        "t_solo_20_s": t_s20,
+        "solo_200_implied_s": round(t_s20 * 10, 1),
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
@@ -675,6 +846,8 @@ def main():
     il = iter_lineage_experiment(spark)
     tx = tenx_experiment(spark)
     sp = sparse_prune_experiment(spark)
+    sj = simjoin_experiment(spark)
+    fl = fleet_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -847,6 +1020,52 @@ def main():
         "A ubiquitous term contributes ~0 idf signal but df^2/2 candidate",
         "pairs; at corpus scale the prune is the difference between a",
         "bounded inverted-index join and an accidental all-pairs product.",
+        "",
+        "## Exact-similarity family at 10x + PPJoin filter ablation",
+        "",
+        "| pipeline | 1x | 10x | wall ratio |",
+        "|---|---|---|---|",
+        f"| jaccard_threshold_join (t=0.9) | {sj['t_jac_1x_s']} s | "
+        f"{sj['t_jac_10x_s']} s | "
+        f"{round(sj['t_jac_10x_s'] / sj['t_jac_1x_s'], 1)}x |",
+        f"| containment_join (t=0.9) | {sj['t_con_1x_s']} s | "
+        f"{sj['t_con_10x_s']} s | "
+        f"{round(sj['t_con_10x_s'] / sj['t_con_1x_s'], 1)}x |",
+        f"| er_entities (blocking -> levenshtein -> components) | "
+        f"{sj['t_er_1x_s']} s | {sj['t_er_10x_s']} s | "
+        f"{round(sj['t_er_10x_s'] / sj['t_er_1x_s'], 1)}x |",
+        "",
+        "Replicas are vocabulary-rotated (sim joins) / nation-shifted (ER)",
+        "so per-block and per-posting-list sizes stay constant while volume",
+        "grows 10x — a wall ratio near 10x validates the candidate bounds",
+        "(prefix posting lists / sum-of-block-squares) the docstrings argue.",
+        "",
+        "Candidate-count ablation at 1x (identical exact recall, fewer",
+        "false candidates reaching the verify join):",
+        "",
+        f"- jaccard: prefix-only {sj['jac_cand_prefix']:,} -> full PPJoin "
+        f"(length+positional) {sj['jac_cand_ppjoin']:,} "
+        f"({round(100 * (1 - sj['jac_cand_ppjoin'] / max(sj['jac_cand_prefix'], 1)))}% fewer)",
+        f"- containment: prefix-only {sj['con_cand_prefix']:,} -> full "
+        f"{sj['con_cand_ppjoin']:,} "
+        f"({round(100 * (1 - sj['con_cand_ppjoin'] / max(sj['con_cand_prefix'], 1)))}% fewer)",
+        "",
+        "## Fleet-width multi-machine plan (events provider, 1H ffill)",
+        "",
+        f"- fleet_long_frame, 20 machines: {fl['t_fleet_20_s']} s",
+        f"- fleet_long_frame, 200 machines: {fl['t_fleet_200_s']} s "
+        f"({round(fl['t_fleet_200_s'] / max(fl['t_fleet_20_s'], 1e-9), 1)}x "
+        "wall for 10x machines — the plan is O(1) in fleet width, only",
+        "  the output grows)",
+        f"- per-machine SOLO plans, 20 machines: {fl['t_solo_20_s']} s "
+        f"(implied 200-machine solo cost ~{fl['solo_200_implied_s']} s — ",
+        "  one scan + one plan + one job PER MACHINE, the reference's",
+        "  pod-per-machine shape)",
+        "",
+        "The fleet path keeps the machine dimension IN the frame: configs",
+        "become a bounded spec table joined onto ONE shared resample, so",
+        "scheduler/compile cost stays constant and scan cost stays 1 while",
+        "the solo loop pays both linearly in fleet size.",
         "",
     ]
     out = "\n".join(lines)
