@@ -1026,6 +1026,323 @@ WINDOW w AS (PARTITION BY machine ORDER BY start ROWS BETWEEN 5 PRECEDING AND CU
 
 
 
+
+# --------------------------------------------------- round-8 wave (SQL-matched)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health kNN-graph diagnostics
+    (operators/similarity.knn_graph_stats): per-vector in-degree
+    (hubness) and reciprocal-neighbor rate from the exact cosine k=5
+    graph over a bounded id-capped sample (the dedup_embed_cosine
+    all-pairs-diagnostic convention)."""
+    from gordo_spark.operators.similarity import knn_graph_stats
+
+    embs = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 1000
+    )
+    return knn_graph_stats(embs, k=5)
+
+
+O_KNN_GRAPH = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 1000
+),
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS c
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS r
+    FROM p
+  ) WHERE r <= 5
+),
+indeg AS (SELECT dst AS id, count(*) AS in_degree FROM topk GROUP BY 1),
+recip AS (
+  SELECT x.src AS id, count(*) AS n_reciprocal
+  FROM topk x JOIN topk y ON x.src = y.dst AND x.dst = y.src
+  GROUP BY 1
+)
+SELECT v.vec_id,
+       COALESCE(in_degree, 0) AS in_degree,
+       COALESCE(n_reciprocal, 0) AS n_reciprocal,
+       ROUND(COALESCE(n_reciprocal, 0) / 5.0, 6) AS reciprocal_rate
+FROM v
+LEFT JOIN indeg ON v.vec_id = indeg.id
+LEFT JOIN recip ON v.vec_id = recip.id
+"""
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (operators/similarity.rrf_fusion):
+    BM25 lexical top-20 + exact-cosine ANN top-20 (query vector 0;
+    vec_id aligns with doc_id) fused by reciprocal rank, k=60 — the
+    standard RAG hybrid-search combiner over two bounded retriever
+    outputs."""
+    from gordo_spark.operators.similarity import cosine_topk, rrf_fusion
+    from gordo_spark.operators.text import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    embs = read_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, "table scan merge window", k=20)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bm_r = bm.select("doc_id", F.row_number().over(w).alias("rank"))
+    ann = cosine_topk(embs, embs.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fusion([bm_r, ann], rrf_k=60)
+
+
+def _o_rrf_hybrid() -> str:
+    bm20 = O_BM25_SEARCH.strip().replace("LIMIT 10", "LIMIT 20")
+    return f"""
+WITH bm AS ({bm20}),
+bm_r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(qv, embedding::DOUBLE[])
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]))) AS sim
+  FROM embeddings, q WHERE vec_id <> 0
+),
+ann AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+    FROM scored
+  ) WHERE rank <= 20
+),
+un AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM bm_r
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM ann
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_lists, ROUND(sum(c), 6) AS rrf_score
+  FROM un GROUP BY 1
+)
+SELECT doc_id, n_lists, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+FROM agg
+"""
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group deterministic sample
+    (operators/sampling.sample_k_per_group): 5 documents per source by
+    md5(salt || id) rank — uniform within group, reproducible from ids
+    alone, no RNG (M9)."""
+    from gordo_spark.operators.sampling import sample_k_per_group
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_k_per_group(docs, "source", "doc_id", k=5)
+
+
+O_GROUP_SAMPLE = """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('gsample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+"""
+
+
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter ingest routing (operators/quality_checks.
+    quarantine_split): every event routed ok/quarantine with the
+    comma-joined reasons (late window, value spike, error type) — row
+    count in == row count out, nothing silently dropped."""
+    from gordo_spark.operators.quality_checks import quarantine_split
+
+    ev = read_table(spark, sf_dir, "events")
+    out = quarantine_split(
+        ev,
+        [
+            ("late_window", F.col("ts") >= F.lit("2024-01-28 00:00:00")),
+            ("value_spike", F.col("value") > 400.0),
+            ("error_event", F.col("event_type") == "error"),
+        ],
+    )
+    return out.select("event_id", "status", "reasons")
+
+
+O_QUARANTINE = """
+SELECT event_id,
+       CASE WHEN reasons = '' THEN 'ok' ELSE 'quarantine' END AS status,
+       CASE WHEN reasons <> '' THEN reasons END AS reasons
+FROM (
+  SELECT event_id,
+         concat_ws(',',
+           CASE WHEN ts >= TIMESTAMP '2024-01-28 00:00:00' THEN 'late_window' END,
+           CASE WHEN value > 400.0 THEN 'value_spike' END,
+           CASE WHEN event_type = 'error' THEN 'error_event' END) AS reasons
+  FROM events
+)
+"""
+
+
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot profile drift (operators/quality_checks.schema_drift):
+    events first half vs second half of January — per numeric column
+    null rate / mean comparison with engine-portable 6dp-rounded
+    verdict thresholds; a column missing from either snapshot reports
+    'missing' (the hard schema break)."""
+    from gordo_spark.operators.quality_checks import schema_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("ts") < F.lit("2024-01-16 00:00:00"))
+    new = ev.filter(F.col("ts") >= F.lit("2024-01-16 00:00:00"))
+    return schema_drift(old, new, ["value", "user_id", "event_id"])
+
+
+def _o_schema_drift() -> str:
+    def prof(name, cond):
+        cols = []
+        for c in ("value", "user_id", "event_id"):
+            cols.append(
+                f"SELECT '{c}' AS \"column\", count(*) AS n, "
+                f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls, "
+                f"avg({c}) AS mean FROM events WHERE {cond}"
+            )
+        return f"{name} AS (" + " UNION ALL ".join(cols) + ")"
+
+    return f"""
+WITH {prof("po", "ts < TIMESTAMP '2024-01-16 00:00:00'")},
+{prof("pn", "ts >= TIMESTAMP '2024-01-16 00:00:00'")},
+j AS (
+  SELECT COALESCE(po."column", pn."column") AS "column",
+         po.n AS n_o, po.nulls AS nu_o, po.mean AS m_o,
+         pn.n AS n_n, pn.nulls AS nu_n, pn.mean AS m_n
+  FROM po FULL OUTER JOIN pn ON po."column" = pn."column"
+),
+v AS (
+  SELECT "column",
+         ROUND(nu_o / CAST(n_o AS DOUBLE), 6) AS null_rate_old,
+         ROUND(nu_n / CAST(n_n AS DOUBLE), 6) AS null_rate_new,
+         ROUND(m_o, 6) AS mean_old,
+         ROUND(m_n, 6) AS mean_new,
+         ROUND(abs(m_n - m_o) / greatest(abs(m_o), 1e-12), 6) AS rel,
+         n_o, n_n, nu_o, nu_n
+  FROM j
+)
+SELECT "column", null_rate_old, null_rate_new, mean_old, mean_new,
+       CASE WHEN n_o IS NOT NULL AND n_n IS NOT NULL THEN rel END
+         AS rel_mean_delta,
+       CASE WHEN n_o IS NULL OR n_n IS NULL THEN 'missing'
+            WHEN rel > 0.10 THEN 'mean_drift'
+            WHEN ROUND(abs(nu_n / CAST(n_n AS DOUBLE)
+                           - nu_o / CAST(n_o AS DOUBLE)), 6) > 0.05
+              THEN 'null_drift'
+            ELSE 'stable' END AS verdict
+FROM v
+"""
+
+
+def q_control_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western-Electric control-chart rules (operators/tsa.
+    control_rules) on the hourly-resampled event series: |z|>3 spikes
+    plus the 2-of-3/4-of-5/8-run sustained-shift rules a bare sigma
+    monitor misses — every window tag-partitioned, all rule decisions
+    on 6dp-rounded z (engine-portable booleans)."""
+    from gordo_spark.operators.tsa import control_rules
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return _r6(control_rules(res), "value")
+
+
+O_CONTROL_RULES = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT tag, ROUND(avg(value), 6) AS mu, ROUND(stddev_pop(value), 6) AS sd
+  FROM res GROUP BY 1
+),
+z AS (
+  SELECT r.tag, r.ts, r.value,
+         CASE WHEN sd > 0 THEN ROUND((r.value - mu) / sd, 6) END AS z
+  FROM res r JOIN stats USING (tag)
+),
+runs AS (
+  SELECT tag, ts, value, z,
+         count(z) OVER w3 AS c3, count(z) OVER w5 AS c5, count(z) OVER w8 AS c8,
+         sum(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER w3 AS u2,
+         sum(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER w3 AS d2,
+         sum(CASE WHEN z > 1 THEN 1 ELSE 0 END) OVER w5 AS u1,
+         sum(CASE WHEN z < -1 THEN 1 ELSE 0 END) OVER w5 AS d1,
+         sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) OVER w8 AS uc,
+         sum(CASE WHEN z < 0 THEN 1 ELSE 0 END) OVER w8 AS dc
+  FROM z
+  WINDOW w3 AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w5 AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w8 AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT tag, ts, ROUND(value, 6) AS value, z,
+       COALESCE(z IS NOT NULL AND abs(z) > 3, false) AS r1_beyond_3s,
+       COALESCE(z IS NOT NULL AND (u2 >= 2 OR d2 >= 2) AND c3 >= 3, false) AS r2_2of3_2s,
+       COALESCE(z IS NOT NULL AND (u1 >= 4 OR d1 >= 4) AND c5 >= 5, false) AS r3_4of5_1s,
+       COALESCE(z IS NOT NULL AND (uc >= 8 OR dc >= 8) AND c8 >= 8, false) AS r4_8_run,
+       COALESCE((z IS NOT NULL AND abs(z) > 3)
+                OR (z IS NOT NULL AND (u2 >= 2 OR d2 >= 2) AND c3 >= 3)
+                OR (z IS NOT NULL AND (u1 >= 4 OR d1 >= 4) AND c5 >= 5)
+                OR (z IS NOT NULL AND (uc >= 8 OR dc >= 8) AND c8 >= 8),
+                false) AS any_signal
+FROM runs
+"""
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 10%-trimmed mean (operators/ranking.trimmed_mean) of
+    order totals by market segment — the robust location estimate
+    between mean and median; cut points are exact percentiles rounded
+    to 6dp before the inclusive boundary comparison."""
+    from gordo_spark.operators.ranking import trimmed_mean
+
+    j = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            read_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_totalprice")
+    )
+    return trimmed_mean(j, "c_mktsegment", "o_totalprice", trim=0.1)
+
+
+O_TRIMMED_MEAN = """
+WITH j AS (
+  SELECT c_mktsegment, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+cuts AS (
+  SELECT c_mktsegment, count(*) AS n,
+         ROUND(quantile_cont(o_totalprice, 0.1), 6) AS lo_cut,
+         ROUND(quantile_cont(o_totalprice, 0.9), 6) AS hi_cut
+  FROM j WHERE o_totalprice IS NOT NULL GROUP BY 1
+)
+SELECT j.c_mktsegment, n, count(*) AS n_used, lo_cut, hi_cut,
+       ROUND(avg(o_totalprice), 6) AS trimmed_mean
+FROM j JOIN cuts ON j.c_mktsegment = cuts.c_mktsegment
+WHERE ROUND(o_totalprice, 6) >= lo_cut AND ROUND(o_totalprice, 6) <= hi_cut
+GROUP BY j.c_mktsegment, n, lo_cut, hi_cut
+"""
+
+
 # ----------------------------------------------- fleet-width multi-machine
 _FLEET_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -11212,6 +11529,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "m6_anomaly_multi": q_m6_anomaly_multi,
         "fleet_fill": q_fleet_fill,
+        "knn_graph": q_knn_graph,
+        "rrf_hybrid": q_rrf_hybrid,
+        "group_sample_k": q_group_sample,
+        "quarantine_split": q_quarantine,
+        "schema_drift": q_schema_drift,
+        "control_rules": q_control_rules,
+        "trimmed_mean": q_trimmed_mean,
         "fleet_anomaly": q_fleet_anomaly,
         "source_overlap": q_source_overlap,
         "dsir_weights": q_dsir_weights,
@@ -11468,6 +11792,13 @@ def oracle_sql() -> dict[str, str]:
         "m6_anomaly_scaled": O_M6_SCALED,
         "m6_anomaly_multi": O_M6_MULTI,
         "fleet_fill": O_FLEET_FILL,
+        "knn_graph": O_KNN_GRAPH,
+        "rrf_hybrid": _o_rrf_hybrid(),
+        "group_sample_k": O_GROUP_SAMPLE,
+        "quarantine_split": O_QUARANTINE,
+        "schema_drift": _o_schema_drift(),
+        "control_rules": O_CONTROL_RULES,
+        "trimmed_mean": O_TRIMMED_MEAN,
         "fleet_anomaly": O_FLEET_ANOMALY,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q2": O_TPCH_Q2,

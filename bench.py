@@ -67,6 +67,13 @@ HEADLINE = [
     "m6_anomaly_multi",
     "fleet_fill",
     "fleet_anomaly",
+    "knn_graph",
+    "rrf_hybrid",
+    "group_sample_k",
+    "quarantine_split",
+    "schema_drift",
+    "control_rules",
+    "trimmed_mean",
     "a9_explained_variance",
     "o5_distinct",
     "asof_join",

@@ -513,3 +513,113 @@ def k_generalize(
         F.lit(chosen).alias("bucket_width"),
         F.lit(achieved).alias("achieved_k"),
     )
+
+
+def quarantine_split(
+    df: DataFrame,
+    rules: list[tuple[str, "F.Column"]],
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Rule-based ingest routing — the dead-letter pattern: each rule is
+    ``(reason, violation_condition)``; rows violating ANY rule get
+    ``status='quarantine'`` with the comma-joined (rule-order) reason
+    list, clean rows get ``status='ok'``. The honest alternative to
+    silently dropping bad rows at ingest: the quarantine side keeps its
+    WHY, so upstream producers get actionable counts per reason and
+    nothing disappears unaccounted (row count in == row count out,
+    asserted by the contract oracle).
+
+    Purely row-local (one projection, no shuffle, no UDF) — the flags
+    compile to one CASE chain inside whole-stage codegen; reasons are a
+    string (not an array) so any engine hashes them identically.
+    """
+    if not rules:
+        raise ValueError("quarantine_split needs at least one rule")
+    reasons = F.concat_ws(
+        ",",
+        *[F.when(cond, F.lit(name)) for name, cond in rules],
+    )
+    return df.select(
+        "*",
+        F.when(reasons == "", F.lit("ok"))
+        .otherwise(F.lit("quarantine"))
+        .alias("status"),
+        F.when(reasons != "", reasons).alias("reasons"),
+    )
+
+
+def schema_drift(
+    old: DataFrame,
+    new: DataFrame,
+    numeric_cols: list[str],
+    rel_tol: float = 0.10,
+    null_tol: float = 0.05,
+) -> DataFrame:
+    """Snapshot-over-snapshot profile drift — the pipeline tripwire that
+    catches upstream schema/semantic changes BEFORE they poison a
+    training run: per numeric column, compare null rate, mean, min and
+    max between two corpus snapshots and emit a verdict. Columns
+    missing from either side report ``verdict='missing'`` (the actual
+    schema break); ``mean_drift`` when |Δmean| > rel_tol * max(|old
+    mean|, eps); ``null_drift`` when the null-rate gap exceeds
+    null_tol; else ``stable``.
+
+    One melt-explode pass per snapshot (the data_profile shape): every
+    column's (n, nulls, mean, min, max) rides a single hash aggregation
+    keyed on the column NAME — |columns| output rows, never a per-column
+    scan. Output: ``(column, null_rate_old, null_rate_new, mean_old,
+    mean_new, rel_mean_delta, verdict)`` rounded to 6.
+    """
+    eps = 1e-12
+
+    def prof(d: DataFrame) -> DataFrame:
+        entries = d.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("double").alias("_v"),
+                        )
+                        for c in numeric_cols
+                        if c in d.columns
+                    ]
+                )
+            ).alias("_e")
+        ).select("_e.column", "_e._v")
+        return entries.groupBy("column").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").isNull().cast("int")).alias("_nulls"),
+            F.avg("_v").alias("_mean"),
+        )
+    o, n = prof(old).alias("o"), prof(new).alias("n")
+    j = o.join(n, "column", "full_outer")
+    nr_o = F.col("o._nulls") / F.col("o._n")
+    nr_n = F.col("n._nulls") / F.col("n._n")
+    # 6dp-rounded BEFORE the threshold comparisons (engine-portable
+    # verdicts — an ulp of avg() disagreement at the tolerance boundary
+    # would flip a verdict string and the hash with it)
+    rel = F.round(
+        F.abs(F.col("n._mean") - F.col("o._mean"))
+        / F.greatest(F.abs(F.col("o._mean")), F.lit(eps)),
+        6,
+    )
+    verdict = (
+        F.when(
+            F.col("o._n").isNull() | F.col("n._n").isNull(), F.lit("missing")
+        )
+        .when(rel > float(rel_tol), F.lit("mean_drift"))
+        .when(F.round(F.abs(nr_n - nr_o), 6) > float(null_tol), F.lit("null_drift"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        "column",
+        F.round(nr_o, 6).alias("null_rate_old"),
+        F.round(nr_n, 6).alias("null_rate_new"),
+        F.round(F.col("o._mean"), 6).alias("mean_old"),
+        F.round(F.col("n._mean"), 6).alias("mean_new"),
+        F.when(
+            F.col("o._n").isNotNull() & F.col("n._n").isNotNull(), rel
+        ).alias("rel_mean_delta"),
+        verdict.alias("verdict"),
+    )

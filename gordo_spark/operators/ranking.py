@@ -264,3 +264,49 @@ def quantile_transform(
         .withColumn(out_col, F.round(q, 6))
         .drop("_qt_bs")
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group alpha-trimmed mean — the robust location estimate
+    between the mean (outlier-hostage) and the median (throws away
+    80% of the information): drop values strictly below the trim-th
+    and strictly above the (1-trim)-th EXACT percentile, average the
+    rest. Boundary values equal to a cut point are KEPT (the inclusive
+    convention — deterministic and engine-portable, no fractional-row
+    interpolation of the trimmed set itself).
+
+    Scale shape: one exact-percentile aggregate per group (Spark's
+    ``percentile`` buffers per group, not per row) broadcast-joined
+    back, then one filtered re-aggregation — two group-keyed hash aggs,
+    no window, no sort. Cut points are 6dp-rounded before comparison
+    (engine-portable boundaries, the length_curriculum convention).
+    Output: ``(group, n, n_used, lo_cut, hi_cut, trimmed_mean)``.
+    """
+    t = float(trim)
+    if not 0 <= t < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    v = F.col(value_col).cast("double")
+    cuts = df.filter(v.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr(f"percentile({value_col}, {t})"), 6).alias("lo_cut"),
+        F.round(F.expr(f"percentile({value_col}, {1 - t})"), 6).alias(
+            "hi_cut"
+        ),
+    )
+    kept = (
+        df.filter(v.isNotNull())
+        .join(cuts, group_col)
+        .filter(
+            (F.round(v, 6) >= F.col("lo_cut"))
+            & (F.round(v, 6) <= F.col("hi_cut"))
+        )
+    )
+    return kept.groupBy(group_col, "n", "lo_cut", "hi_cut").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.round(F.avg(v), 6).alias("trimmed_mean"),
+    ).select(group_col, "n", "n_used", "lo_cut", "hi_cut", "trimmed_mean")

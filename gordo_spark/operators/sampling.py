@@ -382,3 +382,35 @@ def weighted_take(
         .orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
         .limit(int(n))
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "gsample",
+) -> DataFrame:
+    """Deterministic EXACT-k uniform sample per group — "k examples from
+    every source/language/shard" (eval-set construction, per-stratum
+    spot checks). Each row ranks by ``md5(salt || id)`` WITHIN its group
+    (id tiebreak) and the first k win: uniform within group, exactly
+    ``min(k, |group|)`` rows out, reproducible from ids alone,
+    independent re-draws via ``salt`` (M9 — no RNG).
+
+    The groupwise companion to :func:`stratified_take` (rate-based) and
+    :func:`weighted_take` (global weighted N). One group-partitioned
+    row_number window — parallelism = number of groups, skew bounded by
+    the largest group (salt upstream if one group dominates). Output:
+    input columns + ``sample_rank``.
+    """
+    from pyspark.sql import Window
+
+    h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(k))
+    )

@@ -1714,3 +1714,127 @@ def bitext_margin(
         .filter(F.col("margin") >= float(min_margin))
         .orderBy("query_id")
     )
+
+
+def knn_graph_stats(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-health diagnostics from the exact cosine kNN graph:
+    per-vector IN-DEGREE (how many vectors count me among their k
+    nearest — the HUBNESS signal: high-dimensional or degenerate
+    embeddings concentrate in-degree on a few "hub" points, Radovanovic
+    et al. 2010) and RECIPROCAL-NEIGHBOR RATE (fraction of my k nearest
+    that also have me in theirs — low reciprocity marks asymmetric,
+    unstable neighborhoods; the SemDeDup-adjacent quality readout).
+
+    Output per vector: ``(vec_id, in_degree, n_reciprocal,
+    reciprocal_rate)`` — vectors nobody points at appear with
+    in_degree 0. Neighbor ranking uses the 6dp-ROUNDED cosine with an
+    id-ascending tiebreak (the tfidf_topk engine-portability trick).
+
+    Scale posture: this is a bounded-sample DIAGNOSTIC (the
+    dedup_embed_cosine / ann_recall convention) — the all-pairs product
+    is the point of the exact readout, so the caller passes a sample
+    (contract caps by id filter) and the small side broadcasts. The
+    corpus-scale estimator is the same arithmetic over an LSH/IVF
+    candidate graph (``lsh_ann_topk``); hubness is a property you
+    MEASURE on samples, not a per-row production transform.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("src"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("dst"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("_cos"),
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("_cos").desc(), F.col("dst").asc()
+    )
+    topk = (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(k))
+        .select("src", "dst")
+        .localCheckpoint()  # two consumers (in-degree + reciprocity join)
+    )
+    indeg = topk.groupBy(F.col("dst").alias("_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    recip = (
+        topk.alias("x")
+        .join(
+            topk.alias("y"),
+            (F.col("x.src") == F.col("y.dst"))
+            & (F.col("x.dst") == F.col("y.src")),
+        )
+        .groupBy(F.col("x.src").alias("_id"))
+        .agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    )
+    ids = vectors.select(F.col(id_col).alias("_id"))
+    return (
+        ids.join(indeg, "_id", "left")
+        .join(recip, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+            F.round(
+                F.coalesce("n_reciprocal", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("reciprocal_rate"),
+        )
+    )
+
+
+def rrf_fusion(
+    rankings: list[DataFrame],
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval
+    rankings — the standard hybrid-search combiner (BM25 lexical +
+    embedding ANN is the RAG-stack pairing): each list contributes
+    ``1 / (rrf_k + rank)`` per document; documents missing from a list
+    contribute nothing from it. Output ``(id, n_lists, rrf_score,
+    fused_rank)`` with the fused ranking ordered by (score desc, id
+    asc) — the 6dp-rounded score breaks exact ties by id
+    (engine-portable, the tfidf_topk convention).
+
+    Scale shape: rankings are already top-k bounded by their retrievers
+    (TakeOrdered outputs), so the union + one hash aggregation is
+    |lists| x k rows — no corpus-sized state; the final rank is a
+    window over that bounded frame.
+    """
+    if not rankings:
+        raise ValueError("rrf_fusion needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).alias("_id"),
+            (1.0 / (F.lit(int(rrf_k)) + F.col(rank_col).cast("double"))).alias(
+                "_c"
+            ),
+        )
+        for r in rankings
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    agg = un.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.round(F.sum("_c"), 6).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("_id").asc())
+    # single-partition window over a |lists| x k bounded frame — the
+    # revenue_pareto K-row exemption, never row-cardinality
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_lists",
+        "rrf_score",
+        F.row_number().over(w).alias("fused_rank"),
+    )

@@ -946,3 +946,86 @@ def chisq_drift(
         F.max("_totc").alias("n_cur"),
         F.count(F.lit(1)).alias("n_categories"),
     )
+
+
+def control_rules(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Western-Electric control-chart rules per series — the classic
+    SPC screen a bare |z| > 3 monitor misses: sustained small shifts
+    and drifts trip the RUN rules long before any single point crosses
+    3 sigma. Center line and sigma are the series' own mean / population
+    std (the Shewhart convention; feed a reference window's frame to
+    pin train-time stats).
+
+    Rules (each a boolean column):
+    - ``r1_beyond_3s``  — this point beyond 3 sigma;
+    - ``r2_2of3_2s``    — 2 of the last 3 points beyond 2 sigma on the
+      SAME side (both counts on one side — the textbook reading);
+    - ``r3_4of5_1s``    — 4 of the last 5 beyond 1 sigma, same side;
+    - ``r4_8_run``      — 8 consecutive points on one side of center.
+
+    Scale shape: one tag-keyed aggregate for (mean, sigma), one
+    tag-partitioned ordered window for the run counts (bounded lookback
+    frames: 3/5/8 rows) — the w9_rolling_zscore discipline; constant
+    state per row, no collect. Degenerate series (sigma = 0) report
+    NULL z and all-false rules (stated). Output: ``(tag, ts, value, z,
+    r1..r4, any_signal)`` with z rounded to 6.
+    """
+    v = F.col(value_col).cast("double")
+    # mean/sigma rounded to 6dp before the z (the w9_rolling_zscore
+    # engine-portability convention): the rule thresholds compare z, so
+    # every input to it must already be bit-identical across engines
+    stats = df.groupBy(tag_col).agg(
+        F.round(F.avg(v), 6).alias("_mu"),
+        F.round(F.stddev_pop(v), 6).alias("_sd"),
+    )
+    d = df.join(stats, tag_col).select(
+        F.col(tag_col),
+        F.col(ts_col),
+        v.alias(value_col),
+        F.when(F.col("_sd") > 0, (v - F.col("_mu")) / F.col("_sd")).alias(
+            "_z"
+        ),
+    )
+    w = Window.partitionBy(tag_col).orderBy(ts_col)
+    # all rule comparisons run on the 6dp-ROUNDED z: thresholds (1/2/3
+    # sigma) sit exactly where engines can disagree by an ulp, and a
+    # flipped boolean is a hash mismatch — rounding first makes every
+    # rule decision engine-portable (the tfidf_topk trick, applied to
+    # predicates instead of ranks)
+    z = F.round(F.col("_z"), 6)
+    up2 = (z > 2).cast("int")
+    dn2 = (z < -2).cast("int")
+    up1 = (z > 1).cast("int")
+    dn1 = (z < -1).cast("int")
+    upc = (z > 0).cast("int")
+    dnc = (z < 0).cast("int")
+    w3 = w.rowsBetween(-2, 0)
+    w5 = w.rowsBetween(-4, 0)
+    w8 = w.rowsBetween(-7, 0)
+    has_sd = z.isNotNull()
+    r1 = has_sd & (F.abs(z) > 3)
+    r2 = has_sd & (
+        (F.sum(up2).over(w3) >= 2) | (F.sum(dn2).over(w3) >= 2)
+    ) & (F.count(z).over(w3) >= 3)
+    r3 = has_sd & (
+        (F.sum(up1).over(w5) >= 4) | (F.sum(dn1).over(w5) >= 4)
+    ) & (F.count(z).over(w5) >= 5)
+    r4 = has_sd & (
+        (F.sum(upc).over(w8) >= 8) | (F.sum(dnc).over(w8) >= 8)
+    ) & (F.count(z).over(w8) >= 8)
+    return d.select(
+        tag_col,
+        ts_col,
+        value_col,
+        z.alias("z"),
+        F.coalesce(r1, F.lit(False)).alias("r1_beyond_3s"),
+        F.coalesce(r2, F.lit(False)).alias("r2_2of3_2s"),
+        F.coalesce(r3, F.lit(False)).alias("r3_4of5_1s"),
+        F.coalesce(r4, F.lit(False)).alias("r4_8_run"),
+        F.coalesce(r1 | r2 | r3 | r4, F.lit(False)).alias("any_signal"),
+    )

@@ -68,6 +68,10 @@ ACCEPTED = {
     "m5_scores": "1-row fitted-stats frame broadcast",
     "dedup_embed_cosine": "documented all-pairs baseline on a bounded "
     "candidate set (LSH/IVF are the scale paths)",
+    "knn_graph": "documented bounded-sample all-pairs diagnostic (id-capped; "
+    "the dedup_embed_cosine convention)",
+    "rrf_hybrid": "corpus x broadcast 1-row query vector (the sim_bruteforce "
+    "constant side)",
     "sim_bruteforce": "defined computation: corpus x broadcast query batch "
     "(query batch is the constant side)",
     "ann_recall": "exact-truth side is the sim_bruteforce corpus x "
@@ -176,6 +180,9 @@ SINGLE_SERIES_OK = {
     # bounded by the time span (days in range), never event volume
     # (events collapse to day counts map-side first)
     "ingest_health",
+    # rank + fused-rank windows over top-k-BOUNDED retriever outputs
+    # (20-row frames by construction) — the rrf_fusion docstring bound
+    "rrf_hybrid",
     # Lorenz cumulative shares over the K-row bucket table (ntile output
     # of distributed_ntile — the member-cardinality work is histogram-
     # partitioned inside it; these windows see K rows)
@@ -254,6 +261,10 @@ BOUNDED_BROADCAST_OK = {
     ("dedup_embed_cosine", "embeddings"): "documented all-pairs oracle baseline on a bounded candidate set",
     ("label_cohesion", "embeddings"): "per-label centroid table (|labels| rows) — aggregated upstream",
     ("decontaminate", "documents"): "benchmark side: eval suites are MBs by construction (GPT-3 app. C)",
+    ("bm25_search", "documents"): "idf table filtered to the |query|-term array BEFORE aggregation — build side <= query terms",
+    ("rrf_hybrid", "documents"): "BM25 idf side of the fusion — same |query|-term bound as bm25_search",
+    ("rrf_hybrid", "embeddings"): "1-row query vector (vec_id = 0) broadcast to the corpus — the sim_bruteforce constant side",
+    ("knn_graph", "embeddings"): "documented bounded-sample all-pairs diagnostic (vec_id cap) — the dedup_embed_cosine convention",
 }
 
 

@@ -120,3 +120,147 @@ def test_brier_bins_clamp_out_of_range_scores(spark):
     # reliability/resolution use bin means of the RAW scores, so only
     # the bin ASSIGNMENT is asserted equal — compare bin-dependent n
     assert got["uncertainty"] == ref["uncertainty"]
+
+
+def test_knn_graph_hub_concentration(spark):
+    # planted hub: the zero vector's neighbors... instead plant a near-
+    # centroid point that everyone ranks first -> in_degree ~ n-1,
+    # while a far outlier draws no edges -> in_degree 0
+    from gordo_spark.operators.similarity import knn_graph_stats
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(0, [1.0, 0.0, 0.0])]  # the hub direction
+    # 20 points tightly around the hub direction
+    for i in range(1, 21):
+        v = np.array([1.0, 0.0, 0.0]) + 0.01 * rng.standard_normal(3)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((99, [-1.0, 0.0, 0.0]))  # antipodal outlier
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {r["vec_id"]: r for r in knn_graph_stats(df, k=3).collect()}
+    assert out[99]["in_degree"] == 0
+    assert out[99]["reciprocal_rate"] == 0.0
+    # the cluster members reciprocate heavily
+    assert sum(r["n_reciprocal"] for r in out.values()) > 0
+    # everyone appears exactly once
+    assert len(out) == 22
+
+
+def test_rrf_fusion_rewards_agreement(spark):
+    from gordo_spark.operators.similarity import rrf_fusion
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (9, 2), (1, 3)], "doc_id int, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fusion([a, b], rrf_k=60).collect()}
+    # doc 2 (ranks 2+1) beats doc 1 (ranks 1+3); singles trail
+    assert out[2]["fused_rank"] == 1 and out[2]["n_lists"] == 2
+    assert out[1]["fused_rank"] == 2
+    assert out[3]["n_lists"] == 1 and out[9]["n_lists"] == 1
+    import pytest as _pt
+
+    assert out[2]["rrf_score"] == _pt.approx(
+        round(1 / 62 + 1 / 61, 6), abs=1e-9
+    )
+
+
+def test_sample_k_per_group_exact_and_salted(spark):
+    from gordo_spark.operators.sampling import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(200)], "doc_id int, g string"
+    )
+    s1 = sample_k_per_group(df, "g", "doc_id", k=10)
+    got = s1.groupBy("g").count().collect()
+    assert all(r["count"] == 10 for r in got) and len(got) == 4
+    # reproducible; different salt redraws
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    ids1b = {r["doc_id"] for r in sample_k_per_group(df, "g", "doc_id", 10).collect()}
+    ids2 = {r["doc_id"] for r in sample_k_per_group(df, "g", "doc_id", 10, salt="other").collect()}
+    assert ids1 == ids1b and ids1 != ids2
+    # small group: min(k, |group|)
+    tiny = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id int, g string")
+    assert sample_k_per_group(tiny, "g", "doc_id", 10).count() == 2
+
+
+def test_quarantine_split_multi_reason_and_conservation(spark):
+    from gordo_spark.operators.quality_checks import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok_type"), (2, 500.0, "error"), (3, None, "x"), (4, 5.0, "error")],
+        "event_id int, value double, event_type string",
+    )
+    out = quarantine_split(
+        df,
+        [
+            ("spike", F.col("value") > 400),
+            ("err", F.col("event_type") == "error"),
+            ("nullv", F.col("value").isNull()),
+        ],
+    ).collect()
+    by = {r["event_id"]: r for r in out}
+    assert len(out) == 4  # nothing dropped
+    assert by[1]["status"] == "ok" and by[1]["reasons"] is None
+    assert by[2]["reasons"] == "spike,err"  # rule order preserved
+    assert by[3]["reasons"] == "nullv"
+    assert by[4]["reasons"] == "err"
+
+
+def test_schema_drift_detects_missing_and_mean_shift(spark):
+    from gordo_spark.operators.quality_checks import schema_drift
+
+    old = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(100)], "a int, b double"
+    )
+    new = spark.createDataFrame(
+        [(i, float(i % 10) + 5.0) for i in range(100)], "a int, b double"
+    ).drop("a")
+    out = {r["column"]: r for r in schema_drift(old, new, ["a", "b"]).collect()}
+    assert out["a"]["verdict"] == "missing"
+    assert out["b"]["verdict"] == "mean_drift"
+    same = {r["column"]: r for r in schema_drift(old, old, ["a", "b"]).collect()}
+    assert same["a"]["verdict"] == "stable" and same["b"]["verdict"] == "stable"
+
+
+def test_control_rules_planted_shift(spark):
+    import datetime as _dt
+
+    from gordo_spark.operators.tsa import control_rules
+
+    base = _dt.datetime(2024, 1, 1)
+    # 40 alternating points around 0, then a sustained +1.2 shift of 12
+    vals = [(-1) ** i * 1.0 for i in range(40)] + [1.2] * 12
+    rows = [
+        ("t", base + _dt.timedelta(hours=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    out = sorted(control_rules(df).collect(), key=lambda r: r["ts"])
+    # the shift trips the 8-run rule once 8 same-side points accumulate
+    assert any(r["r4_8_run"] for r in out[40:])
+    # no 3-sigma spikes anywhere (max |value - mu| ~ 1.3, sigma ~ 1)
+    assert not any(r["r1_beyond_3s"] for r in out)
+    # constant series: sigma 0 -> NULL z, all rules false
+    flat = spark.createDataFrame(
+        [("c", base + _dt.timedelta(hours=i), 5.0) for i in range(10)],
+        "tag string, ts timestamp, value double",
+    )
+    fr = control_rules(flat).collect()
+    assert all(r["z"] is None and not r["any_signal"] for r in fr)
+
+
+def test_trimmed_mean_robust_to_outliers(spark):
+    from gordo_spark.operators.ranking import trimmed_mean
+
+    rows = [("g", float(v)) for v in range(1, 100)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = trimmed_mean(df, "g", "v", trim=0.1).first()
+    assert out["n"] == 100 and out["n_used"] < 100
+    # the 1e9 outlier is gone; the trimmed mean sits near the median 50
+    assert 40 < out["trimmed_mean"] < 60
+    # trim=0 keeps everything
+    full = trimmed_mean(df, "g", "v", trim=0.0).first()
+    assert full["n_used"] == 100
