@@ -1343,6 +1343,156 @@ GROUP BY j.c_mktsegment, n, lo_cut, hi_cut
 """
 
 
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free smoothed target encoding (ml/features.target_encode,
+    leave-one-out): order priority encoded against order value with the
+    row's own target excluded from its category mean, 20
+    pseudo-observations of shrinkage toward the global mean — the
+    high-cardinality categorical-feature standard."""
+    from gordo_spark.ml.features import target_encode
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return target_encode(
+        orders, "o_orderpriority", "o_totalprice",
+        smoothing=20.0, leave_one_out=True,
+    )
+
+
+O_TARGET_ENCODE = """
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+per AS (
+  SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS s
+  FROM r GROUP BY 1
+),
+g AS (SELECT avg(o_totalprice) AS gm FROM r)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ROUND(COALESCE(
+         ((n - 1) * (CASE WHEN n > 1
+                          THEN (s - o_totalprice) / (n - 1) END)
+          + 20.0 * gm) / ((n - 1) + 20.0),
+         gm), 6) AS target_enc
+FROM r JOIN per USING (o_orderpriority), g
+"""
+
+
+def q_isotonic_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) probability calibration (ml/features.
+    isotonic_calibration): monotone map from a 3dp score grid to
+    empirical P(y=1) — the non-parametric companion to brier/ECE.
+    Score = md5-derived pseudo-probability, label = high-value order;
+    iterative-fit contract class (rows-only; numpy PAV pinned in
+    pytest)."""
+    from gordo_spark.ml.features import isotonic_calibration
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        (F.pmod(F.col("o_orderkey"), F.lit(1000)) / 1000.0).alias("p"),
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("y"),
+    )
+    return isotonic_calibration(orders, "p", "y", precision=3)
+
+
+def q_json_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload conformance monitor (operators/quality_checks.
+    json_conformance): per event type, parse rate + per-required-key
+    presence rates ('k' is the real payload key, 'missing_key' the
+    planted absent one) — the ingest-contract tripwire."""
+    from gordo_spark.operators.quality_checks import json_conformance
+
+    ev = read_table(spark, sf_dir, "events")
+    return json_conformance(
+        ev, "props", ["k", "missing_key"], group_col="event_type"
+    )
+
+
+O_JSON_CONFORMANCE = """
+SELECT event_type, count(*) AS n,
+       ROUND(avg(CASE WHEN json_valid(props) THEN 1 ELSE 0 END), 6)
+         AS parse_rate,
+       ROUND(avg(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                      THEN 1 ELSE 0 END), 6) AS has_k,
+       ROUND(avg(CASE WHEN json_extract(props, '$.missing_key') IS NOT NULL
+                      THEN 1 ELSE 0 END), 6) AS has_missing_key
+FROM events GROUP BY 1
+"""
+
+
+def q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster quality audit (operators/dedup.cluster_cohesion):
+    per connected component, exact pairwise shingle-Jaccard min/mean —
+    catches LSH transitive over-merging (a chain-welded cluster shows a
+    near-zero min_jaccard) on the clusters survivor selection acts on."""
+    from gordo_spark.operators.dedup import (
+        cluster_cohesion,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return cluster_cohesion(docs, connected_components(pairs))
+
+
+def _o_cluster_cohesion() -> str:
+    return f"""
+WITH comp AS ({O_DEDUP_COMPONENTS}),
+docs AS ({_O_DOCS_DUPS}),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                                ' ')
+         )) AS toks
+  FROM docs
+),
+tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+prs AS (
+  SELECT a.component, a.id AS ia, b.id AS ib
+  FROM comp a JOIN comp b ON a.component = b.component AND a.id < b.id
+),
+jac AS (
+  SELECT component,
+         len(list_intersect(ta.toks, tb.toks))
+           / CAST(len(ta.toks) + len(tb.toks)
+                  - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) AS j
+  FROM prs JOIN tt ta ON prs.ia = ta.doc_id JOIN tt tb ON prs.ib = tb.doc_id
+),
+sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+SELECT component, n_members, count(*) AS n_pairs,
+       ROUND(min(j), 6) AS min_jaccard, ROUND(avg(j), 6) AS avg_jaccard
+FROM jac JOIN sizes USING (component)
+GROUP BY component, n_members
+"""
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/similarity.mmr_rerank) of the
+    exact-cosine top-20 for query vector 0 (lambda=0.7, k=10) — the
+    retrieve-then-diversify pass of a RAG stack; greedy argmax over the
+    bounded candidate set, numpy on a bounded collect (iterative-fit
+    contract class, rows-only; greedy pinned in pytest)."""
+    from gordo_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    cands = (
+        cosine_topk(embs, embs.filter(F.col("vec_id") == 0), k=20)
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("cosine_sim").alias("relevance"),
+        )
+        .join(embs.select("vec_id", "embedding"), "vec_id")
+    )
+    return mmr_rerank(cands, k=10, lam=0.7)
+
+
 # ----------------------------------------------- fleet-width multi-machine
 _FLEET_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -11530,6 +11680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m6_anomaly_multi": q_m6_anomaly_multi,
         "fleet_fill": q_fleet_fill,
         "knn_graph": q_knn_graph,
+        "target_encode": q_target_encode,
+        "isotonic_calib": q_isotonic_calib,
+        "json_conformance": q_json_conformance,
+        "cluster_cohesion": q_cluster_cohesion,
+        "mmr_rerank": q_mmr_rerank,
         "rrf_hybrid": q_rrf_hybrid,
         "group_sample_k": q_group_sample,
         "quarantine_split": q_quarantine,
@@ -11793,6 +11948,9 @@ def oracle_sql() -> dict[str, str]:
         "m6_anomaly_multi": O_M6_MULTI,
         "fleet_fill": O_FLEET_FILL,
         "knn_graph": O_KNN_GRAPH,
+        "target_encode": O_TARGET_ENCODE,
+        "json_conformance": O_JSON_CONFORMANCE,
+        "cluster_cohesion": _o_cluster_cohesion(),
         "rrf_hybrid": _o_rrf_hybrid(),
         "group_sample_k": O_GROUP_SAMPLE,
         "quarantine_split": O_QUARANTINE,

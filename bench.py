@@ -74,6 +74,10 @@ HEADLINE = [
     "schema_drift",
     "control_rules",
     "trimmed_mean",
+    "target_encode",
+    "json_conformance",
+    "cluster_cohesion",
+    "mmr_rerank",
     "a9_explained_variance",
     "o5_distinct",
     "asof_join",

@@ -1657,3 +1657,73 @@ def containment_join(
         "size_contained",
         F.round(c, 6).alias("containment"),
     )
+
+
+def cluster_cohesion(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup-cluster QUALITY audit: per connected component, the exact
+    pairwise shingle-Jaccard min / mean over all within-cluster pairs —
+    the readout that catches LSH over-merging (a transitive chain
+    A~B~C can weld documents with near-zero direct similarity into one
+    cluster; min_jaccard exposes exactly that, and survivor selection
+    over a welded cluster deletes non-duplicates). The eval companion
+    to ``lsh_eval`` (which scores candidate PAIRS; this scores the
+    CLUSTERS the pipeline actually acts on).
+
+    Scale shape: pairs come from an id-keyed equi-join of the component
+    table with itself — bounded by sum over clusters of |cluster|^2,
+    the quantity a sane dedup run keeps small anyway (a huge cluster is
+    itself the signal); token arrays attach by id join from the pinned
+    shingle table, intersection is row-local. Output per component:
+    ``(component, n_members, n_pairs, min_jaccard, avg_jaccard)``.
+    Singleton components are excluded (no pairs to audit; stated).
+    """
+    toks = shingle_token_table(docs, id_col, text_col, shingle_n)
+    mem = components.select(F.col("id").alias("_id"), "component")
+    pairs = (
+        mem.alias("a")
+        .join(mem.alias("b"), "component")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            "component",
+            F.col("a._id").alias("_ia"),
+            F.col("b._id").alias("_ib"),
+        )
+    )
+    jac = (
+        pairs.join(
+            toks.select(F.col("_id").alias("_ia"), F.col("_toks").alias("_ta")),
+            "_ia",
+        )
+        .join(
+            toks.select(F.col("_id").alias("_ib"), F.col("_toks").alias("_tb")),
+            "_ib",
+        )
+        .select(
+            "component",
+            (
+                F.size(F.array_intersect("_ta", "_tb"))
+                / (
+                    F.size("_ta")
+                    + F.size("_tb")
+                    - F.size(F.array_intersect("_ta", "_tb"))
+                )
+            ).alias("_j"),
+        )
+    )
+    sizes = mem.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    per = jac.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("_j"), 6).alias("min_jaccard"),
+        F.round(F.avg("_j"), 6).alias("avg_jaccard"),
+    )
+    return per.join(sizes, "component").select(
+        "component", "n_members", "n_pairs", "min_jaccard", "avg_jaccard"
+    )

@@ -623,3 +623,39 @@ def schema_drift(
         ).alias("rel_mean_delta"),
         verdict.alias("verdict"),
     )
+
+
+def json_conformance(
+    df: DataFrame,
+    json_col: str,
+    required_keys: list[str],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Semi-structured payload conformance rates — the ingest-contract
+    monitor for JSON columns: per group (or globally), what fraction of
+    payloads parse at all, and what fraction carries each required key
+    non-null. The per-key columns localize WHICH field an upstream
+    producer dropped (a single "valid JSON" rate cannot).
+
+    Row-local JVM-side extraction (``get_json_object`` — no Python, no
+    parse-into-driver) feeding one hash aggregation: the
+    events_json_extract discipline, turned into a contract monitor.
+    Output: ``(group?, n, parse_rate, has_<key> rate...)`` rounded to 6.
+    """
+    c = F.col(json_col)
+    parse_ok = F.get_json_object(c, "$").isNotNull().cast("int")
+    keys = {
+        k: F.get_json_object(c, f"$.{k}").isNotNull().cast("int")
+        for k in required_keys
+    }
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(parse_ok), 6).alias("parse_rate"),
+        *[
+            F.round(F.avg(expr), 6).alias(f"has_{k}")
+            for k, expr in keys.items()
+        ],
+    ]
+    if group_col:
+        return df.groupBy(group_col).agg(*aggs)
+    return df.agg(*aggs)

@@ -1838,3 +1838,71 @@ def rrf_fusion(
         "rrf_score",
         F.row_number().over(w).alias("fused_rank"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "relevance",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) of a BOUNDED retriever output: greedily pick the candidate
+    maximizing ``lam * relevance - (1 - lam) * max_sim_to_selected`` —
+    the diversity pass between retrieval and a context window (ten
+    near-identical passages waste nine slots).
+
+    Scale shape: the input is a top-n retriever output (TakeOrdered —
+    tens of rows by construction), so the n x n cosine matrix and the
+    greedy loop run driver-side numpy on a BOUNDED collect (the
+    markov_attribution / codebook precedent — k sequential argmaxes
+    over <= n rows as Spark jobs would be pure scheduler overhead).
+    Relevance and similarities round to 6dp before the greedy
+    comparisons (engine-portable argmax; id-ascending tiebreak).
+    Output: ``(id, mmr_rank, relevance, objective)`` — iterative-fit
+    contract class (numpy-pinned, rows-only oracle).
+    """
+    import numpy as np
+
+    rows = (
+        candidates.select(
+            F.col(id_col).alias("_id"),
+            F.round(F.col(rel_col).cast("double"), 6).alias("_rel"),
+            _as_double(F.col(vec_col)).alias("_v"),
+        )
+        .orderBy("_id")
+        .collect()
+    )  # bounded: retriever top-n
+    if not rows:
+        return candidates.sparkSession.createDataFrame(
+            [], f"{id_col} long, mmr_rank int, relevance double, objective double"
+        )
+    ids = [r["_id"] for r in rows]
+    rel = np.array([r["_rel"] for r in rows])
+    V = np.stack([np.array(r["_v"], dtype=float) for r in rows])
+    norms = np.linalg.norm(V, axis=1)
+    S = np.round((V @ V.T) / np.outer(norms, norms), 6)
+    n = len(ids)
+    lam = float(lam)
+    picked: list[int] = []
+    objs: list[float] = []
+    remaining = set(range(n))
+    for _ in range(min(int(k), n)):
+        best_i, best_obj = None, None
+        for i in sorted(remaining):  # id-order scan = id-asc tiebreak
+            penalty = max((S[i, j] for j in picked), default=0.0)
+            obj = round(lam * rel[i] - (1.0 - lam) * penalty, 6)
+            if best_obj is None or obj > best_obj:
+                best_i, best_obj = i, obj
+        picked.append(best_i)
+        objs.append(best_obj)
+        remaining.discard(best_i)
+    out = [
+        (int(ids[i]), r + 1, float(rel[i]), float(objs[r]))
+        for r, i in enumerate(picked)
+    ]
+    return candidates.sparkSession.createDataFrame(
+        out, f"{id_col} long, mmr_rank int, relevance double, objective double"
+    )

@@ -323,3 +323,29 @@ def stream_psi_monitor(
         "n",
         F.round(term, 6).alias("psi"),
     )
+
+
+def stream_sampled_ingest(
+    stream: DataFrame,
+    id_col: str,
+    rate: float,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic rate-limited stream ingest: keep a row iff its
+    md5 hash bucket falls under ``rate`` — the throttle for firehose
+    sources where only a fixed fraction should reach the lake. Because
+    the decision is a PURE FUNCTION of the row's id (the
+    sampling.hash_bucket batch primitive applied unchanged to a
+    streaming frame), it is (a) stateless — no dedup store, no
+    watermark, nothing to checkpoint beyond the source offsets; (b)
+    replay-stable — a reprocessed micro-batch keeps exactly the same
+    rows, so at-least-once delivery upstream cannot double-sample; and
+    (c) batch-consistent — the stream's kept set IS the batch
+    ``stratified_sample`` of the same data (stream == batch pinned in
+    tests). Appends ``sample_bucket`` for downstream audit."""
+    from gordo_spark.operators.sampling import hash_bucket
+
+    b = hash_bucket(F.col(id_col), buckets)
+    return stream.withColumn("sample_bucket", b).filter(
+        F.col("sample_bucket") < int(round(float(rate) * buckets))
+    )

@@ -72,6 +72,8 @@ ACCEPTED = {
     "the dedup_embed_cosine convention)",
     "rrf_hybrid": "corpus x broadcast 1-row query vector (the sim_bruteforce "
     "constant side)",
+    "target_encode": "1-row global-mean frame broadcast to the encoded rows "
+    "(the source_quality_filter scalar shape)",
     "sim_bruteforce": "defined computation: corpus x broadcast query batch "
     "(query batch is the constant side)",
     "ann_recall": "exact-truth side is the sim_bruteforce corpus x "

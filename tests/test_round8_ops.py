@@ -264,3 +264,168 @@ def test_trimmed_mean_robust_to_outliers(spark):
     # trim=0 keeps everything
     full = trimmed_mean(df, "g", "v", trim=0.0).first()
     assert full["n_used"] == 100
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    from gordo_spark.ml.features import target_encode
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 100.0)],
+        "id int, cat string, y double",
+    )
+    out = {r["id"]: r["target_enc"] for r in
+           target_encode(df, "cat", "y", smoothing=2.0, leave_one_out=True).collect()}
+    g = (10 + 20 + 30 + 100) / 4.0
+    # row 1: peers (20, 30) -> loo mean 25, n_eff 2
+    assert out[1] == pytest.approx(round((2 * 25 + 2 * g) / 4, 6), abs=1e-9)
+    # singleton category b: no peers -> pure prior
+    assert out[4] == pytest.approx(round(g, 6), abs=1e-9)
+    # plain (non-LOO) mode includes own row
+    plain = {r["id"]: r["target_enc"] for r in
+             target_encode(df, "cat", "y", smoothing=2.0).collect()}
+    assert plain[1] == pytest.approx(round((3 * 20 + 2 * g) / 5, 6), abs=1e-9)
+
+
+def test_isotonic_calibration_pav_parity(spark):
+    from gordo_spark.ml.features import isotonic_calibration
+
+    import numpy as np
+
+    # noisy but increasing relationship; PAV must produce a monotone fit
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(2000):
+        s = round(float(rng.random()), 3)
+        y = int(rng.random() < 0.2 + 0.6 * s)
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = isotonic_calibration(df, "p", "y", precision=2).collect()
+    cal = [r["calibrated"] for r in sorted(out, key=lambda r: r["score_grid"])]
+    assert all(a <= b + 1e-9 for a, b in zip(cal, cal[1:]))  # monotone
+    # weighted mean of the fit equals the base rate (PAV invariant)
+    n = np.array([r["n"] for r in out]); c = np.array([r["calibrated"] for r in out])
+    pos = np.array([r["n_pos"] for r in out])
+    assert np.average(c, weights=n) == pytest.approx(pos.sum() / n.sum(), abs=1e-4)
+    # reference numpy PAV on the same grid agrees pointwise
+    import collections
+    from decimal import ROUND_HALF_UP, Decimal
+
+    agg = collections.OrderedDict()
+    for s, y in rows:
+        # Spark's F.round is HALF_UP; Python round() is banker's — the
+        # reference must bucket identically or grids diverge at .xx5
+        k = float(Decimal(repr(s)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+        nn, pp = agg.get(k, (0, 0)); agg[k] = (nn + 1, pp + y)
+    ks = sorted(agg)
+    blocks = []
+    for k in ks:
+        nn, pp = agg[k]; blocks.append([float(nn), float(pp)])
+        while len(blocks) > 1 and blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]:
+            w, sm = blocks.pop(); blocks[-1][0] += w; blocks[-1][1] += sm
+    ref = []
+    for w, sm in blocks:
+        m = sm / w
+        cnt = 0
+        while cnt < w:
+            k = ks[len(ref)]
+            ref.append(round(m, 6)); cnt += agg[k][0]
+    got = {r["score_grid"]: r["calibrated"] for r in out}
+    for k, v in zip(ks, ref):
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_json_conformance_flags_malformed_and_missing(spark):
+    from gordo_spark.operators.quality_checks import json_conformance
+
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 1, "u": 2}'),
+            ("a", "not json"),
+            ("a", None),
+            ("b", '{"u": 5}'),
+        ],
+        "g string, props string",
+    )
+    out = {r["g"]: r for r in
+           json_conformance(df, "props", ["k", "u"], group_col="g").collect()}
+    assert out["a"]["n"] == 3
+    assert out["a"]["parse_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["a"]["has_k"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["b"]["has_k"] == 0.0 and out["b"]["has_u"] == 1.0
+
+
+def test_cluster_cohesion_exposes_chain_welding(spark):
+    from gordo_spark.operators.dedup import cluster_cohesion
+
+    # A~B and B~C similar, A vs C disjoint: one welded component whose
+    # min_jaccard is ~0 while avg is moderate — the over-merge signal
+    wa = " ".join(f"a{i}" for i in range(30))
+    wb = " ".join(f"a{i}" for i in range(15, 45))
+    wc = " ".join(f"a{i}" for i in range(30, 60))
+    docs = spark.createDataFrame(
+        [(1, wa), (2, wb), (3, wc)], "doc_id int, text string"
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id int, component int"
+    )
+    out = cluster_cohesion(docs, comps).first()
+    assert out["n_members"] == 3 and out["n_pairs"] == 3
+    assert out["min_jaccard"] == 0.0  # A and C share nothing
+    assert out["avg_jaccard"] > 0.05
+
+
+def test_mmr_rerank_diversifies(spark):
+    from gordo_spark.operators.similarity import mmr_rerank
+
+    # two tight clusters of relevant docs + one mid-relevance loner:
+    # pure relevance ranks cluster-1 twice before the loner; MMR must
+    # interleave the loner earlier than its relevance rank
+    rows = [
+        (1, 0.99, [1.0, 0.0, 0.0]),
+        (2, 0.98, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, 0.97, [0.998, 0.02, 0.0]),   # near-dup of 1
+        (4, 0.60, [0.0, 1.0, 0.0]),      # orthogonal loner
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, relevance double, embedding array<float>"
+    )
+    out = sorted(
+        mmr_rerank(df, k=4, lam=0.5).collect(), key=lambda r: r["mmr_rank"]
+    )
+    order = [r["vec_id"] for r in out]
+    assert order[0] == 1  # first pick = max relevance
+    assert order[1] == 4  # diversity promotes the orthogonal doc to #2
+    # lam=1 degenerates to pure relevance order
+    pure = [r["vec_id"] for r in sorted(
+        mmr_rerank(df, k=4, lam=1.0).collect(), key=lambda r: r["mmr_rank"]
+    )]
+    assert pure == [1, 2, 3, 4]
+
+
+def test_stream_sampled_ingest_matches_batch(spark, sf_dir, tmp_path):
+    from gordo_spark.operators.sampling import stratified_sample
+    from gordo_spark.sources.io import read_table
+    from gordo_spark.streaming.quality import stream_sampled_ingest
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    path = f"{tmp_path}/ingest_src"
+    ev.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    q = (
+        stream_sampled_ingest(stream, "event_id", rate=0.25)
+        .writeStream.format("memory")
+        .queryName("sampled_ingest_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"] for r in spark.table("sampled_ingest_test").collect()
+    }
+    exp = {
+        r["event_id"]
+        for r in stratified_sample(ev, "event_id", 0.25).collect()
+    }
+    assert got == exp  # stream == batch, exactly
+    assert 0 < len(got) < ev.count()
