@@ -1493,6 +1493,102 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cands, k=10, lam=0.7)
 
 
+
+def q_simhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SimHash hamming join (operators/dedup.simhash_hamming_join,
+    32-bit fingerprints, hamming <= 3) over the dup corpus — pigeonhole
+    banding bounds candidates (k differing bits cannot touch k+1
+    disjoint bands), bit_count(xor) verifies exactly. Completes the
+    guaranteed-recall join family (Jaccard / containment / hamming)."""
+    from gordo_spark.operators.dedup import simhash_hamming_join
+
+    return simhash_hamming_join(
+        _docs_with_dups(spark, sf_dir), max_hamming=3, bits=32
+    )
+
+
+def _o_simhash_join() -> str:
+    body = _simhash_sql(32).strip()
+    # the helper reads FROM documents; point it at the dup-corpus CTE
+    body = body.replace("FROM documents", "FROM docs")
+    return f"""
+WITH docs AS ({_O_DOCS_DUPS}),
+fp AS ({body})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_dice_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Dice-coefficient join (operators/dedup.dice_threshold_join,
+    t=0.9) over the dup corpus: PPJoin candidates at the equivalent
+    Jaccard threshold (minus an ulp of slack), Dice verified directly
+    from exact integer sizes."""
+    from gordo_spark.operators.dedup import dice_threshold_join
+
+    return dice_threshold_join(_docs_with_dups(spark, sf_dir), threshold=0.9)
+
+
+def _o_dice_join() -> str:
+    return f"""
+WITH docs AS ({_O_DOCS_DUPS}),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                                ' ')
+         )) AS toks
+  FROM docs
+),
+tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) + len(b.toks) AS size_sum
+  FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(inter AS INT) AS inter,
+       CAST(size_sum AS INT) AS size_sum,
+       ROUND(2.0 * inter / size_sum, 6) AS dice
+FROM pairs WHERE 2.0 * inter / size_sum >= 0.9
+"""
+
+
+def q_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed skip-gram co-occurrence counts (operators/text.
+    skipgram_pairs, window=3, min_count=5): the word2vec training-pair
+    extraction; shifted-copy equi-join keeps volume at window x tokens,
+    never L^2 per document."""
+    from gordo_spark.operators.text import skipgram_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return skipgram_pairs(docs, window=3, min_count=5)
+
+
+O_SKIPGRAMS = """
+WITH toks AS (
+  SELECT doc_id, p - 1 AS p, tok
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS p
+    FROM documents
+  ) WHERE tok <> ''
+),
+d AS (SELECT unnest(generate_series(1, 3)) AS d),
+pairs AS (
+  SELECT c.tok AS center, x.tok AS context
+  FROM toks c CROSS JOIN d
+  JOIN toks x ON x.doc_id = c.doc_id AND x.p = c.p + d.d
+)
+SELECT center, context, count(*) AS n
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+"""
+
+
 # ----------------------------------------------- fleet-width multi-machine
 _FLEET_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -11685,6 +11781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_conformance": q_json_conformance,
         "cluster_cohesion": q_cluster_cohesion,
         "mmr_rerank": q_mmr_rerank,
+        "simhash_join": q_simhash_join,
+        "dice_join": q_dice_join,
+        "skipgram_pairs": q_skipgrams,
         "rrf_hybrid": q_rrf_hybrid,
         "group_sample_k": q_group_sample,
         "quarantine_split": q_quarantine,
@@ -11951,6 +12050,9 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": O_TARGET_ENCODE,
         "json_conformance": O_JSON_CONFORMANCE,
         "cluster_cohesion": _o_cluster_cohesion(),
+        "simhash_join": _o_simhash_join(),
+        "dice_join": _o_dice_join(),
+        "skipgram_pairs": O_SKIPGRAMS,
         "rrf_hybrid": _o_rrf_hybrid(),
         "group_sample_k": O_GROUP_SAMPLE,
         "quarantine_split": O_QUARANTINE,

@@ -78,6 +78,9 @@ HEADLINE = [
     "json_conformance",
     "cluster_cohesion",
     "mmr_rerank",
+    "simhash_join",
+    "dice_join",
+    "skipgram_pairs",
     "a9_explained_variance",
     "o5_distinct",
     "asof_join",

@@ -1727,3 +1727,127 @@ def cluster_cohesion(
     return per.join(sizes, "component").select(
         "component", "n_members", "n_pairs", "min_jaccard", "avg_jaccard"
     )
+
+
+def simhash_hamming_join(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT SimHash hamming-distance join: every pair of documents
+    whose ``bits``-bit fingerprints differ in at most ``max_hamming``
+    bits — the third guaranteed-recall similarity join beside
+    jaccard_threshold_join (set overlap) and containment_join
+    (directed subset), covering the HAMMING regime SimHash lives in
+    (Manku et al., WWW'07 — Google's web near-dup detector).
+
+    Candidate bound by PIGEONHOLE BANDING: split the fingerprint into
+    ``max_hamming + 1`` contiguous bands; two fingerprints within
+    ``max_hamming`` bits MUST agree exactly on at least one band (k
+    differing bits cannot touch k+1 disjoint bands), so candidates come
+    from k+1 equi-joins on (band_id, band_value) — posting lists over
+    band values, never all pairs. Survivors verify exactly with
+    ``bit_count(xor)`` (row-local, JVM-side). Same recall guarantee
+    class as the prefix filter; candidate volume is sum over band
+    buckets of |bucket|^2 — band width = bits/(k+1) controls bucket
+    granularity (wider bands = fewer, larger buckets).
+
+    The fingerprint table is pinned once (localCheckpoint — the band
+    index and both verify arms would each recompute the explode +
+    vote aggregation). Output ``(id_a, id_b, hamming)``, id_a < id_b.
+    """
+    k = int(max_hamming)
+    if k < 0 or k >= int(bits):
+        raise ValueError("max_hamming must be in [0, bits)")
+    nb = k + 1
+    fps = simhash(df, id_col=id_col, text_col=text_col, bits=int(bits))
+    fps = fps.localCheckpoint()
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    starts = [sum(widths[:i]) for i in range(nb)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("b"),
+                F.shiftright(F.col("simhash"), starts[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("v"),
+            )
+            for i in range(nb)
+        ]
+    )
+    ex = fps.select(
+        F.col(id_col).alias("_id"), F.explode(bands).alias("_bb")
+    ).select("_id", F.col("_bb.b").alias("_b"), F.col("_bb.v").alias("_v"))
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), ["_b", "_v"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa")),
+            "id_a",
+        )
+        .join(
+            fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("hamming"),
+        )
+    )
+    return verified.filter(F.col("hamming") <= k)
+
+
+def dice_threshold_join(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT Dice-coefficient similarity join: pairs with
+    ``2|A∩B| / (|A|+|B|) >= threshold`` — Dice weights the overlap
+    against the MEAN set size instead of the union, the convention in
+    bio/NLP string matching (and monotone-equivalent to Jaccard:
+    ``dice >= t  <=>  jaccard >= t/(2-t)``).
+
+    Candidates reuse the full PPJoin stack at the EQUIVALENT Jaccard
+    threshold (minus one ulp of slack so a float boundary can never
+    drop a true pair — recall stays guaranteed); the verify computes
+    Dice DIRECTLY from the exact integer sizes, so the output
+    threshold decision is its own arithmetic, bit-identical on any
+    engine. Output ``(id_a, id_b, inter, size_sum, dice)``.
+    """
+    t = float(threshold)
+    if not 0 < t <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    jt = max(t / (2.0 - t) - 1e-9, 0.0)
+    toks = shingle_token_table(df, id_col, text_col, shingle_n)
+    cand = jaccard_candidates(toks, jt)
+    verified = (
+        cand.join(
+            toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta")),
+            "id_a",
+        )
+        .join(
+            toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("inter"),
+            (F.size("_ta") + F.size("_tb")).alias("size_sum"),
+        )
+    )
+    dice = 2.0 * F.col("inter") / F.col("size_sum")
+    return verified.filter(dice >= t).select(
+        "id_a", "id_b", "inter", "size_sum", F.round(dice, 6).alias("dice")
+    )

@@ -1662,3 +1662,53 @@ def langid_confusion(
         .withColumn("correct", F.col("label") == F.col("pred"))
         .orderBy("label", "pred")
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directed skip-gram co-occurrence counts: ``(center, context, n)``
+    for every context token at distance 1..``window`` AFTER the center
+    — the word2vec/GloVe training-pair extraction and the windowed
+    companion to ``pmi_bigrams`` (adjacent-only). ``min_count`` prunes
+    the long tail AFTER counting.
+
+    Scale shape: NOT a position band join (a doc-keyed self-join with a
+    position filter offers Catalyst only the doc key, so every L-token
+    document expands to L^2 rows before the band filter). Instead the
+    position stream replicates ``window`` times with shifted positions
+    — the join is a full equi-join on (doc, position), row volume
+    exactly window x tokens (the output's own size), and the pair count
+    map-side combines. Positions come from one posexplode; text never
+    shuffles (tokens do).
+    """
+    w = int(window)
+    if w < 1:
+        raise ValueError("window must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_p", "_tok"),
+    ).filter(F.col("_tok") != "")
+    # center replicated at +1..+window: shifted copies equi-join the
+    # context stream on (doc, position) — linear, never L^2
+    shifted = toks.select(
+        "_id",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, w + 1)])
+        ).alias("_d"),
+        F.col("_p").alias("_pc"),
+        F.col("_tok").alias("center"),
+    ).select("_id", (F.col("_pc") + F.col("_d")).alias("_p"), "center")
+    pairs = shifted.join(
+        toks.select("_id", "_p", F.col("_tok").alias("context")),
+        ["_id", "_p"],
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )

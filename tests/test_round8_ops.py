@@ -429,3 +429,75 @@ def test_stream_sampled_ingest_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == exp  # stream == batch, exactly
     assert 0 < len(got) < ev.count()
+
+
+def test_simhash_hamming_join_exact_recall(spark):
+    # property: banding must find EVERY pair within max_hamming — verify
+    # against the brute-force truth on a corpus with planted near-dups
+    from gordo_spark.operators.dedup import simhash, simhash_hamming_join
+
+    base = [
+        (i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(25)
+    ]
+    dups = [(100 + i, t + " extra token") for i, t in base[:10]]
+    docs = spark.createDataFrame(base + dups, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_join(docs, max_hamming=4, bits=32).collect()
+    }
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    ids = sorted(fps)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 4:
+                truth[(a, b)] = h
+    assert got == truth and len(truth) > 0
+
+
+def test_dice_join_matches_bruteforce(spark):
+    from gordo_spark.operators.dedup import dice_threshold_join, word_shingles
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(25))) for i in range(10)]
+    # planted: doc 100 shares ~90% of doc 0's shingles
+    rows.append((100, " ".join(f"t0_{j}" for j in range(24)) + " zzz"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dice"]
+        for r in dice_threshold_join(docs, threshold=0.5).collect()
+    }
+    toks = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    truth = {}
+    for a in sorted(toks):
+        for b in sorted(toks):
+            if a >= b:
+                continue
+            inter = len(toks[a] & toks[b])
+            d = 2 * inter / (len(toks[a]) + len(toks[b]))
+            if d >= 0.5:
+                truth[(a, b)] = round(d, 6)
+    assert got == truth and (0, 100) in got
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    from gordo_spark.operators.text import skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id int, text string"
+    )
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_pairs(docs, window=2, min_count=1).collect()
+    }
+    # directed, distance <= 2, two identical docs -> every count = 2
+    assert got == {
+        ("a", "b"): 2, ("a", "c"): 2,
+        ("b", "c"): 2, ("b", "d"): 2,
+        ("c", "d"): 2,
+    }
