@@ -495,3 +495,106 @@ def holt_winters_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def control_rules_stream(
+    stream: DataFrame,
+    reference: dict[str, tuple[float, float]],
+    key_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming Western-Electric control rules per key — the live SPC
+    monitor companion to the batch ``tsa.control_rules``: center/sigma
+    come from a FIXED training reference (``{key: (mu, sd)}``, the
+    stream_psi_monitor convention — a stream has no final stats), and
+    the run rules evaluate over the last 8 physical observations held
+    in bounded state (7 trailing z values + the current row — EXACTLY
+    the batch operator's rowsBetween frames, NaN standing in for the
+    batch's NULL z so physical row positions line up). Rule decisions
+    on 6dp-rounded z (the batch convention). stream == batch pinned in
+    tests when the reference equals the batch stats.
+
+    State per key: 7 doubles, constant at any ingest rate.
+    """
+    import math
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("z", DoubleType()),
+            StructField("r1_beyond_3s", BooleanType()),
+            StructField("r2_2of3_2s", BooleanType()),
+            StructField("r3_4of5_1s", BooleanType()),
+            StructField("r4_8_run", BooleanType()),
+            StructField("any_signal", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("tail", ArrayType(DoubleType()))]
+    )
+    ref = {str(k): (float(m), float(s)) for k, (m, s) in reference.items()}
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (tail,) = state.get if state.exists else ([],)
+        tail = list(tail)
+        mu, sd = ref.get(str(key[0]), (float("nan"), 0.0))
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        out = {c: [] for c in ("z", "r1", "r2", "r3", "r4")}
+        for x in rows[value_col]:
+            if sd > 0 and x is not None and not pd.isna(x):
+                z = round((float(x) - mu) / sd, 6)
+            else:
+                z = float("nan")
+            frame = tail + [z]
+
+            def cnt(w, pred):
+                vals = [v for v in frame[-w:] if not math.isnan(v)]
+                return len(vals), sum(1 for v in vals if pred(v))
+
+            has = not math.isnan(z)
+            n3u = cnt(3, lambda v: v > 2); n3d = cnt(3, lambda v: v < -2)
+            n5u = cnt(5, lambda v: v > 1); n5d = cnt(5, lambda v: v < -1)
+            n8u = cnt(8, lambda v: v > 0); n8d = cnt(8, lambda v: v < 0)
+            c3 = len([v for v in frame[-3:] if not math.isnan(v)])
+            c5 = len([v for v in frame[-5:] if not math.isnan(v)])
+            c8 = len([v for v in frame[-8:] if not math.isnan(v)])
+            r1 = has and abs(z) > 3
+            r2 = has and (n3u[1] >= 2 or n3d[1] >= 2) and c3 >= 3
+            r3 = has and (n5u[1] >= 4 or n5d[1] >= 4) and c5 >= 5
+            r4 = has and (n8u[1] >= 8 or n8d[1] >= 8) and c8 >= 8
+            out["z"].append(z if has else None)
+            out["r1"].append(r1); out["r2"].append(r2)
+            out["r3"].append(r3); out["r4"].append(r4)
+            tail = frame[-7:]
+        state.update((tail,))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: rows[ts_col].values,
+                value_col: rows[value_col].values,
+                "z": out["z"],
+                "r1_beyond_3s": out["r1"],
+                "r2_2of3_2s": out["r2"],
+                "r3_4of5_1s": out["r3"],
+                "r4_8_run": out["r4"],
+                "any_signal": [
+                    a or b or c or d
+                    for a, b, c, d in zip(
+                        out["r1"], out["r2"], out["r3"], out["r4"]
+                    )
+                ],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1424,3 +1424,52 @@ def test_stream_quantile_cells_matches_batch_and_estimates(spark, sf_dir, tmp_pa
     assert len(m) == len(exact) > 0
     bin_w = (hi - lo) / 256
     assert ((m["estimate"] - m["p50"]).abs() <= bin_w * 1.5).all()
+
+
+def test_stream_control_rules_match_batch(spark, sf_dir, tmp_path, events_schema):
+    """Western-Electric rules: the stateful stream with the batch stats
+    as its fixed reference must emit exactly the batch decisions."""
+    from gordo_spark.operators.tsa import control_rules
+    from gordo_spark.streaming.stateful import control_rules_stream
+
+    long = EventsAsSensorProvider(sf_dir).read(spark, TAGS)
+    res = resample_aggregate(long, "1H", "mean")
+    batch = control_rules(res).toPandas()
+    # the batch operator's internal stats (6dp-rounded, its convention)
+    stats = (
+        res.groupBy("tag")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mu"),
+            F.round(F.stddev_pop("value"), 6).alias("sd"),
+        )
+        .collect()
+    )
+    ref = {r["tag"]: (r["mu"], r["sd"]) for r in stats}
+    path = f"{tmp_path}/cr_src"
+    res.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(res.schema).parquet(path)
+    q = (
+        control_rules_stream(stream, ref)
+        .writeStream.format("memory")
+        .queryName("cr_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cr_stream_test").toPandas()
+    cols = ["tag", "ts"]
+    b = batch.sort_values(cols).reset_index(drop=True)
+    g = got.sort_values(cols).reset_index(drop=True)
+    assert len(b) == len(g)
+    for c in ["z", "r1_beyond_3s", "r2_2of3_2s", "r3_4of5_1s", "r4_8_run", "any_signal"]:
+        bb, gg = b[c], g[c]
+        if c == "z":
+            import numpy as np
+
+            assert np.allclose(
+                bb.fillna(-9e9).astype(float), gg.fillna(-9e9).astype(float),
+                atol=1e-12,
+            )
+        else:
+            assert (bb.astype(bool) == gg.astype(bool)).all(), c
