@@ -1589,6 +1589,120 @@ FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
 """
 
 
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact-cosine retriever (operators/experiments.
+    ndcg_at_k): queries = vectors 0..4, ranked = cosine_topk(k=10),
+    graded relevance = label match between query and neighbor (the
+    embeddings table's label column) — the ranking-quality eval closing
+    the retrieval family's loop."""
+    from gordo_spark.operators.experiments import ndcg_at_k
+    from gordo_spark.operators.similarity import cosine_topk
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    ranked = cosine_topk(embs, embs.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    qlab = embs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    dlab = embs.select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("_dl")
+    )
+    rel = (
+        ranked.join(qlab, "query_id")
+        .join(dlab, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("_ql") == F.col("_dl")).cast("int").alias("rel"),
+        )
+    )
+    return ndcg_at_k(ranked, rel, k=10)
+
+
+O_NDCG = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id, q.ql, e.label AS dl,
+         list_dot_product(qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, doc_id, ql, dl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= 10
+),
+terms AS (
+  SELECT query_id,
+         (pow(2.0, CASE WHEN ql = dl THEN 1 ELSE 0 END) - 1.0)
+           / (ln(rank + 1.0) / ln(2.0)) AS d,
+         (pow(2.0, CASE WHEN ql = dl THEN 1 ELSE 0 END) - 1.0)
+           / (ln(row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY CASE WHEN ql = dl THEN 1 ELSE 0 END DESC, rank
+              ) + 1.0) / ln(2.0)) AS i
+  FROM ranked
+),
+per AS (
+  SELECT query_id, ROUND(sum(d), 6) AS dcg, ROUND(sum(i), 6) AS idcg
+  FROM terms GROUP BY 1
+)
+SELECT query_id, dcg, idcg,
+       ROUND(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+FROM per
+"""
+
+
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift deciles (operators/experiments.
+    lift_curve): md5-derived pseudo-score against the high-value-order
+    label — the targeting readout that says WHERE to cut, beside
+    auc_exact's single number. Deterministic ntile split (score desc,
+    orderkey tiebreak)."""
+    from gordo_spark.operators.experiments import lift_curve
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.pmod(F.col("o_orderkey") * 37, F.lit(1000)) / 1000.0).alias("p"),
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("y"),
+    )
+    return lift_curve(orders, "p", "y", n_buckets=10, id_col="o_orderkey")
+
+
+O_LIFT_CURVE = """
+WITH r AS (
+  SELECT o_orderkey,
+         ROUND(((o_orderkey * 37) % 1000) / 1000.0, 3) AS p,
+         CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+binned AS (
+  SELECT ntile(10) OVER (ORDER BY p DESC, o_orderkey) AS bucket, y FROM r
+),
+agg AS (
+  SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM agg)
+SELECT bucket, n, n_pos,
+       ROUND(n_pos / CAST(n AS DOUBLE), 6) AS response_rate,
+       CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+       ROUND((sum(n_pos) OVER w / CAST(tp AS DOUBLE))
+             / (sum(n) OVER w / CAST(tn AS DOUBLE)), 6) AS cum_lift
+FROM agg, tot
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY bucket
+"""
+
+
 # ----------------------------------------------- fleet-width multi-machine
 _FLEET_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -11784,6 +11898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_join": q_simhash_join,
         "dice_join": q_dice_join,
         "skipgram_pairs": q_skipgrams,
+        "ndcg_at_k": q_ndcg,
+        "lift_curve": q_lift_curve,
         "rrf_hybrid": q_rrf_hybrid,
         "group_sample_k": q_group_sample,
         "quarantine_split": q_quarantine,
@@ -12053,6 +12169,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_join": _o_simhash_join(),
         "dice_join": _o_dice_join(),
         "skipgram_pairs": O_SKIPGRAMS,
+        "ndcg_at_k": O_NDCG,
+        "lift_curve": O_LIFT_CURVE,
         "rrf_hybrid": _o_rrf_hybrid(),
         "group_sample_k": O_GROUP_SAMPLE,
         "quarantine_split": O_QUARANTINE,

@@ -81,6 +81,8 @@ HEADLINE = [
     "simhash_join",
     "dice_join",
     "skipgram_pairs",
+    "ndcg_at_k",
+    "lift_curve",
     "a9_explained_variance",
     "o5_distinct",
     "asof_join",

@@ -583,3 +583,144 @@ def sliced_auc(
         )
         .orderBy(slice_col)
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k per query (Jarvelin & Kekalainen 2002) — the graded
+    ranking-quality readout for the retrieval stack (bm25 / ANN / RRF /
+    MMR all emit the ``(query, doc, rank)`` shape this consumes):
+    ``DCG = sum (2^rel - 1) / log2(rank + 1)`` over the top k, divided
+    by the ideal DCG of the query's OWN relevance multiset (top-k of
+    relevance sorted descending). Docs missing from the relevance table
+    count rel = 0 (the standard pooling convention); queries whose
+    relevance is all-zero report NULL ndcg, not 0 (no ideal ordering
+    exists to compare against — stated).
+
+    Scale shape: one left join hangs labels on the bounded ranked
+    table (retriever outputs are top-k-sized by construction), ideal
+    DCG is a row_number window PARTITIONED by query over the same
+    bounded frame, one final per-query aggregation. Output:
+    ``(query_id, dcg, idcg, ndcg)`` rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    kk = int(k)
+    r = (
+        ranked.filter(F.col(rank_col) <= kk)
+        .join(
+            relevance.select(
+                F.col(query_col), F.col(doc_col), F.col(rel_col)
+            ),
+            [query_col, doc_col],
+            "left",
+        )
+        .select(
+            query_col,
+            F.col(rank_col).alias("_rank"),
+            F.coalesce(F.col(rel_col), F.lit(0)).cast("double").alias("_rel"),
+        )
+    )
+    dcg_term = (F.pow(F.lit(2.0), F.col("_rel")) - 1.0) / (
+        F.log(F.col("_rank") + 1.0) / F.log(F.lit(2.0))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("_rel").desc(), F.col("_rank").asc()
+    )
+    ideal_term = (F.pow(F.lit(2.0), F.col("_rel")) - 1.0) / (
+        F.log(F.row_number().over(w) + 1.0) / F.log(F.lit(2.0))
+    )
+    per = r.select(
+        query_col,
+        dcg_term.alias("_d"),
+        ideal_term.alias("_i"),
+    ).groupBy(query_col).agg(
+        F.round(F.sum("_d"), 6).alias("dcg"),
+        F.round(F.sum("_i"), 6).alias("idcg"),
+    )
+    return per.select(
+        query_col,
+        "dcg",
+        "idcg",
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), 6
+        ).alias("ndcg"),
+    )
+
+
+def lift_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Cumulative gains / lift table — the campaign-targeting readout
+    ("mail the top 2 deciles"): rank rows by score descending into
+    ``n_buckets`` equal-count buckets, report each bucket's response
+    rate and the CUMULATIVE lift (captured positives through this
+    bucket vs a random baseline of the same depth). The operational
+    companion to auc_exact (AUC summarizes; the lift table says where
+    to cut).
+
+    Deterministic bucketing with NO corpus-sized window: scores round
+    to ``precision`` decimals (the auc_exact grid convention) and the
+    split runs through ``ranking.distributed_ntile`` — exact SQL
+    ``ntile(k) OVER (ORDER BY score DESC, id)`` semantics computed from
+    the DISTINCT-score histogram (<= 10^precision + 1 rows), so the
+    only unpartitioned windows in the plan are grid- or
+    n_buckets-bounded, never row-cardinality (the revenue_pareto
+    shape). ``id_col`` is the required tie-break (engine-portable
+    split). Output per bucket: ``(bucket, n, n_pos, response_rate,
+    cum_pos, cum_lift)``.
+    """
+    from pyspark.sql import Window
+
+    from gordo_spark.operators.ranking import distributed_ntile
+
+    if id_col is None:
+        raise ValueError("lift_curve needs id_col for a deterministic split")
+    precision = 3
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    rows = df.filter(s.isNotNull() & y.isNotNull()).select(
+        F.col(id_col),
+        (-F.round(s, precision)).alias("_negp"),
+        y.alias("_y"),
+    )
+    binned = (
+        distributed_ntile(
+            rows, int(n_buckets), "_negp", id_col=id_col, out_col="bucket"
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos"))
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = binned.agg(
+        F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("response_rate"),
+            F.sum("n_pos").over(wc).alias("cum_pos"),
+            F.round(
+                (F.sum("n_pos").over(wc) / F.col("_tp"))
+                / (F.sum("n").over(wc) / F.col("_tn")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("bucket")
+    )

@@ -74,6 +74,8 @@ ACCEPTED = {
     "constant side)",
     "target_encode": "1-row global-mean frame broadcast to the encoded rows "
     "(the source_quality_filter scalar shape)",
+    "lift_curve": "1-row totals frame broadcast to the n_buckets-row "
+    "lift table",
     "sim_bruteforce": "defined computation: corpus x broadcast query batch "
     "(query batch is the constant side)",
     "ann_recall": "exact-truth side is the sim_bruteforce corpus x "
@@ -185,6 +187,10 @@ SINGLE_SERIES_OK = {
     # rank + fused-rank windows over top-k-BOUNDED retriever outputs
     # (20-row frames by construction) — the rrf_fusion docstring bound
     "rrf_hybrid",
+    # distributed_ntile's histogram windows run over the 3dp-ROUNDED
+    # score grid (<= 1001 rows) and the cumulative window over the
+    # n_buckets-row lift table — the revenue_pareto bound
+    "lift_curve",
     # Lorenz cumulative shares over the K-row bucket table (ntile output
     # of distributed_ntile — the member-cardinality work is histogram-
     # partitioned inside it; these windows see K rows)

@@ -501,3 +501,46 @@ def test_skipgram_pairs_window_semantics(spark):
         ("b", "c"): 2, ("b", "d"): 2,
         ("c", "d"): 2,
     }
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    from gordo_spark.operators.experiments import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 10, 1), (2, 11, 2), (2, 12, 3),
+         (3, 10, 1), (3, 11, 2)],
+        "query_id int, doc_id int, rank int",
+    )
+    rel = spark.createDataFrame(
+        # q1: relevance ordered exactly like the ranking -> ndcg 1
+        [(1, 10, 2), (1, 11, 1), (1, 12, 0),
+         # q2: inverted -> ndcg < 1
+         (2, 10, 0), (2, 11, 1), (2, 12, 2),
+         # q3: all zero -> NULL (no ideal ordering)
+         (3, 10, 0), (3, 11, 0)],
+        "query_id int, doc_id int, rel int",
+    )
+    out = {r["query_id"]: r for r in ndcg_at_k(ranked, rel, k=3).collect()}
+    assert out[1]["ndcg"] == 1.0
+    assert 0 < out[2]["ndcg"] < 1.0
+    assert out[3]["ndcg"] is None
+    # docs missing from the relevance table count rel=0
+    sparse = ndcg_at_k(ranked, rel.filter("rel > 0"), k=3).collect()
+    got = {r["query_id"]: r["ndcg"] for r in sparse}
+    assert got[1] == 1.0
+
+
+def test_lift_curve_separating_score(spark):
+    from gordo_spark.operators.experiments import lift_curve
+
+    # perfectly separating score: all positives in the top bucket
+    rows = [(i, 1.0 - i / 100.0, 1 if i < 10 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, p double, y int")
+    out = sorted(
+        lift_curve(df, "p", "y", n_buckets=10, id_col="id").collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert out[0]["n_pos"] == 10 and out[0]["cum_lift"] == 10.0
+    assert out[-1]["cum_lift"] == 1.0  # full depth = baseline
+    assert sum(r["n"] for r in out) == 100
