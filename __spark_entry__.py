@@ -1703,6 +1703,51 @@ ORDER BY bucket
 """
 
 
+
+def q_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (operators/ranges.funnel_steps with
+    max_gap_seconds): signup -> click -> purchase where each step lands
+    within 48h of the previous step's FIRST match (first-touch
+    semantics, stated — greedy is not reachability-optimal under a gap
+    constraint). The 'did they convert PROMPTLY' readout the
+    unconstrained funnel hides."""
+    from gordo_spark.operators.ranges import funnel_steps
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, ["signup", "click", "purchase"], max_gap_seconds=172_800
+    )
+
+
+O_FUNNEL_WITHIN = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+   AND epoch(e.ts) <= epoch(s1.t) + 172800.0
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+   AND epoch(e.ts) <= epoch(s2.t) + 172800.0
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+c AS (
+  SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+),
+b AS (SELECT n_users AS base FROM c WHERE step = 1)
+SELECT step, event_type, n_users,
+       ROUND(n_users * 1.0 / base, 6) AS conversion
+FROM c, b
+"""
+
+
 # ----------------------------------------------- fleet-width multi-machine
 _FLEET_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -11900,6 +11945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgrams,
         "ndcg_at_k": q_ndcg,
         "lift_curve": q_lift_curve,
+        "funnel_within": q_funnel_within,
         "rrf_hybrid": q_rrf_hybrid,
         "group_sample_k": q_group_sample,
         "quarantine_split": q_quarantine,
@@ -12171,6 +12217,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_pairs": O_SKIPGRAMS,
         "ndcg_at_k": O_NDCG,
         "lift_curve": O_LIFT_CURVE,
+        "funnel_within": O_FUNNEL_WITHIN,
         "rrf_hybrid": _o_rrf_hybrid(),
         "group_sample_k": O_GROUP_SAMPLE,
         "quarantine_split": O_QUARANTINE,

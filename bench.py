@@ -83,6 +83,7 @@ HEADLINE = [
     "skipgram_pairs",
     "ndcg_at_k",
     "lift_curve",
+    "funnel_within",
     "a9_explained_variance",
     "o5_distinct",
     "asof_join",

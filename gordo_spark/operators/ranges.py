@@ -109,6 +109,7 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered funnel analysis: for each step i, the number of users who
     performed ``steps[0] -> ... -> steps[i]`` IN ORDER — each step
@@ -117,7 +118,11 @@ def funnel_steps(
     first-match is optimal for reachability: matching any later
     occurrence can only shrink the remaining window). Output one row per
     step: (step, event_type, n_users, conversion), conversion relative
-    to step 1.
+    to step 1. With ``max_gap_seconds`` each step must additionally land
+    within that many seconds of the previous step's first match —
+    FIRST-TOUCH semantics (see _chain_cond; greedy is no longer
+    reachability-optimal under a gap constraint, and first-touch is the
+    stated, deterministic convention).
 
     Scale shape — ONE job, no caching: funnel-type events (the ``isin``
     predicate pushes to the source) shuffle once on the user key into a
@@ -148,7 +153,25 @@ def funnel_steps(
         return lambda x: x["ty"] == s
 
     def _chain_cond(s, prev):
-        return lambda x: (x["ty"] == s) & (x["ts"] > prev)
+        # optional time-constrained funnel ("purchase within 2h of the
+        # click"): step i must land within max_gap_seconds of step i-1's
+        # FIRST match. These are deliberately FIRST-TOUCH semantics
+        # (each window anchors at the earliest previous-step match, the
+        # Amplitude-style convention): with a gap constraint, greedy
+        # first-match is NOT reachability-optimal (a later click could
+        # have rescued an otherwise-expired purchase window) — callers
+        # wanting constrained reachability need per-user DP, stated.
+        # Epoch arithmetic: engine-portable, no interval types.
+        if max_gap_seconds is None:
+            return lambda x: (x["ty"] == s) & (x["ts"] > prev)
+        return lambda x: (
+            (x["ty"] == s)
+            & (x["ts"] > prev)
+            & (
+                epoch_seconds(x["ts"])
+                <= epoch_seconds(prev) + float(max_gap_seconds)
+            )
+        )
 
     cur = ev.groupBy("_u").agg(F.collect_list("_e").alias("_evs"))
     for i, s in enumerate(steps, start=1):

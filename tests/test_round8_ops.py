@@ -544,3 +544,40 @@ def test_lift_curve_separating_score(spark):
     assert out[0]["n_pos"] == 10 and out[0]["cum_lift"] == 10.0
     assert out[-1]["cum_lift"] == 1.0  # full depth = baseline
     assert sum(r["n"] for r in out) == 100
+
+
+def test_funnel_within_first_touch_semantics(spark):
+    import datetime as _dt
+
+    from gordo_spark.operators.ranges import funnel_steps
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, hours):
+        return (uid, t0 + _dt.timedelta(hours=hours), typ)
+
+    rows = [
+        # user 1 converts promptly: signup@0 -> click@1 -> purchase@2
+        ev(1, "signup", 0), ev(1, "click", 1), ev(1, "purchase", 2),
+        # user 2: click 100h after signup -> outside the 48h window
+        ev(2, "signup", 0), ev(2, "click", 100), ev(2, "purchase", 101),
+        # user 3: THE FIRST-TOUCH CASE — first click@1 expires the
+        # purchase window (purchase@60 > 1+48), a later click@58 would
+        # rescue it under reachability, but first-touch anchors at the
+        # FIRST click: user 3 reaches step 2, not step 3 (stated)
+        ev(3, "signup", 0), ev(3, "click", 1), ev(3, "click", 58),
+        ev(3, "purchase", 60),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, ty) for u, t, ty in rows],
+        "user_id int, ts timestamp, event_type string",
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_steps(
+        df, ["signup", "click", "purchase"], max_gap_seconds=48 * 3600
+    ).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+    # unconstrained funnel: everyone converts
+    loose = {r["step"]: r["n_users"] for r in funnel_steps(
+        df, ["signup", "click", "purchase"]
+    ).collect()}
+    assert loose == {1: 3, 2: 3, 3: 3}
