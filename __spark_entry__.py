@@ -1748,6 +1748,148 @@ FROM c, b
 """
 
 
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing / gaps-and-islands (operators/ranges.
+    merge_intervals): per event type, 2h alert windows around error-ish
+    events merged into incident islands — a sustained incident pages
+    once, not per bucket. Two windows on one key shuffle."""
+    from gordo_spark.operators.ranges import merge_intervals
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value") > 300.0
+    )
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 7200 SECOND")).alias("end"),
+    )
+    return merge_intervals(iv, ["event_type"])
+
+
+O_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT event_type, ts AS start, ts + INTERVAL 7200 SECOND AS "end"
+  FROM events WHERE value > 300.0
+),
+flagged AS (
+  SELECT event_type, start, "end",
+         CASE WHEN max("end") OVER (
+                PARTITION BY event_type ORDER BY start, "end"
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR start > max("end") OVER (
+                PARTITION BY event_type ORDER BY start, "end"
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS is_new
+  FROM iv
+),
+islands AS (
+  SELECT event_type, start, "end",
+         sum(is_new) OVER (
+           PARTITION BY event_type ORDER BY start, "end"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged
+)
+SELECT event_type, CAST(island AS BIGINT) AS island,
+       min(start) AS start, max("end") AS "end",
+       count(*) AS n_merged
+FROM islands GROUP BY 1, 2
+"""
+
+
+def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language CHAR-WEIGHTED length quantiles (operators/ranking.
+    weighted_quantile): "the median document BY VOLUME is how long?" —
+    the training-cost view unweighted quantiles understate under length
+    skew. Lower weighted-quantile convention on the collapsed value
+    grid; integer weights keep the cumulative sums exact in f64."""
+    from gordo_spark.operators.ranking import weighted_quantile
+
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_quantile(
+        docs, "lang", "n_chars", "n_chars", qs=(0.5, 0.9)
+    )
+
+
+O_WEIGHTED_QUANTILE = """
+WITH rows_ AS (
+  SELECT lang AS g, ROUND(CAST(n_chars AS DOUBLE), 6) AS v,
+         CAST(n_chars AS DOUBLE) AS w
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+hist AS (SELECT g, v, sum(w) AS hw FROM rows_ GROUP BY 1, 2),
+cum AS (
+  SELECT g, v,
+         sum(hw) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(hw) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - hw AS cw_prev,
+         sum(hw) OVER (PARTITION BY g) AS W
+  FROM hist
+),
+fanned AS (
+  SELECT g, v, cw, cw_prev, W, q.q
+  FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q) q
+)
+SELECT g AS lang, q, ROUND(W, 6) AS total_weight, v AS estimate
+FROM fanned
+WHERE cw >= q * W AND cw_prev < q * W
+"""
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for the mean event value
+    (operators/experiments.bootstrap_ci_mean, B=100): per-replicate
+    Poisson(1) weights from md5(salt||b||id) — the at-scale bootstrap
+    (Chamandy 2012) with NO RNG, reproducible bit-for-bit on any
+    engine; one pass, 2B map-side sums, no data replication."""
+    from gordo_spark.operators.experiments import bootstrap_ci_mean
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    return bootstrap_ci_mean(ev, "value", n_boot=100, id_col="event_id")
+
+
+def _o_bootstrap_ci(n_boot: int = 100) -> str:
+    from gordo_spark.operators.experiments import _POISSON1_CDF
+
+    def w_sql(b):
+        u = (
+            f"((('0x' || substr(md5('boot{b}:' || CAST(event_id AS VARCHAR)), 1, 8))"
+            f"::BIGINT + 0.5) / 4294967296.0)"
+        )
+        chain = f"{len(_POISSON1_CDF)}"
+        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+            chain = f"CASE WHEN {u} < {_POISSON1_CDF[k]!r} THEN {k} ELSE {chain} END"
+        return f"CAST({chain} AS DOUBLE)"
+
+    sums = ",\n       ".join(
+        f"sum({w_sql(b)} * value) AS s{b}, sum({w_sql(b)}) AS w{b}"
+        for b in range(n_boot)
+    )
+    means = ", ".join(f"s{b} / w{b}" for b in range(n_boot))
+    idx_lo = max(min(-(-0.025 * n_boot // 1), n_boot), 1)
+    idx_hi = max(min(-(-0.975 * n_boot // 1), n_boot), 1)
+    return f"""
+WITH agg AS (
+  SELECT count(*) AS n, avg(value) AS m,
+       {sums}
+  FROM events WHERE value IS NOT NULL
+),
+srt AS (SELECT n, m, list_sort([{means}]) AS ms FROM agg)
+SELECT n, ROUND(m, 6) AS mean,
+       ROUND(ms[{int(idx_lo)}], 6) AS ci_lo,
+       ROUND(ms[{int(idx_hi)}], 6) AS ci_hi,
+       100 AS n_boot
+FROM srt
+"""
+
+
 # ----------------------------------------------- fleet-width multi-machine
 _FLEET_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -11946,6 +12088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_at_k": q_ndcg,
         "lift_curve": q_lift_curve,
         "funnel_within": q_funnel_within,
+        "merge_intervals": q_merge_intervals,
+        "weighted_quantile": q_weighted_quantile,
+        "bootstrap_ci": q_bootstrap_ci,
         "rrf_hybrid": q_rrf_hybrid,
         "group_sample_k": q_group_sample,
         "quarantine_split": q_quarantine,
@@ -12218,6 +12363,9 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_at_k": O_NDCG,
         "lift_curve": O_LIFT_CURVE,
         "funnel_within": O_FUNNEL_WITHIN,
+        "merge_intervals": O_MERGE_INTERVALS,
+        "weighted_quantile": O_WEIGHTED_QUANTILE,
+        "bootstrap_ci": _o_bootstrap_ci(),
         "rrf_hybrid": _o_rrf_hybrid(),
         "group_sample_k": O_GROUP_SAMPLE,
         "quarantine_split": O_QUARANTINE,

@@ -84,6 +84,9 @@ HEADLINE = [
     "ndcg_at_k",
     "lift_curve",
     "funnel_within",
+    "merge_intervals",
+    "weighted_quantile",
+    "bootstrap_ci",
     "a9_explained_variance",
     "o5_distinct",
     "asof_join",

@@ -724,3 +724,95 @@ def lift_curve(
         )
         .orderBy("bucket")
     )
+
+
+# Poisson(1) CDF, cumulative e^-1 * sum 1/k!: the deterministic-bootstrap
+# weight thresholds (weights capped at 6 — P(w > 6) ~ 8e-5, negligible
+# and STATED; the cap keeps the CASE chain short and both engines agree)
+_POISSON1_CDF = (
+    0.36787944117144233,  # k = 0
+    0.7357588823428847,   # k = 1
+    0.9196986029286058,   # k = 2
+    0.9810118431238462,   # k = 3
+    0.9963401531726563,   # k = 4
+    0.9994058151824183,   # k = 5
+)
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    value_col: str,
+    n_boot: int = 100,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    salt: str = "boot",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Deterministic POISSON BOOTSTRAP confidence interval for a mean
+    (Chamandy et al. 2012, Google's at-scale bootstrap): classic
+    resampling needs N draws per replicate — impossible distributed —
+    but multinomial(N, 1/N) counts converge to independent Poisson(1)
+    weights, so each row can compute its own weight per replicate as a
+    PURE FUNCTION of ``md5(salt || b || id)`` (no RNG — M9; any engine
+    reproduces the same CI bit-for-bit, unlike every classical
+    bootstrap). Replicate b's mean = sum(w_b * x) / sum(w_b); the CI is
+    the empirical [lo_q, hi_q] of the ``n_boot`` replicate means.
+
+    Scale shape: ONE pass — 2 * n_boot map-side-combinable sums in a
+    single keyless hash aggregation (no explode: the data is never
+    replicated n_boot times), then the replicate means form a bounded
+    n_boot-length ARRAY whose sort + quantile read happen row-locally
+    in the 1-row result. Weights come from inverting the Poisson(1)
+    CDF at u = (h + 0.5) / 2^32 (the weighted_take uniform), capped at
+    6 (P ~ 8e-5, stated). Output one row: ``(n, mean, ci_lo, ci_hi,
+    n_boot)`` rounded to 6.
+    """
+    from gordo_spark.operators.dedup import md5_long
+
+    if id_col is None:
+        raise ValueError("bootstrap_ci_mean needs id_col (hash identity)")
+    b_count = int(n_boot)
+    x = F.col(value_col).cast("double")
+    rows = df.filter(x.isNotNull())
+
+    def w_of(b: int):
+        h = md5_long(
+            F.concat(
+                F.lit(f"{salt}{b}:"), F.col(id_col).cast("string")
+            )
+        )
+        u = (h.cast("double") + 0.5) / 4_294_967_296.0
+        w = F.lit(len(_POISSON1_CDF))
+        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+        return w.cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n"), F.avg(x).alias("_mean")]
+    for b in range(b_count):
+        wb = w_of(b)
+        aggs.append(F.sum(wb * x).alias(f"_s{b}"))
+        aggs.append(F.sum(wb).alias(f"_w{b}"))
+    one = rows.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"_w{b}") > 0, F.col(f"_s{b}") / F.col(f"_w{b}")
+                )
+                for b in range(b_count)
+            ]
+        )
+    )
+    # lower empirical quantile: element at ceil(q * B) (1-indexed),
+    # clamped — deterministic, no interpolation across replicates
+    def pick(q: float):
+        idx = min(max(int(-(-q * b_count // 1)), 1), b_count)
+        return F.element_at(means, idx)
+
+    return one.select(
+        "n",
+        F.round(F.col("_mean"), 6).alias("mean"),
+        F.round(pick(float(lo_q)), 6).alias("ci_lo"),
+        F.round(pick(float(hi_q)), 6).alias("ci_hi"),
+        F.lit(b_count).alias("n_boot"),
+    )

@@ -702,3 +702,46 @@ def burstiness(
             ).alias("burstiness"),
         )
     )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key (gaps-and-islands)
+    — the alert-fatigue reducer for anomaly interval streams: the W7
+    anomaly frames emit one ``[start, end)`` row per flagged bucket, and
+    a sustained incident should page ONCE, not per bucket. Two intervals
+    merge iff the later one starts at or before the running maximum end
+    of everything earlier (touching counts: ``[0,2)+[2,4) -> [0,4)``).
+
+    Classic two-window shape on one key-partitioned shuffle (the
+    sessionize discipline): a running max of ``end`` over earlier rows
+    detects island starts, a running sum of the start flags numbers the
+    islands, one aggregation emits ``(key..., island, start, end,
+    n_merged)``. No self-joins, no collect.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    islands = intervals.select(
+        *keys,
+        F.col(start_col),
+        F.col(end_col),
+        F.sum(is_new).over(wrun).alias("island"),
+    )
+    return islands.groupBy(*keys, "island").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.count(F.lit(1)).alias("n_merged"),
+    )

@@ -310,3 +310,68 @@ def trimmed_mean(
         F.count(F.lit(1)).alias("n_used"),
         F.round(F.avg(v), 6).alias("trimmed_mean"),
     ).select(group_col, "n", "n_used", "lo_cut", "hi_cut", "trimmed_mean")
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Per-group WEIGHTED quantiles: the smallest value whose cumulative
+    weight reaches ``q * W`` (lower weighted-quantile convention —
+    deterministic, no interpolation between unequal-weight points).
+    The question unweighted quantiles cannot answer: "the median
+    document BY TOKENS is how long?" — a corpus median weighted by
+    token count sits far above the per-document median when length is
+    skewed (and token-weighted stats are what training-cost estimates
+    need).
+
+    Scale shape: one (group, value) hash aggregation collapses
+    duplicates and pre-sums their weight (map-side combined), one
+    group-PARTITIONED cumulative window over the collapsed value grid,
+    one rank filter per quantile (all quantiles in one pass, the
+    group_quantile_sketch fan-out). Values are 6dp-rounded before
+    grouping (engine-portable grid). NULL values and NULL/non-positive
+    weights are excluded (no rank information; stated). Output:
+    ``(group, q, total_weight, estimate)``.
+    """
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col).cast("double"), 6)
+    w = F.col(weight_col).cast("double")
+    rows = df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+    hist = rows.groupBy(F.col(group_col).alias("_g"), v.alias("_v")).agg(
+        F.sum(w).alias("_w")
+    )
+    wcum = Window.partitionBy("_g").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("_g")
+    cum = hist.select(
+        "_g",
+        "_v",
+        F.sum("_w").over(wcum).alias("_cw"),
+        (F.sum("_w").over(wcum) - F.col("_w")).alias("_cw_prev"),
+        F.sum("_w").over(wtot).alias("_W"),
+    )
+    fanned = cum.select(
+        "_g",
+        "_v",
+        "_cw",
+        "_cw_prev",
+        "_W",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    # the covering value: first _v whose cumweight reaches q*W
+    hit = fanned.filter(
+        (F.col("_cw") >= F.col("q") * F.col("_W"))
+        & (F.col("_cw_prev") < F.col("q") * F.col("_W"))
+    )
+    return hit.select(
+        F.col("_g").alias(group_col),
+        "q",
+        F.round(F.col("_W"), 6).alias("total_weight"),
+        F.col("_v").alias("estimate"),
+    )

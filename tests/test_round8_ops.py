@@ -581,3 +581,65 @@ def test_funnel_within_first_touch_semantics(spark):
         df, ["signup", "click", "purchase"]
     ).collect()}
     assert loose == {1: 3, 2: 3, 3: 3}
+
+
+def test_merge_intervals_islands(spark):
+    import datetime as _dt
+
+    from gordo_spark.operators.ranges import merge_intervals
+
+    t = lambda h: _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=h)
+    iv = spark.createDataFrame(
+        [
+            ("a", t(0), t(2)), ("a", t(1), t(3)),  # overlap -> one island
+            ("a", t(3), t(4)),                     # touching -> same island
+            ("a", t(10), t(11)),                   # gap -> new island
+            ("b", t(0), t(1)),                     # other key independent
+        ],
+        "k string, start timestamp, end timestamp",
+    )
+    out = sorted(
+        merge_intervals(iv, ["k"]).collect(),
+        key=lambda r: (r["k"], r["island"]),
+    )
+    a = [r for r in out if r["k"] == "a"]
+    assert len(a) == 2
+    assert a[0]["start"] == t(0) and a[0]["end"] == t(4) and a[0]["n_merged"] == 3
+    assert a[1]["start"] == t(10) and a[1]["n_merged"] == 1
+    assert [r["n_merged"] for r in out if r["k"] == "b"] == [1]
+
+
+def test_weighted_quantile_vs_unweighted(spark):
+    from gordo_spark.operators.ranking import weighted_quantile
+
+    # 9 docs of length 1 + 1 doc of length 1000: the unweighted median
+    # is 1, but BY VOLUME the median char sits in the big doc
+    rows = [("x", 1.0, 1.0)] * 9 + [("x", 1000.0, 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {r["q"]: r["estimate"] for r in
+           weighted_quantile(df, "g", "v", "w", qs=(0.5,)).collect()}
+    assert out[0.5] == 1000.0
+    # uniform weights reduce to the plain lower median
+    uni = spark.createDataFrame(
+        [("x", float(i), 1.0) for i in range(1, 11)], "g string, v double, w double"
+    )
+    got = {r["q"]: r["estimate"] for r in
+           weighted_quantile(uni, "g", "v", "w", qs=(0.5,)).collect()}
+    assert got[0.5] == 5.0  # ceil(0.5 * 10) = 5th of 1..10
+
+
+def test_bootstrap_ci_covers_and_reproduces(spark):
+    from gordo_spark.operators.experiments import bootstrap_ci_mean
+
+    df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(5000)], "id int, v double"
+    )
+    r1 = bootstrap_ci_mean(df, "v", n_boot=50, id_col="id").first()
+    r2 = bootstrap_ci_mean(df, "v", n_boot=50, id_col="id").first()
+    assert r1 == r2  # deterministic
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+    # CI width ~ 4 * sd/sqrt(n) ~ 4 * 28.9/70.7 ~ 1.6; sanity-band it
+    assert 0.5 < r1["ci_hi"] - r1["ci_lo"] < 4.0
+    # different salt -> different (but overlapping) interval
+    r3 = bootstrap_ci_mean(df, "v", n_boot=50, id_col="id", salt="other").first()
+    assert (r3["ci_lo"], r3["ci_hi"]) != (r1["ci_lo"], r1["ci_hi"])
