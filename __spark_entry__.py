@@ -12024,6 +12024,445 @@ FROM per WHERE n_events >= 5
 """
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate (operators/experiments.srm_check):
+    chi-square of the md5-assigned variant counts against 50/50 over
+    distinct event users at alpha = 0.001 — the validity check that
+    must pass BEFORE ab_test/ab_cuped readouts mean anything. Uses the
+    equal-expected identity chi2 = k*sum(n^2)/N - N: one distinct
+    collapse + one 2-row aggregate."""
+    from gordo_spark.operators.experiments import srm_check
+
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    return srm_check(ev, "user_id", n_variants=2, salt="exp1")
+
+
+O_SRM_CHECK = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+),
+a AS (
+  SELECT (('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8))
+            ::BIGINT % 2) AS variant
+  FROM u
+),
+per AS (SELECT variant, count(*) AS n FROM a GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS n_units,
+       2 AS n_variants,
+       CAST(min(n) AS BIGINT) AS min_count,
+       CAST(max(n) AS BIGINT) AS max_count,
+       ROUND(2.0 * sum(n * n) / sum(n) - sum(n), 6) AS chi2,
+       (2.0 * sum(n * n) / sum(n) - sum(n)) > 10.828 AS srm
+FROM per
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum test (operators/experiments.mann_whitney): per-user
+    total event value (heavy-tailed spend) compared between the
+    md5-assigned A/B halves — the nonparametric readout beside
+    ab_zstat's proportion test. Values on the 2dp grid; rank sums in
+    exact LONG arithmetic (doubled ranks), so z is bit-stable."""
+    from gordo_spark.operators.experiments import ab_assign, mann_whitney
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value")
+    per = ev.groupBy("user_id").agg(F.sum("value").alias("spend"))
+    return mann_whitney(
+        ab_assign(per, "user_id", n_variants=2, salt="exp1"),
+        "variant",
+        "spend",
+        precision=2,
+    )
+
+
+O_MANN_WHITNEY = """
+WITH per AS (
+  SELECT user_id, ROUND(sum(value), 2) AS v FROM events GROUP BY 1
+),
+a AS (
+  SELECT v,
+         (('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8))
+            ::BIGINT % 2) AS g
+  FROM per WHERE v IS NOT NULL
+),
+h AS (
+  SELECT v, count(*) AS t, CAST(sum(g) AS BIGINT) AS t1
+  FROM a GROUP BY 1
+),
+r AS (
+  SELECT t, t1,
+         2 * sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - t + 1 AS rbar2
+  FROM h
+),
+s AS (
+  SELECT CAST(sum(t) - sum(t1) AS BIGINT) AS n0,
+         CAST(sum(t1) AS BIGINT) AS n1,
+         CAST(sum(t1 * rbar2) AS BIGINT) AS r2,
+         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+  FROM r
+)
+SELECT n0, n1,
+       ROUND((r2 - n1 * (n1 + 1)) / 2.0, 6) AS u1,
+       ROUND(CASE WHEN n0 > 0 AND n1 > 0 AND
+         (n0 * n1 / 12.0 * ((n0 + n1 + 1)
+            - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))) > 0
+       THEN ((r2 - n1 * (n1 + 1)) / 2.0 - n0 * n1 / 2.0)
+            / sqrt(n0 * n1 / 12.0 * ((n0 + n1 + 1)
+                - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1))))
+       END, 6) AS z,
+       coalesce(CASE WHEN n0 > 0 AND n1 > 0 AND
+         (n0 * n1 / 12.0 * ((n0 + n1 + 1)
+            - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))) > 0
+       THEN abs(((r2 - n1 * (n1 + 1)) / 2.0 - n0 * n1 / 2.0)
+            / sqrt(n0 * n1 / 12.0 * ((n0 + n1 + 1)
+                - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))))
+            > 1.96
+       END, FALSE) AS significant
+FROM s
+"""
+
+
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of the exact-cosine retriever (operators/experiments.
+    mrr_at_k): same ranked/relevance inputs as ndcg_at_k (label match
+    over cosine_topk), collapsed to the first-hit summary — n_queries,
+    hit rate, mean reciprocal rank (0 for missed queries, stated)."""
+    from gordo_spark.operators.experiments import mrr_at_k
+    from gordo_spark.operators.similarity import cosine_topk
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    ranked = cosine_topk(embs, embs.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    qlab = embs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    dlab = embs.select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("_dl")
+    )
+    rel = (
+        ranked.join(qlab, "query_id")
+        .join(dlab, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("_ql") == F.col("_dl")).cast("int").alias("rel"),
+        )
+    )
+    return mrr_at_k(ranked, rel, k=10)
+
+
+O_MRR = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id, q.ql, e.label AS dl,
+         list_dot_product(qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, doc_id, ql, dl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= 10
+),
+per AS (
+  SELECT query_id,
+         min(CASE WHEN ql = dl THEN rank END) AS first
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN first IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       ROUND(avg(CASE WHEN first IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+         AS hit_rate,
+       ROUND(avg(coalesce(1.0 / first, 0.0)), 6) AS mrr
+FROM per
+"""
+
+
+def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift deciles (operators/experiments.qini_curve):
+    lift_curve's pseudo-score and high-value label, with a SECOND
+    independent md5 assignment (customer-level treatment) — per-decile
+    treated-minus-control response and cumulative incremental
+    conversions. The causal targeting readout beside lift_curve's
+    observational one."""
+    from gordo_spark.operators.dedup import md5_long
+    from gordo_spark.operators.experiments import qini_curve
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.pmod(F.col("o_orderkey") * 37, F.lit(1000)) / 1000.0).alias("p"),
+        F.pmod(
+            md5_long(F.concat(F.lit("t1"), F.col("o_custkey").cast("string"))),
+            F.lit(2),
+        ).cast("int").alias("treated"),
+        (F.col("o_totalprice") > 150000.0).cast("int").alias("y"),
+    )
+    return qini_curve(
+        orders, "p", "treated", "y", n_buckets=10, id_col="o_orderkey"
+    )
+
+
+O_QINI_CURVE = """
+WITH r AS (
+  SELECT o_orderkey,
+         ROUND(((o_orderkey * 37) % 1000) / 1000.0, 3) AS p,
+         (('0x' || substr(md5('t1' || CAST(o_custkey AS VARCHAR)), 1, 8))
+            ::BIGINT % 2) AS t,
+         CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+binned AS (
+  SELECT ntile(10) OVER (ORDER BY p DESC, o_orderkey) AS bucket, t, y
+  FROM r
+),
+agg AS (
+  SELECT bucket,
+         CAST(sum(t) AS BIGINT) AS n_t,
+         CAST(sum(1 - t) AS BIGINT) AS n_c,
+         CAST(sum(t * y) AS BIGINT) AS pos_t,
+         CAST(sum((1 - t) * y) AS BIGINT) AS pos_c
+  FROM binned GROUP BY 1
+)
+SELECT bucket, n_t, n_c, pos_t, pos_c,
+       ROUND(CASE WHEN n_t > 0 AND n_c > 0
+             THEN pos_t / CAST(n_t AS DOUBLE)
+                  - pos_c / CAST(n_c AS DOUBLE) END, 6) AS uplift,
+       ROUND(CASE WHEN sum(n_c) OVER w > 0
+             THEN sum(pos_t) OVER w
+                  - sum(pos_c) OVER w
+                    * (sum(n_t) OVER w / CAST(sum(n_c) OVER w AS DOUBLE))
+             END, 6) AS cum_qini
+FROM agg
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY bucket
+"""
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP-released group counts (operators/quality_checks.
+    dp_group_counts): per (lang, source) document counts plus
+    deterministic Laplace(1/eps) noise from md5-derived uniforms (the
+    bootstrap_ci trick applied to privacy noise), eps = 0.5 — the
+    release side of the k_anonymity/l_diversity audit family."""
+    from gordo_spark.operators.quality_checks import dp_group_counts
+
+    docs = read_table(spark, sf_dir, "documents").select("lang", "source")
+    return dp_group_counts(
+        docs, ["lang", "source"], epsilon=0.5, salt="dp1"
+    ).orderBy("lang", "source")
+
+
+O_DP_COUNTS = """
+WITH g AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+),
+k AS (
+  SELECT lang, source, n,
+         (('0x' || substr(md5('dp1' ||
+             concat_ws('|', CAST(lang AS VARCHAR),
+                            CAST(source AS VARCHAR))), 1, 8))
+            ::BIGINT + 0.5) / 4294967296.0 AS u
+  FROM g
+),
+noised AS (
+  SELECT lang, source, n,
+         -2.0 * (CASE WHEN u > 0.5 THEN 1.0
+                      WHEN u < 0.5 THEN -1.0 ELSE 0.0 END)
+              * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+  FROM k
+)
+SELECT lang, source, CAST(n AS BIGINT) AS n,
+       ROUND(noise, 6) AS noise,
+       GREATEST(CAST(0 AS BIGINT),
+                CAST(ROUND(n + noise, 0) AS BIGINT)) AS released
+FROM noised ORDER BY lang, source
+"""
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/quality_checks.t_closeness): per
+    (mktsegment, nationkey) group, ordered-EMD between the group's
+    account-balance-bucket distribution and the table-wide one —
+    the third anonymity rung after k_anonymity and l_diversity.
+    One (qi, value) histogram scan; grid broadcast densification."""
+    from gordo_spark.operators.quality_checks import t_closeness
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_k"),
+    )
+    return t_closeness(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_k", t=0.15
+    )
+
+
+O_T_CLOSENESS = """
+WITH base AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+gv AS (
+  SELECT c_mktsegment, c_nationkey, v, count(*) AS c
+  FROM base GROUP BY 1, 2, 3
+),
+grid AS (SELECT v, sum(c) AS gc FROM gv GROUP BY 1),
+grid2 AS (
+  SELECT v, gc / (SELECT sum(gc) FROM grid) AS p,
+         (SELECT count(*) FROM grid) AS m
+  FROM grid
+),
+gsz AS (
+  SELECT c_mktsegment, c_nationkey, sum(c) AS n FROM gv GROUP BY 1, 2
+),
+dense AS (
+  SELECT gsz.c_mktsegment, gsz.c_nationkey, gsz.n, g.v, g.p, g.m,
+         coalesce(gv.c, 0) / CAST(gsz.n AS DOUBLE) AS q
+  FROM gsz CROSS JOIN grid2 g
+  LEFT JOIN gv ON gv.c_mktsegment = gsz.c_mktsegment
+              AND gv.c_nationkey = gsz.c_nationkey AND gv.v = g.v
+),
+cum AS (
+  SELECT c_mktsegment, c_nationkey, n, m,
+         abs(sum(q) OVER w - sum(p) OVER w) AS d
+  FROM dense
+  WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+emd AS (
+  SELECT c_mktsegment, c_nationkey, n,
+         ROUND(sum(d) / (max(m) - 1.0), 6) AS emd
+  FROM cum GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n, emd,
+       emd > 0.15 AS violating
+FROM emd ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W27 — Schuster periodogram at candidate periods 6h/24h/7d over
+    the hourly grid (operators/tsa.periodogram): demeaned DFT-bin
+    power answering WHICH cycle a tag follows, where acf answers
+    whether a GIVEN lag correlates. Phase from t mod p keeps the trig
+    engine-agnostic; one window + one (tag, period) aggregate."""
+    from gordo_spark.operators.tsa import periodogram
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return periodogram(res, [21600, 86400, 604800])
+
+
+O_PERIODOGRAM = """
+WITH res AS (
+  SELECT event_type AS tag,
+         floor(epoch(ts) / 3600) * 3600 AS t,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+dm AS (
+  SELECT tag, t,
+         value - avg(value) OVER (PARTITION BY tag) AS d
+  FROM res
+),
+per AS (
+  SELECT tag, t, d, p.period_s
+  FROM dm CROSS JOIN (VALUES (21600), (86400), (604800)) AS p(period_s)
+),
+agg AS (
+  SELECT tag, period_s, count(*) AS n,
+         sum(d * cos(2 * pi() * (CAST(t AS BIGINT) % period_s)
+                     / period_s)) AS sc,
+         sum(d * sin(2 * pi() * (CAST(t AS BIGINT) % period_s)
+                     / period_s)) AS ss
+  FROM per GROUP BY 1, 2
+)
+SELECT tag, period_s, CAST(n AS BIGINT) AS n,
+       ROUND((sc * sc + ss * ss) / n, 6) AS power
+FROM agg ORDER BY tag, period_s
+"""
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.hits): 8 fixed power
+    steps over the DIRECTED customer -> supplier order graph (ids
+    prefixed to keep the bipartition disjoint) — hub ranks customers
+    concentrating on well-connected suppliers, authority ranks those
+    suppliers. L1-normalized once at the end (linear lineage); the
+    DuckDB oracle unrolls the identical 16 half-steps as CTEs."""
+    from gordo_spark.operators.graph import hits
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+    )
+    return hits(edges, iterations=8)
+
+
+def _hits_sql(iterations: int = 8) -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                  's' || CAST(l_suppkey AS VARCHAR) AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+h0 AS (SELECT v, 1.0 AS hub FROM nodes)"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f""",
+a{k} AS (
+  SELECT n.v, coalesce(x.r, 0.0) AS auth
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS v, sum(h.hub) AS r
+    FROM e JOIN h{k - 1} h ON h.v = e.s GROUP BY e.d
+  ) x ON x.v = n.v
+),
+h{k} AS (
+  SELECT n.v, coalesce(x.r, 0.0) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.s AS v, sum(a.auth) AS r
+    FROM e JOIN a{k} a ON a.v = e.d GROUP BY e.s
+  ) x ON x.v = n.v
+)""")
+    tail = f""",
+hb AS (
+  SELECT h.v, h.hub, a.auth
+  FROM h{iterations} h JOIN a{iterations} a ON a.v = h.v
+),
+tot AS (SELECT sum(hub) AS th, sum(auth) AS ta FROM hb)
+SELECT v,
+       ROUND(CASE WHEN th > 0 THEN hub / th ELSE 0.0 END, 6) AS hub,
+       ROUND(CASE WHEN ta > 0 THEN auth / ta ELSE 0.0 END, 6) AS auth
+FROM hb, tot ORDER BY v
+"""
+    return head + "".join(steps) + tail
+
+
+O_HITS = _hits_sql()
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -12321,6 +12760,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "feature_binning": q_feature_binning,
         "tag_correlations": q_tag_correlations,
+        "srm_check": q_srm_check,
+        "mann_whitney": q_mann_whitney,
+        "mrr_at_k": q_mrr,
+        "qini_curve": q_qini_curve,
+        "dp_counts": q_dp_counts,
+        "t_closeness": q_t_closeness,
+        "w27_periodogram": q_periodogram,
+        "hits": q_hits,
     }
 
 
@@ -12606,4 +13053,12 @@ def oracle_sql() -> dict[str, str]:
         "er_entities": O_ER_ENTITIES,
         "sliced_auc": O_SLICED_AUC,
         "burstiness": O_BURSTINESS,
+        "srm_check": O_SRM_CHECK,
+        "mann_whitney": O_MANN_WHITNEY,
+        "mrr_at_k": O_MRR,
+        "qini_curve": O_QINI_CURVE,
+        "dp_counts": O_DP_COUNTS,
+        "t_closeness": O_T_CLOSENESS,
+        "w27_periodogram": O_PERIODOGRAM,
+        "hits": O_HITS,
     }

@@ -31,6 +31,12 @@ __all__ = [
     "diff_in_diff",
     "sliced_auc",
     "brier_decomposition",
+    "srm_check",
+    "mann_whitney",
+    "mrr_at_k",
+    "qini_curve",
+    "tost_equivalence",
+    "pr_at_k",
 ]
 
 
@@ -816,3 +822,398 @@ def bootstrap_ci_mean(
         F.round(pick(float(hi_q)), 6).alias("ci_hi"),
         F.lit(b_count).alias("n_boot"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    n_variants: int = 2,
+    salt: str = "exp1",
+    critical: float | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch gate: chi-square goodness-of-fit of the
+    md5-assigned variant counts against an equal split — the FIRST
+    check any experiment readout must pass (a biased split invalidates
+    ab_zstat/ab_cuped downstream; SRM shows up in ~6% of real
+    experiments per Fabijan et al. 2019). Because assignment here is a
+    pure hash of the unit id, a flagged mismatch means PIPELINE loss
+    (logging, filtering, join fan-out) rather than randomizer bias —
+    which is exactly the failure worth alarming on.
+
+    Uses the equal-expected identity ``chi2 = k * sum(n_v^2) / N - N``
+    so the statistic folds into ONE k-row aggregate after the distinct
+    collapse — two map-side-combinable exchanges, no windows, no joins.
+    Critical values default to alpha = 0.001 at k-1 dof (the
+    SRM-standard strictness). Output one row: ``(n_units, n_variants,
+    min_count, max_count, chi2, srm)``.
+    """
+    _CRIT_001 = {2: 10.828, 3: 13.816, 4: 16.266, 5: 18.467}
+    if critical is None:
+        if int(n_variants) not in _CRIT_001:
+            raise ValueError(
+                "no default critical value for n_variants="
+                f"{n_variants}; pass critical= explicitly"
+            )
+        critical = _CRIT_001[int(n_variants)]
+    units = (
+        df.select(F.col(unit_col))
+        .filter(F.col(unit_col).isNotNull())
+        .distinct()
+    )
+    per = (
+        ab_assign(units, unit_col, n_variants=n_variants, salt=salt)
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    k = F.lit(float(n_variants))
+    return per.agg(
+        F.sum("_n").alias("n_units"),
+        F.lit(int(n_variants)).alias("n_variants"),
+        F.min("_n").alias("min_count"),
+        F.max("_n").alias("max_count"),
+        F.round(
+            k * F.sum(F.col("_n") * F.col("_n")) / F.sum("_n")
+            - F.sum("_n"),
+            6,
+        ).alias("chi2"),
+        (
+            k * F.sum(F.col("_n") * F.col("_n")) / F.sum("_n")
+            - F.sum("_n")
+            > F.lit(float(critical))
+        ).alias("srm"),
+    )
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    precision: int = 3,
+    critical: float = 1.96,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
+    normal approximation and tie correction — the nonparametric
+    companion to ab_zstat/ab_cuped for heavy-tailed per-unit metrics
+    (spend, latency) where a mean test is dominated by outliers.
+    ``group_col`` must be 0/1 (control/treatment).
+
+    Values are rounded to ``precision`` decimals FIRST (stated — the
+    auc_exact grid convention), so everything runs on the
+    DISTINCT-value histogram: average ranks come from one cumulative
+    window over the grid, ``U1 = R1 - n1(n1+1)/2``, and the
+    tie-corrected variance ``n1*n2/12 * ((N+1) - sum(t^3-t)/
+    (N*(N-1)))``. Rank sums are carried as DOUBLED integers
+    (``2*rbar = 2*cum(t) - t + 1``) so every accumulation is exact
+    LONG arithmetic — the float math happens once, at the end, from
+    integer sufficient statistics, which keeps u1/z bit-reproducible
+    across engines (a float rank sum over a large grid would drift
+    past 6dp). One histogram aggregation + one grid-bounded window +
+    one global aggregate — never a row-cardinality window. Output one
+    row: ``(n0, n1, u1, z, significant)``; z NULL when either group is
+    empty or all values tie.
+    """
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col).cast("double"), int(precision))
+    g = F.col(group_col).cast("int")
+    hist = (
+        df.filter(v.isNotNull() & g.isNotNull())
+        .select(v.alias("_v"), g.alias("_g"))
+        .groupBy("_v")
+        .agg(
+            F.count(F.lit(1)).alias("_t"),
+            F.sum("_g").cast("long").alias("_t1"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.select(
+        "_v",
+        "_t",
+        "_t1",
+        # doubled average rank for the tie group: integer-exact
+        (2 * F.sum("_t").over(w) - F.col("_t") + 1).alias("_rbar2"),
+    )
+    agg = ranked.agg(
+        (F.sum("_t") - F.sum("_t1")).alias("_n0"),
+        F.sum("_t1").alias("_n1"),
+        F.sum(F.col("_t1") * F.col("_rbar2")).alias("_r2"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_ties"),
+    )
+    n0, n1 = F.col("_n0"), F.col("_n1")
+    nn = n0 + n1
+    u1 = (F.col("_r2") - n1 * (n1 + 1)) / 2.0
+    var = (
+        n0 * n1 / 12.0
+        * ((nn + 1) - F.col("_ties") / (nn * (nn - 1)))
+    )
+    z = (u1 - n0 * n1 / 2.0) / F.sqrt(var)
+    return agg.select(
+        n0.alias("n0"),
+        n1.alias("n1"),
+        F.round(u1, 6).alias("u1"),
+        F.round(
+            F.when((n0 > 0) & (n1 > 0) & (var > 0), z), 6
+        ).alias("z"),
+        F.coalesce(
+            F.when(
+                (n0 > 0) & (n1 > 0) & (var > 0),
+                F.abs(z) > F.lit(float(critical)),
+            ),
+            F.lit(False),
+        ).alias("significant"),
+    )
+
+
+def mrr_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Mean reciprocal rank @ k — the "how fast does the user hit ONE
+    good result" summary that complements ndcg_at_k's graded view
+    (MRR only credits the FIRST relevant hit; NDCG credits them all).
+    Same input contract as ndcg_at_k: ``ranked(query, doc, rank)``
+    joined to binary ``relevance(query, doc, rel)``.
+
+    Per query: ``rr = 1 / min(rank of a relevant doc <= k)``, 0 when
+    nothing relevant lands in the top k (stated — the standard
+    convention, so MRR averages over ALL queries, not just hits).
+    One join + one query-keyed aggregate + one 1-row readout. Output:
+    ``(n_queries, n_hit, hit_rate, mrr)``.
+    """
+    r = (
+        ranked.filter(F.col(rank_col) <= int(k))
+        .join(relevance, [query_col, doc_col], "left")
+        .select(
+            F.col(query_col).alias("_q"),
+            F.col(rank_col).alias("_rank"),
+            (F.coalesce(F.col(rel_col), F.lit(0)) > 0).alias("_hit"),
+        )
+    )
+    per = r.groupBy("_q").agg(
+        F.min(F.when(F.col("_hit"), F.col("_rank"))).alias("_first")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("_first").isNotNull().cast("long")).alias("n_hit"),
+        F.round(
+            F.avg(F.col("_first").isNotNull().cast("double")), 6
+        ).alias("hit_rate"),
+        F.round(
+            F.avg(
+                F.coalesce(1.0 / F.col("_first"), F.lit(0.0))
+            ),
+            6,
+        ).alias("mrr"),
+    )
+
+
+def qini_curve(
+    df: DataFrame,
+    score_col: str,
+    treatment_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Qini / uplift deciles — lift_curve's causal sibling: rank units
+    by a targeting score, split into equal-count buckets, and report
+    per-bucket uplift (treated response rate minus control response
+    rate) plus the cumulative Qini statistic ``cum_pos_t -
+    cum_pos_c * cum_n_t / cum_n_c`` (Radcliffe 2007): the incremental
+    conversions the campaign bought through this depth, vs "mail
+    nobody". A score that ranks PERSUADABLES first shows a steep early
+    Qini; a score that merely ranks likely buyers (lift_curve's view)
+    can show zero.
+
+    Same deterministic machinery as lift_curve: scores round to the
+    3-decimal grid and split via ranking.distributed_ntile (exact
+    ``ntile(k) OVER (ORDER BY score DESC, id)`` semantics with no
+    corpus-sized window); buckets then fold into one k-row aggregate +
+    one n_buckets-bounded cumulative window. Output per bucket:
+    ``(bucket, n_t, n_c, pos_t, pos_c, uplift, cum_qini)``; uplift
+    NULL in a bucket missing either arm.
+    """
+    from pyspark.sql import Window
+
+    from gordo_spark.operators.ranking import distributed_ntile
+
+    if id_col is None:
+        raise ValueError("qini_curve needs id_col for a deterministic split")
+    s = F.col(score_col).cast("double")
+    t = F.col(treatment_col).cast("int")
+    y = F.col(label_col).cast("int")
+    rows = df.filter(
+        s.isNotNull() & t.isNotNull() & y.isNotNull()
+    ).select(
+        F.col(id_col),
+        (-F.round(s, 3)).alias("_negp"),
+        t.alias("_t"),
+        y.alias("_y"),
+    )
+    binned = (
+        distributed_ntile(
+            rows, int(n_buckets), "_negp", id_col=id_col, out_col="bucket"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("_t").alias("n_t"),
+            F.sum(1 - F.col("_t")).alias("n_c"),
+            F.sum(F.col("_t") * F.col("_y")).alias("pos_t"),
+            F.sum((1 - F.col("_t")) * F.col("_y")).alias("pos_c"),
+        )
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cnt, cnc = F.sum("n_t").over(wc), F.sum("n_c").over(wc)
+    cpt, cpc = F.sum("pos_t").over(wc), F.sum("pos_c").over(wc)
+    return binned.select(
+        "bucket",
+        "n_t",
+        "n_c",
+        "pos_t",
+        "pos_c",
+        F.round(
+            F.when(
+                (F.col("n_t") > 0) & (F.col("n_c") > 0),
+                F.col("pos_t") / F.col("n_t")
+                - F.col("pos_c") / F.col("n_c"),
+            ),
+            6,
+        ).alias("uplift"),
+        F.round(
+            F.when(cnc > 0, cpt - cpc * cnt / cnc), 6
+        ).alias("cum_qini"),
+    ).orderBy("bucket")
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    margin: float,
+    critical: float = 1.6449,
+) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987, normal approximation):
+    the readout ab_zstat cannot give — "are these two arms the SAME to
+    within ``margin``?" (failing to reject difference is NOT evidence
+    of equivalence; TOST is). Two one-sided z-tests of the mean
+    difference against ±margin: equivalent iff
+    ``(diff + margin)/se > z_a`` AND ``(margin - diff)/se > z_a``
+    (default z_0.05 = 1.6449). ``group_col`` must be 0/1.
+
+    One aggregation of per-arm sufficient statistics (n, sum, sum of
+    squares — Welch-style unpooled se) — a single map-side-combinable
+    exchange, no windows, no joins. Output one row: ``(n0, n1, diff,
+    se, z_lower, z_upper, equivalent)``; z's NULL (equivalent false)
+    when either arm is empty or variance degenerates to 0.
+    """
+    g = F.col(group_col).cast("int")
+    v = F.col(value_col).cast("double")
+    base = df.filter(g.isNotNull() & v.isNotNull()).select(
+        g.alias("_g"), v.alias("_v")
+    )
+    agg = base.agg(
+        F.sum(F.when(F.col("_g") == 0, 1).otherwise(0)).alias("_n0"),
+        F.sum(F.when(F.col("_g") == 1, 1).otherwise(0)).alias("_n1"),
+        F.sum(F.when(F.col("_g") == 0, F.col("_v")).otherwise(0.0)).alias("_s0"),
+        F.sum(F.when(F.col("_g") == 1, F.col("_v")).otherwise(0.0)).alias("_s1"),
+        F.sum(
+            F.when(F.col("_g") == 0, F.col("_v") * F.col("_v")).otherwise(0.0)
+        ).alias("_q0"),
+        F.sum(
+            F.when(F.col("_g") == 1, F.col("_v") * F.col("_v")).otherwise(0.0)
+        ).alias("_q1"),
+    )
+    n0, n1 = F.col("_n0"), F.col("_n1")
+    m0, m1 = F.col("_s0") / n0, F.col("_s1") / n1
+    var0 = F.col("_q0") / n0 - m0 * m0
+    var1 = F.col("_q1") / n1 - m1 * m1
+    se = F.sqrt(var0 / n0 + var1 / n1)
+    diff = m1 - m0
+    mg = F.lit(float(margin))
+    ok = (n0 > 0) & (n1 > 0) & (se > 0)
+    zl = (diff + mg) / se
+    zu = (mg - diff) / se
+    crit = F.lit(float(critical))
+    return agg.select(
+        n0.alias("n0"),
+        n1.alias("n1"),
+        F.round(F.when((n0 > 0) & (n1 > 0), diff), 6).alias("diff"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok, zl), 6).alias("z_lower"),
+        F.round(F.when(ok, zu), 6).alias("z_upper"),
+        F.coalesce(
+            F.when(ok, (zl > crit) & (zu > crit)), F.lit(False)
+        ).alias("equivalent"),
+    )
+
+
+def pr_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    rel_totals: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    total_col: str = "n_rel",
+) -> DataFrame:
+    """Precision/recall/F1 @ k per query — the cut-depth readout
+    between mrr_at_k (first hit only) and ndcg_at_k (graded): precision
+    = relevant-in-top-k / k, recall = relevant-in-top-k / total
+    relevant in the corpus (``rel_totals``, which the top-k frame
+    cannot know — the caller supplies the corpus-side count, e.g. a
+    label histogram). Same ranked/relevance contract as the other two.
+
+    One join + one query-keyed aggregate + one |queries|-row join.
+    Output per query: ``(query_id, n_rel_at_k, n_rel_total, precision,
+    recall, f1)``; recall/f1 NULL when the query has no relevant docs
+    at all.
+    """
+    r = (
+        ranked.filter(F.col(rank_col) <= int(k))
+        .join(relevance, [query_col, doc_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.sum(
+                (F.coalesce(F.col(rel_col), F.lit(0)) > 0).cast("long")
+            ).alias("n_rel_at_k")
+        )
+    )
+    out = r.join(
+        rel_totals.select(
+            F.col(query_col), F.col(total_col).alias("n_rel_total")
+        ),
+        query_col,
+        "left",
+    )
+    p = F.col("n_rel_at_k") / F.lit(float(k))
+    rec = F.when(
+        F.col("n_rel_total") > 0,
+        F.col("n_rel_at_k") / F.col("n_rel_total"),
+    )
+    return out.select(
+        query_col,
+        "n_rel_at_k",
+        F.coalesce(F.col("n_rel_total"), F.lit(0)).alias("n_rel_total"),
+        F.round(p, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                (F.col("n_rel_total") > 0) & ((p + rec) > 0),
+                2.0 * p * rec / (p + rec),
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy(query_col)

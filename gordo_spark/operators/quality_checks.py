@@ -659,3 +659,136 @@ def json_conformance(
     if group_col:
         return df.groupBy(group_col).agg(*aggs)
     return df.agg(*aggs)
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp1",
+    keep_true: bool = True,
+) -> DataFrame:
+    """Differentially-private group counts via DETERMINISTIC Laplace
+    noise — the release-side companion to the k_anonymity/l_diversity
+    audits: per group, ``released = max(0, round(count + Lap(1/eps)))``
+    where the Laplace draw inverts the CDF at a uniform derived from
+    ``md5(salt || group_key)`` (the bootstrap_ci_mean trick applied to
+    noise): ``Lap(b) = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|)``.
+    Count queries have sensitivity 1, so scale b = 1/epsilon gives
+    eps-DP for one release under the usual assumptions — with the
+    STATED caveat that a hash-seeded draw is pseudo-random, not random:
+    this is the reproducible-pipeline trade (same release every run, no
+    RNG state to persist), acceptable when the salt is secret, NOT a
+    substitute for audited DP tooling.
+
+    One map-side-combinable aggregation + row-local noise codegen —
+    output cardinality is the group count, never the corpus.
+    ``keep_true=True`` (default) keeps the exact count beside the noisy
+    one for validation harnesses; release mode drops it. Output per
+    group: ``(*group_cols, [n,] noise, released)``.
+    """
+    from gordo_spark.operators.dedup import md5_long
+
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    u = (md5_long(F.concat(F.lit(salt), key)) + 0.5) / F.lit(4294967296.0)
+    b = F.lit(1.0 / float(epsilon))
+    noise = (
+        -b
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out_cols = [*group_cols]
+    if keep_true:
+        out_cols.append("n")
+    return g.select(
+        *out_cols,
+        F.round(noise, 6).alias("noise"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.round(F.col("n") + noise, 0).cast("long"),
+        ).alias("released"),
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit for an ORDERED sensitive attribute — the
+    third rung of the anonymity ladder (k_anonymity bounds group size,
+    l_diversity bounds distinct sensitive values, t-closeness bounds
+    how far a group's sensitive DISTRIBUTION drifts from the
+    table-wide one, which is what actually leaks when a group is
+    skewed). Distance is the standard ordered-attribute EMD
+    (Li et al. 2007): with the m distinct sensitive values as the
+    ground grid, ``EMD = sum_i |cum_q(i) - cum_p(i)| / (m - 1)``.
+
+    ONE corpus scan: the (qi, value) histogram; the global grid (m
+    rows) and the per-group sizes are both re-aggregations of it, so
+    the big table is read once. Densification is groups x grid via a
+    BROADCAST of the m-row grid (output is groups*m rows, never
+    corpus-sized), and every window is either m-bounded (grid
+    cumulative) or partitioned by group over the m grid rows. Output
+    per group: ``(*qi_cols, n, emd, violating)``, ordered by qi.
+    """
+    v = F.col(sensitive_col)
+    gv = (
+        df.filter(v.isNotNull())
+        .groupBy(*[F.col(c) for c in qi_cols], v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wall = Window.partitionBy()
+    grid = (
+        gv.groupBy("_v")
+        .agg(F.sum("_c").alias("_gc"))
+        .select(
+            "_v",
+            (F.col("_gc") / F.sum("_gc").over(wall)).alias("_p"),
+            F.count(F.lit(1)).over(wall).alias("_m"),
+        )
+    )
+    gsz = gv.groupBy(*qi_cols).agg(F.sum("_c").alias("n"))
+    dense = (
+        gsz.join(F.broadcast(grid), how="cross")
+        .join(gv, [*qi_cols, "_v"], "left")
+        .select(
+            *qi_cols,
+            "n",
+            "_v",
+            "_p",
+            "_m",
+            (F.coalesce(F.col("_c"), F.lit(0)) / F.col("n")).alias("_q"),
+        )
+    )
+    wg = (
+        Window.partitionBy(*qi_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    emd = (
+        dense.select(
+            *qi_cols,
+            "n",
+            "_m",
+            F.abs(
+                F.sum("_q").over(wg) - F.sum("_p").over(wg)
+            ).alias("_d"),
+        )
+        .groupBy(*qi_cols, "n")
+        .agg(
+            F.round(F.sum("_d") / (F.max("_m") - 1.0), 6).alias("emd")
+        )
+    )
+    return emd.select(
+        *qi_cols,
+        "n",
+        "emd",
+        (F.col("emd") > F.lit(float(t))).alias("violating"),
+    ).orderBy(*qi_cols)

@@ -591,3 +591,79 @@ def holt_backtest(
             6,
         ).alias("mape"),
     )
+
+
+def kalman_level(
+    df: DataFrame,
+    value_col: str = "value",
+    q: float = 0.01,
+    r: float = 1.0,
+    ts_col: str = "ts",
+    machine_col: str | None = None,
+) -> DataFrame:
+    """Steady-state-free local-level Kalman filter per series (the
+    random-walk-plus-noise model, Harvey 1989): predict
+    ``P_pred = P + q``; gain ``K = P_pred / (P_pred + r)``; update
+    ``x = x + K (z - x)``, ``P = (1 - K) P_pred``. Unlike the EWMA
+    (whose fixed alpha IS the converged Kalman gain), the filter
+    carries its UNCERTAINTY: early samples and post-gap samples get a
+    larger gain, so the smoothed level locks on in a few steps instead
+    of dragging the alpha-weighted burn-in — and the emitted ``p``
+    column is a per-point confidence the EWMA cannot give. Init
+    (stated): ``x_1 = z_1, P_1 = r``.
+
+    NaN observations COAST with widening uncertainty: the state emits
+    NaN, ``x`` holds, but ``P += q`` still accrues (a gap makes the
+    next real sample count for more — exactly the behavior the coasting
+    EWMA lacks). Same execution posture as holt/ewma: recursive over
+    history -> Arrow-batched ``applyInPandas``, ONE group per series
+    key, fleet scaling from many series; the oracle states the same
+    recursion as a recursive CTE carrying (x, P). Appends ``level``
+    (filtered x), ``gain`` (K), ``p`` (posterior variance).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qv, rv = float(q), float(r)
+    if qv < 0 or rv <= 0:
+        raise ValueError("need q >= 0 and r > 0")
+    group_cols = [machine_col] if machine_col else []
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("level", DoubleType()),
+            StructField("gain", DoubleType()),
+            StructField("p", DoubleType()),
+        ]
+    )
+
+    def _kalman(pdf):
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        z = pdf[value_col].to_numpy(dtype=float)
+        lev = np.full(len(z), np.nan)
+        gain = np.full(len(z), np.nan)
+        pv = np.full(len(z), np.nan)
+        x, p, started = 0.0, 0.0, False
+        for i in range(len(z)):
+            if np.isnan(z[i]):
+                if started:
+                    p = p + qv  # uncertainty accrues through the gap
+                continue
+            if not started:
+                x, p, started = z[i], rv, True
+                lev[i], gain[i], pv[i] = x, 1.0, p
+                continue
+            p_pred = p + qv
+            k = p_pred / (p_pred + rv)
+            x = x + k * (z[i] - x)
+            p = (1.0 - k) * p_pred
+            lev[i], gain[i], pv[i] = x, k, p
+        pdf["level"], pdf["gain"], pdf["p"] = lev, gain, pv
+        return pdf
+
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(_kalman, schema=schema)
+    return (
+        df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda p: _kalman(p.drop(columns="_g")), schema=schema)
+    )

@@ -1712,3 +1712,283 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= int(min_count))
     )
+
+
+def llr_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 20,
+) -> DataFrame:
+    """Top-k collocations by Dunning log-likelihood ratio over the
+    corpus bigram stream (Dunning 1993) — the statistically honest
+    upgrade of :func:`pmi_bigrams`: PMI over-rewards rare pairs (two
+    hapaxes that co-occur once get maximal PMI), while the LLR of the
+    2x2 contingency table ``[k11 k12; k21 k22]`` weighs evidence by
+    volume, which is what you want before merging multiword units into
+    a tokenizer vocabulary. ``LLR = 2 * sum_ij k_ij *
+    ln(k_ij * N / (R_i * C_j))`` with 0-cells contributing 0.
+
+    Same scan discipline as pmi_bigrams (its docstring carries the
+    measured argument): corpus read ONCE into the persisted bigram
+    count table; marginals are vocab-bounded window sums over that
+    cache; the grand total is a 1-row broadcast. Counts stay exact
+    integers until the final ln, rounded to 6dp; ties break lexically;
+    ``min_count`` prunes after the marginals. Output: ``(w1, w2, n,
+    llr)``, topk rows.
+    """
+    from pyspark.sql import Window
+
+    words = tokens(F.col(text_col))
+    bi = (
+        df.select(words.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    counts = (
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    annotated = counts.withColumn(
+        "c1", F.sum("n").over(Window.partitionBy("w1"))
+    ).withColumn("c2", F.sum("n").over(Window.partitionBy("w2")))
+    total = counts.agg(F.sum("n").alias("nn"))
+
+    def term(k, r, c):
+        # k * ln(k * N / (r * c)), 0 when k == 0 (exact-integer inputs)
+        return F.when(
+            k > 0,
+            k.cast("double")
+            * F.log(
+                k.cast("double")
+                * F.col("nn").cast("double")
+                / (r.cast("double") * c.cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("n")
+    k12 = F.col("c1") - F.col("n")
+    k21 = F.col("c2") - F.col("n")
+    k22 = F.col("nn") - F.col("c1") - F.col("c2") + F.col("n")
+    r1, r2 = F.col("c1"), F.col("nn") - F.col("c1")
+    c1, c2 = F.col("c2"), F.col("nn") - F.col("c2")
+    scored = (
+        annotated.filter(F.col("n") >= int(min_count))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                2.0
+                * (
+                    term(k11, r1, c1)
+                    + term(k12, r1, c2)
+                    + term(k21, r2, c1)
+                    + term(k22, r2, c2)
+                ),
+                6,
+            ).alias("llr"),
+        )
+    )
+    return scored.orderBy(
+        F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(int(topk))
+
+
+def chi2_terms(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    min_df: int = 5,
+    topk: int = 10,
+) -> DataFrame:
+    """Chi-square feature selection: the ``topk`` terms most
+    ASSOCIATED with each class by the 2x2 document-frequency table
+    (term present/absent x class/rest) — the supervised companion to
+    tfidf_topk (which ranks within a document; this ranks across a
+    LABELED corpus, the pre-training step before nb_classify or a
+    quality logreg). ``chi2 = N * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))``
+    over exact integer document frequencies, so the only float is the
+    final division (engine-exact at 6dp).
+
+    Shape: one corpus scan to (term, class) distinct-doc counts
+    (map-side combinable after the per-doc distinct), class totals are
+    a |classes|-row broadcast, term totals a vocab-bounded
+    re-aggregation; the top-k window partitions BY CLASS over the
+    min_df-pruned vocab (bounded per class, never corpus rows). Output:
+    ``(label, term, df_in, df_out, chi2, rank)``.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(label_col).alias("_y"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_w"),
+    )
+    tc = base.groupBy("_y", "_w").agg(F.count(F.lit(1)).alias("_a"))
+    class_tot = tc.groupBy("_y").agg(F.sum("_a").alias("_docs_y"))
+    # docs per class (distinct docs): recompute from df — one small agg
+    nclass = df.groupBy(F.col(label_col).alias("_y")).agg(
+        F.count(F.lit(1)).alias("_ny")
+    )
+    # corpus size from the |classes|-row frame — no second corpus scan
+    nall_df = nclass.agg(F.sum("_ny").alias("_nall"))
+    term_tot = tc.groupBy("_w").agg(F.sum("_a").alias("_dfw"))
+    joined = (
+        tc.join(F.broadcast(nclass), "_y")
+        .join(term_tot, "_w")
+        .crossJoin(F.broadcast(nall_df))
+        .filter(F.col("_dfw") >= int(min_df))
+    )
+    a = F.col("_a")  # docs in class containing term
+    b = F.col("_dfw") - a  # docs outside class containing term
+    c = F.col("_ny") - a  # docs in class without term
+    d = F.col("_nall") - F.col("_dfw") - F.col("_ny") + a
+    num = (a * d - b * c)
+    chi2 = (
+        F.col("_nall").cast("double")
+        * num.cast("double")
+        * num.cast("double")
+        / (
+            (a + b).cast("double")
+            * (c + d).cast("double")
+            * (a + c).cast("double")
+            * (b + d).cast("double")
+        )
+    )
+    w = Window.partitionBy("_y").orderBy(
+        F.round(chi2, 6).desc(), F.col("_w").asc()
+    )
+    return (
+        joined.select(
+            F.col("_y").alias("label"),
+            F.col("_w").alias("term"),
+            a.alias("df_in"),
+            b.alias("df_out"),
+            F.round(chi2, 6).alias("chi2"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= int(topk))
+        .orderBy("label", "rank")
+    )
+
+
+def nb_classify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial naive Bayes self-classification readout: train
+    per-class token models WITH Laplace ``alpha`` smoothing on the
+    labeled corpus, score every document against every class, and
+    report the (label, predicted) confusion counts + per-class recall
+    — the bag-of-words baseline beside langid_confusion's char-ngram
+    model (two independent models over the same truth = a label-noise
+    screen). Scores are ``log prior + sum_tokens log((c(w|y) + a) /
+    (tot_y + a*V))``; argmax breaks ties by class name on the
+    6dp-rounded score (stated — keeps the decision engine-portable).
+
+    Shape: token stream aggregates to the (class, token) count table
+    (vocab x classes, map-side combined); scoring joins each document
+    token against the per-class likelihood row — tokens x |classes|
+    intermediate rows, bounded by the class count, never quadratic;
+    unseen (token, class) pairs take the smoothed floor via the dense
+    class x token-marginal join. One doc-keyed aggregate folds token
+    logs; the confusion output is |classes|^2 rows.
+    """
+    from pyspark.sql import Window
+
+    classes = df.groupBy(F.col(label_col).alias("_y")).agg(
+        F.count(F.lit(1)).alias("_ny")
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_true"),
+        F.explode(tokens(F.col(text_col))).alias("_w"),
+    )
+    cw = toks.groupBy("_true", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    vocab_n = cw.select("_w").distinct().count()
+    tot_y = cw.groupBy("_true").agg(F.sum("_c").alias("_tot"))
+    # dense (token, class) log-likelihood: token marginal x classes,
+    # left-joined with observed counts (missing -> smoothed floor)
+    tok_marg = cw.select("_w").distinct()
+    like = (
+        tok_marg.crossJoin(
+            F.broadcast(
+                tot_y.select(F.col("_true").alias("_cls"), "_tot")
+            )
+        )
+        .join(
+            cw.select(
+                F.col("_true").alias("_cls"), "_w", "_c"
+            ),
+            ["_cls", "_w"],
+            "left",
+        )
+        .select(
+            "_cls",
+            "_w",
+            F.log(
+                (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(float(alpha)))
+                / (F.col("_tot") + F.lit(float(alpha) * vocab_n))
+            ).alias("_ll"),
+        )
+    )
+    # prior from the |classes|-row frame (window over classes, bounded)
+    from pyspark.sql import Window as _W
+
+    prior = classes.select(
+        F.col("_y").alias("_cls"),
+        F.log(
+            F.col("_ny")
+            / F.sum("_ny").over(_W.partitionBy()).cast("double")
+        ).alias("_lp"),
+    )
+    scored = (
+        toks.join(like, "_w")
+        .groupBy("_id", "_true", "_cls")
+        .agg(F.sum("_ll").alias("_s"))
+        .join(F.broadcast(prior), "_cls")
+        .select(
+            "_id",
+            "_true",
+            "_cls",
+            F.round(F.col("_s") + F.col("_lp"), 6).alias("_score"),
+        )
+    )
+    wpick = Window.partitionBy("_id").orderBy(
+        F.col("_score").desc(), F.col("_cls").asc()
+    )
+    pred = (
+        scored.withColumn("_rk", F.row_number().over(wpick))
+        .filter(F.col("_rk") == 1)
+        .select("_id", "_true", F.col("_cls").alias("_pred"))
+    )
+    conf = pred.groupBy(
+        F.col("_true").alias("label"), F.col("_pred").alias("pred")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrec = Window.partitionBy("label")
+    return conf.select(
+        "label",
+        "pred",
+        "n",
+        F.round(
+            F.when(
+                F.col("label") == F.col("pred"),
+                F.col("n") / F.sum("n").over(wrec),
+            ),
+            6,
+        ).alias("recall"),
+    ).orderBy("label", "pred")

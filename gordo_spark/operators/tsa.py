@@ -1029,3 +1029,159 @@ def control_rules(
         F.coalesce(r4, F.lit(False)).alias("r4_8_run"),
         F.coalesce(r1 | r2 | r3 | r4, F.lit(False)).alias("any_signal"),
     )
+
+
+def periodogram(
+    df: DataFrame,
+    periods_seconds: list[int],
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-tag Schuster periodogram at a CANDIDATE period list — the
+    "which cycle does this sensor actually follow" screen that acf
+    (lag correlation) and seasonal_profile (assumed period) bracket but
+    don't answer: power at period p is ``(S_c^2 + S_s^2) / n`` with
+    ``S_c = sum (v - mean) cos(2*pi*t/p)`` and ``S_s`` the sine sum,
+    i.e. the squared magnitude of the DFT bin at frequency 1/p of the
+    demeaned series. A bounded candidate list (hours/day/week — the
+    physically plausible cycles) replaces the full FFT: at 100 TB a
+    full spectrum per tag is |grid| output rows, while candidates keep
+    output at |tags| x |periods|.
+
+    Plan: one tag-partitioned window (demean), one row-local expansion
+    over the |periods|-bounded literal array (explode of a constant
+    list, stated), one (tag, period)-keyed aggregation — map-side
+    combinable, no corpus-sized windows, no joins. Works straight off
+    a resampled-or-raw long frame. Output: ``(tag, period_s, n,
+    power)`` ordered by (tag, period_s).
+    """
+    from pyspark.sql import Window
+
+    if not periods_seconds:
+        raise ValueError("periodogram needs a non-empty period list")
+    wtag = Window.partitionBy(tag_col)
+    two_pi = 6.283185307179586
+    demeaned = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(tag_col).alias("tag"),
+        F.col(ts_col).cast("double").alias("_t"),
+        (F.col(value_col) - F.avg(value_col).over(wtag)).alias("_d"),
+    )
+    per = demeaned.select(
+        "tag",
+        "_t",
+        "_d",
+        F.explode(
+            F.array(*[F.lit(int(p)) for p in periods_seconds])
+        ).alias("period_s"),
+    )
+    # phase from t MOD p (integer-exact in both engines): keeps the
+    # trig argument inside [0, 2*pi) so the cos/sin evaluations are
+    # well-conditioned and engine-agnostic (cos of a ~1e9 raw epoch
+    # differs across libm argument reductions at the ulp level)
+    theta = (
+        F.lit(two_pi)
+        * F.pmod(F.col("_t"), F.col("period_s").cast("double"))
+        / F.col("period_s")
+    )
+    return (
+        per.groupBy("tag", "period_s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_d") * F.cos(theta)).alias("_sc"),
+            F.sum(F.col("_d") * F.sin(theta)).alias("_ss"),
+        )
+        .select(
+            "tag",
+            "period_s",
+            "n",
+            F.round(
+                (F.col("_sc") * F.col("_sc") + F.col("_ss") * F.col("_ss"))
+                / F.col("n"),
+                6,
+            ).alias("power"),
+        )
+        .orderBy("tag", "period_s")
+    )
+
+
+def stl_decompose(
+    df: DataFrame,
+    period_buckets: int = 24,
+    half_window: int = 12,
+    bucket_seconds: int = 3600,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition per tag over a
+    resampled grid — the one-shot readout combining what w18_trend and
+    w14_seasonal each show alone, in the classical-decomposition shape
+    (the moving-average STL ancestor; deterministic, no loess
+    iterations, which is what keeps it oracle-checkable):
+
+    - ``trend`` = time-RANGE mean of the series within ±``half_window``
+      buckets (a RANGE frame pinned in seconds, the acf convention, so
+      grid GAPS shrink the window's population instead of dragging in
+      far-away rows);
+    - ``seasonal`` = per-(tag, phase) mean of the detrended series,
+      phase = bucket index mod ``period_buckets`` (hour-of-day on the
+      hourly/daily default);
+    - ``resid`` = value - trend - seasonal.
+
+    Plan: one tag-partitioned RANGE window (trend), one (tag, phase)
+    aggregate joined back (|tags| x period rows, broadcast-sized), all
+    keyed on the calendar grid — nothing corpus-cardinality. Output:
+    ``(tag, ts, value, trend, seasonal, resid)``.
+    """
+    from pyspark.sql import Window
+
+    from gordo_spark.functions.timeutil import epoch_seconds
+
+    span = int(half_window) * int(bucket_seconds)
+    t = epoch_seconds(F.col(ts_col))
+    wt = (
+        Window.partitionBy(tag_col)
+        .orderBy(t)
+        .rangeBetween(-span, span)
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(tag_col).alias("tag"),
+        F.col(ts_col).alias("ts"),
+        t.alias("_t"),
+        F.col(value_col).alias("value"),
+    )
+    trended = base.select(
+        "tag",
+        "ts",
+        "_t",
+        "value",
+        F.avg("value").over(wt).alias("trend"),
+    )
+    phase = F.pmod(
+        F.floor(F.col("_t") / F.lit(int(bucket_seconds))),
+        F.lit(int(period_buckets)),
+    ).alias("_ph")
+    detr = trended.select(
+        "tag", "ts", "value", "trend", phase,
+        (F.col("value") - F.col("trend")).alias("_d"),
+    )
+    seas = detr.groupBy("tag", "_ph").agg(
+        F.avg("_d").alias("seasonal")
+    )
+    return (
+        detr.join(F.broadcast(seas), ["tag", "_ph"])
+        .select(
+            "tag",
+            "ts",
+            "value",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("value") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("resid"),
+        )
+        .orderBy("tag", "ts")
+    )

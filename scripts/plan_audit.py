@@ -76,6 +76,11 @@ ACCEPTED = {
     "(the source_quality_filter scalar shape)",
     "lift_curve": "1-row totals frame broadcast to the n_buckets-row "
     "lift table",
+    "t_closeness": "m-row sensitive-value grid (distinct ordered values, "
+    "resolution-bounded) broadcast-crossed with the QI-group frame — "
+    "output is groups x m, never corpus-sized",
+    "hits": "1-row L1-normalization totals frame broadcast to the node "
+    "frame (the pagerank/lift_curve scalar shape)",
     "sim_bruteforce": "defined computation: corpus x broadcast query batch "
     "(query batch is the constant side)",
     "ann_recall": "exact-truth side is the sim_bruteforce corpus x "
@@ -199,6 +204,14 @@ SINGLE_SERIES_OK = {
     # histogram — resolution-bounded (<= 10^precision + 1 grid points
     # for probability-like scores), never row-cardinality
     "auc_quality",
+    # rank-sum windows run over the precision-ROUNDED value histogram —
+    # the auc_quality grid bound (mann_whitney rounds values FIRST and
+    # aggregates to the distinct-value histogram before any window)
+    "mann_whitney",
+    # distributed_ntile's histogram windows over the 3dp score grid +
+    # the cumulative window over the n_buckets-row uplift table — the
+    # lift_curve bound exactly
+    "qini_curve",
 }
 
 
