@@ -1859,8 +1859,9 @@ def _o_bootstrap_ci(n_boot: int = 100) -> str:
     from gordo_spark.operators.experiments import _POISSON1_CDF
 
     def w_sql(b):
+        g, lane = divmod(b, 4)
         u = (
-            f"((('0x' || substr(md5('boot{b}:' || CAST(event_id AS VARCHAR)), 1, 8))"
+            f"((('0x' || substr(md5('bootg{g}:' || CAST(event_id AS VARCHAR)), {lane * 8 + 1}, 8))"
             f"::BIGINT + 0.5) / 4294967296.0)"
         )
         chain = f"{len(_POISSON1_CDF)}"
@@ -12463,6 +12464,763 @@ FROM hb, tot ORDER BY v
 O_HITS = _hits_sql()
 
 
+def q_w28_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W28 — local-level Kalman filter per tag over the hourly grid
+    (operators/smoothing.kalman_level): adaptive-gain level + per-point
+    posterior variance, q=0.01/r=1 — the uncertainty-carrying upgrade
+    of w3_ewma (the EWMA alpha IS this filter's converged gain). One
+    applyInPandas group per tag (the holt posture); the oracle carries
+    (x, P) through the identical recursive CTE."""
+    from gordo_spark.operators.smoothing import kalman_level
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = res.withColumn("value", F.round("value", 6))
+    return kalman_level(res, "value", q=0.01, r=1.0, machine_col="tag")
+
+
+O_W28_KALMAN = """
+WITH RECURSIVE res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         ROUND(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT tag, ts, value,
+         row_number() OVER (PARTITION BY tag ORDER BY ts) AS rn
+  FROM res
+),
+rec AS (
+  SELECT tag, ts, rn, value,
+         value AS x, CAST(1.0 AS DOUBLE) AS p, CAST(1.0 AS DOUBLE) AS k
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.tag, s.ts, s.rn, s.value,
+         r.x + ((r.p + 0.01) / (r.p + 0.01 + 1.0)) * (s.value - r.x),
+         (1.0 - (r.p + 0.01) / (r.p + 0.01 + 1.0)) * (r.p + 0.01),
+         (r.p + 0.01) / (r.p + 0.01 + 1.0)
+  FROM rec r JOIN seq s ON s.tag = r.tag AND s.rn = r.rn + 1
+)
+SELECT tag, ts, value,
+       ROUND(x, 6) AS level, ROUND(k, 6) AS gain, ROUND(p, 6) AS p
+FROM rec
+"""
+
+
+def q_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence (operators/experiments.tost_equivalence):
+    is per-user spend the SAME across the md5 A/B halves to within
+    ±5 currency units? The readout a non-significant ab_zstat cannot
+    give. One sufficient-stats aggregation."""
+    from gordo_spark.operators.experiments import ab_assign, tost_equivalence
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value")
+    per = ev.groupBy("user_id").agg(F.sum("value").alias("spend"))
+    return tost_equivalence(
+        ab_assign(per, "user_id", n_variants=2, salt="exp1"),
+        "variant",
+        "spend",
+        margin=5.0,
+    )
+
+
+O_TOST = """
+WITH per AS (
+  SELECT user_id, sum(value) AS v FROM events GROUP BY 1
+),
+a AS (
+  SELECT v,
+         (('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8))
+            ::BIGINT % 2) AS g
+  FROM per WHERE v IS NOT NULL
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         sum(CASE WHEN g = 0 THEN v ELSE 0.0 END) AS s0,
+         sum(CASE WHEN g = 1 THEN v ELSE 0.0 END) AS s1,
+         sum(CASE WHEN g = 0 THEN v * v ELSE 0.0 END) AS q0,
+         sum(CASE WHEN g = 1 THEN v * v ELSE 0.0 END) AS q1
+  FROM a
+),
+d AS (
+  SELECT n0, n1,
+         s1 / n1 - s0 / n0 AS diff,
+         sqrt((q0 / n0 - (s0 / n0) * (s0 / n0)) / n0
+              + (q1 / n1 - (s1 / n1) * (s1 / n1)) / n1) AS se
+  FROM s
+)
+SELECT n0, n1,
+       ROUND(CASE WHEN n0 > 0 AND n1 > 0 THEN diff END, 6) AS diff,
+       ROUND(CASE WHEN n0 > 0 AND n1 > 0 AND se > 0 THEN se END, 6) AS se,
+       ROUND(CASE WHEN n0 > 0 AND n1 > 0 AND se > 0
+             THEN (diff + 5.0) / se END, 6) AS z_lower,
+       ROUND(CASE WHEN n0 > 0 AND n1 > 0 AND se > 0
+             THEN (5.0 - diff) / se END, 6) AS z_upper,
+       coalesce(CASE WHEN n0 > 0 AND n1 > 0 AND se > 0
+             THEN (diff + 5.0) / se > 1.6449
+                  AND (5.0 - diff) / se > 1.6449 END,
+             FALSE) AS equivalent
+FROM d
+"""
+
+
+def q_llr_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning LLR collocations (operators/text.llr_bigrams): top-20
+    bigrams by 2x2 contingency log-likelihood ratio, min_count 5 —
+    the volume-honest upgrade of pmi_cooccur (PMI maximizes on rare
+    pairs; LLR weighs evidence). Same one-scan persisted-count plan."""
+    from gordo_spark.operators.text import llr_bigrams
+
+    return llr_bigrams(
+        read_table(spark, sf_dir, "documents"), min_count=5, topk=20
+    )
+
+
+O_LLR_BIGRAMS = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+pos AS (SELECT w, unnest(range(1, len(w))) AS i FROM t),
+bi AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM pos),
+c AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS nn FROM c),
+l AS (SELECT w1, sum(n) AS c1 FROM c GROUP BY w1),
+r AS (SELECT w2, sum(n) AS c2 FROM c GROUP BY w2),
+k AS (
+  SELECT c.w1, c.w2, c.n,
+         CAST(c.n AS DOUBLE) AS k11,
+         CAST(l.c1 - c.n AS DOUBLE) AS k12,
+         CAST(r.c2 - c.n AS DOUBLE) AS k21,
+         CAST(tot.nn - l.c1 - r.c2 + c.n AS DOUBLE) AS k22,
+         CAST(l.c1 AS DOUBLE) AS r1,
+         CAST(tot.nn - l.c1 AS DOUBLE) AS r2,
+         CAST(r.c2 AS DOUBLE) AS cc1,
+         CAST(tot.nn - r.c2 AS DOUBLE) AS cc2,
+         CAST(tot.nn AS DOUBLE) AS nn
+  FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+  WHERE c.n >= 5
+)
+SELECT w1, w2, n,
+       ROUND(2.0 * (
+         (CASE WHEN k11 > 0 THEN k11 * ln(k11 * nn / (r1 * cc1)) ELSE 0.0 END)
+         + (CASE WHEN k12 > 0 THEN k12 * ln(k12 * nn / (r1 * cc2)) ELSE 0.0 END)
+         + (CASE WHEN k21 > 0 THEN k21 * ln(k21 * nn / (r2 * cc1)) ELSE 0.0 END)
+         + (CASE WHEN k22 > 0 THEN k22 * ln(k22 * nn / (r2 * cc2)) ELSE 0.0 END)
+       ), 6) AS llr
+FROM k
+ORDER BY llr DESC, w1, w2
+LIMIT 20
+"""
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term selection (operators/text.chi2_terms): top-10
+    terms most associated with each language by document-frequency
+    2x2 chi-square (min_df 5) — the supervised vocabulary screen
+    before nb_classify. Exact-integer numerators; per-class top-k
+    window over the pruned vocab."""
+    from gordo_spark.operators.text import chi2_terms
+
+    return chi2_terms(
+        read_table(spark, sf_dir, "documents"),
+        label_col="lang",
+        min_df=5,
+        topk=10,
+    )
+
+
+O_CHI2_TERMS = """
+WITH base AS (
+  SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+tc AS (SELECT lang, w, count(*) AS a FROM base GROUP BY 1, 2),
+nclass AS (SELECT lang, count(*) AS ny FROM documents GROUP BY 1),
+nall AS (SELECT sum(ny) AS n FROM nclass),
+termtot AS (SELECT w, sum(a) AS dfw FROM tc GROUP BY 1),
+j AS (
+  SELECT tc.lang, tc.w, tc.a, termtot.dfw, nclass.ny, nall.n
+  FROM tc JOIN nclass USING (lang) JOIN termtot USING (w) CROSS JOIN nall
+  WHERE termtot.dfw >= 5
+),
+scored AS (
+  SELECT lang, w, a AS df_in, dfw - a AS df_out,
+         ROUND(
+           CAST(n AS DOUBLE)
+           * CAST(a * (n - dfw - ny + a) - (dfw - a) * (ny - a) AS DOUBLE)
+           * CAST(a * (n - dfw - ny + a) - (dfw - a) * (ny - a) AS DOUBLE)
+           / (CAST(dfw AS DOUBLE) * CAST(n - dfw AS DOUBLE)
+              * CAST(ny AS DOUBLE) * CAST(n - ny AS DOUBLE)),
+           6) AS chi2
+  FROM j
+)
+SELECT lang AS label, w AS term, CAST(df_in AS BIGINT) AS df_in,
+       CAST(df_out AS BIGINT) AS df_out, chi2,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY chi2 DESC, w) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+ORDER BY label, rank
+"""
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes self-classification
+    (operators/text.nb_classify): Laplace-1 token models per language,
+    every doc scored against every class, confusion counts + per-class
+    recall — the bag-of-words cross-check on langid_confusion's
+    char-ngram model."""
+    from gordo_spark.operators.text import nb_classify
+
+    return nb_classify(read_table(spark, sf_dir, "documents"), alpha=1.0)
+
+
+O_NB_CLASSIFY = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+cw AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2),
+vocab AS (SELECT count(DISTINCT w) AS v FROM cw),
+toty AS (SELECT lang, sum(c) AS tot FROM cw GROUP BY 1),
+classes AS (SELECT lang, count(*) AS ny FROM documents GROUP BY 1),
+prior AS (
+  SELECT lang AS cls, ln(ny / CAST((SELECT sum(ny) FROM classes) AS DOUBLE))
+           AS lp
+  FROM classes
+),
+tokmarg AS (SELECT DISTINCT w FROM cw),
+lk AS (
+  SELECT t.cls, m.w,
+         ln((coalesce(cw.c, 0) + 1.0) / (t.tot + 1.0 * vocab.v)) AS ll
+  FROM tokmarg m
+  CROSS JOIN (SELECT lang AS cls, tot FROM toty) t
+  CROSS JOIN vocab
+  LEFT JOIN cw ON cw.lang = t.cls AND cw.w = m.w
+),
+scored AS (
+  SELECT toks.doc_id, toks.lang AS true_lang, lk.cls,
+         ROUND(sum(lk.ll) + any_value(prior.lp), 6) AS score
+  FROM toks
+  JOIN lk ON lk.w = toks.w
+  JOIN prior ON prior.cls = lk.cls
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, true_lang, cls AS pred_lang
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cls) AS rk
+    FROM scored
+  ) WHERE rk = 1
+),
+conf AS (
+  SELECT true_lang AS label, pred_lang AS pred, count(*) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT label, pred, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN label = pred
+             THEN n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE)
+             END, 6) AS recall
+FROM conf ORDER BY label, pred
+"""
+
+
+def q_w29_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W29 — classical additive decomposition per tag over the hourly
+    grid (operators/tsa.stl_decompose): ±12h RANGE-mean trend,
+    hour-of-day seasonal means of the detrended series, residual —
+    w18_trend + w14_seasonal fused into the one-shot readout."""
+    from gordo_spark.operators.tsa import stl_decompose
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = res.withColumn("value", F.round("value", 6))
+    return stl_decompose(
+        res, period_buckets=24, half_window=12, bucket_seconds=3600
+    )
+
+
+O_W29_STL = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         floor(epoch(ts)/3600)*3600 AS t,
+         ROUND(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2, 3
+),
+iv AS (
+  SELECT *, CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS ivv FROM res
+),
+tr AS (
+  SELECT tag, ts, t, value,
+         CAST(sum(ivv) OVER w AS DOUBLE) / count(ivv) OVER w
+           / 1000000.0 AS trend
+  FROM iv
+  WINDOW w AS (PARTITION BY tag ORDER BY t
+               RANGE BETWEEN 43200 PRECEDING AND 43200 FOLLOWING)
+),
+ph AS (
+  SELECT *, CAST(floor(t / 3600) AS BIGINT) % 24 AS phv,
+         CAST(ROUND(ROUND(value - trend, 6) * 1000000.0, 0) AS BIGINT)
+           AS di
+  FROM tr
+),
+se AS (
+  SELECT tag, phv,
+         CAST(sum(di) AS DOUBLE) / count(di) / 1000000.0 AS seasonal
+  FROM ph GROUP BY 1, 2
+)
+SELECT ph.tag, ph.ts, ph.value AS value,
+       ROUND(ph.trend, 6) AS trend,
+       ROUND(se.seasonal, 6) AS seasonal,
+       ROUND(ph.value - ph.trend - se.seasonal, 6) AS resid
+FROM ph JOIN se ON se.tag = ph.tag AND se.phv = ph.phv
+ORDER BY ph.tag, ph.ts
+"""
+
+
+def q_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1@10 (operators/experiments.pr_at_k): the
+    cut-depth readout beside mrr_at_k and ndcg_at_k — corpus-side
+    relevant totals from the label histogram (n_same_label - 1), top-k
+    hits from the exact-cosine retriever."""
+    from gordo_spark.operators.experiments import pr_at_k
+    from gordo_spark.operators.similarity import cosine_topk
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    ranked = cosine_topk(embs, embs.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    qlab = embs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    dlab = embs.select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("_dl")
+    )
+    rel = (
+        ranked.join(qlab, "query_id")
+        .join(dlab, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("_ql") == F.col("_dl")).cast("int").alias("rel"),
+        )
+    )
+    labcnt = embs.groupBy("label").agg(F.count(F.lit(1)).alias("_nl"))
+    totals = qlab.join(F.broadcast(labcnt), qlab._ql == labcnt.label).select(
+        "query_id", (F.col("_nl") - 1).alias("n_rel")
+    )
+    return pr_at_k(ranked, rel, totals, k=10)
+
+
+O_PR_AT_K = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id, q.ql, e.label AS dl,
+         list_dot_product(qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, doc_id, ql, dl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= 10
+),
+hits AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN ql = dl THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_at_k
+  FROM ranked GROUP BY 1
+),
+labcnt AS (SELECT label, count(*) AS nl FROM embeddings GROUP BY 1),
+totals AS (
+  SELECT e.vec_id AS query_id, CAST(labcnt.nl - 1 AS BIGINT) AS n_rel_total
+  FROM embeddings e JOIN labcnt ON labcnt.label = e.label
+  WHERE e.vec_id < 5
+)
+SELECT h.query_id, h.n_rel_at_k,
+       coalesce(t.n_rel_total, 0) AS n_rel_total,
+       ROUND(h.n_rel_at_k / 10.0, 6) AS precision,
+       ROUND(CASE WHEN t.n_rel_total > 0
+             THEN h.n_rel_at_k / CAST(t.n_rel_total AS DOUBLE) END, 6)
+         AS recall,
+       ROUND(CASE WHEN t.n_rel_total > 0
+              AND (h.n_rel_at_k / 10.0
+                   + h.n_rel_at_k / CAST(t.n_rel_total AS DOUBLE)) > 0
+             THEN 2.0 * (h.n_rel_at_k / 10.0)
+                  * (h.n_rel_at_k / CAST(t.n_rel_total AS DOUBLE))
+                  / (h.n_rel_at_k / 10.0
+                     + h.n_rel_at_k / CAST(t.n_rel_total AS DOUBLE))
+             END, 6) AS f1
+FROM hits h LEFT JOIN totals t USING (query_id)
+ORDER BY query_id
+"""
+
+
+def q_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.bfs_depths): hop distance from
+    the Brand#13 parts through the co-purchase graph (same support-2
+    edges as pagerank/triangles), capped at 6 — the recall-radius
+    readout. Min-label propagation; oracle unrolls the identical 6
+    min-steps as CTEs."""
+    from gordo_spark.operators.graph import bfs_depths, co_occurrence_edges
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    nodes = (
+        edges.select(F.col("a").alias("v"))
+        .union(edges.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    seeds = nodes.join(
+        part.filter(F.col("p_brand") == "Brand#13").select(
+            F.col("p_partkey").alias("v")
+        ),
+        "v",
+    )
+    return bfs_depths(edges, seeds, max_depth=6)
+
+
+def _bfs_sql(max_depth: int = 6) -> str:
+    head = """
+WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+cnt AS (
+  SELECT a.p AS a, b.p AS b, count(*) AS n
+  FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2
+),
+e AS (SELECT a, b FROM cnt WHERE n >= 2),
+ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+nodes AS (SELECT DISTINCT src AS v FROM ed),
+d0 AS (
+  SELECT n.v, 0 AS depth
+  FROM nodes n JOIN part ON part.p_partkey = n.v
+  WHERE part.p_brand = 'Brand#13'
+)"""
+    steps = []
+    for k in range(1, max_depth + 1):
+        steps.append(f""",
+d{k} AS (
+  SELECT v, min(depth) AS depth FROM (
+    SELECT v, depth FROM d{k - 1}
+    UNION ALL
+    SELECT ed.dst AS v, d.depth + 1 AS depth
+    FROM d{k - 1} d JOIN ed ON ed.src = d.v
+  ) GROUP BY v
+)""")
+    tail = f"""
+SELECT v, CAST(depth AS INTEGER) AS depth
+FROM d{max_depth} WHERE depth <= {max_depth}
+ORDER BY depth, v
+"""
+    return head + "".join(steps) + tail
+
+
+O_BFS_DEPTHS = _bfs_sql()
+
+
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W30 — raw-distance matrix profile (operators/tsa.matrix_profile)
+    for the click/purchase hourly series, m=8: per-position nearest
+    non-trivial-neighbor distance — motifs score low, discords (shape
+    anomalies) high. Quadratic in the CALENDAR grid only (stated);
+    exact-integer distances on the 3dp value grid."""
+    from gordo_spark.operators.tsa import matrix_profile
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = res.filter(F.col("tag").isin("click", "purchase"))
+    return matrix_profile(res, m=8, precision=3)
+
+
+O_MATRIX_PROFILE = """
+WITH res AS (
+  SELECT event_type AS tag,
+         floor(epoch(ts)/3600)*3600 AS t,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         CAST(ROUND(ROUND(avg(value), 3) * 1000.0, 0) AS BIGINT) AS ivv
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2, 3
+),
+seq AS (
+  SELECT tag, ts,
+         row_number() OVER (PARTITION BY tag ORDER BY t) AS idx,
+         list(ivv) OVER (PARTITION BY tag ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w,
+         count(*) OVER (PARTITION BY tag) AS n
+  FROM res
+),
+valid AS (SELECT tag, ts, idx, w FROM seq WHERE idx <= n - 7),
+pairs AS (
+  SELECT a.tag, a.ts, a.idx, b.idx AS jdx,
+         list_sum(list_transform(range(1, 9),
+           j -> (a.w[j] - b.w[j]) * (a.w[j] - b.w[j]))) AS d2
+  FROM valid a JOIN valid b ON a.tag = b.tag
+  WHERE abs(a.idx - b.idx) >= 8
+),
+best AS (
+  SELECT tag, ts, idx, jdx AS nn_idx, d2,
+         row_number() OVER (PARTITION BY tag, idx
+                            ORDER BY d2, jdx) AS rk
+  FROM pairs
+)
+SELECT tag, CAST(idx AS INTEGER) AS idx, ts,
+       ROUND(sqrt(d2) / 1000.0, 6) AS mp_dist,
+       CAST(nn_idx AS INTEGER) AS nn_idx
+FROM best WHERE rk = 1
+ORDER BY tag, idx
+"""
+
+
+def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases (operators/text.rake_keyphrases): top-20
+    stopword-bounded phrases by degree/frequency word scores over the
+    document corpus — the multiword extension of llr_bigrams. Islands
+    via pos - row_number; phrase scores fold in sorted word order
+    (engine-exact)."""
+    from gordo_spark.operators.text import rake_keyphrases
+
+    return rake_keyphrases(
+        read_table(spark, sf_dir, "documents"),
+        min_count=3,
+        topk=20,
+        max_phrase_len=4,
+    )
+
+
+O_RAKE = """
+WITH t0 AS (
+  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+toks AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok FROM t0),
+nonstop AS (
+  SELECT doc_id, pos, tok FROM toks
+  WHERE tok <> '' AND tok NOT IN
+    ('the','a','of','and','to','in','is','on','for','with',
+     'as','by','at','an','be','this','that','from','or','are')
+),
+isl AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM nonstop
+),
+runs AS (
+  SELECT doc_id, grp, list(tok ORDER BY pos) AS words
+  FROM isl GROUP BY 1, 2
+),
+phrases AS (
+  SELECT array_to_string(words, ' ') AS phrase, words
+  FROM runs WHERE len(words) BETWEEN 1 AND 4
+),
+wstats AS (
+  SELECT w, CAST(sum(l) AS DOUBLE) / count(*) AS ws
+  FROM (
+    SELECT unnest(words) AS w, len(words) AS l FROM phrases
+  ) GROUP BY w
+),
+pcounts AS (
+  SELECT phrase, words, count(*) AS n FROM phrases GROUP BY 1, 2
+),
+pw AS (
+  SELECT phrase, len(words) AS n_words, n,
+         unnest(list_distinct(words)) AS w
+  FROM pcounts
+),
+scored AS (
+  SELECT phrase, n_words, n,
+         ROUND(list_sum(list(ws ORDER BY w)), 6) AS score
+  FROM pw JOIN wstats USING (w)
+  GROUP BY 1, 2, 3
+)
+SELECT phrase, CAST(n_words AS INTEGER) AS n_words,
+       CAST(n AS BIGINT) AS n, score
+FROM scored WHERE n >= 3
+ORDER BY score DESC, phrase
+LIMIT 20
+"""
+
+
+def q_consensus_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-consensus anomaly screen (operators/tsa.
+    consensus_anomaly): rolling z-score + Hampel + CUSUM vote per
+    hourly grid cell; consensus at >= 2 votes — the alert-fatigue
+    reducer (each detector's false-positive mode is vetoed by the
+    other two). One checkpointed resample feeds all three detectors
+    (the curation_verdict scan discipline)."""
+    from gordo_spark.operators.tsa import consensus_anomaly
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = res.withColumn("value", F.round("value", 6))
+    return consensus_anomaly(res)
+
+
+O_CONSENSUS_ANOMALY = """
+WITH res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         ROUND(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2
+),
+zs AS (
+  SELECT tag, ts, value,
+         count(value) OVER w AS n,
+         ROUND(avg(value) OVER w, 6) AS m,
+         ROUND(stddev_samp(value) OVER w, 6) AS s
+  FROM res
+  WINDOW w AS (PARTITION BY tag ORDER BY ts
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+zf AS (
+  SELECT tag, ts,
+         CASE WHEN n >= 24 AND s > 0
+              AND abs(ROUND((value - m) / s, 6)) > 2 THEN 1 ELSE 0 END
+           AS z_flag
+  FROM zs
+),
+h1 AS (
+  SELECT tag, ts, value,
+         list_sort(list(value) OVER (PARTITION BY tag ORDER BY ts
+           ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS ls
+  FROM res
+),
+h2 AS (
+  SELECT tag, ts, value, ls,
+         (ls[CAST(floor((len(ls) - 1) / 2.0) AS INT) + 1]
+          + ls[CAST(floor(len(ls) / 2.0) AS INT) + 1]) / 2.0 AS med
+  FROM h1
+),
+h3 AS (
+  SELECT tag, ts, value, med,
+         list_sort(list_transform(ls, x -> abs(x - med))) AS dv
+  FROM h2
+),
+hf AS (
+  SELECT tag, ts,
+         CASE WHEN abs(value - med) > 3.0 * 1.4826
+              * ((dv[CAST(floor((len(dv) - 1) / 2.0) AS INT) + 1]
+                  + dv[CAST(floor(len(dv) / 2.0) AS INT) + 1]) / 2.0)
+              THEN 1 ELSE 0 END AS hampel_flag
+  FROM h3
+),
+st AS (SELECT tag, avg(value) AS mu, stddev_pop(value) AS sd
+       FROM res GROUP BY 1),
+cd AS (
+  SELECT r.tag, r.ts, r.value,
+         SUM((r.value - st.mu) / st.sd - 0.5)
+           OVER (PARTITION BY r.tag ORDER BY r.ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+  FROM res r JOIN st USING (tag)
+),
+cf AS (
+  SELECT tag, ts, value,
+         CASE WHEN ROUND(S - LEAST(0.0, MIN(S)
+                OVER (PARTITION BY tag ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+              > 5.0 THEN 1 ELSE 0 END AS cusum_flag
+  FROM cd
+),
+votes AS (
+  SELECT cf.tag, cf.ts, cf.value, zf.z_flag, hf.hampel_flag,
+         cf.cusum_flag,
+         zf.z_flag + hf.hampel_flag + cf.cusum_flag AS votes
+  FROM cf JOIN zf ON zf.tag = cf.tag AND zf.ts = cf.ts
+  JOIN hf ON hf.tag = cf.tag AND hf.ts = cf.ts
+)
+SELECT tag, ts, value, z_flag, hampel_flag, cusum_flag,
+       CAST(votes AS INTEGER) AS votes, votes >= 2 AS consensus
+FROM votes WHERE votes >= 1
+ORDER BY tag, ts
+"""
+
+
+def q_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join probe (operators/profile.join_size_profile): exact
+    output size, fanout, and hot-key share of lineitem x orders WITHOUT
+    running the join — two count-table aggregates + one small join. The
+    question to ask before any fact-fact join at 100 TB."""
+    from gordo_spark.operators.profile import join_size_profile
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    return join_size_profile(li, "l_orderkey", orders, "o_orderkey")
+
+
+O_JOIN_PROFILE = """
+WITH ca AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS ca
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+cb AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS cb
+  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+),
+prof AS (SELECT ca.k, ca.ca * cb.cb AS rows_ FROM ca JOIN cb USING (k)),
+ta AS (SELECT CAST(sum(ca) AS BIGINT) AS n_left,
+              CAST(count(*) AS BIGINT) AS keys_left FROM ca),
+tb AS (SELECT CAST(sum(cb) AS BIGINT) AS n_right,
+              CAST(count(*) AS BIGINT) AS keys_right FROM cb),
+ag AS (
+  SELECT CAST(count(*) AS BIGINT) AS keys_common,
+         CAST(coalesce(sum(rows_), 0) AS BIGINT) AS join_rows,
+         CAST(max(rows_) AS BIGINT) AS max_key_rows
+  FROM prof
+),
+hot AS (SELECT k AS hot_key FROM prof ORDER BY rows_ DESC, k LIMIT 1)
+SELECT n_left, n_right, keys_left, keys_right, keys_common, join_rows,
+       ROUND(CASE WHEN n_left > 0 AND n_right > 0
+             THEN join_rows / CAST(GREATEST(n_left, n_right) AS DOUBLE)
+             END, 6) AS fanout,
+       max_key_rows, hot_key,
+       ROUND(CASE WHEN join_rows > 0
+             THEN max_key_rows / CAST(join_rows AS DOUBLE) END, 6)
+         AS hot_share
+FROM ag, ta, tb, hot
+"""
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (operators/ranking.skyline_2d): the parts no
+    other part beats on BOTH retail price and size — the
+    cheapest-and-smallest shortlist. Two-phase distributed skyline
+    (lossless md5-bucket local filter, then the global pass over the
+    tiny survivor set)."""
+    from gordo_spark.operators.ranking import skyline_2d
+
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(part, "p_retailprice", "p_size", "p_partkey")
+
+
+O_SKYLINE = """
+WITH base AS (
+  SELECT p_partkey AS id, CAST(p_retailprice AS DOUBLE) AS x,
+         CAST(p_size AS DOUBLE) AS y
+  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+),
+s AS (
+  SELECT id, x, y,
+         min(y) OVER (ORDER BY x, y, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS miny
+  FROM base
+)
+SELECT id, x, y FROM s WHERE miny IS NULL OR y < miny
+ORDER BY x, y, id
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -12768,6 +13526,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "w27_periodogram": q_periodogram,
         "hits": q_hits,
+        "w28_kalman": q_w28_kalman,
+        "tost_equiv": q_tost,
+        "llr_collocations": q_llr_bigrams,
+        "chi2_terms": q_chi2_terms,
+        "nb_classify": q_nb_classify,
+        "w29_stl": q_w29_stl,
+        "pr_at_k": q_pr_at_k,
+        "bfs_depths": q_bfs_depths,
+        "w30_matrix_profile": q_matrix_profile,
+        "rake_keyphrases": q_rake,
+        "consensus_anomaly": q_consensus_anomaly,
+        "join_profile": q_join_profile,
+        "skyline": q_skyline,
     }
 
 
@@ -13061,4 +13832,17 @@ def oracle_sql() -> dict[str, str]:
         "t_closeness": O_T_CLOSENESS,
         "w27_periodogram": O_PERIODOGRAM,
         "hits": O_HITS,
+        "w28_kalman": O_W28_KALMAN,
+        "tost_equiv": O_TOST,
+        "llr_collocations": O_LLR_BIGRAMS,
+        "chi2_terms": O_CHI2_TERMS,
+        "nb_classify": O_NB_CLASSIFY,
+        "w29_stl": O_W29_STL,
+        "pr_at_k": O_PR_AT_K,
+        "bfs_depths": O_BFS_DEPTHS,
+        "w30_matrix_profile": O_MATRIX_PROFILE,
+        "rake_keyphrases": O_RAKE,
+        "consensus_anomaly": O_CONSENSUS_ANOMALY,
+        "join_profile": O_JOIN_PROFILE,
+        "skyline": O_SKYLINE,
     }

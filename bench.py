@@ -246,6 +246,28 @@ HEADLINE = [
     "er_entities",
     "sliced_auc",
     "burstiness",
+    # round-8 waves 6-9
+    "srm_check",
+    "mann_whitney",
+    "mrr_at_k",
+    "qini_curve",
+    "dp_counts",
+    "t_closeness",
+    "w27_periodogram",
+    "hits",
+    "w28_kalman",
+    "tost_equiv",
+    "llr_collocations",
+    "chi2_terms",
+    "nb_classify",
+    "w29_stl",
+    "pr_at_k",
+    "bfs_depths",
+    "w30_matrix_profile",
+    "rake_keyphrases",
+    "consensus_anomaly",
+    "join_profile",
+    "skyline",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -770,23 +770,53 @@ def bootstrap_ci_mean(
     n_boot-length ARRAY whose sort + quantile read happen row-locally
     in the 1-row result. Weights come from inverting the Poisson(1)
     CDF at u = (h + 0.5) / 2^32 (the weighted_take uniform), capped at
-    6 (P ~ 8e-5, stated). Output one row: ``(n, mean, ci_lo, ci_hi,
+    6 (P ~ 8e-5, stated). The md5 is the per-row cost driver, so each
+    digest is harvested FOUR ways — an md5 is 128 bits and a uniform
+    needs 32, so replicates b = 4g..4g+3 read the four 8-hex lanes of
+    ``md5(salt || g || id)`` (measured 22.3 -> ~6 s at sf0.1 for
+    B=100: 25 digests/row instead of 100; lanes of one digest are
+    independent bits, exactly as independent as two digests). The
+    hashes materialize as ceil(B/4) columns in a pre-aggregation
+    projection so codegen computes each digest ONCE per row regardless
+    of aggregate-side CSE. Output one row: ``(n, mean, ci_lo, ci_hi,
     n_boot)`` rounded to 6.
     """
-    from gordo_spark.operators.dedup import md5_long
-
     if id_col is None:
         raise ValueError("bootstrap_ci_mean needs id_col (hash identity)")
     b_count = int(n_boot)
     x = F.col(value_col).cast("double")
-    rows = df.filter(x.isNotNull())
+    n_groups = (b_count + 3) // 4
+    base = df.filter(x.isNotNull()).select(
+        F.col(id_col), x.alias(value_col)
+    )
+    # the 25-digest projection is the cost driver and is PER-ROW
+    # parallel — but a few-file scan underparallelizes it (measured:
+    # 3 input splits on 32 cores = 21 s at sf0.1). When the scan is
+    # narrower than the core count, one cheap repartition of the
+    # two-column frame restores full width; at real scale the scan
+    # already exceeds core count and this branch is a no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    x = F.col(value_col).cast("double")
+    rows = base.select(
+        x.alias("_x"),
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}g{g}:"), F.col(id_col).cast("string")
+                )
+            ).alias(f"_h{g}")
+            for g in range(n_groups)
+        ],
+    )
+    x = F.col("_x")
 
     def w_of(b: int):
-        h = md5_long(
-            F.concat(
-                F.lit(f"{salt}{b}:"), F.col(id_col).cast("string")
-            )
-        )
+        g, lane = divmod(b, 4)
+        h = F.conv(
+            F.substring(F.col(f"_h{g}"), lane * 8 + 1, 8), 16, 10
+        ).cast("long")
         u = (h.cast("double") + 0.5) / 4_294_967_296.0
         w = F.lit(len(_POISSON1_CDF))
         for k in range(len(_POISSON1_CDF) - 1, -1, -1):
@@ -1135,15 +1165,18 @@ def tost_equivalence(
         ).alias("_q1"),
     )
     n0, n1 = F.col("_n0"), F.col("_n1")
-    m0, m1 = F.col("_s0") / n0, F.col("_s1") / n1
-    var0 = F.col("_q0") / n0 - m0 * m0
-    var1 = F.col("_q1") / n1 - m1 * m1
-    se = F.sqrt(var0 / n0 + var1 / n1)
+    # ANSI mode: guard every denominator (the guarded value only flows
+    # when the gate below is false, where the output is NULL anyway)
+    g0, g1 = F.greatest(n0, F.lit(1)), F.greatest(n1, F.lit(1))
+    m0, m1 = F.col("_s0") / g0, F.col("_s1") / g1
+    var0 = F.col("_q0") / g0 - m0 * m0
+    var1 = F.col("_q1") / g1 - m1 * m1
+    se = F.sqrt(F.greatest(var0 / g0 + var1 / g1, F.lit(0.0)))
     diff = m1 - m0
     mg = F.lit(float(margin))
     ok = (n0 > 0) & (n1 > 0) & (se > 0)
-    zl = (diff + mg) / se
-    zu = (mg - diff) / se
+    zl = F.when(se > 0, (diff + mg) / se)
+    zu = F.when(se > 0, (mg - diff) / se)
     crit = F.lit(float(critical))
     return agg.select(
         n0.alias("n0"),
@@ -1217,3 +1250,67 @@ def pr_at_k(
             6,
         ).alias("f1"),
     ).orderBy(query_col)
+
+
+def stream_srm_counts(
+    stream: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    n_variants: int = 2,
+    salt: str = "exp1",
+) -> DataFrame:
+    """Streaming feed for the SRM gate: per (window, variant) EVENT
+    counts with the same md5 assignment as :func:`srm_check` — the
+    monitor that catches pipeline loss WHILE the experiment runs
+    instead of at readout time. Event-level by design (stated):
+    unit-level SRM needs a dedup stage, which composes upstream via
+    the streaming exact-dedup operator; a logging regression shows up
+    in event counts first anyway. One watermarked windowed
+    aggregation; state = open windows x k counters (bounded).
+    Works identically on a batch frame (stream==batch contract in
+    tests). Feed the output to :func:`srm_verdict_from_counts`.
+    """
+    frame = ab_assign(stream, unit_col, n_variants=n_variants, salt=salt)
+    if frame.isStreaming:
+        frame = frame.withWatermark(ts_col, watermark)
+    return (
+        frame.groupBy(F.window(F.col(ts_col), window), "variant")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "variant", "n"
+        )
+    )
+
+
+def srm_verdict_from_counts(
+    counts: DataFrame,
+    n_variants: int = 2,
+    critical: float | None = None,
+) -> DataFrame:
+    """Batch-side readout over :func:`stream_srm_counts` output (from
+    the streaming sink or the batch twin): per window, the same
+    equal-expected chi-square identity as :func:`srm_check`. k-row
+    groups — one aggregation, no windows."""
+    _CRIT_001 = {2: 10.828, 3: 13.816, 4: 16.266, 5: 18.467}
+    if critical is None:
+        critical = _CRIT_001[int(n_variants)]
+    k = F.lit(float(n_variants))
+    return (
+        counts.groupBy("window_start")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(
+                k * F.sum(F.col("n") * F.col("n")) / F.sum("n")
+                - F.sum("n"),
+                6,
+            ).alias("chi2"),
+            (
+                k * F.sum(F.col("n") * F.col("n")) / F.sum("n")
+                - F.sum("n")
+                > F.lit(float(critical))
+            ).alias("srm"),
+        )
+        .orderBy("window_start")
+    )

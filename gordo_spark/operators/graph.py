@@ -410,3 +410,63 @@ def hits(
         )
         .orderBy("v")
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 6,
+    a_col: str = "a",
+    b_col: str = "b",
+    seed_col: str = "v",
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: shortest hop
+    distance from ANY seed, capped at ``max_depth`` — the influence-
+    radius readout (recall campaigns, contamination spread, "how far is
+    every part from the recalled brand in the co-purchase graph").
+    Min-label propagation exactly like connected_components, but the
+    label is depth instead of component id: ``d(v) <- min(d(v),
+    min_nbr d(u) + 1)`` per iteration; after k fixed iterations the
+    labels ARE the exact BFS depths <= k (monotone lattice), which is
+    what keeps a traversal oracle-checkable by CTE unrolling
+    (the pagerank convention — no driver-side convergence decision).
+
+    Per iteration: one edge join + one node-keyed min aggregate (2
+    node-keyed shuffles); edges/nodes localCheckpoint once (eager), the
+    carried frame stays node-cardinality, lineage linear in depth with
+    every-4 lazy truncation. Output: ``(v, depth)`` for nodes reached
+    within ``max_depth``, unreached nodes absent (stated), ordered by
+    (depth, v).
+    """
+    e = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    d = (
+        seeds.select(F.col(seed_col).alias("v"))
+        .distinct()
+        .select("v", F.lit(0).alias("depth"))
+    )
+    for i in range(int(max_depth)):
+        nbr = (
+            e.join(d.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg((F.min("depth") + 1).alias("_nd"))
+        )
+        d = (
+            d.join(nbr, "v", "full")
+            .select(
+                "v",
+                F.least(
+                    F.coalesce(F.col("depth"), F.lit(int(max_depth) + 1)),
+                    F.coalesce(F.col("_nd"), F.lit(int(max_depth) + 1)),
+                ).alias("depth"),
+            )
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < int(max_depth):
+            d = d.localCheckpoint(eager=False)
+    return d.filter(F.col("depth") <= int(max_depth)).orderBy("depth", "v")

@@ -178,3 +178,83 @@ def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
         )
         .orderBy("lhs", "rhs")
     )
+
+
+def join_size_profile(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+) -> DataFrame:
+    """Pre-join cardinality and skew probe: the EXACT output size and
+    hot-key profile of ``left JOIN right`` computed WITHOUT
+    materializing the join — ``|A join B| = sum_k cA(k) * cB(k)`` over
+    the key-count tables, which are aggregates orders of magnitude
+    smaller than the data. The question to ask BEFORE launching a
+    fact-fact join at 100 TB: a fanout ratio >> 1 or a hot key owning
+    half the output means you want salting (o6_salted_join) or a
+    pre-aggregation, and this probe costs two map-side-combined
+    aggregates + one count-table join instead of the join itself.
+
+    Output one row: ``(n_left, n_right, keys_left, keys_right,
+    keys_common, join_rows, fanout, max_key_rows, hot_key,
+    hot_share)`` — hot_share = the hottest key's fraction of the join
+    output (ties break to the smallest key, stated).
+    """
+    lk = F.col(left_key).cast("string")
+    rk = F.col(right_key).cast("string")
+    ca = (
+        left.filter(lk.isNotNull())
+        .groupBy(lk.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_ca"))
+    )
+    cb = (
+        right.filter(rk.isNotNull())
+        .groupBy(rk.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    prof = ca.join(cb, "_k").select(
+        "_k", (F.col("_ca") * F.col("_cb")).alias("_rows")
+    )
+    tot_a = ca.agg(
+        F.sum("_ca").alias("n_left"), F.count(F.lit(1)).alias("keys_left")
+    )
+    tot_b = cb.agg(
+        F.sum("_cb").alias("n_right"), F.count(F.lit(1)).alias("keys_right")
+    )
+    agg = prof.agg(
+        F.count(F.lit(1)).alias("keys_common"),
+        F.sum("_rows").alias("join_rows"),
+        F.max("_rows").alias("max_key_rows"),
+        F.min_by("_k", F.struct((-F.col("_rows")).alias("n"), F.col("_k")))
+        .alias("hot_key"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "n_left",
+            "n_right",
+            "keys_left",
+            "keys_right",
+            "keys_common",
+            F.coalesce(F.col("join_rows"), F.lit(0)).alias("join_rows"),
+            F.round(
+                F.when(
+                    (F.col("n_left") > 0) & (F.col("n_right") > 0),
+                    F.col("join_rows")
+                    / F.greatest(F.col("n_left"), F.col("n_right")),
+                ),
+                6,
+            ).alias("fanout"),
+            "max_key_rows",
+            "hot_key",
+            F.round(
+                F.when(
+                    F.col("join_rows") > 0,
+                    F.col("max_key_rows") / F.col("join_rows"),
+                ),
+                6,
+            ).alias("hot_share"),
+        )
+    )

@@ -375,3 +375,55 @@ def weighted_quantile(
         F.round(F.col("_W"), 6).alias("total_weight"),
         F.col("_v").alias("estimate"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize both): the rows no other
+    row beats on BOTH dimensions — "cheapest AND smallest" product
+    shortlists, "fastest AND cheapest" plan choices. A point survives
+    iff no point has ``x <=`` and ``y <=`` with one strict; exact ties
+    keep the smallest id (stated).
+
+    Distributed shape (the classic two-phase skyline): stage 1 computes
+    a LOCAL skyline inside each of ``buckets`` md5 buckets — any
+    locally dominated point is globally dominated, so local filtering
+    is lossless — via one bucket-partitioned ordered window (x asc,
+    y asc, id; survive iff y < running-min(y) of prior rows). Stage 2
+    repeats the same window globally over the local survivors, whose
+    volume is sum of per-bucket frontier sizes (typically tiny;
+    worst case — all points on one frontier — is the problem's own
+    output size, stated). No corpus-sized global sort.
+
+    Output: ``(id, x, y)`` frontier rows ordered by x.
+    """
+    from gordo_spark.operators.dedup import md5_long
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        F.col(id_col).alias("id"), x.alias("x"), y.alias("y")
+    )
+
+    def survivors(frame, part_cols):
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("x").asc(), F.col("y").asc(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return frame.withColumn("_miny", F.min("y").over(w)).filter(
+            F.col("_miny").isNull() | (F.col("y") < F.col("_miny"))
+        ).drop("_miny")
+
+    local = survivors(
+        base.withColumn(
+            "_b", F.pmod(md5_long(F.col("id").cast("string")), F.lit(int(buckets)))
+        ),
+        ["_b"],
+    ).drop("_b")
+    return survivors(local, []).orderBy("x", "y", "id")

@@ -1992,3 +1992,127 @@ def nb_classify(
             6,
         ).alias("recall"),
     ).orderBy("label", "pred")
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    min_count: int = 3,
+    topk: int = 20,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus (Rose et al. 2010):
+    candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands over the token stream), each word scores
+    ``degree/frequency`` (degree = summed length of phrases containing
+    it — co-occurrence-rich words win; frequency alone would reward
+    boilerplate), and a phrase scores the sum of its member word
+    scores. The training-free keyphrase miner that feeds vocabulary
+    curation where llr_bigrams stops at length 2.
+
+    Shape: one corpus scan explodes (doc, pos, token); the island id is
+    ``pos - row_number()`` over the per-doc non-stopword stream (the
+    merge_intervals trick applied to text); word stats and phrase
+    counts are vocab-/phrase-bounded aggregates; scores are ratios of
+    exact integers summed over <= ``max_phrase_len`` terms (engine-
+    deterministic — each word score is the same two-integer division in
+    any engine, and the phrase sum is a fixed-order bounded aggregate
+    over the phrase's distinct words). Output: ``(phrase, n_words, n,
+    score)``, topk by score then phrase.
+    """
+    from pyspark.sql import Window
+
+    sw = stopwords if stopwords is not None else EN_STOPWORDS
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    # doc id must be assigned BEFORE the generator: in one select the
+    # id expression evaluates per OUTPUT (exploded) row, giving every
+    # token its own "document" and collapsing all islands to length 1
+    docs = df.select(
+        F.monotonically_increasing_id().alias("_doc"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    toks = docs.select(
+        "_doc", F.posexplode("_toks").alias("_pos", "_w")
+    ).filter(F.col("_w") != "")
+    nonstop = toks.filter(~F.array_contains(sw_arr, F.col("_w")))
+    wisl = Window.partitionBy("_doc").orderBy("_pos")
+    islands = nonstop.select(
+        "_doc",
+        "_pos",
+        "_w",
+        (F.col("_pos") - F.row_number().over(wisl)).alias("_isl"),
+    )
+    # phrases: ordered token runs (bounded at max_phrase_len, stated)
+    phrases = (
+        islands.groupBy("_doc", "_isl")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_w"))
+            ).alias("_run")
+        )
+        .select(
+            F.transform(F.col("_run"), lambda s: s["_w"]).alias("_words")
+        )
+        .filter(
+            (F.size("_words") >= 1)
+            & (F.size("_words") <= int(max_phrase_len))
+        )
+        .select(
+            F.array_join(F.col("_words"), " ").alias("phrase"),
+            F.col("_words").alias("_words"),
+        )
+    )
+    # word stats over ALL candidate runs: freq + degree (= sum of run
+    # lengths containing the word, counted per occurrence)
+    wstats = (
+        phrases.select(
+            F.explode("_words").alias("_w"),
+            F.size("_words").alias("_len"),
+        )
+        .groupBy("_w")
+        .agg(
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum("_len").alias("_deg"),
+        )
+        .select(
+            "_w",
+            (F.col("_deg").cast("double") / F.col("_freq")).alias("_ws"),
+        )
+    )
+    pcounts = phrases.groupBy("phrase", "_words").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scored = (
+        pcounts.select(
+            "phrase",
+            F.size("_words").alias("n_words"),
+            "n",
+            F.explode(F.array_distinct("_words")).alias("_w"),
+        )
+        .join(wstats, "_w")
+        .groupBy("phrase", "n_words", "n")
+        .agg(
+            # fold in SORTED word order: a hash-agg float sum is
+            # order-nondeterministic; the sorted fold is engine-exact
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_w").alias("w"),
+                                F.col("_ws").alias("s"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"],
+                ),
+                6,
+            ).alias("score")
+        )
+        .filter(F.col("n") >= int(min_count))
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    ).limit(int(topk))

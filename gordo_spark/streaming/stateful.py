@@ -598,3 +598,98 @@ def control_rules_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kalman_stream(
+    stream: DataFrame,
+    q: float = 0.01,
+    r: float = 1.0,
+    key_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming local-level Kalman filter — the stateful form of
+    ``operators.smoothing.kalman_level``: per-key state is the two
+    scalars (x, P) of
+
+        P_pred = P + q;  K = P_pred / (P_pred + r)
+        x <- x + K (z - x);  P <- (1 - K) P_pred     (x_1=z_1, P_1=r)
+
+    O(1) state per key on an unbounded stream, same within-batch-sort /
+    in-order-source contract as ewma/holt streams. NaN observations
+    coast with WIDENING uncertainty (P += q, no update) exactly like
+    the batch operator, so a sensor gap raises the next real sample's
+    gain in both paths identically. stream==batch parity pinned in
+    tests/test_streaming.py."""
+    qv, rv = float(q), float(r)
+    if qv < 0 or rv <= 0:
+        raise ValueError("need q >= 0 and r > 0")
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("gain", DoubleType()),
+            StructField("p", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("x", DoubleType()), StructField("p", DoubleType())]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            x, p = state.get
+            started = True
+        else:
+            x, p, started = 0.0, 0.0, False
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        levels, gains, ps = [], [], []
+        for z in rows[value_col]:
+            if pd.isna(z):
+                if started:
+                    p = p + qv  # uncertainty accrues through the gap
+                levels.append(float("nan"))
+                gains.append(float("nan"))
+                ps.append(float("nan"))
+                continue
+            z = float(z)
+            if not started:
+                x, p, started = z, rv, True
+                levels.append(x)
+                gains.append(1.0)
+                ps.append(p)
+                continue
+            p_pred = p + qv
+            k = p_pred / (p_pred + rv)
+            x = x + k * (z - x)
+            p = (1.0 - k) * p_pred
+            levels.append(x)
+            gains.append(k)
+            ps.append(p)
+        if started:
+            state.update((x, p))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: rows[ts_col].values,
+                value_col: rows[value_col].values,
+                "level": levels,
+                "gain": gains,
+                "p": ps,
+            }
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -58,6 +58,12 @@ ACCEPTED = {
     "tpch_q22": "1-row scalar subquery (avg-acctbal threshold) broadcast",
     "pmi_cooccur": "1-row corpus-bigram-total frame broadcast to the "
     "min_count-pruned pair table",
+    "llr_collocations": "1-row corpus-bigram-total frame broadcast to the "
+    "min_count-pruned pair table (the pmi_cooccur shape)",
+    "chi2_terms": "1-row corpus-doc-count frame broadcast to the "
+    "min_df-pruned (class, term) table",
+    "nb_classify": "vocab x |classes|-row class-totals cross (classes "
+    "bounded; densifies the smoothed-likelihood floor) + 1-row priors",
     "m2_ols_predict": "1-row OLS coefficient frame broadcast to scored rows",
     "triangle_count": "1-row triangle-total frame broadcast to the 1-row "
     "degree-stats frame (two scalars crossed)",
@@ -76,6 +82,8 @@ ACCEPTED = {
     "(the source_quality_filter scalar shape)",
     "lift_curve": "1-row totals frame broadcast to the n_buckets-row "
     "lift table",
+    "join_profile": "1-row count-table totals frames broadcast-crossed "
+    "into the single-row profile readout (three scalar frames)",
     "t_closeness": "m-row sensitive-value grid (distinct ordered values, "
     "resolution-bounded) broadcast-crossed with the QI-group frame — "
     "output is groups x m, never corpus-sized",
@@ -212,6 +220,11 @@ SINGLE_SERIES_OK = {
     # the cumulative window over the n_buckets-row uplift table — the
     # lift_curve bound exactly
     "qini_curve",
+    # the skyline's stage-2 global window runs over the LOCAL-SKYLINE
+    # survivor union (per-bucket frontiers — typically tiny; worst case
+    # is the answer's own size), never the corpus (stage 1 is
+    # bucket-partitioned)
+    "skyline",
 }
 
 

@@ -834,6 +834,54 @@ def fleet_experiment(spark):
     }
 
 
+
+
+def grid_invariance_experiment(spark):
+    """matrix_profile's cost claim is that the quadratic term is bound
+    by the CALENDAR grid, not event volume: the resample collapses
+    volume first, so 10x the events over the SAME time range must cost
+    ~the same wall (the pairs count is identical). Replicas jitter the
+    value (not the timestamp), so the grid cells change value but the
+    grid — and the pair space — does not.
+    """
+    from gordo_spark.operators.resample import resample_aggregate
+    from gordo_spark.operators.tsa import matrix_profile
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "ts", "event_type", "value"
+    )
+
+    def volume(mult):
+        reps = [
+            ev.withColumn("value", F.col("value") * F.lit(1.0 + 0.01 * r))
+            for r in range(mult)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        return out
+
+    def run(mult):
+        long = volume(mult).select(
+            F.col("event_type").alias("tag"), "ts", "value"
+        )
+        res = resample_aggregate(long, "1H", "mean").filter(
+            F.col("tag").isin("click", "purchase")
+        )
+        return matrix_profile(res, m=8, precision=3)
+
+    n_1x = run(1).count()
+    t1 = timed("mp 1x", lambda: run(1).count())
+    n_10x = run(10).count()
+    t10 = timed("mp 10x", lambda: run(10).count())
+    return {
+        "t_1x_s": t1,
+        "t_10x_s": t10,
+        "windows_1x": n_1x,
+        "windows_10x": n_10x,
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
@@ -848,6 +896,7 @@ def main():
     sp = sparse_prune_experiment(spark)
     sj = simjoin_experiment(spark)
     fl = fleet_experiment(spark)
+    gi = grid_invariance_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -1066,6 +1115,16 @@ def main():
         "become a bounded spec table joined onto ONE shared resample, so",
         "scheduler/compile cost stays constant and scan cost stays 1 while",
         "the solo loop pays both linearly in fleet size.",
+        "",
+        "## Matrix profile grid invariance (m=8, click+purchase hourly)",
+        "",
+        f"- 1x events:  {gi['t_1x_s']} s ({gi['windows_1x']:,} windows)",
+        f"- 10x events: {gi['t_10x_s']} s ({gi['windows_10x']:,} windows, "
+        f"{round(gi['t_10x_s'] / max(gi['t_1x_s'], 1e-9), 2)}x wall)",
+        "",
+        "The profile's quadratic term is CALENDAR-bounded: 10x the event",
+        "volume lands on the same hourly grid, so the pair space — and the",
+        "wall — barely move; only the upstream resample pays for volume.",
         "",
     ]
     out = "\n".join(lines)

@@ -1473,3 +1473,57 @@ def test_stream_control_rules_match_batch(spark, sf_dir, tmp_path, events_schema
             )
         else:
             assert (bb.astype(bool) == gg.astype(bool)).all(), c
+
+
+def test_kalman_stream_matches_batch_across_batches(spark, sf_dir, tmp_path, events_schema):
+    """Streaming Kalman state (x, P) must carry across micro-batches:
+    the streamed level/gain/p over two sequential files equals the
+    batch operator over the whole series."""
+    import pandas as pd
+    from gordo_spark.operators.smoothing import kalman_level
+    from gordo_spark.streaming.stateful import kalman_stream
+
+    long = (
+        EventsAsSensorProvider(sf_dir)
+        .read(spark, TAGS)
+        .filter(F.col("tag") == "click")
+    )
+    res = resample_aggregate(long, "1H", "mean")
+    pdf = res.toPandas().sort_values("ts").reset_index(drop=True)
+    half = len(pdf) // 2
+    src = f"{tmp_path}/kalman_src"
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(res.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        kalman_stream(stream, q=0.05, r=2.0)
+        .writeStream.format("memory")
+        .queryName("kalman_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("kalman_stream_test")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    exp = (
+        kalman_level(
+            spark.createDataFrame(pdf), "value", q=0.05, r=2.0, machine_col="tag"
+        )
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["level"], exp["level"], rtol=1e-9)
+    np.testing.assert_allclose(got["gain"], exp["gain"], rtol=1e-9)
+    np.testing.assert_allclose(got["p"], exp["p"], rtol=1e-9)
