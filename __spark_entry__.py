@@ -13221,6 +13221,262 @@ ORDER BY x, y, id
 """
 
 
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution (operators/ranges.
+    position_attribution): purchases split 40/20/40 across the
+    preceding click/view/signup journey — the model between
+    first/last-touch and markov_attribution. Credits quantized to 1e-9
+    so channel sums are exact-integer (summation-order-proof)."""
+    from gordo_spark.operators.ranges import position_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return position_attribution(ev, "purchase", ["click", "view", "signup"])
+
+
+O_POSITION_ATTRIBUTION = """
+WITH w AS (
+  SELECT event_type,
+         coalesce(list_filter(
+           list(CASE WHEN event_type IN ('click', 'view', 'signup')
+                     THEN event_type END)
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           x -> x IS NOT NULL), []) AS touches
+  FROM events
+),
+conv AS (
+  SELECT CASE WHEN len(touches) = 0 THEN ['none'] ELSE touches END
+           AS touches,
+         len(touches) AS n
+  FROM w WHERE event_type = 'purchase'
+),
+ex AS (
+  SELECT n, unnest(touches) AS touch,
+         unnest(range(1, len(touches) + 1)) AS i
+  FROM conv
+),
+cr AS (
+  SELECT touch,
+         CAST(ROUND((CASE
+           WHEN n <= 1 THEN 1.0
+           WHEN i = 1 OR i = n THEN (CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END)
+           ELSE 0.2 / (n - 2)
+         END) * 1000000000.0, 0) AS BIGINT) AS ci
+  FROM ex
+)
+SELECT touch, ROUND(sum(ci) / 1000000000.0, 6) AS credit,
+       CAST(count(*) AS BIGINT) AS n_touched
+FROM cr GROUP BY touch ORDER BY touch
+"""
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU stickiness curve (operators/ranges.stickiness):
+    per active day, trailing 1/7/28-day distinct users and the DAU/MAU
+    ratio — one distinct (user, day) collapse, one |activity| x 28
+    range join, one spine aggregate. Windows truncate at history
+    start (stated)."""
+    from gordo_spark.operators.ranges import stickiness
+
+    ev = read_table(spark, sf_dir, "events")
+    return stickiness(ev)
+
+
+O_STICKINESS = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d0
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+spine AS (SELECT DISTINCT d0 AS d FROM act),
+j AS (
+  SELECT s.d, a.u, date_diff('day', a.d0, s.d) AS dd
+  FROM spine s JOIN act a
+    ON a.d0 <= s.d AND a.d0 >= s.d - INTERVAL 27 DAY
+)
+SELECT CAST(d AS TIMESTAMP) AS d,
+       CAST(count(DISTINCT CASE WHEN dd < 1 THEN u END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT CASE WHEN dd < 7 THEN u END) AS BIGINT) AS wau,
+       CAST(count(DISTINCT u) AS BIGINT) AS mau,
+       ROUND(CASE WHEN count(DISTINCT u) > 0
+             THEN count(DISTINCT CASE WHEN dd < 1 THEN u END)
+                  / CAST(count(DISTINCT u) AS DOUBLE) END, 6)
+         AS stickiness
+FROM j GROUP BY d ORDER BY d
+"""
+
+
+def q_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W31 — trend/seasonal strength per tag (operators/tsa.
+    stl_strength over the w29 decomposition): Hyndman fpp3 features
+    ranking which sensors actually trend/cycle — the fleet-triage
+    one-number companion to the full decomposition."""
+    from gordo_spark.operators.tsa import stl_strength
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = res.withColumn("value", F.round("value", 6))
+    return stl_strength(
+        res, period_buckets=24, half_window=12, bucket_seconds=3600
+    )
+
+
+O_STL_STRENGTH = """
+WITH res AS (
+  SELECT event_type AS tag,
+         floor(epoch(ts)/3600)*3600 AS t,
+         ROUND(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2
+),
+iv AS (
+  SELECT *, CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS ivv FROM res
+),
+tr AS (
+  SELECT tag, t, value,
+         CAST(sum(ivv) OVER w AS DOUBLE) / count(ivv) OVER w
+           / 1000000.0 AS trend
+  FROM iv
+  WINDOW w AS (PARTITION BY tag ORDER BY t
+               RANGE BETWEEN 43200 PRECEDING AND 43200 FOLLOWING)
+),
+ph AS (
+  SELECT *, CAST(floor(t / 3600) AS BIGINT) % 24 AS phv,
+         CAST(ROUND(ROUND(value - trend, 6) * 1000000.0, 0) AS BIGINT)
+           AS di
+  FROM tr
+),
+se AS (
+  SELECT tag, phv,
+         CAST(sum(di) AS DOUBLE) / count(di) / 1000000.0 AS seasonal
+  FROM ph GROUP BY 1, 2
+),
+comp AS (
+  SELECT ph.tag,
+         ph.value,
+         ROUND(ph.trend, 6) AS trend,
+         ROUND(se.seasonal, 6) AS seasonal,
+         ROUND(ph.value - ph.trend - se.seasonal, 6) AS resid
+  FROM ph JOIN se ON se.tag = ph.tag AND se.phv = ph.phv
+),
+agg AS (
+  SELECT tag, count(*) AS n,
+         var_pop(resid) AS vr,
+         var_pop(value - seasonal) AS vds,
+         var_pop(value - trend) AS vdt
+  FROM comp GROUP BY tag
+)
+SELECT tag, CAST(n AS BIGINT) AS n,
+       ROUND(vr, 6) AS var_resid,
+       ROUND(CASE WHEN vds > 0
+             THEN GREATEST(0.0, 1.0 - vr / vds) END, 6) AS f_trend,
+       ROUND(CASE WHEN vdt > 0
+             THEN GREATEST(0.0, 1.0 - vr / vdt) END, 6) AS f_seasonal
+FROM agg ORDER BY tag
+"""
+
+
+def q_ewm_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W32 — EW mean/variance bands per tag (operators/smoothing.
+    ewm_volatility, RiskMetrics lam=0.94): adaptive control bands that
+    re-level after regime shifts where the fixed-window z-score lags;
+    breach tested against the PRIOR state. applyInPandas per tag; the
+    oracle carries (s, v) through the identical recursive CTE."""
+    from gordo_spark.operators.smoothing import ewm_volatility
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = res.withColumn("value", F.round("value", 6))
+    return ewm_volatility(res, "value", lam=0.94, machine_col="tag")
+
+
+O_EWM_VOL = """
+WITH RECURSIVE res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         ROUND(avg(value), 6) AS value
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT tag, ts, value,
+         row_number() OVER (PARTITION BY tag ORDER BY ts) AS rn
+  FROM res
+),
+rec AS (
+  SELECT tag, ts, rn, value,
+         value AS s, CAST(0.0 AS DOUBLE) AS v, 0 AS breach
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.tag, q.ts, q.rn, q.value,
+         0.94 * r.s + 0.06 * q.value,
+         0.94 * r.v + 0.06 * (q.value - r.s) * (q.value - r.s),
+         CASE WHEN r.v > 0
+               AND abs(q.value - r.s) > 3.0 * sqrt(r.v)
+              THEN 1 ELSE 0 END
+  FROM rec r JOIN seq q ON q.tag = r.tag AND q.rn = r.rn + 1
+)
+SELECT tag, ts, value,
+       ROUND(s, 6) AS ew_mean, ROUND(sqrt(v), 6) AS ew_std,
+       CAST(breach AS INTEGER) AS breach
+FROM rec
+"""
+
+
+def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W33 — normalized spectral entropy over the 6h/24h/7d candidate
+    periodogram (operators/tsa.spectral_entropy): how CONCENTRATED is
+    each tag's cycling — the fleet-triage rider on w27. Entropy of the
+    6dp-rounded powers (stated), so both engines fold identical
+    numbers."""
+    from gordo_spark.operators.tsa import spectral_entropy
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    return spectral_entropy(res, [21600, 86400, 604800])
+
+
+O_SPECTRAL_ENTROPY = """
+WITH res AS (
+  SELECT event_type AS tag,
+         floor(epoch(ts)/3600)*3600 AS t,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+dm AS (
+  SELECT tag, t,
+         value - avg(value) OVER (PARTITION BY tag) AS d
+  FROM res
+),
+per AS (
+  SELECT tag, t, d, p.period_s
+  FROM dm CROSS JOIN (VALUES (21600), (86400), (604800)) AS p(period_s)
+),
+agg AS (
+  SELECT tag, period_s, count(*) AS n,
+         sum(d * cos(2 * pi() * (CAST(t AS BIGINT) % period_s)
+                     / period_s)) AS sc,
+         sum(d * sin(2 * pi() * (CAST(t AS BIGINT) % period_s)
+                     / period_s)) AS ss
+  FROM per GROUP BY 1, 2
+),
+pw AS (
+  SELECT tag, ROUND((sc * sc + ss * ss) / n, 6) AS power FROM agg
+),
+nm AS (
+  SELECT tag, power,
+         sum(power) OVER (PARTITION BY tag) AS tp
+  FROM pw
+),
+terms AS (
+  SELECT tag, tp,
+         CASE WHEN power / tp > 0
+              THEN -(power / tp) * ln(power / tp) ELSE 0.0 END AS h
+  FROM nm
+)
+SELECT tag, CAST(count(*) AS BIGINT) AS n_periods,
+       ROUND(max(tp), 6) AS total_power,
+       ROUND(CASE WHEN max(tp) > 0
+             THEN sum(h) / ln(3.0) END, 6) AS entropy
+FROM terms GROUP BY tag ORDER BY tag
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -13539,6 +13795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consensus_anomaly": q_consensus_anomaly,
         "join_profile": q_join_profile,
         "skyline": q_skyline,
+        "position_attribution": q_position_attribution,
+        "stickiness": q_stickiness,
+        "w31_stl_strength": q_stl_strength,
+        "w32_ewm_vol": q_ewm_vol,
+        "w33_spectral_entropy": q_spectral_entropy,
     }
 
 
@@ -13845,4 +14106,9 @@ def oracle_sql() -> dict[str, str]:
         "consensus_anomaly": O_CONSENSUS_ANOMALY,
         "join_profile": O_JOIN_PROFILE,
         "skyline": O_SKYLINE,
+        "position_attribution": O_POSITION_ATTRIBUTION,
+        "stickiness": O_STICKINESS,
+        "w31_stl_strength": O_STL_STRENGTH,
+        "w32_ewm_vol": O_EWM_VOL,
+        "w33_spectral_entropy": O_SPECTRAL_ENTROPY,
     }

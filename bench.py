@@ -268,6 +268,11 @@ HEADLINE = [
     "consensus_anomaly",
     "join_profile",
     "skyline",
+    "position_attribution",
+    "stickiness",
+    "w31_stl_strength",
+    "w32_ewm_vol",
+    "w33_spectral_entropy",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

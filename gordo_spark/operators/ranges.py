@@ -745,3 +745,122 @@ def merge_intervals(
         F.max(end_col).alias(end_col),
         F.count(F.lit(1)).alias("n_merged"),
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) attribution — the multi-touch model
+    between :func:`attribution`'s single-touch extremes and
+    markov_attribution's model-based one: every conversion splits its
+    credit 40% first touch / 40% last touch / 20% shared equally by
+    the middles (1 touch -> 100%, 2 touches -> 50/50, 0 -> 'none',
+    all stated — the standard U-shape conventions).
+
+    One user-keyed ordered window collects each conversion's preceding
+    touch LIST (frame order = (ts, id), engine-total), the list
+    explodes to per-(conversion, touch) credit rows — the credit space
+    itself, nothing quadratic beyond it — and credits are QUANTIZED to
+    1e-9 before summing (stated): per-channel sums then run over exact
+    integers, so the 6dp readout cannot be flipped by summation order
+    (the mann_whitney doubled-rank discipline). Output per channel:
+    ``(touch, credit, n_touched)`` with credit totals = conversions.
+    """
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    touch = F.when(
+        F.col(type_col).isin(*[str(x) for x in touch_types]), F.col(type_col)
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(t.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv = events.select(
+        F.col(type_col),
+        F.collect_list(touch).over(w).alias("_touches"),
+    ).filter(F.col(type_col) == conversion_type)
+    n = F.size("_touches")
+    padded = conv.select(
+        F.when(n == 0, F.array(F.lit("none")))
+        .otherwise(F.col("_touches"))
+        .alias("_touches"),
+        n.alias("_n"),
+    )
+    ex = padded.select(
+        "_n", F.posexplode("_touches").alias("_pos", "touch")
+    )
+    credit = (
+        F.when(F.col("_n") <= 1, F.lit(1.0))  # 0 -> 'none', 1 -> solo
+        .when(
+            (F.col("_pos") == 0) | (F.col("_pos") == F.col("_n") - 1),
+            F.when(F.col("_n") == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+        )
+        .otherwise(0.2 / (F.col("_n") - 2))
+    )
+    ci = F.round(credit * 1e9, 0).cast("long")
+    return (
+        ex.groupBy("touch")
+        .agg(
+            F.round(F.sum(ci) / F.lit(1e9), 6).alias("credit"),
+            F.count(F.lit(1)).alias("n_touched"),
+        )
+        .orderBy("touch")
+    )
+
+
+def stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU/WAU/MAU engagement curve: for every active day, the distinct
+    users active that day / in the trailing 7 days / in the trailing
+    28 days, plus the DAU/MAU stickiness ratio — the standard
+    product-health readout events_retention's cohort matrix does not
+    give. Windows TRUNCATE at history start (stated — the first week's
+    WAU is a partial window, as every dashboard actually computes it).
+
+    Shape: activity collapses to distinct (user, day) FIRST (the only
+    corpus-sized aggregation), then a range join lands each activity
+    day on the <= 28 spine days it supports — output bounded by
+    |activity| x 28, never events x anything — and one spine-keyed
+    aggregate counts conditional distincts for all three horizons at
+    once. Output per day: ``(d, dau, wau, mau, stickiness)``.
+    """
+    act = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.to_date(F.col(ts_col)).alias("_d"),
+        )
+        .filter(F.col("_u").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    spine = act.select(F.col("_d").alias("d")).distinct()
+    joined = spine.join(
+        act,
+        (F.col("_d") <= F.col("d"))
+        & (F.col("_d") >= F.date_sub(F.col("d"), 27)),
+    )
+    diff = F.datediff(F.col("d"), F.col("_d"))
+    out = joined.groupBy("d").agg(
+        F.countDistinct(F.when(diff < 1, F.col("_u"))).alias("dau"),
+        F.countDistinct(F.when(diff < 7, F.col("_u"))).alias("wau"),
+        F.countDistinct(F.col("_u")).alias("mau"),
+    )
+    return out.select(
+        # date -> timestamp for transport-stable typing (dates round-trip
+        # as objects through Arrow/pandas; timestamps stay datetime64)
+        F.col("d").cast("timestamp").alias("d"),
+        "dau",
+        "wau",
+        "mau",
+        F.round(
+            F.when(F.col("mau") > 0, F.col("dau") / F.col("mau")), 6
+        ).alias("stickiness"),
+    ).orderBy("d")

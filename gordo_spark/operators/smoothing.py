@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
 
@@ -666,4 +668,84 @@ def kalman_level(
         df.withColumn("_g", F.lit(1))
         .groupBy("_g")
         .applyInPandas(lambda p: _kalman(p.drop(columns="_g")), schema=schema)
+    )
+
+
+def ewm_volatility(
+    df: DataFrame,
+    value_col: str = "value",
+    lam: float = 0.94,
+    n_sigmas: float = 3.0,
+    ts_col: str = "ts",
+    machine_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted mean + VARIANCE per series (the
+    RiskMetrics recursion): ``s_t = lam*s_{t-1} + (1-lam)*x_t``,
+    ``v_t = lam*v_{t-1} + (1-lam)*(x_t - s_{t-1})^2`` with
+    ``s_1 = x_1, v_1 = 0`` — adaptive control bands where
+    rolling_zscore's fixed window lags regime changes: after a
+    volatility shift the EW variance re-levels in ~1/(1-lam) samples
+    while a 24-sample window carries the old regime for 24. Emits
+    ``ew_mean``, ``ew_std`` and the band-breach flag
+    ``|x_t - s_{t-1}| > n_sigmas * sqrt(v_{t-1})`` (tested against the
+    PRIOR state, so the breach itself does not inflate the band that
+    judges it; the first sample and zero-variance warmup emit flag 0,
+    stated). NaN observations coast (state untouched, NaN emitted) —
+    the holt/kalman convention.
+
+    Same execution posture as ewma/holt/kalman_level: recursive over
+    history -> Arrow-batched ``applyInPandas``, ONE group per series
+    key; the oracle states the identical recursion as a per-series
+    recursive CTE carrying (s, v).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    lm = float(lam)
+    if not (0.0 < lm < 1.0):
+        raise ValueError("lam must be in (0, 1)")
+    k = float(n_sigmas)
+    group_cols = [machine_col] if machine_col else []
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("ew_mean", DoubleType()),
+            StructField("ew_std", DoubleType()),
+            StructField("breach", IntegerType()),
+        ]
+    )
+
+    def _ewmv(pdf):
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype=float)
+        mean = np.full(len(x), np.nan)
+        std = np.full(len(x), np.nan)
+        breach = np.zeros(len(x), dtype="int32")
+        s, v, started = 0.0, 0.0, False
+        for i in range(len(x)):
+            if np.isnan(x[i]):
+                continue
+            if not started:
+                s, v, started = x[i], 0.0, True
+                mean[i], std[i] = s, 0.0
+                continue
+            if v > 0 and abs(x[i] - s) > k * math.sqrt(v):
+                breach[i] = 1
+            v = lm * v + (1.0 - lm) * (x[i] - s) * (x[i] - s)
+            s = lm * s + (1.0 - lm) * x[i]
+            mean[i], std[i] = s, math.sqrt(v)
+        pdf["ew_mean"], pdf["ew_std"] = mean, std
+        pdf["breach"] = breach
+        return pdf
+
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(_ewmv, schema=schema)
+    return (
+        df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda p: _ewmv(p.drop(columns="_g")), schema=schema)
     )

@@ -17,6 +17,8 @@ bounded, and the only broadcasts are 1-row scalar aggregates.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -1385,4 +1387,115 @@ def consensus_anomaly(
         votes.filter(F.col("votes") >= 1)
         .withColumn("consensus", F.col("votes") >= int(min_votes))
         .orderBy("tag", "ts")
+    )
+
+
+def stl_strength(
+    df: DataFrame,
+    period_buckets: int = 24,
+    half_window: int = 12,
+    bucket_seconds: int = 3600,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trend/seasonal STRENGTH per tag (Hyndman & Athanasopoulos,
+    fpp3 feature set) over the :func:`stl_decompose` components:
+    ``F_trend = max(0, 1 - Var(R)/Var(value - seasonal))`` and
+    ``F_seasonal = max(0, 1 - Var(R)/Var(value - trend))`` — the
+    one-number-per-series screens that rank a THOUSAND-tag fleet by
+    "which sensors actually cycle" (acf/periodogram answer where;
+    this ranks how much), and the feature pair fleet triage sorts on.
+
+    One pass over the decomposition output: a single per-tag aggregate
+    of three population variances. Output: ``(tag, n, var_resid,
+    f_trend, f_seasonal)``, NULL strengths when the denominators
+    degenerate (constant series, stated).
+    """
+    d = stl_decompose(
+        df,
+        period_buckets=period_buckets,
+        half_window=half_window,
+        bucket_seconds=bucket_seconds,
+        tag_col=tag_col,
+        ts_col=ts_col,
+        value_col=value_col,
+    )
+    deseason = F.col("value") - F.col("seasonal")
+    detrend = F.col("value") - F.col("trend")
+    agg = d.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_pop("resid").alias("_vr"),
+        F.var_pop(deseason).alias("_vds"),
+        F.var_pop(detrend).alias("_vdt"),
+    )
+    return agg.select(
+        "tag",
+        "n",
+        F.round(F.col("_vr"), 6).alias("var_resid"),
+        F.round(
+            F.when(
+                F.col("_vds") > 0,
+                F.greatest(F.lit(0.0), 1.0 - F.col("_vr") / F.col("_vds")),
+            ),
+            6,
+        ).alias("f_trend"),
+        F.round(
+            F.when(
+                F.col("_vdt") > 0,
+                F.greatest(F.lit(0.0), 1.0 - F.col("_vr") / F.col("_vdt")),
+            ),
+            6,
+        ).alias("f_seasonal"),
+    ).orderBy("tag")
+
+
+def spectral_entropy(
+    df: DataFrame,
+    periods_seconds: list[int],
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Normalized spectral entropy over the candidate-period
+    periodogram: ``H = -sum p_i ln p_i / ln(m)`` with ``p_i`` the
+    tag's normalized power at candidate period i — 0 = one clean
+    cycle owns the series, 1 = power spread flat across candidates
+    (noise). The fleet-triage companion to :func:`stl_strength`: that
+    ranks HOW MUCH a series cycles, this ranks how CONCENTRATED the
+    cycling is. Rides :func:`periodogram`'s rounded output (stated:
+    entropy of the 6dp powers, so both engines fold identical
+    numbers); one |tags| x |periods| aggregate on top.
+    """
+    m = len(periods_seconds)
+    if m < 2:
+        raise ValueError("spectral_entropy needs >= 2 candidate periods")
+    pg = periodogram(
+        df,
+        periods_seconds,
+        tag_col=tag_col,
+        ts_col=ts_col,
+        value_col=value_col,
+    )
+    tot = Window.partitionBy("tag")
+    p = F.col("power") / F.sum("power").over(tot)
+    terms = pg.select(
+        "tag",
+        F.sum("power").over(tot).alias("_tp"),
+        F.when(p > 0, -p * F.log(p)).otherwise(0.0).alias("_h"),
+    )
+    return (
+        terms.groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_periods"),
+            F.round(F.max("_tp"), 6).alias("total_power"),
+            F.round(
+                F.when(
+                    F.max("_tp") > 0,
+                    F.sum("_h") / F.lit(float(math.log(m))),
+                ),
+                6,
+            ).alias("entropy"),
+        )
+        .orderBy("tag")
     )

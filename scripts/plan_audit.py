@@ -82,6 +82,10 @@ ACCEPTED = {
     "(the source_quality_filter scalar shape)",
     "lift_curve": "1-row totals frame broadcast to the n_buckets-row "
     "lift table",
+    "stickiness": "range join of the CALENDAR-bounded day spine "
+    "(broadcast side = distinct active days) against distinct (user, "
+    "day) activity — output bounded at |activity| x 28, never "
+    "event-volume-quadratic",
     "join_profile": "1-row count-table totals frames broadcast-crossed "
     "into the single-row profile readout (three scalar frames)",
     "t_closeness": "m-row sensitive-value grid (distinct ordered values, "
