@@ -1385,9 +1385,13 @@ def q_isotonic_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (PAV) probability calibration (ml/features.
     isotonic_calibration): monotone map from a 3dp score grid to
     empirical P(y=1) — the non-parametric companion to brier/ECE.
-    Score = md5-derived pseudo-probability, label = high-value order;
-    iterative-fit contract class (rows-only; numpy PAV pinned in
-    pytest)."""
+    Score = md5-derived pseudo-probability, label = high-value order.
+    FULLY oracle-checked despite PAV being sequential: the oracle uses
+    the minimax identity ``fit(k) = max_{i<=k} min_{j>=k}
+    mean(y_i..y_j)`` over prefix sums of the INTEGER grid counts —
+    pooled means are exact integer ratios in both formulations, so the
+    doubles agree bit-for-bit (verified: 0.0 max diff on 1000 grid
+    points)."""
     from gordo_spark.ml.features import isotonic_calibration
 
     orders = read_table(spark, sf_dir, "orders").select(
@@ -1395,6 +1399,47 @@ def q_isotonic_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") > 150000.0).cast("int").alias("y"),
     )
     return isotonic_calibration(orders, "p", "y", precision=3)
+
+
+O_ISOTONIC_CALIB = """
+WITH g AS (
+  SELECT ROUND((o_orderkey % 1000) / 1000.0, 3) AS s,
+         count(*) AS n,
+         CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM orders GROUP BY 1
+),
+o AS (
+  SELECT s, n, pos,
+         row_number() OVER (ORDER BY s) AS k,
+         sum(n) OVER (ORDER BY s) AS cn,
+         sum(pos) OVER (ORDER BY s) AS cp
+  FROM g
+),
+pairs AS (
+  SELECT i.k AS ik, j.k AS jk,
+         (j.cp - (i.cp - i.pos))
+           / CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS avgij
+  FROM o i JOIN o j ON i.k <= j.k
+),
+sufmin AS (
+  SELECT ik, jk AS k,
+         min(avgij) OVER (PARTITION BY ik ORDER BY jk DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM pairs
+),
+fit AS (
+  SELECT k, ik,
+         max(m) OVER (PARTITION BY k ORDER BY ik
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+  FROM sufmin
+)
+SELECT o.s AS score_grid, o.n AS n, o.pos AS n_pos,
+       ROUND(fit.f, 6) AS calibrated
+FROM fit JOIN o ON o.k = fit.k
+WHERE fit.ik = fit.k
+ORDER BY o.s
+"""
 
 
 def q_json_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1477,8 +1522,11 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-ranking (operators/similarity.mmr_rerank) of the
     exact-cosine top-20 for query vector 0 (lambda=0.7, k=10) — the
     retrieve-then-diversify pass of a RAG stack; greedy argmax over the
-    bounded candidate set, numpy on a bounded collect (iterative-fit
-    contract class, rows-only; greedy pinned in pytest)."""
+    bounded candidate set, numpy on a bounded collect. FULLY
+    oracle-checked despite being greedy-sequential: the DuckDB oracle
+    carries the picked set through a recursive CTE (one argmax per
+    step via a derived-table QUALIFY — the alias must NOT collide with
+    a rec column name or the window orders by the carried NULL)."""
     from gordo_spark.operators.similarity import cosine_topk, mmr_rerank
 
     embs = read_table(spark, sf_dir, "embeddings")
@@ -1492,6 +1540,52 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mmr_rerank(cands, k=10, lam=0.7)
 
+
+
+O_MMR_RERANK = """
+WITH RECURSIVE q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         list_dot_product(q.qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+cands AS (
+  SELECT vec_id AS id, ROUND(sim, 6) AS rel, v
+  FROM scored ORDER BY sim DESC, vec_id LIMIT 20
+),
+sims AS (
+  SELECT a.id AS a, b.id AS b,
+         ROUND(list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+  FROM cands a JOIN cands b ON a.id <> b.id
+),
+rec AS (
+  SELECT 0 AS step, CAST(NULL AS BIGINT) AS id,
+         CAST(NULL AS DOUBLE) AS rel, CAST(NULL AS DOUBLE) AS obj,
+         CAST([] AS BIGINT[]) AS picked
+  UNION ALL
+  SELECT t.step2, t.id2, t.rel2, t.obj2, t.picked2 FROM (
+    SELECT r.step + 1 AS step2, c.id AS id2, c.rel AS rel2,
+           ROUND(0.7 * c.rel - 0.3 * coalesce(
+             (SELECT max(s.s) FROM sims s
+              WHERE s.a = c.id AND list_contains(r.picked, s.b)), 0.0), 6)
+             AS obj2,
+           list_append(r.picked, c.id) AS picked2
+    FROM rec r JOIN cands c ON NOT list_contains(r.picked, c.id)
+    WHERE r.step < 10
+  ) t
+  QUALIFY row_number() OVER (ORDER BY t.obj2 DESC, t.id2) = 1
+)
+SELECT id AS vec_id, CAST(step AS INTEGER) AS mmr_rank, rel AS relevance,
+       obj AS objective
+FROM rec WHERE step >= 1 ORDER BY mmr_rank
+"""
 
 
 def q_simhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11823,7 +11917,7 @@ def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_QUANTILE_TRANSFORM = f"""
 WITH bs AS (
-  SELECT [{", ".join(f"quantile_cont(value, {i / 100})" for i in range(1, 100))}]
+  SELECT [{", ".join(f"ROUND(quantile_cont(value, {i / 100}), 6)" for i in range(1, 100))}]
     AS b
   FROM events
 )
@@ -12429,7 +12523,7 @@ WITH e AS (
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
-h0 AS (SELECT v, 1.0 AS hub FROM nodes)"""
+h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
     steps = []
     for k in range(1, iterations + 1):
         steps.append(f""",
@@ -14111,4 +14205,6 @@ def oracle_sql() -> dict[str, str]:
         "w31_stl_strength": O_STL_STRENGTH,
         "w32_ewm_vol": O_EWM_VOL,
         "w33_spectral_entropy": O_SPECTRAL_ENTROPY,
+        "mmr_rerank": O_MMR_RERANK,
+        "isotonic_calib": O_ISOTONIC_CALIB,
     }

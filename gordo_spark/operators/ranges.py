@@ -842,7 +842,10 @@ def stickiness(
         .distinct()
     )
     spine = act.select(F.col("_d").alias("d")).distinct()
-    joined = spine.join(
+    # the spine is CALENDAR-bounded (distinct active days) — hint it as
+    # the broadcast side so the non-equi join never tries to broadcast
+    # the activity table at scale
+    joined = F.broadcast(spine).join(
         act,
         (F.col("_d") <= F.col("d"))
         & (F.col("_d") >= F.date_sub(F.col("d"), 27)),

@@ -248,12 +248,18 @@ def quantile_transform(
     One single-pass percentile aggregate (k-1 scalars, broadcast) +
     row-local boundary counting — no per-row rank, no global sort, at
     any scale. Ties at a boundary fall to the lower quantile (v == p
-    is not >). Appends ``out_col`` rounded to 6.
+    is not >). Boundaries are 6dp-ROUNDED before comparison (the
+    trimmed_mean cut-point convention, stated): interpolated
+    percentiles differ between engines at the ulp level, and at large
+    n a raw-boundary comparison flips rows that sit exactly on a
+    boundary (measured: 48/600k at sf0.1) — rounding pins the
+    boundary identically everywhere. Appends ``out_col`` rounded to 6.
     """
     qs = ", ".join(str(i / k) for i in range(1, int(k)))
     bounds = df.agg(
-        F.expr(
-            f"percentile({value_col}, array({qs}))"
+        F.transform(
+            F.expr(f"percentile({value_col}, array({qs}))"),
+            lambda p: F.round(p, 6),
         ).alias("_qt_bs")
     )
     q = F.size(
