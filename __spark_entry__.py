@@ -13571,6 +13571,108 @@ FROM terms GROUP BY tag ORDER BY tag
 """
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification (operators/similarity.
+    knn_classify): 20 query vectors, modal label of the exact-cosine
+    top-10 vs the true label — the zero-training embedding-quality
+    baseline that closes the retrieval-eval loop (ndcg/mrr/pr grade
+    the RANKING; this grades the decision)."""
+    from gordo_spark.operators.similarity import knn_classify
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    return knn_classify(embs, embs.filter(F.col("vec_id") < 20), k=10)
+
+
+O_KNN_CLASSIFY = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id, q.ql, e.label AS dl,
+         list_dot_product(qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, ql, dl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= 10
+),
+votes AS (
+  SELECT query_id, any_value(ql) AS ql, dl AS pred_label,
+         count(*) AS votes
+  FROM ranked GROUP BY query_id, dl
+),
+pred AS (
+  SELECT query_id, ql, pred_label, votes
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY votes DESC, pred_label) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT query_id, ql AS true_label, pred_label,
+       CAST(votes AS BIGINT) AS votes,
+       pred_label = ql AS correct
+FROM pred ORDER BY query_id
+"""
+
+
+def q_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-fingerprint mining (operators/profile.null_patterns)
+    over an events frame with DETERMINISTIC planted nulls (the lake is
+    null-free; value nulls on error events, props nulls on every 7th
+    event id, user nulls on every 50th user — three mechanisms, so the
+    pattern table separates them): top patterns by frequency."""
+    from gordo_spark.operators.profile import null_patterns
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(F.pmod(F.col("user_id"), F.lit(50)) != 0, F.col("user_id"))
+        .alias("user_id"),
+        F.when(F.col("event_type") != "error", F.col("value"))
+        .alias("value"),
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) != 0, F.col("props"))
+        .alias("props"),
+    )
+    return null_patterns(ev, ["user_id", "value", "props"], topk=10)
+
+
+O_NULL_PATTERNS = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 50 <> 0 THEN user_id END AS user_id,
+         CASE WHEN event_type <> 'error' THEN value END AS value,
+         CASE WHEN event_id % 7 <> 0 THEN props END AS props
+  FROM events
+),
+pat AS (
+  SELECT (CASE WHEN user_id IS NULL THEN '1' ELSE '0' END
+          || CASE WHEN value IS NULL THEN '1' ELSE '0' END
+          || CASE WHEN props IS NULL THEN '1' ELSE '0' END) AS pattern,
+         coalesce(array_to_string(list_filter([
+           CASE WHEN user_id IS NULL THEN 'user_id' END,
+           CASE WHEN value IS NULL THEN 'value' END,
+           CASE WHEN props IS NULL THEN 'props' END
+         ], x -> x IS NOT NULL), ','), '') AS null_cols
+  FROM ev
+),
+counts AS (
+  SELECT pattern, null_cols, count(*) AS n FROM pat GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS t FROM counts)
+SELECT pattern, null_cols,
+       CAST(len(replace(pattern, '0', '')) AS INTEGER) AS n_cols_null,
+       CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(tot.t AS DOUBLE), 6) AS frac
+FROM counts, tot
+ORDER BY n DESC, pattern
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
@@ -13894,6 +13996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w31_stl_strength": q_stl_strength,
         "w32_ewm_vol": q_ewm_vol,
         "w33_spectral_entropy": q_spectral_entropy,
+        "knn_classify": q_knn_classify,
+        "null_patterns": q_null_patterns,
     }
 
 
@@ -14207,4 +14311,6 @@ def oracle_sql() -> dict[str, str]:
         "w33_spectral_entropy": O_SPECTRAL_ENTROPY,
         "mmr_rerank": O_MMR_RERANK,
         "isotonic_calib": O_ISOTONIC_CALIB,
+        "knn_classify": O_KNN_CLASSIFY,
+        "null_patterns": O_NULL_PATTERNS,
     }

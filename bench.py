@@ -273,6 +273,8 @@ HEADLINE = [
     "w31_stl_strength",
     "w32_ewm_vol",
     "w33_spectral_entropy",
+    "knn_classify",
+    "null_patterns",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -258,3 +258,63 @@ def join_size_profile(
             ).alias("hot_share"),
         )
     )
+
+
+def null_patterns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    topk: int = 20,
+) -> DataFrame:
+    """Missingness-fingerprint mining: group rows by WHICH columns are
+    null (the null-pattern bitstring) and rank patterns by frequency —
+    the step after per-column null RATES (profile) that actually
+    diagnoses mechanism: correlated nulls in one pattern = one broken
+    upstream joiner; scattered independent nulls = organic sparsity
+    (Little's MCAR intuition as a table). One map-side-combinable
+    aggregation over two row-local fingerprint expressions — pattern
+    cardinality is bounded by 2^|cols| but in practice a handful;
+    top-k caps the readout.
+
+    Output: ``(pattern, null_cols, n_cols_null, n, frac)`` ordered by
+    frequency (ties by pattern), where ``pattern`` is a '1'=null
+    bitstring in ``cols`` order and ``null_cols`` the readable list.
+    """
+    use = list(cols) if cols is not None else list(df.columns)
+    bits = F.concat(
+        *[
+            F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0"))
+            for c in use
+        ]
+    )
+    names = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                *[
+                    F.when(F.col(c).isNull(), F.lit(c))
+                    for c in use
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    counts = (
+        df.select(bits.alias("pattern"), names.alias("null_cols"))
+        .groupBy("pattern", "null_cols")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "pattern",
+            "null_cols",
+            F.length(F.regexp_replace(F.col("pattern"), "0", "")).alias(
+                "n_cols_null"
+            ),
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("frac"),
+        )
+        .orderBy(F.col("n").desc(), F.col("pattern").asc())
+        .limit(int(topk))
+    )

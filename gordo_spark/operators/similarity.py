@@ -1906,3 +1906,60 @@ def mmr_rerank(
     return candidates.sparkSession.createDataFrame(
         out, f"{id_col} long, mmr_rank int, relevance double, objective double"
     )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification readout over the exact-cosine
+    retriever: each query vector takes the modal label of its top-k
+    neighbors (ties break to the SMALLEST label, stated), scored
+    against its true label — the zero-training classifier baseline
+    every embedding-quality investigation starts from (if k-NN can't
+    classify, no probe will). Composes :func:`cosine_topk` with one
+    (query, label) vote aggregate and one |queries|-row join; no new
+    corpus-scale machinery.
+
+    Output per query: ``(query_id, true_label, pred_label, votes,
+    correct)``, ordered by query id.
+    """
+    from pyspark.sql import Window
+
+    ranked = cosine_topk(embeddings, queries, k=k).select(
+        "query_id", F.col("neighbor_id").alias("_nb")
+    )
+    nlab = embeddings.select(
+        F.col(id_col).alias("_nb"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        ranked.join(nlab, "_nb")
+        .groupBy("query_id", F.col("_nl").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wpick = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("pred_label").asc()
+    )
+    pred = (
+        votes.withColumn("_rk", F.row_number().over(wpick))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )

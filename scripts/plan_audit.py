@@ -86,6 +86,8 @@ ACCEPTED = {
     "(broadcast side = distinct active days) against distinct (user, "
     "day) activity — output bounded at |activity| x 28, never "
     "event-volume-quadratic",
+    "null_patterns": "1-row total-count frame broadcast to the "
+    "pattern-bounded (<= 2^|cols|) fingerprint table",
     "join_profile": "1-row count-table totals frames broadcast-crossed "
     "into the single-row profile readout (three scalar frames)",
     "t_closeness": "m-row sensitive-value grid (distinct ordered values, "

@@ -149,3 +149,40 @@ def test_spectral_entropy_orders_clean_cycle_below_noise(spark):
     assert out["cyclic"]["n_periods"] == 3
     with pytest.raises(ValueError):
         spectral_entropy(df, [86400])
+
+
+def test_knn_classify_separable_clusters(spark):
+    import numpy as np
+
+    from gordo_spark.operators.similarity import knn_classify
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(60):
+        label = i % 2
+        center = np.array([1.0, 0.0, 0.0]) if label == 0 else np.array([0.0, 1.0, 0.0])
+        v = center + rng.randn(3) * 0.05
+        rows.append((i, [float(x) for x in v], label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_classify(df, df.filter(F.col("vec_id") < 6), k=5).collect()
+    assert len(out) == 6
+    assert all(r["correct"] for r in out)  # clean clusters classify perfectly
+    assert all(r["votes"] == 5 for r in out)
+
+
+def test_null_patterns_hand_counts(spark):
+    from gordo_spark.operators.profile import null_patterns
+
+    rows = [
+        (1, None, "x"),
+        (2, None, "x"),
+        (None, None, None),
+        (4, 1.0, "x"),
+    ]
+    df = spark.createDataFrame(rows, "a int, v double, s string")
+    out = {r["pattern"]: r for r in null_patterns(df, ["a", "v", "s"]).collect()}
+    assert out["010"]["n"] == 2 and out["010"]["null_cols"] == "v"
+    assert out["111"]["n"] == 1 and out["111"]["null_cols"] == "a,v,s"
+    assert out["000"]["n"] == 1 and out["000"]["null_cols"] == ""
+    assert out["010"]["frac"] == 0.5
+    assert out["111"]["n_cols_null"] == 3
