@@ -31,6 +31,7 @@ from gordo_spark.operators import (
     regularize_grid,
     resample_aggregate,
 )
+from gordo_spark.functions.rounding import qround
 from gordo_spark.operators.smoothing import ewma
 from gordo_spark.sources.io import read_table
 from gordo_spark.sources.providers import EventsAsSensorProvider
@@ -46,7 +47,7 @@ def _events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _r6(df: DataFrame, *cols: str) -> DataFrame:
     out = df
     for c in cols:
-        out = out.withColumn(c, F.round(F.col(c), 6))
+        out = out.withColumn(c, qround(F.col(c), 6))
     return out
 
 
@@ -74,14 +75,14 @@ WHERE event_type IN ('click','error')
 # ------------------------------------------------------------ J1 resample
 def q_j1_resample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/A1 — 10-minute tumbling resample, mean per tag."""
-    df = resample_aggregate(_events_long(spark, sf_dir), "10T", "mean")
+    df = resample_aggregate(_events_long(spark, sf_dir), "10T", "mean_exact")
     return _r6(df, "value")
 
 
 O_J1 = """
 SELECT event_type AS tag,
        CAST(to_timestamp(floor(epoch(ts)/600)*600) AS TIMESTAMP) AS ts,
-       ROUND(avg(value), 6) AS value
+       floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
 FROM events
 GROUP BY 1, 2
 """
@@ -90,15 +91,15 @@ GROUP BY 1, 2
 def q_j1_resample_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 variant — list of aggregation_methods -> one column per agg."""
     df = resample_aggregate(
-        _events_long(spark, sf_dir), "1H", ["mean", "max", "min", "count"]
-    )
+        _events_long(spark, sf_dir), "1H", ["mean_exact", "max", "min", "count"]
+    ).withColumnRenamed("value_mean_exact", "value_mean")
     return _r6(df, "value_mean")
 
 
 O_J1_MULTI = """
 SELECT event_type AS tag,
        CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-       ROUND(avg(value), 6) AS value_mean,
+       floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value_mean,
        max(value) AS value_max,
        min(value) AS value_min,
        count(value) AS value_count
@@ -110,7 +111,7 @@ GROUP BY 1, 2
 # --------------------------------------------------------- J2 interpolate
 def q_j2_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — regular 1H grid per tag + forward-fill limited to 6 buckets."""
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     reg = regularize_grid(res, "1H")
     out = interpolate(reg, "1H", "ffill", "6H")
     return _r6(out, "value")
@@ -120,7 +121,7 @@ O_J2_FFILL = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         ROUND(avg(value), 6) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 spans AS (
@@ -146,16 +147,16 @@ FROM joined
 
 # -------------------------------------------------------- J3 pivot align
 def _wide_1h(spark: SparkSession, sf_dir: str, tags=ALIGN_TAGS) -> DataFrame:
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return inner_align(pivot_wide(res, tags), tags)
 
 
 _O_WIDE_1H = """
 WITH res AS (
   SELECT CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(CASE WHEN event_type = 'click' THEN value END) AS click,
-         avg(CASE WHEN event_type = 'view' THEN value END) AS view,
-         avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase
+         floor(CAST(sum(CAST(floor(CASE WHEN event_type = 'click' THEN value END * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(CASE WHEN event_type = 'click' THEN value END) + 0.5) / 1000000.0 AS click,
+         floor(CAST(sum(CAST(floor(CASE WHEN event_type = 'view' THEN value END * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(CASE WHEN event_type = 'view' THEN value END) + 0.5) / 1000000.0 AS view,
+         floor(CAST(sum(CAST(floor(CASE WHEN event_type = 'purchase' THEN value END * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(CASE WHEN event_type = 'purchase' THEN value END) + 0.5) / 1000000.0 AS purchase
   FROM events GROUP BY 1
 )
 SELECT * FROM res
@@ -169,8 +170,8 @@ def q_j3_pivot_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_J3 = f"""
-SELECT ts, ROUND(click,6) AS click, ROUND(view,6) AS view,
-       ROUND(purchase,6) AS purchase
+SELECT ts, floor((click) * 1000000.0 + 0.5) / 1000000.0 AS click, floor((view) * 1000000.0 + 0.5) / 1000000.0 AS view,
+       floor((purchase) * 1000000.0 + 0.5) / 1000000.0 AS purchase
 FROM ({_O_WIDE_1H})
 """
 
@@ -193,8 +194,8 @@ buffered AS (
   SELECT *, max(bad) OVER (ORDER BY ts ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS near_bad
   FROM flagged
 )
-SELECT ts, ROUND(click,6) AS click, ROUND(view,6) AS view,
-       ROUND(purchase,6) AS purchase
+SELECT ts, floor((click) * 1000000.0 + 0.5) / 1000000.0 AS click, floor((view) * 1000000.0 + 0.5) / 1000000.0 AS view,
+       floor((purchase) * 1000000.0 + 0.5) / 1000000.0 AS purchase
 FROM buffered WHERE near_bad = 0
 """
 
@@ -229,9 +230,9 @@ d AS (
 ),
 c AS (
   SELECT tag, ts, value,
-         ROUND(S - LEAST(0.0, MIN(S)
+         floor((S - LEAST(0.0, MIN(S)
                  OVER (PARTITION BY tag ORDER BY ts
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) * 1000000.0 + 0.5) / 1000000.0
            AS cusum
   FROM d
 )
@@ -309,7 +310,7 @@ FROM injected
 def q_j2_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — linear interpolation on the regular 1H grid, gap limit 6 buckets
     (anchored prev/next epoch-weighted; longer gaps stay null)."""
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     reg = regularize_grid(res, "1H")
     out = interpolate(reg, "1H", "linear_interpolation", "6H")
     return _r6(out, "value")
@@ -319,7 +320,7 @@ O_J2_LINEAR = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 spans AS (SELECT tag, min(ts) AS t0, max(ts) AS t1 FROM res GROUP BY 1),
@@ -349,12 +350,12 @@ anchored AS (
   FROM joined
 )
 SELECT tag, ts,
-       ROUND(COALESCE(value,
+       floor((COALESCE(value,
          CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
                    AND epoch(nt) - epoch(pt) <= 7*3600
-              THEN pv + (nv - pv) * (epoch(ts) - epoch(pt))
-                             / (epoch(nt) - epoch(pt))
-         END), 6) AS value
+              THEN pv + (nv - pv) * ((epoch(ts) - epoch(pt))
+                             / (epoch(nt) - epoch(pt)))
+         END)) * 1000000.0 + 0.5) / 1000000.0 AS value
 FROM anchored
 """
 
@@ -389,8 +390,8 @@ meds AS (
   FROM wide
   WINDOW w AS (ORDER BY ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
 )
-SELECT ts, ROUND(click,6) AS click, ROUND(view,6) AS view,
-       ROUND(purchase,6) AS purchase
+SELECT ts, floor((click) * 1000000.0 + 0.5) / 1000000.0 AS click, floor((view) * 1000000.0 + 0.5) / 1000000.0 AS view,
+       floor((purchase) * 1000000.0 + 0.5) / 1000000.0 AS purchase
 FROM meds, iqrs
 WHERE NOT (abs(click - med_click) > 5.0 * iqr_click
         OR abs(view - med_view) > 5.0 * iqr_view
@@ -455,8 +456,8 @@ shifted AS (
   FROM wide
   WINDOW w AS (ORDER BY ts)
 )
-SELECT ts, ROUND(click_tm2,6) AS click_tm2, ROUND(click_tm1,6) AS click_tm1,
-       ROUND(click_t0,6) AS click_t0, ROUND(target_click,6) AS target_click
+SELECT ts, floor((click_tm2) * 1000000.0 + 0.5) / 1000000.0 AS click_tm2, floor((click_tm1) * 1000000.0 + 0.5) / 1000000.0 AS click_tm1,
+       floor((click_t0) * 1000000.0 + 0.5) / 1000000.0 AS click_t0, floor((target_click) * 1000000.0 + 0.5) / 1000000.0 AS target_click
 FROM shifted WHERE rn >= 3 AND rn < n
 """
 
@@ -464,7 +465,7 @@ FROM shifted WHERE rn >= 3 AND rn < n
 # -------------------------------------------------------- W1/W2 smoothing
 def q_w2_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 — trailing moving average (window 6, min_periods=window) per tag."""
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     from gordo_spark.operators import smooth
 
     out = smooth(res, ["value"], method="sma", window=6, machine_col="tag")
@@ -475,12 +476,12 @@ O_W2 = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 )
 SELECT tag, ts,
-       ROUND(CASE WHEN count(value) OVER w >= 6
-             THEN avg(value) OVER w END, 6) AS smooth_value
+       floor((CASE WHEN count(value) OVER w >= 6
+             THEN avg(value) OVER w END) * 1000000.0 + 0.5) / 1000000.0 AS smooth_value
 FROM res
 WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 """
@@ -488,7 +489,7 @@ WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT R
 
 def q_w1_smm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 — trailing moving median (window 6, min_periods=window) per tag."""
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     from gordo_spark.operators import smooth
 
     out = smooth(res, ["value"], method="smm", window=6, machine_col="tag")
@@ -499,12 +500,12 @@ O_W1 = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 )
 SELECT tag, ts,
-       ROUND(CASE WHEN count(value) OVER w >= 6
-             THEN quantile_cont(value, 0.5) OVER w END, 6) AS smooth_value
+       floor((CASE WHEN count(value) OVER w >= 6
+             THEN quantile_cont(value, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0 AS smooth_value
 FROM res
 WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 """
@@ -528,12 +529,12 @@ WITH res AS (
 ),
 b AS (
   SELECT tag,
-         ROUND(quantile_cont(value, 0.05), 6) AS lo,
-         ROUND(quantile_cont(value, 0.95), 6) AS hi
+         floor((quantile_cont(value, 0.05)) * 1000000.0 + 0.5) / 1000000.0 AS lo,
+         floor((quantile_cont(value, 0.95)) * 1000000.0 + 0.5) / 1000000.0 AS hi
   FROM res GROUP BY tag
 )
 SELECT res.tag, res.ts,
-       ROUND(least(greatest(value, lo), hi), 6) AS value,
+       floor((least(greatest(value, lo), hi)) * 1000000.0 + 0.5) / 1000000.0 AS value,
        CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS was_clipped
 FROM res JOIN b USING (tag)
 """
@@ -546,7 +547,7 @@ def q_w9_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED by tag (fleet shape)."""
     from gordo_spark.operators.smoothing import rolling_zscore
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return _r6(rolling_zscore(res, window=24, threshold=2.0), "value")
 
 
@@ -554,20 +555,20 @@ O_W9_ZSCORE = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 stats AS (
   SELECT tag, ts, value,
          count(value) OVER w AS n,
-         ROUND(avg(value) OVER w, 6) AS m,
-         ROUND(stddev_samp(value) OVER w, 6) AS s
+         floor((avg(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS m,
+         floor((stddev_samp(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS s
   FROM res
   WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
 )
-SELECT tag, ts, ROUND(value, 6) AS value,
-       CASE WHEN n >= 24 AND s > 0 THEN ROUND((value - m) / s, 6) END AS zscore,
-       CASE WHEN n >= 24 AND s > 0 AND abs(ROUND((value - m) / s, 6)) > 2
+SELECT tag, ts, floor((value) * 1000000.0 + 0.5) / 1000000.0 AS value,
+       CASE WHEN n >= 24 AND s > 0 THEN floor(((value - m) / s) * 1000000.0 + 0.5) / 1000000.0 END AS zscore,
+       CASE WHEN n >= 24 AND s > 0 AND abs(floor(((value - m) / s) * 1000000.0 + 0.5) / 1000000.0) > 2
             THEN 1 ELSE 0 END AS is_outlier
 FROM stats
 """
@@ -580,7 +581,7 @@ def q_w3_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-a)*num_{t-1}, den_t = 1 + (1-a)*den_{t-1} — a per-tag recursive
     CTE stepping row_number by 1 (den is a bounded geometric sum, so no
     overflow; span=12 -> 1-a = 11/13)."""
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     out = ewma(res, ["value"], span=12, machine_col="tag")
     return _r6(out.select("tag", "ts", "smooth_value"), "smooth_value")
 
@@ -589,7 +590,7 @@ O_W3_EWMA = """
 WITH RECURSIVE res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 seq AS (
@@ -606,14 +607,14 @@ rec AS (
          1 + (CAST(11 AS DOUBLE) / 13) * r.den
   FROM rec r JOIN seq s ON s.tag = r.tag AND s.rn = r.rn + 1
 )
-SELECT tag, ts, ROUND(num / den, 6) AS smooth_value FROM rec
+SELECT tag, ts, floor((num / den) * 1000000.0 + 0.5) / 1000000.0 AS smooth_value FROM rec
 """
 
 
 # ----------------------------------------------------- W6 lookback shift
 def q_w6_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 — lookahead target shift (lead 1) per tag."""
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     w = Window.partitionBy("tag").orderBy("ts")
     return _r6(
         res.select(
@@ -628,11 +629,11 @@ O_W6 = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 )
-SELECT tag, ts, ROUND(value, 6) AS value,
-       ROUND(lead(value, 1) OVER (PARTITION BY tag ORDER BY ts), 6) AS value_lead
+SELECT tag, ts, floor((value) * 1000000.0 + 0.5) / 1000000.0 AS value,
+       floor((lead(value, 1) OVER (PARTITION BY tag ORDER BY ts)) * 1000000.0 + 0.5) / 1000000.0 AS value_lead
 FROM res
 """
 
@@ -640,7 +641,7 @@ FROM res
 # -------------------------------------------- A7/A8 thresholds
 def q_a8_fold_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 — per-tag rolling(6).min().max() threshold (TimeSeriesSplit mode)."""
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     w = Window.partitionBy("tag").orderBy("ts").rowsBetween(-5, 0)
     rolled = res.select(
         "tag",
@@ -655,7 +656,7 @@ O_A8 = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 rolled AS (
@@ -664,7 +665,7 @@ rolled AS (
   FROM res
   WINDOW w AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 )
-SELECT tag, ROUND(max(rmin), 6) AS threshold FROM rolled GROUP BY tag
+SELECT tag, floor((max(rmin)) * 1000000.0 + 0.5) / 1000000.0 AS threshold FROM rolled GROUP BY tag
 """
 
 
@@ -681,7 +682,7 @@ def q_a7_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_A7 = """
 SELECT event_type AS tag,
-       ROUND(quantile_cont(value, 0.99), 6) AS threshold_99
+       floor((quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS threshold_99
 FROM events GROUP BY 1
 """
 
@@ -689,7 +690,7 @@ FROM events GROUP BY 1
 # ----------------------------------------------- A9 explained variance
 def q_a9_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9/M5 — explained_variance_score of a lag-1 persistence forecast."""
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     w = Window.partitionBy("tag").orderBy("ts")
     p = res.select(
         "tag", "value", F.lag("value", 1).over(w).alias("yhat")
@@ -708,14 +709,14 @@ O_A9 = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 p AS (
   SELECT tag, value, lag(value, 1) OVER (PARTITION BY tag ORDER BY ts) AS yhat
   FROM res
 )
-SELECT tag, ROUND(1 - var_pop(value - yhat) / var_pop(value), 6) AS explained_variance
+SELECT tag, floor((1 - var_pop(value - yhat) / var_pop(value)) * 1000000.0 + 0.5) / 1000000.0 AS explained_variance
 FROM p WHERE yhat IS NOT NULL AND value IS NOT NULL
 GROUP BY tag
 """
@@ -782,27 +783,27 @@ errs AS (
   FROM aligned
 )
 SELECT start, "end",
-       ROUND(model_input__click,6) AS model_input__click,
-       ROUND(model_output__click,6) AS model_output__click,
-       ROUND(model_input__view,6) AS model_input__view,
-       ROUND(model_output__view,6) AS model_output__view,
-       ROUND(model_input__purchase,6) AS model_input__purchase,
-       ROUND(model_output__purchase,6) AS model_output__purchase,
-       ROUND(tag_anomaly_unscaled__click,6) AS tag_anomaly_unscaled__click,
-       ROUND(tag_anomaly_unscaled__view,6) AS tag_anomaly_unscaled__view,
-       ROUND(tag_anomaly_unscaled__purchase,6) AS tag_anomaly_unscaled__purchase,
-       ROUND(total_anomaly_unscaled,6) AS total_anomaly_unscaled,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_unscaled__click, 0.5) OVER w END, 6)
+       floor((model_input__click) * 1000000.0 + 0.5) / 1000000.0 AS model_input__click,
+       floor((model_output__click) * 1000000.0 + 0.5) / 1000000.0 AS model_output__click,
+       floor((model_input__view) * 1000000.0 + 0.5) / 1000000.0 AS model_input__view,
+       floor((model_output__view) * 1000000.0 + 0.5) / 1000000.0 AS model_output__view,
+       floor((model_input__purchase) * 1000000.0 + 0.5) / 1000000.0 AS model_input__purchase,
+       floor((model_output__purchase) * 1000000.0 + 0.5) / 1000000.0 AS model_output__purchase,
+       floor((tag_anomaly_unscaled__click) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_unscaled__click,
+       floor((tag_anomaly_unscaled__view) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_unscaled__view,
+       floor((tag_anomaly_unscaled__purchase) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_unscaled__purchase,
+       floor((total_anomaly_unscaled) * 1000000.0 + 0.5) / 1000000.0 AS total_anomaly_unscaled,
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__click, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_unscaled__click,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_unscaled__view, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__view, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_unscaled__view,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_unscaled__purchase, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__purchase, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_unscaled__purchase,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(total_anomaly_unscaled, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(total_anomaly_unscaled, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_total_anomaly_unscaled
 FROM errs
 WINDOW w AS (ORDER BY start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
@@ -887,21 +888,21 @@ named AS (
   FROM errs
 )
 SELECT start,
-       ROUND(tag_anomaly_scaled__click, 6) AS tag_anomaly_scaled__click,
-       ROUND(tag_anomaly_scaled__view, 6) AS tag_anomaly_scaled__view,
-       ROUND(tag_anomaly_scaled__purchase, 6) AS tag_anomaly_scaled__purchase,
-       ROUND(total_anomaly_scaled, 6) AS total_anomaly_scaled,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_scaled__click, 0.5) OVER w END, 6)
+       floor((tag_anomaly_scaled__click) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_scaled__click,
+       floor((tag_anomaly_scaled__view) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_scaled__view,
+       floor((tag_anomaly_scaled__purchase) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_scaled__purchase,
+       floor((total_anomaly_scaled) * 1000000.0 + 0.5) / 1000000.0 AS total_anomaly_scaled,
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_scaled__click, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_scaled__click,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_scaled__view, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_scaled__view, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_scaled__view,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_scaled__purchase, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_scaled__purchase, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_scaled__purchase,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(total_anomaly_scaled, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(total_anomaly_scaled, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_total_anomaly_scaled
 FROM named
 WINDOW w AS (ORDER BY start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
@@ -927,7 +928,7 @@ def q_m6_anomaly_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "value",
     )
-    res = resample_aggregate(long, "1H", "mean", group_cols=["machine"])
+    res = resample_aggregate(long, "1H", "mean_exact", group_cols=["machine"])
     wide = inner_align(
         pivot_wide(res, ALIGN_TAGS, group_cols=["machine"]), ALIGN_TAGS
     )
@@ -960,9 +961,9 @@ O_M6_MULTI = """
 WITH res AS (
   SELECT 'm' || (user_id % 3) AS machine,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(CASE WHEN event_type = 'click' THEN value END) AS click,
-         avg(CASE WHEN event_type = 'view' THEN value END) AS view,
-         avg(CASE WHEN event_type = 'purchase' THEN value END) AS purchase
+         floor(CAST(sum(CAST(floor(CASE WHEN event_type = 'click' THEN value END * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(CASE WHEN event_type = 'click' THEN value END) + 0.5) / 1000000.0 AS click,
+         floor(CAST(sum(CAST(floor(CASE WHEN event_type = 'view' THEN value END * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(CASE WHEN event_type = 'view' THEN value END) + 0.5) / 1000000.0 AS view,
+         floor(CAST(sum(CAST(floor(CASE WHEN event_type = 'purchase' THEN value END * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(CASE WHEN event_type = 'purchase' THEN value END) + 0.5) / 1000000.0 AS purchase
   FROM events WHERE event_type IN ('click', 'view', 'purchase')
   GROUP BY 1, 2
 ),
@@ -998,27 +999,27 @@ errs AS (
   FROM aligned
 )
 SELECT machine, start, "end",
-       ROUND(model_input__click,6) AS model_input__click,
-       ROUND(model_output__click,6) AS model_output__click,
-       ROUND(model_input__view,6) AS model_input__view,
-       ROUND(model_output__view,6) AS model_output__view,
-       ROUND(model_input__purchase,6) AS model_input__purchase,
-       ROUND(model_output__purchase,6) AS model_output__purchase,
-       ROUND(tag_anomaly_unscaled__click,6) AS tag_anomaly_unscaled__click,
-       ROUND(tag_anomaly_unscaled__view,6) AS tag_anomaly_unscaled__view,
-       ROUND(tag_anomaly_unscaled__purchase,6) AS tag_anomaly_unscaled__purchase,
-       ROUND(total_anomaly_unscaled,6) AS total_anomaly_unscaled,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_unscaled__click, 0.5) OVER w END, 6)
+       floor((model_input__click) * 1000000.0 + 0.5) / 1000000.0 AS model_input__click,
+       floor((model_output__click) * 1000000.0 + 0.5) / 1000000.0 AS model_output__click,
+       floor((model_input__view) * 1000000.0 + 0.5) / 1000000.0 AS model_input__view,
+       floor((model_output__view) * 1000000.0 + 0.5) / 1000000.0 AS model_output__view,
+       floor((model_input__purchase) * 1000000.0 + 0.5) / 1000000.0 AS model_input__purchase,
+       floor((model_output__purchase) * 1000000.0 + 0.5) / 1000000.0 AS model_output__purchase,
+       floor((tag_anomaly_unscaled__click) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_unscaled__click,
+       floor((tag_anomaly_unscaled__view) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_unscaled__view,
+       floor((tag_anomaly_unscaled__purchase) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_unscaled__purchase,
+       floor((total_anomaly_unscaled) * 1000000.0 + 0.5) / 1000000.0 AS total_anomaly_unscaled,
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__click, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_unscaled__click,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_unscaled__view, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__view, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_unscaled__view,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_unscaled__purchase, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__purchase, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_unscaled__purchase,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(total_anomaly_unscaled, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(total_anomaly_unscaled, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_total_anomaly_unscaled
 FROM errs
 WINDOW w AS (PARTITION BY machine ORDER BY start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
@@ -1048,9 +1049,9 @@ WITH v AS (
 ),
 p AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
-         ROUND(list_dot_product(a.e, b.e)
+         floor((list_dot_product(a.e, b.e)
                / (sqrt(list_dot_product(a.e, a.e))
-                  * sqrt(list_dot_product(b.e, b.e))), 6) AS c
+                  * sqrt(list_dot_product(b.e, b.e)))) * 1000000.0 + 0.5) / 1000000.0 AS c
   FROM v a JOIN v b ON a.vec_id <> b.vec_id
 ),
 topk AS (
@@ -1069,7 +1070,7 @@ recip AS (
 SELECT v.vec_id,
        COALESCE(in_degree, 0) AS in_degree,
        COALESCE(n_reciprocal, 0) AS n_reciprocal,
-       ROUND(COALESCE(n_reciprocal, 0) / 5.0, 6) AS reciprocal_rate
+       floor((COALESCE(n_reciprocal, 0) / 5.0) * 1000000.0 + 0.5) / 1000000.0 AS reciprocal_rate
 FROM v
 LEFT JOIN indeg ON v.vec_id = indeg.id
 LEFT JOIN recip ON v.vec_id = recip.id
@@ -1126,7 +1127,7 @@ un AS (
   SELECT doc_id, 1.0 / (60 + rank) AS c FROM ann
 ),
 agg AS (
-  SELECT doc_id, count(*) AS n_lists, ROUND(sum(c), 6) AS rrf_score
+  SELECT doc_id, count(*) AS n_lists, floor((sum(c)) * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
   FROM un GROUP BY 1
 )
 SELECT doc_id, n_lists, rrf_score,
@@ -1229,11 +1230,11 @@ j AS (
 ),
 v AS (
   SELECT "column",
-         ROUND(nu_o / CAST(n_o AS DOUBLE), 6) AS null_rate_old,
-         ROUND(nu_n / CAST(n_n AS DOUBLE), 6) AS null_rate_new,
-         ROUND(m_o, 6) AS mean_old,
-         ROUND(m_n, 6) AS mean_new,
-         ROUND(abs(m_n - m_o) / greatest(abs(m_o), 1e-12), 6) AS rel,
+         floor((nu_o / CAST(n_o AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS null_rate_old,
+         floor((nu_n / CAST(n_n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS null_rate_new,
+         floor((m_o) * 1000000.0 + 0.5) / 1000000.0 AS mean_old,
+         floor((m_n) * 1000000.0 + 0.5) / 1000000.0 AS mean_new,
+         floor((abs(m_n - m_o) / greatest(abs(m_o), 1e-12)) * 1000000.0 + 0.5) / 1000000.0 AS rel,
          n_o, n_n, nu_o, nu_n
   FROM j
 )
@@ -1242,8 +1243,8 @@ SELECT "column", null_rate_old, null_rate_new, mean_old, mean_new,
          AS rel_mean_delta,
        CASE WHEN n_o IS NULL OR n_n IS NULL THEN 'missing'
             WHEN rel > 0.10 THEN 'mean_drift'
-            WHEN ROUND(abs(nu_n / CAST(n_n AS DOUBLE)
-                           - nu_o / CAST(n_o AS DOUBLE)), 6) > 0.05
+            WHEN floor((abs(nu_n / CAST(n_n AS DOUBLE)
+                           - nu_o / CAST(n_o AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 > 0.05
               THEN 'null_drift'
             ELSE 'stable' END AS verdict
 FROM v
@@ -1258,7 +1259,7 @@ def q_control_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     on 6dp-rounded z (engine-portable booleans)."""
     from gordo_spark.operators.tsa import control_rules
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return _r6(control_rules(res), "value")
 
 
@@ -1266,16 +1267,16 @@ O_CONTROL_RULES = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 stats AS (
-  SELECT tag, ROUND(avg(value), 6) AS mu, ROUND(stddev_pop(value), 6) AS sd
+  SELECT tag, floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS mu, floor((stddev_pop(value)) * 1000000.0 + 0.5) / 1000000.0 AS sd
   FROM res GROUP BY 1
 ),
 z AS (
   SELECT r.tag, r.ts, r.value,
-         CASE WHEN sd > 0 THEN ROUND((r.value - mu) / sd, 6) END AS z
+         CASE WHEN sd > 0 THEN floor(((r.value - mu) / sd) * 1000000.0 + 0.5) / 1000000.0 END AS z
   FROM res r JOIN stats USING (tag)
 ),
 runs AS (
@@ -1292,7 +1293,7 @@ runs AS (
          w5 AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
          w8 AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
 )
-SELECT tag, ts, ROUND(value, 6) AS value, z,
+SELECT tag, ts, floor((value) * 1000000.0 + 0.5) / 1000000.0 AS value, z,
        COALESCE(z IS NOT NULL AND abs(z) > 3, false) AS r1_beyond_3s,
        COALESCE(z IS NOT NULL AND (u2 >= 2 OR d2 >= 2) AND c3 >= 3, false) AS r2_2of3_2s,
        COALESCE(z IS NOT NULL AND (u1 >= 4 OR d1 >= 4) AND c5 >= 5, false) AS r3_4of5_1s,
@@ -1331,14 +1332,14 @@ WITH j AS (
 ),
 cuts AS (
   SELECT c_mktsegment, count(*) AS n,
-         ROUND(quantile_cont(o_totalprice, 0.1), 6) AS lo_cut,
-         ROUND(quantile_cont(o_totalprice, 0.9), 6) AS hi_cut
+         floor((quantile_cont(o_totalprice, 0.1)) * 1000000.0 + 0.5) / 1000000.0 AS lo_cut,
+         floor((quantile_cont(o_totalprice, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS hi_cut
   FROM j WHERE o_totalprice IS NOT NULL GROUP BY 1
 )
 SELECT j.c_mktsegment, n, count(*) AS n_used, lo_cut, hi_cut,
-       ROUND(avg(o_totalprice), 6) AS trimmed_mean
+       floor((avg(o_totalprice)) * 1000000.0 + 0.5) / 1000000.0 AS trimmed_mean
 FROM j JOIN cuts ON j.c_mktsegment = cuts.c_mktsegment
-WHERE ROUND(o_totalprice, 6) >= lo_cut AND ROUND(o_totalprice, 6) <= hi_cut
+WHERE floor((o_totalprice) * 1000000.0 + 0.5) / 1000000.0 >= lo_cut AND floor((o_totalprice) * 1000000.0 + 0.5) / 1000000.0 <= hi_cut
 GROUP BY j.c_mktsegment, n, lo_cut, hi_cut
 """
 
@@ -1372,11 +1373,11 @@ per AS (
 ),
 g AS (SELECT avg(o_totalprice) AS gm FROM r)
 SELECT o_orderkey, o_orderpriority, o_totalprice,
-       ROUND(COALESCE(
+       floor((COALESCE(
          ((n - 1) * (CASE WHEN n > 1
                           THEN (s - o_totalprice) / (n - 1) END)
           + 20.0 * gm) / ((n - 1) + 20.0),
-         gm), 6) AS target_enc
+         gm)) * 1000000.0 + 0.5) / 1000000.0 AS target_enc
 FROM r JOIN per USING (o_orderpriority), g
 """
 
@@ -1403,7 +1404,7 @@ def q_isotonic_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_ISOTONIC_CALIB = """
 WITH g AS (
-  SELECT ROUND((o_orderkey % 1000) / 1000.0, 3) AS s,
+  SELECT floor(((o_orderkey % 1000) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS s,
          count(*) AS n,
          CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
               AS BIGINT) AS pos
@@ -1435,7 +1436,7 @@ fit AS (
   FROM sufmin
 )
 SELECT o.s AS score_grid, o.n AS n, o.pos AS n_pos,
-       ROUND(fit.f, 6) AS calibrated
+       floor((fit.f) * 1000000.0 + 0.5) / 1000000.0 AS calibrated
 FROM fit JOIN o ON o.k = fit.k
 WHERE fit.ik = fit.k
 ORDER BY o.s
@@ -1457,12 +1458,12 @@ def q_json_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_JSON_CONFORMANCE = """
 SELECT event_type, count(*) AS n,
-       ROUND(avg(CASE WHEN json_valid(props) THEN 1 ELSE 0 END), 6)
+       floor((avg(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)) * 1000000.0 + 0.5) / 1000000.0
          AS parse_rate,
-       ROUND(avg(CASE WHEN json_extract(props, '$.k') IS NOT NULL
-                      THEN 1 ELSE 0 END), 6) AS has_k,
-       ROUND(avg(CASE WHEN json_extract(props, '$.missing_key') IS NOT NULL
-                      THEN 1 ELSE 0 END), 6) AS has_missing_key
+       floor((avg(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                      THEN 1 ELSE 0 END)) * 1000000.0 + 0.5) / 1000000.0 AS has_k,
+       floor((avg(CASE WHEN json_extract(props, '$.missing_key') IS NOT NULL
+                      THEN 1 ELSE 0 END)) * 1000000.0 + 0.5) / 1000000.0 AS has_missing_key
 FROM events GROUP BY 1
 """
 
@@ -1512,7 +1513,7 @@ jac AS (
 ),
 sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
 SELECT component, n_members, count(*) AS n_pairs,
-       ROUND(min(j), 6) AS min_jaccard, ROUND(avg(j), 6) AS avg_jaccard
+       floor((min(j)) * 1000000.0 + 0.5) / 1000000.0 AS min_jaccard, floor((avg(j)) * 1000000.0 + 0.5) / 1000000.0 AS avg_jaccard
 FROM jac JOIN sizes USING (component)
 GROUP BY component, n_members
 """
@@ -1555,14 +1556,14 @@ scored AS (
   FROM embeddings e, q WHERE e.vec_id <> 0
 ),
 cands AS (
-  SELECT vec_id AS id, ROUND(sim, 6) AS rel, v
+  SELECT vec_id AS id, floor((sim) * 1000000.0 + 0.5) / 1000000.0 AS rel, v
   FROM scored ORDER BY sim DESC, vec_id LIMIT 20
 ),
 sims AS (
   SELECT a.id AS a, b.id AS b,
-         ROUND(list_dot_product(a.v, b.v)
+         floor((list_dot_product(a.v, b.v)
            / (sqrt(list_dot_product(a.v, a.v))
-              * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+              * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0 AS s
   FROM cands a JOIN cands b ON a.id <> b.id
 ),
 rec AS (
@@ -1572,9 +1573,9 @@ rec AS (
   UNION ALL
   SELECT t.step2, t.id2, t.rel2, t.obj2, t.picked2 FROM (
     SELECT r.step + 1 AS step2, c.id AS id2, c.rel AS rel2,
-           ROUND(0.7 * c.rel - 0.3 * coalesce(
+           floor((0.7 * c.rel - 0.3 * coalesce(
              (SELECT max(s.s) FROM sims s
-              WHERE s.a = c.id AND list_contains(r.picked, s.b)), 0.0), 6)
+              WHERE s.a = c.id AND list_contains(r.picked, s.b)), 0.0)) * 1000000.0 + 0.5) / 1000000.0
              AS obj2,
            list_append(r.picked, c.id) AS picked2
     FROM rec r JOIN cands c ON NOT list_contains(r.picked, c.id)
@@ -1646,7 +1647,7 @@ pairs AS (
 )
 SELECT id_a, id_b, CAST(inter AS INT) AS inter,
        CAST(size_sum AS INT) AS size_sum,
-       ROUND(2.0 * inter / size_sum, 6) AS dice
+       floor((2.0 * inter / size_sum) * 1000000.0 + 0.5) / 1000000.0 AS dice
 FROM pairs WHERE 2.0 * inter / size_sum >= 0.9
 """
 
@@ -1746,11 +1747,11 @@ terms AS (
   FROM ranked
 ),
 per AS (
-  SELECT query_id, ROUND(sum(d), 6) AS dcg, ROUND(sum(i), 6) AS idcg
+  SELECT query_id, floor((sum(d)) * 1000000.0 + 0.5) / 1000000.0 AS dcg, floor((sum(i)) * 1000000.0 + 0.5) / 1000000.0 AS idcg
   FROM terms GROUP BY 1
 )
 SELECT query_id, dcg, idcg,
-       ROUND(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) AS ndcg
+       floor((CASE WHEN idcg > 0 THEN dcg / idcg END) * 1000000.0 + 0.5) / 1000000.0 AS ndcg
 FROM per
 """
 
@@ -1774,7 +1775,7 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_LIFT_CURVE = """
 WITH r AS (
   SELECT o_orderkey,
-         ROUND(((o_orderkey * 37) % 1000) / 1000.0, 3) AS p,
+         floor((((o_orderkey * 37) % 1000) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS p,
          CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS y
   FROM orders
 ),
@@ -1787,10 +1788,10 @@ agg AS (
 ),
 tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM agg)
 SELECT bucket, n, n_pos,
-       ROUND(n_pos / CAST(n AS DOUBLE), 6) AS response_rate,
+       floor((n_pos / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS response_rate,
        CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
-       ROUND((sum(n_pos) OVER w / CAST(tp AS DOUBLE))
-             / (sum(n) OVER w / CAST(tn AS DOUBLE)), 6) AS cum_lift
+       floor(((sum(n_pos) OVER w / CAST(tp AS DOUBLE))
+             / (sum(n) OVER w / CAST(tn AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS cum_lift
 FROM agg, tot
 WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY bucket
@@ -1837,7 +1838,7 @@ c AS (
 ),
 b AS (SELECT n_users AS base FROM c WHERE step = 1)
 SELECT step, event_type, n_users,
-       ROUND(n_users * 1.0 / base, 6) AS conversion
+       floor((n_users * 1.0 / base) * 1000000.0 + 0.5) / 1000000.0 AS conversion
 FROM c, b
 """
 
@@ -1910,7 +1911,7 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_WEIGHTED_QUANTILE = """
 WITH rows_ AS (
-  SELECT lang AS g, ROUND(CAST(n_chars AS DOUBLE), 6) AS v,
+  SELECT lang AS g, floor((CAST(n_chars AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS v,
          CAST(n_chars AS DOUBLE) AS w
   FROM documents
   WHERE n_chars IS NOT NULL AND n_chars > 0
@@ -1931,7 +1932,7 @@ fanned AS (
   SELECT g, v, cw, cw_prev, W, q.q
   FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q) q
 )
-SELECT g AS lang, q, ROUND(W, 6) AS total_weight, v AS estimate
+SELECT g AS lang, q, floor((W) * 1000000.0 + 0.5) / 1000000.0 AS total_weight, v AS estimate
 FROM fanned
 WHERE cw >= q * W AND cw_prev < q * W
 """
@@ -1977,9 +1978,9 @@ WITH agg AS (
   FROM events WHERE value IS NOT NULL
 ),
 srt AS (SELECT n, m, list_sort([{means}]) AS ms FROM agg)
-SELECT n, ROUND(m, 6) AS mean,
-       ROUND(ms[{int(idx_lo)}], 6) AS ci_lo,
-       ROUND(ms[{int(idx_hi)}], 6) AS ci_hi,
+SELECT n, floor((m) * 1000000.0 + 0.5) / 1000000.0 AS mean,
+       floor((ms[{int(idx_lo)}]) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+       floor((ms[{int(idx_hi)}]) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi,
        100 AS n_boot
 FROM srt
 """
@@ -2025,6 +2026,7 @@ def _fleet_datasets(sf_dir: str, n: int = 200, tags=None) -> dict:
             train_start_date=start,
             train_end_date=end,
             resolution="1H",
+            aggregation_methods="mean_exact",
             interpolation_method="ffill",
             interpolation_limit="6H",
             data_provider={"type": "EventsAsSensorProvider", "sf_dir": sf_dir},
@@ -2107,7 +2109,7 @@ WITH spec(machine, tag, t0, t1) AS (VALUES
 res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 clip AS (
@@ -2140,7 +2142,7 @@ filled AS (
 O_FLEET_FILL = (
     _fleet_fill_ctes(False)
     + """
-SELECT machine, tag, ts, ROUND(value, 6) AS value FROM filled
+SELECT machine, tag, ts, floor((value) * 1000000.0 + 0.5) / 1000000.0 AS value FROM filled
 """
 )
 
@@ -2184,27 +2186,27 @@ errs AS (
   FROM aligned
 )
 SELECT machine, start, "end",
-       ROUND(model_input__click,6) AS model_input__click,
-       ROUND(model_output__click,6) AS model_output__click,
-       ROUND(model_input__view,6) AS model_input__view,
-       ROUND(model_output__view,6) AS model_output__view,
-       ROUND(model_input__purchase,6) AS model_input__purchase,
-       ROUND(model_output__purchase,6) AS model_output__purchase,
-       ROUND(tag_anomaly_unscaled__click,6) AS tag_anomaly_unscaled__click,
-       ROUND(tag_anomaly_unscaled__view,6) AS tag_anomaly_unscaled__view,
-       ROUND(tag_anomaly_unscaled__purchase,6) AS tag_anomaly_unscaled__purchase,
-       ROUND(total_anomaly_unscaled,6) AS total_anomaly_unscaled,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_unscaled__click, 0.5) OVER w END, 6)
+       floor((model_input__click) * 1000000.0 + 0.5) / 1000000.0 AS model_input__click,
+       floor((model_output__click) * 1000000.0 + 0.5) / 1000000.0 AS model_output__click,
+       floor((model_input__view) * 1000000.0 + 0.5) / 1000000.0 AS model_input__view,
+       floor((model_output__view) * 1000000.0 + 0.5) / 1000000.0 AS model_output__view,
+       floor((model_input__purchase) * 1000000.0 + 0.5) / 1000000.0 AS model_input__purchase,
+       floor((model_output__purchase) * 1000000.0 + 0.5) / 1000000.0 AS model_output__purchase,
+       floor((tag_anomaly_unscaled__click) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_unscaled__click,
+       floor((tag_anomaly_unscaled__view) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_unscaled__view,
+       floor((tag_anomaly_unscaled__purchase) * 1000000.0 + 0.5) / 1000000.0 AS tag_anomaly_unscaled__purchase,
+       floor((total_anomaly_unscaled) * 1000000.0 + 0.5) / 1000000.0 AS total_anomaly_unscaled,
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__click, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_unscaled__click,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_unscaled__view, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__view, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_unscaled__view,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(tag_anomaly_unscaled__purchase, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(tag_anomaly_unscaled__purchase, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_tag_anomaly_unscaled__purchase,
-       ROUND(CASE WHEN count(*) OVER w >= 6
-             THEN quantile_cont(total_anomaly_unscaled, 0.5) OVER w END, 6)
+       floor((CASE WHEN count(*) OVER w >= 6
+             THEN quantile_cont(total_anomaly_unscaled, 0.5) OVER w END) * 1000000.0 + 0.5) / 1000000.0
          AS smooth_total_anomaly_unscaled
 FROM errs
 WINDOW w AS (PARTITION BY machine ORDER BY start ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
@@ -2250,13 +2252,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(sum(l_quantity), 6) AS sum_qty,
-       ROUND(sum(l_extendedprice), 6) AS sum_base_price,
-       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       ROUND(avg(l_quantity), 6) AS avg_qty,
-       ROUND(avg(l_extendedprice), 6) AS avg_price,
-       ROUND(avg(l_discount), 6) AS avg_disc,
+       floor((sum(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS sum_qty,
+       floor((sum(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1000000.0 + 0.5) / 1000000.0 AS sum_charge,
+       floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+       floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+       floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -2295,7 +2297,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TPCH_Q3 = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2321,7 +2323,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_TPCH_Q6 = """
-SELECT ROUND(sum(l_extendedprice * l_discount), 6) AS revenue
+SELECT floor((sum(l_extendedprice * l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
@@ -2371,7 +2373,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_TPCH_Q5 = """
-SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+SELECT n_name, floor((sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2413,10 +2415,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_TPCH_Q14 = """
-SELECT ROUND(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+SELECT floor((100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+             / sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
@@ -2467,7 +2469,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_TPCH_Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2533,9 +2535,9 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TPCH_Q8 = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       ROUND(sum(CASE WHEN n2.n_name = 'NATION_3'
+       floor((sum(CASE WHEN n2.n_name = 'NATION_3'
                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+             / sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -2582,8 +2584,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_TPCH_Q10 = """
-SELECT c_custkey, c_name, ROUND(c_acctbal, 6) AS c_acctbal, n_name,
-       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+SELECT c_custkey, c_name, floor((c_acctbal) * 1000000.0 + 0.5) / 1000000.0 AS c_acctbal, n_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2654,7 +2656,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_TPCH_Q17 = """
-SELECT ROUND(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+SELECT floor((sum(l_extendedprice) / 7.0) * 1000000.0 + 0.5) / 1000000.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#1'
@@ -2692,8 +2694,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TPCH_Q18 = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-       ROUND(o_totalprice, 6) AS o_totalprice,
-       ROUND(sum(l_quantity), 6) AS total_qty
+       floor((o_totalprice) * 1000000.0 + 0.5) / 1000000.0 AS o_totalprice,
+       floor((sum(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS total_qty
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2743,7 +2745,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_TPCH_Q19 = """
-SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
@@ -2848,7 +2850,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_revenue", 6).alias("total_revenue"),
+            qround("total_revenue", 6).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -2863,7 +2865,7 @@ WITH revenue AS (
     AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, ROUND(total_revenue, 6) AS total_revenue
+SELECT s_suppkey, s_name, floor((total_revenue) * 1000000.0 + 0.5) / 1000000.0 AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s_suppkey
@@ -2962,7 +2964,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+            qround(F.sum("c_acctbal"), 6).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -2973,7 +2975,7 @@ WITH pool AS (
   SELECT c_custkey % 10 AS cntrycode, c_acctbal, c_custkey
   FROM customer WHERE c_custkey % 10 IN (1,3,5,7,9)
 )
-SELECT cntrycode, count(*) AS numcust, ROUND(sum(c_acctbal), 6) AS totacctbal
+SELECT cntrycode, count(*) AS numcust, floor((sum(c_acctbal)) * 1000000.0 + 0.5) / 1000000.0 AS totacctbal
 FROM pool
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM pool WHERE c_acctbal > 0)
   AND NOT EXISTS (
@@ -3116,7 +3118,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.avg(amount), 6).alias("avg_profit"),
+            qround(F.avg(amount), 6).alias("avg_profit"),
         )
         .orderBy("nation", F.desc("o_year"))
     )
@@ -3126,8 +3128,8 @@ O_TPCH_Q9 = f"""
 WITH {_PS_SQL}
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
        count(*) AS n_lines,
-       ROUND(avg(l_extendedprice * (1 - l_discount)
-                 - ps_supplycost * l_quantity), 6) AS avg_profit
+       floor((avg(l_extendedprice * (1 - l_discount)
+                 - ps_supplycost * l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS avg_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
 JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
@@ -3158,7 +3160,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("value") > F.col("_thr"))
-        .select("ps_partkey", F.round("value", 6).alias("value"))
+        .select("ps_partkey", qround("value", 6).alias("value"))
         .orderBy(F.desc("value"), "ps_partkey")
     )
 
@@ -3171,7 +3173,7 @@ in_nation AS (
   JOIN nation ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_7'
 )
-SELECT ps_partkey, ROUND(sum(v), 6) AS value
+SELECT ps_partkey, floor((sum(v)) * 1000000.0 + 0.5) / 1000000.0 AS value
 FROM in_nation
 GROUP BY ps_partkey
 HAVING sum(v) > (SELECT sum(v) * 0.001 FROM in_nation)
@@ -3312,7 +3314,7 @@ def q_o6_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("event_type")
         .agg(
             F.first("n_events").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            qround(F.sum("value"), 6).alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -3320,7 +3322,7 @@ def q_o6_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_O6 = """
 WITH dim AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1)
-SELECT e.event_type, n_events, ROUND(sum(e.value), 6) AS sum_value
+SELECT e.event_type, n_events, floor((sum(e.value)) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
 FROM events e JOIN dim USING (event_type)
 GROUP BY 1, 2
 ORDER BY 1
@@ -3359,7 +3361,7 @@ def q_o7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(
+            qround(
                 F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ).alias("avg_revenue"),
         )
@@ -3370,7 +3372,7 @@ def q_o7_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_O7 = """
 SELECT o_orderpriority,
        count(*) AS n_lines,
-       ROUND(avg(l_extendedprice * (1 - l_discount)), 6) AS avg_revenue
+       floor((avg(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0 AS avg_revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -3396,9 +3398,9 @@ def q_m1_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_M1 = f"""
-SELECT ROUND(regr_slope(purchase, click), 6) AS slope,
-       ROUND(regr_intercept(purchase, click), 6) AS intercept,
-       ROUND(regr_r2(purchase, click), 6) AS r2
+SELECT floor((regr_slope(purchase, click)) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       floor((regr_intercept(purchase, click)) * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+       floor((regr_r2(purchase, click)) * 1000000.0 + 0.5) / 1000000.0 AS r2
 FROM ({_O_WIDE_1H})
 """
 
@@ -3425,8 +3427,8 @@ fit AS (
          regr_intercept(purchase, click) AS intercept
   FROM wide
 )
-SELECT ts, ROUND(purchase, 6) AS purchase,
-       ROUND(intercept + slope * click, 6) AS yhat
+SELECT ts, floor((purchase) * 1000000.0 + 0.5) / 1000000.0 AS purchase,
+       floor((intercept + slope * click) * 1000000.0 + 0.5) / 1000000.0 AS yhat
 FROM wide, fit
 """
 
@@ -3497,7 +3499,7 @@ oof AS (
   SELECT abs(purchase - (intercept + slope * click)) AS err
   FROM data JOIN fits ON data.fold = fits.f
 )
-SELECT ROUND(quantile_cont(err, 0.99), 6) AS threshold_99 FROM oof
+SELECT floor((quantile_cont(err, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS threshold_99 FROM oof
 """
 
 
@@ -3539,10 +3541,10 @@ fit AS (
 p AS (
   SELECT purchase AS y, intercept + slope * click AS yhat FROM wide, fit
 )
-SELECT ROUND(avg((y - yhat)*(y - yhat)), 6) AS mse,
-       ROUND(avg(abs(y - yhat)), 6) AS mae,
-       ROUND(1 - avg((y - yhat)*(y - yhat)) / var_pop(y), 6) AS r2,
-       ROUND(1 - var_pop(y - yhat) / var_pop(y), 6) AS explained_variance
+SELECT floor((avg((y - yhat)*(y - yhat))) * 1000000.0 + 0.5) / 1000000.0 AS mse,
+       floor((avg(abs(y - yhat))) * 1000000.0 + 0.5) / 1000000.0 AS mae,
+       floor((1 - avg((y - yhat)*(y - yhat)) / var_pop(y)) * 1000000.0 + 0.5) / 1000000.0 AS r2,
+       floor((1 - var_pop(y - yhat) / var_pop(y)) * 1000000.0 + 0.5) / 1000000.0 AS explained_variance
 FROM p
 """
 
@@ -3563,8 +3565,8 @@ def q_j4_split_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_J4_SPLIT = f"""
 WITH wide AS ({_O_WIDE_1H})
-SELECT ts, ROUND(click, 6) AS click, ROUND(view, 6) AS view,
-       ROUND(purchase, 6) AS target_purchase
+SELECT ts, floor((click) * 1000000.0 + 0.5) / 1000000.0 AS click, floor((view) * 1000000.0 + 0.5) / 1000000.0 AS view,
+       floor((purchase) * 1000000.0 + 0.5) / 1000000.0 AS target_purchase
 FROM wide
 """
 
@@ -3632,9 +3634,9 @@ stacked AS (
   UNION ALL
   SELECT 'mae' AS metric, mae AS val FROM per_fold
 )
-SELECT metric, ROUND(avg(val), 6) AS fold_mean,
-       ROUND(stddev_pop(val), 6) AS fold_std,
-       ROUND(max(val), 6) AS fold_max, ROUND(min(val), 6) AS fold_min
+SELECT metric, floor((avg(val)) * 1000000.0 + 0.5) / 1000000.0 AS fold_mean,
+       floor((stddev_pop(val)) * 1000000.0 + 0.5) / 1000000.0 AS fold_std,
+       floor((max(val)) * 1000000.0 + 0.5) / 1000000.0 AS fold_max, floor((min(val)) * 1000000.0 + 0.5) / 1000000.0 AS fold_min
 FROM stacked GROUP BY metric
 """
 
@@ -4124,7 +4126,7 @@ ranked AS (
          ) AS rank
   FROM dist
 )
-SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist, rank
+SELECT query_id, neighbor_id, floor((adc) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist, rank
 FROM ranked WHERE rank <= {topk}"""
 
 
@@ -4233,7 +4235,7 @@ ranked AS (
          ) AS rank
   FROM dist
 )
-SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist, rank
+SELECT query_id, neighbor_id, floor((adc) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist, rank
 FROM ranked WHERE rank <= {topk}"""
 
 
@@ -4390,7 +4392,7 @@ flagged AS (
 totals AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams FROM corpus GROUP BY doc_id)
 SELECT t.doc_id, t.n_grams,
        COALESCE(f.n_flagged, 0) AS n_flagged,
-       ROUND(COALESCE(f.n_flagged, 0) * 1.0 / t.n_grams, 6) AS flagged_frac
+       floor((COALESCE(f.n_flagged, 0) * 1.0 / t.n_grams) * 1000000.0 + 0.5) / 1000000.0 AS flagged_frac
 FROM totals t LEFT JOIN flagged f USING (doc_id)
 """
 
@@ -4481,7 +4483,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rates.join(got, "source", "left").select(
         "source",
         "n_docs",
-        F.round("rate", 6).alias("rate"),
+        qround("rate", 6).alias("rate"),
         F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
     )
 
@@ -4621,7 +4623,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+       floor((inter * 1.0 / (sa.sz + sb.sz - inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -4676,7 +4678,7 @@ WITH corpus AS (
   UNION ALL
   SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS e FROM embeddings
 )
-SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim
+SELECT id_a, id_b, floor((sim) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
 FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.e, b.e)
@@ -4807,7 +4809,7 @@ hits AS (
 )
 SELECT q.query_id,
        COALESCE(h.n_hit, 0) AS n_hit,
-       ROUND(COALESCE(h.n_hit, 0) / least(5.0, q.n_truth), 6) AS recall
+       floor((COALESCE(h.n_hit, 0) / least(5.0, q.n_truth)) * 1000000.0 + 0.5) / 1000000.0 AS recall
 FROM (SELECT query_id, count(*) AS n_truth FROM brute_top GROUP BY 1) q
 LEFT JOIN hits h USING (query_id)
 """
@@ -4828,7 +4830,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         *[
-            F.round(F.element_at("pca", i + 1), 4).alias(f"pc{i + 1}")
+            qround(F.element_at("pca", i + 1), 4).alias(f"pc{i + 1}")
             for i in range(4)
         ],
     )
@@ -4861,7 +4863,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+SELECT query_id, neighbor_id, floor((sim) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim, rank
 FROM ranked WHERE rank <= 3
 """
 
@@ -4914,7 +4916,7 @@ def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = LogisticModel(["f_chars", "f_words", "f_uniq"], "label").fit(feats)
     return model.score(feats).select(
         "doc_id",
-        F.round("score", 4).alias("score"),
+        qround("score", 4).alias("score"),
         (F.col("score") >= 0.5).alias("pred"),
     )
 
@@ -4969,7 +4971,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+SELECT query_id, neighbor_id, floor((sim) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim, rank
 FROM ranked WHERE rank <= 5
 """
 
@@ -5060,7 +5062,7 @@ def q_o11_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.date_trunc("month", F.col("o_orderdate")).alias("month"),
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(qround(F.sum("o_totalprice"), 2).alias("revenue"))
     )
     w = Window.partitionBy("n_name").orderBy("month")
     prev = F.lag("revenue").over(w)
@@ -5068,7 +5070,7 @@ def q_o11_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "month",
         "revenue",
-        F.round(
+        qround(
             F.when(prev != 0, (F.col("revenue") - prev) / prev), 6
         ).alias("mom_growth"),
     )
@@ -5078,17 +5080,16 @@ O_O11_GROWTH = """
 WITH monthly AS (
   SELECT n_name,
          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-         ROUND(sum(o_totalprice), 2) AS revenue
+         floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY 1, 2
 )
 SELECT n_name, month, revenue,
-       ROUND(
-         CASE WHEN lag(revenue) OVER w != 0
+       floor((CASE WHEN lag(revenue) OVER w != 0
               THEN (revenue - lag(revenue) OVER w) / lag(revenue) OVER w
-         END, 6) AS mom_growth
+         END) * 1000000.0 + 0.5) / 1000000.0 AS mom_growth
 FROM monthly
 WINDOW w AS (PARTITION BY n_name ORDER BY month)
 """
@@ -5168,7 +5169,7 @@ def q_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_spark.operators.resample import resample_aggregate
     from gordo_spark.operators.similarity import subsequence_topk
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return subsequence_topk(res, SUBSEQ_QUERY, k=10)
 
 
@@ -5186,7 +5187,7 @@ def _subseq_sql() -> str:
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 f AS (
@@ -5199,7 +5200,7 @@ f AS (
   WINDOW win AS (PARTITION BY tag ORDER BY ts ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
 )
 SELECT tag, ts AS window_end,
-       ROUND(sqrt(greatest(2.0*{w} * (1.0 - dot/({w} * s)), 0.0)), 6) AS znorm_dist
+       floor((sqrt(greatest(2.0*{w} * (1.0 - dot/({w} * s)), 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS znorm_dist
 FROM f WHERE rn >= {w} AND s > 1e-9
 ORDER BY znorm_dist, tag, window_end LIMIT 10
 """
@@ -5326,8 +5327,8 @@ O_TEXT_BPE = r"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
-       ROUND(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0
-             / len(string_split(text, ' ')), 6) AS bpe_per_word
+       floor((len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0
+             / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS bpe_per_word
 FROM documents
 """
 
@@ -5355,10 +5356,10 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id,
-       ROUND((least(n_tokens / 50.0, 1.0)
+       floor(((least(n_tokens / 50.0, 1.0)
               + greatest(1.0 - (n_punct / n_chars) * 5.0, 0.0)
               + n_uniq / n_tokens
-              + least((n_sw / n_tokens) * 5.0, 1.0)) / 4.0, 6) AS quality
+              + least((n_sw / n_tokens) * 5.0, 1.0)) / 4.0) * 1000000.0 + 0.5) / 1000000.0 AS quality
 FROM base
 """
 
@@ -5537,9 +5538,9 @@ O_TEXT_STATS = """
 SELECT doc_id,
        length(text) AS n_chars,
        len(string_split(text, ' ')) AS n_tokens,
-       ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len,
-       ROUND((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
-             * 1.0 / length(text), 6) AS punct_ratio,
+       floor((length(text) * 1.0 / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+       floor(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+             * 1.0 / length(text)) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
        len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
 FROM documents
 """
@@ -5559,8 +5560,8 @@ def _langid_sql() -> str:
     sw = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
     return f"""
 SELECT doc_id,
-       ROUND(len(list_filter(string_split(text, ' '), t -> list_contains([{sw}], t)))
-             * 1.0 / len(string_split(text, ' ')), 6) AS stopword_frac,
+       floor((len(list_filter(string_split(text, ' '), t -> list_contains([{sw}], t)))
+             * 1.0 / len(string_split(text, ' '))) * 1000000.0 + 0.5) / 1000000.0 AS stopword_frac,
        CASE WHEN len(list_filter(string_split(text, ' '), t -> list_contains([{sw}], t)))
                  * 1.0 / len(string_split(text, ' ')) >= 0.08
             THEN 'en' ELSE 'unknown' END AS lang_pred
@@ -5620,13 +5621,13 @@ g3 AS (
 c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
 dup AS (
   SELECT doc_id,
-         ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6)
+         floor((SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c)) * 1000000.0 + 0.5) / 1000000.0
            AS dup_ngram_frac
   FROM c3 GROUP BY 1
 ),
 n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
 SELECT n.doc_id, n.n_tokens, top.top_ngram_count,
-       ROUND(top.top_ngram_count * 2.0 / n.n_tokens, 6) AS top_ngram_frac,
+       floor((top.top_ngram_count * 2.0 / n.n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS top_ngram_frac,
        dup.dup_ngram_frac
 FROM n JOIN top USING (doc_id) JOIN dup USING (doc_id)
 """
@@ -5797,7 +5798,7 @@ WITH d AS (
 ),
 s AS (SELECT source, avg(div) AS src_div FROM d GROUP BY source),
 c AS (SELECT avg(div) AS corpus_div FROM d)
-SELECT d.doc_id, d.source, ROUND(s.src_div, 6) AS src_div
+SELECT d.doc_id, d.source, floor((s.src_div) * 1000000.0 + 0.5) / 1000000.0 AS src_div
 FROM d JOIN s USING (source), c
 WHERE s.src_div >= c.corpus_div
 """
@@ -5848,7 +5849,7 @@ oov AS (
   FROM total, vsum
 ),
 logp AS (SELECT term, ln(tf * 1.0 / total) AS logp FROM vocab, total)
-SELECT doc_id, ROUND(-avg(COALESCE(logp.logp, oov.oov_logp)), 6) AS mean_nll
+SELECT doc_id, floor((-avg(COALESCE(logp.logp, oov.oov_logp))) * 1000000.0 + 0.5) / 1000000.0 AS mean_nll
 FROM t LEFT JOIN logp USING (term), oov
 GROUP BY doc_id
 """
@@ -5993,7 +5994,7 @@ oov AS (
 ),
 logp AS (SELECT term, ln(tf * 1.0 / total) AS logp FROM vocab, total),
 scored AS (
-  SELECT doc_id, ROUND(-avg(COALESCE(logp.logp, oov.oov_logp)), 6) AS mean_nll
+  SELECT doc_id, floor((-avg(COALESCE(logp.logp, oov.oov_logp))) * 1000000.0 + 0.5) / 1000000.0 AS mean_nll
   FROM t LEFT JOIN logp USING (term), oov
   GROUP BY doc_id
 ),
@@ -6037,8 +6038,8 @@ idf AS (
 ),
 scored AS (
   SELECT tf.doc_id,
-         ROUND(SUM(idf.idf * tf.tf * 2.2
-                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / idf.avgdl))), 6)
+         floor((SUM(idf.idf * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / idf.avgdl)))) * 1000000.0 + 0.5) / 1000000.0
            AS score
   FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
   GROUP BY tf.doc_id
@@ -6090,7 +6091,7 @@ docfreq AS (SELECT term, count(DISTINCT doc_id) AS n_docs FROM t GROUP BY term),
 n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         ROUND(tf.tf * ln(n.n * 1.0 / docfreq.n_docs), 6) AS tfidf
+         floor((tf.tf * ln(n.n * 1.0 / docfreq.n_docs)) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
   FROM tf JOIN docfreq USING (term), n
 ),
 ranked AS (
@@ -6182,7 +6183,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_LABEL_CENTROIDS = """
-SELECT label, pos, ROUND(avg(val), 6) AS mean FROM (
+SELECT label, pos, floor((avg(val)) * 1000000.0 + 0.5) / 1000000.0 AS mean FROM (
   SELECT label,
          unnest(generate_series(0, len(embedding) - 1)) AS pos,
          unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
@@ -6234,9 +6235,9 @@ agg AS (
   FROM wide GROUP BY label
 )
 SELECT label,
-       ROUND(CASE WHEN la > 0 AND lb > 0 THEN dot / (la * lb) END, 6)
+       floor((CASE WHEN la > 0 AND lb > 0 THEN dot / (la * lb) END) * 1000000.0 + 0.5) / 1000000.0
          AS cosine,
-       ROUND(l2, 6) AS l2,
+       floor((l2) * 1000000.0 + 0.5) / 1000000.0 AS l2,
        n_ref, n_cur
 FROM agg
 """
@@ -6269,7 +6270,7 @@ dots AS (
   GROUP BY v.vec_id, v.label
 )
 SELECT label, count(*) AS n,
-       ROUND(avg(dot / (sqrt(nv) * sqrt(nc))), 6) AS mean_cosine
+       floor((avg(dot / (sqrt(nv) * sqrt(nc)))) * 1000000.0 + 0.5) / 1000000.0 AS mean_cosine
 FROM dots
 GROUP BY label
 """
@@ -6290,9 +6291,9 @@ WITH t AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
 ),
 b AS (
-  SELECT ROUND(quantile_cont(n_tokens, 0.25), 6) AS b0,
-         ROUND(quantile_cont(n_tokens, 0.50), 6) AS b1,
-         ROUND(quantile_cont(n_tokens, 0.75), 6) AS b2
+  SELECT floor((quantile_cont(n_tokens, 0.25)) * 1000000.0 + 0.5) / 1000000.0 AS b0,
+         floor((quantile_cont(n_tokens, 0.50)) * 1000000.0 + 0.5) / 1000000.0 AS b1,
+         floor((quantile_cont(n_tokens, 0.75)) * 1000000.0 + 0.5) / 1000000.0 AS b2
   FROM t
 )
 SELECT doc_id, n_tokens,
@@ -6327,7 +6328,7 @@ ranked AS (
            * 1.0 / sum(tf) OVER () AS cum_frac
   FROM counts
 )
-SELECT k, ROUND(cum_frac, 6) AS coverage
+SELECT k, floor((cum_frac) * 1000000.0 + 0.5) / 1000000.0 AS coverage
 FROM ranked
 WHERE k IN (1, 10, 100, 1000, 10000)
 """
@@ -6356,8 +6357,8 @@ stats AS (
   SELECT label, avg(norm) AS mu, stddev(norm) AS sd FROM norms GROUP BY label
 )
 SELECT n.vec_id, n.label,
-       ROUND(n.norm, 6) AS norm,
-       ROUND((n.norm - s.mu) / s.sd, 3) AS z,
+       floor((n.norm) * 1000000.0 + 0.5) / 1000000.0 AS norm,
+       floor(((n.norm - s.mu) / s.sd) * 1000.0 + 0.5) / 1000.0 AS z,
        abs((n.norm - s.mu) / s.sd) > 3.0 AS is_outlier
 FROM norms n JOIN stats s USING (label)
 """
@@ -6414,7 +6415,7 @@ logp AS (
   SELECT bg.g, ln(c2 * 1.0 / c1) AS logp
   FROM bg JOIN hist ON split_part(bg.g, ' ', 1) = hist.h
 )
-SELECT doc_id, ROUND(-avg(logp), 6) AS mean_nll2
+SELECT doc_id, floor((-avg(logp)) * 1000000.0 + 0.5) / 1000000.0 AS mean_nll2
 FROM g JOIN logp USING (g)
 GROUP BY doc_id
 """
@@ -6455,7 +6456,7 @@ eff AS (
 SELECT raw.source, n_docs, n_tokens,
        COALESCE(n_docs_unique, 0) AS n_docs_unique,
        COALESCE(n_tokens_unique, 0) AS n_tokens_unique,
-       ROUND(COALESCE(n_tokens_unique, 0) * 1.0 / n_tokens, 6) AS unique_ratio
+       floor((COALESCE(n_tokens_unique, 0) * 1.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS unique_ratio
 FROM raw LEFT JOIN eff USING (source)
 """
 
@@ -6532,7 +6533,7 @@ c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY gh)
 SELECT doc_id,
        count(*) AS n_grams,
        CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
-       ROUND(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+       floor((sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0
          AS repeated_frac
 FROM g JOIN c USING (gh)
 GROUP BY doc_id
@@ -6592,7 +6593,7 @@ pairs AS (
   FROM banded l JOIN banded r
     ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 )
-SELECT p.id_a, p.id_b, ROUND(({eq}) / 8.0, 6) AS est_jaccard
+SELECT p.id_a, p.id_b, floor((({eq}) / 8.0) * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
 FROM pairs p
 JOIN sigs a ON a.doc_id = p.id_a
 JOIN sigs b ON b.doc_id = p.id_b
@@ -6628,8 +6629,8 @@ SELECT doc_id,
        count(*) AS n_grams,
        CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
          AS n_novel,
-       ROUND(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) * 1.0
-             / count(*), 6) AS novel_frac
+       floor((sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS novel_frac
 FROM g JOIN s USING (gram)
 GROUP BY doc_id
 """
@@ -6653,7 +6654,7 @@ WITH t AS (
 tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term)
 SELECT doc_id,
        CAST(sum(c) AS BIGINT) AS n_tokens,
-       ROUND(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+       floor((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 1000000.0 + 0.5) / 1000000.0 AS entropy
 FROM tf GROUP BY doc_id
 """
 
@@ -6675,7 +6676,7 @@ hist AS (
   FROM n GROUP BY 1
 ),
 total AS (SELECT sum(n_docs) AS t FROM hist)
-SELECT bin_start, n_docs, ROUND(n_docs * 1.0 / t, 6) AS frac
+SELECT bin_start, n_docs, floor((n_docs * 1.0 / t) * 1000000.0 + 0.5) / 1000000.0 AS frac
 FROM hist, total
 """
 
@@ -6694,7 +6695,7 @@ WITH c AS (
   SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY source, lang
 )
 SELECT source, lang, n_docs,
-       ROUND(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source), 6) AS frac
+       floor((n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source)) * 1000000.0 + 0.5) / 1000000.0 AS frac
 FROM c
 """
 
@@ -6758,7 +6759,7 @@ j AS (
   HAVING count(*) >= 3
 )
 SELECT j.doc_id, j.bench_id, j.n_shared,
-       ROUND(j.n_shared * 1.0 / bsz.bench_sz, 6) AS overlap_frac
+       floor((j.n_shared * 1.0 / bsz.bench_sz) * 1000000.0 + 0.5) / 1000000.0 AS overlap_frac
 FROM j JOIN bsz USING (bench_id)
 """
 
@@ -6787,7 +6788,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+SELECT query_id, neighbor_id, floor((sim) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim, rank
 FROM ranked WHERE rank <= 5
 """
 
@@ -6832,7 +6833,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+SELECT query_id, neighbor_id, floor((sim) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim, rank
 FROM ranked WHERE rank <= 5
 """
 
@@ -6889,7 +6890,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            qround(F.avg("k"), 6).alias("avg_k"),
             F.max("k").alias("max_k"),
             F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_gt_50"),
         )
@@ -6902,7 +6903,7 @@ WITH ex AS (
   SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
   FROM events
 )
-SELECT event_type, count(*) AS n, ROUND(avg(k), 6) AS avg_k,
+SELECT event_type, count(*) AS n, floor((avg(k)) * 1000000.0 + 0.5) / 1000000.0 AS avg_k,
        max(k) AS max_k,
        CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_50
 FROM ex
@@ -6980,7 +6981,7 @@ def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            qround(F.avg("o_totalprice"), 6).alias("avg_price"),
         )
         .orderBy("o_orderpriority", "decile")
     )
@@ -6988,7 +6989,7 @@ def q_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_FEATURE_BINNING = """
 SELECT o_orderpriority, decile, count(*) AS n,
-       ROUND(avg(o_totalprice), 6) AS avg_price
+       floor((avg(o_totalprice)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price
 FROM (
   SELECT o_orderpriority, o_totalprice,
          ntile(10) OVER (PARTITION BY o_orderpriority
@@ -7010,7 +7011,7 @@ def q_tag_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, a in enumerate(tags):
         for b in tags[i + 1:]:
             aggs.append(
-                F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"corr_{a}_{b}")
+                qround(F.corr(F.col(a), F.col(b)), 6).alias(f"corr_{a}_{b}")
             )
     return wide.agg(*aggs)
 
@@ -7036,7 +7037,7 @@ def q_tag_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, a in enumerate(tags):
         for b in tags[i + 1:]:
             aggs.append(
-                F.round(F.corr(f"_r_{a}", f"_r_{b}"), 6).alias(
+                qround(F.corr(f"_r_{a}", f"_r_{b}"), 6).alias(
                     f"spearman_{a}_{b}"
                 )
             )
@@ -7050,7 +7051,7 @@ def _spearman_sql() -> str:
     WITH res AS (
       SELECT event_type AS tag,
              CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-             avg(value) AS value
+             floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
       FROM events WHERE event_type IN ('click','view','purchase')
       GROUP BY 1, 2
     ),
@@ -7072,9 +7073,9 @@ def _spearman_sql() -> str:
              row_number() OVER (ORDER BY purchase, ts) AS r_purchase
       FROM aligned
     )
-    SELECT ROUND(corr(r_click, r_view), 6) AS spearman_click_view,
-           ROUND(corr(r_click, r_purchase), 6) AS spearman_click_purchase,
-           ROUND(corr(r_view, r_purchase), 6) AS spearman_view_purchase
+    SELECT floor((corr(r_click, r_view)) * 1000000.0 + 0.5) / 1000000.0 AS spearman_click_view,
+           floor((corr(r_click, r_purchase)) * 1000000.0 + 0.5) / 1000000.0 AS spearman_click_purchase,
+           floor((corr(r_view, r_purchase)) * 1000000.0 + 0.5) / 1000000.0 AS spearman_view_purchase
     FROM ranked
     """)
 
@@ -7089,7 +7090,7 @@ def _corr_sql() -> str:
     WITH res AS (
       SELECT event_type AS tag,
              CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-             avg(value) AS value
+             floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
       FROM events WHERE event_type IN ('click','view','purchase')
       GROUP BY 1, 2
     ),
@@ -7104,9 +7105,9 @@ def _corr_sql() -> str:
       SELECT * FROM wide
       WHERE click IS NOT NULL AND view IS NOT NULL AND purchase IS NOT NULL
     )
-    SELECT ROUND(corr(click, view), 6) AS corr_click_view,
-           ROUND(corr(click, purchase), 6) AS corr_click_purchase,
-           ROUND(corr(view, purchase), 6) AS corr_view_purchase
+    SELECT floor((corr(click, view)) * 1000000.0 + 0.5) / 1000000.0 AS corr_click_view,
+           floor((corr(click, purchase)) * 1000000.0 + 0.5) / 1000000.0 AS corr_click_purchase,
+           floor((corr(view, purchase)) * 1000000.0 + 0.5) / 1000000.0 AS corr_view_purchase
     FROM aligned
     """)
 
@@ -7125,7 +7126,7 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = profile(
         docs, ["doc_id", "lang", "source", "n_chars"], exact_distinct=True
     )
-    return out.withColumn("mean_numeric", F.round(F.col("mean_numeric"), 6))
+    return out.withColumn("mean_numeric", qround(F.col("mean_numeric"), 6))
 
 
 O_DATA_PROFILE = """
@@ -7134,7 +7135,7 @@ SELECT 'doc_id' AS "column", count(*) AS n_rows,
        count(DISTINCT doc_id) AS n_distinct,
        CAST(min(doc_id) AS VARCHAR) AS min_repr,
        CAST(max(doc_id) AS VARCHAR) AS max_repr,
-       ROUND(avg(doc_id), 6) AS mean_numeric
+       floor((avg(doc_id)) * 1000000.0 + 0.5) / 1000000.0 AS mean_numeric
 FROM documents
 UNION ALL
 SELECT 'lang', count(*),
@@ -7155,7 +7156,7 @@ SELECT 'n_chars', count(*),
        CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT n_chars),
        CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
-       ROUND(avg(n_chars), 6)
+       floor((avg(n_chars)) * 1000000.0 + 0.5) / 1000000.0
 FROM documents
 """
 
@@ -7171,7 +7172,7 @@ def q_o8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.rollup("event_type", "week")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            qround(F.avg("value"), 6).alias("avg_value"),
         )
         .orderBy("event_type", "week")
     )
@@ -7179,7 +7180,7 @@ def q_o8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_O8_ROLLUP = """
 SELECT event_type, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
-       count(*) AS n_events, ROUND(avg(value), 6) AS avg_value
+       count(*) AS n_events, floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
 FROM events
 GROUP BY ROLLUP (event_type, week)
 ORDER BY event_type, week
@@ -7375,7 +7376,7 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("start").alias("n_busy_weeks"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            qround(F.avg("value"), 6).alias("avg_value"),
         )
         .orderBy("event_type")
     )
@@ -7399,7 +7400,7 @@ busy AS (
 SELECT e.event_type,
        count(DISTINCT b.start) AS n_busy_weeks,
        count(*) AS n_events,
-       ROUND(avg(e.value), 6) AS avg_value
+       floor((avg(e.value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
 FROM ev e JOIN busy b
   ON e.event_type = b.event_type AND e.ts >= b.start AND e.ts < b.iv_end
 GROUP BY 1
@@ -7421,7 +7422,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.groupBy("n_events")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
-            F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
+            qround(F.avg("duration_s"), 6).alias("avg_duration_s"),
         )
         .orderBy("n_events")
     )
@@ -7451,7 +7452,7 @@ per AS (
   FROM sess GROUP BY 1, 2
 )
 SELECT n_events, count(*) AS n_sessions,
-       ROUND(avg(duration_s), 6) AS avg_duration_s
+       floor((avg(duration_s)) * 1000000.0 + 0.5) / 1000000.0 AS avg_duration_s
 FROM per
 GROUP BY 1
 ORDER BY 1
@@ -7491,7 +7492,7 @@ c AS (
 ),
 b AS (SELECT n_users AS base FROM c WHERE step = 1)
 SELECT step, event_type, n_users,
-       ROUND(n_users * 1.0 / base, 6) AS conversion
+       floor((n_users * 1.0 / base) * 1000000.0 + 0.5) / 1000000.0 AS conversion
 FROM c, b
 """
 
@@ -7521,7 +7522,7 @@ a AS (
 ),
 s AS (SELECT cohort_week, n_users AS sz FROM a WHERE week_offset = 0)
 SELECT a.cohort_week, a.week_offset, a.n_users,
-       ROUND(a.n_users * 1.0 / s.sz, 6) AS retention
+       floor((a.n_users * 1.0 / s.sz) * 1000000.0 + 0.5) / 1000000.0 AS retention
 FROM a JOIN s USING (cohort_week)
 """
 
@@ -7571,7 +7572,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            qround(F.avg("n_chars"), 6).alias("avg_chars"),
         )
         .orderBy("lang")
     )
@@ -7583,7 +7584,7 @@ WITH b AS (
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
   FROM documents
 )
-SELECT lang, count(*) AS n_docs, ROUND(avg(n_chars), 6) AS avg_chars
+SELECT lang, count(*) AS n_docs, floor((avg(n_chars)) * 1000000.0 + 0.5) / 1000000.0 AS avg_chars
 FROM b
 WHERE (lang = 'en' AND b < 5000) OR (lang = 'zh' AND b < 2000)
 GROUP BY lang
@@ -7608,8 +7609,8 @@ def q_w11_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the feedback loop."""
     from gordo_spark.operators.smoothing import holt
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    res = res.withColumn("value", F.round("value", 6))
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    res = res.withColumn("value", qround("value", 6))
     out = holt(res, "value", alpha=0.2, beta=0.1, machine_col="tag")
     return _r6(
         out.select("tag", "ts", "value", "level", "trend", "forecast"),
@@ -7623,7 +7624,7 @@ O_W11_HOLT = """
 WITH RECURSIVE res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         ROUND(avg(value), 6) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 seq AS (
@@ -7640,8 +7641,8 @@ rec AS (
          0.1 * ((0.2 * s.value + (1 - 0.2) * (r.l + r.b)) - r.l) + (1 - 0.1) * r.b
   FROM rec r JOIN seq s ON s.tag = r.tag AND s.rn = r.rn + 1
 )
-SELECT tag, ts, value, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
-       ROUND(l + b, 6) AS forecast
+SELECT tag, ts, value, floor((l) * 1000000.0 + 0.5) / 1000000.0 AS level, floor((b) * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       floor((l + b) * 1000000.0 + 0.5) / 1000000.0 AS forecast
 FROM rec
 """
 
@@ -7655,8 +7656,8 @@ def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE with the same lag."""
     from gordo_spark.operators.smoothing import holt_backtest
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    res = res.withColumn("value", F.round("value", 6))
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    res = res.withColumn("value", qround("value", 6))
     return holt_backtest(res, "value", alpha=0.2, beta=0.1, machine_col="tag")
 
 
@@ -7664,7 +7665,7 @@ O_HOLT_BACKTEST = """
 WITH RECURSIVE res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         ROUND(avg(value), 6) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 seq AS (
@@ -7683,15 +7684,15 @@ rec AS (
 ),
 f AS (
   SELECT tag, ts, value,
-         lag(ROUND(l + b, 6)) OVER (PARTITION BY tag ORDER BY ts) AS fp
+         lag(floor((l + b) * 1000000.0 + 0.5) / 1000000.0) OVER (PARTITION BY tag ORDER BY ts) AS fp
   FROM rec
 ),
 e AS (SELECT tag, value, value - fp AS err FROM f WHERE fp IS NOT NULL)
 SELECT tag, CAST(count(*) AS BIGINT) AS n,
-       ROUND(avg(err), 6) AS bias,
-       ROUND(avg(abs(err)), 6) AS mae,
-       ROUND(sqrt(avg(err * err)), 6) AS rmse,
-       ROUND(avg(CASE WHEN value != 0 THEN abs(err / value) END), 6) AS mape
+       floor((avg(err)) * 1000000.0 + 0.5) / 1000000.0 AS bias,
+       floor((avg(abs(err))) * 1000000.0 + 0.5) / 1000000.0 AS mae,
+       floor((sqrt(avg(err * err))) * 1000000.0 + 0.5) / 1000000.0 AS rmse,
+       floor((avg(CASE WHEN value != 0 THEN abs(err / value) END)) * 1000000.0 + 0.5) / 1000000.0 AS mape
 FROM e GROUP BY tag
 """
 
@@ -7718,7 +7719,7 @@ c AS (
   FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT prev_type, next_type, n,
-       ROUND(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+       floor((n * 1.0 / sum(n) OVER (PARTITION BY prev_type)) * 1000000.0 + 0.5) / 1000000.0 AS prob
 FROM c
 """
 
@@ -7745,7 +7746,7 @@ l AS (SELECT w1, sum(n) AS c1 FROM c GROUP BY w1),
 r AS (SELECT w2, sum(n) AS c2 FROM c GROUP BY w2),
 scored AS (
   SELECT c.w1, c.w2, c.n,
-         ROUND(ln((c.n * 1.0 * tot.nn) / (l.c1 * 1.0 * r.c2)), 6) AS pmi
+         floor((ln((c.n * 1.0 * tot.nn) / (l.c1 * 1.0 * r.c2))) * 1000000.0 + 0.5) / 1000000.0 AS pmi
   FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
   WHERE c.n >= 5
 )
@@ -7852,7 +7853,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         *[F.element_at("codes", j + 1).alias(f"c{j + 1}") for j in range(4)],
-        F.round("mse", 6).alias("mse"),
+        qround("mse", 6).alias("mse"),
     )
 
 
@@ -7885,7 +7886,7 @@ enc AS (
 )
 SELECT vec_id,
        {cols},
-       ROUND(sum(err * err) / {float(d)!r}, 6) AS mse
+       floor((sum(err * err) / {float(d)!r}) * 1000000.0 + 0.5) / 1000000.0 AS mse
 FROM enc GROUP BY vec_id"""
 
 
@@ -7905,7 +7906,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         *[
-            F.round(F.element_at("pca", j + 1), 6).alias(f"pc{j + 1}")
+            qround(F.element_at("pca", j + 1), 6).alias(f"pc{j + 1}")
             for j in range(4)
         ],
     )
@@ -7917,8 +7918,8 @@ def _o_pca_project(k: int = 4, sample_n: int = 256) -> str:
     X = _oracle_embeddings(sample_n)
     mean, comps, _ = pca_np(X, k)
     cols = ",\n       ".join(
-        f"ROUND(list_dot_product(e, {_sql_vec(comps[j])}) - "
-        f"{float(np.dot(mean, comps[j]))!r}, 6) AS pc{j + 1}"
+        f"floor((list_dot_product(e, {_sql_vec(comps[j])}) - "
+        f"{float(np.dot(mean, comps[j]))!r}) * 1000000.0 + 0.5) / 1000000.0 AS pc{j + 1}"
         for j in range(k)
     )
     return (
@@ -7953,7 +7954,7 @@ def q_logreg_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     model.coef_ = numpy_irls(X, y)
     return model.score(feats).select(
         "doc_id",
-        F.round("score", 6).alias("score"),
+        qround("score", 6).alias("score"),
         (F.col("score") >= 0.5).alias("pred"),
     )
 
@@ -7999,7 +8000,7 @@ def _o_logreg_apply(sample_n: int = 256) -> str:
         f" / len(string_split(text, ' ')))"
     )
     return f"""SELECT doc_id,
-       ROUND(1 / (1 + exp(-({z}))), 6) AS score,
+       floor((1 / (1 + exp(-({z})))) * 1000000.0 + 0.5) / 1000000.0 AS score,
        (1 / (1 + exp(-({z})))) >= 0.5 AS pred
 FROM documents"""
 
@@ -8021,12 +8022,12 @@ b AS (
 ),
 g AS (
   SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
-         ROUND(avg(score), 6) AS mean_score,
-         ROUND(avg(label), 6) AS frac_positive
+         floor((avg(score)) * 1000000.0 + 0.5) / 1000000.0 AS mean_score,
+         floor((avg(label)) * 1000000.0 + 0.5) / 1000000.0 AS frac_positive
   FROM b GROUP BY bin
 )
 SELECT bin, n, mean_score, frac_positive,
-       ROUND(mean_score - frac_positive, 6) AS gap
+       floor((mean_score - frac_positive) * 1000000.0 + 0.5) / 1000000.0 AS gap
 FROM g
 """
 
@@ -8053,7 +8054,7 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = LogisticModel(["f_chars", "f_words", "f_uniq"], "label")
     model.coef_ = numpy_irls(X, y)
     scored = model.score(feats).select(
-        F.round("score", 6).alias("score"), F.col("label")
+        qround("score", 6).alias("score"), F.col("label")
     )
     return calibration_bins(scored, "score", "label", bins=10)
 
@@ -8087,7 +8088,7 @@ def q_w12_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     key."""
     from gordo_spark.operators.smoothing import mad_zscore
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return _r6(mad_zscore(res, threshold=3.5), "value")
 
 
@@ -8095,19 +8096,19 @@ O_W12_MAD = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
-med AS (SELECT tag, ROUND(median(value), 6) AS med FROM res GROUP BY tag),
+med AS (SELECT tag, floor((median(value)) * 1000000.0 + 0.5) / 1000000.0 AS med FROM res GROUP BY tag),
 mad AS (
-  SELECT res.tag, ROUND(median(abs(res.value - med.med)), 6) AS mad
+  SELECT res.tag, floor((median(abs(res.value - med.med))) * 1000000.0 + 0.5) / 1000000.0 AS mad
   FROM res JOIN med USING (tag) GROUP BY res.tag
 )
-SELECT r.tag, r.ts, ROUND(r.value, 6) AS value,
+SELECT r.tag, r.ts, floor((r.value) * 1000000.0 + 0.5) / 1000000.0 AS value,
        CASE WHEN mad.mad > 0
-            THEN ROUND(0.6745 * (r.value - med.med) / mad.mad, 6) END AS mad_z,
+            THEN floor((0.6745 * (r.value - med.med) / mad.mad) * 1000000.0 + 0.5) / 1000000.0 END AS mad_z,
        CASE WHEN mad.mad > 0
-             AND abs(ROUND(0.6745 * (r.value - med.med) / mad.mad, 6)) > 3.5
+             AND abs(floor((0.6745 * (r.value - med.med) / mad.mad) * 1000000.0 + 0.5) / 1000000.0) > 3.5
             THEN 1 ELSE 0 END AS is_outlier
 FROM res r JOIN med USING (tag) JOIN mad USING (tag)
 """
@@ -8176,8 +8177,8 @@ def _o_feature_hash(dim: int = 8) -> str:
     )
     norm = " + ".join(f"h{j} * h{j}" for j in range(dim))
     cols = ",\n       ".join(
-        f"ROUND(CASE WHEN sqrt({norm}) > 0 THEN h{j} / sqrt({norm})"
-        f" ELSE 0.0 END, 6) AS h{j}"
+        f"floor((CASE WHEN sqrt({norm}) > 0 THEN h{j} / sqrt({norm})"
+        f" ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS h{j}"
         for j in range(4)
     )
     slots = ",\n    ".join(f"{case(j)} AS h{j}" for j in range(dim))
@@ -8209,7 +8210,7 @@ def q_w13_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivots — per-tag cost is a single sort regardless of lag count."""
     from gordo_spark.operators.tsa import acf
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return acf(res, [1, 2, 3, 24], 3600)
 
 
@@ -8217,7 +8218,7 @@ O_W13_ACF = """
 WITH res AS (
   SELECT event_type AS tag,
          floor(epoch(ts)/3600)*3600 AS t,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 lagged AS (
@@ -8234,10 +8235,10 @@ lagged AS (
 ),
 wide AS (
   SELECT tag,
-         ROUND(corr(value, l1), 6) AS a1,
-         ROUND(corr(value, l2), 6) AS a2,
-         ROUND(corr(value, l3), 6) AS a3,
-         ROUND(corr(value, l24), 6) AS a24
+         floor((corr(value, l1)) * 1000000.0 + 0.5) / 1000000.0 AS a1,
+         floor((corr(value, l2)) * 1000000.0 + 0.5) / 1000000.0 AS a2,
+         floor((corr(value, l3)) * 1000000.0 + 0.5) / 1000000.0 AS a3,
+         floor((corr(value, l24)) * 1000000.0 + 0.5) / 1000000.0 AS a24
   FROM lagged GROUP BY tag
 )
 SELECT tag, 1 AS lag, a1 AS acf FROM wide
@@ -8254,7 +8255,7 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     one max(struct) aggregation, earliest-ts tie-break."""
     from gordo_spark.operators.tsa import mean_shift_changepoint
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return mean_shift_changepoint(res)
 
 
@@ -8262,7 +8263,7 @@ O_CHANGEPOINT = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 d AS (
@@ -8277,10 +8278,10 @@ d AS (
 ),
 sc AS (
   SELECT tag, ts,
-         ROUND(sqrt(i * (n - i) / n) * abs(cs / i - (tot - cs) / (n - i)), 6)
+         floor((sqrt(i * (n - i) / n) * abs(cs / i - (tot - cs) / (n - i))) * 1000000.0 + 0.5) / 1000000.0
            AS score,
-         ROUND(cs / i, 6) AS ml,
-         ROUND((tot - cs) / (n - i), 6) AS mr
+         floor((cs / i) * 1000000.0 + 0.5) / 1000000.0 AS ml,
+         floor(((tot - cs) / (n - i)) * 1000000.0 + 0.5) / 1000000.0 AS mr
   FROM d WHERE i >= 2 AND i <= n - 2
 ),
 ranked AS (
@@ -8301,7 +8302,7 @@ def q_w14_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/std."""
     from gordo_spark.operators.tsa import seasonal_profile
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return seasonal_profile(res)
 
 
@@ -8309,7 +8310,7 @@ O_W14_SEASONAL = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 prof AS (
@@ -8321,8 +8322,8 @@ ov AS (
   SELECT tag, avg(value) AS tm, stddev_samp(value) AS tsd
   FROM res GROUP BY tag
 )
-SELECT p.tag, p.hod, p.n, ROUND(p.hm, 6) AS hod_mean,
-       CASE WHEN o.tsd > 0 THEN ROUND((p.hm - o.tm) / o.tsd, 6) END
+SELECT p.tag, p.hod, p.n, floor((p.hm) * 1000000.0 + 0.5) / 1000000.0 AS hod_mean,
+       CASE WHEN o.tsd > 0 THEN floor(((p.hm - o.tm) / o.tsd) * 1000000.0 + 0.5) / 1000000.0 END
          AS seasonal_z
 FROM prof p JOIN ov o USING (tag)
 """
@@ -8336,7 +8337,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole thing is map-side-combinable at any scale."""
     from gordo_spark.operators.tsa import psi_drift
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return psi_drift(res, bins=10)
 
 
@@ -8344,7 +8345,7 @@ O_PSI_DRIFT = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 span AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid FROM res),
@@ -8383,7 +8384,7 @@ term AS (
            AS term
   FROM cnt JOIN tot USING (tag)
 )
-SELECT tag, ROUND(sum(term), 6) AS psi, n_ref, n_cur
+SELECT tag, floor((sum(term)) * 1000000.0 + 0.5) / 1000000.0 AS psi, n_ref, n_cur
 FROM term GROUP BY tag, n_ref, n_cur
 """
 
@@ -8396,7 +8397,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     to psi_drift, with the 5%-level rejection bound applied per tag."""
     from gordo_spark.operators.tsa import ks_drift
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return ks_drift(res)
 
 
@@ -8404,7 +8405,7 @@ O_KS_DRIFT = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 span AS (SELECT (epoch(min(ts)) + epoch(max(ts))) / 2 AS mid FROM res),
@@ -8430,9 +8431,9 @@ c AS (
 ),
 agg AS (
   SELECT tag, CAST(totr AS BIGINT) AS n_ref, CAST(totc AS BIGINT) AS n_cur,
-         ROUND(max(CASE WHEN totr > 0 AND totc > 0
+         floor((max(CASE WHEN totr > 0 AND totc > 0
                         THEN abs(cumr * 1.0 / totr - cumc * 1.0 / totc)
-                   END), 6) AS ks
+                   END)) * 1000000.0 + 0.5) / 1000000.0 AS ks
   FROM c GROUP BY tag, totr, totc
 )
 SELECT tag, ks, n_ref, n_cur,
@@ -8493,11 +8494,11 @@ SELECT
             THEN 1 ELSE 0 END) AS BIGINT) AS n_childless_parents,
   CAST(sum(CASE WHEN stored IS NULL AND rec IS NOT NULL
             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_child_groups,
-  ROUND(max(CASE WHEN stored IS NOT NULL AND rec IS NOT NULL
+  floor((max(CASE WHEN stored IS NOT NULL AND rec IS NOT NULL
                   AND abs(stored) > 0
                  THEN abs(stored - rec) / abs(stored)
                  WHEN stored IS NOT NULL AND rec IS NOT NULL
-                  AND abs(stored - rec) = 0 THEN 0.0 END), 6)
+                  AND abs(stored - rec) = 0 THEN 0.0 END)) * 1000000.0 + 0.5) / 1000000.0
     AS max_rel_err
 FROM j
 """
@@ -8584,7 +8585,7 @@ z AS (
   FROM st
 )
 SELECT n_a, n_b, conv_a, conv_b,
-       ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b, ROUND(zv, 6) AS z,
+       floor((pa) * 1000000.0 + 0.5) / 1000000.0 AS p_a, floor((pb) * 1000000.0 + 0.5) / 1000000.0 AS p_b, floor((zv) * 1000000.0 + 0.5) / 1000000.0 AS z,
        COALESCE(abs(zv) > 1.96, FALSE) AS significant
 FROM z
 """
@@ -8599,7 +8600,7 @@ def q_tag_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation misses."""
     from gordo_spark.operators.tsa import tag_mutual_info
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return tag_mutual_info(res, "click", "view", bins=8)
 
 
@@ -8607,7 +8608,7 @@ O_TAG_MUTUAL_INFO = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
 ),
 wide AS (
@@ -8640,9 +8641,8 @@ m AS (
          sum(n) OVER (PARTITION BY bb) AS nb
   FROM cnt
 )
-SELECT ROUND(sum((n * 1.0 / tot)
-             * ln((n * 1.0 / tot) / ((na * 1.0 / tot) * (nb * 1.0 / tot)))),
-             6) AS mi,
+SELECT floor((sum((n * 1.0 / tot)
+             * ln((n * 1.0 / tot) / ((na * 1.0 / tot) * (nb * 1.0 / tot))))) * 1000000.0 + 0.5) / 1000000.0 AS mi,
        CAST(max(tot) AS BIGINT) AS n_pairs,
        CAST(count(*) AS BIGINT) AS n_cells
 FROM m
@@ -8662,9 +8662,9 @@ def q_seasonal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SEASONAL_ENVELOPE = """
 SELECT event_type AS tag, CAST(hour(ts) AS INT) AS hod,
        count(value) AS n,
-       ROUND(quantile_cont(value, 0.1), 6) AS p10,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value, 0.9), 6) AS p90
+       floor((quantile_cont(value, 0.1)) * 1000000.0 + 0.5) / 1000000.0 AS p10,
+       floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       floor((quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90
 FROM events GROUP BY 1, 2
 """
 
@@ -8704,8 +8704,8 @@ t AS (
          (nr + nc) * totc * 1.0 / (totr + totc) AS ec
   FROM m
 )
-SELECT ROUND(sum(CASE WHEN er > 0 THEN (nr - er) * (nr - er) / er ELSE 0 END
-           + CASE WHEN ec > 0 THEN (nc - ec) * (nc - ec) / ec ELSE 0 END), 6)
+SELECT floor((sum(CASE WHEN er > 0 THEN (nr - er) * (nr - er) / er ELSE 0 END
+           + CASE WHEN ec > 0 THEN (nc - ec) * (nc - ec) / ec ELSE 0 END)) * 1000000.0 + 0.5) / 1000000.0
          AS chi2,
        CAST(count(*) - 1 AS BIGINT) AS dof,
        CAST(max(totr) AS BIGINT) AS n_ref,
@@ -8748,7 +8748,7 @@ pairs AS (
 marg AS (SELECT item, count(*) AS n_item FROM g GROUP BY item),
 tot AS (SELECT count(DISTINCT g) AS n_groups FROM g)
 SELECT p.part_a, p.part_b, p.n_both,
-       ROUND(p.n_both * tot.n_groups / (ma.n_item * mb.n_item), 6) AS lift
+       floor((p.n_both * tot.n_groups / (ma.n_item * mb.n_item)) * 1000000.0 + 0.5) / 1000000.0 AS lift
 FROM pairs p
 JOIN marg ma ON ma.item = p.part_a
 JOIN marg mb ON mb.item = p.part_b
@@ -8801,8 +8801,8 @@ ranked AS (
          row_number() OVER (PARTITION BY lang ORDER BY f DESC, t ASC) AS r
   FROM tf
 )
-SELECT lang, ROUND(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
-       ROUND(regr_r2(ln(f), ln(r)), 6) AS r2,
+SELECT lang, floor((regr_slope(ln(f), ln(r))) * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+       floor((regr_r2(ln(f), ln(r))) * 1000000.0 + 0.5) / 1000000.0 AS r2,
        count(*) AS n_terms
 FROM ranked GROUP BY lang
 """
@@ -8815,7 +8815,7 @@ def q_grid_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_samples_threshold gate only rejects the whole series."""
     from gordo_spark.operators.tsa import grid_gaps
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return grid_gaps(res, 3600)
 
 
@@ -8852,7 +8852,7 @@ def q_tag_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     #tags^2 * #lags bounded aggregate."""
     from gordo_spark.operators.tsa import cross_correlation
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return cross_correlation(res, [-2, -1, 0, 1, 2], 3600)
 
 
@@ -8860,7 +8860,7 @@ O_TAG_CROSSCORR = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 l AS (SELECT tag AS tag_a, epoch(ts) AS t, value AS va FROM res),
@@ -8871,7 +8871,7 @@ x AS (
   CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) k
   JOIN r ON r.tb - k.lag * 3600 = l.t AND l.tag_a < r.tag_b
 )
-SELECT tag_a, tag_b, lag, ROUND(corr(va, vb), 6) AS xcorr,
+SELECT tag_a, tag_b, lag, floor((corr(va, vb)) * 1000000.0 + 0.5) / 1000000.0 AS xcorr,
        count(*) AS n_pairs
 FROM x GROUP BY 1, 2, 3
 """
@@ -8895,7 +8895,7 @@ WITH per AS (
 ),
 agg AS (
   SELECT o_custkey, max(dt_epoch) AS rec, count(*) AS frequency,
-         ROUND(sum(o_totalprice), 6) AS monetary
+         floor((sum(o_totalprice)) * 1000000.0 + 0.5) / 1000000.0 AS monetary
   FROM per GROUP BY 1
 ),
 thr AS (
@@ -8949,7 +8949,7 @@ def q_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "months_since")
         .agg(
             F.count_distinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            qround(F.sum("o_totalprice"), 6).alias("revenue"),
         )
     )
 
@@ -8968,7 +8968,7 @@ j AS (
 )
 SELECT CAST(cohort AS TIMESTAMP) AS cohort, months_since,
        count(DISTINCT o_custkey) AS n_customers,
-       ROUND(sum(o_totalprice), 6) AS revenue
+       floor((sum(o_totalprice)) * 1000000.0 + 0.5) / 1000000.0 AS revenue
 FROM j GROUP BY 1, 2
 """
 
@@ -8983,7 +8983,7 @@ def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        qround(F.avg("value"), 6).alias("avg_value"),
     )
 
 
@@ -8991,7 +8991,7 @@ O_EVENTS_HEATMAP = """
 SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
        CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
        count(*) AS n,
-       ROUND(avg(value), 6) AS avg_value
+       floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -9028,8 +9028,8 @@ seg AS (
   FROM d
 )
 SELECT tag, CAST(to_timestamp(bkt * 86400) AS TIMESTAMP) AS bucket_ts,
-       ROUND(CASE WHEN sum(dt) > 0 THEN sum(area) / sum(dt)
-                  ELSE avg(value) END, 6) AS twa,
+       floor((CASE WHEN sum(dt) > 0 THEN sum(area) / sum(dt)
+                  ELSE avg(value) END) * 1000000.0 + 0.5) / 1000000.0 AS twa,
        count(*) AS n_samples
 FROM seg GROUP BY tag, bkt
 """
@@ -9065,11 +9065,11 @@ inc AS (
   FROM d
 ),
 agg AS (
-  SELECT tag, bkt, ROUND(sum(inc), 6) AS increase, sum(r) AS n_resets
+  SELECT tag, bkt, floor((sum(inc)) * 1000000.0 + 0.5) / 1000000.0 AS increase, sum(r) AS n_resets
   FROM inc GROUP BY 1, 2
 )
 SELECT tag, CAST(to_timestamp(bkt * 21600) AS TIMESTAMP) AS bucket_ts,
-       increase, ROUND(increase / 21600, 6) AS rate_per_sec,
+       increase, floor((increase / 21600) * 1000000.0 + 0.5) / 1000000.0 AS rate_per_sec,
        CAST(n_resets AS BIGINT) AS n_resets
 FROM agg
 """
@@ -9114,7 +9114,7 @@ def q_w17_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     LTTB's sequential dependency so buckets score independently)."""
     from gordo_spark.operators.downsample import lttb
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return lttb(res, 50)
 
 
@@ -9122,7 +9122,7 @@ O_W17_LTTB = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 d AS (
@@ -9144,7 +9144,7 @@ keep_all AS (
 ),
 mid AS (SELECT * FROM b WHERE cnt > 50),
 anch AS (
-  SELECT tag, bucket, ROUND(avg(t), 6) AS ax, ROUND(avg(value), 6) AS ay
+  SELECT tag, bucket, floor((avg(t)) * 1000000.0 + 0.5) / 1000000.0 AS ax, floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS ay
   FROM mid GROUP BY 1, 2
 ),
 anch2 AS (
@@ -9155,8 +9155,8 @@ anch2 AS (
 ),
 scored AS (
   SELECT m.tag, m.bucket, m.ts, m.t, m.value,
-         ROUND(abs((a.xl - a.xr) * (m.value - a.yl)
-                   - (a.xl - m.t) * (a.yr - a.yl)), 6) AS area
+         floor((abs((a.xl - a.xr) * (m.value - a.yl)
+                   - (a.xl - m.t) * (a.yr - a.yl))) * 1000000.0 + 0.5) / 1000000.0 AS area
   FROM mid m JOIN anch2 a ON m.tag = a.tag AND m.bucket = a.bucket
 ),
 ranked AS (
@@ -9177,7 +9177,7 @@ def q_w18_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable hash agg, no window, no sort, no join."""
     from gordo_spark.operators.tsa import trend
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return trend(res)
 
 
@@ -9185,14 +9185,14 @@ O_W18_TREND = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 x AS (SELECT tag, value, epoch(ts) / 3600.0 AS h FROM res)
 SELECT tag,
-       ROUND(regr_slope(value, h), 6) AS slope_per_hour,
-       ROUND(regr_intercept(value, h), 6) AS intercept,
-       ROUND(regr_r2(value, h), 6) AS r2,
+       floor((regr_slope(value, h)) * 1000000.0 + 0.5) / 1000000.0 AS slope_per_hour,
+       floor((regr_intercept(value, h)) * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+       floor((regr_r2(value, h)) * 1000000.0 + 0.5) / 1000000.0 AS r2,
        count(value) AS n
 FROM x GROUP BY tag
 """
@@ -9207,7 +9207,7 @@ def q_w24_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exact percentile per tag."""
     from gordo_spark.operators.tsa import theil_sen
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return theil_sen(res)
 
 
@@ -9215,7 +9215,7 @@ O_W24_THEIL_SEN = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 x AS (SELECT tag, value AS v, epoch(ts) / 3600.0 AS t FROM res
@@ -9224,7 +9224,7 @@ s AS (
   SELECT l.tag, (r.v - l.v) / (r.t - l.t) AS s
   FROM x l JOIN x r ON l.tag = r.tag AND l.t < r.t
 )
-SELECT tag, ROUND(median(s), 6) AS sen_slope_per_hour,
+SELECT tag, floor((median(s)) * 1000000.0 + 0.5) / 1000000.0 AS sen_slope_per_hour,
        count(*) AS n_pairs
 FROM s GROUP BY tag
 """
@@ -9244,9 +9244,9 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.col("event_type"))
         .agg(
-            F.round(F.get(pct, 0), 6).alias("p50"),
-            F.round(F.get(pct, 1), 6).alias("p90"),
-            F.round(F.get(pct, 2), 6).alias("p99"),
+            qround(F.get(pct, 0), 6).alias("p50"),
+            qround(F.get(pct, 1), 6).alias("p90"),
+            qround(F.get(pct, 2), 6).alias("p99"),
             F.count("value").alias("n"),
         )
     )
@@ -9254,9 +9254,9 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_GROUP_QUANTILES = """
 SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value, 0.9), 6) AS p90,
-       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       floor((quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+       floor((quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99,
        count(value) AS n
 FROM events GROUP BY event_type
 """
@@ -9298,10 +9298,10 @@ full_t AS (
     ON d.o_orderpriority = c.o_orderpriority AND d.digit = c.digit
 )
 SELECT o_orderpriority, CAST(digit AS INT) AS digit, n,
-       ROUND(n / total, 6) AS obs_p,
-       ROUND(exp_p, 6) AS exp_p,
-       ROUND(sum(pow(n - total * exp_p, 2) / (total * exp_p))
-               OVER (PARTITION BY o_orderpriority), 6) AS chi2
+       floor((n / total) * 1000000.0 + 0.5) / 1000000.0 AS obs_p,
+       floor((exp_p) * 1000000.0 + 0.5) / 1000000.0 AS exp_p,
+       floor((sum(pow(n - total * exp_p, 2) / (total * exp_p))
+               OVER (PARTITION BY o_orderpriority)) * 1000000.0 + 0.5) / 1000000.0 AS chi2
 FROM full_t
 """
 
@@ -9375,7 +9375,7 @@ pr{k} AS (
   ) s ON s.v = deg.v
 )""")
     tail = f"""
-SELECT v, ROUND(r, 6) AS rank FROM pr{iterations}
+SELECT v, floor((r) * 1000000.0 + 0.5) / 1000000.0 AS rank FROM pr{iterations}
 """
     return head + "".join(steps) + tail
 
@@ -9457,13 +9457,12 @@ SELECT id_a, id_b,
        CAST((CASE WHEN ag_seg THEN 1 ELSE 0 END)
           + (CASE WHEN ag_exch THEN 1 ELSE 0 END)
           + (CASE WHEN ag_bal THEN 1 ELSE 0 END) AS INT) AS n_agree,
-       ROUND(
-         (CASE WHEN ag_seg THEN ln(0.95 / u.u_seg)
+       floor(((CASE WHEN ag_seg THEN ln(0.95 / u.u_seg)
                ELSE ln(0.05 / (1 - u.u_seg)) END
         + CASE WHEN ag_exch THEN ln(0.95 / u.u_exch)
                ELSE ln(0.05 / (1 - u.u_exch)) END
         + CASE WHEN ag_bal THEN ln(0.95 / u.u_bal)
-               ELSE ln(0.05 / (1 - u.u_bal)) END) / ln(2.0), 6) AS score
+               ELSE ln(0.05 / (1 - u.u_bal)) END) / ln(2.0)) * 1000000.0 + 0.5) / 1000000.0 AS score
 FROM pairs, u
 """
 
@@ -9505,8 +9504,8 @@ stats AS (
   FROM deg
 )
 SELECT n_nodes, n_edges, n_wedges, n_triangles,
-       ROUND(CASE WHEN n_wedges > 0
-                  THEN 3.0 * n_triangles / n_wedges END, 6)
+       floor((CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges END) * 1000000.0 + 0.5) / 1000000.0
          AS global_clustering
 FROM stats, tri
 """
@@ -9562,8 +9561,8 @@ e AS (
          256 - np AS v
   FROM agg
 )
-SELECT flag, ROUND(CASE WHEN raw <= 2.5 * 256 AND v > 0
-                        THEN 256.0 * ln(256.0 / v) ELSE raw END, 4)
+SELECT flag, floor((CASE WHEN raw <= 2.5 * 256 AND v > 0
+                        THEN 256.0 * ln(256.0 / v) ELSE raw END) * 10000.0 + 0.5) / 10000.0
          AS hll_distinct
 FROM e
 """
@@ -9618,7 +9617,7 @@ def q_w19_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-tag ordered window, no joins. Emits only the flagged rows."""
     from gordo_spark.operators.smoothing import hampel
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return hampel(res, k=5, n_sigmas=3.0).filter(F.col("is_outlier"))
 
 
@@ -9626,7 +9625,7 @@ O_W19_HAMPEL = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 d AS (
@@ -9652,8 +9651,8 @@ s AS (
           + dev[len(dev) // 2 + 1]) / 2 AS mad
   FROM v
 )
-SELECT tag, ts, value, ROUND(med, 6) AS med,
-       TRUE AS is_outlier, ROUND(med, 6) AS filtered
+SELECT tag, ts, value, floor((med) * 1000000.0 + 0.5) / 1000000.0 AS med,
+       TRUE AS is_outlier, floor((med) * 1000000.0 + 0.5) / 1000000.0 AS filtered
 FROM s WHERE abs(value - med) > 3.0 * 1.4826 * mad
 """
 
@@ -9665,7 +9664,7 @@ def q_w20_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     side."""
     from gordo_spark.operators.smoothing import peaks
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return peaks(res, k=3)
 
 
@@ -9673,7 +9672,7 @@ O_W20_PEAKS = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 d AS (
@@ -9685,9 +9684,9 @@ d AS (
   FROM res
 )
 SELECT tag, ts, value, lm AS left_max, rm AS right_max,
-       ROUND(CASE WHEN lm IS NOT NULL OR rm IS NOT NULL
+       floor((CASE WHEN lm IS NOT NULL OR rm IS NOT NULL
                   THEN value - greatest(coalesce(lm, rm), coalesce(rm, lm))
-             END, 6) AS margin
+             END) * 1000000.0 + 0.5) / 1000000.0 AS margin
 FROM d
 WHERE (lm IS NULL OR value > lm) AND (rm IS NULL OR value > rm)
 """
@@ -9701,7 +9700,7 @@ def q_w21_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg, one ordered collect per tag."""
     from gordo_spark.operators.downsample import sax
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return sax(res, word_len=16, alphabet=4)
 
 
@@ -9709,7 +9708,7 @@ O_W21_SAX = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 d AS (
@@ -9726,7 +9725,7 @@ z AS (
   FROM d
 ),
 seg AS (
-  SELECT tag, seg, max(n) AS n, ROUND(avg(z), 6) AS pm
+  SELECT tag, seg, max(n) AS n, floor((avg(z)) * 1000000.0 + 0.5) / 1000000.0 AS pm
   FROM z GROUP BY 1, 2
 ),
 lett AS (
@@ -9764,7 +9763,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_orderpriority") == "2-HIGH", "I")
         .otherwise("U")
         .alias("op"),
-        F.round(F.col("o_totalprice"), 2).alias("c_acctbal"),
+        qround(F.col("o_totalprice"), 2).alias("c_acctbal"),
         F.col("o_orderpriority").alias("c_mktsegment"),
     )
     return cdc_apply(
@@ -9779,7 +9778,7 @@ WITH ch AS (
          CASE WHEN o_orderpriority = '1-URGENT' THEN 'D'
               WHEN o_orderpriority = '2-HIGH' THEN 'I'
               ELSE 'U' END AS op,
-         ROUND(o_totalprice, 2) AS nb, o_orderpriority AS ns
+         floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS nb, o_orderpriority AS ns
   FROM orders
 ),
 latest AS (
@@ -9823,7 +9822,7 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     current = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
     upd = cust.filter(F.col("c_custkey") % 3 == 0).select(
         "c_custkey",
-        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        qround(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
         "c_mktsegment",
     )
     ins = cust.filter(F.col("c_custkey") % 3 == 1).select(
@@ -9842,7 +9841,7 @@ WITH cur AS (
   SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
 ),
 upd AS (
-  SELECT c_custkey, ROUND(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+  SELECT c_custkey, floor((c_acctbal + 100.0) * 100.0 + 0.5) / 100.0 AS c_acctbal, c_mktsegment
   FROM customer WHERE c_custkey % 3 = 0
   UNION ALL
   SELECT c_custkey + 10000000, c_acctbal, c_mktsegment
@@ -9898,7 +9897,7 @@ ranked AS (
 )
 SELECT doc_id, text, lang, source, n_chars,
        CAST(sample_rank AS INT) AS sample_rank,
-       ROUND(key, 6) AS sample_key
+       floor((key) * 1000000.0 + 0.5) / 1000000.0 AS sample_key
 FROM ranked WHERE sample_rank <= 20
 """
 
@@ -9936,11 +9935,11 @@ started AS (
 )
 SELECT (SELECT count(*) FROM lags) AS n_converted,
        (SELECT n_started FROM started) AS n_started,
-       (SELECT ROUND(quantile_cont(lag, 0.25), 6) FROM lags) AS p25_s,
-       (SELECT ROUND(quantile_cont(lag, 0.5), 6) FROM lags) AS p50_s,
-       (SELECT ROUND(quantile_cont(lag, 0.75), 6) FROM lags) AS p75_s,
-       (SELECT ROUND(quantile_cont(lag, 0.9), 6) FROM lags) AS p90_s,
-       (SELECT ROUND(avg(lag), 6) FROM lags) AS mean_s
+       (SELECT floor((quantile_cont(lag, 0.25)) * 1000000.0 + 0.5) / 1000000.0 FROM lags) AS p25_s,
+       (SELECT floor((quantile_cont(lag, 0.5)) * 1000000.0 + 0.5) / 1000000.0 FROM lags) AS p50_s,
+       (SELECT floor((quantile_cont(lag, 0.75)) * 1000000.0 + 0.5) / 1000000.0 FROM lags) AS p75_s,
+       (SELECT floor((quantile_cont(lag, 0.9)) * 1000000.0 + 0.5) / 1000000.0 FROM lags) AS p90_s,
+       (SELECT floor((avg(lag)) * 1000000.0 + 0.5) / 1000000.0 FROM lags) AS mean_s
 """
 
 
@@ -10015,13 +10014,13 @@ j AS (
 SELECT CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
        CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
        CAST(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       ROUND(CASE WHEN sum(CASE WHEN is_t THEN 1 ELSE 0 END) > 0
+       floor((CASE WHEN sum(CASE WHEN is_t THEN 1 ELSE 0 END) > 0
                   THEN sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) * 1.0
-                       / sum(CASE WHEN is_t THEN 1 ELSE 0 END) END, 6)
+                       / sum(CASE WHEN is_t THEN 1 ELSE 0 END) END) * 1000000.0 + 0.5) / 1000000.0
          AS recall,
-       ROUND(CASE WHEN sum(CASE WHEN is_c THEN 1 ELSE 0 END) > 0
+       floor((CASE WHEN sum(CASE WHEN is_c THEN 1 ELSE 0 END) > 0
                   THEN sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) * 1.0
-                       / sum(CASE WHEN is_c THEN 1 ELSE 0 END) END, 6)
+                       / sum(CASE WHEN is_c THEN 1 ELSE 0 END) END) * 1000000.0 + 0.5) / 1000000.0
          AS precision
 FROM j
 """
@@ -10043,7 +10042,7 @@ def q_w22_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SINGLE_SERIES_OK)."""
     from gordo_spark.operators.tsa import rolling_corr
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return rolling_corr(res, "click", "view", window_seconds=168 * 3600)
 
 
@@ -10051,7 +10050,7 @@ O_W22_ROLLING_CORR = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
 ),
 wide AS (
@@ -10061,7 +10060,7 @@ wide AS (
   FROM res GROUP BY ts
 )
 SELECT ts,
-       ROUND(corr(a, b) OVER w, 6) AS corr_ab,
+       floor((corr(a, b) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS corr_ab,
        CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL
                      THEN 1 ELSE 0 END) OVER w AS BIGINT) AS n_pairs
 FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM wide)
@@ -10079,7 +10078,7 @@ def q_w23_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
     are trusted."""
     from gordo_spark.operators.tsa import adf_screen
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return adf_screen(res, 3600)
 
 
@@ -10087,7 +10086,7 @@ O_W23_ADF = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 d AS (
@@ -10110,7 +10109,7 @@ t AS (
          END AS t_stat
   FROM agg
 )
-SELECT tag, ROUND(g, 6) AS gamma, ROUND(t_stat, 6) AS t_stat, n,
+SELECT tag, floor((g) * 1000000.0 + 0.5) / 1000000.0 AS gamma, floor((t_stat) * 1000000.0 + 0.5) / 1000000.0 AS t_stat, n,
        t_stat < -2.86 AS stationary
 FROM t
 """
@@ -10149,9 +10148,9 @@ agg AS (
 SELECT d.doc_id,
        coalesce(a.n_tokens, 0) AS n_tokens,
        coalesce(a.n_flagged, 0) AS n_flagged,
-       ROUND(CASE WHEN coalesce(a.n_tokens, 0) > 0
+       floor((CASE WHEN coalesce(a.n_tokens, 0) > 0
                   THEN coalesce(a.n_flagged, 0) * 1.0 / a.n_tokens
-                  ELSE 0.0 END, 6) AS flag_frac,
+                  ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS flag_frac,
        CASE WHEN coalesce(a.n_tokens, 0) > 0
             THEN coalesce(a.n_flagged, 0) * 1.0 / a.n_tokens
             ELSE 0.0 END < 0.02 AS keep
@@ -10443,7 +10442,7 @@ surv AS (
 )
 SELECT CAST(t AS INT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
        CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
-       ROUND(s, 6) AS survival
+       floor((s) * 1000000.0 + 0.5) / 1000000.0 AS survival
 FROM surv WHERE d > 0 ORDER BY t
 """
 
@@ -10480,10 +10479,10 @@ directed AS (
 marg AS (SELECT l_partkey AS item, count(*) AS n_item FROM b GROUP BY 1),
 tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem)
 SELECT antecedent, consequent, n_both,
-       ROUND(n_both / CAST(n AS DOUBLE), 6) AS support,
-       ROUND(n_both / CAST(ma.n_item AS DOUBLE), 6) AS confidence,
-       ROUND((n_both / CAST(ma.n_item AS DOUBLE))
-             / (mc.n_item / CAST(n AS DOUBLE)), 6) AS lift
+       floor((n_both / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS support,
+       floor((n_both / CAST(ma.n_item AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+       floor(((n_both / CAST(ma.n_item AS DOUBLE))
+             / (mc.n_item / CAST(n AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS lift
 FROM directed
 JOIN marg ma ON ma.item = antecedent
 JOIN marg mc ON mc.item = consequent
@@ -10519,9 +10518,9 @@ WITH h AS (
 SELECT key, CAST(sum(c) AS BIGINT) AS n_rows,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(max(c) AS BIGINT) AS max_key_rows,
-       ROUND(max(c) / CAST(sum(c) AS DOUBLE), 6) AS max_key_frac,
-       ROUND(sum(c * c) / (CAST(sum(c) AS DOUBLE) * sum(c)), 6) AS hhi,
-       ROUND((CAST(sum(c) AS DOUBLE) * sum(c)) / sum(c * c), 2)
+       floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS max_key_frac,
+       floor((sum(c * c) / (CAST(sum(c) AS DOUBLE) * sum(c))) * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+       floor(((CAST(sum(c) AS DOUBLE) * sum(c)) / sum(c * c)) * 100.0 + 0.5) / 100.0
          AS effective_keys
 FROM h GROUP BY key ORDER BY key
 """
@@ -10541,22 +10540,22 @@ O_SCRIPT_MIX = """
 WITH m AS (
   SELECT doc_id, length(text) AS n,
          CASE WHEN length(text) > 0 THEN
-           ROUND((length(text)
+           floor(((length(text)
                   - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
-                 / CAST(length(text) AS DOUBLE), 6) END AS lf,
+                 / CAST(length(text) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS lf,
          CASE WHEN length(text) > 0 THEN
-           ROUND((length(text)
+           floor(((length(text)
                   - length(regexp_replace(text, '[0-9]', '', 'g')))
-                 / CAST(length(text) AS DOUBLE), 6) END AS df,
+                 / CAST(length(text) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS df,
          CASE WHEN length(text) > 0 THEN
-           ROUND((length(text)
+           floor(((length(text)
                   - length(regexp_replace(text, '[ \t\r\n]', '', 'g')))
-                 / CAST(length(text) AS DOUBLE), 6) END AS sf
+                 / CAST(length(text) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS sf
   FROM documents
 )
 SELECT doc_id, CAST(n AS BIGINT) AS n_chars, lf AS latin_frac,
        df AS digit_frac, sf AS space_frac,
-       CASE WHEN n > 0 THEN ROUND(1.0 - lf - df - sf, 6) END AS other_frac
+       CASE WHEN n > 0 THEN floor((1.0 - lf - df - sf) * 1000000.0 + 0.5) / 1000000.0 END AS other_frac
 FROM m
 """
 
@@ -10621,11 +10620,10 @@ agg AS (
   FROM j WHERE a IS NOT NULL AND b IS NOT NULL
 )
 SELECT CAST(n AS BIGINT) AS n,
-       ROUND(agree / CAST(n AS DOUBLE), 6) AS p_o,
-       ROUND((a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE))
-             + (1 - a1 / CAST(n AS DOUBLE)) * (1 - b1 / CAST(n AS DOUBLE)),
-             6) AS p_e,
-       ROUND(CASE WHEN (a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE))
+       floor((agree / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS p_o,
+       floor(((a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE))
+             + (1 - a1 / CAST(n AS DOUBLE)) * (1 - b1 / CAST(n AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS p_e,
+       floor((CASE WHEN (a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE))
                        + (1 - a1 / CAST(n AS DOUBLE))
                          * (1 - b1 / CAST(n AS DOUBLE)) < 1.0
                   THEN (agree / CAST(n AS DOUBLE)
@@ -10636,7 +10634,7 @@ SELECT CAST(n AS BIGINT) AS n,
                                  * (b1 / CAST(n AS DOUBLE))
                                  + (1 - a1 / CAST(n AS DOUBLE))
                                    * (1 - b1 / CAST(n AS DOUBLE))))
-             END, 6) AS kappa
+             END) * 1000000.0 + 0.5) / 1000000.0 AS kappa
 FROM agg
 """
 
@@ -10672,10 +10670,10 @@ w AS (
   SELECT *, coalesce(CASE source {cases} END, 0.0) AS tw FROM c
 )
 SELECT source, n_tokens,
-       ROUND(tw, 6) AS target_weight,
-       ROUND(tw * 100000, 1) AS allocated_tokens,
-       ROUND(tw * 100000 / n_tokens, 6) AS epochs,
-       ROUND(least(1.0, tw * 100000 / n_tokens), 6) AS capped_rate
+       floor((tw) * 1000000.0 + 0.5) / 1000000.0 AS target_weight,
+       floor((tw * 100000) * 10.0 + 0.5) / 10.0 AS allocated_tokens,
+       floor((tw * 100000 / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS epochs,
+       floor((least(1.0, tw * 100000 / n_tokens)) * 1000000.0 + 0.5) / 1000000.0 AS capped_rate
 FROM w ORDER BY source
 """
 
@@ -10735,12 +10733,12 @@ SELECT doc_id,
          AS n_sentences,
        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
          AS n_syllables,
-       ROUND(206.835
+       floor((206.835
              - 1.015 * len(string_split(text, ' '))
                / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
                       AS DOUBLE)
              - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
-               / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS flesch
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS flesch
 FROM documents
 """
 
@@ -10777,7 +10775,7 @@ cand AS (
 ),
 deg AS (SELECT v, count(*) AS d FROM dirs GROUP BY 1)
 SELECT c.x, c.z, c.n_common,
-       ROUND(c.n_common / CAST(dx.d + dz.d - c.n_common AS DOUBLE), 6)
+       floor((c.n_common / CAST(dx.d + dz.d - c.n_common AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS jaccard
 FROM cand c JOIN deg dx ON dx.v = c.x JOIN deg dz ON dz.v = c.z
 ORDER BY c.n_common DESC, c.x, c.z
@@ -10821,11 +10819,11 @@ med AS (
   FROM grid
 )
 SELECT CAST(day AS TIMESTAMP) AS day, CAST(n_rows AS BIGINT) AS n_rows,
-       ROUND(m, 1) AS trailing_median,
-       CASE WHEN m > 0 THEN ROUND(n_rows / m, 6) END AS ratio,
+       floor((m) * 10.0 + 0.5) / 10.0 AS trailing_median,
+       CASE WHEN m > 0 THEN floor((n_rows / m) * 1000000.0 + 0.5) / 1000000.0 END AS ratio,
        CASE WHEN n_rows = 0 THEN 'missing'
-            WHEN ROUND(m, 1) IS NULL THEN 'warmup'
-            WHEN n_rows < 0.5 * ROUND(m, 1) THEN 'low'
+            WHEN floor((m) * 10.0 + 0.5) / 10.0 IS NULL THEN 'warmup'
+            WHEN n_rows < 0.5 * floor((m) * 10.0 + 0.5) / 10.0 THEN 'low'
             ELSE 'ok' END AS status
 FROM med ORDER BY day
 """
@@ -10863,11 +10861,11 @@ per AS (
   FROM tiled GROUP BY bucket
 )
 SELECT bucket, CAST(n_members AS BIGINT) AS n_members,
-       ROUND(bv, 2) AS bucket_value,
-       ROUND(sum(n_members) OVER (ORDER BY bucket)
-             / CAST(sum(n_members) OVER () AS DOUBLE), 6)
+       floor((bv) * 100.0 + 0.5) / 100.0 AS bucket_value,
+       floor((sum(n_members) OVER (ORDER BY bucket)
+             / CAST(sum(n_members) OVER () AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS cum_member_frac,
-       ROUND(sum(bv) OVER (ORDER BY bucket) / sum(bv) OVER (), 6)
+       floor((sum(bv) OVER (ORDER BY bucket) / sum(bv) OVER ()) * 1000000.0 + 0.5) / 1000000.0
          AS cum_value_frac
 FROM per ORDER BY bucket
 """
@@ -10898,8 +10896,8 @@ WITH r AS (
           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
 )
 SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n_vectors,
-       ROUND(avg(ratio), 6) AS mean_retained,
-       ROUND(quantile_cont(ratio, 0.1), 6) AS p10_retained
+       floor((avg(ratio)) * 1000000.0 + 0.5) / 1000000.0 AS mean_retained,
+       floor((quantile_cont(ratio, 0.1)) * 1000000.0 + 0.5) / 1000000.0 AS p10_retained
 FROM r GROUP BY dim ORDER BY dim
 """
 
@@ -11013,9 +11011,9 @@ p AS (
 res AS ({res_rows}),
 base AS (SELECT m AS pb FROM b_{iterations} WHERE s = 'conv'),
 eff AS (SELECT channel, pb, pw, 1 - pw / pb AS e FROM res, base)
-SELECT channel, ROUND(pb, 6) AS p_base, ROUND(pw, 6) AS p_without,
-       ROUND(e, 6) AS removal_effect,
-       ROUND(e / sum(e) OVER (), 6) AS attribution
+SELECT channel, floor((pb) * 1000000.0 + 0.5) / 1000000.0 AS p_base, floor((pw) * 1000000.0 + 0.5) / 1000000.0 AS p_without,
+       floor((e) * 1000000.0 + 0.5) / 1000000.0 AS removal_effect,
+       floor((e / sum(e) OVER ()) * 1000000.0 + 0.5) / 1000000.0 AS attribution
 FROM eff ORDER BY channel
 """
 
@@ -11083,10 +11081,10 @@ s AS (
          sum(click * purchase) AS sxy
   FROM wide
 )
-SELECT ROUND((n * sxy - sx * sy) / (n * (sxx + 10.0) - sx * sx), 6)
+SELECT floor(((n * sxy - sx * sy) / (n * (sxx + 10.0) - sx * sx)) * 1000000.0 + 0.5) / 1000000.0
          AS slope,
-       ROUND((sy - ((n * sxy - sx * sy) / (n * (sxx + 10.0) - sx * sx))
-              * sx) / n, 6) AS intercept
+       floor(((sy - ((n * sxy - sx * sy) / (n * (sxx + 10.0) - sx * sx))
+              * sx) / n) * 1000000.0 + 0.5) / 1000000.0 AS intercept
 FROM s
 """
 
@@ -11104,8 +11102,8 @@ def q_w26_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     compound through the feedback loop."""
     from gordo_spark.operators.smoothing import holt_winters
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    res = res.withColumn("value", F.round("value", 6))
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    res = res.withColumn("value", qround("value", 6))
     out = holt_winters(
         res, period=24, alpha=0.2, beta=0.1, gamma=0.3, machine_col="tag"
     )
@@ -11134,7 +11132,7 @@ def _holt_winters_sql(m: int = 24, a: float = 0.2, b: float = 0.1, g: float = 0.
 WITH RECURSIVE res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         ROUND(avg(value), 6) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 seq AS (
@@ -11165,8 +11163,8 @@ rec AS (
          ({l_new}) + ({b_new}) + r.s[2]
   FROM rec r JOIN seq s2 ON s2.tag = r.tag AND s2.rn = r.rn + 1
 )
-SELECT tag, ts, value, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
-       ROUND(sea, 6) AS seasonal, ROUND(fc, 6) AS forecast
+SELECT tag, ts, value, floor((l) * 1000000.0 + 0.5) / 1000000.0 AS level, floor((b) * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       floor((sea) * 1000000.0 + 0.5) / 1000000.0 AS seasonal, floor((fc) * 1000000.0 + 0.5) / 1000000.0 AS forecast
 FROM rec WHERE rn > {m}
 """
 
@@ -11207,8 +11205,8 @@ hist AS (
 ),
 qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
 SELECT g AS event_type, CAST(n AS BIGINT) AS n, q,
-       ROUND(lo + (hi - lo) / 256
-             * (bin + (ceil(q * n) - cum_prev) / CAST(c AS DOUBLE)), 6)
+       floor((lo + (hi - lo) / 256
+             * (bin + (ceil(q * n) - cum_prev) / CAST(c AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
          AS estimate
 FROM hist, qs
 WHERE cum_prev < ceil(q * n) AND cum_prev + c >= ceil(q * n)
@@ -11257,10 +11255,10 @@ m AS (
   FROM w
 ),
 j AS (
-  SELECT ROUND((least(n_words / 50.0, 1.0)
+  SELECT floor(((least(n_words / 50.0, 1.0)
           + greatest(1.0 - (n_punct / n_chars) * 5.0, 0.0)
           + n_uniq / n_words
-          + least((n_sw / n_words) * 5.0, 1.0)) / 4.0, 3) AS s,
+          + least((n_sw / n_words) * 5.0, 1.0)) / 4.0) * 1000.0 + 0.5) / 1000.0 AS s,
          (n_words >= 50 AND n_words <= 100000)
            AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
            AND (n_sym / n_words <= 0.1)
@@ -11277,9 +11275,9 @@ cum AS (
   SELECT s, p, q, sum(q) OVER (ORDER BY s) - q AS negs_below FROM hist
 )
 SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(q) AS BIGINT) AS n_neg,
-       ROUND(CASE WHEN sum(p) > 0 AND sum(q) > 0 THEN
+       floor((CASE WHEN sum(p) > 0 AND sum(q) > 0 THEN
          sum(p * (negs_below + q / 2.0)) / (sum(p)::DOUBLE * sum(q))
-       END, 6) AS auc
+       END) * 1000000.0 + 0.5) / 1000000.0 AS auc
 FROM cum
 """
 
@@ -11342,8 +11340,8 @@ WITH per AS (
 ),
 one AS (SELECT count(*) AS n_units, avg(s) AS p FROM per)
 SELECT CAST(n_units AS BIGINT) AS n_units,
-       ROUND(p, 6) AS baseline_rate,
-       ROUND(p * 0.05, 6) AS mde_abs,
+       floor((p) * 1000000.0 + 0.5) / 1000000.0 AS baseline_rate,
+       floor((p * 0.05) * 1000000.0 + 0.5) / 1000000.0 AS mde_abs,
        CAST(CASE WHEN p > 0 AND p < 1 THEN
          ceil(2.0 * (1.96 + 0.8416) * (1.96 + 0.8416) * p * (1 - p)
               / (p * 0.05 * p * 0.05))
@@ -11417,13 +11415,13 @@ binned AS (
 ),
 base AS (SELECT sum(ybar * n) / sum(n) AS b FROM binned)
 SELECT CAST(sum(n) AS BIGINT) AS n,
-       ROUND(sum(se) / sum(n), 6) AS brier,
-       ROUND(sum(n * (sbar - ybar) * (sbar - ybar)) / sum(n), 6)
+       floor((sum(se) / sum(n)) * 1000000.0 + 0.5) / 1000000.0 AS brier,
+       floor((sum(n * (sbar - ybar) * (sbar - ybar)) / sum(n)) * 1000000.0 + 0.5) / 1000000.0
          AS reliability,
-       ROUND(sum(n * (ybar - base.b) * (ybar - base.b)) / sum(n), 6)
+       floor((sum(n * (ybar - base.b) * (ybar - base.b)) / sum(n)) * 1000000.0 + 0.5) / 1000000.0
          AS resolution,
-       ROUND(max(base.b) * (1 - max(base.b)), 6) AS uncertainty,
-       ROUND(sum(n * abs(sbar - ybar)) / sum(n), 6) AS ece
+       floor((max(base.b) * (1 - max(base.b))) * 1000000.0 + 0.5) / 1000000.0 AS uncertainty,
+       floor((sum(n * abs(sbar - ybar)) / sum(n)) * 1000000.0 + 0.5) / 1000000.0 AS ece
 FROM binned, base
 """
 
@@ -11465,9 +11463,9 @@ dots AS (
   FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, ROUND(dot / (na.nm * nb.nm), 6) AS cosine
+SELECT id_a, id_b, floor((dot / (na.nm * nb.nm)) * 1000000.0 + 0.5) / 1000000.0 AS cosine
 FROM dots JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b
-WHERE ROUND(dot / (na.nm * nb.nm), 6) >= 0.2
+WHERE floor((dot / (na.nm * nb.nm)) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
 ORDER BY cosine DESC, id_a, id_b
 LIMIT 50
 """
@@ -11483,7 +11481,7 @@ def q_o12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            qround(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.grouping_id().alias("gid"),
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
@@ -11492,7 +11490,7 @@ def q_o12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_O12_CUBE = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       ROUND(sum(l_quantity), 2) AS sum_qty,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
          AS gid
 FROM lineitem
@@ -11563,11 +11561,11 @@ st AS (
               THEN sqrt(vva / n_a + vvb / n_b) END AS se
   FROM one
 )
-SELECT n_a, n_b, ROUND(ma, 6) AS mean_adj_a, ROUND(mb, 6) AS mean_adj_b,
-       ROUND(th, 6) AS theta,
-       CASE WHEN vraw > 0 THEN ROUND(1.0 - vadj / vraw, 6) END
+SELECT n_a, n_b, floor((ma) * 1000000.0 + 0.5) / 1000000.0 AS mean_adj_a, floor((mb) * 1000000.0 + 0.5) / 1000000.0 AS mean_adj_b,
+       floor((th) * 1000000.0 + 0.5) / 1000000.0 AS theta,
+       CASE WHEN vraw > 0 THEN floor((1.0 - vadj / vraw) * 1000000.0 + 0.5) / 1000000.0 END
          AS variance_reduction,
-       ROUND(CASE WHEN se > 0 THEN (mb - ma) / se END, 6) AS z,
+       floor((CASE WHEN se > 0 THEN (mb - ma) / se END) * 1000000.0 + 0.5) / 1000000.0 AS z,
        COALESCE(abs(CASE WHEN se > 0 THEN (mb - ma) / se END) > 1.96, FALSE)
          AS significant
 FROM st
@@ -11612,10 +11610,10 @@ ranked AS (
 denom AS (
   SELECT query_id, avg(sim) AS av FROM ranked WHERE rank <= 4 GROUP BY 1
 )
-SELECT r.query_id, r.neighbor_id, ROUND(r.sim, 6) AS cosine,
-       ROUND(r.sim / d.av, 6) AS margin
+SELECT r.query_id, r.neighbor_id, floor((r.sim) * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+       floor((r.sim / d.av) * 1000000.0 + 0.5) / 1000000.0 AS margin
 FROM ranked r JOIN denom d ON d.query_id = r.query_id
-WHERE r.rank = 1 AND ROUND(r.sim / d.av, 6) >= 1.02
+WHERE r.rank = 1 AND floor((r.sim / d.av) * 1000000.0 + 0.5) / 1000000.0 >= 1.02
 ORDER BY r.query_id
 """
 
@@ -11668,9 +11666,9 @@ st AS (
               THEN sqrt(va / n_a + vb / n_b) END AS se
   FROM one
 )
-SELECT n_a, n_b, ROUND(da, 6) AS delta_a, ROUND(db, 6) AS delta_b,
-       ROUND(db - da, 6) AS did, ROUND(se, 6) AS se,
-       ROUND(CASE WHEN se > 0 THEN (db - da) / se END, 6) AS z,
+SELECT n_a, n_b, floor((da) * 1000000.0 + 0.5) / 1000000.0 AS delta_a, floor((db) * 1000000.0 + 0.5) / 1000000.0 AS delta_b,
+       floor((db - da) * 1000000.0 + 0.5) / 1000000.0 AS did, floor((se) * 1000000.0 + 0.5) / 1000000.0 AS se,
+       floor((CASE WHEN se > 0 THEN (db - da) / se END) * 1000000.0 + 0.5) / 1000000.0 AS z,
        COALESCE(abs(CASE WHEN se > 0 THEN (db - da) / se END) > 1.96, FALSE)
          AS significant
 FROM st
@@ -11735,10 +11733,9 @@ def q_weighted_take(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_WEIGHTED_TAKE = """
 WITH keyed AS (
   SELECT doc_id, n_chars,
-         ROUND(
-           ln((('0x' || substr(md5('wtake' || CAST(doc_id AS VARCHAR)), 1, 8))
+         floor((ln((('0x' || substr(md5('wtake' || CAST(doc_id AS VARCHAR)), 1, 8))
                  ::BIGINT + 0.5) / 4294967296.0)
-           / CAST(n_chars AS DOUBLE), 12) AS _es_key
+           / CAST(n_chars AS DOUBLE)) * 1000000000000.0 + 0.5) / 1000000000000.0 AS _es_key
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
 )
 SELECT doc_id, n_chars, _es_key
@@ -11773,7 +11770,7 @@ cells AS (
   FROM documents d JOIN preds p USING (doc_id) GROUP BY 1, 2
 )
 SELECT label, pred, CAST(n AS BIGINT) AS n,
-       ROUND(n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE), 6)
+       floor((n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          AS recall_contrib,
        label = pred AS correct
 FROM cells ORDER BY label, pred
@@ -11794,7 +11791,8 @@ def q_sql_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment,
                o_orderpriority,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS revenue
+               CAST(floor(SUM(o_totalprice) * 100.0 + 0.5) AS DOUBLE) / 100.0
+                 AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE o_orderdate >= TIMESTAMP '1994-01-01'
         GROUP BY c_mktsegment, o_orderpriority
@@ -11806,7 +11804,7 @@ def q_sql_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SQL_ADHOC = """
 SELECT c_mktsegment, o_orderpriority,
        count(*) AS n_orders,
-       ROUND(sum(o_totalprice), 2) AS revenue
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE o_orderdate >= TIMESTAMP '1994-01-01'
 GROUP BY c_mktsegment, o_orderpriority
@@ -11849,7 +11847,7 @@ pairs AS (
 )
 SELECT id_a, id_b, CAST(inter AS INT) AS inter,
        CAST(union_size AS INT) AS union_size,
-       ROUND(inter / CAST(union_size AS DOUBLE), 6) AS jaccard
+       floor((inter / CAST(union_size AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
 FROM pairs WHERE inter / CAST(union_size AS DOUBLE) >= 0.9
 """
 
@@ -11899,7 +11897,7 @@ pairs AS (
 )
 SELECT id_contained, id_container, CAST(inter AS INT) AS inter,
        CAST(sa AS INT) AS size_contained,
-       ROUND(inter / CAST(sa AS DOUBLE), 6) AS containment
+       floor((inter / CAST(sa AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS containment
 FROM pairs WHERE inter / CAST(sa AS DOUBLE) >= 0.9
 """
 
@@ -11917,12 +11915,12 @@ def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_QUANTILE_TRANSFORM = f"""
 WITH bs AS (
-  SELECT [{", ".join(f"ROUND(quantile_cont(value, {i / 100}), 6)" for i in range(1, 100))}]
+  SELECT [{", ".join(f"floor((quantile_cont(value, {i / 100})) * 1000000.0 + 0.5) / 1000000.0" for i in range(1, 100))}]
     AS b
   FROM events
 )
 SELECT event_id, value,
-       ROUND(len(list_filter(bs.b, p -> value > p)) / 100.0, 6) AS quantile
+       floor((len(list_filter(bs.b, p -> value > p)) / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS quantile
 FROM events, bs
 """
 
@@ -12052,10 +12050,10 @@ m AS (
 ),
 j AS (
   SELECT lang,
-         ROUND((least(n_words / 50.0, 1.0)
+         floor(((least(n_words / 50.0, 1.0)
           + greatest(1.0 - (n_punct / n_chars) * 5.0, 0.0)
           + n_uniq / n_words
-          + least((n_sw / n_words) * 5.0, 1.0)) / 4.0, 3) AS s,
+          + least((n_sw / n_words) * 5.0, 1.0)) / 4.0) * 1000.0 + 0.5) / 1000.0 AS s,
          (n_words >= 50 AND n_words <= 100000)
            AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
            AND (n_sym / n_words <= 0.1)
@@ -12076,9 +12074,9 @@ cum AS (
 )
 SELECT lang, CAST(sum(p) AS BIGINT) AS n_pos,
        CAST(sum(q) AS BIGINT) AS n_neg,
-       ROUND(CASE WHEN sum(p) > 0 AND sum(q) > 0 THEN
+       floor((CASE WHEN sum(p) > 0 AND sum(q) > 0 THEN
          sum(p * (nb + q / 2.0)) / (sum(p)::DOUBLE * sum(q))
-       END, 6) AS auc
+       END) * 1000000.0 + 0.5) / 1000000.0 AS auc
 FROM cum GROUP BY lang ORDER BY lang
 """
 
@@ -12111,9 +12109,9 @@ per AS (
   FROM g WHERE gap IS NOT NULL GROUP BY 1
 )
 SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
-       ROUND(mu, 6) AS mean_gap_s,
-       CASE WHEN mu > 0 THEN ROUND(sd / mu, 6) END AS cv,
-       CASE WHEN sd + mu > 0 THEN ROUND((sd - mu) / (sd + mu), 6) END
+       floor((mu) * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_s,
+       CASE WHEN mu > 0 THEN floor((sd / mu) * 1000000.0 + 0.5) / 1000000.0 END AS cv,
+       CASE WHEN sd + mu > 0 THEN floor(((sd - mu) / (sd + mu)) * 1000000.0 + 0.5) / 1000000.0 END
          AS burstiness
 FROM per WHERE n_events >= 5
 """
@@ -12146,7 +12144,7 @@ SELECT CAST(sum(n) AS BIGINT) AS n_units,
        2 AS n_variants,
        CAST(min(n) AS BIGINT) AS min_count,
        CAST(max(n) AS BIGINT) AS max_count,
-       ROUND(2.0 * sum(n * n) / sum(n) - sum(n), 6) AS chi2,
+       floor((2.0 * sum(n * n) / sum(n) - sum(n)) * 1000000.0 + 0.5) / 1000000.0 AS chi2,
        (2.0 * sum(n * n) / sum(n) - sum(n)) > 10.828 AS srm
 FROM per
 """
@@ -12172,7 +12170,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_MANN_WHITNEY = """
 WITH per AS (
-  SELECT user_id, ROUND(sum(value), 2) AS v FROM events GROUP BY 1
+  SELECT user_id, floor((sum(value)) * 100.0 + 0.5) / 100.0 AS v FROM events GROUP BY 1
 ),
 a AS (
   SELECT v,
@@ -12199,14 +12197,14 @@ s AS (
   FROM r
 )
 SELECT n0, n1,
-       ROUND((r2 - n1 * (n1 + 1)) / 2.0, 6) AS u1,
-       ROUND(CASE WHEN n0 > 0 AND n1 > 0 AND
+       floor(((r2 - n1 * (n1 + 1)) / 2.0) * 1000000.0 + 0.5) / 1000000.0 AS u1,
+       floor((CASE WHEN n0 > 0 AND n1 > 0 AND
          (n0 * n1 / 12.0 * ((n0 + n1 + 1)
             - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))) > 0
        THEN ((r2 - n1 * (n1 + 1)) / 2.0 - n0 * n1 / 2.0)
             / sqrt(n0 * n1 / 12.0 * ((n0 + n1 + 1)
                 - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1))))
-       END, 6) AS z,
+       END) * 1000000.0 + 0.5) / 1000000.0 AS z,
        coalesce(CASE WHEN n0 > 0 AND n1 > 0 AND
          (n0 * n1 / 12.0 * ((n0 + n1 + 1)
             - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))) > 0
@@ -12276,9 +12274,9 @@ per AS (
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST(sum(CASE WHEN first IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_hit,
-       ROUND(avg(CASE WHEN first IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+       floor((avg(CASE WHEN first IS NOT NULL THEN 1.0 ELSE 0.0 END)) * 1000000.0 + 0.5) / 1000000.0
          AS hit_rate,
-       ROUND(avg(coalesce(1.0 / first, 0.0)), 6) AS mrr
+       floor((avg(coalesce(1.0 / first, 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS mrr
 FROM per
 """
 
@@ -12310,7 +12308,7 @@ def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_QINI_CURVE = """
 WITH r AS (
   SELECT o_orderkey,
-         ROUND(((o_orderkey * 37) % 1000) / 1000.0, 3) AS p,
+         floor((((o_orderkey * 37) % 1000) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS p,
          (('0x' || substr(md5('t1' || CAST(o_custkey AS VARCHAR)), 1, 8))
             ::BIGINT % 2) AS t,
          CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS y
@@ -12329,14 +12327,14 @@ agg AS (
   FROM binned GROUP BY 1
 )
 SELECT bucket, n_t, n_c, pos_t, pos_c,
-       ROUND(CASE WHEN n_t > 0 AND n_c > 0
+       floor((CASE WHEN n_t > 0 AND n_c > 0
              THEN pos_t / CAST(n_t AS DOUBLE)
-                  - pos_c / CAST(n_c AS DOUBLE) END, 6) AS uplift,
-       ROUND(CASE WHEN sum(n_c) OVER w > 0
+                  - pos_c / CAST(n_c AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0 AS uplift,
+       floor((CASE WHEN sum(n_c) OVER w > 0
              THEN sum(pos_t) OVER w
                   - sum(pos_c) OVER w
                     * (sum(n_t) OVER w / CAST(sum(n_c) OVER w AS DOUBLE))
-             END, 6) AS cum_qini
+             END) * 1000000.0 + 0.5) / 1000000.0 AS cum_qini
 FROM agg
 WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY bucket
@@ -12377,9 +12375,9 @@ noised AS (
   FROM k
 )
 SELECT lang, source, CAST(n AS BIGINT) AS n,
-       ROUND(noise, 6) AS noise,
+       floor((noise) * 1000000.0 + 0.5) / 1000000.0 AS noise,
        GREATEST(CAST(0 AS BIGINT),
-                CAST(ROUND(n + noise, 0) AS BIGINT)) AS released
+                CAST(floor((n + noise) * 1.0 + 0.5) / 1.0 AS BIGINT)) AS released
 FROM noised ORDER BY lang, source
 """
 
@@ -12437,7 +12435,7 @@ cum AS (
 ),
 emd AS (
   SELECT c_mktsegment, c_nationkey, n,
-         ROUND(sum(d) / (max(m) - 1.0), 6) AS emd
+         floor((sum(d) / (max(m) - 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS emd
   FROM cum GROUP BY 1, 2, 3
 )
 SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n, emd,
@@ -12454,7 +12452,7 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-agnostic; one window + one (tag, period) aggregate."""
     from gordo_spark.operators.tsa import periodogram
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return periodogram(res, [21600, 86400, 604800])
 
 
@@ -12462,7 +12460,7 @@ O_PERIODOGRAM = """
 WITH res AS (
   SELECT event_type AS tag,
          floor(epoch(ts) / 3600) * 3600 AS t,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 dm AS (
@@ -12483,7 +12481,7 @@ agg AS (
   FROM per GROUP BY 1, 2
 )
 SELECT tag, period_s, CAST(n AS BIGINT) AS n,
-       ROUND((sc * sc + ss * ss) / n, 6) AS power
+       floor(((sc * sc + ss * ss) / n) * 1000000.0 + 0.5) / 1000000.0 AS power
 FROM agg ORDER BY tag, period_s
 """
 
@@ -12548,8 +12546,8 @@ hb AS (
 ),
 tot AS (SELECT sum(hub) AS th, sum(auth) AS ta FROM hb)
 SELECT v,
-       ROUND(CASE WHEN th > 0 THEN hub / th ELSE 0.0 END, 6) AS hub,
-       ROUND(CASE WHEN ta > 0 THEN auth / ta ELSE 0.0 END, 6) AS auth
+       floor((CASE WHEN th > 0 THEN hub / th ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS hub,
+       floor((CASE WHEN ta > 0 THEN auth / ta ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS auth
 FROM hb, tot ORDER BY v
 """
     return head + "".join(steps) + tail
@@ -12567,8 +12565,8 @@ def q_w28_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x, P) through the identical recursive CTE."""
     from gordo_spark.operators.smoothing import kalman_level
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    res = res.withColumn("value", F.round("value", 6))
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    res = res.withColumn("value", qround("value", 6))
     return kalman_level(res, "value", q=0.01, r=1.0, machine_col="tag")
 
 
@@ -12576,7 +12574,7 @@ O_W28_KALMAN = """
 WITH RECURSIVE res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         ROUND(avg(value), 6) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 seq AS (
@@ -12596,7 +12594,7 @@ rec AS (
   FROM rec r JOIN seq s ON s.tag = r.tag AND s.rn = r.rn + 1
 )
 SELECT tag, ts, value,
-       ROUND(x, 6) AS level, ROUND(k, 6) AS gain, ROUND(p, 6) AS p
+       floor((x) * 1000000.0 + 0.5) / 1000000.0 AS level, floor((k) * 1000000.0 + 0.5) / 1000000.0 AS gain, floor((p) * 1000000.0 + 0.5) / 1000000.0 AS p
 FROM rec
 """
 
@@ -12645,12 +12643,12 @@ d AS (
   FROM s
 )
 SELECT n0, n1,
-       ROUND(CASE WHEN n0 > 0 AND n1 > 0 THEN diff END, 6) AS diff,
-       ROUND(CASE WHEN n0 > 0 AND n1 > 0 AND se > 0 THEN se END, 6) AS se,
-       ROUND(CASE WHEN n0 > 0 AND n1 > 0 AND se > 0
-             THEN (diff + 5.0) / se END, 6) AS z_lower,
-       ROUND(CASE WHEN n0 > 0 AND n1 > 0 AND se > 0
-             THEN (5.0 - diff) / se END, 6) AS z_upper,
+       floor((CASE WHEN n0 > 0 AND n1 > 0 THEN diff END) * 1000000.0 + 0.5) / 1000000.0 AS diff,
+       floor((CASE WHEN n0 > 0 AND n1 > 0 AND se > 0 THEN se END) * 1000000.0 + 0.5) / 1000000.0 AS se,
+       floor((CASE WHEN n0 > 0 AND n1 > 0 AND se > 0
+             THEN (diff + 5.0) / se END) * 1000000.0 + 0.5) / 1000000.0 AS z_lower,
+       floor((CASE WHEN n0 > 0 AND n1 > 0 AND se > 0
+             THEN (5.0 - diff) / se END) * 1000000.0 + 0.5) / 1000000.0 AS z_upper,
        coalesce(CASE WHEN n0 > 0 AND n1 > 0 AND se > 0
              THEN (diff + 5.0) / se > 1.6449
                   AND (5.0 - diff) / se > 1.6449 END,
@@ -12697,12 +12695,12 @@ k AS (
   WHERE c.n >= 5
 )
 SELECT w1, w2, n,
-       ROUND(2.0 * (
+       floor((2.0 * (
          (CASE WHEN k11 > 0 THEN k11 * ln(k11 * nn / (r1 * cc1)) ELSE 0.0 END)
          + (CASE WHEN k12 > 0 THEN k12 * ln(k12 * nn / (r1 * cc2)) ELSE 0.0 END)
          + (CASE WHEN k21 > 0 THEN k21 * ln(k21 * nn / (r2 * cc1)) ELSE 0.0 END)
          + (CASE WHEN k22 > 0 THEN k22 * ln(k22 * nn / (r2 * cc2)) ELSE 0.0 END)
-       ), 6) AS llr
+       )) * 1000000.0 + 0.5) / 1000000.0 AS llr
 FROM k
 ORDER BY llr DESC, w1, w2
 LIMIT 20
@@ -12741,13 +12739,11 @@ j AS (
 ),
 scored AS (
   SELECT lang, w, a AS df_in, dfw - a AS df_out,
-         ROUND(
-           CAST(n AS DOUBLE)
+         floor((CAST(n AS DOUBLE)
            * CAST(a * (n - dfw - ny + a) - (dfw - a) * (ny - a) AS DOUBLE)
            * CAST(a * (n - dfw - ny + a) - (dfw - a) * (ny - a) AS DOUBLE)
            / (CAST(dfw AS DOUBLE) * CAST(n - dfw AS DOUBLE)
-              * CAST(ny AS DOUBLE) * CAST(n - ny AS DOUBLE)),
-           6) AS chi2
+              * CAST(ny AS DOUBLE) * CAST(n - ny AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS chi2
   FROM j
 )
 SELECT lang AS label, w AS term, CAST(df_in AS BIGINT) AS df_in,
@@ -12799,7 +12795,7 @@ lk AS (
 ),
 scored AS (
   SELECT toks.doc_id, toks.lang AS true_lang, lk.cls,
-         ROUND(sum(lk.ll) + any_value(prior.lp), 6) AS score
+         floor((sum(lk.ll) + any_value(prior.lp)) * 1000000.0 + 0.5) / 1000000.0 AS score
   FROM toks
   JOIN lk ON lk.w = toks.w
   JOIN prior ON prior.cls = lk.cls
@@ -12818,9 +12814,9 @@ conf AS (
   FROM pred GROUP BY 1, 2
 )
 SELECT label, pred, CAST(n AS BIGINT) AS n,
-       ROUND(CASE WHEN label = pred
+       floor((CASE WHEN label = pred
              THEN n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE)
-             END, 6) AS recall
+             END) * 1000000.0 + 0.5) / 1000000.0 AS recall
 FROM conf ORDER BY label, pred
 """
 
@@ -12832,8 +12828,8 @@ def q_w29_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     w18_trend + w14_seasonal fused into the one-shot readout."""
     from gordo_spark.operators.tsa import stl_decompose
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    res = res.withColumn("value", F.round("value", 6))
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    res = res.withColumn("value", qround("value", 6))
     return stl_decompose(
         res, period_buckets=24, half_window=12, bucket_seconds=3600
     )
@@ -12844,11 +12840,11 @@ WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
          floor(epoch(ts)/3600)*3600 AS t,
-         ROUND(avg(value), 6) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2, 3
 ),
 iv AS (
-  SELECT *, CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS ivv FROM res
+  SELECT *, CAST(floor((value * 1000000.0) * 1.0 + 0.5) / 1.0 AS BIGINT) AS ivv FROM res
 ),
 tr AS (
   SELECT tag, ts, t, value,
@@ -12860,7 +12856,7 @@ tr AS (
 ),
 ph AS (
   SELECT *, CAST(floor(t / 3600) AS BIGINT) % 24 AS phv,
-         CAST(ROUND(ROUND(value - trend, 6) * 1000000.0, 0) AS BIGINT)
+         CAST(floor((floor((value - trend) * 1000000.0 + 0.5) / 1000000.0 * 1000000.0) * 1.0 + 0.5) / 1.0 AS BIGINT)
            AS di
   FROM tr
 ),
@@ -12870,9 +12866,9 @@ se AS (
   FROM ph GROUP BY 1, 2
 )
 SELECT ph.tag, ph.ts, ph.value AS value,
-       ROUND(ph.trend, 6) AS trend,
-       ROUND(se.seasonal, 6) AS seasonal,
-       ROUND(ph.value - ph.trend - se.seasonal, 6) AS resid
+       floor((ph.trend) * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       floor((se.seasonal) * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+       floor((ph.value - ph.trend - se.seasonal) * 1000000.0 + 0.5) / 1000000.0 AS resid
 FROM ph JOIN se ON se.tag = ph.tag AND se.phv = ph.phv
 ORDER BY ph.tag, ph.ts
 """
@@ -12945,18 +12941,18 @@ totals AS (
 )
 SELECT h.query_id, h.n_rel_at_k,
        coalesce(t.n_rel_total, 0) AS n_rel_total,
-       ROUND(h.n_rel_at_k / 10.0, 6) AS precision,
-       ROUND(CASE WHEN t.n_rel_total > 0
-             THEN h.n_rel_at_k / CAST(t.n_rel_total AS DOUBLE) END, 6)
+       floor((h.n_rel_at_k / 10.0) * 1000000.0 + 0.5) / 1000000.0 AS precision,
+       floor((CASE WHEN t.n_rel_total > 0
+             THEN h.n_rel_at_k / CAST(t.n_rel_total AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0
          AS recall,
-       ROUND(CASE WHEN t.n_rel_total > 0
+       floor((CASE WHEN t.n_rel_total > 0
               AND (h.n_rel_at_k / 10.0
                    + h.n_rel_at_k / CAST(t.n_rel_total AS DOUBLE)) > 0
              THEN 2.0 * (h.n_rel_at_k / 10.0)
                   * (h.n_rel_at_k / CAST(t.n_rel_total AS DOUBLE))
                   / (h.n_rel_at_k / 10.0
                      + h.n_rel_at_k / CAST(t.n_rel_total AS DOUBLE))
-             END, 6) AS f1
+             END) * 1000000.0 + 0.5) / 1000000.0 AS f1
 FROM hits h LEFT JOIN totals t USING (query_id)
 ORDER BY query_id
 """
@@ -13032,7 +13028,7 @@ def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer distances on the 3dp value grid."""
     from gordo_spark.operators.tsa import matrix_profile
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     res = res.filter(F.col("tag").isin("click", "purchase"))
     return matrix_profile(res, m=8, precision=3)
 
@@ -13042,7 +13038,7 @@ WITH res AS (
   SELECT event_type AS tag,
          floor(epoch(ts)/3600)*3600 AS t,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         CAST(ROUND(ROUND(avg(value), 3) * 1000.0, 0) AS BIGINT) AS ivv
+         CAST(floor((floor((floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0) * 1000.0 + 0.5) / 1000.0 * 1000.0) * 1.0 + 0.5) / 1.0 AS BIGINT) AS ivv
   FROM events WHERE event_type IN ('click', 'purchase')
   GROUP BY 1, 2, 3
 ),
@@ -13069,7 +13065,7 @@ best AS (
   FROM pairs
 )
 SELECT tag, CAST(idx AS INTEGER) AS idx, ts,
-       ROUND(sqrt(d2) / 1000.0, 6) AS mp_dist,
+       floor((sqrt(d2) / 1000.0) * 1000000.0 + 0.5) / 1000000.0 AS mp_dist,
        CAST(nn_idx AS INTEGER) AS nn_idx
 FROM best WHERE rk = 1
 ORDER BY tag, idx
@@ -13134,7 +13130,7 @@ pw AS (
 ),
 scored AS (
   SELECT phrase, n_words, n,
-         ROUND(list_sum(list(ws ORDER BY w)), 6) AS score
+         floor((list_sum(list(ws ORDER BY w))) * 1000000.0 + 0.5) / 1000000.0 AS score
   FROM pw JOIN wstats USING (w)
   GROUP BY 1, 2, 3
 )
@@ -13155,8 +13151,8 @@ def q_consensus_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the curation_verdict scan discipline)."""
     from gordo_spark.operators.tsa import consensus_anomaly
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    res = res.withColumn("value", F.round("value", 6))
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    res = res.withColumn("value", qround("value", 6))
     return consensus_anomaly(res)
 
 
@@ -13164,14 +13160,14 @@ O_CONSENSUS_ANOMALY = """
 WITH res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         ROUND(avg(value), 6) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 zs AS (
   SELECT tag, ts, value,
          count(value) OVER w AS n,
-         ROUND(avg(value) OVER w, 6) AS m,
-         ROUND(stddev_samp(value) OVER w, 6) AS s
+         floor((avg(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS m,
+         floor((stddev_samp(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS s
   FROM res
   WINDOW w AS (PARTITION BY tag ORDER BY ts
                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
@@ -13179,7 +13175,7 @@ zs AS (
 zf AS (
   SELECT tag, ts,
          CASE WHEN n >= 24 AND s > 0
-              AND abs(ROUND((value - m) / s, 6)) > 2 THEN 1 ELSE 0 END
+              AND abs(floor(((value - m) / s) * 1000000.0 + 0.5) / 1000000.0) > 2 THEN 1 ELSE 0 END
            AS z_flag
   FROM zs
 ),
@@ -13219,9 +13215,9 @@ cd AS (
 ),
 cf AS (
   SELECT tag, ts, value,
-         CASE WHEN ROUND(S - LEAST(0.0, MIN(S)
+         CASE WHEN floor((S - LEAST(0.0, MIN(S)
                 OVER (PARTITION BY tag ORDER BY ts
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) * 1000000.0 + 0.5) / 1000000.0
               > 5.0 THEN 1 ELSE 0 END AS cusum_flag
   FROM cd
 ),
@@ -13273,12 +13269,12 @@ ag AS (
 ),
 hot AS (SELECT k AS hot_key FROM prof ORDER BY rows_ DESC, k LIMIT 1)
 SELECT n_left, n_right, keys_left, keys_right, keys_common, join_rows,
-       ROUND(CASE WHEN n_left > 0 AND n_right > 0
+       floor((CASE WHEN n_left > 0 AND n_right > 0
              THEN join_rows / CAST(GREATEST(n_left, n_right) AS DOUBLE)
-             END, 6) AS fanout,
+             END) * 1000000.0 + 0.5) / 1000000.0 AS fanout,
        max_key_rows, hot_key,
-       ROUND(CASE WHEN join_rows > 0
-             THEN max_key_rows / CAST(join_rows AS DOUBLE) END, 6)
+       floor((CASE WHEN join_rows > 0
+             THEN max_key_rows / CAST(join_rows AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0
          AS hot_share
 FROM ag, ta, tb, hot
 """
@@ -13352,14 +13348,14 @@ ex AS (
 ),
 cr AS (
   SELECT touch,
-         CAST(ROUND((CASE
+         CAST(floor(((CASE
            WHEN n <= 1 THEN 1.0
            WHEN i = 1 OR i = n THEN (CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END)
            ELSE 0.2 / (n - 2)
-         END) * 1000000000.0, 0) AS BIGINT) AS ci
+         END) * 1000000000.0) * 1.0 + 0.5) / 1.0 AS BIGINT) AS ci
   FROM ex
 )
-SELECT touch, ROUND(sum(ci) / 1000000000.0, 6) AS credit,
+SELECT touch, floor((sum(ci) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS credit,
        CAST(count(*) AS BIGINT) AS n_touched
 FROM cr GROUP BY touch ORDER BY touch
 """
@@ -13392,9 +13388,9 @@ SELECT CAST(d AS TIMESTAMP) AS d,
        CAST(count(DISTINCT CASE WHEN dd < 1 THEN u END) AS BIGINT) AS dau,
        CAST(count(DISTINCT CASE WHEN dd < 7 THEN u END) AS BIGINT) AS wau,
        CAST(count(DISTINCT u) AS BIGINT) AS mau,
-       ROUND(CASE WHEN count(DISTINCT u) > 0
+       floor((CASE WHEN count(DISTINCT u) > 0
              THEN count(DISTINCT CASE WHEN dd < 1 THEN u END)
-                  / CAST(count(DISTINCT u) AS DOUBLE) END, 6)
+                  / CAST(count(DISTINCT u) AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0
          AS stickiness
 FROM j GROUP BY d ORDER BY d
 """
@@ -13407,8 +13403,8 @@ def q_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-number companion to the full decomposition."""
     from gordo_spark.operators.tsa import stl_strength
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    res = res.withColumn("value", F.round("value", 6))
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    res = res.withColumn("value", qround("value", 6))
     return stl_strength(
         res, period_buckets=24, half_window=12, bucket_seconds=3600
     )
@@ -13418,11 +13414,11 @@ O_STL_STRENGTH = """
 WITH res AS (
   SELECT event_type AS tag,
          floor(epoch(ts)/3600)*3600 AS t,
-         ROUND(avg(value), 6) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 iv AS (
-  SELECT *, CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS ivv FROM res
+  SELECT *, CAST(floor((value * 1000000.0) * 1.0 + 0.5) / 1.0 AS BIGINT) AS ivv FROM res
 ),
 tr AS (
   SELECT tag, t, value,
@@ -13434,7 +13430,7 @@ tr AS (
 ),
 ph AS (
   SELECT *, CAST(floor(t / 3600) AS BIGINT) % 24 AS phv,
-         CAST(ROUND(ROUND(value - trend, 6) * 1000000.0, 0) AS BIGINT)
+         CAST(floor((floor((value - trend) * 1000000.0 + 0.5) / 1000000.0 * 1000000.0) * 1.0 + 0.5) / 1.0 AS BIGINT)
            AS di
   FROM tr
 ),
@@ -13446,9 +13442,9 @@ se AS (
 comp AS (
   SELECT ph.tag,
          ph.value,
-         ROUND(ph.trend, 6) AS trend,
-         ROUND(se.seasonal, 6) AS seasonal,
-         ROUND(ph.value - ph.trend - se.seasonal, 6) AS resid
+         floor((ph.trend) * 1000000.0 + 0.5) / 1000000.0 AS trend,
+         floor((se.seasonal) * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+         floor((ph.value - ph.trend - se.seasonal) * 1000000.0 + 0.5) / 1000000.0 AS resid
   FROM ph JOIN se ON se.tag = ph.tag AND se.phv = ph.phv
 ),
 agg AS (
@@ -13459,11 +13455,11 @@ agg AS (
   FROM comp GROUP BY tag
 )
 SELECT tag, CAST(n AS BIGINT) AS n,
-       ROUND(vr, 6) AS var_resid,
-       ROUND(CASE WHEN vds > 0
-             THEN GREATEST(0.0, 1.0 - vr / vds) END, 6) AS f_trend,
-       ROUND(CASE WHEN vdt > 0
-             THEN GREATEST(0.0, 1.0 - vr / vdt) END, 6) AS f_seasonal
+       floor((vr) * 1000000.0 + 0.5) / 1000000.0 AS var_resid,
+       floor((CASE WHEN vds > 0
+             THEN GREATEST(0.0, 1.0 - vr / vds) END) * 1000000.0 + 0.5) / 1000000.0 AS f_trend,
+       floor((CASE WHEN vdt > 0
+             THEN GREATEST(0.0, 1.0 - vr / vdt) END) * 1000000.0 + 0.5) / 1000000.0 AS f_seasonal
 FROM agg ORDER BY tag
 """
 
@@ -13476,8 +13472,8 @@ def q_ewm_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle carries (s, v) through the identical recursive CTE."""
     from gordo_spark.operators.smoothing import ewm_volatility
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
-    res = res.withColumn("value", F.round("value", 6))
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    res = res.withColumn("value", qround("value", 6))
     return ewm_volatility(res, "value", lam=0.94, machine_col="tag")
 
 
@@ -13485,7 +13481,7 @@ O_EWM_VOL = """
 WITH RECURSIVE res AS (
   SELECT event_type AS tag,
          CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
-         ROUND(avg(value), 6) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 seq AS (
@@ -13507,7 +13503,7 @@ rec AS (
   FROM rec r JOIN seq q ON q.tag = r.tag AND q.rn = r.rn + 1
 )
 SELECT tag, ts, value,
-       ROUND(s, 6) AS ew_mean, ROUND(sqrt(v), 6) AS ew_std,
+       floor((s) * 1000000.0 + 0.5) / 1000000.0 AS ew_mean, floor((sqrt(v)) * 1000000.0 + 0.5) / 1000000.0 AS ew_std,
        CAST(breach AS INTEGER) AS breach
 FROM rec
 """
@@ -13521,7 +13517,7 @@ def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers."""
     from gordo_spark.operators.tsa import spectral_entropy
 
-    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean")
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
     return spectral_entropy(res, [21600, 86400, 604800])
 
 
@@ -13529,7 +13525,7 @@ O_SPECTRAL_ENTROPY = """
 WITH res AS (
   SELECT event_type AS tag,
          floor(epoch(ts)/3600)*3600 AS t,
-         avg(value) AS value
+         floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / count(value) + 0.5) / 1000000.0 AS value
   FROM events GROUP BY 1, 2
 ),
 dm AS (
@@ -13550,7 +13546,7 @@ agg AS (
   FROM per GROUP BY 1, 2
 ),
 pw AS (
-  SELECT tag, ROUND((sc * sc + ss * ss) / n, 6) AS power FROM agg
+  SELECT tag, floor(((sc * sc + ss * ss) / n) * 1000000.0 + 0.5) / 1000000.0 AS power FROM agg
 ),
 nm AS (
   SELECT tag, power,
@@ -13564,9 +13560,9 @@ terms AS (
   FROM nm
 )
 SELECT tag, CAST(count(*) AS BIGINT) AS n_periods,
-       ROUND(max(tp), 6) AS total_power,
-       ROUND(CASE WHEN max(tp) > 0
-             THEN sum(h) / ln(3.0) END, 6) AS entropy
+       floor((max(tp)) * 1000000.0 + 0.5) / 1000000.0 AS total_power,
+       floor((CASE WHEN max(tp) > 0
+             THEN sum(h) / ln(3.0) END) * 1000000.0 + 0.5) / 1000000.0 AS entropy
 FROM terms GROUP BY tag ORDER BY tag
 """
 
@@ -13666,7 +13662,7 @@ tot AS (SELECT sum(n) AS t FROM counts)
 SELECT pattern, null_cols,
        CAST(len(replace(pattern, '0', '')) AS INTEGER) AS n_cols_null,
        CAST(n AS BIGINT) AS n,
-       ROUND(n / CAST(tot.t AS DOUBLE), 6) AS frac
+       floor((n / CAST(tot.t AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS frac
 FROM counts, tot
 ORDER BY n DESC, pattern
 LIMIT 10
@@ -13678,6 +13674,512 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full anomaly frame on sf0.001."""
     return q_m6_anomaly(spark, "/root/testdata/sf0.001")
 
+
+
+# ================================================================ round 9
+_EM_VALUE = (
+    "floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS "
+    "DOUBLE) / count(value) + 0.5) / 1000000.0"
+)
+
+_RES_1H_CTE = f"""
+res AS (
+  SELECT event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         {_EM_VALUE} AS value
+  FROM events GROUP BY 1, 2
+)"""
+
+
+def q_flatline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-sensor runs (operators/tsa.flatline_runs): maximal
+    constant-at-6dp runs >= 6 buckets on the hourly grid, with a
+    planted 48-bucket freeze on the error tag (a dead transmitter
+    repeating its last word) — the fleet-ops triage hampel/zscore
+    cannot see (a constant has zero dispersion). Two window passes
+    over one tag-keyed shuffle, output bounded by #runs."""
+    from gordo_spark.operators.tsa import flatline_runs
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    planted = res.withColumn(
+        "value",
+        F.when(
+            (F.col("tag") == "error")
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp")),
+            F.lit(42.5),
+        ).otherwise(F.col("value")),
+    )
+    return flatline_runs(planted, min_len=6, precision=6)
+
+
+O_FLATLINE = f"""
+WITH {_RES_1H_CTE.strip()},
+pl AS (
+  SELECT tag, ts,
+         CASE WHEN tag = 'error'
+                   AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+                   AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+              THEN 42.5 ELSE value END AS value
+  FROM res
+),
+q AS (
+  SELECT tag, ts,
+         floor((value) * 1000000.0 + 0.5) / 1000000.0 AS qv
+  FROM pl WHERE value IS NOT NULL
+),
+flag AS (
+  SELECT tag, ts, qv,
+         CASE WHEN lag(qv) OVER w IS NULL OR qv <> lag(qv) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM q WINDOW w AS (PARTITION BY tag ORDER BY ts)
+),
+runs AS (
+  SELECT tag, ts, qv,
+         sum(chg) OVER (PARTITION BY tag ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM flag
+)
+SELECT tag, min(ts) AS run_start, max(ts) AS run_end,
+       count(*) AS run_len, min(qv) AS value
+FROM runs GROUP BY tag, run HAVING count(*) >= 6
+ORDER BY tag, run_start
+"""
+
+
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per tag (operators/tsa.hurst_exponent,
+    aggregated-variance method): trending vs mean-reverting in one
+    number — block-mean variances at scales 1/2/4/8/16 and the OLS
+    slope of log var on log k, H = 1 + slope/2. Pure sufficient
+    statistics, no windows wider than the tag key, no collect."""
+    from gordo_spark.operators.tsa import hurst_exponent
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    return hurst_exponent(res)
+
+
+O_HURST = f"""
+WITH {_RES_1H_CTE.strip()},
+idx AS (
+  SELECT tag, value,
+         row_number() OVER (PARTITION BY tag ORDER BY ts) - 1 AS i
+  FROM res WHERE value IS NOT NULL
+),
+bm AS (
+  SELECT tag, t.k, floor(i / t.k) AS b, count(*) AS bn, avg(value) AS m
+  FROM idx CROSS JOIN (VALUES (1), (2), (4), (8), (16)) t(k)
+  GROUP BY 1, 2, 3 HAVING count(*) = t.k
+),
+vv AS (
+  SELECT tag, k, var_pop(m) AS var_k, count(*) AS nb
+  FROM bm GROUP BY 1, 2
+),
+pts AS (
+  SELECT tag, ln(CAST(k AS DOUBLE)) AS x, ln(var_k) AS y
+  FROM vv WHERE var_k > 0 AND nb >= 2
+),
+fit AS (
+  SELECT tag, count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts GROUP BY tag
+),
+n_tot AS (
+  SELECT tag, count(*) AS n FROM idx GROUP BY tag
+)
+SELECT f.tag, n_tot.n,
+       floor((1.0 + ((np * sxy - sx * sy) / (np * sxx - sx * sx)) / 2)
+             * 1000000.0 + 0.5) / 1000000.0 AS hurst,
+       floor(((np * sxy - sx * sy) / (np * sxx - sx * sx))
+             * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       floor((CASE WHEN (np * sxx - sx * sx) * (np * syy - sy * sy) > 0
+              THEN (np * sxy - sx * sy) * (np * sxy - sx * sy)
+                   / ((np * sxx - sx * sx) * (np * syy - sy * sy)) END)
+             * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM fit f JOIN n_tot ON n_tot.tag = f.tag
+WHERE np >= 2
+ORDER BY f.tag
+"""
+
+
+def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-causality screen over the aligned hourly grid
+    (operators/tsa.granger_lag1): which sensor LEADS which, with an
+    F-test frame — restricted vs unrestricted OLS, both closed forms
+    over one pass of sufficient stats; the lag is an equi-join on the
+    grid timestamp, never a keyless window. All 6 ordered pairs of
+    the aligned tags."""
+    from gordo_spark.operators.tsa import granger_lag1
+
+    wide = _wide_1h(spark, sf_dir)
+    pairs = [
+        (x, y) for x in ALIGN_TAGS for y in ALIGN_TAGS if x != y
+    ]
+    return granger_lag1(wide, pairs, resolution="1H")
+
+
+def _o_granger() -> str:
+    parts = []
+    for x in ALIGN_TAGS:
+        for y in ALIGN_TAGS:
+            if x == y:
+                continue
+            parts.append(f"""
+SELECT '{x}' AS x, '{y}' AS y, CAST(n AS BIGINT) AS n,
+       floor((CASE WHEN det > 0 AND sse_u > 0 AND n > 3
+              THEN (sse_r - sse_u) / (sse_u / (n - 3)) END)
+             * 1000000.0 + 0.5) / 1000000.0 AS f_stat,
+       coalesce(CASE WHEN det > 0 AND sse_u > 0 AND n > 3
+              THEN (sse_r - sse_u) / (sse_u / (n - 3)) > 3.86 END, FALSE)
+         AS granger
+FROM (
+  SELECT n, cyy - CASE WHEN caa > 0 THEN cya * cya / caa ELSE 0.0 END AS sse_r,
+         caa * cbb - cab * cab AS det,
+         cyy - (((cya * cbb - cyb * cab) / (caa * cbb - cab * cab)) * cya
+                + ((cyb * caa - cya * cab) / (caa * cbb - cab * cab)) * cyb)
+           AS sse_u
+  FROM (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           sum(_y * _yl) - sum(_y) * sum(_yl) / count(*) AS cya,
+           sum(_y * _xl) - sum(_y) * sum(_xl) / count(*) AS cyb,
+           sum(_yl * _yl) - sum(_yl) * sum(_yl) / count(*) AS caa,
+           sum(_xl * _xl) - sum(_xl) * sum(_xl) / count(*) AS cbb,
+           sum(_yl * _xl) - sum(_yl) * sum(_xl) / count(*) AS cab,
+           sum(_y * _y) - sum(_y) * sum(_y) / count(*) AS cyy
+    FROM (
+      SELECT c.ts, c."{y}" AS _y, p."{y}" AS _yl, p."{x}" AS _xl
+      FROM wide c JOIN wide p ON c.ts = p.ts + INTERVAL 1 HOUR
+    )
+  )
+)""")
+    return (
+        "WITH wide AS (" + _O_WIDE_1H.strip() + ")\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY x, y"
+    )
+
+
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring
+    (operators/experiments.msprt_monitor — mixture SPRT, Johari et al.
+    2017): per daily window, the cumulative two-sample Lambda, the
+    always-valid p (1 / running max Lambda) and the crossing verdict —
+    the peeking-proof readout ab_test cannot give. All inputs are
+    exact integer counts, so the statistic is bit-identical on any
+    engine."""
+    from gordo_spark.operators.experiments import msprt_monitor
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_type") == "purchase").alias("converted"),
+        "ts",
+    )
+    return msprt_monitor(ev, "user_id", "converted", window="1D")
+
+
+O_MSPRT = """
+WITH d AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts)/86400)*86400) AS TIMESTAMP) AS w,
+         ('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+  FROM events
+),
+per AS (
+  SELECT w, variant, count(*) AS n, sum(s) AS c FROM d GROUP BY 1, 2
+),
+cum AS (
+  SELECT w, variant,
+         sum(n) OVER (PARTITION BY variant ORDER BY w
+                      ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(c) OVER (PARTITION BY variant ORDER BY w
+                      ROWS UNBOUNDED PRECEDING) AS cc
+  FROM per
+),
+j AS (
+  SELECT a.w, CAST(a.cn AS BIGINT) AS n_a, CAST(a.cc AS BIGINT) AS conv_a,
+         CAST(b.cn AS BIGINT) AS n_b, CAST(b.cc AS BIGINT) AS conv_b
+  FROM cum a JOIN cum b ON a.w = b.w AND a.variant = 0 AND b.variant = 1
+),
+lamf AS (
+  SELECT w, n_a, n_b, conv_a, conv_b,
+         conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE) AS theta,
+         (conv_a + conv_b) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+  FROM j
+),
+lam AS (
+  SELECT w, n_a, n_b, conv_a, conv_b, theta,
+         CASE WHEN pp * (1 - pp) * (1.0 / CAST(n_a AS DOUBLE)
+                + 1.0 / CAST(n_b AS DOUBLE)) > 0
+              THEN sqrt((pp * (1 - pp) * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE)))
+                   / ((pp * (1 - pp) * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE))) + 0.0001))
+                * exp(theta * theta * 0.0001
+                   / (2.0 * (pp * (1 - pp) * (1.0 / CAST(n_a AS DOUBLE)
+                        + 1.0 / CAST(n_b AS DOUBLE)))
+                     * ((pp * (1 - pp) * (1.0 / CAST(n_a AS DOUBLE)
+                        + 1.0 / CAST(n_b AS DOUBLE))) + 0.0001)))
+         END AS lam
+  FROM lamf
+),
+run AS (
+  SELECT x.w, max(y.lam) AS mx
+  FROM lam x JOIN lam y ON y.w <= x.w GROUP BY x.w
+)
+SELECT lam.w AS window_start, n_a, n_b, conv_a, conv_b,
+       floor((theta) * 1000000.0 + 0.5) / 1000000.0 AS diff,
+       floor((lam.lam) * 1000000.0 + 0.5) / 1000000.0 AS lam,
+       floor((least(1.0, 1.0 / run.mx)) * 1000000.0 + 0.5) / 1000000.0
+         AS p_always,
+       coalesce(run.mx >= 20.0, FALSE) AS crossed
+FROM lam JOIN run ON run.w = lam.w
+ORDER BY window_start
+"""
+
+
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (operators/similarity.kcenter_coreset,
+    Gonzalez 1985 farthest-first): 12 maximally-diverse vectors from an
+    id-capped candidate sample — the pure-coverage companion of
+    mmr_rerank, same bounded-collect contract class, same
+    recursive-CTE oracle discipline (one argmax per step)."""
+    from gordo_spark.operators.similarity import kcenter_coreset
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 120
+    )
+    return kcenter_coreset(emb, k=12)
+
+
+O_KCENTER = """
+WITH RECURSIVE cands AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 120
+),
+dists AS (
+  SELECT a.id AS a, b.id AS b,
+         floor((1.0 - list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5)
+           / 1000000.0 AS d
+  FROM cands a JOIN cands b ON a.id <> b.id
+),
+rec AS (
+  SELECT 1 AS step, (SELECT min(id) FROM cands) AS id,
+         CAST(NULL AS DOUBLE) AS dist,
+         [(SELECT min(id) FROM cands)] AS picked
+  UNION ALL
+  SELECT t.step2, t.id2, t.d2, t.picked2 FROM (
+    SELECT r.step + 1 AS step2, c.id AS id2,
+           (SELECT min(d.d) FROM dists d
+            WHERE d.a = c.id AND list_contains(r.picked, d.b)) AS d2,
+           list_append(r.picked, c.id) AS picked2
+    FROM rec r JOIN cands c ON NOT list_contains(r.picked, c.id)
+    WHERE r.step < 12
+  ) t
+  QUALIFY row_number() OVER (ORDER BY t.d2 DESC, t.id2) = 1
+)
+SELECT id AS vec_id, CAST(step AS INTEGER) AS pick_rank,
+       dist AS dist_to_centers
+FROM rec ORDER BY pick_rank
+"""
+
+
+def q_sem_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-contamination screen
+    (operators/similarity.semantic_decontaminate): per eval vector the
+    max cosine over the train corpus + the offending train id —
+    paraphrased leaks the 13-gram decontaminate misses. Eval side
+    broadcasts (benchmarks are KBs by construction), train side is one
+    scan with an eval-keyed map-side-combinable max."""
+    from gordo_spark.operators.similarity import semantic_decontaminate
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 15),
+        emb.filter(F.col("vec_id") < 15),
+        threshold=0.8,
+    )
+
+
+O_SEM_DECONTAMINATE = """
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 15
+),
+tr AS (
+  SELECT vec_id AS tid, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id >= 15
+),
+pairs AS (
+  SELECT ev.eval_id, tr.tid,
+         floor((list_dot_product(tr.v, ev.v)
+           / (sqrt(list_dot_product(tr.v, tr.v))
+              * sqrt(list_dot_product(ev.v, ev.v)))) * 1000000.0 + 0.5)
+           / 1000000.0 AS c
+  FROM ev, tr
+),
+sel AS (
+  SELECT eval_id, c, tid,
+         row_number() OVER (PARTITION BY eval_id ORDER BY c DESC, tid) AS rn
+  FROM pairs
+)
+SELECT eval_id, c AS max_cos, tid AS nearest_train_id,
+       c >= 0.8 AS contaminated
+FROM sel WHERE rn = 1 ORDER BY eval_id
+"""
+
+
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure compliance audit
+    (operators/quality_checks.erasure_audit): tombstoned customers
+    (c_custkey % 97 = 0) vs the tables that may still reference them —
+    per table, total rows, surviving references, and the share. A
+    clean purge reports 0; any survivor localizes the table whose
+    deletion job missed."""
+    from gordo_spark.operators.quality_checks import erasure_audit
+
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    deleted = customer.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    return erasure_audit(
+        {"customer": (customer, "c_custkey"), "orders": (orders, "o_custkey")},
+        deleted,
+    )
+
+
+O_ERASURE_AUDIT = """
+WITH del AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+),
+c AS (
+  SELECT 'customer' AS "table", count(*) AS n_rows,
+         count(CASE WHEN c_custkey IN (SELECT k FROM del) THEN 1 END)
+           AS n_referencing_deleted
+  FROM customer
+),
+o AS (
+  SELECT 'orders' AS "table", count(*) AS n_rows,
+         count(CASE WHEN o_custkey IN (SELECT k FROM del) THEN 1 END)
+           AS n_referencing_deleted
+  FROM orders
+),
+u AS (SELECT * FROM c UNION ALL SELECT * FROM o)
+SELECT "table", n_rows, n_referencing_deleted,
+       floor((CASE WHEN n_rows > 0
+              THEN CAST(n_referencing_deleted AS DOUBLE) / n_rows END)
+             * 1000000.0 + 0.5) / 1000000.0 AS share
+FROM u ORDER BY "table"
+"""
+
+
+def q_fleet_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional fleet consensus (operators/anomaly.
+    fleet_consensus): 20 machines (user_id % 20 slices), per (tag,
+    bucket) the cross-machine median + MAD over 1e6-scaled longs
+    (dyadic-exact interpolated medians on any engine), robust-z flags,
+    rolled up per (machine, tag) — the broken-sensor axis no
+    per-series detector sees, and the one gordo's pod-per-machine
+    architecture structurally cannot compute."""
+    from gordo_spark.operators.anomaly import fleet_consensus
+    from gordo_spark.operators.resample import resample_aggregate
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(list(ALIGN_TAGS))
+    )
+    long = ev.select(
+        F.concat(F.lit("m"), (F.col("user_id") % 20).cast("string")).alias(
+            "machine"
+        ),
+        F.col("event_type").alias("tag"),
+        "ts",
+        "value",
+    )
+    res = resample_aggregate(long, "1H", "mean_exact", group_cols=["machine"])
+    return fleet_consensus(res)
+
+
+O_FLEET_CONSENSUS = f"""
+WITH res AS (
+  SELECT 'm' || (user_id % 20) AS machine, event_type AS tag,
+         CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         {_EM_VALUE} AS value
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+  GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT machine, tag, ts,
+         floor(value * 1000000 + 0.5) AS iv
+  FROM res WHERE value IS NOT NULL
+),
+med AS (
+  SELECT tag, ts, quantile_cont(iv, 0.5) AS med, count(*) AS w
+  FROM base GROUP BY 1, 2
+),
+dev AS (
+  SELECT b.machine, b.tag, b.ts, b.iv, med.med, med.w,
+         abs(b.iv - med.med) AS ad
+  FROM base b JOIN med ON med.tag = b.tag AND med.ts = b.ts
+),
+mad AS (
+  SELECT tag, ts, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1, 2
+),
+z AS (
+  SELECT dev.machine, dev.tag,
+         CAST(dev.ad * 2 AS HUGEINT) AS ad2,
+         CASE WHEN mad.mad > 0 AND dev.w >= 3
+              THEN floor((0.6745 * (dev.iv - dev.med) / mad.mad)
+                         * 1000000.0 + 0.5) / 1000000.0 END AS zz
+  FROM dev JOIN mad ON mad.tag = dev.tag AND mad.ts = dev.ts
+),
+agg AS (
+  SELECT machine, tag, count(*) AS n_buckets,
+         CAST(sum(CASE WHEN abs(zz) > 3.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_flagged,
+         floor((CAST(sum(ad2) AS DOUBLE) / (count(*) * 2000000.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_dev,
+         floor((max(abs(zz))) * 1000000.0 + 0.5) / 1000000.0 AS worst_z
+  FROM z GROUP BY 1, 2
+)
+SELECT machine, tag, n_buckets, n_flagged,
+       floor((CAST(n_flagged AS DOUBLE) / n_buckets) * 1000000.0 + 0.5)
+         / 1000000.0 AS share_flagged,
+       mean_abs_dev, worst_z
+FROM agg ORDER BY machine, tag
+"""
+
+
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with deterministic lowest-value tiebreak
+    (operators/ranking.group_mode): the modal user per event type —
+    two stacked map-side-combinable hash aggregations, no windows."""
+    from gordo_spark.operators.ranking import group_mode
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return group_mode(ev, ["event_type"], "user_id")
+
+
+O_GROUP_MODE = """
+WITH counts AS (
+  SELECT event_type, user_id AS v, count(*) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+sel AS (
+  SELECT event_type, v, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, v) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd,
+         max(n) OVER (PARTITION BY event_type) AS mn
+  FROM counts
+)
+SELECT event_type, v AS mode, mn AS mode_n, nd AS n_distinct
+FROM sel WHERE rn = 1 ORDER BY event_type
+"""
+
+O_GRANGER = _o_granger()
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so ANY prefix is family-representative: the first 50 entries
@@ -13998,6 +14500,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w33_spectral_entropy": q_spectral_entropy,
         "knn_classify": q_knn_classify,
         "null_patterns": q_null_patterns,
+        # --- round 9 ---
+        "flatline": q_flatline,
+        "w34_hurst": q_hurst,
+        "granger_lag1": q_granger,
+        "msprt_monitor": q_msprt,
+        "kcenter_coreset": q_kcenter,
+        "sem_decontaminate": q_sem_decontaminate,
+        "erasure_audit": q_erasure_audit,
+        "fleet_consensus": q_fleet_consensus,
+        "group_mode": q_group_mode,
     }
 
 
@@ -14313,4 +14825,13 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_calib": O_ISOTONIC_CALIB,
         "knn_classify": O_KNN_CLASSIFY,
         "null_patterns": O_NULL_PATTERNS,
+        "flatline": O_FLATLINE,
+        "w34_hurst": O_HURST,
+        "granger_lag1": O_GRANGER,
+        "msprt_monitor": O_MSPRT,
+        "kcenter_coreset": O_KCENTER,
+        "sem_decontaminate": O_SEM_DECONTAMINATE,
+        "erasure_audit": O_ERASURE_AUDIT,
+        "fleet_consensus": O_FLEET_CONSENSUS,
+        "group_mode": O_GROUP_MODE,
     }

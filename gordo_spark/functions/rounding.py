@@ -1,0 +1,67 @@
+"""Tie-safe decimal quantization — the engine's ONE rounding convention.
+
+Why not ``F.round``: Spark's ROUND on doubles goes through the value's
+SHORTEST DECIMAL representation (``BigDecimal.valueOf`` / HALF_UP), while
+DuckDB (and C++/numpy engines generally) round the BINARY value. The two
+agree except when the input sits exactly on (or within an ulp of) a
+``.5 * 10^-scale`` boundary — then the decision is engine-dependent. With
+float aggregation feeding the round, such boundaries are ulp-rare; but the
+round-9 exact-integer resample puts every cell value ON the 1e-6 grid, and
+any small-denominator combination of grid values (a 6-cell rolling mean
+ties 1 time in 6; an even-window median every other step) lands EXACTLY on
+the boundary — the cross-engine flip stops being rare and becomes
+structural. (Observed: round-8's sf0.1 gate had exactly one such flip from
+summation order; quantized inputs without this module produced dozens at
+sf0.01.)
+
+The fix is to stop asking engines to agree on decimal-string rounding and
+quantize with PURE IEEE-754 arithmetic instead::
+
+    qround(x, s) = floor(x * 10^s + 0.5) / 10^s
+
+Multiply, add, floor, divide are each correctly-rounded / exact in every
+IEEE engine, so the SAME expression text yields the BIT-IDENTICAL double
+in Spark, DuckDB, numpy, or anything else — including at exact ties
+(floor needs no tie rule). Semantics: round-half-toward-+infinity (ties at
+negative values go UP, where HALF_UP goes away from zero) — a documented,
+deliberate divergence; determinism across engines is worth more than the
+sign convention at a 5e-7 tie.
+
+``qround_sql`` emits the mirror SQL for oracles; keep the operand order
+identical to the column form (x * scale + 0.5, one floor, one divide) —
+the bit-identity argument is about the exact op sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = ["qround", "qround_sql"]
+
+
+def qround(col: Column | str, scale: int = 0) -> Column:
+    """Drop-in for ``F.round(col, scale)`` with tie-safe, engine-portable
+    semantics (see module docstring). Output is always DOUBLE.
+
+    Spark's ``floor`` returns LONG, so a naive ``floor(x*p + 0.5)``
+    overflows past 2^63. Doubles at magnitude >= 2^52 are already
+    integral (ulp >= 1), where ``floor`` is the identity — so the branch
+    below IS DuckDB's double-floor, bit for bit, at every magnitude, and
+    NULL/NaN/inf all fall through the comparison into the identity arm
+    exactly as they propagate through a native floor.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    p = float(10 ** int(scale))
+    y = c * F.lit(p) + F.lit(0.5)
+    fl = F.when(
+        F.abs(y) < F.lit(2.0**52), F.floor(y).cast("double")
+    ).otherwise(y)
+    return fl / F.lit(p)
+
+
+def qround_sql(expr: str, scale: int = 0) -> str:
+    """The DuckDB/ANSI mirror of :func:`qround` — same op sequence, so the
+    oracle computes the bit-identical double (DuckDB's floor is
+    double->double, i.e. exactly the identity-above-2^52 branch)."""
+    p = float(10 ** int(scale))
+    return f"floor(({expr}) * {p:.1f} + 0.5) / {p:.1f}"

@@ -10,6 +10,7 @@ aggregate and every apply a row-local projection or broadcast join.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 
 def target_encode(
@@ -63,7 +64,7 @@ def target_encode(
     )
     return j.select(
         *[F.col(c) for c in df.columns],
-        F.round(enc, 6).alias("target_enc"),
+        qround(enc, 6).alias("target_enc"),
     )
 
 
@@ -93,7 +94,7 @@ def isotonic_calibration(
     import numpy as np
 
     p = int(precision)
-    s = F.round(F.col(score_col).cast("double"), p).alias("_s")
+    s = qround(F.col(score_col).cast("double"), p).alias("_s")
     y = F.col(label_col).cast("int")
     grid = (
         df.filter(
@@ -133,7 +134,8 @@ def isotonic_calibration(
     for b, (w, tot, i0) in enumerate(blocks):
         cal[int(i0) : starts[b + 1]] = tot / w
     out = [
-        (float(sc[i]), int(n[i]), int(pos[i]), round(float(cal[i]), 6))
+        (float(sc[i]), int(n[i]), int(pos[i]),
+         float(np.floor(float(cal[i]) * 1e6 + 0.5) / 1e6))
         for i in range(len(sc))
     ]
     spark = df.sparkSession

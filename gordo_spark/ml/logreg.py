@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 
 def _sigmoid_col(z: Column) -> Column:
@@ -149,8 +150,8 @@ def calibration_bins(
     ).cast("int")
     out = scored.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(score_col), 6).alias("mean_score"),
-        F.round(F.avg(F.col(label_col).cast("double")), 6).alias(
+        qround(F.avg(score_col), 6).alias("mean_score"),
+        qround(F.avg(F.col(label_col).cast("double")), 6).alias(
             "frac_positive"
         ),
     )
@@ -159,5 +160,5 @@ def calibration_bins(
         "n",
         "mean_score",
         "frac_positive",
-        F.round(F.col("mean_score") - F.col("frac_positive"), 6).alias("gap"),
+        qround(F.col("mean_score") - F.col("frac_positive"), 6).alias("gap"),
     )

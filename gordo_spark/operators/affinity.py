@@ -19,6 +19,7 @@ strategy; the only forced broadcast is the 1-row group-total scalar.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 __all__ = ["association_rules", "pair_counts"]
 
@@ -78,7 +79,7 @@ def pair_counts(
             "item_a",
             "item_b",
             "n_both",
-            F.round(
+            qround(
                 F.col("n_both") * F.col("n_groups") / (F.col("_na") * F.col("_nb")), 6
             ).alias("lift"),
         )
@@ -167,9 +168,9 @@ def association_rules(
             "antecedent",
             "consequent",
             "n_both",
-            F.round(F.col("n_both") / F.col("n_groups"), 6).alias("support"),
-            F.round(conf, 6).alias("confidence"),
-            F.round(
+            qround(F.col("n_both") / F.col("n_groups"), 6).alias("support"),
+            qround(conf, 6).alias("confidence"),
+            qround(
                 conf / (F.col("_nb") / F.col("n_groups")), 6
             ).alias("lift"),
         )

@@ -220,3 +220,104 @@ def explained_variance(df: DataFrame, y_col: str, yhat_col: str) -> float:
         F.var_pop(F.col(y_col)).alias("vy"),
     ).collect()[0]
     return 1.0 - (row["ve"] / row["vy"] if row["vy"] else 0.0)
+
+
+def fleet_consensus(
+    long_frame,
+    flag_sigmas: float = 3.0,
+    machine_col: str = "machine",
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """CROSS-SECTIONAL fleet consensus check: at every (tag, bucket),
+    the fleet's median across machines is the consensus; a machine
+    whose sensor sits far from it — in robust z units,
+    ``0.6745 * (v - median) / MAD`` — is the BROKEN-SENSOR candidate.
+    This is the axis all per-series detectors (hampel, zscore, CUSUM,
+    the M6 frame) cannot see: a sensor drifting slowly stays
+    self-consistent forever, but the fleet tells on it immediately
+    (the reference's thousands-of-machines deployment makes this the
+    single highest-value triage gordo itself never computes, because
+    each pod only ever sees its own machine).
+
+    Two exact percentile aggregations keyed on (tag, bucket) — median,
+    then MAD over the joined deviations — then a row-local flag and a
+    (machine, tag)-keyed rollup. EXACT-INTEGER discipline: values
+    quantize to 1e-6-scaled LONGS before the percentiles, so the
+    interpolated median of an even group is a DYADIC-exact ``j + 0.5``
+    (integer-valued doubles in, one exact halving out) on any engine —
+    a float-valued percentile would differ in ulps between engines and
+    sit exactly on the .5e-6 boundary half the time (the w29_stl
+    lesson). Shuffles on (tag, ts): the fleet dimension is the GROUP
+    CONTENT, so width-200 and width-2000 fleets differ only in rows
+    per group. Output per (machine, tag):
+    ``(machine, tag, n_buckets, n_flagged, share_flagged,
+    mean_abs_dev, worst_z)`` ordered.
+    """
+    from pyspark.sql import functions as F
+
+    from gordo_spark.functions.rounding import qround
+
+    base = long_frame.filter(F.col(value_col).isNotNull()).select(
+        F.col(machine_col).alias("machine"),
+        F.col(tag_col).alias("tag"),
+        F.col(ts_col).alias("ts"),
+        F.floor(
+            F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)
+        ).alias("_iv"),
+    )
+    med = base.groupBy("tag", "ts").agg(
+        F.expr("percentile(_iv, 0.5)").alias("_med"),
+        F.count(F.lit(1)).alias("_w"),
+    )
+    dev = base.join(med, ["tag", "ts"]).select(
+        "machine", "tag", "ts", "_iv", "_med", "_w",
+        F.abs(F.col("_iv") - F.col("_med")).alias("_ad"),
+    )
+    mad = dev.groupBy("tag", "ts").agg(
+        F.expr("percentile(_ad, 0.5)").alias("_mad")
+    )
+    z = dev.join(mad, ["tag", "ts"]).select(
+        "machine",
+        "tag",
+        # _ad is an exact multiple of 0.5 (integer median of integers);
+        # doubling makes it an exact LONG so the mean below is an exact
+        # integer sum, not a float accumulation
+        (F.col("_ad") * 2).cast("long").alias("_ad2"),
+        F.when(
+            (F.col("_mad") > 0) & (F.col("_w") >= 3),
+            qround(
+                F.lit(0.6745) * (F.col("_iv") - F.col("_med")) / F.col("_mad"),
+                6,
+            ),
+        ).alias("_z"),
+    )
+    flagged = F.when(
+        F.abs(F.col("_z")) > F.lit(float(flag_sigmas)), 1
+    ).otherwise(0)
+    return (
+        z.groupBy("machine", "tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(flagged).alias("n_flagged"),
+            qround(
+                F.sum("_ad2").cast("double")
+                / (F.count(F.lit(1)) * F.lit(2e6)),
+                6,
+            ).alias("mean_abs_dev"),
+            qround(F.max(F.abs(F.col("_z"))), 6).alias("worst_z"),
+        )
+        .select(
+            "machine",
+            "tag",
+            "n_buckets",
+            "n_flagged",
+            qround(F.col("n_flagged") / F.col("n_buckets"), 6).alias(
+                "share_flagged"
+            ),
+            "mean_abs_dev",
+            "worst_z",
+        )
+        .orderBy("machine", "tag")
+    )

@@ -24,6 +24,7 @@ each operator's docstring).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 from gordo_spark.operators.text import (
     gopher_rule_exprs,
@@ -86,7 +87,7 @@ def curation_verdict(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     rep = grams.groupBy(id_col).agg(
-        F.round(
+        qround(
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
             / F.sum("c"),
             6,

@@ -29,6 +29,7 @@ min-aggregations inside codegen with map-side partial aggregation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from gordo_spark.functions.rounding import qround
 
 # (a, b) parameters for the universal hash family h_i(x) = (a_i*x + b_i) mod P.
 # P = 2^31 - 1 (Mersenne); x < 2^32, a < 2^30 keeps a*x + b < 2^62 (no
@@ -344,7 +345,7 @@ def minhash_jaccard_estimate(
     return ab.select(
         "id_a",
         "id_b",
-        F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        qround(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
     )
 
 
@@ -610,7 +611,7 @@ def source_effective_tokens(
             "n_tokens",
             F.coalesce("n_docs_unique", F.lit(0)).alias("n_docs_unique"),
             F.coalesce("n_tokens_unique", F.lit(0)).alias("n_tokens_unique"),
-            F.round(
+            qround(
                 F.coalesce("n_tokens_unique", F.lit(0)) / F.col("n_tokens"), 6
             ).alias("unique_ratio"),
         )
@@ -701,7 +702,7 @@ def repeated_ngram_stats(
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("n_repeated"),
-            F.round(
+            qround(
                 F.sum(F.when(F.col("_c") > 1, 1).otherwise(0))
                 / F.count(F.lit(1)),
                 6,
@@ -825,7 +826,7 @@ def ngram_novelty(
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         novel.alias("n_novel"),
-        F.round(novel / F.count(F.lit(1)), 6).alias("novel_frac"),
+        qround(novel / F.count(F.lit(1)), 6).alias("novel_frac"),
     )
 
 
@@ -1043,7 +1044,7 @@ def decontaminate_bloom(
         id_col,
         "n_grams",
         F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
-        F.round(
+        qround(
             F.coalesce("n_flagged", F.lit(0)) / F.col("n_grams"), 6
         ).alias("flagged_frac"),
     )
@@ -1315,10 +1316,10 @@ def lsh_eval(
         "n_truth",
         "n_candidates",
         "n_hit",
-        F.round(
+        qround(
             F.when(F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")), 6
         ).alias("recall"),
-        F.round(
+        qround(
             F.when(
                 F.col("n_candidates") > 0, F.col("n_hit") / F.col("n_candidates")
             ),
@@ -1590,7 +1591,7 @@ def jaccard_threshold_join(
     )
     jac = F.col("inter") / F.col("union_size")
     return verified.filter(jac >= t).select(
-        "id_a", "id_b", "inter", "union_size", F.round(jac, 6).alias("jaccard")
+        "id_a", "id_b", "inter", "union_size", qround(jac, 6).alias("jaccard")
     )
 
 
@@ -1655,7 +1656,7 @@ def containment_join(
         "id_container",
         "inter",
         "size_contained",
-        F.round(c, 6).alias("containment"),
+        qround(c, 6).alias("containment"),
     )
 
 
@@ -1721,8 +1722,8 @@ def cluster_cohesion(
     )
     per = jac.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.min("_j"), 6).alias("min_jaccard"),
-        F.round(F.avg("_j"), 6).alias("avg_jaccard"),
+        qround(F.min("_j"), 6).alias("min_jaccard"),
+        qround(F.avg("_j"), 6).alias("avg_jaccard"),
     )
     return per.join(sizes, "component").select(
         "component", "n_members", "n_pairs", "min_jaccard", "avg_jaccard"
@@ -1849,5 +1850,5 @@ def dice_threshold_join(
     )
     dice = 2.0 * F.col("inter") / F.col("size_sum")
     return verified.filter(dice >= t).select(
-        "id_a", "id_b", "inter", "size_sum", F.round(dice, 6).alias("dice")
+        "id_a", "id_b", "inter", "size_sum", qround(dice, 6).alias("dice")
     )

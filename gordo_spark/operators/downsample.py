@@ -17,6 +17,7 @@ bounded-series-key posture as the ``w*`` smoothing family.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from gordo_spark.functions.rounding import qround
 
 __all__ = ["lttb", "resample_ohlc", "sax"]
 
@@ -124,8 +125,8 @@ def lttb(
     )
     mid = d.filter(F.col("_cnt") > nb)
     anchors = mid.groupBy(tag_col, "bucket").agg(
-        F.round(F.avg("_t"), 6).alias("_ax"),
-        F.round(F.avg(value_col), 6).alias("_ay"),
+        qround(F.avg("_t"), 6).alias("_ax"),
+        qround(F.avg(value_col), 6).alias("_ay"),
     )
     wb = Window.partitionBy(tag_col).orderBy("bucket")
     anchors = (
@@ -137,7 +138,7 @@ def lttb(
     )
     scored = mid.join(anchors, [tag_col, "bucket"]).withColumn(
         "_area",
-        F.round(
+        qround(
             F.abs(
                 (F.col("_xl") - F.col("_xr")) * (F.col(value_col) - F.col("_yl"))
                 - (F.col("_xl") - F.col("_t")) * (F.col("_yr") - F.col("_yl"))
@@ -221,7 +222,7 @@ def sax(
         "_seg", F.expr(f"(_i * {wl}) div _n")
     )
     seg = d.groupBy(tag_col, "_seg", "_n").agg(
-        F.round(F.avg("_z"), 6).alias("_pm")
+        qround(F.avg("_z"), 6).alias("_pm")
     )
     letter = F.lit(chr(ord("a") + len(bps)))
     for j in range(len(bps) - 1, -1, -1):

@@ -18,6 +18,7 @@ map-side-combinable exchanges total, no windows, no joins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 from gordo_spark.functions.timeutil import epoch_seconds
 from gordo_spark.operators.dedup import md5_long
@@ -123,9 +124,9 @@ def ab_zstat(
         "n_b",
         "conv_a",
         "conv_b",
-        F.round(p_a, 6).alias("p_a"),
-        F.round(p_b, 6).alias("p_b"),
-        F.round(z, 6).alias("z"),
+        qround(p_a, 6).alias("p_a"),
+        qround(p_b, 6).alias("p_b"),
+        qround(z, 6).alias("z"),
         F.coalesce(
             F.abs(z) > F.lit(float(critical)), F.lit(False)
         ).alias("significant"),
@@ -156,7 +157,7 @@ def auc_exact(
     """
     from pyspark.sql import Window
 
-    s = F.round(F.col(score_col).cast("double"), int(precision))
+    s = qround(F.col(score_col).cast("double"), int(precision))
     lab = F.col(label_col).cast("boolean")
     hist = (
         df.filter(s.isNotNull() & lab.isNotNull())
@@ -179,7 +180,7 @@ def auc_exact(
     return cum.agg(
         F.sum("_p").alias("n_pos"),
         F.sum("_q").alias("n_neg"),
-        F.round(
+        qround(
             F.when(
                 (F.sum("_p") > 0) & (F.sum("_q") > 0),
                 F.sum(
@@ -233,8 +234,8 @@ def ab_power(
     )
     return one.select(
         "n_units",
-        F.round(p, 6).alias("baseline_rate"),
-        F.round(delta, 6).alias("mde_abs"),
+        qround(p, 6).alias("baseline_rate"),
+        qround(delta, 6).alias("mde_abs"),
         n_arm.cast("long").alias("n_per_arm"),
         F.when(
             n_arm.isNotNull(),
@@ -301,8 +302,8 @@ def brier_decomposition(
     # resolution from it would silently absorb that term
     return binned.crossJoin(F.broadcast(base)).agg(
         F.sum("_n").alias("n"),
-        F.round(F.sum("_se") / F.sum("_n"), 6).alias("brier"),
-        F.round(
+        qround(F.sum("_se") / F.sum("_n"), 6).alias("brier"),
+        qround(
             F.sum(
                 F.col("_n")
                 * (F.col("_sbar") - F.col("_ybar"))
@@ -311,7 +312,7 @@ def brier_decomposition(
             / F.sum("_n"),
             6,
         ).alias("reliability"),
-        F.round(
+        qround(
             F.sum(
                 F.col("_n")
                 * (F.col("_ybar") - F.col("_base"))
@@ -320,10 +321,10 @@ def brier_decomposition(
             / F.sum("_n"),
             6,
         ).alias("resolution"),
-        F.round(
+        qround(
             F.max(F.col("_base")) * (1.0 - F.max(F.col("_base"))), 6
         ).alias("uncertainty"),
-        F.round(
+        qround(
             F.sum(F.col("_n") * F.abs(F.col("_sbar") - F.col("_ybar")))
             / F.sum("_n"),
             6,
@@ -430,14 +431,14 @@ def ab_cuped(
     return one.select(
         "n_a",
         "n_b",
-        F.round("_ma", 6).alias("mean_adj_a"),
-        F.round("_mb", 6).alias("mean_adj_b"),
-        F.round("_theta", 6).alias("theta"),
-        F.round(
+        qround("_ma", 6).alias("mean_adj_a"),
+        qround("_mb", 6).alias("mean_adj_b"),
+        qround("_theta", 6).alias("theta"),
+        qround(
             F.when(F.col("_vraw") > 0, 1.0 - F.col("_vadj") / F.col("_vraw")),
             6,
         ).alias("variance_reduction"),
-        F.round(z, 6).alias("z"),
+        qround(z, 6).alias("z"),
         F.coalesce(F.abs(z) > F.lit(float(critical)), F.lit(False)).alias(
             "significant"
         ),
@@ -522,11 +523,11 @@ def diff_in_diff(
     return one.select(
         "n_a",
         "n_b",
-        F.round("_da", 6).alias("delta_a"),
-        F.round("_db", 6).alias("delta_b"),
-        F.round(did, 6).alias("did"),
-        F.round(se, 6).alias("se"),
-        F.round(z, 6).alias("z"),
+        qround("_da", 6).alias("delta_a"),
+        qround("_db", 6).alias("delta_b"),
+        qround(did, 6).alias("did"),
+        qround(se, 6).alias("se"),
+        qround(z, 6).alias("z"),
         F.coalesce(F.abs(z) > F.lit(float(critical)), F.lit(False)).alias(
             "significant"
         ),
@@ -551,7 +552,7 @@ def sliced_auc(
     """
     from pyspark.sql import Window
 
-    s = F.round(F.col(score_col).cast("double"), int(precision))
+    s = qround(F.col(score_col).cast("double"), int(precision))
     lab = F.col(label_col).cast("boolean")
     hist = (
         df.filter(
@@ -578,7 +579,7 @@ def sliced_auc(
         .agg(
             F.sum("_p").alias("n_pos"),
             F.sum("_q").alias("n_neg"),
-            F.round(
+            qround(
                 F.when(
                     (F.sum("_p") > 0) & (F.sum("_q") > 0),
                     F.sum(F.col("_p") * (F.col("_nb") + F.col("_q") / 2.0))
@@ -648,14 +649,14 @@ def ndcg_at_k(
         dcg_term.alias("_d"),
         ideal_term.alias("_i"),
     ).groupBy(query_col).agg(
-        F.round(F.sum("_d"), 6).alias("dcg"),
-        F.round(F.sum("_i"), 6).alias("idcg"),
+        qround(F.sum("_d"), 6).alias("dcg"),
+        qround(F.sum("_i"), 6).alias("idcg"),
     )
     return per.select(
         query_col,
         "dcg",
         "idcg",
-        F.round(
+        qround(
             F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), 6
         ).alias("ndcg"),
     )
@@ -698,7 +699,7 @@ def lift_curve(
     y = F.col(label_col).cast("int")
     rows = df.filter(s.isNotNull() & y.isNotNull()).select(
         F.col(id_col),
-        (-F.round(s, precision)).alias("_negp"),
+        (-qround(s, precision)).alias("_negp"),
         y.alias("_y"),
     )
     binned = (
@@ -720,9 +721,9 @@ def lift_curve(
             "bucket",
             "n",
             "n_pos",
-            F.round(F.col("n_pos") / F.col("n"), 6).alias("response_rate"),
+            qround(F.col("n_pos") / F.col("n"), 6).alias("response_rate"),
             F.sum("n_pos").over(wc).alias("cum_pos"),
-            F.round(
+            qround(
                 (F.sum("n_pos").over(wc) / F.col("_tp"))
                 / (F.sum("n").over(wc) / F.col("_tn")),
                 6,
@@ -847,9 +848,9 @@ def bootstrap_ci_mean(
 
     return one.select(
         "n",
-        F.round(F.col("_mean"), 6).alias("mean"),
-        F.round(pick(float(lo_q)), 6).alias("ci_lo"),
-        F.round(pick(float(hi_q)), 6).alias("ci_hi"),
+        qround(F.col("_mean"), 6).alias("mean"),
+        qround(pick(float(lo_q)), 6).alias("ci_lo"),
+        qround(pick(float(hi_q)), 6).alias("ci_hi"),
         F.lit(b_count).alias("n_boot"),
     )
 
@@ -901,7 +902,7 @@ def srm_check(
         F.lit(int(n_variants)).alias("n_variants"),
         F.min("_n").alias("min_count"),
         F.max("_n").alias("max_count"),
-        F.round(
+        qround(
             k * F.sum(F.col("_n") * F.col("_n")) / F.sum("_n")
             - F.sum("_n"),
             6,
@@ -944,7 +945,7 @@ def mann_whitney(
     """
     from pyspark.sql import Window
 
-    v = F.round(F.col(value_col).cast("double"), int(precision))
+    v = qround(F.col(value_col).cast("double"), int(precision))
     g = F.col(group_col).cast("int")
     hist = (
         df.filter(v.isNotNull() & g.isNotNull())
@@ -984,8 +985,8 @@ def mann_whitney(
     return agg.select(
         n0.alias("n0"),
         n1.alias("n1"),
-        F.round(u1, 6).alias("u1"),
-        F.round(
+        qround(u1, 6).alias("u1"),
+        qround(
             F.when((n0 > 0) & (n1 > 0) & (var > 0), z), 6
         ).alias("z"),
         F.coalesce(
@@ -1034,10 +1035,10 @@ def mrr_at_k(
     return per.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.sum(F.col("_first").isNotNull().cast("long")).alias("n_hit"),
-        F.round(
+        qround(
             F.avg(F.col("_first").isNotNull().cast("double")), 6
         ).alias("hit_rate"),
-        F.round(
+        qround(
             F.avg(
                 F.coalesce(1.0 / F.col("_first"), F.lit(0.0))
             ),
@@ -1085,7 +1086,7 @@ def qini_curve(
         s.isNotNull() & t.isNotNull() & y.isNotNull()
     ).select(
         F.col(id_col),
-        (-F.round(s, 3)).alias("_negp"),
+        (-qround(s, 3)).alias("_negp"),
         t.alias("_t"),
         y.alias("_y"),
     )
@@ -1112,7 +1113,7 @@ def qini_curve(
         "n_c",
         "pos_t",
         "pos_c",
-        F.round(
+        qround(
             F.when(
                 (F.col("n_t") > 0) & (F.col("n_c") > 0),
                 F.col("pos_t") / F.col("n_t")
@@ -1120,7 +1121,7 @@ def qini_curve(
             ),
             6,
         ).alias("uplift"),
-        F.round(
+        qround(
             F.when(cnc > 0, cpt - cpc * cnt / cnc), 6
         ).alias("cum_qini"),
     ).orderBy("bucket")
@@ -1181,10 +1182,10 @@ def tost_equivalence(
     return agg.select(
         n0.alias("n0"),
         n1.alias("n1"),
-        F.round(F.when((n0 > 0) & (n1 > 0), diff), 6).alias("diff"),
-        F.round(F.when(ok, se), 6).alias("se"),
-        F.round(F.when(ok, zl), 6).alias("z_lower"),
-        F.round(F.when(ok, zu), 6).alias("z_upper"),
+        qround(F.when((n0 > 0) & (n1 > 0), diff), 6).alias("diff"),
+        qround(F.when(ok, se), 6).alias("se"),
+        qround(F.when(ok, zl), 6).alias("z_lower"),
+        qround(F.when(ok, zu), 6).alias("z_upper"),
         F.coalesce(
             F.when(ok, (zl > crit) & (zu > crit)), F.lit(False)
         ).alias("equivalent"),
@@ -1240,9 +1241,9 @@ def pr_at_k(
         query_col,
         "n_rel_at_k",
         F.coalesce(F.col("n_rel_total"), F.lit(0)).alias("n_rel_total"),
-        F.round(p, 6).alias("precision"),
-        F.round(rec, 6).alias("recall"),
-        F.round(
+        qround(p, 6).alias("precision"),
+        qround(rec, 6).alias("recall"),
+        qround(
             F.when(
                 (F.col("n_rel_total") > 0) & ((p + rec) > 0),
                 2.0 * p * rec / (p + rec),
@@ -1295,13 +1296,18 @@ def srm_verdict_from_counts(
     groups — one aggregation, no windows."""
     _CRIT_001 = {2: 10.828, 3: 13.816, 4: 16.266, 5: 18.467}
     if critical is None:
+        if int(n_variants) not in _CRIT_001:
+            raise ValueError(
+                f"no default critical value for n_variants={n_variants}; "
+                "pass critical= explicitly (srm_check's guard)"
+            )
         critical = _CRIT_001[int(n_variants)]
     k = F.lit(float(n_variants))
     return (
         counts.groupBy("window_start")
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(
+            qround(
                 k * F.sum(F.col("n") * F.col("n")) / F.sum("n")
                 - F.sum("n"),
                 6,
@@ -1311,6 +1317,124 @@ def srm_verdict_from_counts(
                 - F.sum("n")
                 > F.lit(float(critical))
             ).alias("srm"),
+        )
+        .orderBy("window_start")
+    )
+
+
+def msprt_monitor(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    success_col: str = "converted",
+    ts_col: str = "ts",
+    window: str = "1D",
+    salt: str = "exp1",
+    tau2: float = 0.0001,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """ALWAYS-VALID sequential A/B monitoring via the mixture SPRT
+    (Robbins 1970; Johari, Koomen, Pekelis & Walsh 2017 — the "peeking
+    problem" fix): a fixed-horizon z-test read daily inflates false
+    positives far above alpha; the mSPRT's mixture likelihood ratio
+
+        Lambda_t = sqrt(V_t / (V_t + tau2))
+                   * exp(theta_t^2 * tau2 / (2 V_t (V_t + tau2)))
+
+    over CUMULATIVE two-sample stats (theta_t = p1 - p0, V_t = pooled
+    p(1-p)(1/n0 + 1/n1)) is a nonnegative supermartingale under H0, so
+    ``p_t = 1 / max_{s<=t} Lambda_s`` is a p-value valid at EVERY
+    look simultaneously — stop whenever you like. ``tau2`` is the
+    mixture prior on effect size (set it near the MDE^2).
+
+    Plan shape: one (window, variant) count aggregate; cumulative sums
+    via a window PARTITIONED BY VARIANT (never keyless — 2 partitions
+    x #windows); the two variants meet in an equi-join on the window
+    start; the running max runs as a bounded self range-join on the
+    1-row-per-window Lambda frame (W^2 pairs with W
+    experiment-calendar-bounded — weeks of daily windows, not corpus
+    rows). Per-event Bernoulli counting (stated; collapse to units
+    upstream for per-user analysis). Output per window:
+    ``(window_start, n_a, n_b, conv_a, conv_b, diff, lam, p_always,
+    crossed)``.
+    """
+    from pyspark.sql import Window
+
+    from gordo_spark.functions.timeutil import offset_alias_to_seconds
+
+    secs = int(offset_alias_to_seconds(window))
+    d = ab_assign(
+        events.select(unit_col, success_col, ts_col), unit_col, 2, salt
+    ).select(
+        F.timestamp_seconds(
+            F.floor(F.col(ts_col).cast("timestamp").cast("double") / secs)
+            .cast("long")
+            * secs
+        ).alias("_w"),
+        "variant",
+        F.col(success_col).cast("int").alias("_s"),
+    )
+    per = d.groupBy("_w", "variant").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_s").alias("_c")
+    )
+    wv = Window.partitionBy("variant").orderBy("_w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "_w",
+        "variant",
+        F.sum("_n").over(wv).alias("_cn"),
+        F.sum("_c").over(wv).alias("_cc"),
+    )
+    a = cum.filter(F.col("variant") == 0).select(
+        "_w", F.col("_cn").alias("n_a"), F.col("_cc").alias("conv_a")
+    )
+    b = cum.filter(F.col("variant") == 1).select(
+        "_w", F.col("_cn").alias("n_b"), F.col("_cc").alias("conv_b")
+    )
+    j = a.join(b, "_w")
+    n0 = F.col("n_a").cast("double")
+    n1 = F.col("n_b").cast("double")
+    p0 = F.col("conv_a") / n0
+    p1 = F.col("conv_b") / n1
+    pp = (F.col("conv_a") + F.col("conv_b")) / (n0 + n1)
+    v = pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)
+    theta = p1 - p0
+    t2 = F.lit(float(tau2))
+    lam = F.when(
+        v > 0,
+        F.sqrt(v / (v + t2))
+        * F.exp(theta * theta * t2 / (2.0 * v * (v + t2))),
+    )
+    lamf = j.select(
+        F.col("_w"), "n_a", "n_b", "conv_a", "conv_b",
+        theta.alias("_theta"), lam.alias("_lam"),
+    )
+    run = (
+        lamf.alias("x")
+        .join(
+            lamf.select("_w", "_lam").alias("y"),
+            F.col("y._w") <= F.col("x._w"),
+        )
+        .groupBy("x._w")
+        .agg(F.max("y._lam").alias("_mx"))
+        .select(F.col("_w"), F.col("_mx"))
+    )
+    return (
+        lamf.join(run, "_w")
+        .select(
+            F.col("_w").alias("window_start"),
+            "n_a",
+            "n_b",
+            "conv_a",
+            "conv_b",
+            qround(F.col("_theta"), 6).alias("diff"),
+            qround(F.col("_lam"), 6).alias("lam"),
+            qround(
+                F.least(F.lit(1.0), 1.0 / F.col("_mx")), 6
+            ).alias("p_always"),
+            F.coalesce(
+                F.col("_mx") >= F.lit(1.0 / float(alpha)), F.lit(False)
+            ).alias("crossed"),
         )
         .orderBy("window_start")
     )

@@ -28,6 +28,7 @@ from collections.abc import Sequence
 from datetime import datetime
 
 from pyspark.sql import DataFrame, Window, functions as F
+from gordo_spark.functions.rounding import qround
 
 from gordo_spark.functions.rowfilter import row_filter_to_sql
 
@@ -163,14 +164,14 @@ def winsorize(
     """
     v = F.col("`" + value_col + "`")
     bounds = df.groupBy(machine_col).agg(
-        F.round(F.expr(f"percentile(`{value_col}`, {float(lower)})"), 6).alias("_lo"),
-        F.round(F.expr(f"percentile(`{value_col}`, {float(upper)})"), 6).alias("_hi"),
+        qround(F.expr(f"percentile(`{value_col}`, {float(lower)})"), 6).alias("_lo"),
+        qround(F.expr(f"percentile(`{value_col}`, {float(upper)})"), 6).alias("_hi"),
     )
     clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
     return df.join(F.broadcast(bounds), machine_col).select(
         machine_col,
         "ts",
-        F.round(clamped, 6).alias(value_col),
+        qround(clamped, 6).alias(value_col),
         F.when((v < F.col("_lo")) | (v > F.col("_hi")), 1)
         .otherwise(0)
         .alias("was_clipped"),

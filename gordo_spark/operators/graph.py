@@ -19,6 +19,7 @@ edge-key columns).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 __all__ = [
     "co_occurrence_edges",
@@ -129,7 +130,7 @@ def pagerank(
         # downstream action runs) so raising `iterations` stays safe
         if (i + 1) % 10 == 0 and (i + 1) < int(iterations):
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select("v", F.round("r", 6).alias("rank"))
+    return ranks.select("v", qround("r", 6).alias("rank"))
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
@@ -180,7 +181,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         "n_edges",
         "n_wedges",
         "n_triangles",
-        F.round(
+        qround(
             F.when(
                 F.col("n_wedges") > 0,
                 3.0 * F.col("n_triangles") / F.col("n_wedges"),
@@ -308,7 +309,7 @@ def link_prediction(
             "x",
             "z",
             "n_common",
-            F.round(
+            qround(
                 F.col("n_common")
                 / (F.col("_dx") + F.col("_dz") - F.col("n_common")),
                 6,
@@ -345,11 +346,22 @@ def hits(
     iteration; deferring keeps lineage LINEAR, at the stated cost that
     raw magnitudes grow like the dominant eigenvalue^k — f64 headroom
     (1e308) covers any realistic degree profile at 8-16 iterations.
+    That bound is made EXPLICIT: ``iterations`` is capped at 32 (a
+    dense 1e4-degree profile stays under ~1e128 at 32 steps; anything
+    needing more precision than 32 power steps has converged to ulp
+    level long before — raise would mean the caller wants a
+    convergence loop, which this operator deliberately is not).
     Edge and node frames are eagerly localCheckpoint-ed once (the
     pagerank precedent); the running frame lazily truncates every 4
     iterations. Output: ``(v, hub, auth)`` L1-normalized, 6dp, ordered
     by node; a node with no out-edges has hub 0, no in-edges, auth 0.
     """
+    if not 1 <= int(iterations) <= 32:
+        raise ValueError(
+            f"iterations must be in [1, 32], got {iterations}: deferred "
+            "L1 normalization grows raw magnitudes ~lambda^k; 32 steps is "
+            "the documented f64-headroom bound"
+        )
     e = (
         edges.select(
             F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
@@ -397,12 +409,12 @@ def hits(
         dense.crossJoin(F.broadcast(tots))
         .select(
             "v",
-            F.round(
+            qround(
                 F.when(F.col("_th") > 0, F.col("hub") / F.col("_th"))
                 .otherwise(0.0),
                 6,
             ).alias("hub"),
-            F.round(
+            qround(
                 F.when(F.col("_ta") > 0, F.col("auth") / F.col("_ta"))
                 .otherwise(0.0),
                 6,

@@ -29,6 +29,7 @@ bit-for-bit) rather than Spark's murmur ``hash()``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 from gordo_spark.operators.dedup import md5_long
 
@@ -126,6 +127,6 @@ def dsir_logweights(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.sum("_lr"), 6).alias("log_weight"),
+            qround(F.sum("_lr"), 6).alias("log_weight"),
         )
     )

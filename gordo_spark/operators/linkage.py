@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 __all__ = ["blocked_pairs", "fs_scores"]
 
@@ -192,5 +193,5 @@ def fs_scores(
         "id_a",
         "id_b",
         n_agree.alias("n_agree"),
-        F.round(score, 6).alias("score"),
+        qround(score, 6).alias("score"),
     )

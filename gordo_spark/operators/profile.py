@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType
+from gordo_spark.functions.rounding import qround
 
 
 def profile(
@@ -114,9 +115,9 @@ def benford(
         *gcols,
         "digit",
         "n",
-        F.round(F.col("n") / F.col("_total"), 6).alias("obs_p"),
-        F.round(exp_p, 6).alias("exp_p"),
-        F.round(F.sum("_chi_term").over(wg), 6).alias("chi2"),
+        qround(F.col("n") / F.col("_total"), 6).alias("obs_p"),
+        qround(exp_p, 6).alias("exp_p"),
+        qround(F.sum("_chi_term").over(wg), 6).alias("chi2"),
     )
 
 
@@ -239,7 +240,7 @@ def join_size_profile(
             "keys_right",
             "keys_common",
             F.coalesce(F.col("join_rows"), F.lit(0)).alias("join_rows"),
-            F.round(
+            qround(
                 F.when(
                     (F.col("n_left") > 0) & (F.col("n_right") > 0),
                     F.col("join_rows")
@@ -249,7 +250,7 @@ def join_size_profile(
             ).alias("fanout"),
             "max_key_rows",
             "hot_key",
-            F.round(
+            qround(
                 F.when(
                     F.col("join_rows") > 0,
                     F.col("max_key_rows") / F.col("join_rows"),
@@ -313,7 +314,7 @@ def null_patterns(
                 "n_cols_null"
             ),
             "n",
-            F.round(F.col("n") / F.col("_t"), 6).alias("frac"),
+            qround(F.col("n") / F.col("_t"), 6).alias("frac"),
         )
         .orderBy(F.col("n").desc(), F.col("pattern").asc())
         .limit(int(topk))

@@ -53,6 +53,7 @@ them):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from gordo_spark.functions.rounding import qround
 
 
 def _q(c: str):
@@ -216,7 +217,7 @@ def reconcile_totals(
             (F.col("_stored").isNull() & F.col("_recomputed").isNotNull())
             .cast("long")
         ).alias("n_orphan_child_groups"),
-        F.round(F.max(F.when(has_both, rel_err)), 6).alias("max_rel_err"),
+        qround(F.max(F.when(has_both, rel_err)), 6).alias("max_rel_err"),
     )
 
 
@@ -353,9 +354,9 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     pe = pa1 * pb1 + (1 - pa1) * (1 - pb1)
     return one.select(
         "n",
-        F.round(po, 6).alias("p_o"),
-        F.round(pe, 6).alias("p_e"),
-        F.round(
+        qround(po, 6).alias("p_o"),
+        qround(pe, 6).alias("p_e"),
+        qround(
             F.when(pe < 1.0, (po - pe) / (1.0 - pe)), 6
         ).alias("kappa"),
     )
@@ -398,12 +399,12 @@ def ingest_health(
     med = F.expr("percentile(n_rows, 0.5)").over(w)
     ratio = F.when(med > 0, F.col("n_rows") / med)
     return (
-        grid.withColumn("trailing_median", F.round(med, 1))
+        grid.withColumn("trailing_median", qround(med, 1))
         .select(
             "day",
             "n_rows",
             "trailing_median",
-            F.round(ratio, 6).alias("ratio"),
+            qround(ratio, 6).alias("ratio"),
             F.when(F.col("n_rows") == 0, F.lit("missing"))
             .when(F.col("trailing_median").isNull(), F.lit("warmup"))
             .when(
@@ -599,7 +600,7 @@ def schema_drift(
     # 6dp-rounded BEFORE the threshold comparisons (engine-portable
     # verdicts — an ulp of avg() disagreement at the tolerance boundary
     # would flip a verdict string and the hash with it)
-    rel = F.round(
+    rel = qround(
         F.abs(F.col("n._mean") - F.col("o._mean"))
         / F.greatest(F.abs(F.col("o._mean")), F.lit(eps)),
         6,
@@ -609,15 +610,15 @@ def schema_drift(
             F.col("o._n").isNull() | F.col("n._n").isNull(), F.lit("missing")
         )
         .when(rel > float(rel_tol), F.lit("mean_drift"))
-        .when(F.round(F.abs(nr_n - nr_o), 6) > float(null_tol), F.lit("null_drift"))
+        .when(qround(F.abs(nr_n - nr_o), 6) > float(null_tol), F.lit("null_drift"))
         .otherwise(F.lit("stable"))
     )
     return j.select(
         "column",
-        F.round(nr_o, 6).alias("null_rate_old"),
-        F.round(nr_n, 6).alias("null_rate_new"),
-        F.round(F.col("o._mean"), 6).alias("mean_old"),
-        F.round(F.col("n._mean"), 6).alias("mean_new"),
+        qround(nr_o, 6).alias("null_rate_old"),
+        qround(nr_n, 6).alias("null_rate_new"),
+        qround(F.col("o._mean"), 6).alias("mean_old"),
+        qround(F.col("n._mean"), 6).alias("mean_new"),
         F.when(
             F.col("o._n").isNotNull() & F.col("n._n").isNotNull(), rel
         ).alias("rel_mean_delta"),
@@ -650,9 +651,9 @@ def json_conformance(
     }
     aggs = [
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(parse_ok), 6).alias("parse_rate"),
+        qround(F.avg(parse_ok), 6).alias("parse_rate"),
         *[
-            F.round(F.avg(expr), 6).alias(f"has_{k}")
+            qround(F.avg(expr), 6).alias(f"has_{k}")
             for k, expr in keys.items()
         ],
     ]
@@ -707,10 +708,10 @@ def dp_group_counts(
         out_cols.append("n")
     return g.select(
         *out_cols,
-        F.round(noise, 6).alias("noise"),
+        qround(noise, 6).alias("noise"),
         F.greatest(
             F.lit(0).cast("long"),
-            F.round(F.col("n") + noise, 0).cast("long"),
+            qround(F.col("n") + noise, 0).cast("long"),
         ).alias("released"),
     )
 
@@ -783,7 +784,7 @@ def t_closeness(
         )
         .groupBy(*qi_cols, "n")
         .agg(
-            F.round(F.sum("_d") / (F.max("_m") - 1.0), 6).alias("emd")
+            qround(F.sum("_d") / (F.max("_m") - 1.0), 6).alias("emd")
         )
     )
     return emd.select(
@@ -792,3 +793,51 @@ def t_closeness(
         "emd",
         (F.col("emd") > F.lit(float(t))).alias("violating"),
     ).orderBy(*qi_cols)
+
+
+def erasure_audit(
+    tables: "dict[str, tuple[DataFrame, str]]",
+    deleted_keys: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """RIGHT-TO-ERASURE compliance audit (GDPR art. 17 operationalized):
+    given the tombstone list of deleted subject keys, count — per table
+    — the rows that STILL reference a deleted subject. A clean deletion
+    pipeline reports 0 everywhere; any survivor count localizes the
+    table whose purge job missed (the cross-table twin of
+    ``null_patterns``' broken-joiner forensics). ``tables`` maps
+    table name -> (frame, its subject-key column).
+
+    Scale shape: per table, ONE left-semi join against the tombstone
+    frame (broadcast — deletion batches are bounded by construction;
+    an unbounded tombstone list is itself the incident) + a keyless
+    count; plan linear in |tables|, output |tables| rows. Also reports
+    each table's total rows and the surviving share, so the readout is
+    a ratio, not a bare count. Output:
+    ``(table, n_rows, n_referencing_deleted, share)`` ordered by table.
+    """
+    keys = deleted_keys.select(F.col(key_col).alias("_k")).distinct()
+    out = None
+    for name in sorted(tables):
+        df, col = tables[name]
+        total = df.count()
+        n_ref = df.join(
+            F.broadcast(keys), df[col] == F.col("_k"), "left_semi"
+        ).count()
+        row = keys.sparkSession.createDataFrame(
+            [(name, total, n_ref)],
+            "table string, n_rows long, n_referencing_deleted long",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "table",
+        "n_rows",
+        "n_referencing_deleted",
+        qround(
+            F.when(
+                F.col("n_rows") > 0,
+                F.col("n_referencing_deleted") / F.col("n_rows"),
+            ),
+            6,
+        ).alias("share"),
+    ).orderBy("table")

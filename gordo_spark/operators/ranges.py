@@ -17,9 +17,12 @@ window passes over one shuffle on the key — the standard scalable shape
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
+from gordo_spark.functions.rounding import qround
 
 from gordo_spark.functions.timeutil import epoch_seconds
 
@@ -210,7 +213,7 @@ def funnel_steps(
         "_s.step",
         "_s.event_type",
         "_s.n_users",
-        F.round(
+        qround(
             F.col("_s.n_users") / F.nullif(F.col("_base"), F.lit(0)), 6
         ).alias("conversion"),
     )
@@ -256,7 +259,7 @@ def retention_cohorts(
         "cohort_week",
         "week_offset",
         "n_users",
-        F.round(F.col("n_users") / F.col("_size"), 6).alias("retention"),
+        qround(F.col("n_users") / F.col("_size"), 6).alias("retention"),
     )
 
 
@@ -295,7 +298,7 @@ def event_transitions(
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+        qround(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
     )
 
 
@@ -486,15 +489,15 @@ def conversion_lag(
         F.expr("percentile(_lag, 0.5)").alias("p50_s"),
         F.expr("percentile(_lag, 0.75)").alias("p75_s"),
         F.expr("percentile(_lag, 0.9)").alias("p90_s"),
-        F.round(F.avg("_lag"), 6).alias("mean_s"),
+        qround(F.avg("_lag"), 6).alias("mean_s"),
     )
     return summary.crossJoin(F.broadcast(started)).select(
         "n_converted",
         "n_started",
-        F.round("p25_s", 6).alias("p25_s"),
-        F.round("p50_s", 6).alias("p50_s"),
-        F.round("p75_s", 6).alias("p75_s"),
-        F.round("p90_s", 6).alias("p90_s"),
+        qround("p25_s", 6).alias("p25_s"),
+        qround("p50_s", 6).alias("p50_s"),
+        qround("p75_s", 6).alias("p75_s"),
+        qround("p90_s", 6).alias("p90_s"),
         "mean_s",
     )
 
@@ -632,13 +635,16 @@ def markov_attribution(
     p_without = {c: walk(c) for c in touches}
     effects = {c: 1.0 - p_without[c] / p_base for c in touches}
     total_eff = sum(effects.values())
+    # floor-quantizer (functions/rounding.qround mirror): builtin round()
+    # is half-even and would diverge from the SQL oracle at .5e-6 ties
+    _q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
     rows = [
         (
             c,
-            round(p_base, 6),
-            round(p_without[c], 6),
-            round(effects[c], 6),
-            round(effects[c] / total_eff, 6) if total_eff else None,
+            _q6(p_base),
+            _q6(p_without[c]),
+            _q6(effects[c]),
+            _q6(effects[c] / total_eff) if total_eff else None,
         )
         for c in sorted(touches)
     ]
@@ -695,9 +701,9 @@ def burstiness(
         .select(
             user_col,
             "n_events",
-            F.round(mu, 6).alias("mean_gap_s"),
-            F.round(F.when(mu > 0, sd / mu), 6).alias("cv"),
-            F.round(
+            qround(mu, 6).alias("mean_gap_s"),
+            qround(F.when(mu > 0, sd / mu), 6).alias("cv"),
+            qround(
                 F.when((sd + mu) > 0, (sd - mu) / (sd + mu)), 6
             ).alias("burstiness"),
         )
@@ -803,11 +809,11 @@ def position_attribution(
         )
         .otherwise(0.2 / (F.col("_n") - 2))
     )
-    ci = F.round(credit * 1e9, 0).cast("long")
+    ci = qround(credit * 1e9, 0).cast("long")
     return (
         ex.groupBy("touch")
         .agg(
-            F.round(F.sum(ci) / F.lit(1e9), 6).alias("credit"),
+            qround(F.sum(ci) / F.lit(1e9), 6).alias("credit"),
             F.count(F.lit(1)).alias("n_touched"),
         )
         .orderBy("touch")
@@ -827,11 +833,15 @@ def stickiness(
     WAU is a partial window, as every dashboard actually computes it).
 
     Shape: activity collapses to distinct (user, day) FIRST (the only
-    corpus-sized aggregation), then a range join lands each activity
-    day on the <= 28 spine days it supports — output bounded by
-    |activity| x 28, never events x anything — and one spine-keyed
-    aggregate counts conditional distincts for all three horizons at
-    once. Output per day: ``(d, dau, wau, mau, stickiness)``.
+    corpus-sized aggregation), then each activity day EXPLODES into the
+    <= 28 calendar dates it supports (``sequence(d, d+27)``) and lands
+    on the spine via an EQUI-join — compute is strictly |activity| x 28.
+    (A ``spine.d - 27 <= _d <= spine.d`` predicate instead would plan as
+    BroadcastNestedLoopJoin: every activity row compared against EVERY
+    spine day, |activity| x |all active days| — thousands of predicate
+    evaluations per row over multi-year history.) One spine-keyed
+    aggregate then counts conditional distincts for all three horizons
+    at once. Output per day: ``(d, dau, wau, mau, stickiness)``.
     """
     act = (
         events.select(
@@ -842,14 +852,17 @@ def stickiness(
         .distinct()
     )
     spine = act.select(F.col("_d").alias("d")).distinct()
-    # the spine is CALENDAR-bounded (distinct active days) — hint it as
-    # the broadcast side so the non-equi join never tries to broadcast
-    # the activity table at scale
-    joined = F.broadcast(spine).join(
-        act,
-        (F.col("_d") <= F.col("d"))
-        & (F.col("_d") >= F.date_sub(F.col("d"), 27)),
+    # explode each activity day into the <= 28 spine dates it supports,
+    # then equi-join; the spine side is CALENDAR-bounded so the hint is
+    # genuinely safe, and the hash join replaces the nested-loop scan
+    ex = act.select(
+        "_u",
+        "_d",
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), 27))
+        ).alias("d"),
     )
+    joined = ex.join(F.broadcast(spine), "d")
     diff = F.datediff(F.col("d"), F.col("_d"))
     out = joined.groupBy("d").agg(
         F.countDistinct(F.when(diff < 1, F.col("_u"))).alias("dau"),
@@ -863,7 +876,7 @@ def stickiness(
         "dau",
         "wau",
         "mau",
-        F.round(
+        qround(
             F.when(F.col("mau") > 0, F.col("dau") / F.col("mau")), 6
         ).alias("stickiness"),
     ).orderBy("d")

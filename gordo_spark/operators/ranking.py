@@ -27,6 +27,7 @@ generalized to ntile with deterministic (value, id) tie-breaking.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from gordo_spark.functions.rounding import qround
 
 
 def distributed_ntile(
@@ -131,7 +132,7 @@ def rfm_segments(
     per = orders.groupBy(cust_col).agg(
         F.max(F.col(ts_col).cast("timestamp").cast("long")).alias("_rec"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum(amount_col), 6).alias("monetary"),
+        qround(F.sum(amount_col), 6).alias("monetary"),
     )
     thr = per.agg(
         *[
@@ -220,11 +221,11 @@ def lorenz_curve(
     return per.select(
         "bucket",
         "n_members",
-        F.round("bucket_value", 2).alias("bucket_value"),
-        F.round(
+        qround("bucket_value", 2).alias("bucket_value"),
+        qround(
             F.sum("n_members").over(w) / F.sum("n_members").over(wall), 6
         ).alias("cum_member_frac"),
-        F.round(
+        qround(
             F.sum("bucket_value").over(w) / F.sum("bucket_value").over(wall),
             6,
         ).alias("cum_value_frac"),
@@ -259,7 +260,7 @@ def quantile_transform(
     bounds = df.agg(
         F.transform(
             F.expr(f"percentile({value_col}, array({qs}))"),
-            lambda p: F.round(p, 6),
+            lambda p: qround(p, 6),
         ).alias("_qt_bs")
     )
     q = F.size(
@@ -267,7 +268,7 @@ def quantile_transform(
     ) / F.lit(float(k))
     return (
         df.crossJoin(F.broadcast(bounds))
-        .withColumn(out_col, F.round(q, 6))
+        .withColumn(out_col, qround(q, 6))
         .drop("_qt_bs")
     )
 
@@ -299,8 +300,8 @@ def trimmed_mean(
     v = F.col(value_col).cast("double")
     cuts = df.filter(v.isNotNull()).groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.expr(f"percentile({value_col}, {t})"), 6).alias("lo_cut"),
-        F.round(F.expr(f"percentile({value_col}, {1 - t})"), 6).alias(
+        qround(F.expr(f"percentile({value_col}, {t})"), 6).alias("lo_cut"),
+        qround(F.expr(f"percentile({value_col}, {1 - t})"), 6).alias(
             "hi_cut"
         ),
     )
@@ -308,13 +309,13 @@ def trimmed_mean(
         df.filter(v.isNotNull())
         .join(cuts, group_col)
         .filter(
-            (F.round(v, 6) >= F.col("lo_cut"))
-            & (F.round(v, 6) <= F.col("hi_cut"))
+            (qround(v, 6) >= F.col("lo_cut"))
+            & (qround(v, 6) <= F.col("hi_cut"))
         )
     )
     return kept.groupBy(group_col, "n", "lo_cut", "hi_cut").agg(
         F.count(F.lit(1)).alias("n_used"),
-        F.round(F.avg(v), 6).alias("trimmed_mean"),
+        qround(F.avg(v), 6).alias("trimmed_mean"),
     ).select(group_col, "n", "n_used", "lo_cut", "hi_cut", "trimmed_mean")
 
 
@@ -345,7 +346,7 @@ def weighted_quantile(
     """
     from pyspark.sql import Window
 
-    v = F.round(F.col(value_col).cast("double"), 6)
+    v = qround(F.col(value_col).cast("double"), 6)
     w = F.col(weight_col).cast("double")
     rows = df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
     hist = rows.groupBy(F.col(group_col).alias("_g"), v.alias("_v")).agg(
@@ -378,7 +379,7 @@ def weighted_quantile(
     return hit.select(
         F.col("_g").alias(group_col),
         "q",
-        F.round(F.col("_W"), 6).alias("total_weight"),
+        qround(F.col("_W"), 6).alias("total_weight"),
         F.col("_v").alias("estimate"),
     )
 
@@ -433,3 +434,33 @@ def skyline_2d(
         ["_b"],
     ).drop("_b")
     return survivors(local, []).orderBy("x", "y", "id")
+
+
+def group_mode(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+) -> DataFrame:
+    """Exact per-group MODE with a deterministic lowest-value tiebreak —
+    the categorical central tendency GROUP BY families always need and
+    engines only ship approximately (Spark has no mode agg before 3.4,
+    and 3.4's breaks ties arbitrarily). Two stacked hash aggregations
+    (value counts, then an argmax via ``max_by`` on a (count, value)
+    struct with the value NEGATIVE-ORDERED for the tiebreak) — both
+    map-side combinable, no windows. Output:
+    ``(group..., mode, mode_n, n_distinct)``.
+    """
+    counts = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *group_cols, F.col(value_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        counts.groupBy(*group_cols)
+        .agg(
+            F.min_by(
+                "_v", F.struct((-F.col("_n")).alias("a"), F.col("_v"))
+            ).alias("mode"),
+            F.max("_n").alias("mode_n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .orderBy(*group_cols)
+    )

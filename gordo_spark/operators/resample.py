@@ -23,9 +23,44 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from gordo_spark.functions.timeutil import offset_alias_to_seconds
 
+# Quantization scale for the bit-reproducible "mean_exact" aggregation.
+EXACT_MEAN_SCALE = 1_000_000
+
+
+def _mean_exact(c: str) -> Column:
+    """Bit-reproducible 6-decimal mean: quantize each value to 1e-6 with
+    ``floor(v * 1e6 + 0.5)`` (pure IEEE ops — multiply, add, floor — so every
+    engine computes the identical integer), sum as exact decimal(38,0)
+    integers (order-independent, no float accumulation), then re-quantize the
+    quotient to the 1e-6 grid with the same floor(+0.5) construction.
+
+    ``mean`` (float avg) is the reference-parity path (pandas ``resample().
+    mean()``); ``mean_exact`` is the audit/gate path: identical output on any
+    engine, partitioning, or retry order — the property a 100 TB pipeline
+    needs for reproducible snapshots. The only divergence from ``mean`` is
+    ≤ 1e-6 per cell (input quantization), which is inside the 6-decimal
+    rounding every downstream contract applies anyway.
+    """
+    v = F.col(c)
+    scaled = F.floor(v * EXACT_MEAN_SCALE + F.lit(0.5)).cast("decimal(38,0)")
+    quot = F.sum(scaled).cast("double") / F.count(v)
+    exact = F.floor(quot + F.lit(0.5)).cast("double") / F.lit(
+        float(EXACT_MEAN_SCALE)
+    )
+    # non-finite values have no place on the integer grid; such cells fall
+    # back to the float avg, which is STILL order-independent (inf or NaN
+    # absorbs the whole sum identically on any engine) — so determinism
+    # holds for every cell, and P7-imputed pipelines never hit this branch
+    nonfinite = F.max(
+        F.when(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), 1).otherwise(0)
+    )
+    return F.when(nonfinite == 1, F.avg(v)).otherwise(exact)
+
+
 # pandas aggregation-method names (the config surface) -> Spark builtins.
 _AGG = {
     "mean": F.avg,
+    "mean_exact": _mean_exact,
     "max": F.max,
     "min": F.min,
     "sum": F.sum,

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 from gordo_spark.operators.dedup import md5_long
 
@@ -292,7 +293,7 @@ def weighted_sample(
     return (
         d.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= int(k))
-        .withColumn("sample_key", F.round("_key", 6))
+        .withColumn("sample_key", qround("_key", 6))
         .drop("_key")
     )
 
@@ -329,16 +330,16 @@ def mixture_budget(
         F.sum(token_col).cast("long").alias("n_tokens")
     )
     w = F.coalesce(
-        wmap.getItem(F.col(strata_col).cast("string")), F.lit(0.0)
+        wmap[F.col(strata_col).cast("string")], F.lit(0.0)
     )
     alloc = w * F.lit(float(budget_tokens))
     return counts.select(
         strata_col,
         "n_tokens",
-        F.round(w, 6).alias("target_weight"),
-        F.round(alloc, 1).alias("allocated_tokens"),
-        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
-        F.round(
+        qround(w, 6).alias("target_weight"),
+        qround(alloc, 1).alias("allocated_tokens"),
+        qround(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        qround(
             F.least(F.lit(1.0), alloc / F.col("n_tokens")), 6
         ).alias("capped_rate"),
     ).orderBy(strata_col)
@@ -378,7 +379,7 @@ def weighted_take(
         df.filter(
             F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
         )
-        .withColumn("_es_key", F.round(key, 12))
+        .withColumn("_es_key", qround(key, 12))
         .orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
         .limit(int(n))
     )

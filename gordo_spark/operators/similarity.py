@@ -20,12 +20,15 @@ Scale posture of each entry point is documented on the function.
 
 from __future__ import annotations
 
+import math
+
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
+from gordo_spark.functions.rounding import qround
 
 
 def _as_double(col) -> Column:
@@ -606,7 +609,7 @@ def label_centroids(
             F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
         )
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("mean"))
+        .agg(qround(F.avg("val"), 6).alias("mean"))
     )
 
 
@@ -646,7 +649,7 @@ def label_cohesion(
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("_cos"), 6).alias("mean_cosine"),
+            qround(F.avg("_cos"), 6).alias("mean_cosine"),
         )
     )
 
@@ -689,8 +692,8 @@ def embedding_norm_outliers(
         .select(
             F.col(id_col),
             "label",
-            F.round("norm", 6).alias("norm"),
-            F.round(z, 3).alias("z"),
+            qround("norm", 6).alias("norm"),
+            qround(z, 3).alias("z"),
             (F.abs(z) > z_threshold).alias("is_outlier"),
         )
     )
@@ -791,7 +794,7 @@ def recall_at_k(
     return base.join(hits, query_col, "left").select(
         query_col,
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-        F.round(
+        qround(
             F.coalesce("n_hit", F.lit(0))
             / F.least(F.lit(float(k)), F.col("_n_truth")),
             6,
@@ -1170,7 +1173,7 @@ def pq_adc_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+        .select("query_id", "neighbor_id", qround("adc_dist", 6).alias("adc_dist"), "rank")
     )
 
 
@@ -1375,7 +1378,7 @@ def ivf_pq_probe(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= kq)
-        .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+        .select("query_id", "neighbor_id", qround("adc_dist", 6).alias("adc_dist"), "rank")
     )
 
 
@@ -1431,7 +1434,7 @@ def subsequence_topk(
         F.stddev_pop(x).over(wspec).alias("_s"),
         F.row_number().over(ospec).alias("_rn"),
     ).filter((F.col("_rn") >= w) & (F.col("_s") > min_std))
-    dist = F.round(
+    dist = qround(
         F.sqrt(
             F.greatest(
                 F.lit(2.0 * w) * (F.lit(1.0) - F.col("_dot") / (F.lit(float(w)) * F.col("_s"))),
@@ -1605,8 +1608,8 @@ def embedding_drift(
     )
     return agg.select(
         "label",
-        F.round(cos, 6).alias("cosine"),
-        F.round("_l2", 6).alias("l2"),
+        qround(cos, 6).alias("cosine"),
+        qround("_l2", 6).alias("l2"),
         "n_ref",
         "n_cur",
     )
@@ -1663,8 +1666,8 @@ def truncation_energy(
         entries.groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("ratio"), 6).alias("mean_retained"),
-            F.round(F.expr("percentile(ratio, 0.1)"), 6).alias(
+            qround(F.avg("ratio"), 6).alias("mean_retained"),
+            qround(F.expr("percentile(ratio, 0.1)"), 6).alias(
                 "p10_retained"
             ),
         )
@@ -1708,8 +1711,8 @@ def bitext_margin(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("_cos", 6).alias("cosine"),
-            F.round(F.col("_cos") / F.col("_avg"), 6).alias("margin"),
+            qround("_cos", 6).alias("cosine"),
+            qround(F.col("_cos") / F.col("_avg"), 6).alias("margin"),
         )
         .filter(F.col("margin") >= float(min_margin))
         .orderBy("query_id")
@@ -1738,10 +1741,15 @@ def knn_graph_stats(
     Scale posture: this is a bounded-sample DIAGNOSTIC (the
     dedup_embed_cosine / ann_recall convention) — the all-pairs product
     is the point of the exact readout, so the caller passes a sample
-    (contract caps by id filter) and the small side broadcasts. The
-    corpus-scale estimator is the same arithmetic over an LSH/IVF
-    candidate graph (``lsh_ann_topk``); hubness is a property you
-    MEASURE on samples, not a per-row production transform.
+    (contract caps by id filter). The join carries NO broadcast hint:
+    AQE broadcasts a genuinely small side on its own, and an unhinted
+    plan degrades to a shuffle join instead of an executor OOM if a
+    caller hands the full corpus to a sample-scoped diagnostic
+    (the round-7/8 de-hinting rule; regression-pinned in
+    tests/test_plan_rules.py). The corpus-scale estimator is the same
+    arithmetic over an LSH/IVF candidate graph (``lsh_ann_topk``);
+    hubness is a property you MEASURE on samples, not a per-row
+    production transform.
     """
     a = vectors.select(
         F.col(id_col).alias("src"), _as_double(F.col(vec_col)).alias("va")
@@ -1749,10 +1757,10 @@ def knn_graph_stats(
     b = vectors.select(
         F.col(id_col).alias("dst"), _as_double(F.col(vec_col)).alias("vb")
     )
-    pairs = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+    pairs = a.join(b, F.col("src") != F.col("dst")).select(
         "src",
         "dst",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("_cos"),
+        qround(cosine(F.col("va"), F.col("vb")), 6).alias("_cos"),
     )
     w = Window.partitionBy("src").orderBy(
         F.col("_cos").desc(), F.col("dst").asc()
@@ -1784,7 +1792,7 @@ def knn_graph_stats(
             F.col("_id").alias(id_col),
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
             F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
-            F.round(
+            qround(
                 F.coalesce("n_reciprocal", F.lit(0)) / F.lit(float(k)), 6
             ).alias("reciprocal_rate"),
         )
@@ -1827,7 +1835,7 @@ def rrf_fusion(
         un = un.unionByName(p)
     agg = un.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_lists"),
-        F.round(F.sum("_c"), 6).alias("rrf_score"),
+        qround(F.sum("_c"), 6).alias("rrf_score"),
     )
     w = Window.orderBy(F.col("rrf_score").desc(), F.col("_id").asc())
     # single-partition window over a |lists| x k bounded frame — the
@@ -1869,7 +1877,7 @@ def mmr_rerank(
     rows = (
         candidates.select(
             F.col(id_col).alias("_id"),
-            F.round(F.col(rel_col).cast("double"), 6).alias("_rel"),
+            qround(F.col(rel_col).cast("double"), 6).alias("_rel"),
             _as_double(F.col(vec_col)).alias("_v"),
         )
         .orderBy("_id")
@@ -1883,7 +1891,7 @@ def mmr_rerank(
     rel = np.array([r["_rel"] for r in rows])
     V = np.stack([np.array(r["_v"], dtype=float) for r in rows])
     norms = np.linalg.norm(V, axis=1)
-    S = np.round((V @ V.T) / np.outer(norms, norms), 6)
+    S = np.floor((V @ V.T) / np.outer(norms, norms) * 1e6 + 0.5) / 1e6
     n = len(ids)
     lam = float(lam)
     picked: list[int] = []
@@ -1893,7 +1901,7 @@ def mmr_rerank(
         best_i, best_obj = None, None
         for i in sorted(remaining):  # id-order scan = id-asc tiebreak
             penalty = max((S[i, j] for j in picked), default=0.0)
-            obj = round(lam * rel[i] - (1.0 - lam) * penalty, 6)
+            obj = math.floor((lam * rel[i] - (1.0 - lam) * penalty) * 1e6 + 0.5) / 1e6
             if best_obj is None or obj > best_obj:
                 best_i, best_obj = i, obj
         picked.append(best_i)
@@ -1963,3 +1971,114 @@ def knn_classify(
         )
         .orderBy("query_id")
     )
+
+
+def kcenter_coreset(
+    vectors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-CENTER coreset selection (Gonzalez 1985; the 2-approx
+    farthest-first traversal SemDeDup-style pipelines use to pick a
+    maximally-DIVERSE training subset): seed with the lowest id, then
+    repeatedly add the point FARTHEST (max cosine distance, 6dp, id-asc
+    tiebreak) from its nearest already-picked center. Complements
+    mmr_rerank (relevance-diversity tradeoff) with pure coverage — the
+    "what k docs span this corpus" primitive for curriculum seeding and
+    eval-set construction.
+
+    Bounded-collect contract class (the mmr/markov/codebook precedent):
+    the input is a candidate sample (contract caps by id), the greedy
+    loop is k sequential argmaxes driver-side over <= n rows — as Spark
+    jobs each argmax would be pure scheduler overhead. Corpus-scale
+    path: run per-IVF-cell via the trained-kmeans router, then k-center
+    over cell representatives. Distances quantize through the engine
+    floor-quantizer so any engine replays the identical pick sequence.
+    Output: ``(id, pick_rank, dist_to_centers)`` — dist is the
+    max-min objective value AT pick time (seed emits NULL).
+    """
+    import math
+
+    import numpy as np
+
+    rows = (
+        vectors.select(
+            F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+        )
+        .orderBy("_id")
+        .collect()
+    )  # bounded: candidate sample
+    if not rows:
+        return vectors.sparkSession.createDataFrame(
+            [], f"{id_col} long, pick_rank int, dist_to_centers double"
+        )
+    ids = [r["_id"] for r in rows]
+    V = np.stack([np.array(r["_v"], dtype=float) for r in rows])
+    norms = np.linalg.norm(V, axis=1)
+    S = np.floor(
+        (1.0 - (V @ V.T) / np.outer(norms, norms)) * 1e6 + 0.5
+    ) / 1e6  # cosine DISTANCE, engine-quantized
+    n = len(ids)
+    picked = [0]  # lowest id seeds
+    out = [(ids[0], 1, None)]
+    mind = S[0].copy()  # min distance to picked set, per point
+    for r in range(2, min(int(k), n) + 1):
+        best_i, best_d = None, -1.0
+        for i in range(n):  # id-order scan = id-asc tiebreak
+            if i in picked:
+                continue
+            if mind[i] > best_d:
+                best_i, best_d = i, mind[i]
+        picked.append(best_i)
+        out.append((ids[best_i], r, float(best_d)))
+        mind = np.minimum(mind, S[best_i])
+    return vectors.sparkSession.createDataFrame(
+        out, f"{id_col} long, pick_rank int, dist_to_centers double"
+    )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC eval-set contamination screen: for every eval item, the
+    max cosine similarity over the training corpus and the offending
+    train id — the embedding-space companion of the n-gram
+    ``decontaminate`` (paraphrased leaks share no 13-gram but sit at
+    cosine ~0.97; Lee et al. 2022's dedup lesson applied to eval
+    integrity). Verdict ``contaminated = max_cos >= threshold``.
+
+    Scale shape: the EVAL side is the small, fixed side (benchmarks are
+    KBs by construction — the decontaminate convention) and broadcasts;
+    the train corpus streams through one scan, and the per-eval max is
+    a map-side-combinable aggregate keyed on the eval id (|eval| groups,
+    bounded). 6dp cosine + id-asc argmax keeps it engine-exact.
+    Output: ``(eval_id, max_cos, nearest_train_id, contaminated)``.
+    """
+    ev = evalset.select(
+        F.col(id_col).alias("eval_id"), _as_double(F.col(vec_col)).alias("_ve")
+    )
+    tr = train.select(
+        F.col(id_col).alias("_tid"), _as_double(F.col(vec_col)).alias("_vt")
+    )
+    pairs = tr.join(F.broadcast(ev), F.lit(True)).select(
+        "eval_id",
+        "_tid",
+        qround(cosine(F.col("_vt"), F.col("_ve")), 6).alias("_cos"),
+    )
+    best = pairs.groupBy("eval_id").agg(
+        F.max("_cos").alias("max_cos"),
+        F.min_by(
+            "_tid", F.struct((-F.col("_cos")).alias("d"), F.col("_tid"))
+        ).alias("nearest_train_id"),
+    )
+    return best.select(
+        "eval_id",
+        "max_cos",
+        "nearest_train_id",
+        (F.col("max_cos") >= F.lit(float(threshold))).alias("contaminated"),
+    ).orderBy("eval_id")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 
 def approx_distinct(
@@ -323,7 +324,7 @@ def hll_det_estimate(
     est = F.when(
         (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(raw)
-    return agg.select(*gcols, F.round(est, 4).alias("hll_distinct"))
+    return agg.select(*gcols, qround(est, 4).alias("hll_distinct"))
 
 
 def group_quantile_sketch(
@@ -415,7 +416,7 @@ def group_quantile_sketch(
             F.col("_g").alias(group_col),
             F.col("_n").alias("n"),
             F.col("q"),
-            F.round(
+            qround(
                 F.col("_lo")
                 + width
                 * (

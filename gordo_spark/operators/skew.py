@@ -22,6 +22,7 @@ multiplies the other side's shuffle volume.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 _SALT = "_gs_salt"
 
@@ -89,13 +90,13 @@ def key_skew_audit(df: DataFrame, key_cols: list[str]) -> DataFrame:
             F.sum("_c").alias("n_rows"),
             F.count(F.lit(1)).alias("n_keys"),
             F.max("_c").alias("max_key_rows"),
-            F.round(F.max("_c") / F.sum("_c"), 6).alias("max_key_frac"),
-            F.round(
+            qround(F.max("_c") / F.sum("_c"), 6).alias("max_key_frac"),
+            qround(
                 F.sum(F.col("_c") * F.col("_c"))
                 / (F.sum("_c") * F.sum("_c")),
                 6,
             ).alias("hhi"),
-            F.round(
+            qround(
                 (F.sum("_c") * F.sum("_c"))
                 / F.sum(F.col("_c") * F.col("_c")),
                 2,

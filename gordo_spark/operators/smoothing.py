@@ -27,6 +27,7 @@ import math
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+from gordo_spark.functions.rounding import qround
 
 
 def _trailing(w_order: WindowSpec, window: int) -> WindowSpec:
@@ -137,9 +138,9 @@ def rolling_zscore(
     )
     v = F.col("`" + value_col + "`")
     full = F.count(v).over(frame) >= window
-    mean = F.round(F.avg(v).over(frame), 6)
-    std = F.round(F.stddev_samp(v).over(frame), 6)
-    z = F.when(full & (std > 0), F.round((v - mean) / std, 6))
+    mean = qround(F.avg(v).over(frame), 6)
+    std = qround(F.stddev_samp(v).over(frame), 6)
+    z = F.when(full & (std > 0), qround((v - mean) / std, 6))
     return df.select(
         machine_col,
         ts_col,
@@ -198,7 +199,7 @@ def cusum_drift(
         *parts,
         ts_col,
         value_col,
-        F.round(
+        qround(
             F.col("_S") - F.least(F.lit(0.0), F.min("_S").over(wcum)), 6
         ).alias("cusum"),
     )
@@ -409,7 +410,7 @@ def mad_zscore(
         machine_col,
         ts_col,
         value_col,
-        F.round(F.expr(f"percentile(`{value_col}`, 0.5)").over(w), 6).alias(
+        qround(F.expr(f"percentile(`{value_col}`, 0.5)").over(w), 6).alias(
             "_med"
         ),
     )
@@ -418,13 +419,13 @@ def mad_zscore(
         ts_col,
         value_col,
         "_med",
-        F.round(
+        qround(
             F.expr("percentile(abs(`" + value_col + "` - _med), 0.5)").over(w), 6
         ).alias("_mad"),
     )
     z = F.when(
         F.col("_mad") > 0,
-        F.round(F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"), 6),
+        qround(F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"), 6),
     )
     return with_mad.select(
         machine_col,
@@ -489,9 +490,9 @@ def hampel(
         tag_col,
         ts_col,
         value_col,
-        F.round("_med", 6).alias("med"),
+        qround("_med", 6).alias("med"),
         is_out.alias("is_outlier"),
-        F.round(
+        qround(
             F.when(is_out, F.col("_med")).otherwise(F.col(value_col)), 6
         ).alias("filtered"),
     )
@@ -528,7 +529,7 @@ def peaks(
         value_col,
         F.col("_lm").alias("left_max"),
         F.col("_rm").alias("right_max"),
-        F.round(
+        qround(
             F.when(
                 F.col("_lm").isNotNull() | F.col("_rm").isNotNull(),
                 F.col(value_col)
@@ -570,7 +571,7 @@ def holt_backtest(
              machine_col=machine_col)
     keys = [machine_col] if machine_col else []
     w = Window.partitionBy(*keys).orderBy(ts_col)
-    f_prev = F.lag(F.round("forecast", 6)).over(w)
+    f_prev = F.lag(qround("forecast", 6)).over(w)
     err = F.col(value_col) - f_prev
     scored = h.select(
         *keys,
@@ -580,10 +581,10 @@ def holt_backtest(
     grouped = scored.groupBy(*keys) if keys else scored.groupBy()
     return grouped.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("_e"), 6).alias("bias"),
-        F.round(F.avg(F.abs("_e")), 6).alias("mae"),
-        F.round(F.sqrt(F.avg(F.col("_e") * F.col("_e"))), 6).alias("rmse"),
-        F.round(
+        qround(F.avg("_e"), 6).alias("bias"),
+        qround(F.avg(F.abs("_e")), 6).alias("mae"),
+        qround(F.sqrt(F.avg(F.col("_e") * F.col("_e"))), 6).alias("rmse"),
+        qround(
             F.avg(
                 F.when(
                     F.col(value_col) != 0,

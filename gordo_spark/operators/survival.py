@@ -19,6 +19,7 @@ portable product form); nothing subject-cardinality ever sorts.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from gordo_spark.functions.rounding import qround
 
 __all__ = ["km_curve"]
 
@@ -78,7 +79,7 @@ def km_curve(
         ),
     ).otherwise(F.lit(0.0))
     return (
-        risk.withColumn("survival", F.round(F.exp(F.sum(factor).over(w_asc)), 6))
+        risk.withColumn("survival", qround(F.exp(F.sum(factor).over(w_asc)), 6))
         .filter(F.col("n_events") > 0)
         .select("t", "n_risk", "n_events", "n_censored", "survival")
         .orderBy("t")

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from gordo_spark.functions.rounding import qround
 
 EN_STOPWORDS = [
     "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
@@ -367,7 +368,7 @@ def source_quality_filter(
         .filter(F.col("src_div") >= F.col("corpus_div"))
     )
     return kept.select(
-        F.col(id_col), F.col(source_col), F.round("src_div", 6).alias("src_div")
+        F.col(id_col), F.col(source_col), qround("src_div", 6).alias("src_div")
     )
 
 
@@ -456,7 +457,7 @@ def unigram_logprob_score_from_terms(
         .crossJoin(F.broadcast(oov))
         .groupBy(id_col, *carry_cols)
         .agg(
-            F.round(
+            qround(
                 -F.avg(F.coalesce(F.col("logp"), F.col("oov_logp"))), 6
             ).alias("mean_nll")
         )
@@ -500,7 +501,7 @@ def tfidf_topk(
     scored = tf.join(n_total, "term").select(
         F.col(id_col),
         "term",
-        F.round(F.col("tf") * F.log(F.col("n") / F.col("n_docs")), 6).alias(
+        qround(F.col("tf") * F.log(F.col("n") / F.col("n_docs")), 6).alias(
             "tfidf"
         ),
     )
@@ -540,7 +541,7 @@ def length_curriculum(
     ps = [i / n_stages for i in range(1, n_stages)]
     bounds = n_tok.agg(
         *[
-            F.round(F.expr(f"percentile(n_tokens, {p})"), 6).alias(f"_b{i}")
+            qround(F.expr(f"percentile(n_tokens, {p})"), 6).alias(f"_b{i}")
             for i, p in enumerate(ps)
         ]
     )
@@ -595,7 +596,7 @@ def vocab_coverage(
     klist = sorted(set(int(k) for k in ks))
     return (
         ranked.filter(F.col("rank").isin(klist))
-        .select("rank", F.round("cum_frac", 6).alias("coverage"))
+        .select("rank", qround("cum_frac", 6).alias("coverage"))
         .withColumnRenamed("rank", "k")
     )
 
@@ -622,7 +623,7 @@ def token_entropy(
     n = F.sum("c")
     return tf.groupBy(id_col).agg(
         n.alias("n_tokens"),
-        F.round(
+        qround(
             F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
         ).alias("entropy"),
     )
@@ -653,7 +654,7 @@ def doc_length_histogram(
     return hist.crossJoin(F.broadcast(total)).select(
         "bin_start",
         "n_docs",
-        F.round(F.col("n_docs") / F.col("_total"), 6).alias("frac"),
+        qround(F.col("n_docs") / F.col("_total"), 6).alias("frac"),
     )
 
 
@@ -682,7 +683,7 @@ def source_langmix(
         source_col,
         lang_col,
         "n_docs",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("frac"),
+        qround(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("frac"),
     )
 
 
@@ -749,7 +750,7 @@ def bigram_logprob_score(
     return (
         grams.join(logp, "gk")
         .groupBy(id_col)
-        .agg(F.round(-F.avg("logp"), 6).alias("mean_nll2"))
+        .agg(qround(-F.avg("logp"), 6).alias("mean_nll2"))
     )
 
 
@@ -840,7 +841,7 @@ def trigram_backoff_score(
         )
     )
     return scored.groupBy(id_col).agg(
-        F.round(-F.avg("_logs"), 6).alias("mean_nll3")
+        qround(-F.avg("_logs"), 6).alias("mean_nll3")
     )
 
 
@@ -1153,7 +1154,7 @@ def bm25_topk(
             ).alias("_s"),
         )
         .groupBy(id_col)
-        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .agg(qround(F.sum("_s"), 6).alias("score"))
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -1218,7 +1219,7 @@ def pmi_bigrams(
             "w1",
             "w2",
             "n",
-            F.round(
+            qround(
                 F.log(
                     (F.col("n").cast("double") * F.col("nn").cast("double"))
                     / (F.col("c1").cast("double") * F.col("c2").cast("double"))
@@ -1322,8 +1323,8 @@ def zipf_slope_by_lang(
     w = Window.partitionBy("lang").orderBy(F.col("f").desc(), F.col("t").asc())
     ranked = tf.withColumn("r", F.row_number().over(w))
     return ranked.groupBy("lang").agg(
-        F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
-        F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),
+        qround(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
+        qround(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),
         F.count(F.lit(1)).alias("n_terms"),
     )
 
@@ -1379,7 +1380,7 @@ def wordlist_filter(
         id_col,
         "n_tokens",
         "n_flagged",
-        F.round(frac, 6).alias("flag_frac"),
+        qround(frac, 6).alias("flag_frac"),
         (frac < F.lit(float(max_frac))).alias("keep"),
     )
 
@@ -1450,7 +1451,7 @@ def script_mix(
 
     def frac(pattern: str) -> Column:
         kept = n - F.length(F.regexp_replace(F.col(text_col), pattern, ""))
-        return F.when(n > 0, F.round(kept / n, 6))
+        return F.when(n > 0, qround(kept / n, 6))
 
     latin = frac("[A-Za-z]")
     digit = frac("[0-9]")
@@ -1462,7 +1463,7 @@ def script_mix(
         digit.alias("digit_frac"),
         space.alias("space_frac"),
         F.when(
-            n > 0, F.round(1.0 - latin - digit - space, 6)
+            n > 0, qround(1.0 - latin - digit - space, 6)
         ).alias("other_frac"),
     )
 
@@ -1499,7 +1500,7 @@ def readability(
         words.cast("long").alias("n_words"),
         sentences.cast("long").alias("n_sentences"),
         syllables.cast("long").alias("n_syllables"),
-        F.round(
+        qround(
             206.835 - 1.015 * words / sentences - 84.6 * syllables / words, 6
         ).alias("flesch"),
     )
@@ -1621,7 +1622,7 @@ def sparse_cosine_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6).alias(
+            qround(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6).alias(
                 "cosine"
             ),
         )
@@ -1657,7 +1658,7 @@ def langid_confusion(
     w = Window.partitionBy("label")
     return (
         cells.withColumn(
-            "recall_contrib", F.round(F.col("n") / F.sum("n").over(w), 6)
+            "recall_contrib", qround(F.col("n") / F.sum("n").over(w), 6)
         )
         .withColumn("correct", F.col("label") == F.col("pred"))
         .orderBy("label", "pred")
@@ -1789,7 +1790,7 @@ def llr_bigrams(
             "w1",
             "w2",
             "n",
-            F.round(
+            qround(
                 2.0
                 * (
                     term(k11, r1, c1)
@@ -1836,7 +1837,6 @@ def chi2_terms(
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_w"),
     )
     tc = base.groupBy("_y", "_w").agg(F.count(F.lit(1)).alias("_a"))
-    class_tot = tc.groupBy("_y").agg(F.sum("_a").alias("_docs_y"))
     # docs per class (distinct docs): recompute from df — one small agg
     nclass = df.groupBy(F.col(label_col).alias("_y")).agg(
         F.count(F.lit(1)).alias("_ny")
@@ -1867,7 +1867,7 @@ def chi2_terms(
         )
     )
     w = Window.partitionBy("_y").orderBy(
-        F.round(chi2, 6).desc(), F.col("_w").asc()
+        qround(chi2, 6).desc(), F.col("_w").asc()
     )
     return (
         joined.select(
@@ -1875,7 +1875,7 @@ def chi2_terms(
             F.col("_w").alias("term"),
             a.alias("df_in"),
             b.alias("df_out"),
-            F.round(chi2, 6).alias("chi2"),
+            qround(chi2, 6).alias("chi2"),
             F.row_number().over(w).alias("rank"),
         )
         .filter(F.col("rank") <= int(topk))
@@ -1965,7 +1965,7 @@ def nb_classify(
             "_id",
             "_true",
             "_cls",
-            F.round(F.col("_s") + F.col("_lp"), 6).alias("_score"),
+            qround(F.col("_s") + F.col("_lp"), 6).alias("_score"),
         )
     )
     wpick = Window.partitionBy("_id").orderBy(
@@ -1984,7 +1984,7 @@ def nb_classify(
         "label",
         "pred",
         "n",
-        F.round(
+        qround(
             F.when(
                 F.col("label") == F.col("pred"),
                 F.col("n") / F.sum("n").over(wrec),
@@ -2095,7 +2095,7 @@ def rake_keyphrases(
         .agg(
             # fold in SORTED word order: a hash-agg float sum is
             # order-nondeterministic; the sorted fold is engine-exact
-            F.round(
+            qround(
                 F.aggregate(
                     F.array_sort(
                         F.collect_list(

@@ -22,6 +22,7 @@ import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from gordo_spark.functions.rounding import qround
 
 __all__ = [
     "acf",
@@ -87,7 +88,7 @@ def acf(
         )
         out = out.withColumn(f"_lag{k}", F.last(value_col).over(w))
     aggs = [
-        F.round(F.corr(value_col, f"_lag{k}"), 6).alias(f"acf{k}") for k in lags
+        qround(F.corr(value_col, f"_lag{k}"), 6).alias(f"acf{k}") for k in lags
     ]
     wide = out.groupBy(tag_col).agg(*aggs)
     pairs = ", ".join(f"{k}, acf{k}" for k in lags)
@@ -140,9 +141,9 @@ def mean_shift_changepoint(
     scored = d.filter((ci >= min_seg) & (ci <= cn - min_seg)).select(
         tag_col,
         F.col(ts_col).alias("_ts"),
-        F.round(score, 6).alias("_score"),
-        F.round(m_left, 6).alias("_ml"),
-        F.round(m_right, 6).alias("_mr"),
+        qround(score, 6).alias("_score"),
+        qround(m_left, 6).alias("_ml"),
+        qround(m_right, 6).alias("_mr"),
     )
     # max(struct) picks highest score, then EARLIEST ts (negated epoch).
     best = scored.groupBy(tag_col).agg(
@@ -191,8 +192,8 @@ def seasonal_profile(
         tag_col,
         "hod",
         "n",
-        F.round("_hm", 6).alias("hod_mean"),
-        F.round(
+        qround("_hm", 6).alias("hod_mean"),
+        qround(
             F.when(F.col("_tsd") > 0, (F.col("_hm") - F.col("_tm")) / F.col("_tsd")),
             6,
         ).alias("seasonal_z"),
@@ -293,7 +294,7 @@ def psi_drift(
         ((q - p) * F.log(q / p)).alias("_term"),
     )
     return term.groupBy(tag_col, "n_ref", "n_cur").agg(
-        F.round(F.sum("_term"), 6).alias("psi")
+        qround(F.sum("_term"), 6).alias("psi")
     ).select(tag_col, "psi", "n_ref", "n_cur")
 
 
@@ -363,7 +364,7 @@ def ks_drift(
         F.col("_totr").alias("n_ref"),
         F.col("_totc").alias("n_cur"),
     ).agg(
-        F.round(
+        qround(
             F.max(F.when((F.col("_totr") > 0) & (F.col("_totc") > 0), gap)), 6
         ).alias("ks")
     )
@@ -453,7 +454,7 @@ def tag_mutual_info(
         pxy / ((F.col("_na") / F.col("_tot")) * (F.col("_nb") / F.col("_tot")))
     )
     return cnt.agg(
-        F.round(F.sum(term), 6).alias("mi"),
+        qround(F.sum(term), 6).alias("mi"),
         F.max("_tot").alias("n_pairs"),
         F.count(F.lit(1)).alias("n_cells"),
     )
@@ -543,7 +544,7 @@ def cross_correlation(
     right = right.withColumn("_t", F.col("_tb") - F.col("lag") * res)
     joined = left.join(right, "_t").filter(F.col("tag_a") < F.col("tag_b"))
     return joined.groupBy("tag_a", "tag_b", "lag").agg(
-        F.round(F.corr("_va", "_vb"), 6).alias("xcorr"),
+        qround(F.corr("_va", "_vb"), 6).alias("xcorr"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
 
@@ -599,7 +600,7 @@ def time_weighted_avg(
     return agg.select(
         tag_col,
         F.timestamp_seconds(F.col("_bkt") * b).alias("bucket_ts"),
-        F.round(
+        qround(
             F.when(F.col("_dt") > 0, F.col("_area") / F.col("_dt")).otherwise(
                 F.col("_mean")
             ),
@@ -644,14 +645,14 @@ def counter_rate(
         F.col("_pv").isNotNull() & (F.col(value_col) < F.col("_pv"))
     ).cast("long")
     agg = d.groupBy(tag_col, "_bkt").agg(
-        F.round(F.sum(inc), 6).alias("increase"),
+        qround(F.sum(inc), 6).alias("increase"),
         F.sum(reset).alias("n_resets"),
     )
     return agg.select(
         tag_col,
         F.timestamp_seconds(F.col("_bkt") * b).alias("bucket_ts"),
         "increase",
-        F.round(F.col("increase") / b, 6).alias("rate_per_sec"),
+        qround(F.col("increase") / b, 6).alias("rate_per_sec"),
         "n_resets",
     )
 
@@ -675,9 +676,9 @@ def trend(
     """
     x = F.col(ts_col).cast("timestamp").cast("long") / F.lit(3600.0)
     return df.groupBy(tag_col).agg(
-        F.round(F.regr_slope(F.col(value_col), x), 6).alias("slope_per_hour"),
-        F.round(F.regr_intercept(F.col(value_col), x), 6).alias("intercept"),
-        F.round(F.regr_r2(F.col(value_col), x), 6).alias("r2"),
+        qround(F.regr_slope(F.col(value_col), x), 6).alias("slope_per_hour"),
+        qround(F.regr_intercept(F.col(value_col), x), 6).alias("intercept"),
+        qround(F.regr_r2(F.col(value_col), x), 6).alias("r2"),
         F.count(value_col).alias("n"),
     )
 
@@ -726,7 +727,7 @@ def rolling_corr(
     ).otherwise(0)
     return wide.select(
         F.col(ts_col),
-        F.round(F.corr("_a", "_b").over(w), 6).alias("corr_ab"),
+        qround(F.corr("_a", "_b").over(w), 6).alias("corr_ab"),
         F.sum(pair_ok).over(w).alias("n_pairs"),
     )
 
@@ -782,8 +783,8 @@ def adf_screen(
     t = F.when(se > 0, F.col("_g") / se)
     return agg.select(
         tag_col,
-        F.round("_g", 6).alias("gamma"),
-        F.round(t, 6).alias("t_stat"),
+        qround("_g", 6).alias("gamma"),
+        qround(t, 6).alias("t_stat"),
         "n",
         (t < F.lit(float(critical))).alias("stationary"),
     )
@@ -856,7 +857,7 @@ def theil_sen(
     out = pts.groupBy(tag_col).applyInPandas(_sen, schema=schema)
     return out.select(
         tag_col,
-        F.round("_sen", 6).alias("sen_slope_per_hour"),
+        qround("_sen", 6).alias("sen_slope_per_hour"),
         "n_pairs",
     )
 
@@ -883,9 +884,9 @@ def seasonal_envelope(
     pct = F.percentile(value_col, F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)))
     return df.groupBy(F.col(tag_col), F.hour(ts_col).alias("hod")).agg(
         F.count(value_col).alias("n"),
-        F.round(F.get(pct, 0), 6).alias("p10"),
-        F.round(F.get(pct, 1), 6).alias("p50"),
-        F.round(F.get(pct, 2), 6).alias("p90"),
+        qround(F.get(pct, 0), 6).alias("p10"),
+        qround(F.get(pct, 1), 6).alias("p50"),
+        qround(F.get(pct, 2), 6).alias("p90"),
     )
 
 
@@ -942,7 +943,7 @@ def chisq_drift(
         e_c > 0, (F.col("_nc") - e_c) * (F.col("_nc") - e_c) / e_c
     ).otherwise(0.0)
     return cnt.agg(
-        F.round(F.sum(term), 6).alias("chi2"),
+        qround(F.sum(term), 6).alias("chi2"),
         (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
         F.max("_totr").alias("n_ref"),
         F.max("_totc").alias("n_cur"),
@@ -982,8 +983,8 @@ def control_rules(
     # engine-portability convention): the rule thresholds compare z, so
     # every input to it must already be bit-identical across engines
     stats = df.groupBy(tag_col).agg(
-        F.round(F.avg(v), 6).alias("_mu"),
-        F.round(F.stddev_pop(v), 6).alias("_sd"),
+        qround(F.avg(v), 6).alias("_mu"),
+        qround(F.stddev_pop(v), 6).alias("_sd"),
     )
     d = df.join(stats, tag_col).select(
         F.col(tag_col),
@@ -999,7 +1000,7 @@ def control_rules(
     # flipped boolean is a hash mismatch — rounding first makes every
     # rule decision engine-portable (the tfidf_topk trick, applied to
     # predicates instead of ranks)
-    z = F.round(F.col("_z"), 6)
+    z = qround(F.col("_z"), 6)
     up2 = (z > 2).cast("int")
     dn2 = (z < -2).cast("int")
     up1 = (z > 1).cast("int")
@@ -1099,7 +1100,7 @@ def periodogram(
             "tag",
             "period_s",
             "n",
-            F.round(
+            qround(
                 (F.col("_sc") * F.col("_sc") + F.col("_ss") * F.col("_ss"))
                 / F.col("n"),
                 6,
@@ -1154,13 +1155,13 @@ def stl_decompose(
     scale = float(10 ** int(precision))
     span = int(half_window) * int(bucket_seconds)
     t = epoch_seconds(F.col(ts_col))
-    v6 = F.round(F.col(value_col).cast("double"), int(precision))
+    v6 = qround(F.col(value_col).cast("double"), int(precision))
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(tag_col).alias("tag"),
         F.col(ts_col).alias("ts"),
         t.alias("_t"),
         v6.alias("value"),
-        F.round(v6 * scale, 0).cast("long").alias("_iv"),
+        qround(v6 * scale, 0).cast("long").alias("_iv"),
     )
     wt = (
         Window.partitionBy("tag")
@@ -1185,8 +1186,8 @@ def stl_decompose(
     detr = trended.select(
         "tag", "ts", "value", "trend", phase,
         # detrended on the precision grid -> scaled-int seasonal sums
-        F.round(
-            F.round(F.col("value") - F.col("trend"), int(precision))
+        qround(
+            qround(F.col("value") - F.col("trend"), int(precision))
             * scale,
             0,
         ).cast("long").alias("_di"),
@@ -1204,9 +1205,9 @@ def stl_decompose(
             "tag",
             "ts",
             "value",
-            F.round("trend", 6).alias("trend"),
-            F.round("seasonal", 6).alias("seasonal"),
-            F.round(
+            qround("trend", 6).alias("trend"),
+            qround("seasonal", 6).alias("seasonal"),
+            qround(
                 F.col("value") - F.col("trend") - F.col("seasonal"), 6
             ).alias("resid"),
         )
@@ -1219,6 +1220,7 @@ def matrix_profile(
     m: int = 8,
     exclusion: int | None = None,
     precision: int = 3,
+    horizon: int | None = None,
     tag_col: str = "tag",
     ts_col: str = "ts",
     value_col: str = "value",
@@ -1242,7 +1244,15 @@ def matrix_profile(
     QUADRATIC in the GRID length, which is CALENDAR-bounded (hours in
     range), never event-volume-bounded; the resample collapses volume
     first (at 10x events the grid — and this cost — is unchanged). For
-    multi-year grids, band the join on |i-j| <= horizon first. Output:
+    multi-year grids pass ``horizon``: the pair join is banded on
+    ``exclusion <= |i - j| <= horizon``, making cost LINEAR in the grid
+    (positions x horizon) at the standard semantic change "nearest
+    neighbor WITHIN horizon" (Yeh et al.'s banded/anytime variants);
+    with ``horizon >= grid length`` the banded profile equals the full
+    profile (pytest-pinned). Positions with NO admissible neighbor
+    (series shorter than m + exclusion, or an over-tight horizon) are
+    emitted with NULL ``mp_dist``/``nn_idx`` rather than dropped, so a
+    short series reads as "no evidence", not "no anomaly". Output:
     ``(tag, idx, ts, mp_dist, nn_idx)`` ordered by (tag, idx).
     """
     from pyspark.sql import Window
@@ -1251,6 +1261,11 @@ def matrix_profile(
     if mm < 2:
         raise ValueError("m must be >= 2")
     excl = int(exclusion) if exclusion is not None else mm
+    if horizon is not None and int(horizon) < excl:
+        raise ValueError(
+            f"horizon ({horizon}) must be >= exclusion ({excl}); "
+            "a tighter band admits no neighbor at all"
+        )
     scale = float(10 ** int(precision))
     wseq = Window.partitionBy(tag_col).orderBy(ts_col)
     wwin = (
@@ -1258,8 +1273,8 @@ def matrix_profile(
         .orderBy(ts_col)
         .rowsBetween(0, mm - 1)
     )
-    iv = F.round(
-        F.round(F.col(value_col).cast("double"), int(precision)) * scale, 0
+    iv = qround(
+        qround(F.col(value_col).cast("double"), int(precision)) * scale, 0
     ).cast("long")
     seq = df.filter(F.col(value_col).isNotNull()).select(
         F.col(tag_col).alias("tag"),
@@ -1281,9 +1296,13 @@ def matrix_profile(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    gap = F.abs(F.col("idx") - F.col("jdx"))
+    adm = gap >= excl
+    if horizon is not None:
+        adm = adm & (gap <= int(horizon))
     pairs = (
         a.join(b, "tag")
-        .filter(F.abs(F.col("idx") - F.col("jdx")) >= excl)
+        .filter(adm)
         .select("tag", "ts", "idx", "jdx", d2.alias("_d2"))
     )
     best = (
@@ -1296,13 +1315,15 @@ def matrix_profile(
         )
     )
     ts_back = seq.select("tag", "idx", "ts")
+    # left join so a position with no admissible pair surfaces as NULL
+    # (no evidence) instead of silently vanishing from the profile
     return (
-        best.join(ts_back, ["tag", "idx"])
+        ts_back.join(best, ["tag", "idx"], "left")
         .select(
             "tag",
             "idx",
             "ts",
-            F.round(F.sqrt(F.col("_mind2")) / F.lit(scale), 6).alias(
+            qround(F.sqrt(F.col("_mind2")) / F.lit(scale), 6).alias(
                 "mp_dist"
             ),
             "nn_idx",
@@ -1432,15 +1453,15 @@ def stl_strength(
     return agg.select(
         "tag",
         "n",
-        F.round(F.col("_vr"), 6).alias("var_resid"),
-        F.round(
+        qround(F.col("_vr"), 6).alias("var_resid"),
+        qround(
             F.when(
                 F.col("_vds") > 0,
                 F.greatest(F.lit(0.0), 1.0 - F.col("_vr") / F.col("_vds")),
             ),
             6,
         ).alias("f_trend"),
-        F.round(
+        qround(
             F.when(
                 F.col("_vdt") > 0,
                 F.greatest(F.lit(0.0), 1.0 - F.col("_vr") / F.col("_vdt")),
@@ -1488,8 +1509,8 @@ def spectral_entropy(
         terms.groupBy("tag")
         .agg(
             F.count(F.lit(1)).alias("n_periods"),
-            F.round(F.max("_tp"), 6).alias("total_power"),
-            F.round(
+            qround(F.max("_tp"), 6).alias("total_power"),
+            qround(
                 F.when(
                     F.max("_tp") > 0,
                     F.sum("_h") / F.lit(float(math.log(m))),
@@ -1499,3 +1520,248 @@ def spectral_entropy(
         )
         .orderBy("tag")
     )
+
+
+def flatline_runs(
+    df: DataFrame,
+    min_len: int = 6,
+    precision: int = 6,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """STUCK-SENSOR detection: maximal runs of consecutive grid buckets
+    whose value is CONSTANT at ``precision`` decimals — the dead-sensor
+    signature every fleet operator triages first (a transmitter that
+    freezes keeps repeating its last word; hampel/zscore see nothing
+    because a constant has zero dispersion, and the reference's
+    row_filter can only drop it if someone already knows the stuck
+    value). Reference context: gordo's filter_periods drops whole
+    windows; this localizes WHICH sensor flatlined and for how long.
+
+    Semantics: values quantize to the ``precision`` grid (the engine's
+    qround — real plateaus at sensor resolution count; float jitter
+    below it does not), runs form per tag via the standard
+    change-flag -> running-sum group id, and runs with
+    ``run_len >= min_len`` are emitted as
+    ``(tag, run_start, run_end, run_len, value)``, ordered.
+
+    Scale shape: two window passes over ONE tag-keyed shuffle (lag +
+    running sum, then a (tag, run) aggregate) — the sessionize plan
+    exactly; output bounded by #runs, never rows. No UDFs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tag").orderBy("ts")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(tag_col).alias("tag"),
+        F.col(ts_col).alias("ts"),
+        qround(F.col(value_col), int(precision)).alias("_q"),
+    )
+    q = F.col("_q")
+    # two projections: a window-over-window (running sum of a lag
+    # expression) is not one Spark projection — same shuffle either way
+    flagged_rows = base.withColumn(
+        "_chg",
+        F.when(
+            F.lag(q).over(w).isNull() | (q != F.lag(q).over(w)), 1
+        ).otherwise(0),
+    )
+    runs = flagged_rows.withColumn(
+        "_run",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("tag", "_run")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.first("_q").alias("value"),
+        )
+        .filter(F.col("run_len") >= int(min_len))
+        .select("tag", "run_start", "run_end", "run_len", "value")
+        .orderBy("tag", "run_start")
+    )
+
+
+def hurst_exponent(
+    df: DataFrame,
+    scales: "list[int] | None" = None,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hurst exponent per tag via the AGGREGATED-VARIANCE method
+    (Beran 1994; Taqqu, Teverovsky & Willinger 1995): for block sizes
+    ``k`` in ``scales``, the variance of k-block means of a
+    long-range-dependent series decays like ``k^(2H-2)``; an OLS fit of
+    ``log var_k`` on ``log k`` gives slope ``beta`` and
+    ``H = 1 + beta/2``. H ~ 0.5 = memoryless, H -> 1 = trending /
+    persistent (a sensor that wanders), H < 0.5 = mean-reverting — the
+    one-number "does this series trend or revert" triage that acf/adf
+    only answer lag-by-lag.
+
+    Everything is sufficient statistics: block means are
+    (tag, block)-keyed aggregates over row-number blocks, each
+    variance one more aggregate, the OLS slope a closed form over
+    <= |scales| points — three shuffles total, no windows wider than
+    the series key, no UDFs, no collect. Output:
+    ``(tag, n, hurst, slope, r2)`` with the fit diagnostics.
+    """
+    from pyspark.sql import Window
+
+    ks = [int(k) for k in (scales or [1, 2, 4, 8, 16])]
+    if len(ks) < 2 or any(k < 1 for k in ks):
+        raise ValueError("scales needs >= 2 positive block sizes")
+    w = Window.partitionBy(tag_col).orderBy(ts_col)
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(tag_col).alias("tag"),
+            F.col(value_col).cast("double").alias("v"),
+            (F.row_number().over(w) - 1).alias("_i"),
+        )
+        .localCheckpoint()  # one scan feeds every scale
+    )
+    parts = []
+    for k in ks:
+        bm = base.groupBy(
+            "tag", F.floor(F.col("_i") / k).alias("_b")
+        ).agg(
+            F.count(F.lit(1)).alias("_n"), F.avg("v").alias("_m")
+        ).filter(F.col("_n") == k)  # complete blocks only (stated)
+        parts.append(
+            bm.groupBy("tag").agg(
+                F.lit(k).alias("k"),
+                F.var_pop("_m").alias("var_k"),
+                F.count(F.lit(1)).alias("n_blocks"),
+            )
+        )
+    pts = parts[0]
+    for p in parts[1:]:
+        pts = pts.unionByName(p)
+    pts = pts.filter((F.col("var_k") > 0) & (F.col("n_blocks") >= 2)).select(
+        "tag",
+        F.log(F.col("k").cast("double")).alias("_x"),
+        F.log("var_k").alias("_y"),
+    )
+    fit = pts.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    beta = (F.col("_np") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.col("_np") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    r2num = F.col("_np") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    r2den = (
+        (F.col("_np") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (F.col("_np") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    n_tot = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(tag_col).alias("tag")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        fit.join(n_tot, "tag")
+        .filter(F.col("_np") >= 2)
+        .select(
+            "tag",
+            "n",
+            qround(F.lit(1.0) + beta / 2, 6).alias("hurst"),
+            qround(beta, 6).alias("slope"),
+            qround(
+                F.when(r2den > 0, r2num * r2num / r2den), 6
+            ).alias("r2"),
+        )
+        .orderBy("tag")
+    )
+
+
+def granger_lag1(
+    wide: DataFrame,
+    pairs: "list[tuple[str, str]]",
+    ts_col: str = "ts",
+    resolution: str = "1H",
+    critical: float = 3.86,
+) -> DataFrame:
+    """Pairwise lag-1 Granger-causality screen on an aligned wide grid
+    (Granger 1969): does yesterday's ``x`` improve the prediction of
+    ``y`` beyond yesterday's ``y``? Restricted model
+    ``y_t = a + b y_{t-1}`` vs unrestricted ``+ c x_{t-1}``; the F
+    statistic ``(SSE_r - SSE_u) / (SSE_u / (n - 3))`` with 1 numerator
+    df. F > ``critical`` (3.86 ~ alpha=0.05 at large n) flags a LEAD
+    relationship — which sensor moves first, the fleet-topology
+    question cross-correlation (tag_crosscorr) answers only by raw
+    lag-scan without a significance frame.
+
+    Both OLS fits are CLOSED FORMS over one pass of sufficient stats
+    (the 2-regressor normal equations solved by 2x2 determinant
+    algebra — no matrix library, no iteration). The lag is an
+    EQUI-JOIN on the grid timestamp (row at ``ts`` joins the row at
+    ``ts - resolution``), NOT a global window — a keyless ordered
+    window would serialize the whole grid through one partition; the
+    join shuffles on the timestamp key like any other. One join + one
+    keyless aggregate per pair, a plan linear in |pairs|. Output:
+    ``(x, y, n, f_stat, granger)`` ordered by (x, y).
+    """
+    from gordo_spark.functions.timeutil import offset_alias_to_seconds
+
+    secs = int(offset_alias_to_seconds(resolution))
+    out = None
+    for x, y in pairs:
+        cur = wide.select(
+            F.col(ts_col).alias("_ts"),
+            F.col(f"`{y}`").cast("double").alias("_y"),
+        )
+        prev = wide.select(
+            (
+                F.col(ts_col).cast("timestamp").cast("long") + secs
+            ).cast("timestamp").alias("_ts"),
+            F.col(f"`{y}`").cast("double").alias("_yl"),
+            F.col(f"`{x}`").cast("double").alias("_xl"),
+        )
+        d = cur.join(prev, "_ts").dropna()
+        s = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("sy"),
+            F.sum("_yl").alias("sa"),
+            F.sum("_xl").alias("sb"),
+            F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+            F.sum(F.col("_yl") * F.col("_yl")).alias("saa"),
+            F.sum(F.col("_xl") * F.col("_xl")).alias("sbb"),
+            F.sum(F.col("_y") * F.col("_yl")).alias("sya"),
+            F.sum(F.col("_y") * F.col("_xl")).alias("syb"),
+            F.sum(F.col("_yl") * F.col("_xl")).alias("sab"),
+        )
+        n = F.col("n").cast("double")
+        # centered moments
+        cya = F.col("sya") - F.col("sy") * F.col("sa") / n
+        cyb = F.col("syb") - F.col("sy") * F.col("sb") / n
+        caa = F.col("saa") - F.col("sa") * F.col("sa") / n
+        cbb = F.col("sbb") - F.col("sb") * F.col("sb") / n
+        cab = F.col("sab") - F.col("sa") * F.col("sb") / n
+        cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+        sse_r = cyy - F.when(caa > 0, cya * cya / caa).otherwise(F.lit(0.0))
+        det = caa * cbb - cab * cab
+        b1 = (cya * cbb - cyb * cab) / det
+        b2 = (cyb * caa - cya * cab) / det
+        sse_u = cyy - (b1 * cya + b2 * cyb)
+        f = F.when(
+            (det > 0) & (sse_u > 0) & (F.col("n") > 3),
+            (sse_r - sse_u) / (sse_u / (n - 3)),
+        )
+        row = s.select(
+            F.lit(x).alias("x"),
+            F.lit(y).alias("y"),
+            F.col("n"),
+            qround(f, 6).alias("f_stat"),
+            F.coalesce(f > F.lit(float(critical)), F.lit(False)).alias(
+                "granger"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("x", "y")

@@ -144,6 +144,38 @@ def shared_wide_frames(
     return frames
 
 
+def fleet_spec_frame(
+    spark: SparkSession,
+    members: dict[str, TimeSeriesDataset],
+    machine_col: str = "machine",
+) -> DataFrame:
+    """The fleet SPEC TABLE: one row per (machine, expanded tag) with the
+    machine's clip range — bounded by |machines| x |tags| (kilobytes for
+    thousands of machines), so broadcasting it is genuinely safe. Shared
+    by the batch fleet path (:func:`fleet_long_frame`) and the streaming
+    twin (streaming/scoring.fleet_fill_stream), so both fan the ONE
+    shared resample out to machines through the identical join."""
+    spec_rows = []
+    for name, ds in members.items():
+        for tag in ds._expand(ds.all_tags):
+            spec_rows.append(
+                (
+                    name,
+                    tag,
+                    str(ds.train_start_date) if ds.train_start_date else None,
+                    str(ds.train_end_date) if ds.train_end_date else None,
+                )
+            )
+    return spark.createDataFrame(
+        spec_rows, f"{machine_col} string, tag string, _t0 string, _t1 string"
+    ).select(
+        machine_col,
+        "tag",
+        F.col("_t0").cast("timestamp").alias("_t0"),
+        F.col("_t1").cast("timestamp").alias("_t1"),
+    )
+
+
 def fleet_long_frame(
     spark: SparkSession,
     datasets: dict[str, TimeSeriesDataset],
@@ -218,27 +250,7 @@ def fleet_long_frame(
             filter_periods=None,
         )
         res = proto.long_resampled(spark)
-        # the fleet spec: one row per (machine, expanded tag) with the
-        # machine's clip range — bounded by |machines| x |tags|
-        spec_rows = []
-        for name, ds in members.items():
-            for tag in ds._expand(ds.all_tags):
-                spec_rows.append(
-                    (
-                        name,
-                        tag,
-                        str(ds.train_start_date) if ds.train_start_date else None,
-                        str(ds.train_end_date) if ds.train_end_date else None,
-                    )
-                )
-        spec = spark.createDataFrame(
-            spec_rows, f"{machine_col} string, tag string, _t0 string, _t1 string"
-        ).select(
-            machine_col,
-            "tag",
-            F.col("_t0").cast("timestamp").alias("_t0"),
-            F.col("_t1").cast("timestamp").alias("_t1"),
-        )
+        spec = fleet_spec_frame(spark, members, machine_col)
         clipped = (
             res.join(F.broadcast(spec), "tag")
             .filter(F.col("_t0").isNull() | (F.col("ts") >= F.col("_t0")))

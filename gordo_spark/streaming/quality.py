@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 from gordo_spark.operators.text import gopher_rule_exprs, quality_expr
 
@@ -45,8 +46,8 @@ def stream_source_quality(
         F.window(F.col(ts_col), window).alias("win"), F.col(source_col)
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("_q"), 6).alias("mean_quality"),
-        F.round(F.avg("_keep"), 6).alias("gopher_pass_rate"),
+        qround(F.avg("_q"), 6).alias("mean_quality"),
+        qround(F.avg("_keep"), 6).alias("gopher_pass_rate"),
     )
 
 
@@ -142,7 +143,7 @@ def stream_bloom_gate(
         *stream.columns,
         F.col("_s.n_grams").alias("n_grams"),
         F.col("_s.n_flagged").alias("n_flagged"),
-        F.round(
+        qround(
             F.when(
                 F.col("_s.n_grams") > 0,
                 F.col("_s.n_flagged") / F.col("_s.n_grams"),
@@ -321,7 +322,7 @@ def stream_psi_monitor(
         F.col("win.start").alias("window_start"),
         F.col(tag_col),
         "n",
-        F.round(term, 6).alias("psi"),
+        qround(term, 6).alias("psi"),
     )
 
 

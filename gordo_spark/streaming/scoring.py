@@ -232,3 +232,179 @@ def stream_conversion_join(
             - F.col("touch_ts").cast("timestamp").cast("long")
         ).alias("lag_s"),
     )
+
+
+# ---------------------------------------------------------------- fleet
+def fleet_resample_clip_stream(
+    stream: DataFrame,
+    datasets: "dict",
+    machine_col: str = "machine",
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "48H",
+) -> DataFrame:
+    """Stage 1 of the FLEET-WIDTH scoring stream — the streaming twin of
+    ``plans.multi.fleet_long_frame``'s shared prefix: ONE watermarked
+    tumbling-window resample keyed on (tag, window) for the WHOLE fleet
+    (state = open windows x |tags|, O(1) in fleet width), fanned out to
+    machines by the same bounded SPEC TABLE the batch path broadcasts
+    (``plans.multi.fleet_spec_frame``) with the per-machine clip as a
+    row-local filter. Emits long ``(machine, tag, ts, value)`` on window
+    close — the reference needs a pod (and a full scan) per machine for
+    this; here 200 or 2,000 machines add spec rows, not state or scans.
+
+    All datasets must form one plan-prefix group (same provider grid /
+    resolution / aggregation — the ``_plan_key`` rule); heterogeneous
+    fleets deploy one stream per group, exactly like the batch path's
+    per-group union. Aggregation must be a single method (mean /
+    mean_exact / min / max / sum / count ... — algebraic, so partial
+    aggregation merges across micro-batches).
+    """
+    from gordo_spark.operators.resample import _AGG
+    from gordo_spark.plans.multi import _plan_key, fleet_spec_frame
+
+    members = dict(datasets)
+    keys = {_plan_key(ds) for ds in members.values()}
+    if len(keys) != 1:
+        raise ValueError(
+            f"fleet stream needs ONE plan-prefix group, got {len(keys)}: "
+            "deploy one stream per group (the batch path's per-group union)"
+        )
+    proto = next(iter(members.values()))
+    aggs = proto._agg_list
+    if len(aggs) != 1:
+        raise ValueError("fleet stream supports a single aggregation method")
+    secs = int(offset_alias_to_seconds(proto.resolution))
+    wm = int(offset_alias_to_seconds(watermark))
+    all_tags = list(
+        dict.fromkeys(t for ds in members.values() for t in ds.all_tags)
+    )
+    res = (
+        stream.filter(F.col(tag_col).isin(all_tags))
+        .withWatermark(ts_col, f"{wm} seconds")
+        .groupBy(
+            F.col(tag_col).alias("tag"),
+            F.window(ts_col, f"{secs} seconds").alias("_w"),
+        )
+        .agg(_AGG[aggs[0]](value_col).alias("value"))
+        .select("tag", F.col("_w.start").alias("ts"), "value")
+    )
+    spec = fleet_spec_frame(stream.sparkSession, members, machine_col)
+    return (
+        res.join(F.broadcast(spec), "tag")
+        .filter(F.col("_t0").isNull() | (F.col("ts") >= F.col("_t0")))
+        .filter(F.col("_t1").isNull() | (F.col("ts") < F.col("_t1")))
+        .select(machine_col, "tag", "ts", "value")
+    )
+
+
+def fleet_fill_stream(
+    clipped: DataFrame,
+    resolution: str,
+    interpolation_limit: str | None = "48H",
+    machine_col: str = "machine",
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stage 2 of the fleet scoring stream: per-(machine, tag) regularize
+    + bounded forward-fill, the stateful twin of the batch
+    ``TimeSeriesDataset.fill`` (ffill mode) that ``fleet_long_frame``
+    applies under its composite machine\\x00tag key. Runs as its OWN
+    streaming query on the stage-1 sink (Spark disallows stateful ops
+    after a streaming aggregation in one query — the scored->sink->smooth
+    topology used throughout tests/test_streaming.py).
+
+    State per (machine, tag): the LAST REAL bucket's (epoch, value) — two
+    scalars, |machines| x |tags| total, the spec bound again; independent
+    of event volume and of gap length. On each arriving bucket the
+    processor emits every missing grid bucket since the previous one
+    (value forward-filled while within ``interpolation_limit`` buckets of
+    the last real value, NULL beyond — bit-identical to the batch
+    ffill-with-limit window), then the bucket itself. Buckets are assumed
+    nondecreasing across micro-batches per key (window close order under
+    a monotone watermark — the stateful family's stated convention);
+    within a batch they are sorted.
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    secs = int(offset_alias_to_seconds(resolution))
+    limit = (
+        None
+        if interpolation_limit is None
+        else int(offset_alias_to_seconds(interpolation_limit) // secs)
+    )
+    out_schema = StructType(
+        [
+            StructField(machine_col, StringType()),
+            StructField(tag_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("b", LongType()),   # last REAL (non-null) bucket
+            StructField("v", DoubleType()),
+            StructField("e", LongType()),   # last EMITTED bucket
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev_b, prev_v, last_emit = (
+            state.get if state.exists else (None, None, None)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        ts_out, v_out = [], []
+        for t, v in zip(rows[ts_col], rows[value_col]):
+            b = int(pd.Timestamp(t).value // 1_000_000_000) // secs
+            if last_emit is not None:
+                for k in range(last_emit + 1, b):
+                    ts_out.append(pd.Timestamp((k * secs) * 1_000_000_000))
+                    fill_ok = prev_b is not None and (
+                        limit is None or (k - prev_b) <= limit
+                    )
+                    v_out.append(prev_v if fill_ok else None)
+            ts_out.append(pd.Timestamp(t))
+            last_emit = b
+            if pd.isna(v):
+                # an all-null cell: the grid row exists; fill from the
+                # last real anchor (ffill) without advancing it
+                fill_ok = prev_b is not None and (
+                    limit is None or (b - prev_b) <= limit
+                )
+                v_out.append(prev_v if fill_ok else None)
+                continue
+            v_out.append(float(v))
+            prev_b, prev_v = b, float(v)
+        state.update((prev_b, prev_v, last_emit))
+        yield pd.DataFrame(
+            {
+                machine_col: key[0],
+                tag_col: key[1],
+                ts_col: ts_out,
+                value_col: v_out,
+            }
+        )
+
+    return clipped.groupBy(machine_col, tag_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

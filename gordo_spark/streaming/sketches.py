@@ -15,6 +15,7 @@ closed window (see tests/test_streaming.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from gordo_spark.functions.rounding import qround
 
 
 def windowed_cells(
@@ -219,7 +220,7 @@ def quantiles_from_cells(
             "window_end",
             F.col("_tot").alias("n"),
             "q",
-            F.round(
+            qround(
                 F.lit(float(lo))
                 + width
                 * (F.col("bin") + (rank - F.col("_cum_prev")) / F.col("n")),

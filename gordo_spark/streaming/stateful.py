@@ -547,7 +547,9 @@ def control_rules_stream(
         out = {c: [] for c in ("z", "r1", "r2", "r3", "r4")}
         for x in rows[value_col]:
             if sd > 0 and x is not None and not pd.isna(x):
-                z = round((float(x) - mu) / sd, 6)
+                # floor-quantizer, NOT round(): mirrors functions/rounding
+                # .qround so stream == batch holds bit-exactly at .5e-6 ties
+                z = math.floor((float(x) - mu) / sd * 1e6 + 0.5) / 1e6
             else:
                 z = float("nan")
             frame = tail + [z]

@@ -304,7 +304,10 @@ BOUNDED_BROADCAST_OK = {
     ("bm25_search", "documents"): "idf table filtered to the |query|-term array BEFORE aggregation — build side <= query terms",
     ("rrf_hybrid", "documents"): "BM25 idf side of the fusion — same |query|-term bound as bm25_search",
     ("rrf_hybrid", "embeddings"): "1-row query vector (vec_id = 0) broadcast to the corpus — the sim_bruteforce constant side",
-    ("knn_graph", "embeddings"): "documented bounded-sample all-pairs diagnostic (vec_id cap) — the dedup_embed_cosine convention",
+    # knn_graph (knn_graph_stats) is deliberately NOT allowlisted here:
+    # its vector side carries no broadcast hint (round-9 de-hinting), so a
+    # BroadcastExchange reappearing under its theta-join means someone
+    # re-added the hint — exactly what this audit should fire on.
 }
 
 

@@ -799,7 +799,7 @@ def fleet_experiment(spark):
         out = {}
         for i in range(n):
             d0 = 1 + (i // len(combos)) % 20
-            out[f"m{i:03d}"] = TimeSeriesDataset(
+            out[f"m{i:04d}"] = TimeSeriesDataset(
                 tag_list=combos[i % len(combos)],
                 train_start_date=f"2024-01-{d0:02d} 00:00:00",
                 train_end_date=f"2024-01-{d0 + 8:02d} 00:00:00",
@@ -822,15 +822,38 @@ def fleet_experiment(spark):
         for ds in fleet(n).values():
             ds.long_filled(spark).write.mode("overwrite").format("noop").save()
 
+    def compile_stats(n):
+        # driver-side cost of fleet width: config -> optimized plan, and
+        # the plan's size — the two things that COULD grow with machines
+        t0 = time.time()
+        plan = (
+            fleet_long_frame(spark, fleet(n))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        return round(time.time() - t0, 3), len(plan.splitlines())
+
     run_fleet(20)  # warm
     t_f20 = round(timed("fleet 20", lambda: run_fleet(20), n=2), 3)
     t_f200 = round(timed("fleet 200", lambda: run_fleet(200), n=2), 3)
+    t_f2000 = round(timed("fleet 2000", lambda: run_fleet(2000), n=2), 3)
     t_s20 = round(timed("solo 20", lambda: run_solo(20), n=2), 3)
+    c200_t, c200_lines = compile_stats(200)
+    c2000_t, c2000_lines = compile_stats(2000)
+    assert c2000_lines == c200_lines, (
+        f"fleet plan must be O(1) in width: {c200_lines} lines at 200 vs "
+        f"{c2000_lines} at 2000"
+    )
     return {
         "t_fleet_20_s": t_f20,
         "t_fleet_200_s": t_f200,
+        "t_fleet_2000_s": t_f2000,
         "t_solo_20_s": t_s20,
         "solo_200_implied_s": round(t_s20 * 10, 1),
+        "solo_2000_implied_s": round(t_s20 * 100, 1),
+        "compile_200": {"s": c200_t, "plan_lines": c200_lines},
+        "compile_2000": {"s": c2000_t, "plan_lines": c2000_lines},
     }
 
 
@@ -874,11 +897,41 @@ def grid_invariance_experiment(spark):
     t1 = timed("mp 1x", lambda: run(1).count())
     n_10x = run(10).count()
     t10 = timed("mp 10x", lambda: run(10).count())
+
+    # the round-9 horizon band on a MULTI-YEAR grid: a 3-year hourly
+    # series (26,280 positions) is where the full profile's quadratic
+    # bites (~6.9e8 pairs/tag); horizon=168 (one week) makes the pair
+    # space linear (positions x 2*168) — measure both
+    def synth_years(years):
+        n = years * 365 * 24
+        return (
+            spark.range(n)
+            .select(
+                F.lit("syn").alias("tag"),
+                F.timestamp_seconds(
+                    F.lit(1704067200) + F.col("id") * 3600
+                ).alias("ts"),
+                (
+                    F.sin(F.col("id") % 24 / 24.0 * 6.2831853)
+                    + (F.col("id") % 7919) / 7919.0
+                ).alias("value"),
+            )
+        )
+
+    from gordo_spark.operators.tsa import matrix_profile as _mp
+
+    long3 = synth_years(3)
+    t_banded = timed(
+        "mp 3y banded",
+        lambda: _mp(long3, m=24, precision=3, horizon=168).count(),
+    )
     return {
         "t_1x_s": t1,
         "t_10x_s": t10,
         "windows_1x": n_1x,
         "windows_10x": n_10x,
+        "t_3y_banded_s": t_banded,
+        "positions_3y": 3 * 365 * 24 - 23,
     }
 
 
@@ -1106,8 +1159,17 @@ def main():
         f"({round(fl['t_fleet_200_s'] / max(fl['t_fleet_20_s'], 1e-9), 1)}x "
         "wall for 10x machines — the plan is O(1) in fleet width, only",
         "  the output grows)",
+        f"- fleet_long_frame, 2,000 machines: {fl['t_fleet_2000_s']} s "
+        f"({round(fl['t_fleet_2000_s'] / max(fl['t_fleet_20_s'], 1e-9), 1)}x "
+        "wall for 100x machines)",
+        f"- driver compile: {fl['compile_200']['s']} s at 200 machines, "
+        f"{fl['compile_2000']['s']} s at 2,000 — optimized-plan size "
+        f"{fl['compile_200']['plan_lines']} lines at BOTH widths "
+        "(asserted equal in-script; only the broadcast spec table and the",
+        "  pivot width grow — kilobytes, not plan nodes)",
         f"- per-machine SOLO plans, 20 machines: {fl['t_solo_20_s']} s "
-        f"(implied 200-machine solo cost ~{fl['solo_200_implied_s']} s — ",
+        f"(implied 200-machine solo cost ~{fl['solo_200_implied_s']} s, "
+        f"2,000-machine ~{fl['solo_2000_implied_s']} s — ",
         "  one scan + one plan + one job PER MACHINE, the reference's",
         "  pod-per-machine shape)",
         "",
@@ -1122,9 +1184,17 @@ def main():
         f"- 10x events: {gi['t_10x_s']} s ({gi['windows_10x']:,} windows, "
         f"{round(gi['t_10x_s'] / max(gi['t_1x_s'], 1e-9), 2)}x wall)",
         "",
+        f"- 3-year hourly grid ({gi['positions_3y']:,} positions), "
+        f"horizon=168 (1 week): {gi['t_3y_banded_s']} s — the round-9 band",
+        "  turns the multi-year profile from ~6.9e8 pairs/tag (full",
+        "  quadratic) into positions x 336, linear in the grid",
+        "",
         "The profile's quadratic term is CALENDAR-bounded: 10x the event",
         "volume lands on the same hourly grid, so the pair space — and the",
         "wall — barely move; only the upstream resample pays for volume.",
+        "The horizon band (nearest neighbor WITHIN horizon — the stated,",
+        "standard semantic) is the knob for grids where calendar-bounded",
+        "still means large.",
         "",
     ]
     out = "\n".join(lines)

@@ -149,3 +149,38 @@ def test_keyless_aggregate_still_bounds(spark):
     mx = li.agg(F.max("l_quantity").alias("mx"))
     ok = li.join(F.broadcast(mx), li.l_quantity == F.col("mx"))
     assert plan_audit.unbounded_broadcasts(_plan(ok), "x") == []
+
+
+def test_fires_on_hinted_embedding_broadcast_under_theta_join(spark):
+    # the round-8 knn_graph_stats hazard: an explicit broadcast hint on
+    # the vector side of a theta-join (src != dst all-pairs cosine). The
+    # library de-hinted it in round 9 and the allowlist entry was removed,
+    # so a re-added hint must fire.
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("src"), "embedding")
+    b = emb.select(F.col("vec_id").alias("dst"), "embedding")
+    bad = a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+    flags = plan_audit.unbounded_broadcasts(_plan(bad), "knn_graph")
+    assert flags and "embeddings" in flags[0]
+
+
+def test_knn_graph_stats_plan_has_no_hinted_broadcast(spark):
+    # the shipped operator itself: under autoBroadcastJoinThreshold=-1
+    # (the audit's hint-exposure pass) its plan must contain NO
+    # BroadcastExchange — AQE may still broadcast a genuinely small side
+    # at runtime, but nothing is FORCED.
+    from gordo_spark.operators.similarity import knn_graph_stats
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+        F.col("vec_id") < 50
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(knn_graph_stats(emb, k=3))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in plan
+    assert plan_audit.unbounded_broadcasts(plan, "knn_graph") == []

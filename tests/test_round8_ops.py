@@ -308,13 +308,13 @@ def test_isotonic_calibration_pav_parity(spark):
     assert np.average(c, weights=n) == pytest.approx(pos.sum() / n.sum(), abs=1e-4)
     # reference numpy PAV on the same grid agrees pointwise
     import collections
-    from decimal import ROUND_HALF_UP, Decimal
+    import math
 
     agg = collections.OrderedDict()
     for s, y in rows:
-        # Spark's F.round is HALF_UP; Python round() is banker's — the
-        # reference must bucket identically or grids diverge at .xx5
-        k = float(Decimal(repr(s)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+        # the engine buckets with the tie-safe floor quantizer
+        # (functions/rounding.qround, round 9) — mirror it exactly
+        k = math.floor(s * 100.0 + 0.5) / 100.0
         nn, pp = agg.get(k, (0, 0)); agg[k] = (nn + 1, pp + y)
     ks = sorted(agg)
     blocks = []
@@ -328,7 +328,7 @@ def test_isotonic_calibration_pav_parity(spark):
         cnt = 0
         while cnt < w:
             k = ks[len(ref)]
-            ref.append(round(m, 6)); cnt += agg[k][0]
+            ref.append(math.floor(m * 1e6 + 0.5) / 1e6); cnt += agg[k][0]
     got = {r["score_grid"]: r["calibrated"] for r in out}
     for k, v in zip(ks, ref):
         assert got[k] == pytest.approx(v, abs=1e-9)

@@ -1,0 +1,223 @@
+"""Round-9 operators: stuck-sensor runs, Hurst, Granger, mSPRT,
+k-center coreset, semantic decontamination, erasure audit, fleet
+consensus, group mode — each pinned against numpy/pandas or a planted
+ground truth (the reference's layer-2 strategy, SURVEY.md §5)."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _series(spark, vals, tag="t", start=None, step_h=1):
+    base = start or dt.datetime(2024, 1, 1)
+    rows = [
+        (tag, base + dt.timedelta(hours=i * step_h), float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+
+
+def test_flatline_runs_finds_planted_freeze(spark):
+    from gordo_spark.operators.tsa import flatline_runs
+
+    rng = np.random.default_rng(5)
+    vals = list(np.round(rng.random(100) * 10, 3))
+    vals[30:50] = [4.2] * 20  # the frozen transmitter
+    df = _series(spark, vals)
+    out = flatline_runs(df, min_len=6, precision=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["run_len"] == 20 and r["value"] == pytest.approx(4.2)
+    assert r["run_start"] == dt.datetime(2024, 1, 1) + dt.timedelta(hours=30)
+    # a run shorter than min_len stays silent
+    vals2 = list(np.round(rng.random(50) * 10, 3))
+    vals2[10:14] = [1.1] * 4
+    assert flatline_runs(_series(spark, vals2), min_len=6).count() == 0
+
+
+def test_hurst_separates_noise_from_trend(spark):
+    from gordo_spark.operators.tsa import hurst_exponent
+
+    rng = np.random.default_rng(7)
+    noise = rng.normal(0, 1, 1024)          # H ~ 0.5
+    walk = np.cumsum(rng.normal(0, 1, 1024))  # H -> 1
+    df = _series(spark, noise, tag="noise").unionByName(
+        _series(spark, walk, tag="walk")
+    )
+    got = {r["tag"]: r["hurst"] for r in hurst_exponent(df).collect()}
+    assert 0.3 < got["noise"] < 0.7
+    assert got["walk"] > 0.85
+
+
+def test_granger_lag1_detects_planted_lead(spark):
+    from gordo_spark.operators.tsa import granger_lag1
+
+    rng = np.random.default_rng(11)
+    n = 400
+    x = rng.normal(0, 1, n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.3 * y[t - 1] + 0.8 * x[t - 1] + 0.1 * rng.normal()
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=i), float(x[i]), float(y[i]))
+        for i in range(n)
+    ]
+    wide = spark.createDataFrame(rows, "ts timestamp, x double, y double")
+    got = {
+        (r["x"], r["y"]): r
+        for r in granger_lag1(
+            wide, [("x", "y"), ("y", "x")], resolution="1H"
+        ).collect()
+    }
+    assert got[("x", "y")]["granger"] is True
+    assert got[("x", "y")]["f_stat"] > 100
+    assert got[("y", "x")]["f_stat"] < got[("x", "y")]["f_stat"]
+
+
+def test_msprt_crosses_on_real_effect_not_on_null(spark):
+    from gordo_spark.operators.experiments import msprt_monitor
+
+    rng = np.random.default_rng(13)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(4000):
+        variant = None  # assignment is md5-internal; plant via outcome odds
+        for d in range(10):
+            rows.append(
+                (uid, bool(rng.random() < 0.1), base + dt.timedelta(days=d))
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, converted boolean, ts timestamp"
+    )
+    null_out = msprt_monitor(df, tau2=0.0001).collect()
+    assert all(not r["crossed"] for r in null_out)
+    assert all(r["p_always"] > 0.05 for r in null_out)
+    # planted effect: variant-1 users (md5) convert 3x as often.
+    # reuse the operator's own assignment to plant consistently
+    from gordo_spark.operators.experiments import ab_assign
+
+    assigned = ab_assign(df, "user_id", 2, "exp1")
+    boosted = assigned.withColumn(
+        "converted",
+        F.when(
+            (F.col("variant") == 1) & (F.col("user_id") % 3 == 0), True
+        ).otherwise(F.col("converted")),
+    ).drop("variant")
+    eff_out = msprt_monitor(boosted, tau2=0.0001).collect()
+    assert any(r["crossed"] for r in eff_out)
+    assert eff_out[-1]["p_always"] < 0.01
+
+
+def test_kcenter_matches_numpy_greedy(spark):
+    from gordo_spark.operators.similarity import kcenter_coreset
+
+    rng = np.random.default_rng(17)
+    V = rng.normal(0, 1, (40, 8))
+    rows = [(i, [float(v) for v in V[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kcenter_coreset(df, k=6).collect()
+    assert [r["pick_rank"] for r in out] == [1, 2, 3, 4, 5, 6]
+    # brute-force reference
+    norms = np.linalg.norm(V, axis=1)
+    S = np.floor((1.0 - (V @ V.T) / np.outer(norms, norms)) * 1e6 + 0.5) / 1e6
+    picked = [0]
+    order = [0]
+    mind = S[0].copy()
+    for _ in range(5):
+        cand = [(i, mind[i]) for i in range(40) if i not in picked]
+        best = max(cand, key=lambda t: (t[1], -t[0]))
+        # id-asc tiebreak: first max wins in index order
+        best_i = min(i for i, d in cand if d == best[1])
+        picked.append(best_i)
+        order.append(best_i)
+        mind = np.minimum(mind, S[best_i])
+    assert [r["vec_id"] for r in out] == order
+    # seed emits NULL objective
+    assert out[0]["dist_to_centers"] is None
+    assert all(r["dist_to_centers"] is not None for r in out[1:])
+
+
+def test_semantic_decontaminate_flags_planted_clone(spark):
+    from gordo_spark.operators.similarity import semantic_decontaminate
+
+    rng = np.random.default_rng(19)
+    V = rng.normal(0, 1, (30, 8))
+    V[25] = V[2] * 1.7  # train 25 is a scaled clone of eval 2 (cos = 1)
+    rows = [(i, [float(v) for v in V[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["eval_id"]: r
+        for r in semantic_decontaminate(
+            df.filter(F.col("vec_id") >= 5),
+            df.filter(F.col("vec_id") < 5),
+            threshold=0.95,
+        ).collect()
+    }
+    assert out[2]["contaminated"] is True
+    assert out[2]["nearest_train_id"] == 25
+    assert out[2]["max_cos"] == pytest.approx(1.0)
+    assert sum(1 for r in out.values() if r["contaminated"]) == 1
+
+
+def test_erasure_audit_counts_survivors(spark):
+    from gordo_spark.operators.quality_checks import erasure_audit
+
+    users = spark.createDataFrame(
+        [(i,) for i in range(10)], "uid long"
+    )
+    posts = spark.createDataFrame(
+        [(i, i % 5) for i in range(20)], "post_id long, author long"
+    )
+    deleted = spark.createDataFrame([(2,), (4,)], "key long")
+    out = {
+        r["table"]: r
+        for r in erasure_audit(
+            {"users": (users, "uid"), "posts": (posts, "author")}, deleted
+        ).collect()
+    }
+    assert out["users"]["n_referencing_deleted"] == 2
+    assert out["posts"]["n_referencing_deleted"] == 8  # authors 2,4 x 4 each
+    assert out["posts"]["share"] == pytest.approx(0.4)
+
+
+def test_fleet_consensus_flags_planted_drift(spark):
+    from gordo_spark.operators.anomaly import fleet_consensus
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    rng = np.random.default_rng(23)
+    for m in range(10):
+        for h in range(100):
+            v = 50.0 + float(rng.normal(0, 0.5))
+            if m == 7:
+                v += 25.0  # machine 7's sensor drifted off the fleet
+            rows.append(
+                (f"m{m}", "temp", base + dt.timedelta(hours=h), round(v, 6))
+            )
+    df = spark.createDataFrame(
+        rows, "machine string, tag string, ts timestamp, value double"
+    )
+    out = {r["machine"]: r for r in fleet_consensus(df).collect()}
+    assert out["m7"]["share_flagged"] > 0.9
+    for m in range(10):
+        if m != 7:
+            assert out[f"m{m}"]["share_flagged"] < 0.2
+    assert out["m7"]["worst_z"] > 3.0
+
+
+def test_group_mode_tiebreak_lowest_value(spark):
+    from gordo_spark.operators.ranking import group_mode
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 3), ("a", 1), ("a", 1), ("a", 2),
+         ("b", 9), ("b", None)],
+        "g string, v int",
+    )
+    out = {r["g"]: r for r in group_mode(df, ["g"], "v").collect()}
+    assert out["a"]["mode"] == 1 and out["a"]["mode_n"] == 2
+    assert out["a"]["n_distinct"] == 3
+    assert out["b"]["mode"] == 9 and out["b"]["n_distinct"] == 1

@@ -1527,3 +1527,81 @@ def test_kalman_stream_matches_batch_across_batches(spark, sf_dir, tmp_path, eve
     np.testing.assert_allclose(got["level"], exp["level"], rtol=1e-9)
     np.testing.assert_allclose(got["gain"], exp["gain"], rtol=1e-9)
     np.testing.assert_allclose(got["p"], exp["p"], rtol=1e-9)
+
+
+def test_fleet_stream_matches_batch_at_width_200(spark, sf_dir, tmp_path):
+    """FLEET-WIDTH streaming (round 9): 200 machine configs score off ONE
+    shared watermarked resample (state O(1) in fleet width) + the batch
+    path's broadcast spec table, then a per-(machine, tag) stateful
+    regularize+ffill — and the closed-stream output is BIT-EQUAL to the
+    batch fleet_long_frame at the same width (the fleet_fill parity
+    discipline). Two chained queries (resample->sink->fill), the
+    stateful-after-aggregation topology used throughout this file.
+    mean_exact aggregation makes the parity exact, not approximate."""
+    from itertools import combinations
+
+    from gordo_spark.plans import TimeSeriesDataset, fleet_long_frame
+    from gordo_spark.streaming.scoring import (
+        fleet_fill_stream,
+        fleet_resample_clip_stream,
+    )
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    combos = [list(c) for c in combinations(types, 3)]
+    fleet = {}
+    for i in range(200):
+        d0 = 1 + (i // len(combos)) % 20
+        fleet[f"m{i:03d}"] = TimeSeriesDataset(
+            tag_list=combos[i % len(combos)],
+            train_start_date=f"2024-01-{d0:02d} 00:00:00",
+            train_end_date=f"2024-01-{d0 + 8:02d} 00:00:00",
+            resolution="1H",
+            aggregation_methods="mean_exact",
+            interpolation_method="ffill",
+            interpolation_limit="6H",
+            data_provider={"type": "EventsAsSensorProvider", "sf_dir": sf_dir},
+        )
+
+    batch = fleet_long_frame(spark, fleet)
+    exp = sorted(
+        (r["machine"], r["tag"], r["ts"], r["value"]) for r in batch.collect()
+    )
+
+    # stage the full long frame (all 5 tags) as the stream source
+    src = f"{tmp_path}/fleet_src"
+    long = EventsAsSensorProvider(sf_dir).read(spark, types)
+    long.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(long.schema).parquet(src)
+
+    mid = f"{tmp_path}/fleet_resampled"
+    q1 = (
+        fleet_resample_clip_stream(stream, fleet, watermark="48H")
+        .writeStream.format("parquet")
+        .option("path", mid)
+        .option("checkpointLocation", f"{tmp_path}/fleet_ckpt1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(180)
+
+    mid_schema = spark.read.parquet(mid).schema
+    filled = fleet_fill_stream(
+        spark.readStream.schema(mid_schema).parquet(mid),
+        resolution="1H",
+        interpolation_limit="6H",
+    )
+    q2 = (
+        filled.writeStream.format("memory")
+        .queryName("fleet_fill_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got = sorted(
+        (r["machine"], r["tag"], r["ts"], r["value"])
+        for r in spark.table("fleet_fill_stream_test").collect()
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    assert got == exp

@@ -1,6 +1,7 @@
 """Operator unit tests with pandas as the oracle (the reference's layer-2
 test strategy: golden math vs numpy/pandas, SURVEY.md §5)."""
 
+import math
 import numpy as np
 import pandas as pd
 import pytest
@@ -586,3 +587,32 @@ def test_spearman_ranks_match_pandas(spark):
     rx = ranked.orderBy("ts").toPandas()["rx"]
     assert sorted(rx) == list(range(1, n + 1))
     assert (rx.to_numpy() == pdf["x"].rank(method="first").to_numpy()).all()
+
+
+def test_resample_mean_exact_is_quantized_and_close_to_mean(spark, sensor_df):
+    # round-9 audit-mode aggregation: engine-portable scaled-integer mean —
+    # every cell within 1e-6 of the float mean, and deterministic by
+    # construction (exact integer sums; no float accumulation order)
+    ex = (
+        resample_aggregate(sensor_df, "10T", "mean_exact")
+        .withColumnRenamed("value", "ve")
+    )
+    fl = resample_aggregate(sensor_df, "10T", "mean")
+    j = ex.join(fl, ["tag", "ts"]).select("ve", "value").collect()
+    assert len(j) > 0
+    for r in j:
+        if not math.isfinite(r["value"]):
+            # non-finite cells fall back to the float avg (documented)
+            assert repr(r["ve"]) == repr(r["value"])
+        else:
+            assert abs(r["ve"] - r["value"]) <= 1.0e-6
+
+
+def test_hits_iteration_bound_guard(spark):
+    from gordo_spark.operators.graph import hits
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        hits(e, iterations=33)
+    with pytest.raises(ValueError):
+        hits(e, iterations=0)

@@ -196,3 +196,71 @@ def test_skyline_single_point_and_line(spark):
     )
     out2 = skyline_2d(df2, "x", "y", "id").collect()
     assert [r["id"] for r in out2] == [1]  # (1,1) dominates everything
+
+
+def test_matrix_profile_horizon_wide_equals_full(spark):
+    # round-9 banding knob: with horizon >= grid length the banded
+    # profile IS the full profile (same rows, same distances, same nn)
+    from gordo_spark.operators.tsa import matrix_profile
+
+    rng = np.random.RandomState(11)
+    z = np.round(rng.rand(60) * 10, 3)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(hours=i), float(v)) for i, v in enumerate(z)
+    ]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    full = sorted(
+        (r["idx"], r["mp_dist"], r["nn_idx"])
+        for r in matrix_profile(df, m=5, precision=3).collect()
+    )
+    banded = sorted(
+        (r["idx"], r["mp_dist"], r["nn_idx"])
+        for r in matrix_profile(df, m=5, precision=3, horizon=500).collect()
+    )
+    assert banded == full and len(full) > 0
+
+
+def test_matrix_profile_horizon_bands_the_neighbor_search(spark):
+    # tight horizon: nearest neighbor WITHIN the band, numpy-checked
+    from gordo_spark.operators.tsa import matrix_profile
+
+    rng = np.random.RandomState(12)
+    z = np.round(rng.rand(50) * 10, 3)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(hours=i), float(v)) for i, v in enumerate(z)
+    ]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    m, H = 5, 12
+    out = matrix_profile(df, m=m, exclusion=m, precision=3, horizon=H).collect()
+    n = len(z) - m + 1
+    for r in out:
+        i = r["idx"] - 1
+        dists = [
+            math.sqrt(float(np.sum((z[i : i + m] - z[j : j + m]) ** 2)))
+            for j in range(n)
+            if m <= abs((j + 1) - r["idx"]) <= H
+        ]
+        if dists:
+            assert r["mp_dist"] == pytest.approx(min(dists), abs=1e-5)
+        else:
+            assert r["mp_dist"] is None and r["nn_idx"] is None
+    with pytest.raises(ValueError):
+        matrix_profile(df, m=5, horizon=3)  # horizon < exclusion
+
+
+def test_matrix_profile_short_series_emits_null_not_silence(spark):
+    # ADVICE round-8: a series with subsequences but no admissible pair
+    # must surface its positions with NULL mp_dist, not vanish
+    from gordo_spark.operators.tsa import matrix_profile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("short", base + dt.timedelta(hours=i), float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    # m=8 -> 3 subsequences, exclusion=8 -> no pair is ever admissible
+    out = matrix_profile(df, m=8, precision=3).collect()
+    assert len(out) == 3
+    assert all(r["mp_dist"] is None and r["nn_idx"] is None for r in out)
