@@ -14181,6 +14181,309 @@ FROM sel WHERE rn = 1 ORDER BY event_type
 
 O_GRANGER = _o_granger()
 
+
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W35 — partial autocorrelation lags 1-4 per tag
+    (operators/tsa.pacf): Durbin-Levinson unrolled to closed-form
+    column algebra over classical biased ACF sums — the AR-order
+    readout completing w13_acf for ARIMA triage. One ordered window
+    pass + one aggregation; recursion is row algebra on |tags| rows."""
+    from gordo_spark.operators.tsa import pacf
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    return pacf(res, max_lag=4, resolution_seconds=3600)
+
+
+O_PACF = f"""
+WITH {_RES_1H_CTE.strip()},
+mu AS (SELECT tag, avg(value) AS m FROM res GROUP BY tag),
+d AS (
+  SELECT res.tag, epoch(res.ts) AS t, res.value - mu.m AS dd
+  FROM res JOIN mu ON mu.tag = res.tag
+),
+sums AS (
+  SELECT d.tag,
+         sum(d.dd * d.dd) AS s0,
+         sum(d.dd * l1.dd) AS s1,
+         sum(d.dd * l2.dd) AS s2,
+         sum(d.dd * l3.dd) AS s3,
+         sum(d.dd * l4.dd) AS s4
+  FROM d
+  LEFT JOIN d l1 ON l1.tag = d.tag AND l1.t = d.t - 3600
+  LEFT JOIN d l2 ON l2.tag = d.tag AND l2.t = d.t - 7200
+  LEFT JOIN d l3 ON l3.tag = d.tag AND l3.t = d.t - 10800
+  LEFT JOIN d l4 ON l4.tag = d.tag AND l4.t = d.t - 14400
+  GROUP BY d.tag
+),
+r AS (
+  SELECT tag, s1/s0 AS r1, s2/s0 AS r2, s3/s0 AS r3, s4/s0 AS r4
+  FROM sums
+),
+p2 AS (
+  SELECT tag, r1, r2, r3, r4,
+         r1 AS phi11,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+  FROM r
+),
+p2b AS (
+  SELECT *, phi11 - phi22 * phi11 AS phi21 FROM p2
+),
+p3 AS (
+  SELECT *,
+         (r3 - phi21 * r2 - phi22 * r1)
+           / (1.0 - phi21 * r1 - phi22 * r2) AS phi33
+  FROM p2b
+),
+p3b AS (
+  SELECT *, phi21 - phi33 * phi22 AS phi31,
+         phi22 - phi33 * phi21 AS phi32
+  FROM p3
+),
+p4 AS (
+  SELECT *,
+         (r4 - phi31 * r3 - phi32 * r2 - phi33 * r1)
+           / (1.0 - phi31 * r1 - phi32 * r2 - phi33 * r3) AS phi44
+  FROM p3b
+)
+SELECT tag, lag,
+       floor((pacf) * 1000000.0 + 0.5) / 1000000.0 AS pacf
+FROM (
+  SELECT tag, 1 AS lag, phi11 AS pacf FROM p4
+  UNION ALL SELECT tag, 2, phi22 FROM p4
+  UNION ALL SELECT tag, 3, phi33 FROM p4
+  UNION ALL SELECT tag, 4, phi44 FROM p4
+)
+ORDER BY tag, lag
+"""
+
+
+def q_gap_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor uptime report (operators/tsa.gap_mtbf): per tag, outage
+    runs on the hourly grid — gap count, downtime, longest gap,
+    availability, MTBF/MTTR — the MISSING twin of flatline (fail loud
+    vs fail quiet). One ordered pass over present rows; |tags| rows
+    out."""
+    from gordo_spark.operators.tsa import gap_mtbf
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    return gap_mtbf(res, resolution_seconds=3600)
+
+
+O_GAP_MTBF = f"""
+WITH {_RES_1H_CTE.strip()},
+base AS (
+  SELECT DISTINCT tag, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b
+  FROM res WHERE value IS NOT NULL
+),
+lagged AS (
+  SELECT tag, b, lag(b) OVER (PARTITION BY tag ORDER BY b) AS prev
+  FROM base
+),
+gaps AS (
+  SELECT tag, (prev + 1) * 3600 AS gs, b - prev - 1 AS len
+  FROM lagged WHERE prev IS NOT NULL AND b - prev > 1
+),
+g AS (
+  SELECT tag, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(len) AS BIGINT) AS down_buckets,
+         CAST(max(len) * 3600 AS BIGINT) AS longest_gap_s,
+         CASE WHEN count(*) >= 2
+              THEN CAST(max(gs) - min(gs) AS DOUBLE) / (count(*) - 1) END
+           AS mtbf_s,
+         CAST(sum(len) AS DOUBLE) * 3600 / count(*) AS mttr_s
+  FROM gaps GROUP BY tag
+),
+span AS (
+  SELECT tag, min(b) AS b0, max(b) AS b1,
+         CAST(count(*) AS BIGINT) AS present
+  FROM base GROUP BY tag
+)
+SELECT span.tag,
+       CAST(b1 - b0 + 1 AS BIGINT) AS expected_buckets,
+       present AS present_buckets,
+       coalesce(n_gaps, 0) AS n_gaps,
+       coalesce(down_buckets, 0) AS down_buckets,
+       coalesce(longest_gap_s, 0) AS longest_gap_s,
+       floor((CAST(present AS DOUBLE) / (b1 - b0 + 1))
+             * 1000000.0 + 0.5) / 1000000.0 AS availability,
+       floor((mtbf_s) * 1000000.0 + 0.5) / 1000000.0 AS mtbf_s,
+       floor((mttr_s) * 1000000.0 + 0.5) / 1000000.0 AS mttr_s
+FROM span LEFT JOIN g ON g.tag = span.tag
+ORDER BY span.tag
+"""
+
+
+def q_holm_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing-honest A/B (operators/experiments.holm_ab):
+    three per-user binary metrics (converted / engaged / spender),
+    each a pooled two-proportion z, then Holm step-down on the z scale
+    against exact inverse-normal critical values — FWER control
+    without independence assumptions. One per-unit collapse + K-row
+    self-joins (no windows)."""
+    from gordo_spark.operators.experiments import holm_ab
+
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        ).alias("heavy_buyer"),
+        (F.count(F.lit(1)) >= 67).alias("engaged"),
+        (F.sum("value") > 3300.0).alias("spender"),
+    )
+    return holm_ab(
+        per, ["engaged", "heavy_buyer", "spender"], "user_id", salt="exp1"
+    )
+
+
+O_HOLM_AB = """
+WITH per AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS heavy_buyer,
+         CASE WHEN count(*) >= 67 THEN 1 ELSE 0 END AS engaged,
+         CASE WHEN sum(value) > 3300.0 THEN 1 ELSE 0 END AS spender,
+         ('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS variant
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(heavy_buyer) AS BIGINT) AS c_heavy_buyer,
+         CAST(sum(engaged) AS BIGINT) AS c_engaged,
+         CAST(sum(spender) AS BIGINT) AS c_spender
+  FROM per GROUP BY variant
+),
+rows_ AS (
+  SELECT 'heavy_buyer' AS metric,
+         sum(CASE WHEN variant = 0 THEN n END) AS n_a,
+         sum(CASE WHEN variant = 1 THEN n END) AS n_b,
+         sum(CASE WHEN variant = 0 THEN c_heavy_buyer END) AS ca,
+         sum(CASE WHEN variant = 1 THEN c_heavy_buyer END) AS cb
+  FROM v
+  UNION ALL
+  SELECT 'engaged',
+         sum(CASE WHEN variant = 0 THEN n END),
+         sum(CASE WHEN variant = 1 THEN n END),
+         sum(CASE WHEN variant = 0 THEN c_engaged END),
+         sum(CASE WHEN variant = 1 THEN c_engaged END)
+  FROM v
+  UNION ALL
+  SELECT 'spender',
+         sum(CASE WHEN variant = 0 THEN n END),
+         sum(CASE WHEN variant = 1 THEN n END),
+         sum(CASE WHEN variant = 0 THEN c_spender END),
+         sum(CASE WHEN variant = 1 THEN c_spender END)
+  FROM v
+),
+zf AS (
+  SELECT metric, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         floor((ca / CAST(n_a AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+         floor((cb / CAST(n_b AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+         floor((CASE WHEN (ca + cb) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                          * (1 - (ca + cb) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) > 0
+                THEN (cb / CAST(n_b AS DOUBLE) - ca / CAST(n_a AS DOUBLE))
+                     / sqrt((ca + cb) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                            * (1 - (ca + cb) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                END) * 1000000.0 + 0.5) / 1000000.0 AS z
+  FROM rows_
+),
+ranked AS (
+  SELECT x.metric, x.n_a, x.n_b, x.p_a, x.p_b, x.z,
+         CAST(1 + sum(CASE WHEN abs(coalesce(y.z, 0.0)) > abs(coalesce(x.z, 0.0))
+                     OR (abs(coalesce(y.z, 0.0)) = abs(coalesce(x.z, 0.0))
+                         AND y.metric < x.metric)
+                THEN 1 ELSE 0 END) AS INTEGER) AS rank
+  FROM zf x CROSS JOIN zf y
+  GROUP BY x.metric, x.n_a, x.n_b, x.p_a, x.p_b, x.z
+),
+withcrit AS (
+  SELECT *, CASE WHEN rank = 1 THEN CAST(2.39398 AS DOUBLE) WHEN rank = 2 THEN CAST(2.241403 AS DOUBLE) WHEN rank = 3 THEN CAST(1.959964 AS DOUBLE) END AS critical FROM ranked
+),
+step AS (
+  SELECT x.metric, x.n_a, x.n_b, x.p_a, x.p_b, x.z, x.rank, x.critical,
+         min(CASE WHEN abs(coalesce(c.z, 0.0)) >= c.critical
+                  THEN 1 ELSE 0 END) AS all_ok
+  FROM withcrit x JOIN withcrit c ON c.rank <= x.rank
+  GROUP BY x.metric, x.n_a, x.n_b, x.p_a, x.p_b, x.z, x.rank, x.critical
+)
+SELECT metric, n_a, n_b, p_a, p_b, z, rank, critical,
+       all_ok = 1 AS significant
+FROM step ORDER BY rank
+"""
+
+
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal OLS intervals (ml/features.conformal_intervals):
+    predict order totals from item counts; md5 split train/cal/test;
+    q = exact k-th smallest scaled-integer calibration residual
+    (TakeOrdered, no interpolated percentile); coverage is an integer
+    comparison — distribution-free >= 90% coverage, engine-exact given
+    the fitted line."""
+    from gordo_spark.ml.features import conformal_intervals
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = read_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(F.count(F.lit(1)).alias("n_items"))
+    d = orders.join(li, "o_orderkey")
+    return conformal_intervals(
+        d, "n_items", "o_totalprice", "o_orderkey", alpha=0.1, salt="conf"
+    )
+
+
+O_CONFORMAL = """
+WITH d AS (
+  SELECT o.o_orderkey AS id, CAST(x.n AS DOUBLE) AS x, o.o_totalprice AS y,
+         ('0x' || substr(md5('conf' || CAST(o.o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % 4 AS b
+  FROM orders o JOIN (
+    SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1
+  ) x ON x.l_orderkey = o.o_orderkey
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM d WHERE b <= 1
+),
+coef AS (
+  SELECT n AS n_train,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS bb,
+         (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS aa
+  FROM fit
+),
+cal AS (
+  SELECT CAST(floor(abs(d.y - (coef.aa + coef.bb * d.x)) * 1e6 + 0.5)
+              AS BIGINT) AS r
+  FROM d, coef WHERE d.b = 2
+),
+kk AS (
+  SELECT CAST(least(count(*),
+              CAST(ceil((count(*) + 1) * 0.9) AS BIGINT)) AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS n_cal
+  FROM cal
+),
+qq AS (
+  SELECT r AS q FROM (
+    SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal
+  ) s, kk WHERE s.rn = kk.k
+),
+tst AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN CAST(floor(abs(d.y - (coef.aa + coef.bb * d.x))
+                    * 1e6 + 0.5) AS BIGINT) <= qq.q
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+  FROM d, coef, qq WHERE d.b = 3
+)
+SELECT fit.n AS n_train, kk.n_cal, tst.n_test,
+       floor((CAST(qq.q AS DOUBLE) / 1e6) * 1000000.0 + 0.5) / 1000000.0 AS q,
+       floor((CAST(n_in AS DOUBLE) / n_test) * 1000000.0 + 0.5) / 1000000.0
+         AS coverage
+FROM fit, kk, qq, tst
+"""
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so ANY prefix is family-representative: the first 50 entries
     # interleave timeseries, TPC-H, dedup, text/LM-quality, similarity,
@@ -14510,6 +14813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erasure_audit": q_erasure_audit,
         "fleet_consensus": q_fleet_consensus,
         "group_mode": q_group_mode,
+        "w35_pacf": q_pacf,
+        "gap_mtbf": q_gap_mtbf,
+        "holm_ab": q_holm_ab,
+        "conformal_ols": q_conformal,
     }
 
 
@@ -14834,4 +15141,8 @@ def oracle_sql() -> dict[str, str]:
         "erasure_audit": O_ERASURE_AUDIT,
         "fleet_consensus": O_FLEET_CONSENSUS,
         "group_mode": O_GROUP_MODE,
+        "w35_pacf": O_PACF,
+        "gap_mtbf": O_GAP_MTBF,
+        "holm_ab": O_HOLM_AB,
+        "conformal_ols": O_CONFORMAL,
     }

@@ -275,6 +275,16 @@ HEADLINE = [
     "w33_spectral_entropy",
     "knn_classify",
     "null_patterns",
+    # round 9
+    "flatline",
+    "w34_hurst",
+    "granger_lag1",
+    "msprt_monitor",
+    "kcenter_coreset",
+    "sem_decontaminate",
+    "erasure_audit",
+    "fleet_consensus",
+    "group_mode",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

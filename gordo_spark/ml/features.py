@@ -142,3 +142,88 @@ def isotonic_calibration(
     return spark.createDataFrame(
         out, "score_grid double, n long, n_pos long, calibrated double"
     )
+
+
+def conformal_intervals(
+    df,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    salt: str = "conf",
+):
+    """SPLIT-CONFORMAL prediction intervals (Vovk et al. 2005; Lei et al.
+    2018) around a sufficient-stats OLS fit: md5-split the rows into
+    train (2/4), calibration (1/4) and test (1/4); fit y = a + b x on
+    train; take q = the ceil((n_cal + 1)(1 - alpha))-th smallest
+    absolute calibration residual; then ``yhat +- q`` covers test
+    points with probability >= 1 - alpha, DISTRIBUTION-FREE — the
+    uncertainty wrapper the reference's plain model predictions
+    (gordo/machine/model/models.py) never carry.
+
+    Exactness discipline: residuals quantize to 1e-6-scaled LONGS, the
+    conformal quantile is an EXACT k-th order statistic taken with
+    orderBy+limit(k)+max (distributed TakeOrdered — no interpolated
+    percentile whose position can wobble an ulp between engines, no
+    keyless window), and the coverage test is an integer comparison —
+    so given the fitted line, every downstream number is
+    engine-deterministic. Two driver-side plan constants (n_cal, k)
+    via count, the a7/m4 house pattern. Output one row:
+    ``(n_train, n_cal, n_test, q, coverage)``.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gordo_spark.functions.rounding import qround
+    from gordo_spark.operators.dedup import md5_long
+
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(4),
+    )
+    base = df.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+        bucket.alias("_b"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    train = base.filter(F.col("_b") <= 1)
+    cal = base.filter(F.col("_b") == 2)
+    test = base.filter(F.col("_b") == 3)
+    s = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    ).collect()[0]
+    n_train = s["n"]
+    det = n_train * s["sxx"] - s["sx"] * s["sx"]
+    b = (n_train * s["sxy"] - s["sx"] * s["sy"]) / det if det else 0.0
+    a = (s["sy"] - b * s["sx"]) / n_train if n_train else 0.0
+    ri = F.floor(
+        F.abs(F.col("_y") - (F.lit(a) + F.lit(b) * F.col("_x"))) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    cal_r = cal.select(ri.alias("_r"))
+    n_cal = cal_r.count()
+    k = min(n_cal, int(math.ceil((n_cal + 1) * (1.0 - float(alpha)))))
+    q_row = (
+        cal_r.orderBy("_r").limit(k).agg(F.max("_r").alias("q")).collect()[0]
+    )
+    qi = int(q_row["q"]) if q_row["q"] is not None else 0
+    cov = test.select(ri.alias("_r")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.when(F.col("_r") <= qi, 1).otherwise(0)).alias("_in"),
+    )
+    spark = df.sparkSession
+    head = spark.createDataFrame(
+        [(n_train, n_cal)], "n_train long, n_cal long"
+    )
+    return head.crossJoin(cov).select(
+        "n_train",
+        "n_cal",
+        "n_test",
+        qround(F.lit(qi / 1e6), 6).alias("q"),
+        qround(F.col("_in") / F.col("n_test"), 6).alias("coverage"),
+    )

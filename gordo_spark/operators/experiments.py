@@ -1438,3 +1438,220 @@ def msprt_monitor(
         )
         .orderBy("window_start")
     )
+
+
+def msprt_from_counts(
+    counts: DataFrame,
+    tau2: float = 0.0001,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """:func:`msprt_monitor`'s readout over a PRE-AGGREGATED per-(window,
+    variant) count table — the batch side of the streaming experiment
+    monitor (``streaming/quality.stream_ab_counts`` lands exactly this
+    shape at its sink; this function turns the landed counts into the
+    always-valid sequential verdict, the stream_srm_counts /
+    srm_verdict_from_counts two-stage pattern applied to the mSPRT).
+    Expects columns ``(window_start, variant, n_events, n_success)``;
+    identical formula path to msprt_monitor, so monitor == counts-then-
+    readout is pinned in tests. Output matches msprt_monitor.
+    """
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("variant").orderBy("window_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.select(
+        F.col("window_start").alias("_w"),
+        "variant",
+        F.sum("n_events").over(wv).alias("_cn"),
+        F.sum("n_success").over(wv).alias("_cc"),
+    )
+    a = cum.filter(F.col("variant") == 0).select(
+        "_w", F.col("_cn").alias("n_a"), F.col("_cc").alias("conv_a")
+    )
+    b = cum.filter(F.col("variant") == 1).select(
+        "_w", F.col("_cn").alias("n_b"), F.col("_cc").alias("conv_b")
+    )
+    j = a.join(b, "_w")
+    n0 = F.col("n_a").cast("double")
+    n1 = F.col("n_b").cast("double")
+    p0 = F.col("conv_a") / n0
+    p1 = F.col("conv_b") / n1
+    pp = (F.col("conv_a") + F.col("conv_b")) / (n0 + n1)
+    v = pp * (1 - pp) * (1.0 / n0 + 1.0 / n1)
+    theta = p1 - p0
+    t2 = F.lit(float(tau2))
+    lam = F.when(
+        v > 0,
+        F.sqrt(v / (v + t2))
+        * F.exp(theta * theta * t2 / (2.0 * v * (v + t2))),
+    )
+    lamf = j.select(
+        F.col("_w"), "n_a", "n_b", "conv_a", "conv_b",
+        theta.alias("_theta"), lam.alias("_lam"),
+    )
+    run = (
+        lamf.alias("x")
+        .join(
+            lamf.select("_w", "_lam").alias("y"),
+            F.col("y._w") <= F.col("x._w"),
+        )
+        .groupBy("x._w")
+        .agg(F.max("y._lam").alias("_mx"))
+        .select(F.col("_w"), F.col("_mx"))
+    )
+    return (
+        lamf.join(run, "_w")
+        .select(
+            F.col("_w").alias("window_start"),
+            "n_a",
+            "n_b",
+            "conv_a",
+            "conv_b",
+            qround(F.col("_theta"), 6).alias("diff"),
+            qround(F.col("_lam"), 6).alias("lam"),
+            qround(
+                F.least(F.lit(1.0), 1.0 / F.col("_mx")), 6
+            ).alias("p_always"),
+            F.coalesce(
+                F.col("_mx") >= F.lit(1.0 / float(alpha)), F.lit(False)
+            ).alias("crossed"),
+        )
+        .orderBy("window_start")
+    )
+
+
+def holm_ab(
+    per_unit: DataFrame,
+    metric_cols: "list[str]",
+    unit_col: str = "user_id",
+    salt: str = "exp1",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Multiple-testing-honest A/B readout: K binary metrics per unit,
+    each tested with the pooled two-proportion z, then HOLM's step-down
+    correction (uniformly more powerful than Bonferroni, controls FWER
+    with no independence assumption — the guard against "we shipped
+    because metric 7 of 12 went green"). Rejection runs on the z scale
+    against per-rank critical values ``z_{1 - alpha/(2(K - i + 1))}``
+    (computed once, driver-side, via the exact normal inverse CDF — no
+    erf needed in either engine), with the step-down rule "reject rank
+    i iff every rank <= i clears its own bar".
+
+    Plan: ONE per-unit collapse computing all K indicators (single
+    corpus shuffle on the unit key), one 2-row variant aggregate per
+    frame, then rank + step-down as TWO self-joins on the K-row metric
+    frame (K^2 pairs, K ~ a handful — deliberately not a window: the
+    K-row frame needs no sort machinery). Output per metric:
+    ``(metric, n_a, n_b, p_a, p_b, z, rank, critical, significant)``.
+    """
+    from statistics import NormalDist
+
+    K = len(metric_cols)
+    if K < 1:
+        raise ValueError("holm_ab needs at least one metric column")
+    nd = NormalDist()
+    crits = {
+        i: nd.inv_cdf(1.0 - float(alpha) / (2.0 * (K - i + 1)))
+        for i in range(1, K + 1)
+    }
+    assigned = ab_assign(
+        per_unit.select(unit_col, *metric_cols), unit_col, 2, salt
+    )
+    v = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.col(c).cast("int")).alias(f"_c_{c}")
+            for c in metric_cols
+        ],
+    ).localCheckpoint()  # 2 rows; K metric frames + 2 self-joins reuse it
+    rows = None
+    for c in metric_cols:
+        one = v.agg(
+            F.lit(c).alias("metric"),
+            F.sum(F.when(F.col("variant") == 0, F.col("_n"))).alias("n_a"),
+            F.sum(F.when(F.col("variant") == 1, F.col("_n"))).alias("n_b"),
+            F.sum(F.when(F.col("variant") == 0, F.col(f"_c_{c}"))).alias(
+                "conv_a"
+            ),
+            F.sum(F.when(F.col("variant") == 1, F.col(f"_c_{c}"))).alias(
+                "conv_b"
+            ),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    n0 = F.col("n_a").cast("double")
+    n1 = F.col("n_b").cast("double")
+    pa = F.when(F.col("n_a") > 0, F.col("conv_a") / n0)
+    pb = F.when(F.col("n_b") > 0, F.col("conv_b") / n1)
+    pool = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("conv_a") + F.col("conv_b")) / (n0 + n1),
+    )
+    se = F.when(
+        pool * (1 - pool) > 0,
+        F.sqrt(pool * (1 - pool) * (1.0 / n0 + 1.0 / n1)),
+    )
+    zf = rows.select(
+        "metric", "n_a", "n_b",
+        qround(pa, 6).alias("p_a"),
+        qround(pb, 6).alias("p_b"),
+        qround(F.when(se > 0, (pb - pa) / se), 6).alias("z"),
+    ).localCheckpoint()  # K rows; the K^2 rank/step joins reuse it
+    # rank by |z| desc, metric-name tiebreak, via a K^2 self-join
+    az = F.abs(F.coalesce(F.col("x.z"), F.lit(0.0)))
+    azy = F.abs(F.coalesce(F.col("y.z"), F.lit(0.0)))
+    ranked = (
+        zf.alias("x")
+        .join(zf.select("metric", "z").alias("y"), F.lit(True))
+        .groupBy(
+            F.col("x.metric").alias("metric"),
+            F.col("x.n_a").alias("n_a"),
+            F.col("x.n_b").alias("n_b"),
+            F.col("x.p_a").alias("p_a"),
+            F.col("x.p_b").alias("p_b"),
+            F.col("x.z").alias("z"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (azy > az)
+                    | ((azy == az) & (F.col("y.metric") < F.col("x.metric"))),
+                    1,
+                ).otherwise(0)
+            ).alias("_nbefore")
+        )
+        .withColumn("rank", (F.col("_nbefore") + 1).cast("int"))
+        .drop("_nbefore")
+    )
+    crit = F.when(F.lit(False), F.lit(0.0))
+    crit_expr = None
+    for i in range(K, 0, -1):
+        if crit_expr is None:
+            crit_expr = F.when(F.col("rank") == i, F.lit(crits[i]))
+        else:
+            crit_expr = crit_expr.when(F.col("rank") == i, F.lit(crits[i]))
+    ranked = ranked.withColumn("critical", qround(crit_expr, 6))
+    # step-down: rank i rejects iff every rank <= i clears its own bar
+    cleared = ranked.select(
+        F.col("rank").alias("_r"),
+        (
+            F.abs(F.coalesce(F.col("z"), F.lit(0.0))) >= F.col("critical")
+        ).alias("_ok"),
+    )
+    step = (
+        ranked.alias("x")
+        .join(cleared.alias("c"), F.col("c._r") <= F.col("x.rank"))
+        .groupBy(
+            *[
+                F.col(f"x.{c}").alias(c)
+                for c in [
+                    "metric", "n_a", "n_b", "p_a", "p_b", "z", "rank",
+                    "critical",
+                ]
+            ]
+        )
+        .agg(F.min(F.col("c._ok").cast("int")).alias("_all"))
+        .withColumn("significant", F.col("_all") == 1)
+        .drop("_all")
+    )
+    return step.orderBy("rank")

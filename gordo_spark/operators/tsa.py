@@ -1765,3 +1765,164 @@ def granger_lag1(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("x", "y")
+
+
+def pacf(
+    df: DataFrame,
+    max_lag: int = 4,
+    resolution_seconds: int = 3600,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Partial autocorrelation per tag for lags 1..``max_lag`` (<= 4)
+    via the Durbin-Levinson recursion UNROLLED into closed-form column
+    algebra — the AR-order readout that completes :func:`acf` for
+    ARIMA-style triage (ACF tails off + PACF cuts at p => AR(p); the
+    pair is the fleet modeler's first diagnostic).
+
+    Uses the classical biased ACF ``r_k = S_k / S_0`` (lag-k
+    demeaned cross sums over the lag-0 sum of squares — the textbook
+    normalization Durbin-Levinson assumes; the pairwise-complete
+    variant in :func:`acf` is the right CORRELATION but the wrong
+    RECURSION input). Lags are TIME-keyed range frames like acf, so
+    grid gaps contribute nothing instead of mispairing.
+
+    One per-tag ordered window pass builds all lag columns, ONE
+    aggregation computes every S_k, and the recursion is pure row
+    algebra on the |tags|-row frame — no iteration, no collect.
+    Output: ``(tag, lag, pacf)`` ordered.
+    """
+    if not 1 <= int(max_lag) <= 4:
+        raise ValueError("pacf unrolls Durbin-Levinson to max_lag in 1..4")
+    res = int(resolution_seconds)
+    mean = df.groupBy(F.col(tag_col).alias("tag")).agg(
+        F.avg(value_col).alias("_mu")
+    )
+    out = (
+        df.select(
+            F.col(tag_col).alias("tag"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .join(mean, "tag")
+        .withColumn("_t", F.col("ts").cast("timestamp").cast("long"))
+        .withColumn("_d", F.col("_v") - F.col("_mu"))
+    )
+    for k in range(1, int(max_lag) + 1):
+        w = (
+            Window.partitionBy("tag")
+            .orderBy("_t")
+            .rangeBetween(-k * res, -k * res)
+        )
+        out = out.withColumn(f"_dl{k}", F.last("_d").over(w))
+    aggs = [F.sum(F.col("_d") * F.col("_d")).alias("s0")] + [
+        F.sum(F.col("_d") * F.col(f"_dl{k}")).alias(f"s{k}")
+        for k in range(1, int(max_lag) + 1)
+    ]
+    wide = out.groupBy("tag").agg(*aggs)
+    r = {
+        k: F.col(f"s{k}") / F.col("s0") for k in range(1, int(max_lag) + 1)
+    }
+    phi = {(1, 1): r[1]}
+    for k in range(2, int(max_lag) + 1):
+        num = r[k]
+        den = F.lit(1.0)
+        for j in range(1, k):
+            num = num - phi[(k - 1, j)] * r[k - j]
+            den = den - phi[(k - 1, j)] * r[j]
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    cols = ", ".join(
+        f"{k}, pacf{k}" for k in range(1, int(max_lag) + 1)
+    )
+    named = wide.select(
+        "tag",
+        *[
+            qround(phi[(k, k)], 6).alias(f"pacf{k}")
+            for k in range(1, int(max_lag) + 1)
+        ],
+    )
+    return named.select(
+        "tag", F.expr(f"stack({int(max_lag)}, {cols}) AS (lag, pacf)")
+    ).orderBy("tag", "lag")
+
+
+def gap_mtbf(
+    df: DataFrame,
+    resolution_seconds: int = 3600,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sensor UPTIME report per tag: from the regular grid between each
+    tag's first and last observation, find the MISSING-bucket runs
+    (outages) and report ``n_gaps``, ``down_buckets``,
+    ``longest_gap_s``, ``availability`` (present/expected),
+    ``mtbf_s`` (mean seconds between outage STARTS — infinite-run
+    convention: NULL when < 2 outages) and ``mttr_s`` (mean outage
+    length). The MISSING twin of :func:`flatline_runs` (a sensor can
+    fail loud — gaps — or fail quiet — flatlines; ops needs both).
+
+    Grid expectation is integer arithmetic on epoch buckets (expected
+    = (last - first)/res + 1), outage runs come from one ordered
+    window pass over the PRESENT rows only (a gap is a lag-delta > 1
+    bucket — no grid materialization, no spans join), so cost is one
+    tag-keyed sort over observed rows; output is |tags| rows.
+    """
+    res = int(resolution_seconds)
+    w = Window.partitionBy("tag").orderBy("_b")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(tag_col).alias("tag"),
+            F.floor(
+                F.col(ts_col).cast("timestamp").cast("double") / res
+            ).cast("long").alias("_b"),
+        )
+        .distinct()
+    )
+    lagged = base.withColumn("_prev", F.lag("_b").over(w))
+    gaps = lagged.filter(
+        F.col("_prev").isNotNull() & (F.col("_b") - F.col("_prev") > 1)
+    ).select(
+        "tag",
+        ((F.col("_prev") + 1) * res).alias("_gap_start_s"),
+        (F.col("_b") - F.col("_prev") - 1).alias("_len"),
+    )
+    g = gaps.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_len").alias("down_buckets"),
+        (F.max("_len") * res).alias("longest_gap_s"),
+        F.when(
+            F.count(F.lit(1)) >= 2,
+            (F.max("_gap_start_s") - F.min("_gap_start_s"))
+            / (F.count(F.lit(1)) - 1),
+        ).alias("mtbf_s"),
+        (F.sum("_len") * res / F.count(F.lit(1))).alias("mttr_s"),
+    )
+    span = base.groupBy("tag").agg(
+        F.min("_b").alias("_b0"),
+        F.max("_b").alias("_b1"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    return (
+        span.join(g, "tag", "left")
+        .select(
+            "tag",
+            (F.col("_b1") - F.col("_b0") + 1).alias("expected_buckets"),
+            F.col("_present").alias("present_buckets"),
+            F.coalesce("n_gaps", F.lit(0)).alias("n_gaps"),
+            F.coalesce("down_buckets", F.lit(0)).alias("down_buckets"),
+            F.coalesce("longest_gap_s", F.lit(0)).alias("longest_gap_s"),
+            qround(
+                F.col("_present")
+                / (F.col("_b1") - F.col("_b0") + 1).cast("double"),
+                6,
+            ).alias("availability"),
+            qround(F.col("mtbf_s"), 6).alias("mtbf_s"),
+            qround(F.col("mttr_s"), 6).alias("mttr_s"),
+        )
+        .orderBy("tag")
+    )

@@ -221,3 +221,120 @@ def test_group_mode_tiebreak_lowest_value(spark):
     assert out["a"]["mode"] == 1 and out["a"]["mode_n"] == 2
     assert out["a"]["n_distinct"] == 3
     assert out["b"]["mode"] == 9 and out["b"]["n_distinct"] == 1
+
+
+def test_pacf_matches_numpy_durbin_levinson(spark):
+    from gordo_spark.operators.tsa import pacf
+
+    rng = np.random.default_rng(29)
+    n = 300
+    x = np.zeros(n)
+    for t in range(2, n):  # AR(2): PACF should cut off after lag 2
+        x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + rng.normal()
+    df = _series(spark, x)
+    got = {r["lag"]: r["pacf"] for r in pacf(df, 4, 3600).collect()}
+    # numpy reference: biased ACF + Durbin-Levinson
+    mu = x.mean()
+    d = x - mu
+    s0 = float(np.sum(d * d))
+    r = {k: float(np.sum(d[k:] * d[:-k])) / s0 for k in range(1, 5)}
+    phi = {(1, 1): r[1]}
+    for k in range(2, 5):
+        num, den = r[k], 1.0
+        for j in range(1, k):
+            num -= phi[(k - 1, j)] * r[k - j]
+            den -= phi[(k - 1, j)] * r[j]
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    for k in range(1, 5):
+        assert got[k] == pytest.approx(phi[(k, k)], abs=2e-6)
+    # AR(2) signature: lags 1-2 material, lags 3-4 near zero
+    assert abs(got[1]) > 0.3 and abs(got[2]) > 0.15
+    assert abs(got[3]) < 0.15 and abs(got[4]) < 0.15
+
+
+def test_gap_mtbf_planted_outages(spark):
+    from gordo_spark.operators.tsa import gap_mtbf
+
+    base = dt.datetime(2024, 1, 1)
+    hours = [h for h in range(100) if not (20 <= h < 24 or 60 <= h < 70)]
+    rows = [("t", base + dt.timedelta(hours=h), 1.0) for h in hours]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    r = gap_mtbf(df, 3600).collect()[0]
+    assert r["expected_buckets"] == 100 and r["present_buckets"] == 86
+    assert r["n_gaps"] == 2 and r["down_buckets"] == 14
+    assert r["longest_gap_s"] == 10 * 3600
+    # gap starts at hours 20 and 60 -> MTBF = 40h
+    assert r["mtbf_s"] == pytest.approx(40 * 3600)
+    assert r["mttr_s"] == pytest.approx(7 * 3600)
+    assert r["availability"] == pytest.approx(0.86)
+
+
+def test_holm_ab_rejects_strong_effect_only(spark):
+    from gordo_spark.operators.experiments import ab_assign, holm_ab
+
+    rng = np.random.default_rng(31)
+    rows = [(i,) for i in range(6000)]
+    df = spark.createDataFrame(rows, "user_id long")
+    assigned = ab_assign(df, "user_id", 2, "exp1")
+    per = assigned.select(
+        "user_id",
+        # strong effect on m_big (20 pts), none on m_null
+        F.when(
+            F.col("variant") == 1, F.col("user_id") % 10 < 5
+        ).otherwise(F.col("user_id") % 10 < 3).alias("m_big"),
+        (F.col("user_id") % 7 < 3).alias("m_null"),
+    )
+    out = {r["metric"]: r for r in holm_ab(per, ["m_big", "m_null"]).collect()}
+    assert out["m_big"]["significant"] is True
+    assert out["m_null"]["significant"] is False
+    assert out["m_big"]["rank"] == 1
+    # step-down: a null metric ranked below a rejected one still needs
+    # its own bar cleared
+    assert out["m_null"]["critical"] < out["m_big"]["critical"]
+
+
+def test_conformal_intervals_cover(spark):
+    from gordo_spark.ml.features import conformal_intervals
+
+    rng = np.random.default_rng(37)
+    n = 4000
+    x = rng.uniform(0, 10, n)
+    y = 3.0 + 2.0 * x + rng.normal(0, 1.0, n)
+    df = spark.createDataFrame(
+        [(i, float(x[i]), float(y[i])) for i in range(n)],
+        "id long, x double, y double",
+    )
+    r = conformal_intervals(df, "x", "y", "id", alpha=0.1).collect()[0]
+    assert r["n_train"] + r["n_cal"] + r["n_test"] == n
+    # distribution-free guarantee: coverage >= 1 - alpha (within noise)
+    assert r["coverage"] >= 0.85
+    # and not vacuous: q should be ~the 90% quantile of |N(0,1)| = 1.645
+    assert 1.3 < r["q"] < 2.1
+
+
+def test_msprt_from_counts_equals_monitor(spark):
+    from gordo_spark.operators.experiments import msprt_from_counts, msprt_monitor
+
+    rng = np.random.default_rng(41)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (int(rng.integers(0, 500)), bool(rng.random() < 0.15),
+         base + dt.timedelta(hours=int(rng.integers(0, 72))))
+        for _ in range(20000)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, converted boolean, ts timestamp"
+    )
+    mon = msprt_monitor(df, window="1H").collect()
+    from gordo_spark.streaming.quality import stream_ab_counts
+
+    counts = stream_ab_counts(df, window="1 hour").select(
+        "window_start",
+        "variant",
+        F.col("n_events").alias("n_events"),
+        F.col("n_success").alias("n_success"),
+    )
+    fc = msprt_from_counts(counts).collect()
+    assert [tuple(r) for r in mon] == [tuple(r) for r in fc]
