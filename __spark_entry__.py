@@ -14484,6 +14484,86 @@ SELECT fit.n AS n_train, kk.n_cal, tst.n_test,
 FROM fit, kk, qq, tst
 """
 
+
+def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH (operators/dedup.
+    incremental_lsh_candidates): the shifted-copy half of the dup
+    corpus arrives as a DELTA against the originals' LANDED signature
+    table — only the delta is shingled/signed; the banded bucket join
+    is restricted to delta-touching pairs. incremental == full law:
+    equals the full-corpus LSH pairs filtered to pairs involving a
+    delta id, which is exactly what the oracle recomputes."""
+    from gordo_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    landed_sigs = minhash_signatures(docs, num_hashes=8)
+    delta = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    return incremental_lsh_candidates(
+        landed_sigs, delta, num_hashes=8, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+O_INCREMENTAL_LSH = f"""
+SELECT * FROM ({_lsh_pairs_sql().strip()})
+WHERE id_a >= 100000 OR id_b >= 100000
+ORDER BY id_a, id_b
+"""
+
+
+def q_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (operators/text.rm3_expansion):
+    BM25 top-10 feedback docs -> relevance-model term weights mixed
+    50/50 with the uniform query model, top-15 expansion terms — the
+    second-pass query a lexical RAG retriever actually runs. Every
+    downstream frame hangs off the bounded top-k."""
+    from gordo_spark.operators.text import rm3_expansion
+
+    return rm3_expansion(
+        read_table(spark, sf_dir, "documents"),
+        "table scan merge window",
+        k=10,
+        m=15,
+        mix=0.5,
+    )
+
+
+O_RM3_EXPAND = f"""
+WITH topk AS ({O_BM25_SEARCH.strip()}),
+tot AS (SELECT sum(score) AS t FROM topk),
+sel AS (
+  SELECT d.doc_id, t.score, string_split(d.text, ' ') AS w
+  FROM documents d JOIN topk t USING (doc_id)
+),
+ex AS (
+  SELECT doc_id, score, len(w) AS dl, unnest(w) AS term FROM sel
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         min(score) AS s, min(dl) AS dl
+  FROM ex GROUP BY 1, 2
+),
+rm AS (
+  SELECT term,
+         sum((s / tot.t) * (CAST(tf AS DOUBLE) / dl)) AS rmw
+  FROM tf, tot GROUP BY term
+),
+q AS (
+  SELECT unnest(['merge', 'scan', 'table', 'window']) AS term, 0.125 AS qw
+),
+mixed AS (
+  SELECT coalesce(rm.term, q.term) AS term,
+         floor((0.5 * coalesce(rm.rmw, 0.0) + coalesce(q.qw, 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS weight,
+         q.term IS NOT NULL AS in_query
+  FROM rm FULL OUTER JOIN q ON q.term = rm.term
+)
+SELECT term, weight, in_query FROM mixed
+ORDER BY weight DESC, term LIMIT 15
+"""
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so ANY prefix is family-representative: the first 50 entries
     # interleave timeseries, TPC-H, dedup, text/LM-quality, similarity,
@@ -14817,6 +14897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_mtbf": q_gap_mtbf,
         "holm_ab": q_holm_ab,
         "conformal_ols": q_conformal,
+        "incremental_lsh": q_incremental_lsh,
+        "rm3_expand": q_rm3_expand,
     }
 
 
@@ -15145,4 +15227,6 @@ def oracle_sql() -> dict[str, str]:
         "gap_mtbf": O_GAP_MTBF,
         "holm_ab": O_HOLM_AB,
         "conformal_ols": O_CONFORMAL,
+        "incremental_lsh": O_INCREMENTAL_LSH,
+        "rm3_expand": O_RM3_EXPAND,
     }

@@ -285,6 +285,12 @@ HEADLINE = [
     "erasure_audit",
     "fleet_consensus",
     "group_mode",
+    "w35_pacf",
+    "gap_mtbf",
+    "holm_ab",
+    "conformal_ols",
+    "incremental_lsh",
+    "rm3_expand",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

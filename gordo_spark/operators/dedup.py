@@ -1852,3 +1852,77 @@ def dice_threshold_join(
     return verified.filter(dice >= t).select(
         "id_a", "id_b", "inter", "size_sum", qround(dice, 6).alias("dice")
     )
+
+
+def incremental_lsh_candidates(
+    landed_sigs: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH: near-dup candidates for a DELTA batch
+    against the landed corpus WITHOUT re-shingling the corpus — only the
+    delta is signed (shingle -> minhash), the landed side contributes its
+    persisted SIGNATURE table (num_hashes longs per doc, the kilobyte
+    row a 100 TB lake keeps as a side table), and the banded bucket join
+    is restricted to pairs TOUCHING the delta. This is the
+    incremental==full law (``incremental_dedup``, ``vocab_incremental``)
+    applied to the LSH chain: the result equals the full-corpus
+    ``lsh_candidate_pairs`` filtered to delta-involved pairs, which is
+    exactly what the oracle recomputes.
+
+    Cost shape: shingling/hashing is O(|delta|); the bucket join's left
+    fan-in is delta bands + only those landed band-keys that collide
+    (AQE handles the asymmetry; no broadcast hint — landed is the big
+    side). Output: ``(id_a, id_b)`` with id_a < id_b, distinct.
+    """
+    delta_sigs = minhash_signatures(
+        delta_docs, id_col, text_col, num_hashes, shingle_n
+    )
+    all_sigs = landed_sigs.select(
+        id_col, *[f"m{i}" for i in range(num_hashes)]
+    ).withColumn("_new", F.lit(False)).unionByName(
+        delta_sigs.withColumn("_new", F.lit(True))
+    )
+    rows_per_band = num_hashes // bands
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{bi * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = all_sigs.select(
+        F.col(id_col), F.col("_new"), F.explode(band_struct).alias("bk")
+    ).select(
+        id_col,
+        "_new",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & (F.col("l._new") | F.col("r._new")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )

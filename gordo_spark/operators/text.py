@@ -2116,3 +2116,77 @@ def rake_keyphrases(
     return scored.orderBy(
         F.col("score").desc(), F.col("phrase").asc()
     ).limit(int(topk))
+
+
+def rm3_expansion(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    m: int = 15,
+    mix: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; the
+    Abdul-Jaleel 2004 interpolation): retrieve top-``k`` docs with
+    BM25, build the relevance model ``P(w|R) = sum_d (score_d /
+    sum score) * tf(w, d) / |d|``, and interpolate with the uniform
+    original-query model at ``mix`` — the classic query-expansion step
+    a lexical RAG retriever runs before its second pass (recovers
+    vocabulary-mismatch recall BM25 alone cannot).
+
+    Scale shape: the feedback set is the TakeOrdered top-k — a BOUNDED
+    frame — so every downstream join hangs off k rows; only the top-k
+    docs' tokens are ever exploded (a semi-join reaches the scan), and
+    the final top-m is another TakeOrdered. Output:
+    ``(term, weight, in_query)`` ordered by (weight desc, term)."""
+    terms = [t for t in query.split(" ") if t]
+    if not terms:
+        raise ValueError("empty query")
+    top = bm25_topk(df, query, k, k1, b, id_col, text_col)
+    tot = top.agg(F.sum("score").alias("_tot"))
+    sel = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.col(text_col), " ").alias("_w"),
+        )
+        .join(top.select(F.col(id_col).alias("_id"), "score"), "_id")
+    )
+    ex = sel.select(
+        "_id",
+        "score",
+        F.size("_w").alias("_dl"),
+        F.explode("_w").alias("term"),
+    )
+    tf = ex.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).alias("_tf"),
+        F.first("score").alias("_s"),
+        F.first("_dl").alias("_dl"),
+    )
+    rm = (
+        tf.crossJoin(tot)
+        .groupBy("term")
+        .agg(
+            F.sum(
+                (F.col("_s") / F.col("_tot"))
+                * (F.col("_tf") / F.col("_dl"))
+            ).alias("_rm")
+        )
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(t, float(mix) / len(terms)) for t in sorted(set(terms))],
+        "term string, _qw double",
+    )
+    out = rm.join(qdf, "term", "full_outer").select(
+        "term",
+        qround(
+            F.lit(1.0 - float(mix)) * F.coalesce("_rm", F.lit(0.0))
+            + F.coalesce("_qw", F.lit(0.0)),
+            6,
+        ).alias("weight"),
+        F.col("_qw").isNotNull().alias("in_query"),
+    )
+    return out.orderBy(F.col("weight").desc(), "term").limit(int(m))

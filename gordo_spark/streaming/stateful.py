@@ -21,6 +21,7 @@ same contract the offline operator places on its partition sort.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -694,4 +695,84 @@ def kalman_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def flatline_stream(
+    stream: DataFrame,
+    min_len: int = 6,
+    precision: int = 6,
+    key_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """LIVE stuck-sensor detector — the streaming twin of
+    ``operators/tsa.flatline_runs``: per tag, the length of the current
+    constant-at-``precision`` run, emitted per bucket with a ``stuck``
+    flag once it reaches ``min_len``. The batch operator finds yesterday's
+    dead transmitter; this one pages within ``min_len`` buckets of the
+    freeze — the alert a reference deployment would want from its
+    streaming scorer, not its nightly build.
+
+    State per tag: THREE scalars (current quantized value, run length,
+    run start epoch) — fleet-width-bounded, volume-independent.
+    Quantization uses the floor-quantizer (functions/rounding mirror) so
+    stream == batch holds exactly. Buckets assumed nondecreasing per key
+    across micro-batches (the stateful family's stated convention).
+    Output: ``(tag, ts, value, run_len, stuck)``.
+    """
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("run_len", LongType()),
+            StructField("stuck", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("q", DoubleType()),
+            StructField("n", LongType()),
+            StructField("start", DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        q, n, start = state.get if state.exists else (None, 0, None)
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        lens, stucks = [], []
+        for t, v in zip(rows[ts_col], rows[value_col]):
+            if v is None or pd.isna(v):
+                lens.append(None)
+                stucks.append(None)
+                continue
+            vq = math.floor(float(v) * (10 ** precision) + 0.5) / (
+                10 ** precision
+            )
+            if q is not None and vq == q:
+                n += 1
+            else:
+                q, n, start = vq, 1, pd.Timestamp(t).timestamp()
+            lens.append(n)
+            stucks.append(n >= min_len)
+        state.update((q, n, start))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: rows[ts_col].values,
+                value_col: rows[value_col].values,
+                "run_len": pd.array(lens, dtype="Int64"),
+                "stuck": pd.array(stucks, dtype="boolean"),
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

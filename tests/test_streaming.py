@@ -1605,3 +1605,67 @@ def test_fleet_stream_matches_batch_at_width_200(spark, sf_dir, tmp_path):
     )
     assert len(got) == len(exp) and len(got) > 0
     assert got == exp
+
+
+def test_flatline_stream_matches_batch(spark, tmp_path):
+    """Live stuck-sensor runs == the batch flatline semantics: per-row
+    current-run length across micro-batches, quantizer-identical."""
+    import datetime as dt
+
+    import pandas as pd
+    from gordo_spark.streaming.stateful import flatline_stream
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 4.2, 4.2, 4.2, 4.2, 4.2, 4.2, 4.2, 3.0, 4.2, 4.2]
+    rows = [
+        ("t", base + dt.timedelta(hours=i), v) for i, v in enumerate(vals)
+    ] + [
+        ("u", base + dt.timedelta(hours=i), 7.0) for i in range(8)
+    ]
+    pdf = pd.DataFrame(rows, columns=["tag", "ts", "value"])
+    src = f"{tmp_path}/flatline_src"
+    # two files -> two micro-batches via maxFilesPerTrigger: state must
+    # carry the run across the batch boundary
+    df_all = spark.createDataFrame(pdf)
+    # one file per half (sorted): the stateful family's in-order-source
+    # contract — a multi-part write would interleave batches arbitrarily
+    df_all.filter(F.col("ts") < "2024-01-01 06:00:00").orderBy(
+        "tag", "ts"
+    ).coalesce(1).write.parquet(f"{src}/p1")
+    df_all.filter(F.col("ts") >= "2024-01-01 06:00:00").orderBy(
+        "tag", "ts"
+    ).coalesce(1).write.parquet(f"{src}/p2")
+    stream = (
+        spark.readStream.schema(df_all.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    q = (
+        flatline_stream(stream, min_len=6)
+        .writeStream.format("memory")
+        .queryName("flatline_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("flatline_stream_test")
+        .toPandas()
+        .sort_values(["tag", "ts"])
+        .reset_index(drop=True)
+    )
+    t_rows = got[got.tag == "t"]
+    assert list(t_rows["run_len"]) == [1, 1, 1, 2, 3, 4, 5, 6, 7, 1, 1, 2]
+    assert list(t_rows["stuck"]) == [False] * 7 + [True, True] + [False] * 3
+    u_rows = got[got.tag == "u"]
+    assert list(u_rows["run_len"]) == list(range(1, 9))
+    # batch twin agrees on the completed >= min_len run
+    from gordo_spark.operators.tsa import flatline_runs
+
+    runs = flatline_runs(df_all, min_len=6).collect()
+    assert len(runs) == 2  # t's 4.2 x 7 run and u's 7.0 x 8 run
+    by_tag = {r["tag"]: r for r in runs}
+    assert by_tag["t"]["run_len"] == 7
+    assert int(t_rows["run_len"].max()) == by_tag["t"]["run_len"]
+    assert by_tag["u"]["run_len"] == 8
