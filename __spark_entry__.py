@@ -14564,6 +14564,262 @@ SELECT term, weight, in_query FROM mixed
 ORDER BY weight DESC, term LIMIT 15
 """
 
+
+def q_cluster_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-randomized A/B (operators/experiments.cluster_ab):
+    md5 assignment on the CLUSTER (user_id % 40 cohorts), Welch t on
+    cluster-level means — the interference-safe inference a unit-level
+    z over-rejects on (design effect). One collapse, one row out."""
+    from gordo_spark.operators.experiments import cluster_ab
+
+    ev = read_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 40).alias("cohort"), "value"
+    )
+    return cluster_ab(ev, "cohort", "value", salt="exp1")
+
+
+O_CLUSTER_AB = """
+WITH per AS (
+  SELECT user_id % 40 AS cohort, avg(value) AS m
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT m,
+         ('0x' || substr(md5('exp1' || CAST(cohort AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS g
+  FROM per
+),
+v AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS k, sum(m) AS s, sum(m * m) AS q
+  FROM a GROUP BY g
+),
+one AS (
+  SELECT sum(CASE WHEN g = 0 THEN k END) AS k_a,
+         sum(CASE WHEN g = 1 THEN k END) AS k_b,
+         sum(CASE WHEN g = 0 THEN s END) AS sa,
+         sum(CASE WHEN g = 1 THEN s END) AS sb,
+         sum(CASE WHEN g = 0 THEN q END) AS qa,
+         sum(CASE WHEN g = 1 THEN q END) AS qb
+  FROM v
+),
+d AS (
+  SELECT CAST(k_a AS BIGINT) AS k_a, CAST(k_b AS BIGINT) AS k_b,
+         sa / k_a AS ma, sb / k_b AS mb,
+         sqrt((CASE WHEN k_a > 1 THEN (qa - sa * sa / k_a) / (k_a - 1) END) / k_a
+              + (CASE WHEN k_b > 1 THEN (qb - sb * sb / k_b) / (k_b - 1) END) / k_b)
+           AS se
+  FROM one
+)
+SELECT k_a, k_b,
+       floor((ma) * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+       floor((mb) * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+       floor((mb - ma) * 1000000.0 + 0.5) / 1000000.0 AS diff,
+       floor((se) * 1000000.0 + 0.5) / 1000000.0 AS se,
+       floor((CASE WHEN se > 0 THEN (mb - ma) / se END) * 1000000.0 + 0.5)
+         / 1000000.0 AS t,
+       coalesce(CASE WHEN se > 0 THEN abs((mb - ma) / se) > 1.96 END, FALSE)
+         AS significant
+FROM d
+"""
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (operators/text.textrank_keywords): PageRank
+    over the adjacent-token co-occurrence graph, min_count 5 — the
+    corpus-wide graph-centrality companion of rake_keyphrases, and a
+    pure composition of the skipgram edge build with the existing
+    fixed-iteration pagerank (same node-keyed shuffles, same eager
+    edge checkpoint). Top-20 terms."""
+    from gordo_spark.operators.text import textrank_keywords
+
+    return textrank_keywords(
+        read_table(spark, sf_dir, "documents"), min_count=5, topk=20
+    )
+
+
+O_TEXTRANK = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+pos AS (SELECT w, unnest(range(1, len(w))) AS i FROM t),
+bi AS (
+  SELECT least(w[i], w[i + 1]) AS a, greatest(w[i], w[i + 1]) AS b
+  FROM pos WHERE w[i] <> w[i + 1]
+),
+e AS (SELECT a, b FROM bi GROUP BY a, b HAVING count(*) >= 5),
+ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src AS v, count(*) AS d FROM ed GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+pr0 AS (SELECT v, 1.0 / nn.n AS r FROM deg, nn),
+pr1 AS (
+  SELECT deg.v,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * coalesce(s.s, 0.0) AS r
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS v, sum(p.r / dg.d) AS s
+    FROM pr0 p
+    JOIN deg dg ON dg.v = p.v
+    JOIN ed ON ed.src = p.v
+    GROUP BY ed.dst
+  ) s ON s.v = deg.v
+),
+pr2 AS (
+  SELECT deg.v,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * coalesce(s.s, 0.0) AS r
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS v, sum(p.r / dg.d) AS s
+    FROM pr1 p
+    JOIN deg dg ON dg.v = p.v
+    JOIN ed ON ed.src = p.v
+    GROUP BY ed.dst
+  ) s ON s.v = deg.v
+),
+pr3 AS (
+  SELECT deg.v,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * coalesce(s.s, 0.0) AS r
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS v, sum(p.r / dg.d) AS s
+    FROM pr2 p
+    JOIN deg dg ON dg.v = p.v
+    JOIN ed ON ed.src = p.v
+    GROUP BY ed.dst
+  ) s ON s.v = deg.v
+),
+pr4 AS (
+  SELECT deg.v,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * coalesce(s.s, 0.0) AS r
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS v, sum(p.r / dg.d) AS s
+    FROM pr3 p
+    JOIN deg dg ON dg.v = p.v
+    JOIN ed ON ed.src = p.v
+    GROUP BY ed.dst
+  ) s ON s.v = deg.v
+),
+pr5 AS (
+  SELECT deg.v,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * coalesce(s.s, 0.0) AS r
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS v, sum(p.r / dg.d) AS s
+    FROM pr4 p
+    JOIN deg dg ON dg.v = p.v
+    JOIN ed ON ed.src = p.v
+    GROUP BY ed.dst
+  ) s ON s.v = deg.v
+),
+pr6 AS (
+  SELECT deg.v,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * coalesce(s.s, 0.0) AS r
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS v, sum(p.r / dg.d) AS s
+    FROM pr5 p
+    JOIN deg dg ON dg.v = p.v
+    JOIN ed ON ed.src = p.v
+    GROUP BY ed.dst
+  ) s ON s.v = deg.v
+),
+pr7 AS (
+  SELECT deg.v,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * coalesce(s.s, 0.0) AS r
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS v, sum(p.r / dg.d) AS s
+    FROM pr6 p
+    JOIN deg dg ON dg.v = p.v
+    JOIN ed ON ed.src = p.v
+    GROUP BY ed.dst
+  ) s ON s.v = deg.v
+),
+pr8 AS (
+  SELECT deg.v,
+         (1.0 - 0.85) / nn.n
+         + 0.85 * coalesce(s.s, 0.0) AS r
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ed.dst AS v, sum(p.r / dg.d) AS s
+    FROM pr7 p
+    JOIN deg dg ON dg.v = p.v
+    JOIN ed ON ed.src = p.v
+    GROUP BY ed.dst
+  ) s ON s.v = deg.v
+)
+SELECT v AS term, floor((r) * 1000000.0 + 0.5) / 1000000.0 AS rank
+FROM pr8 ORDER BY rank DESC, term LIMIT 20
+"""
+
+
+def q_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W36 — KPSS level-stationarity per tag (operators/tsa.kpss_level,
+    Bartlett bandwidth 8): the null-stationary complement of w23_adf;
+    read as a pair per the standard protocol. Cumulative window + 8
+    shared-sort lag frames + one aggregation."""
+    from gordo_spark.operators.tsa import kpss_level
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    return kpss_level(res, bandwidth=8, resolution_seconds=3600)
+
+
+O_KPSS = f"""
+WITH {_RES_1H_CTE.strip()},
+mu AS (SELECT tag, avg(value) AS m FROM res GROUP BY tag),
+d AS (
+  SELECT res.tag, epoch(res.ts) AS t, res.value - mu.m AS e
+  FROM res JOIN mu ON mu.tag = res.tag
+),
+cum AS (
+  SELECT tag, t, e,
+         sum(e) OVER (PARTITION BY tag ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS s
+  FROM d
+),
+agg AS (
+  SELECT c.tag, CAST(count(*) AS BIGINT) AS n,
+         sum(c.s * c.s) AS eta,
+         sum(c.e * c.e) AS g0,
+         sum(c.e * l1.e) AS g1, sum(c.e * l2.e) AS g2,
+         sum(c.e * l3.e) AS g3, sum(c.e * l4.e) AS g4,
+         sum(c.e * l5.e) AS g5, sum(c.e * l6.e) AS g6,
+         sum(c.e * l7.e) AS g7, sum(c.e * l8.e) AS g8
+  FROM cum c
+  LEFT JOIN d l1 ON l1.tag = c.tag AND l1.t = c.t - 3600
+  LEFT JOIN d l2 ON l2.tag = c.tag AND l2.t = c.t - 7200
+  LEFT JOIN d l3 ON l3.tag = c.tag AND l3.t = c.t - 10800
+  LEFT JOIN d l4 ON l4.tag = c.tag AND l4.t = c.t - 14400
+  LEFT JOIN d l5 ON l5.tag = c.tag AND l5.t = c.t - 18000
+  LEFT JOIN d l6 ON l6.tag = c.tag AND l6.t = c.t - 21600
+  LEFT JOIN d l7 ON l7.tag = c.tag AND l7.t = c.t - 25200
+  LEFT JOIN d l8 ON l8.tag = c.tag AND l8.t = c.t - 28800
+  GROUP BY c.tag
+),
+st AS (
+  SELECT tag, n,
+         (g0 + CAST(1.7777777777777777 AS DOUBLE) * coalesce(g1, 0.0) + CAST(1.5555555555555556 AS DOUBLE) * coalesce(g2, 0.0) + CAST(1.3333333333333335 AS DOUBLE) * coalesce(g3, 0.0) + CAST(1.1111111111111112 AS DOUBLE) * coalesce(g4, 0.0) + CAST(0.8888888888888888 AS DOUBLE) * coalesce(g5, 0.0) + CAST(0.6666666666666667 AS DOUBLE) * coalesce(g6, 0.0) + CAST(0.4444444444444444 AS DOUBLE) * coalesce(g7, 0.0) + CAST(0.22222222222222232 AS DOUBLE) * coalesce(g8, 0.0)) / CAST(n AS DOUBLE) AS s2,
+         eta
+  FROM agg
+)
+SELECT tag, n,
+       floor((CASE WHEN s2 > 0
+              THEN eta / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s2) END)
+             * 1000000.0 + 0.5) / 1000000.0 AS kpss,
+       coalesce(CASE WHEN s2 > 0
+              THEN eta / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s2)
+                   <= 0.463 END, FALSE) AS level_stationary
+FROM st ORDER BY tag
+"""
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so ANY prefix is family-representative: the first 50 entries
     # interleave timeseries, TPC-H, dedup, text/LM-quality, similarity,
@@ -14899,6 +15155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_ols": q_conformal,
         "incremental_lsh": q_incremental_lsh,
         "rm3_expand": q_rm3_expand,
+        "cluster_ab": q_cluster_ab,
+        "textrank": q_textrank,
+        "w36_kpss": q_kpss,
     }
 
 
@@ -15229,4 +15488,7 @@ def oracle_sql() -> dict[str, str]:
         "conformal_ols": O_CONFORMAL,
         "incremental_lsh": O_INCREMENTAL_LSH,
         "rm3_expand": O_RM3_EXPAND,
+        "cluster_ab": O_CLUSTER_AB,
+        "textrank": O_TEXTRANK,
+        "w36_kpss": O_KPSS,
     }

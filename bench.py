@@ -291,6 +291,9 @@ HEADLINE = [
     "conformal_ols",
     "incremental_lsh",
     "rm3_expand",
+    "cluster_ab",
+    "textrank",
+    "w36_kpss",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -222,6 +222,66 @@ def explained_variance(df: DataFrame, y_col: str, yhat_col: str) -> float:
     return 1.0 - (row["ve"] / row["vy"] if row["vy"] else 0.0)
 
 
+def fleet_consensus_flags(
+    long_frame,
+    flag_sigmas: float = 3.0,
+    machine_col: str = "machine",
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Per-BUCKET consensus deviations — the row-level half of
+    :func:`fleet_consensus` (which rolls these up per (machine, tag))
+    and the exact frame its streaming twin
+    (``streaming/scoring.fleet_consensus_stream``) must reproduce
+    bucket-for-bucket. Values quantize to 1e-6-scaled longs before the
+    cross-machine median/MAD so every percentile is dyadic-exact on any
+    engine. Output: ``(machine, tag, ts, _ad, z, flagged)`` where
+    ``_ad`` is the scaled-integer absolute deviation (exact multiple
+    of 0.5) and z the robust 0.6745*(v-med)/MAD at 6dp.
+    """
+    from pyspark.sql import functions as F
+
+    from gordo_spark.functions.rounding import qround
+
+    base = long_frame.filter(F.col(value_col).isNotNull()).select(
+        F.col(machine_col).alias("machine"),
+        F.col(tag_col).alias("tag"),
+        F.col(ts_col).alias("ts"),
+        F.floor(
+            F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)
+        ).alias("_iv"),
+    )
+    med = base.groupBy("tag", "ts").agg(
+        F.expr("percentile(_iv, 0.5)").alias("_med"),
+        F.count(F.lit(1)).alias("_w"),
+    )
+    dev = base.join(med, ["tag", "ts"]).select(
+        "machine", "tag", "ts", "_iv", "_med", "_w",
+        F.abs(F.col("_iv") - F.col("_med")).alias("_ad"),
+    )
+    mad = dev.groupBy("tag", "ts").agg(
+        F.expr("percentile(_ad, 0.5)").alias("_mad")
+    )
+    z = F.when(
+        (F.col("_mad") > 0) & (F.col("_w") >= 3),
+        qround(
+            F.lit(0.6745) * (F.col("_iv") - F.col("_med")) / F.col("_mad"),
+            6,
+        ),
+    )
+    return dev.join(mad, ["tag", "ts"]).select(
+        "machine",
+        "tag",
+        "ts",
+        "_ad",
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(flag_sigmas)), F.lit(False)
+        ).alias("flagged"),
+    )
+
+
 def fleet_consensus(
     long_frame,
     flag_sigmas: float = 3.0,
@@ -259,39 +319,13 @@ def fleet_consensus(
 
     from gordo_spark.functions.rounding import qround
 
-    base = long_frame.filter(F.col(value_col).isNotNull()).select(
-        F.col(machine_col).alias("machine"),
-        F.col(tag_col).alias("tag"),
-        F.col(ts_col).alias("ts"),
-        F.floor(
-            F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)
-        ).alias("_iv"),
-    )
-    med = base.groupBy("tag", "ts").agg(
-        F.expr("percentile(_iv, 0.5)").alias("_med"),
-        F.count(F.lit(1)).alias("_w"),
-    )
-    dev = base.join(med, ["tag", "ts"]).select(
-        "machine", "tag", "ts", "_iv", "_med", "_w",
-        F.abs(F.col("_iv") - F.col("_med")).alias("_ad"),
-    )
-    mad = dev.groupBy("tag", "ts").agg(
-        F.expr("percentile(_ad, 0.5)").alias("_mad")
-    )
-    z = dev.join(mad, ["tag", "ts"]).select(
+    z = fleet_consensus_flags(
+        long_frame, flag_sigmas, machine_col, tag_col, ts_col, value_col
+    ).select(
         "machine",
         "tag",
-        # _ad is an exact multiple of 0.5 (integer median of integers);
-        # doubling makes it an exact LONG so the mean below is an exact
-        # integer sum, not a float accumulation
         (F.col("_ad") * 2).cast("long").alias("_ad2"),
-        F.when(
-            (F.col("_mad") > 0) & (F.col("_w") >= 3),
-            qround(
-                F.lit(0.6745) * (F.col("_iv") - F.col("_med")) / F.col("_mad"),
-                6,
-            ),
-        ).alias("_z"),
+        F.col("z").alias("_z"),
     )
     flagged = F.when(
         F.abs(F.col("_z")) > F.lit(float(flag_sigmas)), 1

@@ -1655,3 +1655,69 @@ def holm_ab(
         .drop("_all")
     )
     return step.orderBy("rank")
+
+
+def cluster_ab(
+    events: DataFrame,
+    cluster_col: str,
+    value_col: str,
+    salt: str = "exp1",
+    critical: float = 1.96,
+) -> DataFrame:
+    """CLUSTER-randomized A/B analysis (Donner & Klar 2000): when
+    treatment lands on whole clusters (stores, cities, machines —
+    interference makes unit-level randomization invalid), assignment is
+    md5 of the CLUSTER id and inference runs on CLUSTER-LEVEL means —
+    the unit-level z (ab_zstat) would understate the variance by the
+    design effect and over-reject. Welch two-sample t on the per-cluster
+    outcome means, normal critical stated for the many-clusters regime.
+
+    Plan: one unit->cluster collapse (the only corpus-sized shuffle),
+    one |clusters|-row aggregate per arm, one row out. Output:
+    ``(k_a, k_b, mean_a, mean_b, diff, se, t, significant)``.
+    """
+    per = (
+        events.select(cluster_col, value_col)
+        .groupBy(cluster_col)
+        .agg(F.avg(value_col).alias("_m"))
+    )
+    assigned = ab_assign(per, cluster_col, 2, salt)
+    v = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_m").alias("_s"),
+        F.sum(F.col("_m") * F.col("_m")).alias("_q"),
+    )
+    one = v.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("_k"))).alias("k_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("_k"))).alias("k_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("_s"))).alias("_sa"),
+        F.sum(F.when(F.col("variant") == 1, F.col("_s"))).alias("_sb"),
+        F.sum(F.when(F.col("variant") == 0, F.col("_q"))).alias("_qa"),
+        F.sum(F.when(F.col("variant") == 1, F.col("_q"))).alias("_qb"),
+    )
+    ka = F.col("k_a").cast("double")
+    kb = F.col("k_b").cast("double")
+    ma = F.col("_sa") / ka
+    mb = F.col("_sb") / kb
+    va = F.when(
+        F.col("k_a") > 1,
+        (F.col("_qa") - F.col("_sa") * F.col("_sa") / ka) / (ka - 1),
+    )
+    vb = F.when(
+        F.col("k_b") > 1,
+        (F.col("_qb") - F.col("_sb") * F.col("_sb") / kb) / (kb - 1),
+    )
+    se = F.sqrt(va / ka + vb / kb)
+    t = F.when(se > 0, (mb - ma) / se)
+    return one.select(
+        "k_a",
+        "k_b",
+        qround(ma, 6).alias("mean_a"),
+        qround(mb, 6).alias("mean_b"),
+        qround(mb - ma, 6).alias("diff"),
+        qround(se, 6).alias("se"),
+        qround(t, 6).alias("t"),
+        F.coalesce(
+            F.abs(t) > F.lit(float(critical)), F.lit(False)
+        ).alias("significant"),
+    )

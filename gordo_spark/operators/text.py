@@ -2190,3 +2190,50 @@ def rm3_expansion(
         F.col("_qw").isNotNull().alias("in_query"),
     )
     return out.orderBy(F.col("weight").desc(), "term").limit(int(m))
+
+
+def textrank_keywords(
+    df: DataFrame,
+    min_count: int = 5,
+    damping: float = 0.85,
+    iterations: int = 8,
+    topk: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph (adjacent-token edges, pruned at
+    ``min_count``) — the graph-centrality companion of
+    ``rake_keyphrases`` (RAKE scores phrases by degree/frequency inside
+    one doc; TextRank ranks WORDS by corpus-wide recommendation flow).
+    Pure composition: the edge build is the skipgram shifted-copy
+    equi-join (window x tokens, never L^2) and the ranking IS
+    :func:`~gordo_spark.operators.graph.pagerank` — fixed iterations,
+    node-keyed shuffles, eager edge checkpoint; nothing new to audit.
+    Output: ``(term, rank)`` top-k by (rank desc, term asc)."""
+    from pyspark.sql import Window as _W
+
+    from gordo_spark.operators.graph import pagerank
+
+    pos = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "_w"),
+    )
+    nxt = pos.select(
+        "_id", (F.col("_i") + 1).alias("_i"), F.col("_w").alias("_w2")
+    )
+    pairs = pos.join(nxt, ["_id", "_i"]).select(
+        F.least("_w", "_w2").alias("a"), F.greatest("_w", "_w2").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= int(min_count))
+        .select("a", "b")
+    )
+    pr = pagerank(edges, damping, iterations)
+    return (
+        pr.select(F.col("v").alias("term"), "rank")
+        .orderBy(F.col("rank").desc(), "term")
+        .limit(int(topk))
+    )

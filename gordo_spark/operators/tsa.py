@@ -1926,3 +1926,83 @@ def gap_mtbf(
         )
         .orderBy("tag")
     )
+
+
+def kpss_level(
+    df: DataFrame,
+    bandwidth: int = 8,
+    resolution_seconds: int = 3600,
+    critical: float = 0.463,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """KPSS level-stationarity test per tag (Kwiatkowski, Phillips,
+    Schmidt & Shin 1992) — the COMPLEMENT of w23_adf: ADF's null is a
+    unit root (rejecting says "stationary"), KPSS's null is
+    stationarity (rejecting says "unit root/trend"), and the standard
+    protocol reads them as a PAIR (both agreeing is evidence; both
+    rejecting flags misspecification). Statistic
+    ``sum_t S_t^2 / (n^2 * s2_lrv)`` with partial sums ``S_t`` of the
+    demeaned series and the Bartlett long-run variance
+    ``s2 = (g0 + 2 * sum_j (1 - j/(l+1)) g_j) / n`` at FIXED bandwidth
+    ``l`` (stated — a data-driven l would vary the lag-column count
+    per tag, which a static plan cannot do; l=8 is the classic
+    4*(n/100)^0.25 at n ~ a few thousand).
+
+    One cumulative window + ``bandwidth`` time-keyed range-frame lag
+    columns (all sharing the per-tag sort) + one aggregation. Output:
+    ``(tag, n, kpss, level_stationary)`` with the 5% critical 0.463.
+    """
+    res = int(resolution_seconds)
+    l = int(bandwidth)
+    mean = df.groupBy(F.col(tag_col).alias("tag")).agg(
+        F.avg(value_col).alias("_mu")
+    )
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(tag_col).alias("tag"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .join(mean, "tag")
+        .withColumn("_t", F.col("ts").cast("timestamp").cast("long"))
+        .withColumn("_e", F.col("_v") - F.col("_mu"))
+    )
+    wcum = Window.partitionBy("tag").orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = d.withColumn("_S", F.sum("_e").over(wcum))
+    for j in range(1, l + 1):
+        w = (
+            Window.partitionBy("tag")
+            .orderBy("_t")
+            .rangeBetween(-j * res, -j * res)
+        )
+        d = d.withColumn(f"_el{j}", F.last("_e").over(w))
+    agg = d.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_S") * F.col("_S")).alias("_eta"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_g0"),
+        *[
+            F.sum(F.col("_e") * F.col(f"_el{j}")).alias(f"_g{j}")
+            for j in range(1, l + 1)
+        ],
+    )
+    s2 = F.col("_g0")
+    for j in range(1, l + 1):
+        s2 = s2 + F.lit(2.0 * (1.0 - j / (l + 1.0))) * F.coalesce(
+            F.col(f"_g{j}"), F.lit(0.0)
+        )
+    nn = F.col("n").cast("double")
+    s2 = s2 / nn
+    stat = F.when(s2 > 0, F.col("_eta") / (nn * nn * s2))
+    return agg.select(
+        "tag",
+        "n",
+        qround(stat, 6).alias("kpss"),
+        F.coalesce(stat <= F.lit(float(critical)), F.lit(False)).alias(
+            "level_stationary"
+        ),
+    ).orderBy("tag")

@@ -23,6 +23,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from gordo_spark.functions.rounding import qround
 from gordo_spark.functions.timeutil import offset_alias_to_seconds
 
 
@@ -150,8 +151,6 @@ def ohlc_stream(
     watermarked tumbling-window agg: state per open (tag, window) is
     five scalars, no custom stateful processor needed.
     """
-    from gordo_spark.functions.timeutil import offset_alias_to_seconds
-
     b = int(bucket_seconds)
     wm = int(offset_alias_to_seconds(watermark))
     t = F.col(ts_col).cast("timestamp").cast("long")
@@ -407,4 +406,92 @@ def fleet_fill_stream(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def fleet_consensus_stream(
+    clipped: DataFrame,
+    resolution: str = "1H",
+    flag_sigmas: float = 3.0,
+    watermark: str = "48H",
+    machine_col: str = "machine",
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """LIVE cross-sectional fleet consensus — the streaming twin of
+    ``operators/anomaly.fleet_consensus_flags``: per (tag, bucket), the
+    fleet's values collect into ONE watermarked windowed aggregation
+    (state per open window = the fleet's values — bounded by FLEET
+    WIDTH, not volume; the whole point of the cross-sectional axis is
+    that the group is the fleet), then median / MAD / robust-z run as
+    ROW-LOCAL array algebra over 1e6-scaled longs (array_sort +
+    exact dyadic halving — bit-equal to the batch percentile on
+    integers) and the per-machine flags explode back out. The
+    broken-sensor pager in minutes instead of at the nightly batch;
+    stream == batch pinned in tests.
+
+    Emits on window close: ``(machine, tag, ts, _ad, z, flagged)`` —
+    the batch flags frame's exact schema.
+    """
+    secs = int(offset_alias_to_seconds(resolution))
+    wm = int(offset_alias_to_seconds(watermark))
+    d = clipped.filter(F.col(value_col).isNotNull()).select(
+        F.col(machine_col).alias("machine"),
+        F.col(tag_col).alias("tag"),
+        F.col(ts_col).alias("ts"),
+        F.floor(
+            F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)
+        ).alias("_iv"),
+    )
+    if d.isStreaming:
+        d = d.withWatermark("ts", f"{wm} seconds")
+    agg = (
+        d.groupBy(
+            F.window("ts", f"{secs} seconds").alias("_w"), F.col("tag")
+        )
+        .agg(
+            F.collect_list(F.struct("machine", "_iv")).alias("_vals")
+        )
+        .select(
+            "tag", F.col("_w.start").alias("ts"), "_vals",
+            F.size("_vals").alias("_n"),
+        )
+    )
+    # exact integer median of a sorted array: dyadic halving, the same
+    # value batch percentile() returns over integer-valued doubles
+    def arr_median(sorted_arr, n):
+        mid_hi = (n / 2 + 1).cast("int")
+        mid_lo = ((n + 1) / 2).cast("int")
+        return (
+            F.element_at(sorted_arr, mid_lo).cast("double")
+            + F.element_at(sorted_arr, mid_hi).cast("double")
+        ) / 2.0
+
+    ivs = F.array_sort(F.expr("transform(_vals, x -> x._iv)"))
+    w_med = agg.withColumn("_med", arr_median(ivs, F.col("_n")))
+    ads = F.array_sort(
+        F.expr("transform(_vals, x -> abs(x._iv - _med))")
+    )
+    w_mad = w_med.withColumn("_mad", arr_median(ads, F.col("_n")))
+    ex = w_mad.select(
+        "tag", "ts", "_med", "_mad", "_n",
+        F.explode("_vals").alias("_e"),
+    )
+    z = F.when(
+        (F.col("_mad") > 0) & (F.col("_n") >= 3),
+        qround(
+            F.lit(0.6745) * (F.col("_e._iv") - F.col("_med")) / F.col("_mad"),
+            6,
+        ),
+    )
+    return ex.select(
+        F.col("_e.machine").alias("machine"),
+        "tag",
+        "ts",
+        F.abs(F.col("_e._iv") - F.col("_med")).alias("_ad"),
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(flag_sigmas)), F.lit(False)
+        ).alias("flagged"),
     )

@@ -158,6 +158,24 @@ ACCEPTED = {
     "the scan (the Morton bit-scaling scalars)",
     "chisq_drift": "1-row time-range-midpoint scalar broadcast to the "
     "stream (the psi_drift split convention)",
+    # round 9
+    "msprt_monitor": "running-max self range-join on the 1-row-per-window "
+    "Lambda frame — both sides aggregate-bounded by the experiment "
+    "CALENDAR (weeks of windows), never event rows",
+    "holm_ab": "K^2 rank/step self-joins on the checkpointed K-row metric "
+    "frame (K = a handful of metrics) + 1-row variant totals",
+    "conformal_ols": "1-row fitted-coefficient / quantile / count scalar "
+    "frames broadcast-crossed into the single-row coverage readout",
+    "sem_decontaminate": "eval-set side broadcast: benchmarks are KBs by "
+    "construction (the decontaminate convention); train corpus streams "
+    "through one scan",
+    "rm3_expand": "bm25_search's accepted scalars inherited through the "
+    "feedback branch + 1-row score-total frame crossed into the "
+    "top-k-bounded term table",
+    "cluster_ab": "1-row per-arm cluster-moment totals crossed (the "
+    "ab_zstat scalar shape)",
+    "textrank": "pagerank's 1-row node-count teleport scalar, inherited "
+    "through the word-graph composition",
 }
 COUNTED = (
     ("exchanges", r"\bExchange\b"),
@@ -308,6 +326,8 @@ BOUNDED_BROADCAST_OK = {
     # its vector side carries no broadcast hint (round-9 de-hinting), so a
     # BroadcastExchange reappearing under its theta-join means someone
     # re-added the hint — exactly what this audit should fire on.
+    ("sem_decontaminate", "embeddings"): "eval-set side (vec_id cap) — benchmarks are KBs by construction, the decontaminate convention",
+    ("rm3_expand", "documents"): "idf/df side filtered to the |query|-term array BEFORE aggregation (the bm25_search bound), under the bounded top-k feedback join",
 }
 
 

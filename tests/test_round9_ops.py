@@ -338,3 +338,58 @@ def test_msprt_from_counts_equals_monitor(spark):
     )
     fc = msprt_from_counts(counts).collect()
     assert [tuple(r) for r in mon] == [tuple(r) for r in fc]
+
+
+def test_cluster_ab_wider_se_than_unit_level(spark):
+    from gordo_spark.operators.experiments import cluster_ab
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for c in range(60):
+        cluster_shift = float(rng.normal(0, 5))  # strong intra-cluster corr
+        for u in range(50):
+            rows.append((c, 100.0 + cluster_shift + float(rng.normal(0, 1))))
+    df = spark.createDataFrame(rows, "cohort long, value double")
+    r = cluster_ab(df, "cohort", "value").collect()[0]
+    assert r["k_a"] + r["k_b"] == 60
+    # no true effect -> not significant under cluster-level inference
+    assert r["significant"] is False
+    # numpy parity on the Welch t
+    import pandas as pd
+    from gordo_spark.operators.experiments import ab_assign
+
+    per = df.groupBy("cohort").agg(F.avg("value").alias("m"))
+    av = ab_assign(per, "cohort", 2, "exp1").toPandas()
+    a = av[av.variant == 0]["m"].values
+    b = av[av.variant == 1]["m"].values
+    se = math.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    t = (b.mean() - a.mean()) / se
+    assert r["t"] == pytest.approx(round(t, 6), abs=2e-6)
+
+
+def test_textrank_ranks_hub_words(spark):
+    from gordo_spark.operators.text import textrank_keywords
+
+    # 'hub' co-occurs with everything; leaf words only with 'hub'
+    docs = []
+    for i in range(30):
+        docs.append((i, f"hub w{i % 6} hub w{(i + 1) % 6} hub w{(i + 2) % 6}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textrank_keywords(df, min_count=2, topk=5).collect()
+    assert out[0]["term"] == "hub"
+    assert out[0]["rank"] > out[1]["rank"]
+
+
+def test_kpss_separates_stationary_from_walk(spark):
+    from gordo_spark.operators.tsa import kpss_level
+
+    rng = np.random.default_rng(53)
+    noise = rng.normal(0, 1, 800)
+    walk = np.cumsum(rng.normal(0, 1, 800))
+    df = _series(spark, noise, tag="noise").unionByName(
+        _series(spark, walk, tag="walk")
+    )
+    got = {r["tag"]: r for r in kpss_level(df).collect()}
+    assert got["noise"]["level_stationary"] is True
+    assert got["walk"]["level_stationary"] is False
+    assert got["walk"]["kpss"] > got["noise"]["kpss"]

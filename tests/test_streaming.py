@@ -1669,3 +1669,63 @@ def test_flatline_stream_matches_batch(spark, tmp_path):
     assert by_tag["t"]["run_len"] == 7
     assert int(t_rows["run_len"].max()) == by_tag["t"]["run_len"]
     assert by_tag["u"]["run_len"] == 8
+
+
+def test_fleet_consensus_stream_matches_batch(spark, tmp_path):
+    """Live cross-sectional consensus == batch fleet_consensus_flags,
+    bucket for bucket (scaled-int medians are dyadic-exact both ways)."""
+    import datetime as dt
+
+    import numpy as np
+    from gordo_spark.operators.anomaly import fleet_consensus_flags
+    from gordo_spark.streaming.scoring import fleet_consensus_stream
+
+    rng = np.random.default_rng(43)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for m in range(12):
+        for h in range(48):
+            v = 50.0 + float(rng.normal(0, 0.5)) + (20.0 if m == 3 else 0.0)
+            rows.append(
+                (f"m{m}", "temp", base + dt.timedelta(hours=h), round(v, 6))
+            )
+    # sentinel event far past the range: advances the watermark so every
+    # real window CLOSES under availableNow (append mode only emits
+    # closed windows); its own never closes and is excluded both sides
+    rows.append(("m0", "temp", base + dt.timedelta(hours=100), 1.0))
+    df = spark.createDataFrame(
+        rows, "machine string, tag string, ts timestamp, value double"
+    )
+    cutoff = base + dt.timedelta(hours=48)
+    exp = sorted(
+        (r["machine"], r["tag"], r["ts"], r["_ad"], r["z"], r["flagged"])
+        for r in fleet_consensus_flags(df).collect()
+        if r["ts"] < cutoff
+    )
+    src = f"{tmp_path}/fc_src"
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        fleet_consensus_stream(stream, resolution="1H", watermark="0S")
+        .writeStream.format("memory")
+        .queryName("fleet_consensus_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["machine"], r["tag"], r["ts"], r["_ad"], r["z"], r["flagged"])
+        for r in spark.table("fleet_consensus_stream_test").collect()
+    )
+    assert len(got) == len(exp) > 0
+    assert got == exp
+    # the drifted machine is flagged everywhere, its peers nowhere
+    flags = {}
+    for m, t, ts, ad, z, fl in got:
+        flags.setdefault(m, []).append(fl)
+    assert all(flags["m3"])
+    # healthy machines: occasional robust-z exceedances are expected
+    # (tight MAD when one machine is far off); rate must stay low
+    other = [f for k, v in flags.items() if k != "m3" for f in v]
+    assert sum(other) / len(other) < 0.1
