@@ -14820,6 +14820,136 @@ SELECT tag, n,
 FROM st ORDER BY tag
 """
 
+
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm log-rank test (operators/survival.logrank_test): the
+    repurchase-time curves of the md5 A/B customer halves — same
+    subjects as survival_km, with the inference km_curve lacks (risk
+    sets as per-group descending cumsums on the bounded day grid, one
+    chi-square(1) row out)."""
+    from gordo_spark.operators.experiments import ab_assign
+    from gordo_spark.operators.survival import logrank_test
+
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    per = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderdate")).alias("_ds")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("_mx"))
+    subj = per.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        (F.size("_ds") >= 2).alias("observed"),
+        F.when(
+            F.size("_ds") >= 2,
+            F.datediff(F.element_at("_ds", 2), F.element_at("_ds", 1)),
+        )
+        .otherwise(F.datediff(F.col("_mx"), F.element_at("_ds", 1)))
+        .alias("duration"),
+    )
+    subj = ab_assign(subj, "o_custkey", 2, "exp1")
+    return logrank_test(subj, "variant", "duration", "observed")
+
+
+O_LOGRANK = """
+WITH per AS (
+  SELECT o_custkey,
+         (array_agg(o_orderdate ORDER BY o_orderdate))[1] AS f,
+         (array_agg(o_orderdate ORDER BY o_orderdate))[2] AS s,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(o_orderdate) AS m FROM orders),
+subj AS (
+  SELECT ('0x' || substr(md5('exp1' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS g,
+         CAST(CASE WHEN n >= 2 THEN date_diff('day', f, s)
+              ELSE date_diff('day', f, m) END AS DOUBLE) AS t,
+         n >= 2 AS ev
+  FROM per, mx
+),
+pg AS (
+  SELECT g, t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM subj GROUP BY 1, 2
+),
+risk AS (
+  SELECT g, t, d,
+         sum(c) OVER (PARTITION BY g ORDER BY t DESC
+                      ROWS UNBOUNDED PRECEDING) AS n
+  FROM pg
+),
+a AS (SELECT t, d AS d0, n AS n0r FROM risk WHERE g = 0),
+b AS (SELECT t, d AS d1, n AS n1r FROM risk WHERE g = 1),
+grid AS (
+  SELECT coalesce(a.t, b.t) AS t,
+         coalesce(d0, 0) AS d0, coalesce(d1, 0) AS d1,
+         first_value(n0r IGNORE NULLS) OVER (
+           ORDER BY coalesce(a.t, b.t)
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n0,
+         first_value(n1r IGNORE NULLS) OVER (
+           ORDER BY coalesce(a.t, b.t)
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n1
+  FROM a FULL OUTER JOIN b ON a.t = b.t
+),
+ev AS (
+  SELECT d0 + d1 AS dt, coalesce(n0, 0) + coalesce(n1, 0) AS nt,
+         d0, d1, coalesce(n0, 0) AS n0, coalesce(n1, 0) AS n1
+  FROM grid WHERE d0 + d1 > 0
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM subj
+),
+s AS (
+  SELECT CAST(sum(d0) AS BIGINT) AS events_a,
+         CAST(sum(d1) AS BIGINT) AS events_b,
+         sum(d1 - dt * n1 / CAST(nt AS DOUBLE)) AS ome,
+         sum(CASE WHEN nt > 1
+             THEN dt * (n1 / CAST(nt AS DOUBLE))
+                  * (1 - n1 / CAST(nt AS DOUBLE))
+                  * (nt - dt) / (nt - 1) ELSE 0.0 END) AS var
+  FROM ev
+)
+SELECT n_a, n_b, events_a, events_b,
+       floor((ome) * 1000000.0 + 0.5) / 1000000.0 AS observed_minus_expected,
+       floor((var) * 1000000.0 + 0.5) / 1000000.0 AS variance,
+       floor((CASE WHEN var > 0 THEN ome * ome / var END) * 1000000.0 + 0.5)
+         / 1000000.0 AS chi2,
+       coalesce(CASE WHEN var > 0 THEN ome * ome / var > 3.841 END, FALSE)
+         AS different
+FROM tot, s
+"""
+
+
+def q_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified allocation
+    (operators/sampling.neyman_allocation): a 10,000-row sampling
+    budget over the event-type strata allocated by size x stddev of
+    value — the variance-minimizing survey design that precedes
+    stratified_take. One moment aggregation, |strata| rows."""
+    from gordo_spark.operators.sampling import neyman_allocation
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    return neyman_allocation(ev, "event_type", "value", total_n=10000)
+
+
+O_NEYMAN = """
+WITH st AS (
+  SELECT event_type AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
+         stddev_samp(value) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+w AS (SELECT *, n_rows * coalesce(s, 0.0) AS wt FROM st),
+tot AS (SELECT sum(wt) AS tw FROM w)
+SELECT stratum, n_rows,
+       floor((s) * 1000000.0 + 0.5) / 1000000.0 AS stddev,
+       floor((CASE WHEN tw > 0 THEN wt / tw END) * 1000000.0 + 0.5)
+         / 1000000.0 AS alloc_frac,
+       CAST(floor(CASE WHEN tw > 0 THEN 10000.0 * wt / tw END) AS BIGINT)
+         AS n_alloc
+FROM w, tot ORDER BY stratum
+"""
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so ANY prefix is family-representative: the first 50 entries
     # interleave timeseries, TPC-H, dedup, text/LM-quality, similarity,
@@ -15158,6 +15288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_ab": q_cluster_ab,
         "textrank": q_textrank,
         "w36_kpss": q_kpss,
+        "logrank": q_logrank,
+        "neyman_alloc": q_neyman,
     }
 
 
@@ -15491,4 +15623,6 @@ def oracle_sql() -> dict[str, str]:
         "cluster_ab": O_CLUSTER_AB,
         "textrank": O_TEXTRANK,
         "w36_kpss": O_KPSS,
+        "logrank": O_LOGRANK,
+        "neyman_alloc": O_NEYMAN,
     }

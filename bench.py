@@ -294,6 +294,8 @@ HEADLINE = [
     "cluster_ab",
     "textrank",
     "w36_kpss",
+    "logrank",
+    "neyman_alloc",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

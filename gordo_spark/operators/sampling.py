@@ -415,3 +415,52 @@ def sample_k_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= int(k))
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """NEYMAN optimal stratified allocation (Neyman 1934): to estimate a
+    mean from ``total_n`` sampled rows, allocate stratum h
+    ``n_h = total_n * N_h * s_h / sum_k N_k * s_k`` — proportional to
+    size x standard deviation, the allocation that minimizes the
+    estimator's variance (uniform and size-proportional allocation
+    waste budget on low-variance strata). The planning step before
+    :func:`stratified_take` draws the rows; emitting the design
+    alongside the per-stratum stats keeps the sample auditable.
+
+    One map-side-combinable moment aggregation per stratum, one 1-row
+    total, |strata| rows out:
+    ``(stratum, n_rows, stddev, alloc_frac, n_alloc)`` with n_alloc
+    the floor of the real allocation (callers top up the remainder
+    deterministically by allocation order).
+    """
+    st = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(strata_col).alias("stratum")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.stddev_samp(value_col).alias("_s"),
+    )
+    st = st.withColumn("_w", F.col("n_rows") * F.coalesce("_s", F.lit(0.0)))
+    tot = st.agg(F.sum("_w").alias("_tw"))
+    return (
+        st.crossJoin(tot)
+        .select(
+            "stratum",
+            "n_rows",
+            qround(F.col("_s"), 6).alias("stddev"),
+            qround(
+                F.when(F.col("_tw") > 0, F.col("_w") / F.col("_tw")), 6
+            ).alias("alloc_frac"),
+            F.floor(
+                F.when(
+                    F.col("_tw") > 0,
+                    F.lit(float(total_n)) * F.col("_w") / F.col("_tw"),
+                )
+            ).cast("long").alias("n_alloc"),
+        )
+        .orderBy("stratum")
+    )

@@ -84,3 +84,104 @@ def km_curve(
         .select("t", "n_risk", "n_events", "n_censored", "survival")
         .orderBy("t")
     )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    group_col: str = "variant",
+    duration_col: str = "duration",
+    event_col: str = "observed",
+    critical: float = 3.841,
+) -> DataFrame:
+    """Two-group LOG-RANK test (Mantel 1966; Peto & Peto 1972): are the
+    two arms' survival curves the same? The inference companion
+    :func:`km_curve` lacks — eyeballing two KM curves is not a test.
+    At every distinct event time t: observed events in group 1
+    ``d1_t``, expectation under H0 ``e1_t = d_t * n1_t / n_t`` and
+    hypergeometric variance
+    ``v_t = d_t * (n1_t/n_t) * (1 - n1_t/n_t) * (n_t - d_t)/(n_t - 1)``;
+    the statistic ``(sum d1 - sum e1)^2 / sum v`` is chi-square(1) —
+    5% critical 3.841.
+
+    Plan: one (group, duration) event/censor count table, risk sets
+    ``n_g(t)`` as cumulative sums DESCENDING over the duration grid
+    per group (grid-bounded windows PARTITIONED BY GROUP, never
+    keyless), one keyless reduce. Output one row: ``(n_a, n_b,
+    events_a, events_b, observed_minus_expected, variance, chi2,
+    different)``.
+    """
+    from pyspark.sql import Window
+
+    d = subjects.select(
+        F.col(group_col).cast("int").alias("_g"),
+        F.col(duration_col).cast("double").alias("_t"),
+        F.col(event_col).cast("boolean").alias("_e"),
+    ).filter(F.col("_g").isin(0, 1))
+    per = d.groupBy("_g", "_t").agg(
+        F.sum(F.col("_e").cast("int")).alias("_d"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    # risk set per group at t = subjects with duration >= t: cumulative
+    # count from the top of the grid, per group
+    wdesc = Window.partitionBy("_g").orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per.withColumn("_n", F.sum("_c").over(wdesc))
+    # align both groups on the UNION grid of event times: full outer on t
+    a = risk.filter(F.col("_g") == 0).select(
+        F.col("_t"), F.col("_d").alias("_d0"), F.col("_n").alias("_n0r")
+    )
+    b = risk.filter(F.col("_g") == 1).select(
+        F.col("_t"), F.col("_d").alias("_d1"), F.col("_n").alias("_n1r")
+    )
+    grid = a.join(b, "_t", "full_outer")
+    # a group with no row AT t still has subjects at risk: its risk set
+    # at t is the risk of its NEXT grid row (ascending ffill of the
+    # descending cumsum) — last_value over the following frame
+    wfwd = Window.orderBy("_t").rowsBetween(0, Window.unboundedFollowing)
+    grid = grid.select(
+        "_t",
+        F.coalesce("_d0", F.lit(0)).alias("d0"),
+        F.coalesce("_d1", F.lit(0)).alias("d1"),
+        F.first("_n0r", ignorenulls=True).over(wfwd).alias("n0"),
+        F.first("_n1r", ignorenulls=True).over(wfwd).alias("n1"),
+    ).fillna({"n0": 0, "n1": 0})
+    ev = grid.filter((F.col("d0") + F.col("d1")) > 0).select(
+        (F.col("d0") + F.col("d1")).alias("dt"),
+        (F.col("n0") + F.col("n1")).alias("nt"),
+        "d0", "d1", "n0", "n1",
+    )
+    e1 = F.col("dt") * F.col("n1") / F.col("nt")
+    v = F.when(
+        F.col("nt") > 1,
+        F.col("dt")
+        * (F.col("n1") / F.col("nt"))
+        * (1 - F.col("n1") / F.col("nt"))
+        * (F.col("nt") - F.col("dt"))
+        / (F.col("nt") - 1),
+    ).otherwise(F.lit(0.0))
+    tot = d.groupBy().agg(
+        F.sum(F.when(F.col("_g") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_g") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    s = ev.agg(
+        F.sum(F.col("d0")).alias("events_a"),
+        F.sum(F.col("d1")).alias("events_b"),
+        F.sum(F.col("d1") - e1).alias("_ome"),
+        F.sum(v).alias("_var"),
+    )
+    chi2 = F.when(
+        F.col("_var") > 0, F.col("_ome") * F.col("_ome") / F.col("_var")
+    )
+    return tot.crossJoin(s).select(
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        qround(F.col("_ome"), 6).alias("observed_minus_expected"),
+        qround(F.col("_var"), 6).alias("variance"),
+        qround(chi2, 6).alias("chi2"),
+        F.coalesce(chi2 > F.lit(float(critical)), F.lit(False)).alias(
+            "different"
+        ),
+    )

@@ -393,3 +393,77 @@ def test_kpss_separates_stationary_from_walk(spark):
     assert got["noise"]["level_stationary"] is True
     assert got["walk"]["level_stationary"] is False
     assert got["walk"]["kpss"] > got["noise"]["kpss"]
+
+
+def test_logrank_detects_separated_curves(spark):
+    from gordo_spark.operators.survival import logrank_test
+
+    rng = np.random.default_rng(59)
+    rows = []
+    # group 1 events come systematically later (better survival)
+    for i in range(800):
+        g = i % 2
+        t = float(rng.exponential(10 if g == 0 else 25))
+        observed = bool(rng.random() < 0.8)
+        rows.append((g, round(t, 1), observed))
+    df = spark.createDataFrame(rows, "variant int, duration double, observed boolean")
+    r = logrank_test(df).collect()[0]
+    assert r["different"] is True and r["chi2"] > 20
+    # identical arms: not different
+    rows2 = [(i % 2, round(float(rng.exponential(10)), 1), True) for i in range(800)]
+    df2 = spark.createDataFrame(rows2, "variant int, duration double, observed boolean")
+    r2 = logrank_test(df2).collect()[0]
+    assert r2["different"] is False
+
+
+def test_logrank_matches_lifelines_formula_on_tiny_case(spark):
+    from gordo_spark.operators.survival import logrank_test
+
+    # hand-checkable: classic 2-group toy
+    data = [
+        (0, 1.0, True), (0, 2.0, True), (0, 3.0, False),
+        (1, 2.0, True), (1, 4.0, True), (1, 5.0, False),
+    ]
+    df = spark.createDataFrame(data, "variant int, duration double, observed boolean")
+    r = logrank_test(df).collect()[0]
+    # manual: event times 1 (n0=3,n1=3,d=1 in g0), 2 (n0=2,n1=3, d0=1,d1=1),
+    # 4 (n0=0? g0 exhausted at 3 -> n0=1 at t=3... compute via python
+    import collections
+    per = collections.defaultdict(lambda: [0, 0, 0, 0])  # d0,d1,c0,c1 at t
+    for g, t, e in data:
+        per[t][g if e else 2 + g] += 1
+    ts = sorted(per)
+    n0 = sum(1 for g, t, e in data if g == 0)
+    n1 = sum(1 for g, t, e in data if g == 1)
+    ome = 0.0
+    var = 0.0
+    d0s = d1s = 0
+    for t in ts:
+        d0, d1, c0, c1 = per[t]
+        dt, nt = d0 + d1, n0 + n1
+        if dt > 0 and nt > 1:
+            ome += d1 - dt * n1 / nt
+            var += dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1)
+        d0s += d0; d1s += d1
+        n0 -= d0 + c0
+        n1 -= d1 + c1
+    chi2 = ome * ome / var
+    assert r["observed_minus_expected"] == pytest.approx(ome, abs=1e-6)
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-5)
+    assert r["events_a"] == d0s and r["events_b"] == d1s
+
+
+def test_neyman_allocation_favors_high_variance_strata(spark):
+    from gordo_spark.operators.sampling import neyman_allocation
+
+    rng = np.random.default_rng(61)
+    rows = [("calm", float(rng.normal(100, 1))) for _ in range(5000)]
+    rows += [("wild", float(rng.normal(100, 50))) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "src string, v double")
+    out = {r["stratum"]: r for r in neyman_allocation(df, "src", "v", 1000).collect()}
+    # equal sizes, 50x the stddev -> ~50x the allocation
+    assert out["wild"]["n_alloc"] > 40 * out["calm"]["n_alloc"]
+    assert out["wild"]["n_alloc"] + out["calm"]["n_alloc"] <= 1000
+    assert out["wild"]["alloc_frac"] == pytest.approx(
+        out["wild"]["n_alloc"] / 1000, abs=2e-3
+    )
