@@ -14950,6 +14950,130 @@ SELECT stratum, n_rows,
 FROM w, tot ORDER BY stratum
 """
 
+
+def q_bootstrap_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the A/B mean-spend DIFFERENCE
+    (operators/experiments.bootstrap_ab_diff): per-user spend, md5
+    arms, 100 md5-Poisson replicates reweighting BOTH arms in ONE
+    pass (4B map-side sums, no data replication) — the
+    decision-relevant band ab_zstat only approximates. Deterministic
+    on any engine (M9)."""
+    from gordo_spark.operators.experiments import bootstrap_ab_diff
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value")
+    per = ev.filter(F.col("value").isNotNull()).groupBy("user_id").agg(
+        F.sum("value").alias("spend")
+    )
+    return bootstrap_ab_diff(per, "spend", "user_id", n_boot=100)
+
+
+def _o_bootstrap_ab(n_boot: int = 100) -> str:
+    from gordo_spark.operators.experiments import _POISSON1_CDF
+
+    def w_sql(b):
+        g, lane = divmod(b, 4)
+        u = (
+            f"((('0x' || substr(md5('bootg{g}:' || CAST(user_id AS VARCHAR)),"
+            f" {lane * 8 + 1}, 8))::BIGINT + 0.5) / 4294967296.0)"
+        )
+        chain = f"{len(_POISSON1_CDF)}"
+        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+            chain = (
+                f"CASE WHEN {u} < {_POISSON1_CDF[k]!r} THEN {k} "
+                f"ELSE {chain} END"
+            )
+        return f"CAST({chain} AS DOUBLE)"
+
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN g = 0 THEN {w_sql(b)} * v END) AS s0{b},"
+        f" sum(CASE WHEN g = 0 THEN {w_sql(b)} END) AS w0{b},"
+        f" sum(CASE WHEN g = 1 THEN {w_sql(b)} * v END) AS s1{b},"
+        f" sum(CASE WHEN g = 1 THEN {w_sql(b)} END) AS w1{b}"
+        for b in range(n_boot)
+    )
+    diffs = ", ".join(
+        f"CASE WHEN w0{b} > 0 AND w1{b} > 0"
+        f" THEN s1{b} / w1{b} - s0{b} / w0{b} END"
+        for b in range(n_boot)
+    )
+    idx_lo = int(max(min(-(-0.025 * n_boot // 1), n_boot), 1))
+    idx_hi = int(max(min(-(-0.975 * n_boot // 1), n_boot), 1))
+    return f"""
+WITH per AS (
+  SELECT user_id, sum(value) AS v FROM events
+  WHERE value IS NOT NULL GROUP BY 1
+),
+a AS (
+  SELECT user_id, v,
+         ('0x' || substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS g
+  FROM per WHERE v IS NOT NULL
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       avg(CASE WHEN g = 0 THEN v END) AS m0,
+       avg(CASE WHEN g = 1 THEN v END) AS m1,
+       {sums}
+  FROM a
+),
+srt AS (
+  SELECT n_a, n_b, m0, m1,
+         list_sort([{diffs}]) AS ds
+  FROM agg
+)
+SELECT n_a, n_b,
+       floor((m1 - m0) * 1000000.0 + 0.5) / 1000000.0 AS diff,
+       floor((ds[{idx_lo}]) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+       floor((ds[{idx_hi}]) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi,
+       {n_boot} AS n_boot,
+       coalesce(ds[{idx_lo}] > 0 OR ds[{idx_hi}] < 0, FALSE) AS significant
+FROM srt
+"""
+
+
+O_BOOTSTRAP_AB = _o_bootstrap_ab()
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization transform table
+    (operators/curation.quantile_normalize_map): per event-type, 20
+    within-group percentile buckets mapped onto the pooled
+    distribution's midpoint values — the bounded broadcastable mapping
+    that makes one threshold mean the same thing in every source."""
+    from gordo_spark.operators.curation import quantile_normalize_map
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    return quantile_normalize_map(ev, "event_type", "value", buckets=20)
+
+
+def _o_quantile_norm(buckets: int = 20) -> str:
+    levels = ", ".join(repr(k / buckets) for k in range(buckets + 1))
+    mids = ", ".join(repr((k - 0.5) / buckets) for k in range(1, buckets + 1))
+    return f"""
+WITH g AS (
+  SELECT event_type AS grp, count(*) AS n_rows,
+         quantile_cont(value, [{levels}]) AS b
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+pooled AS (
+  SELECT quantile_cont(value, [{mids}]) AS p
+  FROM events WHERE value IS NOT NULL
+),
+ex AS (
+  SELECT grp, n_rows, k AS bucket, b[k] AS from_lo, b[k + 1] AS from_hi
+  FROM g, unnest(generate_series(1, {buckets})) AS t(k)
+)
+SELECT grp, bucket, CAST(n_rows AS BIGINT) AS n_rows,
+       floor((from_lo) * 1000000.0 + 0.5) / 1000000.0 AS from_lo,
+       floor((from_hi) * 1000000.0 + 0.5) / 1000000.0 AS from_hi,
+       floor((p[bucket]) * 1000000.0 + 0.5) / 1000000.0 AS to_value
+FROM ex, pooled ORDER BY grp, bucket
+"""
+
+
+O_QUANTILE_NORM = _o_quantile_norm()
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so ANY prefix is family-representative: the first 50 entries
     # interleave timeseries, TPC-H, dedup, text/LM-quality, similarity,
@@ -15290,6 +15414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w36_kpss": q_kpss,
         "logrank": q_logrank,
         "neyman_alloc": q_neyman,
+        "bootstrap_ab": q_bootstrap_ab,
+        "quantile_norm_map": q_quantile_norm,
     }
 
 
@@ -15625,4 +15751,6 @@ def oracle_sql() -> dict[str, str]:
         "w36_kpss": O_KPSS,
         "logrank": O_LOGRANK,
         "neyman_alloc": O_NEYMAN,
+        "bootstrap_ab": O_BOOTSTRAP_AB,
+        "quantile_norm_map": O_QUANTILE_NORM,
     }

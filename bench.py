@@ -296,6 +296,8 @@ HEADLINE = [
     "w36_kpss",
     "logrank",
     "neyman_alloc",
+    "bootstrap_ab",
+    "quantile_norm_map",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -137,3 +137,71 @@ def curation_verdict(
             ).alias("keep"),
         )
     )
+
+
+def quantile_normalize_map(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    buckets: int = 100,
+) -> DataFrame:
+    """Cross-source QUANTILE NORMALIZATION as a bounded mapping table
+    (Bolstad et al. 2003, the batch-effect remover, applied to corpus
+    mixing): per group, the value at within-group quantile level p maps
+    to the POOLED distribution's value at the same p — after the
+    transform every source shares the pooled marginal, so downstream
+    quality thresholds mean the same thing in every source (a length
+    cut calibrated on Wikipedia stops over-dropping web text).
+
+    Emitted as a TRANSFORM TABLE, not a row transform: per (group,
+    bucket k of ``buckets``), the group's [from_lo, from_hi) boundary
+    pair (exact interpolated percentiles at k/buckets) and the pooled
+    ``to_value`` at the bucket's midpoint level — |groups| x buckets
+    rows, kilobytes, broadcast-joinable onto any row stream (the fleet
+    spec-table discipline; resolution is the stated bucket trade).
+    Two percentile aggregations (per-group + pooled), one index join.
+    """
+    levels = [k / buckets for k in range(buckets + 1)]
+    mids = [(k - 0.5) / buckets for k in range(1, buckets + 1)]
+    v = F.col(value_col).cast("double")
+    g = df.filter(v.isNotNull()).groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(
+        F.expr(
+            f"percentile({value_col}, array({','.join(map(repr, levels))}))"
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    pooled = df.filter(v.isNotNull()).agg(
+        F.expr(
+            f"percentile({value_col}, array({','.join(map(repr, mids))}))"
+        ).alias("_p")
+    )
+    ex = g.select(
+        "grp",
+        "n_rows",
+        F.posexplode(
+            F.expr("transform(sequence(1, size(_b) - 1), i -> _b[i - 1])")
+        ).alias("_k0", "from_lo"),
+        F.col("_b").alias("_ball"),
+    ).select(
+        "grp",
+        "n_rows",
+        (F.col("_k0") + 1).alias("bucket"),
+        "from_lo",
+        F.element_at(F.col("_ball"), F.col("_k0") + 2).alias("from_hi"),
+    )
+    return (
+        ex.crossJoin(F.broadcast(pooled))
+        .select(
+            "grp",
+            "bucket",
+            "n_rows",
+            qround(F.col("from_lo"), 6).alias("from_lo"),
+            qround(F.col("from_hi"), 6).alias("from_hi"),
+            qround(
+                F.element_at(F.col("_p"), F.col("bucket")), 6
+            ).alias("to_value"),
+        )
+        .orderBy("grp", "bucket")
+    )

@@ -1721,3 +1721,107 @@ def cluster_ab(
             F.abs(t) > F.lit(float(critical)), F.lit(False)
         ).alias("significant"),
     )
+
+
+def bootstrap_ab_diff(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    n_boot: int = 100,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    salt: str = "boot",
+    exp_salt: str = "exp1",
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for the A/B MEAN DIFFERENCE —
+    the decision-relevant uncertainty ab_zstat's normal approximation
+    asserts and :func:`bootstrap_ci_mean` only gives per-arm: replicate
+    b reweights BOTH arms with the same md5-Poisson weights (one digest
+    family, four lanes — the bootstrap_ci_mean harvesting) and the CI
+    is the empirical quantile band of ``mean_b(B) - mean_b(A)``. Units
+    resample, not events (each unit's weight multiplies its whole
+    outcome — the cluster-respecting bootstrap). ONE pass, 4*n_boot
+    map-side sums, no data replication, bit-reproducible anywhere.
+    Output one row:
+    ``(n_a, n_b, diff, ci_lo, ci_hi, n_boot, significant)`` —
+    significant = the CI excludes 0.
+    """
+    b_count = int(n_boot)
+    x = F.col(value_col).cast("double")
+    assigned = ab_assign(
+        df.filter(x.isNotNull()).select(unit_col, value_col),
+        unit_col,
+        2,
+        exp_salt,
+    )
+    n_groups = (b_count + 3) // 4
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if assigned.rdd.getNumPartitions() < target:
+        assigned = assigned.repartition(target)
+    rows = assigned.select(
+        x.alias("_x"),
+        F.col("variant").alias("_v"),
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}g{g}:"), F.col(unit_col).cast("string")
+                )
+            ).alias(f"_h{g}")
+            for g in range(n_groups)
+        ],
+    )
+    x = F.col("_x")
+
+    def w_of(b: int):
+        g, lane = divmod(b, 4)
+        h = F.conv(
+            F.substring(F.col(f"_h{g}"), lane * 8 + 1, 8), 16, 10
+        ).cast("long")
+        u = (h.cast("double") + 0.5) / 4_294_967_296.0
+        w = F.lit(len(_POISSON1_CDF))
+        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+            w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+        return w.cast("double")
+
+    a0 = F.col("_v") == 0
+    a1 = F.col("_v") == 1
+    aggs = [
+        F.sum(a0.cast("long")).alias("n_a"),
+        F.sum(a1.cast("long")).alias("n_b"),
+        F.avg(F.when(a0, x)).alias("_m0"),
+        F.avg(F.when(a1, x)).alias("_m1"),
+    ]
+    for b in range(b_count):
+        wb = w_of(b)
+        aggs.append(F.sum(F.when(a0, wb * x)).alias(f"_s0{b}"))
+        aggs.append(F.sum(F.when(a0, wb)).alias(f"_w0{b}"))
+        aggs.append(F.sum(F.when(a1, wb * x)).alias(f"_s1{b}"))
+        aggs.append(F.sum(F.when(a1, wb)).alias(f"_w1{b}"))
+    one = rows.agg(*aggs)
+    diffs = F.array_sort(
+        F.array(
+            *[
+                F.when(
+                    (F.col(f"_w0{b}") > 0) & (F.col(f"_w1{b}") > 0),
+                    F.col(f"_s1{b}") / F.col(f"_w1{b}")
+                    - F.col(f"_s0{b}") / F.col(f"_w0{b}"),
+                )
+                for b in range(b_count)
+            ]
+        )
+    )
+
+    def pick(q: float):
+        idx = min(max(int(-(-q * b_count // 1)), 1), b_count)
+        return F.element_at(diffs, idx)
+
+    lo, hi = pick(float(lo_q)), pick(float(hi_q))
+    return one.select(
+        "n_a",
+        "n_b",
+        qround(F.col("_m1") - F.col("_m0"), 6).alias("diff"),
+        qround(lo, 6).alias("ci_lo"),
+        qround(hi, 6).alias("ci_hi"),
+        F.lit(b_count).alias("n_boot"),
+        F.coalesce((lo > 0) | (hi < 0), F.lit(False)).alias("significant"),
+    )

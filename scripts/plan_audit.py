@@ -176,6 +176,12 @@ ACCEPTED = {
     "ab_zstat scalar shape)",
     "textrank": "pagerank's 1-row node-count teleport scalar, inherited "
     "through the word-graph composition",
+    "logrank": "1-row subject-totals frame crossed with the 1-row "
+    "event-sum frame (two scalar frames, the conversion_lag shape)",
+    "neyman_alloc": "1-row allocation-total scalar broadcast to the "
+    "|strata|-row design table",
+    "quantile_norm_map": "1-row pooled-percentile array broadcast to the "
+    "|groups| x buckets mapping table (the revenue_pareto boundary shape)",
 }
 COUNTED = (
     ("exchanges", r"\bExchange\b"),
@@ -201,6 +207,10 @@ SINGLE_SERIES_OK = {
     # the running-sum window is over the one-row-per-PARTITION offsets
     # frame (bounded by partition count), never the data itself
     "global_ids",
+    # the risk-set forward-fill runs on the (aggregated) event-time grid
+    # — day-resolution-bounded, never subject-sized (the survival_km
+    # duration-grid convention)
+    "logrank",
     # rank windows over the HOURLY-RESAMPLED aligned tag matrix — the
     # calendar grid bounds its cardinality (#hours in range), not the
     # raw event volume; corpus-sized spearman would need part_cols
@@ -469,7 +479,14 @@ def main():
             continue
         counts = {k: len(re.findall(p, plan)) for k, p in COUNTED}
         flags = [r for r in RED if r in plan]
-        if flags == ["BroadcastNestedLoopJoin"] and name in ACCEPTED:
+        # BNLJ and CartesianProduct are the same non-equi class (the
+        # threshold=-1 pass plans an un-hinted bounded self/theta-join as
+        # Cartesian); acceptance is still per-query-name with a reason
+        if (
+            flags
+            and set(flags) <= {"BroadcastNestedLoopJoin", "CartesianProduct"}
+            and name in ACCEPTED
+        ):
             flags = [f"BNLJ accepted: {ACCEPTED[name]}"]
         else:
             n_red += bool(flags)

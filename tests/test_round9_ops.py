@@ -467,3 +467,46 @@ def test_neyman_allocation_favors_high_variance_strata(spark):
     assert out["wild"]["alloc_frac"] == pytest.approx(
         out["wild"]["n_alloc"] / 1000, abs=2e-3
     )
+
+
+def test_bootstrap_ab_diff_covers_planted_effect(spark):
+    from gordo_spark.operators.experiments import bootstrap_ab_diff
+
+    rng = np.random.default_rng(67)
+    # outcomes independent of arm -> CI straddles 0
+    rows = [(i, float(rng.normal(50, 10))) for i in range(3000)]
+    df = spark.createDataFrame(rows, "user_id long, spend double")
+    r = bootstrap_ab_diff(df, "spend", "user_id", n_boot=40).collect()[0]
+    assert r["significant"] is False
+    assert r["ci_lo"] < r["diff"] < r["ci_hi"]
+    assert r["n_a"] + r["n_b"] == 3000
+    # determinism: bit-identical on re-run (no RNG anywhere)
+    r2 = bootstrap_ab_diff(df, "spend", "user_id", n_boot=40).collect()[0]
+    assert tuple(r) == tuple(r2)
+
+
+def test_quantile_normalize_map_aligns_sources(spark):
+    from gordo_spark.operators.curation import quantile_normalize_map
+
+    rng = np.random.default_rng(71)
+    rows = [("narrow", float(rng.normal(0, 1))) for _ in range(4000)]
+    rows += [("wide", float(rng.normal(10, 5))) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "src string, v double")
+    out = quantile_normalize_map(df, "src", "v", buckets=10).collect()
+    assert len(out) == 20
+    by = {}
+    for r in out:
+        by.setdefault(r["grp"], []).append(r)
+    for g in ("narrow", "wide"):
+        rs = sorted(by[g], key=lambda r: r["bucket"])
+        # boundaries monotone, buckets cover the group range
+        assert all(
+            a["from_hi"] >= a["from_lo"] for a in rs
+        )
+        assert all(
+            rs[i]["from_lo"] <= rs[i + 1]["from_lo"] for i in range(9)
+        )
+    # both sources map bucket k to the SAME pooled value
+    nv = {r["bucket"]: r["to_value"] for r in by["narrow"]}
+    wv = {r["bucket"]: r["to_value"] for r in by["wide"]}
+    assert nv == wv
