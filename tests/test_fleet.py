@@ -83,15 +83,16 @@ def test_fleet_plan_size_constant_in_machine_count(spark):
         return fleet_long_frame(spark, _fleet(n))._jdf.queryExecution().optimizedPlan().toString()
 
     p10, p200 = plan(10), plan(200)
+    p2000 = plan(2000)
     # the events relation appears twice per group (regularize_grid's
     # grid-spans self-join over ONE resampled frame — the exchange is
     # reused at execution); what matters is the count is CONSTANT in
     # fleet width, not one relation per machine
     scans = lambda p: len(re.findall(r"Relation \[[^\]]*\] parquet", p))
-    assert scans(p200) == scans(p10) == 2
+    assert scans(p2000) == scans(p200) == scans(p10) == 2
     # node count: identical plan shape, only the spec LocalRelation grows
     depth = lambda p: len(p.splitlines())
-    assert depth(p200) == depth(p10)
+    assert depth(p2000) == depth(p200) == depth(p10)
 
 
 def test_fleet_misaligned_machine_falls_back_to_solo(spark):
