@@ -8315,11 +8315,16 @@ WITH res AS (
 ),
 prof AS (
   SELECT tag, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
-         count(*) AS n, avg(value) AS hm
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+           / (count(*) * 1000000.0) AS hm
   FROM res GROUP BY 1, 2
 ),
 ov AS (
-  SELECT tag, avg(value) AS tm, stddev_samp(value) AS tsd
+  SELECT tag,
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+           / (count(*) * 1000000.0) AS tm,
+         stddev_samp(value) AS tsd
   FROM res GROUP BY tag
 )
 SELECT p.tag, p.hod, p.n, floor((p.hm) * 1000000.0 + 0.5) / 1000000.0 AS hod_mean,
@@ -8949,7 +8954,18 @@ def q_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "months_since")
         .agg(
             F.count_distinct("o_custkey").alias("n_customers"),
-            qround(F.sum("o_totalprice"), 6).alias("revenue"),
+            # money sums as exact cent-integers: a float sum of ~2k
+            # 2dp prices flips the 6dp boundary under engine summation
+            # order (observed at sf0.1)
+            qround(
+                F.sum(
+                    F.floor(
+                        F.col("o_totalprice") * 100 + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(100.0),
+                6,
+            ).alias("revenue"),
         )
     )
 
@@ -8968,7 +8984,9 @@ j AS (
 )
 SELECT CAST(cohort AS TIMESTAMP) AS cohort, months_since,
        count(DISTINCT o_custkey) AS n_customers,
-       floor((sum(o_totalprice)) * 1000000.0 + 0.5) / 1000000.0 AS revenue
+       floor((CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT))
+                   AS DOUBLE) / 100.0) * 1000000.0 + 0.5) / 1000000.0
+         AS revenue
 FROM j GROUP BY 1, 2
 """
 

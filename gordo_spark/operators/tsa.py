@@ -182,11 +182,25 @@ def seasonal_profile(
     ``(tag)``) plus one join on the bounded tag key; AQE broadcasts the
     per-tag stats side on its own.
     """
+    # bucket means as exact scaled-integer sums (the mean_exact
+    # discipline): a float avg over hundreds of grid cells flips the
+    # 6dp boundary under engine summation order — observed at sf0.1
+    iv = F.floor(
+        F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)
+    ).cast("decimal(38,0)")
     prof = df.groupBy(F.col(tag_col), F.hour(ts_col).alias("hod")).agg(
-        F.count("*").alias("n"), F.avg(value_col).alias("_hm")
+        F.count("*").alias("n"),
+        (
+            F.sum(iv).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e6))
+        ).alias("_hm"),
     )
     overall = df.groupBy(tag_col).agg(
-        F.avg(value_col).alias("_tm"), F.stddev_samp(value_col).alias("_tsd")
+        (
+            F.sum(iv).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e6))
+        ).alias("_tm"),
+        F.stddev_samp(value_col).alias("_tsd"),
     )
     return prof.join(overall, tag_col).select(
         tag_col,
