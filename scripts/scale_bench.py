@@ -894,9 +894,9 @@ def grid_invariance_experiment(spark):
         return matrix_profile(res, m=8, precision=3)
 
     n_1x = run(1).count()
-    t1 = timed("mp 1x", lambda: run(1).count())
+    t1 = round(timed("mp 1x", lambda: run(1).count()), 3)
     n_10x = run(10).count()
-    t10 = timed("mp 10x", lambda: run(10).count())
+    t10 = round(timed("mp 10x", lambda: run(10).count()), 3)
 
     # the round-9 horizon band on a MULTI-YEAR grid: a 3-year hourly
     # series (26,280 positions) is where the full profile's quadratic
@@ -921,10 +921,10 @@ def grid_invariance_experiment(spark):
     from gordo_spark.operators.tsa import matrix_profile as _mp
 
     long3 = synth_years(3)
-    t_banded = timed(
+    t_banded = round(timed(
         "mp 3y banded",
         lambda: _mp(long3, m=24, precision=3, horizon=168).count(),
-    )
+    ), 3)
     return {
         "t_1x_s": t1,
         "t_10x_s": t10,
