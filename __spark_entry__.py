@@ -15092,6 +15092,83 @@ FROM ex, pooled ORDER BY grp, bucket
 
 O_QUANTILE_NORM = _o_quantile_norm()
 
+
+def q_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test leakage audit (operators/quality_checks.
+    temporal_leakage): an md5 RANDOM split of the event stream — the
+    classic forecasting-eval bug planted deliberately — audited per
+    user: nearly every entity leaks (test points sandwiched between
+    train points), which is exactly the reading that forces a
+    time-based split. One entity-keyed aggregation."""
+    from gordo_spark.operators.quality_checks import temporal_leakage
+
+    from gordo_spark.operators.dedup import md5_long
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    split = ev.withColumn(
+        "split",
+        F.when(
+            F.pmod(
+                md5_long(F.concat(F.lit("tsplit"), F.col("event_id").cast("string"))),
+                10,
+            )
+            < 8,
+            "train",
+        ).otherwise("test"),
+    )
+    return temporal_leakage(split, "user_id", "ts", "split")
+
+
+O_TEMPORAL_LEAKAGE = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN ('0x' || substr(md5('tsplit' || CAST(event_id AS VARCHAR)),
+                    1, 8))::BIGINT % 10 < 8
+              THEN 'train' ELSE 'test' END AS split
+  FROM events
+)
+SELECT user_id AS entity,
+       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test,
+       max(CASE WHEN split = 'train' THEN ts END) AS max_train_ts,
+       min(CASE WHEN split = 'test' THEN ts END) AS min_test_ts,
+       coalesce(min(CASE WHEN split = 'test' THEN ts END)
+                <= max(CASE WHEN split = 'train' THEN ts END), FALSE)
+         AS leaked
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning simulator (operators/quality_checks.
+    pruning_report): per day-shard min/max of the event value and
+    whether the hot predicate value in [140, 200] could skip the whole
+    shard — the measurement that justifies (or kills) a layout rewrite
+    before paying for it. One aggregation, |shards| rows."""
+    from gordo_spark.operators.quality_checks import pruning_report
+
+    ev = read_table(spark, sf_dir, "events").select(
+        # timestamp, not date: dates round-trip as objects through
+        # Arrow/pandas (the stickiness transport convention)
+        F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    return pruning_report(ev, "day", "value", 140.0, 200.0)
+
+
+O_PRUNING_REPORT = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 AS vmin,
+       floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 AS vmax,
+       max(value) < 140.0 OR min(value) > 200.0 AS skippable
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so ANY prefix is family-representative: the first 50 entries
     # interleave timeseries, TPC-H, dedup, text/LM-quality, similarity,
@@ -15434,6 +15511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_alloc": q_neyman,
         "bootstrap_ab": q_bootstrap_ab,
         "quantile_norm_map": q_quantile_norm,
+        "temporal_leakage": q_temporal_leakage,
+        "pruning_report": q_pruning_report,
     }
 
 
@@ -15771,4 +15850,6 @@ def oracle_sql() -> dict[str, str]:
         "neyman_alloc": O_NEYMAN,
         "bootstrap_ab": O_BOOTSTRAP_AB,
         "quantile_norm_map": O_QUANTILE_NORM,
+        "temporal_leakage": O_TEMPORAL_LEAKAGE,
+        "pruning_report": O_PRUNING_REPORT,
     }

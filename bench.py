@@ -298,6 +298,8 @@ HEADLINE = [
     "neyman_alloc",
     "bootstrap_ab",
     "quantile_norm_map",
+    "temporal_leakage",
+    "pruning_report",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

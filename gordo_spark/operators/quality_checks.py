@@ -841,3 +841,82 @@ def erasure_audit(
             6,
         ).alias("share"),
     ).orderBy("table")
+
+
+def temporal_leakage(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    split_col: str,
+    train_label: str = "train",
+    test_label: str = "test",
+) -> DataFrame:
+    """TEMPORAL train/test LEAKAGE audit: for time-series ML the test
+    set must be strictly AFTER the train set per entity — a random
+    (md5) split of sequential data lets the model interpolate between
+    train points that sandwich every test point, inflating every
+    offline metric (the classic forecasting-eval bug; Bergmeir &
+    Benitez 2012). Per entity: train/test counts, the train max and
+    test min timestamps, and ``leaked = min_test <= max_train``.
+
+    One hash aggregation keyed on the entity (conditional min/max —
+    map-side combinable), output entity-bounded. Feed ``leaked``'s
+    share to the release gate: the fix is a time-based split
+    (deterministic_split on a DATE bucket, not the row id).
+    """
+    is_tr = F.col(split_col) == train_label
+    is_te = F.col(split_col) == test_label
+    t = F.col(ts_col).cast("timestamp")
+    return (
+        df.groupBy(F.col(entity_col).alias("entity"))
+        .agg(
+            F.sum(is_tr.cast("int")).alias("n_train"),
+            F.sum(is_te.cast("int")).alias("n_test"),
+            F.max(F.when(is_tr, t)).alias("max_train_ts"),
+            F.min(F.when(is_te, t)).alias("min_test_ts"),
+        )
+        .withColumn(
+            "leaked",
+            F.coalesce(
+                F.col("min_test_ts") <= F.col("max_train_ts"), F.lit(False)
+            ),
+        )
+        .orderBy("entity")
+    )
+
+
+def pruning_report(
+    df: DataFrame,
+    shard_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """ZONE-MAP pruning simulator: per shard, the min/max of
+    ``value_col`` and whether a ``[lo, hi]`` range predicate could SKIP
+    the whole shard (max < lo or min > hi) — the measurement that says
+    whether a layout (zorder_keys, date partitioning) actually prunes
+    for the queries you run, BEFORE you pay to rewrite 100 TB. Parquet
+    row-group and Delta/Iceberg file skipping read exactly these
+    per-unit min/max zones; a layout whose skip share is ~0 for your
+    hot predicates is shuffle money wasted.
+
+    One map-side-combinable aggregation on the shard key; |shards|
+    rows out: ``(shard, n_rows, vmin, vmax, skippable)`` ordered.
+    """
+    v = F.col(value_col).cast("double")
+    z = df.groupBy(F.col(shard_col).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+    return z.select(
+        "shard",
+        "n_rows",
+        qround(F.col("vmin"), 6).alias("vmin"),
+        qround(F.col("vmax"), 6).alias("vmax"),
+        (
+            (F.col("vmax") < F.lit(float(lo)))
+            | (F.col("vmin") > F.lit(float(hi)))
+        ).alias("skippable"),
+    ).orderBy("shard")

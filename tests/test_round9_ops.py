@@ -510,3 +510,41 @@ def test_quantile_normalize_map_aligns_sources(spark):
     nv = {r["bucket"]: r["to_value"] for r in by["narrow"]}
     wv = {r["bucket"]: r["to_value"] for r in by["wide"]}
     assert nv == wv
+
+
+def test_temporal_leakage_random_vs_time_split(spark):
+    from gordo_spark.operators.quality_checks import temporal_leakage
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(20):
+        for i in range(50):
+            rows.append((u, base + dt.timedelta(hours=i), i))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, i int")
+    # random split (i % 5 == 0 -> test): every entity leaks
+    rnd = df.withColumn(
+        "split", F.when(F.col("i") % 5 == 0, "test").otherwise("train")
+    )
+    out = temporal_leakage(rnd, "user_id", "ts", "split").collect()
+    assert all(r["leaked"] for r in out)
+    # time split (last 10 hours -> test): nothing leaks
+    tm = df.withColumn(
+        "split", F.when(F.col("i") >= 40, "test").otherwise("train")
+    )
+    out2 = temporal_leakage(tm, "user_id", "ts", "split").collect()
+    assert not any(r["leaked"] for r in out2)
+    assert all(r["n_train"] == 40 and r["n_test"] == 10 for r in out2)
+
+
+def test_pruning_report_skips_disjoint_shards(spark):
+    from gordo_spark.operators.quality_checks import pruning_report
+
+    rows = [("a", float(v)) for v in range(0, 50)]
+    rows += [("b", float(v)) for v in range(100, 150)]
+    rows += [("c", float(v)) for v in range(40, 120)]
+    df = spark.createDataFrame(rows, "shard string, v double")
+    out = {r["shard"]: r for r in pruning_report(df, "shard", "v", 60, 90).collect()}
+    assert out["a"]["skippable"] is True   # max 49 < 60
+    assert out["b"]["skippable"] is True   # min 100 > 90
+    assert out["c"]["skippable"] is False  # overlaps
+    assert out["c"]["vmin"] == 40.0 and out["c"]["vmax"] == 119.0
