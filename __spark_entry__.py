@@ -15169,6 +15169,121 @@ FROM events
 GROUP BY 1 ORDER BY 1
 """
 
+
+def q_hac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W37 — HAC (Newey-West) mean CI + effective sample size per tag
+    (operators/tsa.hac_mean_ci): the autocorrelation-honest SE a
+    resampled sensor mean actually has (naive sd/sqrt(n) over-alarms),
+    riding the w36_kpss Bartlett machinery. One mean join + 8
+    shared-sort lag frames + one aggregation."""
+    from gordo_spark.operators.tsa import hac_mean_ci
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    return hac_mean_ci(res, bandwidth=8, resolution_seconds=3600)
+
+
+O_HAC = f"""
+WITH {_RES_1H_CTE.strip()},
+mu AS (SELECT tag, avg(value) AS m, count(*) AS n FROM res
+       WHERE value IS NOT NULL GROUP BY tag),
+d AS (
+  SELECT res.tag, epoch(res.ts) AS t, res.value - mu.m AS e
+  FROM res JOIN mu ON mu.tag = res.tag WHERE res.value IS NOT NULL
+),
+agg AS (
+  SELECT c.tag,
+         sum(c.e * c.e) AS g0,
+         sum(c.e * l1.e) AS g1, sum(c.e * l2.e) AS g2,
+         sum(c.e * l3.e) AS g3, sum(c.e * l4.e) AS g4,
+         sum(c.e * l5.e) AS g5, sum(c.e * l6.e) AS g6,
+         sum(c.e * l7.e) AS g7, sum(c.e * l8.e) AS g8
+  FROM d c
+  LEFT JOIN d l1 ON l1.tag = c.tag AND l1.t = c.t - 3600
+  LEFT JOIN d l2 ON l2.tag = c.tag AND l2.t = c.t - 7200
+  LEFT JOIN d l3 ON l3.tag = c.tag AND l3.t = c.t - 10800
+  LEFT JOIN d l4 ON l4.tag = c.tag AND l4.t = c.t - 14400
+  LEFT JOIN d l5 ON l5.tag = c.tag AND l5.t = c.t - 18000
+  LEFT JOIN d l6 ON l6.tag = c.tag AND l6.t = c.t - 21600
+  LEFT JOIN d l7 ON l7.tag = c.tag AND l7.t = c.t - 25200
+  LEFT JOIN d l8 ON l8.tag = c.tag AND l8.t = c.t - 28800
+  GROUP BY c.tag
+),
+st AS (
+  SELECT a.tag, CAST(mu.n AS BIGINT) AS n, mu.m,
+         a.g0,
+         (a.g0 + CAST(1.7777777777777777 AS DOUBLE) * coalesce(g1, 0.0) + CAST(1.5555555555555556 AS DOUBLE) * coalesce(g2, 0.0) + CAST(1.3333333333333335 AS DOUBLE) * coalesce(g3, 0.0) + CAST(1.1111111111111112 AS DOUBLE) * coalesce(g4, 0.0) + CAST(0.8888888888888888 AS DOUBLE) * coalesce(g5, 0.0) + CAST(0.6666666666666667 AS DOUBLE) * coalesce(g6, 0.0) + CAST(0.4444444444444444 AS DOUBLE) * coalesce(g7, 0.0) + CAST(0.22222222222222232 AS DOUBLE) * coalesce(g8, 0.0)) / CAST(mu.n AS DOUBLE) AS lrv
+  FROM agg a JOIN mu ON mu.tag = a.tag
+)
+SELECT tag, n,
+       floor((m) * 1000000.0 + 0.5) / 1000000.0 AS mean,
+       floor((sqrt((g0 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS se_naive,
+       floor((CASE WHEN lrv > 0 THEN sqrt(lrv / CAST(n AS DOUBLE)) END)
+             * 1000000.0 + 0.5) / 1000000.0 AS se_hac,
+       floor((CASE WHEN lrv > 0
+              THEN CAST(n AS DOUBLE) * (g0 / CAST(n AS DOUBLE)) / lrv END)
+             * 1000000.0 + 0.5) / 1000000.0 AS n_eff,
+       floor((m - 1.96 * (CASE WHEN lrv > 0
+              THEN sqrt(lrv / CAST(n AS DOUBLE)) END))
+             * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+       floor((m + 1.96 * (CASE WHEN lrv > 0
+              THEN sqrt(lrv / CAST(n AS DOUBLE)) END))
+             * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+FROM st ORDER BY tag
+"""
+
+
+def q_sensor_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fleet-triage composition (operators/tsa.sensor_health):
+    availability/outages + longest flatline + Hurst + KPSS + a
+    composed healthy verdict, one row per tag — the table an operator
+    reads before opening any chart (the curation_verdict pattern
+    applied to sensors). Each branch is the contract-tested operator
+    verbatim; joins on the bounded tag key."""
+    from gordo_spark.operators.tsa import sensor_health
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    return sensor_health(res, resolution_seconds=3600, flatline_min=6)
+
+
+O_SENSOR_HEALTH = f"""
+WITH gaps_t AS ({{O_GAP}}),
+fl AS (
+  WITH {_RES_1H_CTE.strip()},
+  q AS (
+    SELECT tag, ts, floor((value) * 1000000.0 + 0.5) / 1000000.0 AS qv
+    FROM res WHERE value IS NOT NULL
+  ),
+  flag AS (
+    SELECT tag, ts, qv,
+           CASE WHEN lag(qv) OVER w IS NULL OR qv <> lag(qv) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM q WINDOW w AS (PARTITION BY tag ORDER BY ts)
+  ),
+  runs AS (
+    SELECT tag, sum(chg) OVER (PARTITION BY tag ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS run
+    FROM flag
+  ),
+  rl AS (SELECT tag, run, count(*) AS len FROM runs GROUP BY 1, 2)
+  SELECT tag, CAST(max(len) AS BIGINT) AS longest_flatline
+  FROM rl GROUP BY tag
+),
+hu AS (SELECT tag, hurst FROM ({{O_HURST}})),
+kp AS (SELECT tag, kpss, level_stationary FROM ({{O_KPSS}}))
+SELECT g.tag, g.expected_buckets, g.availability, g.longest_gap_s,
+       g.n_gaps,
+       coalesce(fl.longest_flatline, 0) AS longest_flatline,
+       hu.hurst, kp.kpss, kp.level_stationary,
+       (g.availability >= 0.9 AND coalesce(fl.longest_flatline, 0) < 6
+        AND coalesce(kp.level_stationary, FALSE)) AS healthy
+FROM gaps_t g
+LEFT JOIN fl ON fl.tag = g.tag
+LEFT JOIN hu ON hu.tag = g.tag
+LEFT JOIN kp ON kp.tag = g.tag
+ORDER BY g.tag
+"""
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so ANY prefix is family-representative: the first 50 entries
     # interleave timeseries, TPC-H, dedup, text/LM-quality, similarity,
@@ -15513,6 +15628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_norm_map": q_quantile_norm,
         "temporal_leakage": q_temporal_leakage,
         "pruning_report": q_pruning_report,
+        "w37_hac_ci": q_hac,
+        "sensor_health": q_sensor_health,
     }
 
 
@@ -15852,4 +15969,10 @@ def oracle_sql() -> dict[str, str]:
         "quantile_norm_map": O_QUANTILE_NORM,
         "temporal_leakage": O_TEMPORAL_LEAKAGE,
         "pruning_report": O_PRUNING_REPORT,
+        "w37_hac_ci": O_HAC,
+        "sensor_health": O_SENSOR_HEALTH.replace(
+            "{O_GAP}", O_GAP_MTBF.strip()
+        ).replace("{O_HURST}", O_HURST.strip()).replace(
+            "{O_KPSS}", O_KPSS.strip()
+        ),
     }

@@ -300,6 +300,8 @@ HEADLINE = [
     "quantile_norm_map",
     "temporal_leakage",
     "pruning_report",
+    "w37_hac_ci",
+    "sensor_health",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

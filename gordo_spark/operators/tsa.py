@@ -2020,3 +2020,148 @@ def kpss_level(
             "level_stationary"
         ),
     ).orderBy("tag")
+
+
+def hac_mean_ci(
+    df: DataFrame,
+    bandwidth: int = 8,
+    resolution_seconds: int = 3600,
+    z: float = 1.96,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Autocorrelation-honest mean CI per tag (Newey & West 1987 HAC):
+    the naive ``sd/sqrt(n)`` SE assumes independent samples, but a
+    resampled sensor series is strongly autocorrelated — the naive CI
+    can be several times too narrow and every "mean shifted!" alarm
+    built on it over-fires. Long-run variance via the Bartlett kernel
+    (the w36_kpss machinery: ``g0 + 2*sum_j (1 - j/(l+1)) g_j`` over
+    demeaned lag products, fixed bandwidth ``l``), SE =
+    ``sqrt(lrv / n)``, plus the EFFECTIVE SAMPLE SIZE
+    ``n_eff = n * g0 / lrv`` — the "how many independent points is
+    this series actually worth" number that sizes any downstream test.
+
+    Same plan as kpss_level: one mean join, ``bandwidth`` shared-sort
+    lag frames, one aggregation. Output per tag:
+    ``(tag, n, mean, se_naive, se_hac, n_eff, ci_lo, ci_hi)``.
+    """
+    res = int(resolution_seconds)
+    l = int(bandwidth)
+    mean = df.groupBy(F.col(tag_col).alias("tag")).agg(
+        F.avg(value_col).alias("_mu")
+    )
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(tag_col).alias("tag"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .join(mean, "tag")
+        .withColumn("_t", F.col("ts").cast("timestamp").cast("long"))
+        .withColumn("_e", F.col("_v") - F.col("_mu"))
+    )
+    for j in range(1, l + 1):
+        w = (
+            Window.partitionBy("tag")
+            .orderBy("_t")
+            .rangeBetween(-j * res, -j * res)
+        )
+        d = d.withColumn(f"_el{j}", F.last("_e").over(w))
+    agg = d.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("_mu").alias("_m"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_g0"),
+        *[
+            F.sum(F.col("_e") * F.col(f"_el{j}")).alias(f"_g{j}")
+            for j in range(1, l + 1)
+        ],
+    )
+    lrv = F.col("_g0")
+    for j in range(1, l + 1):
+        lrv = lrv + F.lit(2.0 * (1.0 - j / (l + 1.0))) * F.coalesce(
+            F.col(f"_g{j}"), F.lit(0.0)
+        )
+    nn = F.col("n").cast("double")
+    lrv = lrv / nn  # long-run variance estimate
+    se_naive = F.sqrt((F.col("_g0") / nn) / nn)
+    se_hac = F.when(lrv > 0, F.sqrt(lrv / nn))
+    n_eff = F.when(lrv > 0, nn * (F.col("_g0") / nn) / lrv)
+    zl = F.lit(float(z))
+    return agg.select(
+        "tag",
+        "n",
+        qround(F.col("_m"), 6).alias("mean"),
+        qround(se_naive, 6).alias("se_naive"),
+        qround(se_hac, 6).alias("se_hac"),
+        qround(n_eff, 6).alias("n_eff"),
+        qround(F.col("_m") - zl * se_hac, 6).alias("ci_lo"),
+        qround(F.col("_m") + zl * se_hac, 6).alias("ci_hi"),
+    ).orderBy("tag")
+
+
+def sensor_health(
+    df: DataFrame,
+    resolution_seconds: int = 3600,
+    flatline_min: int = 6,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The FLEET-TRIAGE composition: every per-series health signal this
+    module ships, joined into ONE row per tag — availability and
+    longest outage (:func:`gap_mtbf`), longest constant run
+    (:func:`flatline_runs` at min_len 1), trending-vs-reverting
+    (:func:`hurst_exponent`), level stationarity (:func:`kpss_level`)
+    — plus a composed ``healthy`` verdict (available, not stuck, not
+    wandering off). The one table an operator reads before opening any
+    individual chart; the curation_verdict pattern applied to sensors.
+
+    Each branch is the contract-tested operator verbatim; the
+    composition is |tags|-row joins on the bounded tag key.
+    """
+    gaps = gap_mtbf(
+        df, resolution_seconds, tag_col=tag_col, ts_col=ts_col,
+        value_col=value_col,
+    ).select(
+        "tag", "availability", "longest_gap_s", "n_gaps",
+        "expected_buckets",
+    )
+    runs = (
+        flatline_runs(
+            df, min_len=1, precision=6, tag_col=tag_col, ts_col=ts_col,
+            value_col=value_col,
+        )
+        .groupBy("tag")
+        .agg(F.max("run_len").alias("longest_flatline"))
+    )
+    hu = hurst_exponent(
+        df, tag_col=tag_col, ts_col=ts_col, value_col=value_col
+    ).select("tag", "hurst")
+    kp = kpss_level(
+        df, resolution_seconds=resolution_seconds, tag_col=tag_col,
+        ts_col=ts_col, value_col=value_col,
+    ).select("tag", "kpss", "level_stationary")
+    out = (
+        gaps.join(runs, "tag", "left")
+        .join(hu, "tag", "left")
+        .join(kp, "tag", "left")
+    )
+    healthy = (
+        (F.col("availability") >= 0.9)
+        & (F.coalesce(F.col("longest_flatline"), F.lit(0)) < flatline_min)
+        & F.coalesce(F.col("level_stationary"), F.lit(False))
+    )
+    return out.select(
+        "tag",
+        "expected_buckets",
+        "availability",
+        "longest_gap_s",
+        "n_gaps",
+        F.coalesce("longest_flatline", F.lit(0)).alias("longest_flatline"),
+        "hurst",
+        "kpss",
+        "level_stationary",
+        healthy.alias("healthy"),
+    ).orderBy("tag")

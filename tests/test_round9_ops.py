@@ -548,3 +548,51 @@ def test_pruning_report_skips_disjoint_shards(spark):
     assert out["b"]["skippable"] is True   # min 100 > 90
     assert out["c"]["skippable"] is False  # overlaps
     assert out["c"]["vmin"] == 40.0 and out["c"]["vmax"] == 119.0
+
+
+def test_hac_ci_wider_than_naive_on_autocorrelated_series(spark):
+    from gordo_spark.operators.tsa import hac_mean_ci
+
+    rng = np.random.default_rng(73)
+    n = 1000
+    x = np.zeros(n)
+    for t in range(1, n):  # AR(1) rho=0.8: strong positive autocorr
+        x[t] = 0.8 * x[t - 1] + rng.normal()
+    iid = rng.normal(0, 1, n)
+    df = _series(spark, x, tag="ar").unionByName(_series(spark, iid, tag="iid"))
+    got = {r["tag"]: r for r in hac_mean_ci(df).collect()}
+    # AR(1): HAC SE must be much wider than naive; ESS much smaller than n
+    assert got["ar"]["se_hac"] > 2.0 * got["ar"]["se_naive"]
+    assert got["ar"]["n_eff"] < 0.35 * n
+    # iid: HAC ~ naive, ESS ~ n
+    assert got["iid"]["se_hac"] < 1.5 * got["iid"]["se_naive"]
+    assert got["iid"]["n_eff"] > 0.5 * n
+    assert got["ar"]["ci_lo"] < got["ar"]["mean"] < got["ar"]["ci_hi"]
+
+
+def test_sensor_health_composition_flags(spark):
+    from gordo_spark.operators.tsa import sensor_health
+
+    rng = np.random.default_rng(79)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # healthy: present, noisy, stationary
+    for h in range(200):
+        rows.append(("good", base + dt.timedelta(hours=h),
+                     50.0 + float(rng.normal(0, 1))))
+    # stuck: frozen for 50 hours
+    for h in range(200):
+        v = 10.0 if 50 <= h < 100 else 10.0 + float(rng.normal(0, 1))
+        rows.append(("stuck", base + dt.timedelta(hours=h), round(v, 6)))
+    # gappy: 40% of buckets missing
+    for h in range(200):
+        if h % 5 in (0, 1, 2):
+            rows.append(("gappy", base + dt.timedelta(hours=h),
+                         5.0 + float(rng.normal(0, 1))))
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, value double")
+    out = {r["tag"]: r for r in sensor_health(df).collect()}
+    assert out["good"]["healthy"] is True
+    assert out["stuck"]["healthy"] is False
+    assert out["stuck"]["longest_flatline"] >= 50
+    assert out["gappy"]["healthy"] is False
+    assert out["gappy"]["availability"] < 0.9
