@@ -15284,6 +15284,80 @@ LEFT JOIN kp ON kp.tag = g.tag
 ORDER BY g.tag
 """
 
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law shingle-vocabulary forecast (operators/text.heaps_law,
+    shingle_n=3): fit V(n) = K n^beta on id-order prefixes and predict
+    the 3-shingle vocabulary at 1e9 documents — the capacity-planning
+    number behind every term-keyed structure (LSH posting lists, df
+    tables), and the measured evidence (beta ~ 0.83 here) for the
+    plan-audit rule that a term-keyed aggregate bounds nothing. One
+    corpus pass + small-frame closed-form OLS."""
+    from gordo_spark.operators.text import heaps_law
+
+    return heaps_law(
+        read_table(spark, sf_dir, "documents"),
+        predict_at=1_000_000_000,
+        shingle_n=3,
+    )
+
+
+O_HEAPS_LAW = """
+WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents),
+b AS (
+  SELECT quantile_cont(id, [0.125, 0.25, 0.5, 0.75, 1.0]) AS bs
+  FROM ids
+),
+pts AS (
+  SELECT i, bs[i] AS bound FROM b, unnest(generate_series(1, 5)) t(i)
+),
+cnts AS (
+  SELECT p.i, p.bound,
+         (SELECT CAST(count(*) AS BIGINT) FROM ids WHERE id <= p.bound)
+           AS n_docs
+  FROM pts p
+),
+shingled AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+         )) AS shingle
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS sh
+  FROM shingled
+),
+first AS (SELECT sh, min(doc_id) AS f FROM hashed GROUP BY sh),
+vocab AS (
+  SELECT DISTINCT c.n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM first WHERE f <= c.bound)
+           AS v
+  FROM cnts c WHERE c.n_docs >= 2
+),
+fit AS (
+  SELECT count(*) AS np, sum(ln(CAST(n_docs AS DOUBLE))) AS sx,
+         sum(ln(CAST(greatest(v, 1) AS DOUBLE))) AS sy,
+         sum(ln(CAST(n_docs AS DOUBLE))
+             * ln(CAST(greatest(v, 1) AS DOUBLE))) AS sxy,
+         sum(ln(CAST(n_docs AS DOUBLE))
+             * ln(CAST(n_docs AS DOUBLE))) AS sxx
+  FROM vocab
+),
+co AS (
+  SELECT (np * sxy - sx * sy) / (np * sxx - sx * sx) AS beta,
+         exp((sy - ((np * sxy - sx * sy) / (np * sxx - sx * sx)) * sx)
+             / np) AS k
+  FROM fit
+)
+SELECT v.n_docs, v.v AS vocab,
+       floor((co.beta) * 1000000.0 + 0.5) / 1000000.0 AS beta,
+       floor((co.k) * 1000000.0 + 0.5) / 1000000.0 AS k_coef,
+       floor(co.k * pow(1000000000.0, co.beta)) AS predicted_vocab_at
+FROM vocab v, co ORDER BY v.n_docs
+"""
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so ANY prefix is family-representative: the first 50 entries
     # interleave timeseries, TPC-H, dedup, text/LM-quality, similarity,
@@ -15630,6 +15704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruning_report": q_pruning_report,
         "w37_hac_ci": q_hac,
         "sensor_health": q_sensor_health,
+        "heaps_law": q_heaps_law,
     }
 
 
@@ -15970,6 +16045,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_leakage": O_TEMPORAL_LEAKAGE,
         "pruning_report": O_PRUNING_REPORT,
         "w37_hac_ci": O_HAC,
+        "heaps_law": O_HEAPS_LAW,
         "sensor_health": O_SENSOR_HEALTH.replace(
             "{O_GAP}", O_GAP_MTBF.strip()
         ).replace("{O_HURST}", O_HURST.strip()).replace(

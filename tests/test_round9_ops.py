@@ -596,3 +596,28 @@ def test_sensor_health_composition_flags(spark):
     assert out["stuck"]["longest_flatline"] >= 50
     assert out["gappy"]["healthy"] is False
     assert out["gappy"]["availability"] < 0.9
+
+
+def test_heaps_law_saturated_vs_growing_vocab(spark):
+    from gordo_spark.operators.text import heaps_law
+
+    rng = np.random.default_rng(83)
+    # growing vocab: each doc introduces mostly-new words (beta ~ 1)
+    grow = [
+        (i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(400)
+    ]
+    g = heaps_law(
+        spark.createDataFrame(grow, "doc_id long, text string")
+    ).collect()
+    assert g[0]["beta"] > 0.9
+    assert g[-1]["vocab"] == 400 * 20
+    # saturated vocab: 30 words total, beta ~ 0
+    sat = [
+        (i, " ".join(f"s{rng.integers(0, 30)}" for _ in range(20)))
+        for i in range(400)
+    ]
+    s = heaps_law(
+        spark.createDataFrame(sat, "doc_id long, text string")
+    ).collect()
+    assert s[0]["beta"] < 0.1
+    assert s[0]["predicted_vocab_at"] <= 60
