@@ -1954,10 +1954,10 @@ def _o_bootstrap_ci(n_boot: int = 100) -> str:
     from gordo_spark.operators.experiments import _POISSON1_CDF
 
     def w_sql(b):
-        g, lane = divmod(b, 4)
+        g, lane = divmod(b, 8)
         u = (
-            f"((('0x' || substr(md5('bootg{g}:' || CAST(event_id AS VARCHAR)), {lane * 8 + 1}, 8))"
-            f"::BIGINT + 0.5) / 4294967296.0)"
+            f"((('0x' || substr(md5('bootg{g}:' || CAST(event_id AS VARCHAR)), {lane * 4 + 1}, 4))"
+            f"::BIGINT + 0.5) / 65536.0)"
         )
         chain = f"{len(_POISSON1_CDF)}"
         for k in range(len(_POISSON1_CDF) - 1, -1, -1):
@@ -1968,19 +1968,23 @@ def _o_bootstrap_ci(n_boot: int = 100) -> str:
         f"sum({w_sql(b)} * value) AS s{b}, sum({w_sql(b)}) AS w{b}"
         for b in range(n_boot)
     )
-    means = ", ".join(f"s{b} / w{b}" for b in range(n_boot))
-    idx_lo = max(min(-(-0.025 * n_boot // 1), n_boot), 1)
-    idx_hi = max(min(-(-0.975 * n_boot // 1), n_boot), 1)
+    means = ", ".join(
+        f"CASE WHEN w{b} > 0 THEN s{b} / w{b} END" for b in range(n_boot)
+    )
     return f"""
 WITH agg AS (
   SELECT count(*) AS n, avg(value) AS m,
        {sums}
   FROM events WHERE value IS NOT NULL
 ),
-srt AS (SELECT n, m, list_sort([{means}]) AS ms FROM agg)
+srt AS (
+  SELECT n, m,
+         list_sort(list_filter([{means}], x -> x IS NOT NULL)) AS ms
+  FROM agg
+)
 SELECT n, floor((m) * 1000000.0 + 0.5) / 1000000.0 AS mean,
-       floor((ms[{int(idx_lo)}]) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
-       floor((ms[{int(idx_hi)}]) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi,
+       floor((ms[greatest(least(CAST(ceil(0.025 * len(ms)) AS BIGINT), len(ms)), 1)]) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+       floor((ms[greatest(least(CAST(ceil(0.975 * len(ms)) AS BIGINT), len(ms)), 1)]) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi,
        100 AS n_boot
 FROM srt
 """
@@ -3566,6 +3570,58 @@ def q_j4_split_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_J4_SPLIT = f"""
 WITH wide AS ({_O_WIDE_1H})
 SELECT ts, floor((click) * 1000000.0 + 0.5) / 1000000.0 AS click, floor((view) * 1000000.0 + 0.5) / 1000000.0 AS view,
+       floor((purchase) * 1000000.0 + 0.5) / 1000000.0 AS target_purchase
+FROM wide
+"""
+
+
+def q_j4_split_xy_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 variant — the ``additional_tags`` knob (reference
+    tests/gordo/workflow/test_config_elements.py:140,
+    gordo/server/properties.py:86-104): X = tag_list + additional_tags
+    columns (signup appended after click/view), y = target_tag_list
+    unchanged — extra model inputs that never join the target side."""
+    from gordo_spark.operators.align import split_xy
+
+    tags = ["click", "view", "purchase", "signup"]
+    wide = _wide_1h(spark, sf_dir, tags=tags)
+    X, y = split_xy(
+        wide,
+        ["click", "view"],
+        target_tag_list=["purchase"],
+        additional_tags=["signup"],
+    )
+    y = y.select("ts", F.col("purchase").alias("target_purchase"))
+    return _r6(X.join(y, "ts"), "click", "view", "signup", "target_purchase")
+
+
+def _o_mean_exact_1h(tag: str) -> str:
+    return (
+        f"floor(CAST(sum(CAST(floor(CASE WHEN event_type = '{tag}' THEN value END"
+        f" * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)"
+        f" / count(CASE WHEN event_type = '{tag}' THEN value END) + 0.5)"
+        f" / 1000000.0 AS {tag}"
+    )
+
+
+_O_WIDE_1H_ADD = f"""
+WITH res AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts)/3600)*3600) AS TIMESTAMP) AS ts,
+         {_o_mean_exact_1h("click")},
+         {_o_mean_exact_1h("view")},
+         {_o_mean_exact_1h("purchase")},
+         {_o_mean_exact_1h("signup")}
+  FROM events GROUP BY 1
+)
+SELECT * FROM res
+WHERE click IS NOT NULL AND view IS NOT NULL
+  AND purchase IS NOT NULL AND signup IS NOT NULL
+"""
+
+O_J4_SPLIT_ADD = f"""
+WITH wide AS ({_O_WIDE_1H_ADD})
+SELECT ts, floor((click) * 1000000.0 + 0.5) / 1000000.0 AS click, floor((view) * 1000000.0 + 0.5) / 1000000.0 AS view,
+       floor((signup) * 1000000.0 + 0.5) / 1000000.0 AS signup,
        floor((purchase) * 1000000.0 + 0.5) / 1000000.0 AS target_purchase
 FROM wide
 """
@@ -14989,10 +15045,10 @@ def _o_bootstrap_ab(n_boot: int = 100) -> str:
     from gordo_spark.operators.experiments import _POISSON1_CDF
 
     def w_sql(b):
-        g, lane = divmod(b, 4)
+        g, lane = divmod(b, 8)
         u = (
             f"((('0x' || substr(md5('bootg{g}:' || CAST(user_id AS VARCHAR)),"
-            f" {lane * 8 + 1}, 8))::BIGINT + 0.5) / 4294967296.0)"
+            f" {lane * 4 + 1}, 4))::BIGINT + 0.5) / 65536.0)"
         )
         chain = f"{len(_POISSON1_CDF)}"
         for k in range(len(_POISSON1_CDF) - 1, -1, -1):
@@ -15014,8 +15070,8 @@ def _o_bootstrap_ab(n_boot: int = 100) -> str:
         f" THEN s1{b} / w1{b} - s0{b} / w0{b} END"
         for b in range(n_boot)
     )
-    idx_lo = int(max(min(-(-0.025 * n_boot // 1), n_boot), 1))
-    idx_hi = int(max(min(-(-0.975 * n_boot // 1), n_boot), 1))
+    idx_lo = "greatest(least(CAST(ceil(0.025 * len(ds)) AS BIGINT), len(ds)), 1)"
+    idx_hi = "greatest(least(CAST(ceil(0.975 * len(ds)) AS BIGINT), len(ds)), 1)"
     return f"""
 WITH per AS (
   SELECT user_id, sum(value) AS v FROM events
@@ -15037,7 +15093,7 @@ agg AS (
 ),
 srt AS (
   SELECT n_a, n_b, m0, m1,
-         list_sort([{diffs}]) AS ds
+         list_sort(list_filter([{diffs}], x -> x IS NOT NULL)) AS ds
   FROM agg
 )
 SELECT n_a, n_b,
@@ -15504,6 +15560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_cv_splits": q_m3_cv_splits,
         "m5_scores": q_m5_scores,
         "j4_split_xy": q_j4_split_xy,
+        "j4_split_xy_add": q_j4_split_xy_add,
         "a5_fold_scores": q_a5_fold_scores,
         "cms_sketch": q_cms_sketch,
         "cms_estimates": q_cms_estimates,
@@ -15795,6 +15852,7 @@ def oracle_sql() -> dict[str, str]:
         "m4_kfold_threshold": O_M4,
         "m5_scores": O_M5,
         "j4_split_xy": O_J4_SPLIT,
+        "j4_split_xy_add": O_J4_SPLIT_ADD,
         "a5_fold_scores": O_A5_FOLDS,
         "cms_sketch": O_CMS_SKETCH,
         "cms_estimates": O_CMS_EST,

@@ -31,10 +31,10 @@ from gordo_spark.sources.store import DiskRegistry, ModelStore, calculate_cache_
 
 _DATASET_FIELDS = {
     "tag_list", "train_start_date", "train_end_date", "target_tag_list",
-    "resolution", "aggregation_methods", "interpolation_method",
-    "interpolation_limit", "row_filter", "row_filter_buffer_size",
-    "filter_periods", "known_filter_periods", "n_samples_threshold",
-    "data_provider",
+    "additional_tags", "resolution", "aggregation_methods",
+    "interpolation_method", "interpolation_limit", "row_filter",
+    "row_filter_buffer_size", "filter_periods", "known_filter_periods",
+    "n_samples_threshold", "data_provider",
 }
 
 
@@ -45,10 +45,11 @@ def dataset_from_dict(d: dict) -> TimeSeriesDataset:
     kwargs = {k: v for k, v in d.items() if k in _DATASET_FIELDS}
     tags = kwargs.get("tag_list") or []
     kwargs["tag_list"] = [t["name"] if isinstance(t, dict) else t for t in tags]
-    if kwargs.get("target_tag_list"):
-        kwargs["target_tag_list"] = [
-            t["name"] if isinstance(t, dict) else t for t in kwargs["target_tag_list"]
-        ]
+    for key in ("target_tag_list", "additional_tags"):
+        if kwargs.get(key):
+            kwargs[key] = [
+                t["name"] if isinstance(t, dict) else t for t in kwargs[key]
+            ]
     return TimeSeriesDataset(**kwargs)
 
 

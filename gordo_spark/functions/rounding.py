@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["qround", "qround_sql"]
+__all__ = ["qfloor", "qround", "qround_sql"]
 
 
 def qround(col: Column | str, scale: int = 0) -> Column:
@@ -57,6 +57,26 @@ def qround(col: Column | str, scale: int = 0) -> Column:
         F.abs(y) < F.lit(2.0**52), F.floor(y).cast("double")
     ).otherwise(y)
     return fl / F.lit(p)
+
+
+def qfloor(col: Column | str, scale: int = 0) -> Column:
+    """The scaled-integer HALF of :func:`qround`: ``floor(x * 10^s + 0.5)``
+    with the same 2^52 magnitude guard, returned as DOUBLE (integral below
+    2^52; identity above, where the double is already integral). Use this —
+    never a bare ``F.floor`` — wherever a value is quantized onto a scaled
+    integer grid for exact summation/percentiles: Spark's ``floor(double)``
+    returns LONG and saturates past 2^63 (|v| >~ 9.2e12 at scale 6) while
+    DuckDB's floor stays double, so the bare pattern breaks cross-engine
+    bit-identity exactly at the magnitudes where it matters least but
+    diverges loudest. Callers needing exact decimal summation cast the
+    result to ``decimal(38,0)`` (exact for integral doubles < 1e38).
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    p = float(10 ** int(scale))
+    y = c * F.lit(p) + F.lit(0.5)
+    return F.when(
+        F.abs(y) < F.lit(2.0**52), F.floor(y).cast("double")
+    ).otherwise(y)
 
 
 def qround_sql(expr: str, scale: int = 0) -> str:

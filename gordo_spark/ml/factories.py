@@ -47,29 +47,48 @@ import numpy as np
 def hourglass_calc_dims(
     compression_factor: float, encoding_layers: int, n_features: int
 ) -> tuple[int, ...]:
-    """Encoder layer dims (factories/utils.py:7-41 parity): linear slope
-    from n_features down to ``ceil(compression_factor * n_features)``
-    (clamped to [1, n_features]), banker's-rounded at each step."""
-    if not (1 >= compression_factor >= 0):
-        raise ValueError("compression_factor must be 0 <= compression_factor <= 1")
+    """Encoder layer widths: a straight line from ``n_features`` down to
+    the bottleneck ``ceil(compression_factor * n_features)`` (clamped to
+    ``[1, n_features]``), sampled at each encoder depth with Python's
+    banker's rounding. Behavioral parity with the reference factory's dim
+    arithmetic (gordo/machine/model/factories/utils.py:7-41) — original
+    expression here; the doctest values are the parity oracle.
+
+    >>> hourglass_calc_dims(0.2, 3, 10)
+    (7, 5, 2)
+    >>> hourglass_calc_dims(0.5, 2, 8)
+    (6, 4)
+    """
+    if compression_factor < 0 or compression_factor > 1:
+        raise ValueError(
+            "compression_factor is a ratio of n_features and has to lie "
+            f"inside [0, 1]; got {compression_factor}"
+        )
     if encoding_layers < 1:
-        raise ValueError("encoding_layers must be >= 1")
-    smallest_layer = max(min(math.ceil(compression_factor * n_features), n_features), 1)
-    diff = n_features - smallest_layer
-    average_slope = diff / encoding_layers
-    return tuple(
-        round(n_features - (i * average_slope)) for i in range(1, encoding_layers + 1)
+        raise ValueError(
+            f"an hourglass needs at least one encoding layer; got "
+            f"{encoding_layers}"
+        )
+    bottleneck = min(
+        max(math.ceil(compression_factor * n_features), 1), n_features
     )
+    step = (n_features - bottleneck) / encoding_layers
+    widths: list[int] = []
+    for depth in range(1, encoding_layers + 1):
+        widths.append(round(n_features - depth * step))
+    return tuple(widths)
 
 
 def check_dim_func_len(prefix: str, dim: tuple, func: tuple) -> None:
-    """factories/utils.py:44-63 parity."""
+    """One activation per layer width — reject mismatched ``*_dim`` /
+    ``*_func`` tuples up front (reference factories/utils.py:44-63
+    behavior, re-expressed)."""
     if len(dim) != len(func):
         raise ValueError(
-            f"The length (i.e. the number of network layers) of {prefix}_dim "
-            f"({len(dim)}) and {prefix}_func ({len(func)}) must be equal. If only "
-            f"{prefix}_dim or {prefix}_func was passed, ensure that its length "
-            f"matches that of the {prefix} parameter not passed."
+            f"got {len(dim)} {prefix}_dim widths but {len(func)} "
+            f"{prefix}_func activations — each layer width needs exactly "
+            f"one activation; when only one of the pair is supplied, its "
+            f"length has to match the derived default of the other"
         )
 
 

@@ -175,7 +175,7 @@ def conformal_intervals(
 
     from pyspark.sql import functions as F
 
-    from gordo_spark.functions.rounding import qround
+    from gordo_spark.functions.rounding import qfloor, qround
     from gordo_spark.operators.dedup import md5_long
 
     bucket = F.pmod(
@@ -201,10 +201,7 @@ def conformal_intervals(
     det = n_train * s["sxx"] - s["sx"] * s["sx"]
     b = (n_train * s["sxy"] - s["sx"] * s["sy"]) / det if det else 0.0
     a = (s["sy"] - b * s["sx"]) / n_train if n_train else 0.0
-    ri = F.floor(
-        F.abs(F.col("_y") - (F.lit(a) + F.lit(b) * F.col("_x"))) * 1e6
-        + F.lit(0.5)
-    ).cast("long")
+    ri = qfloor(F.abs(F.col("_y") - (F.lit(a) + F.lit(b) * F.col("_x"))), 6)
     cal_r = cal.select(ri.alias("_r"))
     n_cal = cal_r.count()
     k = min(n_cal, int(math.ceil((n_cal + 1) * (1.0 - float(alpha)))))

@@ -93,12 +93,21 @@ def split_xy(
     tag_list: Sequence[str],
     target_tag_list: Sequence[str] | None = None,
     ts_col: str = "ts",
+    additional_tags: Sequence[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """J4 — X = tag_list columns, y = target_tag_list (defaults to
-    tag_list), both keyed by ts (two selects over one frame — narrow,
-    no recompute when the parent is cached)."""
+    """J4 — X = tag_list (+ ``additional_tags``) columns, y =
+    target_tag_list (defaults to tag_list), both keyed by ts (two
+    selects over one frame — narrow, no recompute when the parent is
+    cached). ``additional_tags`` are extra model INPUTS appended after
+    tag_list in X and never part of the y default (the reference's
+    dataset knob, tests/gordo/workflow/test_config_elements.py:140;
+    duplicates already in tag_list are dropped)."""
+    xs = list(tag_list)
+    for t in additional_tags or []:
+        if t not in xs:
+            xs.append(t)
     targets = list(target_tag_list) if target_tag_list else list(tag_list)
-    X = df.select(ts_col, *[_q(t).alias(t) for t in tag_list])
+    X = df.select(ts_col, *[_q(t).alias(t) for t in xs])
     y = df.select(ts_col, *[_q(t).alias(t) for t in targets])
     return X, y
 

@@ -242,15 +242,13 @@ def fleet_consensus_flags(
     """
     from pyspark.sql import functions as F
 
-    from gordo_spark.functions.rounding import qround
+    from gordo_spark.functions.rounding import qfloor, qround
 
     base = long_frame.filter(F.col(value_col).isNotNull()).select(
         F.col(machine_col).alias("machine"),
         F.col(tag_col).alias("tag"),
         F.col(ts_col).alias("ts"),
-        F.floor(
-            F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)
-        ).alias("_iv"),
+        qfloor(F.col(value_col), 6).alias("_iv"),
     )
     med = base.groupBy("tag", "ts").agg(
         F.expr("percentile(_iv, 0.5)").alias("_med"),

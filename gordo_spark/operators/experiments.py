@@ -17,7 +17,7 @@ map-side-combinable exchanges total, no windows, no joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from gordo_spark.functions.rounding import qround
 
 from gordo_spark.functions.timeutil import epoch_seconds
@@ -746,6 +746,26 @@ _POISSON1_CDF = (
 )
 
 
+def _md5_lane_u16(hex_col: str, lane: int) -> Column:
+    """16-bit uniform from lane ``lane`` (0..7) of a 32-hex md5 column:
+    u = (h16 + 0.5) / 2^16. An md5 is 128 bits and a Poisson(1) inversion
+    needs far fewer than 16 (the CDF has 7 cells; the coarsest cell edge
+    is ~6e-4 wide, ~39 of the 65536 lattice points), so EIGHT replicates
+    share one digest — half the md5 budget of the 8-hex/4-lane harvest."""
+    h = F.conv(F.substring(F.col(hex_col), lane * 4 + 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (h.cast("double") + 0.5) / 65536.0
+
+
+def _poisson1_w(u: Column) -> Column:
+    """Invert the Poisson(1) CDF at uniform ``u`` (capped at 6)."""
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("double")
+
+
 def bootstrap_ci_mean(
     df: DataFrame,
     value_col: str,
@@ -770,23 +790,27 @@ def bootstrap_ci_mean(
     replicated n_boot times), then the replicate means form a bounded
     n_boot-length ARRAY whose sort + quantile read happen row-locally
     in the 1-row result. Weights come from inverting the Poisson(1)
-    CDF at u = (h + 0.5) / 2^32 (the weighted_take uniform), capped at
-    6 (P ~ 8e-5, stated). The md5 is the per-row cost driver, so each
-    digest is harvested FOUR ways — an md5 is 128 bits and a uniform
-    needs 32, so replicates b = 4g..4g+3 read the four 8-hex lanes of
-    ``md5(salt || g || id)`` (measured 22.3 -> ~6 s at sf0.1 for
-    B=100: 25 digests/row instead of 100; lanes of one digest are
-    independent bits, exactly as independent as two digests). The
-    hashes materialize as ceil(B/4) columns in a pre-aggregation
-    projection so codegen computes each digest ONCE per row regardless
-    of aggregate-side CSE. Output one row: ``(n, mean, ci_lo, ci_hi,
-    n_boot)`` rounded to 6.
+    CDF at u = (h16 + 0.5) / 2^16, capped at 6 (P ~ 6e-4 on the 16-bit
+    lattice, stated). The md5 is the per-row cost driver, so each
+    digest is harvested EIGHT ways — an md5 is 128 bits and a Poisson
+    inversion needs only a 16-bit uniform (the CDF's coarsest cell is
+    ~39 lattice points wide), so replicates b = 8g..8g+7 read the
+    eight 4-hex lanes of ``md5(salt || g || id)``: 13 digests/row for
+    B=100 instead of the 4-lane harvest's 25 (which itself measured
+    22.3 -> ~6 s at sf0.1; lanes of one digest are independent bits,
+    exactly as independent as two digests). The hashes materialize as
+    ceil(B/8) columns in a pre-aggregation projection so codegen
+    computes each digest ONCE per row regardless of aggregate-side
+    CSE. Replicates whose weight sum is 0 (possible only on tiny
+    inputs) yield no mean; the quantile band is taken over the VALID
+    replicates. Output one row: ``(n, mean, ci_lo, ci_hi, n_boot)``
+    rounded to 6.
     """
     if id_col is None:
         raise ValueError("bootstrap_ci_mean needs id_col (hash identity)")
     b_count = int(n_boot)
     x = F.col(value_col).cast("double")
-    n_groups = (b_count + 3) // 4
+    n_groups = (b_count + 7) // 8
     base = df.filter(x.isNotNull()).select(
         F.col(id_col), x.alias(value_col)
     )
@@ -814,15 +838,8 @@ def bootstrap_ci_mean(
     x = F.col("_x")
 
     def w_of(b: int):
-        g, lane = divmod(b, 4)
-        h = F.conv(
-            F.substring(F.col(f"_h{g}"), lane * 8 + 1, 8), 16, 10
-        ).cast("long")
-        u = (h.cast("double") + 0.5) / 4_294_967_296.0
-        w = F.lit(len(_POISSON1_CDF))
-        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
-            w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
-        return w.cast("double")
+        g, lane = divmod(b, 8)
+        return _poisson1_w(_md5_lane_u16(f"_h{g}", lane))
 
     aggs = [F.count(F.lit(1)).alias("n"), F.avg(x).alias("_mean")]
     for b in range(b_count):
@@ -830,21 +847,30 @@ def bootstrap_ci_mean(
         aggs.append(F.sum(wb * x).alias(f"_s{b}"))
         aggs.append(F.sum(wb).alias(f"_w{b}"))
     one = rows.agg(*aggs)
-    means = F.array_sort(
-        F.array(
-            *[
-                F.when(
-                    F.col(f"_w{b}") > 0, F.col(f"_s{b}") / F.col(f"_w{b}")
-                )
-                for b in range(b_count)
-            ]
+    # zero-weight replicates (tiny inputs only) produce NULL means;
+    # compact them out so quantiles index the VALID replicates
+    means = F.array_compact(
+        F.array_sort(
+            F.array(
+                *[
+                    F.when(
+                        F.col(f"_w{b}") > 0,
+                        F.col(f"_s{b}") / F.col(f"_w{b}"),
+                    )
+                    for b in range(b_count)
+                ]
+            )
         )
     )
-    # lower empirical quantile: element at ceil(q * B) (1-indexed),
-    # clamped — deterministic, no interpolation across replicates
+    nv = F.size(means)
+
+    # lower empirical quantile: element at ceil(q * n_valid)
+    # (1-indexed), clamped — deterministic, no interpolation
     def pick(q: float):
-        idx = min(max(int(-(-q * b_count // 1)), 1), b_count)
-        return F.element_at(means, idx)
+        idx = F.least(
+            F.greatest(F.ceil(F.lit(q) * nv).cast("int"), F.lit(1)), nv
+        )
+        return F.when(nv > 0, F.element_at(means, idx))
 
     return one.select(
         "n",
@@ -1737,8 +1763,10 @@ def bootstrap_ab_diff(
     the decision-relevant uncertainty ab_zstat's normal approximation
     asserts and :func:`bootstrap_ci_mean` only gives per-arm: replicate
     b reweights BOTH arms with the same md5-Poisson weights (one digest
-    family, four lanes — the bootstrap_ci_mean harvesting) and the CI
-    is the empirical quantile band of ``mean_b(B) - mean_b(A)``. Units
+    family, eight 16-bit lanes — the bootstrap_ci_mean harvesting) and
+    the CI is the empirical quantile band of ``mean_b(B) - mean_b(A)``
+    over the VALID replicates (a replicate where either arm's weight
+    sum is 0 — possible only on tiny arms — contributes no diff). Units
     resample, not events (each unit's weight multiplies its whole
     outcome — the cluster-respecting bootstrap). ONE pass, 4*n_boot
     map-side sums, no data replication, bit-reproducible anywhere.
@@ -1754,7 +1782,7 @@ def bootstrap_ab_diff(
         2,
         exp_salt,
     )
-    n_groups = (b_count + 3) // 4
+    n_groups = (b_count + 7) // 8
     target = df.sparkSession.sparkContext.defaultParallelism
     if assigned.rdd.getNumPartitions() < target:
         assigned = assigned.repartition(target)
@@ -1773,15 +1801,8 @@ def bootstrap_ab_diff(
     x = F.col("_x")
 
     def w_of(b: int):
-        g, lane = divmod(b, 4)
-        h = F.conv(
-            F.substring(F.col(f"_h{g}"), lane * 8 + 1, 8), 16, 10
-        ).cast("long")
-        u = (h.cast("double") + 0.5) / 4_294_967_296.0
-        w = F.lit(len(_POISSON1_CDF))
-        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
-            w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
-        return w.cast("double")
+        g, lane = divmod(b, 8)
+        return _poisson1_w(_md5_lane_u16(f"_h{g}", lane))
 
     a0 = F.col("_v") == 0
     a1 = F.col("_v") == 1
@@ -1798,22 +1819,29 @@ def bootstrap_ab_diff(
         aggs.append(F.sum(F.when(a1, wb * x)).alias(f"_s1{b}"))
         aggs.append(F.sum(F.when(a1, wb)).alias(f"_w1{b}"))
     one = rows.agg(*aggs)
-    diffs = F.array_sort(
-        F.array(
-            *[
-                F.when(
-                    (F.col(f"_w0{b}") > 0) & (F.col(f"_w1{b}") > 0),
-                    F.col(f"_s1{b}") / F.col(f"_w1{b}")
-                    - F.col(f"_s0{b}") / F.col(f"_w0{b}"),
-                )
-                for b in range(b_count)
-            ]
+    # zero-weight arms (tiny arms only) produce NULL diffs; compact
+    # them out so quantiles index the VALID replicates
+    diffs = F.array_compact(
+        F.array_sort(
+            F.array(
+                *[
+                    F.when(
+                        (F.col(f"_w0{b}") > 0) & (F.col(f"_w1{b}") > 0),
+                        F.col(f"_s1{b}") / F.col(f"_w1{b}")
+                        - F.col(f"_s0{b}") / F.col(f"_w0{b}"),
+                    )
+                    for b in range(b_count)
+                ]
+            )
         )
     )
+    nv = F.size(diffs)
 
     def pick(q: float):
-        idx = min(max(int(-(-q * b_count // 1)), 1), b_count)
-        return F.element_at(diffs, idx)
+        idx = F.least(
+            F.greatest(F.ceil(F.lit(q) * nv).cast("int"), F.lit(1)), nv
+        )
+        return F.when(nv > 0, F.element_at(diffs, idx))
 
     lo, hi = pick(float(lo_q)), pick(float(hi_q))
     return one.select(

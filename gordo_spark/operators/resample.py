@@ -41,12 +41,12 @@ def _mean_exact(c: str) -> Column:
     ≤ 1e-6 per cell (input quantization), which is inside the 6-decimal
     rounding every downstream contract applies anyway.
     """
+    from gordo_spark.functions.rounding import qfloor
+
     v = F.col(c)
-    scaled = F.floor(v * EXACT_MEAN_SCALE + F.lit(0.5)).cast("decimal(38,0)")
+    scaled = qfloor(v, 6).cast("decimal(38,0)")
     quot = F.sum(scaled).cast("double") / F.count(v)
-    exact = F.floor(quot + F.lit(0.5)).cast("double") / F.lit(
-        float(EXACT_MEAN_SCALE)
-    )
+    exact = qfloor(quot) / F.lit(float(EXACT_MEAN_SCALE))
     # non-finite values have no place on the integer grid; such cells fall
     # back to the float avg, which is STILL order-independent (inf or NaN
     # absorbs the whole sum identically on any engine) — so determinism

@@ -2265,8 +2265,7 @@ def heaps_law(
     The fit is closed-form log-log OLS over the sample points. Output
     per point: ``(n_docs, vocab, beta, k_coef, predicted_vocab_at)``
     with the fit columns repeated (bounded rows; the curve AND the
-    forecast in one read). ``sample_points`` overrides the fractions
-    with explicit document counts mapped to id-order prefixes.
+    forecast in one read).
     """
     import math as _math
 
@@ -2318,9 +2317,18 @@ def heaps_law(
             if pts[i] >= 2
         }
     )
+    if len(pairs) < 2:
+        # degenerate corpus (one usable prefix point): no slope to fit
+        return df.sparkSession.createDataFrame(
+            [],
+            "n_docs long, vocab long, beta double, k_coef double, "
+            "predicted_vocab_at double",
+        )
     xs = [_math.log(float(p)) for p, _ in pairs]
     ys = [_math.log(float(max(v, 1))) for _, v in pairs]
-    n = float(len(pts))
+    # n MUST be the deduped point count — the sums below run over
+    # ``pairs``, and tiny corpora with coincident boundaries drop points
+    n = float(len(pairs))
     sx, sy = sum(xs), sum(ys)
     sxy = sum(a * b for a, b in zip(xs, ys))
     sxx = sum(a * a for a in xs)

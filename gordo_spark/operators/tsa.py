@@ -22,7 +22,7 @@ import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
-from gordo_spark.functions.rounding import qround
+from gordo_spark.functions.rounding import qfloor, qround
 
 __all__ = [
     "acf",
@@ -185,9 +185,7 @@ def seasonal_profile(
     # bucket means as exact scaled-integer sums (the mean_exact
     # discipline): a float avg over hundreds of grid cells flips the
     # 6dp boundary under engine summation order — observed at sf0.1
-    iv = F.floor(
-        F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)
-    ).cast("decimal(38,0)")
+    iv = qfloor(F.col(value_col), 6).cast("decimal(38,0)")
     prof = df.groupBy(F.col(tag_col), F.hour(ts_col).alias("hod")).agg(
         F.count("*").alias("n"),
         (

@@ -51,6 +51,7 @@ class TimeSeriesDataset:
     train_start_date: datetime | str | None = None
     train_end_date: datetime | str | None = None
     target_tag_list: list[str] | None = None
+    additional_tags: list[str] | None = None
     resolution: str = "10T"
     aggregation_methods: str | list[str] = "mean"
     interpolation_method: str = "linear_interpolation"
@@ -68,8 +69,17 @@ class TimeSeriesDataset:
         return provider_from_dict(self.data_provider)
 
     @property
+    def x_tags(self) -> list[str]:
+        """Model-input tags: tag_list plus the ``additional_tags`` extras
+        (reference knob, tests/gordo/workflow/test_config_elements.py:140 —
+        extra inputs for X that are never part of the y default)."""
+        return list(dict.fromkeys(self.tag_list + (self.additional_tags or [])))
+
+    @property
     def all_tags(self) -> list[str]:
-        return list(dict.fromkeys(self.tag_list + (self.target_tag_list or [])))
+        return list(
+            dict.fromkeys(self.x_tags + (self.target_tag_list or []))
+        )
 
     @property
     def _agg_list(self) -> list[str]:
@@ -154,8 +164,11 @@ class TimeSeriesDataset:
         """(X, y) — the reference's dataset.get_data() parity point."""
         wide = self.wide_frame(spark)
         wide = require_n_samples(wide, self.n_samples_threshold)
+        # y defaults to tag_list, NOT x_tags — additional_tags are extra
+        # INPUTS only (reference server/properties.py:86-104 falls back to
+        # the plain tag_list when target_tag_list is absent)
         return split_xy(
             wide,
-            self._expand(self.tag_list),
-            self._expand(self.target_tag_list) if self.target_tag_list else None,
+            self._expand(self.x_tags),
+            self._expand(self.target_tag_list or self.tag_list),
         )

@@ -23,7 +23,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from gordo_spark.functions.rounding import qround
+from gordo_spark.functions.rounding import qfloor, qround
 from gordo_spark.functions.timeutil import offset_alias_to_seconds
 
 
@@ -440,9 +440,7 @@ def fleet_consensus_stream(
         F.col(machine_col).alias("machine"),
         F.col(tag_col).alias("tag"),
         F.col(ts_col).alias("ts"),
-        F.floor(
-            F.col(value_col).cast("double") * 1_000_000 + F.lit(0.5)
-        ).alias("_iv"),
+        qfloor(F.col(value_col), 6).alias("_iv"),
     )
     if d.isStreaming:
         d = d.withWatermark("ts", f"{wm} seconds")

@@ -88,6 +88,50 @@ def test_get_data_time_range_and_targets(spark, lake):
     assert ts.max() < pd.Timestamp("2019-01-01 12:00")
 
 
+def test_get_data_additional_tags(spark, lake):
+    """additional_tags are extra X inputs, never part of the y default
+    (reference tests/gordo/workflow/test_config_elements.py:140,
+    gordo/server/properties.py:86-104)."""
+    ds = TimeSeriesDataset(
+        tag_list=["tag-0"],
+        additional_tags=["tag-2"],
+        target_tag_list=["GRA-TE  -23-0733.PV"],
+        data_provider=ParquetDataProvider(lake),
+    )
+    X, y = ds.get_data(spark)
+    assert X.columns == ["ts", "tag-0", "tag-2"]
+    assert y.columns == ["ts", "GRA-TE  -23-0733.PV"]
+    # the additional tag participates in the inner align: same row set
+    assert X.count() == y.count()
+
+    # y default stays tag_list (NOT tag_list + additional)
+    ds2 = TimeSeriesDataset(
+        tag_list=["tag-0"],
+        additional_tags=["tag-2"],
+        data_provider=ParquetDataProvider(lake),
+    )
+    X2, y2 = ds2.get_data(spark)
+    assert X2.columns == ["ts", "tag-0", "tag-2"]
+    assert y2.columns == ["ts", "tag-0"]
+
+
+def test_additional_tags_config_roundtrip():
+    from gordo_spark.builder import dataset_from_dict
+
+    ds = dataset_from_dict(
+        {
+            "type": "RandomDataset",
+            "tag_list": [{"name": "a"}, "b"],
+            "additional_tags": [{"name": "c", "asset": "x"}, "d"],
+            "target_tag_list": ["b"],
+            "data_provider": {"type": "RandomDataProvider"},
+        }
+    )
+    assert ds.additional_tags == ["c", "d"]
+    assert ds.x_tags == ["a", "b", "c", "d"]
+    assert ds.all_tags == ["a", "b", "c", "d"]
+
+
 def test_random_provider(spark):
     ds = TimeSeriesDataset(
         tag_list=["a", "b"],
