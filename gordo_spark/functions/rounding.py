@@ -39,6 +39,41 @@ from pyspark.sql import Column, functions as F
 __all__ = ["qfloor", "qround", "qround_sql"]
 
 
+def _contains_window(c: Column) -> bool:
+    """True when the column's expression tree contains a window function.
+
+    Why it matters: the guarded floor references its operand three times
+    (guard, floor arm, identity arm). Catalyst's ExtractWindowExpressions
+    extracts each textual OCCURRENCE of a window expression into its own
+    ``_weN`` slot — no dedup — so wrapping a window aggregate in the naive
+    3-reference form multiplies window evaluation 3x, and NESTED quantized
+    expressions compound it (observed: rolling_zscore built 22 window
+    slots for 3 distinct window functions; 2.3x wall). Detection is a
+    plan-build-time string check; on Connect-style columns without a JVM
+    handle we conservatively return True (bind-once is always correct,
+    just ~10 ns/value slower on cheap scalars)."""
+    try:
+        return "windowspecdefinition" in c._jc.expr().toString().lower()
+    except Exception:
+        return True
+
+
+def _guarded_floor(c: Column, p: float) -> Column:
+    """``floor(c*p + 0.5)`` with the 2^52 identity guard, referencing
+    ``c`` exactly ONCE: ``c`` is bound into a 1-element array and the
+    3-reference guard runs on the lambda variable (a cheap attribute),
+    so expensive operands — window aggregates especially — are evaluated
+    once regardless of how many times the guard mentions them."""
+    bound = F.transform(
+        F.array(c),
+        lambda t: F.when(
+            F.abs(t * F.lit(p) + F.lit(0.5)) < F.lit(2.0**52),
+            F.floor(t * F.lit(p) + F.lit(0.5)).cast("double"),
+        ).otherwise(t * F.lit(p) + F.lit(0.5)),
+    )
+    return F.get(bound, 0)
+
+
 def qround(col: Column | str, scale: int = 0) -> Column:
     """Drop-in for ``F.round(col, scale)`` with tie-safe, engine-portable
     semantics (see module docstring). Output is always DOUBLE.
@@ -49,9 +84,16 @@ def qround(col: Column | str, scale: int = 0) -> Column:
     below IS DuckDB's double-floor, bit for bit, at every magnitude, and
     NULL/NaN/inf all fall through the comparison into the identity arm
     exactly as they propagate through a native floor.
+
+    Window-bearing operands take the bind-once form (see
+    :func:`_contains_window`); plain scalars keep the direct 3-reference
+    form, which whole-stage codegen handles fine. Both compute the
+    identical IEEE op sequence — bit-identical outputs.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
     p = float(10 ** int(scale))
+    if _contains_window(c):
+        return _guarded_floor(c, p) / F.lit(p)
     y = c * F.lit(p) + F.lit(0.5)
     fl = F.when(
         F.abs(y) < F.lit(2.0**52), F.floor(y).cast("double")
@@ -73,6 +115,8 @@ def qfloor(col: Column | str, scale: int = 0) -> Column:
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
     p = float(10 ** int(scale))
+    if _contains_window(c):
+        return _guarded_floor(c, p)
     y = c * F.lit(p) + F.lit(0.5)
     return F.when(
         F.abs(y) < F.lit(2.0**52), F.floor(y).cast("double")
