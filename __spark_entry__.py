@@ -4925,17 +4925,29 @@ FROM ranked WHERE rank <= 3
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries heavy-hitter sketch over the token stream
-    (operators/sketches.heavy_hitters): constant state per partition,
-    mergeable partials, guaranteed-present items above n/(cand+1).
-    Approximate by design -> rows-only contract (like the other
-    sketches); the frequency guarantee is pinned in pytest."""
+    """Misra-Gries heavy hitters over the token stream with the exact
+    VERIFICATION pass (operators/sketches.heavy_hitters verified=True):
+    constant sketch state per partition, mergeable partials, then an
+    exact broadcast-recount of the bounded candidate set and a
+    (count desc, value asc) total-order cut — deterministic and equal
+    to the global exact top-20 because every term above n/(cand+1) is
+    a guaranteed candidate. Raw-estimate mode stays pytest-bounded."""
     from gordo_spark.operators.sketches import heavy_hitters
 
     toks = read_table(spark, sf_dir, "documents").select(
         F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    return heavy_hitters(toks, "term", k=20)
+    return heavy_hitters(toks, "term", k=20, verified=True)
+
+
+O_HEAVY_HITTERS = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS value FROM documents
+)
+SELECT value, CAST(count(*) AS BIGINT) AS exact_count
+FROM toks GROUP BY value
+ORDER BY exact_count DESC, value ASC LIMIT 20
+"""
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4952,12 +4964,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality filter (ml/logreg.LogisticModel): distributed
-    IRLS over cheap text features (n_chars, word count, distinct-word
-    ratio) with label = English slice, then a row-local sigmoid score.
-    Iterative fit -> no single-SQL oracle (rows-only contract, like
-    sim_ivf_kmeans); the fit itself is pinned against a pure-numpy IRLS
-    at 1e-8 in pytest."""
+    """Model-based quality filter, engine-exact fit
+    (ml/logreg.LogisticModel.fit_gd_exact): fixed-6-iteration full-batch
+    gradient descent over cheap text features (n_chars, word count,
+    distinct-word ratio) with label = English slice — quantized per-row
+    probabilities, exact scaled-integer gradient sums, 1e-9-grid weight
+    updates — then a row-local sigmoid score. The whole training loop
+    unrolls into the DuckDB oracle (one scalar CTE pair per iteration);
+    the statistical IRLS path (.fit) stays pinned against a pure-numpy
+    IRLS at 1e-8 in pytest."""
     from gordo_spark.ml.logreg import LogisticModel
 
     docs = read_table(spark, sf_dir, "documents")
@@ -4969,12 +4984,81 @@ def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct(words)) / F.size(words)).alias("f_uniq"),
         (F.col("lang") == "en").cast("int").alias("label"),
     )
-    model = LogisticModel(["f_chars", "f_words", "f_uniq"], "label").fit(feats)
+    model = LogisticModel(["f_chars", "f_words", "f_uniq"], "label")
+    model.fit_gd_exact(feats, lr=0.05, gd_iters=6)
     return model.score(feats).select(
         "doc_id",
         qround("score", 4).alias("score"),
         (F.col("score") >= 0.5).alias("pred"),
     )
+
+
+def _o_quality_logreg(lr: float = 0.05, gd_iters: int = 6) -> str:
+    """CTE-unrolled mirror of fit_gd_exact: per iteration one quantized-
+    probability projection + exact HUGEINT gradient sums (g{t}) and one
+    1e-9-grid weight update (w{t+1}); identical op sequence per term."""
+
+    def z(wt: str) -> str:
+        return (
+            f"((({wt}.w0 + {wt}.w1 * x1) + {wt}.w2 * x2) + {wt}.w3 * x3)"
+        )
+
+    def p(wt: str) -> str:
+        return (
+            f"floor((1.0 / (1.0 + exp(-{z(wt)}))) * 1000000.0 + 0.5)"
+            f" / 1000000.0"
+        )
+
+    xs = ["1.0", "x1", "x2", "x3"]
+    parts = [
+        """
+WITH f AS (
+  SELECT doc_id,
+         n_chars / 100.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS x3,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ]
+    for t in range(gd_iters):
+        gsums = ",\n         ".join(
+            f"CAST(sum(CAST(floor(((y - p) * {xs[i]}) * 1000000000000.0"
+            f" + 0.5) AS HUGEINT)) AS DOUBLE) AS g{i}"
+            for i in range(4)
+        )
+        wups = ",\n         ".join(
+            f"floor((w{t}.w{i} + {lr!r} * ((g{i} / 1000000000000.0) / n))"
+            f" * 1000000000.0 + 0.5) / 1000000000.0 AS w{i}"
+            for i in range(4)
+        )
+        parts.append(
+            f""",
+g{t} AS (
+  SELECT {gsums},
+         count(*) AS n
+  FROM (SELECT f.*, {p(f"w{t}")} AS p FROM f, w{t})
+),
+w{t + 1} AS (
+  SELECT {wups}
+  FROM g{t}, w{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id,
+       floor((1.0 / (1.0 + exp(-{z(f"w{gd_iters}")}))) * 10000.0 + 0.5)
+         / 10000.0 AS score,
+       (1.0 / (1.0 + exp(-{z(f"w{gd_iters}")}))) >= 0.5 AS pred
+FROM f, w{gd_iters}"""
+    )
+    return "".join(parts)
+
+
+O_QUALITY_LOGREG = _o_quality_logreg()
 
 
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5566,20 +5650,76 @@ WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
 
 
 def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a TRAINED coarse quantizer: deterministic distributed
-    Lloyd's k-means (6 cells, 3 iters, first-k init) then the same
-    partition-prunable probe path as sim_ivf. Iterative fit — no single
-    SQL oracle exists, so the driver records the rows-only check; the
-    quantizer itself is pinned against a driver-side numpy Lloyd's in
-    tests/test_training_data_ops.py."""
-    from gordo_spark.operators.similarity import ivf_topk_trained, kmeans_fit
+    """The TRAINED coarse quantizer itself, engine-exact
+    (operators/similarity.kmeans_fit_exact): fixed-3-iteration Lloyd's
+    k-means, first-6-by-id init, left-fold euclidean argmin with
+    lowest-cell tie-break, exact scaled-integer mean updates — every
+    centroid on the 1e-6 grid, bit-identical on any engine, so the
+    6x64 centroid table hash-matches a 3-block CTE-unrolled DuckDB
+    oracle. The numpy-matmul throughput twin (kmeans_fit) and the ANN
+    probe path over a trained quantizer (ivf_topk_trained) stay pinned
+    in pytest (tests/test_training_data_ops.py); the probe path is
+    also gated via the sim_ivf contract."""
+    from gordo_spark.operators.similarity import kmeans_fit_exact
 
     embs = read_table(spark, sf_dir, "embeddings")
-    C = kmeans_fit(embs, k=6, max_iter=3)
-    out = ivf_topk_trained(
-        embs, embs.filter(F.col("vec_id") < 10), C, k=5, n_probe=2
+    return kmeans_fit_exact(embs, k=6, iters=3)
+
+
+def _o_kmeans_exact(k: int = 6, iters: int = 3, dim: int = 64) -> str:
+    """CTE-unrolled mirror of kmeans_fit_exact: per iteration one
+    assignment block (left-fold d2, argmin by (d2, cell)) and one
+    exact-mean update block; empty cells coalesce to the previous
+    centroid, exactly the Spark fallback."""
+    d2 = (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {dim}), "
+        f"i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), "
+        f"(acc, x) -> acc + x)"
     )
-    return _r6(out, "cosine_sim")
+    parts = [
+        f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT cell, e,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC)
+           AS rnk
+  FROM (SELECT v.vec_id, v.e, c.cell, {d2} AS d2
+        FROM v CROSS JOIN c{t} c)
+),
+m{t} AS (
+  SELECT cell, dim,
+         floor(CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS HUGEINT))
+                    AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS m
+  FROM (SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS dim
+        FROM a{t} WHERE rnk = 1)
+  GROUP BY 1, 2
+),
+c{t + 1} AS (
+  SELECT c.cell, coalesce(u.ml, c.ce) AS ce
+  FROM c{t} c LEFT JOIN (
+    SELECT cell, list(m ORDER BY dim) AS ml FROM m{t} GROUP BY cell
+  ) u USING (cell)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT cell, generate_subscripts(ce, 1) - 1 AS dim,
+       unnest(ce) AS centroid
+FROM c{iters} ORDER BY cell, dim"""
+    )
+    return "".join(parts)
+
+
+O_SIM_IVF_KMEANS = _o_kmeans_exact()
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15853,6 +15993,9 @@ def oracle_sql() -> dict[str, str]:
         "m5_scores": O_M5,
         "j4_split_xy": O_J4_SPLIT,
         "j4_split_xy_add": O_J4_SPLIT_ADD,
+        "heavy_hitters": O_HEAVY_HITTERS,
+        "sim_ivf_kmeans": O_SIM_IVF_KMEANS,
+        "quality_logreg": O_QUALITY_LOGREG,
         "a5_fold_scores": O_A5_FOLDS,
         "cms_sketch": O_CMS_SKETCH,
         "cms_estimates": O_CMS_EST,

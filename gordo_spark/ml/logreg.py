@@ -105,6 +105,72 @@ class LogisticModel:
             raise ValueError("fit first")
         return df.withColumn(out_col, _sigmoid_col(self._z(self.coef_)))
 
+    def fit_gd_exact(
+        self, df: DataFrame, lr: float = 0.05, gd_iters: int = 6
+    ) -> "LogisticModel":
+        """ENGINE-EXACT fit: fixed-iteration full-batch gradient descent
+        with quantized per-row probabilities and exact scaled-integer
+        gradient sums — every weight lands on the 1e-9 grid after every
+        update, so the fit (and everything scored with it) is
+        bit-identical on any engine, partitioning, or retry order, and
+        the whole training loop unrolls into a SQL oracle (the
+        kmeans_fit_exact / NumpyAutoEncoder discipline). IRLS
+        (:meth:`fit`) stays the statistical-quality path — Newton steps
+        need a driver-side matrix solve no SQL engine reproduces;
+        GD trades convergence speed for a closed algebraic form.
+
+        Per iteration (ONE distributed aggregation, map-side combined):
+        ``p = qround(sigmoid(z), 6)`` per row (the quantization caps the
+        cross-libm ``exp`` ulp exposure at ~1e-10/row), gradient
+        component sums over ``qfloor((y - p) * x_i, 12)`` as exact
+        decimals, then the driver applies
+        ``w_i <- qround(w_i + lr * (g_i / 1e12 / n), 9)``. No L2 term
+        (a regularizer is a statistical knob; the exact path keeps the
+        recipe minimal and mirrored).
+        """
+        from gordo_spark.functions.rounding import qfloor
+
+        d = len(self.feature_cols) + 1
+        w = [0.0] * d
+        df = df.select(
+            *[F.col(c).cast("double").alias(c) for c in self.feature_cols],
+            F.col(self.label_col).cast("double").alias(self.label_col),
+        ).na.drop().persist()
+        if df.isEmpty():
+            df.unpersist()
+            raise ValueError(
+                "LogisticModel.fit_gd_exact: no rows with non-null "
+                f"features/label (features={self.feature_cols}, "
+                f"label={self.label_col!r})"
+            )
+        n = df.count()
+        terms = [F.lit(1.0)] + [
+            F.col(c).cast("double") for c in self.feature_cols
+        ]
+        y = F.col(self.label_col).cast("double")
+        import math
+
+        for _ in range(int(gd_iters)):
+            p = qround(_sigmoid_col(self._z(np.array(w))), 6)
+            aggs = [
+                F.sum(qfloor((y - p) * terms[i], 12).cast("decimal(38,0)"))
+                .cast("double")
+                .alias(f"_g_{i}")
+                for i in range(d)
+            ]
+            row = df.agg(*aggs).collect()[0]
+            for i in range(d):
+                g_mean = (float(row[f"_g_{i}"]) / 1e12) / n
+                # driver-side qround(.., 9): same IEEE op sequence as the
+                # SQL mirror's floor(x*1e9 + 0.5)/1e9
+                w[i] = (
+                    math.floor((w[i] + float(lr) * g_mean) * 1e9 + 0.5)
+                    / 1e9
+                )
+        df.unpersist()
+        self.coef_ = np.array(w)
+        return self
+
 
 def numpy_irls(
     X: np.ndarray, y: np.ndarray, iters: int = 8, l2: float = 1e-6

@@ -394,6 +394,110 @@ def kmeans_fit(
     return C
 
 
+def kmeans_fit_exact(
+    vectors: DataFrame,
+    k: int = 6,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ENGINE-EXACT fixed-iteration Lloyd's k-means, emitting the trained
+    centroid table ``(cell, dim, centroid)`` — the oracle-checkable twin
+    of :func:`kmeans_fit` (same algorithm: first-k-by-id init, euclidean
+    argmin assignment with lowest-cell tie-break, per-(cell,dim) mean
+    update, empty cells keep their centroid), with every
+    order-sensitive float reduction replaced by the house exact forms:
+
+    - distances are LEFT FOLDS over the dims (``F.aggregate`` /
+      ``list_reduce`` run the identical IEEE add sequence, so both
+      engines compute the bit-same d2 — no BLAS reduction-order
+      dependence, no quantization needed),
+    - centroid updates are exact scaled-integer means (qfloor ->
+      decimal sum -> one quantized division, the mean_exact
+      discipline), so every trained centroid lives on the 1e-6 grid
+      and is bit-identical on any engine or partitioning,
+    - iteration count is FIXED (no data-dependent early stop), the
+      pagerank/hits convention that keeps the plan CTE-unrollable.
+
+    Scale shape per iteration: assignment is one narrow codegen'd
+    projection (k fold expressions against broadcast-literal
+    centroids — no shuffle of the corpus), the update is one
+    partial-aggregated shuffle on the bounded (cell, dim) key space,
+    and k*d quantized doubles come back to the driver (the same
+    fit-time scalar boundary as kmeans_fit). ``kmeans_fit`` (numpy
+    matmul per batch) stays the throughput path for ANN cell
+    assignment; this variant is the reproducible-quantizer path and
+    the correctness gate for both.
+    """
+    from gordo_spark.functions.rounding import qfloor
+
+    src = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("e")
+    )
+    rows = src.orderBy("_id").limit(k).collect()
+    C = [[float(x) for x in r["e"]] for r in rows]
+    n_dim = len(C[0])
+
+    for _ in range(int(iters)):
+        d2s = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"),
+                    F.array(*[F.lit(c) for c in C[j]]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"_d{j}")
+            for j in range(k)
+        ]
+        scored = src.select("e", *d2s)
+        # argmin with lowest-cell tie-break: lexicographic sort of
+        # (d2, cell) structs, take the head — total order, no RNG
+        assigned = scored.select(
+            "e",
+            F.element_at(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.col(f"_d{j}").alias("d"),
+                                F.lit(j).alias("c"),
+                            )
+                            for j in range(k)
+                        ]
+                    )
+                ),
+                1,
+            )["c"].alias("cell"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("e").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    qfloor(
+                        F.sum(qfloor(F.col("x"), 6).cast("decimal(38,0)"))
+                        .cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    / F.lit(1e6)
+                ).alias("m")
+            )
+            .collect()
+        )
+        newC = [list(row) for row in C]  # empty cells keep old centroid
+        for r in means:
+            newC[int(r["cell"])][int(r["dim"])] = float(r["m"])
+        C = newC
+
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(c, d, C[c][d]) for c in range(k) for d in range(n_dim)],
+        "cell int, dim int, centroid double",
+    ).orderBy("cell", "dim")
+
+
 def kmeans_inertia(
     vectors: DataFrame,
     C: np.ndarray,

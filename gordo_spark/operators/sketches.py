@@ -157,6 +157,7 @@ def heavy_hitters(
     col: str,
     k: int = 64,
     candidates: int | None = None,
+    verified: bool = False,
 ) -> DataFrame:
     """Misra-Gries heavy hitters: the terms that MIGHT exceed n/k of the
     stream, with guaranteed count bounds — the sublinear path when even
@@ -174,10 +175,21 @@ def heavy_hitters(
     al. 2013 mergeable-summaries result). Every item with true
     frequency > n/(candidates+1) is guaranteed present.
 
-    Returns the top ``k`` by estimated count (desc, value asc). Tests
-    pin the guarantee against exact counts; approximate != oracle-exact,
-    so (like the other sketches) this is pytest-bounded, not
-    hash-matched.
+    Returns the top ``k`` by estimated count (desc, value asc). The raw
+    estimates are partitioning-dependent (each partition's decrements
+    depend on its row mix), so that form is pytest-bounded.
+
+    ``verified=True`` appends the classic MG verification pass: re-count
+    the CANDIDATE terms exactly (broadcast semi-join + groupBy — the
+    second stream pass every two-pass heavy-hitter deployment runs) and
+    cut top ``k`` on the exact count with the (count desc, value asc)
+    total order. Because every term with true frequency >
+    n/(candidates+1) is guaranteed a candidate, the verified output
+    EQUALS the global exact top-k whenever the k-th hitter clears that
+    bar — which makes it deterministic, partitioning-independent, and
+    SQL-oracle-checkable (the term_stats discipline), while both passes
+    stay sublinear in DISTINCT terms (the groupBy only ever sees the
+    bounded candidate set). Output: ``(value, exact_count)``.
     """
     import pandas as pd
 
@@ -204,9 +216,20 @@ def heavy_hitters(
                 {"value": list(counters), "est": list(counters.values())}
             )
 
-    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
-        summarize, schema="value string, est long"
-    )
+    stream = df.select(F.col(col).cast("string").alias(col))
+    partials = stream.mapInPandas(summarize, schema="value string, est long")
+    if verified:
+        cand_set = partials.select("value").distinct()
+        exact = (
+            stream.join(
+                F.broadcast(cand_set), stream[col] == cand_set["value"]
+            )
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("exact_count"))
+        )
+        return exact.orderBy(
+            F.col("exact_count").desc(), F.col("value").asc()
+        ).limit(int(k))
     return (
         partials.groupBy("value")
         .agg(F.sum("est").alias("est_count"))

@@ -477,3 +477,47 @@ def test_logreg_distributed_matches_numpy(spark):
     scored = m.score(df).toPandas()
     p = 1.0 / (1.0 + np.exp(-(ref[0] + scored[["a", "b", "c"]].to_numpy() @ ref[1:])))
     assert np.allclose(scored["score"].to_numpy(), p, atol=1e-8)
+
+
+def test_logreg_gd_exact_partitioning_invariant_and_on_grid(spark):
+    """fit_gd_exact: weights land on the 1e-9 grid, are bit-identical
+    across partitionings (exact scaled-integer gradient sums), and
+    match the same quantized recipe run in pure numpy."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from gordo_spark.ml.logreg import LogisticModel
+
+    rng = np.random.RandomState(1)
+    X = rng.randn(300, 2)
+    y = (X @ np.array([1.0, -1.0]) > 0).astype(int)
+    pdf = pd.DataFrame(X, columns=["a", "b"])
+    pdf["label"] = y
+
+    coefs = []
+    for parts in (1, 13):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        m = LogisticModel(["a", "b"], "label")
+        m.fit_gd_exact(df, lr=0.5, gd_iters=6)
+        coefs.append(m.coef_.copy())
+    assert (coefs[0] == coefs[1]).all()
+    assert all(
+        w == math.floor(w * 1e9 + 0.5) / 1e9 for w in coefs[0]
+    )
+
+    # numpy mirror of the exact recipe
+    Xb = np.hstack([np.ones((len(X), 1)), X])
+    w = np.zeros(3)
+    for _ in range(6):
+        z = (w[0] + w[1] * Xb[:, 1]) + w[2] * Xb[:, 2]
+        p = np.floor((1.0 / (1.0 + np.exp(-z))) * 1e6 + 0.5) / 1e6
+        g = np.array(
+            [
+                np.floor((y - p) * Xb[:, i] * 1e12 + 0.5).sum() / 1e12 / len(y)
+                for i in range(3)
+            ]
+        )
+        w = np.floor((w + 0.5 * g) * 1e9 + 0.5) / 1e9
+    assert np.allclose(coefs[0], w, atol=2e-9)

@@ -593,6 +593,35 @@ def test_kmeans_fit_matches_driver_side_lloyd(spark, sf_dir):
     assert kmeans_inertia(embs, C) <= init_inertia
 
 
+def test_kmeans_fit_exact_matches_numpy_lloyd(spark, sf_dir):
+    """The engine-exact quantizer (left-fold distances, scaled-integer
+    mean updates, fixed iterations) must agree with plain-float numpy
+    Lloyd's to the 1e-6 update quantization it applies per iteration."""
+    from gordo_spark.operators.similarity import kmeans_fit_exact
+    from gordo_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    k, iters = 6, 3
+    got = kmeans_fit_exact(embs, k=k, iters=iters).toPandas()
+
+    rows = embs.orderBy("vec_id").select("vec_id", "embedding").collect()
+    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    ref = V[:k].copy()
+    for _ in range(iters):
+        d2 = np.einsum("ij,ij->i", ref, ref)[None, :] - 2.0 * (V @ ref.T)
+        a = np.argmin(d2, axis=1)
+        new = ref.copy()
+        for c in range(k):
+            if (a == c).any():
+                # mirror the exact update: quantize members, mean, requantize
+                q = np.floor(V[a == c] * 1e6 + 0.5)
+                new[c] = np.floor(q.sum(axis=0) / (a == c).sum() + 0.5) / 1e6
+        ref = new
+    assert got.shape == (k * V.shape[1], 3)
+    got_m = got.pivot(index="cell", columns="dim", values="centroid").to_numpy()
+    np.testing.assert_allclose(got_m, ref, rtol=0, atol=2e-6)
+
+
 def test_ivf_topk_trained_quantizer(spark, sf_dir):
     """Trained-quantizer IVF: same output contract as ivf_topk, exact
     cosine on everything it returns, and probing all cells with a perfect
