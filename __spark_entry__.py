@@ -4872,24 +4872,139 @@ LEFT JOIN hits h USING (query_id)
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA whitening prep (operators/similarity.pca_fit /
-    pca_transform): one sufficient-stats pass (per-batch n, sum v,
-    sum vv^T), driver-side eigh with a fixed sign convention, Arrow-batch
-    projection onto the top-4 components. Iterative linear algebra -> no
-    single-SQL oracle (rows-only contract; pca_fit is pinned against
-    full-matrix numpy PCA in pytest)."""
-    from gordo_spark.operators.similarity import pca_fit, pca_transform
+    """Engine-exact PCA whitening prep
+    (operators/similarity.pca_fit_exact / pca_transform_exact): exact
+    scaled-integer mean/covariance statistics, then fixed-24-step power
+    iteration with deflation in portable scalar arithmetic (left folds,
+    correctly-rounded sqrt/divide, 1e-9-grid requantization, first-
+    nonzero-positive sign pin) — bit-identical on any engine, unrolled
+    into the DuckDB oracle. On the near-isotropic test corpus the fixed-
+    step basis captures 99.7% of eigh's top-4 variance (pinned in
+    pytest); the eigh path (pca_fit) remains the exact-solver option
+    and keeps its full-matrix numpy parity test."""
+    from gordo_spark.operators.similarity import (
+        pca_fit_exact,
+        pca_transform_exact,
+    )
 
     embs = read_table(spark, sf_dir, "embeddings")
-    mean, comps, ratios = pca_fit(embs, k=4)
-    out = pca_transform(embs, mean, comps)
+    mean, comps = pca_fit_exact(embs, k=4, iters=24)
+    out = pca_transform_exact(embs, mean, comps)
     return out.select(
         "vec_id",
-        *[
-            qround(F.element_at("pca", i + 1), 4).alias(f"pc{i + 1}")
-            for i in range(4)
-        ],
+        *[qround(f"pc{i + 1}", 4).alias(f"pc{i + 1}") for i in range(4)],
     )
+
+
+def _o_embedding_pca(k: int = 4, iters: int = 24, dim: int = 64) -> str:
+    """CTE-unrolled mirror of pca_fit_exact + pca_transform_exact: exact
+    HUGEINT mean/cov sums, then per component ``iters`` matvec/normalize
+    steps (left folds via list_reduce with a prepended 0.0 — the same
+    IEEE add sequence as the Python driver loop), sign pin, Rayleigh
+    quotient, deflation; projection is the same left-fold dot."""
+    fold = lambda arr: (  # noqa: E731 - local SQL snippet builder
+        f"list_reduce(list_prepend(0.0, {arr}), (acc, x2) -> acc + x2)"
+    )
+    matvec = (
+        "list_transform(C, row -> "
+        + fold(f"list_transform(generate_series(1, {dim}), d -> row[d] * v[d])")
+        + ")"
+    )
+    q9 = lambda e: f"floor(({e}) * 1000000000.0 + 0.5) / 1000000000.0"  # noqa: E731
+    v0 = "0.125" if dim == 64 else q9(f"1.0 / sqrt({float(dim)!r})")
+    parts = [
+        f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
+md AS MATERIALIZED (
+  SELECT dim,
+         CAST(sum(CAST(floor(x * 1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+           AS s
+  FROM (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS dim FROM v)
+  GROUP BY dim
+),
+mm AS MATERIALIZED (
+  SELECT list({q9("(s / 1000000000.0) / n")} ORDER BY dim) AS m
+  FROM md, nn
+),
+cd AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(generate_series(1, {dim}), d -> e[d] - m[d]) AS ce
+  FROM v, mm
+),
+pr AS MATERIALIZED (
+  SELECT a.i, b.j
+  FROM (SELECT unnest(generate_series(1, {dim})) AS i) a,
+       (SELECT unnest(generate_series(1, {dim})) AS j) b
+  WHERE b.j >= a.i
+),
+cvt AS MATERIALIZED (
+  SELECT pr.i, pr.j,
+         CAST(sum(CAST(floor((ce[pr.i] * ce[pr.j]) * 1000000000.0 + 0.5)
+                       AS HUGEINT)) AS DOUBLE) AS s
+  FROM cd, pr GROUP BY 1, 2
+),
+cfull AS MATERIALIZED (
+  SELECT i, j, {q9("(s / 1000000000.0) / (n - 1)")} AS val FROM cvt, nn
+  UNION ALL
+  SELECT j AS i, i AS j, {q9("(s / 1000000000.0) / (n - 1)")} AS val
+  FROM cvt, nn WHERE i != j
+),
+cm1 AS MATERIALIZED (
+  SELECT list(row ORDER BY i) AS C FROM (
+    SELECT i, list(val ORDER BY j) AS row FROM cfull GROUP BY i)
+)"""
+    ]
+    for c in range(1, k + 1):
+        parts.append(
+            f""",
+p{c}_0 AS MATERIALIZED (SELECT list_transform(generate_series(1, {dim}), d -> {v0}) AS v)"""
+        )
+        for t in range(1, iters + 1):
+            parts.append(
+                f""",
+p{c}_{t} AS MATERIALIZED (
+  SELECT list_transform(u, x -> {q9("x / nrm")}) AS v
+  FROM (
+    SELECT u, sqrt({fold("list_transform(u, x -> x * x)")}) AS nrm
+    FROM (SELECT {matvec} AS u FROM cm{c}, p{c}_{t - 1}))
+)"""
+            )
+        parts.append(
+            f""",
+s{c} AS MATERIALIZED (
+  SELECT CASE
+    WHEN v[list_filter(generate_series(1, {dim}), d -> v[d] != 0.0)[1]] < 0
+    THEN list_transform(v, x -> -1.0 * x) ELSE v END AS v
+  FROM p{c}_{iters}
+),
+l{c} AS MATERIALIZED (
+  SELECT {q9(fold(f"list_transform(generate_series(1, {dim}), i -> v[i] * cv[i])"))}
+           AS lam, v
+  FROM (SELECT v, {matvec} AS cv FROM cm{c}, s{c})
+),
+cm{c + 1} AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, {dim}), i ->
+           list_transform(generate_series(1, {dim}), j ->
+             {q9("C[i][j] - lam * v[i] * v[j]")})) AS C
+  FROM cm{c}, l{c}
+)"""
+        )
+    pcs = ",\n       ".join(
+        f"floor(({fold(f'list_transform(generate_series(1, {dim}), d -> ce[d] * s{c}.v[d])')}) * 10000.0 + 0.5) / 10000.0 AS pc{c}"
+        for c in range(1, k + 1)
+    )
+    joins = ", ".join(f"s{c}" for c in range(1, k + 1))
+    parts.append(
+        f"""
+SELECT vec_id,
+       {pcs}
+FROM cd, {joins}"""
+    )
+    return "".join(parts)
+
+
+O_EMBEDDING_PCA = _o_embedding_pca()
 
 
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4953,14 +5068,84 @@ ORDER BY exact_count DESC, value ASC LIMIT 20
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges trained on the corpus (operators/bpe.bpe_train
     — Sennrich 2016): distributed word count once, then vocab-sized
-    merge iterations with a deterministic tie rule. Iterative fit -> no
-    single-SQL oracle (rows-only contract); pinned word-for-word against
-    a pure-Python reference in pytest."""
+    merge iterations with the (pair_freq desc, left asc, right asc)
+    total-order tie rule. All-integer arithmetic end to end, so the
+    8-block CTE-unrolled DuckDB oracle (pair count -> argmax -> greedy
+    non-overlapping list merge per word) hash-matches exactly; the
+    pure-Python Sennrich reference stays pinned word-for-word in
+    pytest."""
     merges = _trained_bpe_merges(spark, sf_dir, n_merges=8)
     return spark.createDataFrame(
         [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)],
         schema="rank int, left string, right string, pair_freq long",
     )
+
+
+def _o_bpe_merges(n_merges: int = 8) -> str:
+    """CTE-unrolled mirror of bpe_train: v{t} is the (word, freq,
+    symbols) table after t merges, b{t} the t-th argmax pair, and the
+    greedy left-to-right non-overlapping apply is pure list index math
+    (a position merges iff it matches and its offset inside its run of
+    consecutive matches is even)."""
+    parts = [
+        """
+WITH w AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word != '' GROUP BY word
+),
+v0 AS (
+  SELECT word, freq,
+         list_append(string_split(word, ''), '</w>') AS symbols
+  FROM w
+)"""
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f""",
+p{t} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, sum(freq) AS pf
+  FROM (SELECT freq, symbols AS s,
+               unnest(generate_series(1, len(symbols) - 1)) AS i
+        FROM v{t} WHERE len(symbols) >= 2)
+  GROUP BY 1, 2
+),
+b{t} AS (SELECT a, b, pf FROM p{t} ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
+v{t + 1} AS (
+  SELECT word, freq,
+    list_filter(
+      list_transform(generate_series(1, len(s)), i ->
+        CASE WHEN sel[i] THEN s[i] || s[i + 1]
+             WHEN i > 1 AND sel[i - 1] THEN NULL
+             ELSE s[i] END),
+      x -> x IS NOT NULL) AS symbols
+  FROM (
+    SELECT word, freq, s,
+      list_transform(generate_series(1, len(s)), i ->
+        m[i] AND ((i - coalesce(lz[i], 0) - 1) % 2 = 0)) AS sel
+    FROM (
+      SELECT word, freq, s, m,
+        list_transform(generate_series(1, len(s)), i ->
+          list_max(list_filter(generate_series(1, i), j -> NOT m[j])))
+          AS lz
+      FROM (
+        SELECT word, freq, symbols AS s,
+          list_transform(generate_series(1, len(symbols)), i ->
+            i < len(symbols) AND symbols[i] = bb.a
+            AND symbols[i + 1] = bb.b) AS m
+        FROM v{t}, b{t} bb)))
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({t + 1} AS INTEGER) AS rank, a AS \"left\","
+        f" b AS \"right\", CAST(pf AS BIGINT) AS pair_freq FROM b{t}"
+        for t in range(n_merges)
+    )
+    parts.append("\n" + union + "\nORDER BY rank")
+    return "".join(parts)
+
+
+O_BPE_MERGES = _o_bpe_merges()
 
 
 def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15996,6 +16181,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": O_HEAVY_HITTERS,
         "sim_ivf_kmeans": O_SIM_IVF_KMEANS,
         "quality_logreg": O_QUALITY_LOGREG,
+        "bpe_merges": O_BPE_MERGES,
+        "embedding_pca": O_EMBEDDING_PCA,
         "a5_fold_scores": O_A5_FOLDS,
         "cms_sketch": O_CMS_SKETCH,
         "cms_estimates": O_CMS_EST,

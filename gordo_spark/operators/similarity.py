@@ -906,6 +906,164 @@ def recall_at_k(
     )
 
 
+def pca_fit_exact(
+    vectors: DataFrame,
+    k: int = 4,
+    iters: int = 24,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]]]:
+    """ENGINE-EXACT top-k PCA: exact scaled-integer mean/covariance
+    sufficient statistics, then FIXED-ITERATION power iteration with
+    deflation run in plain scalar arithmetic — every intermediate on the
+    1e-9 grid, every reduction a left fold, so mean, covariance,
+    components, and projections are bit-identical on any engine,
+    partitioning, or retry order, and the whole fit unrolls into a SQL
+    oracle (the kmeans_fit_exact discipline). ``pca_fit`` (driver
+    ``eigh`` over float sufficient stats) stays the statistical path —
+    a dense eigensolver is not portable arithmetic; fixed power steps
+    are ALSO the method that survives d where eigh does not (this is
+    what randomized/iterative solvers do at scale).
+
+    Statistics pass: per-row centered pair products quantized with
+    qfloor(.,9) and summed as exact decimals through ONE
+    explode(i<=j pairs) + groupBy(i,j) aggregation — d(d+1)/2 keys,
+    map-side combined, partitioning-independent integer sums. The d x d
+    quantized covariance (sample, /(n-1)) comes to the driver (bounded,
+    model-sized), where each component runs ``iters`` power steps
+    (matvec = left fold per row; normalize by a correctly-rounded sqrt;
+    re-quantize to 1e-9), gets its sign pinned (first nonzero component
+    positive — the VERDICT convention), and is deflated out
+    (C -= lambda v v^T, re-quantized).
+
+    Returns (mean, components) as plain Python lists of grid doubles.
+    """
+    import math
+
+    from gordo_spark.functions.rounding import qfloor
+
+    def q9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    src = vectors.select(_as_double(F.col(vec_col)).alias("e")).persist()
+    n = src.count()
+    if n < 2:
+        src.unpersist()
+        raise ValueError("pca_fit_exact needs at least 2 vectors")
+    n_dim = len(src.first()["e"])
+
+    mean_rows = (
+        src.select(F.posexplode("e").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(qfloor(F.col("x"), 9).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s")
+        )
+        .collect()
+    )
+    mean = [0.0] * n_dim
+    for r in mean_rows:
+        mean[int(r["dim"])] = q9((float(r["s"]) / 1e9) / n)
+
+    m_arr = F.array(*[F.lit(x) for x in mean])
+    ce = F.zip_with(F.col("e"), m_arr, lambda x, y: x - y)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_dim)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(n_dim)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    qfloor(
+                        F.element_at(F.col("_ce"), i)
+                        * F.element_at(F.col("_ce"), j),
+                        9,
+                    ).alias("c"),
+                ),
+            ),
+        )
+    )
+    cov_rows = (
+        src.select(ce.alias("_ce"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.i", "p.j")
+        .agg(
+            F.sum(F.col("p.c").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s")
+        )
+        .collect()
+    )
+    src.unpersist()
+    C = [[0.0] * n_dim for _ in range(n_dim)]
+    for r in cov_rows:
+        i, j = int(r["i"]) - 1, int(r["j"]) - 1
+        v = q9((float(r["s"]) / 1e9) / (n - 1))
+        C[i][j] = C[j][i] = v
+
+    comps: list[list[float]] = []
+    v0 = q9(1.0 / math.sqrt(float(n_dim)))
+    for _ in range(int(k)):
+        v = [v0] * n_dim
+        for _ in range(int(iters)):
+            u = []
+            for i in range(n_dim):
+                acc = 0.0
+                for j in range(n_dim):
+                    acc = acc + C[i][j] * v[j]
+                u.append(acc)
+            acc = 0.0
+            for x in u:
+                acc = acc + x * x
+            nrm = math.sqrt(acc)
+            v = [q9(x / nrm) for x in u]
+        fz = next((d for d in range(n_dim) if v[d] != 0.0), 0)
+        if v[fz] < 0:
+            v = [-1.0 * x for x in v]
+        comps.append(v)
+        cv = []
+        for i in range(n_dim):
+            acc = 0.0
+            for j in range(n_dim):
+                acc = acc + C[i][j] * v[j]
+            cv.append(acc)
+        acc = 0.0
+        for i in range(n_dim):
+            acc = acc + v[i] * cv[i]
+        lam = q9(acc)
+        C = [
+            [q9(C[i][j] - lam * v[i] * v[j]) for j in range(n_dim)]
+            for i in range(n_dim)
+        ]
+    return mean, comps
+
+
+def pca_transform_exact(
+    vectors: DataFrame,
+    mean: list[float],
+    comps: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project onto :func:`pca_fit_exact` components with left-fold dot
+    products — the engine-exact projection (row-local, shuffle-free).
+    Output: (id, pc1..pck) raw doubles; callers quantize for contracts.
+    """
+    m_arr = F.array(*[F.lit(x) for x in mean])
+    ce = F.zip_with(_as_double(F.col(vec_col)), m_arr, lambda x, y: x - y)
+    cols = [F.col(id_col)]
+    for c, comp in enumerate(comps):
+        v_arr = F.array(*[F.lit(x) for x in comp])
+        pc = F.aggregate(
+            F.zip_with(ce, v_arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(pc.alias(f"pc{c + 1}"))
+    return vectors.select(*cols)
+
+
 def pca_fit(
     vectors: DataFrame, vec_col: str = "embedding", k: int = 8
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -593,6 +593,45 @@ def test_kmeans_fit_matches_driver_side_lloyd(spark, sf_dir):
     assert kmeans_inertia(embs, C) <= init_inertia
 
 
+def test_pca_fit_exact_quality_and_grid(spark, sf_dir):
+    """pca_fit_exact: components unit-norm on the 1e-9 grid, pairwise
+    near-orthogonal, sign-pinned (first nonzero positive), and the
+    fixed-step basis captures >= 95% of eigh's top-4 variance of the
+    SAME quantized covariance — the honest claim on a near-isotropic
+    corpus where individual eigenvectors are ill-conditioned."""
+    import math
+
+    from gordo_spark.operators.similarity import pca_fit_exact
+    from gordo_spark.sources.io import read_table
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    mean, comps = pca_fit_exact(embs, k=4, iters=24)
+    V = np.array(comps)
+    assert V.shape[0] == 4
+    # grid + unit norms + sign pin
+    for v in comps:
+        assert all(x == math.floor(x * 1e9 + 0.5) / 1e9 for x in v)
+        fz = next(x for x in v if x != 0.0)
+        assert fz > 0
+    norms = np.einsum("ij,ij->i", V, V)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+    gram = V @ V.T - np.diag(norms)
+    assert np.abs(gram).max() < 0.1
+
+    # captured variance vs eigh on the quantized covariance
+    E = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in embs.select("embedding").collect()
+        ]
+    )
+    Ec = E - np.array(mean)
+    C = Ec.T @ Ec / (len(E) - 1)
+    w = np.linalg.eigvalsh(C)[::-1][:4]
+    captured = sum(V[c] @ C @ V[c] for c in range(4))
+    assert captured >= 0.95 * w.sum()
+
+
 def test_kmeans_fit_exact_matches_numpy_lloyd(spark, sf_dir):
     """The engine-exact quantizer (left-fold distances, scaled-integer
     mean updates, fixed iterations) must agree with plain-float numpy
