@@ -492,6 +492,11 @@ def main():
             n_red += bool(flags)
         upw = unpartitioned_windows(plan)
         counts["global_windows"] = upw
+        # window-expression SLOTS: Catalyst extracts each occurrence of a
+        # window expression into its own _weN attribute with NO dedup, so
+        # slots >> distinct window functions = something is re-mentioning
+        # window aggregates (the round-9 qround regression tripwire)
+        counts["we_slots"] = len(set(re.findall(r"_we\d+", plan)))
         if upw and name not in SINGLE_SERIES_OK:
             flags.append(f"UNPARTITIONED WINDOW x{upw} (not in SINGLE_SERIES_OK)")
             n_red += 1
@@ -512,8 +517,8 @@ def main():
         "visible in pre-execution plans under AQE; the arrowPy / red-flag",
         "columns capture what falls out of codegen into Python.)",
         "",
-        "| query | exchanges | broadcast | SMJ | arrowPy | scans | 1-part windows | red flags |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | exchanges | broadcast | SMJ | arrowPy | scans | 1-part windows | we-slots | red flags |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, c, flags in rows:
         flag_s = ", ".join(flags) if flags else "—"
@@ -522,7 +527,8 @@ def main():
         lines.append(
             f"| {name} | {c.get('exchanges', '?')} | {c.get('broadcasts', '?')} "
             f"| {c.get('smj', '?')} | {c.get('arrow_python', '?')} "
-            f"| {c.get('scans', '?')} | {gw_s} | {flag_s} |"
+            f"| {c.get('scans', '?')} | {gw_s} | {c.get('we_slots', '?')} "
+            f"| {flag_s} |"
         )
     lines += ["", f"Total: {len(rows)} queries, {n_red} with red flags."]
     out = "\n".join(lines) + "\n"

@@ -165,6 +165,28 @@ def test_fires_on_hinted_embedding_broadcast_under_theta_join(spark):
     assert flags and "embeddings" in flags[0]
 
 
+def test_qround_over_window_binds_operand_once(spark):
+    # the round-9 regression tripwire: qround mentions its operand 3x and
+    # Catalyst extracts every textual occurrence of a window expression
+    # into its own _weN slot (no dedup) — rolling_zscore's plan carried 22
+    # slots for 3 distinct window functions (2.3x wall). The bind-once fix
+    # must keep the slot count at the distinct-window level.
+    import re
+
+    from gordo_spark.operators.smoothing import rolling_zscore
+
+    from gordo_spark.sources.io import read_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ev = read_table(spark, sf, "events").select(
+        F.col("event_type").alias("tag"), "ts", "value"
+    )
+    out = rolling_zscore(ev, "value", window=24)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    slots = len(set(re.findall(r"_we\d+", plan)))
+    assert slots <= 10, f"window-slot blowup: {slots} _weN slots"
+
+
 def test_knn_graph_stats_plan_has_no_hinted_broadcast(spark):
     # the shipped operator itself: under autoBroadcastJoinThreshold=-1
     # (the audit's hint-exposure pass) its plan must contain NO
