@@ -39,23 +39,19 @@ from pyspark.sql import Column, functions as F
 __all__ = ["qfloor", "qround", "qround_sql"]
 
 
-def _contains_window(c: Column) -> bool:
-    """True when the column's expression tree contains a window function.
+# Literal Column cache: plan BUILD cost discipline. Every Column operator
+# is a py4j round-trip (~0.3 ms); qround is called hundreds of times while
+# composing a deep plan (the m6 column block), so re-minting the same
+# literals per call turned plan construction into seconds of socket
+# chatter. Columns are immutable expression handles — reuse is free.
+_LITS: dict[float, Column] = {}
 
-    Why it matters: the guarded floor references its operand three times
-    (guard, floor arm, identity arm). Catalyst's ExtractWindowExpressions
-    extracts each textual OCCURRENCE of a window expression into its own
-    ``_weN`` slot — no dedup — so wrapping a window aggregate in the naive
-    3-reference form multiplies window evaluation 3x, and NESTED quantized
-    expressions compound it (observed: rolling_zscore built 22 window
-    slots for 3 distinct window functions; 2.3x wall). Detection is a
-    plan-build-time string check; on Connect-style columns without a JVM
-    handle we conservatively return True (bind-once is always correct,
-    just ~10 ns/value slower on cheap scalars)."""
-    try:
-        return "windowspecdefinition" in c._jc.expr().toString().lower()
-    except Exception:
-        return True
+
+def _lit(x: float) -> Column:
+    got = _LITS.get(x)
+    if got is None:
+        got = _LITS[x] = F.lit(x)
+    return got
 
 
 def _guarded_floor(c: Column, p: float) -> Column:
@@ -63,15 +59,17 @@ def _guarded_floor(c: Column, p: float) -> Column:
     ``c`` exactly ONCE: ``c`` is bound into a 1-element array and the
     3-reference guard runs on the lambda variable (a cheap attribute),
     so expensive operands — window aggregates especially — are evaluated
-    once regardless of how many times the guard mentions them."""
-    bound = F.transform(
-        F.array(c),
-        lambda t: F.when(
-            F.abs(t * F.lit(p) + F.lit(0.5)) < F.lit(2.0**52),
-            F.floor(t * F.lit(p) + F.lit(0.5)).cast("double"),
-        ).otherwise(t * F.lit(p) + F.lit(0.5)),
-    )
-    return F.get(bound, 0)
+    once regardless of how many times the guard mentions them. Inside
+    the lambda the scaled operand ``y`` is built ONCE and referenced by
+    handle — same expression tree, a third of the py4j build calls."""
+
+    def _body(t: Column) -> Column:
+        y = t * _lit(p) + _lit(0.5)
+        return F.when(
+            F.abs(y) < _lit(2.0**52), F.floor(y).cast("double")
+        ).otherwise(y)
+
+    return F.get(F.transform(F.array(c), _body), 0)
 
 
 def qround(col: Column | str, scale: int = 0) -> Column:
@@ -85,20 +83,22 @@ def qround(col: Column | str, scale: int = 0) -> Column:
     NULL/NaN/inf all fall through the comparison into the identity arm
     exactly as they propagate through a native floor.
 
-    Window-bearing operands take the bind-once form (see
-    :func:`_contains_window`); plain scalars keep the direct 3-reference
-    form, which whole-stage codegen handles fine. Both compute the
-    identical IEEE op sequence — bit-identical outputs.
+    ALWAYS the bind-once form (see :func:`_guarded_floor`): the guard
+    mentions its operand three times, and Catalyst extracts each textual
+    occurrence of a window expression into its OWN ``_weN`` slot — no
+    dedup — so the naive form evaluated window aggregates 3x and nested
+    quantized expressions compounded it (rolling_zscore: 22 slots for 3
+    distinct window functions, 2.3x wall — the round-9 bench regression).
+    Binding unconditionally beats detecting: tree inspection costs a
+    py4j round-trip + an O(tree) serialization PER CALL, which turned
+    deeply-nested plans (the m6 column block) into O(n^2) plan builds;
+    the HOF's runtime cost on plain scalars is ~11 ns/value (measured
+    0.38 s vs 0.15 s per 20M rows), noise against any real projection.
+    Identical IEEE op sequence either way — bit-identical outputs.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
     p = float(10 ** int(scale))
-    if _contains_window(c):
-        return _guarded_floor(c, p) / F.lit(p)
-    y = c * F.lit(p) + F.lit(0.5)
-    fl = F.when(
-        F.abs(y) < F.lit(2.0**52), F.floor(y).cast("double")
-    ).otherwise(y)
-    return fl / F.lit(p)
+    return _guarded_floor(c, p) / _lit(p)
 
 
 def qfloor(col: Column | str, scale: int = 0) -> Column:
@@ -112,15 +112,11 @@ def qfloor(col: Column | str, scale: int = 0) -> Column:
     bit-identity exactly at the magnitudes where it matters least but
     diverges loudest. Callers needing exact decimal summation cast the
     result to ``decimal(38,0)`` (exact for integral doubles < 1e38).
+    Bind-once form unconditionally, same rationale as :func:`qround`.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
     p = float(10 ** int(scale))
-    if _contains_window(c):
-        return _guarded_floor(c, p)
-    y = c * F.lit(p) + F.lit(0.5)
-    return F.when(
-        F.abs(y) < F.lit(2.0**52), F.floor(y).cast("double")
-    ).otherwise(y)
+    return _guarded_floor(c, p)
 
 
 def qround_sql(expr: str, scale: int = 0) -> str:

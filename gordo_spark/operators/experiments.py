@@ -766,6 +766,30 @@ def _poisson1_w(u: Column) -> Column:
     return w.cast("double")
 
 
+def _poisson1_w_sql(hex_col: str, lane: int) -> str:
+    """The SAME weight as ``_poisson1_w(_md5_lane_u16(...))`` as ONE SQL
+    string: u = (h16 + 0.5)/2^16 from 4 hex chars of ``hex_col``, nested
+    CASE CDF inversion, cast double. Why a string: plan BUILD cost — the
+    Column-API chain is ~50 py4j round-trips per replicate, and B=100
+    weight columns turned bootstrap plan construction into seconds of
+    gateway chatter; one selectExpr parses all of them JVM-side in a
+    single call. Literal ``D`` suffixes keep every constant DOUBLE
+    (bare decimals parse as DECIMAL in Spark SQL). Values are
+    bit-identical to the Column form — same op sequence."""
+    u = (
+        f"((CAST(CAST(conv(substring({hex_col}, {lane * 4 + 1}, 4), 16, 10)"
+        f" AS BIGINT) AS DOUBLE) + 0.5D) / 65536.0D)"
+    )
+    chain = f"{len(_POISSON1_CDF)}"
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        chain = f"CASE WHEN t < {_POISSON1_CDF[k]!r}D THEN {k} ELSE {chain} END"
+    # bind u ONCE through a lambda variable (the qround _guarded_floor
+    # discipline): the CASE mentions the uniform 7 times, and codegen
+    # does not hoist subexpressions out of conditional branches — bare
+    # text would re-derive conv(substring(..)) per comparison
+    return f"CAST(element_at(transform(array({u}), t -> {chain}), 1) AS DOUBLE)"
+
+
 def bootstrap_ci_mean(
     df: DataFrame,
     value_col: str,
@@ -824,7 +848,7 @@ def bootstrap_ci_mean(
     if base.rdd.getNumPartitions() < target:
         base = base.repartition(target)
     x = F.col(value_col).cast("double")
-    rows = base.select(
+    hashed = base.select(
         x.alias("_x"),
         *[
             F.md5(
@@ -835,15 +859,23 @@ def bootstrap_ci_mean(
             for g in range(n_groups)
         ],
     )
+    # weights materialize as PROJECTION columns so each replicate's
+    # Poisson CDF inversion runs ONCE per row — referenced from two sums
+    # each, an aggregate-side CASE chain would evaluate twice (and its 7
+    # comparisons re-derive the lane uniform each; measured ~2x the
+    # contract wall at B=100)
+    rows = hashed.selectExpr(
+        "_x",
+        *[
+            f"{_poisson1_w_sql(f'_h{b // 8}', b % 8)} AS _wb{b}"
+            for b in range(b_count)
+        ],
+    )
     x = F.col("_x")
-
-    def w_of(b: int):
-        g, lane = divmod(b, 8)
-        return _poisson1_w(_md5_lane_u16(f"_h{g}", lane))
 
     aggs = [F.count(F.lit(1)).alias("n"), F.avg(x).alias("_mean")]
     for b in range(b_count):
-        wb = w_of(b)
+        wb = F.col(f"_wb{b}")
         aggs.append(F.sum(wb * x).alias(f"_s{b}"))
         aggs.append(F.sum(wb).alias(f"_w{b}"))
     one = rows.agg(*aggs)
@@ -1786,7 +1818,7 @@ def bootstrap_ab_diff(
     target = df.sparkSession.sparkContext.defaultParallelism
     if assigned.rdd.getNumPartitions() < target:
         assigned = assigned.repartition(target)
-    rows = assigned.select(
+    hashed = assigned.select(
         x.alias("_x"),
         F.col("variant").alias("_v"),
         *[
@@ -1798,11 +1830,18 @@ def bootstrap_ab_diff(
             for g in range(n_groups)
         ],
     )
+    # weights as projection columns: each replicate's CDF inversion runs
+    # once per row instead of four times (two arms x two sums) — the
+    # bootstrap_ci_mean projection discipline
+    rows = hashed.selectExpr(
+        "_x",
+        "_v",
+        *[
+            f"{_poisson1_w_sql(f'_h{b // 8}', b % 8)} AS _wb{b}"
+            for b in range(b_count)
+        ],
+    )
     x = F.col("_x")
-
-    def w_of(b: int):
-        g, lane = divmod(b, 8)
-        return _poisson1_w(_md5_lane_u16(f"_h{g}", lane))
 
     a0 = F.col("_v") == 0
     a1 = F.col("_v") == 1
@@ -1813,7 +1852,7 @@ def bootstrap_ab_diff(
         F.avg(F.when(a1, x)).alias("_m1"),
     ]
     for b in range(b_count):
-        wb = w_of(b)
+        wb = F.col(f"_wb{b}")
         aggs.append(F.sum(F.when(a0, wb * x)).alias(f"_s0{b}"))
         aggs.append(F.sum(F.when(a0, wb)).alias(f"_w0{b}"))
         aggs.append(F.sum(F.when(a1, wb * x)).alias(f"_s1{b}"))

@@ -924,11 +924,13 @@ def pca_fit_exact(
     are ALSO the method that survives d where eigh does not (this is
     what randomized/iterative solvers do at scale).
 
-    Statistics pass: per-row centered pair products quantized with
-    qfloor(.,9) and summed as exact decimals through ONE
-    explode(i<=j pairs) + groupBy(i,j) aggregation — d(d+1)/2 keys,
-    map-side combined, partitioning-independent integer sums. The d x d
-    quantized covariance (sample, /(n-1)) comes to the driver (bounded,
+    Statistics pass: per-row centered pair products quantized to 1e-9
+    integers and summed as Arrow-batched numpy int64 partials — ONE
+    d x d grid per partition, reduced in exact arbitrary-precision
+    driver arithmetic (integer sums are order-free, so the statistic is
+    partitioning-independent and equal to the oracle's
+    explode+HUGEINT-groupBy form value-for-value). The d x d quantized
+    covariance (sample, /(n-1)) stays driver-side (bounded,
     model-sized), where each component runs ``iters`` power steps
     (matvec = left fold per row; normalize by a correctly-rounded sqrt;
     re-quantize to 1e-9), gets its sign pinned (first nonzero component
@@ -965,42 +967,46 @@ def pca_fit_exact(
     for r in mean_rows:
         mean[int(r["dim"])] = q9((float(r["s"]) / 1e9) / n)
 
-    m_arr = F.array(*[F.lit(x) for x in mean])
-    ce = F.zip_with(F.col("e"), m_arr, lambda x, y: x - y)
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(n_dim)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(n_dim)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    qfloor(
-                        F.element_at(F.col("_ce"), i)
-                        * F.element_at(F.col("_ce"), j),
-                        9,
-                    ).alias("c"),
-                ),
-            ),
-        )
-    )
-    cov_rows = (
-        src.select(ce.alias("_ce"))
-        .select(F.explode(pairs).alias("p"))
-        .groupBy("p.i", "p.j")
-        .agg(
-            F.sum(F.col("p.c").cast("decimal(38,0)"))
-            .cast("double")
-            .alias("s")
-        )
-        .collect()
-    )
+    # centered-pair integer sums via Arrow-batched numpy partials: each
+    # partition emits ONE d*d int64 grid (integer addition is exact and
+    # order-free, so this is partitioning-independent — same values as
+    # an explode(i<=j)+groupBy, which at d=64 costs a 4M-row/2080-key
+    # shuffle and measured 12x the wall of this shape). Per-partition
+    # magnitude bound: |ce_i*ce_j|*1e9 <= ~1e11 per row, so int64 holds
+    # ~9e7 rows per partition — two orders past a 128 MB split; the
+    # driver reduces partials in arbitrary-precision Python ints.
+    mean_np = np.asarray(mean, dtype=np.float64)
+
+    def cov_partial(batches):
+        acc = np.zeros((n_dim, n_dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            V = np.stack(pdf["e"].to_numpy()) - mean_np
+            for lo in range(0, len(V), 256):
+                ch = V[lo : lo + 256]
+                prods = ch[:, :, None] * ch[:, None, :]
+                acc += np.floor(prods * 1e9 + 0.5).astype(np.int64).sum(0)
+        if seen:
+            yield pd.DataFrame({"s": [acc.ravel().tolist()]})
+
+    partials = src.mapInPandas(
+        cov_partial, schema="s array<long>"
+    ).collect()
     src.unpersist()
-    C = [[0.0] * n_dim for _ in range(n_dim)]
-    for r in cov_rows:
-        i, j = int(r["i"]) - 1, int(r["j"]) - 1
-        v = q9((float(r["s"]) / 1e9) / (n - 1))
-        C[i][j] = C[j][i] = v
+    tot = [0] * (n_dim * n_dim)
+    for r in partials:
+        for idx, v in enumerate(r["s"]):
+            tot[idx] += int(v)
+    C = [
+        [
+            q9((float(tot[i * n_dim + j]) / 1e9) / (n - 1))
+            for j in range(n_dim)
+        ]
+        for i in range(n_dim)
+    ]
 
     comps: list[list[float]] = []
     v0 = q9(1.0 / math.sqrt(float(n_dim)))
