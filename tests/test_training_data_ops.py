@@ -2394,7 +2394,9 @@ def test_logreg_sample_apply_parity(spark, docs):
     """Sample-trained weights + distributed sigmoid == numpy end-to-end."""
     import __spark_entry__ as entry
 
-    feats = entry._logreg_features(docs)
+    from contracts.rounds5to8_a import _logreg_features
+
+    feats = _logreg_features(docs)
     sample = (
         feats.orderBy("doc_id").limit(64).select("f_chars", "f_words", "f_uniq", "label").collect()
     )
