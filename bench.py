@@ -303,6 +303,8 @@ HEADLINE = [
     "w37_hac_ci",
     "sensor_health",
     "heaps_law",
+    "w1_drift",
+    "bh_fdr",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

@@ -310,6 +310,256 @@ def psi_drift(
     ).select(tag_col, "psi", "n_ref", "n_cur")
 
 
+def _half_split(df: DataFrame, ts_col: str) -> DataFrame:
+    """Attach ``_is_ref`` = first-half-of-time-range flag (the psi_drift
+    midpoint convention, shared by every two-window drift screen)."""
+    span = df.agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    ).select(
+        (
+            (
+                F.col("_t0").cast("timestamp").cast("long")
+                + F.col("_t1").cast("timestamp").cast("long")
+            )
+            / 2
+        ).alias("_mid")
+    )
+    return df.crossJoin(F.broadcast(span)).withColumn(
+        "_is_ref",
+        F.col(ts_col).cast("timestamp").cast("long") < F.col("_mid"),
+    )
+
+
+def wasserstein_drift(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth-mover) distance per tag between
+    the first and second half of the time range — the drift statistic
+    with UNITS (average value-movement needed to turn one distribution
+    into the other), where PSI/KS are unitless screens: W1 answers "by
+    how much did the sensor move", robust to binning (no bin knob at
+    all) and sensitive to shifts KS underweights in the tails.
+
+    W1 = integral |F_ref(x) - F_cur(x)| dx, computed exactly on the
+    merged support: values quantize to the 1e-6 grid (so both engines
+    group identical keys), one (tag, value) count aggregate, one
+    per-tag cumulative window gives both CDFs at every support point,
+    and the trapezoid-free step integral sums |dF| * (next_v - v).
+    Exactness: counts and cumsums are integers; each step term is one
+    deterministic double product quantized to 1e-12 and summed as exact
+    decimals (the mean_exact discipline) — bit-identical on any engine
+    or partitioning. A tag with an empty half reports the full mass
+    distance to the other half's CDF (the 0-CDF convention below).
+
+    Plan: one hash aggregate on (tag, grid-value) then ONE per-tag
+    ordered window over the bounded support — scales as the distinct-
+    value count per tag, not the row count. Output:
+    ``(tag, w1, n_ref, n_cur)`` with w1 at 6dp.
+    """
+    d = _half_split(df, ts_col).filter(F.col(value_col).isNotNull())
+    gv = qround(F.col(value_col), 6)
+    cnt = d.groupBy(tag_col, gv.alias("_v")).agg(
+        F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).alias("_nr"),
+        F.sum(F.when(~F.col("_is_ref"), 1).otherwise(0)).alias("_nc"),
+    )
+    wtag = Window.partitionBy(tag_col)
+    worder = wtag.orderBy("_v")
+    cum = (
+        cnt.withColumn("_totr", F.sum("_nr").over(wtag))
+        .withColumn("_totc", F.sum("_nc").over(wtag))
+        .withColumn("_cr", F.sum("_nr").over(worder))
+        .withColumn("_cc", F.sum("_nc").over(worder))
+        .withColumn("_nv", F.lead("_v").over(worder))
+    )
+    fr = F.when(F.col("_totr") > 0, F.col("_cr") / F.col("_totr")).otherwise(
+        F.lit(0.0)
+    )
+    fc = F.when(F.col("_totc") > 0, F.col("_cc") / F.col("_totc")).otherwise(
+        F.lit(0.0)
+    )
+    term = F.when(
+        F.col("_nv").isNotNull(),
+        F.abs(fr - fc) * (F.col("_nv") - F.col("_v")),
+    ).otherwise(F.lit(0.0))
+    return (
+        cum.select(
+            tag_col,
+            F.col("_totr").alias("n_ref"),
+            F.col("_totc").alias("n_cur"),
+            qfloor(term, 12).cast("decimal(38,0)").alias("_ti"),
+        )
+        .groupBy(tag_col, "n_ref", "n_cur")
+        .agg(
+            (
+                qround(F.sum("_ti").cast("double") / F.lit(1e12), 6)
+            ).alias("w1")
+        )
+        .select(tag_col, "w1", "n_ref", "n_cur")
+        .orderBy(tag_col)
+    )
+
+
+def perm_test_drift(
+    df: DataFrame,
+    tag_col: str = "tag",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_perm: int = 39,
+    salt: str = "perm",
+) -> DataFrame:
+    """Monte-Carlo permutation p-value per tag for the half-mean
+    difference — DISTRIBUTION-FREE inference on the drift the W1/PSI
+    screens only rank: under exchangeability, relabeling rows between
+    the halves should produce mean-differences at least as large as the
+    observed one about p of the time. Labels are unconditional
+    md5-Bernoulli(n_cur/n) relabelings (the random-split Monte-Carlo
+    variant of the permutation test — group sizes vary binomially
+    around the observed split; stated), so every replicate is a PURE
+    FUNCTION of the row id: no RNG, bit-reproducible anywhere, and the
+    whole test is ONE aggregation pass of 2*n_perm+4 sums per tag (the
+    bootstrap_ci_mean shape — n_perm 16-bit md5 lanes, weights
+    materialized once per row in the projection).
+
+    Exactness: values quantize to 1e-6-scaled exact-decimal sums before
+    any mean (the mean_exact discipline); each replicate's
+    mean-difference and the observed one are then deterministic doubles
+    and the p-value is the exact rational
+    ``(1 + #{|d_b| >= |d_obs|}) / (n_perm + 1)`` (add-one: Phipson &
+    Smyth 2010). Replicates that land all rows in one arm contribute no
+    exceedance (stated; probability ~2^-n per tag). Output:
+    ``(tag, delta_obs, p_value, n_ref, n_cur)``.
+    """
+    b_count = int(n_perm)
+    n_groups = (b_count + 7) // 8
+    d = _half_split(df, ts_col).filter(F.col(value_col).isNotNull())
+    sizes = (
+        d.groupBy(tag_col)
+        .agg(
+            F.sum(F.when(F.col("_is_ref"), 0).otherwise(1)).alias("_ncur"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            tag_col, (F.col("_ncur") / F.col("_n")).alias("_pcur")
+        )
+    )
+    hashed = d.join(F.broadcast(sizes), tag_col).select(
+        F.col(tag_col).alias("_tag"),
+        qfloor(F.col(value_col), 6).alias("_iv"),
+        F.col("_is_ref").alias("_ref"),
+        F.col("_pcur"),
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}g{g}:"), F.col(id_col).cast("string")
+                )
+            ).alias(f"_h{g}")
+            for g in range(n_groups)
+        ],
+    )
+    lanes = [
+        f"((CAST(CAST(conv(substring(_h{b // 8}, {(b % 8) * 4 + 1}, 4),"
+        f" 16, 10) AS BIGINT) AS DOUBLE) + 0.5D) / 65536.0D < _pcur)"
+        f" AS _i{b}"
+        for b in range(b_count)
+    ]
+    rows = hashed.selectExpr("_tag", "_iv", "_ref", *lanes)
+    iv = F.col("_iv").cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(iv).cast("double").alias("_s"),
+        F.sum(F.when(~F.col("_ref"), iv)).cast("double").alias("_sc"),
+        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).alias("_nc"),
+    ]
+    for b in range(b_count):
+        ib = F.col(f"_i{b}")
+        aggs.append(F.sum(F.when(ib, iv)).cast("double").alias(f"_sb{b}"))
+        aggs.append(F.sum(F.when(ib, 1).otherwise(0)).alias(f"_kb{b}"))
+    one = rows.groupBy("_tag").agg(*aggs)
+    d_obs = F.col("_sc") / F.col("_nc") - (
+        (F.col("_s") - F.col("_sc")) / (F.col("_n") - F.col("_nc"))
+    )
+    exceed = []
+    for b in range(b_count):
+        db = F.col(f"_sb{b}") / F.col(f"_kb{b}") - (
+            (F.col("_s") - F.col(f"_sb{b}"))
+            / (F.col("_n") - F.col(f"_kb{b}"))
+        )
+        exceed.append(
+            F.when(
+                (F.col(f"_kb{b}") > 0)
+                & (F.col(f"_kb{b}") < F.col("_n"))
+                & (F.abs(db) >= F.abs(d_obs)),
+                1,
+            ).otherwise(0)
+        )
+    n_exceed = exceed[0]
+    for e in exceed[1:]:
+        n_exceed = n_exceed + e
+    return one.select(
+        F.col("_tag").alias(tag_col),
+        qround(d_obs / F.lit(1e6), 6).alias("delta_obs"),
+        (
+            (F.lit(1) + n_exceed).cast("double")
+            / F.lit(float(b_count + 1))
+        ).alias("p_value"),
+        (F.col("_n") - F.col("_nc")).alias("n_ref"),
+        F.col("_nc").alias("n_cur"),
+    ).orderBy(tag_col)
+
+
+def bh_fdr(
+    pvals: DataFrame,
+    key_col: str = "tag",
+    p_col: str = "p_value",
+    q: float = 0.10,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a family of
+    p-values — the multiple-testing gate a fleet-wide drift sweep needs
+    (at 1,000 machines x dozens of tags, alpha=0.05 per test fires ~50
+    false alarms per sweep; BH bounds the EXPECTED FALSE-DISCOVERY
+    RATE at q, and is less conservative than the Holm FWER bound
+    already shipped for A/B families). Step-up rule: sort p ascending,
+    reject hypotheses 1..k where k = max{i : p_i <= q*i/m}, ties by
+    key for a total order. Pure rank arithmetic over the (bounded)
+    hypothesis family — one window sort, no approximation, exact on
+    any engine. Output: ``(key, p_value, rank, bh_threshold,
+    rejected)`` ordered by rank.
+    """
+    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    m = F.count(F.lit(1)).over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = pvals.select(
+        F.col(key_col),
+        F.col(p_col),
+        F.row_number().over(w).alias("rank"),
+        (F.lit(float(q)) * F.row_number().over(w) / m).alias(
+            "bh_threshold"
+        ),
+    )
+    passing = F.when(
+        F.col(p_col) <= F.col("bh_threshold"), F.col("rank")
+    ).otherwise(F.lit(0))
+    k = F.max(passing).over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return ranked.select(
+        key_col,
+        p_col,
+        "rank",
+        qround("bh_threshold", 6).alias("bh_threshold"),
+        (F.col("rank") <= k).alias("rejected"),
+    ).orderBy("rank")
+
+
 def ks_drift(
     df: DataFrame,
     tag_col: str = "tag",

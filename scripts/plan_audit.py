@@ -196,6 +196,9 @@ COUNTED = (
 # the reference's one-model-per-machine granularity — SURVEY.md §4). Any
 # query not listed here must partition every window (see m6_anomaly_multi).
 SINGLE_SERIES_OK = {
+    # BH step-up ranks the BOUNDED hypothesis family (one row per tag —
+    # a fleet sweep is still #tags rows, never event-volume)
+    "bh_fdr",
     # one machine's aligned wide frame (tail-drop / buffer / fold windows)
     "j7_lookback",
     "p3_row_filter",

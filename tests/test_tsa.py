@@ -248,3 +248,80 @@ def test_rfm_segments_scores(spark):
     # quartile scores are monotone in the underlying metric
     fs = [out[c]["f_score"] for c in range(8)]
     assert fs == sorted(fs)
+
+
+def test_wasserstein_drift_known_values_and_stability(spark):
+    from gordo_spark.operators.tsa import wasserstein_drift
+
+    # tag 'a': identical halves -> W1 == 0
+    half = [float(v) for v in range(10)] * 2
+    stable = half + half
+    # tag 'b': constant 0.0 first half, constant 5.0 second half ->
+    # CDFs differ by 1 over [0, 5) -> W1 == 5 exactly
+    jump = [0.0] * 20 + [5.0] * 20
+    df = _series(spark, stable, "a").union(_series(spark, jump, "b"))
+    out = {r["tag"]: r for r in wasserstein_drift(df).collect()}
+    assert out["a"]["w1"] == pytest.approx(0.0, abs=1e-9)
+    assert out["b"]["w1"] == pytest.approx(5.0, abs=1e-9)
+    assert out["b"]["n_ref"] == out["b"]["n_cur"] == 20
+    # numpy cross-check on a non-trivial pair: W1 between equal-size
+    # samples == mean absolute difference of sorted values
+    rng = np.random.RandomState(3)
+    x = np.round(rng.randn(40), 3)
+    d2 = _series(spark, x, "c")
+    got = {r["tag"]: r for r in wasserstein_drift(d2).collect()}["c"]["w1"]
+    ref = float(np.mean(np.abs(np.sort(x[:20]) - np.sort(x[20:]))))
+    assert got == pytest.approx(ref, abs=2e-6)
+
+
+def test_perm_test_drift_partitioning_invariant_and_calibrated(spark):
+    from gordo_spark.operators.tsa import perm_test_drift
+
+    rng = np.random.RandomState(5)
+    rows = []
+    # tag 'stable': exchangeable halves -> p should be well away from 0
+    # tag 'jump': +10 mean shift -> p should be the minimum (1/(B+1))
+    for i in range(120):
+        rows.append(("stable", T0 + dt.timedelta(hours=i), float(rng.randn()), i))
+    for i in range(120):
+        rows.append(
+            ("jump", T0 + dt.timedelta(hours=i),
+             float(rng.randn() + (10.0 if i >= 60 else 0.0)), 1000 + i)
+        )
+    df = spark.createDataFrame(
+        rows, "tag string, ts timestamp, value double, event_id long"
+    )
+    outs = []
+    for parts in (1, 7):
+        out = {
+            r["tag"]: r
+            for r in perm_test_drift(df.repartition(parts), n_perm=39).collect()
+        }
+        outs.append(out)
+    for tag in ("stable", "jump"):
+        assert outs[0][tag]["p_value"] == outs[1][tag]["p_value"]
+        assert outs[0][tag]["delta_obs"] == outs[1][tag]["delta_obs"]
+    assert outs[0]["jump"]["p_value"] == pytest.approx(1.0 / 40.0)
+    assert outs[0]["stable"]["p_value"] > 0.1
+
+
+def test_bh_fdr_step_up_rule(spark):
+    from gordo_spark.operators.tsa import bh_fdr
+
+    # classic BH example at q=0.1 over m=5: p=(0.01,0.02,0.03,0.5,0.9)
+    # thresholds (0.02,0.04,0.06,0.08,0.10): k=3 -> first three rejected
+    pv = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.5), ("e", 0.9)],
+        "tag string, p_value double",
+    )
+    out = bh_fdr(pv, q=0.10).collect()
+    assert [r["rejected"] for r in out] == [True, True, True, False, False]
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    # step-up (not step-down): p3 > its threshold alone would fail a
+    # step-down rule, but a later passing rank rescues earlier ones
+    pv2 = spark.createDataFrame(
+        [("a", 0.019), ("b", 0.041), ("c", 0.059), ("d", 0.5), ("e", 0.9)],
+        "tag string, p_value double",
+    )
+    out2 = bh_fdr(pv2, q=0.10).collect()
+    assert [r["rejected"] for r in out2] == [True, True, True, False, False]
