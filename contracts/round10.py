@@ -190,3 +190,69 @@ SELECT tag, p_value, rank,
        rank <= (SELECT k FROM kk) AS rejected
 FROM ranked ORDER BY rank
 """
+
+
+def q_drift_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-tag DRIFT TRIAGE table — the sensor_health /
+    curation_verdict pattern applied to distribution drift: every
+    screen and the inference in ONE read per tag. Columns: PSI (binned
+    screen), KS + its 5%-level flag (binning-free screen), W1 (drift
+    magnitude WITH UNITS), the permutation p-value, and the
+    BH-at-q=0.10 rejection — so the on-call reads "how big, is it
+    significant, and does it survive the fleet-wide multiple-testing
+    gate" in one row. Three bounded per-tag frames joined on the tag
+    key (broadcast-sized by construction); each component is its own
+    gated contract, so this composition adds no new numeric surface."""
+    from gordo_spark.operators.resample import resample_aggregate
+    from gordo_spark.operators.tsa import (
+        bh_fdr,
+        ks_drift,
+        perm_test_drift,
+        psi_drift,
+        wasserstein_drift,
+    )
+
+    res = resample_aggregate(_events_long(spark, sf_dir), "1H", "mean_exact")
+    psi = psi_drift(res, bins=10).select("tag", "psi")
+    ks = ks_drift(res).select(
+        "tag", "ks", F.col("drift").alias("ks_drift"), "n_ref", "n_cur"
+    )
+    w1 = wasserstein_drift(res).select("tag", "w1")
+    raw = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("tag"), "ts", "value", "event_id"
+    )
+    bh = bh_fdr(perm_test_drift(raw, n_perm=39), q=0.10).select(
+        "tag", "p_value", "rejected"
+    )
+    return (
+        ks.join(psi, "tag")
+        .join(w1, "tag")
+        .join(bh, "tag")
+        .select(
+            "tag", "psi", "ks", "ks_drift", "w1", "p_value",
+            F.col("rejected").alias("bh_rejected"), "n_ref", "n_cur",
+        )
+        .orderBy("tag")
+    )
+
+
+def _drift_verdict_oracle() -> str:
+    from contracts.rounds5to8_a import O_KS_DRIFT, O_PSI_DRIFT
+
+    return f"""
+WITH psi_t AS ({O_PSI_DRIFT}),
+ks_t AS ({O_KS_DRIFT}),
+w1_t AS ({O_W1_DRIFT}),
+bh_t AS ({O_BH_FDR})
+SELECT ks_t.tag, psi_t.psi, ks_t.ks, ks_t.drift AS ks_drift, w1_t.w1,
+       bh_t.p_value, bh_t.rejected AS bh_rejected,
+       ks_t.n_ref, ks_t.n_cur
+FROM ks_t
+JOIN psi_t ON ks_t.tag = psi_t.tag
+JOIN w1_t ON ks_t.tag = w1_t.tag
+JOIN bh_t ON ks_t.tag = bh_t.tag
+ORDER BY ks_t.tag
+"""
+
+
+O_DRIFT_VERDICT = _drift_verdict_oracle()
