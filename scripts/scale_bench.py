@@ -935,6 +935,57 @@ def grid_invariance_experiment(spark):
     }
 
 
+def drift_sweep_experiment(spark):
+    """Fleet-wide drift sweep (round 10): perm_test_drift over a
+    W-machine long frame — hypothesis key = machine:tag — then BH FDR
+    over the whole family. The scale claim: the sweep is ONE
+    aggregation pass whose cost is bounded by ROWS (the hypothesis
+    width only changes the group count of a map-side-combinable
+    aggregate), and the BH step is rank arithmetic over the bounded
+    family — so 10x the machines costs ~nothing beyond the group
+    bookkeeping, where a per-machine testing loop would pay a scan per
+    machine."""
+    from gordo_spark.operators.tsa import bh_fdr, perm_test_drift
+
+    ev = read_table(spark, SF_DIR, "events")
+
+    def sweep(width):
+        long = ev.select(
+            F.concat(
+                F.lit("m"),
+                (F.col("user_id") % width).cast("string"),
+                F.lit(":"),
+                F.col("event_type"),
+            ).alias("tag"),
+            "ts",
+            "value",
+            "event_id",
+        )
+        return bh_fdr(perm_test_drift(long, n_perm=39), q=0.10)
+
+    def run(width):
+        sweep(width).write.mode("overwrite").format("noop").save()
+
+    t20 = timed("w20", lambda: run(20))
+    t200 = timed("w200", lambda: run(200))
+    fam20 = sweep(20).count()
+    fam200 = sweep(200).count()
+    plan200 = len(
+        sweep(200)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+        .splitlines()
+    )
+    return {
+        "t_w20_s": round(t20, 2),
+        "t_w200_s": round(t200, 2),
+        "family_20": fam20,
+        "family_200": fam200,
+        "plan_lines_200": plan200,
+    }
+
+
 def main():
     spark = get_spark("scale_bench")
     skew = skew_experiment(spark)
@@ -950,6 +1001,7 @@ def main():
     sj = simjoin_experiment(spark)
     fl = fleet_experiment(spark)
     gi = grid_invariance_experiment(spark)
+    dr = drift_sweep_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -1195,6 +1247,20 @@ def main():
         "The horizon band (nearest neighbor WITHIN horizon — the stated,",
         "standard semantic) is the knob for grids where calendar-bounded",
         "still means large.",
+        "",
+        "## Fleet-wide drift sweep (perm test B=39 + BH FDR, hypothesis = machine:tag)",
+        "",
+        f"- 20 machines ({dr['family_20']} hypotheses):  {dr['t_w20_s']} s",
+        f"- 200 machines ({dr['family_200']} hypotheses): {dr['t_w200_s']} s "
+        f"({round(dr['t_w200_s'] / max(dr['t_w20_s'], 1e-9), 2)}x wall for "
+        f"10x the family)",
+        f"- optimized plan at width 200: {dr['plan_lines_200']} lines "
+        f"(width changes GROUP COUNT, not plan shape)",
+        "",
+        "The sweep is one aggregation pass bounded by event rows — the",
+        "hypothesis width only re-keys a map-side-combinable aggregate —",
+        "and the multiple-testing step is rank arithmetic over the bounded",
+        "family. A per-machine testing loop pays a scan per machine.",
         "",
     ]
     out = "\n".join(lines)
