@@ -124,6 +124,14 @@ ACCEPTED = {
     "tpch_q16": "1-row supplier-count frame broadcast (derived partsupp)",
     "tpch_q20": "1-row supplier-count frame broadcast (derived partsupp)",
     "psi_drift": "1-row time-range-midpoint scalar broadcast to the series",
+    "w1_drift": "1-row time-range-midpoint scalar broadcast to the series "
+    "(the psi_drift split convention)",
+    "perm_drift": "1-row time-range-midpoint scalar broadcast to the "
+    "event stream (the psi_drift split convention)",
+    "bh_fdr": "perm_drift's midpoint scalar inherited through the "
+    "p-value family",
+    "drift_verdict": "the psi/ks/w1/perm midpoint scalars inherited "
+    "through the composed per-tag triage join",
     "basket_pairs": "1-row distinct-order-count scalar broadcast to the "
     "pair table",
     "assoc_rules": "1-row basket-count scalar broadcast to the directed "
@@ -199,6 +207,7 @@ SINGLE_SERIES_OK = {
     # BH step-up ranks the BOUNDED hypothesis family (one row per tag —
     # a fleet sweep is still #tags rows, never event-volume)
     "bh_fdr",
+    "drift_verdict",
     # one machine's aligned wide frame (tail-drop / buffer / fold windows)
     "j7_lookback",
     "p3_row_filter",
