@@ -111,8 +111,9 @@ class register_model_builder:
     def _validate_func(func) -> None:
         if "n_features" not in inspect.getfullargspec(func).args:
             raise ValueError(
-                f"Build function: {func.__name__} does not have "
-                "'n_features' as an argument; it should."
+                f"cannot register builder {func.__name__!r}: every model "
+                "builder takes an 'n_features' argument (the input width "
+                "is only known at fit time)"
             )
 
 
@@ -247,15 +248,19 @@ def feedforward_symmetric(
 ) -> NumpyAutoEncoder:
     """feedforward_autoencoder.py:120-156 parity: encoder dims mirrored
     for the decoder."""
-    if len(dims) == 0:
-        raise ValueError("Parameter dims must have len > 0")
+    if not dims:
+        raise ValueError(
+            "a symmetric autoencoder needs at least one encoder width "
+            "in dims"
+        )
+    enc, fns = tuple(dims), tuple(funcs)
     return feedforward_model(
         n_features,
         n_features_out,
-        encoding_dim=tuple(dims),
-        decoding_dim=tuple(dims[::-1]),
-        encoding_func=tuple(funcs),
-        decoding_func=tuple(funcs[::-1]),
+        encoding_dim=enc,
+        decoding_dim=enc[::-1],
+        encoding_func=fns,
+        decoding_func=fns[::-1],
         **kwargs,
     )
 

@@ -56,7 +56,7 @@ def test_symmetric_mirrors_and_output_layer():
     m = feedforward_symmetric(6, dims=(5, 3), funcs=("tanh", "relu"))
     assert units(m) == [5, 3, 3, 5, 6]
     assert [lay.activation for lay in m.layers] == ["tanh", "relu", "relu", "tanh", "linear"]
-    with pytest.raises(ValueError, match="len > 0"):
+    with pytest.raises(ValueError, match="at least one encoder width"):
         feedforward_symmetric(6, dims=())
 
 
