@@ -130,9 +130,11 @@ agg AS (
   FROM rows_ GROUP BY tag
 )
 SELECT tag,
-       floor(((sc / nc - ((s - sc) / (n - nc))) / 1000000.0) * 1000000.0
-             + 0.5) / 1000000.0 AS delta_obs,
-       CAST(1 + {exceed} AS DOUBLE) / {float(n_perm + 1)!r} AS p_value,
+       CASE WHEN nc = 0 OR nc = n THEN NULL ELSE
+         floor(((sc / nc - ((s - sc) / (n - nc))) / 1000000.0) * 1000000.0
+               + 0.5) / 1000000.0 END AS delta_obs,
+       CASE WHEN nc = 0 OR nc = n THEN NULL ELSE
+         CAST(1 + {exceed} AS DOUBLE) / {float(n_perm + 1)!r} END AS p_value,
        CAST(n - nc AS BIGINT) AS n_ref,
        CAST(nc AS BIGINT) AS n_cur
 FROM agg ORDER BY tag

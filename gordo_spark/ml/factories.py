@@ -59,7 +59,9 @@ def hourglass_calc_dims(
     >>> hourglass_calc_dims(0.5, 2, 8)
     (6, 4)
     """
-    if compression_factor < 0 or compression_factor > 1:
+    # NaN-rejecting form: `not (0 <= cf <= 1)` is True for NaN, where
+    # `cf < 0 or cf > 1` would silently let NaN through
+    if not (0 <= compression_factor <= 1):
         raise ValueError(
             "compression_factor is a ratio of n_features and has to lie "
             f"inside [0, 1]; got {compression_factor}"
@@ -69,8 +71,10 @@ def hourglass_calc_dims(
             f"an hourglass needs at least one encoding layer; got "
             f"{encoding_layers}"
         )
-    bottleneck = min(
-        max(math.ceil(compression_factor * n_features), 1), n_features
+    # clamp order matters at n_features=0: min-then-max yields 1 (the
+    # reference's convention), max-then-min would yield 0-width layers
+    bottleneck = max(
+        min(math.ceil(compression_factor * n_features), n_features), 1
     )
     step = (n_features - bottleneck) / encoding_layers
     widths: list[int] = []

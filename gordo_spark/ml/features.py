@@ -161,7 +161,9 @@ def conformal_intervals(
     uncertainty wrapper the reference's plain model predictions
     (gordo/machine/model/models.py) never carry.
 
-    Exactness discipline: residuals quantize to 1e-6-scaled LONGS, the
+    Exactness discipline: residuals quantize to grid-integral DOUBLES
+    (qfloor on the 1e-6 grid — integral on the grid, so ``int()`` of
+    the value is exact), the
     conformal quantile is an EXACT k-th order statistic taken with
     orderBy+limit(k)+max (distributed TakeOrdered — no interpolated
     percentile whose position can wobble an ulp between engines, no

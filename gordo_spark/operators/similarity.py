@@ -979,6 +979,12 @@ def pca_fit_exact(
 
     def cov_partial(batches):
         acc = np.zeros((n_dim, n_dim), dtype=np.int64)
+        # enforce the documented int64 bound instead of letting numpy
+        # wrap silently: max |scaled chunk sum| grows by at most
+        # max|scaled product| * chunk_rows per chunk, so a running
+        # headroom check catches any partition past the ~9e7-row /
+        # |ce_i*ce_j|<=~1e2 envelope before the accumulate
+        headroom = 2**62
         seen = False
         for pdf in batches:
             if len(pdf) == 0:
@@ -988,7 +994,20 @@ def pca_fit_exact(
             for lo in range(0, len(V), 256):
                 ch = V[lo : lo + 256]
                 prods = ch[:, :, None] * ch[:, None, :]
-                acc += np.floor(prods * 1e9 + 0.5).astype(np.int64).sum(0)
+                grid = np.floor(prods * 1e9 + 0.5).astype(np.int64)
+                chunk = grid.sum(0, dtype=np.int64)
+                # Python-int arithmetic so the check itself cannot wrap
+                bound = int(np.abs(grid).max(initial=0)) * len(ch)
+                if (
+                    bound > headroom
+                    or int(np.abs(acc).max(initial=0)) > headroom - bound
+                ):
+                    raise OverflowError(
+                        "pca_fit_exact int64 partial would overflow: "
+                        "partition exceeds the documented magnitude/row "
+                        "bound — repartition smaller or rescale embeddings"
+                    )
+                acc += chunk
         if seen:
             yield pd.DataFrame({"s": [acc.ravel().tolist()]})
 

@@ -220,10 +220,11 @@ def heavy_hitters(
     partials = stream.mapInPandas(summarize, schema="value string, est long")
     if verified:
         cand_set = partials.select("value").distinct()
+        # internal alias: a caller column itself named "value" would
+        # otherwise collide with cand_set's column after the join
+        hv = stream.select(F.col(col).alias("_hv"))
         exact = (
-            stream.join(
-                F.broadcast(cand_set), stream[col] == cand_set["value"]
-            )
+            hv.join(F.broadcast(cand_set), F.col("_hv") == cand_set["value"])
             .groupBy("value")
             .agg(F.count(F.lit(1)).alias("exact_count"))
         )

@@ -430,7 +430,12 @@ def perm_test_drift(
     and the p-value is the exact rational
     ``(1 + #{|d_b| >= |d_obs|}) / (n_perm + 1)`` (add-one: Phipson &
     Smyth 2010). Replicates that land all rows in one arm contribute no
-    exceedance (stated; probability ~2^-n per tag). Output:
+    exceedance (stated; probability ~2^-n per tag). Degenerate OBSERVED
+    statistic: a tag whose rows all fall in one half of the time range
+    (e.g. a sensor commissioned mid-range) has no mean-difference to
+    test — ``delta_obs`` and ``p_value`` are both NULL rather than the
+    add-one minimum (which would be a guaranteed false rejection once
+    fed into :func:`bh_fdr`). Output:
     ``(tag, delta_obs, p_value, n_ref, n_cur)``.
     """
     b_count = int(n_perm)
@@ -499,13 +504,18 @@ def perm_test_drift(
     n_exceed = exceed[0]
     for e in exceed[1:]:
         n_exceed = n_exceed + e
+    degenerate = (F.col("_nc") == 0) | (F.col("_nc") == F.col("_n"))
     return one.select(
         F.col("_tag").alias(tag_col),
-        qround(d_obs / F.lit(1e6), 6).alias("delta_obs"),
-        (
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(qround(d_obs / F.lit(1e6), 6))
+        .alias("delta_obs"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
             (F.lit(1) + n_exceed).cast("double")
             / F.lit(float(b_count + 1))
-        ).alias("p_value"),
+        )
+        .alias("p_value"),
         (F.col("_n") - F.col("_nc")).alias("n_ref"),
         F.col("_nc").alias("n_cur"),
     ).orderBy(tag_col)

@@ -50,6 +50,12 @@ def test_hourglass_dim_math_bounds():
         hourglass_calc_dims(1.5, 3, 10)
     with pytest.raises(ValueError):
         hourglass_calc_dims(0.5, 0, 10)
+    # NaN compression must be rejected (the `< 0 or > 1` form lets it
+    # through); n_features=0 clamps the bottleneck min-then-max to 1,
+    # so the widths slope up toward it (reference-parity values)
+    with pytest.raises(ValueError):
+        hourglass_calc_dims(float("nan"), 3, 10)
+    assert hourglass_calc_dims(0.5, 2, 0) == (0, 1)
 
 
 def test_symmetric_mirrors_and_output_layer():

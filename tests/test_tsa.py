@@ -305,6 +305,46 @@ def test_perm_test_drift_partitioning_invariant_and_calibrated(spark):
     assert outs[0]["stable"]["p_value"] > 0.1
 
 
+def test_perm_test_drift_one_sided_tag_is_null(spark):
+    # a tag whose rows all fall in one half of the time range has no
+    # observed statistic: p_value and delta_obs must be NULL, never the
+    # add-one minimum (which bh_fdr would treat as maximally significant)
+    from gordo_spark.operators.tsa import perm_test_drift
+
+    rows = []
+    # 'spanning' covers the full range; 'late' only the second half, so
+    # its rows are all _is_ref=False (commissioned mid-range)
+    for i in range(80):
+        rows.append(
+            ("spanning", T0 + dt.timedelta(hours=i), float(i % 7), i)
+        )
+    for i in range(50, 80):
+        rows.append(
+            ("late", T0 + dt.timedelta(hours=i), float(i), 1000 + i)
+        )
+    df = spark.createDataFrame(
+        rows, "tag string, ts timestamp, value double, event_id long"
+    )
+    out = {r["tag"]: r for r in perm_test_drift(df, n_perm=39).collect()}
+    assert out["late"]["p_value"] is None
+    assert out["late"]["delta_obs"] is None
+    assert out["late"]["n_ref"] == 0 and out["late"]["n_cur"] == 30
+    assert out["spanning"]["p_value"] is not None
+
+
+def test_heavy_hitters_verified_value_column_name(spark):
+    # caller column named exactly "value" used to collide with the
+    # candidate set's internal column after the verification join
+    from gordo_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(("t%d" % (i % 5)),) for i in range(200)], "value string"
+    )
+    out = heavy_hitters(df, "value", k=3, verified=True).collect()
+    assert [r["exact_count"] for r in out] == [40, 40, 40]
+    assert [r["value"] for r in out] == ["t0", "t1", "t2"]
+
+
 def test_bh_fdr_step_up_rule(spark):
     from gordo_spark.operators.tsa import bh_fdr
 
