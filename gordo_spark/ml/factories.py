@@ -14,8 +14,9 @@ registered factory functions:
   (/root/reference/gordo/machine/model/register.py:10-75)
 
 The deep-model backend is IMPORT-GATED (mirror of the multimodal PIL
-pattern): when ``tensorflow`` imports, every feedforward factory builds
-a real compiled Keras ``Sequential`` (``KerasSequentialAdapter``);
+pattern): when ``tensorflow`` imports, every factory — feedforward AND
+the 3-D LSTM family — builds a real compiled Keras ``Sequential``
+(``KerasSequentialAdapter``);
 otherwise — as in this environment — the same ``Layer`` spec drives a
 deterministic trainable substitute, a seeded full-batch
 gradient-descent numpy MLP with sklearn-style ``fit(X, y)`` /
@@ -315,10 +316,12 @@ def lstm_model(
     out_func: str = "linear",
     **kwargs,
 ) -> NumpyAutoEncoder:
-    """lstm_autoencoder.py:17-103 layer-spec parity (LSTM cells substituted
-    by dense layers over the flattened lookback window — see module note);
-    the model's input is the lookback-flattened feature block, so
-    ``n_features * lookback_window`` inputs feed the first layer."""
+    """lstm_autoencoder.py:17-103 layer-spec parity. Under the keras
+    backend this builds the reference's real recurrent stack (LSTM
+    cells over 3-D ``(lookback_window, n_features)`` windows); the
+    numpy stand-in substitutes dense layers over the flattened lookback
+    block, so ``n_features * lookback_window`` inputs feed its first
+    layer."""
     n_features_out = n_features_out or n_features
     check_dim_func_len("encoding", encoding_dim, encoding_func)
     check_dim_func_len("decoding", decoding_dim, decoding_func)
@@ -327,7 +330,10 @@ def lstm_model(
     ] + [Layer(u, a, kind="lstm") for u, a in zip(decoding_dim, decoding_func)]
     layers.append(Layer(n_features_out, out_func))
     return _build_estimator(
-        layers, n_features * lookback_window, **_train_kwargs(kwargs)
+        layers,
+        n_features * lookback_window,
+        lookback_window=lookback_window,
+        **_train_kwargs(kwargs),
     )
 
 
@@ -383,10 +389,82 @@ def lstm_hourglass(
 def _train_kwargs(kwargs: dict) -> dict:
     """Split trainer knobs out of the factory kwargs (Keras' optimizer /
     compile kwargs have no numpy equivalent and are accepted-and-ignored,
-    matching the reference's permissive ``**kwargs``)."""
+    matching the reference's permissive ``**kwargs``). ``lookahead``
+    rides along for the LSTM backend (the reference reads it off the
+    estimator class — KerasLSTMAutoEncoder=0, KerasLSTMForecast=1,
+    gordo/machine/model/models.py:700-711)."""
     return {
-        k: kwargs[k] for k in ("lr", "epochs", "seed", "backend") if k in kwargs
+        k: kwargs[k]
+        for k in ("lr", "epochs", "seed", "backend", "lookahead")
+        if k in kwargs
     }
+
+
+def timeseries_windows(
+    X: np.ndarray,
+    y: np.ndarray,
+    lookback_window: int,
+    lookahead: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the reference TimeseriesGenerator's (window, target)
+    pairs as plain numpy tensors — the 3-D ``(n_samples, lookback,
+    n_features)`` input the real LSTM stack consumes
+    (gordo/machine/model/models.py:713-793 semantics, including the
+    lookahead 0/1/>1 pad-truncate alignment):
+
+    - ``lookahead == 0``: window ``X[i-L+1 .. i]`` targets ``y[i]`` (the
+      generator post-pads X / pre-pads y by one row so the target lands
+      on the window's LAST element) — ``len(X) - L + 1`` samples.
+    - ``lookahead == 1``: window ``X[i-L .. i-1]`` targets ``y[i]`` (one
+      step ahead) — ``len(X) - L`` samples.
+    - ``lookahead == k > 1``: window targets ``y`` shifted ``k`` steps
+      (the generator post-truncates X / pre-truncates y by ``k - 1``) —
+      ``len(X) + 1 - k - L`` samples.
+
+    Distributed twin: ``operators/align.lookback_windows`` computes the
+    same (window, target) pairs as Spark array columns; this helper is
+    the executor-side counterpart used inside the Keras adapter's fit.
+
+    >>> X = np.arange(10.0).reshape(5, 2); y = X * 10
+    >>> xb, yb = timeseries_windows(X, y, 2, 0)
+    >>> xb.shape, yb.shape
+    ((4, 2, 2), (4, 2))
+    >>> xb[0].ravel().tolist(), yb[0].tolist()
+    ([0.0, 1.0, 2.0, 3.0], [20.0, 30.0])
+    >>> xb, yb = timeseries_windows(X, y, 2, 1)
+    >>> xb.shape
+    (3, 2, 2)
+    >>> xb[0].ravel().tolist(), yb[0].tolist()
+    ([0.0, 1.0, 2.0, 3.0], [40.0, 50.0])
+    >>> xb, yb = timeseries_windows(X, y, 2, 2)
+    >>> xb.shape
+    (2, 2, 2)
+    >>> xb[0].ravel().tolist(), yb[0].tolist()
+    ([0.0, 1.0, 2.0, 3.0], [60.0, 70.0])
+    """
+    if lookahead < 0:
+        raise ValueError(f"lookahead cannot be negative, got {lookahead}")
+    L = int(lookback_window)
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if X.ndim == 1:
+        X = X.reshape(len(X), 1)
+    if y.ndim == 1:
+        y = y.reshape(len(y), 1)
+    if L >= len(X):
+        raise ValueError("lookback_window must be < size of X")
+    # the generator's pad/truncate alignment reduces to: window ending
+    # at row e targets y[e + lookahead], windows kept while the target
+    # exists — n = len(X) - L + 1 - lookahead samples
+    n = len(X) - L + 1 - lookahead
+    if n < 1:
+        raise ValueError(
+            f"no full (lookback={L}, lookahead={lookahead}) window fits "
+            f"in {len(X)} rows"
+        )
+    xb = np.stack([X[s : s + L] for s in range(n)])
+    yb = y[[s + L - 1 + lookahead for s in range(n)]]
+    return xb, yb
 
 
 # ------------------------------------------------- deep-model import gate
@@ -409,7 +487,19 @@ class KerasSequentialAdapter:
     built from the SAME ``Layer`` spec the numpy stand-in uses — the
     reference's real model path (gordo/machine/model/models.py:37-460
     compiles the factory's Sequential and fits with MSE). Only
-    constructed when ``tensorflow`` imports."""
+    constructed when ``tensorflow`` imports.
+
+    LSTM specs (any ``Layer(kind="lstm")``) build the reference's 3-D
+    recurrent stack (gordo/machine/model/factories/lstm_autoencoder.py:
+    17-103): input ``(lookback_window, n_features)``, every LSTM layer
+    ``return_sequences=True`` except the last (the hand-off to the
+    Dense head), then ``Dense(n_features_out, out_func)``. ``fit`` /
+    ``predict`` take the house 2-D ``(n_samples, n_features)`` series
+    and window it executor-side via :func:`timeseries_windows` — the
+    TimeseriesGenerator semantics of models.py:713-793, ``lookahead``
+    0 (autoencoder) / 1 (forecast) / >1 — so output rows are offset by
+    ``lookback_window - 1 + lookahead`` exactly like the reference's
+    KerasLSTMBaseEstimator (and our LaggedLinearModel)."""
 
     def __init__(
         self,
@@ -418,31 +508,60 @@ class KerasSequentialAdapter:
         lr: float = 0.01,
         epochs: int = 50,
         seed: int = 0,
+        lookback_window: int = 1,
+        lookahead: int = 0,
     ):
         self.layers = list(layers)
         self.n_features = int(n_features)
         self.lr, self.epochs, self.seed = float(lr), int(epochs), int(seed)
+        self.lookback_window = int(lookback_window)
+        self.lookahead = int(lookahead)
         self.model_ = None
+
+    @property
+    def _is_lstm(self) -> bool:
+        return any(l.kind == "lstm" for l in self.layers)
 
     def _build(self):
         import tensorflow as tf
 
-        if any(l.kind == "lstm" for l in self.layers):
-            raise NotImplementedError(
-                "keras backend currently wires the feedforward (Dense) "
-                "family; the LSTM factories' 3-D (lookback, features) "
-                "input path is only implemented by the numpy stand-in "
-                "(backend='numpy'), which flattens the lookback window"
-            )
         tf.keras.utils.set_random_seed(self.seed)
-        keras_layers = [tf.keras.layers.Input((self.n_features,))]
-        for l in self.layers:
-            keras_layers.append(
-                tf.keras.layers.Dense(
-                    l.units,
-                    activation=None if l.activation == "linear" else l.activation,
+        if self._is_lstm:
+            # self.n_features carries the flattened lookback block (the
+            # numpy stand-in's input width); the recurrent stack wants
+            # the per-timestep width back
+            per_step = self.n_features // self.lookback_window
+            keras_layers = [
+                tf.keras.layers.Input((self.lookback_window, per_step))
+            ]
+            lstm_idx = [
+                i for i, l in enumerate(self.layers) if l.kind == "lstm"
+            ]
+            for i, l in enumerate(self.layers):
+                act = None if l.activation == "linear" else l.activation
+                if l.kind == "lstm":
+                    keras_layers.append(
+                        tf.keras.layers.LSTM(
+                            l.units,
+                            activation=act,
+                            return_sequences=i != lstm_idx[-1],
+                        )
+                    )
+                else:
+                    keras_layers.append(
+                        tf.keras.layers.Dense(l.units, activation=act)
+                    )
+        else:
+            keras_layers = [tf.keras.layers.Input((self.n_features,))]
+            for l in self.layers:
+                keras_layers.append(
+                    tf.keras.layers.Dense(
+                        l.units,
+                        activation=None
+                        if l.activation == "linear"
+                        else l.activation,
+                    )
                 )
-            )
         model = tf.keras.Sequential(keras_layers)
         model.compile(
             optimizer=tf.keras.optimizers.Adam(self.lr), loss="mse"
@@ -453,25 +572,42 @@ class KerasSequentialAdapter:
         X = np.asarray(X, dtype=np.float64)
         target = X if y is None else np.asarray(y, dtype=np.float64)
         self.model_ = self._build()
+        if self._is_lstm:
+            X, target = timeseries_windows(
+                X, target, self.lookback_window, self.lookahead
+            )
         self.model_.fit(X, target, epochs=self.epochs, verbose=0)
         return self
 
     def predict(self, X) -> np.ndarray:
         if self.model_ is None:
             raise ValueError("estimator is not fitted")
-        return np.asarray(
-            self.model_.predict(np.asarray(X, dtype=np.float64), verbose=0)
-        )
+        X = np.asarray(X, dtype=np.float64)
+        if self._is_lstm:
+            X, _ = timeseries_windows(
+                X, X, self.lookback_window, self.lookahead
+            )
+        return np.asarray(self.model_.predict(X, verbose=0))
 
 
 def _build_estimator(
-    layers: list[Layer], n_features: int, backend: str = "auto", **train
+    layers: list[Layer],
+    n_features: int,
+    backend: str = "auto",
+    lookback_window: int = 1,
+    **train,
 ):
     """Backend dispatch for every factory: ``auto`` = keras when
     importable else numpy; ``numpy`` / ``keras`` force a branch (keras
     raises ImportError when tensorflow is absent, so a config that
     demands the real model fails loudly rather than silently degrading).
-    """
+
+    ``n_features`` is the FLATTENED input width (per-step features x
+    lookback for the LSTM family — the numpy stand-in's convention);
+    the keras LSTM path recovers the 3-D shape from
+    ``lookback_window``. ``lookahead`` (in ``train``) only applies to
+    the keras LSTM fit windowing; the numpy stand-in takes
+    caller-windowed rows, so it is dropped there."""
     if backend == "auto":
         backend = "keras" if tensorflow_available() else "numpy"
     if backend == "keras":
@@ -480,9 +616,12 @@ def _build_estimator(
                 "backend='keras' requires tensorflow; install it or use "
                 "backend='numpy' (the deterministic stand-in)"
             )
-        return KerasSequentialAdapter(layers, n_features, **train)
+        return KerasSequentialAdapter(
+            layers, n_features, lookback_window=lookback_window, **train
+        )
     if backend != "numpy":
         raise ValueError(f"unknown backend {backend!r} (auto|keras|numpy)")
+    train.pop("lookahead", None)
     return NumpyAutoEncoder(layers, n_features, **train)
 
 

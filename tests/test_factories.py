@@ -195,6 +195,102 @@ def test_backend_seam_fit_predict(backend):
     assert np.isfinite(out).all()
 
 
+def test_timeseries_windows_generator_parity():
+    """Window/target alignment matches the reference's
+    create_keras_timeseriesgenerator (models.py:713-793) for lookahead
+    0 / 1 / >1, including the sample counts of its doctest (100 rows,
+    lookback 20, lookahead 0 -> 81 samples of shape (20, 2))."""
+    from gordo_spark.ml.factories import timeseries_windows
+
+    rng = np.random.RandomState(7)
+    X = rng.rand(100, 2)
+    y = rng.rand(100, 2)
+    xb, yb = timeseries_windows(X, y, 20, 0)
+    assert xb.shape == (81, 20, 2) and yb.shape == (81, 2)
+    # lookahead 0: target is the window's LAST element's y
+    assert np.array_equal(xb[0], X[:20]) and np.array_equal(yb[0], y[19])
+    assert np.array_equal(xb[-1], X[80:]) and np.array_equal(yb[-1], y[99])
+    xb, yb = timeseries_windows(X, y, 20, 1)
+    assert xb.shape == (80, 20, 2)
+    assert np.array_equal(yb[0], y[20]) and np.array_equal(yb[-1], y[99])
+    xb, yb = timeseries_windows(X, y, 20, 3)
+    assert xb.shape == (78, 20, 2)
+    assert np.array_equal(yb[0], y[22]) and np.array_equal(yb[-1], y[99])
+    with pytest.raises(ValueError, match="negative"):
+        timeseries_windows(X, y, 20, -1)
+    with pytest.raises(ValueError, match="lookback_window"):
+        timeseries_windows(X[:5], y[:5], 5, 0)
+
+
+def test_timeseries_windows_matches_spark_lookback_windows(spark):
+    """The executor-side numpy windowing and the distributed
+    align.lookback_windows compute the SAME (window, target) pairs."""
+    import datetime as dt
+
+    from gordo_spark.ml.factories import timeseries_windows
+    from gordo_spark.operators.align import lookback_windows
+
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.rand(30, 2), 6)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(hours=i), float(vals[i, 0]), float(vals[i, 1]))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, a double, b double")
+    got = (
+        lookback_windows(df, ["a", "b"], lookback=4, lookahead=1)
+        .orderBy("ts")
+        .collect()
+    )
+    xb, yb = timeseries_windows(vals, vals, 4, 1)
+    assert len(got) == len(xb)
+    for i, r in enumerate(got):
+        assert r["win_a"] == pytest.approx(xb[i, :, 0].tolist())
+        assert r["win_b"] == pytest.approx(xb[i, :, 1].tolist())
+        assert (r["target_a"], r["target_b"]) == pytest.approx(tuple(yb[i]))
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "gordo_spark.ml.factories", fromlist=["tensorflow_available"]
+    ).tensorflow_available(),
+    reason="tensorflow not installed",
+)
+@pytest.mark.parametrize("lookahead", [0, 1, 2])
+def test_keras_lstm_adapter_builds_and_fits(lookahead):
+    """backend='keras' on the LSTM factories emits a real recurrent
+    stack — reference lstm_autoencoder.py:17-103 wiring: every LSTM
+    return_sequences=True except the last, Dense head, 3-D
+    (lookback, n_features) input — and fit/predict window the 2-D
+    series with the TimeseriesGenerator offsets."""
+    import tensorflow as tf
+
+    from gordo_spark.ml.factories import lstm_hourglass
+
+    m = lstm_hourglass(
+        3,
+        lookback_window=4,
+        encoding_layers=2,
+        epochs=2,
+        backend="keras",
+        lookahead=lookahead,
+    )
+    rng = np.random.RandomState(0)
+    X = rng.rand(40, 3)
+    out = m.fit(X, X).predict(X)
+    assert out.shape == (40 - 4 + 1 - lookahead, 3)
+    assert np.isfinite(out).all()
+    lstm_layers = [
+        lay for lay in m.model_.layers if isinstance(lay, tf.keras.layers.LSTM)
+    ]
+    assert len(lstm_layers) == 4  # 2 encoder + 2 decoder
+    assert [lay.return_sequences for lay in lstm_layers] == [
+        True, True, True, False,
+    ]
+    assert m.model_.layers[0].input_shape == (None, 4, 3)
+
+
 def test_backend_auto_and_errors():
     """backend='auto' resolves by tensorflow availability; demanding
     keras without tensorflow fails loudly; unknown backends raise."""
