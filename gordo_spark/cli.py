@@ -1,9 +1,11 @@
-"""CLI parity for the reference's ``gordo build`` entry point
-(gordo/cli/cli.py:70-182 in /root/reference), argparse-based.
+"""CLI parity for the reference's ``gordo`` entry points — ``build``
+(gordo/cli/cli.py:70-182 in /root/reference), ``workflow generate``
+(:187-216), and ``run-server`` (:255-353, as ``serve``) — argparse-based.
 
 Usage:
     python -m gordo_spark.cli build --config machines.yaml \
         --output-dir /models --registry-dir /registry
+    python -m gordo_spark.cli serve --models-dir /models --port 5555
 
 Exit codes mirror the reference's exception map where meaningful:
 InsufficientDataError -> 80 (gordo/cli/cli.py:11,34); other failures -> 1.
@@ -52,6 +54,33 @@ def main(argv: list[str] | None = None) -> int:
     )
     w.add_argument("--project-name", default="gordo-spark")
     w.add_argument("--output", default=None, help="write YAML here (default stdout)")
+    s = sub.add_parser(
+        "serve",
+        help="run the model server (reference: gordo run-server, "
+        "gordo/cli/cli.py:255-353)",
+    )
+    s.add_argument("--models-dir", required=True, help="model store root to serve")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=5555, help="0 = ephemeral")
+    s.add_argument(
+        "--workers",
+        type=int,
+        default=2,
+        help="reference gunicorn worker count; accepted for flag parity "
+        "and collapsed into the single-process threading stand-in",
+    )
+    s.add_argument(
+        "--threads",
+        type=int,
+        default=8,
+        help="reference gthread thread count; see --workers",
+    )
+    s.add_argument(
+        "--expected-model",
+        action="append",
+        default=None,
+        help="model name the store must contain (repeatable)",
+    )
     args = p.parse_args(argv)
 
     if args.cmd == "workflow":
@@ -72,6 +101,24 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(out)
         else:
             print(out)
+        return 0
+
+    if args.cmd == "serve":
+        from gordo_spark import get_spark
+        from gordo_spark.server import run_server
+
+        if not (0 <= args.port <= 65535):
+            print(f"--port out of range: {args.port}", file=sys.stderr)
+            return 1
+        run_server(
+            get_spark("gordo_spark_serve"),
+            args.models_dir,
+            host=args.host,
+            port=args.port,
+            workers=args.workers,
+            threads=args.threads,
+            expected_models=args.expected_model,
+        )
         return 0
 
     from gordo_spark import get_spark

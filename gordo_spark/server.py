@@ -348,3 +348,67 @@ def build_app(
         make_server("0.0.0.0", 5555, build_app(spark, root)).serve_forever()
     """
     return GordoServer(spark, store_root, expected_models)
+
+
+def make_wsgi_server(host: str, port: int, app):
+    """Threaded stdlib WSGI container for :func:`run_server` — one
+    handler thread per request (daemonized so a hung client never
+    blocks shutdown). Returns the server unstarted; the bound port is
+    ``srv.server_address[1]`` (useful with ``port=0``)."""
+    from socketserver import ThreadingMixIn
+    from wsgiref.simple_server import WSGIServer, make_server
+
+    class _ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+        def handle_error(self, request, client_address):
+            # client disconnects are routine; don't spam stderr
+            pass
+
+    return make_server(host, port, app, server_class=_ThreadingWSGIServer)
+
+
+def run_server(
+    spark,
+    store_root: str,
+    host: str = "0.0.0.0",
+    port: int = 5555,
+    workers: int = 2,
+    threads: int = 8,
+    expected_models: list[str] | None = None,
+):
+    """``gordo run-server`` parity (reference gordo/cli/cli.py:255-353 /
+    gordo/server/server.py run_server): the reference execs gunicorn
+    with ``--workers`` gthread processes x ``--threads`` each; this
+    environment has no gunicorn, so a single-process threading WSGI
+    container stands in — ``workers``/``threads`` are accepted for flag
+    parity and documented as collapsing into the per-request thread
+    model (a Spark-backed server is driver-bound on one SparkSession
+    anyway, so extra processes would each need their own JVM).
+
+    Prints the bound address (flush) before serving so a supervisor can
+    await readiness; serves until SIGTERM/SIGINT, then exits cleanly.
+    """
+    import signal
+    import threading
+
+    srv = make_wsgi_server(host, port, build_app(spark, store_root, expected_models))
+    bound = srv.server_address[1]
+    print(
+        f"gordo_spark server listening on http://{host}:{bound} "
+        f"(workers={workers} threads={threads} -> single-process "
+        f"threading stand-in)",
+        flush=True,
+    )
+
+    def _shutdown(signum, frame):
+        # shutdown() blocks until serve_forever exits — must run off
+        # the main thread or the signal handler deadlocks
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _shutdown)
+    signal.signal(signal.SIGINT, _shutdown)
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()

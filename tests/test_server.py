@@ -67,7 +67,9 @@ def call(app, path, method="GET", body=None, content_type="application/json", he
 
 
 @pytest.fixture(scope="module")
-def served(spark, sf_dir, tmp_path_factory):
+def served_root(spark, sf_dir, tmp_path_factory):
+    """Built model store root + a request payload (shared by the WSGI
+    in-process tests and the CLI serve subprocess smoke)."""
     root = str(tmp_path_factory.mktemp("served_models"))
     machine = Machine.from_config(
         {
@@ -86,13 +88,19 @@ def served(spark, sf_dir, tmp_path_factory):
         }
     )
     ModelBuilder(machine, ModelStore(root)).build(spark)
-    rev = ModelStore(root).latest_revision()
     payload = {
         "X": {t: {"2024-01-01T00:00:00": 1.0 + i, "2024-01-01T01:00:00": 2.0 + i}
               for i, t in enumerate(TAGS)},
         "y": {t: {"2024-01-01T00:00:00": 1.5 + i, "2024-01-01T01:00:00": 2.5 + i}
               for i, t in enumerate(TAGS)},
     }
+    return root, payload
+
+
+@pytest.fixture(scope="module")
+def served(spark, served_root):
+    root, payload = served_root
+    rev = ModelStore(root).latest_revision()
     return build_app(spark, root), rev, payload
 
 
@@ -299,3 +307,60 @@ def test_prometheus_metrics_exposition(served):
         text,
     )
     assert m and float(m.group(1)) > 0
+
+
+def test_cli_serve_smoke(served_root, tmp_path):
+    """`python -m gordo_spark.cli serve` (reference `gordo run-server`,
+    cli.py:255-353): starts, prints its bound address, answers
+    /server-version and one anomaly POST over a real socket, and exits
+    clean on SIGTERM."""
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    root, payload = served_root
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "gordo_spark.cli", "serve",
+            "--models-dir", root, "--host", "127.0.0.1", "--port", "0",
+            "--workers", "1", "--threads", "2",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        line = ""
+        deadline = time.time() + 120  # subprocess boots its own JVM
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "listening on" in line:
+                break
+            assert proc.poll() is None, "serve exited before listening"
+        assert "listening on" in line, "no readiness line within timeout"
+        base = line.split("listening on ")[1].split()[0].replace(
+            "0.0.0.0", "127.0.0.1"
+        )
+        with urllib.request.urlopen(f"{base}/server-version", timeout=30) as r:
+            assert r.status == 200
+            assert b"version" in r.read()
+        req = urllib.request.Request(
+            f"{base}/srv-machine/anomaly/prediction",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            body = json.loads(r.read())
+            assert "total_anomaly_scaled" in body["data"]
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            rc = proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise AssertionError("serve did not exit on SIGTERM")
+    assert rc == 0
