@@ -54,22 +54,83 @@ def _lit(x: float) -> Column:
     return got
 
 
+_TP_STATE: dict[str, object] = {}
+
+
+def _contains_window(c: Column) -> bool:
+    """O(1)-ish window detection: convert the Column's node to a Catalyst
+    expression JVM-side and test the precomputed ``TreePattern.
+    WINDOW_EXPRESSION`` bitset — 3 py4j round-trips, NO tree
+    serialization to Python (the per-call ``toString`` inspection that
+    made m6-scale plan builds O(n^2) in round 10). Any failure —
+    Connect mode, missing internals on a future Spark — returns True,
+    which routes to the bind-once HOF form: always correct, never the
+    window-slot regression."""
+    if not _TP_STATE:
+        try:
+            from pyspark.sql import SparkSession
+
+            jvm = SparkSession.getActiveSession()._jvm
+            conv = getattr(
+                getattr(
+                    jvm,
+                    "org.apache.spark.sql.classic."
+                    "ColumnNodeToExpressionConverter$",
+                ),
+                "MODULE$",
+            )
+            wp = getattr(
+                getattr(
+                    jvm, "org.apache.spark.sql.catalyst.trees.TreePattern$"
+                ),
+                "MODULE$",
+            ).WINDOW_EXPRESSION()
+            _TP_STATE["conv"], _TP_STATE["wp"] = conv, wp
+        except Exception:
+            _TP_STATE["conv"] = _TP_STATE["wp"] = None
+    conv, wp = _TP_STATE["conv"], _TP_STATE["wp"]
+    if conv is None:
+        return True
+    try:
+        return bool(conv.apply(c._jc.node()).containsPattern(wp))
+    except Exception:
+        return True
+
+
 def _guarded_floor(c: Column, p: float) -> Column:
-    """``floor(c*p + 0.5)`` with the 2^52 identity guard, referencing
-    ``c`` exactly ONCE: ``c`` is bound into a 1-element array and the
-    3-reference guard runs on the lambda variable (a cheap attribute),
-    so expensive operands — window aggregates especially — are evaluated
-    once regardless of how many times the guard mentions them. Inside
-    the lambda the scaled operand ``y`` is built ONCE and referenced by
-    handle — same expression tree, a third of the py4j build calls."""
+    """``floor(c*p + 0.5)`` with the 2^52 identity guard, in one of two
+    bit-identical expression forms picked by the OPERAND's shape:
 
-    def _body(t: Column) -> Column:
-        y = t * _lit(p) + _lit(0.5)
-        return F.when(
-            F.abs(y) < _lit(2.0**52), F.floor(y).cast("double")
-        ).otherwise(y)
+    - plain operands get the DIRECT 3-reference form — whole-stage
+      codegen's subexpression elimination evaluates the shared ``y``
+      once, and staying inside codegen matters: higher-order functions
+      are CodegenFallback, so wrapping a regex-heavy projection in the
+      HOF form pushed the WHOLE Project out of codegen (measured 1.25x
+      on auc_quality's quality_expr scoring — the round-10 regression
+      this split fixes);
+    - operands CONTAINING A WINDOW EXPRESSION get the bind-once HOF
+      form — ``c`` bound into a 1-element array, the guard running on
+      the lambda variable — because Catalyst extracts each textual
+      window occurrence into its OWN ``_weN`` slot (no dedup), so the
+      direct form multiplied window work 3x (the round-9 regression:
+      rolling_zscore at 22 slots / 2.3x wall).
 
-    return F.get(F.transform(F.array(c), _body), 0)
+    Detection is :func:`_contains_window` (JVM bitset, no tree
+    serialization); both forms run the same IEEE op sequence
+    (multiply, add, abs-compare, floor), so outputs are bit-identical
+    and oracle gates see no difference."""
+    if _contains_window(c):
+        def _body(t: Column) -> Column:
+            y = t * _lit(p) + _lit(0.5)
+            return F.when(
+                F.abs(y) < _lit(2.0**52), F.floor(y).cast("double")
+            ).otherwise(y)
+
+        return F.get(F.transform(F.array(c), _body), 0)
+    y = c * _lit(p) + _lit(0.5)
+    return F.when(
+        F.abs(y) < _lit(2.0**52), F.floor(y).cast("double")
+    ).otherwise(y)
 
 
 def qround(col: Column | str, scale: int = 0) -> Column:
@@ -83,18 +144,17 @@ def qround(col: Column | str, scale: int = 0) -> Column:
     NULL/NaN/inf all fall through the comparison into the identity arm
     exactly as they propagate through a native floor.
 
-    ALWAYS the bind-once form (see :func:`_guarded_floor`): the guard
-    mentions its operand three times, and Catalyst extracts each textual
-    occurrence of a window expression into its OWN ``_weN`` slot — no
-    dedup — so the naive form evaluated window aggregates 3x and nested
-    quantized expressions compounded it (rolling_zscore: 22 slots for 3
-    distinct window functions, 2.3x wall — the round-9 bench regression).
-    Binding unconditionally beats detecting: tree inspection costs a
-    py4j round-trip + an O(tree) serialization PER CALL, which turned
-    deeply-nested plans (the m6 column block) into O(n^2) plan builds;
-    the HOF's runtime cost on plain scalars is ~11 ns/value (measured
-    0.38 s vs 0.15 s per 20M rows), noise against any real projection.
-    Identical IEEE op sequence either way — bit-identical outputs.
+    Form selection is per-operand (see :func:`_guarded_floor`): the
+    bind-once HOF form for window-bearing operands (Catalyst gives each
+    textual window occurrence its own ``_weN`` slot — the direct form
+    was the round-9 2.3x rolling_zscore regression), the direct
+    codegen form for everything else (HOFs are CodegenFallback; binding
+    unconditionally pushed regex-heavy projections out of whole-stage
+    codegen — the round-10 1.25x auc_quality regression). Detection is
+    a JVM TreePattern bitset test, NOT the per-call O(tree) toString
+    inspection that round 10 rightly rejected as O(n^2) on m6-scale
+    plan builds. Identical IEEE op sequence either way — bit-identical
+    outputs.
     """
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
     p = float(10 ** int(scale))

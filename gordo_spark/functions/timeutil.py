@@ -36,6 +36,40 @@ def offset_alias_to_seconds(alias: str) -> float:
     return offset.nanos / 1e9
 
 
+def duration_to_seconds(duration: str) -> float:
+    """Spark window-duration string -> seconds: ``"1 hour"`` -> 3600.0,
+    ``"30 minutes"`` -> 1800.0, ``"2 days"`` -> 172800.0. Accepts the
+    fixed-length units ``F.window`` accepts (week and below — calendar
+    months/years are not fixed-length and are rejected, matching the
+    Tick-only rule of :func:`offset_alias_to_seconds`).
+
+    >>> duration_to_seconds("1 hour")
+    3600.0
+    >>> duration_to_seconds("90 seconds")
+    90.0
+    """
+    import re
+
+    units = {
+        "week": 604800.0,
+        "day": 86400.0,
+        "hour": 3600.0,
+        "minute": 60.0,
+        "second": 1.0,
+        "millisecond": 1e-3,
+        "microsecond": 1e-6,
+    }
+    m = re.fullmatch(
+        r"\s*(\d+)\s*([a-z]+?)s?\s*", str(duration).lower()
+    )
+    if not m or m.group(2) not in units:
+        raise ValueError(
+            f"unsupported window duration {duration!r}; want e.g. "
+            "'1 hour', '30 minutes'"
+        )
+    return float(m.group(1)) * units[m.group(2)]
+
+
 def offset_alias_to_interval(alias: str) -> str:
     """``"10T"`` -> ``"INTERVAL 600 SECOND"`` (Spark SQL interval literal)."""
     secs = offset_alias_to_seconds(alias)

@@ -1730,12 +1730,73 @@ def cluster_cohesion(
     )
 
 
+def simhash_posting_lists(
+    fps: DataFrame,
+    bits: int,
+    max_hamming: int,
+    blocks: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded ``(_id, _b, _v)`` posting-list frame for a SimHash
+    banding scheme over a ``(id, simhash)`` fingerprint table — the
+    candidate-generation half of :func:`simhash_hamming_join`, exposed
+    so the SCALE_BENCH candidate-volume experiment measures exactly the
+    keys the join uses. ``blocks=None`` = contiguous max_hamming+1
+    bands; ``blocks=b`` = Manku C(b, k) block-combination keys (see
+    :func:`simhash_hamming_join`)."""
+    k = int(max_hamming)
+    if blocks is None:
+        nb = k + 1
+        groups: list[tuple[int, ...]] = [(i,) for i in range(nb)]
+    else:
+        from itertools import combinations
+
+        nb = int(blocks)
+        if not (k < nb <= int(bits)):
+            raise ValueError("blocks must satisfy max_hamming < blocks <= bits")
+        groups = [tuple(c) for c in combinations(range(nb), nb - k)]
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    starts = [sum(widths[:i]) for i in range(nb)]
+
+    def _block(i: int):
+        return F.shiftright(F.col("simhash"), starts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    # one posting-list key per group: the group's block values packed
+    # into a single BIGINT (group widths sum to <= bits <= 63 whenever
+    # the group is proper; the full-width k=0 single-group case keeps
+    # the fingerprint itself as the key)
+    def _key(g: tuple[int, ...]):
+        if len(g) == nb:
+            # group spans every block (k=0): the key IS the fingerprint
+            # (also dodges the (1 << bits) - 1 mask at bits=64)
+            return F.col("simhash")
+        key = F.lit(0).cast("long")
+        shift = 0
+        for i in g:
+            key = key.bitwiseOR(F.shiftleft(_block(i), shift))
+            shift += widths[i]
+        return key
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(gi).alias("b"), _key(g).alias("v"))
+            for gi, g in enumerate(groups)
+        ]
+    )
+    return fps.select(
+        F.col(id_col).alias("_id"), F.explode(bands).alias("_bb")
+    ).select("_id", F.col("_bb.b").alias("_b"), F.col("_bb.v").alias("_v"))
+
+
 def simhash_hamming_join(
     df: DataFrame,
     max_hamming: int = 3,
     bits: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    blocks: int | None = None,
 ) -> DataFrame:
     """EXACT SimHash hamming-distance join: every pair of documents
     whose ``bits``-bit fingerprints differ in at most ``max_hamming``
@@ -1744,43 +1805,44 @@ def simhash_hamming_join(
     (directed subset), covering the HAMMING regime SimHash lives in
     (Manku et al., WWW'07 — Google's web near-dup detector).
 
-    Candidate bound by PIGEONHOLE BANDING: split the fingerprint into
-    ``max_hamming + 1`` contiguous bands; two fingerprints within
-    ``max_hamming`` bits MUST agree exactly on at least one band (k
-    differing bits cannot touch k+1 disjoint bands), so candidates come
-    from k+1 equi-joins on (band_id, band_value) — posting lists over
-    band values, never all pairs. Survivors verify exactly with
-    ``bit_count(xor)`` (row-local, JVM-side). Same recall guarantee
-    class as the prefix filter; candidate volume is sum over band
-    buckets of |bucket|^2 — band width = bits/(k+1) controls bucket
-    granularity (wider bands = fewer, larger buckets).
+    Candidate bound by PIGEONHOLE BANDING. Default (``blocks=None``):
+    split the fingerprint into ``max_hamming + 1`` contiguous bands;
+    two fingerprints within ``max_hamming`` bits MUST agree exactly on
+    at least one band (k differing bits cannot touch k+1 disjoint
+    bands), so candidates come from k+1 equi-joins on (band_id,
+    band_value) — posting lists over band values, never all pairs.
+    Band width = bits/(k+1) caps bucket granularity: at 64 bits / k=3
+    the keys are 16-bit, and bucket populations grow LINEARLY with
+    corpus size, so the per-bucket quadratic dominates at billions of
+    docs.
 
-    The fingerprint table is pinned once (localCheckpoint — the band
-    index and both verify arms would each recompute the explode +
-    vote aggregation). Output ``(id_a, id_b, hamming)``, id_a < id_b.
+    ``blocks=b`` (require ``b > max_hamming``) is the Manku et al.
+    multi-block generalization — the standard 100 TB answer: split
+    into ``b`` blocks; a pair within k differing bits must agree on at
+    least ``b - k`` WHOLE blocks, so each of the C(b, b-k) = C(b, k)
+    block COMBINATIONS becomes a posting-list key of width
+    ``(b-k)/b * bits`` (e.g. b=6, k=3 at 64 bits -> 20 tables of
+    32-bit keys vs 4 tables of 16-bit keys). Wider keys shrink bucket
+    populations exponentially; the table count grows only
+    combinatorially in the SMALL parameters — the classic
+    recall-guaranteed trade (WWW'07 §3). Same output either way
+    (guaranteed recall + exact verify), so ``blocks`` is purely a
+    candidate-volume knob.
+
+    Survivors verify exactly with ``bit_count(xor)`` (row-local,
+    JVM-side). The fingerprint table is pinned once (localCheckpoint —
+    the band index and both verify arms would each recompute the
+    explode + vote aggregation). Output ``(id_a, id_b, hamming)``,
+    id_a < id_b.
     """
     k = int(max_hamming)
     if k < 0 or k >= int(bits):
         raise ValueError("max_hamming must be in [0, bits)")
-    nb = k + 1
     fps = simhash(df, id_col=id_col, text_col=text_col, bits=int(bits))
     fps = fps.localCheckpoint()
-    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
-    starts = [sum(widths[:i]) for i in range(nb)]
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("b"),
-                F.shiftright(F.col("simhash"), starts[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("v"),
-            )
-            for i in range(nb)
-        ]
+    ex = simhash_posting_lists(
+        fps, bits=int(bits), max_hamming=k, blocks=blocks, id_col=id_col
     )
-    ex = fps.select(
-        F.col(id_col).alias("_id"), F.explode(bands).alias("_bb")
-    ).select("_id", F.col("_bb.b").alias("_b"), F.col("_bb.v").alias("_v"))
     cand = (
         ex.alias("a")
         .join(ex.alias("b"), ["_b", "_v"])

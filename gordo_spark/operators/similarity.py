@@ -924,10 +924,13 @@ def pca_fit_exact(
     are ALSO the method that survives d where eigh does not (this is
     what randomized/iterative solvers do at scale).
 
-    Statistics pass: per-row centered pair products quantized to 1e-9
-    integers and summed as Arrow-batched numpy int64 partials — ONE
-    d x d grid per partition, reduced in exact arbitrary-precision
-    driver arithmetic (integer sums are order-free, so the statistic is
+    Statistics passes (exactly TWO scans, both Arrow-batched numpy
+    int64 partials — centered covariance needs the mean first, so two
+    is the floor): pass 1 fuses row count + per-dim 1e-9-quantized
+    value sums into one mapInPandas job; pass 2 sums the per-row
+    CENTERED pair products quantized to 1e-9 integers — ONE d x d grid
+    per partition, reduced in exact arbitrary-precision driver
+    arithmetic (integer sums are order-free, so each statistic is
     partitioning-independent and equal to the oracle's
     explode+HUGEINT-groupBy form value-for-value). The d x d quantized
     covariance (sample, /(n-1)) stays driver-side (bounded,
@@ -941,31 +944,49 @@ def pca_fit_exact(
     """
     import math
 
-    from gordo_spark.functions.rounding import qfloor
-
     def q9(x: float) -> float:
         return math.floor(x * 1e9 + 0.5) / 1e9
 
     src = vectors.select(_as_double(F.col(vec_col)).alias("e")).persist()
-    n = src.count()
+
+    # first statistics pass FUSED: count + per-dim 1e9-quantized integer
+    # sums in ONE mapInPandas job (one d-length int64 grid per
+    # partition; chunk sums reduce into Python-int accumulators, so the
+    # partial can never wrap) — replaces the former count() + first() +
+    # posexplode/groupBy jobs with a single scan, value-identical to
+    # the explode+HUGEINT-groupBy oracle form (per-value quantization
+    # then exact order-free integer addition)
+    def stat_partial(batches):
+        cnt = 0
+        sums: list[int] | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["e"].to_numpy())
+            chunk = np.floor(V * 1e9 + 0.5).astype(np.int64).sum(
+                0, dtype=np.int64
+            )
+            if sums is None:
+                sums = [0] * V.shape[1]
+            for j, v in enumerate(chunk):
+                sums[j] += int(v)
+            cnt += len(V)
+        if cnt:
+            yield pd.DataFrame({"n": [cnt], "s": [sums]})
+
+    stats = src.mapInPandas(
+        stat_partial, schema="n long, s array<long>"
+    ).collect()
+    n = sum(r["n"] for r in stats)
     if n < 2:
         src.unpersist()
         raise ValueError("pca_fit_exact needs at least 2 vectors")
-    n_dim = len(src.first()["e"])
-
-    mean_rows = (
-        src.select(F.posexplode("e").alias("dim", "x"))
-        .groupBy("dim")
-        .agg(
-            F.sum(qfloor(F.col("x"), 9).cast("decimal(38,0)"))
-            .cast("double")
-            .alias("s")
-        )
-        .collect()
-    )
-    mean = [0.0] * n_dim
-    for r in mean_rows:
-        mean[int(r["dim"])] = q9((float(r["s"]) / 1e9) / n)
+    n_dim = len(stats[0]["s"])
+    tot_s = [0] * n_dim
+    for r in stats:
+        for j, v in enumerate(r["s"]):
+            tot_s[j] += int(v)
+    mean = [q9((float(t) / 1e9) / n) for t in tot_s]
 
     # centered-pair integer sums via Arrow-batched numpy partials: each
     # partition emits ONE d*d int64 grid (integer addition is exact and

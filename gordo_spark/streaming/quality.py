@@ -326,6 +326,205 @@ def stream_psi_monitor(
     )
 
 
+def stream_w1_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    tag_col: str = "tag",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Live Wasserstein-1 drift screen: per event-time window and tag,
+    the BINNED W1 distance between the window's value distribution and
+    the frozen :func:`psi_reference` — the magnitude-with-units sibling
+    of :func:`stream_psi_monitor` (PSI is scale-free; W1 says "the
+    distribution moved ~3 degrees"). Binned form: with both
+    distributions histogrammed on the reference's fixed-width bins,
+    ``W1 = sum_b |CDF_q(b) - CDF_p(b)| * bin_width`` — a row-local
+    fold over the aggregated bin counts, so the state stays the PSI
+    monitor's windows x tags x (bins+1) longs (batch ``tsa.
+    wasserstein_drift`` is the exact sample form; the binned form is
+    the standard streaming discretization, resolution = bin width).
+
+    Same ONE-stateful-aggregation shape as the PSI monitor; reference
+    proportions reuse the PSI reference verbatim (eps-floored — a
+    screen ranks, the permutation readout infers). Output:
+    ``(window_start, tag, n, w1)``; identical on a batch frame.
+    """
+    width = (F.col("hi") - F.col("lo")) / bins
+    binned = stream.join(F.broadcast(reference), tag_col).select(
+        F.col(ts_col),
+        F.col(tag_col),
+        F.col("lo"),
+        F.col("hi"),
+        *[F.col(f"p{b}") for b in range(bins)],
+        F.when(
+            width > 0,
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col(value_col) - F.col("lo")) / width),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_bin"),
+    )
+    if binned.isStreaming:
+        binned = binned.withWatermark(ts_col, watermark)
+    agg = binned.groupBy(
+        F.window(F.col(ts_col), window).alias("win"), F.col(tag_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("lo").alias("_lo"),
+        F.first("hi").alias("_hi"),
+        *[
+            F.sum((F.col("_bin") == b).cast("long")).alias(f"_c{b}")
+            for b in range(bins)
+        ],
+        *[F.first(f"p{b}").alias(f"_p{b}") for b in range(bins)],
+    )
+    bw = (F.col("_hi") - F.col("_lo")) / bins
+    cq = F.lit(0.0)
+    cp = F.lit(0.0)
+    term = None
+    # the last bin's |CDF gap| is ~0 by construction; summing b < bins-1
+    # keeps the fold exact for true CDFs and harmless under eps-flooring
+    for b in range(bins - 1):
+        cq = cq + F.col(f"_c{b}") / F.col("n")
+        cp = cp + F.col(f"_p{b}")
+        t = F.abs(cq - cp) * bw
+        term = t if term is None else term + t
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col(tag_col),
+        "n",
+        qround(term, 6).alias("w1"),
+    )
+
+
+def stream_perm_drift_monitor(
+    stream: DataFrame,
+    tag_col: str = "tag",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    n_perm: int = 39,
+    salt: str = "sperm",
+) -> DataFrame:
+    """Streaming twin of ``tsa.perm_test_drift``: per event-time window
+    and tag, a Monte-Carlo permutation p-value for the mean difference
+    between the window's two HALVES — the distribution-free readout
+    behind the PSI/W1 screens, live (the screens rank windows; this
+    says which half-window shifts are statistically real BEFORE
+    ``bh_fdr`` gates the fleet sweep on the collected rows).
+
+    Streaming adaptation, both row-local so the whole test stays ONE
+    watermarked stateful aggregation (no pre-pass, no stream-stream
+    join):
+
+    - the ref/cur split is the WINDOW MIDPOINT (tumbling windows have
+      a known start: ``floor(epoch/w)*w``), where the batch op splits
+      at the observed time-range midpoint;
+    - relabelings are md5-Bernoulli(1/2) lanes keyed on the row id
+      (valid under H0 exchangeability; the batch op conditions the
+      Bernoulli rate on the observed split — that rate needs a
+      pre-pass, so the streaming variant fixes p=1/2 and STATES it).
+
+    Exactness discipline matches the batch op: 1e-6-quantized decimal
+    sums, exceedance only from replicates with both arms non-empty,
+    add-one p, NULL p/delta for a window entirely in one half (the
+    degenerate-tag convention). State: windows x tags x (2*n_perm+4)
+    numeric columns. Output: ``(window_start, tag, delta_obs, p_value,
+    n_ref, n_cur)``; identical on a batch frame.
+    """
+    from gordo_spark.functions.rounding import qfloor
+    from gordo_spark.functions.timeutil import (
+        duration_to_seconds,
+        epoch_seconds,
+    )
+
+    b_count = int(n_perm)
+    n_groups = (b_count + 7) // 8
+    secs = int(duration_to_seconds(window))
+    ep = epoch_seconds(F.col(ts_col))
+    in_cur = (ep - F.floor(ep / secs) * secs) >= (secs / 2.0)
+    rows = stream.filter(F.col(value_col).isNotNull()).select(
+        F.col(ts_col),
+        F.col(tag_col),
+        qfloor(F.col(value_col), 6).cast("decimal(38,0)").alias("_iv"),
+        in_cur.alias("_cur"),
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}g{g}:"), F.col(id_col).cast("string")
+                )
+            ).alias(f"_h{g}")
+            for g in range(n_groups)
+        ],
+    )
+    lanes = [
+        f"(CAST(conv(substring(_h{b // 8}, {(b % 8) * 4 + 1}, 4), 16, 10)"
+        f" AS BIGINT) < 32768) AS _i{b}"
+        for b in range(b_count)
+    ]
+    rows = rows.selectExpr(ts_col, tag_col, "_iv", "_cur", *lanes)
+    if rows.isStreaming:
+        rows = rows.withWatermark(ts_col, watermark)
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_iv").cast("double").alias("_s"),
+        F.sum(F.when(F.col("_cur"), F.col("_iv"))).cast("double").alias("_sc"),
+        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("_nc"),
+    ]
+    for b in range(b_count):
+        ib = F.col(f"_i{b}")
+        aggs.append(
+            F.sum(F.when(ib, F.col("_iv"))).cast("double").alias(f"_sb{b}")
+        )
+        aggs.append(F.sum(F.when(ib, 1).otherwise(0)).alias(f"_kb{b}"))
+    one = rows.groupBy(
+        F.window(F.col(ts_col), window).alias("win"), F.col(tag_col)
+    ).agg(*aggs)
+    d_obs = F.col("_sc") / F.col("_nc") - (
+        (F.col("_s") - F.col("_sc")) / (F.col("_n") - F.col("_nc"))
+    )
+    exceed = None
+    for b in range(b_count):
+        db = F.col(f"_sb{b}") / F.col(f"_kb{b}") - (
+            (F.col("_s") - F.col(f"_sb{b}"))
+            / (F.col("_n") - F.col(f"_kb{b}"))
+        )
+        e = F.when(
+            (F.col(f"_kb{b}") > 0)
+            & (F.col(f"_kb{b}") < F.col("_n"))
+            & (F.abs(db) >= F.abs(d_obs)),
+            1,
+        ).otherwise(0)
+        exceed = e if exceed is None else exceed + e
+    degenerate = (F.col("_nc") == 0) | (F.col("_nc") == F.col("_n"))
+    return one.select(
+        F.col("win.start").alias("window_start"),
+        F.col(tag_col),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(qround(d_obs / F.lit(1e6), 6))
+        .alias("delta_obs"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
+            (F.lit(1) + exceed).cast("double") / F.lit(float(b_count + 1))
+        )
+        .alias("p_value"),
+        (F.col("_n") - F.col("_nc")).alias("n_ref"),
+        F.col("_nc").alias("n_cur"),
+    )
+
+
 def stream_sampled_ingest(
     stream: DataFrame,
     id_col: str,

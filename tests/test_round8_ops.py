@@ -454,6 +454,26 @@ def test_simhash_hamming_join_exact_recall(spark):
             if h <= 4:
                 truth[(a, b)] = h
     assert got == truth and len(truth) > 0
+    # multi-block (Manku WWW'07) banding: C(b, k) combination keys —
+    # a pure candidate-volume knob; output must be IDENTICAL
+    for b in (6, 8):
+        got_mb = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_hamming_join(
+                docs, max_hamming=4, bits=32, blocks=b
+            ).collect()
+        }
+        assert got_mb == truth
+    # k=0 multi-block degenerates to whole-fingerprint equality
+    eq = simhash_hamming_join(docs, max_hamming=0, bits=32, blocks=4)
+    truth0 = {p: h for p, h in truth.items() if h == 0}
+    assert {
+        (r["id_a"], r["id_b"]): r["hamming"] for r in eq.collect()
+    } == truth0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="blocks"):
+        simhash_hamming_join(docs, max_hamming=4, bits=32, blocks=4)
 
 
 def test_dice_join_matches_bruteforce(spark):

@@ -1729,3 +1729,119 @@ def test_fleet_consensus_stream_matches_batch(spark, tmp_path):
     # (tight MAD when one machine is far off); rate must stay low
     other = [f for k, v in flags.items() if k != "m3" for f in v]
     assert sum(other) / len(other) < 0.1
+
+
+def test_stream_drift_quartet_w1_and_perm_match_batch_at_width_200(
+    spark, tmp_path
+):
+    """Streaming twin of the drift wave at fleet width 200: the windowed
+    W1 screen (vs the frozen PSI reference) and the half-window
+    permutation readout each equal their own batch application row for
+    row; a planted second-half shift hits the minimum add-one p-value
+    while stable tags stay insignificant. State on both monitors is
+    bounded by tags x open windows."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from gordo_spark.streaming.quality import (
+        psi_reference,
+        stream_perm_drift_monitor,
+        stream_w1_monitor,
+    )
+
+    width = 200
+    base = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(17)
+    # reference: yesterday's per-tag shape (uniform-ish on [tag, tag+20))
+    ref_rows = [
+        (f"t{t:03d}", float(t % 7 + i % 20))
+        for t in range(width)
+        for i in range(40)
+    ]
+    reference = psi_reference(
+        spark.createDataFrame(ref_rows, "tag string, value double")
+    )
+    # live: 2 hour-windows x 200 tags x 24 rows; t007 jumps +50 in the
+    # SECOND HALF of hour 1 (the perm monitor's cur arm)
+    rows = []
+    eid = 0
+    for t in range(width):
+        for h in range(2):
+            for i in range(24):
+                v = float(t % 7 + (i * 7) % 20)
+                if t == 7 and h == 1 and i >= 12:
+                    v += 50.0
+                rows.append(
+                    (
+                        eid,
+                        f"t{t:03d}",
+                        base + dt.timedelta(hours=h, minutes=2 * i + 1),
+                        round(v + float(rng.normal(0, 0.01)), 6),
+                    )
+                )
+                eid += 1
+    # sentinel far past the range so availableNow closes every window
+    rows.append((eid, "t000", base + dt.timedelta(hours=50), 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, tag string, ts timestamp, value double"
+    )
+    src = f"{tmp_path}/drift_src"
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    cutoff = base + dt.timedelta(hours=2)
+
+    def run(monitor, name, **kw):
+        q = (
+            monitor(stream, **kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.table(name)
+            .toPandas()
+            .sort_values(["window_start", "tag"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            monitor(spark.read.parquet(src), **kw)
+            .toPandas()
+        )
+        exp = (
+            exp[exp["window_start"] < cutoff]
+            .sort_values(["window_start", "tag"])
+            .reset_index(drop=True)
+        )
+        return got, exp
+
+    got_w1, exp_w1 = run(
+        stream_w1_monitor, "w1_stream_q", reference=reference,
+        window="1 hour", watermark="0 seconds",
+    )
+    assert len(got_w1) == len(exp_w1) == 2 * width
+    pd.testing.assert_frame_equal(got_w1, exp_w1)
+    w1 = got_w1.set_index(["tag", got_w1["window_start"].dt.hour])["w1"]
+    # the half-window +50 shift clamps into the top reference bin, so
+    # binned W1 saturates near span/2 x shifted-fraction — still far
+    # above every unshifted (tag, window) and its own previous hour
+    assert w1[("t007", 1)] > 3 * w1[("t007", 0)]
+    assert w1[("t007", 1)] == w1.max()
+
+    got_p, exp_p = run(
+        stream_perm_drift_monitor, "perm_stream_q",
+        window="1 hour", watermark="0 seconds", n_perm=39,
+    )
+    assert len(got_p) == len(exp_p) == 2 * width
+    pd.testing.assert_frame_equal(got_p, exp_p)
+    p = got_p.set_index(["tag", got_p["window_start"].dt.hour])
+    assert p.loc[("t007", 1), "p_value"] == pytest.approx(1.0 / 40.0)
+    assert abs(p.loc[("t007", 1), "delta_obs"]) > 30.0
+    # stable tags: half-split means are ~equal; p concentrates high
+    stable = got_p[got_p["tag"] != "t007"]["p_value"]
+    assert (stable > 0.1).mean() > 0.9
+    assert stable.notna().all()
