@@ -782,6 +782,60 @@ def simjoin_experiment(spark):
     }
 
 
+def simhash_banding_experiment(spark):
+    """SimHash banding vs Manku multi-block keys (round 11) on a planted
+    HEAVY-BUCKET corpus: half the docs share a 40-word boilerplate
+    prefix, so their fingerprints agree on most bits and pile into the
+    same band buckets — the regime where contiguous k+1 banding's
+    per-bucket quadratic blows up. The measured number is CANDIDATE
+    VOLUME (the rows the verify join must pay for — the pre-distinct
+    bucket self-join size IS the shuffle+compare bill at scale); wider
+    C(b, k) combination keys shrink buckets exponentially at the cost
+    of C(b, k) posting tables. Output equality asserted in-script
+    (both schemes are guaranteed-recall + exact-verify)."""
+    from gordo_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_join,
+        simhash_posting_lists,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    boiler = " ".join(f"bp{i}" for i in range(40))
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(boiler + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fps = simhash(corpus, bits=32).localCheckpoint()
+    out = {"n_docs": fps.count()}
+    for label, blocks in (("banded", None), ("b6", 6), ("b8", 8)):
+        ex = simhash_posting_lists(fps, 32, 3, blocks=blocks)
+        out[f"cand_{label}"] = (
+            ex.alias("a")
+            .join(ex.alias("b"), ["_b", "_v"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .count()
+        )
+        out[f"tables_{label}"] = 4 if blocks is None else 20 if blocks == 6 else 56
+
+    def run(blocks):
+        return simhash_hamming_join(
+            corpus, max_hamming=3, bits=32, blocks=blocks
+        ).count()
+
+    pairs = run(None)
+    assert run(6) == pairs and run(8) == pairs  # identical output
+    out["pairs"] = pairs
+    out["t_banded_s"] = round(timed("sh banded", lambda: run(None), n=2), 3)
+    out["t_b6_s"] = round(timed("sh b6", lambda: run(6), n=2), 3)
+    out["t_b8_s"] = round(timed("sh b8", lambda: run(8), n=2), 3)
+    return out
+
+
 def fleet_experiment(spark):
     """Fleet-width multi-machine path (plans/multi.fleet_long_frame):
     the stacked O(1)-size plan vs per-machine solo plans. The cluster
@@ -1002,6 +1056,7 @@ def main():
     fl = fleet_experiment(spark)
     gi = grid_invariance_experiment(spark)
     dr = drift_sweep_experiment(spark)
+    sb = simhash_banding_experiment(spark)
     lines = [
         "# SCALE_BENCH — measured layout effects (local[32], best of 3)",
         "",
@@ -1261,6 +1316,29 @@ def main():
         "hypothesis width only re-keys a map-side-combinable aggregate —",
         "and the multiple-testing step is rank arithmetic over the bounded",
         "family. A per-machine testing loop pays a scan per machine.",
+        "",
+        "## SimHash banding vs Manku C(b,k) multi-block keys "
+        f"(32-bit, k=3, {sb['n_docs']:,} docs, 50% boilerplate-prefixed)",
+        "",
+        f"- contiguous k+1 banding ({sb['tables_banded']} tables, 8-bit "
+        f"keys): {sb['cand_banded']:,} candidate pairs, "
+        f"{sb['t_banded_s']} s end-to-end",
+        f"- blocks=6 ({sb['tables_b6']} tables, 16-bit keys): "
+        f"{sb['cand_b6']:,} candidates, {sb['t_b6_s']} s",
+        f"- blocks=8 ({sb['tables_b8']} tables, 20-bit keys): "
+        f"{sb['cand_b8']:,} candidates, {sb['t_b8_s']} s",
+        f"- verified output identical in all three: {sb['pairs']:,} pairs "
+        "(asserted in-script)",
+        "",
+        "Candidate volume is the cluster number: each banded bucket's",
+        "population grows linearly with corpus size and the verify join",
+        "pays its square, while the C(b, k) combination keys are",
+        "(b-k)/b x bits wide — every extra key bit HALVES the expected",
+        "bucket, an exponential knob bought with a combinatorial (and",
+        "small) table count. The boilerplate corpus is the planted",
+        "worst case: near-identical fingerprint regions concentrate in",
+        "few buckets exactly as web-scale boilerplate does (Manku et",
+        "al., WWW'07 §3).",
         "",
     ]
     out = "\n".join(lines)
