@@ -79,6 +79,7 @@ HEADLINE = [
     "cluster_cohesion",
     "mmr_rerank",
     "simhash_join",
+    "simhash_join_blocks",
     "dice_join",
     "skipgram_pairs",
     "ndcg_at_k",
