@@ -306,6 +306,10 @@ HEADLINE = [
     "heaps_law",
     "w1_drift",
     "bh_fdr",
+    "eval_pass_at_k",
+    "eval_majority_vote",
+    "eval_fleiss_kappa",
+    "eval_bradley_terry",
     # iterative fits (connected components, k-means, BPE) are contract
     # queries but not throughput headliners — same rule as sim_ivf_kmeans
 ]

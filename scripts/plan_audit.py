@@ -177,6 +177,9 @@ ACCEPTED = {
     "sem_decontaminate": "eval-set side broadcast: benchmarks are KBs by "
     "construction (the decontaminate convention); train corpus streams "
     "through one scan",
+    "eval_fleiss_kappa": "1-row item-total and category-total statistic "
+    "frames crossed into the single-row kappa readout (both sides "
+    "aggregate-bounded)",
     "rm3_expand": "bm25_search's accepted scalars inherited through the "
     "feedback branch + 1-row score-total frame crossed into the "
     "top-k-bounded term table",
