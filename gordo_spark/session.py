@@ -34,6 +34,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): the round-11
+        # optimization pass A/B-tested false + advisory=64m (the
+        # "respect the advisory size" posture Spark's config doc suggests)
+        # over 20 queries x 3 interleaved process pairs and it LOST 1.39x
+        # overall (lsh_recall 3x, pagerank/textrank 1.7x) — coalescing
+        # small exchanges to one task forfeits in-stage parallelism worth
+        # far more than the per-task scheduling it saves, at bench scale
+        # and below. Cluster deployments can still override via extra_conf.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
