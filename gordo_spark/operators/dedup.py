@@ -485,23 +485,27 @@ def connected_components(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("_nbr"))
         )
-        new_labels = (
+        # carry the OLD label through the checkpointed step frame so the
+        # convergence check is a plain filter-count over already-
+        # materialized partitions — the previous form re-joined the new
+        # labels against the old ones, paying an extra shuffle join + job
+        # every iteration just to count changes (r11 optimization;
+        # output unchanged: labels is the same least() projection)
+        stepped = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("component") != F.col("_old")
+        ).count()
+        labels = stepped.select("id", "component")
         if changed == 0:
             break
     edges.unpersist()

@@ -17,6 +17,10 @@ map-side-combinable exchanges total, no windows, no joins.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from gordo_spark.functions.rounding import qround
 
@@ -835,63 +839,94 @@ def bootstrap_ci_mean(
     b_count = int(n_boot)
     x = F.col(value_col).cast("double")
     n_groups = (b_count + 7) // 8
+    # id is cast to string JVM-side so the bytes hashed below are
+    # byte-identical to the previous F.md5(concat(lit, cast)) form
     base = df.filter(x.isNotNull()).select(
-        F.col(id_col), x.alias(value_col)
+        F.col(id_col).cast("string").alias("_id"), x.alias("_x")
     )
-    # the 25-digest projection is the cost driver and is PER-ROW
-    # parallel — but a few-file scan underparallelizes it (measured:
-    # 3 input splits on 32 cores = 21 s at sf0.1). When the scan is
-    # narrower than the core count, one cheap repartition of the
-    # two-column frame restores full width; at real scale the scan
-    # already exceeds core count and this branch is a no-op.
+    # the digest work is the cost driver and is PER-ROW parallel — but a
+    # few-file scan underparallelizes it (measured: 3 input splits on 32
+    # cores = 21 s at sf0.1). When the scan is narrower than the core
+    # count, one cheap repartition of the two-column frame restores full
+    # width; at real scale the scan already exceeds core count and this
+    # branch is a no-op.
     target = df.sparkSession.sparkContext.defaultParallelism
     if base.rdd.getNumPartitions() < target:
         base = base.repartition(target)
-    x = F.col(value_col).cast("double")
-    hashed = base.select(
-        x.alias("_x"),
-        *[
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}g{g}:"), F.col(id_col).cast("string")
-                )
-            ).alias(f"_h{g}")
-            for g in range(n_groups)
-        ],
-    )
-    # weights materialize as PROJECTION columns so each replicate's
-    # Poisson CDF inversion runs ONCE per row — referenced from two sums
-    # each, an aggregate-side CASE chain would evaluate twice (and its 7
-    # comparisons re-derive the lane uniform each; measured ~2x the
-    # contract wall at B=100)
-    rows = hashed.selectExpr(
-        "_x",
-        *[
-            f"{_poisson1_w_sql(f'_h{b // 8}', b % 8)} AS _wb{b}"
-            for b in range(b_count)
-        ],
-    )
-    x = F.col("_x")
 
-    aggs = [F.count(F.lit(1)).alias("n"), F.avg(x).alias("_mean")]
-    for b in range(b_count):
-        wb = F.col(f"_wb{b}")
-        aggs.append(F.sum(wb * x).alias(f"_s{b}"))
-        aggs.append(F.sum(wb).alias(f"_w{b}"))
-    one = rows.agg(*aggs)
+    # Per-partition partial sums via ONE vectorized numpy pass (guide
+    # §4.2): the previous form materialized B weight projection columns
+    # and a 2B+2-field hash aggregate — >spark.sql.codegen.maxFields
+    # (100), so the whole stage fell out of codegen into interpreted
+    # eval, and the ~500-expression plan cost seconds to analyze/compile
+    # before the first row moved (profiled: build+plan+run 12.8 s at
+    # sf0.1). Here each Arrow batch computes the same md5-lane uniforms
+    # (hashlib md5 == Spark md5; big-endian 16-bit lanes of the digest
+    # == the 4-hex-char substrings) and the same Poisson(1) CDF
+    # inversion (np.searchsorted(cdf, u, side="right") == the nested
+    # CASE chain), then folds the batch into B-length partial s/w
+    # vectors with one matmul. Only ~(partitions x B) doubles reach the
+    # final single-row aggregate, whose elementwise combine is exact
+    # float addition in a zip_with fold — the same partial-then-combine
+    # association the previous hash aggregate performed.
+    cdf = np.asarray(_POISSON1_CDF)
+    prefixes = [f"{salt}g{g}:".encode() for g in range(n_groups)]
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import md5
+
+        n = 0
+        sx = 0.0
+        s = np.zeros(b_count)
+        w = np.zeros(b_count)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            ids = [v.encode() for v in pdf["_id"]]
+            xs = pdf["_x"].to_numpy(dtype=np.float64)
+            U = np.empty((m, 8 * n_groups))
+            for g, pre in enumerate(prefixes):
+                dig = b"".join(md5(pre + i).digest() for i in ids)
+                lanes = np.frombuffer(dig, dtype=">u2").reshape(m, 8)
+                U[:, 8 * g : 8 * g + 8] = (
+                    lanes.astype(np.float64) + 0.5
+                ) / 65536.0
+            W = np.searchsorted(cdf, U[:, :b_count], side="right").astype(
+                np.float64
+            )
+            n += m
+            sx += float(xs.sum())
+            s += W.T @ xs
+            w += W.sum(axis=0)
+        yield pd.DataFrame(
+            {"_n": [n], "_sx": [sx], "_s": [s.tolist()], "_w": [w.tolist()]}
+        )
+
+    parts = base.mapInPandas(
+        _partials,
+        schema="_n long, _sx double, _s array<double>, _w array<double>",
+    )
+    zeros = F.array_repeat(F.lit(0.0), b_count)
+
+    def _vsum(c: str) -> Column:
+        return F.aggregate(
+            F.collect_list(c),
+            zeros,
+            lambda acc, v: F.zip_with(acc, v, lambda p, q: p + q),
+        )
+
+    one = parts.agg(
+        F.sum("_n").alias("n"),
+        (F.sum("_sx") / F.sum("_n")).alias("_mean"),
+        _vsum("_s").alias("_sv"),
+        _vsum("_w").alias("_wv"),
+    )
     # zero-weight replicates (tiny inputs only) produce NULL means;
     # compact them out so quantiles index the VALID replicates
     means = F.array_compact(
         F.array_sort(
-            F.array(
-                *[
-                    F.when(
-                        F.col(f"_w{b}") > 0,
-                        F.col(f"_s{b}") / F.col(f"_w{b}"),
-                    )
-                    for b in range(b_count)
-                ]
-            )
+            F.zip_with("_sv", "_wv", lambda sv, wv: F.when(wv > 0, sv / wv))
         )
     )
     nv = F.size(means)
@@ -1818,61 +1853,101 @@ def bootstrap_ab_diff(
     target = df.sparkSession.sparkContext.defaultParallelism
     if assigned.rdd.getNumPartitions() < target:
         assigned = assigned.repartition(target)
-    hashed = assigned.select(
+    # Same mapInPandas partials restructure as bootstrap_ci_mean (see
+    # there for the full rationale): the previous B weight projections +
+    # 4B+4-field aggregate exceeded spark.sql.codegen.maxFields and cost
+    # seconds of analysis/interpreted eval; the numpy pass computes
+    # bit-identical md5-lane uniforms and CDF inversions, split by arm.
+    base = assigned.select(
+        F.col(unit_col).cast("string").alias("_id"),
         x.alias("_x"),
         F.col("variant").alias("_v"),
-        *[
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}g{g}:"), F.col(unit_col).cast("string")
-                )
-            ).alias(f"_h{g}")
-            for g in range(n_groups)
-        ],
     )
-    # weights as projection columns: each replicate's CDF inversion runs
-    # once per row instead of four times (two arms x two sums) — the
-    # bootstrap_ci_mean projection discipline
-    rows = hashed.selectExpr(
-        "_x",
-        "_v",
-        *[
-            f"{_poisson1_w_sql(f'_h{b // 8}', b % 8)} AS _wb{b}"
-            for b in range(b_count)
-        ],
-    )
-    x = F.col("_x")
+    cdf = np.asarray(_POISSON1_CDF)
+    prefixes = [f"{salt}g{g}:".encode() for g in range(n_groups)]
 
-    a0 = F.col("_v") == 0
-    a1 = F.col("_v") == 1
-    aggs = [
-        F.sum(a0.cast("long")).alias("n_a"),
-        F.sum(a1.cast("long")).alias("n_b"),
-        F.avg(F.when(a0, x)).alias("_m0"),
-        F.avg(F.when(a1, x)).alias("_m1"),
-    ]
-    for b in range(b_count):
-        wb = F.col(f"_wb{b}")
-        aggs.append(F.sum(F.when(a0, wb * x)).alias(f"_s0{b}"))
-        aggs.append(F.sum(F.when(a0, wb)).alias(f"_w0{b}"))
-        aggs.append(F.sum(F.when(a1, wb * x)).alias(f"_s1{b}"))
-        aggs.append(F.sum(F.when(a1, wb)).alias(f"_w1{b}"))
-    one = rows.agg(*aggs)
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hashlib import md5
+
+        n0 = n1 = 0
+        sx0 = sx1 = 0.0
+        s0 = np.zeros(b_count)
+        w0 = np.zeros(b_count)
+        s1 = np.zeros(b_count)
+        w1 = np.zeros(b_count)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            ids = [v.encode() for v in pdf["_id"]]
+            xs = pdf["_x"].to_numpy(dtype=np.float64)
+            vs = pdf["_v"].to_numpy()
+            U = np.empty((m, 8 * n_groups))
+            for g, pre in enumerate(prefixes):
+                dig = b"".join(md5(pre + i).digest() for i in ids)
+                lanes = np.frombuffer(dig, dtype=">u2").reshape(m, 8)
+                U[:, 8 * g : 8 * g + 8] = (
+                    lanes.astype(np.float64) + 0.5
+                ) / 65536.0
+            W = np.searchsorted(cdf, U[:, :b_count], side="right").astype(
+                np.float64
+            )
+            m0 = vs == 0
+            m1 = vs == 1
+            n0 += int(m0.sum())
+            n1 += int(m1.sum())
+            sx0 += float(xs[m0].sum())
+            sx1 += float(xs[m1].sum())
+            s0 += W[m0].T @ xs[m0]
+            w0 += W[m0].sum(axis=0)
+            s1 += W[m1].T @ xs[m1]
+            w1 += W[m1].sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "_n0": [n0],
+                "_n1": [n1],
+                "_sx0": [sx0],
+                "_sx1": [sx1],
+                "_s0": [s0.tolist()],
+                "_w0": [w0.tolist()],
+                "_s1": [s1.tolist()],
+                "_w1": [w1.tolist()],
+            }
+        )
+
+    parts = base.mapInPandas(
+        _partials,
+        schema=(
+            "_n0 long, _n1 long, _sx0 double, _sx1 double, "
+            "_s0 array<double>, _w0 array<double>, "
+            "_s1 array<double>, _w1 array<double>"
+        ),
+    )
+    zeros = F.array_repeat(F.lit(0.0), b_count)
+
+    def _vsum(c: str) -> Column:
+        return F.aggregate(
+            F.collect_list(c),
+            zeros,
+            lambda acc, v: F.zip_with(acc, v, lambda p, q: p + q),
+        )
+
+    one = parts.agg(
+        F.sum("_n0").alias("n_a"),
+        F.sum("_n1").alias("n_b"),
+        F.when(F.sum("_n0") > 0, F.sum("_sx0") / F.sum("_n0")).alias("_m0"),
+        F.when(F.sum("_n1") > 0, F.sum("_sx1") / F.sum("_n1")).alias("_m1"),
+        _vsum("_s0").alias("_s0v"),
+        _vsum("_w0").alias("_w0v"),
+        _vsum("_s1").alias("_s1v"),
+        _vsum("_w1").alias("_w1v"),
+    )
     # zero-weight arms (tiny arms only) produce NULL diffs; compact
     # them out so quantiles index the VALID replicates
+    m0v = F.zip_with("_s0v", "_w0v", lambda sv, wv: F.when(wv > 0, sv / wv))
+    m1v = F.zip_with("_s1v", "_w1v", lambda sv, wv: F.when(wv > 0, sv / wv))
     diffs = F.array_compact(
-        F.array_sort(
-            F.array(
-                *[
-                    F.when(
-                        (F.col(f"_w0{b}") > 0) & (F.col(f"_w1{b}") > 0),
-                        F.col(f"_s1{b}") / F.col(f"_w1{b}")
-                        - F.col(f"_s0{b}") / F.col(f"_w0{b}"),
-                    )
-                    for b in range(b_count)
-                ]
-            )
-        )
+        F.array_sort(F.zip_with(m1v, m0v, lambda a, b: a - b))
     )
     nv = F.size(diffs)
 

@@ -368,8 +368,13 @@ def kmeans_fit(
         return src.mapInPandas(assign, schema="_id long, nv array<double>, cluster long")
 
     prev_changed = None
+    # each iteration's convergence check re-assigns under the NEW
+    # centroids; that assignment IS the next iteration's input, so it is
+    # checkpointed and carried forward instead of being recomputed (r11
+    # optimization: halves the assignment passes; the sequence of
+    # centroid updates and change counts is unchanged)
+    assigned = assign_df(C).localCheckpoint()
     for _ in range(max_iter):
-        assigned = assign_df(C).localCheckpoint()  # one materialization/iter
         means = (
             assigned.select("cluster", F.posexplode("nv").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -384,10 +389,12 @@ def kmeans_fit(
             for d, m in dims:
                 newC[c, d] = m
         # converged when re-assigning under the new centroids moves nothing
-        changed = assign_df(newC).join(
+        next_assigned = assign_df(newC).localCheckpoint()
+        changed = next_assigned.join(
             assigned.select("_id", F.col("cluster").alias("_old")), "_id"
         ).filter(F.col("cluster") != F.col("_old")).count()
         C = newC
+        assigned = next_assigned
         if changed == 0 or changed == prev_changed:
             break
         prev_changed = changed

@@ -21,6 +21,8 @@ import math
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from gordo_spark.functions.rounding import qfloor, qround
 
@@ -451,59 +453,131 @@ def perm_test_drift(
             tag_col, (F.col("_ncur") / F.col("_n")).alias("_pcur")
         )
     )
-    hashed = d.join(F.broadcast(sizes), tag_col).select(
+    # Per-(partition, tag) exact partial sums via one vectorized numpy
+    # pass (the bootstrap_ci_mean r11 restructure, per-tag variant): the
+    # previous form materialized n_perm lane-indicator columns plus an
+    # 82-field decimal hash aggregate and a 39-branch exceedance Column
+    # tree — seconds of plan build + interpreted decimal eval. Here each
+    # Arrow batch computes the SAME md5-lane uniforms (hashlib md5 ==
+    # Spark md5; big-endian 16-bit digest lanes == the 4-hex substrings;
+    # (lane + 0.5)/65536 and the < _pcur compare are the identical IEEE
+    # ops) and folds exact int64 quantized values into per-tag Python-int
+    # partials (arbitrary precision — the mean_exact discipline), emitted
+    # as decimal(38,0) so the cross-partition combine stays exact at any
+    # scale. The statistic tail then casts each exact sum to double
+    # FIRST and applies the same double-op sequence as before, so every
+    # d_obs / d_b / p_value is bit-identical.
+    base = d.join(F.broadcast(sizes), tag_col).select(
         F.col(tag_col).alias("_tag"),
         qfloor(F.col(value_col), 6).alias("_iv"),
         F.col("_is_ref").alias("_ref"),
         F.col("_pcur"),
-        *[
-            F.md5(
-                F.concat(
-                    F.lit(f"{salt}g{g}:"), F.col(id_col).cast("string")
-                )
-            ).alias(f"_h{g}")
-            for g in range(n_groups)
-        ],
+        F.col(id_col).cast("string").alias("_id"),
     )
-    lanes = [
-        f"((CAST(CAST(conv(substring(_h{b // 8}, {(b % 8) * 4 + 1}, 4),"
-        f" 16, 10) AS BIGINT) AS DOUBLE) + 0.5D) / 65536.0D < _pcur)"
-        f" AS _i{b}"
-        for b in range(b_count)
-    ]
-    rows = hashed.selectExpr("_tag", "_iv", "_ref", *lanes)
-    iv = F.col("_iv").cast("decimal(38,0)")
-    aggs = [
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(iv).cast("double").alias("_s"),
-        F.sum(F.when(~F.col("_ref"), iv)).cast("double").alias("_sc"),
-        F.sum(F.when(~F.col("_ref"), 1).otherwise(0)).alias("_nc"),
-    ]
-    for b in range(b_count):
-        ib = F.col(f"_i{b}")
-        aggs.append(F.sum(F.when(ib, iv)).cast("double").alias(f"_sb{b}"))
-        aggs.append(F.sum(F.when(ib, 1).otherwise(0)).alias(f"_kb{b}"))
-    one = rows.groupBy("_tag").agg(*aggs)
+    tag_type = d.schema[tag_col].dataType.simpleString()
+    prefixes = [f"{salt}g{g}:".encode() for g in range(n_groups)]
+
+    def _partials(batches):
+        from decimal import Decimal
+        from hashlib import md5
+
+        acc: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for tag, grp in pdf.groupby("_tag", sort=False):
+                m = len(grp)
+                ids = [v.encode() for v in grp["_id"]]
+                iv = grp["_iv"].to_numpy(dtype=np.float64).astype(np.int64)
+                ref = grp["_ref"].to_numpy(dtype=bool)
+                pcur = grp["_pcur"].to_numpy(dtype=np.float64)
+                U = np.empty((m, 8 * n_groups))
+                for g, pre in enumerate(prefixes):
+                    dig = b"".join(md5(pre + i).digest() for i in ids)
+                    lanes = np.frombuffer(dig, dtype=">u2").reshape(m, 8)
+                    U[:, 8 * g : 8 * g + 8] = (
+                        lanes.astype(np.float64) + 0.5
+                    ) / 65536.0
+                W = U[:, :b_count] < pcur[:, None]
+                a = acc.setdefault(
+                    tag, [0, 0, 0, 0, [0] * b_count, [0] * b_count]
+                )
+                a[0] += m
+                a[1] += int(iv.sum())
+                cur = ~ref
+                a[2] += int(iv[cur].sum())
+                a[3] += int(cur.sum())
+                sb = (W * iv[:, None]).sum(axis=0)
+                kb = W.sum(axis=0)
+                a[4] = [p + int(q) for p, q in zip(a[4], sb)]
+                a[5] = [p + int(q) for p, q in zip(a[5], kb)]
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "_tag": list(acc),
+                    "_pn": [a[0] for a in acc.values()],
+                    "_ps": [Decimal(a[1]) for a in acc.values()],
+                    "_psc": [Decimal(a[2]) for a in acc.values()],
+                    "_pnc": [a[3] for a in acc.values()],
+                    "_psb": [
+                        [Decimal(v) for v in a[4]] for a in acc.values()
+                    ],
+                    "_pkb": [a[5] for a in acc.values()],
+                }
+            )
+
+    parts = base.mapInPandas(
+        _partials,
+        schema=(
+            f"_tag {tag_type}, _pn long, _ps decimal(38,0), "
+            "_psc decimal(38,0), _pnc long, "
+            "_psb array<decimal(38,0)>, _pkb array<long>"
+        ),
+    )
+    dec_zeros = F.array_repeat(F.lit(0).cast("decimal(38,0)"), b_count)
+    long_zeros = F.array_repeat(F.lit(0).cast("long"), b_count)
+
+    def _vsum(c: str, zeros) -> Column:
+        return F.aggregate(
+            F.collect_list(c),
+            zeros,
+            lambda acc, v: F.zip_with(acc, v, lambda p, q: p + q),
+        )
+
+    one = parts.groupBy("_tag").agg(
+        F.sum("_pn").alias("_n"),
+        F.sum("_ps").cast("double").alias("_s"),
+        F.sum("_psc").cast("double").alias("_sc"),
+        F.sum("_pnc").alias("_nc"),
+        _vsum("_psb", dec_zeros).alias("_sbv"),
+        _vsum("_pkb", long_zeros).alias("_kbv"),
+    )
     d_obs = F.col("_sc") / F.col("_nc") - (
         (F.col("_s") - F.col("_sc")) / (F.col("_n") - F.col("_nc"))
     )
-    exceed = []
-    for b in range(b_count):
-        db = F.col(f"_sb{b}") / F.col(f"_kb{b}") - (
-            (F.col("_s") - F.col(f"_sb{b}"))
-            / (F.col("_n") - F.col(f"_kb{b}"))
-        )
-        exceed.append(
-            F.when(
-                (F.col(f"_kb{b}") > 0)
-                & (F.col(f"_kb{b}") < F.col("_n"))
-                & (F.abs(db) >= F.abs(d_obs)),
+    # exceedance count over the replicate arrays — the same per-replicate
+    # double arithmetic as the previous unrolled Column tree (each exact
+    # decimal sum casts to double, then identical op order)
+    sbd = F.transform(F.col("_sbv"), lambda v: v.cast("double"))
+    n_exceed = F.aggregate(
+        F.zip_with(
+            sbd,
+            F.col("_kbv"),
+            lambda s, k: F.when(
+                (k > 0)
+                & (k < F.col("_n"))
+                & (
+                    F.abs(
+                        s / k - ((F.col("_s") - s) / (F.col("_n") - k))
+                    )
+                    >= F.abs(d_obs)
+                ),
                 1,
-            ).otherwise(0)
-        )
-    n_exceed = exceed[0]
-    for e in exceed[1:]:
-        n_exceed = n_exceed + e
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     degenerate = (F.col("_nc") == 0) | (F.col("_nc") == F.col("_n"))
     return one.select(
         F.col("_tag").alias(tag_col),
