@@ -184,11 +184,21 @@ def conformal_intervals(
         md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
         F.lit(4),
     )
+    # r11 (guide §5): FOUR consumers (train stats, calibration count,
+    # k-th order statistic, test coverage) each re-derived the upstream
+    # (scan + any joins/aggregates + the md5 split) per driver action.
+    # Pin the 3-column projection once: 24 B/row of executor
+    # memory+disk versus four full upstream passes — at warehouse scale
+    # one narrow materialization versus four corpus scans. Values are
+    # unchanged (the split and residuals are deterministic in the row
+    # content).
     base = df.select(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
         bucket.alias("_b"),
-    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    ).filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    ).localCheckpoint()
     train = base.filter(F.col("_b") <= 1)
     cal = base.filter(F.col("_b") == 2)
     test = base.filter(F.col("_b") == 3)

@@ -467,12 +467,30 @@ def connected_components(
     per iteration and the lineage is truncated by localCheckpoint to keep
     the plan from growing exponentially at scale.
     """
+    from gordo_spark.functions.partitioning import adaptive_partitions
+
+    e0 = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    # r11 (guide §2.4): every iteration joins the edge frame on dst —
+    # hash-partition + sort it by dst ONCE so the per-iteration join
+    # reads the cache with no edge-side Exchange/Sort and only the
+    # node-cardinality label frame moves. Repartition BEFORE distinct:
+    # partitioning on dst is a subset of the (src, dst) clustering, so
+    # the dedup aggregate runs exchange-free on the landed layout.
+    # Partition count is scale-adaptive (adaptive_partitions).
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        e0.repartition(adaptive_partitions(e0), "dst")
         .distinct()
+        .sortWithinPartitions("dst")
         .cache()
     )
+    # materialize now: an unmaterialized cache reports Unknown
+    # partitioning (unfinalized AQE subtree), which would re-Exchange
+    # the edge side in every iteration's join (see graph.hits)
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -1381,7 +1399,17 @@ def shingle_token_table(
     """Pinned ``(_id, _toks)`` distinct-sorted shingle-set table shared
     by the exact similarity joins' candidate + verify arms
     (localCheckpoint — three consumers would otherwise each re-derive
-    the shingle/distinct/sort pipeline from the corpus)."""
+    the shingle/distinct/sort pipeline from the corpus).
+
+    The shingle/distinct/sort work is PER-ROW parallel, but a few-file
+    corpus scan underparallelizes it (the bootstrap_ci precedent:
+    3 input splits on 32 cores serializes the CPU); when the scan is
+    narrower than the core count, one cheap repartition of the raw
+    text restores full width — a no-op at real scale where the scan
+    already exceeds core count."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return (
         df.select(
             F.col(id_col).alias("_id"),

@@ -126,10 +126,14 @@ def pagerank(
         )
         # the carried frame's lineage grows linearly over the unrolled
         # loop — fine at 8 iterations, Catalyst-quadratic at 50: truncate
-        # every 10th iteration (lazy checkpoint: pays only if a
-        # downstream action runs) so raising `iterations` stays safe
+        # every 10th iteration so raising `iterations` stays safe.
+        # EAGER checkpoint (r11): eager=False is not actually lazy
+        # under AQE — Dataset.checkpoint goes through .rdd, which
+        # executes every upstream shuffle stage at build time anyway;
+        # eager=True additionally pins the final stage's partitions so
+        # downstream actions do not recompute it.
         if (i + 1) % 10 == 0 and (i + 1) < int(iterations):
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.localCheckpoint()
     return ranks.select("v", qround("r", 6).alias("rank"))
 
 
@@ -444,20 +448,36 @@ def bfs_depths(
     (the pagerank convention — no driver-side convergence decision).
 
     Per iteration: one edge join + one node-keyed min aggregate (2
-    node-keyed shuffles); edges/nodes localCheckpoint once (eager), the
-    carried frame stays node-cardinality, lineage linear in depth with
-    every-4 lazy truncation. Output: ``(v, depth)`` for nodes reached
-    within ``max_depth``, unreached nodes absent (stated), ordered by
-    (depth, v).
+    node-keyed shuffles); the carried frame stays node-cardinality,
+    lineage linear in depth with every-4 lazy truncation. The
+    symmetrized edge frame is hash-partitioned + sorted by ``src`` once
+    and cached (r11, guide §2.4 — the :func:`hits` discipline), so the
+    per-depth join reads it with no Exchange/Sort on the edge side and
+    only the node-cardinality depth frame moves per iteration; the
+    partition count is scale-adaptive (`adaptive_partitions`). Output:
+    ``(v, depth)`` for nodes reached within ``max_depth``, unreached
+    nodes absent (stated), ordered by (depth, v).
     """
-    e = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
+    from gordo_spark.functions.partitioning import adaptive_partitions
+
+    e0 = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    # repartition BEFORE distinct (hits discipline): partitioning on
+    # src is a subset of the (src, dst) clustering, so dedup runs
+    # exchange-free on the landed layout — one shuffle total
+    e = (
+        e0.repartition(adaptive_partitions(e0), "src")
+        .distinct()
+        .sortWithinPartitions("src")
+        .cache()
+    )
+    # materialize now so the cached hash layout is visible to the
+    # loop's join planning (unmaterialized = Unknown partitioning, see
+    # hits)
+    e.count()
     d = (
         seeds.select(F.col(seed_col).alias("v"))
         .distinct()
@@ -479,6 +499,11 @@ def bfs_depths(
                 ).alias("depth"),
             )
         )
-        if (i + 1) % 4 == 0 and (i + 1) < int(max_depth):
-            d = d.localCheckpoint(eager=False)
+        # the carried frame is referenced TWICE per depth (directly and
+        # through nbr), so the unrolled plan doubles each iteration —
+        # truncate every 2nd depth. EAGER: eager=False still executes
+        # every upstream stage at build under AQE (see hits) while
+        # leaving the final stage to recompute per consumer.
+        if (i + 1) % 2 == 0 and (i + 1) < int(max_depth):
+            d = d.localCheckpoint()
     return d.filter(F.col("depth") <= int(max_depth)).orderBy("depth", "v")

@@ -1005,8 +1005,15 @@ def pca_fit_exact(
     # driver reduces partials in arbitrary-precision Python ints.
     mean_np = np.asarray(mean, dtype=np.float64)
 
+    # the scaled product grid is exactly symmetric (IEEE multiplication
+    # is commutative, so floor(ce_i*ce_j*1e9+0.5) == its transpose
+    # element bit-for-bit): compute only the d*(d+1)/2 upper-triangle
+    # pairs and mirror — half the multiply/floor/cast work per row with
+    # identical int64 sums (r11, guide §1.2 step 2 / VERDICT task 3)
+    iu_r, iu_c = np.triu_indices(n_dim)
+
     def cov_partial(batches):
-        acc = np.zeros((n_dim, n_dim), dtype=np.int64)
+        acc_u = np.zeros(len(iu_r), dtype=np.int64)
         # enforce the documented int64 bound instead of letting numpy
         # wrap silently: max |scaled chunk sum| grows by at most
         # max|scaled product| * chunk_rows per chunk, so a running
@@ -1021,22 +1028,27 @@ def pca_fit_exact(
             V = np.stack(pdf["e"].to_numpy()) - mean_np
             for lo in range(0, len(V), 256):
                 ch = V[lo : lo + 256]
-                prods = ch[:, :, None] * ch[:, None, :]
-                grid = np.floor(prods * 1e9 + 0.5).astype(np.int64)
+                prods = ch[:, iu_r] * ch[:, iu_c]
+                prods *= 1e9
+                prods += 0.5
+                grid = np.floor(prods, out=prods).astype(np.int64)
                 chunk = grid.sum(0, dtype=np.int64)
                 # Python-int arithmetic so the check itself cannot wrap
                 bound = int(np.abs(grid).max(initial=0)) * len(ch)
                 if (
                     bound > headroom
-                    or int(np.abs(acc).max(initial=0)) > headroom - bound
+                    or int(np.abs(acc_u).max(initial=0)) > headroom - bound
                 ):
                     raise OverflowError(
                         "pca_fit_exact int64 partial would overflow: "
                         "partition exceeds the documented magnitude/row "
                         "bound — repartition smaller or rescale embeddings"
                     )
-                acc += chunk
+                acc_u += chunk
         if seen:
+            acc = np.zeros((n_dim, n_dim), dtype=np.int64)
+            acc[iu_r, iu_c] = acc_u
+            acc[iu_c, iu_r] = acc_u  # mirror (diagonal rewrites itself)
             yield pd.DataFrame({"s": [acc.ravel().tolist()]})
 
     partials = src.mapInPandas(
@@ -2080,13 +2092,24 @@ def knn_graph_stats(
     # decisions not payloads). Ranking stays BIT-IDENTICAL: the 6dp qround
     # (floor(x*1e6+0.5)/1e6, pure IEEE, same in numpy) is applied BEFORE
     # the (cos desc, dst asc) order, exactly like the window it replaces.
+    # ONE upstream pass (r11): Arrow toPandas instead of a row-based
+    # collect (guide §6 — orders faster for 64-dim vectors), and the
+    # collected sample is re-parallelized as the mapInPandas input and
+    # the id spine, so the upstream scan+filter is not re-derived by
+    # the edge pass (was: collect + checkpoint + ids = three upstream
+    # derivations per execution)
+    spark = vectors.sparkSession
     sample = vectors.select(
-        F.col(id_col), _as_double(F.col(vec_col))
-    ).collect()
-    qids = np.asarray([r[0] for r in sample], dtype=np.int64)
-    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in sample])
+        F.col(id_col).alias("src"), _as_double(F.col(vec_col)).alias("va")
+    ).toPandas()
+    qids = sample["src"].to_numpy(dtype=np.int64)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in sample["va"]])
     qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
     kk = int(k)
+    sample["va"] = [np.asarray(v, dtype=np.float64).tolist() for v in sample["va"]]
+    src_local = spark.createDataFrame(
+        sample, schema="src long, va array<double>"
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def knn_edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2115,10 +2138,7 @@ def knn_graph_stats(
                 yield pd.concat(frames, ignore_index=True)
 
     topk = (
-        vectors.select(
-            F.col(id_col).alias("src"), _as_double(F.col(vec_col)).alias("va")
-        )
-        .mapInPandas(knn_edges, schema="src long, dst long")
+        src_local.mapInPandas(knn_edges, schema="src long, dst long")
         .localCheckpoint()  # two consumers (in-degree + reciprocity join)
     )
     indeg = topk.groupBy(F.col("dst").alias("_id")).agg(
@@ -2134,7 +2154,7 @@ def knn_graph_stats(
         .groupBy(F.col("x.src").alias("_id"))
         .agg(F.count(F.lit(1)).alias("n_reciprocal"))
     )
-    ids = vectors.select(F.col(id_col).alias("_id"))
+    ids = src_local.select(F.col("src").alias("_id"))
     return (
         ids.join(indeg, "_id", "left")
         .join(recip, "_id", "left")

@@ -1622,6 +1622,10 @@ def matrix_profile(
     iv = qround(
         qround(F.col(value_col).cast("double"), int(precision)) * scale, 0
     ).cast("long")
+    # r11 (guide §5): THREE consumers (both self-join arms + the
+    # ts_back spine) re-derived the upstream resample + the two-window
+    # subtree per consumer. The subsequence table is GRID-bounded
+    # (|tags| x calendar positions, never event-volume) — pin it once.
     seq = df.filter(F.col(value_col).isNotNull()).select(
         F.col(tag_col).alias("tag"),
         F.col(ts_col).alias("ts"),
@@ -1630,7 +1634,7 @@ def matrix_profile(
         F.count(F.lit(1)).over(
             Window.partitionBy(tag_col)
         ).alias("_n"),
-    ).filter(F.col("idx") <= F.col("_n") - mm + 1)
+    ).filter(F.col("idx") <= F.col("_n") - mm + 1).localCheckpoint()
     a = seq.select("tag", "ts", F.col("idx"), F.col("_w").alias("_wa"))
     b = seq.select(
         "tag", F.col("idx").alias("jdx"), F.col("_w").alias("_wb")
@@ -2057,6 +2061,13 @@ def granger_lag1(
     from gordo_spark.functions.timeutil import offset_alias_to_seconds
 
     secs = int(offset_alias_to_seconds(resolution))
+    # r11 (guide §5): every pair references `wide` twice (current +
+    # lagged side), so |pairs| x 2 consumers re-derived the whole
+    # upstream resample+pivot per consumer (12 scans for 6 pairs) and
+    # the unrolled plan carried 12 copies of that subtree through
+    # analysis. The aligned grid is |hours| x |tags| bounded, so pin it
+    # once; each pair is then one bounded self-join + one scalar agg.
+    wide = wide.localCheckpoint()
     out = None
     for x, y in pairs:
         cur = wide.select(
@@ -2452,7 +2463,16 @@ def sensor_health(
 
     Each branch is the contract-tested operator verbatim; the
     composition is |tags|-row joins on the bounded tag key.
+
+    r11 (guide §5): the four branches each re-derived the upstream
+    (typically a resample of the raw event stream) independently —
+    four full scans for one input. The input is pinned ONCE
+    (|tags| x |buckets| bounded after resampling) and feeds every
+    branch.
     """
+    df = df.select(
+        F.col(tag_col), F.col(ts_col), F.col(value_col)
+    ).localCheckpoint()
     gaps = gap_mtbf(
         df, resolution_seconds, tag_col=tag_col, ts_col=ts_col,
         value_col=value_col,
