@@ -136,20 +136,18 @@ class LogisticModel:
             *[F.col(c).cast("double").alias(c) for c in self.feature_cols],
             F.col(self.label_col).cast("double").alias(self.label_col),
         ).na.drop().persist()
-        if df.isEmpty():
-            df.unpersist()
-            raise ValueError(
-                "LogisticModel.fit_gd_exact: no rows with non-null "
-                f"features/label (features={self.feature_cols}, "
-                f"label={self.label_col!r})"
-            )
-        n = df.count()
         terms = [F.lit(1.0)] + [
             F.col(c).cast("double") for c in self.feature_cols
         ]
         y = F.col(self.label_col).cast("double")
         import math
 
+        # n rides along with the FIRST gradient aggregation (one job
+        # materializes the cache, counts the surviving rows, and sums the
+        # w=0 gradients) instead of separate isEmpty + count actions —
+        # 3 driver jobs collapsed into 1; the empty-input guard fires off
+        # the same count before any weight is updated
+        n: int | None = None
         for _ in range(int(gd_iters)):
             p = qround(_sigmoid_col(self._z(np.array(w))), 6)
             aggs = [
@@ -158,7 +156,18 @@ class LogisticModel:
                 .alias(f"_g_{i}")
                 for i in range(d)
             ]
+            if n is None:
+                aggs.append(F.count(F.lit(1)).alias("_n"))
             row = df.agg(*aggs).collect()[0]
+            if n is None:
+                n = int(row["_n"])
+                if n == 0:
+                    df.unpersist()
+                    raise ValueError(
+                        "LogisticModel.fit_gd_exact: no rows with non-null "
+                        f"features/label (features={self.feature_cols}, "
+                        f"label={self.label_col!r})"
+                    )
             for i in range(d):
                 g_mean = (float(row[f"_g_{i}"]) / 1e12) / n
                 # driver-side qround(.., 9): same IEEE op sequence as the

@@ -808,25 +808,38 @@ def erasure_audit(
     ``null_patterns``' broken-joiner forensics). ``tables`` maps
     table name -> (frame, its subject-key column).
 
-    Scale shape: per table, ONE left-semi join against the tombstone
-    frame (broadcast — deletion batches are bounded by construction;
-    an unbounded tombstone list is itself the incident) + a keyless
-    count; plan linear in |tables|, output |tables| rows. Also reports
-    each table's total rows and the surviving share, so the readout is
-    a ratio, not a bare count. Output:
+    Scale shape: per table, ONE broadcast left join against the
+    DISTINCT tombstone frame (deletion batches are bounded by
+    construction; an unbounded tombstone list is itself the incident —
+    and distinct keys match each row at most once, so ``count(_k)``
+    is exactly the referencing-row count) + a single aggregate; the
+    per-table aggregates union LAZILY, so the whole audit is ONE job
+    at the sink instead of two eager driver-blocking counts per table
+    (2|tables| scans + 2|tables| jobs before). The tombstone distinct
+    is pinned once (localCheckpoint, bounded) rather than re-derived
+    under every table's broadcast. Output:
     ``(table, n_rows, n_referencing_deleted, share)`` ordered by table.
     """
-    keys = deleted_keys.select(F.col(key_col).alias("_k")).distinct()
+    keys = (
+        deleted_keys.select(F.col(key_col).alias("_k"))
+        .distinct()
+        .localCheckpoint()
+    )
     out = None
     for name in sorted(tables):
         df, col = tables[name]
-        total = df.count()
-        n_ref = df.join(
-            F.broadcast(keys), df[col] == F.col("_k"), "left_semi"
-        ).count()
-        row = keys.sparkSession.createDataFrame(
-            [(name, total, n_ref)],
-            "table string, n_rows long, n_referencing_deleted long",
+        row = (
+            df.select(F.col(col).alias("_c"))
+            .join(F.broadcast(keys), F.col("_c") == F.col("_k"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("_k").alias("n_referencing_deleted"),
+            )
+            .select(
+                F.lit(name).alias("table"),
+                "n_rows",
+                "n_referencing_deleted",
+            )
         )
         out = row if out is None else out.unionByName(row)
     return out.select(

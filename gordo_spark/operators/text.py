@@ -2269,7 +2269,10 @@ def heaps_law(
     """
     import math as _math
 
-    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    # pinned once: the percentile pass and the prefix-count pass are two
+    # sequential driver actions over the SAME |docs|-bounded distinct —
+    # without the pin each re-derives the corpus scan + distinct shuffle
+    ids = df.select(F.col(id_col).alias("_id")).distinct().localCheckpoint()
     fracs = [0.125, 0.25, 0.5, 0.75, 1.0]
     bounds_row = ids.agg(
         F.expr(
