@@ -2215,16 +2215,30 @@ def textrank_keywords(
 
     from gordo_spark.operators.graph import pagerank
 
-    pos = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("_i", "_w"),
+    # adjacent pairs are built ROW-LOCALLY inside the token array (the
+    # exploded_slices shape): one explode, zero shuffles before the edge
+    # count. The previous form posexploded the corpus and equi-joined the
+    # token stream with its +1-shifted copy on (doc, position) — two
+    # corpus-token shuffles + a join to express "neighboring array
+    # elements", which the array already knows. Emitted pairs are
+    # identical: (least, greatest) over (t[i-1], t[i]) for i in
+    # 1..size-1, self-loops dropped; docs under 2 tokens contribute
+    # nothing in both forms.
+    pairs = (
+        df.select(F.split(F.col(text_col), " ").alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1), i -> "
+                    "struct(least(_t[i-1], _t[i]) AS a, "
+                    "greatest(_t[i-1], _t[i]) AS b))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.a", "_p.b")
+        .filter(F.col("a") != F.col("b"))
     )
-    nxt = pos.select(
-        "_id", (F.col("_i") + 1).alias("_i"), F.col("_w").alias("_w2")
-    )
-    pairs = pos.join(nxt, ["_id", "_i"]).select(
-        F.least("_w", "_w2").alias("a"), F.greatest("_w", "_w2").alias("b")
-    ).filter(F.col("a") != F.col("b"))
     edges = (
         pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("_n"))

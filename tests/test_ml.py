@@ -479,6 +479,23 @@ def test_logreg_distributed_matches_numpy(spark):
     assert np.allclose(scored["score"].to_numpy(), p, atol=1e-8)
 
 
+def test_logreg_gd_exact_empty_input_raises(spark):
+    """The empty-input guard rides the first gradient aggregation now
+    (isEmpty/count folded into one job) — it must still raise loudly
+    before any weight is touched when every row is null-dropped."""
+    import pytest as _pytest
+
+    from gordo_spark.ml.logreg import LogisticModel
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (2.0, None)], "a double, label double"
+    )
+    m = LogisticModel(["a"], "label")
+    with _pytest.raises(ValueError, match="no rows with non-null"):
+        m.fit_gd_exact(df, lr=0.5, gd_iters=3)
+    assert m.coef_ is None
+
+
 def test_logreg_gd_exact_partitioning_invariant_and_on_grid(spark):
     """fit_gd_exact: weights land on the 1e-9 grid, are bit-identical
     across partitionings (exact scaled-integer gradient sums), and
