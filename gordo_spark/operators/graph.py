@@ -506,4 +506,10 @@ def bfs_depths(
         # leaving the final stage to recompute per consumer.
         if (i + 1) % 2 == 0 and (i + 1) < int(max_depth):
             d = d.localCheckpoint()
+    # materialize the final depth frame so the cached edge layout can be
+    # released NOW (r12, guide §5): without this the returned lineage
+    # still referenced ``e`` and the cache leaked executor storage for
+    # the life of the session (connected_components already unpersists)
+    d = d.localCheckpoint()
+    e.unpersist()
     return d.filter(F.col("depth") <= int(max_depth)).orderBy("depth", "v")

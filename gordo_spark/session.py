@@ -48,6 +48,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Pin native BLAS/OMP pools inside Python workers to ONE thread
+        # (guide §4.5): Spark already runs one worker per task slot, so a
+        # multi-threaded GEMM inside each of N concurrent workers
+        # oversubscribes the host N-fold (observed: cold mapInPandas
+        # stages stalling at local[32] while the same query runs clean at
+        # local[8]). Parallelism belongs to Spark's task scheduler, not
+        # the library pool. executorEnv reaches the pyspark worker daemon
+        # in both local and cluster mode; the vars must be set before the
+        # worker imports numpy, which env-inheritance guarantees.
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        .config("spark.executorEnv.NUMEXPR_NUM_THREADS", "1")
+        .config("spark.executorEnv.VECLIB_MAXIMUM_THREADS", "1")
     )
     if extra_conf:
         for k, v in extra_conf.items():
