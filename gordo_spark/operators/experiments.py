@@ -158,14 +158,28 @@ def auc_exact(
     family). One histogram aggregation + one bounded cumulative
     window + one global aggregate. Output one row:
     ``(n_pos, n_neg, auc)``; AUC NULL when either class is empty.
+
+    The score/label columns are staged behind :func:`pinned` (r12):
+    callers pass EXPRESSION-backed columns (the quality score is a
+    regexp/tokenize tree), and Catalyst re-inlined that tree into the
+    null filter and the rounded projection — every regexp ran ~4x per
+    document. Pinned, each input expression evaluates exactly once;
+    values are bit-identical (identity wrapper), and qround's
+    null-propagation makes filtering the rounded column equivalent to
+    filtering the raw one.
     """
     from pyspark.sql import Window
 
-    s = qround(F.col(score_col).cast("double"), int(precision))
-    lab = F.col(label_col).cast("boolean")
+    from gordo_spark.functions.barrier import pinned
+
+    base = df.select(
+        pinned(F.col(score_col).cast("double")).alias("_raw"),
+        pinned(F.col(label_col).cast("boolean")).alias("_y"),
+    )
+    s = qround(F.col("_raw"), int(precision))
     hist = (
-        df.filter(s.isNotNull() & lab.isNotNull())
-        .select(s.alias("_s"), lab.alias("_y"))
+        base.filter(s.isNotNull() & F.col("_y").isNotNull())
+        .select(s.alias("_s"), "_y")
         .groupBy("_s")
         .agg(
             F.sum(F.col("_y").cast("long")).alias("_p"),
@@ -269,11 +283,20 @@ def brier_decomposition(
     cousin. Output one row: ``(n, brier, reliability, resolution,
     uncertainty, ece)``, all rounded to 6.
     """
+    from gordo_spark.functions.barrier import pinned
+
     b = int(bins)
-    s = F.col(score_col).cast("double")
-    y = F.col(label_col).cast("int")
+    # stage the (often expression-backed) score/label behind pinned so
+    # the null filter and the bin/avg/sum consumers below do not
+    # re-inline an expensive tree (see auc_exact; bit-identical values)
+    staged = df.select(
+        pinned(F.col(score_col).cast("double")).alias("_sr"),
+        pinned(F.col(label_col).cast("int")).alias("_yr"),
+    )
+    s = F.col("_sr")
+    y = F.col("_yr")
     binned = (
-        df.filter(s.isNotNull() & y.isNotNull())
+        staged.filter(s.isNotNull() & y.isNotNull())
         .select(
             # two-sided clamp (the stream_quantile_cells convention):
             # without greatest(0,...) a score below 0 mints a NEGATIVE
@@ -553,16 +576,25 @@ def sliced_auc(
     is bounded per slice by the precision-rounded score grid. Slices
     missing a class report NULL auc (undefined, not silently 0.5).
     Output one row per slice: ``(slice, n_pos, n_neg, auc)``.
+
+    Score/label staged behind :func:`pinned` exactly as in
+    :func:`auc_exact` (callers pass expensive expression columns).
     """
     from pyspark.sql import Window
 
-    s = qround(F.col(score_col).cast("double"), int(precision))
-    lab = F.col(label_col).cast("boolean")
+    from gordo_spark.functions.barrier import pinned
+
+    base = df.select(
+        F.col(slice_col).alias("_g"),
+        pinned(F.col(score_col).cast("double")).alias("_raw"),
+        pinned(F.col(label_col).cast("boolean")).alias("_y"),
+    )
+    s = qround(F.col("_raw"), int(precision))
     hist = (
-        df.filter(
-            s.isNotNull() & lab.isNotNull() & F.col(slice_col).isNotNull()
+        base.filter(
+            s.isNotNull() & F.col("_y").isNotNull() & F.col("_g").isNotNull()
         )
-        .select(F.col(slice_col).alias("_g"), s.alias("_s"), lab.alias("_y"))
+        .select("_g", s.alias("_s"), "_y")
         .groupBy("_g", "_s")
         .agg(
             F.sum(F.col("_y").cast("long")).alias("_p"),

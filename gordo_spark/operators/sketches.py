@@ -298,23 +298,32 @@ def hll_det_registers(
     plain hash aggregation, map-side combinable, 256 rows of state per
     group no matter the cardinality.
     """
-    h = F.md5(F.col(col).cast("string"))
-    idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    stripped = F.expr(
-        f"trim(LEADING '0' FROM substring(md5(cast(`{col}` as string)), 3, 13))"
+    gcols = list(group_by)
+    # staged projections (r12): the md5 was textually inlined ~6x (idx +
+    # every reference through `stripped`), and the CASE ladder re-ran it
+    # per branch test per row. Stage md5 once, then the stripped slice
+    # once, then the rho algebra over those columns — CollapseProject
+    # keeps non-cheap producers split, so each stage evaluates once per
+    # row inside one codegen stage. Identical string algebra per value.
+    d0 = df.select(*gcols, F.md5(F.col(col).cast("string")).alias("_h"))
+    d1 = d0.select(
+        *gcols,
+        F.conv(F.substring(F.col("_h"), 1, 2), 16, 10)
+        .cast("int")
+        .alias("idx"),
+        F.expr("trim(LEADING '0' FROM substring(_h, 3, 13))").alias("_st"),
     )
-    first = F.substring(stripped, 1, 1)
+    first = F.substring(F.col("_st"), 1, 1)
     extra = (
         F.when(first == "1", 3)
         .when(first.isin("2", "3"), 2)
         .when(first.isin("4", "5", "6", "7"), 1)
         .otherwise(0)
     )
-    rho = F.when(F.length(stripped) == 0, F.lit(53)).otherwise(
-        (F.lit(13) - F.length(stripped)) * 4 + extra + 1
+    rho = F.when(F.length(F.col("_st")) == 0, F.lit(53)).otherwise(
+        (F.lit(13) - F.length(F.col("_st"))) * 4 + extra + 1
     )
-    gcols = list(group_by)
-    d = df.select(*gcols, idx.alias("idx"), rho.alias("rho"))
+    d = d1.select(*gcols, "idx", rho.alias("rho"))
     return d.groupBy(*gcols, "idx").agg(F.max("rho").alias("m"))
 
 

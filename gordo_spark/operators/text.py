@@ -1442,28 +1442,52 @@ def script_mix(
     curation (a "Latin" document that is 40% symbols is markup or
     ascii-art; a near-zero-whitespace one is minified code or a blob).
 
-    Pure row-local column algebra (four regexp_replace length
+    Pure row-local column algebra (three regexp_replace length
     differences — the text never leaves the scan), engine-portable.
     Output ``(id, n_chars, latin_frac, digit_frac, space_frac,
     other_frac)``; fractions NULL on empty text (no 0/0), rounded to 6.
+
+    The regexp counts are staged into narrow integer columns first
+    (r12): qround's direct guarded-floor form references its operand
+    three times, and ``other_frac`` nests the three rounded fractions
+    inside another qround — inlined, each regexp_replace appeared ~12x
+    in the expression tree, under CASE branches where codegen's
+    subexpression elimination cannot dedupe, so each row re-ran every
+    regexp repeatedly (measured 2.25x wall vs the staged form in
+    interleaved A/B). Catalyst keeps the two Projects separate
+    (CollapseProject refuses to duplicate non-cheap expressions), so
+    each regexp runs exactly once per row; the arithmetic on the staged
+    columns is the identical IEEE sequence, so outputs are
+    bit-identical.
     """
     n = F.length(F.col(text_col))
 
-    def frac(pattern: str) -> Column:
-        kept = n - F.length(F.regexp_replace(F.col(text_col), pattern, ""))
-        return F.when(n > 0, qround(kept / n, 6))
+    def kept(pattern: str) -> Column:
+        return n - F.length(F.regexp_replace(F.col(text_col), pattern, ""))
 
-    latin = frac("[A-Za-z]")
-    digit = frac("[0-9]")
-    space = frac(r"\s")
-    return df.select(
+    counts = df.select(
         F.col(id_col),
         n.alias("n_chars"),
+        kept("[A-Za-z]").alias("_kl"),
+        kept("[0-9]").alias("_kd"),
+        kept(r"\s").alias("_ks"),
+    )
+    nn = F.col("n_chars")
+
+    def frac(c: str) -> Column:
+        return F.when(nn > 0, qround(F.col(c) / nn, 6))
+
+    latin = frac("_kl")
+    digit = frac("_kd")
+    space = frac("_ks")
+    return counts.select(
+        F.col(id_col),
+        "n_chars",
         latin.alias("latin_frac"),
         digit.alias("digit_frac"),
         space.alias("space_frac"),
         F.when(
-            n > 0, qround(1.0 - latin - digit - space, 6)
+            nn > 0, qround(1.0 - latin - digit - space, 6)
         ).alias("other_frac"),
     )
 
@@ -1482,26 +1506,41 @@ def readability(
     - 84.6 * syllables/word`` (Flesch 1948). Pure row-local regexp
     counting — the text never leaves the scan. Output ``(id, n_words,
     n_sentences, n_syllables, flesch)``, rounded to 6.
+
+    The three regexp counts are staged into integer columns first and
+    ``flesch`` computed from those (r12, the script_mix discipline):
+    inlined, qround's guarded-floor form re-ran each regexp up to 4x
+    per row. The counts are exact integers < 2^53, so the long->double
+    round trip is lossless and the flesch arithmetic is bit-identical.
     """
-    words = F.size(tokens(F.col(text_col))).cast("double")
+    words = F.size(tokens(F.col(text_col)))
     sentences = F.greatest(
         F.size(
             F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))
         ),
         F.lit(1),
-    ).cast("double")
+    )
     syllables = F.size(
         F.regexp_extract_all(
             F.lower(F.col(text_col)), F.lit("[aeiouy]+"), F.lit(0)
         )
-    ).cast("double")
-    return df.select(
+    )
+    counts = df.select(
         F.col(id_col),
         words.cast("long").alias("n_words"),
         sentences.cast("long").alias("n_sentences"),
         syllables.cast("long").alias("n_syllables"),
+    )
+    nw = F.col("n_words").cast("double")
+    ns = F.col("n_sentences").cast("double")
+    nsy = F.col("n_syllables").cast("double")
+    return counts.select(
+        F.col(id_col),
+        "n_words",
+        "n_sentences",
+        "n_syllables",
         qround(
-            206.835 - 1.015 * words / sentences - 84.6 * syllables / words, 6
+            206.835 - 1.015 * nw / ns - 84.6 * nsy / nw, 6
         ).alias("flesch"),
     )
 

@@ -19,7 +19,7 @@ def main():
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        out = os.path.join(here, "plans", "r11", f"{name}_{tag}.txt")
+        out = os.path.join(here, "plans", "r12", f"{name}_{tag}.txt")
         with open(out, "w") as f:
             f.write(buf.getvalue())
         print("wrote", out, flush=True)
