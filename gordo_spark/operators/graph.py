@@ -355,9 +355,11 @@ def hits(
     needing more precision than 32 power steps has converged to ulp
     level long before — raise would mean the caller wants a
     convergence loop, which this operator deliberately is not).
-    Edge and node frames are eagerly localCheckpoint-ed once (the
-    pagerank precedent); the running frame lazily truncates every 4
-    iterations. Output: ``(v, hub, auth)`` L1-normalized, 6dp, ordered
+    The edge frame is eagerly localCheckpoint-ed once (the pagerank
+    precedent); the node frame and the running h/a frames stay lazy —
+    the loop's lineage is linear (see the loop comment), so the whole
+    power iteration executes as ONE adaptive job at the sink.
+    Output: ``(v, hub, auth)`` L1-normalized, 6dp, ordered
     by node; a node with no out-edges has hub 0, no in-edges, auth 0.
     """
     if not 1 <= int(iterations) <= 32:
@@ -373,11 +375,13 @@ def hits(
         .distinct()
         .localCheckpoint()
     )
+    # nodes is consumed exactly ONCE (the final dense join) and derives
+    # from the checkpointed e — checkpointing it was a pure extra build
+    # job (r12); left lazy it computes inside the sink job.
     nodes = (
         e.select(F.col("_s").alias("v"))
         .union(e.select(F.col("_d").alias("v")))
         .distinct()
-        .localCheckpoint()
     )
     h = e.select(F.col("_s").alias("v")).distinct().select(
         "v", F.lit(1.0).alias("hub")
@@ -394,9 +398,17 @@ def hits(
             .groupBy(F.col("_s").alias("v"))
             .agg(F.sum("auth").alias("hub"))
         )
-        if (i + 1) % 4 == 0 and (i + 1) < int(iterations):
-            h = h.localCheckpoint(eager=False)
-            a = a.localCheckpoint(eager=False)
+        # NO mid-loop checkpoint (r12): the loop's lineage is LINEAR
+        # (h_{k+1} references a_k once, a_k references h_{k-1} once), so
+        # the plan grows linearly and the iterations<=32 cap bounds it —
+        # truncation bought nothing. Worse, the old every-4th
+        # eager=False checkpoint of BOTH h and a ran iterations 1-4
+        # TWICE at build: each .rdd call is its own AQE query, so a4's
+        # stages executed once inside h4's checkpoint DAG and again for
+        # a4's own — and the a4 checkpoint was consumed by NOTHING
+        # (iteration 5 needs only h4; dense needs the final a). Measured
+        # 1.49x on the full query (interleaved A/B, min-of-3, 3 wins
+        # out of 3 pairs).
     dense = (
         nodes.join(h, "v", "left")
         .join(a, "v", "left")
