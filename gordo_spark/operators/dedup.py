@@ -469,11 +469,24 @@ def connected_components(
     """
     from gordo_spark.functions.partitioning import adaptive_partitions
 
+    # symmetrize row-locally (explode of a 2-struct array, the pagerank
+    # `dirs` shape) instead of unioning two selects over the pair frame:
+    # the union form referenced the WHOLE upstream candidate-pair
+    # subtree twice — exchange reuse usually dedupes it, but reuse is
+    # best-effort (it broke cold: measured 4.7 s vs 1.25 s on the LSH
+    # subtree) while one reference is guaranteed (r12)
     e0 = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # r11 (guide §2.4): every iteration joins the edge frame on dst —
     # hash-partition + sort it by dst ONCE so the per-iteration join
     # reads the cache with no edge-side Exchange/Sort and only the

@@ -472,11 +472,21 @@ def bfs_depths(
     """
     from gordo_spark.functions.partitioning import adaptive_partitions
 
+    # row-local symmetrize (one reference to the upstream edge subtree;
+    # the union-of-two-selects form relied on exchange reuse — see
+    # connected_components, r12)
     e0 = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # repartition BEFORE distinct (hits discipline): partitioning on
     # src is a subset of the (src, dst) clustering, so dedup runs
     # exchange-free on the landed layout — one shuffle total
