@@ -2674,9 +2674,14 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gordo_spark.operators.text import perplexity_buckets, unigram_logprob_score
 
     docs = read_table(spark, sf_dir, "documents")
+    # pin the per-doc score frame once (r12, guide §5 — the
+    # curation_verdict discipline): the exact-ntile bucketing consumes
+    # it through the histogram AND the join-back, and left lazy each
+    # reference replayed the whole vocab-fit + rescore subtree (12
+    # document scans in plans/r12/perplexity_buckets_before)
     scored = unigram_logprob_score(docs).join(
         docs.select("doc_id", "lang"), "doc_id"
-    )
+    ).localCheckpoint()
     return perplexity_buckets(scored)
 
 
@@ -3739,7 +3744,11 @@ def q_tag_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wide = _wide_1h(spark, sf_dir)
     tags = ["click", "view", "purchase"]
-    ranked = wide.na.drop(subset=tags)
+    # pin the aligned grid once (r12, guide §5): it is calendar-bounded
+    # (hourly buckets), and each chained global_rank references its
+    # input twice (frame + histogram), so three chained calls put
+    # 2^3 = 8 copies of the events resample+pivot in the plan
+    ranked = wide.na.drop(subset=tags).localCheckpoint()
     for t in tags:
         ranked = global_rank(ranked, t, "ts", out_col=f"_r_{t}")
     aggs = []

@@ -150,11 +150,18 @@ def fleiss_kappa(
     kappa)``; kappa NULL when ``P_e = 1`` (all mass in one category —
     agreement undefined, not perfect).
     """
+    # pin the panel once (r12, guide §5): ratings is panel-bounded
+    # (items x raters), but it feeds the max-count probe, the
+    # complete-case join, and the cell histogram — left lazy, each
+    # consumer re-derived the caller's whole panel build (the 3-rater
+    # contract's plan held 12 document scans,
+    # plans/r12/eval_fleiss_kappa_before). The operator already runs an
+    # eager .first() for n_raters, so the eager pin adds no extra sync.
     ratings = df.select(
         F.col(item_col).alias("_it"),
         F.col(rater_col).alias("_ra"),
         F.col(category_col).alias("_cat"),
-    )
+    ).localCheckpoint()
     per_item_n = ratings.groupBy("_it").agg(F.count(F.lit(1)).alias("_n"))
     n_raters = per_item_n.agg(F.max("_n")).first()[0]
     if not n_raters or n_raters < 2:

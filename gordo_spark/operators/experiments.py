@@ -1498,9 +1498,15 @@ def msprt_monitor(
         "variant",
         F.col(success_col).cast("int").alias("_s"),
     )
+    # pin the (window, variant) count table ONCE (r12, guide §5): it is
+    # experiment-calendar bounded (#windows x 2 rows), while downstream
+    # the a/b split, the window join, and the running-max self range-join
+    # re-referenced the unpinned subtree until the plan held TWELVE
+    # parquet scans of the event table (plans/r12/msprt_monitor_before) —
+    # each re-running the per-event md5 assignment. One scan now.
     per = d.groupBy("_w", "variant").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_s").alias("_c")
-    )
+    ).localCheckpoint()
     wv = Window.partitionBy("variant").orderBy("_w").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -117,10 +117,15 @@ def logrank_test(
         F.col(duration_col).cast("double").alias("_t"),
         F.col(event_col).cast("boolean").alias("_e"),
     ).filter(F.col("_g").isin(0, 1))
+    # pin the (group, duration) count table ONCE (r12, guide §5): it is
+    # grid-bounded (distinct durations x 2), while the a/b split, the
+    # full-outer grid join and the final reduce re-referenced the
+    # unpinned subtree until the plan held TWELVE scans of the upstream
+    # subject build (plans/r12/logrank_before). One scan now.
     per = d.groupBy("_g", "_t").agg(
         F.sum(F.col("_e").cast("int")).alias("_d"),
         F.count(F.lit(1)).alias("_c"),
-    )
+    ).localCheckpoint()
     # risk set per group at t = subjects with duration >= t: cumulative
     # count from the top of the grid, per group
     wdesc = Window.partitionBy("_g").orderBy(F.col("_t").desc()).rowsBetween(
@@ -160,9 +165,16 @@ def logrank_test(
         * (F.col("nt") - F.col("dt"))
         / (F.col("nt") - 1),
     ).otherwise(F.lit(0.0))
-    tot = d.groupBy().agg(
-        F.sum(F.when(F.col("_g") == 0, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("_g") == 1, 1).otherwise(0)).alias("n_b"),
+    # subject totals from the pinned grid (sum of the per-(group, t)
+    # counts == the raw row count per group), not another pass over the
+    # upstream subject build (r12)
+    tot = per.groupBy().agg(
+        F.sum(F.when(F.col("_g") == 0, F.col("_c")).otherwise(0)).alias(
+            "n_a"
+        ),
+        F.sum(F.when(F.col("_g") == 1, F.col("_c")).otherwise(0)).alias(
+            "n_b"
+        ),
     )
     s = ev.agg(
         F.sum(F.col("d0")).alias("events_a"),
